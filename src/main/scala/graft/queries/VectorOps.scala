@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Exact dot products are computed as a sequential left fold with double
+  * accumulation over float32 inputs — the identical IEEE op sequence in
+  * Spark (`aggregate`/`zip_with`) and DuckDB (`list_reduce`/
+  * `list_transform`), so results are bit-exact across engines.
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale path
+  * is random-hyperplane LSH (deterministic md5-derived planes) bucketing
+  * vectors so candidate generation at 100 TB is a bucket-local join, not
+  * a cross join. All Catalyst built-ins — no UDFs.
+  */
+object VectorOps {
+  import Tables.t
+
+  /** sqrt(Σ x²) with double accumulation, sequential. */
+  private val NORM_SPARK =
+    """sqrt(aggregate(zip_with(embedding, embedding,
+      |  (x, y) -> cast(x AS double) * y), cast(0 AS double),
+      |  (acc, x) -> acc + x))""".stripMargin
+  private val NORM_DUCK =
+    """sqrt(list_reduce(list_transform(embedding,
+      |  x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))""".stripMargin
+
+  private def dotSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * y),
+       |  cast(0 AS double), (acc, x) -> acc + x)""".stripMargin
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (a, b) -> a + b)""".stripMargin
+
+  /** One deterministic random-hyperplane sign bit ('0'/'1') per plane:
+    * weights ±1 from md5(plane,dim), projection via sequential fold. */
+  private def planeBitSpark(p: Int): String =
+    s"""CASE WHEN aggregate(zip_with(embedding,
+       |  transform(sequence(0, 63), d -> CASE WHEN substr(md5(concat('$p,', cast(d AS string))), 1, 1) >= '8'
+       |                                       THEN cast(1 AS double) ELSE cast(-1 AS double) END),
+       |  (x, w) -> cast(x AS double) * w), cast(0 AS double), (a, x) -> a + x) > 0
+       |THEN '1' ELSE '0' END""".stripMargin
+  private def planeBitDuck(p: Int): String =
+    s"""CASE WHEN list_reduce(list_transform(list_zip(embedding,
+       |  list_transform(range(0, 64), d -> CASE WHEN substr(md5('$p,' || d::VARCHAR), 1, 1) >= '8'
+       |                                         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+       |  pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (a, b) -> a + b) > 0
+       |THEN '1' ELSE '0' END""".stripMargin
+
+  private val BUCKET_SPARK =
+    s"concat(${(0 until 4).map(planeBitSpark).mkString(", ")})"
+  private val BUCKET_DUCK =
+    (0 until 4).map(planeBitDuck).mkString(" || ")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- e01
+    // Brute-force cosine top-k: the ANN correctness baseline. Query set
+    // broadcast against the corpus; row_number for deterministic ranks.
+    QueryDef(
+      "e01_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "embedding")) / ($"q_nrm" * $"nrm"))
+        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"vec_id", $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${dotDuck("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+          FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+        SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------------------- e02
+    // LSH bucket histogram: 4 deterministic hyperplanes → 16 buckets.
+    QueryDef(
+      "e02_lsh_buckets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .selectExpr("vec_id", s"$BUCKET_SPARK AS bucket")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id FROM (
+          SELECT vec_id, $BUCKET_DUCK AS bucket FROM embeddings)
+        GROUP BY bucket ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- e03
+    // LSH-bucketed ANN: top-3 neighbors per vector *within its bucket* —
+    // the scale path where the join is bucket-local.
+    QueryDef(
+      "e03_lsh_ann_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+                      s"$BUCKET_SPARK AS bucket")
+        val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
+                         $"nrm".as("nrm_b"), $"bucket")
+        val scored = a.join(b, Seq("bucket"))
+          .filter($"vec_id" =!= $"neighbor_id")
+          .withColumn("cosine",
+            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"vec_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"vec_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                          $BUCKET_DUCK AS bucket
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // ---------------------------------------------------------------- e04
+    // Embedding near-duplicate pairs: exact cosine above threshold
+    // (0.40 sits between p99.9 ≈ 0.38 and max ≈ 0.51 on this corpus).
+    QueryDef(
+      "e04_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
+        val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
+        a.join(b, $"id_a" < $"id_b")
+          .withColumn("cosine",
+            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
+          .filter($"cosine" >= 0.40)
+          .select($"id_a", $"id_b", $"cosine")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
+        ORDER BY id_a, id_b"""))
+  )
+}
