@@ -1,0 +1,63 @@
+package graft.core
+
+import graft.ndarray.{DType, NdArray}
+
+/** Schema of one variable in the virtual whole dataset. */
+final case class VarSpec(dims: Seq[String], dtype: DType) {
+  def shape(dimSizes: Map[String, Long]): Seq[Long] = dims.map(dimSizes)
+}
+
+/** The declared schema of the whole virtual dataset — the stand-in for
+  * the reference's lazy-Dask "template" (zarr.py:107-146). On the JVM no
+  * lazy-array trickery is needed: a plain case class carries the full
+  * dims/vars/coords/attrs picture and every chunk is validated against
+  * it (dataset.py:236-332).
+  *
+  * `coords` are small eager 1-d arrays (dim coordinates), written to the
+  * store at setup time by the driver — the reference's "unchunked
+  * variables" (zarr.py:617-620).
+  */
+final case class Template(dims: Seq[(String, Long)],
+                          vars: Map[String, VarSpec],
+                          coords: Map[String, NdArray],
+                          attrs: Map[String, String]) {
+
+  def dimSizes: Map[String, Long] = dims.toMap
+  def dimOrder: Seq[String] = dims.map(_._1)
+
+  def withVar(name: String, spec: VarSpec): Template =
+    copy(vars = vars + (name -> spec))
+
+  def dropDims(remove: Set[String]): Template =
+    Template(
+      dims.filterNot(d => remove(d._1)),
+      vars.map { case (n, vs) => n -> vs.copy(dims = vs.dims.filterNot(remove)) },
+      coords -- remove,
+      attrs)
+
+  def selectVars(names: Set[String]): Template = {
+    val missing = names -- vars.keySet
+    require(missing.isEmpty, s"template does not have variables $missing")
+    val keptDims = vars.filter(kv => names(kv._1)).values.flatMap(_.dims).toSet
+    Template(dims.filter(d => keptDims(d._1)), vars.filter(kv => names(kv._1)),
+      coords.filter(kv => keptDims(kv._1)), attrs)
+  }
+
+  /** Total nbytes of the virtual dataset (for planning). */
+  def nbytes: Long = {
+    val ds = dimSizes
+    vars.valuesIterator.map(vs => vs.dims.map(ds).product * vs.dtype.itemsize).sum
+  }
+}
+
+object Template {
+  /** Infer a template from a single consolidated chunk at origin
+    * (legacy template-discovery analogue, zarr.py:242-271). */
+  def fromChunk(chunk: ArrayChunk): Template = {
+    val ds = chunk.dimSizes
+    Template(
+      ds.toSeq.sortBy(_._1).map { case (d, s) => d -> s.toLong },
+      chunk.vars.map { case (n, va) => n -> VarSpec(va.dims, va.arr.dtype) },
+      Map.empty, Map.empty)
+  }
+}

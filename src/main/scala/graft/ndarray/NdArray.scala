@@ -1,0 +1,317 @@
+package graft.ndarray
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Element dtype of an [[NdArray]]. Encodes the Zarr v2 dtype string and
+  * the itemsize. `TimeNs` is datetime64[ns] stored as little-endian i64
+  * (the reference's time coordinates, e.g. xarray_beam test_util.py:96).
+  */
+sealed abstract class DType(val zarr: String, val itemsize: Int) extends Serializable
+object DType {
+  case object F32 extends DType("<f4", 4)
+  case object F64 extends DType("<f8", 8)
+  case object I32 extends DType("<i4", 4)
+  case object I64 extends DType("<i8", 8)
+  case object TimeNs extends DType("<M8[ns]", 8)
+
+  def fromZarr(s: String): DType = s match {
+    case "<f4" => F32
+    case "<f8" => F64
+    case "<i4" => I32
+    case "<i8" => I64
+    case "<M8[ns]" => TimeNs
+    case other => throw new IllegalArgumentException(s"unsupported dtype: $other")
+  }
+}
+
+/** A dense, C-order (row-major), little-endian n-dimensional array over a
+  * flat byte buffer — the JVM stand-in for the NumPy arrays inside the
+  * reference's chunks (xarray_beam core.py:72-76: chunks are fully
+  * computed dense arrays). Always contiguous; ops materialize.
+  *
+  * Float reads/writes go through a Double view, integer ones through a
+  * Long view; conversions are exact for every value the engine handles.
+  */
+final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
+    extends Serializable {
+
+  def ndim: Int = shape.length
+  def size: Long = shape.foldLeft(1L)(_ * _)
+  def nbytes: Long = size * dtype.itemsize
+
+  require(nbytes == data.length,
+    s"data length ${data.length} != shape ${shape.mkString("x")} * ${dtype.itemsize}")
+
+  private def buf: ByteBuffer = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** C-order strides in elements. */
+  def strides: Array[Long] = {
+    val st = new Array[Long](ndim)
+    var acc = 1L
+    var i = ndim - 1
+    while (i >= 0) { st(i) = acc; acc *= shape(i); i -= 1 }
+    st
+  }
+
+  def getDouble(flat: Long): Double = dtype match {
+    case DType.F32 => buf.getFloat((flat * 4).toInt).toDouble
+    case DType.F64 => buf.getDouble((flat * 8).toInt)
+    case DType.I32 => buf.getInt((flat * 4).toInt).toDouble
+    case DType.I64 | DType.TimeNs => buf.getLong((flat * 8).toInt).toDouble
+  }
+
+  def getLong(flat: Long): Long = dtype match {
+    case DType.F32 => buf.getFloat((flat * 4).toInt).toLong
+    case DType.F64 => buf.getDouble((flat * 8).toInt).toLong
+    case DType.I32 => buf.getInt((flat * 4).toInt).toLong
+    case DType.I64 | DType.TimeNs => buf.getLong((flat * 8).toInt)
+  }
+
+  def setDouble(flat: Long, v: Double): Unit = dtype match {
+    case DType.F32 => buf.putFloat((flat * 4).toInt, v.toFloat)
+    case DType.F64 => buf.putDouble((flat * 8).toInt, v)
+    case DType.I32 => buf.putInt((flat * 4).toInt, v.toInt)
+    case DType.I64 | DType.TimeNs => buf.putLong((flat * 8).toInt, v.toLong)
+  }
+
+  def setLong(flat: Long, v: Long): Unit = dtype match {
+    case DType.F32 => buf.putFloat((flat * 4).toInt, v.toFloat)
+    case DType.F64 => buf.putDouble((flat * 8).toInt, v.toDouble)
+    case DType.I32 => buf.putInt((flat * 4).toInt, v.toInt)
+    case DType.I64 | DType.TimeNs => buf.putLong((flat * 8).toInt, v)
+  }
+
+  /** Extract the hyper-rectangle [starts(d), starts(d)+outShape(d)) per dim. */
+  def slice(starts: Array[Int], outShape: Array[Int]): NdArray = {
+    require(starts.length == ndim && outShape.length == ndim)
+    val out = NdArray.zeros(dtype, outShape)
+    val isz = dtype.itemsize
+    if (out.size == 0) return out
+    // copy contiguous runs along the last axis
+    val lastLen = if (ndim == 0) 1 else outShape(ndim - 1)
+    val outer = out.size / math.max(lastLen, 1)
+    val idx = new Array[Int](math.max(ndim - 1, 0))
+    val srcStrides = strides
+    val dstStrides = out.strides
+    var o = 0L
+    while (o < outer) {
+      var srcFlat = 0L
+      var dstFlat = 0L
+      var d = 0
+      while (d < ndim - 1) {
+        srcFlat += (starts(d) + idx(d)) * srcStrides(d)
+        dstFlat += idx(d) * dstStrides(d)
+        d += 1
+      }
+      if (ndim > 0) srcFlat += starts(ndim - 1) * srcStrides(ndim - 1)
+      System.arraycopy(data, (srcFlat * isz).toInt, out.data, (dstFlat * isz).toInt,
+        lastLen * isz)
+      // increment odometer over the outer dims
+      var k = ndim - 2
+      var carry = true
+      while (k >= 0 && carry) {
+        idx(k) += 1
+        if (idx(k) == outShape(k)) { idx(k) = 0; k -= 1 } else carry = false
+      }
+      o += 1
+    }
+    out
+  }
+
+  /** Write `src` into this array at offset `starts` (inverse of slice). */
+  def insert(starts: Array[Int], src: NdArray): Unit = {
+    require(src.dtype == dtype && src.ndim == ndim)
+    val isz = dtype.itemsize
+    if (src.size == 0) return
+    val lastLen = if (ndim == 0) 1 else src.shape(ndim - 1)
+    val outer = src.size / math.max(lastLen, 1)
+    val idx = new Array[Int](math.max(ndim - 1, 0))
+    val dstStrides = strides
+    val srcStrides = src.strides
+    var o = 0L
+    while (o < outer) {
+      var dstFlat = 0L
+      var srcFlat = 0L
+      var d = 0
+      while (d < ndim - 1) {
+        dstFlat += (starts(d) + idx(d)) * dstStrides(d)
+        srcFlat += idx(d) * srcStrides(d)
+        d += 1
+      }
+      if (ndim > 0) dstFlat += starts(ndim - 1) * dstStrides(ndim - 1)
+      System.arraycopy(src.data, (srcFlat * isz).toInt, data, (dstFlat * isz).toInt,
+        lastLen * isz)
+      var k = ndim - 2
+      var carry = true
+      while (k >= 0 && carry) {
+        idx(k) += 1
+        if (idx(k) == src.shape(k)) { idx(k) = 0; k -= 1 } else carry = false
+      }
+      o += 1
+    }
+  }
+
+  /** Permute axes (materializing; like np.transpose + ascontiguousarray). */
+  def transpose(perm: Array[Int]): NdArray = {
+    require(perm.sorted.sameElements(Array.range(0, ndim)))
+    val outShape = perm.map(shape)
+    val out = NdArray.zeros(dtype, outShape)
+    val srcStrides = strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var dst = 0L
+    while (dst < n) {
+      var src = 0L
+      var d = 0
+      while (d < ndim) { src += idx(d) * srcStrides(perm(d)); d += 1 }
+      out.setLong(dst, getLongBits(src))
+      var k = ndim - 1
+      var carry = true
+      while (k >= 0 && carry) {
+        idx(k) += 1
+        if (idx(k) == outShape(k)) { idx(k) = 0; k -= 1 } else carry = false
+      }
+      dst += 1
+    }
+    out
+  }
+
+  /** Raw element bits as long (for exact moves regardless of dtype). */
+  private def getLongBits(flat: Long): Long = dtype.itemsize match {
+    case 4 => buf.getInt((flat * 4).toInt).toLong
+    case 8 => buf.getLong((flat * 8).toInt)
+  }
+  private def setLongBits(flat: Long, bits: Long): Unit = dtype.itemsize match {
+    case 4 => buf.putInt((flat * 4).toInt, bits.toInt)
+    case 8 => buf.putLong((flat * 8).toInt, bits)
+  }
+
+  /** Sum + not-NaN count along the given axes (ascending order), in
+    * float64 — the per-chunk partial aggregate of the reference's Mean
+    * (combiners.py:38-64). skipna treats NaN as (0, not counted). */
+  def sumCount(axes: Array[Int], skipna: Boolean): (NdArray, NdArray) = {
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val sums = NdArray.zeros(DType.F64, outShape)
+    val counts = NdArray.zeros(DType.F64, outShape)
+    val srcStrides = strides
+    val outStrides = sums.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN) {
+        sums.setDouble(outFlat, sums.getDouble(outFlat) + v)
+        counts.setDouble(outFlat, counts.getDouble(outFlat) + 1.0)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    (sums, counts)
+  }
+
+  /** Elementwise binary op in float64, returning F64. */
+  def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
+    require(shape.sameElements(other.shape), "shape mismatch")
+    val out = NdArray.zeros(DType.F64, shape)
+    var i = 0L
+    while (i < size) {
+      out.setDouble(i, f(getDouble(i), other.getDouble(i)))
+      i += 1
+    }
+    out
+  }
+
+  def mapF64(f: Double => Double): NdArray = {
+    val out = NdArray.zeros(DType.F64, shape)
+    var i = 0L
+    while (i < size) { out.setDouble(i, f(getDouble(i))); i += 1 }
+    out
+  }
+
+  def toDoubles: Array[Double] = {
+    val out = new Array[Double](size.toInt)
+    var i = 0
+    while (i < out.length) { out(i) = getDouble(i); i += 1 }
+    out
+  }
+
+  def toLongs: Array[Long] = {
+    val out = new Array[Long](size.toInt)
+    var i = 0
+    while (i < out.length) { out(i) = getLong(i); i += 1 }
+    out
+  }
+
+  /** Exact equality: same dtype, shape, and bytes. */
+  def sameAs(other: NdArray): Boolean =
+    dtype == other.dtype && shape.sameElements(other.shape) &&
+      java.util.Arrays.equals(data, other.data)
+
+  /** Approximate equality in f64 (NaN == NaN). */
+  def allClose(other: NdArray, tol: Double = 1e-9): Boolean =
+    shape.sameElements(other.shape) && {
+      var i = 0L
+      var ok = true
+      while (ok && i < size) {
+        val a = getDouble(i); val b = other.getDouble(i)
+        ok = (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+        i += 1
+      }
+      ok
+    }
+
+  override def toString: String =
+    s"NdArray(${dtype.zarr}, [${shape.mkString(",")}])"
+}
+
+object NdArray {
+  def zeros(dtype: DType, shape: Array[Int]): NdArray = {
+    val n = shape.foldLeft(1L)(_ * _) * dtype.itemsize
+    require(n <= Int.MaxValue, s"array too large: $n bytes")
+    NdArray(dtype, shape.clone(), new Array[Byte](n.toInt))
+  }
+
+  def fill(dtype: DType, shape: Array[Int], value: Double): NdArray = {
+    val a = zeros(dtype, shape)
+    var i = 0L
+    while (i < a.size) { a.setDouble(i, value); i += 1 }
+    a
+  }
+
+  def fromDoubles(dtype: DType, shape: Array[Int], values: Array[Double]): NdArray = {
+    val a = zeros(dtype, shape)
+    require(a.size == values.length)
+    var i = 0
+    while (i < values.length) { a.setDouble(i, values(i)); i += 1 }
+    a
+  }
+
+  def fromLongs(dtype: DType, shape: Array[Int], values: Array[Long]): NdArray = {
+    val a = zeros(dtype, shape)
+    require(a.size == values.length)
+    var i = 0
+    while (i < values.length) { a.setLong(i, values(i)); i += 1 }
+    a
+  }
+
+  /** Assemble a dense array from a grid of blocks (np.block analogue —
+    * the kernel inside consolidate_chunks, rechunk.py:107-131).
+    * `blocks` are (startsInElements, block) pairs that must exactly tile
+    * the output shape (validated by the caller). */
+  def blockAssemble(dtype: DType, shape: Array[Int],
+                    blocks: Seq[(Array[Int], NdArray)]): NdArray = {
+    val out = zeros(dtype, shape)
+    blocks.foreach { case (starts, b) => out.insert(starts, b) }
+    out
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+import graft.core.{ArrayChunk, ChunkKey, VarArray}
+import graft.ndarray.{DType, NdArray}
+
+/** Spark transforms over a distributed chunked dataset
+  * `Dataset[(ChunkKey, ArrayChunk)]` — the engine's equivalent of the
+  * reference's PCollection-of-pairs (SURVEY §1.4).
+  *
+  * Chunk payloads are opaque tensors, so pairs travel Kryo-encoded;
+  * shuffle keys are the deterministic canonical key strings (mirroring
+  * the reference's deterministic KeyCoder, core.py:250-265). Shuffles
+  * appear exactly where the reference has GroupByKey: consolidate and
+  * per-key mean. Split is a narrow flatMap. Map-side partial aggregation
+  * for mean comes from reduceGroups (Spark plans partial_reduce before
+  * the exchange), replacing the reference's hand-built fanout schedule
+  * (combiners.py:219-291).
+  */
+object ChunkTransforms {
+
+  type Pair = (ChunkKey, ArrayChunk)
+
+  implicit val pairEnc: Encoder[Pair] = Encoders.kryo[Pair]
+  implicit val taggedEnc: Encoder[(String, Pair)] = Encoders.kryo[(String, Pair)]
+
+  def splitChunks(ds: Dataset[Pair], target: Map[String, Int]): Dataset[Pair] =
+    ds.flatMap { p: Pair => ChunkOps.splitChunks(p._1, p._2, target) }
+
+  def splitVariables(ds: Dataset[Pair]): Dataset[Pair] =
+    ds.flatMap { p: Pair => ChunkOps.splitVariables(p._1, p._2) }
+
+  /** map to rounded target key → shuffle → n-d block assembly
+    * (ConsolidateChunks, rechunk.py:311-336). */
+  def consolidateChunks(ds: Dataset[Pair], target: Map[String, Int]): Dataset[Pair] =
+    ds.groupByKey { p: Pair => ChunkOps.roundChunkKey(p._1, target).canonical }(Encoders.STRING)
+      .mapGroups { (_: String, it: Iterator[Pair]) =>
+        val results = ChunkOps.consolidateChunks(it.toSeq)
+        require(results.length == 1,
+          s"grouped consolidation produced ${results.length} var groups")
+        results.head
+      }
+
+  /** merge chunks with same offsets across variables
+    * (ConsolidateVariables, rechunk.py:340-371). */
+  def consolidateVariables(ds: Dataset[Pair]): Dataset[Pair] =
+    ds.groupByKey { p: Pair => p._1.copy(vars = None).canonical }(Encoders.STRING)
+      .mapGroups { (_: String, it: Iterator[Pair]) =>
+        ChunkOps.consolidateVariables(it.toSeq)
+      }
+
+  /** One split-then-consolidate pass with the reference's elision rules
+    * (RechunkStage, rechunk.py:503-517): skip split when target divides
+    * source per dim, skip consolidate when source divides target. */
+  def rechunkStage(ds: Dataset[Pair], source: Map[String, Int],
+                   target: Map[String, Int]): Dataset[Pair] = {
+    val dims = source.keys.toSeq
+    var out = ds
+    if (dims.exists(d => target(d) % source(d) != 0))
+      out = splitChunks(out, target)
+    if (dims.exists(d => source(d) % target(d) != 0))
+      out = consolidateChunks(out, target)
+    out
+  }
+
+  /** Multi-stage memory-bounded rechunk (Rechunk, rechunk.py:521-605):
+    * plan via RechunkPlanner, then one rechunkStage per planned stage,
+    * with the source→read and write→target edge stages prepended/
+    * appended. Returns (result, stage chunk list) for logging/tests. */
+  def rechunk(ds: Dataset[Pair], dimOrder: Seq[String], dimSizes: Map[String, Long],
+              sourceChunks: Map[String, Int], targetChunks: Map[String, Int],
+              itemsize: Long, minMem: Long = -1, maxMem: Long = 1L << 30): (Dataset[Pair], Seq[(Map[String, Int], Map[String, Int])]) = {
+    val minM = if (minMem < 0) maxMem / 100 else minMem
+    require(sourceChunks.keySet == targetChunks.keySet,
+      s"source and target chunks have different keys: $sourceChunks vs $targetChunks")
+    if (sourceChunks == targetChunks) return (ds, Nil) // no-op (rechunk.py:568-571)
+    val plan = RechunkPlanner.planForDims(dimOrder, dimSizes, sourceChunks,
+      targetChunks, itemsize, minM, maxMem)
+    // edge stages (rechunk.py:581-585)
+    val full = ((sourceChunks, sourceChunks, plan.head._1) +: plan) :+
+      ((plan.last._3, targetChunks, targetChunks))
+    val stages = full.map(s => (s._1, s._3))
+    var out = ds
+    stages.foreach { case (in, tgt) => out = rechunkStage(out, in, tgt) }
+    (out, stages)
+  }
+
+  // ------------------------------------------------------------------ mean
+
+  /** (sum, count) accumulator over parallel var maps — MeanCombineFn's
+    * accumulator (combiners.py:69-105) generalized to whole chunks. */
+  final case class MeanAcc(sums: ArrayChunk, counts: ArrayChunk) {
+    def merge(other: MeanAcc): MeanAcc = MeanAcc(
+      ArrayChunk(sums.vars.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(other.sums.vars(n).arr)(_ + _))
+      }),
+      ArrayChunk(counts.vars.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(other.counts.vars(n).arr)(_ + _))
+      }))
+
+    def extract: ArrayChunk = ArrayChunk(sums.vars.map { case (n, va) =>
+      n -> VarArray(va.dims, va.arr.zipF64(counts.vars(n).arr)(_ / _))
+    })
+  }
+
+  /** Per-chunk partial aggregate: reduce over `dims` inside the chunk
+    * first (_SumAndCount, combiners.py:38-64). dims absent from a
+    * variable are ignored. */
+  def sumCountChunk(chunk: ArrayChunk, dims: Set[String], skipna: Boolean): MeanAcc = {
+    val pairs = chunk.vars.map { case (n, va) =>
+      val axes = va.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
+      val keptDims = va.dims.filterNot(dims)
+      val (s, c) = va.arr.sumCount(axes, skipna)
+      (n -> VarArray(keptDims, s), n -> VarArray(keptDims, c))
+    }
+    MeanAcc(ArrayChunk(pairs.map(_._1)), ArrayChunk(pairs.map(_._2)))
+  }
+
+  /** Keyed mean: rekey every chunk (dropping aggregated dims from
+    * offsets, Mean/combiners.py:110-147), partial-aggregate per chunk,
+    * combine per key (one shuffle, map-side partials), divide. */
+  def mean(ds: Dataset[Pair], dims: Set[String], skipna: Boolean = true,
+           rekey: ChunkKey => ChunkKey = identity): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, MeanAcc)] = Encoders.kryo[(ChunkKey, MeanAcc)]
+    ds.map { p: Pair =>
+      val nk = rekey(p._1.copy(offsets = p._1.offsets -- dims))
+      (nk, sumCountChunk(p._2, dims, skipna))
+    }
+      .groupByKey { kv: (ChunkKey, MeanAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, MeanAcc), b: (ChunkKey, MeanAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, MeanAcc)) => (kv._2._1, kv._2._2.extract) }
+  }
+}
