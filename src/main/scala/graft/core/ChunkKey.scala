@@ -41,7 +41,7 @@ final case class ChunkKey(offsets: Map[String, Long],
 }
 
 object ChunkKey {
-  val empty: ChunkKey = ChunkKey(Map.empty, None)
+  val empty: ChunkKey = ChunkKey(Map.empty[String, Long], None)
 
   def apply(offsets: (String, Long)*): ChunkKey =
     ChunkKey(offsets.toMap, None)
