@@ -60,8 +60,18 @@ object TextOps {
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- d02
-    // Word-set Jaccard near-dup pairs (brute force within lang+length
-    // blocks — the oracle twin of the MinHash path below).
+    // Word-set Jaccard near-dup pairs — prefix-filtered set-similarity
+    // join (AllPairs/PPJoin style). Tokens get a global canonical order
+    // (document frequency ascending, then word); for J >= t two sets
+    // must share a token within their first |X| - ceil(t*|X|) + 1 tokens
+    // of that order, so only those short rare-token prefixes are
+    // inverted-index-joined. Candidates (a superset of the answer) are
+    // then verified with the exact Jaccard. At 100 TB this replaces the
+    // O(n^2) block cross-join with one df count, one prefix join on
+    // rare tokens, and a verify join — all shuffle-on-key, all AQE/skew
+    // friendly. Prefix length uses integer math: ceil(0.9*sz) computed
+    // as (9*sz+9) div 10, so float rounding can never shorten a prefix
+    // and drop a true pair.
     QueryDef(
       "d02_dedup_word_jaccard",
       (s, dir) => {
@@ -69,14 +79,30 @@ object TextOps {
         val d = t(s, dir, "documents").selectExpr(
           "doc_id", "lang", "n_chars",
           "array_distinct(split(text, ' ')) AS ws")
-        d.as("a").join(d.as("b"),
-            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
+          .withColumn("sz", expr("size(ws)"))
+        val tok = d.select($"doc_id", $"lang", $"n_chars", $"sz",
+          explode($"ws").as("w"))
+        val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"w")
+        val prefix = tok.join(dfreq, "w")
+          .withColumn("rn", row_number().over(wDoc))
+          .filter($"rn" <= $"sz" - expr("(9 * sz + 9) div 10") + 1)
+          .select($"doc_id", $"lang", $"n_chars", $"w")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.w" === $"b.w" && $"a.lang" === $"b.lang" &&
+            $"a.doc_id" < $"b.doc_id" &&
             abs($"a.n_chars" - $"b.n_chars") <= 50)
-          .withColumn("inter", expr("size(array_intersect(a.ws, b.ws))"))
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
+        val sets = d.select($"doc_id", $"ws", $"sz")
+        cand
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("ws_a"), $"sz".as("sz_a")), "id_a")
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("ws_b"), $"sz".as("sz_b")), "id_b")
+          .withColumn("inter", expr("size(array_intersect(ws_a, ws_b))"))
           .withColumn("jaccard", $"inter".cast("double") /
-            (expr("size(a.ws)") + expr("size(b.ws)") - $"inter"))
+            ($"sz_a" + $"sz_b" - $"inter"))
           .filter($"jaccard" >= 0.9)
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"jaccard")
+          .select($"id_a", $"id_b", $"jaccard")
           .orderBy($"id_a", $"id_b")
       },
       Some("""
@@ -94,20 +120,33 @@ object TextOps {
     // ---------------------------------------------------------------- d03
     // 3-gram shingle Jaccard near-dup pairs (the planted near-dups
     // separate cleanly: max ~0.99 vs p99 ~0.015 on this corpus).
+    // Inverted-index set-similarity join: explode shingles and equi-join
+    // on (shingle, lang); the per-pair match count IS the exact
+    // intersection size (shingles are distinct within a doc), so Jaccard
+    // comes straight out of one count aggregation. Any qualifying pair
+    // (J >= 0.5 > 0) shares a shingle, so the result is identical to the
+    // cross-join formulation — but the cost is one shuffle bounded by
+    // shingle collisions, never the O(n^2) pair space.
     QueryDef(
       "d03_dedup_shingle_jaccard",
       (s, dir) => {
         import s.implicits._
         val sh = words(s, dir).filter(expr("size(words) >= 3"))
           .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
-        sh.as("a").join(sh.as("b"),
-            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
+          .withColumn("sz", expr("size(shingles)"))
+        val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
+          explode($"shingles").as("s"))
+        tok.as("a").join(tok.as("b"),
+            $"a.s" === $"b.s" && $"a.lang" === $"b.lang" &&
+            $"a.doc_id" < $"b.doc_id" &&
             abs($"a.n_chars" - $"b.n_chars") <= 50)
-          .withColumn("inter", expr("size(array_intersect(a.shingles, b.shingles))"))
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+                   $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
+          .agg(count(lit(1)).as("inter"))
           .withColumn("jaccard", $"inter".cast("double") /
-            (expr("size(a.shingles)") + expr("size(b.shingles)") - $"inter"))
+            ($"sz_a" + $"sz_b" - $"inter"))
           .filter($"jaccard" >= 0.5)
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"jaccard")
+          .select($"id_a", $"id_b", $"jaccard")
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""

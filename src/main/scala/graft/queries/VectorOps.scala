@@ -143,20 +143,71 @@ object VectorOps {
     // ---------------------------------------------------------------- e04
     // Embedding near-duplicate pairs: exact cosine above threshold
     // (0.40 sits between p99.9 ≈ 0.38 and max ≈ 0.51 on this corpus).
+    // Distributed block-pair decomposition: each vector is replicated to
+    // the B block-pair buckets it participates in (one bounded shuffle,
+    // B·n rows); each bucket task runs a tight primitive loop over its
+    // cross/diagonal pairs. No driver collect, no per-pair interpreted
+    // lambdas — the dot product is the identical sequential
+    // double-accumulation fold as the declarative form, so values are
+    // bit-exact vs the oracle. Exact all-pairs is inherently O(n^2) —
+    // the 100 TB path is e03's LSH; this is its exact twin with the
+    // quadratic work spread evenly over B(B+1)/2 tasks.
     QueryDef(
       "e04_embedding_neardup",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "embeddings")
-          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
-        val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
-        val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
-        a.join(b, $"id_a" < $"id_b")
-          .withColumn("cosine",
-            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
-          .filter($"cosine" >= 0.40)
-          .select($"id_a", $"id_b", $"cosine")
-          .orderBy($"id_a", $"id_b")
+        val B = 16
+        val vecs = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])]
+          .map { case (id, emb) =>
+            var acc = 0.0
+            var i = 0
+            while (i < emb.length) { acc += emb(i).toDouble * emb(i); i += 1 }
+            (id, emb, math.sqrt(acc))
+          }
+        val expanded = vecs.flatMap { case (id, emb, nrm) =>
+          val b = (id % B).toInt
+          (0 until B).iterator.map { c =>
+            val key = if (b <= c) b * B + c else c * B + b
+            (key, b, id, emb, nrm)
+          }
+        }
+        val pairs = expanded.groupByKey(_._1).flatMapGroups { (key, it) =>
+          val lo = key / B
+          val hi = key % B
+          val arr = it.toArray.sortBy(_._3)
+          def cosine(x: Array[Float], y: Array[Float]): Double = {
+            var acc = 0.0
+            var k = 0
+            while (k < x.length) { acc += x(k).toDouble * y(k); k += 1 }
+            acc
+          }
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          if (lo == hi) {
+            var i = 0
+            while (i < arr.length) {
+              var j = i + 1
+              while (j < arr.length) {
+                val c = cosine(arr(i)._4, arr(j)._4) / (arr(i)._5 * arr(j)._5)
+                if (c >= 0.40) out += ((arr(i)._3, arr(j)._3, c))
+                j += 1
+              }
+              i += 1
+            }
+          } else {
+            val aSide = arr.filter(_._2 == lo)
+            val bSide = arr.filter(_._2 == hi)
+            aSide.foreach { x =>
+              bSide.foreach { y =>
+                val (p, q) = if (x._3 < y._3) (x, y) else (y, x)
+                val c = cosine(p._4, q._4) / (p._5 * q._5)
+                if (c >= 0.40) out += ((p._3, q._3, c))
+              }
+            }
+          }
+          out.result().iterator
+        }
+        pairs.toDF("id_a", "id_b", "cosine").orderBy($"id_a", $"id_b")
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings)
