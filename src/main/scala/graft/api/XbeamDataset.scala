@@ -1,0 +1,447 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+import graft.core.{ArrayChunk, ChunkGrid, ChunkKey, Template, VarArray, VarSpec}
+import graft.ndarray.{DType, NdArray}
+import graft.operators.{ChunkOps, ChunkTransforms}
+import graft.sources.Zarr
+
+/** Where an untransformed scan reads its chunks from. */
+sealed trait ScanSource extends Serializable
+/** A Zarr v2 store on disk / object store. */
+final case class ZarrSource(path: String) extends ScanSource
+/** An in-memory dataset (tests / from_xarray analogue, dataset.py:624-660). */
+final case class LocalSource(vars: Map[String, (Seq[String], NdArray)])
+    extends ScanSource
+
+/** An untransformed scan with its pushed-down rewrites (SURVEY §4):
+  * `offset(d)` slices the virtual dataset (head/tail pushdown,
+  * dataset.py:366-397); variable selection is already applied to the
+  * template. Emitted keys are 0-based over the sliced region. */
+final case class ScanSpec(source: ScanSource, offset: Map[String, Long])
+
+/** High-level chained API over a distributed chunked dataset — the
+  * Spark-native `xarray_beam.Dataset` (reference dataset.py:455-1141).
+  *
+  * Carries (template, chunks, splitVars) plus either an untransformed
+  * [[ScanSpec]] (kept symbolic so head/tail/select/rechunk can rewrite
+  * the scan instead of shuffling — the reference's construction-time
+  * pushdowns, dataset.py:366-397 and 1010-1019) or a concrete Spark
+  * `Dataset[(ChunkKey, ArrayChunk)]` lineage. Materialization is lazy:
+  * `chunks`-typed Spark lineage is built on first use, and Spark's own
+  * laziness defers execution to an action — mirroring Beam's deferred
+  * pipeline construction (SURVEY §3.1).
+  */
+final class XbeamDataset private (
+    val spark: SparkSession,
+    val template: Template,
+    val chunkSizes: Map[String, Int],
+    val splitVars: Boolean,
+    scan: Option[ScanSpec],
+    plan: Option[Dataset[(ChunkKey, ArrayChunk)]]) extends Serializable {
+
+  import ChunkTransforms.{Pair, pairEnc}
+
+  def isScan: Boolean = scan.isDefined
+
+  private def withPlan(t: Template, c: Map[String, Int], sv: Boolean,
+                       ds: Dataset[Pair]): XbeamDataset =
+    new XbeamDataset(spark, t, c, sv, None, Some(ds))
+
+  private def withScan(t: Template, c: Map[String, Int], sv: Boolean,
+                       s: ScanSpec): XbeamDataset =
+    new XbeamDataset(spark, t, c, sv, Some(s), None)
+
+  /** The distributed chunk collection. For a scan: `spark.range` over
+    * the chunk count → executor-side key math + region reads — the
+    * DatasetToChunks equivalent (core.py:544-670) with no driver-side
+    * key enumeration (the reference's >200k-task worker-side sharding,
+    * core.py:596-607, is what `range` gives us natively). */
+  def chunkDataset: Dataset[Pair] = plan.getOrElse {
+    val spec = scan.get
+    val tmpl = template
+    val chunks = chunkSizes
+    val dimOrder = tmpl.dimOrder
+    val dimSizes = tmpl.dimSizes
+    val total = ChunkGrid.totalChunks(chunks, dimSizes)
+    val sv = splitVars
+    val base = spark.range(total).map { i =>
+      val key = ChunkGrid.keyForIndex(i, dimOrder, chunks, dimSizes)
+      (key, XbeamDataset.readChunk(spec, tmpl, chunks, key))
+    }
+    if (sv) base.flatMap { p: Pair => ChunkOps.splitVariables(p._1, p._2) }
+    else base
+  }
+
+  // ------------------------------------------------------- projections
+
+  /** Keep only the given variables (Key.vars subsetting / __getitem__,
+    * core.py:515-541, dataset.py:1136). On a scan this prunes the read
+    * itself — nothing else is ever fetched. */
+  def select(names: Set[String]): XbeamDataset = scan match {
+    case Some(spec) =>
+      withScan(template.selectVars(names), chunkSizes.filter(kv =>
+        template.selectVars(names).dimSizes.contains(kv._1)), splitVars, spec)
+    case None =>
+      withPlan(template.selectVars(names), chunkSizes, splitVars,
+        chunkDataset.flatMap { p: Pair =>
+          val keep = p._1.varsSet.getOrElse(p._2.varNames).intersect(names)
+          if (keep.isEmpty) Nil
+          else Seq((p._1.withVars(p._1.vars.map(_ => keep.toSet)),
+            p._2.select(keep)))
+        })
+  }
+
+  /** First `n` elements along `dim` — only valid on an untransformed
+    * scan, where it rewrites the scan region instead of filtering data
+    * (dataset.py:1105-1121: "only supported for untransformed
+    * datasets"). */
+  def head(dim: String, n: Long): XbeamDataset = {
+    val spec = scan.getOrElse(throw new UnsupportedOperationException(
+      "head is only supported on untransformed (scan) datasets"))
+    val size = template.dimSizes(dim)
+    val newLen = math.min(n, size)
+    withScan(template.copy(dims = template.dims.map {
+      case (d, s) => if (d == dim) (d, newLen) else (d, s)
+    }), chunkSizes, splitVars, spec)
+  }
+
+  /** Last `n` elements along `dim` (dataset.py:1123-1133). */
+  def tail(dim: String, n: Long): XbeamDataset = {
+    val spec = scan.getOrElse(throw new UnsupportedOperationException(
+      "tail is only supported on untransformed (scan) datasets"))
+    val size = template.dimSizes(dim)
+    val newLen = math.min(n, size)
+    val start = size - newLen
+    withScan(template.copy(dims = template.dims.map {
+      case (d, s) => if (d == dim) (d, newLen) else (d, s)
+    }), chunkSizes, splitVars,
+      spec.copy(offset = spec.offset + (dim -> (spec.offset.getOrElse(dim, 0L) + start))))
+  }
+
+  /** Reorder dims (dataset.py:1137) — per-chunk axis permutation; the
+    * template's dim order and each variable's axis order both follow. */
+  def transpose(dimOrder: Seq[String]): XbeamDataset = {
+    require(dimOrder.toSet == template.dimOrder.toSet,
+      s"transpose dims $dimOrder != dataset dims ${template.dimOrder}")
+    val newTemplate = Template(
+      dimOrder.map(d => d -> template.dimSizes(d)),
+      template.vars.map { case (n, vs) =>
+        n -> vs.copy(dims = dimOrder.filter(vs.dims.contains))
+      },
+      template.coords, template.attrs)
+    withPlan(newTemplate, chunkSizes, splitVars,
+      chunkDataset.map { p: Pair =>
+        (p._1, p._2.mapVars { (_, va) =>
+          val newDims = dimOrder.filter(va.dims.contains)
+          val perm = newDims.map(va.dims.indexOf).toArray
+          VarArray(newDims, va.arr.transpose(perm))
+        })
+      })
+  }
+
+  /** Method-chaining escape hatch (Dataset.pipe, dataset.py:1139-1141). */
+  def pipe[T](f: XbeamDataset => T): T = f(this)
+
+  // ---------------------------------------------------------- mapBlocks
+
+  /** Apply a chunk-wise function to every chunk — the primary UDF
+    * surface (map_blocks, dataset.py:880-964). The new template/chunks
+    * are inferred by applying `f` to a zero-filled origin-shaped dummy
+    * chunk (the JVM substitute for the reference's lazy-Dask template
+    * application, dataset.py:910-919): per-dim chunk ratios must be
+    * even rescalings and dim sizes must rescale integrally
+    * (_infer_new_chunks, dataset.py:202-233); keys rescale offsets by
+    * the same ratio (_apply_to_each_chunk, dataset.py:335-358). */
+  def mapBlocks(f: ArrayChunk => ArrayChunk): XbeamDataset = {
+    val dimSizes = template.dimSizes
+    val dummyShape = template.dimOrder.map(d =>
+      d -> math.min(chunkSizes(d).toLong, dimSizes(d)).toInt).toMap
+    val dummy = ArrayChunk(template.vars.map { case (n, vs) =>
+      n -> VarArray(vs.dims, NdArray.zeros(vs.dtype, vs.dims.map(dummyShape).toArray))
+    })
+    val out = f(dummy)
+    if (splitVars)
+      require(out.varNames == dummy.varNames,
+        "map_blocks over split-vars datasets must not change the variable set " +
+          s"(got ${out.varNames}, expected ${dummy.varNames})")
+    val outSizes = out.dimSizes
+    // per-dim rational scale factor newChunk/oldChunk
+    val scales: Map[String, (Long, Long)] = outSizes.map { case (d, outLen) =>
+      dummyShape.get(d) match {
+        case Some(inLen) =>
+          require(outLen % inLen == 0 || inLen % outLen == 0,
+            s"map_blocks must evenly rescale dim $d: $inLen -> $outLen")
+          d -> (outLen.toLong, inLen.toLong)
+        case None => d -> (1L, 1L) // brand-new dim: single chunk
+      }
+    }
+    val newDims: Seq[(String, Long)] =
+      template.dims.collect { case (d, s) if outSizes.contains(d) =>
+        val (num, den) = scales(d)
+        require((s * num) % den == 0,
+          s"map_blocks rescale of dim $d does not divide size $s evenly")
+        d -> s * num / den
+      } ++ outSizes.toSeq.sortBy(_._1).collect {
+        case (d, s) if !template.dimSizes.contains(d) => d -> s.toLong
+      }
+    val newChunks: Map[String, Int] = outSizes.map { case (d, outLen) =>
+      if (template.dimSizes.contains(d)) {
+        val (num, den) = scales(d)
+        val scaled = chunkSizes(d).toLong * num
+        require(scaled % den == 0,
+          s"map_blocks rescale does not divide chunk size ${chunkSizes(d)} of dim $d")
+        d -> (scaled / den).toInt
+      } else d -> outLen
+    }
+    val newTemplate = Template(
+      newDims,
+      out.vars.map { case (n, va) => n -> VarSpec(va.dims, va.arr.dtype) },
+      template.coords.filter(kv => newChunks.contains(kv._1)),
+      template.attrs)
+    val sc = scales
+    withPlan(newTemplate, newChunks, splitVars,
+      chunkDataset.map { p: Pair =>
+        val nk = p._1.copy(offsets = p._1.offsets.collect {
+          case (d, off) if sc.contains(d) =>
+            val (num, den) = sc(d); d -> off * num / den
+        })
+        (nk, f(p._2))
+      })
+  }
+
+  // ------------------------------------------------------------ rechunk
+
+  /** Adjust chunking (dataset.py:968-1038). Fast paths from the
+    * reference: no-op when chunks match (rechunk.py:568-571) and
+    * rechunk-as-re-read on an untransformed scan when the new chunks
+    * are whole multiples of the stored ones (dataset.py:1010-1019) —
+    * the scan's region reads simply span more blocks, zero shuffles.
+    * Otherwise: split vars first ("smaller itemsize allows much more
+    * flexibility", dataset.py:1022-1024), run the memory-bounded
+    * multi-stage Rechunk, and re-consolidate vars. */
+  def rechunk(newChunks: Map[String, Int],
+              maxMem: Long = 1L << 30): XbeamDataset = {
+    val target = ChunkGrid.normalizeChunks(
+      chunkSizes ++ newChunks, template.dimSizes)
+    if (target == chunkSizes) return this
+    val rereadOk = scan.isDefined && template.dimOrder.forall { d =>
+      target(d) % chunkSizes(d) == 0 || target(d) == template.dimSizes(d)
+    }
+    if (rereadOk)
+      return withScan(template, target, splitVars, scan.get)
+    val itemsize = template.vars.values.map(_.dtype.itemsize).max
+    val wasSplit = splitVars
+    val split =
+      if (wasSplit) chunkDataset
+      else chunkDataset.flatMap { p: Pair => ChunkOps.splitVariables(p._1, p._2) }
+    val (rechunked, _) = ChunkTransforms.rechunk(split, template.dimOrder,
+      template.dimSizes, chunkSizes, target, itemsize, maxMem = maxMem)
+    val out =
+      if (wasSplit) rechunked
+      else ChunkTransforms.consolidateVariables(rechunked)
+    withPlan(template, target, wasSplit, out)
+  }
+
+  // --------------------------------------------------------------- mean
+
+  /** Mean over the given dims (Dataset.mean, dataset.py:1060-1103):
+    * rekey dropping aggregated offsets, per-chunk partial (sum, count),
+    * one keyed shuffle with Spark's map-side partial aggregation
+    * standing in for the reference's staged fanout (combiners.py). */
+  def mean(dims: Set[String], skipna: Boolean = true): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"mean dims $dims not all in ${template.dimOrder}")
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    val newChunks = chunkSizes -- dims
+    withPlan(newTemplate, newChunks, splitVars,
+      ChunkTransforms.mean(chunkDataset, dims, skipna))
+  }
+
+  /** Mean over everything → a single chunk keyed at the origin
+    * (Mean.Globally, combiners.py:150-166). */
+  def meanGlobal(skipna: Boolean = true): XbeamDataset =
+    mean(template.dimSizes.keySet, skipna)
+
+  // ------------------------------------------------------------- joins
+
+  /** Co-partitioned zip with an aligned dataset — the multi-dataset
+    * DatasetToChunks (core.py:474-502) generalized: both sides must
+    * share dims/chunks; chunks pair up by key (one co-partitioned
+    * shuffle join on the deterministic key encoding). */
+  def zipWith(other: XbeamDataset)(f: (ArrayChunk, ArrayChunk) => ArrayChunk,
+                                   merged: Template): XbeamDataset = {
+    require(template.dimSizes == other.template.dimSizes,
+      s"zip requires identical dims: ${template.dimSizes} vs ${other.template.dimSizes}")
+    require(chunkSizes == other.chunkSizes,
+      s"zip requires identical chunks: $chunkSizes vs ${other.chunkSizes}")
+    implicit val kvEnc = Encoders.kryo[(String, Pair)]
+    val left = chunkDataset.map { p: Pair => (p._1.canonical, p) }
+    val right = other.chunkDataset.map { p: Pair => (p._1.canonical, p) }
+    // cogroup on the deterministic canonical key: Spark co-partitions
+    // both sides on the same hash partitioning — one shuffle each side.
+    val out = left.groupByKey(_._1)(Encoders.STRING)
+      .cogroup(right.groupByKey(_._1)(Encoders.STRING)) { (_, ls, rs) =>
+        val l = ls.toSeq
+        val r = rs.toSeq
+        require(l.length == 1 && r.length == 1,
+          s"zip expects exactly one chunk per key per side, got ${l.length}/${r.length}")
+        Iterator((l.head._2._1, f(l.head._2._2, r.head._2._2)))
+      }
+    withPlan(merged, chunkSizes, splitVars, out)
+  }
+
+  // ------------------------------------------------------------- sinks
+
+  /** Write to a Zarr v2 store (ChunksToZarr / Dataset.to_zarr,
+    * zarr.py:637-821, dataset.py:754-866): the DRIVER writes metadata +
+    * eager coords once (setup barrier, zarr.py:810-812 — trivially
+    * ordered here because setup happens before the Spark action), then
+    * executors region-write their chunks — idempotent under task retry
+    * exactly like the reference's region writes (zarr.py:248-251).
+    * Chunk offsets must align to the stored chunk grid
+    * (validate_zarr_chunk, zarr.py:517-587). */
+  def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
+             compressor: Option[String] = None): Unit = {
+    val stored = if (zarrChunks.isEmpty) chunkSizes
+      else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
+    template.dimOrder.foreach { d =>
+      require(chunkSizes(d) % stored(d) == 0,
+        s"in-memory chunk ${chunkSizes(d)} for dim $d is not a multiple of " +
+          s"zarr chunk ${stored(d)} (sub-chunk writes would race, zarr.py:560-587)")
+    }
+    Zarr.setupStore(path, template, stored, compressor)
+    val tmpl = template
+    chunkDataset.foreach { p: Pair =>
+      val (key, chunk) = p
+      chunk.vars.foreach { case (name, va) =>
+        val spec = tmpl.vars(name)
+        val meta = Zarr.ArrayMeta(
+          spec.dims.map(tmpl.dimSizes), spec.dims.map(stored),
+          spec.dtype, spec.dims, compressor,
+          if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0)
+        val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
+        starts.zip(va.dims).foreach { case (st, d) =>
+          require(st % stored(d) == 0,
+            s"chunk offset $st for dim $d is not a multiple of zarr chunk ${stored(d)}")
+        }
+        Zarr.writeRegion(path, name, meta, starts, va.arr)
+      }
+    }
+  }
+
+  /** Collect to the driver and fully consolidate into one chunk
+    * (consolidate_fully, rechunk.py:242-289 / collect_with_direct_runner,
+    * dataset.py:868-878). Test-scale only — chunk payloads otherwise
+    * never visit the driver. */
+  def collectConsolidated(): (ChunkKey, ArrayChunk) = {
+    val all = chunkDataset.collect().toSeq
+    val consolidated = ChunkOps.consolidateChunks(all)
+    ChunkOps.consolidateVariables(consolidated)
+  }
+}
+
+object XbeamDataset {
+
+  /** Scan entry: open a Zarr store (open_zarr + from_zarr,
+    * zarr.py:72-96, dataset.py:662-703). `chunks` defaults to the
+    * stored chunking (_infer_chunks, zarr.py:48-68). */
+  def fromZarr(spark: SparkSession, path: String,
+               chunks: Map[String, Int] = Map.empty,
+               splitVars: Boolean = false): XbeamDataset = {
+    val store = Zarr.openStore(path)
+    val template0 = store.template
+    val coords = store.coordVars.keys.flatMap { d =>
+      Zarr.readCoord(path, d).map(d -> _)
+    }.toMap
+    val template = template0.copy(coords = coords)
+    val normalized = ChunkGrid.normalizeChunks(
+      if (chunks.isEmpty) store.inferChunks else chunks, template.dimSizes)
+    new XbeamDataset(spark, template, normalized, splitVars,
+      Some(ScanSpec(ZarrSource(path), Map.empty)), None)
+  }
+
+  /** In-memory entry for tests (from_xarray, dataset.py:624-660). */
+  def fromLocal(spark: SparkSession, vars: Map[String, (Seq[String], NdArray)],
+                coords: Map[String, NdArray] = Map.empty,
+                chunks: Map[String, Int] = Map.empty,
+                splitVars: Boolean = false,
+                attrs: Map[String, String] = Map.empty): XbeamDataset = {
+    val dimSizes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    vars.toSeq.sortBy(_._1).foreach { case (n, (dims, arr)) =>
+      dims.zip(arr.shape).foreach { case (d, s) =>
+        dimSizes.get(d) match {
+          case Some(prev) if prev != s => throw new IllegalArgumentException(
+            s"inconsistent size for dim $d: $prev vs $s (var $n)")
+          case _ => dimSizes(d) = s
+        }
+      }
+    }
+    val template = Template(
+      dimSizes.toSeq,
+      vars.map { case (n, (dims, arr)) => n -> VarSpec(dims, arr.dtype) },
+      coords, attrs)
+    val normalized = ChunkGrid.normalizeChunks(chunks, template.dimSizes)
+    new XbeamDataset(spark, template, normalized, splitVars,
+      Some(ScanSpec(LocalSource(vars), Map.empty)), None)
+  }
+
+  /** Wrap an existing chunk collection with validation
+    * (from_ptransform, dataset.py:561-622). */
+  def fromPairs(spark: SparkSession, template: Template,
+                chunks: Map[String, Int],
+                ds: Dataset[(ChunkKey, ArrayChunk)],
+                splitVars: Boolean = false,
+                validate: Boolean = true): XbeamDataset = {
+    import ChunkTransforms.pairEnc
+    val normalized = ChunkGrid.normalizeChunks(chunks, template.dimSizes)
+    val checked =
+      if (!validate) ds
+      else {
+        val t = template
+        val sv = splitVars
+        ds.map { p: (ChunkKey, ArrayChunk) =>
+          (p._1, ChunkGrid.validateChunk(t, normalized, sv)(p._1, p._2))
+        }
+      }
+    new XbeamDataset(spark, template, normalized, splitVars, None, Some(checked))
+  }
+
+  /** Executor-side chunk read for a scan key (the read half of
+    * DatasetToChunks, core.py:515-541). */
+  private[api] def readChunk(spec: ScanSpec, template: Template,
+                             chunks: Map[String, Int], key: ChunkKey): ArrayChunk = {
+    val dimSizes = template.dimSizes
+    val ranges = ChunkGrid.offsetsToRanges(key, chunks, dimSizes)
+    val wanted: Set[String] = key.varsSet.getOrElse(template.vars.keySet)
+    spec.source match {
+      case ZarrSource(path) =>
+        ArrayChunk(template.vars.filter(kv => wanted(kv._1)).map { case (name, vs) =>
+          val meta = Zarr.readArrayMeta(path, name)
+          val starts = vs.dims.map { d =>
+            spec.offset.getOrElse(d, 0L) + ranges.get(d).map(_._1.toLong).getOrElse(0L)
+          }.toArray
+          val lens = vs.dims.zipWithIndex.map { case (d, i) =>
+            ranges.get(d).map(_._2).getOrElse(meta.shape(i).toInt)
+          }.toArray
+          name -> VarArray(vs.dims, Zarr.readRegion(path, name, meta, starts, lens))
+        })
+      case LocalSource(vars) =>
+        ArrayChunk(vars.filter(kv => wanted(kv._1)).map { case (name, (dims, arr)) =>
+          val starts = dims.zipWithIndex.map { case (d, _) =>
+            (spec.offset.getOrElse(d, 0L) + ranges.get(d).map(_._1.toLong).getOrElse(0L)).toInt
+          }.toArray
+          val lens = dims.zipWithIndex.map { case (d, i) =>
+            ranges.get(d).map(_._2).getOrElse(arr.shape(i))
+          }.toArray
+          name -> VarArray(dims, arr.slice(starts, lens))
+        })
+    }
+  }
+}

@@ -112,6 +112,19 @@ object ChunkOps {
       val cumStarts: Map[String, Array[Int]] = dims.map { d =>
         d -> sizesPerDim(d).scanLeft(0)(_ + _).dropRight(1)
       }.toMap
+      // grid contiguity: block i's offset must sit exactly at the
+      // cumulative size of blocks before it — a gap means a chunk of the
+      // grid is absent (reference error, rechunk.py:121-125, 189-191)
+      dims.foreach { d =>
+        offsetsByDim.get(d).foreach { offs =>
+          val origin = offs.head
+          offs.zipWithIndex.foreach { case (off, i) =>
+            require(off - origin == cumStarts(d)(i),
+              s"some expected chunks are missing for vars=$varGroup: dim $d " +
+                s"offset $off does not follow contiguously from $origin")
+          }
+        }
+      }
       val blocks = inputs.map { case (k, c) =>
         val va = c.vars(name)
         val starts = dims.map { d =>

@@ -124,7 +124,11 @@ object ChunkTransforms {
            rekey: ChunkKey => ChunkKey = identity): Dataset[Pair] = {
     implicit val accEnc: Encoder[(ChunkKey, MeanAcc)] = Encoders.kryo[(ChunkKey, MeanAcc)]
     ds.map { p: Pair =>
-      val nk = rekey(p._1.copy(offsets = p._1.offsets -- dims))
+      // rekey sees the ORIGINAL key (user rekeying is a separate upstream
+      // step in the reference, era5_climatology.py:31-41); the aggregated
+      // dims are stripped from the result (combiners.py:133-138).
+      val rk = rekey(p._1)
+      val nk = rk.copy(offsets = rk.offsets -- dims)
       (nk, sumCountChunk(p._2, dims, skipna))
     }
       .groupByKey { kv: (ChunkKey, MeanAcc) => kv._1.canonical }(Encoders.STRING)

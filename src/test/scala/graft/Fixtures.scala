@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ndarray.{DType, NdArray}
+
+/** Shared local SparkSession for specs (the EagerPipeline analogue,
+  * reference test_util.py:32-51). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Deterministic synthetic fixtures — the dummy_era5_surface_dataset
+  * analogue (reference test_util.py:76-99): seeded RNG, a couple of
+  * float variables over (time, latitude, longitude). */
+object Fixtures {
+
+  def era5(time: Int = 12, lat: Int = 5,
+           lon: Int = 6): Map[String, (Seq[String], NdArray)] = {
+    val rng = new scala.util.Random(42)
+    val n = time * lat * lon
+    val temp = Array.fill(n)(280.0 + 10 * rng.nextDouble())
+    val precip = Array.fill(n)(rng.nextDouble())
+    Map(
+      "temperature" -> (Seq("time", "latitude", "longitude"),
+        NdArray.fromDoubles(DType.F64, Array(time, lat, lon), temp)),
+      "precip" -> (Seq("time", "latitude", "longitude"),
+        NdArray.fromDoubles(DType.F64, Array(time, lat, lon), precip)))
+  }
+
+  def arange(dtype: DType, shape: Int*): NdArray = {
+    val n = shape.product
+    NdArray.fromDoubles(dtype, shape.toArray, Array.tabulate(n)(_.toDouble))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, TestSpark}
+import graft.Fixtures.arange
+import graft.core.{ArrayChunk, ChunkKey, VarArray}
+import graft.ndarray.{DType, NdArray}
+
+/** High-level API + integration round-trips — ports the shape of the
+  * reference's integration_test.py:68-118 (zarr → rechunk → zarr,
+  * compared with the original) onto Spark. */
+class XbeamDatasetSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  def era5ds(chunks: Map[String, Int] = Map("time" -> 4)) =
+    XbeamDataset.fromLocal(spark, Fixtures.era5(), chunks = chunks)
+
+  test("scan enumerates the chunk grid and values round-trip") {
+    val xds = era5ds()
+    val pairs = xds.chunkDataset.collect()
+    assert(pairs.length == 3) // time=12 / 4
+    val (_, full) = xds.collectConsolidated()
+    assert(full.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
+  test("splitVars scan emits per-variable chunks") {
+    val xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 6), splitVars = true)
+    val pairs = xds.chunkDataset.collect()
+    assert(pairs.length == 4) // 2 time chunks x 2 vars
+    assert(pairs.forall(_._1.vars.exists(_.length == 1)))
+  }
+
+  test("head/tail rewrite the scan instead of transforming (pushdown)") {
+    val xds = era5ds()
+    val h = xds.head("time", 5)
+    assert(h.isScan && h.template.dimSizes("time") == 5)
+    val (_, hc) = h.collectConsolidated()
+    assert(hc.vars("temperature").arr.sameAs(
+      Fixtures.era5()("temperature")._2.slice(Array(0, 0, 0), Array(5, 5, 6))))
+    val t = xds.tail("time", 3)
+    assert(t.isScan && t.template.dimSizes("time") == 3)
+    val (_, tc) = t.collectConsolidated()
+    assert(tc.vars("temperature").arr.sameAs(
+      Fixtures.era5()("temperature")._2.slice(Array(9, 0, 0), Array(3, 5, 6))))
+    // head on a transformed dataset is rejected (dataset.py:1105-1121)
+    assertThrows[UnsupportedOperationException] {
+      xds.mapBlocks(identity).head("time", 2)
+    }
+  }
+
+  test("select prunes variables at the scan") {
+    val xds = era5ds().select(Set("precip"))
+    assert(xds.isScan)
+    val pairs = xds.chunkDataset.collect()
+    assert(pairs.forall(_._2.varNames == Set("precip")))
+  }
+
+  test("transpose permutes dims and data") {
+    val xds = era5ds().transpose(Seq("longitude", "time", "latitude"))
+    assert(xds.template.dimOrder == Seq("longitude", "time", "latitude"))
+    val (_, c) = xds.collectConsolidated()
+    val orig = Fixtures.era5()("temperature")._2
+    assert(c.vars("temperature").arr.sameAs(orig.transpose(Array(2, 0, 1))))
+  }
+
+  test("mapBlocks: elementwise transform with key/template preservation") {
+    val xds = era5ds().mapBlocks { c =>
+      c.mapVars((_, va) => VarArray(va.dims, va.arr.mapF64(_ * 2 + 1)))
+    }
+    assert(xds.template.dimSizes == Map("time" -> 12L, "latitude" -> 5L, "longitude" -> 6L))
+    val (_, c) = xds.collectConsolidated()
+    val expect = Fixtures.era5()("temperature")._2.mapF64(_ * 2 + 1)
+    assert(c.vars("temperature").arr.sameAs(expect))
+  }
+
+  test("mapBlocks: even rescale adjusts dims, chunks and offsets") {
+    // coarsen time by 2 via pairwise mean along axis 0
+    val coarsen: ArrayChunk => ArrayChunk = { c =>
+      c.mapVars { (_, va) =>
+        val a = va.arr
+        val n = a.shape(0) / 2
+        val rest = a.shape.drop(1)
+        val out = NdArray.zeros(DType.F64, n +: rest.toSeq.toArray)
+        val inner = rest.product
+        var i = 0L
+        while (i < out.size) {
+          val t = i / inner
+          val r = i % inner
+          out.setDouble(i, (a.getDouble((2 * t) * inner + r) +
+            a.getDouble((2 * t + 1) * inner + r)) / 2)
+          i += 1
+        }
+        VarArray(va.dims, out)
+      }
+    }
+    val xds = era5ds(Map("time" -> 4)).mapBlocks(coarsen)
+    assert(xds.template.dimSizes("time") == 6L)
+    assert(xds.chunkSizes("time") == 2)
+    val keys = xds.chunkDataset.collect().map(_._1.offsets("time")).sorted
+    assert(keys.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("mean over dims matches direct computation") {
+    val xds = era5ds().mean(Set("time"))
+    val (_, c) = xds.collectConsolidated()
+    val orig = Fixtures.era5()("temperature")._2
+    val (s, n) = orig.sumCount(Array(0), skipna = true)
+    val expect = s.zipF64(n)(_ / _)
+    assert(c.vars("temperature").arr.allClose(expect, 1e-12))
+    // meanGlobal reduces everything to one scalar per var
+    val (_, g) = era5ds().meanGlobal().collectConsolidated()
+    assert(g.vars("temperature").arr.size == 1)
+  }
+
+  test("rechunk fast path: scan re-read for multiple chunks (no shuffle)") {
+    val xds = era5ds(Map("time" -> 2))
+    val re = xds.rechunk(Map("time" -> 4))
+    assert(re.isScan, "multiple-of rechunk on a scan must stay a scan")
+    assert(re.chunkDataset.collect().length == 3)
+    val (_, c) = re.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
+  test("rechunk shuffle path preserves data (non-multiple target)") {
+    val xds = era5ds(Map("time" -> 4)).mapBlocks(identity) // break the scan
+    val re = xds.rechunk(Map("time" -> 5))
+    assert(!re.isScan)
+    assert(re.chunkSizes("time") == 5)
+    val (_, c) = re.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
+  test("zarr round-trip: toZarr → fromZarr → identical (integration_test.py:68-118)") {
+    val path = Files.createTempDirectory("xbeam-zarr").toString + "/store"
+    val xds = era5ds(Map("time" -> 4))
+    xds.toZarr(path)
+    val back = XbeamDataset.fromZarr(spark, path)
+    assert(back.template.dimSizes == xds.template.dimSizes)
+    assert(back.chunkSizes == xds.chunkSizes)
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+    assert(c.vars("precip").arr.sameAs(Fixtures.era5()("precip")._2))
+  }
+
+  test("zarr round-trip with rechunk in the middle and zlib") {
+    val path = Files.createTempDirectory("xbeam-zarr2").toString + "/store"
+    era5ds(Map("time" -> 3)).rechunk(Map("time" -> 6))
+      .toZarr(path, compressor = Some("zlib"))
+    val back = XbeamDataset.fromZarr(spark, path)
+    assert(back.chunkSizes("time") == 6)
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
+  test("zipWith: co-partitioned aligned sum (multi-dataset zip, core.py:474-502)") {
+    val a = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), arange(DType.F64, 8))), chunks = Map("t" -> 3))
+    val b = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), arange(DType.F64, 8))), chunks = Map("t" -> 3))
+    val summed = a.zipWith(b)({ (ca, cb) =>
+      ArrayChunk(Map("v" -> VarArray(Seq("t"),
+        ca.vars("v").arr.zipF64(cb.vars("v").arr)(_ + _))))
+    }, a.template)
+    val (_, c) = summed.collectConsolidated()
+    assert(c.vars("v").arr.toDoubles.toSeq == (0 until 8).map(_ * 2.0))
+  }
+
+  test("tabular bridge: toDataFrame rows and fromDataFrame round-trip") {
+    val xds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), arange(DType.F64, 4, 3))),
+      chunks = Map("t" -> 2))
+    val df = TabularBridge.toDataFrame(xds)
+    assert(df.columns.toSeq == Seq("t", "x", "v"))
+    assert(df.count() == 12)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.head == (0L, 0L, 0.0) && rows.last == (3L, 2L, 11.0))
+    val back = TabularBridge.fromDataFrame(df, spark,
+      Seq("t" -> 4L, "x" -> 3L), Seq("v" -> DType.F64), Map("t" -> 2, "x" -> 3))
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("v").arr.sameAs(arange(DType.F64, 4, 3)))
+  }
+}
