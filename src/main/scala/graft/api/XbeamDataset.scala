@@ -282,8 +282,11 @@ final class XbeamDataset private (
     require(chunkSizes == other.chunkSizes,
       s"zip requires identical chunks: $chunkSizes vs ${other.chunkSizes}")
     implicit val kvEnc = Encoders.kryo[(String, Pair)]
-    val left = chunkDataset.map { p: Pair => (p._1.canonical, p) }
-    val right = other.chunkDataset.map { p: Pair => (p._1.canonical, p) }
+    // pair on offsets only: the two sides may carry different variable
+    // sets (e.g. after select), exactly like the reference's aligned
+    // multi-dataset zip where position, not contents, matches chunks up.
+    val left = chunkDataset.map { p: Pair => (p._1.copy(vars = None).canonical, p) }
+    val right = other.chunkDataset.map { p: Pair => (p._1.copy(vars = None).canonical, p) }
     // cogroup on the deterministic canonical key: Spark co-partitions
     // both sides on the same hash partitioning — one shuffle each side.
     val out = left.groupByKey(_._1)(Encoders.STRING)
@@ -292,7 +295,7 @@ final class XbeamDataset private (
         val r = rs.toSeq
         require(l.length == 1 && r.length == 1,
           s"zip expects exactly one chunk per key per side, got ${l.length}/${r.length}")
-        Iterator((l.head._2._1, f(l.head._2._2, r.head._2._2)))
+        Iterator((l.head._2._1.copy(vars = None), f(l.head._2._2, r.head._2._2)))
       }
     withPlan(merged, chunkSizes, splitVars, out)
   }

@@ -164,7 +164,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       var src = 0L
       var d = 0
       while (d < ndim) { src += idx(d) * srcStrides(perm(d)); d += 1 }
-      out.setLong(dst, getLongBits(src))
+      out.setLongBits(dst, getLongBits(src))
       var k = ndim - 1
       var carry = true
       while (k >= 0 && carry) {
@@ -181,7 +181,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     case 4 => buf.getInt((flat * 4).toInt).toLong
     case 8 => buf.getLong((flat * 8).toInt)
   }
-  private def setLongBits(flat: Long, bits: Long): Unit = dtype.itemsize match {
+  private[ndarray] def setLongBits(flat: Long, bits: Long): Unit = dtype.itemsize match {
     case 4 => buf.putInt((flat * 4).toInt, bits.toInt)
     case 8 => buf.putLong((flat * 8).toInt, bits)
   }

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.{TabularBridge, XbeamDataset}
+import graft.core.{ArrayChunk, ChunkKey, Template, VarArray, VarSpec}
+import graft.ndarray.{DType, NdArray}
+import graft.operators.ChunkTransforms
+
+/** The chunk-engine operator inventory (SURVEY §2), driven end-to-end
+  * through the driver's DuckDB-oracle gate. The `events` table provides
+  * a dense integer key space (event_id = 0..N-1 at every sf), which we
+  * reshape into a 2-d grid `t = event_id / 50, x = event_id % 50` with
+  * two variables: `uid` (int64) and `vf = floor(value)` (integer-valued
+  * float64). Integer-valued doubles make every sum order-independent and
+  * bit-exact across engines, so chunked means/rechunks hash-match plain
+  * SQL.
+  *
+  * Each query is a REAL distributed chunk pipeline: rows → chunk
+  * assembly (one shuffle) → the operator under test → chunk explosion
+  * back to rows. Chunk payloads never visit the driver.
+  *
+  * Coverage ↔ reference map:
+  *   x01 from/to rows     ≈ from_ptransform + tabular bridge (SURVEY §7.8)
+  *   x02 rechunk          ≈ Rechunk / split+consolidate (rechunk.py:521-605)
+  *   x03 mean over dim    ≈ Dataset.mean (dataset.py:1060-1103)
+  *   x04 zarr + head + select ≈ to_zarr/from_zarr + scan pushdowns
+  *       (zarr.py:637-821, dataset.py:1105-1121, core.py:515-541)
+  *   x05 zarr + rechunk-as-re-read + tail ≈ dataset.py:1010-1019, 1123-1133
+  *   x06 transpose        ≈ dataset.py:1137
+  *   x07 zip              ≈ multi-dataset DatasetToChunks (core.py:474-502)
+  *   x08 mapBlocks        ≈ dataset.py:880-964
+  *   x09 climatology      ≈ examples/era5_climatology.py (split → rekey →
+  *       Mean.PerKey)
+  */
+object XbeamQueries {
+  import Tables.t
+
+  private val W = 50L
+
+  private val GRID_DUCK =
+    s"""grid AS (SELECT event_id // $W AS t, event_id % $W AS x,
+       |  user_id AS uid, CAST(floor(value) AS DOUBLE) AS vf FROM events)""".stripMargin
+
+  private def gridDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").selectExpr(
+      s"event_id div $W AS t", s"event_id % $W AS x",
+      "user_id AS uid", "CAST(floor(value) AS DOUBLE) AS vf")
+
+  /** rows → distributed chunk assembly, chunked {t:16, x:16}. */
+  private def gridXds(s: SparkSession, dir: String): XbeamDataset = {
+    val n = t(s, dir, "events").count()
+    TabularBridge.fromDataFrame(gridDf(s, dir), s,
+      dims = Seq("t" -> n / W, "x" -> W),
+      vars = Seq("uid" -> DType.I64, "vf" -> DType.F64),
+      chunks = Map("t" -> 16, "x" -> 16))
+  }
+
+  /** Per-(query, sf) scratch Zarr store under target/ (gitignored). */
+  private def zarrPath(name: String, dir: String): String =
+    java.nio.file.Paths.get("target", "zarr",
+      name + "_" + new java.io.File(dir).getName).toAbsolutePath.toString
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- x01
+    // Row→chunk→row roundtrip: fromDataFrame's grouped block assembly
+    // (one shuffle on the deterministic chunk key) then toDataFrame's
+    // distributed explosion. Identity on the grid.
+    QueryDef(
+      "x01_chunk_roundtrip",
+      (s, dir) => TabularBridge.toDataFrame(gridXds(s, dir)).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x02
+    // Multi-stage rechunk {16,16}→{24,10}: neither divides the other on
+    // either dim, so the full split → shuffle-consolidate path runs
+    // (RechunkStage, rechunk.py:503-517). Values must survive exactly.
+    QueryDef(
+      "x02_rechunk",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).rechunk(Map("t" -> 24, "x" -> 10))).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x03
+    // Keyed mean over dim x (Dataset.mean): per-chunk (sum, count)
+    // partials, one keyed shuffle with map-side combine. Integer-valued
+    // inputs → exact sums → bit-exact sum/count division both engines.
+    QueryDef(
+      "x03_mean_dim",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).mean(Set("x"))).orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x04
+    // Zarr sink + source (zlib-compressed), then the two scan pushdowns:
+    // select prunes the variable read entirely; head rewrites the scan
+    // region — no filter ever runs over data.
+    QueryDef(
+      "x04_zarr_head_select",
+      (s, dir) => {
+        val store = zarrPath("x04", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("zlib"))
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("uid")).head("t", 12))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid FROM grid WHERE t < 12 ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x05
+    // Zarr roundtrip + rechunk-as-re-read (chunks {32, 50} are multiples
+    // of stored {16, 16}-within-bounds → zero-shuffle re-read,
+    // dataset.py:1010-1019) + tail's offset pushdown (reads start
+    // mid-store, not chunk-aligned). Like the reference (positions are
+    // 0-based over the sliced region), tail re-origins dim t at 0 — the
+    // oracle shifts accordingly.
+    QueryDef(
+      "x05_zarr_tail_reread",
+      (s, dir) => {
+        val store = zarrPath("x05", dir)
+        gridXds(s, dir).toZarr(store)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store, chunks = Map("t" -> 32, "x" -> 50))
+            .tail("t", 7).select(Set("vf")))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t - (SELECT max(t) - 6 FROM grid) AS t, x, vf FROM grid
+        WHERE t >= (SELECT max(t) - 6 FROM grid) ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x06
+    // Transpose: per-chunk axis permutation; dims reorder to (x, t).
+    QueryDef(
+      "x06_transpose",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).transpose(Seq("x", "t"))).orderBy("x", "t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY x, t""")),
+
+    // ---------------------------------------------------------------- x07
+    // Aligned zip of two single-variable datasets (select each var, then
+    // recombine): one co-partitioned cogroup on the offsets key.
+    QueryDef(
+      "x07_zip_aligned",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val a = xds.select(Set("uid"))
+        val b = xds.select(Set("vf"))
+        val merged = a.template.copy(
+          vars = Map("uv" -> VarSpec(Seq("t", "x"), DType.F64)))
+        val zipped = a.zipWith(b)({ (ca, cb) =>
+          ArrayChunk(Map("uv" -> VarArray(Seq("t", "x"),
+            ca.vars("uid").arr.zipF64(cb.vars("vf").arr)(_ + _))))
+        }, merged)
+        TabularBridge.toDataFrame(zipped).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid + vf AS uv FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x08
+    // mapBlocks (the UDF surface): elementwise 2v+1 per chunk; template
+    // and dtypes re-inferred from a dummy-chunk application.
+    QueryDef(
+      "x08_mapblocks",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).mapBlocks(c => c.mapVars { (_, va) =>
+          VarArray(va.dims, va.arr.mapF64(v => v * 2 + 1))
+        })).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, CAST(uid * 2 + 1 AS DOUBLE) AS uid, vf * 2 + 1 AS vf
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x09
+    // The reference's flagship pipeline shape (ERA5 climatology):
+    // split into t-slices → rekey (t mod 24 → "hour", keep x) →
+    // Mean.PerKey (one shuffle, partial aggregation) → re-expand the
+    // hour axis and bridge back to rows.
+    QueryDef(
+      "x09_climatology",
+      (s, dir) => {
+        import ChunkTransforms.{Pair, pairEnc}
+        val xds = gridXds(s, dir)
+        val slices = ChunkTransforms.splitChunks(xds.chunkDataset, Map("t" -> 1))
+        val meaned = ChunkTransforms.mean(slices, dims = Set("t"), skipna = true,
+          rekey = k => ChunkKey(Map(
+            "hour" -> k.offsets.getOrElse("t", 0L) % 24,
+            "x" -> k.offsets.getOrElse("x", 0L)), None))
+        val expanded = meaned.map { p: Pair =>
+          (p._1, ArrayChunk(p._2.vars.map { case (n, va) =>
+            n -> VarArray("hour" +: va.dims,
+              NdArray.fromDoubles(DType.F64, Array(1, va.arr.shape(0)),
+                va.arr.toDoubles))
+          }))
+        }
+        val hours = math.min(24L, xds.template.dimSizes("t"))
+        val out = XbeamDataset.fromPairs(s,
+          Template(Seq("hour" -> hours, "x" -> W),
+            Map("uid" -> VarSpec(Seq("hour", "x"), DType.F64),
+                "vf" -> VarSpec(Seq("hour", "x"), DType.F64)),
+            Map.empty, Map.empty),
+          chunks = Map("hour" -> 1, "x" -> 16), expanded)
+        TabularBridge.toDataFrame(out).orderBy("hour", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t % 24 AS hour, x, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY hour, x ORDER BY hour, x"""))
+  )
+}

@@ -40,6 +40,16 @@ class NdArraySpec extends AnyFunSuite {
     assert(t.transpose(Array(1, 0)).sameAs(a))
   }
 
+  test("transpose preserves float values bit-exactly (regression)") {
+    val a = NdArray.fromDoubles(DType.F64, Array(2, 2),
+      Array(1.5, -2.25, 3.75, Double.NaN))
+    val t = a.transpose(Array(1, 0))
+    assert(t.toDoubles.take(3).toSeq == Seq(1.5, 3.75, -2.25))
+    assert(t.toDoubles(3).isNaN)
+    val f = NdArray.fromDoubles(DType.F32, Array(1, 2), Array(6.0, 4.5))
+    assert(f.transpose(Array(1, 0)).toDoubles.toSeq == Seq(6.0, 4.5))
+  }
+
   test("sumCount reduces along given axes") {
     val a = arange(DType.F64, 2, 3) // [[0,1,2],[3,4,5]]
     val (s0, c0) = a.sumCount(Array(0), skipna = true)
