@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over float/double array columns.
+  *
+  * Semantically identical to the declarative form
+  * `aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * y),
+  *  0d, (acc, x) -> acc + x)` — a sequential left-to-right fold with
+  * double accumulation — so it is bit-exact against the DuckDB oracle's
+  * `list_reduce(list_transform(...))`. Unlike that form, which runs on
+  * the interpreted higher-order-function path (one closure call per
+  * element per row), this compiles to a tight scalar loop inside
+  * whole-stage codegen: the hot path of every similarity-search /
+  * ANN / embedding-dedup operator at 100 TB.
+  *
+  * Null semantics: null input array or any null element → null.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float>/array<double> args, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, e: Expression, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xa.isNullAt($i) || $ya.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ${get(xa, left, i)} * ${get(ya, right, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Session-level registration of graft's native expressions, so they are
+  * usable from `expr(...)` / `spark.sql(...)` like built-ins. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => {
+        require(exprs.length == 2, s"vec_dot expects 2 args, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }, "built-in")
+  }
+}

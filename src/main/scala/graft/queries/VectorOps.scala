@@ -19,18 +19,14 @@ import org.apache.spark.sql.expressions.Window
 object VectorOps {
   import Tables.t
 
-  /** sqrt(Σ x²) with double accumulation, sequential. */
-  private val NORM_SPARK =
-    """sqrt(aggregate(zip_with(embedding, embedding,
-      |  (x, y) -> cast(x AS double) * y), cast(0 AS double),
-      |  (acc, x) -> acc + x))""".stripMargin
+  /** sqrt(Σ x²) with double accumulation, sequential (native codegen'd
+    * VecDot — same fold order as the declarative form, see VecDot). */
+  private val NORM_SPARK = "sqrt(vec_dot(embedding, embedding))"
   private val NORM_DUCK =
     """sqrt(list_reduce(list_transform(embedding,
       |  x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))""".stripMargin
 
-  private def dotSpark(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * y),
-       |  cast(0 AS double), (acc, x) -> acc + x)""".stripMargin
+  private def dotSpark(a: String, b: String): String = s"vec_dot($a, $b)"
   private def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |  pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (a, b) -> a + b)""".stripMargin
@@ -38,10 +34,9 @@ object VectorOps {
   /** One deterministic random-hyperplane sign bit ('0'/'1') per plane:
     * weights ±1 from md5(plane,dim), projection via sequential fold. */
   private def planeBitSpark(p: Int): String =
-    s"""CASE WHEN aggregate(zip_with(embedding,
+    s"""CASE WHEN vec_dot(embedding,
        |  transform(sequence(0, 63), d -> CASE WHEN substr(md5(concat('$p,', cast(d AS string))), 1, 1) >= '8'
-       |                                       THEN cast(1 AS double) ELSE cast(-1 AS double) END),
-       |  (x, w) -> cast(x AS double) * w), cast(0 AS double), (a, x) -> a + x) > 0
+       |                                       THEN cast(1 AS double) ELSE cast(-1 AS double) END)) > 0
        |THEN '1' ELSE '0' END""".stripMargin
   private def planeBitDuck(p: Int): String =
     s"""CASE WHEN list_reduce(list_transform(list_zip(embedding,
@@ -63,6 +58,7 @@ object VectorOps {
       "e01_cosine_topk",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
         val q = e.filter($"vec_id" < 10)
@@ -93,6 +89,7 @@ object VectorOps {
       "e02_lsh_buckets",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         t(s, dir, "embeddings")
           .selectExpr("vec_id", s"$BUCKET_SPARK AS bucket")
           .groupBy($"bucket")
@@ -111,6 +108,7 @@ object VectorOps {
       "e03_lsh_ann_pairs",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
                       s"$BUCKET_SPARK AS bucket")
