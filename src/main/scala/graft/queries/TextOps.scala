@@ -134,10 +134,15 @@ object TextOps {
         val sh = words(s, dir).filter(expr("size(words) >= 3"))
           .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
           .withColumn("sz", expr("size(shingles)"))
+        // 64-bit shingle hashes as the join key: same match multiset as
+        // joining the raw ~50-char strings (xxhash64 collisions across a
+        // candidate pair are ~2^-64 per shingle pair) at 1/6 the shuffle
+        // width.
         val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
           explode($"shingles").as("s"))
+          .withColumn("h", expr("xxhash64(s)")).drop("s")
         tok.as("a").join(tok.as("b"),
-            $"a.s" === $"b.s" && $"a.lang" === $"b.lang" &&
+            $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
             $"a.doc_id" < $"b.doc_id" &&
             abs($"a.n_chars" - $"b.n_chars") <= 50)
           .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
@@ -170,21 +175,30 @@ object TextOps {
         import s.implicits._
         val sh = words(s, dir).filter(expr("size(words) >= 3"))
           .selectExpr("doc_id", s"$SHINGLES_SPARK AS shingles")
-        val sig = sh.selectExpr("doc_id", "shingles",
-          """transform(sequence(0, 7),
-            |  k -> array_min(transform(shingles,
-            |         s -> md5(concat(cast(k AS string), '|', s))))) AS sigs""".stripMargin)
-        val bands = sig.select($"doc_id", $"shingles",
+        // 8 minhash lanes from TWO md5 digests per shingle (each 128-bit
+        // digest is sliced into 4 x 32-bit hex lanes, min-reduced per
+        // lane) — 4x fewer digest computations than one md5 per lane,
+        // and the oracle slices identically so candidates agree exactly.
+        val sig = sh.selectExpr("doc_id",
+          """transform(sequence(0, 7), k ->
+            |  array_min(transform(
+            |    transform(shingles, s -> md5(concat(cast(k div 4 AS string), '|', s))),
+            |    d -> substr(d, (k % 4) * 8 + 1, 8)))) AS sigs""".stripMargin)
+        // bands carry only (doc_id, band): candidate ids are deduped
+        // BEFORE any array payload is shuffled, then verified against
+        // the shingle sets — the band join never moves document content.
+        val bands = sig.select($"doc_id",
             posexplode(expr(
               "transform(sequence(0, 3), b -> concat(element_at(sigs, 2*b+1), element_at(sigs, 2*b+2)))")))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-                  $"a.shingles".as("sh_a"), $"b.shingles".as("sh_b"))
-          .dropDuplicates("id_a", "id_b")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
         cand
+          .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a")), "id_a")
+          .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b")), "id_b")
           .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
           .withColumn("jaccard", $"inter".cast("double") /
             (expr("size(sh_a)") + expr("size(sh_b)") - $"inter"))
@@ -195,8 +209,10 @@ object TextOps {
         $DUCK_SHINGLE_CTE,
         sig AS (SELECT doc_id, shingles,
                        list_transform(range(0, 8),
-                         k -> list_aggregate(list_transform(shingles,
-                                s -> md5(k::VARCHAR || '|' || s)), 'min')) AS sigs
+                         k -> list_aggregate(list_transform(
+                                list_transform(shingles,
+                                  s -> md5((k // 4)::VARCHAR || '|' || s)),
+                                d -> substr(d, (k % 4) * 8 + 1, 8)), 'min')) AS sigs
                 FROM sh),
         bands AS (SELECT doc_id, b AS band_idx,
                          sigs[2*b+1] || sigs[2*b+2] AS band
