@@ -10,16 +10,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise whole-stage codegen, the shuffle path,
+    // window exec, and the parquet reader once so the first measured
+    // query doesn't absorb session/JIT initialization (~5s measured).
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.range(10000).toDF("i")
+      r.groupBy((col("i") % 7).as("k")).count().count()
+      r.withColumn("rn",
+        row_number().over(Window.partitionBy(col("i") % 7).orderBy(col("i"))))
+        .filter(col("rn") === 1).count()
+      graft.queries.Tables.t(spark, sfDir, "region").count()
+      graft.queries.Tables.t(spark, sfDir, "events").count()
+    }
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.contains(n))
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

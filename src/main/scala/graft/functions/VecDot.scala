@@ -95,5 +95,11 @@ object GraftFunctions {
         require(exprs.length == 2, s"vec_dot expects 2 args, got ${exprs.length}")
         VecDot(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count expects 2 args, got ${exprs.length}")
+        SortedIntersectCount(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

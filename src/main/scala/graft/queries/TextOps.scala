@@ -22,16 +22,23 @@ import org.apache.spark.sql.expressions.Window
 object TextOps {
   import Tables.t
 
-  /** doc_id, words (raw split) */
-  private def words(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").selectExpr("doc_id", "lang", "n_chars",
-      "split(text, ' ') AS words")
-
-  /** Distinct 3-word shingles per doc. */
+  /** Distinct 3-word shingles per doc, with the split() array bound
+    * ONCE via a single-element-array lambda wrapper. Without the
+    * wrapper, Catalyst's project collapsing inlines `split(text)` into
+    * every `element_at(words, i)` lambda reference, turning shingle
+    * construction O(words^2) per document (measured 6x slower at
+    * sf0.1). The wrapper keeps the split a lambda-bound value that is
+    * evaluated once per row no matter how projections collapse. */
   private val SHINGLES_SPARK =
-    """array_distinct(transform(sequence(1, size(words) - 2),
-      |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1),
-      |              ' ', element_at(words, i + 2))))""".stripMargin
+    """array_distinct(flatten(transform(array(split(text, ' ')),
+      |  ws -> transform(sequence(1, size(ws) - 2),
+      |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+      |                ' ', element_at(ws, i + 2))))))""".stripMargin
+
+  /** doc_id, lang, n_chars, shingles for docs with >= 3 words. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
+      .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
   private val SHINGLES_DUCK =
     """list_distinct(list_transform(range(1, len(words) - 1),
       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))""".stripMargin
@@ -76,6 +83,7 @@ object TextOps {
       "d02_dedup_word_jaccard",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val d = t(s, dir, "documents").selectExpr(
           "doc_id", "lang", "n_chars",
           "array_distinct(split(text, ' ')) AS ws")
@@ -94,11 +102,18 @@ object TextOps {
             abs($"a.n_chars" - $"b.n_chars") <= 50)
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
-        val sets = d.select($"doc_id", $"ws", $"sz")
+        // Verify with the native merge kernel over sorted 64-bit word
+        // hashes: same intersection size as size(array_intersect(ws_a,
+        // ws_b)) (2^-64 collision odds per word pair), but the verify
+        // join ships 8-byte hashes instead of strings and the per-pair
+        // count is a codegen'd primitive loop, not an interpreted
+        // hash-set build.
+        val sets = d.selectExpr("doc_id",
+          "array_sort(transform(ws, w -> xxhash64(w))) AS wsh", "sz")
         cand
-          .join(sets.select($"doc_id".as("id_a"), $"ws".as("ws_a"), $"sz".as("sz_a")), "id_a")
-          .join(sets.select($"doc_id".as("id_b"), $"ws".as("ws_b"), $"sz".as("sz_b")), "id_b")
-          .withColumn("inter", expr("size(array_intersect(ws_a, ws_b))"))
+          .join(sets.select($"doc_id".as("id_a"), $"wsh".as("h_a"), $"sz".as("sz_a")), "id_a")
+          .join(sets.select($"doc_id".as("id_b"), $"wsh".as("h_b"), $"sz".as("sz_b")), "id_b")
+          .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
           .withColumn("jaccard", $"inter".cast("double") /
             ($"sz_a" + $"sz_b" - $"inter"))
           .filter($"jaccard" >= 0.9)
@@ -131,9 +146,7 @@ object TextOps {
       "d03_dedup_shingle_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sh = words(s, dir).filter(expr("size(words) >= 3"))
-          .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
-          .withColumn("sz", expr("size(shingles)"))
+        val sh = shingled(s, dir).withColumn("sz", expr("size(shingles)"))
         // 64-bit shingle hashes as the join key: same match multiset as
         // joining the raw ~50-char strings (xxhash64 collisions across a
         // candidate pair are ~2^-64 per shingle pair) at 1/6 the shuffle
@@ -173,23 +186,32 @@ object TextOps {
       "d04_minhash_lsh_candidates",
       (s, dir) => {
         import s.implicits._
-        val sh = words(s, dir).filter(expr("size(words) >= 3"))
-          .selectExpr("doc_id", s"$SHINGLES_SPARK AS shingles")
-        // 8 minhash lanes from TWO md5 digests per shingle (each 128-bit
-        // digest is sliced into 4 x 32-bit hex lanes, min-reduced per
-        // lane) — 4x fewer digest computations than one md5 per lane,
-        // and the oracle slices identically so candidates agree exactly.
+        val sh = shingled(s, dir).select($"doc_id", $"shingles")
+        // 8 minhash lanes from TWO md5 digests per shingle: each digest
+        // array is computed ONCE (as an argument of the array() wrapper,
+        // not inside the k-loop where it would be re-evaluated 8x), then
+        // sliced into 4 x 32-bit hex lanes and min-reduced per lane.
+        // Lane k = digest (k div 4), slice (k % 4) — the exact order the
+        // oracle's k-loop produces. The shingle array is lambda-bound
+        // once too (see SHINGLES_SPARK).
         val sig = sh.selectExpr("doc_id",
-          """transform(sequence(0, 7), k ->
-            |  array_min(transform(
-            |    transform(shingles, s -> md5(concat(cast(k div 4 AS string), '|', s))),
-            |    d -> substr(d, (k % 4) * 8 + 1, 8)))) AS sigs""".stripMargin)
+          """element_at(transform(array(shingles), sha ->
+            |  flatten(transform(
+            |    array(transform(sha, s -> md5(concat('0|', s))),
+            |          transform(sha, s -> md5(concat('1|', s)))),
+            |    dg -> transform(sequence(0, 3),
+            |      j -> array_min(transform(dg, d -> substr(d, j * 8 + 1, 8))))))), 1) AS sigs""".stripMargin)
         // bands carry only (doc_id, band): candidate ids are deduped
         // BEFORE any array payload is shuffled, then verified against
         // the shingle sets — the band join never moves document content.
+        // sigs is lambda-bound once here too — otherwise projection
+        // collapse re-inlines the whole minhash computation into every
+        // element_at reference (8x per doc, measured 2s at sf0.1).
         val bands = sig.select($"doc_id",
             posexplode(expr(
-              "transform(sequence(0, 3), b -> concat(element_at(sigs, 2*b+1), element_at(sigs, 2*b+2)))")))
+              """element_at(transform(array(sigs), sg ->
+                |  transform(sequence(0, 3),
+                |    b -> concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)))), 1)""".stripMargin)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
