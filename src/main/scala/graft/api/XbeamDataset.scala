@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 
-import graft.core.{ArrayChunk, ChunkGrid, ChunkKey, Template, VarArray, VarSpec}
+import graft.core.{ArrayChunk, ChunkGrid, ChunkKey, ChunkSpec, Template, VarArray, VarSpec}
 import graft.ndarray.{DType, NdArray}
 import graft.operators.{ChunkOps, ChunkTransforms}
 import graft.sources.Zarr
@@ -221,6 +221,17 @@ final class XbeamDataset private (
     * Otherwise: split vars first ("smaller itemsize allows much more
     * flexibility", dataset.py:1022-1024), run the memory-bounded
     * multi-stage Rechunk, and re-consolidate vars. */
+  /** Byte-target rechunk (`chunks="200MB"`, dataset.py:98-108): every
+    * dim re-chunked so whole chunks land near the byte budget, sized
+    * against the combined itemsize and snapped to multiples of the
+    * current chunks where possible. */
+  def rechunk(byteTarget: String): XbeamDataset =
+    rechunk(ChunkGrid.normalizeChunkSpecs(
+      Map.empty, template.dimSizes, template.dimOrder,
+      template.combinedItemsize(splitVars),
+      default = Some(ChunkSpec.parse(byteTarget)),
+      previousChunks = chunkSizes))
+
   def rechunk(newChunks: Map[String, Int],
               maxMem: Long = 1L << 30): XbeamDataset = {
     val target = ChunkGrid.normalizeChunks(
@@ -268,6 +279,27 @@ final class XbeamDataset private (
     * (Mean.Globally, combiners.py:150-166). */
   def meanGlobal(skipna: Boolean = true): XbeamDataset =
     mean(template.dimSizes.keySet, skipna)
+
+  /** Mean with the reference's explicitly planned multi-stage combiner
+    * tree (MultiStageMean / Dataset.mean, combiners.py:295-394,
+    * dataset.py:1060-1103) — for extreme reduction ratios where one
+    * reduce round would bottleneck on a single task. `binsPerStage`
+    * defaults to the cost-model optimum (FanoutPlanner). */
+  def meanMultiStage(dims: Set[String], skipna: Boolean = true,
+                     binsPerStage: Option[Vector[Int]] = None): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"mean dims $dims not all in ${template.dimOrder}")
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.meanMultiStage(chunkDataset, dims, template.dimOrder,
+        chunkSizes, template.dimSizes, template.combinedItemsize(splitVars),
+        skipna, binsPerStage))
+  }
 
   // ------------------------------------------------------------- joins
 

@@ -5,6 +5,32 @@ package graft.core
   * reference (dataset.py:84-199 normalize_chunks, core.py:290-363
   * offsets_to_slices / iter key math, rechunk.py:374-397 split bounds).
   */
+/** One dimension's chunk specification (normalize_chunks input forms,
+  * dataset.py:98-108): an exact element count, the full dimension
+  * (`-1`), or a byte target ("100MB", "64KiB") resolved against dtype
+  * itemsize. `'auto'` is deliberately unsupported, exactly like the
+  * reference (dataset.py:138-149). */
+sealed trait ChunkSpec
+object ChunkSpec {
+  final case class Elems(n: Long) extends ChunkSpec
+  case object Full extends ChunkSpec
+  final case class ByteTarget(bytes: Long, raw: String) extends ChunkSpec
+
+  def apply(n: Int): ChunkSpec = if (n == -1) Full else Elems(n)
+
+  private val Pattern = """^\s*([0-9]+(?:\.[0-9]+)?)\s*([kKmMgGtT]?)(i?)[bB]\s*$""".r
+
+  /** Parse "100MB" / "64KiB" / "80B" (decimal unless the `i` binary
+    * marker is present, matching dask's byte-string parsing). */
+  def parse(s: String): ByteTarget = s match {
+    case Pattern(num, unit, bin) =>
+      val base = if (bin == "i") 1024L else 1000L
+      val exp = if (unit.isEmpty) 0 else "kmgt".indexOf(unit.toLowerCase) + 1
+      ByteTarget((num.toDouble * math.pow(base.toDouble, exp.toDouble)).toLong, s)
+    case _ => throw new IllegalArgumentException(s"cannot parse byte size: $s")
+  }
+}
+
 object ChunkGrid {
 
   /** Normalize a chunks spec against dim sizes: -1 or missing → full
@@ -22,6 +48,92 @@ object ChunkGrid {
       require(n <= Int.MaxValue, s"chunk too large on $d: $n")
       d -> n.toInt
     }
+  }
+
+  /** Full normalize_chunks port (dataset.py:84-199): resolves a per-dim
+    * [[ChunkSpec]] map — exact counts, `-1`/Full, and byte targets —
+    * to concrete integer chunk sizes.
+    *
+    * Semantics (matching the reference's dask-backed behavior on its
+    * own test envelope, dataset_test.py:54-215):
+    *   - dims absent from `specs` take `default` (the `...` entry /
+    *     single-value spec), else `previousChunks`, else the full dim;
+    *   - at most one DISTINCT byte target may appear across all dims
+    *     (dataset.py:148-152);
+    *   - the byte budget applies to the WHOLE chunk: elements budget =
+    *     bytes / itemsize / product(non-byte dims' chunks);
+    *   - byte dims share the element budget by a common geometric
+    *     factor over their previous chunks (1 when none): each gets
+    *     `floor(factor) * prev`, clamped to the dim size; clamped dims
+    *     release their share and the rest re-split (this reproduces
+    *     dask's previous-chunk-multiple snapping on the tested cases,
+    *     e.g. 80B/{x:5,y:1} → {x:5,y:2}; aspect-ratio 8000B/{x:10,y:25}
+    *     → {x:20,y:50}).
+    *
+    * `itemsize` is the combined row byte width: max var itemsize when
+    * splitVars else the sum (Template.combinedItemsize, mirroring
+    * dataset.py:170-177). */
+  def normalizeChunkSpecs(specs: Map[String, ChunkSpec],
+                          dimSizes: Map[String, Long],
+                          dimOrder: Seq[String],
+                          itemsize: Long,
+                          default: Option[ChunkSpec] = None,
+                          previousChunks: Map[String, Int] = Map.empty): Map[String, Int] = {
+    specs.keys.foreach { d =>
+      require(dimSizes.contains(d), s"chunks key $d is not a dimension; dims=${dimSizes.keys}")
+    }
+    val eff: Map[String, ChunkSpec] = dimOrder.map { d =>
+      d -> specs.getOrElse(d, default.getOrElse(
+        previousChunks.get(d).map(c => ChunkSpec.Elems(c.toLong))
+          .getOrElse(ChunkSpec.Full)))
+    }.toMap
+    val byteTargets = eff.values.collect { case b: ChunkSpec.ByteTarget => b }.toSeq
+    require(byteTargets.map(_.bytes).distinct.size <= 1,
+      s"cannot provide multiple distinct chunk sizes in bytes: " +
+        byteTargets.map(_.raw).mkString("{", ", ", "}"))
+
+    val fixed: Map[String, Int] = eff.collect {
+      case (d, ChunkSpec.Full) => d -> dimSizes(d).min(Int.MaxValue).toInt
+      case (d, ChunkSpec.Elems(n)) =>
+        require(n > 0, s"chunk size for $d must be positive, got $n")
+        d -> math.min(n, dimSizes(d)).min(Int.MaxValue).toInt
+    }
+    val byteDims = dimOrder.filter(d => eff(d).isInstanceOf[ChunkSpec.ByteTarget])
+    if (byteDims.isEmpty) return dimOrder.map(d => d -> fixed(d)).toMap
+
+    val bytes = byteTargets.head.bytes
+    val fixedProduct = fixed.values.map(_.toLong).product max 1L
+    var budget = math.max(1L, bytes / math.max(1L, itemsize) / fixedProduct)
+
+    // iterative clamp-and-resplit over the byte dims
+    var adjustable = byteDims.toSet
+    val resolved = scala.collection.mutable.Map[String, Int]()
+    var changed = true
+    while (changed && adjustable.nonEmpty) {
+      changed = false
+      val prevs = adjustable.map(d => d -> previousChunks.getOrElse(d, 1).toLong).toMap
+      val prevProduct = prevs.values.product max 1L
+      val factor = math.pow(budget.toDouble / prevProduct.toDouble,
+        1.0 / adjustable.size)
+      // clamp any dim whose scaled chunk reaches the dim edge
+      adjustable.toSeq.sorted.foreach { d =>
+        if (!changed && prevs(d) * factor >= dimSizes(d)) {
+          val c = dimSizes(d).min(Int.MaxValue).toInt
+          resolved(d) = c
+          budget = math.max(1L, budget / c)
+          adjustable -= d
+          changed = true
+        }
+      }
+      if (!changed) {
+        adjustable.foreach { d =>
+          val snapped = math.max(1L, factor.toLong) * prevs(d)
+          resolved(d) = math.min(snapped, dimSizes(d)).min(Int.MaxValue).toInt
+        }
+        adjustable = Set.empty
+      }
+    }
+    dimOrder.map(d => d -> fixed.getOrElse(d, resolved(d))).toMap
   }
 
   /** Number of chunks along each dim (ceil). */

@@ -48,6 +48,16 @@ final case class Template(dims: Seq[(String, Long)],
     val ds = dimSizes
     vars.valuesIterator.map(vs => vs.dims.map(ds).product * vs.dtype.itemsize).sum
   }
+
+  /** Combined per-element byte width for byte-target chunk sizing
+    * (dataset.py:170-177): the largest variable's itemsize when chunks
+    * are split by variable, else the sum over all variables (a chunk
+    * then carries every variable). 1 when there are no variables (the
+    * reference's dummy uint8). */
+  def combinedItemsize(splitVars: Boolean): Long =
+    if (vars.isEmpty) 1L
+    else if (splitVars) vars.valuesIterator.map(_.dtype.itemsize.toLong).max
+    else vars.valuesIterator.map(_.dtype.itemsize.toLong).sum
 }
 
 object Template {

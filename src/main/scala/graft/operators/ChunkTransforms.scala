@@ -137,4 +137,58 @@ object ChunkTransforms {
       }
       .map { kv: (String, (ChunkKey, MeanAcc)) => (kv._2._1, kv._2._2.extract) }
   }
+
+  /** Mean with an explicitly planned N-stage combiner tree
+    * (MultiStageMean, combiners.py:295-394): chunk → flat index →
+    * per-stage fanout bins (planned by the reference's cost model,
+    * FanoutPlanner), then one keyed reduce per stage, stripping the
+    * leading bin between stages.
+    *
+    * Spark's single-shuffle mean (above) already gets map-side partial
+    * aggregation from reduceGroups; this explicit tree is for EXTREME
+    * reduction ratios (say 10^6 chunks collapsing to one key at 100 TB)
+    * where one round would funnel every partial through a single
+    * reducer — the staged tree bounds any one task's merge count by the
+    * stage fanout. */
+  def meanMultiStage(ds: Dataset[Pair], dims: Set[String], dimOrder: Seq[String],
+                     chunks: Map[String, Int], sizes: Map[String, Long],
+                     itemsize: Long, skipna: Boolean = true,
+                     binsPerStage: Option[Vector[Int]] = None): Dataset[Pair] = {
+    val dimSeq = dimOrder.filter(dims)
+    val bins = binsPerStage.getOrElse(
+      FanoutPlanner.optimalFanoutBins(dimSeq, chunks, sizes, itemsize))
+    if (bins.isEmpty) {
+      // one chunk per output key — no combiner needed (combiners.py:375-379)
+      return ds.map { p: Pair =>
+        (p._1.copy(offsets = p._1.offsets -- dims),
+          sumCountChunk(p._2, dims, skipna).extract)
+      }
+    }
+    implicit val stagedEnc: Encoder[(Vector[Long], ChunkKey, MeanAcc)] =
+      Encoders.kryo[(Vector[Long], ChunkKey, MeanAcc)]
+    // the final bin is unneeded: the last stage groups on the key alone
+    // (combiners.py:356-359 strips it the same way)
+    var cur = ds.map { p: Pair =>
+      val idx = FanoutPlanner.chunkIndex(p._1, dimSeq, chunks, sizes)
+      val binIds = FanoutPlanner.indexToFanoutBins(idx, bins.dropRight(1))
+      (binIds, p._1.copy(offsets = p._1.offsets -- dims),
+        sumCountChunk(p._2, dims, skipna))
+    }
+    bins.indices.foreach { i =>
+      cur = cur
+        .groupByKey { t: (Vector[Long], ChunkKey, MeanAcc) =>
+          (t._1.mkString(","), t._2.canonical)
+        }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .reduceGroups { (a: (Vector[Long], ChunkKey, MeanAcc),
+                         b: (Vector[Long], ChunkKey, MeanAcc)) =>
+          (a._1, a._2, a._3.merge(b._3))
+        }
+        .map { kv: ((String, String), (Vector[Long], ChunkKey, MeanAcc)) => kv._2 }
+      if (i + 1 < bins.length)
+        cur = cur.map { t: (Vector[Long], ChunkKey, MeanAcc) =>
+          (t._1.tail, t._2, t._3)
+        }
+    }
+    cur.map { t: (Vector[Long], ChunkKey, MeanAcc) => (t._2, t._3.extract) }
+  }
 }

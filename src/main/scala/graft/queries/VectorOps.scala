@@ -32,12 +32,24 @@ object VectorOps {
        |  pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (a, b) -> a + b)""".stripMargin
 
   /** One deterministic random-hyperplane sign bit ('0'/'1') per plane:
-    * weights ±1 from md5(plane,dim), projection via sequential fold. */
-  private def planeBitSpark(p: Int): String =
-    s"""CASE WHEN vec_dot(embedding,
-       |  transform(sequence(0, 63), d -> CASE WHEN substr(md5(concat('$p,', cast(d AS string))), 1, 1) >= '8'
-       |                                       THEN cast(1 AS double) ELSE cast(-1 AS double) END)) > 0
+    * weights ±1 from md5(plane,dim), projection via sequential fold.
+    *
+    * The weight array is row-independent, but Catalyst does not
+    * constant-fold a transform-over-sequence with an md5 body, so the
+    * declarative form re-evaluated 64 md5 calls per plane per ROW
+    * (~1M digests at sf0.1). The weights are therefore derived once at
+    * plan time — `(md5Bytes("p,d")(0) & 0x80) != 0` is exactly
+    * `substr(md5('p,' || d), 1, 1) >= '8'`, the oracle's derivation —
+    * and inlined as a literal array. */
+  private def planeBitSpark(p: Int): String = {
+    val weights = (0 until 64).map { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p,$d".getBytes("UTF-8"))
+      if ((digest(0) & 0x80) != 0) "1.0D" else "-1.0D"
+    }
+    s"""CASE WHEN vec_dot(embedding, array(${weights.mkString(", ")})) > 0
        |THEN '1' ELSE '0' END""".stripMargin
+  }
   private def planeBitDuck(p: Int): String =
     s"""CASE WHEN list_reduce(list_transform(list_zip(embedding,
        |  list_transform(range(0, 64), d -> CASE WHEN substr(md5('$p,' || d::VARCHAR), 1, 1) >= '8'

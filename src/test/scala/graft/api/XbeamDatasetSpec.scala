@@ -117,6 +117,32 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(g.vars("temperature").arr.size == 1)
   }
 
+  test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
+    val xds = era5ds(Map("time" -> 1))
+    val staged = xds.meanMultiStage(Set("time"),
+      binsPerStage = Some(Vector(3, 2, 2))) // 3 stages covering 12 chunks
+    val (_, c) = staged.collectConsolidated()
+    val (_, ref) = era5ds().mean(Set("time")).collectConsolidated()
+    assert(c.vars("temperature").arr.allClose(ref.vars("temperature").arr, 1e-12))
+    assert(c.vars("precip").arr.allClose(ref.vars("precip").arr, 1e-12))
+    // planner-chosen bins (default) agree too
+    val auto = xds.meanMultiStage(Set("time"))
+    val (_, a) = auto.collectConsolidated()
+    assert(a.vars("temperature").arr.allClose(ref.vars("temperature").arr, 1e-12))
+  }
+
+  test("byte-target rechunk resolves against combined itemsize") {
+    val xds = era5ds(Map("time" -> 1))
+    // era5 fixture: temperature+precip f64 → 16B per grid element; dims
+    // (time 12, lat 5, lon 6). "1920B" → 120 elements per chunk: time
+    // snaps to multiples of 1 (prev chunk), lat/lon full (prev = full).
+    val re = xds.rechunk("1920B")
+    assert(re.chunkSizes("latitude") == 5 && re.chunkSizes("longitude") == 6)
+    assert(re.chunkSizes("time") == 4) // 120 / 30 grid elems per slice
+    val (_, c) = re.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
   test("rechunk fast path: scan re-read for multiple chunks (no shuffle)") {
     val xds = era5ds(Map("time" -> 2))
     val re = xds.rechunk(Map("time" -> 4))
