@@ -218,6 +218,31 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t % 24 AS hour, x, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM grid GROUP BY hour, x ORDER BY hour, x"""))
+        FROM grid GROUP BY hour, x ORDER BY hour, x""")),
+
+    // ---------------------------------------------------------------- x10
+    // The DataSourceV2 connector under SQL: spark.read.format("zarr")
+    // over a store written by the engine, with a dim predicate (chunk
+    // pruning in planInputPartitions + residual filter) and a column
+    // subset (pruning reaches the store read — uid blocks never leave
+    // disk). Values stay exact: vf is integer-valued so the double sum
+    // is order-independent.
+    QueryDef(
+      "x10_sql_over_zarr",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val store = zarrPath("x10", dir)
+        gridXds(s, dir).toZarr(store)
+        s.read.format("zarr").load(store)
+          .filter("t < 25")
+          .groupBy(col("t"))
+          .agg(sum(col("vf")).as("sum_vf"),
+               count(lit(1)).cast("long").as("n"))
+          .orderBy(col("t"))
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, sum(vf) AS sum_vf, count(*) AS n
+        FROM grid WHERE t < 25 GROUP BY t ORDER BY t"""))
   )
 }

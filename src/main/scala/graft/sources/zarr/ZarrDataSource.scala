@@ -1,0 +1,229 @@
+package graft.sources.zarr
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.ChunkGrid
+import graft.ndarray.DType
+import graft.sources.Zarr
+
+/** DataSourceV2 connector exposing a Zarr store as a Spark SQL table —
+  * the Spark-native form of the reference's splittable `ReadDataset`
+  * source (core.py:675-761) and its generic `RangeSource`
+  * (range_source.py:29-100): one `InputPartition` per chunk stands in
+  * for the byte-weighted dynamic splits, and Catalyst drives the
+  * pushdowns the reference hand-rolls.
+  *
+  * Schema is the tabular projection (TabularBridge): one BIGINT column
+  * per dimension (global index) + one column per variable. Pushdowns:
+  *   - column pruning reaches the store: unprojected variables are
+  *     never read from disk (the scan's ReadSchema shows it);
+  *   - comparison predicates on dimension columns prune whole chunks
+  *     from `planInputPartitions` (the reference's head/tail scan
+  *     rewrite, dataset.py:366-397, generalized to any dim range); the
+  *     same predicates stay residual post-scan, so semantics are exact
+  *     even though pruning is chunk-granular.
+  *
+  * Usage: `spark.read.format("zarr").load(path)`.
+  */
+class ZarrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zarr"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(options.get("paths"))
+    require(p != null && p.nonEmpty, "zarr source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrTable.schemaFor(pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ZarrTable(properties.get("path"))
+}
+
+object ZarrTable {
+  private[zarr] def sparkTypeOf(dt: DType): DataType = dt match {
+    case DType.F32 | DType.F64 => DoubleType
+    case _ => LongType
+  }
+
+  def schemaFor(path: String): StructType = {
+    val store = Zarr.openStore(path)
+    val dims = store.template.dimOrder
+    val vars = store.template.vars.keys.toSeq.sorted
+    StructType(
+      dims.map(d => StructField(d, LongType, nullable = false)) ++
+        vars.map(v => StructField(v,
+          sparkTypeOf(store.template.vars(v).dtype), nullable = false)))
+  }
+}
+
+class ZarrTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"zarr:$path"
+  override def schema(): StructType = ZarrTable.schemaFor(path)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path)
+}
+
+class ZarrScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private val store = Zarr.openStore(path)
+  private val dimOrder = store.template.dimOrder
+  private var required: StructType = ZarrTable.schemaFor(path)
+  private var pushed: Array[Filter] = Array.empty
+  // per-dim inclusive global-index bounds from pushed predicates
+  private var bounds: Map[String, (Long, Long)] = Map.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Record dim-column ranges for chunk pruning; every filter stays
+    * residual (returned), so chunk-granular pruning can never change
+    * results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val dimSet = dimOrder.toSet
+    def clamp(d: String, lo: Long, hi: Long): Unit = {
+      val (clo, chi) = bounds.getOrElse(d, (Long.MinValue, Long.MaxValue))
+      bounds += d -> (math.max(clo, lo), math.min(chi, hi))
+    }
+    filters.foreach {
+      case EqualTo(d, v: Long) if dimSet(d) => clamp(d, v, v)
+      case EqualTo(d, v: Int) if dimSet(d) => clamp(d, v.toLong, v.toLong)
+      case GreaterThan(d, v: Long) if dimSet(d) => clamp(d, v + 1, Long.MaxValue)
+      case GreaterThan(d, v: Int) if dimSet(d) => clamp(d, v + 1L, Long.MaxValue)
+      case GreaterThanOrEqual(d, v: Long) if dimSet(d) => clamp(d, v, Long.MaxValue)
+      case GreaterThanOrEqual(d, v: Int) if dimSet(d) => clamp(d, v.toLong, Long.MaxValue)
+      case LessThan(d, v: Long) if dimSet(d) => clamp(d, Long.MinValue, v - 1)
+      case LessThan(d, v: Int) if dimSet(d) => clamp(d, Long.MinValue, v - 1L)
+      case LessThanOrEqual(d, v: Long) if dimSet(d) => clamp(d, Long.MinValue, v)
+      case LessThanOrEqual(d, v: Int) if dimSet(d) => clamp(d, Long.MinValue, v.toLong)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo(d, _) => dimSet(d)
+      case GreaterThan(d, _) => dimSet(d)
+      case GreaterThanOrEqual(d, _) => dimSet(d)
+      case LessThan(d, _) => dimSet(d)
+      case LessThanOrEqual(d, _) => dimSet(d)
+      case _ => false
+    }
+    filters // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ZarrScan(path, store.template.dims, store.inferChunks,
+      store.template.vars.map { case (n, vs) => n -> vs.dtype.zarr },
+      required, bounds)
+}
+
+/** One chunk of the store = one Spark input partition. */
+case class ZarrInputPartition(offsets: Array[Long]) extends InputPartition
+
+class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int],
+               varDtypes: Map[String, String], required: StructType,
+               bounds: Map[String, (Long, Long)]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"zarr:$path chunks=$chunks prunedDims=${bounds.keys.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dimOrder = dims.map(_._1)
+    val dimSizes = dims.toMap
+    ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
+      .filter { key =>
+        bounds.forall { case (d, (lo, hi)) =>
+          val off = key.offsets(d)
+          val len = math.min(chunks(d).toLong, dimSizes(d) - off)
+          off <= hi && off + len - 1 >= lo
+        }
+      }
+      .map(key => ZarrInputPartition(dimOrder.map(key.offsets).toArray): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrReaderFactory(path, dims, chunks, required)
+}
+
+class ZarrReaderFactory(path: String, dims: Seq[(String, Long)],
+                        chunks: Map[String, Int], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZarrPartitionReader(path, dims, chunks, required,
+      partition.asInstanceOf[ZarrInputPartition].offsets)
+}
+
+class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
+                          chunks: Map[String, Int], required: StructType,
+                          offsets: Array[Long])
+    extends PartitionReader[InternalRow] {
+
+  private val dimOrder = dims.map(_._1)
+  private val dimSizes = dims.toMap
+  private val lens: Array[Int] = dimOrder.zipWithIndex.map { case (d, i) =>
+    math.min(chunks(d).toLong, dimSizes(d) - offsets(i)).toInt
+  }.toArray
+  private val total: Long = lens.map(_.toLong).product
+
+  // which output column is which: dim index or variable array
+  private val fields = required.fields
+  private val dimPos: Array[Int] = fields.map(f => dimOrder.indexOf(f.name))
+  private val varArrays: Array[graft.ndarray.NdArray] = fields.map { f =>
+    if (dimOrder.contains(f.name)) null
+    else {
+      val meta = Zarr.readArrayMeta(path, f.name)
+      // variable dims follow the template's dim order in this store
+      Zarr.readRegion(path, f.name, meta, offsets, lens)
+    }
+  }
+  private val isFloat: Array[Boolean] = fields.map(_.dataType == DoubleType)
+
+  private val idx = new Array[Int](lens.length)
+  private var flat = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (flat >= total) return false
+    val vals = new Array[Any](fields.length)
+    var c = 0
+    while (c < fields.length) {
+      vals(c) =
+        if (dimPos(c) >= 0) offsets(dimPos(c)) + idx(dimPos(c))
+        else if (isFloat(c)) varArrays(c).getDouble(flat)
+        else varArrays(c).getLong(flat)
+      c += 1
+    }
+    current = new GenericInternalRow(vals)
+    var k = lens.length - 1
+    var carry = true
+    while (k >= 0 && carry) {
+      idx(k) += 1
+      if (idx(k) == lens(k)) { idx(k) = 0; k -= 1 } else carry = false
+    }
+    flat += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

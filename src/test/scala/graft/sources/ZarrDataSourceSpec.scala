@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, TestSpark}
+import graft.api.{TabularBridge, XbeamDataset}
+
+class ZarrDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def writeStore(): String = {
+    val dir = Files.createTempDirectory("zarr_dsv2").toString + "/store"
+    XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4)).toZarr(dir)
+    dir
+  }
+
+  test("format(zarr) reads the tabular projection (matches the bridge)") {
+    val dir = writeStore()
+    val viaSql = spark.read.format("zarr").load(dir)
+      .orderBy("time", "latitude", "longitude")
+    val viaBridge = TabularBridge.toDataFrame(
+      XbeamDataset.fromZarr(spark, dir))
+      .orderBy("time", "latitude", "longitude")
+    assert(viaSql.schema == viaBridge.schema)
+    val a = viaSql.collect()
+    val b = viaBridge.collect()
+    assert(a.length == 12 * 5 * 6)
+    assert(a.sameElements(b))
+  }
+
+  test("dim predicates prune input partitions; results stay exact") {
+    val dir = writeStore()
+    val df = spark.read.format("zarr").load(dir)
+    // 3 chunks along time; time < 4 touches only the first
+    val filtered = df.filter("time < 4")
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.count() == 4 * 5 * 6)
+    // non-chunk-aligned bound still exact (residual filter applies)
+    val partial = df.filter("time >= 6")
+    assert(partial.rdd.getNumPartitions == 2)
+    assert(partial.count() == 6 * 5 * 6)
+    assert(df.filter("time = 7 AND latitude = 2").count() == 6)
+  }
+
+  test("column pruning reaches the store read") {
+    val dir = writeStore()
+    val df = spark.read.format("zarr").load(dir).select("time", "precip")
+    assert(df.columns.toSeq == Seq("time", "precip"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("temperature"))
+    assert(df.count() == 360)
+  }
+}
