@@ -343,7 +343,7 @@ final class XbeamDataset private (
     * Chunk offsets must align to the stored chunk grid
     * (validate_zarr_chunk, zarr.py:517-587). */
   def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
-             compressor: Option[String] = None): Unit = {
+             compressor: Option[String] = None, zarrFormat: Int = 2): Unit = {
     val stored = if (zarrChunks.isEmpty) chunkSizes
       else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
     template.dimOrder.foreach { d =>
@@ -351,16 +351,21 @@ final class XbeamDataset private (
         s"in-memory chunk ${chunkSizes(d)} for dim $d is not a multiple of " +
           s"zarr chunk ${stored(d)} (sub-chunk writes would race, zarr.py:560-587)")
     }
-    Zarr.setupStore(path, template, stored, compressor)
+    Zarr.setupStore(path, template, stored, compressor, zarrFormat)
     val tmpl = template
+    val comp = compressor.map {
+      case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
+      case c => c
+    }
     chunkDataset.foreach { p: Pair =>
       val (key, chunk) = p
       chunk.vars.foreach { case (name, va) =>
         val spec = tmpl.vars(name)
         val meta = Zarr.ArrayMeta(
           spec.dims.map(tmpl.dimSizes), spec.dims.map(stored),
-          spec.dtype, spec.dims, compressor,
-          if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0)
+          spec.dtype, spec.dims, comp,
+          if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0,
+          format = zarrFormat)
         val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
         starts.zip(va.dims).foreach { case (st, d) =>
           require(st % stored(d) == 0,

@@ -243,6 +243,23 @@ object XbeamQueries {
       Some(s"""
         WITH $GRID_DUCK
         SELECT t, sum(vf) AS sum_vf, count(*) AS n
-        FROM grid WHERE t < 25 GROUP BY t ORDER BY t"""))
+        FROM grid WHERE t < 25 GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x11
+    // Zarr v3 sink + source (zarr.json metadata, c/-prefixed chunk
+    // keys, gzip codec), driven through the same pipeline as x04:
+    // variable pruning + head pushdown over a v3 store.
+    QueryDef(
+      "x11_zarr_v3_roundtrip",
+      (s, dir) => {
+        val store = zarrPath("x11", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("gzip"), zarrFormat = 3)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf")).head("t", 9))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x"""))
   )
 }

@@ -10,16 +10,22 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.core.{ArrayChunk, ChunkGrid, ChunkKey, Template, VarArray, VarSpec}
 import graft.ndarray.{DType, NdArray}
 
-/** Zarr v2 store IO, from scratch (no JVM Zarr lib is bundled): JSON
-  * metadata (.zgroup/.zarray/.zattrs/.zmetadata) + raw or zlib chunk
-  * files, C order, little-endian, '.'-separated chunk names, xarray's
-  * `_ARRAY_DIMENSIONS` convention for dimension names.
+/** Zarr store IO, from scratch (no JVM Zarr lib is bundled), v2 and v3:
   *
-  * Mirrors the reference's open_zarr (zarr.py:48-96), setup_zarr
-  * (zarr.py:389-459) and region writes (zarr.py:591-633): the driver
-  * writes metadata + eager coordinate arrays once, executors write only
-  * data regions aligned to the stored chunk grid — idempotent under task
-  * retry, exactly the property the reference relies on (zarr.py:248-251).
+  *   - v2: JSON metadata (.zgroup/.zarray/.zattrs/.zmetadata), raw or
+  *     zlib chunk files, '.'-separated chunk names, xarray's
+  *     `_ARRAY_DIMENSIONS` convention for dimension names;
+  *   - v3: `zarr.json` node metadata (regular chunk grid, default
+  *     chunk-key encoding with "/" or "." separators → `c/0/1` keys),
+  *     native `dimension_names`, `bytes`(little-endian) + optional
+  *     `gzip` codecs. Sharding (`sharding_indexed`) is not implemented.
+  *
+  * C order, little-endian throughout. Mirrors the reference's open_zarr
+  * (zarr.py:48-96), setup_zarr (zarr.py:389-459) and region writes
+  * (zarr.py:591-633): the driver writes metadata + eager coordinate
+  * arrays once, executors write only data regions aligned to the stored
+  * chunk grid — idempotent under task retry, exactly the property the
+  * reference relies on (zarr.py:248-251).
   *
   * Scale note: paths go through java.nio so local FS works everywhere;
   * at cluster scale the same layout maps 1:1 onto object-store keys.
@@ -27,10 +33,12 @@ import graft.ndarray.{DType, NdArray}
 object Zarr {
   private val mapper = new ObjectMapper()
 
-  /** Metadata of one stored array. */
+  /** Metadata of one stored array. `format` is the zarr spec version
+    * (2 or 3); `keySep` only applies to v3 chunk keys. */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
-                             fillValue: Double)
+                             fillValue: Double, format: Int = 2,
+                             keySep: String = "/")
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -71,7 +79,8 @@ object Zarr {
     val root = Paths.get(path)
     require(Files.isDirectory(root), s"not a zarr store: $path")
     val arrays = Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+      .filter(p => Files.isDirectory(p) &&
+        (Files.exists(p.resolve(".zarray")) || Files.exists(p.resolve("zarr.json"))))
       .map { p =>
         val name = p.getFileName.toString
         name -> readArrayMeta(path, name)
@@ -90,14 +99,21 @@ object Zarr {
       m.toSeq
     }
     val attrs = {
-      val f = root.resolve(".zattrs")
-      if (Files.exists(f)) jsonToAttrs(mapper.readTree(Files.readAllBytes(f)))
-      else Map.empty[String, String]
+      val zattrs = root.resolve(".zattrs")
+      val v3root = root.resolve("zarr.json")
+      if (Files.exists(zattrs))
+        jsonToAttrs(mapper.readTree(Files.readAllBytes(zattrs)))
+      else if (Files.exists(v3root)) {
+        val n = mapper.readTree(Files.readAllBytes(v3root)).get("attributes")
+        if (n == null) Map.empty[String, String] else jsonToAttrs(n)
+      } else Map.empty[String, String]
     }
     StoreMeta(dims, arrays, attrs)
   }
 
   def readArrayMeta(path: String, name: String): ArrayMeta = {
+    val v3File = Paths.get(path, name, "zarr.json")
+    if (Files.exists(v3File)) return readArrayMetaV3(path, name, v3File)
     val za = mapper.readTree(Files.readAllBytes(Paths.get(path, name, ".zarray")))
     val attrsFile = Paths.get(path, name, ".zattrs")
     val dims: Seq[String] =
@@ -134,6 +150,90 @@ object Zarr {
     ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
       comp, fill)
   }
+
+  private def readArrayMetaV3(path: String, name: String,
+                              v3File: java.nio.file.Path): ArrayMeta = {
+    val za = mapper.readTree(Files.readAllBytes(v3File))
+    require(za.get("zarr_format").asInt == 3 &&
+      za.get("node_type").asText == "array",
+      s"$name/zarr.json is not a v3 array node")
+    val shape = (0 until za.get("shape").size).map(i => za.get("shape").get(i).asLong)
+    val grid = za.get("chunk_grid")
+    require(grid.get("name").asText == "regular",
+      s"unsupported chunk grid: ${grid.get("name").asText}")
+    val cs = grid.get("configuration").get("chunk_shape")
+    val chunks = (0 until cs.size).map(cs.get(_).asInt)
+    val keySep = za.get("chunk_key_encoding") match {
+      case null => "/"
+      case cke =>
+        require(cke.get("name").asText == "default",
+          s"unsupported chunk key encoding: ${cke.get("name").asText}")
+        Option(cke.get("configuration")).flatMap(c => Option(c.get("separator")))
+          .map(_.asText).getOrElse("/")
+    }
+    val codecs = za.get("codecs")
+    var compressor: Option[String] = None
+    (0 until codecs.size).foreach { i =>
+      codecs.get(i).get("name").asText match {
+        case "bytes" =>
+          val cfg = codecs.get(i).get("configuration")
+          val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
+            .map(_.asText).getOrElse("little")
+          require(endian == "little", s"unsupported endian $endian for $name")
+        case "gzip" => compressor = Some("gzip")
+        case "sharding_indexed" => throw new IllegalArgumentException(
+          s"zarr v3 sharding is not supported (array $name)")
+        case other => throw new IllegalArgumentException(
+          s"unsupported v3 codec $other for $name")
+      }
+    }
+    val dimNames = za.get("dimension_names") match {
+      case null => if (shape.length == 1) Seq(name)
+        else throw new IllegalArgumentException(s"array $name lacks dimension_names")
+      case dn => (0 until dn.size).map(dn.get(_).asText)
+    }
+    val fill = za.get("fill_value") match {
+      case null => 0.0
+      case n if n.isTextual => n.asText match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => other.toDouble
+      }
+      case n => n.asDouble
+    }
+    ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
+      compressor, fill, format = 3, keySep = keySep)
+  }
+
+  private[sources] def dtypeToV3(dt: DType): String = dt match {
+    case DType.F32 => "float32"
+    case DType.F64 => "float64"
+    case DType.I32 => "int32"
+    // v3 has no datetime64 core type; times persist as int64 nanos
+    case DType.I64 | DType.TimeNs => "int64"
+  }
+
+  private[sources] def dtypeFromV3(s: String): DType = s match {
+    case "float32" => DType.F32
+    case "float64" => DType.F64
+    case "int32" => DType.I32
+    case "int64" => DType.I64
+    case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
+  }
+
+  /** Chunk file path for a block index, per format: v2 "0.1", v3
+    * "c/0/1" (or "c.0.1" with the "." separator). */
+  private def blockPath(path: String, name: String, meta: ArrayMeta,
+                        blockIdx: Array[Long]): java.nio.file.Path =
+    if (meta.format == 2) {
+      val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(".")
+      Paths.get(path, name, fname)
+    } else {
+      val parts = "c" +: blockIdx.toSeq.map(_.toString)
+      if (meta.keySep == "/") Paths.get(path, (name +: parts): _*)
+      else Paths.get(path, name, parts.mkString(meta.keySep))
+    }
 
   /** Read an arbitrary region of a stored array by assembling the
     * intersecting zarr blocks (edge blocks are stored padded; we slice
@@ -177,15 +277,15 @@ object Zarr {
   /** Read one full (padded) zarr block; missing file → fill value. */
   private def readBlock(path: String, name: String, meta: ArrayMeta,
                         blockIdx: Array[Long]): NdArray = {
-    val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(".")
-    val f = Paths.get(path, name, fname)
+    val f = blockPath(path, name, meta, blockIdx)
     val blockShape = meta.chunks.toArray
     if (!Files.exists(f)) return NdArray.fill(meta.dtype, blockShape, meta.fillValue)
     var bytes = Files.readAllBytes(f)
     meta.compressor match {
       case Some("zlib") => bytes = inflate(bytes)
+      case Some("gzip") => bytes = gunzip(bytes)
       case Some(other) => throw new IllegalArgumentException(
-        s"unsupported compressor: $other (supported: null, zlib)")
+        s"unsupported compressor: $other (supported: null, zlib, gzip)")
       case None =>
     }
     NdArray(meta.dtype, blockShape, bytes)
@@ -193,7 +293,8 @@ object Zarr {
 
   def readCoord(path: String, dim: String): Option[NdArray] = {
     val f = Paths.get(path, dim, ".zarray")
-    if (!Files.exists(f)) return None
+    val f3 = Paths.get(path, dim, "zarr.json")
+    if (!Files.exists(f) && !Files.exists(f3)) return None
     val meta = readArrayMeta(path, dim)
     Some(readRegion(path, dim, meta, Array(0L), Array(meta.shape.head.toInt)))
   }
@@ -205,28 +306,38 @@ object Zarr {
     * (setup_zarr, zarr.py:389-459). Executors only region-write after
     * this. */
   def setupStore(path: String, template: Template, chunks: Map[String, Int],
-                 compressor: Option[String] = None): Unit = {
+                 compressor: Option[String] = None, zarrFormat: Int = 2): Unit = {
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2 or 3")
     val root = Paths.get(path)
     Files.createDirectories(root)
-    writeJson(root.resolve(".zgroup"), """{"zarr_format":2}""")
-    if (template.attrs.nonEmpty)
-      writeJson(root.resolve(".zattrs"), attrsJson(template.attrs))
+    if (zarrFormat == 2) {
+      writeJson(root.resolve(".zgroup"), """{"zarr_format":2}""")
+      if (template.attrs.nonEmpty)
+        writeJson(root.resolve(".zattrs"), attrsJson(template.attrs))
+    } else {
+      writeJson(root.resolve("zarr.json"),
+        s"""{"zarr_format":3,"node_type":"group","attributes":${attrsJson(template.attrs)}}""")
+    }
     val dimSizes = template.dimSizes
+    val comp = compressor.map {
+      case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
+      case c => c
+    }
     template.vars.foreach { case (name, spec) =>
       val shape = spec.dims.map(dimSizes)
       val ch = spec.dims.map(d => chunks.getOrElse(d,
         math.min(dimSizes(d), Int.MaxValue).toInt))
-      writeArrayMeta(path, name, shape, ch, spec.dtype, spec.dims, compressor)
+      writeArrayMeta(path, name, shape, ch, spec.dtype, spec.dims, comp, zarrFormat)
     }
     template.coords.foreach { case (dim, arr) =>
       writeArrayMeta(path, dim, Seq(arr.shape(0).toLong), Seq(arr.shape(0)),
-        arr.dtype, Seq(dim), compressor = None)
+        arr.dtype, Seq(dim), compressor = None, zarrFormat)
       writeRegion(path, dim,
         ArrayMeta(Seq(arr.shape(0).toLong), Seq(arr.shape(0)), arr.dtype,
-          Seq(dim), None, fillOf(arr.dtype)),
+          Seq(dim), None, fillOf(arr.dtype), format = zarrFormat),
         Array(0L), arr)
     }
-    consolidateMetadata(path)
+    if (zarrFormat == 2) consolidateMetadata(path)
   }
 
   private def fillOf(dtype: DType): Double = dtype match {
@@ -236,22 +347,40 @@ object Zarr {
 
   def writeArrayMeta(path: String, name: String, shape: Seq[Long], chunks: Seq[Int],
                      dtype: DType, dims: Seq[String],
-                     compressor: Option[String]): Unit = {
+                     compressor: Option[String], zarrFormat: Int = 2): Unit = {
     val dir = Paths.get(path, name)
     Files.createDirectories(dir)
     val fill = dtype match {
       case DType.F32 | DType.F64 => "\"NaN\""
       case _ => "0"
     }
-    val comp = compressor match {
-      case Some("zlib") => """{"id":"zlib","level":1}"""
-      case None => "null"
-      case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
+    if (zarrFormat == 2) {
+      val comp = compressor match {
+        case Some("zlib") => """{"id":"zlib","level":1}"""
+        case None => "null"
+        case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
+      }
+      writeJson(dir.resolve(".zarray"),
+        s"""{"chunks":[${chunks.mkString(",")}],"compressor":$comp,"dtype":"${dtype.zarr}","fill_value":$fill,"filters":null,"order":"C","shape":[${shape.mkString(",")}],"zarr_format":2}""")
+      writeJson(dir.resolve(".zattrs"),
+        s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
+    } else {
+      val codecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
+        (compressor match {
+          case Some("gzip") | Some("zlib") =>
+            Seq("""{"name":"gzip","configuration":{"level":1}}""")
+          case None => Nil
+          case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
+        })
+      writeJson(dir.resolve("zarr.json"),
+        s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+          s""""data_type":"${dtypeToV3(dtype)}",""" +
+          s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+          s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+          s""""fill_value":$fill,"codecs":[${codecs.mkString(",")}],""" +
+          s""""dimension_names":[${dims.map(d => "\"" + d + "\"").mkString(",")}],""" +
+          s""""attributes":{}}""")
     }
-    writeJson(dir.resolve(".zarray"),
-      s"""{"chunks":[${chunks.mkString(",")}],"compressor":$comp,"dtype":"${dtype.zarr}","fill_value":$fill,"filters":null,"order":"C","shape":[${shape.mkString(",")}],"zarr_format":2}""")
-    writeJson(dir.resolve(".zattrs"),
-      s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
   }
 
   /** Region-write `arr` at global offset `starts`. The region must be
@@ -304,12 +433,14 @@ object Zarr {
 
   private def writeBlock(path: String, name: String, meta: ArrayMeta,
                          blockIdx: Array[Long], block: NdArray): Unit = {
-    val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(".")
     val bytes = meta.compressor match {
       case Some("zlib") => deflate(block.data)
+      case Some("gzip") => gzip(block.data)
       case _ => block.data
     }
-    Files.write(Paths.get(path, name, fname), bytes,
+    val f = blockPath(path, name, meta, blockIdx)
+    Option(f.getParent).foreach(Files.createDirectories(_))
+    Files.write(f, bytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
@@ -362,6 +493,24 @@ object Zarr {
     val buf = new Array[Byte](65536)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
+    out.toByteArray
+  }
+
+  private def gzip(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(data); g.finish(); g.close()
+    out.toByteArray
+  }
+
+  private def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val out = new ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
     out.toByteArray
   }
 

@@ -69,6 +69,46 @@ class ZarrSpec extends AnyFunSuite {
     assert(r.toDoubles.forall(_.isNaN))
   }
 
+  test("zarr v3: metadata + c/-keys + gzip roundtrip, uneven edges") {
+    val path = tmpStore()
+    val chunks = Map("t" -> 4, "x" -> 6)
+    Zarr.setupStore(path, template, chunks, Some("gzip"), zarrFormat = 3)
+    assert(Files.exists(java.nio.file.Paths.get(path, "zarr.json")))
+    assert(Files.exists(java.nio.file.Paths.get(path, "v", "zarr.json")))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.format == 3 && meta.compressor.contains("gzip"))
+    assert(meta.shape == Seq(10L, 6L) && meta.chunks == Seq(4, 6))
+    assert(meta.dims == Seq("t", "x"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data.slice(Array(0, 0), Array(8, 6)))
+    Zarr.writeRegion(path, "v", meta, Array(8L, 0L), data.slice(Array(8, 0), Array(2, 6)))
+    assert(Files.exists(java.nio.file.Paths.get(path, "v", "c", "0", "0")))
+    assert(Files.exists(java.nio.file.Paths.get(path, "v", "c", "2", "0")))
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6)).sameAs(data))
+    // non-aligned read spanning block boundaries
+    assert(Zarr.readRegion(path, "v", meta, Array(3L, 1L), Array(5, 4)).sameAs(
+      data.slice(Array(3, 1), Array(5, 4))))
+    // store-level open sees the same template + attrs as v2
+    val store = Zarr.openStore(path)
+    assert(store.template.dimSizes == Map("t" -> 10L, "x" -> 6L))
+    assert(store.attrs == Map("title" -> "spec"))
+    assert(store.inferChunks == Map("t" -> 4, "x" -> 6))
+    // coordinate array round-trips through the v3 path too
+    assert(Zarr.readCoord(path, "t").get.sameAs(arange(DType.I64, 10)))
+  }
+
+  test("zarr v3 end-to-end: toZarr(format=3) → fromZarr → identical") {
+    val spark = graft.TestSpark.spark
+    val path = tmpStore() + "/v3store"
+    val xds = graft.api.XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    xds.toZarr(path, compressor = Some("gzip"), zarrFormat = 3)
+    val back = graft.api.XbeamDataset.fromZarr(spark, path)
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(graft.Fixtures.era5()("temperature")._2))
+    assert(c.vars("precip").arr.sameAs(graft.Fixtures.era5()("precip")._2))
+  }
+
   test("misaligned region write is rejected (race prevention, zarr.py:517-587)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
