@@ -462,7 +462,12 @@ object XbeamDataset {
     val wanted: Set[String] = key.varsSet.getOrElse(template.vars.keySet)
     spec.source match {
       case ZarrSource(path) =>
-        ArrayChunk(template.vars.filter(kv => wanted(kv._1)).map { case (name, vs) =>
+        // per-variable parallel IO — the reference's thread-pooled
+        // per-variable chunk load (ThreadMap, threadmap.py:34-124;
+        // core.py:528-530). CPU decode is trivial next to object-store
+        // latency, so variables of one chunk fetch concurrently.
+        val vars = template.vars.filter(kv => wanted(kv._1)).toSeq
+        def readVar(name: String, vs: VarSpec): (String, VarArray) = {
           val meta = Zarr.readArrayMeta(path, name)
           val starts = vs.dims.map { d =>
             spec.offset.getOrElse(d, 0L) + ranges.get(d).map(_._1.toLong).getOrElse(0L)
@@ -471,7 +476,18 @@ object XbeamDataset {
             ranges.get(d).map(_._2).getOrElse(meta.shape(i).toInt)
           }.toArray
           name -> VarArray(vs.dims, Zarr.readRegion(path, name, meta, starts, lens))
-        })
+        }
+        val read =
+          if (vars.lengthCompare(1) <= 0) vars.map(kv => readVar(kv._1, kv._2))
+          else {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Await.result(
+              Future.traverse(vars)(kv => Future(readVar(kv._1, kv._2))),
+              Duration.Inf)
+          }
+        ArrayChunk(read.toMap)
       case LocalSource(vars) =>
         ArrayChunk(vars.filter(kv => wanted(kv._1)).map { case (name, (dims, arr)) =>
           val starts = dims.zipWithIndex.map { case (d, _) =>

@@ -150,6 +150,74 @@ object VectorOps {
           FROM scored)
         WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
+    // ---------------------------------------------------------------- e05
+    // IVF (inverted-file) ANN: K=8 deterministic centroids (the first 8
+    // vectors), every vector assigned to its max-cosine cell in one
+    // narrow pass against the BROADCAST centroid table; queries probe
+    // their nprobe=2 nearest cells and rank neighbors cell-locally.
+    // This is the second scale path next to e03's LSH: candidate
+    // generation is a join on cell id (shuffle bounded by cell
+    // population), never a cross join. Ties break on ascending id
+    // everywhere, and cosines are the same sequential double fold as
+    // the oracle, so ranks agree bit-exactly.
+    QueryDef(
+      "e05_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+        val scoredCells = e.join(broadcast(cents))
+          .withColumn("c_score",
+            expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"c_score".desc, $"cent_id")
+        val ranked = scoredCells.withColumn("crank", row_number().over(wAssign))
+        val assign = ranked.filter($"crank" === 1)
+          .select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+                  $"nrm".as("m_nrm"), $"cent_id".as("cell_id"))
+        val probes = ranked.filter($"vec_id" < 10 && $"crank" <= 2)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                  $"nrm".as("q_nrm"), $"cent_id".as("cell_id"))
+        val cand = probes.join(assign, Seq("cell_id"))
+          .filter($"m_id" =!= $"q_id")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "m_emb")) / ($"q_nrm" * $"m_nrm"))
+        val wTop = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")
+        cand.withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"m_id".as("neighbor_id"),
+                  $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                  FROM e WHERE vec_id < 8),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ${dotDuck("e.embedding", "cents.c_emb")} / (e.nrm * cents.c_nrm) DESC,
+                            cents.cent_id) AS crank
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id AS m_id, embedding AS m_emb, nrm AS m_nrm,
+                          cent_id AS cell_id
+                   FROM ranked WHERE crank = 1),
+        probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+                          cent_id AS cell_id
+                   FROM ranked WHERE vec_id < 10 AND crank <= 2),
+        cand AS (
+          SELECT q_id, m_id,
+                 ${dotDuck("q_emb", "m_emb")} / (q_nrm * m_nrm) AS cosine
+          FROM probes JOIN assign USING (cell_id)
+          WHERE m_id <> q_id)
+        SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, m_id) AS rank
+          FROM cand)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ---------------------------------------------------------------- e04
     // Embedding near-duplicate pairs: exact cosine above threshold
     // (0.40 sits between p99.9 ≈ 0.38 and max ≈ 0.51 on this corpus).

@@ -47,9 +47,13 @@ object XbeamQueries {
       s"event_id div $W AS t", s"event_id % $W AS x",
       "user_id AS uid", "CAST(floor(value) AS DOUBLE) AS vf")
 
+  /** events row count per sf dir, cached: the grid shape is a plan-time
+    * constant, so 11 chunk queries shouldn't each pay a count job. */
+  private val nRows = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** rows → distributed chunk assembly, chunked {t:16, x:16}. */
   private def gridXds(s: SparkSession, dir: String): XbeamDataset = {
-    val n = t(s, dir, "events").count()
+    val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
     TabularBridge.fromDataFrame(gridDf(s, dir), s,
       dims = Seq("t" -> n / W, "x" -> W),
       vars = Seq("uid" -> DType.I64, "vf" -> DType.F64),
