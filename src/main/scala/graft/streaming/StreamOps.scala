@@ -5,7 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
 import graft.queries.QueryDef
+
+/** Open-session state for streaming sessionization (s02). */
+final case class SessionState(sid: Long, startUs: Long, endUs: Long, n: Long)
+/** One finalized session. */
+final case class SessionOut(user_id: Long, sid: Long, start_us: Long,
+                            end_us: Long, n_events: Long)
 
 /** Structured Streaming surface. The reference is bounded-batch only
   * (every source is a BoundedSource, range_source.py:29 — SURVEY §2.9),
@@ -45,6 +53,13 @@ object StreamOps {
       "s01_stream_hourly_windows",
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // streaming aggregation keeps one state store per shuffle
+        // partition per micro-batch; the window×type key space is tiny,
+        // so a handful of state partitions cuts checkpoint IO ~4x
+        // (state partitioning is fixed at stream start, independent of
+        // the batch setting we restore below)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val stream = s.readStream.schema(eventsSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
@@ -56,9 +71,27 @@ object StreamOps {
           .select(unix_micros(col("window.start")).as("hour_start_us"),
                   col("event_type"), col("n_events"), col("sum_value"))
         val name = "s01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        // checkpoint on tmpfs when available: the bounded demo run has
+        // no recovery story to preserve, so state-commit fsyncs are
+        // pure overhead (a production job points this at durable
+        // storage)
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
         val q = stream.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
         s.table(name).orderBy("hour_start_us", "event_type")
       },
       Some("""
@@ -68,6 +101,104 @@ object StreamOps {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM ev
         WHERE hour_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
-        GROUP BY 1, 2 ORDER BY hour_start_us, event_type"""))
+        GROUP BY 1, 2 ORDER BY hour_start_us, event_type""")),
+
+    // ---------------------------------------------------------------- s02
+    // Stateful sessionization: per-user sessions with a 30-minute
+    // inactivity gap via flatMapGroupsWithState + EventTimeTimeout —
+    // the arbitrary-state streaming surface. Sessions closed by a later
+    // in-stream event emit immediately; each user's open tail session
+    // emits only when the event-time timeout fires (watermark past
+    // end + gap, millisecond precision — the oracle replicates both
+    // rules, including the ms floor).
+    QueryDef(
+      "s02_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val gapUs = 30L * 60 * 1000000
+        val stream = s.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "0 seconds")
+          // the watermarked event-time column must flow into the
+          // stateful operator for EventTimeTimeout to engage
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"ts")
+          .as[(Long, Long, java.sql.Timestamp)]
+        val sessions = stream.groupByKey(_._1)
+          .flatMapGroupsWithState[SessionState, SessionOut](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (uid: Long, events: Iterator[(Long, Long, java.sql.Timestamp)],
+             state: GroupState[SessionState]) =>
+              if (state.hasTimedOut) {
+                val st = state.get
+                state.remove()
+                Iterator(SessionOut(uid, st.sid, st.startUs, st.endUs, st.n))
+              } else {
+                // events within a batch arrive unordered — sessionize in
+                // event-time order, resuming from any open session
+                val ts = events.map(_._2).toArray.sorted
+                val closed = Seq.newBuilder[SessionOut]
+                var cur = state.getOption.orNull
+                ts.foreach { t =>
+                  cur match {
+                    case null => cur = SessionState(1L, t, t, 1L)
+                    case st if t - st.endUs > gapUs =>
+                      closed += SessionOut(uid, st.sid, st.startUs, st.endUs, st.n)
+                      cur = SessionState(st.sid + 1, t, t, 1L)
+                    case st =>
+                      cur = st.copy(endUs = math.max(st.endUs, t), n = st.n + 1)
+                  }
+                }
+                state.update(cur)
+                // fire once the watermark (ms precision) passes end + gap
+                state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000)
+                closed.result().iterator
+              }
+          }
+        val name = "s02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("user_id", "sid")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        m AS (SELECT user_id, ts_us,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        sess AS (SELECT user_id, ts_us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m),
+        agg AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                       min(ts_us) AS start_us, max(ts_us) AS end_us,
+                       count(*) AS n_events
+                FROM sess GROUP BY 1, 2),
+        mx AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY user_id),
+        gm AS (SELECT max(ts_us) AS max_us FROM e)
+        SELECT a.user_id, a.sid, a.start_us, a.end_us, a.n_events
+        FROM agg a JOIN mx USING (user_id), gm
+        WHERE a.sid < mx.max_sid
+           OR a.end_us // 1000 + 1800000 < gm.max_us // 1000
+        ORDER BY a.user_id, a.sid"""))
   )
 }
