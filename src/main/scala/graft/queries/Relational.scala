@@ -82,8 +82,9 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber""")),
 
     // ---------------------------------------------------------------- q03
-    // Fact-to-dim join: customer is small → broadcast; no shuffle of the
-    // fact side beyond the aggregation.
+    // Fact joins: lineitem⋈orders is big-big → shuffle hash join on the
+    // key (AQE upgrades to broadcast at runtime when a side is small,
+    // as it is at test scale); only bounded dims get explicit hints.
     QueryDef(
       "q03_segment_revenue",
       (s, dir) => {
@@ -91,8 +92,8 @@ object Relational {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        l.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .groupBy($"c_mktsegment")
           .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"),
                count(lit(1)).as("n_items"))
@@ -108,8 +109,9 @@ object Relational {
         ORDER BY c_mktsegment""")),
 
     // ---------------------------------------------------------------- q04
-    // TPC-H Q5 shape: 5-way join; all dims broadcast, lineitem never
-    // shuffled pre-aggregation.
+    // TPC-H Q5 shape: 5-way join. nation/region are bounded-cardinality
+    // dims → explicit broadcast; orders/customer scale with the data →
+    // shuffle joins that AQE converts to broadcast when actually small.
     QueryDef(
       "q04_region_nation_revenue",
       (s, dir) => {
@@ -119,8 +121,8 @@ object Relational {
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
-        l.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
@@ -144,7 +146,7 @@ object Relational {
         import s.implicits._
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        l.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_custkey")
           .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"))
           .orderBy($"revenue".desc, $"o_custkey".asc)
