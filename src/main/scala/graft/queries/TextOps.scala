@@ -483,6 +483,66 @@ object TextOps {
                                 (a, b) -> a + b) % 256 AS BIGINT) AS checksum,
                CAST(list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
                                 (a, b) -> a + b) AS DOUBLE) / length(text) AS mean_byte
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- m02
+    // Multimodal frame pipeline: payload as a fake "video" (16-byte
+    // frames = 4x4 gray images), typed metadata struct, then the real
+    // batch shape of a media pipeline — per-partition iteration, frame
+    // sampling (every 4th), STUB decode, 2x2 mean-pool "resize",
+    // per-doc feature summary. Every arithmetic step is an integer sum
+    // followed by one double division, replicated exactly in the
+    // oracle, so features are bit-identical. Real codecs would slot in
+    // at the decode step without touching the Spark plumbing.
+    QueryDef(
+      "m02_multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        val bin = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val nFrames = bytes.length / 16
+            if (nFrames < 1) Iterator.empty
+            else {
+              val sampled = (0 until nFrames).filter(_ % 4 == 0)
+              def pool(f: Int, q: Int): Double = {
+                // 2x2 mean pool of the 4x4 row-major frame; quadrant q
+                val base = f * 16 + (q / 2) * 8 + (q % 2) * 2
+                ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+                  (bytes(base + 4) & 0xff) + (bytes(base + 5) & 0xff)) / 4.0
+              }
+              def frameMean(f: Int): Double =
+                (pool(f, 0) + pool(f, 1) + pool(f, 2) + pool(f, 3)) / 4.0
+              val means = sampled.map(frameMean)
+              Iterator((id, nFrames.toLong, sampled.length.toLong,
+                pool(sampled.head, 0), means.sum / means.length))
+            }
+          }
+        }.toDF("doc_id", "n_frames", "n_sampled", "first_pool", "mean_pooled")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id,
+                          list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+                          length(text) // 16 AS n_frames
+                   FROM documents),
+        f AS (SELECT doc_id, bytes, n_frames,
+                     list_filter(range(0, n_frames), j -> j % 4 = 0) AS sampled
+              FROM b WHERE n_frames >= 1),
+        p AS (SELECT doc_id, bytes, n_frames, sampled,
+                     list_transform(sampled, j ->
+                       ((bytes[j*16+1] + bytes[j*16+2] + bytes[j*16+5] + bytes[j*16+6]) / 4.0
+                      + (bytes[j*16+3] + bytes[j*16+4] + bytes[j*16+7] + bytes[j*16+8]) / 4.0
+                      + (bytes[j*16+9] + bytes[j*16+10] + bytes[j*16+13] + bytes[j*16+14]) / 4.0
+                      + (bytes[j*16+11] + bytes[j*16+12] + bytes[j*16+15] + bytes[j*16+16]) / 4.0) / 4.0) AS means
+              FROM f)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(len(sampled) AS BIGINT) AS n_sampled,
+               (bytes[sampled[1]*16+1] + bytes[sampled[1]*16+2]
+              + bytes[sampled[1]*16+5] + bytes[sampled[1]*16+6]) / 4.0 AS first_pool,
+               list_reduce(means, (a, b) -> a + b) / len(means) AS mean_pooled
+        FROM p ORDER BY doc_id"""))
   )
 }

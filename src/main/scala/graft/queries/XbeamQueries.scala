@@ -264,6 +264,22 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x"""))
+        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x12
+    // The cost-model-planned multi-stage mean (MultiStageMean,
+    // combiners.py:295-394) end-to-end: same semantics as x03's
+    // single-shuffle mean — integer-valued sums make the staged
+    // reduction bit-exact — but reduced through the FanoutPlanner's
+    // staged combiner tree.
+    QueryDef(
+      "x12_mean_multistage",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).meanMultiStage(Set("x"))).orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY t ORDER BY t"""))
   )
 }
