@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.kryo.classesToRegister", GraftKryo.classes)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercise whole-stage codegen, the shuffle path,
@@ -22,6 +23,8 @@ object Bench {
       r.withColumn("rn",
         row_number().over(Window.partitionBy(col("i") % 7).orderBy(col("i"))))
         .filter(col("rn") === 1).count()
+      r.groupBy(md5(col("i").cast("string")).as("k")).count()
+        .orderBy(col("k")).count()
       graft.queries.Tables.t(spark, sfDir, "region").count()
       graft.queries.Tables.t(spark, sfDir, "events").count()
     }

@@ -280,6 +280,30 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM grid GROUP BY t ORDER BY t"""))
+        FROM grid GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x13
+    // split-vars end to end: per-variable chunks from the scan (one
+    // chunk per (key, var) — the reference's split_vars mode and the
+    // policy rechunk uses internally, dataset.py:1022-1024), a
+    // non-multiple rechunk executed per variable, then an explicit
+    // ConsolidateVariables shuffle merges the variable set back before
+    // the bridge.
+    QueryDef(
+      "x13_splitvars_rechunk",
+      (s, dir) => {
+        import graft.operators.ChunkTransforms
+        val store = zarrPath("x13", dir)
+        gridXds(s, dir).toZarr(store)
+        val xds = XbeamDataset.fromZarr(s, store, splitVars = true)
+          .rechunk(Map("t" -> 24, "x" -> 10))
+        val merged = ChunkTransforms.consolidateVariables(xds.chunkDataset)
+        val out = XbeamDataset.fromPairs(s, xds.template, xds.chunkSizes,
+          merged, validate = false)
+        TabularBridge.toDataFrame(out).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
   )
 }
