@@ -342,34 +342,54 @@ final class XbeamDataset private (
     * exactly like the reference's region writes (zarr.py:248-251).
     * Chunk offsets must align to the stored chunk grid
     * (validate_zarr_chunk, zarr.py:517-587). */
+  /** `zarrShards` (v3 only): per-dim shard element counts — the stored
+    * chunks become INNER chunks packed into sharding_indexed shard
+    * files (Dataset.to_zarr's zarr_chunks/zarr_shards surface,
+    * dataset.py:754-866). Shards must be whole multiples of chunks, and
+    * in-memory chunks whole multiples of shards (whole-shard writes,
+    * same no-race rule as chunk writes). */
   def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
-             compressor: Option[String] = None, zarrFormat: Int = 2): Unit = {
+             compressor: Option[String] = None, zarrFormat: Int = 2,
+             zarrShards: Map[String, Int] = Map.empty): Unit = {
     val stored = if (zarrChunks.isEmpty) chunkSizes
       else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
+    val shardGrid: Map[String, Int] =
+      if (zarrShards.isEmpty) Map.empty
+      else template.dimOrder.map { d =>
+        val sh = zarrShards.getOrElse(d, stored(d))
+        require(sh % stored(d) == 0,
+          s"zarr shard $sh for dim $d is not a multiple of zarr chunk ${stored(d)}")
+        d -> sh
+      }.toMap
+    // writes go in units of the chunk grid (shards when sharded)
+    val writeUnit = if (shardGrid.isEmpty) stored else shardGrid
     template.dimOrder.foreach { d =>
-      require(chunkSizes(d) % stored(d) == 0,
+      require(chunkSizes(d) % writeUnit(d) == 0,
         s"in-memory chunk ${chunkSizes(d)} for dim $d is not a multiple of " +
-          s"zarr chunk ${stored(d)} (sub-chunk writes would race, zarr.py:560-587)")
+          s"zarr ${if (shardGrid.isEmpty) "chunk" else "shard"} ${writeUnit(d)} " +
+          "(sub-unit writes would race, zarr.py:560-587)")
     }
-    Zarr.setupStore(path, template, stored, compressor, zarrFormat)
+    Zarr.setupStore(path, template, stored, compressor, zarrFormat, shardGrid)
     val tmpl = template
     val comp = compressor.map {
       case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
       case c => c
     }
+    val sharded = shardGrid.nonEmpty
     chunkDataset.foreach { p: Pair =>
       val (key, chunk) = p
       chunk.vars.foreach { case (name, va) =>
         val spec = tmpl.vars(name)
         val meta = Zarr.ArrayMeta(
-          spec.dims.map(tmpl.dimSizes), spec.dims.map(stored),
+          spec.dims.map(tmpl.dimSizes), spec.dims.map(writeUnit),
           spec.dtype, spec.dims, comp,
           if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0,
-          format = zarrFormat)
+          format = zarrFormat,
+          shardChunks = if (sharded) Some(spec.dims.map(stored)) else None)
         val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
         starts.zip(va.dims).foreach { case (st, d) =>
-          require(st % stored(d) == 0,
-            s"chunk offset $st for dim $d is not a multiple of zarr chunk ${stored(d)}")
+          require(st % writeUnit(d) == 0,
+            s"chunk offset $st for dim $d is not a multiple of zarr write unit ${writeUnit(d)}")
         }
         Zarr.writeRegion(path, name, meta, starts, va.arr)
       }

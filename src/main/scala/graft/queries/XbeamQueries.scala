@@ -251,13 +251,17 @@ object XbeamQueries {
 
     // ---------------------------------------------------------------- x11
     // Zarr v3 sink + source (zarr.json metadata, c/-prefixed chunk
-    // keys, gzip codec), driven through the same pipeline as x04:
-    // variable pruning + head pushdown over a v3 store.
+    // keys, gzip codec) with sharding_indexed: 8x16 inner chunks packed
+    // two-per-shard into 16x16 shard files (offset/nbytes index +
+    // crc32c). Driven through the same pipeline as x04: variable
+    // pruning + head pushdown over the sharded v3 store.
     QueryDef(
       "x11_zarr_v3_roundtrip",
       (s, dir) => {
         val store = zarrPath("x11", dir)
-        gridXds(s, dir).toZarr(store, compressor = Some("gzip"), zarrFormat = 3)
+        gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 8),
+          compressor = Some("gzip"), zarrFormat = 3,
+          zarrShards = Map("t" -> 16))
         TabularBridge.toDataFrame(
           XbeamDataset.fromZarr(s, store).select(Set("vf")).head("t", 9))
           .orderBy("t", "x")

@@ -34,11 +34,15 @@ object Zarr {
   private val mapper = new ObjectMapper()
 
   /** Metadata of one stored array. `format` is the zarr spec version
-    * (2 or 3); `keySep` only applies to v3 chunk keys. */
+    * (2 or 3); `keySep` only applies to v3 chunk keys. When
+    * `shardChunks` is set (v3 sharding_indexed), `chunks` is the SHARD
+    * shape — the unit addressed by chunk keys — and `shardChunks` the
+    * inner chunk shape encoded inside each shard file. */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
                              fillValue: Double, format: Int = 2,
-                             keySep: String = "/")
+                             keySep: String = "/",
+                             shardChunks: Option[Seq[Int]] = None)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -171,22 +175,29 @@ object Zarr {
         Option(cke.get("configuration")).flatMap(c => Option(c.get("separator")))
           .map(_.asText).getOrElse("/")
     }
-    val codecs = za.get("codecs")
     var compressor: Option[String] = None
-    (0 until codecs.size).foreach { i =>
-      codecs.get(i).get("name").asText match {
-        case "bytes" =>
-          val cfg = codecs.get(i).get("configuration")
-          val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
-            .map(_.asText).getOrElse("little")
-          require(endian == "little", s"unsupported endian $endian for $name")
-        case "gzip" => compressor = Some("gzip")
-        case "sharding_indexed" => throw new IllegalArgumentException(
-          s"zarr v3 sharding is not supported (array $name)")
-        case other => throw new IllegalArgumentException(
-          s"unsupported v3 codec $other for $name")
+    var shardChunks: Option[Seq[Int]] = None
+    def scanCodecs(codecs: JsonNode): Unit =
+      (0 until codecs.size).foreach { i =>
+        codecs.get(i).get("name").asText match {
+          case "bytes" =>
+            val cfg = codecs.get(i).get("configuration")
+            val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
+              .map(_.asText).getOrElse("little")
+            require(endian == "little", s"unsupported endian $endian for $name")
+          case "gzip" => compressor = Some("gzip")
+          case "sharding_indexed" =>
+            val cfg = codecs.get(i).get("configuration")
+            val cs = cfg.get("chunk_shape")
+            shardChunks = Some((0 until cs.size).map(cs.get(_).asInt))
+            val loc = Option(cfg.get("index_location")).map(_.asText).getOrElse("end")
+            require(loc == "end", s"unsupported index_location $loc for $name")
+            scanCodecs(cfg.get("codecs"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported v3 codec $other for $name")
+        }
       }
-    }
+    scanCodecs(za.get("codecs"))
     val dimNames = za.get("dimension_names") match {
       case null => if (shape.length == 1) Seq(name)
         else throw new IllegalArgumentException(s"array $name lacks dimension_names")
@@ -203,7 +214,100 @@ object Zarr {
       case n => n.asDouble
     }
     ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
-      compressor, fill, format = 3, keySep = keySep)
+      compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks)
+  }
+
+  // ------------------------------------------------------- v3 sharding
+  // sharding_indexed layout: concatenated encoded inner chunks followed
+  // by the index — per inner chunk (C order over the inner grid) two
+  // little-endian uint64s (offset, nbytes), MAX_VALUE/MAX_VALUE when
+  // absent — and a little-endian crc32c of the index bytes at the file
+  // end (index_location: "end").
+
+  private val ShardMissing = -1L // 0xFFFFFFFFFFFFFFFF as signed
+
+  private def innerGrid(meta: ArrayMeta): Array[Int] = {
+    val inner = meta.shardChunks.get
+    meta.chunks.indices.map(d => meta.chunks(d) / inner(d)).toArray
+  }
+
+  private def crc32c(bytes: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes)
+    c.getValue.toInt
+  }
+
+  /** Decode one shard file into a dense (padded) shard block. */
+  private def readShard(f: java.nio.file.Path, meta: ArrayMeta): NdArray = {
+    val inner = meta.shardChunks.get
+    val grid = innerGrid(meta)
+    val nInner = grid.map(_.toLong).product.toInt
+    val out = NdArray.fill(meta.dtype, meta.chunks.toArray, meta.fillValue)
+    if (!Files.exists(f)) return out
+    val all = Files.readAllBytes(f)
+    val idxLen = nInner * 16
+    require(all.length >= idxLen + 4, s"truncated shard file $f")
+    val idx = java.util.Arrays.copyOfRange(all, all.length - idxLen - 4,
+      all.length - 4)
+    val storedCrc = java.nio.ByteBuffer.wrap(all, all.length - 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    require(storedCrc == crc32c(idx), s"shard index crc mismatch in $f")
+    val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val innerIdx = new Array[Int](grid.length)
+    (0 until nInner).foreach { flat =>
+      val off = bb.getLong(flat * 16)
+      val len = bb.getLong(flat * 16 + 8)
+      if (off != ShardMissing && len != ShardMissing) {
+        var bytes = java.util.Arrays.copyOfRange(all, off.toInt, (off + len).toInt)
+        if (meta.compressor.contains("gzip")) bytes = gunzip(bytes)
+        val block = NdArray(meta.dtype, inner.toArray, bytes)
+        out.insert(innerIdx.zipWithIndex.map { case (ci, d) => ci * inner(d) },
+          block)
+      }
+      // C-order odometer over the inner grid
+      var k = grid.length - 1
+      var carry = true
+      while (k >= 0 && carry) {
+        innerIdx(k) += 1
+        if (innerIdx(k) == grid(k)) { innerIdx(k) = 0; k -= 1 } else carry = false
+      }
+    }
+    out
+  }
+
+  /** Encode a dense (padded) shard block into a shard file. */
+  private def writeShard(f: java.nio.file.Path, meta: ArrayMeta,
+                         block: NdArray): Unit = {
+    val inner = meta.shardChunks.get
+    val grid = innerGrid(meta)
+    val nInner = grid.map(_.toLong).product.toInt
+    val body = new ByteArrayOutputStream()
+    val idx = java.nio.ByteBuffer.allocate(nInner * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val innerIdx = new Array[Int](grid.length)
+    (0 until nInner).foreach { _ =>
+      val starts = innerIdx.zipWithIndex.map { case (ci, d) => ci * inner(d) }
+      val chunkArr = block.slice(starts, inner.toArray)
+      var bytes = chunkArr.data
+      if (meta.compressor.contains("gzip")) bytes = gzip(bytes)
+      idx.putLong(body.size.toLong)
+      idx.putLong(bytes.length.toLong)
+      body.write(bytes)
+      var k = grid.length - 1
+      var carry = true
+      while (k >= 0 && carry) {
+        innerIdx(k) += 1
+        if (innerIdx(k) == grid(k)) { innerIdx(k) = 0; k -= 1 } else carry = false
+      }
+    }
+    val idxBytes = idx.array()
+    body.write(idxBytes)
+    val crc = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc32c(idxBytes)).array()
+    body.write(crc)
+    Option(f.getParent).foreach(Files.createDirectories(_))
+    Files.write(f, body.toByteArray, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
   }
 
   private[sources] def dtypeToV3(dt: DType): String = dt match {
@@ -278,6 +382,7 @@ object Zarr {
   private def readBlock(path: String, name: String, meta: ArrayMeta,
                         blockIdx: Array[Long]): NdArray = {
     val f = blockPath(path, name, meta, blockIdx)
+    if (meta.shardChunks.isDefined) return readShard(f, meta)
     val blockShape = meta.chunks.toArray
     if (!Files.exists(f)) return NdArray.fill(meta.dtype, blockShape, meta.fillValue)
     var bytes = Files.readAllBytes(f)
@@ -306,8 +411,10 @@ object Zarr {
     * (setup_zarr, zarr.py:389-459). Executors only region-write after
     * this. */
   def setupStore(path: String, template: Template, chunks: Map[String, Int],
-                 compressor: Option[String] = None, zarrFormat: Int = 2): Unit = {
+                 compressor: Option[String] = None, zarrFormat: Int = 2,
+                 shards: Map[String, Int] = Map.empty): Unit = {
     require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2 or 3")
+    require(shards.isEmpty || zarrFormat == 3, "zarr shards require zarr_format 3")
     val root = Paths.get(path)
     Files.createDirectories(root)
     if (zarrFormat == 2) {
@@ -327,7 +434,10 @@ object Zarr {
       val shape = spec.dims.map(dimSizes)
       val ch = spec.dims.map(d => chunks.getOrElse(d,
         math.min(dimSizes(d), Int.MaxValue).toInt))
-      writeArrayMeta(path, name, shape, ch, spec.dtype, spec.dims, comp, zarrFormat)
+      val sh = if (shards.isEmpty) None
+        else Some(spec.dims.zip(ch).map { case (d, c) => shards.getOrElse(d, c) })
+      writeArrayMeta(path, name, shape, ch, spec.dtype, spec.dims, comp,
+        zarrFormat, sh)
     }
     template.coords.foreach { case (dim, arr) =>
       writeArrayMeta(path, dim, Seq(arr.shape(0).toLong), Seq(arr.shape(0)),
@@ -347,7 +457,10 @@ object Zarr {
 
   def writeArrayMeta(path: String, name: String, shape: Seq[Long], chunks: Seq[Int],
                      dtype: DType, dims: Seq[String],
-                     compressor: Option[String], zarrFormat: Int = 2): Unit = {
+                     compressor: Option[String], zarrFormat: Int = 2,
+                     shards: Option[Seq[Int]] = None): Unit = {
+    require(shards.isEmpty || zarrFormat == 3,
+      "zarr shards require zarr_format 3")
     val dir = Paths.get(path, name)
     Files.createDirectories(dir)
     val fill = dtype match {
@@ -365,17 +478,33 @@ object Zarr {
       writeJson(dir.resolve(".zattrs"),
         s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
     } else {
-      val codecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
+      val innerCodecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
         (compressor match {
           case Some("gzip") | Some("zlib") =>
             Seq("""{"name":"gzip","configuration":{"level":1}}""")
           case None => Nil
           case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
         })
+      val codecs = shards match {
+        case None => innerCodecs
+        case Some(sh) =>
+          require(sh.length == chunks.length)
+          sh.zip(chunks).foreach { case (s, c) =>
+            require(s % c == 0,
+              s"shard shape $sh must be a whole multiple of chunk shape $chunks")
+          }
+          Seq(s"""{"name":"sharding_indexed","configuration":{""" +
+            s""""chunk_shape":[${chunks.mkString(",")}],""" +
+            s""""codecs":[${innerCodecs.mkString(",")}],""" +
+            s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],""" +
+            s""""index_location":"end"}}""")
+      }
+      // with shards, the chunk grid addresses SHARDS
+      val gridShape = shards.getOrElse(chunks)
       writeJson(dir.resolve("zarr.json"),
         s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
           s""""data_type":"${dtypeToV3(dtype)}",""" +
-          s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+          s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${gridShape.mkString(",")}]}},""" +
           s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
           s""""fill_value":$fill,"codecs":[${codecs.mkString(",")}],""" +
           s""""dimension_names":[${dims.map(d => "\"" + d + "\"").mkString(",")}],""" +
@@ -433,6 +562,8 @@ object Zarr {
 
   private def writeBlock(path: String, name: String, meta: ArrayMeta,
                          blockIdx: Array[Long], block: NdArray): Unit = {
+    if (meta.shardChunks.isDefined)
+      return writeShard(blockPath(path, name, meta, blockIdx), meta, block)
     val bytes = meta.compressor match {
       case Some("zlib") => deflate(block.data)
       case Some("gzip") => gzip(block.data)

@@ -97,6 +97,42 @@ class ZarrSpec extends AnyFunSuite {
     assert(Zarr.readCoord(path, "t").get.sameAs(arange(DType.I64, 10)))
   }
 
+  test("zarr v3 sharding_indexed: shard files + index roundtrip") {
+    val path = tmpStore()
+    // inner chunks 2x3 packed into 4x6 shards (2x2 inner grid per shard)
+    Zarr.setupStore(path, template, Map("t" -> 2, "x" -> 3), Some("gzip"),
+      zarrFormat = 3, shards = Map("t" -> 4, "x" -> 6))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.format == 3)
+    assert(meta.chunks == Seq(4, 6), "chunk grid addresses shards")
+    assert(meta.shardChunks.contains(Seq(2, 3)))
+    assert(meta.compressor.contains("gzip"))
+    val data = arange(DType.F64, 10, 6)
+    // whole-shard region writes: [0,4), [4,8), [8,10) (edge shard)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data.slice(Array(0, 0), Array(8, 6)))
+    Zarr.writeRegion(path, "v", meta, Array(8L, 0L), data.slice(Array(8, 0), Array(2, 6)))
+    assert(Files.exists(java.nio.file.Paths.get(path, "v", "c", "0", "0")))
+    assert(Files.exists(java.nio.file.Paths.get(path, "v", "c", "2", "0")))
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6)).sameAs(data))
+    // sub-shard read crossing shard and inner-chunk boundaries
+    assert(Zarr.readRegion(path, "v", meta, Array(3L, 2L), Array(6, 3)).sameAs(
+      data.slice(Array(3, 2), Array(6, 3))))
+  }
+
+  test("zarr v3 sharded end-to-end: toZarr(shards) → fromZarr → identical") {
+    val spark = graft.TestSpark.spark
+    val path = tmpStore() + "/v3shards"
+    val xds = graft.api.XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    xds.toZarr(path, zarrChunks = Map("time" -> 2), compressor = Some("gzip"),
+      zarrFormat = 3, zarrShards = Map("time" -> 4))
+    val back = graft.api.XbeamDataset.fromZarr(spark, path)
+    assert(back.chunkSizes("time") == 4) // stored grid = shards
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(graft.Fixtures.era5()("temperature")._2))
+    assert(c.vars("precip").arr.sameAs(graft.Fixtures.era5()("precip")._2))
+  }
+
   test("zarr v3 end-to-end: toZarr(format=3) → fromZarr → identical") {
     val spark = graft.TestSpark.spark
     val path = tmpStore() + "/v3store"
