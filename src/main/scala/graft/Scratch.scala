@@ -159,6 +159,39 @@ object Scratch {
       time("d04 cand")(cand)
     }
 
+    if (names("d06")) {
+      time("d06 current")(SparkEntry.queries("d06_simhash_neardup_pairs")(spark, dir))
+      // variant: fp via collect_list + aggregate expr, then 7-block banding
+      val wd = t(spark, dir, "documents")
+        .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
+        .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
+      val fp = wd.groupBy($"doc_id", $"lang")
+        .agg(collect_list($"h").as("hs"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 31), cast(0 AS bigint), (acc, b) ->
+            |  acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+            |             THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END)""".stripMargin))
+        .select($"doc_id", $"lang", $"simhash")
+      time("d06 fp-arr")(fp)
+      val bands = fp.select($"doc_id", $"lang", $"simhash",
+        posexplode(expr(
+          """transform(sequence(0, 6), b ->
+            |  CASE WHEN b < 4 THEN shiftright(simhash, 5 * b) & 31
+            |       ELSE shiftright(simhash, 20 + (b - 4) * 4) & 15 END)""".stripMargin)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band" === $"b.band" &&
+          $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+                $"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(sh_a ^ sh_b) AS bigint)"))
+        .filter($"hamming" <= 6)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
+      time("d06 banded")(cand)
+    }
+
     if (names("q12")) {
       val ev = t(spark, dir, "events")
       time("events count")(ev)
