@@ -66,9 +66,16 @@ final class XbeamDataset private (
     val dimSizes = tmpl.dimSizes
     val total = ChunkGrid.totalChunks(chunks, dimSizes)
     val sv = splitVars
+    // the reference's per-operator metric counters (core.py:533-535) as
+    // named accumulators — visible in the Spark UI under the same names
+    val readChunks = spark.sparkContext.longAccumulator("graft.read-chunks")
+    val readBytes = spark.sparkContext.longAccumulator("graft.read-bytes")
     val base = spark.range(total).map { i =>
       val key = ChunkGrid.keyForIndex(i, dimOrder, chunks, dimSizes)
-      (key, XbeamDataset.readChunk(spec, tmpl, chunks, key))
+      val chunk = XbeamDataset.readChunk(spec, tmpl, chunks, key)
+      readChunks.add(1L)
+      readBytes.add(chunk.nbytes)
+      (key, chunk)
     }
     if (sv) base.flatMap { p: Pair => ChunkOps.splitVariables(p._1, p._2) }
     else base
@@ -106,6 +113,15 @@ final class XbeamDataset private (
       case (d, s) => if (d == dim) (d, newLen) else (d, s)
     }), chunkSizes, splitVars, spec)
   }
+
+  /** Multi-dim head, reference-style (`head(time=5, lat=2)`,
+    * dataset.py:1105-1121). */
+  def head(dims: (String, Long)*): XbeamDataset =
+    dims.foldLeft(this) { case (d, (k, n)) => d.head(k, n) }
+
+  /** Multi-dim tail (dataset.py:1123-1133). */
+  def tail(dims: (String, Long)*): XbeamDataset =
+    dims.foldLeft(this) { case (d, (k, n)) => d.tail(k, n) }
 
   /** Last `n` elements along `dim` (dataset.py:1123-1133). */
   def tail(dim: String, n: Long): XbeamDataset = {
@@ -376,8 +392,12 @@ final class XbeamDataset private (
       case c => c
     }
     val sharded = shardGrid.nonEmpty
+    val writeChunks = spark.sparkContext.longAccumulator("graft.write-chunks")
+    val writeBytes = spark.sparkContext.longAccumulator("graft.write-bytes")
     chunkDataset.foreach { p: Pair =>
       val (key, chunk) = p
+      writeChunks.add(1L)
+      writeBytes.add(chunk.nbytes)
       chunk.vars.foreach { case (name, va) =>
         val spec = tmpl.vars(name)
         val meta = Zarr.ArrayMeta(

@@ -35,6 +35,25 @@ final case class Template(dims: Seq[(String, Long)],
       coords -- remove,
       attrs)
 
+  /** Replace dimension sizes and/or coordinates
+    * (replace_template_dims, zarr.py:150-226): a plain size replacement
+    * drops the dim's now-stale coordinate; a coordinate replacement
+    * sets both the coord and the size from the array length. Handy for
+    * growing a single-chunk template to the full output shape. */
+  def replaceDims(sizes: Map[String, Long] = Map.empty,
+                  newCoords: Map[String, NdArray] = Map.empty): Template = {
+    val coordSizes = newCoords.map { case (d, arr) => d -> arr.shape(0).toLong }
+    val unknown = (sizes.keySet ++ newCoords.keySet) -- dims.map(_._1).toSet
+    require(unknown.isEmpty, s"replaceDims: unknown dims $unknown")
+    Template(
+      dims.map { case (d, s) =>
+        d -> sizes.getOrElse(d, coordSizes.getOrElse(d, s))
+      },
+      vars,
+      (coords -- sizes.keySet) ++ newCoords,
+      attrs)
+  }
+
   def selectVars(names: Set[String]): Template = {
     val missing = names -- vars.keySet
     require(missing.isEmpty, s"template does not have variables $missing")
