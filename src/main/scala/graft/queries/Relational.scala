@@ -442,6 +442,32 @@ object Relational {
                max(o_totalprice) AS max_price, count(*) AS n,
                min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
                max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q18
+    // Exact grouped quantiles (linearly interpolated): l_quantity is
+    // integer-valued, so a + (b-a)*f at f in {.25,.5,.75} is a small
+    // dyadic rational — bit-identical across engines regardless of the
+    // interpolation formula's algebraic form. Spark's percentile is the
+    // exact (sort-based) algorithm, not the approximate sketch.
+    QueryDef(
+      "q18_quantity_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+               expr("percentile(l_quantity, 0.5)").as("p50"),
+               expr("percentile(l_quantity, 0.75)").as("p75"),
+               count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -46,6 +46,20 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(df.filter("time = 7 AND latitude = 2").count() == 6)
   }
 
+  test("connector reads v3 sharded stores transparently") {
+    val dir = Files.createTempDirectory("zarr_dsv2_v3").toString + "/store"
+    XbeamDataset.fromLocal(spark, Fixtures.era5(), chunks = Map("time" -> 4))
+      .toZarr(dir, zarrChunks = Map("time" -> 2), compressor = Some("gzip"),
+        zarrFormat = 3, zarrShards = Map("time" -> 4))
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.count() == 360)
+    assert(df.filter("time < 4").rdd.getNumPartitions == 1) // shard-grid pruning
+    val viaBridge = TabularBridge.toDataFrame(XbeamDataset.fromZarr(spark, dir))
+      .orderBy("time", "latitude", "longitude").collect()
+    assert(df.orderBy("time", "latitude", "longitude").collect()
+      .sameElements(viaBridge))
+  }
+
   test("column pruning reaches the store read") {
     val dir = writeStore()
     val df = spark.read.format("zarr").load(dir).select("time", "precip")
