@@ -170,6 +170,17 @@ final class XbeamDataset private (
     * even rescalings and dim sizes must rescale integrally
     * (_infer_new_chunks, dataset.py:202-233); keys rescale offsets by
     * the same ratio (_apply_to_each_chunk, dataset.py:335-358). */
+  /** mapBlocks with an explicitly declared result template and chunking
+    * — the reference's `template=` escape hatch for functions whose
+    * output shape inference can't derive (map_blocks signature,
+    * dataset.py:880-899). Keys are kept as-is; the caller declares the
+    * truth and per-chunk validation enforces it downstream. */
+  def mapBlocks(f: ArrayChunk => ArrayChunk, newTemplate: Template,
+                newChunks: Map[String, Int]): XbeamDataset =
+    withPlan(newTemplate,
+      ChunkGrid.normalizeChunks(newChunks, newTemplate.dimSizes), splitVars,
+      chunkDataset.map { p: Pair => (p._1, f(p._2)) })
+
   def mapBlocks(f: ArrayChunk => ArrayChunk): XbeamDataset = {
     val dimSizes = template.dimSizes
     val dummyShape = template.dimOrder.map(d =>
@@ -247,6 +258,17 @@ final class XbeamDataset private (
       template.combinedItemsize(splitVars),
       default = Some(ChunkSpec.parse(byteTarget)),
       previousChunks = chunkSizes))
+
+  /** Rechunk from a full per-dim [[ChunkSpec]] map — exact counts, -1,
+    * and byte targets may mix, like the reference's dict form
+    * `{'time': -1, ...: '100MB'}` (dataset.py:98-108). */
+  def rechunkSpecs(specs: Map[String, ChunkSpec],
+                   default: Option[ChunkSpec] = None,
+                   maxMem: Long = 1L << 30): XbeamDataset =
+    rechunk(ChunkGrid.normalizeChunkSpecs(
+      specs, template.dimSizes, template.dimOrder,
+      template.combinedItemsize(splitVars), default,
+      previousChunks = chunkSizes), maxMem)
 
   def rechunk(newChunks: Map[String, Int],
               maxMem: Long = 1L << 30): XbeamDataset = {

@@ -468,6 +468,30 @@ object Relational {
                quantile_cont(l_quantity, 0.5) AS p50,
                quantile_cont(l_quantity, 0.75) AS p75,
                count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q19
+    // PIVOT: returnflag rows x linestatus columns of exact counts —
+    // the wide-format reshape surface. The pivot key set is declared
+    // (O, F), so the plan is a plain grouped aggregation with
+    // conditional counts; no second pass to discover columns.
+    QueryDef(
+      "q19_pivot_status",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnRenamed("O", "n_open")
+          .withColumnRenamed("F", "n_filled")
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -46,11 +46,12 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTable.schemaFor(pathOf(options))
+    ZarrTable.schemaFor(pathOf(options), options.getBoolean("coords", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new ZarrTable(properties.get("path"))
+    new ZarrTable(properties.get("path"),
+      "true".equalsIgnoreCase(properties.getOrDefault("coords", "false")))
 }
 
 object ZarrTable {
@@ -59,33 +60,44 @@ object ZarrTable {
     case _ => LongType
   }
 
-  def schemaFor(path: String): StructType = {
+  /** With `coords=true`, each dim that has a stored coordinate array
+    * additionally projects a `<dim>_coord` column carrying the
+    * coordinate VALUE at that index — how xarray users address data. */
+  def schemaFor(path: String, coords: Boolean = false): StructType = {
     val store = Zarr.openStore(path)
     val dims = store.template.dimOrder
     val vars = store.template.vars.keys.toSeq.sorted
+    val coordCols =
+      if (!coords) Seq.empty
+      else dims.filter(store.coordVars.contains).map { d =>
+        StructField(s"${d}_coord",
+          sparkTypeOf(store.coordVars(d).dtype), nullable = false)
+      }
     StructType(
       dims.map(d => StructField(d, LongType, nullable = false)) ++
+        coordCols ++
         vars.map(v => StructField(v,
           sparkTypeOf(store.template.vars(v).dtype), nullable = false)))
   }
 }
 
-class ZarrTable(path: String) extends Table with SupportsRead {
+class ZarrTable(path: String, coords: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrTable.schemaFor(path)
+  override def schema(): StructType = ZarrTable.schemaFor(path, coords)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path)
+    new ZarrScanBuilder(path, coords)
 }
 
-class ZarrScanBuilder(path: String)
+class ZarrScanBuilder(path: String, coords: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
   private val store = Zarr.openStore(path)
   private val dimOrder = store.template.dimOrder
-  private var required: StructType = ZarrTable.schemaFor(path)
+  private var required: StructType = ZarrTable.schemaFor(path, coords)
   private var pushed: Array[Filter] = Array.empty
   // per-dim inclusive global-index bounds from pushed predicates
   private var bounds: Map[String, (Long, Long)] = Map.empty
@@ -185,16 +197,28 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
   }.toArray
   private val total: Long = lens.map(_.toLong).product
 
-  // which output column is which: dim index or variable array
+  // which output column is which: dim index, dim coordinate, or
+  // variable array
   private val fields = required.fields
   private val dimPos: Array[Int] = fields.map(f => dimOrder.indexOf(f.name))
-  private val varArrays: Array[graft.ndarray.NdArray] = fields.map { f =>
-    if (dimOrder.contains(f.name)) null
-    else {
-      val meta = Zarr.readArrayMeta(path, f.name)
-      // variable dims follow the template's dim order in this store
-      Zarr.readRegion(path, f.name, meta, offsets, lens)
-    }
+  private val coordOf: Array[Int] = fields.map { f =>
+    if (f.name.endsWith("_coord")) dimOrder.indexOf(f.name.stripSuffix("_coord"))
+    else -1
+  }
+  private val coordArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
+    case (f, i) =>
+      if (coordOf(i) < 0) null
+      else Zarr.readCoord(path, f.name.stripSuffix("_coord")).getOrElse(
+        throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
+  }
+  private val varArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
+    case (f, i) =>
+      if (dimOrder.contains(f.name) || coordOf(i) >= 0) null
+      else {
+        val meta = Zarr.readArrayMeta(path, f.name)
+        // variable dims follow the template's dim order in this store
+        Zarr.readRegion(path, f.name, meta, offsets, lens)
+      }
   }
   private val isFloat: Array[Boolean] = fields.map(_.dataType == DoubleType)
 
@@ -209,6 +233,10 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
     while (c < fields.length) {
       vals(c) =
         if (dimPos(c) >= 0) offsets(dimPos(c)) + idx(dimPos(c))
+        else if (coordOf(c) >= 0) {
+          val gi = offsets(coordOf(c)) + idx(coordOf(c))
+          if (isFloat(c)) coordArrays(c).getDouble(gi) else coordArrays(c).getLong(gi)
+        }
         else if (isFloat(c)) varArrays(c).getDouble(flat)
         else varArrays(c).getLong(flat)
       c += 1

@@ -131,6 +131,33 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(a.vars("temperature").arr.allClose(ref.vars("temperature").arr, 1e-12))
   }
 
+  test("mapBlocks with declared template skips inference (dataset.py:880-899)") {
+    import graft.core.{Template, VarSpec}
+    val xds = era5ds()
+    val declared = Template(xds.template.dims,
+      Map("t2" -> VarSpec(Seq("time", "latitude", "longitude"), DType.F64)),
+      Map.empty, Map.empty)
+    val out = xds.mapBlocks(c => ArrayChunk(Map("t2" ->
+      VarArray(Seq("time", "latitude", "longitude"),
+        c.vars("temperature").arr.mapF64(_ * 2)))),
+      declared, xds.chunkSizes)
+    val (_, c) = out.collectConsolidated()
+    assert(c.vars("t2").arr.sameAs(
+      Fixtures.era5()("temperature")._2.mapF64(_ * 2)))
+  }
+
+  test("rechunkSpecs mixes exact, full and byte-target dims") {
+    import graft.core.ChunkSpec
+    val xds = era5ds(Map("time" -> 1))
+    val re = xds.rechunkSpecs(
+      Map("time" -> ChunkSpec.Full),
+      default = Some(ChunkSpec.parse("960B"))) // 60 elems over lat x lon
+    assert(re.chunkSizes("time") == 12)
+    assert(re.chunkSizes("latitude") == 5 && re.chunkSizes("longitude") == 6)
+    val (_, c) = re.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+  }
+
   test("byte-target rechunk resolves against combined itemsize") {
     val xds = era5ds(Map("time" -> 1))
     // era5 fixture: temperature+precip f64 → 16B per grid element; dims

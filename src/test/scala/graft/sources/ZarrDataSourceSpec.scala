@@ -60,6 +60,23 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       .sameElements(viaBridge))
   }
 
+  test("coords option projects coordinate values alongside indices") {
+    import graft.ndarray.{DType, NdArray}
+    val dir = Files.createTempDirectory("zarr_dsv2_coords").toString + "/store"
+    XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      coords = Map("time" -> NdArray.fromDoubles(DType.I64, Array(12),
+        Array.tabulate(12)(_ * 100.0))),
+      chunks = Map("time" -> 4)).toZarr(dir)
+    val df = spark.read.format("zarr").option("coords", "true").load(dir)
+    assert(df.columns.contains("time_coord"))
+    val rows = df.select("time", "time_coord").distinct()
+      .orderBy("time").collect()
+    assert(rows.length == 12)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(0) * 100))
+    // default schema unchanged
+    assert(!spark.read.format("zarr").load(dir).columns.contains("time_coord"))
+  }
+
   test("column pruning reaches the store read") {
     val dir = writeStore()
     val df = spark.read.format("zarr").load(dir).select("time", "precip")
