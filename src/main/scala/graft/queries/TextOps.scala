@@ -324,6 +324,84 @@ object TextOps {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- d07
+    // Dedup resolution: near-dup pairs (d03's shingle-Jaccard edges) →
+    // connected components → one canonical survivor per component (min
+    // doc_id). This is the decision step of a dedup pipeline: iterative
+    // min-label propagation, each round one join + one aggregation,
+    // converging in O(component diameter) rounds (near-dup clusters are
+    // shallow; a driver-side fixpoint check caps the loop). At 100 TB
+    // this is the standard alternating-star shape — never a collect of
+    // edges. The oracle computes the same components via a recursive
+    // reachability CTE.
+    QueryDef(
+      "d07_dedup_components",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val sh = shingled(s, dir).withColumn("sz", expr("size(shingles)"))
+        val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
+          explode($"shingles").as("str"))
+          .withColumn("h", expr("xxhash64(str)")).drop("str")
+        val pairs = tok.as("a").join(tok.as("b"),
+            $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
+            $"a.doc_id" < $"b.doc_id" &&
+            abs($"a.n_chars" - $"b.n_chars") <= 50)
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+                   $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter".cast("double") /
+            ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
+          .select($"id_a", $"id_b")
+        // materialize the edge list once — every propagation round
+        // would otherwise re-execute the whole pair pipeline
+        val edges = pairs.select($"id_a".as("u"), $"id_b".as("v"))
+          .union(pairs.select($"id_b".as("u"), $"id_a".as("v")))
+          .localCheckpoint()
+        var labels = edges.select($"u".as("doc_id")).distinct()
+          .withColumn("label", $"doc_id")
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          val msgs = edges
+            .join(labels.withColumnRenamed("doc_id", "v")
+              .withColumnRenamed("label", "nlabel"), Seq("v"))
+            .groupBy($"u".as("doc_id"))
+            .agg(min($"nlabel").as("minN"))
+          val next = labels.join(msgs, Seq("doc_id"), "left")
+            .select($"doc_id",
+              least($"label", coalesce($"minN", $"label")).as("label"))
+            .localCheckpoint() // cut the growing lineage each round
+          changed = next.as("n").join(labels.as("o"), "doc_id")
+            .filter($"n.label" =!= $"o.label").count()
+          labels = next
+          rounds += 1
+        }
+        require(changed == 0, s"component labels did not converge in $rounds rounds")
+        labels.select($"doc_id", $"label".as("component_id"),
+            ($"doc_id" === $"label").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        ${DUCK_SHINGLE_CTE.replace("WITH w", "WITH RECURSIVE w")},
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                               AND abs(a.n_chars - b.n_chars) <= 50)
+          WHERE jaccard >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS doc_id FROM edges),
+        reach AS (
+          SELECT doc_id, doc_id AS r FROM verts
+          UNION
+          SELECT reach.doc_id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r)
+        SELECT doc_id, min(r) AS component_id, doc_id = min(r) AS keep
+        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- t01
     // Language/content scoring: deterministic marker-count heuristic
     // (replace-and-measure occurrence counting), argmax with fixed tie
