@@ -218,6 +218,54 @@ object VectorOps {
           FROM cand)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ---------------------------------------------------------------- e06
+    // Symmetric int8 scalar quantization per vector (scale = max|x|/127,
+    // round-half-up) + exact reconstruction-error stats — the embedding
+    // compression step of a 100 TB vector pipeline (4x smaller payloads
+    // before any index build). The scale is lambda-bound once (see
+    // TextOps SHINGLES_SPARK note) and every arithmetic step is the
+    // same double op sequence in the oracle, so errors are bit-exact.
+    QueryDef(
+      "e06_embedding_quantize",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "embeddings")
+          .selectExpr("vec_id",
+            """element_at(transform(array(
+              |  greatest(array_max(transform(embedding, x -> abs(cast(x AS double)))) / 127.0D, 1e-30D)),
+              |  sc -> struct(sc AS scale,
+              |    transform(embedding, x -> cast(floor(cast(x AS double) / sc + 0.5D) AS bigint)) AS q)), 1) AS qz""".stripMargin,
+            "embedding")
+          .selectExpr("vec_id", "qz.scale AS scale", "qz.q AS q", "embedding")
+          .selectExpr("vec_id", "scale",
+            "zip_with(embedding, q, (x, qv) -> cast(x AS double) - qv * scale) AS err")
+          .selectExpr("vec_id", "scale",
+            "vec_dot(err, err) / 64.0D AS mse",
+            "array_max(transform(err, e -> abs(e))) AS max_abs_err")
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH sc AS (
+          SELECT vec_id, embedding,
+                 greatest(list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0, 1e-30) AS scale
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+          FROM sc),
+        e AS (
+          SELECT vec_id, scale,
+                 list_transform(list_zip(embedding, qv),
+                   p -> CAST(p[1] AS DOUBLE) - p[2] * scale) AS err
+          FROM q)
+        SELECT vec_id, scale,
+               list_reduce(list_transform(err, x -> x * x), (a, b) -> a + b) / 64.0 AS mse,
+               list_aggregate(list_transform(err, x -> abs(x)), 'max') AS max_abs_err
+        FROM e ORDER BY vec_id""")),
+
     // ---------------------------------------------------------------- e04
     // Embedding near-duplicate pairs: exact cosine above threshold
     // (0.40 sits between p99.9 ≈ 0.38 and max ≈ 0.51 on this corpus).
