@@ -308,6 +308,19 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x14
+    // Mean.Globally (combiners.py:150-166): the whole grid collapses to
+    // a single origin-keyed scalar chunk per variable — per-chunk
+    // partials, one keyed shuffle, exact integer-valued sums.
+    QueryDef(
+      "x14_mean_global",
+      (s, dir) => TabularBridge.toDataFrame(gridXds(s, dir).meanGlobal()),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid"""))
   )
 }

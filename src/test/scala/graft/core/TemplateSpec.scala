@@ -36,4 +36,16 @@ class TemplateSpec extends AnyFunSuite {
   test("combinedItemsize: 1 for empty vars (dummy uint8, dataset.py:170-177)") {
     assert(tmpl.copy(vars = Map.empty).combinedItemsize(false) == 1L)
   }
+
+  test("ChunkKey.canonical is insertion-order independent (KeyCoder " +
+       "determinism, core.py:228-237)") {
+    val a = ChunkKey(Map("x" -> 5L, "t" -> 0L), Some(Seq("b", "a")))
+    val b = ChunkKey(Map("t" -> 0L) + ("x" -> 5L), Some(Seq("a", "b")))
+    assert(a.canonical == b.canonical)
+    assert(a.canonical == "offsets[t=0,x=5]|vars[a,b]")
+    // vars=None encodes distinctly from vars=all
+    assert(ChunkKey(Map("t" -> 0L), None).canonical == "offsets[t=0]|vars[*]")
+    // withOffsets: negative removes the dim (core.py:163-181)
+    assert(a.withOffsets("x" -> -1L).canonical == "offsets[t=0]|vars[a,b]")
+  }
 }
