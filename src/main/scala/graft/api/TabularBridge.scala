@@ -54,29 +54,31 @@ object TabularBridge {
       val offsets = dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
       val arrs = varNames.map(chunk.vars(_).arr).toArray
       val idx = new Array[Int](shape.length)
-      val out = Vector.newBuilder[Row]
-      var flat = 0L
-      while (flat < n) {
-        val vals = new Array[Any](dims.length + varNames.length)
-        var d = 0
-        while (d < dims.length) { vals(d) = offsets(d) + idx(d); d += 1 }
-        var v = 0
-        while (v < arrs.length) {
-          vals(dims.length + v) =
-            if (isFloat(v)) arrs(v).getDouble(flat) else arrs(v).getLong(flat)
-          v += 1
+      // lazy row iterator — a chunk's rows stream straight into the
+      // downstream operator instead of materializing per-chunk vectors
+      new Iterator[Row] {
+        private var flat = 0L
+        override def hasNext: Boolean = flat < n
+        override def next(): Row = {
+          val vals = new Array[Any](dims.length + varNames.length)
+          var d = 0
+          while (d < dims.length) { vals(d) = offsets(d) + idx(d); d += 1 }
+          var v = 0
+          while (v < arrs.length) {
+            vals(dims.length + v) =
+              if (isFloat(v)) arrs(v).getDouble(flat) else arrs(v).getLong(flat)
+            v += 1
+          }
+          var k = shape.length - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            idx(k) += 1
+            if (idx(k) == shape(k)) { idx(k) = 0; k -= 1 } else carry = false
+          }
+          flat += 1
+          Row.fromSeq(vals.toIndexedSeq)
         }
-        out += Row.fromSeq(vals.toIndexedSeq)
-        // odometer
-        var k = shape.length - 1
-        var carry = true
-        while (k >= 0 && carry) {
-          idx(k) += 1
-          if (idx(k) == shape(k)) { idx(k) = 0; k -= 1 } else carry = false
-        }
-        flat += 1
       }
-      out.result()
     }.toDF()
   }
 
@@ -96,11 +98,15 @@ object TabularBridge {
     val varNames = vars.map(_._1)
     val cols = (dimNames ++ varNames).map(org.apache.spark.sql.functions.col)
     implicit val midEnc = Encoders.tuple(
-      Encoders.STRING, Encoders.scalaLong, ExpressionEncoderHack.doubleArray)
+      Encoders.scalaLong, Encoders.scalaLong, ExpressionEncoderHack.doubleArray)
     val dimsB = dims
     val varsB = vars
     val normB = normalized
-    val keyed: Dataset[(String, Long, Array[Double])] = df.select(cols: _*)
+    val dimSizesB = dimSizes
+    // shuffle key = flat chunk index: an 8-byte key instead of a
+    // per-row canonical string (string keys allocate and hash the dim
+    // names once per ROW — untenable at 10^11 rows)
+    val keyed: Dataset[(Long, Long, Array[Double])] = df.select(cols: _*)
       .map { row =>
         val offsets = dimsB.indices.map { i =>
           val idx = row.getLong(i)
@@ -109,12 +115,14 @@ object TabularBridge {
         }
         // local flat index inside the chunk (row-major over dim order)
         var flat = 0L
+        var chunkIdx = 0L
         dimsB.indices.foreach { i =>
-          val c = normB(dimsB(i)._1)
-          val len = math.min(c.toLong, dimsB(i)._2 - offsets(i))
+          val (d, size) = dimsB(i)
+          val c = normB(d)
+          val len = math.min(c.toLong, size - offsets(i))
           flat = flat * len + (row.getLong(i) - offsets(i))
+          chunkIdx = chunkIdx * ((size + c - 1) / c) + offsets(i) / c
         }
-        val key = ChunkKey(dimsB.map(_._1).zip(offsets).toMap, None)
         val values = varsB.indices.map { v =>
           row.get(dimsB.length + v) match {
             case d: java.lang.Double => d.doubleValue()
@@ -125,11 +133,11 @@ object TabularBridge {
             case other => other.toString.toDouble
           }
         }.toArray
-        (key.canonical, flat, values)
+        (chunkIdx, flat, values)
       }
-    val pairs = keyed.groupByKey(_._1)(Encoders.STRING)
-      .mapGroups { (canonical, it) =>
-        val key = parseCanonical(canonical)
+    val pairs = keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (chunkIdx, it) =>
+        val key = ChunkGrid.keyForIndex(chunkIdx, dimsB.map(_._1), normB, dimSizesB)
         val shape = dimsB.map { case (d, size) =>
           val c = normB(d)
           math.min(c.toLong, size - key.offsets(d)).toInt
@@ -155,18 +163,6 @@ object TabularBridge {
     XbeamDataset.fromPairs(spark, template, normalized, pairs)
   }
 
-  /** Parse the canonical key encoding back into a ChunkKey (offsets
-    * only — fromDataFrame keys carry vars=None). */
-  private def parseCanonical(s: String): ChunkKey = {
-    val inner = s.stripPrefix("offsets[").takeWhile(_ != ']')
-    val offsets =
-      if (inner.isEmpty) Map.empty[String, Long]
-      else inner.split(",").map { kv =>
-        val Array(d, o) = kv.split("=")
-        d -> o.toLong
-      }.toMap
-    ChunkKey(offsets, None)
-  }
 }
 
 /** Encoders for primitive-array tuple members (no built-in factory). */

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 
 import graft.core.{ArrayChunk, ChunkGrid, ChunkKey, ChunkSpec, Template, VarArray, VarSpec}
 import graft.ndarray.{DType, NdArray}
@@ -159,6 +159,9 @@ final class XbeamDataset private (
 
   /** Method-chaining escape hatch (Dataset.pipe, dataset.py:1139-1141). */
   def pipe[T](f: XbeamDataset => T): T = f(this)
+
+  /** Relational view — one row per grid position (TabularBridge). */
+  def toDataFrame: DataFrame = TabularBridge.toDataFrame(this)
 
   // ---------------------------------------------------------- mapBlocks
 

@@ -171,6 +171,19 @@ object ChunkGrid {
     ChunkKey(offsets.result(), None)
   }
 
+  /** Inverse of keyForIndex: a key's flat chunk index, row-major over
+    * dimOrder. A numeric shuffle key where the canonical string would
+    * be allocation-heavy (e.g. per-row in the tabular bridge). */
+  def indexForKey(key: ChunkKey, dimOrder: Seq[String], chunks: Map[String, Int],
+                  dimSizes: Map[String, Long]): Long = {
+    val counts = chunkCounts(chunks, dimSizes)
+    var index = 0L
+    dimOrder.foreach { d =>
+      index = index * counts(d) + key.offsets.getOrElse(d, 0L) / chunks(d)
+    }
+    index
+  }
+
   /** All chunk keys, row-major over dimOrder (driver-side; for tests and
     * small grids — production scans go through keyForIndex). */
   def iterChunkKeys(dimOrder: Seq[String], chunks: Map[String, Int],
