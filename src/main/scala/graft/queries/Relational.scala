@@ -492,6 +492,34 @@ object Relational {
         SELECT l_returnflag,
                count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
                count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q20
+    // Value-based RANGE window frame: per-event trailing-hour activity
+    // per user (frame bounds on epoch micros, not row counts — peers
+    // with equal timestamps share the frame identically in both
+    // engines). Decimal sums keep the sliding aggregate exact.
+    QueryDef(
+      "q20_trailing_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir, "events")
+          .withColumn("ts_us", unix_micros($"ts"))
+          .withColumn("n_hour", count(lit(1)).over(w))
+          .withColumn("sum_hour",
+            sum($"value".cast("decimal(18,6)")).over(w).cast("double"))
+          .select($"event_id", $"user_id", $"n_hour", $"sum_hour")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_hour
+        FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }

@@ -218,6 +218,74 @@ object VectorOps {
           FROM cand)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ---------------------------------------------------------------- e07
+    // ANN quality evaluation: recall@3 of the LSH-bucketed path (e03)
+    // against the exact brute-force baseline (e01's ranking, restricted
+    // to the same query set) — the measurement loop every approximate
+    // index needs before it ships. One row per query with the overlap
+    // count; both engines compose the same two subpipelines.
+    QueryDef(
+      "e07_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+                      s"$BUCKET_SPARK AS bucket")
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                  $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
+        // exact top-3 over everything
+        val exactScored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "embedding")) / ($"q_nrm" * $"nrm"))
+        val wq = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+        val exact = exactScored.withColumn("rank", row_number().over(wq))
+          .filter($"rank" <= 3).select($"q_id", $"vec_id")
+        // LSH top-3 within the query's bucket
+        val lshScored = broadcast(q).join(e,
+            $"vec_id" =!= $"q_id" && $"bucket" === $"q_bucket")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "embedding")) / ($"q_nrm" * $"nrm"))
+        val lsh = lshScored.withColumn("rank", row_number().over(wq))
+          .filter($"rank" <= 3).select($"q_id", $"vec_id")
+        exact.as("x").join(lsh.as("l"), Seq("q_id", "vec_id"), "left_semi")
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+          .join(q.select($"q_id"), Seq("q_id"), "right")
+          .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)).cast("double") / 3.0).as("recall_at_3"))
+          .orderBy($"q_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                          $BUCKET_DUCK AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+                     bucket AS q_bucket FROM e WHERE vec_id < 10),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY ${dotDuck("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) DESC,
+                              e.vec_id) AS rank
+            FROM q JOIN e ON e.vec_id <> q.q_id)
+          WHERE rank <= 3),
+        lsh AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY ${dotDuck("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) DESC,
+                              e.vec_id) AS rank
+            FROM q JOIN e ON e.vec_id <> q.q_id AND e.bucket = q.q_bucket)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT x.q_id, count(*) AS n_hits
+          FROM exact x JOIN lsh l ON x.q_id = l.q_id AND x.vec_id = l.vec_id
+          GROUP BY x.q_id)
+        SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+        ORDER BY q.q_id""")),
+
     // ---------------------------------------------------------------- e06
     // Symmetric int8 scalar quantization per vector (scale = max|x|/127,
     // round-half-up) + exact reconstruction-error stats — the embedding
