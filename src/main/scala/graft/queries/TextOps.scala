@@ -436,6 +436,78 @@ object TextOps {
                count(*) AS n
         FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""")),
 
+    // ---------------------------------------------------------------- t05
+    // Character-bigram profile language ID (Cavnar-Trenkle shape):
+    // per-language profiles = top-20 bigrams by corpus frequency
+    // (deterministic tie order), docs scored by distinct-bigram overlap
+    // with each profile, argmax with ascending-language tiebreak,
+    // summarized as a confusion matrix. Profiles are a tiny dimension
+    // table — the scoring join broadcasts them at any corpus size.
+    QueryDef(
+      "t05_bigram_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val occ = docs.select($"lang", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2))")).as("bg"))
+        val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg")
+        val profiles = occ.groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
+          .withColumn("prank", row_number().over(wProf))
+          .filter($"prank" <= 20)
+          .select($"lang".as("plang"), $"bg")
+        val docBigrams = docs.select($"doc_id", $"lang", explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2)))")).as("bg"))
+        val scores = docBigrams.join(broadcast(profiles), Seq("bg"))
+          .groupBy($"doc_id", $"lang", $"plang")
+          .agg(count(lit(1)).as("score"))
+        val base = docs.select($"doc_id", $"lang")
+          .crossJoin(broadcast(profiles.select($"plang").distinct()))
+        val full = base.join(scores, Seq("doc_id", "lang", "plang"), "left")
+          .withColumn("score", coalesce($"score", lit(0L)))
+        val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+        full.withColumn("brank", row_number().over(wBest))
+          .filter($"brank" === 1)
+          .groupBy($"lang", $"plang".as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some("""
+        WITH occ AS (
+          SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
+                   i -> substr(text, i, 2))) AS bg
+          FROM documents),
+        profiles AS (
+          SELECT lang AS plang, bg FROM (
+            SELECT lang, bg, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY count(*) DESC, bg) AS prank
+            FROM occ GROUP BY lang, bg)
+          WHERE prank <= 20),
+        doc_bg AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
+                   i -> substr(text, i, 2)))) AS bg
+          FROM documents),
+        scores AS (
+          SELECT d.doc_id, d.lang, p.plang, count(*) AS score
+          FROM doc_bg d JOIN profiles p ON d.bg = p.bg
+          GROUP BY 1, 2, 3),
+        base AS (
+          SELECT doc_id, lang, plang
+          FROM documents, (SELECT DISTINCT plang FROM profiles)),
+        allscores AS (
+          SELECT b.doc_id, b.lang, b.plang, coalesce(s.score, 0) AS score
+          FROM base b LEFT JOIN scores s
+            ON s.doc_id = b.doc_id AND s.plang = b.plang),
+        best AS (
+          SELECT doc_id, lang, plang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, plang) AS brank
+            FROM allscores)
+          WHERE brank = 1)
+        SELECT lang, plang AS predicted, count(*) AS n
+        FROM best GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
     // ---------------------------------------------------------------- t02
     // Quality scoring: word stats, stopword ratio, digit ratio, and a
     // deterministic composite score.
