@@ -188,6 +188,33 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
   }
 
+  test("irregular variables: different dim subsets round-trip through zarr " +
+       "(integration_test.py:142-173)") {
+    val spark = graft.TestSpark.spark
+    val v2d = arange(DType.F64, 6, 4)
+    val v1d = arange(DType.F64, 6)
+    val xds = XbeamDataset.fromLocal(spark, Map(
+      "surface" -> (Seq("t", "x"), v2d),
+      "scalar_t" -> (Seq("t"), v1d)),
+      chunks = Map("t" -> 3))
+    val dir = Files.createTempDirectory("irregular").toString + "/store"
+    xds.toZarr(dir)
+    val back = XbeamDataset.fromZarr(spark, dir)
+    assert(back.template.vars("surface").dims == Seq("t", "x"))
+    assert(back.template.vars("scalar_t").dims == Seq("t"))
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("surface").arr.sameAs(v2d))
+    assert(c.vars("scalar_t").arr.sameAs(v1d))
+    // splitVars read of the irregular store keeps per-var dims intact
+    val split = XbeamDataset.fromZarr(spark, dir, splitVars = true)
+    val pairs = split.chunkDataset.collect()
+    assert(pairs.length == 4) // 2 t-chunks x 2 vars
+    pairs.foreach { case (k, ch) =>
+      assert(k.vars.exists(_.length == 1))
+      assert(ch.varNames.size == 1)
+    }
+  }
+
   test("zarr round-trip: toZarr → fromZarr → identical (integration_test.py:68-118)") {
     val path = Files.createTempDirectory("xbeam-zarr").toString + "/store"
     val xds = era5ds(Map("time" -> 4))
