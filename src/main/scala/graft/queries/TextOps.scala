@@ -455,6 +455,8 @@ object TextOps {
           .withColumn("prank", row_number().over(wProf))
           .filter($"prank" <= 20)
           .select($"lang".as("plang"), $"bg")
+        // per-doc DISTINCT bigrams via a narrow array_distinct before the
+        // explode — no extra shuffle (cheaper than occ.distinct())
         val docBigrams = docs.select($"doc_id", $"lang", explode(expr(
           "array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2)))")).as("bg"))
         val scores = docBigrams.join(broadcast(profiles), Seq("bg"))
