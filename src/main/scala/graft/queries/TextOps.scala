@@ -324,6 +324,78 @@ object TextOps {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- m03
+    // Multimodal audio plumbing: payload as fake 8-bit PCM, analyzed in
+    // 64-sample windows per partition — RMS energy (integer
+    // sum-of-squares, one division) and zero crossings against the
+    // 128 midline. The decode step is the STUB a real codec slots
+    // into; the window/batch shape and exact arithmetic are real.
+    QueryDef(
+      "m03_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val bin = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val win = 64
+            val nWin = bytes.length / win
+            if (nWin < 1) Iterator.empty
+            else {
+              var bestW = 0
+              var bestSq = -1L
+              var crossings = 0L
+              var w = 0
+              while (w < nWin) {
+                var sq = 0L
+                var i = 0
+                while (i < win) {
+                  val v = (bytes(w * win + i) & 0xff) - 128
+                  sq += v.toLong * v
+                  if (i > 0) {
+                    val p = (bytes(w * win + i - 1) & 0xff) - 128
+                    if ((p < 0 && v >= 0) || (p >= 0 && v < 0)) crossings += 1
+                  }
+                  i += 1
+                }
+                if (sq > bestSq) { bestSq = sq; bestW = w }
+                w += 1
+              }
+              Iterator((id, nWin.toLong, bestW.toLong,
+                math.sqrt(bestSq.toDouble / win),
+                crossings.toDouble / nWin))
+            }
+          }
+        }.toDF("doc_id", "n_windows", "peak_window", "peak_rms", "zcr_per_window")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id,
+                          list_transform(string_split(text, ''), c -> ascii(c) - 128) AS s,
+                          length(text) // 64 AS n_windows
+                   FROM documents WHERE length(text) // 64 >= 1),
+        w AS (SELECT doc_id, n_windows,
+                     list_transform(range(0, n_windows), w ->
+                       list_reduce(list_transform(range(w*64+1, w*64+65),
+                         i -> CAST(s[i] * s[i] AS BIGINT)), (a, b) -> a + b)) AS sq
+              FROM b),
+        pk AS (SELECT doc_id, n_windows, sq,
+                      list_indexof(sq, list_aggregate(sq, 'max')) - 1 AS peak_window
+               FROM w),
+        zc AS (SELECT doc_id,
+                      len(list_filter(range(0, n_windows * 64),
+                        i -> i % 64 > 0 AND
+                             ((s[i] < 0 AND s[i+1] >= 0) OR (s[i] >= 0 AND s[i+1] < 0))))
+                        AS crossings
+               FROM b)
+        SELECT p.doc_id, CAST(p.n_windows AS BIGINT) AS n_windows,
+               CAST(p.peak_window AS BIGINT) AS peak_window,
+               sqrt(CAST(p.sq[p.peak_window + 1] AS DOUBLE) / 64) AS peak_rms,
+               CAST(z.crossings AS DOUBLE) / p.n_windows AS zcr_per_window
+        FROM pk p JOIN zc z ON z.doc_id = p.doc_id
+        ORDER BY p.doc_id""")),
+
     // ---------------------------------------------------------------- d07
     // Dedup resolution: near-dup pairs (d03's shingle-Jaccard edges) →
     // connected components → one canonical survivor per component (min
