@@ -321,6 +321,33 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM grid"""))
+        FROM grid""")),
+
+    // ---------------------------------------------------------------- x15
+    // Full interop loop: zarr → SQL rows (DataSourceV2 connector, with
+    // a pushed dim predicate) → chunk assembly (fromDataFrame) → chunked
+    // mean over x → rows again. A user can cross between the relational
+    // and tensor worlds in either direction mid-pipeline.
+    QueryDef(
+      "x15_sql_to_chunks",
+      (s, dir) => {
+        val store = zarrPath("x15", dir)
+        val grid = gridXds(s, dir)
+        grid.toZarr(store)
+        val tBound = math.min(40L, grid.template.dimSizes("t"))
+        val rows = s.read.format("zarr").load(store).filter(s"t < $tBound")
+        val xds = TabularBridge.fromDataFrame(rows, s,
+          dims = Seq("t" -> tBound, "x" -> W),
+          vars = Seq("uid" -> DType.I64, "vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.mean(Set("x"))).orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid
+        WHERE t < least(40, (SELECT max(t) + 1 FROM grid))
+        GROUP BY t ORDER BY t"""))
   )
 }
