@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data text pipeline operators over the `documents` table:
-  * deduplication (exact, word/shingle Jaccard, MinHash+LSH, SimHash),
-  * language scoring, quality scoring, token counting, fingerprinting.
+  * deduplication (exact, word/shingle Jaccard, MinHash+LSH, SimHash,
+  * connected-component resolution), language scoring (marker heuristic
+  * and trained bigram profiles), quality scoring, token counting,
+  * fingerprinting, and the multimodal binary-payload pipelines
+  * (image/video/audio-shaped, stub decode).
   *
   * These go beyond the reference's surface (xarray-beam has no text ops)
   * and are designed scale-first: candidate generation is always banded /
