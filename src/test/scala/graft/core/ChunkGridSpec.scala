@@ -38,6 +38,14 @@ class ChunkGridSpec extends AnyFunSuite {
     }
   }
 
+  test("indexForKey inverts keyForIndex over the whole grid") {
+    val chunks = Map("t" -> 3, "x" -> 4)
+    ChunkGrid.iterChunkKeys(Seq("t", "x"), chunks, dims).zipWithIndex.foreach {
+      case (k, i) =>
+        assert(ChunkGrid.indexForKey(k, Seq("t", "x"), chunks, dims) == i.toLong)
+    }
+  }
+
   test("offsetsToRanges clamps the last chunk to the dim edge") {
     val chunks = Map("t" -> 3, "x" -> 4)
     val r = ChunkGrid.offsetsToRanges(ChunkKey("t" -> 9L, "x" -> 4L), chunks, dims)
