@@ -31,6 +31,13 @@ object Bench {
       graft.queries.Tables.all.foreach { n =>
         graft.queries.Tables.t(spark, sfDir, n).count()
       }
+      // count() never materializes column pages; force one cold read of
+      // the wide payload columns so the alphabetically-first text/vector
+      // query (d01/e01) isn't charged for the whole parquet warmup.
+      graft.queries.Tables.t(spark, sfDir, "documents")
+        .select(sum(length(col("text")))).collect()
+      graft.queries.Tables.t(spark, sfDir, "embeddings")
+        .select(sum(size(col("embedding")))).collect()
     }
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

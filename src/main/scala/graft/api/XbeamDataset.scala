@@ -283,7 +283,7 @@ final class XbeamDataset private (
     }
     if (rereadOk)
       return withScan(template, target, splitVars, scan.get)
-    val itemsize = template.vars.values.map(_.dtype.itemsize).max
+    val itemsize = template.combinedItemsize(splitVars)
     val wasSplit = splitVars
     val split =
       if (wasSplit) chunkDataset

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen: the hot path of every similarity-search /
   * ANN / embedding-dedup operator at 100 TB.
   *
-  * Null semantics: null input array or any null element → null.
+  * Null semantics: null input array, any null element, or mismatched
+  * array lengths → null (matching `zip_with`'s null-padding, which
+  * turns a ragged zip into a null product).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,7 +48,8 @@ case class VecDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -68,11 +71,13 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |int $n = $xa.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($xa.isNullAt($i) || $ya.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ${get(xa, left, i)} * ${get(ya, right, i)};
+         |if ($ya.numElements() != $n) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xa.isNullAt($i) || $ya.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(xa, left, i)} * ${get(ya, right, i)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

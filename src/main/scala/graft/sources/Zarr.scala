@@ -18,7 +18,8 @@ import graft.ndarray.{DType, NdArray}
   *   - v3: `zarr.json` node metadata (regular chunk grid, default
   *     chunk-key encoding with "/" or "." separators → `c/0/1` keys),
   *     native `dimension_names`, `bytes`(little-endian) + optional
-  *     `gzip` codecs. Sharding (`sharding_indexed`) is not implemented.
+  *     `gzip` codecs, and `sharding_indexed` shards (read + write,
+  *     crc32c-checked inner-chunk index).
   *
   * C order, little-endian throughout. Mirrors the reference's open_zarr
   * (zarr.py:48-96), setup_zarr (zarr.py:389-459) and region writes
@@ -258,6 +259,12 @@ object Zarr {
       val off = bb.getLong(flat * 16)
       val len = bb.getLong(flat * 16 + 8)
       if (off != ShardMissing && len != ShardMissing) {
+        // uint64 offsets from the index; a ≥2 GiB shard would wrap .toInt
+        // into a garbage slice, so fail loudly instead.
+        require(off >= 0 && len >= 0 && off + len <= all.length &&
+          off + len <= Int.MaxValue,
+          s"shard $f too large or corrupt index: inner chunk at off=$off " +
+            s"len=$len exceeds the 2 GiB single-file read limit")
         var bytes = java.util.Arrays.copyOfRange(all, off.toInt, (off + len).toInt)
         if (meta.compressor.contains("gzip")) bytes = gunzip(bytes)
         val block = NdArray(meta.dtype, inner.toArray, bytes)
