@@ -348,6 +348,25 @@ object XbeamQueries {
                sum(vf) / count(*) AS vf
         FROM grid
         WHERE t < least(40, (SELECT max(t) + 1 FROM grid))
-        GROUP BY t ORDER BY t"""))
+        GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x17
+    // Blosc-compressed store (numcodecs' real-world default: blosc+lz4,
+    // byte shuffle) through the same pushdown pipeline as x04: write
+    // blosc v2 chunks, reopen, prune to one variable, head-slice. The
+    // .zarray carries the standard numcodecs blosc object, so the store
+    // is also openable by zarr-python.
+    QueryDef(
+      "x17_zarr_blosc",
+      (s, dir) => {
+        val store = zarrPath("x17", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("blosc"))
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf")).head("t", 14))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, vf FROM grid WHERE t < 14 ORDER BY t, x"""))
   )
 }

@@ -12,14 +12,15 @@ import graft.ndarray.{DType, NdArray}
 
 /** Zarr store IO, from scratch (no JVM Zarr lib is bundled), v2 and v3:
   *
-  *   - v2: JSON metadata (.zgroup/.zarray/.zattrs/.zmetadata), raw or
-  *     zlib chunk files, '.'-separated chunk names, xarray's
+  *   - v2: JSON metadata (.zgroup/.zarray/.zattrs/.zmetadata), raw,
+  *     zlib, gzip, or blosc chunk files ([[Blosc]] — numcodecs'
+  *     default), '.'-separated chunk names, xarray's
   *     `_ARRAY_DIMENSIONS` convention for dimension names;
   *   - v3: `zarr.json` node metadata (regular chunk grid, default
   *     chunk-key encoding with "/" or "." separators → `c/0/1` keys),
   *     native `dimension_names`, `bytes`(little-endian) + optional
-  *     `gzip` codecs, and `sharding_indexed` shards (read + write,
-  *     crc32c-checked inner-chunk index).
+  *     `gzip`/`blosc` codecs, and `sharding_indexed` shards (read +
+  *     write, crc32c-checked inner-chunk index).
   *
   * C order, little-endian throughout. Mirrors the reference's open_zarr
   * (zarr.py:48-96), setup_zarr (zarr.py:389-459) and region writes
@@ -187,6 +188,7 @@ object Zarr {
               .map(_.asText).getOrElse("little")
             require(endian == "little", s"unsupported endian $endian for $name")
           case "gzip" => compressor = Some("gzip")
+          case "blosc" => compressor = Some("blosc")
           case "sharding_indexed" =>
             val cfg = codecs.get(i).get("configuration")
             val cs = cfg.get("chunk_shape")
@@ -265,8 +267,8 @@ object Zarr {
           off + len <= Int.MaxValue,
           s"shard $f too large or corrupt index: inner chunk at off=$off " +
             s"len=$len exceeds the 2 GiB single-file read limit")
-        var bytes = java.util.Arrays.copyOfRange(all, off.toInt, (off + len).toInt)
-        if (meta.compressor.contains("gzip")) bytes = gunzip(bytes)
+        val bytes = decodeBytes(meta,
+          java.util.Arrays.copyOfRange(all, off.toInt, (off + len).toInt))
         val block = NdArray(meta.dtype, inner.toArray, bytes)
         out.insert(innerIdx.zipWithIndex.map { case (ci, d) => ci * inner(d) },
           block)
@@ -295,8 +297,7 @@ object Zarr {
     (0 until nInner).foreach { _ =>
       val starts = innerIdx.zipWithIndex.map { case (ci, d) => ci * inner(d) }
       val chunkArr = block.slice(starts, inner.toArray)
-      var bytes = chunkArr.data
-      if (meta.compressor.contains("gzip")) bytes = gzip(bytes)
+      val bytes = encodeBytes(meta, chunkArr.data)
       idx.putLong(body.size.toLong)
       idx.putLong(bytes.length.toLong)
       body.write(bytes)
@@ -392,14 +393,7 @@ object Zarr {
     if (meta.shardChunks.isDefined) return readShard(f, meta)
     val blockShape = meta.chunks.toArray
     if (!Files.exists(f)) return NdArray.fill(meta.dtype, blockShape, meta.fillValue)
-    var bytes = Files.readAllBytes(f)
-    meta.compressor match {
-      case Some("zlib") => bytes = inflate(bytes)
-      case Some("gzip") => bytes = gunzip(bytes)
-      case Some(other) => throw new IllegalArgumentException(
-        s"unsupported compressor: $other (supported: null, zlib, gzip)")
-      case None =>
-    }
+    val bytes = decodeBytes(meta, Files.readAllBytes(f))
     NdArray(meta.dtype, blockShape, bytes)
   }
 
@@ -477,6 +471,8 @@ object Zarr {
     if (zarrFormat == 2) {
       val comp = compressor match {
         case Some("zlib") => """{"id":"zlib","level":1}"""
+        case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
+          s"""{"blocksize":0,"clevel":5,"cname":"${bloscCname(c)}","id":"blosc","shuffle":1}"""
         case None => "null"
         case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
       }
@@ -489,6 +485,10 @@ object Zarr {
         (compressor match {
           case Some("gzip") | Some("zlib") =>
             Seq("""{"name":"gzip","configuration":{"level":1}}""")
+          case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
+            Seq(s"""{"name":"blosc","configuration":{"cname":"${bloscCname(c)}",""" +
+              s""""clevel":5,"shuffle":"shuffle","typesize":${dtype.itemsize},""" +
+              s""""blocksize":0}}""")
           case None => Nil
           case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
         })
@@ -571,11 +571,7 @@ object Zarr {
                          blockIdx: Array[Long], block: NdArray): Unit = {
     if (meta.shardChunks.isDefined)
       return writeShard(blockPath(path, name, meta, blockIdx), meta, block)
-    val bytes = meta.compressor match {
-      case Some("zlib") => deflate(block.data)
-      case Some("gzip") => gzip(block.data)
-      case _ => block.data
-    }
+    val bytes = encodeBytes(meta, block.data)
     val f = blockPath(path, name, meta, blockIdx)
     Option(f.getParent).foreach(Files.createDirectories(_))
     Files.write(f, bytes,
@@ -602,6 +598,38 @@ object Zarr {
     rootNode.set[JsonNode]("metadata", metaNode)
     writeJson(root.resolve(".zmetadata"), mapper.writeValueAsString(rootNode))
   }
+
+  /** Decompress one stored chunk per the array's compressor id
+    * ("zlib", "gzip", "blosc"/"blosc:<cname>" or none). Blosc frames
+    * self-describe their inner codec and shuffle filter, so one decode
+    * path serves any blosc store regardless of write-time settings. */
+  private def decodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] =
+    meta.compressor match {
+      case Some("zlib") => inflate(bytes)
+      case Some("gzip") => gunzip(bytes)
+      case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
+        Blosc.decode(bytes)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
+      case None => bytes
+    }
+
+  /** Compress one chunk for storage; inverse of [[decodeBytes]]. */
+  private def encodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] =
+    meta.compressor match {
+      case Some("zlib") => deflate(bytes)
+      case Some("gzip") => gzip(bytes)
+      case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
+        Blosc.encode(bytes, meta.dtype.itemsize, cname = bloscCname(c))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
+      case None => bytes
+    }
+
+  /** "blosc" → lz4 (numcodecs' default cname); "blosc:zstd" etc. select
+    * the inner codec explicitly. */
+  private def bloscCname(c: String): String =
+    if (c.startsWith("blosc:")) c.substring("blosc:".length) else "lz4"
 
   // --------------------------------------------------------------- helpers
 

@@ -61,6 +61,37 @@ class ZarrSpec extends AnyFunSuite {
     assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6)).sameAs(data))
   }
 
+  test("blosc compression roundtrips (v2, lz4 + zstd cnames)") {
+    for (comp <- Seq("blosc", "blosc:zstd")) {
+      val path = tmpStore()
+      Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some(comp))
+      val meta = Zarr.readArrayMeta(path, "v")
+      assert(meta.compressor.contains("blosc"))
+      // the .zarray carries the full numcodecs blosc object
+      val za = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(path, "v", ".zarray")), "UTF-8")
+      assert(za.contains("\"id\":\"blosc\"") && za.contains("\"shuffle\":1"))
+      val data = arange(DType.F64, 10, 6)
+      Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+      assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+        .sameAs(data))
+      val mid = Zarr.readRegion(path, "v", meta, Array(3L, 2L), Array(4, 3))
+      assert(mid.sameAs(data.slice(Array(3, 2), Array(4, 3))))
+    }
+  }
+
+  test("blosc roundtrips through zarr v3 codec metadata") {
+    val path = tmpStore()
+    Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some("blosc"),
+      zarrFormat = 3)
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.format == 3 && meta.compressor.contains("blosc"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
