@@ -286,8 +286,15 @@ object TextOps {
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- d06
-    // SimHash near-dup pairs: hamming distance <= 6 within a language.
-    // (At scale: block on simhash bytes, not the full pair space.)
+    // SimHash near-dup pairs: hamming distance <= 6 within a language,
+    // found by pigeonhole banding — the 32-bit fingerprint splits into
+    // 7 disjoint blocks (5,5,5,5,4,4,4 bits), and <= 6 differing bits
+    // cannot touch all 7 blocks, so every qualifying pair shares at
+    // least one exact block value. Candidate generation is therefore an
+    // equi-join on (block, block_value, lang) — shuffle bounded by
+    // block-value collisions, never the O(n²) pair space — followed by
+    // pair dedup and exact hamming verification. Same result set as the
+    // all-pairs formulation the oracle uses.
     QueryDef(
       "d06_simhash_neardup_pairs",
       (s, dir) => {
@@ -302,11 +309,32 @@ object TextOps {
                count(lit(1)).as("n"))
         val fp = bits.groupBy($"doc_id", $"lang")
           .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
-        fp.as("a").join(fp.as("b"),
-            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
-          .withColumn("hamming", expr("cast(bit_count(a.simhash ^ b.simhash) AS bigint)"))
+        // blocks 0-3: 5 bits at 0,5,10,15; blocks 4-6: 4 bits at 20,24,28
+        val bands = fp
+          .withColumn("blk", explode(expr("sequence(0, 6)")))
+          .withColumn("bval", expr(
+            """shiftright(simhash,
+               |  CASE WHEN blk < 4 THEN blk * 5 ELSE 20 + (blk - 4) * 4 END)
+               |& CASE WHEN blk < 4 THEN 31 ELSE 15 END""".stripMargin))
+        // A pair sharing k blocks comes out of the join k times; keep
+        // only the copy from the FIRST matching block (the xor of the
+        // fingerprints tells us which one that is). Dedup is then a
+        // codegen'd filter in the join stage — no distinct shuffle.
+        bands.as("a").join(bands.as("b"),
+            $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
+              $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+          .withColumn("x", expr("a.simhash ^ b.simhash"))
+          .filter(expr(
+            """a.blk = CASE WHEN (x & 31) = 0 THEN 0
+              |          WHEN (shiftright(x, 5) & 31) = 0 THEN 1
+              |          WHEN (shiftright(x, 10) & 31) = 0 THEN 2
+              |          WHEN (shiftright(x, 15) & 31) = 0 THEN 3
+              |          WHEN (shiftright(x, 20) & 15) = 0 THEN 4
+              |          WHEN (shiftright(x, 24) & 15) = 0 THEN 5
+              |          ELSE 6 END""".stripMargin))
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+            expr("cast(bit_count(x) AS bigint)").as("hamming"))
           .filter($"hamming" <= 6)
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"hamming")
           .orderBy($"id_a", $"id_b")
       },
       Some("""
