@@ -344,32 +344,52 @@ final class XbeamDataset private (
 
   // ------------------------------------------------------------- joins
 
-  /** Co-partitioned zip with an aligned dataset — the multi-dataset
-    * DatasetToChunks (core.py:474-502) generalized: both sides must
-    * share dims/chunks; chunks pair up by key (one co-partitioned
-    * shuffle join on the deterministic key encoding). */
+  /** Co-partitioned zip with an aligned dataset: the 2-way special case
+    * of [[zipAll]]. */
   def zipWith(other: XbeamDataset)(f: (ArrayChunk, ArrayChunk) => ArrayChunk,
-                                   merged: Template): XbeamDataset = {
-    require(template.dimSizes == other.template.dimSizes,
-      s"zip requires identical dims: ${template.dimSizes} vs ${other.template.dimSizes}")
-    require(chunkSizes == other.chunkSizes,
-      s"zip requires identical chunks: $chunkSizes vs ${other.chunkSizes}")
-    implicit val kvEnc = Encoders.kryo[(String, Pair)]
-    // pair on offsets only: the two sides may carry different variable
-    // sets (e.g. after select), exactly like the reference's aligned
-    // multi-dataset zip where position, not contents, matches chunks up.
-    val left = chunkDataset.map { p: Pair => (p._1.copy(vars = None).canonical, p) }
-    val right = other.chunkDataset.map { p: Pair => (p._1.copy(vars = None).canonical, p) }
-    // cogroup on the deterministic canonical key: Spark co-partitions
-    // both sides on the same hash partitioning — one shuffle each side.
-    val out = left.groupByKey(_._1)(Encoders.STRING)
-      .cogroup(right.groupByKey(_._1)(Encoders.STRING)) { (_, ls, rs) =>
-        val l = ls.toSeq
-        val r = rs.toSeq
-        require(l.length == 1 && r.length == 1,
-          s"zip expects exactly one chunk per key per side, got ${l.length}/${r.length}")
-        Iterator((l.head._2._1.copy(vars = None), f(l.head._2._2, r.head._2._2)))
+                                   merged: Template): XbeamDataset =
+    zipAll(Seq(other))(cs => f(cs(0), cs(1)), merged)
+
+  /** N-way co-partitioned zip over aligned datasets — the multi-dataset
+    * DatasetToChunks (core.py:474-502): every later dataset's dims must
+    * appear on this one with the same size (core.py:487-495), chunk
+    * grids must match, and chunks line up by position. `f` receives the
+    * aligned chunks in argument order (this dataset first), exactly the
+    * reference's `(key, [ds1_chunk, ds2_chunk, ...])` element shape.
+    *
+    * One shuffle total: all sides union into a single keyed dataset
+    * (tagged with their argument position) and group on the
+    * deterministic canonical key, so Spark hash-partitions every side
+    * with the same partitioning. */
+  def zipAll(others: Seq[XbeamDataset])(f: Seq[ArrayChunk] => ArrayChunk,
+                                        merged: Template): XbeamDataset = {
+    val all = this +: others
+    others.foreach { o =>
+      o.template.dimSizes.foreach { case (d, n) =>
+        val first = template.dimSizes.get(d)
+        require(first.isDefined,
+          s"dimension $d does not appear on the first dataset")
+        require(first.contains(n),
+          s"dimension $d has an inconsistent size on different datasets: " +
+            s"${first.get} vs $n")
       }
+      require(chunkSizes == o.chunkSizes,
+        s"zip requires identical chunks: $chunkSizes vs ${o.chunkSizes}")
+    }
+    val n = all.length
+    implicit val taggedEnc = Encoders.kryo[(String, Int, Pair)]
+    // pair on offsets only: sides may carry different variable sets
+    // (e.g. after select) — position, not contents, matches chunks up.
+    val tagged = all.zipWithIndex.map { case (ds, i) =>
+      ds.chunkDataset.map { p: Pair => (p._1.copy(vars = None).canonical, i, p) }
+    }.reduce(_ union _)
+    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val chunks = it.toArray.sortBy(_._2)
+      require(chunks.length == n && chunks.map(_._2).distinct.length == n,
+        s"zip expects exactly one chunk per key per dataset, got sides " +
+          s"${chunks.map(_._2).mkString("[", ",", "]")} of $n")
+      (chunks.head._3._1.copy(vars = None), f(chunks.map(_._3._2).toSeq))
+    }
     withPlan(merged, chunkSizes, splitVars, out)
   }
 

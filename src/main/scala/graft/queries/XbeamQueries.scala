@@ -367,6 +367,34 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, vf FROM grid WHERE t < 14 ORDER BY t, x"""))
+        SELECT t, x, vf FROM grid WHERE t < 14 ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x18
+    // N-way aligned zip (the multi-dataset DatasetToChunks list form,
+    // core.py:474-502): three datasets — uid, vf, and a mapBlocks
+    // derivative vf² — zip positionally into one variable through a
+    // single union+group shuffle. Integer-valued doubles keep the
+    // combination exact.
+    QueryDef(
+      "x18_zip_nway",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val a = xds.select(Set("uid"))
+        val b = xds.select(Set("vf"))
+        val c = b.mapBlocks(ch => ch.mapVars { (_, va) =>
+          VarArray(va.dims, va.arr.mapF64(v => v * v))
+        })
+        val merged = a.template.copy(
+          vars = Map("uvw" -> VarSpec(Seq("t", "x"), DType.F64)))
+        val zipped = a.zipAll(Seq(b, c))({ cs =>
+          val sum = cs(0).vars("uid").arr.zipF64(cs(1).vars("vf").arr)(_ + _)
+            .zipF64(cs(2).vars("vf").arr)(_ + _)
+          ArrayChunk(Map("uvw" -> VarArray(Seq("t", "x"), sum)))
+        }, merged)
+        TabularBridge.toDataFrame(zipped).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid + vf + vf * vf AS uvw FROM grid ORDER BY t, x"""))
   )
 }
