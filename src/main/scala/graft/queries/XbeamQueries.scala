@@ -395,6 +395,73 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, uid + vf + vf * vf AS uvw FROM grid ORDER BY t, x"""))
+        SELECT t, x, uid + vf + vf * vf AS uvw FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x16
+    // Datetime-coordinate climatology (examples/era5_climatology.py:
+    // 35-41): the t axis gets a real datetime64[ns] coordinate
+    // (2020-01-01 + 25h steps — the odd stride walks through months
+    // and hours unevenly), persists through a Zarr store, and the
+    // rekey reads calendar month/hour FROM THE COORD ARRAY read back
+    // out of the store — not from integer offsets like x09. Split to
+    // t-slices → rekey (month, hour) → Mean.PerKey over (t, x).
+    // The oracle reconstructs the same timestamps with date_part.
+    QueryDef(
+      "x16_datetime_climatology",
+      (s, dir) => {
+        import ChunkTransforms.{Pair, pairEnc}
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        // persist the coord through a store and read it back: the gate
+        // covers datetime64 coordinate IO, not just the rekey
+        val store = zarrPath("x16", dir)
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        withCoord.toZarr(store)
+        val back = XbeamDataset.fromZarr(s, store)
+        val coordNs = back.template.coords("t").toLongs
+        def calendar(tOff: Long): (Long, Long) = {
+          val ldt = java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochSecond(coordNs(tOff.toInt) / 1000000000L),
+            java.time.ZoneOffset.UTC)
+          (ldt.getMonthValue - 1L, ldt.getHour.toLong)
+        }
+        val slices = ChunkTransforms.splitChunks(back.chunkDataset, Map("t" -> 1))
+        val meaned = ChunkTransforms.mean(slices, dims = Set("t", "x"),
+          skipna = true,
+          rekey = k => {
+            val (month, hour) = calendar(k.offsets.getOrElse("t", 0L))
+            ChunkKey(Map("month" -> month, "hour" -> hour), None)
+          })
+        val expanded = meaned.map { p: Pair =>
+          (p._1, ArrayChunk(p._2.vars.map { case (n, va) =>
+            n -> VarArray(Seq("month", "hour"),
+              NdArray.fromDoubles(DType.F64, Array(1, 1), va.arr.toDoubles))
+          }))
+        }
+        val out = XbeamDataset.fromPairs(s,
+          Template(Seq("month" -> 12L, "hour" -> 24L),
+            Map("uid" -> VarSpec(Seq("month", "hour"), DType.F64),
+                "vf" -> VarSpec(Seq("month", "hour"), DType.F64)),
+            Map.empty, Map.empty),
+          chunks = Map("month" -> 1, "hour" -> 1), expanded)
+        TabularBridge.toDataFrame(out).orderBy("month", "hour")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t) AS ts
+                FROM grid)
+        SELECT date_part('month', ts) - 1 AS month,
+               date_part('hour', ts) AS hour,
+               CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM cal GROUP BY month, hour ORDER BY month, hour"""))
   )
 }
