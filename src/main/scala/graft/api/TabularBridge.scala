@@ -98,7 +98,7 @@ object TabularBridge {
     val varNames = vars.map(_._1)
     val cols = (dimNames ++ varNames).map(org.apache.spark.sql.functions.col)
     implicit val midEnc = Encoders.tuple(
-      Encoders.scalaLong, Encoders.scalaLong, ExpressionEncoderHack.doubleArray)
+      Encoders.scalaLong, Encoders.scalaLong, ExpressionEncoderHack.longArray)
     val dimsB = dims
     val varsB = vars
     val normB = normalized
@@ -106,7 +106,11 @@ object TabularBridge {
     // shuffle key = flat chunk index: an 8-byte key instead of a
     // per-row canonical string (string keys allocate and hash the dim
     // names once per ROW — untenable at 10^11 rows)
-    val keyed: Dataset[(Long, Long, Array[Double])] = df.select(cols: _*)
+    //
+    // Values travel as Array[Long]: integer dtypes carry the raw long
+    // (a via-double path would silently round |v| > 2^53 — e.g.
+    // hash-derived ids), float dtypes carry their IEEE bits.
+    val keyed: Dataset[(Long, Long, Array[Long])] = df.select(cols: _*)
       .map { row =>
         val offsets = dimsB.indices.map { i =>
           val idx = row.getLong(i)
@@ -124,13 +128,24 @@ object TabularBridge {
           chunkIdx = chunkIdx * ((size + c - 1) / c) + offsets(i) / c
         }
         val values = varsB.indices.map { v =>
+          val isFloat = varsB(v)._2 match {
+            case DType.F32 | DType.F64 => true
+            case _ => false
+          }
+          def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
           row.get(dimsB.length + v) match {
-            case d: java.lang.Double => d.doubleValue()
-            case f: java.lang.Float => f.doubleValue()
-            case l: java.lang.Long => l.longValue().toDouble
-            case i: java.lang.Integer => i.intValue().toDouble
-            case null => Double.NaN
-            case other => other.toString.toDouble
+            case l: java.lang.Long =>
+              if (isFloat) bits(l.longValue().toDouble) else l.longValue()
+            case i: java.lang.Integer =>
+              if (isFloat) bits(i.intValue().toDouble) else i.longValue()
+            case d: java.lang.Double =>
+              if (isFloat) bits(d.doubleValue()) else d.doubleValue().toLong
+            case f: java.lang.Float =>
+              if (isFloat) bits(f.doubleValue()) else f.longValue()
+            case null => if (isFloat) bits(Double.NaN) else Double.NaN.toLong
+            case other =>
+              val d = other.toString.toDouble
+              if (isFloat) bits(d) else d.toLong
           }
         }.toArray
         (chunkIdx, flat, values)
@@ -148,8 +163,9 @@ object TabularBridge {
         it.foreach { case (_, flat, values) =>
           varsB.indices.foreach { v =>
             varsB(v)._2 match {
-              case DType.F32 | DType.F64 => arrays(v).setDouble(flat, values(v))
-              case _ => arrays(v).setLong(flat, values(v).toLong)
+              case DType.F32 | DType.F64 => arrays(v).setDouble(flat,
+                java.lang.Double.longBitsToDouble(values(v)))
+              case _ => arrays(v).setLong(flat, values(v))
             }
           }
         }
@@ -168,6 +184,6 @@ object TabularBridge {
 /** Encoders for primitive-array tuple members (no built-in factory). */
 private object ExpressionEncoderHack {
   import org.apache.spark.sql.Encoder
-  val doubleArray: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  val longArray: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -265,4 +265,18 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val (_, c) = back.collectConsolidated()
     assert(c.vars("v").arr.sameAs(arange(DType.F64, 4, 3)))
   }
+
+  test("tabular bridge preserves int64 beyond 2^53 (hash-derived ids)") {
+    import spark.implicits._
+    // values a double cannot hold exactly: Long.MaxValue - k is ~2^63
+    // and adjacent longs there collapse under a via-double path
+    val big = Seq(Long.MaxValue, Long.MaxValue - 1, -Long.MaxValue, 12345L)
+    val df = big.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("t", "id")
+    val xds = TabularBridge.fromDataFrame(df, spark,
+      Seq("t" -> 4L), Seq("id" -> DType.I64), Map("t" -> 2))
+    val out = TabularBridge.toDataFrame(xds).orderBy("t").collect()
+      .map(_.getLong(1)).toSeq
+    assert(out == big, s"int64 values corrupted: $out")
+  }
 }
