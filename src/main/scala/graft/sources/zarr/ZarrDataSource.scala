@@ -211,14 +211,32 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
       else Zarr.readCoord(path, f.name.stripSuffix("_coord")).getOrElse(
         throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
   }
-  private val varArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
-    case (f, i) =>
-      if (dimOrder.contains(f.name) || coordOf(i) >= 0) null
-      else {
-        val meta = Zarr.readArrayMeta(path, f.name)
-        // variable dims follow the template's dim order in this store
-        Zarr.readRegion(path, f.name, meta, offsets, lens)
+  // Variables may order their axes differently from the template (or
+  // span a subset of its dims): each one reads its region in ITS OWN
+  // axis order, and row emission maps the shared dim odometer through
+  // `varDimPos` to index it. `varDimPos(c) == null` marks the fast
+  // path where the variable's layout matches the template's.
+  private val varArrays: Array[graft.ndarray.NdArray] =
+    new Array[graft.ndarray.NdArray](fields.length)
+  private val varDimPos: Array[Array[Int]] = new Array[Array[Int]](fields.length)
+  private val varLens: Array[Array[Int]] = new Array[Array[Int]](fields.length)
+  fields.zipWithIndex.foreach { case (f, i) =>
+    if (!dimOrder.contains(f.name) && coordOf(i) < 0) {
+      val meta = Zarr.readArrayMeta(path, f.name)
+      val pos = meta.dims.map { d =>
+        val p = dimOrder.indexOf(d)
+        require(p >= 0, s"variable ${f.name} has dim $d not in the store's " +
+          s"dimension set ${dimOrder.mkString(",")}")
+        p
+      }.toArray
+      val vOffsets = pos.map(offsets)
+      val vLens = pos.map(lens)
+      varArrays(i) = Zarr.readRegion(path, f.name, meta, vOffsets, vLens)
+      if (!(pos.length == lens.length && pos.zipWithIndex.forall(p => p._1 == p._2))) {
+        varDimPos(i) = pos
+        varLens(i) = vLens
       }
+    }
   }
   private val isFloat: Array[Boolean] = fields.map(_.dataType == DoubleType)
 
@@ -237,8 +255,18 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
           val gi = offsets(coordOf(c)) + idx(coordOf(c))
           if (isFloat(c)) coordArrays(c).getDouble(gi) else coordArrays(c).getLong(gi)
         }
-        else if (isFloat(c)) varArrays(c).getDouble(flat)
-        else varArrays(c).getLong(flat)
+        else {
+          val vflat = if (varDimPos(c) == null) flat else {
+            val pos = varDimPos(c)
+            val vl = varLens(c)
+            var vf = 0L
+            var j = 0
+            while (j < pos.length) { vf = vf * vl(j) + idx(pos(j)); j += 1 }
+            vf
+          }
+          if (isFloat(c)) varArrays(c).getDouble(vflat)
+          else varArrays(c).getLong(vflat)
+        }
       c += 1
     }
     current = new GenericInternalRow(vals)

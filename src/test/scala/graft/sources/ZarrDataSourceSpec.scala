@@ -32,6 +32,41 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("variables with permuted or lower-rank axes read correctly") {
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    import graft.Fixtures.arange
+    val dir = Files.createTempDirectory("zarr_perm").toString + "/store"
+    // store dims (t, x); var a is (t, x), var b is (x, t) — the SAME
+    // logical values transposed — and var c spans only (t)
+    val t = 4; val x = 3
+    val a = arange(DType.F64, t, x)
+    val bT = a.transpose(Array(1, 0)) // (x, t) layout of the same values
+    val c = arange(DType.I64, t)
+    Zarr.setupStore(dir,
+      Template(Seq("t" -> t.toLong, "x" -> x.toLong),
+        Map("a" -> VarSpec(Seq("t", "x"), DType.F64)), Map.empty, Map.empty),
+      Map("t" -> 2, "x" -> 3))
+    Zarr.writeRegion(dir, "a", Zarr.readArrayMeta(dir, "a"), Array(0L, 0L), a)
+    Zarr.writeArrayMeta(dir, "b", Seq(x.toLong, t.toLong), Seq(3, 2),
+      DType.F64, Seq("x", "t"), compressor = None)
+    Zarr.writeRegion(dir, "b", Zarr.readArrayMeta(dir, "b"), Array(0L, 0L), bT)
+    Zarr.writeArrayMeta(dir, "c", Seq(t.toLong), Seq(2), DType.I64, Seq("t"),
+      compressor = None)
+    Zarr.writeRegion(dir, "c", Zarr.readArrayMeta(dir, "c"), Array(0L), c)
+    Zarr.consolidateMetadata(dir)
+    val rows = spark.read.format("zarr").load(dir)
+      .orderBy("t", "x").collect()
+    assert(rows.length == t * x)
+    rows.foreach { r =>
+      val (ti, xi) = (r.getLong(0), r.getLong(1))
+      val av = r.getDouble(r.fieldIndex("a"))
+      assert(av == ti * x + xi, s"a($ti,$xi)")
+      assert(r.getDouble(r.fieldIndex("b")) == av, s"b must transpose back at ($ti,$xi)")
+      assert(r.getLong(r.fieldIndex("c")) == ti, s"c must broadcast over x at ($ti,$xi)")
+    }
+  }
+
   test("dim predicates prune input partitions; results stay exact") {
     val dir = writeStore()
     val df = spark.read.format("zarr").load(dir)
