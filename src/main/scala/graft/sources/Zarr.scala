@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, File}
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.io.ByteArrayOutputStream
 import java.util.zip.{Deflater, Inflater}
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -29,8 +28,11 @@ import graft.ndarray.{DType, NdArray}
   * chunk grid — idempotent under task retry, exactly the property the
   * reference relies on (zarr.py:248-251).
   *
-  * Scale note: paths go through java.nio so local FS works everywhere;
-  * at cluster scale the same layout maps 1:1 onto object-store keys.
+  * Scale note: all IO goes through [[BlobStore]], a whole-blob
+  * object-store interface (local FS today; GCS/S3 slot in via scheme
+  * dispatch). Driver-side store setup batches its many tiny metadata
+  * writes through [[StagedWrites]] — the reference's `stage_locally`
+  * metadata staging (zarr.py:463-513).
   */
 object Zarr {
   private val mapper = new ObjectMapper()
@@ -82,15 +84,12 @@ object Zarr {
   // ------------------------------------------------------------------ read
 
   def openStore(path: String): StoreMeta = {
-    val root = Paths.get(path)
-    require(Files.isDirectory(root), s"not a zarr store: $path")
-    val arrays = Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.isDirectory(p) &&
-        (Files.exists(p.resolve(".zarray")) || Files.exists(p.resolve("zarr.json"))))
-      .map { p =>
-        val name = p.getFileName.toString
-        name -> readArrayMeta(path, name)
-      }.toMap
+    val store = BlobStore.forUrl(path)
+    require(store.isContainer(path), s"not a zarr store: $path")
+    val arrays = store.listChildren(path)
+      .filter(n => store.exists(s"$path/$n/.zarray") ||
+        store.exists(s"$path/$n/zarr.json"))
+      .map(name => name -> readArrayMeta(path, name)).toMap
     val dims = {
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       arrays.toSeq.sortBy(_._1).foreach { case (name, am) =>
@@ -105,12 +104,11 @@ object Zarr {
       m.toSeq
     }
     val attrs = {
-      val zattrs = root.resolve(".zattrs")
-      val v3root = root.resolve("zarr.json")
-      if (Files.exists(zattrs))
-        jsonToAttrs(mapper.readTree(Files.readAllBytes(zattrs)))
-      else if (Files.exists(v3root)) {
-        val n = mapper.readTree(Files.readAllBytes(v3root)).get("attributes")
+      val zattrs = store.readIfExists(s"$path/.zattrs")
+      val v3root = store.readIfExists(s"$path/zarr.json")
+      if (zattrs.isDefined) jsonToAttrs(mapper.readTree(zattrs.get))
+      else if (v3root.isDefined) {
+        val n = mapper.readTree(v3root.get).get("attributes")
         if (n == null) Map.empty[String, String] else jsonToAttrs(n)
       } else Map.empty[String, String]
     }
@@ -118,18 +116,20 @@ object Zarr {
   }
 
   def readArrayMeta(path: String, name: String): ArrayMeta = {
-    val v3File = Paths.get(path, name, "zarr.json")
-    if (Files.exists(v3File)) return readArrayMetaV3(path, name, v3File)
-    val za = mapper.readTree(Files.readAllBytes(Paths.get(path, name, ".zarray")))
-    val attrsFile = Paths.get(path, name, ".zattrs")
+    val store = BlobStore.forUrl(path)
+    val v3Bytes = store.readIfExists(s"$path/$name/zarr.json")
+    if (v3Bytes.isDefined) return readArrayMetaV3(name, v3Bytes.get)
+    val za = mapper.readTree(store.read(s"$path/$name/.zarray"))
     val dims: Seq[String] =
-      if (Files.exists(attrsFile)) {
-        val at = mapper.readTree(Files.readAllBytes(attrsFile))
-        val dn = at.get("_ARRAY_DIMENSIONS")
-        if (dn != null && dn.isArray)
-          (0 until dn.size).map(i => dn.get(i).asText)
-        else Seq.empty
-      } else Seq.empty
+      store.readIfExists(s"$path/$name/.zattrs") match {
+        case Some(bytes) =>
+          val at = mapper.readTree(bytes)
+          val dn = at.get("_ARRAY_DIMENSIONS")
+          if (dn != null && dn.isArray)
+            (0 until dn.size).map(i => dn.get(i).asText)
+          else Seq.empty
+        case None => Seq.empty
+      }
     val shape = (0 until za.get("shape").size).map(i => za.get("shape").get(i).asLong)
     val chunks = (0 until za.get("chunks").size).map(i => za.get("chunks").get(i).asInt)
     val comp = za.get("compressor") match {
@@ -157,9 +157,8 @@ object Zarr {
       comp, fill)
   }
 
-  private def readArrayMetaV3(path: String, name: String,
-                              v3File: java.nio.file.Path): ArrayMeta = {
-    val za = mapper.readTree(Files.readAllBytes(v3File))
+  private def readArrayMetaV3(name: String, v3Bytes: Array[Byte]): ArrayMeta = {
+    val za = mapper.readTree(v3Bytes)
     require(za.get("zarr_format").asInt == 3 &&
       za.get("node_type").asText == "array",
       s"$name/zarr.json is not a v3 array node")
@@ -241,13 +240,14 @@ object Zarr {
   }
 
   /** Decode one shard file into a dense (padded) shard block. */
-  private def readShard(f: java.nio.file.Path, meta: ArrayMeta): NdArray = {
+  private def readShard(store: BlobStore, f: String, meta: ArrayMeta): NdArray = {
     val inner = meta.shardChunks.get
     val grid = innerGrid(meta)
     val nInner = grid.map(_.toLong).product.toInt
     val out = NdArray.fill(meta.dtype, meta.chunks.toArray, meta.fillValue)
-    if (!Files.exists(f)) return out
-    val all = Files.readAllBytes(f)
+    val allOpt = store.readIfExists(f)
+    if (allOpt.isEmpty) return out
+    val all = allOpt.get
     val idxLen = nInner * 16
     require(all.length >= idxLen + 4, s"truncated shard file $f")
     val idx = java.util.Arrays.copyOfRange(all, all.length - idxLen - 4,
@@ -285,7 +285,7 @@ object Zarr {
   }
 
   /** Encode a dense (padded) shard block into a shard file. */
-  private def writeShard(f: java.nio.file.Path, meta: ArrayMeta,
+  private def writeShard(store: BlobStore, f: String, meta: ArrayMeta,
                          block: NdArray): Unit = {
     val inner = meta.shardChunks.get
     val grid = innerGrid(meta)
@@ -313,9 +313,7 @@ object Zarr {
     val crc = java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc32c(idxBytes)).array()
     body.write(crc)
-    Option(f.getParent).foreach(Files.createDirectories(_))
-    Files.write(f, body.toByteArray, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+    store.write(f, body.toByteArray)
   }
 
   private[sources] def dtypeToV3(dt: DType): String = dt match {
@@ -334,17 +332,16 @@ object Zarr {
     case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
   }
 
-  /** Chunk file path for a block index, per format: v2 "0.1", v3
+  /** Chunk blob key for a block index, per format: v2 "0.1", v3
     * "c/0/1" (or "c.0.1" with the "." separator). */
-  private def blockPath(path: String, name: String, meta: ArrayMeta,
-                        blockIdx: Array[Long]): java.nio.file.Path =
+  private def blockKey(path: String, name: String, meta: ArrayMeta,
+                       blockIdx: Array[Long]): String =
     if (meta.format == 2) {
       val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(".")
-      Paths.get(path, name, fname)
+      s"$path/$name/$fname"
     } else {
       val parts = "c" +: blockIdx.toSeq.map(_.toString)
-      if (meta.keySep == "/") Paths.get(path, (name +: parts): _*)
-      else Paths.get(path, name, parts.mkString(meta.keySep))
+      s"$path/$name/${parts.mkString(meta.keySep)}"
     }
 
   /** Read an arbitrary region of a stored array by assembling the
@@ -352,7 +349,12 @@ object Zarr {
     * the padding off). This generality gives rechunk-as-re-read for free
     * (dataset.py:1010-1019). */
   def readRegion(path: String, name: String, meta: ArrayMeta,
-                 starts: Array[Long], lengths: Array[Int]): NdArray = {
+                 starts: Array[Long], lengths: Array[Int]): NdArray =
+    readRegion(BlobStore.forUrl(path), path, name, meta, starts, lengths)
+
+  private def readRegion(store: BlobStore, path: String, name: String,
+                         meta: ArrayMeta, starts: Array[Long],
+                         lengths: Array[Int]): NdArray = {
     val nd = meta.shape.length
     require(starts.length == nd && lengths.length == nd)
     val out = NdArray.zeros(meta.dtype, lengths)
@@ -364,7 +366,7 @@ object Zarr {
     }
     def rec(d: Int, blockIdx: Array[Long]): Unit = {
       if (d == nd) {
-        val block = readBlock(path, name, meta, blockIdx)
+        val block = readBlock(store, path, name, meta, blockIdx)
         // intersection of block extent and requested region, in global coords
         val insStarts = new Array[Int](nd)
         val selStarts = new Array[Int](nd)
@@ -386,23 +388,25 @@ object Zarr {
     out
   }
 
-  /** Read one full (padded) zarr block; missing file → fill value. */
-  private def readBlock(path: String, name: String, meta: ArrayMeta,
-                        blockIdx: Array[Long]): NdArray = {
-    val f = blockPath(path, name, meta, blockIdx)
-    if (meta.shardChunks.isDefined) return readShard(f, meta)
+  /** Read one full (padded) zarr block; missing blob → fill value. */
+  private def readBlock(store: BlobStore, path: String, name: String,
+                        meta: ArrayMeta, blockIdx: Array[Long]): NdArray = {
+    val f = blockKey(path, name, meta, blockIdx)
+    if (meta.shardChunks.isDefined) return readShard(store, f, meta)
     val blockShape = meta.chunks.toArray
-    if (!Files.exists(f)) return NdArray.fill(meta.dtype, blockShape, meta.fillValue)
-    val bytes = decodeBytes(meta, Files.readAllBytes(f))
-    NdArray(meta.dtype, blockShape, bytes)
+    store.readIfExists(f) match {
+      case None => NdArray.fill(meta.dtype, blockShape, meta.fillValue)
+      case Some(raw) => NdArray(meta.dtype, blockShape, decodeBytes(meta, raw))
+    }
   }
 
   def readCoord(path: String, dim: String): Option[NdArray] = {
-    val f = Paths.get(path, dim, ".zarray")
-    val f3 = Paths.get(path, dim, "zarr.json")
-    if (!Files.exists(f) && !Files.exists(f3)) return None
+    val store = BlobStore.forUrl(path)
+    if (!store.exists(s"$path/$dim/.zarray") &&
+      !store.exists(s"$path/$dim/zarr.json")) return None
     val meta = readArrayMeta(path, dim)
-    Some(readRegion(path, dim, meta, Array(0L), Array(meta.shape.head.toInt)))
+    Some(readRegion(store, path, dim, meta, Array(0L),
+      Array(meta.shape.head.toInt)))
   }
 
   // ----------------------------------------------------------------- write
@@ -416,14 +420,16 @@ object Zarr {
                  shards: Map[String, Int] = Map.empty): Unit = {
     require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2 or 3")
     require(shards.isEmpty || zarrFormat == 3, "zarr shards require zarr_format 3")
-    val root = Paths.get(path)
-    Files.createDirectories(root)
+    // All setup writes (dozens of tiny metadata blobs + eager coords)
+    // stage in memory and flush to the target in one batch — the
+    // stage_locally metadata optimization (zarr.py:463-513).
+    val store = new StagedWrites(BlobStore.forUrl(path))
     if (zarrFormat == 2) {
-      writeJson(root.resolve(".zgroup"), """{"zarr_format":2}""")
+      writeJson(store, s"$path/.zgroup", """{"zarr_format":2}""")
       if (template.attrs.nonEmpty)
-        writeJson(root.resolve(".zattrs"), attrsJson(template.attrs))
+        writeJson(store, s"$path/.zattrs", attrsJson(template.attrs))
     } else {
-      writeJson(root.resolve("zarr.json"),
+      writeJson(store, s"$path/zarr.json",
         s"""{"zarr_format":3,"node_type":"group","attributes":${attrsJson(template.attrs)}}""")
     }
     val dimSizes = template.dimSizes
@@ -437,18 +443,19 @@ object Zarr {
         math.min(dimSizes(d), Int.MaxValue).toInt))
       val sh = if (shards.isEmpty) None
         else Some(spec.dims.zip(ch).map { case (d, c) => shards.getOrElse(d, c) })
-      writeArrayMeta(path, name, shape, ch, spec.dtype, spec.dims, comp,
+      writeArrayMeta(store, path, name, shape, ch, spec.dtype, spec.dims, comp,
         zarrFormat, sh)
     }
     template.coords.foreach { case (dim, arr) =>
-      writeArrayMeta(path, dim, Seq(arr.shape(0).toLong), Seq(arr.shape(0)),
-        arr.dtype, Seq(dim), compressor = None, zarrFormat)
-      writeRegion(path, dim,
+      writeArrayMeta(store, path, dim, Seq(arr.shape(0).toLong),
+        Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None)
+      writeRegion(store, path, dim,
         ArrayMeta(Seq(arr.shape(0).toLong), Seq(arr.shape(0)), arr.dtype,
           Seq(dim), None, fillOf(arr.dtype), format = zarrFormat),
         Array(0L), arr)
     }
-    if (zarrFormat == 2) consolidateMetadata(path)
+    if (zarrFormat == 2) consolidateMetadata(store, path)
+    store.flush()
   }
 
   private def fillOf(dtype: DType): Double = dtype match {
@@ -459,11 +466,17 @@ object Zarr {
   def writeArrayMeta(path: String, name: String, shape: Seq[Long], chunks: Seq[Int],
                      dtype: DType, dims: Seq[String],
                      compressor: Option[String], zarrFormat: Int = 2,
-                     shards: Option[Seq[Int]] = None): Unit = {
+                     shards: Option[Seq[Int]] = None): Unit =
+    writeArrayMeta(BlobStore.forUrl(path), path, name, shape, chunks, dtype,
+      dims, compressor, zarrFormat, shards)
+
+  private def writeArrayMeta(store: BlobStore, path: String, name: String,
+                             shape: Seq[Long], chunks: Seq[Int],
+                             dtype: DType, dims: Seq[String],
+                             compressor: Option[String], zarrFormat: Int,
+                             shards: Option[Seq[Int]]): Unit = {
     require(shards.isEmpty || zarrFormat == 3,
       "zarr shards require zarr_format 3")
-    val dir = Paths.get(path, name)
-    Files.createDirectories(dir)
     val fill = dtype match {
       case DType.F32 | DType.F64 => "\"NaN\""
       case _ => "0"
@@ -476,9 +489,9 @@ object Zarr {
         case None => "null"
         case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
       }
-      writeJson(dir.resolve(".zarray"),
+      writeJson(store, s"$path/$name/.zarray",
         s"""{"chunks":[${chunks.mkString(",")}],"compressor":$comp,"dtype":"${dtype.zarr}","fill_value":$fill,"filters":null,"order":"C","shape":[${shape.mkString(",")}],"zarr_format":2}""")
-      writeJson(dir.resolve(".zattrs"),
+      writeJson(store, s"$path/$name/.zattrs",
         s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
     } else {
       val innerCodecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
@@ -508,7 +521,7 @@ object Zarr {
       }
       // with shards, the chunk grid addresses SHARDS
       val gridShape = shards.getOrElse(chunks)
-      writeJson(dir.resolve("zarr.json"),
+      writeJson(store, s"$path/$name/zarr.json",
         s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
           s""""data_type":"${dtypeToV3(dtype)}",""" +
           s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${gridShape.mkString(",")}]}},""" +
@@ -525,7 +538,12 @@ object Zarr {
     * executor writes never touch the same block file. Edge blocks are
     * padded to full chunk shape with the fill value. */
   def writeRegion(path: String, name: String, meta: ArrayMeta,
-                  starts: Array[Long], arr: NdArray): Unit = {
+                  starts: Array[Long], arr: NdArray): Unit =
+    writeRegion(BlobStore.forUrl(path), path, name, meta, starts, arr)
+
+  private def writeRegion(store: BlobStore, path: String, name: String,
+                          meta: ArrayMeta, starts: Array[Long],
+                          arr: NdArray): Unit = {
     val nd = meta.shape.length
     require(arr.ndim == nd, s"rank mismatch writing $name")
     var d = 0
@@ -561,42 +579,40 @@ object Zarr {
             padded.insert(new Array[Int](nd), arr.slice(selStarts, selLens))
             padded
           }
-        writeBlock(path, name, meta, blockIdx, blockData)
+        writeBlock(store, path, name, meta, blockIdx, blockData)
       } else (0 until blockCounts(k)).foreach { b => rel(k) = b; rec(k + 1, rel) }
     }
     if (arr.size > 0) rec(0, new Array[Int](nd))
   }
 
-  private def writeBlock(path: String, name: String, meta: ArrayMeta,
-                         blockIdx: Array[Long], block: NdArray): Unit = {
+  private def writeBlock(store: BlobStore, path: String, name: String,
+                         meta: ArrayMeta, blockIdx: Array[Long],
+                         block: NdArray): Unit = {
+    val f = blockKey(path, name, meta, blockIdx)
     if (meta.shardChunks.isDefined)
-      return writeShard(blockPath(path, name, meta, blockIdx), meta, block)
-    val bytes = encodeBytes(meta, block.data)
-    val f = blockPath(path, name, meta, blockIdx)
-    Option(f.getParent).foreach(Files.createDirectories(_))
-    Files.write(f, bytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+      return writeShard(store, f, meta, block)
+    store.write(f, encodeBytes(meta, block.data))
   }
 
   /** Write .zmetadata (consolidated) from the individual files. */
-  def consolidateMetadata(path: String): Unit = {
-    val root = Paths.get(path)
+  def consolidateMetadata(path: String): Unit =
+    consolidateMetadata(BlobStore.forUrl(path), path)
+
+  private def consolidateMetadata(store: BlobStore, path: String): Unit = {
     val entries = scala.collection.mutable.LinkedHashMap[String, JsonNode]()
-    def add(rel: String): Unit = {
-      val f = root.resolve(rel)
-      if (Files.exists(f)) entries(rel) = mapper.readTree(Files.readAllBytes(f))
-    }
+    def add(rel: String): Unit =
+      store.readIfExists(s"$path/$rel").foreach { bytes =>
+        entries(rel) = mapper.readTree(bytes)
+      }
     add(".zgroup"); add(".zattrs")
-    Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
+    store.listChildren(path).sorted
       .foreach { n => add(s"$n/.zarray"); add(s"$n/.zattrs") }
     val metaNode = mapper.createObjectNode()
     entries.foreach { case (k, v) => metaNode.set[JsonNode](k, v) }
     val rootNode = mapper.createObjectNode()
     rootNode.put("zarr_format", 2)
     rootNode.set[JsonNode]("metadata", metaNode)
-    writeJson(root.resolve(".zmetadata"), mapper.writeValueAsString(rootNode))
+    writeJson(store, s"$path/.zmetadata", mapper.writeValueAsString(rootNode))
   }
 
   /** Decompress one stored chunk per the array's compressor id
@@ -633,9 +649,8 @@ object Zarr {
 
   // --------------------------------------------------------------- helpers
 
-  private def writeJson(p: java.nio.file.Path, s: String): Unit =
-    Files.write(p, s.getBytes("UTF-8"), StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+  private def writeJson(store: BlobStore, url: String, s: String): Unit =
+    store.write(url, s.getBytes("UTF-8"))
 
   private def attrsJson(attrs: Map[String, String]): String =
     attrs.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BlobStoreSpec extends AnyFunSuite {
+
+  test("scheme dispatch: local paths and file:// resolve, others fail") {
+    assert(BlobStore.forUrl("/tmp/x") eq LocalFsStore)
+    assert(BlobStore.forUrl("file:///tmp/x") eq LocalFsStore)
+    val e = intercept[IllegalArgumentException](BlobStore.forUrl("s3://bucket/x"))
+    assert(e.getMessage.contains("no BlobStore registered"))
+  }
+
+  test("local store: write creates parents, read/exists/list roundtrip") {
+    val root = Files.createTempDirectory("blob").toString
+    LocalFsStore.write(s"$root/a/chunk.0", Array[Byte](1, 2, 3))
+    assert(LocalFsStore.exists(s"$root/a/chunk.0"))
+    assert(LocalFsStore.read(s"$root/a/chunk.0").toSeq == Seq[Byte](1, 2, 3))
+    assert(LocalFsStore.readIfExists(s"$root/missing").isEmpty)
+    assert(LocalFsStore.listChildren(root) == Seq("a"))
+  }
+
+  test("StagedWrites buffers until flush, reads through, lists union") {
+    val root = Files.createTempDirectory("staged").toString
+    LocalFsStore.write(s"$root/pre/.zarray", Array[Byte](9))
+    val staged = new StagedWrites(LocalFsStore)
+    staged.write(s"$root/v/.zarray", Array[Byte](1))
+    staged.write(s"$root/.zgroup", Array[Byte](2))
+    // visible through the stager, not yet on the target
+    assert(staged.exists(s"$root/v/.zarray"))
+    assert(!LocalFsStore.exists(s"$root/v/.zarray"))
+    assert(staged.read(s"$root/v/.zarray").toSeq == Seq[Byte](1))
+    assert(staged.read(s"$root/pre/.zarray").toSeq == Seq[Byte](9)) // read-through
+    assert(staged.listChildren(root).toSet.contains("v"))
+    assert(staged.pendingCount == 2)
+    staged.flush()
+    assert(staged.pendingCount == 0)
+    assert(LocalFsStore.read(s"$root/v/.zarray").toSeq == Seq[Byte](1))
+    assert(LocalFsStore.read(s"$root/.zgroup").toSeq == Seq[Byte](2))
+  }
+
+  test("setupStore pushes all metadata in one staged batch (zarr.py:463-513)") {
+    import graft.Fixtures.arange
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    val path = Files.createTempDirectory("stagedsetup").toString + "/store"
+    val template = Template(
+      Seq("t" -> 6L), Map("v" -> VarSpec(Seq("t"), DType.F64)),
+      coords = Map("t" -> arange(DType.I64, 6)), attrs = Map("k" -> "v"))
+    Zarr.setupStore(path, template, Map("t" -> 3))
+    // everything a reader needs landed atomically at flush
+    val store = Zarr.openStore(path)
+    assert(store.dataVars.keySet == Set("v"))
+    assert(Zarr.readCoord(path, "t").get.toLongs.toSeq == (0L until 6L))
+    assert(LocalFsStore.exists(s"$path/.zmetadata"))
+  }
+}
