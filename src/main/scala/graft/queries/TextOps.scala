@@ -798,6 +798,67 @@ object TextOps {
                (bytes[sampled[1]*16+1] + bytes[sampled[1]*16+2]
               + bytes[sampled[1]*16+5] + bytes[sampled[1]*16+6]) / 4.0 AS first_pool,
                list_reduce(means, (a, b) -> a + b) / len(means) AS mean_pooled
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t06
+    // Repetition-ratio quality signals (the Gopher-style repetition
+    // filters real pretraining pipelines gate on): most-frequent-word
+    // share and duplicate-bigram fraction per document, plus the filter
+    // verdict. Distributed shape: explode → two-level aggregation, one
+    // shuffle per n-gram order; nothing is per-document quadratic.
+    QueryDef(
+      "t06_repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", expr("split(text, ' ')").as("ws"))
+        val wstats = docs
+          .select($"doc_id", explode($"ws").as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_words"), max($"c").as("top_c"))
+        val bstats = docs
+          .select($"doc_id", explode(expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+              " (a, b) -> concat(a, ' ', b))")).as("b"))
+          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"),
+               count(lit(1)).as("n_distinct_bigrams"))
+        wstats.join(bstats, "doc_id")
+          .withColumn("top_word_frac", $"top_c".cast("double") / $"n_words")
+          .withColumn("dup_bigram_frac",
+            lit(1.0) - $"n_distinct_bigrams".cast("double") / $"n_bigrams")
+          .withColumn("repetitive",
+            ($"top_word_frac" > 0.2) || ($"dup_bigram_frac" > 0.5))
+          .select($"doc_id", $"n_words", $"top_c", $"n_bigrams",
+            $"n_distinct_bigrams", $"top_word_frac", $"dup_bigram_frac",
+            $"repetitive")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c
+               FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY 1, 2),
+        wstats AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c
+                   FROM wc GROUP BY doc_id),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS b
+               FROM ws),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        bstats AS (SELECT doc_id, sum(c) AS n_bigrams,
+                          count(*) AS n_distinct_bigrams
+                   FROM bc GROUP BY doc_id)
+        SELECT w.doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(top_c AS BIGINT) AS top_c,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+               CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+               1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+               (CAST(top_c AS DOUBLE) / n_words > 0.2)
+                 OR (1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5) AS repetitive
+        FROM wstats w JOIN bstats USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -15,6 +15,13 @@ final case class SessionState(sid: Long, startUs: Long, endUs: Long, n: Long)
 final case class SessionOut(user_id: Long, sid: Long, start_us: Long,
                             end_us: Long, n_events: Long)
 
+/** Per-fingerprint dedup state (s03): the winning (minimum) doc id,
+  * duplicate count, and the latest ingest time seen. */
+final case class DedupState(minId: Long, n: Long, maxUs: Long)
+/** One evicted dedup group. */
+final case class DedupOut(fp: String, survivor_id: Long, n_dups: Long,
+                          last_seen_us: Long)
+
 /** Structured Streaming surface. The reference is bounded-batch only
   * (every source is a BoundedSource, range_source.py:29 — SURVEY §2.9),
   * so this goes beyond parity: the same event tables processed as a
@@ -200,5 +207,94 @@ object StreamOps {
         WHERE a.sid < mx.max_sid
            OR a.end_us // 1000 + 1800000 < gm.max_us // 1000
         ORDER BY a.user_id, a.sid"""))
+    ,
+
+    // ---------------------------------------------------------------- s03
+    // Streaming exact dedup with bounded state — the ingestion-side
+    // dedup a training-data pipeline runs continuously: documents
+    // arrive as a stream (synthetic ingest time = doc_id seconds, the
+    // deterministic stand-in for an arrival timestamp), group by
+    // content fingerprint, keep the minimum doc id and duplicate count
+    // per fingerprint, and EVICT a fingerprint once no duplicate has
+    // arrived for 20s of event time (EventTimeTimeout). State is
+    // bounded by the eviction horizon, not the stream length — the
+    // property that distinguishes this from batch d01. Emission on
+    // eviction only, so results are deterministic on bounded input:
+    // exactly the fingerprints whose last duplicate precedes the final
+    // watermark minus the horizon.
+    QueryDef(
+      "s03_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val horizonMs = 20000L
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          // +1 day keeps the first doc's event time off the initial
+          // watermark (a ts of exactly epoch 0 is filtered as late)
+          .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+          .withWatermark("ts", "0 seconds")
+          .select(md5($"text").as("fp"), $"doc_id",
+            unix_micros($"ts").as("ts_us"), $"ts")
+          .as[(String, Long, Long, java.sql.Timestamp)]
+        val survivors = stream.groupByKey(_._1)
+          .flatMapGroupsWithState[DedupState, DedupOut](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (fp: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+             state: GroupState[DedupState]) =>
+              if (state.hasTimedOut) {
+                val st = state.get
+                state.remove()
+                Iterator(DedupOut(fp, st.minId, st.n, st.maxUs))
+              } else {
+                var st = state.getOption.getOrElse(
+                  DedupState(Long.MaxValue, 0L, Long.MinValue))
+                rows.foreach { r =>
+                  st = DedupState(math.min(st.minId, r._2), st.n + 1,
+                    math.max(st.maxUs, r._3))
+                }
+                state.update(st)
+                state.setTimeoutTimestamp(st.maxUs / 1000 + horizonMs)
+                Iterator.empty
+              }
+          }
+        val name = "s03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = survivors.toDF().writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("fp")
+      },
+      Some("""
+        WITH g AS (SELECT md5(text) AS fp, min(doc_id) AS survivor_id,
+                          count(*) AS n_dups,
+                          (max(doc_id) + 86400) * 1000000 AS last_seen_us
+                   FROM documents GROUP BY 1),
+        wm AS (SELECT (max(doc_id) + 86400) * 1000000 AS max_us FROM documents)
+        SELECT fp, survivor_id, n_dups, last_seen_us
+        FROM g, wm
+        WHERE last_seen_us // 1000 + 20000 < max_us // 1000
+        ORDER BY fp"""))
   )
 }
