@@ -409,6 +409,91 @@ object VectorOps {
                ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- e08
+    // K-means clustering (2 Lloyd iterations, k=8) — the centroid
+    // trainer behind IVF indexing and cluster-based corpus curation
+    // (semantic dedup / data mixing). Made bit-deterministic across
+    // engines and partitionings by quantizing coordinates to integers
+    // (floor(x*1000)): centroid updates sum exact longs — order-
+    // independent — and only the per-row distance folds use floats,
+    // in a fixed per-row dim order. Assignment ties break on centroid
+    // id. Each iteration is one broadcast join (8 centroids) + one
+    // shuffle of (centroid, dim) partial sums: the textbook scalable
+    // k-means shape.
+    QueryDef(
+      "e08_kmeans",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings").selectExpr("vec_id",
+          "transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)) AS q")
+        val ed = e
+          .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
+          .withColumn("qq", expr("vec_dot(qd, qd)"))
+        def assign(cents: DataFrame): DataFrame = {
+          val scored = ed.join(broadcast(cents))
+            .withColumn("d2", expr("qq - 2 * vec_dot(qd, c) + cc"))
+          val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cent_id")
+          scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+            .select($"vec_id", $"cent_id")
+        }
+        def update(members: DataFrame): DataFrame =
+          members.join(e, "vec_id")
+            .select($"cent_id", posexplode($"q").as(Seq("i", "v")))
+            .groupBy($"cent_id", $"i")
+            .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+            .withColumn("cv", $"sv".cast("double") / $"n")
+            .groupBy($"cent_id")
+            .agg(expr("transform(sort_array(collect_list(struct(i, cv))), p -> p.cv)").as("c"))
+            .withColumn("cc", expr("vec_dot(c, c)"))
+        val c0 = ed.filter($"vec_id" < 8)
+          .select($"vec_id".as("cent_id"), $"qd".as("c"), $"qq".as("cc"))
+        val c1 = update(assign(c0))
+        val m2 = assign(c1)
+        m2.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
+          .join(c1.select($"cent_id", expr("c[0]").as("c_first"),
+            expr("c[1]").as("c_second")), Seq("cent_id"))
+          .select($"cent_id", $"n_members", $"c_first", $"c_second")
+          .orderBy($"cent_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+                   FROM embeddings),
+        ed AS (SELECT vec_id, q,
+                      list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
+                      ${dotDuck("list_transform(q, v -> CAST(v AS DOUBLE))",
+                                "list_transform(q, v -> CAST(v AS DOUBLE))")} AS qq
+               FROM e),
+        c0 AS (SELECT vec_id AS cent_id, qd AS c, qq AS cc FROM ed WHERE vec_id < 8),
+        s1 AS (SELECT ed.vec_id, c0.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c0.c")} + c0.cc AS d2
+               FROM ed, c0),
+        m1 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s1) WHERE rk = 1),
+        u1 AS (SELECT m1.cent_id, t.i, sum(e.q[t.i]) AS sv, count(*) AS n
+               FROM m1 JOIN e USING (vec_id),
+                    unnest(generate_series(1, len(e.q))) AS t(i)
+               GROUP BY 1, 2),
+        c1 AS (SELECT cent_id,
+                      list(CAST(sv AS DOUBLE) / n ORDER BY i) AS c
+               FROM u1 GROUP BY 1),
+        c1x AS (SELECT cent_id, c, ${dotDuck("c", "c")} AS cc FROM c1),
+        s2 AS (SELECT ed.vec_id, c1x.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c1x.c")} + c1x.cc AS d2
+               FROM ed, c1x),
+        m2 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s2) WHERE rk = 1)
+        SELECT m.cent_id, count(*) AS n_members,
+               any_value(x.c[1]) AS c_first, any_value(x.c[2]) AS c_second
+        FROM m2 m JOIN c1x x USING (cent_id)
+        GROUP BY m.cent_id ORDER BY m.cent_id"""))
   )
 }
