@@ -432,13 +432,16 @@ object VectorOps {
         val ed = e
           .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
           .withColumn("qq", expr("vec_dot(qd, qd)"))
-        def assign(cents: DataFrame): DataFrame = {
-          val scored = ed.join(broadcast(cents))
+        // argmin as min(struct(d2, cent_id)): lexicographic struct min ==
+        // (d2 asc, cent_id asc) rank 1, but aggregates map-side — the
+        // shuffle carries one row per vector, not one per (vector,
+        // centroid) as a window would
+        def assign(cents: DataFrame): DataFrame =
+          ed.join(broadcast(cents))
             .withColumn("d2", expr("qq - 2 * vec_dot(qd, c) + cc"))
-          val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cent_id")
-          scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-            .select($"vec_id", $"cent_id")
-        }
+            .groupBy($"vec_id")
+            .agg(min(struct($"d2", $"cent_id")).as("m"))
+            .select($"vec_id", $"m.cent_id".as("cent_id"))
         def update(members: DataFrame): DataFrame =
           members.join(e, "vec_id")
             .select($"cent_id", posexplode($"q").as(Seq("i", "v")))
