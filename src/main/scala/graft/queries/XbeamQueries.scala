@@ -462,6 +462,35 @@ object XbeamQueries {
                date_part('hour', ts) AS hour,
                CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM cal GROUP BY month, hour ORDER BY month, hour"""))
+        FROM cal GROUP BY month, hour ORDER BY month, hour""")),
+
+    // ---------------------------------------------------------------- x19
+    // The indices key mode (core.py:71-80) as a SHUFFLE key, not just a
+    // data-model spec: every chunk key converts to chunk indices against
+    // the grid, the chunks regroup on the indices canonical encoding
+    // (a real exchange — the addressing mode the reference's ReadDataset
+    // is moving to), then convert back and bridge out. Identity values.
+    QueryDef(
+      "x19_indices_roundtrip",
+      (s, dir) => {
+        import ChunkTransforms.{Pair, pairEnc}
+        import org.apache.spark.sql.Encoders
+        val xds = gridXds(s, dir)
+        val chunks = xds.chunkSizes
+        val regrouped = xds.chunkDataset
+          .map { p: Pair => (p._1.toIndices(chunks), p._2) }
+          .groupByKey(_._1.canonical)(Encoders.STRING)
+          .mapGroups { (_, it) =>
+            val items = it.toSeq
+            require(items.length == 1,
+              s"indices key collision: ${items.length} chunks in one group")
+            (items.head._1.toOffsets(chunks), items.head._2)
+          }
+        val out = XbeamDataset.fromPairs(s, xds.template, chunks, regrouped)
+        TabularBridge.toDataFrame(out).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
   )
 }
