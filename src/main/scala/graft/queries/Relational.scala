@@ -521,5 +521,72 @@ object Relational {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY event_id"""))
+    ,
+
+    // ---------------------------------------------------------------- q21
+    // As-of join — the classic operator Spark has no native form of,
+    // composed scalably from built-ins: probe rows (48 hourly marks per
+    // event type) UNION into the event stream, one window sort per
+    // type, and a last-non-null carry-forward picks each probe's most
+    // recent event at-or-before its timestamp. No inequality join, no
+    // per-probe scan: cost is one shuffle of events + probes. Ties on
+    // ts resolve events-before-probes, then by event id (total order).
+    QueryDef(
+      "q21_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type", unix_micros($"ts").as("ts_us"),
+            $"event_id", $"value")
+        val minUs = ev.agg(min($"ts_us")).head().getLong(0)
+        val hourUs = 3600000000L
+        val firstHour = minUs - minUs % hourUs
+        val probes = s.range(48).select(
+            explode(expr("array('click','error','purchase','signup','view')"))
+              .as("event_type"),
+            (lit(firstHour) + ($"id" + 1) * hourUs).as("probe_us"))
+        val tagged = ev.select($"event_type", $"ts_us",
+            lit(1).as("is_event"), $"event_id", $"value",
+            lit(null).cast("long").as("probe_us"))
+          .unionByName(probes.select($"event_type", $"probe_us".as("ts_us"),
+            lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+            lit(null).cast("double").as("value"), $"probe_us"))
+        val w = Window
+          .partitionBy($"event_type")
+          .orderBy($"ts_us", $"is_event".desc, $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_event_id", last($"event_id", ignoreNulls = true).over(w))
+          .withColumn("asof_value", last($"value", ignoreNulls = true).over(w))
+          .filter($"is_event" === 0)
+          .select($"event_type", $"probe_us", $"asof_event_id", $"asof_value")
+          .orderBy($"event_type", $"probe_us")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+                    FROM events),
+        base AS (SELECT min(ts_us) - min(ts_us) % 3600000000 AS h0 FROM ev),
+        probes AS (SELECT et.event_type, h0 + (k + 1) * 3600000000 AS probe_us
+                   FROM base,
+                        unnest(['click','error','purchase','signup','view']) AS et(event_type),
+                        unnest(range(0, 48)) AS t(k)),
+        tagged AS (
+          SELECT event_type, ts_us, 1 AS is_event, event_id, value,
+                 NULL::BIGINT AS probe_us FROM ev
+          UNION ALL
+          SELECT event_type, probe_us AS ts_us, 0 AS is_event,
+                 NULL::BIGINT AS event_id, NULL::DOUBLE AS value, probe_us
+          FROM probes),
+        carried AS (
+          SELECT event_type, probe_us, is_event,
+                 last_value(event_id IGNORE NULLS) OVER w AS asof_event_id,
+                 last_value(value IGNORE NULLS) OVER w AS asof_value
+          FROM tagged
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY ts_us, is_event DESC, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, probe_us, asof_event_id, asof_value
+        FROM carried WHERE is_event = 0
+        ORDER BY event_type, probe_us"""))
   )
 }
