@@ -80,6 +80,19 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("blosc inside v3 sharding_indexed shards roundtrips") {
+    val path = tmpStore()
+    Zarr.setupStore(path, template, Map("t" -> 2, "x" -> 6), Some("blosc"),
+      zarrFormat = 3, shards = Map("t" -> 4, "x" -> 6))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.shardChunks.contains(Seq(2, 6)) &&
+      meta.compressor.contains("blosc"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+  }
+
   test("blosc roundtrips through zarr v3 codec metadata") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some("blosc"),
