@@ -558,21 +558,31 @@ object TextOps {
           .withColumn("prank", row_number().over(wProf))
           .filter($"prank" <= 20)
           .select($"lang".as("plang"), $"bg")
-        // per-doc DISTINCT bigrams via a narrow array_distinct before the
-        // explode — no extra shuffle (cheaper than occ.distinct())
-        val docBigrams = docs.select($"doc_id", $"lang", explode(expr(
-          "array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2)))")).as("bg"))
-        val scores = docBigrams.join(broadcast(profiles), Seq("bg"))
-          .groupBy($"doc_id", $"lang", $"plang")
-          .agg(count(lit(1)).as("score"))
-        val base = docs.select($"doc_id", $"lang")
-          .crossJoin(broadcast(profiles.select($"plang").distinct()))
-        val full = base.join(scores, Seq("doc_id", "lang", "plang"), "left")
-          .withColumn("score", coalesce($"score", lit(0L)))
-        val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
-        full.withColumn("brank", row_number().over(wBest))
-          .filter($"brank" === 1)
-          .groupBy($"lang", $"plang".as("predicted"))
+        // The trained profile is ~20 bigrams x ~5 langs: collect it and
+        // fold it into plan-time array literals (the e02 plane-weights
+        // idiom). Scoring is then one narrow pass — array_intersect of
+        // each doc's distinct bigrams against 5 literal arrays and a
+        // struct-min argmax — no second explode, no 10M-row join, no
+        // per-doc window shuffle.
+        val prof: Map[String, Seq[String]] = profiles.collect()
+          .groupBy(_.getString(0))
+          .map { case (pl, rows) => pl -> rows.map(_.getString(1)).toSeq }
+        val plangs = prof.keys.toSeq.sorted
+        val scored = docs.withColumn("bgs", expr(
+          "array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2)))"))
+        val withScores = plangs.zipWithIndex.foldLeft(scored) {
+          case (df, (pl, i)) =>
+            df.withColumn(s"sc_$i",
+              size(array_intersect($"bgs", lit(prof(pl).toArray))))
+        }
+        // min over (-score, plang) structs == best score, ties to the
+        // alphabetically-first profile language
+        val candidates = array(plangs.zipWithIndex.map { case (pl, i) =>
+          struct((-col(s"sc_$i")).as("neg"), lit(pl).as("pl"))
+        }: _*)
+        withScores
+          .select($"lang", array_min(candidates).getField("pl").as("predicted"))
+          .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")
       },
