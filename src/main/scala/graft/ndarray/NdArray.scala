@@ -12,6 +12,10 @@ object DType {
   case object F64 extends DType("<f8", 8)
   case object I32 extends DType("<i4", 4)
   case object I64 extends DType("<i8", 8)
+  case object I16 extends DType("<i2", 2)
+  case object I8 extends DType("|i1", 1)
+  case object U8 extends DType("|u1", 1)
+  case object Bool extends DType("|b1", 1)
   case object TimeNs extends DType("<M8[ns]", 8)
 
   def fromZarr(s: String): DType = s match {
@@ -19,6 +23,10 @@ object DType {
     case "<f8" => F64
     case "<i4" => I32
     case "<i8" => I64
+    case "<i2" => I16
+    case "|i1" | "<i1" => I8
+    case "|u1" | "<u1" => U8
+    case "|b1" | "<b1" => Bool
     case "<M8[ns]" => TimeNs
     case other => throw new IllegalArgumentException(s"unsupported dtype: $other")
   }
@@ -58,6 +66,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     case DType.F64 => buf.getDouble((flat * 8).toInt)
     case DType.I32 => buf.getInt((flat * 4).toInt).toDouble
     case DType.I64 | DType.TimeNs => buf.getLong((flat * 8).toInt).toDouble
+    case DType.I16 => buf.getShort((flat * 2).toInt).toDouble
+    case DType.I8 => data(flat.toInt).toDouble
+    case DType.U8 => (data(flat.toInt) & 0xff).toDouble
+    case DType.Bool => if (data(flat.toInt) != 0) 1.0 else 0.0
   }
 
   def getLong(flat: Long): Long = dtype match {
@@ -65,6 +77,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     case DType.F64 => buf.getDouble((flat * 8).toInt).toLong
     case DType.I32 => buf.getInt((flat * 4).toInt).toLong
     case DType.I64 | DType.TimeNs => buf.getLong((flat * 8).toInt)
+    case DType.I16 => buf.getShort((flat * 2).toInt).toLong
+    case DType.I8 => data(flat.toInt).toLong
+    case DType.U8 => (data(flat.toInt) & 0xff).toLong
+    case DType.Bool => if (data(flat.toInt) != 0) 1L else 0L
   }
 
   def setDouble(flat: Long, v: Double): Unit = dtype match {
@@ -72,6 +88,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     case DType.F64 => buf.putDouble((flat * 8).toInt, v)
     case DType.I32 => buf.putInt((flat * 4).toInt, v.toInt)
     case DType.I64 | DType.TimeNs => buf.putLong((flat * 8).toInt, v.toLong)
+    case DType.I16 => buf.putShort((flat * 2).toInt, v.toShort)
+    case DType.I8 => data(flat.toInt) = v.toByte
+    case DType.U8 => data(flat.toInt) = (v.toLong & 0xff).toByte
+    case DType.Bool => data(flat.toInt) = if (v != 0.0) 1 else 0
   }
 
   def setLong(flat: Long, v: Long): Unit = dtype match {
@@ -79,6 +99,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     case DType.F64 => buf.putDouble((flat * 8).toInt, v.toDouble)
     case DType.I32 => buf.putInt((flat * 4).toInt, v.toInt)
     case DType.I64 | DType.TimeNs => buf.putLong((flat * 8).toInt, v)
+    case DType.I16 => buf.putShort((flat * 2).toInt, v.toShort)
+    case DType.I8 => data(flat.toInt) = v.toByte
+    case DType.U8 => data(flat.toInt) = (v & 0xff).toByte
+    case DType.Bool => data(flat.toInt) = if (v != 0L) 1 else 0
   }
 
   /** Extract the hyper-rectangle [starts(d), starts(d)+outShape(d)) per dim. */

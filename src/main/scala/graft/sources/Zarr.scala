@@ -322,6 +322,10 @@ object Zarr {
     case DType.I32 => "int32"
     // v3 has no datetime64 core type; times persist as int64 nanos
     case DType.I64 | DType.TimeNs => "int64"
+    case DType.I16 => "int16"
+    case DType.I8 => "int8"
+    case DType.U8 => "uint8"
+    case DType.Bool => "bool"
   }
 
   private[sources] def dtypeFromV3(s: String): DType = s match {
@@ -329,6 +333,10 @@ object Zarr {
     case "float64" => DType.F64
     case "int32" => DType.I32
     case "int64" => DType.I64
+    case "int16" => DType.I16
+    case "int8" => DType.I8
+    case "uint8" => DType.U8
+    case "bool" => DType.Bool
     case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
   }
 

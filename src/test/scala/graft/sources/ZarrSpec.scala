@@ -105,6 +105,29 @@ class ZarrSpec extends AnyFunSuite {
       .sameAs(data))
   }
 
+  test("small integer dtypes (i2/i1/u1/b1) roundtrip v2+v3, raw and blosc") {
+    import graft.core.{Template => Tpl, VarSpec => VS}
+    val cases = Seq(
+      (DType.I16, Array(-32768.0, -1.0, 0.0, 17.0, 32767.0, 5.0)),
+      (DType.I8, Array(-128.0, -1.0, 0.0, 17.0, 127.0, 5.0)),
+      (DType.U8, Array(0.0, 1.0, 128.0, 200.0, 255.0, 5.0)),
+      (DType.Bool, Array(1.0, 0.0, 1.0, 1.0, 0.0, 0.0)))
+    for ((dt, vals) <- cases; fmt <- Seq(2, 3);
+         comp <- Seq(None, Some("blosc"))) {
+      val path = tmpStore()
+      val tpl = Tpl(Seq("t" -> 6L), Map("v" -> VS(Seq("t"), dt)),
+        Map.empty, Map.empty)
+      Zarr.setupStore(path, tpl, Map("t" -> 4), comp, zarrFormat = fmt)
+      val meta = Zarr.readArrayMeta(path, "v")
+      assert(meta.dtype == dt, s"$dt fmt=$fmt")
+      val arr = NdArray.fromDoubles(dt, Array(6), vals)
+      Zarr.writeRegion(path, "v", meta, Array(0L), arr)
+      val back = Zarr.readRegion(path, "v", meta, Array(0L), Array(6))
+      assert(back.toDoubles.toSeq == vals.toSeq,
+        s"$dt fmt=$fmt comp=$comp: ${back.toDoubles.toSeq}")
+    }
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
