@@ -560,7 +560,8 @@ object XbeamDataset {
           val lens = vs.dims.zipWithIndex.map { case (d, i) =>
             ranges.get(d).map(_._2).getOrElse(meta.shape(i).toInt)
           }.toArray
-          name -> VarArray(vs.dims, Zarr.readRegion(path, name, meta, starts, lens))
+          name -> VarArray(vs.dims,
+            Zarr.decodeCf(meta, Zarr.readRegion(path, name, meta, starts, lens)))
         }
         val read =
           if (vars.lengthCompare(1) <= 0) vars.map(kv => readVar(kv._1, kv._2))

@@ -491,6 +491,39 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x20
+    // CF-packed variable decode: vf stores as int16 with scale_factor /
+    // add_offset attrs (the ERA5-style packing xarray's decode_cf
+    // unpacks on every open), and fromZarr transparently yields the
+    // decoded float64 — stored*0.25 + (-2.0), exact in doubles. The
+    // packing attrs are stamped post-write, as an external producer
+    // would have written them.
+    QueryDef(
+      "x20_cf_packed_decode",
+      (s, dir) => {
+        import graft.sources.Zarr
+        val store = zarrPath("x20", dir)
+        val n: Long = t(s, dir, "events").count()
+        val packed = t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          "cast((floor(value) + 2) * 4 AS bigint) AS pv")
+        TabularBridge.fromDataFrame(packed, s,
+          dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("pv" -> DType.I16),
+          chunks = Map("t" -> 16, "x" -> 16)).toZarr(store)
+        Zarr.writeArrayMeta(store, "pv", Seq(n / W, W), Seq(16, 16),
+          DType.I16, Seq("t", "x"), compressor = None,
+          cfScale = Some((0.25, -2.0)))
+        Zarr.consolidateMetadata(store)
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CAST((vf + 2) * 4 AS DOUBLE) * 0.25 + -2.0 AS pv
+        FROM grid ORDER BY t, x"""))
   )
 }

@@ -42,11 +42,16 @@ object Zarr {
     * `shardChunks` is set (v3 sharding_indexed), `chunks` is the SHARD
     * shape — the unit addressed by chunk keys — and `shardChunks` the
     * inner chunk shape encoded inside each shard file. */
+  /** `cfScale` carries CF packing attrs (scale_factor, add_offset) when
+    * present: stored integers decode to `v * scale + offset` doubles —
+    * xarray's default decode_cf behavior, which the reference inherits
+    * on every open_zarr (zarr.py:72-96). */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
                              fillValue: Double, format: Int = 2,
                              keySep: String = "/",
-                             shardChunks: Option[Seq[Int]] = None)
+                             shardChunks: Option[Seq[Int]] = None,
+                             cfScale: Option[(Double, Double)] = None)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -76,7 +81,8 @@ object Zarr {
 
     def template: Template = Template(
       dims,
-      dataVars.map { case (n, m) => n -> VarSpec(m.dims, m.dtype) },
+      // readers see the CF-decoded dtype (packed int16 → float64)
+      dataVars.map { case (n, m) => n -> VarSpec(m.dims, decodedDType(m)) },
       Map.empty, // coords loaded lazily via readCoord
       attrs)
   }
@@ -120,16 +126,16 @@ object Zarr {
     val v3Bytes = store.readIfExists(s"$path/$name/zarr.json")
     if (v3Bytes.isDefined) return readArrayMetaV3(name, v3Bytes.get)
     val za = mapper.readTree(store.read(s"$path/$name/.zarray"))
-    val dims: Seq[String] =
-      store.readIfExists(s"$path/$name/.zattrs") match {
-        case Some(bytes) =>
-          val at = mapper.readTree(bytes)
-          val dn = at.get("_ARRAY_DIMENSIONS")
-          if (dn != null && dn.isArray)
-            (0 until dn.size).map(i => dn.get(i).asText)
-          else Seq.empty
-        case None => Seq.empty
-      }
+    val zattrs = store.readIfExists(s"$path/$name/.zattrs").map(mapper.readTree)
+    val dims: Seq[String] = zattrs match {
+      case Some(at) =>
+        val dn = at.get("_ARRAY_DIMENSIONS")
+        if (dn != null && dn.isArray)
+          (0 until dn.size).map(i => dn.get(i).asText)
+        else Seq.empty
+      case None => Seq.empty
+    }
+    val cfScale = zattrs.flatMap(cfScaleOf)
     val shape = (0 until za.get("shape").size).map(i => za.get("shape").get(i).asLong)
     val chunks = (0 until za.get("chunks").size).map(i => za.get("chunks").get(i).asInt)
     val comp = za.get("compressor") match {
@@ -154,8 +160,35 @@ object Zarr {
       else throw new IllegalArgumentException(
         s"array $name lacks _ARRAY_DIMENSIONS")
     ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
-      comp, fill)
+      comp, fill, cfScale = cfScale)
   }
+
+  /** CF packing attrs, when both or either are present (missing one
+    * defaults per CF convention: scale 1.0, offset 0.0). */
+  private def cfScaleOf(attrs: JsonNode): Option[(Double, Double)] = {
+    val sf = Option(attrs.get("scale_factor")).filter(_.isNumber).map(_.asDouble)
+    val ao = Option(attrs.get("add_offset")).filter(_.isNumber).map(_.asDouble)
+    if (sf.isEmpty && ao.isEmpty) None
+    else Some((sf.getOrElse(1.0), ao.getOrElse(0.0)))
+  }
+
+  /** Apply CF decoding to a freshly-read block: packed integers become
+    * `v * scale + offset` doubles. Identity when the array is unpacked. */
+  def decodeCf(meta: ArrayMeta, arr: NdArray): NdArray = meta.cfScale match {
+    case None => arr
+    case Some((sf, ao)) =>
+      val out = NdArray.zeros(DType.F64, arr.shape)
+      var i = 0L
+      while (i < arr.size) {
+        out.setDouble(i, arr.getDouble(i) * sf + ao)
+        i += 1
+      }
+      out
+  }
+
+  /** The dtype a reader sees after CF decoding. */
+  def decodedDType(meta: ArrayMeta): DType =
+    if (meta.cfScale.isDefined) DType.F64 else meta.dtype
 
   private def readArrayMetaV3(name: String, v3Bytes: Array[Byte]): ArrayMeta = {
     val za = mapper.readTree(v3Bytes)
@@ -215,8 +248,10 @@ object Zarr {
       }
       case n => n.asDouble
     }
+    val cfScale = Option(za.get("attributes")).flatMap(cfScaleOf)
     ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
-      compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks)
+      compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
+      cfScale = cfScale)
   }
 
   // ------------------------------------------------------- v3 sharding
@@ -452,11 +487,11 @@ object Zarr {
       val sh = if (shards.isEmpty) None
         else Some(spec.dims.zip(ch).map { case (d, c) => shards.getOrElse(d, c) })
       writeArrayMeta(store, path, name, shape, ch, spec.dtype, spec.dims, comp,
-        zarrFormat, sh)
+        zarrFormat, sh, None)
     }
     template.coords.foreach { case (dim, arr) =>
       writeArrayMeta(store, path, dim, Seq(arr.shape(0).toLong),
-        Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None)
+        Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None, None)
       writeRegion(store, path, dim,
         ArrayMeta(Seq(arr.shape(0).toLong), Seq(arr.shape(0)), arr.dtype,
           Seq(dim), None, fillOf(arr.dtype), format = zarrFormat),
@@ -474,15 +509,17 @@ object Zarr {
   def writeArrayMeta(path: String, name: String, shape: Seq[Long], chunks: Seq[Int],
                      dtype: DType, dims: Seq[String],
                      compressor: Option[String], zarrFormat: Int = 2,
-                     shards: Option[Seq[Int]] = None): Unit =
+                     shards: Option[Seq[Int]] = None,
+                     cfScale: Option[(Double, Double)] = None): Unit =
     writeArrayMeta(BlobStore.forUrl(path), path, name, shape, chunks, dtype,
-      dims, compressor, zarrFormat, shards)
+      dims, compressor, zarrFormat, shards, cfScale)
 
   private def writeArrayMeta(store: BlobStore, path: String, name: String,
                              shape: Seq[Long], chunks: Seq[Int],
                              dtype: DType, dims: Seq[String],
                              compressor: Option[String], zarrFormat: Int,
-                             shards: Option[Seq[Int]]): Unit = {
+                             shards: Option[Seq[Int]],
+                             cfScale: Option[(Double, Double)]): Unit = {
     require(shards.isEmpty || zarrFormat == 3,
       "zarr shards require zarr_format 3")
     val fill = dtype match {
@@ -499,8 +536,11 @@ object Zarr {
       }
       writeJson(store, s"$path/$name/.zarray",
         s"""{"chunks":[${chunks.mkString(",")}],"compressor":$comp,"dtype":"${dtype.zarr}","fill_value":$fill,"filters":null,"order":"C","shape":[${shape.mkString(",")}],"zarr_format":2}""")
+      val cfJson = cfScale.map { case (sf, ao) =>
+        s""","scale_factor":$sf,"add_offset":$ao"""
+      }.getOrElse("")
       writeJson(store, s"$path/$name/.zattrs",
-        s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
+        s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]$cfJson}""")
     } else {
       val innerCodecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
         (compressor match {
@@ -536,7 +576,8 @@ object Zarr {
           s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
           s""""fill_value":$fill,"codecs":[${codecs.mkString(",")}],""" +
           s""""dimension_names":[${dims.map(d => "\"" + d + "\"").mkString(",")}],""" +
-          s""""attributes":{}}""")
+          s""""attributes":{${cfScale.map { case (sf, ao) =>
+            s""""scale_factor":$sf,"add_offset":$ao""" }.getOrElse("")}}}""")
     }
   }
 

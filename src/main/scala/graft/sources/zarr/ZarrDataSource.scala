@@ -231,7 +231,8 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
       }.toArray
       val vOffsets = pos.map(offsets)
       val vLens = pos.map(lens)
-      varArrays(i) = Zarr.readRegion(path, f.name, meta, vOffsets, vLens)
+      varArrays(i) =
+        Zarr.decodeCf(meta, Zarr.readRegion(path, f.name, meta, vOffsets, vLens))
       if (!(pos.length == lens.length && pos.zipWithIndex.forall(p => p._1 == p._2))) {
         varDimPos(i) = pos
         varLens(i) = vLens

@@ -128,6 +128,29 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("CF scale_factor/add_offset decode (packed int16 reads as float64)") {
+    for (fmt <- Seq(2, 3)) {
+      val path = tmpStore()
+      Zarr.writeArrayMeta(path, "v", Seq(6L), Seq(4), DType.I16, Seq("t"),
+        compressor = None, zarrFormat = fmt, cfScale = Some((0.5, 10.0)))
+      val meta = Zarr.readArrayMeta(path, "v")
+      assert(meta.cfScale.contains((0.5, 10.0)), s"fmt=$fmt")
+      val stored = NdArray.fromDoubles(DType.I16, Array(6),
+        Array(0.0, 1.0, 2.0, -4.0, 100.0, 7.0))
+      Zarr.writeRegion(path, "v", meta, Array(0L), stored)
+      val decoded = Zarr.decodeCf(meta,
+        Zarr.readRegion(path, "v", meta, Array(0L), Array(6)))
+      assert(decoded.dtype == DType.F64)
+      assert(decoded.toDoubles.toSeq ==
+        Seq(10.0, 10.5, 11.0, 8.0, 60.0, 13.5), s"fmt=$fmt")
+      // the store-level template reports the decoded dtype
+      if (fmt == 2) {
+        val st = Zarr.openStore(path)
+        assert(st.template.vars("v").dtype == DType.F64)
+      }
+    }
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
