@@ -51,7 +51,8 @@ object Zarr {
                              fillValue: Double, format: Int = 2,
                              keySep: String = "/",
                              shardChunks: Option[Seq[Int]] = None,
-                             cfScale: Option[(Double, Double)] = None)
+                             cfScale: Option[(Double, Double)] = None,
+                             cfFill: Option[Double] = None)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -160,7 +161,7 @@ object Zarr {
       else throw new IllegalArgumentException(
         s"array $name lacks _ARRAY_DIMENSIONS")
     ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
-      comp, fill, cfScale = cfScale)
+      comp, fill, cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf))
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -172,23 +173,32 @@ object Zarr {
     else Some((sf.getOrElse(1.0), ao.getOrElse(0.0)))
   }
 
-  /** Apply CF decoding to a freshly-read block: packed integers become
-    * `v * scale + offset` doubles. Identity when the array is unpacked. */
-  def decodeCf(meta: ArrayMeta, arr: NdArray): NdArray = meta.cfScale match {
-    case None => arr
-    case Some((sf, ao)) =>
+  private def cfFillOf(attrs: JsonNode): Option[Double] =
+    Option(attrs.get("_FillValue")).filter(_.isNumber).map(_.asDouble)
+
+  /** Apply CF decoding to a freshly-read block: raw values equal to the
+    * `_FillValue` sentinel mask to NaN, then packed integers become
+    * `v * scale + offset` doubles — xarray's masking-then-scaling order.
+    * Identity when the array carries neither attribute. */
+  def decodeCf(meta: ArrayMeta, arr: NdArray): NdArray =
+    if (meta.cfScale.isEmpty && meta.cfFill.isEmpty) arr
+    else {
+      val (sf, ao) = meta.cfScale.getOrElse((1.0, 0.0))
       val out = NdArray.zeros(DType.F64, arr.shape)
       var i = 0L
       while (i < arr.size) {
-        out.setDouble(i, arr.getDouble(i) * sf + ao)
+        val raw = arr.getDouble(i)
+        out.setDouble(i,
+          if (meta.cfFill.contains(raw)) Double.NaN else raw * sf + ao)
         i += 1
       }
       out
-  }
+    }
 
   /** The dtype a reader sees after CF decoding. */
   def decodedDType(meta: ArrayMeta): DType =
-    if (meta.cfScale.isDefined) DType.F64 else meta.dtype
+    if (meta.cfScale.isDefined || meta.cfFill.isDefined) DType.F64
+    else meta.dtype
 
   private def readArrayMetaV3(name: String, v3Bytes: Array[Byte]): ArrayMeta = {
     val za = mapper.readTree(v3Bytes)
@@ -248,10 +258,10 @@ object Zarr {
       }
       case n => n.asDouble
     }
-    val cfScale = Option(za.get("attributes")).flatMap(cfScaleOf)
+    val v3Attrs = Option(za.get("attributes"))
     ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
-      cfScale = cfScale)
+      cfScale = v3Attrs.flatMap(cfScaleOf), cfFill = v3Attrs.flatMap(cfFillOf))
   }
 
   // ------------------------------------------------------- v3 sharding

@@ -151,6 +151,24 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("CF _FillValue masks to NaN before scaling (xarray order)") {
+    val path = tmpStore()
+    Zarr.writeArrayMeta(path, "v", Seq(4L), Seq(4), DType.I16, Seq("t"),
+      compressor = None, cfScale = Some((0.5, 10.0)))
+    // stamp _FillValue the way an external producer would
+    val zattrs = java.nio.file.Paths.get(path, "v", ".zattrs")
+    val at = new String(java.nio.file.Files.readAllBytes(zattrs), "UTF-8")
+    java.nio.file.Files.write(zattrs,
+      at.stripSuffix("}").concat(""","_FillValue":-9999}""").getBytes("UTF-8"))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.cfFill.contains(-9999.0))
+    Zarr.writeRegion(path, "v", meta, Array(0L),
+      NdArray.fromDoubles(DType.I16, Array(4), Array(2.0, -9999.0, 4.0, 0.0)))
+    val dec = Zarr.decodeCf(meta,
+      Zarr.readRegion(path, "v", meta, Array(0L), Array(4))).toDoubles
+    assert(dec(0) == 11.0 && dec(1).isNaN && dec(2) == 12.0 && dec(3) == 10.0)
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
