@@ -9,8 +9,12 @@ import graft.sources.Zarr
 
 /** Where an untransformed scan reads its chunks from. */
 sealed trait ScanSource extends Serializable
-/** A Zarr v2 store on disk / object store. */
-final case class ZarrSource(path: String) extends ScanSource
+/** A Zarr store on disk / object store. `metas` is resolved ONCE at
+  * open time and rides to executors with the scan, so chunk reads
+  * never re-fetch array metadata (2 metadata GETs per chunk per
+  * variable would dominate an object-store scan at scale). */
+final case class ZarrSource(path: String,
+                            metas: Map[String, Zarr.ArrayMeta]) extends ScanSource
 /** An in-memory dataset (tests / from_xarray analogue, dataset.py:624-660). */
 final case class LocalSource(vars: Map[String, (Seq[String], NdArray)])
     extends ScanSource
@@ -482,14 +486,14 @@ object XbeamDataset {
                splitVars: Boolean = false): XbeamDataset = {
     val store = Zarr.openStore(path)
     val template0 = store.template
-    val coords = store.coordVars.keys.flatMap { d =>
-      Zarr.readCoord(path, d).map(d -> _)
-    }.toMap
+    val coords = store.coordVars.map { case (d, m) =>
+      d -> Zarr.readCoord(path, d, m)
+    }
     val template = template0.copy(coords = coords)
     val normalized = ChunkGrid.normalizeChunks(
       if (chunks.isEmpty) store.inferChunks else chunks, template.dimSizes)
     new XbeamDataset(spark, template, normalized, splitVars,
-      Some(ScanSpec(ZarrSource(path), Map.empty)), None)
+      Some(ScanSpec(ZarrSource(path, store.arrays), Map.empty)), None)
   }
 
   /** In-memory entry for tests (from_xarray, dataset.py:624-660). */
@@ -546,14 +550,14 @@ object XbeamDataset {
     val ranges = ChunkGrid.offsetsToRanges(key, chunks, dimSizes)
     val wanted: Set[String] = key.varsSet.getOrElse(template.vars.keySet)
     spec.source match {
-      case ZarrSource(path) =>
+      case ZarrSource(path, metas) =>
         // per-variable parallel IO — the reference's thread-pooled
         // per-variable chunk load (ThreadMap, threadmap.py:34-124;
         // core.py:528-530). CPU decode is trivial next to object-store
         // latency, so variables of one chunk fetch concurrently.
         val vars = template.vars.filter(kv => wanted(kv._1)).toSeq
         def readVar(name: String, vs: VarSpec): (String, VarArray) = {
-          val meta = Zarr.readArrayMeta(path, name)
+          val meta = metas(name)
           val starts = vs.dims.map { d =>
             spec.offset.getOrElse(d, 0L) + ranges.get(d).map(_._1.toLong).getOrElse(0L)
           }.toArray

@@ -92,6 +92,13 @@ object Zarr {
 
   def openStore(path: String): StoreMeta = {
     val store = BlobStore.forUrl(path)
+    // Consolidated-metadata fast path: one GET describes the whole
+    // store — no listing, no per-array metadata reads. This is what
+    // makes open cheap on object stores (and why .zmetadata exists).
+    store.readIfExists(s"$path/.zmetadata") match {
+      case Some(bytes) => return openConsolidated(mapper.readTree(bytes))
+      case None =>
+    }
     require(store.isContainer(path), s"not a zarr store: $path")
     val arrays = store.listChildren(path)
       .filter(n => store.exists(s"$path/$n/.zarray") ||
@@ -122,12 +129,54 @@ object Zarr {
     StoreMeta(dims, arrays, attrs)
   }
 
+  /** Build StoreMeta from a parsed .zmetadata document. */
+  private def openConsolidated(doc: JsonNode): StoreMeta = {
+    val md = doc.get("metadata")
+    require(md != null, "malformed .zmetadata: no metadata object")
+    val names = {
+      val it = md.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.endsWith("/.zarray")) b += k.stripSuffix("/.zarray")
+      }
+      b.result()
+    }
+    val arrays = names.map { name =>
+      name -> parseV2Meta(name, md.get(s"$name/.zarray"),
+        Option(md.get(s"$name/.zattrs")))
+    }.toMap
+    val dims = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      arrays.toSeq.sortBy(_._1).foreach { case (name, am) =>
+        am.dims.zip(am.shape).foreach { case (d, s) =>
+          m.get(d) match {
+            case Some(prev) if prev != s => throw new IllegalArgumentException(
+              s"inconsistent size for dim $d: $prev vs $s (var $name)")
+            case _ => m(d) = s
+          }
+        }
+      }
+      m.toSeq
+    }
+    val attrs = Option(md.get(".zattrs")).map(jsonToAttrs)
+      .getOrElse(Map.empty[String, String])
+    StoreMeta(dims, arrays, attrs)
+  }
+
   def readArrayMeta(path: String, name: String): ArrayMeta = {
     val store = BlobStore.forUrl(path)
     val v3Bytes = store.readIfExists(s"$path/$name/zarr.json")
     if (v3Bytes.isDefined) return readArrayMetaV3(name, v3Bytes.get)
     val za = mapper.readTree(store.read(s"$path/$name/.zarray"))
     val zattrs = store.readIfExists(s"$path/$name/.zattrs").map(mapper.readTree)
+    parseV2Meta(name, za, zattrs)
+  }
+
+  /** Build a v2 ArrayMeta from its (.zarray, .zattrs) JSON nodes —
+    * shared by per-file reads and the consolidated-metadata path. */
+  private def parseV2Meta(name: String, za: JsonNode,
+                          zattrs: Option[JsonNode]): ArrayMeta = {
     val dims: Seq[String] = zattrs match {
       case Some(at) =>
         val dn = at.get("_ARRAY_DIMENSIONS")
@@ -457,10 +506,14 @@ object Zarr {
     val store = BlobStore.forUrl(path)
     if (!store.exists(s"$path/$dim/.zarray") &&
       !store.exists(s"$path/$dim/zarr.json")) return None
-    val meta = readArrayMeta(path, dim)
-    Some(readRegion(store, path, dim, meta, Array(0L),
-      Array(meta.shape.head.toInt)))
+    Some(readCoord(path, dim, readArrayMeta(path, dim)))
   }
+
+  /** Coordinate read with the metadata already in hand (no metadata
+    * round-trip — callers resolve metas once from StoreMeta). */
+  def readCoord(path: String, dim: String, meta: ArrayMeta): NdArray =
+    readRegion(BlobStore.forUrl(path), path, dim, meta, Array(0L),
+      Array(meta.shape.head.toInt))
 
   // ----------------------------------------------------------------- write
 

@@ -142,15 +142,14 @@ class ZarrScanBuilder(path: String, coords: Boolean = false)
 
   override def build(): Scan =
     new ZarrScan(path, store.template.dims, store.inferChunks,
-      store.template.vars.map { case (n, vs) => n -> vs.dtype.zarr },
-      required, bounds)
+      store.arrays, required, bounds)
 }
 
 /** One chunk of the store = one Spark input partition. */
 case class ZarrInputPartition(offsets: Array[Long]) extends InputPartition
 
 class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int],
-               varDtypes: Map[String, String], required: StructType,
+               metas: Map[String, Zarr.ArrayMeta], required: StructType,
                bounds: Map[String, (Long, Long)]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -174,19 +173,26 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(path, dims, chunks, required)
+    new ZarrReaderFactory(path, dims, chunks, metas, required)
 }
 
+/** `metas` resolves on the driver at planning time and ships with the
+  * factory, so partition readers never re-fetch array metadata (at
+  * scale that's 1-2 metadata GETs per chunk saved). */
 class ZarrReaderFactory(path: String, dims: Seq[(String, Long)],
-                        chunks: Map[String, Int], required: StructType)
+                        chunks: Map[String, Int],
+                        metas: Map[String, Zarr.ArrayMeta],
+                        required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(path, dims, chunks, required,
+    new ZarrPartitionReader(path, dims, chunks, metas, required,
       partition.asInstanceOf[ZarrInputPartition].offsets)
 }
 
 class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
-                          chunks: Map[String, Int], required: StructType,
+                          chunks: Map[String, Int],
+                          metas: Map[String, Zarr.ArrayMeta],
+                          required: StructType,
                           offsets: Array[Long])
     extends PartitionReader[InternalRow] {
 
@@ -208,8 +214,11 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
   private val coordArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
     case (f, i) =>
       if (coordOf(i) < 0) null
-      else Zarr.readCoord(path, f.name.stripSuffix("_coord")).getOrElse(
-        throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
+      else {
+        val dim = f.name.stripSuffix("_coord")
+        Zarr.readCoord(path, dim, metas.getOrElse(dim,
+          throw new IllegalArgumentException(s"no stored coordinate for ${f.name}")))
+      }
   }
   // Variables may order their axes differently from the template (or
   // span a subset of its dims): each one reads its region in ITS OWN
@@ -222,7 +231,7 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
   private val varLens: Array[Array[Int]] = new Array[Array[Int]](fields.length)
   fields.zipWithIndex.foreach { case (f, i) =>
     if (!dimOrder.contains(f.name) && coordOf(i) < 0) {
-      val meta = Zarr.readArrayMeta(path, f.name)
+      val meta = metas(f.name)
       val pos = meta.dims.map { d =>
         val p = dimOrder.indexOf(d)
         require(p >= 0, s"variable ${f.name} has dim $d not in the store's " +
