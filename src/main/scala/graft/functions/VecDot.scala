@@ -94,17 +94,39 @@ case class VecDot(left: Expression, right: Expression)
 /** Session-level registration of graft's native expressions, so they are
   * usable from `expr(...)` / `spark.sql(...)` like built-ins. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => {
-        require(exprs.length == 2, s"vec_dot expects 2 args, got ${exprs.length}")
-        VecDot(exprs.head, exprs(1))
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", exprs => {
-        require(exprs.length == 2,
-          s"sorted_intersect_count expects 2 args, got ${exprs.length}")
-        SortedIntersectCount(exprs.head, exprs(1))
-      }, "built-in")
-  }
+  private[functions] val builders: Seq[(String,
+      Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { exprs =>
+      require(exprs.length == 2, s"vec_dot expects 2 args, got ${exprs.length}")
+      VecDot(exprs.head, exprs(1))
+    },
+    "sorted_intersect_count" -> { exprs =>
+      require(exprs.length == 2,
+        s"sorted_intersect_count expects 2 args, got ${exprs.length}")
+      SortedIntersectCount(exprs.head, exprs(1))
+    })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point — the deployment-time form of
+  * [[GraftFunctions.register]]: sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (e.g. via spark-submit on a cluster) get the native expressions
+  * injected without any code calling register(). */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VecDot].getName, name),
+        b))
+    }
 }

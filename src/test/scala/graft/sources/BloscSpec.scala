@@ -112,6 +112,32 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decode(bb.array()).sameElements(data))
   }
 
+  test("corrupted frames fail loudly, never return wrong-sized data") {
+    val r = new scala.util.Random(1234)
+    val good = Blosc.encode(patterned(4096), 4, "lz4", shuffle = true)
+    var checked = 0
+    (0 until 300).foreach { _ =>
+      val frame = good.clone()
+      // flip 1-4 random bytes anywhere in the frame
+      (0 to r.nextInt(4)).foreach { _ =>
+        frame(r.nextInt(frame.length)) = r.nextInt(256).toByte
+      }
+      try {
+        val out = Blosc.decode(frame)
+        // a decode that survives corruption must still honor nbytes
+        val nbytes = java.nio.ByteBuffer.wrap(frame)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4)
+        assert(out.length == nbytes)
+        checked += 1
+      } catch {
+        case _: IllegalArgumentException | _: IllegalStateException |
+             _: net.jpountz.lz4.LZ4Exception |
+             _: ArrayIndexOutOfBoundsException => checked += 1
+      }
+    }
+    assert(checked == 300)
+  }
+
   test("bit-shuffle and blosclz are rejected with explicit errors") {
     // header(16) + one bstart(4) + one stream header cb=0(4): enough
     // structure to reach the codec dispatch.
