@@ -355,11 +355,14 @@ final class XbeamDataset private (
     zipAll(Seq(other))(cs => f(cs(0), cs(1)), merged)
 
   /** N-way co-partitioned zip over aligned datasets — the multi-dataset
-    * DatasetToChunks (core.py:474-502): every later dataset's dims must
-    * appear on this one with the same size (core.py:487-495), chunk
-    * grids must match, and chunks line up by position. `f` receives the
-    * aligned chunks in argument order (this dataset first), exactly the
-    * reference's `(key, [ds1_chunk, ds2_chunk, ...])` element shape.
+    * DatasetToChunks (core.py:474-502): every dataset must span the
+    * SAME dims with the same sizes and chunk grid, and chunks line up
+    * by position. `f` receives the aligned chunks in argument order
+    * (this dataset first), exactly the reference's
+    * `(key, [ds1_chunk, ds2_chunk, ...])` element shape. (The
+    * reference additionally accepts dim-SUBSET datasets, broadcasting
+    * their chunks across the missing dims — not supported here; the
+    * same effect is a mapBlocks that attaches the broadcastable data.)
     *
     * One shuffle total: all sides union into a single keyed dataset
     * (tagged with their argument position) and group on the
@@ -377,6 +380,9 @@ final class XbeamDataset private (
           s"dimension $d has an inconsistent size on different datasets: " +
             s"${first.get} vs $n")
       }
+      require(o.template.dimSizes.keySet == template.dimSizes.keySet,
+        s"zip requires identical dim sets: ${template.dimOrder} vs " +
+          s"${o.template.dimOrder} (dim-subset broadcasting is unsupported)")
       require(chunkSizes == o.chunkSizes,
         s"zip requires identical chunks: $chunkSizes vs ${o.chunkSizes}")
     }
@@ -487,7 +493,7 @@ object XbeamDataset {
     val store = Zarr.openStore(path)
     val template0 = store.template
     val coords = store.coordVars.map { case (d, m) =>
-      d -> Zarr.readCoord(path, d, m)
+      d -> Zarr.decodeCf(m, Zarr.readCoord(path, d, m))
     }
     val template = template0.copy(coords = coords)
     val normalized = ChunkGrid.normalizeChunks(

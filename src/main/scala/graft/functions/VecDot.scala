@@ -94,20 +94,20 @@ case class VecDot(left: Expression, right: Expression)
 /** Session-level registration of graft's native expressions, so they are
   * usable from `expr(...)` / `spark.sql(...)` like built-ins. */
 object GraftFunctions {
-  private[functions] val builders: Seq[(String,
+  private[functions] val builders: Seq[(String, String,
       Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> { exprs =>
+    ("vec_dot", classOf[VecDot].getName, { exprs =>
       require(exprs.length == 2, s"vec_dot expects 2 args, got ${exprs.length}")
       VecDot(exprs.head, exprs(1))
-    },
-    "sorted_intersect_count" -> { exprs =>
+    }),
+    ("sorted_intersect_count", classOf[SortedIntersectCount].getName, { exprs =>
       require(exprs.length == 2,
         s"sorted_intersect_count expects 2 args, got ${exprs.length}")
       SortedIntersectCount(exprs.head, exprs(1))
-    })
+    }))
 
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
@@ -122,11 +122,11 @@ class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, b) =>
+    GraftFunctions.builders.foreach { case (name, className, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[VecDot].getName, name),
+          className, name),
         b))
     }
 }

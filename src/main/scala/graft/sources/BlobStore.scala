@@ -59,9 +59,12 @@ object LocalFsStore extends BlobStore {
 
   override def exists(url: String): Boolean = Files.exists(p(url))
 
-  override def listChildren(url: String): Seq[String] =
-    Files.list(p(url)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+  override def listChildren(url: String): Seq[String] = {
+    val s = Files.list(p(url))
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    finally s.close() // Files.list holds the directory handle until closed
+  }
 
   override def isContainer(url: String): Boolean = Files.isDirectory(p(url))
 }

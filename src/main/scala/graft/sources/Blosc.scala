@@ -84,14 +84,20 @@ object Blosc {
       val leftover = bsize != blocksize
       var pos = bb.getInt(16 + 4 * b)
       require(pos >= 16 && pos < frame.length, s"corrupt blosc block offset $pos")
-      val nstreams = if (byteShuffle && !dontSplit && !leftover) typesize else 1
+      // The dont-split bit (plus the short trailing block) is the SOLE
+      // split authority: c-blosc splits independently of shuffling
+      // (e.g. lz4 without shuffle still splits under the default
+      // forward-compat split mode), so the shuffle flag must not gate
+      // the stream count.
+      val nstreams =
+        if (!dontSplit && !leftover) math.max(typesize, 1) else 1
       val neblock = bsize / nstreams
       val dest = if (byteShuffle) tmp else out
       val destBase = if (byteShuffle) 0 else b * blocksize
       var s = 0
       while (s < nstreams) {
         val cb = bb.getInt(pos); pos += 4
-        require(cb >= 0 && pos + cb <= frame.length,
+        require(cb >= 0 && cb <= frame.length - pos,
           s"corrupt blosc stream: cbytes=$cb at offset $pos")
         val destOff = destBase + s * neblock
         if (cb == neblock) {

@@ -104,19 +104,7 @@ object Zarr {
       .filter(n => store.exists(s"$path/$n/.zarray") ||
         store.exists(s"$path/$n/zarr.json"))
       .map(name => name -> readArrayMeta(path, name)).toMap
-    val dims = {
-      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
-      arrays.toSeq.sortBy(_._1).foreach { case (name, am) =>
-        am.dims.zip(am.shape).foreach { case (d, s) =>
-          m.get(d) match {
-            case Some(prev) if prev != s => throw new IllegalArgumentException(
-              s"inconsistent size for dim $d: $prev vs $s (var $name)")
-            case _ => m(d) = s
-          }
-        }
-      }
-      m.toSeq
-    }
+    val dims = mergeDims(arrays)
     val attrs = {
       val zattrs = store.readIfExists(s"$path/.zattrs")
       val v3root = store.readIfExists(s"$path/zarr.json")
@@ -146,22 +134,25 @@ object Zarr {
       name -> parseV2Meta(name, md.get(s"$name/.zarray"),
         Option(md.get(s"$name/.zattrs")))
     }.toMap
-    val dims = {
-      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
-      arrays.toSeq.sortBy(_._1).foreach { case (name, am) =>
-        am.dims.zip(am.shape).foreach { case (d, s) =>
-          m.get(d) match {
-            case Some(prev) if prev != s => throw new IllegalArgumentException(
-              s"inconsistent size for dim $d: $prev vs $s (var $name)")
-            case _ => m(d) = s
-          }
-        }
-      }
-      m.toSeq
-    }
     val attrs = Option(md.get(".zattrs")).map(jsonToAttrs)
       .getOrElse(Map.empty[String, String])
-    StoreMeta(dims, arrays, attrs)
+    StoreMeta(mergeDims(arrays), arrays, attrs)
+  }
+
+  /** Union the per-array dim sizes, erroring on conflicts — shared by
+    * both store-open paths so their semantics cannot diverge. */
+  private def mergeDims(arrays: Map[String, ArrayMeta]): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    arrays.toSeq.sortBy(_._1).foreach { case (name, am) =>
+      am.dims.zip(am.shape).foreach { case (d, s) =>
+        m.get(d) match {
+          case Some(prev) if prev != s => throw new IllegalArgumentException(
+            s"inconsistent size for dim $d: $prev vs $s (var $name)")
+          case _ => m(d) = s
+        }
+      }
+    }
+    m.toSeq
   }
 
   def readArrayMeta(path: String, name: String): ArrayMeta = {
@@ -356,9 +347,11 @@ object Zarr {
       val len = bb.getLong(flat * 16 + 8)
       if (off != ShardMissing && len != ShardMissing) {
         // uint64 offsets from the index; a ≥2 GiB shard would wrap .toInt
-        // into a garbage slice, so fail loudly instead.
-        require(off >= 0 && len >= 0 && off + len <= all.length &&
-          off + len <= Int.MaxValue,
+        // into a garbage slice, so fail loudly instead. Compare via
+        // subtraction — off + len itself can overflow Long for corrupt
+        // indices, which is exactly the case this guard must catch.
+        require(off >= 0 && len >= 0 && off <= all.length &&
+          len <= all.length - off,
           s"shard $f too large or corrupt index: inner chunk at off=$off " +
             s"len=$len exceeds the 2 GiB single-file read limit")
         val bytes = decodeBytes(meta,

@@ -71,7 +71,7 @@ object ZarrTable {
       if (!coords) Seq.empty
       else dims.filter(store.coordVars.contains).map { d =>
         StructField(s"${d}_coord",
-          sparkTypeOf(store.coordVars(d).dtype), nullable = false)
+          sparkTypeOf(Zarr.decodedDType(store.coordVars(d))), nullable = false)
       }
     StructType(
       dims.map(d => StructField(d, LongType, nullable = false)) ++
@@ -216,8 +216,9 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
       if (coordOf(i) < 0) null
       else {
         val dim = f.name.stripSuffix("_coord")
-        Zarr.readCoord(path, dim, metas.getOrElse(dim,
-          throw new IllegalArgumentException(s"no stored coordinate for ${f.name}")))
+        val m = metas.getOrElse(dim,
+          throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
+        Zarr.decodeCf(m, Zarr.readCoord(path, dim, m))
       }
   }
   // Variables may order their axes differently from the template (or

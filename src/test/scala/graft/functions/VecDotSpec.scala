@@ -38,18 +38,31 @@ class VecDotSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
-  test("GraftExtensions injects the same functions at session build") {
-    // extensions apply when a session is BUILT; the shared test session
-    // predates this spec, so drive the injection surface directly
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // a session cloned with these extensions resolves the functions
-    val s2 = spark.newSession()
-    GraftFunctions.register(s2)
-    import s2.implicits._
-    val v = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
-      .selectExpr("vec_dot(a, b)").collect()(0).getDouble(0)
-    assert(v == 11.0)
+  test("spark.sql.extensions session build resolves the functions") {
+    import org.apache.spark.sql.SparkSession
+    // a NEW SparkSession over the existing context picks up extensions;
+    // clear the active/default slots so the builder actually builds one
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // (the string form of spark.sql.extensions is a static conf Spark
+      // reads from the SparkContext, which pre-exists in tests;
+      // withExtensions exercises the same injection path)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne prev, "builder must create a fresh session")
+      // no register() call — resolution must come from the injection
+      import s2.implicits._
+      val v = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .selectExpr("vec_dot(a, b)", "sorted_intersect_count(array(1L), array(1L))")
+        .collect()(0)
+      assert(v.getDouble(0) == 11.0 && v.getLong(1) == 1L)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
   }
 
   test("interpreted path matches codegen") {

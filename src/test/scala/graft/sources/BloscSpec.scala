@@ -112,6 +112,32 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decode(bb.array()).sameElements(data))
   }
 
+  test("split-without-shuffle frame decodes (dont-split bit is the authority)") {
+    // c-blosc's split decision is independent of shuffling: an lz4
+    // frame with shuffle off can still split into typesize streams
+    // (bit4 = 0). Streams are then consecutive raw lanes of the block.
+    val n = 512
+    val data = Array.tabulate(n)(i => ((i / 16) % 7).toByte)
+    val typesize = 2
+    val neblock = n / typesize
+    val lz = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val streams = (0 until typesize).map { s =>
+      val buf = new Array[Byte](lz.maxCompressedLength(neblock))
+      val len = lz.compress(data, s * neblock, neblock, buf, 0, buf.length)
+      java.util.Arrays.copyOf(buf, len)
+    }
+    val headerLen = 16 + 4
+    val total = headerLen + streams.map(4 + _.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte)
+      .put((1 << 5).toByte) // lz4, NO shuffle, split (bit4 clear)
+      .put(typesize.toByte)
+    bb.putInt(n).putInt(n).putInt(total)
+    bb.putInt(headerLen)
+    streams.foreach { st => bb.putInt(st.length); bb.put(st) }
+    assert(Blosc.decode(bb.array()).sameElements(data))
+  }
+
   test("corrupted frames fail loudly, never return wrong-sized data") {
     val r = new scala.util.Random(1234)
     val good = Blosc.encode(patterned(4096), 4, "lz4", shuffle = true)
