@@ -355,6 +355,73 @@ object TextOps {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- d08
+    // Survivor selection — the step AFTER dedup in a real pipeline:
+    // within each near-dup cluster (here: identical 32-bit simhash per
+    // language, i.e. hamming-0 neighbors), keep the member with the
+    // best quality score, ties to the lowest doc id. One aggregation
+    // over cluster keys via a lexicographic struct-max — max quality,
+    // then min id — so the shuffle carries one row per cluster.
+    QueryDef(
+      "d08_dedup_survivor_quality",
+      (s, dir) => {
+        import s.implicits._
+        val wd = t(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
+          .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
+        val bits = wd
+          .select($"doc_id", $"lang", $"h", explode(expr("sequence(0, 31)")).as("b"))
+          .groupBy($"doc_id", $"lang", $"b")
+          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
+               count(lit(1)).as("n"))
+        val fp = bits.groupBy($"doc_id", $"lang")
+          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+        val quality = t(s, dir, "documents")
+          .withColumn("ws", expr("split(text, ' ')"))
+          .withColumn("nw", expr("cast(size(ws) AS bigint)"))
+          .withColumn("quality",
+            (expr("cast(size(filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint)")
+              .cast("double") / $"nw") * 0.5 +
+            (expr("cast(size(array_distinct(ws)) AS bigint)").cast("double") / $"nw") * 0.5 -
+            expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)")
+              .cast("double") / expr("length(text)"))
+          .select($"doc_id", $"quality")
+        fp.join(quality, "doc_id")
+          .groupBy($"lang", $"simhash")
+          .agg(max(struct($"quality", (-$"doc_id").as("negid"))).as("m"),
+               count(lit(1)).as("n_members"))
+          .select($"lang", $"simhash", (-$"m.negid").cast("long").as("survivor_id"),
+            $"m.quality".as("quality"), $"n_members")
+          .orderBy($"lang", $"simhash")
+      },
+      Some("""
+        WITH wd AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+                    FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+                          FROM documents)),
+        bits AS (SELECT doc_id, lang, b,
+                        count(*) FILTER (WHERE ((h >> b) & 1) = 1) AS pos,
+                        count(*) AS n
+                 FROM wd, unnest(range(0, 32)) AS t(b)
+                 GROUP BY doc_id, lang, b),
+        fp AS (SELECT doc_id, lang,
+                      CAST(sum(CASE WHEN pos * 2 > n THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id, lang),
+        q AS (SELECT doc_id,
+                     (CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(ws)) * 0.5
+                   + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+                   - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS quality
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+        j AS (SELECT fp.lang, fp.simhash, fp.doc_id, q.quality
+              FROM fp JOIN q USING (doc_id)),
+        g AS (SELECT lang, simhash, max(quality) AS mq, count(*) AS n_members
+              FROM j GROUP BY 1, 2)
+        SELECT g.lang, g.simhash, min(j.doc_id) AS survivor_id,
+               any_value(g.mq) AS quality, any_value(g.n_members) AS n_members
+        FROM j JOIN g ON j.lang = g.lang AND j.simhash = g.simhash
+                     AND j.quality = g.mq
+        GROUP BY g.lang, g.simhash
+        ORDER BY g.lang, g.simhash""")),
+
     // ---------------------------------------------------------------- m03
     // Multimodal audio plumbing: payload as fake 8-bit PCM, analyzed in
     // 64-sample windows per partition — RMS energy (integer
