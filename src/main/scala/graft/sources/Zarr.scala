@@ -763,11 +763,11 @@ object Zarr {
     }.mkString("{", ",", "}")
 
   private def jsonToAttrs(n: JsonNode): Map[String, String] = {
-    val it = n.fields()
+    val names = n.fieldNames()
     val b = Map.newBuilder[String, String]
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith("_")) b += e.getKey -> e.getValue.asText
+    while (names.hasNext) {
+      val k = names.next()
+      if (!k.startsWith("_")) b += k -> n.get(k).asText
     }
     b.result()
   }
