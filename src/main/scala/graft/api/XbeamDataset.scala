@@ -460,6 +460,7 @@ final class XbeamDataset private (
           spec.dtype, spec.dims, comp,
           if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0,
           format = zarrFormat,
+          keySep = if (zarrFormat == 3) "/" else ".",
           shardChunks = if (sharded) Some(spec.dims.map(stored)) else None)
         val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
         starts.zip(va.dims).foreach { case (st, d) =>

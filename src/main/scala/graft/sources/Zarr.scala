@@ -45,11 +45,15 @@ object Zarr {
   /** `cfScale` carries CF packing attrs (scale_factor, add_offset) when
     * present: stored integers decode to `v * scale + offset` doubles —
     * xarray's default decode_cf behavior, which the reference inherits
-    * on every open_zarr (zarr.py:72-96). */
+    * on every open_zarr (zarr.py:72-96).
+    *
+    * `keySep` separates chunk-key coordinates: v2 defaults to "."
+    * (flat "0.1" files; `dimension_separator: "/"` nests them), v3
+    * constructions must pass "/" (the default `c/0/1` encoding). */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
                              fillValue: Double, format: Int = 2,
-                             keySep: String = "/",
+                             keySep: String = ".",
                              shardChunks: Option[Seq[Int]] = None,
                              cfScale: Option[(Double, Double)] = None,
                              cfFill: Option[Double] = None)
@@ -200,8 +204,14 @@ object Zarr {
       else if (shape.length == 1) Seq(name)   // bare 1-d coord
       else throw new IllegalArgumentException(
         s"array $name lacks _ARRAY_DIMENSIONS")
+    // v2's optional dimension_separator (zarr 2.8+): "/" nests chunk
+    // files in directories; missing it would make every chunk look
+    // absent and read as fill — a silent wrong read.
+    val sep = Option(za.get("dimension_separator")).map(_.asText).getOrElse(".")
+    require(sep == "." || sep == "/", s"bad dimension_separator $sep for $name")
     ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
-      comp, fill, cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf))
+      comp, fill, keySep = sep,
+      cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf))
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -427,12 +437,13 @@ object Zarr {
     case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
   }
 
-  /** Chunk blob key for a block index, per format: v2 "0.1", v3
-    * "c/0/1" (or "c.0.1" with the "." separator). */
+  /** Chunk blob key for a block index, per format: v2 "0.1" (or nested
+    * "0/1" with dimension_separator "/"), v3 "c/0/1" (or "c.0.1" with
+    * the "." separator). */
   private def blockKey(path: String, name: String, meta: ArrayMeta,
                        blockIdx: Array[Long]): String =
     if (meta.format == 2) {
-      val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(".")
+      val fname = if (blockIdx.isEmpty) "0" else blockIdx.mkString(meta.keySep)
       s"$path/$name/$fname"
     } else {
       val parts = "c" +: blockIdx.toSeq.map(_.toString)
@@ -550,7 +561,8 @@ object Zarr {
         Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None, None)
       writeRegion(store, path, dim,
         ArrayMeta(Seq(arr.shape(0).toLong), Seq(arr.shape(0)), arr.dtype,
-          Seq(dim), None, fillOf(arr.dtype), format = zarrFormat),
+          Seq(dim), None, fillOf(arr.dtype), format = zarrFormat,
+          keySep = if (zarrFormat == 3) "/" else "."),
         Array(0L), arr)
     }
     if (zarrFormat == 2) consolidateMetadata(store, path)

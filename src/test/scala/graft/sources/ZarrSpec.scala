@@ -169,6 +169,28 @@ class ZarrSpec extends AnyFunSuite {
     assert(dec(0) == 11.0 && dec(1).isNaN && dec(2) == 12.0 && dec(3) == 10.0)
   }
 
+  test("v2 dimension_separator '/' (nested chunk dirs) reads and writes") {
+    val path = tmpStore()
+    // hand-write the .zarray with the nested separator, as zarr 2.8+
+    // producers do
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zarray"),
+      ("""{"chunks":[4,3],"compressor":null,"dtype":"<f8","fill_value":"NaN",""" +
+        """"filters":null,"order":"C","shape":[10,6],"zarr_format":2,""" +
+        """"dimension_separator":"/"}""").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t","x"]}""".getBytes("UTF-8"))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.keySep == "/")
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    // chunks landed as nested dirs, not dot-named files
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v", "0", "0")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v", "0.0")))
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
