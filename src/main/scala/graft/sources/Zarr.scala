@@ -209,6 +209,15 @@ object Zarr {
     // absent and read as fill — a silent wrong read.
     val sep = Option(za.get("dimension_separator")).map(_.asText).getOrElse(".")
     require(sep == "." || sep == "/", s"bad dimension_separator $sep for $name")
+    // Unsupported layouts must fail loudly, not decode wrong: a filter
+    // chain (delta/fixedscaleoffset/...) changes the byte meaning, and
+    // Fortran order changes the element layout.
+    val filters = za.get("filters")
+    require(filters == null || filters.isNull,
+      s"array $name uses zarr v2 filters ($filters) — not supported")
+    val order = Option(za.get("order")).map(_.asText).getOrElse("C")
+    require(order == "C", s"array $name is $order-order; only C-order " +
+      "stores are supported")
     ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf))

@@ -191,6 +191,30 @@ class ZarrSpec extends AnyFunSuite {
       .sameAs(data))
   }
 
+  test("v2 filters and F-order are rejected loudly (no silent wrong decode)") {
+    def writeZa(body: String): String = {
+      val path = tmpStore()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zarray"),
+        body.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      path
+    }
+    val withFilters = writeZa(
+      """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":[{"id":"delta","dtype":"<f8"}],"order":"C","shape":[8],"zarr_format":2}""")
+    val e1 = intercept[IllegalArgumentException](
+      Zarr.readArrayMeta(withFilters, "v"))
+    assert(e1.getMessage.contains("filters"))
+    val fOrder = writeZa(
+      """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":null,"order":"F","shape":[8],"zarr_format":2}""")
+    val e2 = intercept[IllegalArgumentException](
+      Zarr.readArrayMeta(fOrder, "v"))
+    assert(e2.getMessage.contains("F-order"))
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
