@@ -56,7 +56,8 @@ object Zarr {
                              keySep: String = ".",
                              shardChunks: Option[Seq[Int]] = None,
                              cfScale: Option[(Double, Double)] = None,
-                             cfFill: Option[Double] = None)
+                             cfFill: Option[Double] = None,
+                             bigEndian: Boolean = false)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -218,9 +219,16 @@ object Zarr {
     val order = Option(za.get("order")).map(_.asText).getOrElse("C")
     require(order == "C", s"array $name is $order-order; only C-order " +
       "stores are supported")
-    ArrayMeta(shape, chunks, DType.fromZarr(za.get("dtype").asText), resolvedDims,
+    // big-endian stores (HDF5-converted data) read via a byte swap;
+    // the in-memory representation stays little-endian throughout
+    val dtypeStr = za.get("dtype").asText
+    val bigEndian = dtypeStr.startsWith(">")
+    val dtype = DType.fromZarr(
+      if (bigEndian) "<" + dtypeStr.substring(1) else dtypeStr)
+    ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
-      cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf))
+      cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
+      bigEndian = bigEndian)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -745,8 +753,8 @@ object Zarr {
     * ("zlib", "gzip", "blosc"/"blosc:<cname>" or none). Blosc frames
     * self-describe their inner codec and shuffle filter, so one decode
     * path serves any blosc store regardless of write-time settings. */
-  private def decodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] =
-    meta.compressor match {
+  private def decodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] = {
+    val raw = meta.compressor match {
       case Some("zlib") => inflate(bytes)
       case Some("gzip") => gunzip(bytes)
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
@@ -755,9 +763,30 @@ object Zarr {
         s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
       case None => bytes
     }
+    if (meta.bigEndian) swapEndian(raw, meta.dtype.itemsize) else raw
+  }
+
+  /** Reverse the bytes of each element in place-of-copy. */
+  private def swapEndian(bytes: Array[Byte], itemsize: Int): Array[Byte] = {
+    if (itemsize == 1) return bytes
+    val out = new Array[Byte](bytes.length)
+    var base = 0
+    while (base + itemsize <= bytes.length) {
+      var j = 0
+      while (j < itemsize) {
+        out(base + j) = bytes(base + itemsize - 1 - j)
+        j += 1
+      }
+      base += itemsize
+    }
+    out
+  }
 
   /** Compress one chunk for storage; inverse of [[decodeBytes]]. */
-  private def encodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] =
+  private def encodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] = {
+    require(!meta.bigEndian,
+      "writing to big-endian stores is not supported (reads byte-swap; " +
+        "a little-endian write would corrupt the array)")
     meta.compressor match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)
@@ -767,6 +796,7 @@ object Zarr {
         s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
       case None => bytes
     }
+  }
 
   /** "blosc" → lz4 (numcodecs' default cname); "blosc:zstd" etc. select
     * the inner codec explicitly. */

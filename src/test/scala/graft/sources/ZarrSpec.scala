@@ -215,6 +215,28 @@ class ZarrSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("F-order"))
   }
 
+  test("big-endian v2 stores byte-swap on read; writes are refused") {
+    val path = tmpStore()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zarray"),
+      ("""{"chunks":[4],"compressor":null,"dtype":">f8","fill_value":0,""" +
+        """"filters":null,"order":"C","shape":[4],"zarr_format":2}""").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.bigEndian && meta.dtype == DType.F64)
+    // write the chunk bytes big-endian by hand
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(1.5, -2.0, 3.25, 1e300).foreach(bb.putDouble)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", "0"), bb.array())
+    val got = Zarr.readRegion(path, "v", meta, Array(0L), Array(4))
+    assert(got.toDoubles.toSeq == Seq(1.5, -2.0, 3.25, 1e300))
+    val e = intercept[IllegalArgumentException](
+      Zarr.writeRegion(path, "v", meta, Array(0L), got))
+    assert(e.getMessage.contains("big-endian"))
+  }
+
   test("missing blocks read as fill value (NaN for floats)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
