@@ -9,8 +9,8 @@ object SparkEntry {
   /** All implemented operators, each with a Spark impl and (where
     * SQL-expressible) a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ XbeamQueries.defs ++
-      graft.streaming.StreamOps.defs
+    Relational.defs ++ TextOps.defs ++ CurationOps.defs ++ VectorOps.defs ++
+      XbeamQueries.defs ++ graft.streaming.StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, deterministic stratified sampling, BM25 retrieval
+  * scoring, and the per-source curation report that decides what ships
+  * into a training mix.
+  *
+  * Like the rest of the text suite these go beyond the reference's
+  * surface (xarray-beam has no text ops) and are written scale-first:
+  * the decontamination join broadcasts the (bounded, small) benchmark
+  * index instead of shuffling the corpus against itself; sampling is a
+  * stateless per-row hash so it needs no shuffle at all; BM25 corpus
+  * statistics reduce to one broadcast row. Every query has a DuckDB
+  * oracle computing the identical deterministic result.
+  */
+object CurationOps {
+  import Tables.t
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- c01
+    // Benchmark decontamination: find corpus documents that share >= 50%
+    // of their 3-word shingles with any "benchmark" document (the held
+    // out eval set, here the deterministic doc_id % 20 == 7 slice). This
+    // is the train/test-overlap check every training corpus needs. The
+    // benchmark side is small and bounded by construction (eval sets are
+    // thousands of docs, not billions), so its exploded shingle index is
+    // BROADCAST: the corpus streams through map-side, no self-join, no
+    // shuffle of corpus content — at 100 TB the cost is one scan.
+    // Shingles are distinct within a doc, so the per-pair match count is
+    // exactly the intersection size.
+    QueryDef(
+      "c01_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = TextOps.shingled(s, dir)
+        val bench = sh.filter($"doc_id" % 20 === 7)
+          .select($"doc_id".as("bench_id"), explode($"shingles").as("sg"))
+        val corpus = sh.filter($"doc_id" % 20 =!= 7)
+          .select($"doc_id".as("corpus_id"), expr("size(shingles)").as("sz"),
+            explode($"shingles").as("sg"))
+        corpus.join(broadcast(bench), "sg")
+          .groupBy($"corpus_id", $"bench_id", $"sz")
+          .agg(count(lit(1)).as("n_shared"))
+          .withColumn("overlap", $"n_shared".cast("double") / $"sz")
+          .filter($"overlap" >= 0.5)
+          .select($"corpus_id", $"bench_id", $"n_shared", $"overlap")
+          .orderBy($"corpus_id", $"bench_id")
+      },
+      Some(s"""
+        ${TextOps.DUCK_SHINGLE_CTE}
+        SELECT corpus_id, bench_id, n_shared, overlap FROM (
+          SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                 CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT) AS n_shared,
+                 CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE) /
+                 len(c.shingles) AS overlap
+          FROM sh c JOIN sh b ON c.doc_id % 20 <> 7 AND b.doc_id % 20 = 7)
+        WHERE overlap >= 0.5 ORDER BY corpus_id, bench_id""")),
+
+    // ---------------------------------------------------------------- c02
+    // Stratified downsampling with a deterministic per-row hash: keep
+    // 10% of the dominant language and 30% of the rest (corpus
+    // rebalancing). The keep decision is a pure function of doc_id, so
+    // the sample is reproducible across runs/engines and needs no
+    // shuffle, no state, and no sort — at 100 TB this is a map-only scan
+    // whose output can feed any downstream stage. md5 (not engine hash
+    // functions) so Spark and DuckDB agree bit-for-bit.
+    QueryDef(
+      "c02_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("bucket", expr(
+            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100"))
+          .withColumn("rate", when($"lang" === "en", lit(10)).otherwise(lit(30)))
+          .filter($"bucket" < $"rate")
+          .select($"doc_id", $"lang", $"bucket")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 <
+              CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c03
+    // BM25 retrieval: score every document against a fixed query
+    // ("spark window merge"), return the top 20. Term frequencies come
+    // from higher-order array functions (no explode), corpus statistics
+    // (N, avg doc length, per-term document frequencies) reduce to ONE
+    // row that is broadcast back — at scale this is two scans and a
+    // broadcast, no shuffle of document content. The idf is the BM25
+    // odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log: log is the
+    // one BM25 operation whose last-ulp rounding is not pinned down by
+    // IEEE 754 across engines, and the ranking it induces is identical
+    // (log is monotone). Every input to the score is an
+    // exactly-representable count, and both engines evaluate the same
+    // expression tree, so scores match bit-for-bit.
+    QueryDef(
+      "c03_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val f = t(s, dir, "documents").selectExpr(
+          "doc_id",
+          "cast(size(split(text, ' ')) AS double) AS dl",
+          "cast(size(filter(split(text, ' '), w -> w = 'spark')) AS double) AS tf1",
+          "cast(size(filter(split(text, ' '), w -> w = 'window')) AS double) AS tf2",
+          "cast(size(filter(split(text, ' '), w -> w = 'merge')) AS double) AS tf3")
+        val st = f.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          sum($"dl").as("sum_dl"),
+          count(when($"tf1" > 0, 1)).cast("double").as("df1"),
+          count(when($"tf2" > 0, 1)).cast("double").as("df2"),
+          count(when($"tf3" > 0, 1)).cast("double").as("df3"))
+        f.crossJoin(broadcast(st))
+          .withColumn("score", expr(
+            """((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+              |  ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs)))) +
+              |((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+              |  ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs)))) +
+              |((n_docs - df3 + 0.5) / (df3 + 0.5)) *
+              |  ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs))))""".stripMargin))
+          .filter($"score" > 0)
+          .select($"doc_id", $"score")
+          .orderBy($"score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""
+        WITH f AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                          CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE) AS tf1,
+                          CAST(len(list_filter(string_split(text, ' '), w -> w = 'window')) AS DOUBLE) AS tf2,
+                          CAST(len(list_filter(string_split(text, ' '), w -> w = 'merge')) AS DOUBLE) AS tf3
+                   FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+                      CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+                      CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2,
+                      CAST(count(*) FILTER (WHERE tf3 > 0) AS DOUBLE) AS df3
+               FROM f)
+        SELECT doc_id, score FROM (
+          SELECT doc_id,
+                 ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+                   ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs)))) +
+                 ((n_docs - df2 + 0.5) / (df2 + 0.5)) *
+                   ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs)))) +
+                 ((n_docs - df3 + 0.5) / (df3 + 0.5)) *
+                   ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs)))) AS score
+          FROM f, st)
+        WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- c04
+    // Curation report: the per-(source, lang) rollup a data curator
+    // reads before building a training mix — document counts, how many
+    // documents are exact duplicates of something else in the corpus,
+    // total size and token counts. One shuffle on the content
+    // fingerprint to establish copy counts, one rollup aggregation; the
+    // duplicate flag travels as a boolean, never the content.
+    QueryDef(
+      "c04_curation_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("fp", md5(lower(trim($"text"))))
+          .withColumn("n_tokens", expr("cast(size(split(text, ' ')) AS bigint)"))
+        val copies = docs.groupBy($"fp").agg(count(lit(1)).as("copies"))
+        docs.join(copies, "fp")
+          .groupBy($"source", $"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when($"copies" > 1, 1)).as("n_dup_docs"),
+            sum($"n_chars").as("sum_chars"),
+            sum($"n_tokens").as("sum_tokens"))
+          .withColumn("avg_chars",
+            $"sum_chars".cast("double") / $"n_docs".cast("double"))
+          .select($"source", $"lang", $"n_docs", $"n_dup_docs",
+            $"sum_chars", $"sum_tokens", $"avg_chars")
+          .orderBy($"source", $"lang")
+      },
+      Some("""
+        WITH d AS (SELECT source, lang, n_chars,
+                          md5(lower(trim(text))) AS fp,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT fp, count(*) AS copies FROM d GROUP BY fp)
+        SELECT source, lang,
+               count(*) AS n_docs,
+               count(*) FILTER (WHERE copies > 1) AS n_dup_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        FROM d JOIN c USING (fp)
+        GROUP BY source, lang
+        ORDER BY source, lang"""))
+  )
+}

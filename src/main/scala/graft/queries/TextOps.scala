@@ -39,14 +39,14 @@ object TextOps {
       |                ' ', element_at(ws, i + 2))))))""".stripMargin
 
   /** doc_id, lang, n_chars, shingles for docs with >= 3 words. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
       .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
   private val SHINGLES_DUCK =
     """list_distinct(list_transform(range(1, len(words) - 1),
       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))""".stripMargin
 
-  private val DUCK_SHINGLE_CTE =
+  private[queries] val DUCK_SHINGLE_CTE =
     s"""WITH w AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words FROM documents),
        |sh AS (SELECT doc_id, lang, n_chars, $SHINGLES_DUCK AS shingles
        |       FROM w WHERE len(words) >= 3)""".stripMargin
