@@ -419,9 +419,24 @@ final class XbeamDataset private (
     * dataset.py:754-866). Shards must be whole multiples of chunks, and
     * in-memory chunks whole multiples of shards (whole-shard writes,
     * same no-race rule as chunk writes). */
+  /** `needsSetup = false` (ChunksToZarr's needs_setup, zarr.py:718-733;
+    * exercised by the reference's append test, zarr_test.py:474-530):
+    * write into an EXISTING store — typically after [[graft.sources.Zarr.extendDim]]
+    * grew it along an append dim. All storage parameters (chunks,
+    * compressor, format, shards) come from the store's own metadata;
+    * the template must match the store's dims, and chunk offsets land
+    * wherever their keys say, so a partial chunk cover appends exactly
+    * its own regions. */
   def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
              compressor: Option[String] = None, zarrFormat: Int = 2,
-             zarrShards: Map[String, Int] = Map.empty): Unit = {
+             zarrShards: Map[String, Int] = Map.empty,
+             needsSetup: Boolean = true): Unit = {
+    if (!needsSetup) {
+      require(zarrChunks.isEmpty && compressor.isEmpty && zarrShards.isEmpty,
+        "with needsSetup=false the store's existing metadata decides " +
+          "chunks/compressor/shards — do not pass them")
+      return appendToStore(path)
+    }
     val stored = if (zarrChunks.isEmpty) chunkSizes
       else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
     val shardGrid: Map[String, Int] =
@@ -467,6 +482,49 @@ final class XbeamDataset private (
           require(st % writeUnit(d) == 0,
             s"chunk offset $st for dim $d is not a multiple of zarr write unit ${writeUnit(d)}")
         }
+        Zarr.writeRegion(path, name, meta, starts, va.arr)
+      }
+    }
+  }
+
+  /** The needsSetup=false write path: region-write this dataset's chunks
+    * into an existing store using the store's own array metadata. */
+  private def appendToStore(path: String): Unit = {
+    val sm = Zarr.openStore(path)
+    val storeDims = sm.dims.toMap
+    template.dimOrder.foreach { d =>
+      require(storeDims.get(d).contains(template.dimSizes(d)),
+        s"store dim $d has size ${storeDims.get(d).orNull} but the template " +
+          s"says ${template.dimSizes(d)} — extend the store first " +
+          "(Zarr.extendDim)")
+    }
+    val metas: Map[String, Zarr.ArrayMeta] = template.vars.keys.map { n =>
+      n -> sm.arrays.getOrElse(n, throw new IllegalArgumentException(
+        s"store $path has no array $n"))
+    }.toMap
+    metas.foreach { case (n, m) =>
+      require(m.cfScale.isEmpty && m.cfFill.isEmpty,
+        s"cannot append to CF-packed array $n (writes would need re-encoding)")
+      require(m.dims == template.vars(n).dims,
+        s"store array $n has dims ${m.dims}, template says ${template.vars(n).dims}")
+      require(Zarr.decodedDType(m) == template.vars(n).dtype,
+        s"store array $n has dtype ${m.dtype}, template says ${template.vars(n).dtype}")
+      // same no-race rule as the setup path: whole write units only
+      m.dims.zip(m.chunks).foreach { case (d, unit) =>
+        require(chunkSizes(d) % unit == 0,
+          s"in-memory chunk ${chunkSizes(d)} for dim $d is not a multiple " +
+            s"of the store's write unit $unit for $n")
+      }
+    }
+    val writeChunks = spark.sparkContext.longAccumulator("graft.write-chunks")
+    val writeBytes = spark.sparkContext.longAccumulator("graft.write-bytes")
+    chunkDataset.foreach { p: Pair =>
+      val (key, chunk) = p
+      writeChunks.add(1L)
+      writeBytes.add(chunk.nbytes)
+      chunk.vars.foreach { case (name, va) =>
+        val meta = metas(name)
+        val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
         Zarr.writeRegion(path, name, meta, starts, va.arr)
       }
     }

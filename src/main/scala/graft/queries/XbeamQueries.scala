@@ -493,6 +493,42 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x21
+    // The reference's append workflow (zarr_test.py:474-530): write the
+    // first 16 t-slices with a truncated template, grow the store's
+    // metadata along t (Zarr.extendDim — the xarray
+    // `to_zarr(mode='a', append_dim='t')` analogue; chunk-boundary
+    // aligned so no existing block is rewritten), then region-write the
+    // remaining chunks with needsSetup=false (ChunksToZarr's
+    // needs_setup). Reading the store back must yield the full grid.
+    QueryDef(
+      "x21_zarr_append",
+      (s, dir) => {
+        import ChunkTransforms.{Pair, pairEnc}
+        import graft.sources.Zarr
+        val store = zarrPath("x21", dir)
+        val xds = gridXds(s, dir)
+        val tFull = xds.template.dimSizes("t")
+        val tFirst = 16L // exactly one stored chunk along t
+        val firstPart = xds.chunkDataset.filter { p: Pair =>
+          p._1.offsets.getOrElse("t", 0L) < tFirst
+        }
+        XbeamDataset.fromPairs(s,
+          xds.template.replaceDims(sizes = Map("t" -> tFirst)),
+          xds.chunkSizes, firstPart, validate = false).toZarr(store)
+        Zarr.extendDim(store, "t", tFull)
+        val rest = xds.chunkDataset.filter { p: Pair =>
+          p._1.offsets.getOrElse("t", 0L) >= tFirst
+        }
+        XbeamDataset.fromPairs(s, xds.template, xds.chunkSizes, rest,
+          validate = false).toZarr(store, needsSetup = false)
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

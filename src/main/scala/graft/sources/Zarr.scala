@@ -728,6 +728,63 @@ object Zarr {
     store.write(f, encodeBytes(meta, block.data))
   }
 
+  /** Grow an existing store along `dim` — the metadata half of the
+    * reference's append workflow (zarr_test.py:474-530: xarray
+    * `to_zarr(mode='a', append_dim=...)` extends shapes, then
+    * `ChunksToZarr(needs_setup=False)` writes the new regions). Driver
+    * side, metadata-only: every array spanning `dim` gets its shape
+    * patched; existing chunk files never move because the chunk grid is
+    * unchanged. The old extent must end on a chunk boundary so appended
+    * region writes can never race an already-written edge block.
+    * `coordTail`, when given, appends values to the 1-d coordinate
+    * array of `dim` (its length must equal the added extent). */
+  def extendDim(path: String, dim: String, newSize: Long,
+                coordTail: Option[NdArray] = None): Unit = {
+    val store = new StagedWrites(BlobStore.forUrl(path))
+    val sm = openStore(path)
+    val affected = sm.arrays.filter(_._2.dims.contains(dim))
+    require(affected.nonEmpty, s"no array in $path spans dim $dim")
+    val oldSize = sm.dims.toMap.apply(dim)
+    require(newSize >= oldSize,
+      s"cannot shrink dim $dim from $oldSize to $newSize")
+    if (newSize == oldSize && coordTail.isEmpty) return
+    affected.foreach { case (name, m) =>
+      val d = m.dims.indexOf(dim)
+      require(oldSize % m.chunks(d) == 0,
+        s"cannot append along $dim: existing extent $oldSize of $name is " +
+          s"not a multiple of its chunk ${m.chunks(d)} — the edge block " +
+          "would need a racy rewrite")
+    }
+    affected.foreach { case (name, m) =>
+      val d = m.dims.indexOf(dim)
+      val metaKey = if (m.format == 2) s"$path/$name/.zarray"
+        else s"$path/$name/zarr.json"
+      val node = mapper.readTree(store.read(metaKey)).asInstanceOf[ObjectNode]
+      val shapeNode = node.withArray[ArrayNode]("shape")
+      val newShape = (0 until shapeNode.size).map(i =>
+        if (i == d) newSize else shapeNode.get(i).asLong)
+      shapeNode.removeAll()
+      newShape.foreach(shapeNode.add)
+      writeJson(store, metaKey, mapper.writeValueAsString(node))
+    }
+    coordTail.foreach { tail =>
+      val m = sm.arrays.getOrElse(dim, throw new IllegalArgumentException(
+        s"store has no coordinate array for dim $dim"))
+      require(tail.shape.toSeq == Seq((newSize - oldSize).toInt),
+        s"coordTail shape ${tail.shape.toSeq} != added extent ${newSize - oldSize}")
+      require(m.cfScale.isEmpty && m.cfFill.isEmpty && !m.bigEndian,
+        s"cannot append to an encoded coordinate array $dim")
+      // rewrite the coord whole (it is small and driver-local): blocks
+      // realign cleanly because writes start at offset 0
+      val full = NdArray.zeros(m.dtype, Array(newSize.toInt))
+      full.insert(Array(0), readRegion(path, dim, m, Array(0L), Array(oldSize.toInt)))
+      full.insert(Array(oldSize.toInt), tail)
+      writeRegion(store, path, dim, m.copy(shape = Seq(newSize)), Array(0L), full)
+    }
+    if (affected.values.exists(_.format == 2)) consolidateMetadata(store, path)
+    store.flush()
+  }
+
   /** Write .zmetadata (consolidated) from the individual files. */
   def consolidateMetadata(path: String): Unit =
     consolidateMetadata(BlobStore.forUrl(path), path)

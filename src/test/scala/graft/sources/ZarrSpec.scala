@@ -333,4 +333,43 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.writeRegion(path, "v", meta, Array(0L, 0L), arange(DType.F64, 3, 6))
     }
   }
+
+  test("extendDim grows shapes + coord; appended regions write and read") {
+    val path = tmpStore()
+    // t=10 with chunk t=5: chunk-aligned old extent, eligible for append
+    Zarr.setupStore(path, template, Map("t" -> 5, "x" -> 6))
+    val meta0 = Zarr.readArrayMeta(path, "v")
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta0, Array(0L, 0L), data)
+    Zarr.extendDim(path, "t", 14L,
+      coordTail = Some(NdArray.fromLongs(DType.I64, Array(4),
+        Array(10L, 11L, 12L, 13L))))
+    val store = Zarr.openStore(path)
+    assert(store.dims.toMap == Map("t" -> 14L, "x" -> 6L))
+    assert(store.arrays("v").chunks == Seq(5, 6)) // grid unchanged
+    assert(Zarr.readCoord(path, "t").get.toLongs.toSeq == (0L until 14L))
+    // append the new region [10, 14) and read the whole array back
+    val meta1 = store.arrays("v")
+    val tail = arange(DType.F64, 4, 6).mapF64(_ + 60)
+    Zarr.writeRegion(path, "v", meta1, Array(10L, 0L), tail)
+    val back = Zarr.readRegion(path, "v", meta1, Array(0L, 0L), Array(14, 6))
+    assert(back.slice(Array(0, 0), Array(10, 6)).sameAs(data))
+    assert(back.slice(Array(10, 0), Array(4, 6)).sameAs(tail))
+    // existing data blocks were not rewritten by the metadata surgery
+    assert(Zarr.readRegion(path, "v", meta1, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+  }
+
+  test("extendDim refuses a non-chunk-aligned old extent and shrinking") {
+    val path = tmpStore()
+    // t=10 with chunk t=4: old edge block [8,10) is partial
+    Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
+    val e = intercept[IllegalArgumentException] {
+      Zarr.extendDim(path, "t", 12L)
+    }
+    assert(e.getMessage.contains("not a multiple"))
+    assertThrows[IllegalArgumentException] {
+      Zarr.extendDim(path, "t", 6L)
+    }
+  }
 }
