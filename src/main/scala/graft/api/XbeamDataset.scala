@@ -325,6 +325,36 @@ final class XbeamDataset private (
   def meanGlobal(skipna: Boolean = true): XbeamDataset =
     mean(template.dimSizes.keySet, skipna)
 
+  /** General reductions over dims — the combiners the reference lists
+    * as missing (combiners.py:29: "TODO... sum, std, var, min, max").
+    * Same distributed shape as [[mean]]: per-chunk partials, one keyed
+    * shuffle with map-side combine. Variance/std are population (ddof=0,
+    * xarray's default). */
+  def sum(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "sum", skipna)
+  def min(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "min", skipna)
+  def max(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "max", skipna)
+  def variance(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "var", skipna)
+  def std(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "std", skipna)
+
+  private def reduced(dims: Set[String], kind: String,
+                      skipna: Boolean): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"$kind dims $dims not all in ${template.dimOrder}")
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.reduceDims(chunkDataset, dims, kind, skipna))
+  }
+
   /** Mean with the reference's explicitly planned multi-stage combiner
     * tree (MultiStageMean / Dataset.mean, combiners.py:295-394,
     * dataset.py:1060-1103) — for extreme reduction ratios where one

@@ -243,6 +243,84 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     (sums, counts)
   }
 
+  /** Sum + sum-of-squares + not-NaN count along the given axes, in
+    * float64 — the per-chunk partial for variance/std (exact for
+    * integer-valued data: both moments stay within 2^53). */
+  def sumSqCount(axes: Array[Int], skipna: Boolean): (NdArray, NdArray, NdArray) = {
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val sums = NdArray.zeros(DType.F64, outShape)
+    val sqs = NdArray.zeros(DType.F64, outShape)
+    val counts = NdArray.zeros(DType.F64, outShape)
+    val n = size
+    val outStrides = sums.strides
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN) {
+        sums.setDouble(outFlat, sums.getDouble(outFlat) + v)
+        sqs.setDouble(outFlat, sqs.getDouble(outFlat) + v * v)
+        counts.setDouble(outFlat, counts.getDouble(outFlat) + 1.0)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    (sums, sqs, counts)
+  }
+
+  /** Min or max along the given axes in float64, NaN-aware: with skipna
+    * NaN inputs are ignored (all-NaN → NaN); without it any NaN poisons
+    * its output cell — xarray's min/max semantics. */
+  def extreme(axes: Array[Int], skipna: Boolean, isMin: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val out = NdArray.fill(DType.F64, outShape, Double.NaN)
+    val seen = new Array[Boolean](out.size.toInt)
+    val poisoned = new Array[Boolean](out.size.toInt)
+    val n = size
+    val outStrides = out.strides
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      val o = outFlat.toInt
+      if (v.isNaN) { if (!skipna) poisoned(o) = true }
+      else if (!poisoned(o)) {
+        val cur = out.getDouble(outFlat)
+        if (!seen(o) || (if (isMin) v < cur else v > cur))
+          out.setDouble(outFlat, v)
+        seen(o) = true
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    if (!skipna) {
+      var i = 0
+      while (i < poisoned.length) {
+        if (poisoned(i)) out.setDouble(i.toLong, Double.NaN)
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

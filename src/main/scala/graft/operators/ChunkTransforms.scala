@@ -138,6 +138,126 @@ object ChunkTransforms {
       .map { kv: (String, (ChunkKey, MeanAcc)) => (kv._2._1, kv._2._2.extract) }
   }
 
+  // ----------------------------------------------------- other reductions
+
+  /** Accumulator for the general reductions — the combiners the
+    * reference lists as TODO (combiners.py:29: sum, std, var, min, max).
+    * `parts` is op-specific: sum → (sums); min/max → (extremes);
+    * var/std → (sums, sumsqs, counts). Merging is pointwise per part. */
+  final case class ReduceAcc(kind: String, parts: Seq[ArrayChunk]) {
+    private def zipParts(a: ArrayChunk, b: ArrayChunk,
+                         f: (Double, Double) => Double): ArrayChunk =
+      ArrayChunk(a.vars.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(b.vars(n).arr)(f))
+      })
+
+    def merge(other: ReduceAcc): ReduceAcc = baseKind match {
+      case "sum" => ReduceAcc(kind,
+        Seq(zipParts(parts(0), other.parts(0), _ + _)))
+      case "min" | "max" =>
+        val f: (Double, Double) => Double = { (a, b) =>
+          // Under skipna, NaN in a partial means "no data in this cell":
+          // the other side wins. Without skipna, NaN means "poisoned" and
+          // must propagate instead.
+          if (a.isNaN) b else if (b.isNaN) a
+          else if (baseKind == "min") math.min(a, b) else math.max(a, b)
+        }
+        val g: (Double, Double) => Double =
+          if (skipnaFlag) f
+          else (a, b) => if (a.isNaN || b.isNaN) Double.NaN else f(a, b)
+        ReduceAcc(kind, Seq(zipParts(parts(0), other.parts(0), g)))
+      case "var" | "std" => ReduceAcc(kind, Seq(
+        zipParts(parts(0), other.parts(0), _ + _),
+        zipParts(parts(1), other.parts(1), _ + _),
+        zipParts(parts(2), other.parts(2), _ + _)))
+    }
+
+    // min/max merge must know the skipna policy; carried in the kind
+    // string as a suffix to keep the accumulator one serializable blob
+    private def skipnaFlag: Boolean = !kind.endsWith("!")
+    private def baseKind: String = kind.stripSuffix("!")
+
+    def extract: ArrayChunk = baseKind match {
+      case "sum" | "min" | "max" => parts(0)
+      case "var" | "std" =>
+        val out = parts(0).vars.map { case (n, sva) =>
+          val sq = parts(1).vars(n).arr
+          val cnt = parts(2).vars(n).arr
+          val sums = sva.arr
+          val res = NdArray.zeros(DType.F64, sums.shape)
+          var i = 0L
+          while (i < res.size) {
+            val s = sums.getDouble(i)
+            val q = sq.getDouble(i)
+            val c = cnt.getDouble(i)
+            // population variance (ddof=0, xarray's default), evaluated
+            // in this exact expression order on both engines
+            val v = if (c == 0) Double.NaN else (q - s * s / c) / c
+            res.setDouble(i, if (baseKind == "std") math.sqrt(v) else v)
+            i += 1
+          }
+          n -> VarArray(sva.dims, res)
+        }
+        ArrayChunk(out)
+    }
+  }
+
+  object ReduceAcc {
+    /** Per-chunk partial for `kind` ("sum" | "min" | "max" | "var" |
+      * "std"), reducing over `dims` inside the chunk first. */
+    def ofChunk(chunk: ArrayChunk, dims: Set[String], kind: String,
+                skipna: Boolean): ReduceAcc = {
+      val tag = if (skipna) kind else kind + "!"
+      def per(f: (NdArray, Array[Int]) => Seq[NdArray]): Seq[ArrayChunk] = {
+        val partsByVar = chunk.vars.map { case (n, va) =>
+          val axes = va.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
+          val keptDims = va.dims.filterNot(dims)
+          n -> (keptDims, f(va.arr, axes))
+        }
+        val nParts = partsByVar.head._2._2.length
+        (0 until nParts).map { i =>
+          ArrayChunk(partsByVar.map { case (n, (kd, ps)) =>
+            n -> VarArray(kd, ps(i))
+          })
+        }
+      }
+      kind match {
+        case "sum" => ReduceAcc(tag,
+          per((a, ax) => Seq(a.sumCount(ax, skipna)._1)))
+        case "min" => ReduceAcc(tag,
+          per((a, ax) => Seq(a.extreme(ax, skipna, isMin = true))))
+        case "max" => ReduceAcc(tag,
+          per((a, ax) => Seq(a.extreme(ax, skipna, isMin = false))))
+        case "var" | "std" => ReduceAcc(tag, per { (a, ax) =>
+          val (s, q, c) = a.sumSqCount(ax, skipna)
+          Seq(s, q, c)
+        })
+        case other => throw new IllegalArgumentException(
+          s"unknown reduction $other (sum/min/max/var/std)")
+      }
+    }
+  }
+
+  /** Keyed general reduction over dims — same one-shuffle shape as
+    * [[mean]] (rekey → per-chunk partial → reduceGroups with map-side
+    * partials → extract), for the combiners the reference lacks. */
+  def reduceDims(ds: Dataset[Pair], dims: Set[String], kind: String,
+                 skipna: Boolean = true,
+                 rekey: ChunkKey => ChunkKey = identity): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, ReduceAcc)] =
+      Encoders.kryo[(ChunkKey, ReduceAcc)]
+    ds.map { p: Pair =>
+      val rk = rekey(p._1)
+      val nk = rk.copy(offsets = rk.offsets -- dims)
+      (nk, ReduceAcc.ofChunk(p._2, dims, kind, skipna))
+    }
+      .groupByKey { kv: (ChunkKey, ReduceAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, ReduceAcc), b: (ChunkKey, ReduceAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, ReduceAcc)) => (kv._2._1, kv._2._2.extract) }
+  }
+
   /** Mean with an explicitly planned N-stage combiner tree
     * (MultiStageMean, combiners.py:295-394): chunk → flat index →
     * per-stage fanout bins (planned by the reference's cost model,

@@ -529,6 +529,40 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x22
+    // The reduction family beyond Mean (the combiners the reference
+    // lists as TODO, combiners.py:29): sum / min / max / var / std over
+    // dim x, each a per-chunk partial + one keyed shuffle, joined into
+    // one frame on t. Integer-valued inputs keep sum and both variance
+    // moments exact, and var evaluates in the same expression order on
+    // both engines, so every column is bit-identical.
+    QueryDef(
+      "x22_reductions",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.sum(Set("x")), "sum")
+          .join(frame(xds.min(Set("x")), "min"), "t")
+          .join(frame(xds.max(Set("x")), "max"), "t")
+          .join(frame(xds.variance(Set("x")), "var"), "t")
+          .join(frame(xds.std(Set("x")), "std"), "t")
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+               CAST(sum(uid) AS DOUBLE) AS uid_sum, sum(vf) AS vf_sum,
+               CAST(min(uid) AS DOUBLE) AS uid_min, min(vf) AS vf_min,
+               CAST(max(uid) AS DOUBLE) AS uid_max, max(vf) AS vf_max,
+               (sum(CAST(uid AS DOUBLE) * uid) - CAST(sum(uid) AS DOUBLE) * sum(uid) / count(*)) / count(*) AS uid_var,
+               (sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / count(*) AS vf_var,
+               sqrt((sum(CAST(uid AS DOUBLE) * uid) - CAST(sum(uid) AS DOUBLE) * sum(uid) / count(*)) / count(*)) AS uid_std,
+               sqrt((sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / count(*)) AS vf_std
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

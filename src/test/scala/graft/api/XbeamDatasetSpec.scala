@@ -117,6 +117,53 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(g.vars("temperature").arr.size == 1)
   }
 
+  test("sum/min/max/var/std reductions match direct computation " +
+    "(the reference's missing combiners, combiners.py:29)") {
+    val orig = Fixtures.era5()("temperature")._2
+    def chunked(kind: String): NdArray = {
+      val xds = kind match {
+        case "sum" => era5ds().sum(Set("time"))
+        case "min" => era5ds().min(Set("time"))
+        case "max" => era5ds().max(Set("time"))
+        case "var" => era5ds().variance(Set("time"))
+        case "std" => era5ds().std(Set("time"))
+      }
+      xds.collectConsolidated()._2.vars("temperature").arr
+    }
+    val (s, n) = orig.sumCount(Array(0), skipna = true)
+    assert(chunked("sum").allClose(s, 1e-12))
+    assert(chunked("min").sameAs(orig.extreme(Array(0), skipna = true, isMin = true)))
+    assert(chunked("max").sameAs(orig.extreme(Array(0), skipna = true, isMin = false)))
+    val (s2, q2, c2) = orig.sumSqCount(Array(0), skipna = true)
+    val expectVar = NdArray.zeros(DType.F64, s2.shape)
+    (0L until s2.size).foreach { i =>
+      val (sv, qv, cv) = (s2.getDouble(i), q2.getDouble(i), c2.getDouble(i))
+      expectVar.setDouble(i, (qv - sv * sv / cv) / cv)
+    }
+    assert(chunked("var").allClose(expectVar, 1e-10))
+    assert(chunked("std").allClose(expectVar.mapF64(math.sqrt), 1e-10))
+  }
+
+  test("min/max NaN semantics: skipna ignores, non-skipna poisons") {
+    // column x=0 is NaN-free (strict min well-defined); x=1 has NaNs
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(1.0, Double.NaN, 3.0, 5.0, 6.0, 2.0, 4.0, Double.NaN))
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+    val mSkip = build.min(Set("t")).collectConsolidated()._2.vars("v").arr
+    assert(mSkip.getDouble(0) == 1.0 && mSkip.getDouble(1) == 2.0)
+    val mStrict = build.min(Set("t"), skipna = false)
+      .collectConsolidated()._2.vars("v").arr
+    assert(mStrict.getDouble(0) == 1.0 && mStrict.getDouble(1).isNaN)
+    // all-NaN column under skipna stays NaN
+    val allNaN = NdArray.fromDoubles(DType.F64, Array(2, 1),
+      Array(Double.NaN, Double.NaN))
+    val r = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), allNaN)), chunks = Map("t" -> 1))
+      .max(Set("t")).collectConsolidated()._2.vars("v").arr
+    assert(r.getDouble(0).isNaN)
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),
