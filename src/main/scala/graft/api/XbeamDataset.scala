@@ -341,6 +341,47 @@ final class XbeamDataset private (
   def std(dims: Set[String], skipna: Boolean = true): XbeamDataset =
     reduced(dims, "std", skipna)
 
+  /** Exact median over dims (the last combiner on the reference's TODO
+    * list, combiners.py:29). Unlike the moment-based reductions an exact
+    * median needs every value of a cell together, so this consolidates
+    * chunks to the full extent of the reduced dims (one shuffle — the
+    * rechunk primitive) and runs the sort-and-interpolate kernel per
+    * cell. Memory per task is bounded by (reduced extent × kept-dim
+    * chunk), so callers keep the non-reduced chunks small; at 100 TB the
+    * approximate-quantile path (relational q18) is the cheap alternative. */
+  def median(dims: Set[String], skipna: Boolean = true): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"median dims $dims not all in ${template.dimOrder}")
+    dims.foreach { d =>
+      require(template.dimSizes(d) <= Int.MaxValue,
+        s"median over dim $d: extent ${template.dimSizes(d)} exceeds one chunk")
+    }
+    val target = chunkSizes.map { case (d, c) =>
+      d -> (if (dims(d)) template.dimSizes(d).toInt else c)
+    }
+    import ChunkTransforms.{Pair, pairEnc}
+    val dimsB = dims
+    val sk = skipna
+    val out = ChunkTransforms.consolidateChunks(chunkDataset, target)
+      .map { p: Pair =>
+        (p._1.copy(offsets = p._1.offsets -- dimsB),
+          ArrayChunk(p._2.vars.map { case (n, va) =>
+            val axes = va.dims.zipWithIndex.collect {
+              case (d, i) if dimsB(d) => i
+            }.toArray
+            n -> VarArray(va.dims.filterNot(dimsB),
+              va.arr.medianAlong(axes, sk))
+          }))
+      }
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, splitVars, out)
+  }
+
   private def reduced(dims: Set[String], kind: String,
                       skipna: Boolean): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),

@@ -321,6 +321,58 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Median along the given axes in float64, with linear interpolation
+    * for even counts ((a+b)/2 — numpy/xarray semantics). skipna drops
+    * NaNs per cell (all-NaN → NaN); without it any NaN poisons the
+    * cell. The reduced extent materializes per output cell, so callers
+    * bound memory by keeping the non-reduced chunk small. */
+  def medianAlong(axes: Array[Int], skipna: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val out = NdArray.zeros(DType.F64, outShape)
+    val redLen = axes.map(shape).product
+    val buf = new Array[Double](math.max(redLen, 1))
+    val lens = new Array[Int](out.size.toInt)
+    val cells = Array.fill(out.size.toInt)(null: Array[Double])
+    var o = 0
+    while (o < cells.length) { cells(o) = new Array[Double](math.max(redLen, 1)); o += 1 }
+    val n = size
+    val outStrides = out.strides
+    val idx = new Array[Int](ndim)
+    var poisonedAny = false
+    val poisoned = new Array[Boolean](out.size.toInt)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val oI = outFlat.toInt
+      val v = getDouble(flat)
+      if (v.isNaN) { if (!skipna) { poisoned(oI) = true; poisonedAny = true } }
+      else { cells(oI)(lens(oI)) = v; lens(oI) += 1 }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    var i = 0
+    while (i < cells.length) {
+      val m = lens(i)
+      if ((poisonedAny && poisoned(i)) || m == 0) out.setDouble(i.toLong, Double.NaN)
+      else {
+        System.arraycopy(cells(i), 0, buf, 0, m)
+        java.util.Arrays.sort(buf, 0, m)
+        out.setDouble(i.toLong,
+          if (m % 2 == 1) buf(m / 2) else (buf(m / 2 - 1) + buf(m / 2)) / 2.0)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

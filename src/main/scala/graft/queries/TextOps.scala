@@ -907,6 +907,54 @@ object TextOps {
                list_reduce(means, (a, b) -> a + b) / len(means) AS mean_pooled
         FROM p ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t07
+    // PII detection + redaction — the scrub step a training corpus runs
+    // before anything ships. The synthetic corpus carries no PII, so the
+    // query first INJECTS deterministic addresses/phones (a pure
+    // function of doc_id, built identically in both engines), then
+    // counts matches and hashes the redacted text — detection,
+    // replacement, and ordering semantics all land in the oracle
+    // comparison. Patterns use only class/quantifier constructs whose
+    // semantics agree between Java regex (Spark) and RE2 (DuckDB), and
+    // enter the plan as Column literals, never spliced SQL. Map-only at
+    // any scale: no shuffle, no state.
+    QueryDef(
+      "t07_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val email = "[a-z0-9._]+@[a-z0-9.-]+"
+        val phone = "\\+[0-9]{1,3}-[0-9]{6,12}"
+        val aug = concat($"text", lit(" contact user"),
+          $"doc_id".cast("string"), lit("@mail.example or +1-"),
+          lpad(($"doc_id" * 7919 % 100000000).cast("string"), 8, "0"),
+          lit(" "), expr("repeat('x@y.io ', cast(doc_id % 3 AS int))"))
+        t(s, dir, "documents").withColumn("aug", aug)
+          .select($"doc_id",
+            size(regexp_extract_all($"aug", lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all($"aug", lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace($"aug", email, "<EMAIL>"), phone, "<PHONE>"))
+              .as("redacted_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example or +1-' ||
+                 lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0') ||
+                 ' ' || repeat('x@y.io ', CAST(doc_id % 3 AS INT)) AS a
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(a, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(a, '\+[0-9]{1,3}-[0-9]{6,12}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                 regexp_replace(a, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\+[0-9]{1,3}-[0-9]{6,12}', '<PHONE>', 'g')) AS redacted_md5
+        FROM aug ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- t06
     // Repetition-ratio quality signals (the Gopher-style repetition
     // filters real pretraining pipelines gate on): most-frequent-word

@@ -563,6 +563,20 @@ object XbeamQueries {
                sqrt((sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / count(*)) AS vf_std
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x23
+    // Exact median over dim x: cells assemble via the consolidate
+    // shuffle (full x extent per cell), then sort-and-interpolate.
+    // x = 50 values per cell → even count → (25th + 26th)/2, exact for
+    // integer-valued doubles in both engines.
+    QueryDef(
+      "x23_median",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).median(Set("x"))).orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, median(CAST(uid AS DOUBLE)) AS uid, median(vf) AS vf
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -164,6 +164,22 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(r.getDouble(0).isNaN)
   }
 
+  test("median assembles cells and interpolates (even counts, NaN skip)") {
+    val orig = Fixtures.era5()("temperature")._2
+    val med = era5ds().median(Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(med.sameAs(orig.medianAlong(Array(0), skipna = true)))
+    // hand-checked kernel semantics: odd count picks the middle, even
+    // interpolates, NaNs drop under skipna
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(4.0, 1.0, 1.0, Double.NaN, 3.0, 2.0, 2.0, 8.0))
+    val m = vals.medianAlong(Array(0), skipna = true)
+    assert(m.getDouble(0) == 2.5) // (2+3)/2
+    assert(m.getDouble(1) == 2.0) // median of 1,2,8
+    val strict = vals.medianAlong(Array(0), skipna = false)
+    assert(strict.getDouble(0) == 2.5 && strict.getDouble(1).isNaN)
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),

@@ -43,7 +43,12 @@ def cells_equal(a, b):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
+import os
 for name, sql in sorted(oracle.items()):
+    # dev subset runs (SPARK_GRAFT_ONLY) dump only some queries; skip the
+    # rest instead of reporting spurious missing-file failures
+    if os.environ.get("SPARK_GRAFT_ONLY") and not os.path.isdir(f"{out_dir}/{name}"):
+        continue
     try:
         cur = con.execute(sql)
         exp_cols = [d[0] for d in cur.description]
