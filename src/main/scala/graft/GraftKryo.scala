@@ -11,6 +11,7 @@ object GraftKryo {
     "graft.core.VarArray",
     "graft.ndarray.NdArray",
     "graft.operators.ChunkTransforms$MeanAcc",
+    "graft.operators.ChunkTransforms$ReduceAcc",
     "scala.Tuple2",
     "scala.Tuple3",
     "scala.collection.immutable.Map$Map1",
