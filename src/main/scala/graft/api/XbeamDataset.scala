@@ -382,6 +382,89 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes -- dims, splitVars, out)
   }
 
+  /** Trailing rolling mean along `dim` with cross-chunk halo exchange —
+    * the op `map_blocks` cannot express (a window spanning a chunk
+    * boundary needs neighbor data). Each chunk ships its last
+    * `window-1` elements along `dim` to its successor chunk (a narrow
+    * slice, not the chunk body), successors prepend the halo, and the
+    * trailing-window kernel emits only the chunk's own extent. One
+    * co-partitioned shuffle whose volume is chunks × halo width — at
+    * 100 TB the halo is `(window-1)/chunk` of the data, typically a few
+    * percent. Window semantics are SQL's `ROWS BETWEEN window-1
+    * PRECEDING AND CURRENT ROW` (truncated at the dim start). */
+  def rollingMean(dim: String, window: Int): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(window >= 2, s"rolling window must be >= 2, got $window")
+    require(window - 1 <= chunkSizes(dim),
+      s"halo ${window - 1} exceeds chunk ${chunkSizes(dim)} for $dim " +
+        "(rechunk larger along the rolling dim first)")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+    val d = dim
+    val w = window
+    val dimSize = template.dimSizes(dim)
+    val tagged = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      val extent = c.vars.collectFirst {
+        case (_, va) if va.dims.contains(d) => va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      val own = (k.canonical, false, p)
+      val nextOff = off + extent
+      if (nextOff < dimSize && extent > 0) {
+        // slice the trailing halo of the vars that span the dim (others
+        // need no history and don't ship)
+        val haloLen = math.min(w - 1, extent)
+        val halo = ArrayChunk(c.vars.collect {
+          case (n, va) if va.dims.contains(d) =>
+            val ax = va.dims.indexOf(d)
+            val starts = Array.fill(va.arr.ndim)(0)
+            starts(ax) = extent - haloLen
+            val lens = va.arr.shape.clone()
+            lens(ax) = haloLen
+            n -> VarArray(va.dims, va.arr.slice(starts, lens))
+        })
+        val nextKey = k.copy(offsets = k.offsets + (d -> nextOff))
+        Seq(own, (nextKey.canonical, true, (k, halo)))
+      } else Seq(own)
+    }
+    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val ownItems = items.filter(!_._2)
+      require(ownItems.length == 1,
+        s"rolling: expected exactly one own chunk per key, got ${ownItems.length}")
+      val (key, ownChunk) = ownItems.head._3
+      val haloOpt = items.find(_._2).map(_._3._2)
+      val result = ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          val joined = haloOpt match {
+            case Some(h) =>
+              val ha = h.vars(n).arr
+              val shape2 = va.arr.shape.clone()
+              shape2(ax) += ha.shape(ax)
+              val j = NdArray.zeros(va.arr.dtype, shape2)
+              j.insert(Array.fill(shape2.length)(0), ha)
+              val st = Array.fill(shape2.length)(0)
+              st(ax) = ha.shape(ax)
+              j.insert(st, va.arr)
+              j
+            case None => va.arr
+          }
+          val skip = haloOpt.map(_.vars(n).arr.shape(ax)).getOrElse(0)
+          n -> VarArray(va.dims, joined.rollingMeanAlong(ax, w, skip))
+        }
+      })
+      (key, result)
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, out)
+  }
+
   private def reduced(dims: Set[String], kind: String,
                       skipna: Boolean): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),

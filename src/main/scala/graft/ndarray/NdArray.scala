@@ -373,6 +373,60 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Trailing rolling mean along `axis` in float64: output position i
+    * averages input positions [max(0, i-window+1), i] — SQL's
+    * `ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW` with the window
+    * truncated at the sequence start. `skipStart` drops that many
+    * leading positions from the output (the halo a distributed caller
+    * prepended from the neighboring chunk); the dropped positions still
+    * participate as window history. NaN inputs propagate (SQL AVG over
+    * NaN is NaN). */
+  def rollingMeanAlong(axis: Int, window: Int, skipStart: Int): NdArray = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.zeros(DType.F64, outShape)
+    // iterate over all lanes (positions of the non-axis dims)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart) {
+        val lo = math.max(0, i - window + 1)
+        var s = 0.0
+        var c = 0
+        var j = lo
+        // walk the window along the axis from this flat position
+        val axisStride = strides(axis)
+        val base = flat - (i - lo).toLong * axisStride
+        while (j <= i) {
+          s += getDouble(base + (j - lo).toLong * axisStride)
+          c += 1
+          j += 1
+        }
+        var outFlat = 0L
+        var d = 0
+        while (d < ndim) {
+          outFlat += (if (d == axis) (i - skipStart).toLong else idx(d).toLong) * outStrides(d)
+          d += 1
+        }
+        out.setDouble(outFlat, s / c)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

@@ -577,6 +577,28 @@ object XbeamQueries {
         SELECT t, median(CAST(uid AS DOUBLE)) AS uid, median(vf) AS vf
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x24
+    // Cross-chunk rolling mean via halo exchange: window 5 over t with
+    // chunk t=16, so 4 of every 16 output positions need data from the
+    // previous chunk. Each chunk ships only its trailing 4-element
+    // slice to its successor (one co-partitioned shuffle of halo
+    // slivers, never chunk bodies) — the op map_blocks cannot express.
+    // Oracle: SQL trailing window AVG, truncated at the dim start,
+    // exact for integer-valued sums.
+    QueryDef(
+      "x24_rolling_halo",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).rollingMean("t", 5)).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               avg(CAST(uid AS DOUBLE)) OVER w AS uid,
+               avg(vf) OVER w AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -180,6 +180,21 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(strict.getDouble(0) == 2.5 && strict.getDouble(1).isNaN)
   }
 
+  test("rollingMean halo exchange matches the single-chunk computation") {
+    // chunked time=4 with window 3: positions 4,5,8,9 need neighbor data
+    val rolled = era5ds(Map("time" -> 4)).rollingMean("time", 3)
+      .collectConsolidated()._2.vars("temperature").arr
+    val single = era5ds(Map("time" -> 12)).rollingMean("time", 3)
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(rolled.sameAs(single))
+    val direct = Fixtures.era5()("temperature")._2.rollingMeanAlong(0, 3, 0)
+    assert(rolled.sameAs(direct))
+    // window wider than a chunk is rejected (halo would need 2 hops)
+    assertThrows[IllegalArgumentException] {
+      era5ds(Map("time" -> 4)).rollingMean("time", 6)
+    }
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),
