@@ -384,25 +384,47 @@ final class XbeamDataset private (
 
   /** Trailing rolling mean along `dim` with cross-chunk halo exchange —
     * the op `map_blocks` cannot express (a window spanning a chunk
-    * boundary needs neighbor data). Each chunk ships its last
-    * `window-1` elements along `dim` to its successor chunk (a narrow
-    * slice, not the chunk body), successors prepend the halo, and the
-    * trailing-window kernel emits only the chunk's own extent. One
-    * co-partitioned shuffle whose volume is chunks × halo width — at
-    * 100 TB the halo is `(window-1)/chunk` of the data, typically a few
-    * percent. Window semantics are SQL's `ROWS BETWEEN window-1
-    * PRECEDING AND CURRENT ROW` (truncated at the dim start). */
+    * boundary needs neighbor data). Window semantics are SQL's `ROWS
+    * BETWEEN window-1 PRECEDING AND CURRENT ROW` (truncated at the dim
+    * start). Built on [[mapWithHalo]]. */
   def rollingMean(dim: String, window: Int): XbeamDataset = {
-    require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(window >= 2, s"rolling window must be >= 2, got $window")
-    require(window - 1 <= chunkSizes(dim),
-      s"halo ${window - 1} exceeds chunk ${chunkSizes(dim)} for $dim " +
-        "(rechunk larger along the rolling dim first)")
+    mapWithHalo(dim, window - 1) { (joined, ax, skip) =>
+      joined.rollingMeanAlong(ax, window, skip)
+    }
+  }
+
+  /** Shift every dim-spanning variable forward by `periods` along `dim`
+    * (xarray `Dataset.shift`): out[i] = in[i - periods], the first
+    * `periods` positions fill NaN. Cross-chunk history arrives through
+    * the same halo exchange as [[rollingMean]]. */
+  def shift(dim: String, periods: Int = 1): XbeamDataset = {
+    require(periods >= 1, s"shift periods must be >= 1, got $periods")
+    mapWithHalo(dim, periods) { (joined, ax, skip) =>
+      joined.shiftAlong(ax, periods, skip)
+    }
+  }
+
+  /** The generic halo-exchange primitive: prepend each chunk's trailing
+    * `haloLen` elements along `dim` to its successor chunk, then run
+    * `kernel(joined, axis, skip)` per dim-spanning variable, where
+    * `joined` is halo+own concatenated along the dim and `skip` is the
+    * halo extent actually present (0 for the first chunk; the kernel
+    * must emit exactly the own extent). One co-partitioned shuffle
+    * whose payload is halo slivers — `haloLen/chunk` of the data —
+    * never chunk bodies. Variables not spanning `dim` pass through
+    * untouched; outputs are F64. */
+  def mapWithHalo(dim: String, haloLen: Int)
+                 (kernel: (NdArray, Int, Int) => NdArray): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(haloLen >= 1 && haloLen <= chunkSizes(dim),
+      s"halo $haloLen must be in [1, chunk ${chunkSizes(dim)}] for $dim " +
+        "(rechunk larger along the dim first)")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
     implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
     val d = dim
-    val w = window
+    val w = haloLen + 1 // legacy naming below: halo is w-1 elements
     val dimSize = template.dimSizes(dim)
     val tagged = chunkDataset.flatMap { p: Pair =>
       val (k, c) = p
@@ -454,7 +476,7 @@ final class XbeamDataset private (
             case None => va.arr
           }
           val skip = haloOpt.map(_.vars(n).arr.shape(ax)).getOrElse(0)
-          n -> VarArray(va.dims, joined.rollingMeanAlong(ax, w, skip))
+          n -> VarArray(va.dims, kernel(joined, ax, skip))
         }
       })
       (key, result)

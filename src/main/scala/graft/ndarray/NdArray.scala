@@ -427,6 +427,44 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Shift along `axis` by `periods` in float64: output position i
+    * takes input position i-periods; positions with no history are NaN
+    * (xarray shift fill). `skipStart` drops that many leading positions
+    * from the output (a prepended halo) while keeping them as history. */
+  def shiftAlong(axis: Int, periods: Int, skipStart: Int): NdArray = {
+    require(periods >= 1, s"periods must be >= 1, got $periods")
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.fill(DType.F64, outShape, Double.NaN)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart && i - periods >= 0) {
+        var outFlat = 0L
+        var dd = 0
+        while (dd < ndim) {
+          outFlat += (if (dd == axis) (i - skipStart).toLong else idx(dd).toLong) * outStrides(dd)
+          dd += 1
+        }
+        out.setDouble(outFlat, getDouble(flat - periods.toLong * axisStride))
+      }
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        idx(dd) += 1
+        if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

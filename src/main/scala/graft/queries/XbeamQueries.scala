@@ -599,6 +599,30 @@ object XbeamQueries {
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x25
+    // Shift along t through the generic halo primitive: out[t] =
+    // in[t-2], the first two t-slices have no history (NaN, mapped to a
+    // sentinel here because the oracle's lag() yields NULL and the gate
+    // comparison keeps NULL, NaN, and values strictly distinct).
+    QueryDef(
+      "x25_shift_halo",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        TabularBridge.toDataFrame(gridXds(s, dir).shift("t", 2))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               coalesce(lag(CAST(uid AS DOUBLE), 2) OVER w, -1.0) AS uid,
+               coalesce(lag(vf, 2) OVER w, -1.0) AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

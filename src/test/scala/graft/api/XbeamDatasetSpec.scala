@@ -195,6 +195,18 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("shift crosses chunk boundaries; leading positions are NaN") {
+    val shifted = era5ds(Map("time" -> 4)).shift("time", 2)
+      .collectConsolidated()._2.vars("temperature").arr
+    val orig = Fixtures.era5()("temperature")._2
+    assert(shifted.getDouble(0).isNaN) // t=0 has no history
+    // t=5 (second chunk) must see t=3 (last slice of the first chunk)
+    val lanes = orig.shape(1) * orig.shape(2)
+    (0 until lanes).foreach { l =>
+      assert(shifted.getDouble(5L * lanes + l) == orig.getDouble(3L * lanes + l))
+    }
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),
