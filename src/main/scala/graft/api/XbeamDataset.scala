@@ -360,9 +360,19 @@ final class XbeamDataset private (
       d -> (if (dims(d)) template.dimSizes(d).toInt else c)
     }
     import ChunkTransforms.{Pair, pairEnc}
+    import org.apache.spark.sql.Encoders
     val dimsB = dims
     val sk = skipna
-    val out = ChunkTransforms.consolidateChunks(chunkDataset, target)
+    // Variables spanning none of the reduced dims are replicated into
+    // every chunk along those dims by the scan; they bypass the cell
+    // consolidation (whose duplicate-block check would reject the
+    // replicas) and pass through unchanged, one replica per output key.
+    val touchedNames = template.vars.filter(_._2.dims.exists(dims)).keySet
+    val untouchedNames = template.vars.keySet -- touchedNames
+    val spanning = chunkDataset.map { p: Pair =>
+      (p._1, ArrayChunk(p._2.vars.filter(kv => touchedNames(kv._1))))
+    }.filter { p: Pair => p._2.vars.nonEmpty }
+    val medianed = ChunkTransforms.consolidateChunks(spanning, target)
       .map { p: Pair =>
         (p._1.copy(offsets = p._1.offsets -- dimsB),
           ArrayChunk(p._2.vars.map { case (n, va) =>
@@ -373,10 +383,26 @@ final class XbeamDataset private (
               va.arr.medianAlong(axes, sk))
           }))
       }
+    val out =
+      if (untouchedNames.isEmpty) medianed
+      else {
+        val un = untouchedNames
+        val replicas = chunkDataset.map { p: Pair =>
+          (p._1.copy(offsets = p._1.offsets -- dimsB, vars = None),
+            ArrayChunk(p._2.vars.filter(kv => un(kv._1))))
+        }
+          .filter { p: Pair => p._2.vars.nonEmpty }
+          .groupByKey(_._1.canonical)(Encoders.STRING)
+          .mapGroups { (_, it) => it.next() } // replicas are identical
+        ChunkTransforms.consolidateVariables(
+          medianed.map { p: Pair => (p._1.copy(vars = None), p._2) }
+            .union(replicas))
+      }
     val newTemplate = Template(
       template.dims.filterNot(d => dims(d._1)),
       template.vars.map { case (n, vs) =>
-        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+        n -> VarSpec(vs.dims.filterNot(dims),
+          if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
       },
       template.coords -- dims, template.attrs)
     withPlan(newTemplate, chunkSizes -- dims, splitVars, out)
@@ -494,7 +520,10 @@ final class XbeamDataset private (
     val newTemplate = Template(
       template.dims.filterNot(d => dims(d._1)),
       template.vars.map { case (n, vs) =>
-        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+        // variables spanning none of the reduced dims pass through
+        // unchanged (xarray semantics), keeping their dtype
+        n -> VarSpec(vs.dims.filterNot(dims),
+          if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
       },
       template.coords -- dims, template.attrs)
     withPlan(newTemplate, chunkSizes -- dims, splitVars,
@@ -681,6 +710,9 @@ final class XbeamDataset private (
     metas.foreach { case (n, m) =>
       require(m.cfScale.isEmpty && m.cfFill.isEmpty,
         s"cannot append to CF-packed array $n (writes would need re-encoding)")
+      require(!m.bigEndian,
+        s"cannot append to big-endian array $n (writes are little-endian " +
+          "only) — fail fast here instead of mid-job on executors")
       require(m.dims == template.vars(n).dims,
         s"store array $n has dims ${m.dims}, template says ${template.vars(n).dims}")
       require(Zarr.decodedDType(m) == template.vars(n).dtype,

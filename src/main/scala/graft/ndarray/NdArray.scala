@@ -392,6 +392,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     val n = size
     val idx = new Array[Int](ndim)
     val outStrides = out.strides
+    val axisStride = strides(axis) // hoisted: strides allocates per call
     var flat = 0L
     while (flat < n) {
       val i = idx(axis)
@@ -401,7 +402,6 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         var c = 0
         var j = lo
         // walk the window along the axis from this flat position
-        val axisStride = strides(axis)
         val base = flat - (i - lo).toLong * axisStride
         while (j <= i) {
           s += getDouble(base + (j - lo).toLong * axisStride)

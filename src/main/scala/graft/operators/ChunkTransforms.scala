@@ -143,98 +143,112 @@ object ChunkTransforms {
   /** Accumulator for the general reductions — the combiners the
     * reference lists as TODO (combiners.py:29: sum, std, var, min, max).
     * `parts` is op-specific: sum → (sums); min/max → (extremes);
-    * var/std → (sums, sumsqs, counts). Merging is pointwise per part. */
-  final case class ReduceAcc(kind: String, parts: Seq[ArrayChunk]) {
+    * var/std → (sums, sumsqs, counts). Merging is pointwise per part.
+    *
+    * `passthrough` carries the variables that span NONE of the reduced
+    * dims: the scan replicates such a variable into every chunk along
+    * the reduced dims (ChunkGrid.keyForIndex enumerates all dims), so
+    * the replicas all land in the same output group — merging keeps one
+    * replica instead of combining them (summing N identical copies
+    * would yield N·v), matching xarray, where a reduction leaves
+    * variables lacking the dim unchanged. */
+  final case class ReduceAcc(kind: String, skipna: Boolean,
+                             parts: Seq[ArrayChunk],
+                             passthrough: ArrayChunk) {
     private def zipParts(a: ArrayChunk, b: ArrayChunk,
                          f: (Double, Double) => Double): ArrayChunk =
       ArrayChunk(a.vars.map { case (n, va) =>
         n -> VarArray(va.dims, va.arr.zipF64(b.vars(n).arr)(f))
       })
 
-    def merge(other: ReduceAcc): ReduceAcc = baseKind match {
-      case "sum" => ReduceAcc(kind,
-        Seq(zipParts(parts(0), other.parts(0), _ + _)))
-      case "min" | "max" =>
-        val f: (Double, Double) => Double = { (a, b) =>
-          // Under skipna, NaN in a partial means "no data in this cell":
-          // the other side wins. Without skipna, NaN means "poisoned" and
-          // must propagate instead.
-          if (a.isNaN) b else if (b.isNaN) a
-          else if (baseKind == "min") math.min(a, b) else math.max(a, b)
-        }
-        val g: (Double, Double) => Double =
-          if (skipnaFlag) f
-          else (a, b) => if (a.isNaN || b.isNaN) Double.NaN else f(a, b)
-        ReduceAcc(kind, Seq(zipParts(parts(0), other.parts(0), g)))
-      case "var" | "std" => ReduceAcc(kind, Seq(
-        zipParts(parts(0), other.parts(0), _ + _),
-        zipParts(parts(1), other.parts(1), _ + _),
-        zipParts(parts(2), other.parts(2), _ + _)))
+    def merge(other: ReduceAcc): ReduceAcc = {
+      val merged = kind match {
+        case "sum" => Seq(zipParts(parts(0), other.parts(0), _ + _))
+        case "min" | "max" =>
+          val f: (Double, Double) => Double = { (a, b) =>
+            // Under skipna, NaN in a partial means "no data in this
+            // cell": the other side wins. Without skipna, NaN means
+            // "poisoned" and must propagate instead.
+            if (a.isNaN) b else if (b.isNaN) a
+            else if (kind == "min") math.min(a, b) else math.max(a, b)
+          }
+          val g: (Double, Double) => Double =
+            if (skipna) f
+            else (a, b) => if (a.isNaN || b.isNaN) Double.NaN else f(a, b)
+          Seq(zipParts(parts(0), other.parts(0), g))
+        case "var" | "std" => Seq(
+          zipParts(parts(0), other.parts(0), _ + _),
+          zipParts(parts(1), other.parts(1), _ + _),
+          zipParts(parts(2), other.parts(2), _ + _))
+      }
+      copy(parts = merged) // passthrough replicas: keep this side's
     }
 
-    // min/max merge must know the skipna policy; carried in the kind
-    // string as a suffix to keep the accumulator one serializable blob
-    private def skipnaFlag: Boolean = !kind.endsWith("!")
-    private def baseKind: String = kind.stripSuffix("!")
-
-    def extract: ArrayChunk = baseKind match {
-      case "sum" | "min" | "max" => parts(0)
-      case "var" | "std" =>
-        val out = parts(0).vars.map { case (n, sva) =>
-          val sq = parts(1).vars(n).arr
-          val cnt = parts(2).vars(n).arr
-          val sums = sva.arr
-          val res = NdArray.zeros(DType.F64, sums.shape)
-          var i = 0L
-          while (i < res.size) {
-            val s = sums.getDouble(i)
-            val q = sq.getDouble(i)
-            val c = cnt.getDouble(i)
-            // population variance (ddof=0, xarray's default), evaluated
-            // in this exact expression order on both engines
-            val v = if (c == 0) Double.NaN else (q - s * s / c) / c
-            res.setDouble(i, if (baseKind == "std") math.sqrt(v) else v)
-            i += 1
+    def extract: ArrayChunk = {
+      val computed: Map[String, VarArray] = kind match {
+        case "sum" | "min" | "max" => parts(0).vars
+        case "var" | "std" =>
+          parts(0).vars.map { case (n, sva) =>
+            val sq = parts(1).vars(n).arr
+            val cnt = parts(2).vars(n).arr
+            val sums = sva.arr
+            val res = NdArray.zeros(DType.F64, sums.shape)
+            var i = 0L
+            while (i < res.size) {
+              val s = sums.getDouble(i)
+              val q = sq.getDouble(i)
+              val c = cnt.getDouble(i)
+              // population variance (ddof=0, xarray's default), in this
+              // exact expression order on both engines; clamped at 0 so
+              // catastrophic cancellation on near-constant float data
+              // cannot yield a negative variance or a NaN std
+              val v = if (c == 0) Double.NaN
+                else math.max((q - s * s / c) / c, 0.0)
+              res.setDouble(i, if (kind == "std") math.sqrt(v) else v)
+              i += 1
+            }
+            n -> VarArray(sva.dims, res)
           }
-          n -> VarArray(sva.dims, res)
-        }
-        ArrayChunk(out)
+      }
+      ArrayChunk(computed ++ passthrough.vars)
     }
   }
 
   object ReduceAcc {
     /** Per-chunk partial for `kind` ("sum" | "min" | "max" | "var" |
-      * "std"), reducing over `dims` inside the chunk first. */
+      * "std"), reducing over `dims` inside the chunk first. Variables
+      * spanning none of `dims` go to `passthrough` untouched. */
     def ofChunk(chunk: ArrayChunk, dims: Set[String], kind: String,
                 skipna: Boolean): ReduceAcc = {
-      val tag = if (skipna) kind else kind + "!"
+      val (touched, untouched) =
+        chunk.vars.partition(_._2.dims.exists(dims))
       def per(f: (NdArray, Array[Int]) => Seq[NdArray]): Seq[ArrayChunk] = {
-        val partsByVar = chunk.vars.map { case (n, va) =>
+        val partsByVar = touched.map { case (n, va) =>
           val axes = va.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
           val keptDims = va.dims.filterNot(dims)
           n -> (keptDims, f(va.arr, axes))
         }
-        val nParts = partsByVar.head._2._2.length
+        val nParts =
+          if (partsByVar.isEmpty) (if (kind == "var" || kind == "std") 3 else 1)
+          else partsByVar.head._2._2.length
         (0 until nParts).map { i =>
           ArrayChunk(partsByVar.map { case (n, (kd, ps)) =>
             n -> VarArray(kd, ps(i))
           })
         }
       }
-      kind match {
-        case "sum" => ReduceAcc(tag,
-          per((a, ax) => Seq(a.sumCount(ax, skipna)._1)))
-        case "min" => ReduceAcc(tag,
-          per((a, ax) => Seq(a.extreme(ax, skipna, isMin = true))))
-        case "max" => ReduceAcc(tag,
-          per((a, ax) => Seq(a.extreme(ax, skipna, isMin = false))))
-        case "var" | "std" => ReduceAcc(tag, per { (a, ax) =>
+      val parts = kind match {
+        case "sum" => per((a, ax) => Seq(a.sumCount(ax, skipna)._1))
+        case "min" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = true)))
+        case "max" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = false)))
+        case "var" | "std" => per { (a, ax) =>
           val (s, q, c) = a.sumSqCount(ax, skipna)
           Seq(s, q, c)
-        })
+        }
         case other => throw new IllegalArgumentException(
           s"unknown reduction $other (sum/min/max/var/std)")
       }
+      ReduceAcc(kind, skipna, parts, ArrayChunk(untouched))
     }
   }
 

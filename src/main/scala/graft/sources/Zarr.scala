@@ -754,7 +754,17 @@ object Zarr {
         s"cannot append along $dim: existing extent $oldSize of $name is " +
           s"not a multiple of its chunk ${m.chunks(d)} — the edge block " +
           "would need a racy rewrite")
+      require(!m.bigEndian,
+        s"cannot extend big-endian array $name: the appended regions " +
+          "could never be written (writes are little-endian only)")
     }
+    // A dim with a coordinate array MUST get its coordinate extension now:
+    // extending the shape without values would leave the appended region
+    // reading as fill (silently wrong timestamps/labels).
+    if (newSize > oldSize && sm.arrays.contains(dim))
+      require(coordTail.isDefined,
+        s"dim $dim has a coordinate array; pass coordTail with the " +
+          s"${newSize - oldSize} appended coordinate values")
     affected.foreach { case (name, m) =>
       val d = m.dims.indexOf(dim)
       val metaKey = if (m.format == 2) s"$path/$name/.zarray"

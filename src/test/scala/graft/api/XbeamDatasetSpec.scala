@@ -144,6 +144,25 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(chunked("std").allClose(expectVar.mapF64(math.sqrt), 1e-10))
   }
 
+  test("reductions leave variables that span none of the reduced dims " +
+    "unchanged (replicas dedup, never combine)") {
+    // v2d spans (t, x); v1d spans only x — the scan replicates v1d into
+    // every t-chunk, and summing those replicas would yield 3·v
+    val v2d = arange(DType.F64, 6, 4)
+    val v1d = NdArray.fromDoubles(DType.F64, Array(4), Array(10.0, 20.0, 30.0, 40.0))
+    def ds = XbeamDataset.fromLocal(spark,
+      Map("v2d" -> (Seq("t", "x"), v2d), "v1d" -> (Seq("x"), v1d)),
+      chunks = Map("t" -> 2))
+    val summed = ds.sum(Set("t")).collectConsolidated()._2
+    assert(summed.vars("v1d").arr.sameAs(v1d)) // NOT 3x
+    assert(summed.vars("v2d").arr.sameAs(v2d.sumCount(Array(0), skipna = true)._1))
+    val varred = ds.variance(Set("t")).collectConsolidated()._2
+    assert(varred.vars("v1d").arr.sameAs(v1d)) // NOT zero
+    val med = ds.median(Set("t")).collectConsolidated()._2
+    assert(med.vars("v1d").arr.sameAs(v1d))
+    assert(med.vars("v2d").arr.sameAs(v2d.medianAlong(Array(0), skipna = true)))
+  }
+
   test("min/max NaN semantics: skipna ignores, non-skipna poisons") {
     // column x=0 is NaN-free (strict min well-defined); x=1 has NaNs
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
