@@ -431,6 +431,70 @@ final class XbeamDataset private (
     }
   }
 
+  /** Cumulative sum along `dim` — the distributed prefix-scan pattern
+    * (vs. [[mapWithHalo]]'s fixed-neighbor exchange): (1) each chunk
+    * reduces to a per-lane total along the dim (a sliver, data/chunk
+    * the size of the chunk body); (2) totals group per lane-chunk and an
+    * exclusive prefix is computed in dim order — tiny, one row per
+    * (chunk, lane); (3) prefixes rejoin their chunks co-partitioned and
+    * the in-chunk running sum seeds from the incoming prefix. Chunk
+    * bodies cross the wire once; the scan-carried state is always the
+    * reduced sliver. Exact for integer-valued data in any merge order.
+    * Variables not spanning `dim` pass through unchanged. */
+  def cumsum(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+    val d = dim
+    val partials = chunkDataset.map { p: Pair =>
+      val (k, c) = p
+      (k, ArrayChunk(c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims.filterNot(_ == d),
+            va.arr.sumCount(Array(ax), skipna = false)._1)
+      }))
+    }.filter { p: Pair => p._2.vars.nonEmpty }
+    // exclusive prefix per lane-chunk, in dim order
+    val prefixes = partials
+      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
+        val items = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        var acc: Map[String, VarArray] = items.head._2.vars.map {
+          case (n, va) => n -> VarArray(va.dims,
+            graft.ndarray.NdArray.zeros(DType.F64, va.arr.shape))
+        }
+        items.iterator.map { case (k, total) =>
+          val cur = acc
+          acc = acc.map { case (n, va) =>
+            n -> VarArray(va.dims, va.arr.zipF64(total.vars(n).arr)(_ + _))
+          }
+          (k, ArrayChunk(cur))
+        }
+      }
+    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+      .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val (key, ownChunk) = items.find(!_._2).get._3
+      val prefixVars = items.find(_._2).map(_._3._2.vars)
+        .getOrElse(Map.empty[String, VarArray])
+      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims,
+            va.arr.cumsumAlong(ax, prefixVars.get(n).map(_.arr)))
+        }
+      }))
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, out)
+  }
+
   /** The generic halo-exchange primitive: prepend each chunk's trailing
     * `haloLen` elements along `dim` to its successor chunk, then run
     * `kernel(joined, axis, skip)` per dim-spanning variable, where

@@ -465,6 +465,49 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Cumulative sum along `axis` in float64, seeded per lane from
+    * `offsets` (shape = this shape with `axis` removed) — the incoming
+    * prefix from preceding chunks in a distributed scan. NaN propagates
+    * from its first occurrence onward (plain running sum). */
+  def cumsumAlong(axis: Int, offsets: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    offsets.foreach { o =>
+      require(o.shape.sameElements(keep.map(shape)),
+        s"offsets shape ${o.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val axisStride = strides(axis)
+    val laneStrides = offsets.map(_.strides)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      val prev =
+        if (i > 0) out.getDouble(flat - axisStride)
+        else offsets match {
+          case Some(o) =>
+            var laneFlat = 0L
+            var k = 0
+            while (k < keep.length) {
+              laneFlat += idx(keep(k)) * laneStrides.get(k)
+              k += 1
+            }
+            o.getDouble(laneFlat)
+          case None => 0.0
+        }
+      out.setDouble(flat, prev + getDouble(flat))
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

@@ -623,6 +623,25 @@ object XbeamQueries {
         WINDOW w AS (PARTITION BY x ORDER BY t)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x26
+    // Distributed prefix scan: cumulative sum along t. Per-chunk lane
+    // totals (slivers) → exclusive prefix per lane-chunk → co-partitioned
+    // rejoin seeding each chunk's running sum. Oracle: SQL running-sum
+    // window; integer-valued data keeps every partial exact.
+    QueryDef(
+      "x26_cumsum",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).cumsum("t")).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               sum(CAST(uid AS DOUBLE)) OVER w AS uid,
+               sum(vf) OVER w AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -214,6 +214,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("cumsum prefix scan matches the single-chunk computation") {
+    val chunked = era5ds(Map("time" -> 4)).cumsum("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    val single = era5ds(Map("time" -> 12)).cumsum("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    // blocked scan reassociates float additions (offset = Σ chunk
+    // totals), so float results agree to tolerance, not bit-for-bit;
+    // integer-valued data (the x26 gate) is exact in any order
+    assert(chunked.allClose(single, 1e-9))
+    val direct = Fixtures.era5()("temperature")._2.cumsumAlong(0, None)
+    assert(chunked.allClose(direct, 1e-9))
+    // integer-valued data: chunked == single-chunk bit-for-bit
+    val ints = NdArray.fromDoubles(DType.F64, Array(6, 2),
+      Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12).map(_.toDouble))
+    def ids(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), ints)), chunks = Map("t" -> ch))
+    assert(ids(2).cumsum("t").collectConsolidated()._2.vars("v").arr
+      .sameAs(ids(6).cumsum("t").collectConsolidated()._2.vars("v").arr))
+  }
+
   test("shift crosses chunk boundaries; leading positions are NaN") {
     val shifted = era5ds(Map("time" -> 4)).shift("time", 2)
       .collectConsolidated()._2.vars("temperature").arr
