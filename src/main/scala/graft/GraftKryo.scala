@@ -12,6 +12,7 @@ object GraftKryo {
     "graft.ndarray.NdArray",
     "graft.operators.ChunkTransforms$MeanAcc",
     "graft.operators.ChunkTransforms$ReduceAcc",
+    "graft.operators.ChunkTransforms$ArgAcc",
     "scala.Tuple2",
     "scala.Tuple3",
     "scala.collection.immutable.Map$Map1",

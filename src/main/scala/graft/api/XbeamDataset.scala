@@ -349,12 +349,27 @@ final class XbeamDataset private (
     * cell. Memory per task is bounded by (reduced extent × kept-dim
     * chunk), so callers keep the non-reduced chunks small; at 100 TB the
     * approximate-quantile path (relational q18) is the cheap alternative. */
-  def median(dims: Set[String], skipna: Boolean = true): XbeamDataset = {
+  def median(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    cellwise(dims, skipna, "median")((arr, axes, sk) => arr.medianAlong(axes, sk))
+
+  /** Exact quantile `q` over dims with linear interpolation (xarray
+    * `Dataset.quantile`, numpy 'linear') — same distributed shape and
+    * memory bound as [[median]] (which is `quantile(0.5)`). */
+  def quantile(q: Double, dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    cellwise(dims, skipna, "quantile")((arr, axes, sk) =>
+      arr.quantileAlong(axes, q, sk))
+
+  /** The shared machinery of the exact order-statistic reductions
+    * (median/quantile): consolidate each output cell's full reduced
+    * extent together (one shuffle — the rechunk primitive), then run
+    * `kernel(arr, reducedAxes, skipna)` per variable. */
+  private def cellwise(dims: Set[String], skipna: Boolean, what: String)
+                      (kernel: (NdArray, Array[Int], Boolean) => NdArray): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),
-      s"median dims $dims not all in ${template.dimOrder}")
+      s"$what dims $dims not all in ${template.dimOrder}")
     dims.foreach { d =>
       require(template.dimSizes(d) <= Int.MaxValue,
-        s"median over dim $d: extent ${template.dimSizes(d)} exceeds one chunk")
+        s"$what over dim $d: extent ${template.dimSizes(d)} exceeds one chunk")
     }
     val target = chunkSizes.map { case (d, c) =>
       d -> (if (dims(d)) template.dimSizes(d).toInt else c)
@@ -380,7 +395,7 @@ final class XbeamDataset private (
               case (d, i) if dimsB(d) => i
             }.toArray
             n -> VarArray(va.dims.filterNot(dimsB),
-              va.arr.medianAlong(axes, sk))
+              kernel(va.arr, axes, sk))
           }))
       }
     val out =
@@ -429,6 +444,200 @@ final class XbeamDataset private (
     mapWithHalo(dim, periods) { (joined, ax, skip) =>
       joined.shiftAlong(ax, periods, skip)
     }
+  }
+
+  /** Discrete difference along `dim` (extent-preserving xarray-`diff`
+    * shape): out[i] = in[i] - in[i-periods]; the first `periods`
+    * positions have no history and fill NaN. Cross-chunk history
+    * arrives through the same halo exchange as [[shift]]. */
+  def diff(dim: String, periods: Int = 1): XbeamDataset = {
+    require(periods >= 1, s"diff periods must be >= 1, got $periods")
+    mapWithHalo(dim, periods) { (joined, ax, skip) =>
+      joined.diffAlong(ax, periods, skip)
+    }
+  }
+
+  /** Index of the minimum along `dim` (xarray `argmin`): I64 positions
+    * into the dim, ties to the lowest index, -1 where a cell has no
+    * data. One keyed shuffle of (value, index) partials — data never
+    * reshuffles. */
+  def argmin(dim: String, skipna: Boolean = true): XbeamDataset =
+    argExtremeDim(dim, isMin = true, skipna)
+
+  /** Index of the maximum along `dim` (xarray `argmax`). */
+  def argmax(dim: String, skipna: Boolean = true): XbeamDataset =
+    argExtremeDim(dim, isMin = false, skipna)
+
+  private def argExtremeDim(dim: String, isMin: Boolean,
+                            skipna: Boolean): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val newTemplate = Template(
+      template.dims.filterNot(_._1 == dim),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(_ == dim),
+          if (vs.dims.contains(dim)) DType.I64 else vs.dtype)
+      },
+      template.coords - dim, template.attrs)
+    withPlan(newTemplate, chunkSizes - dim, splitVars,
+      ChunkTransforms.argReduce(chunkDataset, dim, isMin, skipna))
+  }
+
+  /** Concatenate `other` after this dataset along `dim` (xarray
+    * `concat`): the appended dataset's keys shift by this dataset's
+    * extent and the chunk collections union — NO shuffle; at any scale
+    * this is pure key arithmetic. Requires identical dim sets, equal
+    * sizes off the concat dim, identical variable schemas and chunk
+    * grids, and this dataset's extent to be a whole multiple of the
+    * chunk along `dim` (so shifted chunks land on the shared grid —
+    * the same alignment rule as the Zarr append workflow). */
+  def concat(other: XbeamDataset, dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(other.template.dimSizes.keySet == template.dimSizes.keySet,
+      s"concat requires identical dim sets: ${template.dimOrder} vs " +
+        s"${other.template.dimOrder}")
+    template.dimOrder.filterNot(_ == dim).foreach { d =>
+      require(other.template.dimSizes(d) == template.dimSizes(d),
+        s"dim $d has size ${other.template.dimSizes(d)} on the appended " +
+          s"dataset but ${template.dimSizes(d)} here")
+    }
+    require(other.template.vars == template.vars,
+      s"concat requires identical variable schemas: ${template.vars} vs " +
+        s"${other.template.vars}")
+    template.dimOrder.foreach { d =>
+      // compare EFFECTIVE chunks (nominal clamps to the extent): along
+      // the concat dim a shorter-than-one-chunk appendee is fine — its
+      // whole extent becomes the final (ragged) chunk of the result
+      val otherEff = math.min(other.chunkSizes(d).toLong, other.template.dimSizes(d))
+      val expected =
+        if (d == dim) math.min(chunkSizes(d).toLong, other.template.dimSizes(d))
+        else math.min(chunkSizes(d).toLong, template.dimSizes(d))
+      require(otherEff == expected,
+        s"concat requires matching chunk grids: dim $d has effective chunk " +
+          s"$otherEff on the appended dataset, expected $expected")
+    }
+    val n1 = template.dimSizes(dim)
+    require(n1 % chunkSizes(dim) == 0,
+      s"extent $n1 along $dim is not a multiple of chunk ${chunkSizes(dim)} " +
+        "— shifted chunks would straddle the grid (rechunk first)")
+    val d = dim
+    val shifted = other.chunkDataset.map { p: Pair =>
+      (p._1.copy(offsets =
+        p._1.offsets + (d -> (p._1.offsets.getOrElse(d, 0L) + n1))), p._2)
+    }
+    // dim coordinate: concatenate when both sides carry one, else drop
+    val newCoord: Map[String, NdArray] =
+      (template.coords.get(dim), other.template.coords.get(dim)) match {
+        case (Some(a), Some(b)) if a.dtype == b.dtype =>
+          Map(dim -> NdArray(a.dtype, Array(a.shape(0) + b.shape(0)),
+            a.data ++ b.data))
+        case _ => Map.empty
+      }
+    val newTemplate = template.copy(
+      dims = template.dims.map { case (dd, s) =>
+        dd -> (if (dd == dim) s + other.template.dimSizes(dim) else s)
+      },
+      coords = (template.coords - dim) ++ newCoord)
+    withPlan(newTemplate, chunkSizes, splitVars, chunkDataset.union(shifted))
+  }
+
+  /** Broadcast-zip with a REDUCED dataset — dims a subset of this
+    * dataset's, typically one of its own reductions (a climatology, a
+    * per-lane mean): every chunk pairs with the one reduced chunk
+    * covering its position and `f(chunk, reducedChunk)` runs per
+    * chunk. The reduced side collects to the driver and broadcasts —
+    * by construction it is smaller than the full data by the reduced
+    * dims' extent (at 100 TB a time-mean over ~350k steps is ~300 MB:
+    * broadcastable; for reduced sides that are NOT small, rechunk +
+    * [[zipAll]] is the co-partitioned alternative). The full dataset
+    * itself never reshuffles. */
+  def zipReduced(reduced: XbeamDataset)(f: (ArrayChunk, ArrayChunk) => ArrayChunk,
+                                        merged: Template): XbeamDataset = {
+    val shared = reduced.template.dimSizes.keySet
+    require(shared.subsetOf(template.dimSizes.keySet),
+      s"reduced dims ${reduced.template.dimOrder} not a subset of ${template.dimOrder}")
+    shared.foreach { d =>
+      require(reduced.template.dimSizes(d) == template.dimSizes(d),
+        s"dim $d: reduced size ${reduced.template.dimSizes(d)} != ${template.dimSizes(d)}")
+      require(reduced.chunkSizes(d) == chunkSizes(d),
+        s"dim $d: reduced chunk ${reduced.chunkSizes(d)} != ${chunkSizes(d)} " +
+          "(rechunk the reduced side to match)")
+    }
+    val reducedMap: Map[String, ArrayChunk] = reduced.chunkDataset.collect()
+      .map { case (k, c) =>
+        ChunkKey(k.offsets.filter(kv => shared(kv._1)), None).canonical -> c
+      }.toMap
+    val bc = spark.sparkContext.broadcast(reducedMap)
+    val sh = shared
+    withPlan(merged, chunkSizes, splitVars, chunkDataset.map { p: Pair =>
+      val rk = ChunkKey(p._1.offsets.filter(kv => sh(kv._1)), None).canonical
+      val rc = bc.value.getOrElse(rk, throw new IllegalStateException(
+        s"no reduced chunk covers position $rk"))
+      (p._1, f(p._2, rc))
+    })
+  }
+
+  /** Anomaly vs the mean over `dims`: v − mean_dims(v) per dim-spanning
+    * variable — the canonical climate-pipeline step (subtracting an
+    * ERA5-style climatology). One reduction shuffle builds the mean,
+    * then a broadcast map subtracts it; the full dataset never
+    * reshuffles. */
+  def anomaly(dims: Set[String], skipna: Boolean = true): XbeamDataset = {
+    val m = mean(dims, skipna)
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
+    })
+    val ds = dims
+    zipReduced(m)({ (chunk, red) =>
+      ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!va.dims.exists(ds)) n -> va
+        else {
+          val redVa = red.vars(n)
+          val otherAxes = redVa.dims.map(va.dims.indexOf).toArray
+          n -> VarArray(va.dims,
+            va.arr.zipBroadcastF64(redVa.arr, otherAxes)(_ - _))
+        }
+      })
+    }, merged)
+  }
+
+  /** Block-aggregate downsample (xarray `coarsen().mean()/.sum()`):
+    * each factor must divide both its chunk and its dim size, which
+    * makes every block chunk-LOCAL — zero shuffle, keys divide by the
+    * factor. (The divisibility also covers ragged last chunks: offsets
+    * are chunk multiples and the total divides, so every chunk extent
+    * is a factor multiple.) */
+  def coarsen(factors: Map[String, Int], op: String = "mean",
+              skipna: Boolean = true): XbeamDataset = {
+    factors.foreach { case (d, f) =>
+      require(template.dimSizes.contains(d), s"unknown dim $d")
+      require(f >= 1, s"coarsen factor for $d must be >= 1, got $f")
+      require(chunkSizes(d) % f == 0,
+        s"coarsen factor $f does not divide chunk ${chunkSizes(d)} of dim $d")
+      require(template.dimSizes(d) % f == 0,
+        s"coarsen factor $f does not divide size ${template.dimSizes(d)} of dim $d")
+    }
+    def factorOf(d: String): Int = factors.getOrElse(d, 1)
+    val newTemplate = Template(
+      template.dims.map { case (d, s) => d -> s / factorOf(d) },
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims,
+          if (vs.dims.exists(d => factorOf(d) > 1)) DType.F64 else vs.dtype)
+      },
+      template.coords.filter(kv => factorOf(kv._1) == 1), template.attrs)
+    val newChunks = chunkSizes.map { case (d, c) => d -> c / factorOf(d) }
+    val fs = factors
+    val o = op
+    val sk = skipna
+    withPlan(newTemplate, newChunks, splitVars, chunkDataset.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets.map { case (d, off) =>
+        d -> off / fs.getOrElse(d, 1)
+      })
+      (nk, p._2.mapVars { (_, va) =>
+        val fArr = va.dims.map(d => fs.getOrElse(d, 1)).toArray
+        if (fArr.forall(_ == 1)) va
+        else VarArray(va.dims, va.arr.coarsen(fArr, o, sk))
+      })
+    })
   }
 
   /** Cumulative sum along `dim` — the distributed prefix-scan pattern

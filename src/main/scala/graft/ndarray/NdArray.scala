@@ -321,12 +321,20 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
-  /** Median along the given axes in float64, with linear interpolation
-    * for even counts ((a+b)/2 — numpy/xarray semantics). skipna drops
-    * NaNs per cell (all-NaN → NaN); without it any NaN poisons the
-    * cell. The reduced extent materializes per output cell, so callers
-    * bound memory by keeping the non-reduced chunk small. */
-  def medianAlong(axes: Array[Int], skipna: Boolean): NdArray = {
+  /** Median along the given axes — `quantileAlong(axes, 0.5, skipna)`. */
+  def medianAlong(axes: Array[Int], skipna: Boolean): NdArray =
+    quantileAlong(axes, 0.5, skipna)
+
+  /** Quantile `q` ∈ [0, 1] along the given axes in float64 with linear
+    * interpolation (numpy/xarray `interpolation='linear'`: rank
+    * h = q·(m-1), result = v⌊h⌋ + (h-⌊h⌋)·(v⌊h⌋₊₁ - v⌊h⌋) — the same
+    * formula DuckDB's quantile_cont evaluates, so integer-valued data
+    * with dyadic q is bit-exact across engines). skipna drops NaNs per
+    * cell (all-NaN → NaN); without it any NaN poisons the cell. The
+    * reduced extent materializes per output cell, so callers bound
+    * memory by keeping the non-reduced chunk small. */
+  def quantileAlong(axes: Array[Int], q: Double, skipna: Boolean): NdArray = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
     val keep = Array.range(0, ndim).filterNot(axes.contains)
     val outShape = keep.map(shape)
     val out = NdArray.zeros(DType.F64, outShape)
@@ -365,10 +373,179 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       else {
         System.arraycopy(cells(i), 0, buf, 0, m)
         java.util.Arrays.sort(buf, 0, m)
+        val h = q * (m - 1)
+        val lo = math.floor(h).toInt
+        val frac = h - lo
         out.setDouble(i.toLong,
-          if (m % 2 == 1) buf(m / 2) else (buf(m / 2 - 1) + buf(m / 2)) / 2.0)
+          if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(lo + 1) - buf(lo)))
       }
       i += 1
+    }
+    out
+  }
+
+  /** Min/max VALUE and its first INDEX along one axis, in float64 — the
+    * per-chunk partial for a distributed argmin/argmax (indices are
+    * chunk-local; callers add the chunk's dim offset). Ties take the
+    * lowest index. skipna ignores NaN cells (all-NaN → value NaN,
+    * index -1); without it any NaN poisons the cell the same way. */
+  def argExtreme(axis: Int, isMin: Boolean, skipna: Boolean): (NdArray, NdArray) = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val outShape = keep.map(shape)
+    val vals = NdArray.fill(DType.F64, outShape, Double.NaN)
+    val idxs = NdArray.fill(DType.F64, outShape, -1.0)
+    val poisoned = new Array[Boolean](vals.size.toInt)
+    val outStrides = vals.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val o = outFlat.toInt
+      val v = getDouble(flat)
+      if (v.isNaN) { if (!skipna) poisoned(o) = true }
+      else if (!poisoned(o)) {
+        val cur = vals.getDouble(outFlat)
+        if (cur.isNaN || (if (isMin) v < cur else v > cur)) {
+          vals.setDouble(outFlat, v)
+          idxs.setDouble(outFlat, idx(axis).toDouble)
+        }
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    var i = 0
+    while (i < poisoned.length) {
+      if (poisoned(i)) { vals.setDouble(i.toLong, Double.NaN); idxs.setDouble(i.toLong, -1.0) }
+      i += 1
+    }
+    (vals, idxs)
+  }
+
+  /** Block-aggregate downsample (xarray `coarsen`): each output cell
+    * aggregates the `factors(d)`-sized block of input positions mapping
+    * onto it (factor 1 = untouched axis). Axis extents must divide by
+    * their factors — chunk-local by construction when the factor also
+    * divides the chunk size. op is "mean" or "sum", NaN-aware under
+    * skipna; output F64. */
+  def coarsen(factors: Array[Int], op: String, skipna: Boolean): NdArray = {
+    require(factors.length == ndim, s"need one factor per axis")
+    factors.zip(shape).foreach { case (f, s) =>
+      require(f >= 1 && s % f == 0,
+        s"coarsen factor $f does not divide axis extent $s")
+    }
+    require(op == "mean" || op == "sum", s"coarsen op must be mean|sum, got $op")
+    val outShape = shape.zip(factors).map { case (s, f) => s / f }
+    val sums = NdArray.zeros(DType.F64, outShape)
+    val counts = NdArray.zeros(DType.F64, outShape)
+    val outStrides = sums.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var d = 0
+      while (d < ndim) { outFlat += (idx(d) / factors(d)).toLong * outStrides(d); d += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN) {
+        sums.setDouble(outFlat, sums.getDouble(outFlat) + v)
+        counts.setDouble(outFlat, counts.getDouble(outFlat) + 1.0)
+      }
+      var k = ndim - 1
+      var carry = true
+      while (k >= 0 && carry) {
+        idx(k) += 1
+        if (idx(k) == shape(k)) { idx(k) = 0; k -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    if (op == "sum") sums
+    else {
+      var i = 0L
+      while (i < sums.size) {
+        val c = counts.getDouble(i)
+        sums.setDouble(i, if (c == 0) Double.NaN else sums.getDouble(i) / c)
+        i += 1
+      }
+      sums
+    }
+  }
+
+  /** Discrete difference along `axis` in float64 (xarray `diff` shifted
+    * to keep the dim extent): out[i] = in[i] - in[i-periods]; positions
+    * with no history are NaN. `skipStart` drops that many leading
+    * positions from the output (a prepended halo) while keeping them as
+    * history — same contract as [[shiftAlong]]. */
+  def diffAlong(axis: Int, periods: Int, skipStart: Int): NdArray = {
+    require(periods >= 1, s"periods must be >= 1, got $periods")
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.fill(DType.F64, outShape, Double.NaN)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart && i - periods >= 0) {
+        var outFlat = 0L
+        var dd = 0
+        while (dd < ndim) {
+          outFlat += (if (dd == axis) (i - skipStart).toLong else idx(dd).toLong) * outStrides(dd)
+          dd += 1
+        }
+        out.setDouble(outFlat, getDouble(flat) - getDouble(flat - periods.toLong * axisStride))
+      }
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        idx(dd) += 1
+        if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Elementwise binary op in float64 against a lower-rank array whose
+    * axes map onto this array's axes at positions `otherAxes` (xarray
+    * broadcasting: `full - reduced`, e.g. anomaly vs a climatology).
+    * `other.shape` must match this shape at those positions. */
+  def zipBroadcastF64(other: NdArray, otherAxes: Array[Int])
+                     (f: (Double, Double) => Double): NdArray = {
+    require(otherAxes.length == other.ndim,
+      s"need one axis mapping per other axis: ${otherAxes.length} vs ${other.ndim}")
+    otherAxes.zipWithIndex.foreach { case (ax, i) =>
+      require(ax >= 0 && ax < ndim && other.shape(i) == shape(ax),
+        s"broadcast axis $i→$ax: extent ${other.shape(i)} vs ${shape(ax)}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val otherStrides = other.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var oFlat = 0L
+      var k = 0
+      while (k < otherAxes.length) { oFlat += idx(otherAxes(k)) * otherStrides(k); k += 1 }
+      out.setDouble(flat, f(getDouble(flat), other.getDouble(oFlat)))
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
     }
     out
   }

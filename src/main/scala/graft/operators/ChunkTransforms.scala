@@ -272,6 +272,97 @@ object ChunkTransforms {
       .map { kv: (String, (ChunkKey, ReduceAcc)) => (kv._2._1, kv._2._2.extract) }
   }
 
+  /** (best value, its global index) accumulator for a distributed
+    * argmin/argmax along one dim. Per-chunk partials carry the chunk's
+    * best value AND its dim-global index, so the merge never needs the
+    * data again. Ties take the lowest index; a NaN partial means "no
+    * data in this cell" under skipna (the other side wins) and
+    * "poisoned" without it. `passthrough` as in [[ReduceAcc]]. */
+  final case class ArgAcc(isMin: Boolean, skipna: Boolean,
+                          vals: ArrayChunk, idxs: ArrayChunk,
+                          passthrough: ArrayChunk) {
+    def merge(other: ArgAcc): ArgAcc = {
+      val zipped = vals.vars.map { case (n, vva) =>
+        val av = vva.arr
+        val ai = idxs.vars(n).arr
+        val bv = other.vals.vars(n).arr
+        val bi = other.idxs.vars(n).arr
+        val ov = NdArray.zeros(DType.F64, av.shape)
+        val oi = NdArray.zeros(DType.F64, av.shape)
+        var i = 0L
+        while (i < av.size) {
+          val a = av.getDouble(i)
+          val b = bv.getDouble(i)
+          val (v, ix) =
+            if (a.isNaN && b.isNaN) (Double.NaN, -1.0)
+            else if (a.isNaN)
+              if (skipna) (b, bi.getDouble(i)) else (Double.NaN, -1.0)
+            else if (b.isNaN)
+              if (skipna) (a, ai.getDouble(i)) else (Double.NaN, -1.0)
+            else if (a == b) (a, math.min(ai.getDouble(i), bi.getDouble(i)))
+            else if (if (isMin) a < b else a > b) (a, ai.getDouble(i))
+            else (b, bi.getDouble(i))
+          ov.setDouble(i, v)
+          oi.setDouble(i, ix)
+          i += 1
+        }
+        n -> (VarArray(vva.dims, ov), VarArray(vva.dims, oi))
+      }
+      copy(vals = ArrayChunk(zipped.map { case (n, p) => n -> p._1 }),
+           idxs = ArrayChunk(zipped.map { case (n, p) => n -> p._2 }))
+    }
+
+    /** The argmin/argmax result: I64 indices (-1 where no data). */
+    def extract: ArrayChunk = ArrayChunk(idxs.vars.map { case (n, va) =>
+      val out = NdArray.zeros(DType.I64, va.arr.shape)
+      var i = 0L
+      while (i < out.size) {
+        out.setLong(i, math.round(va.arr.getDouble(i)))
+        i += 1
+      }
+      n -> VarArray(va.dims, out)
+    } ++ passthrough.vars)
+  }
+
+  object ArgAcc {
+    /** Per-chunk partial: argExtreme along the dim, indices globalized
+      * by the chunk's offset along it. */
+    def ofChunk(chunk: ArrayChunk, dim: String, isMin: Boolean,
+                skipna: Boolean, dimOffset: Long): ArgAcc = {
+      val (touched, untouched) = chunk.vars.partition(_._2.dims.contains(dim))
+      val parts = touched.map { case (n, va) =>
+        val ax = va.dims.indexOf(dim)
+        val kept = va.dims.filterNot(_ == dim)
+        val (v, localIdx) = va.arr.argExtreme(ax, isMin, skipna)
+        val globalIdx = localIdx.mapF64(x => if (x < 0) x else x + dimOffset)
+        n -> (VarArray(kept, v), VarArray(kept, globalIdx))
+      }
+      ArgAcc(isMin, skipna,
+        ArrayChunk(parts.map { case (n, p) => n -> p._1 }),
+        ArrayChunk(parts.map { case (n, p) => n -> p._2 }),
+        ArrayChunk(untouched))
+    }
+  }
+
+  /** Distributed argmin/argmax along one dim — same one-shuffle shape
+    * as [[reduceDims]]; the shuffle carries (value, index) partials,
+    * never data. */
+  def argReduce(ds: Dataset[Pair], dim: String, isMin: Boolean,
+                skipna: Boolean = true): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, ArgAcc)] =
+      Encoders.kryo[(ChunkKey, ArgAcc)]
+    ds.map { p: Pair =>
+      val off = p._1.offsets.getOrElse(dim, 0L)
+      (p._1.copy(offsets = p._1.offsets - dim),
+        ArgAcc.ofChunk(p._2, dim, isMin, skipna, off))
+    }
+      .groupByKey { kv: (ChunkKey, ArgAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, ArgAcc), b: (ChunkKey, ArgAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, ArgAcc)) => (kv._2._1, kv._2._2.extract) }
+  }
+
   /** Mean with an explicitly planned N-stage combiner tree
     * (MultiStageMean, combiners.py:295-394): chunk → flat index →
     * per-stage fanout bins (planned by the reference's cost model,

@@ -411,6 +411,68 @@ object VectorOps {
         WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- e09
+    // SemDeDup-style semantic dedup (cluster, then dedup WITHIN each
+    // cluster): every vector assigns to its max-cosine cell against the
+    // broadcast centroid set, and a vector is a duplicate if an
+    // earlier-id vector in the SAME cell has cosine >= 0.40 (dup_of =
+    // the least such id; NULL = survivor). This is the shape that makes
+    // embedding dedup tractable at 100 TB: the pairwise join is
+    // cell-local (shuffle bounded by cell population, k grows with the
+    // corpus), never all-pairs — the global-exact twin is e04. Ties and
+    // cosines are the same sequential fold as the oracle: bit-exact.
+    QueryDef(
+      "e09_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+        val scored = e.join(broadcast(cents))
+          .withColumn("c_score",
+            expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"c_score".desc, $"cent_id")
+        val assign = scored.withColumn("crank", row_number().over(wAssign))
+          .filter($"crank" === 1)
+          .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell_id"))
+        val a = assign.select($"cell_id", $"vec_id".as("a_id"),
+          $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+        val b = assign.select($"cell_id", $"vec_id".as("b_id"),
+          $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+        val dups = a.join(b, Seq("cell_id")).filter($"a_id" < $"b_id")
+          .withColumn("cosine",
+            expr(dotSpark("a_emb", "b_emb")) / ($"a_nrm" * $"b_nrm"))
+          .filter($"cosine" >= 0.40)
+          .groupBy($"b_id").agg(min($"a_id").as("dup_of"))
+        assign.select($"vec_id", $"cell_id")
+          .join(dups, $"vec_id" === $"b_id", "left")
+          .select($"vec_id", $"cell_id", $"dup_of")
+          .orderBy($"vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                  FROM e WHERE vec_id < 8),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotDuck("e.embedding", "cents.c_emb")} / (e.nrm * cents.c_nrm) DESC,
+                            cents.cent_id) AS crank
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell_id
+                   FROM ranked WHERE crank = 1),
+        dups AS (
+          SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
+          FROM assign a JOIN assign b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
+          GROUP BY b.vec_id)
+        SELECT m.vec_id, m.cell_id, d.dup_of
+        FROM assign m LEFT JOIN dups d ON d.b_id = m.vec_id
+        ORDER BY m.vec_id""")),
+
     // ---------------------------------------------------------------- e08
     // K-means clustering (2 Lloyd iterations, k=8) — the centroid
     // trainer behind IVF indexing and cluster-based corpus curation

@@ -642,6 +642,132 @@ object XbeamQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x27
+    // Concat along t (xarray concat): the grid splits into a head scan
+    // and a tail scan (both region-pushed into the source), then the
+    // tail's keys shift by the head's extent and the chunk collections
+    // union — pure key arithmetic, no shuffle. Identity values.
+    QueryDef(
+      "x27_concat",
+      (s, dir) => {
+        val store = zarrPath("x27", dir)
+        gridXds(s, dir).toZarr(store)
+        val xds = XbeamDataset.fromZarr(s, store)
+        val tFull = xds.template.dimSizes("t")
+        val k = math.max(16L, tFull / 32 * 16) // chunk-aligned split point
+        val a = xds.head("t", k)
+        val b = xds.tail("t", tFull - k)
+        TabularBridge.toDataFrame(a.concat(b, "t")).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x28
+    // Exact quantile over dim x (xarray Dataset.quantile, 'linear'
+    // interpolation): same consolidate-cells shuffle as the median
+    // (which is quantile(0.5)). q = 0.25 is dyadic and the inputs are
+    // integer-valued, so v_lo + frac*(v_hi - v_lo) is bit-exact in both
+    // engines (DuckDB quantile_cont uses the same rank formula).
+    QueryDef(
+      "x28_quantile",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).quantile(0.25, Set("x"))).orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, quantile_cont(CAST(uid AS DOUBLE), 0.25) AS uid,
+               quantile_cont(vf, 0.25) AS vf
+        FROM grid GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x29
+    // argmin/argmax along t (xarray argmin/argmax): the shuffle carries
+    // (best value, global index) partials — chunk data never moves.
+    // Ties break to the lowest index on both engines (row_number
+    // ORDER BY value, t in the oracle).
+    QueryDef(
+      "x29_argminmax",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("x"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.argmin("t"), "amin")
+          .join(frame(xds.argmax("t"), "amax"), "x")
+          .orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        r AS (SELECT x, t,
+                row_number() OVER (PARTITION BY x ORDER BY uid ASC, t ASC) AS ru_min,
+                row_number() OVER (PARTITION BY x ORDER BY uid DESC, t ASC) AS ru_max,
+                row_number() OVER (PARTITION BY x ORDER BY vf ASC, t ASC) AS rv_min,
+                row_number() OVER (PARTITION BY x ORDER BY vf DESC, t ASC) AS rv_max
+              FROM grid)
+        SELECT x,
+               max(CASE WHEN ru_min = 1 THEN t END) AS uid_amin,
+               max(CASE WHEN rv_min = 1 THEN t END) AS vf_amin,
+               max(CASE WHEN ru_max = 1 THEN t END) AS uid_amax,
+               max(CASE WHEN rv_max = 1 THEN t END) AS vf_amax
+        FROM r GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x30
+    // Anomaly vs the t-mean (the climate-pipeline step after a
+    // climatology): one reduction shuffle builds mean_t, which
+    // broadcasts back over the full grid — the full dataset never
+    // reshuffles. Integer-valued sums keep mean and difference
+    // bit-exact vs the oracle's windowed sum/count.
+    QueryDef(
+      "x30_anomaly",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).anomaly(Set("t"))).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CAST(uid AS DOUBLE) - CAST(sum(uid) OVER w AS DOUBLE) / count(*) OVER w AS uid,
+               vf - sum(vf) OVER w / count(*) OVER w AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x31
+    // coarsen().mean() downsample (t by 4, x by 2): the factors divide
+    // both chunk and dim sizes, so every output block is chunk-LOCAL —
+    // zero shuffle, keys divide by the factors.
+    QueryDef(
+      "x31_coarsen",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).coarsen(Map("t" -> 4, "x" -> 2))).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t // 4 AS t, x // 2 AS x,
+               CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY 1, 2 ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x32
+    // Discrete difference along t (xarray diff): built on the same halo
+    // exchange as shift — only 1-slice slivers cross the wire. The
+    // first t-slice has no history (NaN → sentinel, as in x25).
+    QueryDef(
+      "x32_diff",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        TabularBridge.toDataFrame(gridXds(s, dir).diff("t"))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               coalesce(CAST(uid AS DOUBLE) - lag(CAST(uid AS DOUBLE), 1) OVER w, -1.0) AS uid,
+               coalesce(vf - lag(vf, 1) OVER w, -1.0) AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

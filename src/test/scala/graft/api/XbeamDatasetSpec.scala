@@ -246,6 +246,135 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile interpolates linearly and matches the single-chunk run") {
+    val chunked = era5ds(Map("time" -> 4)).quantile(0.25, Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    val direct = Fixtures.era5()("temperature")._2
+      .quantileAlong(Array(0), 0.25, skipna = true)
+    assert(chunked.sameAs(direct))
+    // hand-checked: sorted [1,2,4,8], q=0.25 → h=0.75 → 1 + 0.75*(2-1)
+    val vals = NdArray.fromDoubles(DType.F64, Array(4), Array(8.0, 1.0, 4.0, 2.0))
+    assert(vals.quantileAlong(Array(0), 0.25, skipna = true).getDouble(0) == 1.75)
+    assert(vals.quantileAlong(Array(0), 0.0, skipna = true).getDouble(0) == 1.0)
+    assert(vals.quantileAlong(Array(0), 1.0, skipna = true).getDouble(0) == 8.0)
+    assert(vals.quantileAlong(Array(0), 0.5, skipna = true).getDouble(0) == 3.0)
+  }
+
+  test("argmin/argmax cross chunks, break ties to the lowest index") {
+    val chunked = era5ds(Map("time" -> 4))
+    val amin = chunked.argmin("time").collectConsolidated()._2
+      .vars("temperature").arr
+    val amax = chunked.argmax("time").collectConsolidated()._2
+      .vars("temperature").arr
+    val orig = Fixtures.era5()("temperature")._2
+    val lanes = orig.shape(1) * orig.shape(2)
+    (0 until lanes).foreach { l =>
+      var (bi, bv, wi, wv) = (0L, Double.MaxValue, 0L, Double.MinValue)
+      (0 until orig.shape(0)).foreach { t =>
+        val v = orig.getDouble(t.toLong * lanes + l)
+        if (v < bv) { bv = v; bi = t }
+        if (v > wv) { wv = v; wi = t }
+      }
+      assert(amin.getLong(l) == bi && amax.getLong(l) == wi)
+    }
+    assert(amin.dtype == DType.I64)
+    // ties → lowest index, even when the later chunk holds the tie;
+    // NaN cells: skipna ignores (all-NaN → -1), non-skipna poisons
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(3.0, Double.NaN, 1.0, Double.NaN, 1.0, Double.NaN, 2.0, 5.0))
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val a = ds(2).argmin("t").collectConsolidated()._2.vars("v").arr
+    assert(a.getLong(0) == 1) // 1.0 at t=1 and t=2: first wins across chunks
+    assert(a.getLong(1) == 3) // NaNs skipped, only t=3 has data
+    val strict = ds(2).argmin("t", skipna = false)
+      .collectConsolidated()._2.vars("v").arr
+    assert(strict.getLong(0) == 1 && strict.getLong(1) == -1)
+  }
+
+  test("concat shifts keys by the first extent (no shuffle arithmetic)") {
+    val dir = Files.createTempDirectory("concat").toString
+    era5ds(Map("time" -> 4)).toZarr(s"$dir/store")
+    val xds = XbeamDataset.fromZarr(spark, s"$dir/store")
+    val whole = xds.collectConsolidated()._2.vars("temperature").arr
+    val back = xds.head("time", 8).concat(xds.tail("time", 4), "time")
+    assert(back.template.dimSizes("time") == 12)
+    assert(back.collectConsolidated()._2.vars("temperature").arr.sameAs(whole))
+    // a split point off the chunk grid is rejected (shifted chunks
+    // would straddle the stored grid — same rule as zarr append)
+    assertThrows[IllegalArgumentException] {
+      xds.head("time", 6).concat(xds.tail("time", 6), "time")
+    }
+    // dim coordinates concatenate when both sides carry one
+    val t1 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), arange(DType.F64, 4))),
+      coords = Map("t" -> arange(DType.F64, 4)), chunks = Map("t" -> 4))
+    val t2 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), arange(DType.F64, 3))),
+      coords = Map("t" -> arange(DType.F64, 3)), chunks = Map("t" -> 4))
+    val cat = t1.concat(t2, "t")
+    assert(cat.template.coords("t").toDoubles.toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0))
+  }
+
+  test("anomaly subtracts the broadcast mean; zipReduced validates grids") {
+    val xds = era5ds(Map("time" -> 4))
+    val anom = xds.anomaly(Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    val orig = Fixtures.era5()("temperature")._2
+    val mean = {
+      val (s, c) = orig.sumCount(Array(0), skipna = true)
+      s.zipF64(c)(_ / _)
+    }
+    val direct = orig.zipBroadcastF64(mean, Array(1, 2))(_ - _)
+    // chunked partial sums reassociate float additions → tolerance here;
+    // integer-valued data (the x30 gate) is exact in any merge order
+    assert(anom.allClose(direct, 1e-12))
+    val ints = NdArray.fromDoubles(DType.F64, Array(6, 2),
+      Array(1, 9, 3, 4, 5, 6, 7, 8, 2, 10, 11, 12).map(_.toDouble))
+    def ids(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), ints)), chunks = Map("t" -> ch))
+    assert(ids(2).anomaly(Set("t")).collectConsolidated()._2.vars("v").arr
+      .sameAs(ids(6).anomaly(Set("t")).collectConsolidated()._2.vars("v").arr))
+    // a reduced side on a different chunk grid is rejected
+    val mis = xds.mean(Set("time")).rechunk(Map("latitude" -> 2))
+    assertThrows[IllegalArgumentException] {
+      xds.zipReduced(mis)((c, _) => c, xds.template)
+    }
+  }
+
+  test("coarsen block-means chunk-locally; factors must divide") {
+    val coarse = era5ds(Map("time" -> 4)).coarsen(Map("time" -> 2))
+    assert(coarse.template.dimSizes("time") == 6)
+    assert(coarse.chunkSizes("time") == 2)
+    val got = coarse.collectConsolidated()._2.vars("temperature").arr
+    val direct = Fixtures.era5()("temperature")._2
+      .coarsen(Array(2, 1, 1), "mean", skipna = true)
+    assert(got.sameAs(direct))
+    // sum variant over two dims at once
+    val s2 = era5ds(Map("time" -> 4)).coarsen(Map("time" -> 4, "longitude" -> 3), op = "sum")
+    assert(s2.template.dimSizes == Map("time" -> 3L, "latitude" -> 5L, "longitude" -> 2L))
+    assert(s2.collectConsolidated()._2.vars("precip").arr.sameAs(
+      Fixtures.era5()("precip")._2.coarsen(Array(4, 1, 3), "sum", skipna = true)))
+    // factor not dividing the chunk is rejected (block would straddle)
+    assertThrows[IllegalArgumentException] {
+      era5ds(Map("time" -> 4)).coarsen(Map("time" -> 3))
+    }
+  }
+
+  test("diff crosses chunk boundaries; first positions are NaN") {
+    val chunked = era5ds(Map("time" -> 4)).diff("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    val direct = Fixtures.era5()("temperature")._2.diffAlong(0, 1, 0)
+    assert(chunked.sameAs(direct))
+    val lanes = 5 * 6
+    (0 until lanes).foreach { l => assert(chunked.getDouble(l).isNaN) }
+    // t=4 (chunk boundary) must difference against t=3
+    val orig = Fixtures.era5()("temperature")._2
+    assert(chunked.getDouble(4L * lanes) ==
+      orig.getDouble(4L * lanes) - orig.getDouble(3L * lanes))
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),
