@@ -325,6 +325,53 @@ final class XbeamDataset private (
   def meanGlobal(skipna: Boolean = true): XbeamDataset =
     mean(template.dimSizes.keySet, skipna)
 
+  /** Weighted mean over dims (xarray `ds.weighted(w).mean(dims)` — the
+    * cos-latitude area weighting every global climate statistic needs):
+    * per-dim 1-d weight arrays, element weight = product over reduced
+    * dims, NaN elements masked out of both numerator and weight total.
+    * Same one-shuffle shape as [[mean]]; only (Σ w·v, Σ w) partials
+    * cross the wire. */
+  def weightedMean(dims: Set[String], weights: Map[String, NdArray],
+                   skipna: Boolean = true): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"weightedMean dims $dims not all in ${template.dimOrder}")
+    require(weights.keySet.subsetOf(dims),
+      s"weight dims ${weights.keySet} not all among reduced dims $dims")
+    weights.foreach { case (d, arr) =>
+      require(arr.ndim == 1 && arr.shape(0) == template.dimSizes(d),
+        s"weights for dim $d must be 1-d of length ${template.dimSizes(d)}, " +
+          s"got shape ${arr.shape.toSeq}")
+    }
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.weightedMean(chunkDataset, dims,
+        weights.map { case (d, a) => d -> a.toDoubles }, skipna))
+  }
+
+  /** Elementwise conveniences (xarray `fillna` / `clip` / `where`) —
+    * thin [[mapBlocks]] wrappers; outputs are F64. */
+  def fillna(value: Double): XbeamDataset =
+    mapBlocks(c => c.mapVars((_, va) =>
+      VarArray(va.dims, va.arr.mapF64(v => if (v.isNaN) value else v))))
+
+  def clip(lo: Double, hi: Double): XbeamDataset = {
+    require(lo <= hi, s"clip lower bound $lo exceeds upper bound $hi")
+    mapBlocks(c => c.mapVars((_, va) =>
+      VarArray(va.dims, va.arr.mapF64(v => math.min(math.max(v, lo), hi)))))
+  }
+
+  /** Keep elements where `cond` holds, else `other` (xarray
+    * `where(cond, other)` with an elementwise predicate; default NaN). */
+  def where(cond: Double => Boolean,
+            other: Double = Double.NaN): XbeamDataset =
+    mapBlocks(c => c.mapVars((_, va) =>
+      VarArray(va.dims, va.arr.mapF64(v => if (cond(v)) v else other))))
+
   /** General reductions over dims — the combiners the reference lists
     * as missing (combiners.py:29: "TODO... sum, std, var, min, max").
     * Same distributed shape as [[mean]]: per-chunk partials, one keyed

@@ -243,6 +243,55 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     (sums, counts)
   }
 
+  /** Weighted sum + weight total along the given axes, in float64 —
+    * the per-chunk partial of a weighted mean (xarray
+    * `ds.weighted(w).mean()`): each element weighs the product of its
+    * per-axis weights (`axisWeights(i)` aligned to `axes(i)`; null =
+    * weight 1). Under skipna a NaN element contributes neither to the
+    * weighted sum nor to the weight total — xarray's masked-weight
+    * semantics. */
+  def weightedSumCount(axes: Array[Int], axisWeights: Array[Array[Double]],
+                       skipna: Boolean): (NdArray, NdArray) = {
+    require(axisWeights.length == axes.length,
+      s"need one weight array (or null) per reduced axis")
+    axes.zip(axisWeights).foreach { case (ax, w) =>
+      require(w == null || w.length == shape(ax),
+        s"weights for axis $ax have length ${w.length}, extent is ${shape(ax)}")
+    }
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val sums = NdArray.zeros(DType.F64, outShape)
+    val wsums = NdArray.zeros(DType.F64, outShape)
+    val outStrides = sums.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN) {
+        var w = 1.0
+        var a = 0
+        while (a < axes.length) {
+          if (axisWeights(a) != null) w *= axisWeights(a)(idx(axes(a)))
+          a += 1
+        }
+        sums.setDouble(outFlat, sums.getDouble(outFlat) + w * v)
+        wsums.setDouble(outFlat, wsums.getDouble(outFlat) + w)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    (sums, wsums)
+  }
+
   /** Sum + sum-of-squares + not-NaN count along the given axes, in
     * float64 — the per-chunk partial for variance/std (exact for
     * integer-valued data: both moments stay within 2^53). */

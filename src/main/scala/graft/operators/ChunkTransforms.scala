@@ -138,6 +138,47 @@ object ChunkTransforms {
       .map { kv: (String, (ChunkKey, MeanAcc)) => (kv._2._1, kv._2._2.extract) }
   }
 
+  /** Keyed WEIGHTED mean over dims (xarray `ds.weighted(w).mean()`,
+    * e.g. cos-latitude area weighting): identical one-shuffle shape to
+    * [[mean]] with per-chunk partials (Σ w·v, Σ w) — [[MeanAcc]] merges
+    * and extracts both the same way. An element's weight is the product
+    * of its per-dim weights; each chunk slices the (tiny, 1-d) full-dim
+    * weight arrays by its own offsets, so no weight data shuffles. */
+  def weightedMean(ds: Dataset[Pair], dims: Set[String],
+                   weights: Map[String, Array[Double]],
+                   skipna: Boolean = true,
+                   rekey: ChunkKey => ChunkKey = identity): Dataset[Pair] = {
+    require(weights.keySet.subsetOf(dims),
+      s"weight dims ${weights.keySet} not all among reduced dims $dims")
+    implicit val accEnc: Encoder[(ChunkKey, MeanAcc)] = Encoders.kryo[(ChunkKey, MeanAcc)]
+    val w = weights
+    ds.map { p: Pair =>
+      val rk = rekey(p._1)
+      val nk = rk.copy(offsets = rk.offsets -- dims)
+      val pairs = p._2.vars.map { case (n, va) =>
+        val axes = va.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
+        val kept = va.dims.filterNot(dims)
+        val aw: Array[Array[Double]] = axes.map { ax =>
+          val d = va.dims(ax)
+          w.get(d) match {
+            case Some(full) =>
+              val off = p._1.offsets.getOrElse(d, 0L).toInt
+              java.util.Arrays.copyOfRange(full, off, off + va.arr.shape(ax))
+            case None => null
+          }
+        }
+        val (s, ws) = va.arr.weightedSumCount(axes, aw, skipna)
+        (n -> VarArray(kept, s), n -> VarArray(kept, ws))
+      }
+      (nk, MeanAcc(ArrayChunk(pairs.map(_._1)), ArrayChunk(pairs.map(_._2))))
+    }
+      .groupByKey { kv: (ChunkKey, MeanAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, MeanAcc), b: (ChunkKey, MeanAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, MeanAcc)) => (kv._2._1, kv._2._2.extract) }
+  }
+
   // ----------------------------------------------------- other reductions
 
   /** Accumulator for the general reductions — the combiners the

@@ -768,6 +768,29 @@ object XbeamQueries {
         WINDOW w AS (PARTITION BY x ORDER BY t)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x33
+    // Weighted mean over x (xarray ds.weighted(w).mean() — the
+    // cos-latitude area-weighting shape): weights w[x] = x+1 broadcast
+    // from a 1-d array each chunk slices by its own offsets; the
+    // shuffle carries (Σ w·v, Σ w) partials only. Integer weights ×
+    // integer-valued data keep both sums exact, so the division is
+    // bit-identical to the oracle's.
+    QueryDef(
+      "x33_weighted_mean",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val w = NdArray.fromDoubles(DType.F64, Array(W.toInt),
+          Array.tabulate(W.toInt)(i => (i + 1).toDouble))
+        TabularBridge.toDataFrame(
+          xds.weightedMean(Set("x"), Map("x" -> w))).orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+               sum(CAST(uid AS DOUBLE) * (x + 1)) / sum(CAST(x + 1 AS DOUBLE)) AS uid,
+               sum(vf * (x + 1)) / sum(CAST(x + 1 AS DOUBLE)) AS vf
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -375,6 +375,54 @@ class XbeamDatasetSpec extends AnyFunSuite {
       orig.getDouble(4L * lanes) - orig.getDouble(3L * lanes))
   }
 
+  test("weightedMean applies per-dim weights; NaNs mask their weight") {
+    // uniform weights == plain mean
+    val xds = era5ds(Map("time" -> 4))
+    val ones = NdArray.fill(DType.F64, Array(12), 1.0)
+    val wm = xds.weightedMean(Set("time"), Map("time" -> ones))
+      .collectConsolidated()._2.vars("temperature").arr
+    val pm = xds.mean(Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(wm.allClose(pm, 1e-12))
+    // hand-checked: values [1,2,4] weights [1,2,3] → (1+4+12)/6
+    val vals = NdArray.fromDoubles(DType.F64, Array(3, 1),
+      Array(1.0, 2.0, 4.0))
+    def one(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+      .weightedMean(Set("t"), Map("t" -> NdArray.fromDoubles(
+        DType.F64, Array(3), Array(1.0, 2.0, 3.0))))
+      .collectConsolidated()._2.vars("v").arr
+    assert(one(3).getDouble(0) == 17.0 / 6.0)
+    assert(one(2).getDouble(0) == 17.0 / 6.0) // chunked: same partial sums
+    // a NaN masks its weight out of the total: [1,NaN,4]·[1,2,3] → 13/4
+    val nan = NdArray.fromDoubles(DType.F64, Array(3, 1),
+      Array(1.0, Double.NaN, 4.0))
+    val nm = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), nan)), chunks = Map("t" -> 2))
+      .weightedMean(Set("t"), Map("t" -> NdArray.fromDoubles(
+        DType.F64, Array(3), Array(1.0, 2.0, 3.0))))
+      .collectConsolidated()._2.vars("v").arr
+    assert(nm.getDouble(0) == 13.0 / 4.0)
+    // weight array length must match the dim
+    assertThrows[IllegalArgumentException] {
+      xds.weightedMean(Set("time"), Map("time" -> ones.slice(Array(0), Array(5))))
+    }
+  }
+
+  test("fillna/clip/where elementwise conveniences") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(4),
+      Array(1.0, Double.NaN, 9.0, -3.0))
+    def ds0 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), vals)), chunks = Map("t" -> 2))
+    assert(ds0.fillna(0.0).collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(1.0, 0.0, 9.0, -3.0))
+    val clipped = ds0.clip(0.0, 5.0).collectConsolidated()._2.vars("v").arr
+    assert(clipped.getDouble(0) == 1.0 && clipped.getDouble(2) == 5.0 &&
+      clipped.getDouble(3) == 0.0 && clipped.getDouble(1).isNaN)
+    val w = ds0.where(_ > 0, -1.0).collectConsolidated()._2.vars("v").arr
+    assert(w.toDoubles.toSeq == Seq(1.0, -1.0, 9.0, -1.0))
+  }
+
   test("meanMultiStage matches single-shuffle mean (combiners.py:295-394)") {
     val xds = era5ds(Map("time" -> 1))
     val staged = xds.meanMultiStage(Set("time"),
