@@ -697,7 +697,39 @@ final class XbeamDataset private (
     * bodies cross the wire once; the scan-carried state is always the
     * reduced sliver. Exact for integer-valued data in any merge order.
     * Variables not spanning `dim` pass through unchanged. */
-  def cumsum(dim: String): XbeamDataset = {
+  def cumsum(dim: String): XbeamDataset =
+    prefixScanAlong(dim)(
+      (arr, ax) => arr.sumCount(Array(ax), skipna = false)._1,
+      laneShape => NdArray.zeros(DType.F64, laneShape),
+      (acc, sliver) => acc.zipF64(sliver)(_ + _),
+      (arr, ax, seed) => arr.cumsumAlong(ax, seed))
+
+  /** Forward-fill NaNs along `dim` (xarray `ffill`): each position
+    * takes the most recent non-NaN value; positions before the first
+    * one stay NaN. Same distributed shape as [[cumsum]] with the scan
+    * monoid swapped: slivers carry each chunk's LAST non-NaN value per
+    * lane and combine by overwrite-if-present. */
+  def ffill(dim: String): XbeamDataset =
+    prefixScanAlong(dim)(
+      (arr, ax) => arr.lastValidAlong(ax),
+      laneShape => NdArray.fill(DType.F64, laneShape, Double.NaN),
+      (acc, sliver) => acc.zipF64(sliver)((a, s) => if (s.isNaN) a else s),
+      (arr, ax, seed) => arr.ffillAlong(ax, seed))
+
+  /** The generic distributed prefix scan along `dim` backing [[cumsum]]
+    * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
+    * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE
+    * prefix accumulates in dim order (`init`, then `combine` per
+    * predecessor) — tiny, one sliver per (chunk, lane); (3) prefixes
+    * rejoin their chunks co-partitioned and `applySeed` finishes each
+    * chunk locally. Chunk bodies cross the wire once; scan state is
+    * always the reduced sliver. Variables not spanning `dim` pass
+    * through unchanged; outputs are F64. */
+  private def prefixScanAlong(dim: String)(
+      sliverOf: (NdArray, Int) => NdArray,
+      init: Array[Int] => NdArray,
+      combine: (NdArray, NdArray) => NdArray,
+      applySeed: (NdArray, Int, Option[NdArray]) => NdArray): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
@@ -708,8 +740,7 @@ final class XbeamDataset private (
       (k, ArrayChunk(c.vars.collect {
         case (n, va) if va.dims.contains(d) =>
           val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims.filterNot(_ == d),
-            va.arr.sumCount(Array(ax), skipna = false)._1)
+          n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
     // exclusive prefix per lane-chunk, in dim order
@@ -718,13 +749,12 @@ final class XbeamDataset private (
       .flatMapGroups { (_: String, it: Iterator[Pair]) =>
         val items = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
         var acc: Map[String, VarArray] = items.head._2.vars.map {
-          case (n, va) => n -> VarArray(va.dims,
-            graft.ndarray.NdArray.zeros(DType.F64, va.arr.shape))
+          case (n, va) => n -> VarArray(va.dims, init(va.arr.shape))
         }
-        items.iterator.map { case (k, total) =>
+        items.iterator.map { case (k, sliver) =>
           val cur = acc
           acc = acc.map { case (n, va) =>
-            n -> VarArray(va.dims, va.arr.zipF64(total.vars(n).arr)(_ + _))
+            n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr))
           }
           (k, ArrayChunk(cur))
         }
@@ -740,8 +770,7 @@ final class XbeamDataset private (
         if (!va.dims.contains(d)) n -> va
         else {
           val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims,
-            va.arr.cumsumAlong(ax, prefixVars.get(n).map(_.arr)))
+          n -> VarArray(va.dims, applySeed(va.arr, ax, prefixVars.get(n).map(_.arr)))
         }
       }))
     }

@@ -734,6 +734,79 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Per-lane LAST non-NaN value along `axis` (NaN when the lane has
+    * none) — the sliver a distributed forward-fill ships to its
+    * successor chunks. */
+  def lastValidAlong(axis: Int): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val out = NdArray.fill(DType.F64, keep.map(shape), Double.NaN)
+    val outStrides = out.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN) {
+        var outFlat = 0L
+        var k = 0
+        while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+        out.setDouble(outFlat, v) // C-order: later axis positions overwrite
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Forward-fill NaNs along `axis` in float64 (xarray `ffill`), seeded
+    * per lane from `seed` (shape = this shape with `axis` removed) —
+    * the most recent non-NaN value from preceding chunks. Positions
+    * before the first non-NaN value stay NaN. */
+  def ffillAlong(axis: Int, seed: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    seed.foreach { s =>
+      require(s.shape.sameElements(keep.map(shape)),
+        s"seed shape ${s.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val axisStride = strides(axis)
+    val seedStrides = seed.map(_.strides)
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      val filled =
+        if (!v.isNaN) v
+        else if (idx(axis) > 0) out.getDouble(flat - axisStride)
+        else seed match {
+          case Some(s) =>
+            var laneFlat = 0L
+            var k = 0
+            while (k < keep.length) {
+              laneFlat += idx(keep(k)) * seedStrides.get(k)
+              k += 1
+            }
+            s.getDouble(laneFlat)
+          case None => Double.NaN
+        }
+      out.setDouble(flat, filled)
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

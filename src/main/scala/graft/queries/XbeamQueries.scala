@@ -791,6 +791,42 @@ object XbeamQueries {
                sum(vf * (x + 1)) / sum(CAST(x + 1 AS DOUBLE)) AS vf
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x34
+    // Forward fill along t (xarray ffill): NaNs injected on a value
+    // pattern (uid%7, vf%5 — mirrored by the oracle as NULLs), then the
+    // distributed scan: per-chunk last-non-NaN slivers, exclusive
+    // "running last" per lane, chunk-local fill from the seed. Oracle:
+    // last_value IGNORE NULLS running window; positions before the
+    // first value stay NaN/NULL → sentinel on both sides.
+    QueryDef(
+      "x34_ffill",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val masked = gridXds(s, dir).mapBlocks(c => c.mapVars { (n, va) =>
+          val m = if (n == "uid") 7.0 else 5.0
+          VarArray(va.dims, va.arr.mapF64(v => if (v % m == 0) Double.NaN else v))
+        })
+        TabularBridge.toDataFrame(masked.ffill("t"))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        masked AS (
+          SELECT t, x,
+                 CASE WHEN uid % 7 = 0 THEN NULL ELSE CAST(uid AS DOUBLE) END AS uid,
+                 CASE WHEN vf % 5 = 0 THEN NULL ELSE vf END AS vf
+          FROM grid)
+        SELECT t, x,
+               coalesce(last_value(uid IGNORE NULLS) OVER w, -1.0) AS uid,
+               coalesce(last_value(vf IGNORE NULLS) OVER w, -1.0) AS vf
+        FROM masked
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -375,6 +375,25 @@ class XbeamDatasetSpec extends AnyFunSuite {
       orig.getDouble(4L * lanes) - orig.getDouble(3L * lanes))
   }
 
+  test("ffill carries the last value across chunk boundaries") {
+    // lane values [NaN, 2, NaN, NaN, 5, NaN] chunked t=2: the fill at
+    // t=3 needs chunk 0's sliver, t=5 needs chunk 2's own value
+    val vals = NdArray.fromDoubles(DType.F64, Array(6, 1), Array(
+      Double.NaN, 2.0, Double.NaN, Double.NaN, 5.0, Double.NaN))
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val filled = ds(2).ffill("t").collectConsolidated()._2.vars("v").arr
+    assert(filled.getDouble(0).isNaN) // nothing precedes t=0
+    assert(filled.toDoubles.drop(1).toSeq == Seq(2.0, 2.0, 2.0, 5.0, 5.0))
+    assert(filled.sameAs(ds(6).ffill("t").collectConsolidated()._2.vars("v").arr))
+    // era5: chunked == single-chunk after masking a value band to NaN
+    val masked = era5ds(Map("time" -> 4)).where(v => v < 284 || v > 286)
+    val a = masked.ffill("time").collectConsolidated()._2.vars("temperature").arr
+    val b = era5ds(Map("time" -> 12)).where(v => v < 284 || v > 286)
+      .ffill("time").collectConsolidated()._2.vars("temperature").arr
+    assert(a.sameAs(b))
+  }
+
   test("weightedMean applies per-dim weights; NaNs mask their weight") {
     // uniform weights == plain mean
     val xds = era5ds(Map("time" -> 4))

@@ -31,6 +31,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "argmin must aggregate map-side before the shuffle")
   }
 
+  test("concat/coarsen/anomaly chunk plans add no shuffle") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def plan(ds: graft.api.XbeamDataset): String =
+      ds.chunkDataset.queryExecution.executedPlan.toString
+    // concat: shifted-key union of two scans — pure key arithmetic
+    val cat = plan(xds.head("time", 8).concat(xds.tail("time", 4), "time"))
+    assert(!cat.contains("Exchange"), s"concat must not shuffle:\n$cat")
+    // coarsen: chunk-local block means
+    val co = plan(xds.coarsen(Map("time" -> 2)))
+    assert(!co.contains("Exchange"), s"coarsen must not shuffle:\n$co")
+    // anomaly: the mean reduces in its own (collected) job; the main
+    // dataset maps against the broadcast result without reshuffling
+    val an = plan(xds.anomaly(Set("time")))
+    assert(!an.contains("Exchange"),
+      s"anomaly must not reshuffle the full dataset:\n$an")
+  }
+
   test("q02 filter pushdown reaches the parquet scan") {
     val plan = planOf("q02_filter_pushdown")
     assert(plan.contains("PushedFilters: [") &&
