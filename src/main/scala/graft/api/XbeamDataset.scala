@@ -104,19 +104,70 @@ final class XbeamDataset private (
         })
   }
 
+  /** Slice `length` elements starting at `start` along `dim` (xarray
+    * isel range slicing) — only valid on an untransformed scan, where
+    * it pushes into the scan region instead of filtering data; emitted
+    * keys re-origin at 0 over the sliced region. [[head]]/[[tail]] are
+    * its special cases. The dim coordinate slices with it. */
+  def slice(dim: String, start: Long, length: Long): XbeamDataset = {
+    val spec = scan.getOrElse(throw new UnsupportedOperationException(
+      "slice is only supported on untransformed (scan) datasets"))
+    val size = template.dimSizes(dim)
+    require(start >= 0 && length >= 0 && start + length <= size,
+      s"slice [$start, ${start + length}) out of range for dim $dim of size $size")
+    val newCoords = template.coords.get(dim) match {
+      case Some(c) =>
+        template.coords + (dim -> c.slice(Array(start.toInt), Array(length.toInt)))
+      case None => template.coords
+    }
+    withScan(template.copy(
+      dims = template.dims.map { case (d, s) =>
+        if (d == dim) (d, length) else (d, s)
+      },
+      coords = newCoords),
+      chunkSizes, splitVars,
+      spec.copy(offset =
+        spec.offset + (dim -> (spec.offset.getOrElse(dim, 0L) + start))))
+  }
+
+  /** Select by coordinate range [lo, hi], inclusive, along `dim` —
+    * xarray `sel(dim=slice(lo, hi))` (e.g. a time range on a
+    * datetime64 coord). Requires a monotonically non-decreasing dim
+    * coordinate; resolves to offsets on the driver (coords are
+    * template-level) and pushes down as a [[slice]]. This overload
+    * compares integer/datetime64 coords exactly as longs. */
+  def sel(dim: String, lo: Long, hi: Long): XbeamDataset =
+    selByFlags(dim, coordFor(dim).toLongs.map(v => (v >= lo, v <= hi)),
+      sortedCheck = coordFor(dim).toLongs.sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+
+  /** [[sel]] for float coordinates. */
+  def sel(dim: String, lo: Double, hi: Double): XbeamDataset =
+    selByFlags(dim, coordFor(dim).toDoubles.map(v => (v >= lo, v <= hi)),
+      sortedCheck = coordFor(dim).toDoubles.sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+
+  private def coordFor(dim: String): NdArray =
+    template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"sel($dim): the dataset has no coordinate for $dim"))
+
+  private def selByFlags(dim: String, flags: Array[(Boolean, Boolean)],
+                         sortedCheck: Boolean): XbeamDataset = {
+    require(sortedCheck,
+      s"sel($dim) requires a monotonically non-decreasing coordinate")
+    val start = flags.indexWhere(_._1)
+    val endExcl = flags.lastIndexWhere(_._2) + 1
+    require(start >= 0 && endExcl > start,
+      s"sel($dim): no coordinate values in range")
+    slice(dim, start, endExcl - start)
+  }
+
   /** First `n` elements along `dim` — only valid on an untransformed
     * scan, where it rewrites the scan region instead of filtering data
     * (dataset.py:1105-1121: "only supported for untransformed
     * datasets"). */
-  def head(dim: String, n: Long): XbeamDataset = {
-    val spec = scan.getOrElse(throw new UnsupportedOperationException(
-      "head is only supported on untransformed (scan) datasets"))
-    val size = template.dimSizes(dim)
-    val newLen = math.min(n, size)
-    withScan(template.copy(dims = template.dims.map {
-      case (d, s) => if (d == dim) (d, newLen) else (d, s)
-    }), chunkSizes, splitVars, spec)
-  }
+  def head(dim: String, n: Long): XbeamDataset =
+    slice(dim, 0, math.min(n, template.dimSizes(dim)))
 
   /** Multi-dim head, reference-style (`head(time=5, lat=2)`,
     * dataset.py:1105-1121). */
@@ -129,15 +180,9 @@ final class XbeamDataset private (
 
   /** Last `n` elements along `dim` (dataset.py:1123-1133). */
   def tail(dim: String, n: Long): XbeamDataset = {
-    val spec = scan.getOrElse(throw new UnsupportedOperationException(
-      "tail is only supported on untransformed (scan) datasets"))
     val size = template.dimSizes(dim)
     val newLen = math.min(n, size)
-    val start = size - newLen
-    withScan(template.copy(dims = template.dims.map {
-      case (d, s) => if (d == dim) (d, newLen) else (d, s)
-    }), chunkSizes, splitVars,
-      spec.copy(offset = spec.offset + (dim -> (spec.offset.getOrElse(dim, 0L) + start))))
+    slice(dim, size - newLen, newLen)
   }
 
   /** Reorder dims (dataset.py:1137) — per-chunk axis permutation; the
@@ -716,6 +761,37 @@ final class XbeamDataset private (
       (acc, sliver) => acc.zipF64(sliver)((a, s) => if (s.isNaN) a else s),
       (arr, ax, seed) => arr.ffillAlong(ax, seed))
 
+  /** Backward-fill NaNs along `dim` (xarray `bfill`) — [[ffill]]
+    * mirrored: the scan runs in REVERSE dim order, slivers carry each
+    * chunk's FIRST non-NaN per lane, and the nearest succeeding chunk
+    * wins the combine. */
+  def bfill(dim: String): XbeamDataset =
+    prefixScanAlong(dim, reverse = true)(
+      (arr, ax) => arr.firstValidAlong(ax),
+      laneShape => NdArray.fill(DType.F64, laneShape, Double.NaN),
+      (acc, sliver) => acc.zipF64(sliver)((a, s) => if (s.isNaN) a else s),
+      (arr, ax, seed) => arr.bfillAlong(ax, seed))
+
+  /** Running maximum along `dim` (xarray `cummax`): same prefix scan
+    * with max as the monoid; NaN propagates from its first occurrence
+    * (matching [[cumsum]]'s plain-running semantics). */
+  def cummax(dim: String): XbeamDataset =
+    prefixScanAlong(dim)(
+      (arr, ax) => arr.extreme(Array(ax), skipna = false, isMin = false),
+      laneShape => NdArray.fill(DType.F64, laneShape, Double.NegativeInfinity),
+      (acc, sliver) => acc.zipF64(sliver)((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b)),
+      (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = false, seed))
+
+  /** Running minimum along `dim` (xarray `cummin`). */
+  def cummin(dim: String): XbeamDataset =
+    prefixScanAlong(dim)(
+      (arr, ax) => arr.extreme(Array(ax), skipna = false, isMin = true),
+      laneShape => NdArray.fill(DType.F64, laneShape, Double.PositiveInfinity),
+      (acc, sliver) => acc.zipF64(sliver)((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)),
+      (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = true, seed))
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
     * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE
@@ -725,7 +801,7 @@ final class XbeamDataset private (
     * chunk locally. Chunk bodies cross the wire once; scan state is
     * always the reduced sliver. Variables not spanning `dim` pass
     * through unchanged; outputs are F64. */
-  private def prefixScanAlong(dim: String)(
+  private def prefixScanAlong(dim: String, reverse: Boolean = false)(
       sliverOf: (NdArray, Int) => NdArray,
       init: Array[Int] => NdArray,
       combine: (NdArray, NdArray) => NdArray,
@@ -747,7 +823,8 @@ final class XbeamDataset private (
     val prefixes = partials
       .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Pair]) =>
-        val items = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        val items = if (reverse) asc.reverse else asc
         var acc: Map[String, VarArray] = items.head._2.vars.map {
           case (n, va) => n -> VarArray(va.dims, init(va.arr.shape))
         }

@@ -807,6 +807,132 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Per-lane FIRST non-NaN value along `axis` (NaN when the lane has
+    * none) — the sliver a distributed backward-fill ships to its
+    * predecessor chunks. */
+  def firstValidAlong(axis: Int): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val out = NdArray.fill(DType.F64, keep.map(shape), Double.NaN)
+    val outStrides = out.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN) {
+        var outFlat = 0L
+        var k = 0
+        while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+        if (out.getDouble(outFlat).isNaN) out.setDouble(outFlat, v)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Backward-fill NaNs along `axis` in float64 (xarray `bfill`),
+    * seeded per lane from `seed` — the nearest non-NaN value from
+    * SUCCEEDING chunks. Positions after the last non-NaN stay NaN. */
+  def bfillAlong(axis: Int, seed: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    seed.foreach { s =>
+      require(s.shape.sameElements(keep.map(shape)),
+        s"seed shape ${s.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val axisStride = strides(axis)
+    val seedStrides = seed.map(_.strides)
+    // iterate lanes; walk each lane backward
+    val laneCount = size / math.max(shape(axis), 1)
+    val laneIdx = new Array[Int](math.max(keep.length, 1))
+    var l = 0L
+    while (l < laneCount) {
+      var base = 0L
+      var k = 0
+      while (k < keep.length) { base += laneIdx(k) * strides(keep(k)); k += 1 }
+      var carryV = seed match {
+        case Some(s) =>
+          var laneFlat = 0L
+          var kk = 0
+          while (kk < keep.length) {
+            laneFlat += laneIdx(kk) * seedStrides.get(kk)
+            kk += 1
+          }
+          s.getDouble(laneFlat)
+        case None => Double.NaN
+      }
+      var i = shape(axis) - 1
+      while (i >= 0) {
+        val v = getDouble(base + i.toLong * axisStride)
+        if (!v.isNaN) carryV = v
+        out.setDouble(base + i.toLong * axisStride, carryV)
+        i -= 1
+      }
+      var kc = keep.length - 1
+      var carry = true
+      while (kc >= 0 && carry) {
+        laneIdx(kc) += 1
+        if (laneIdx(kc) == shape(keep(kc))) { laneIdx(kc) = 0; kc -= 1 }
+        else carry = false
+      }
+      l += 1
+    }
+    out
+  }
+
+  /** Running min/max along `axis` in float64, seeded per lane (xarray
+    * `cummin`/`cummax` shape): out[i] = op(out[i-1], in[i]) with the
+    * lane's seed (or ±∞) before position 0; NaN propagates from its
+    * first occurrence onward (like [[cumsumAlong]]). */
+  def cumExtremeAlong(axis: Int, isMin: Boolean, seed: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    seed.foreach { o =>
+      require(o.shape.sameElements(keep.map(shape)),
+        s"seed shape ${o.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val axisStride = strides(axis)
+    val laneStrides = seed.map(_.strides)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      val prev =
+        if (i > 0) out.getDouble(flat - axisStride)
+        else seed match {
+          case Some(o) =>
+            var laneFlat = 0L
+            var k = 0
+            while (k < keep.length) {
+              laneFlat += idx(keep(k)) * laneStrides.get(k)
+              k += 1
+            }
+            o.getDouble(laneFlat)
+          case None =>
+            if (isMin) Double.PositiveInfinity else Double.NegativeInfinity
+        }
+      val v = getDouble(flat)
+      out.setDouble(flat,
+        if (prev.isNaN || v.isNaN) Double.NaN
+        else if (isMin) math.min(prev, v) else math.max(prev, v))
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Elementwise binary op in float64, returning F64. */
   def zipF64(other: NdArray)(f: (Double, Double) => Double): NdArray = {
     require(shape.sameElements(other.shape), "shape mismatch")

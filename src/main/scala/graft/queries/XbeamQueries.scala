@@ -827,6 +827,108 @@ object XbeamQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x35
+    // sel by datetime-coordinate range (xarray sel(time=slice(...))):
+    // the t axis carries a datetime64 coord through a store (as in
+    // x16); sel resolves the [Jan 3, Jan 20] window to offsets ON THE
+    // DRIVER from the coord array and pushes down as a slice — no
+    // filter ever runs over data. Keys re-origin at 0 (the oracle
+    // shifts by min(t) of the selection).
+    QueryDef(
+      "x35_sel_time",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val store = zarrPath("x35", dir)
+        XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        val back = XbeamDataset.fromZarr(s, store)
+        def ns(iso: String): Long =
+          java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        TabularBridge.toDataFrame(
+          back.sel("t", ns("2020-01-03T00:00:00Z"), ns("2020-01-20T00:00:00Z")))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t) AS ts
+                FROM grid),
+        sel AS (SELECT * FROM cal
+                WHERE ts >= TIMESTAMP '2020-01-03 00:00:00'
+                  AND ts <= TIMESTAMP '2020-01-20 00:00:00')
+        SELECT t - (SELECT min(t) FROM sel) AS t, x, uid, vf
+        FROM sel ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x36
+    // Running max/min along t (xarray cummax/cummin): the prefix-scan
+    // primitive with the extreme monoid — slivers are per-lane chunk
+    // extremes, comparisons only, so values are bit-exact vs the
+    // oracle's running-window MAX/MIN.
+    QueryDef(
+      "x36_cumminmax",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.cummax("t"), "cmax")
+          .join(frame(xds.cummin("t"), "cmin"), Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               max(CAST(uid AS DOUBLE)) OVER w AS uid_cmax,
+               max(vf) OVER w AS vf_cmax,
+               min(CAST(uid AS DOUBLE)) OVER w AS uid_cmin,
+               min(vf) OVER w AS vf_cmin
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x37
+    // Backward fill along t (xarray bfill): x34 mirrored — the reverse
+    // prefix scan, slivers carry each chunk's FIRST non-NaN per lane.
+    // Oracle: first_value IGNORE NULLS over the FOLLOWING window;
+    // positions after the last value stay NaN/NULL → sentinel.
+    QueryDef(
+      "x37_bfill",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val masked = gridXds(s, dir).mapBlocks(c => c.mapVars { (n, va) =>
+          val m = if (n == "uid") 7.0 else 5.0
+          VarArray(va.dims, va.arr.mapF64(v => if (v % m == 0) Double.NaN else v))
+        })
+        TabularBridge.toDataFrame(masked.bfill("t"))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        masked AS (
+          SELECT t, x,
+                 CASE WHEN uid % 7 = 0 THEN NULL ELSE CAST(uid AS DOUBLE) END AS uid,
+                 CASE WHEN vf % 5 = 0 THEN NULL ELSE vf END AS vf
+          FROM grid)
+        SELECT t, x,
+               coalesce(first_value(uid IGNORE NULLS) OVER w, -1.0) AS uid,
+               coalesce(first_value(vf IGNORE NULLS) OVER w, -1.0) AS vf
+        FROM masked
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

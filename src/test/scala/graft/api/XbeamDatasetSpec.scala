@@ -394,6 +394,67 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(a.sameAs(b))
   }
 
+  test("bfill mirrors ffill: nearest SUCCEEDING value crosses chunks") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(6, 1), Array(
+      Double.NaN, 2.0, Double.NaN, Double.NaN, 5.0, Double.NaN))
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val filled = ds(2).bfill("t").collectConsolidated()._2.vars("v").arr
+    assert(filled.toDoubles.take(5).toSeq == Seq(2.0, 2.0, 5.0, 5.0, 5.0))
+    assert(filled.getDouble(5).isNaN) // nothing follows t=5
+    assert(filled.sameAs(ds(6).bfill("t").collectConsolidated()._2.vars("v").arr))
+  }
+
+  test("cummax/cummin cross chunk boundaries bit-exactly") {
+    // comparisons only — no float reassociation, so chunked == single
+    val a = era5ds(Map("time" -> 4)).cummax("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    val b = era5ds(Map("time" -> 12)).cummax("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(a.sameAs(b))
+    val orig = Fixtures.era5()("temperature")._2
+    assert(a.sameAs(orig.cumExtremeAlong(0, isMin = false, None)))
+    val c = era5ds(Map("time" -> 4)).cummin("time")
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(c.sameAs(orig.cumExtremeAlong(0, isMin = true, None)))
+    // hand-check: [3,1,2] running max = [3,3,3], running min = [3,1,1]
+    val vals = NdArray.fromDoubles(DType.F64, Array(3, 1), Array(3.0, 1.0, 2.0))
+    def ds0 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+    assert(ds0.cummax("t").collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(3.0, 3.0, 3.0))
+    assert(ds0.cummin("t").collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(3.0, 1.0, 1.0))
+  }
+
+  test("slice pushes down mid-dim ranges; sel resolves coordinate ranges") {
+    val coord = NdArray.fromDoubles(DType.F64, Array(6),
+      Array(10, 20, 30, 40, 50, 60).map(_.toDouble))
+    val vals = arange(DType.F64, 6, 2)
+    def ds0 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val sliced = ds0.slice("t", 2, 3)
+    assert(sliced.isScan && sliced.template.dimSizes("t") == 3)
+    assert(sliced.template.coords("t").toDoubles.toSeq == Seq(30.0, 40.0, 50.0))
+    assert(sliced.collectConsolidated()._2.vars("v").arr.sameAs(
+      vals.slice(Array(2, 0), Array(3, 2))))
+    // sel is slice resolved from the coord (inclusive bounds)
+    val selected = ds0.sel("t", 20.0, 50.0)
+    assert(selected.template.dimSizes("t") == 4)
+    assert(selected.collectConsolidated()._2.vars("v").arr.sameAs(
+      vals.slice(Array(1, 0), Array(4, 2))))
+    // no coord / empty range / unsorted coord are rejected
+    assertThrows[IllegalArgumentException] { ds0.sel("x", 0.0, 1.0) }
+    assertThrows[IllegalArgumentException] { ds0.sel("t", 61.0, 99.0) }
+    val unsorted = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(6),
+        Array(10, 30, 20, 40, 50, 60).map(_.toDouble))),
+      chunks = Map("t" -> 4))
+    assertThrows[IllegalArgumentException] { unsorted.sel("t", 10.0, 40.0) }
+  }
+
   test("weightedMean applies per-dim weights; NaNs mask their weight") {
     // uniform weights == plain mean
     val xds = era5ds(Map("time" -> 4))
