@@ -792,6 +792,253 @@ final class XbeamDataset private (
         if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)),
       (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = true, seed))
 
+  /** Trailing rolling reduction along `dim` — [[rollingMean]]
+    * generalized to op ∈ "sum" | "min" | "max" | "mean" (xarray
+    * `rolling(dim=w).sum()/.min()/.max()`), on the same halo exchange:
+    * only `window-1` trailing slivers cross the wire. */
+  def rolling(dim: String, window: Int, op: String): XbeamDataset = {
+    require(window >= 2, s"rolling window must be >= 2, got $window")
+    mapWithHalo(dim, window - 1) { (joined, ax, skip) =>
+      joined.rollingReduceAlong(ax, window, skip, op)
+    }
+  }
+
+  /** Per-cell degree-1 OLS slope along `dim` against the global dim
+    * index (xarray `polyfit(dim, deg=1)`'s linear coefficient — the
+    * secular-trend map of a climate pipeline). One keyed shuffle of
+    * 5-plane (n, Σt, Σt², Σv, Σtv) partials — data never reshuffles;
+    * NaN where a cell has fewer than two valid points. */
+  def trend(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val newTemplate = Template(
+      template.dims.filterNot(_._1 == dim),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(_ == dim),
+          if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+      },
+      template.coords - dim, template.attrs)
+    withPlan(newTemplate, chunkSizes - dim, splitVars,
+      ChunkTransforms.trendReduce(chunkDataset, dim, skipna))
+  }
+
+  /** Linear interpolation across NaN runs along `dim` (xarray
+    * `interpolate_na(dim, method='linear')`): each NaN position between
+    * two valid values takes the straight line through its nearest valid
+    * neighbors; leading/trailing NaNs stay NaN. Distributed as TWO of
+    * the [[cumsum]]-style sliver scans — a forward pass carrying each
+    * chunk's last (value, index) and a reverse pass carrying its first
+    * — then one co-partitioned rejoin interpolates chunk-locally.
+    * Chunk bodies cross the wire once; everything else is slivers. */
+  def interpolateNa(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Int, Pair)]
+    val d = dim
+    // per-chunk stacked (value, global index) edge slivers
+    def partials(last: Boolean): Dataset[Pair] = chunkDataset.map { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      (k, ArrayChunk(c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+            va.arr.edgeValidWithIndexAlong(ax, off, last))
+      }))
+    }.filter { p: Pair => p._2.vars.nonEmpty }
+    // overwrite-if-present on the stacked pair: a later sliver's value
+    // plane decides; its index plane travels with it
+    def overwrite(acc: NdArray, sliver: NdArray): NdArray = {
+      val out = NdArray.zeros(DType.F64, acc.shape)
+      val laneSize = acc.size / 2
+      var j = 0L
+      while (j < laneSize) {
+        val sv = sliver.getDouble(j)
+        if (sv.isNaN) {
+          out.setDouble(j, acc.getDouble(j))
+          out.setDouble(laneSize + j, acc.getDouble(laneSize + j))
+        } else {
+          out.setDouble(j, sv)
+          out.setDouble(laneSize + j, sliver.getDouble(laneSize + j))
+        }
+        j += 1
+      }
+      out
+    }
+    // exclusive prefix of "nearest valid so far" per lane-chunk, in
+    // (forward | reverse) dim order — the prefixScanAlong shape
+    def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] = parts
+      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
+        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        val items = if (reverse) asc.reverse else asc
+        var acc: Map[String, VarArray] = items.head._2.vars.map {
+          case (n, va) =>
+            n -> VarArray(va.dims, NdArray.fill(DType.F64, va.arr.shape, Double.NaN))
+        }
+        items.iterator.map { case (k, sliver) =>
+          val cur = acc
+          acc = acc.map { case (n, va) =>
+            n -> VarArray(va.dims, overwrite(va.arr, sliver.vars(n).arr))
+          }
+          (k, ArrayChunk(cur))
+        }
+      }
+    val fwd = prefixes(partials(last = true), reverse = false)
+    val rev = prefixes(partials(last = false), reverse = true)
+    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, 0, p) }
+      .union(fwd.map { p: Pair => (p._1.canonical, 1, p) })
+      .union(rev.map { p: Pair => (p._1.canonical, 2, p) })
+    val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val (key, ownChunk) = items.find(_._2 == 0).get._3
+      val prevVars = items.find(_._2 == 1).map(_._3._2.vars)
+        .getOrElse(Map.empty[String, VarArray])
+      val nextVars = items.find(_._2 == 2).map(_._3._2.vars)
+        .getOrElse(Map.empty[String, VarArray])
+      val off = key.offsets.getOrElse(d, 0L)
+      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims, va.arr.interpNaAlong(ax, off,
+            prevVars.get(n).map(_.arr), nextVars.get(n).map(_.arr)))
+        }
+      }))
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, joined)
+  }
+
+  /** Calendar-period downsample (xarray `resample(time=freq).mean()`):
+    * the dim's datetime64 coordinate resolves each position to a
+    * period bucket ON THE DRIVER (the coord is plan-time metadata);
+    * each chunk reduces its bucket runs locally to (sum, count)
+    * partials keyed by bucket — so the one shuffle carries partials,
+    * never data, exactly like [[mean]] — and the output dim has one
+    * position per period with the period-start timestamps as its new
+    * coordinate. `period` ∈ "year" | "month" | "day" | "hour". */
+  def resampleMean(dim: String, period: String,
+                   skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"resample needs a coordinate on $dim"))
+    require(coord.dtype == DType.TimeNs,
+      s"resample needs a datetime64 coord on $dim, got ${coord.dtype.zarr}")
+    val ns = coord.toLongs
+    def periodStartNs(t: Long): Long = {
+      val ldt = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),
+        java.time.ZoneOffset.UTC)
+      val start = period match {
+        case "year" => ldt.toLocalDate.withDayOfYear(1).atStartOfDay()
+        case "month" => ldt.toLocalDate.withDayOfMonth(1).atStartOfDay()
+        case "day" => ldt.toLocalDate.atStartOfDay()
+        case "hour" => ldt.withMinute(0).withSecond(0).withNano(0)
+        case other => throw new IllegalArgumentException(
+          s"unknown resample period $other (year/month/day/hour)")
+      }
+      start.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    }
+    // dense bucket ids; monotonic time makes each bucket one contiguous run
+    val bucketOf = new Array[Int](ns.length)
+    val bucketStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prevT = Long.MinValue
+    var i = 0
+    while (i < ns.length) {
+      require(ns(i) >= prevT,
+        s"resample requires a non-decreasing coord on $dim")
+      prevT = ns(i)
+      val st = periodStartNs(ns(i))
+      if (bucketStarts.isEmpty || st != bucketStarts.last) bucketStarts += st
+      bucketOf(i) = bucketStarts.length - 1
+      i += 1
+    }
+    val nBuckets = bucketStarts.length
+    val bc = spark.sparkContext.broadcast(bucketOf)
+    val d = dim
+    val sk = skipna
+    import ChunkTransforms.MeanAcc
+    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc, ArrayChunk)]
+    val partials = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L).toInt
+      val (touched, untouched) = c.vars.partition(_._2.dims.contains(d))
+      val ext = touched.headOption.map { case (_, va) =>
+        va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      val buckets = bc.value
+      if (ext == 0) {
+        // replica chunk with no dim-spanning vars: carry passthrough once
+        Iterator.single((k.copy(offsets = k.offsets - d +
+          (d -> buckets(off).toLong)), MeanAcc(ArrayChunk(Map.empty),
+          ArrayChunk(Map.empty)), ArrayChunk(untouched)))
+      } else {
+        val outs = scala.collection.mutable.ArrayBuffer
+          .empty[(ChunkKey, MeanAcc, ArrayChunk)]
+        var i0 = 0
+        while (i0 < ext) {
+          val b = buckets(off + i0)
+          var i1 = i0 + 1
+          while (i1 < ext && buckets(off + i1) == b) i1 += 1
+          val sliced = ArrayChunk(touched.map { case (n, va) =>
+            val ax = va.dims.indexOf(d)
+            val st = Array.fill(va.arr.ndim)(0); st(ax) = i0
+            val ln = va.arr.shape.clone(); ln(ax) = i1 - i0
+            n -> VarArray(va.dims, va.arr.slice(st, ln))
+          })
+          outs += ((k.copy(offsets = k.offsets - d + (d -> b.toLong)),
+            ChunkTransforms.sumCountChunk(sliced, Set(d), sk),
+            ArrayChunk(untouched)))
+          i0 = i1
+        }
+        outs.iterator
+      }
+    }
+    val varDims: Map[String, Seq[String]] =
+      template.vars.map { case (n, vs) => n -> vs.dims }
+    val joined = partials
+      .groupByKey { t: (ChunkKey, MeanAcc, ArrayChunk) => t._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, MeanAcc, ArrayChunk),
+                       b: (ChunkKey, MeanAcc, ArrayChunk)) =>
+        (a._1, a._2.merge(b._2), a._3) // passthrough replicas: keep one
+      }
+      .map { kv: (String, (ChunkKey, MeanAcc, ArrayChunk)) =>
+        val (k, acc, pass) = kv._2
+        // re-insert the dim axis (extent 1) so output chunks keep their
+        // variables' full dim order
+        (k, ArrayChunk(acc.extract.vars.map { case (n, va) =>
+          val dims = varDims(n)
+          val ax = dims.indexOf(d)
+          val shape2 = new Array[Int](va.arr.ndim + 1)
+          var j = 0
+          while (j < shape2.length) {
+            shape2(j) =
+              if (j < ax) va.arr.shape(j)
+              else if (j == ax) 1
+              else va.arr.shape(j - 1)
+            j += 1
+          }
+          n -> VarArray(dims, NdArray(DType.F64, shape2, va.arr.data))
+        } ++ pass.vars))
+      }
+    val newTemplate = Template(
+      template.dims.map { case (dd, s) =>
+        dd -> (if (dd == d) nBuckets.toLong else s)
+      },
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims,
+          if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+      },
+      (template.coords - d) + (d -> NdArray.fromLongs(DType.TimeNs,
+        Array(nBuckets), bucketStarts.toArray)),
+      template.attrs)
+    withPlan(newTemplate, chunkSizes + (d -> 1), splitVars, joined)
+  }
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
     * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE

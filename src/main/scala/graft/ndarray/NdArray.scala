@@ -966,6 +966,228 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Trailing rolling reduction along `axis` in float64 — the
+    * [[rollingMeanAlong]] loop generalized to op ∈ sum | min | max |
+    * mean (SQL's SUM/MIN/MAX/AVG OVER `ROWS BETWEEN window-1 PRECEDING
+    * AND CURRENT ROW`, truncated at the sequence start). `skipStart`
+    * as in [[rollingMeanAlong]]. NaN inputs propagate. */
+  def rollingReduceAlong(axis: Int, window: Int, skipStart: Int,
+                         op: String): NdArray = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val opId = op match {
+      case "sum" => 0
+      case "min" => 1
+      case "max" => 2
+      case "mean" => 3
+      case other => throw new IllegalArgumentException(
+        s"unknown rolling op $other (sum/min/max/mean)")
+    }
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.zeros(DType.F64, outShape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart) {
+        val lo = math.max(0, i - window + 1)
+        var acc = if (opId == 1) Double.PositiveInfinity
+                  else if (opId == 2) Double.NegativeInfinity else 0.0
+        var c = 0
+        var j = lo
+        val base = flat - (i - lo).toLong * axisStride
+        while (j <= i) {
+          val v = getDouble(base + (j - lo).toLong * axisStride)
+          if (v.isNaN) acc = Double.NaN
+          else opId match {
+            case 0 | 3 => acc += v
+            case 1 => if (v < acc) acc = v
+            case 2 => if (v > acc) acc = v
+          }
+          c += 1
+          j += 1
+        }
+        var outFlat = 0L
+        var d = 0
+        while (d < ndim) {
+          outFlat += (if (d == axis) (i - skipStart).toLong else idx(d).toLong) * outStrides(d)
+          d += 1
+        }
+        out.setDouble(outFlat, if (opId == 3) acc / c else acc)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Per-lane (value, global index) of the LAST (`last=true`) or FIRST
+    * non-NaN along `axis`, stacked as an output of shape
+    * `[2] ++ laneShape` (plane 0 = value, plane 1 = index as double;
+    * both NaN when the lane has none). The sliver a distributed
+    * interpolation scan ships between chunks — the index plane is what
+    * [[lastValidAlong]]/[[firstValidAlong]] lack. */
+  def edgeValidWithIndexAlong(axis: Int, globalStart: Long,
+                              last: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val out = NdArray.fill(DType.F64, 2 +: laneShape, Double.NaN)
+    val laneSize = out.size / 2
+    val n = size
+    val idx = new Array[Int](ndim)
+    // lane strides within one output plane (C-order over keep dims)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN) {
+        var laneFlat = 0L
+        var kk = 0
+        while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+        if (last || out.getDouble(laneFlat).isNaN) {
+          out.setDouble(laneFlat, v)
+          out.setDouble(laneSize + laneFlat, (globalStart + idx(axis)).toDouble)
+        }
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Linear interpolation across NaN runs along `axis` (xarray
+    * `interpolate_na(method='linear')`): each NaN position between two
+    * valid values takes the line through them at its own global index;
+    * leading/trailing NaNs (nothing on one side) stay NaN. `prev` /
+    * `next` are [2]++laneShape stacked (value, global index) seeds from
+    * the neighboring chunks (see [[edgeValidWithIndexAlong]]). */
+  def interpNaAlong(axis: Int, globalStart: Long,
+                    prev: Option[NdArray], next: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val m = shape(axis)
+    val out = NdArray.zeros(DType.F64, shape)
+    val axisStride = strides(axis)
+    val laneCount = size / math.max(m, 1)
+    val laneIdx = new Array[Int](math.max(keep.length, 1))
+    // seed lane strides (C-order over keep dims, one plane)
+    val laneShape = keep.map(shape)
+    val laneStrides = new Array[Long](keep.length)
+    var accS = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = accS; accS *= laneShape(k); k -= 1 }
+    val laneSize = laneShape.foldLeft(1L)(_ * _.toLong)
+    val nextV = new Array[Double](m)
+    val nextI = new Array[Double](m)
+    var l = 0L
+    while (l < laneCount) {
+      var base = 0L
+      var seedFlat = 0L
+      var kk = 0
+      while (kk < keep.length) {
+        base += laneIdx(kk) * strides(keep(kk))
+        seedFlat += laneIdx(kk) * laneStrides(kk)
+        kk += 1
+      }
+      // backward pass: nearest valid at-or-after each position
+      var nv = next.map(_.getDouble(seedFlat)).getOrElse(Double.NaN)
+      var ni = next.map(_.getDouble(laneSize + seedFlat)).getOrElse(Double.NaN)
+      var i = m - 1
+      while (i >= 0) {
+        val v = getDouble(base + i.toLong * axisStride)
+        if (!v.isNaN) { nv = v; ni = (globalStart + i).toDouble }
+        nextV(i) = nv; nextI(i) = ni
+        i -= 1
+      }
+      // forward pass: fill
+      var pv = prev.map(_.getDouble(seedFlat)).getOrElse(Double.NaN)
+      var pi = prev.map(_.getDouble(laneSize + seedFlat)).getOrElse(Double.NaN)
+      i = 0
+      while (i < m) {
+        val off = base + i.toLong * axisStride
+        val v = getDouble(off)
+        if (!v.isNaN) {
+          out.setDouble(off, v)
+          pv = v; pi = (globalStart + i).toDouble
+        } else if (!pv.isNaN && !nextV(i).isNaN) {
+          val g = (globalStart + i).toDouble
+          out.setDouble(off,
+            pv + (nextV(i) - pv) * (g - pi) / (nextI(i) - pi))
+        } else out.setDouble(off, Double.NaN)
+        i += 1
+      }
+      var kc = keep.length - 1
+      var carry = true
+      while (kc >= 0 && carry) {
+        laneIdx(kc) += 1
+        if (laneIdx(kc) == laneShape(kc)) { laneIdx(kc) = 0; kc -= 1 }
+        else carry = false
+      }
+      l += 1
+    }
+    out
+  }
+
+  /** Per-lane degree-1 OLS partials along `axis` against the global
+    * index t = globalStart + i, stacked as [5] ++ laneShape:
+    * plane 0 = n (count of valid points), 1 = Σt, 2 = Σt², 3 = Σv,
+    * 4 = Σt·v. Partials add elementwise across chunks; the slope
+    * extracts as (nΣtv − ΣtΣv) / (nΣt² − (Σt)²). With `skipna` NaN
+    * values drop from all five sums; without it they poison Σv/Σtv
+    * (and so the slope) while t-statistics stay finite. */
+  def olsPartialsAlong(axis: Int, globalStart: Long, skipna: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val out = NdArray.zeros(DType.F64, 5 +: laneShape)
+    val laneSize = out.size / 5
+    val n = size
+    val idx = new Array[Int](ndim)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN || !skipna) {
+        var laneFlat = 0L
+        var kk = 0
+        while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+        val t = (globalStart + idx(axis)).toDouble
+        out.setDouble(laneFlat, out.getDouble(laneFlat) + 1.0)
+        out.setDouble(laneSize + laneFlat, out.getDouble(laneSize + laneFlat) + t)
+        out.setDouble(2 * laneSize + laneFlat, out.getDouble(2 * laneSize + laneFlat) + t * t)
+        out.setDouble(3 * laneSize + laneFlat, out.getDouble(3 * laneSize + laneFlat) + v)
+        out.setDouble(4 * laneSize + laneFlat, out.getDouble(4 * laneSize + laneFlat) + t * v)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Exact equality: same dtype, shape, and bytes. */
   def sameAs(other: NdArray): Boolean =
     dtype == other.dtype && shape.sameElements(other.shape) &&

@@ -404,6 +404,74 @@ object ChunkTransforms {
       .map { kv: (String, (ChunkKey, ArgAcc)) => (kv._2._1, kv._2._2.extract) }
   }
 
+  /** Stacked degree-1 OLS partials for a distributed per-cell linear
+    * trend along one dim (xarray `polyfit(deg=1)`'s slope — the
+    * secular-trend map a climate pipeline ends with): each chunk
+    * contributes [n, Σt, Σt², Σv, Σt·v] per cell against the GLOBAL
+    * dim index, partials add elementwise across chunks, and the merge
+    * never needs the data again. `passthrough` as in [[ReduceAcc]]. */
+  final case class TrendAcc(parts: ArrayChunk, passthrough: ArrayChunk) {
+    def merge(other: TrendAcc): TrendAcc =
+      copy(parts = ArrayChunk(parts.vars.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(other.parts.vars(n).arr)(_ + _))
+      }))
+
+    /** Slope per cell: (nΣtv − ΣtΣv) / (nΣt² − (Σt)²); NaN when fewer
+      * than two points or a degenerate denominator. */
+    def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
+      val a = va.arr
+      val laneSize = a.size / 5
+      val out = NdArray.zeros(DType.F64, a.shape.drop(1))
+      var i = 0L
+      while (i < laneSize) {
+        val cnt = a.getDouble(i)
+        val st = a.getDouble(laneSize + i)
+        val st2 = a.getDouble(2 * laneSize + i)
+        val sv = a.getDouble(3 * laneSize + i)
+        val stv = a.getDouble(4 * laneSize + i)
+        val denom = cnt * st2 - st * st
+        out.setDouble(i,
+          if (cnt < 2 || denom == 0) Double.NaN
+          else (cnt * stv - st * sv) / denom)
+        i += 1
+      }
+      n -> VarArray(va.dims.drop(1), out)
+    } ++ passthrough.vars)
+  }
+
+  object TrendAcc {
+    def ofChunk(chunk: ArrayChunk, dim: String, skipna: Boolean,
+                dimOffset: Long): TrendAcc = {
+      val (touched, untouched) = chunk.vars.partition(_._2.dims.contains(dim))
+      TrendAcc(
+        ArrayChunk(touched.map { case (n, va) =>
+          val ax = va.dims.indexOf(dim)
+          n -> VarArray("__p" +: va.dims.filterNot(_ == dim),
+            va.arr.olsPartialsAlong(ax, dimOffset, skipna))
+        }),
+        ArrayChunk(untouched))
+    }
+  }
+
+  /** Distributed per-cell linear trend along one dim — same one-shuffle
+    * shape as [[argReduce]]; the shuffle carries 5-plane OLS partials,
+    * never data. */
+  def trendReduce(ds: Dataset[Pair], dim: String,
+                  skipna: Boolean = true): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, TrendAcc)] =
+      Encoders.kryo[(ChunkKey, TrendAcc)]
+    ds.map { p: Pair =>
+      val off = p._1.offsets.getOrElse(dim, 0L)
+      (p._1.copy(offsets = p._1.offsets - dim),
+        TrendAcc.ofChunk(p._2, dim, skipna, off))
+    }
+      .groupByKey { kv: (ChunkKey, TrendAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, TrendAcc), b: (ChunkKey, TrendAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, TrendAcc)) => (kv._2._1, kv._2._2.extract) }
+  }
+
   /** Mean with an explicitly planned N-stage combiner tree
     * (MultiStageMean, combiners.py:295-394): chunk → flat index →
     * per-stage fanout bins (planned by the reference's cost model,

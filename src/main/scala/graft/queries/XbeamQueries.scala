@@ -929,6 +929,146 @@ object XbeamQueries {
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x38
+    // Linear interpolation across NaN runs along t (xarray
+    // interpolate_na): NaNs injected on the x34 value pattern, then the
+    // two-direction sliver scan (forward last-(value,index), reverse
+    // first-(value,index)) and a chunk-local line fill. The oracle
+    // mirrors the exact expression pv + (nv-pv)*(t-pt)/(nt-pt) with
+    // IGNORE NULLS edge windows, so values are bit-identical;
+    // leading/trailing NaNs (one side missing) stay NULL → sentinel.
+    QueryDef(
+      "x38_interpolate_na",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val masked = gridXds(s, dir).mapBlocks(c => c.mapVars { (n, va) =>
+          val m = if (n == "uid") 7.0 else 5.0
+          VarArray(va.dims, va.arr.mapF64(v => if (v % m == 0) Double.NaN else v))
+        })
+        TabularBridge.toDataFrame(masked.interpolateNa("t"))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        masked AS (
+          SELECT t, x,
+                 CASE WHEN uid % 7 = 0 THEN NULL ELSE CAST(uid AS DOUBLE) END AS uid,
+                 CASE WHEN vf % 5 = 0 THEN NULL ELSE vf END AS vf
+          FROM grid),
+        e AS (
+          SELECT t, x, uid, vf,
+                 last_value(uid IGNORE NULLS) OVER wp AS u_pv,
+                 last_value(CASE WHEN uid IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wp AS u_pt,
+                 first_value(uid IGNORE NULLS) OVER wf AS u_nv,
+                 first_value(CASE WHEN uid IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wf AS u_nt,
+                 last_value(vf IGNORE NULLS) OVER wp AS v_pv,
+                 last_value(CASE WHEN vf IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wp AS v_pt,
+                 first_value(vf IGNORE NULLS) OVER wf AS v_nv,
+                 first_value(CASE WHEN vf IS NOT NULL THEN CAST(t AS DOUBLE) END IGNORE NULLS) OVER wf AS v_nt
+          FROM masked
+          WINDOW wp AS (PARTITION BY x ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wf AS (PARTITION BY x ORDER BY t
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT t, x,
+               coalesce(CASE WHEN uid IS NOT NULL THEN uid
+                             WHEN u_pv IS NOT NULL AND u_nv IS NOT NULL
+                             THEN u_pv + (u_nv - u_pv) * (CAST(t AS DOUBLE) - u_pt) / (u_nt - u_pt)
+                        END, -1.0) AS uid,
+               coalesce(CASE WHEN vf IS NOT NULL THEN vf
+                             WHEN v_pv IS NOT NULL AND v_nv IS NOT NULL
+                             THEN v_pv + (v_nv - v_pv) * (CAST(t AS DOUBLE) - v_pt) / (v_nt - v_pt)
+                        END, -1.0) AS vf
+        FROM e ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x39
+    // Calendar resample (xarray resample(time='1M').mean()): the t axis
+    // gets a datetime64 coord (25h steps walk through month boundaries
+    // mid-chunk), resampleMean buckets each position by its month ON
+    // THE DRIVER from the coord, chunks reduce their bucket runs
+    // locally, and one shuffle of (sum, count) partials builds the
+    // per-month mean — the output t axis has one position per month.
+    // Integer-valued sums keep the division bit-exact.
+    QueryDef(
+      "x39_resample",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.resampleMean("t", "month"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       date_trunc('month',
+                         TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t)) AS mo
+                FROM grid),
+        g AS (SELECT mo, x, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+                     sum(vf) / count(*) AS vf
+              FROM cal GROUP BY mo, x)
+        SELECT CAST(dense_rank() OVER (ORDER BY mo) - 1 AS BIGINT) AS t,
+               x, uid, vf
+        FROM g ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x40
+    // Per-cell linear trend along t (xarray polyfit(deg=1) slope — the
+    // secular-trend map): the shuffle carries 5-plane OLS partials
+    // (n, Σt, Σt², Σv, Σtv); all five are exact integers here, the
+    // oracle spells out the identical closed form, and the single
+    // division is the only rounding on either engine.
+    QueryDef(
+      "x40_trend",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).trend("t")).orderBy("x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT x,
+               (CAST(count(*) AS DOUBLE) * sum(CAST(t AS DOUBLE) * uid) - CAST(sum(t) AS DOUBLE) * sum(uid)) /
+               (CAST(count(*) AS DOUBLE) * sum(CAST(t AS DOUBLE) * t) - CAST(sum(t) AS DOUBLE) * sum(t)) AS uid,
+               (CAST(count(*) AS DOUBLE) * sum(CAST(t AS DOUBLE) * vf) - CAST(sum(t) AS DOUBLE) * sum(vf)) /
+               (CAST(count(*) AS DOUBLE) * sum(CAST(t AS DOUBLE) * t) - CAST(sum(t) AS DOUBLE) * sum(t)) AS vf
+        FROM grid GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x41
+    // Rolling reductions beyond mean (xarray rolling().min()/.sum()):
+    // the same halo exchange as x24 with the min and sum kernels,
+    // window 7 over t — 6-element slivers cross the wire, never chunk
+    // bodies. Oracle: SQL MIN/SUM over the trailing window.
+    QueryDef(
+      "x41_rolling_reduce",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.rolling("t", 7, "min"), "rmin")
+          .join(frame(xds.rolling("t", 7, "sum"), "rsum"), Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               min(CAST(uid AS DOUBLE)) OVER w AS uid_rmin,
+               min(vf) OVER w AS vf_rmin,
+               sum(CAST(uid AS DOUBLE)) OVER w AS uid_rsum,
+               sum(vf) OVER w AS vf_rsum
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -234,6 +234,97 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .sameAs(ids(6).cumsum("t").collectConsolidated()._2.vars("v").arr))
   }
 
+  test("rolling(sum/min/max) reductions cross chunks like rollingMean") {
+    Seq("sum", "min", "max").foreach { op =>
+      val rolled = era5ds(Map("time" -> 4)).rolling("time", 3, op)
+        .collectConsolidated()._2.vars("temperature").arr
+      val direct = Fixtures.era5()("temperature")._2.rollingReduceAlong(0, 3, 0, op)
+      assert(rolled.sameAs(direct), s"op $op")
+    }
+    // mean op reproduces rollingMean exactly
+    assert(era5ds(Map("time" -> 4)).rolling("time", 3, "mean")
+      .collectConsolidated()._2.vars("temperature").arr.sameAs(
+        era5ds(Map("time" -> 4)).rollingMean("time", 3)
+          .collectConsolidated()._2.vars("temperature").arr))
+  }
+
+  test("trend: chunked OLS slope matches the closed form; NaNs drop") {
+    // v = 3t + lane  →  slope exactly 3 everywhere, any chunking
+    val vals = NdArray.fromDoubles(DType.F64, Array(6, 2),
+      Array.tabulate(12)(i => 3.0 * (i / 2) + (i % 2)))
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val slope = ds(2).trend("t").collectConsolidated()._2.vars("v").arr
+    assert(slope.getDouble(0) == 3.0 && slope.getDouble(1) == 3.0)
+    assert(slope.sameAs(ds(6).trend("t").collectConsolidated()._2.vars("v").arr))
+    // a NaN point drops under skipna (slope of the remaining exact line);
+    // fewer than 2 valid points → NaN
+    val nv = NdArray.fromDoubles(DType.F64, Array(4, 2), Array(
+      0.0, Double.NaN, 2.0, Double.NaN, Double.NaN, Double.NaN, 6.0, 1.0))
+    val nds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), nv)), chunks = Map("t" -> 2))
+    val ns = nds.trend("t").collectConsolidated()._2.vars("v").arr
+    assert(ns.getDouble(0) == 2.0) // points (0,0),(1,2),(3,6): exact line
+    assert(ns.getDouble(1).isNaN)  // single valid point
+  }
+
+  test("interpolateNa fills interior gaps across chunk boundaries only") {
+    // lane 0: valid at t=1 and t=9 (different chunks at ch=4) → linear
+    // bridge across two chunk boundaries; lane 1: leading/trailing NaNs
+    // around one point stay NaN
+    val m = 12
+    val vals = NdArray.fill(DType.F64, Array(m, 2), Double.NaN)
+    vals.setDouble(1L * 2, 10.0)   // t=1, lane 0
+    vals.setDouble(9L * 2, 50.0)   // t=9, lane 0
+    vals.setDouble(5L * 2 + 1, 7.0) // t=5, lane 1
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val filled = ds(4).interpolateNa("t").collectConsolidated()._2.vars("v").arr
+    assert(filled.getDouble(0).isNaN)          // before first valid
+    assert(filled.getDouble(1 * 2) == 10.0)
+    assert(filled.getDouble(5 * 2) == 30.0)    // 10 + (50-10)*(5-1)/(9-1)
+    assert(filled.getDouble(9 * 2) == 50.0)
+    assert(filled.getDouble(11 * 2).isNaN)     // after last valid
+    assert(filled.getDouble(4 * 2 + 1).isNaN && filled.getDouble(5 * 2 + 1) == 7.0)
+    // chunked == single-chunk bit-for-bit (same expression per position)
+    assert(filled.sameAs(
+      ds(12).interpolateNa("t").collectConsolidated()._2.vars("v").arr))
+  }
+
+  test("resampleMean buckets by calendar period from the datetime coord") {
+    // 10 daily steps from Jan 28: Jan gets 4 positions, Feb 6
+    val baseNs = java.time.Instant.parse("2020-01-28T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val day = 24L * 3600 * 1000000000L
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(10),
+      Array.tabulate(10)(i => baseNs + i * day))
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(i => (i / 2).toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val r = ds.resampleMean("t", "month")
+    assert(r.template.dimSizes("t") == 2)
+    val got = r.collectConsolidated()._2
+    // Jan mean = (0+1+2+3)/4, Feb mean = (4+..+9)/6, both lanes
+    assert(got.vars("v").arr.getDouble(0) == 1.5)
+    assert(got.vars("v").arr.getDouble(2) == 6.5)
+    // new coord = period starts
+    val starts = r.template.coords("t").toLongs
+    assert(starts(0) == java.time.Instant.parse("2020-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L)
+    assert(starts(1) == java.time.Instant.parse("2020-02-01T00:00:00Z")
+      .getEpochSecond * 1000000000L)
+    // a coord that runs backwards is rejected
+    val bad = NdArray.fromLongs(DType.TimeNs, Array(10),
+      Array.tabulate(10)(i => baseNs - i * day))
+    assertThrows[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> bad),
+        chunks = Map("t" -> 4)).resampleMean("t", "month")
+    }
+  }
+
   test("shift crosses chunk boundaries; leading positions are NaN") {
     val shifted = era5ds(Map("time" -> 4)).shift("time", 2)
       .collectConsolidated()._2.vars("temperature").arr
