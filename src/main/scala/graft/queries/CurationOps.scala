@@ -202,6 +202,79 @@ object CurationOps {
                CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
         FROM d JOIN c USING (fp)
         GROUP BY source, lang
-        ORDER BY source, lang"""))
+        ORDER BY source, lang""")),
+
+    // ---------------------------------------------------------------- c05
+    // Sequence packing (the concatenate-and-chunk step that turns a
+    // document corpus into fixed-width training windows): documents
+    // concatenate in doc_id order within a shard and split every 2048
+    // tokens; a document belongs to the window its first token lands
+    // in. Sharding by doc_id range keeps the running sum PARALLEL —
+    // each shard's cumsum is an independent window partition, so at
+    // 100 TB this is one partitioned window scan, never a global sort.
+    // All sums are integer → bit-exact across engines.
+    QueryDef(
+      "c05_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", expr("cast(size(split(text, ' ')) AS bigint)"))
+          .withColumn("shard", expr("doc_id div 125"))
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", expr("cum_before div 2048"))
+          .groupBy($"shard", $"seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"shard", $"seq_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, doc_id // 125 AS shard,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM d)
+        SELECT shard, cum_before // 2048 AS seq_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""")),
+
+    // ---------------------------------------------------------------- c06
+    // Domain mixture weights (temperature sampling over sources, the
+    // step that decides how often each domain repeats in a training
+    // mix): per-language token totals, then the temperature-0.5
+    // sampling weight relative to the dominant domain —
+    // (tokens / max_tokens)^0.5, computed as a sqrt ratio because
+    // sqrt is IEEE-exact on both engines where pow is not. Token sums
+    // are exact integers; the one-row max broadcasts back, so nothing
+    // but the per-domain aggregate ever shuffles.
+    QueryDef(
+      "c06_domain_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val byLang = t(s, dir, "documents")
+          .withColumn("n_tokens", expr("cast(size(split(text, ' ')) AS bigint)"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"))
+        val mx = byLang.agg(max($"tokens").as("max_tokens"))
+        byLang.crossJoin(broadcast(mx))
+          .withColumn("rel_weight",
+            sqrt($"tokens".cast("double")) / sqrt($"max_tokens".cast("double")))
+          .select($"lang", $"n_docs", $"tokens", $"rel_weight")
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH d AS (SELECT lang, count(*) AS n_docs,
+                          CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens
+                   FROM documents GROUP BY lang),
+        m AS (SELECT max(tokens) AS max_tokens FROM d)
+        SELECT lang, n_docs, tokens,
+               sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+        FROM d, m ORDER BY lang"""))
   )
 }

@@ -432,6 +432,56 @@ object TextOps {
         GROUP BY g.lang, g.simhash
         ORDER BY g.lang, g.simhash""")),
 
+    // ---------------------------------------------------------------- d09
+    // Repeated-span removal (the C4/RefinedWeb line-dedup shape: drop
+    // any span of text that recurs verbatim across the corpus, keeping
+    // the rest of each document): documents slice into non-overlapping
+    // 8-word spans (the corpus is single-line, so fixed word windows
+    // stand in for lines), spans recurring >= 3 times corpus-wide are
+    // removed everywhere, and documents reassemble in span order. The
+    // span table carries (doc_id, pos, span) only; the recurring-span
+    // set is tiny by construction (bounded by actual duplication), so
+    // the removal join is broadcast-sized at any scale — content never
+    // shuffles a second time. At 100 TB the span join key would be a
+    // 128-bit hash instead of the span text; the shape is identical.
+    QueryDef(
+      "d09_dedup_repeated_spans",
+      (s, dir) => {
+        import s.implicits._
+        // bind split() once (the d02 lambda-wrapper pattern), then one
+        // slice per span — no word explode
+        val spans = t(s, dir, "documents")
+          .withColumn("spans", expr(
+            """element_at(transform(array(split(text, ' ')), ws ->
+              |  transform(sequence(0, cast(ceil(size(ws) / 8.0) AS int) - 1),
+              |    i -> array_join(slice(ws, i * 8 + 1, 8), ' '))), 1)""".stripMargin))
+          .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        val dup = spans.filter(length(trim($"span")) >= 20)
+          .groupBy($"span").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= 3).select($"span", lit(true).as("dup"))
+        spans.join(dup, Seq("span"), "left")
+          .groupBy($"doc_id")
+          .agg(
+            array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN dup IS NULL THEN struct(pos, span) END)), s -> s.span)"),
+              " ").as("text"),
+            count(when($"dup", 1)).as("n_removed"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH spans AS (
+          SELECT doc_id, unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(range(CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                        i -> array_to_string(w[i*8+1:i*8+8], ' '))) AS span
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        dup AS (SELECT span FROM spans WHERE length(trim(span)) >= 20
+                GROUP BY span HAVING count(*) >= 3)
+        SELECT s.doc_id,
+               coalesce(string_agg(CASE WHEN d.span IS NULL THEN s.span END, ' ' ORDER BY s.pos), '') AS text,
+               count(*) FILTER (WHERE d.span IS NOT NULL) AS n_removed
+        FROM spans s LEFT JOIN dup d ON s.span = d.span
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // ---------------------------------------------------------------- m03
     // Multimodal audio plumbing: payload as fake 8-bit PCM, analyzed in
     // 64-sample windows per partition — RMS energy (integer
