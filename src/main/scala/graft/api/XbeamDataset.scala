@@ -1039,6 +1039,71 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> 1), splitVars, joined)
   }
 
+  /** Value-binned mean (xarray `groupby_bins(by, bins).mean()`): cells
+    * group by which bin of `edges` their `by`-variable value falls in
+    * — [edges(i), edges(i+1)), last bin right-closed — and every
+    * variable means over the grouped cells, collapsing all dims into
+    * one output `bin` axis (left edges as its coordinate). Per chunk,
+    * each bin reduces to (sum, count) partials behind a NaN mask, so
+    * the one shuffle carries nBins partials per chunk, never data.
+    * NaN `by` values (and NaN data) are excluded; empty bins yield
+    * NaN. Requires every variable to span the `by` variable's dims. */
+  def groupbyBinsMean(by: String, edges: Array[Double]): XbeamDataset = {
+    require(!splitVars, "groupbyBinsMean needs whole-variable chunks " +
+      "(consolidate variables first)")
+    require(template.vars.contains(by), s"unknown variable $by")
+    require(edges.length >= 2 && edges.sliding(2).forall(p => p(0) < p(1)),
+      s"bin edges must be strictly increasing, got ${edges.toSeq}")
+    val byDims = template.vars(by).dims
+    template.vars.foreach { case (n, vs) =>
+      require(vs.dims == byDims,
+        s"variable $n spans ${vs.dims}, but binning by $by needs $byDims")
+    }
+    import ChunkTransforms.MeanAcc
+    import org.apache.spark.sql.Encoders
+    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc)]
+    val nBins = edges.length - 1
+    val ed = edges
+    val byName = by
+    val allDims = template.dimSizes.keySet
+    val partials = chunkDataset.flatMap { p: Pair =>
+      val c = p._2
+      val g = c.vars(byName).arr
+      (0 until nBins).iterator.map { b =>
+        val lo = ed(b)
+        val hi = ed(b + 1)
+        val last = b == nBins - 1
+        val mask = g.mapF64(v =>
+          if (!v.isNaN && v >= lo && (v < hi || (last && v == hi))) 1.0
+          else Double.NaN)
+        val masked = ArrayChunk(c.vars.map { case (n, va) =>
+          n -> VarArray(va.dims,
+            va.arr.zipF64(mask)((a, m) => if (m.isNaN) Double.NaN else a))
+        })
+        (ChunkKey(Map("bin" -> b.toLong), None),
+          ChunkTransforms.sumCountChunk(masked, allDims, skipna = true))
+      }
+    }
+    val out = partials
+      .groupByKey { kv: (ChunkKey, MeanAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, MeanAcc), b: (ChunkKey, MeanAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, MeanAcc)) =>
+        val (k, acc) = kv._2
+        (k, ArrayChunk(acc.extract.vars.map { case (n, va) =>
+          n -> VarArray(Seq("bin"), NdArray(DType.F64, Array(1), va.arr.data))
+        }))
+      }
+    val newTemplate = Template(
+      Seq("bin" -> nBins.toLong),
+      template.vars.map { case (n, _) => n -> VarSpec(Seq("bin"), DType.F64) },
+      Map("bin" -> NdArray.fromDoubles(DType.F64, Array(nBins),
+        edges.dropRight(1))),
+      template.attrs)
+    withPlan(newTemplate, Map("bin" -> 1), sv = false, out)
+  }
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
     * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE

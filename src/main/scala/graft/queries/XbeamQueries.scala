@@ -1069,6 +1069,31 @@ object XbeamQueries {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x42
+    // Value-binned mean (xarray groupby_bins(...).mean()): cells group
+    // by which bin their vf value falls in ([lo, hi) edges, last bin
+    // closed) and both variables mean over the grouped cells — the
+    // groupby-by-VALUE counterpart to x09's groupby-by-position. Each
+    // chunk ships nBins (sum, count) partials; integer-valued sums
+    // keep the divisions bit-exact.
+    QueryDef(
+      "x42_groupby_bins",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).groupbyBinsMean("vf",
+          Array(0.0, 100.0, 200.0, 300.0, 500.0))).orderBy("bin"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        binned AS (SELECT CASE WHEN vf >= 0 AND vf < 100 THEN 0
+                               WHEN vf >= 100 AND vf < 200 THEN 1
+                               WHEN vf >= 200 AND vf < 300 THEN 2
+                               WHEN vf >= 300 AND vf <= 500 THEN 3 END AS bin,
+                          uid, vf
+                   FROM grid)
+        SELECT bin, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM binned WHERE bin IS NOT NULL
+        GROUP BY bin ORDER BY bin""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

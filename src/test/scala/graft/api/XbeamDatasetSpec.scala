@@ -325,6 +325,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("groupbyBinsMean groups cells by value bin across chunks") {
+    // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
+    val by = NdArray.fromDoubles(DType.F64, Array(6, 2),
+      Array.tabulate(12)(_.toDouble))
+    val other = by.mapF64(_ * 10)
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("g" -> (Seq("t", "x"), by), "v" -> (Seq("t", "x"), other)),
+      chunks = Map("t" -> ch))
+    val r = ds(2).groupbyBinsMean("g", Array(0.0, 4.0, 8.0, 11.0))
+    assert(r.template.dimSizes("bin") == 3)
+    val got = r.collectConsolidated()._2
+    assert(got.vars("g").arr.toDoubles.toSeq == Seq(1.5, 5.5, 9.5))
+    assert(got.vars("v").arr.toDoubles.toSeq == Seq(15.0, 55.0, 95.0))
+    // chunking-invariant (integer sums) and bin coord = left edges
+    assert(got.vars("v").arr.sameAs(
+      ds(6).groupbyBinsMean("g", Array(0.0, 4.0, 8.0, 11.0))
+        .collectConsolidated()._2.vars("v").arr))
+    assert(r.template.coords("bin").toDoubles.toSeq == Seq(0.0, 4.0, 8.0))
+  }
+
   test("shift crosses chunk boundaries; leading positions are NaN") {
     val shifted = era5ds(Map("time" -> 4)).shift("time", 2)
       .collectConsolidated()._2.vars("temperature").arr
