@@ -417,6 +417,106 @@ final class XbeamDataset private (
     mapBlocks(c => c.mapVars((_, va) =>
       VarArray(va.dims, va.arr.mapF64(v => if (cond(v)) v else other))))
 
+  /** Rename dims and/or variables (xarray `rename`): pure metadata —
+    * template, chunk grid, keys, and per-chunk dim labels all relabel;
+    * no data moves and no shuffle runs. */
+  def rename(mapping: Map[String, String]): XbeamDataset = {
+    val known = template.dimSizes.keySet ++ template.vars.keySet
+    mapping.keys.foreach(k => require(known(k), s"rename: unknown name $k"))
+    mapping.values.foreach(v => require(!known(v) || mapping.contains(v),
+      s"rename: target $v already exists"))
+    def rn(s: String): String = mapping.getOrElse(s, s)
+    val m = mapping
+    val newTemplate = Template(
+      template.dims.map { case (d, s) => rn(d) -> s },
+      template.vars.map { case (n, vs) => rn(n) -> VarSpec(vs.dims.map(rn), vs.dtype) },
+      template.coords.map { case (d, c) => rn(d) -> c },
+      template.attrs)
+    withPlan(newTemplate, chunkSizes.map { case (d, c) => rn(d) -> c },
+      splitVars, chunkDataset.map { p: Pair =>
+        def rn2(s: String): String = m.getOrElse(s, s)
+        (ChunkKey(p._1.offsets.map { case (d, o) => rn2(d) -> o },
+          p._1.vars.map(_.map(rn2))),
+          ArrayChunk(p._2.vars.map { case (n, va) =>
+            rn2(n) -> VarArray(va.dims.map(rn2), va.arr)
+          }))
+      })
+  }
+
+  /** Add a new size-1 leading dim (xarray `expand_dims`): every
+    * variable gains a leading axis of extent 1 and every key an offset
+    * 0 along it — metadata plus a per-chunk reshape, no shuffle. */
+  def expandDims(dim: String): XbeamDataset = {
+    require(!template.dimSizes.contains(dim), s"dim $dim already exists")
+    val d = dim
+    val newTemplate = Template(
+      (dim -> 1L) +: template.dims,
+      template.vars.map { case (n, vs) => n -> VarSpec(dim +: vs.dims, vs.dtype) },
+      template.coords, template.attrs)
+    withPlan(newTemplate, chunkSizes + (dim -> 1), splitVars,
+      chunkDataset.map { p: Pair =>
+        (p._1.copy(offsets = p._1.offsets + (d -> 0L)),
+          ArrayChunk(p._2.vars.map { case (n, va) =>
+            n -> VarArray(d +: va.dims, NdArray(va.arr.dtype,
+              1 +: va.arr.shape, va.arr.data))
+          }))
+      })
+  }
+
+  /** Drop a size-1 dim (xarray `squeeze`): the inverse of
+    * [[expandDims]] — metadata plus a per-chunk reshape, no shuffle. */
+  def squeeze(dim: String): XbeamDataset = {
+    require(template.dimSizes.get(dim).contains(1L),
+      s"squeeze: dim $dim is not size 1 (${template.dimSizes.get(dim)})")
+    val d = dim
+    val newTemplate = Template(
+      template.dims.filterNot(_._1 == dim),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(_ == dim), vs.dtype)
+      },
+      template.coords - dim, template.attrs)
+    withPlan(newTemplate, chunkSizes - dim, splitVars,
+      chunkDataset.map { p: Pair =>
+        (p._1.copy(offsets = p._1.offsets - d),
+          ArrayChunk(p._2.vars.map { case (n, va) =>
+            if (!va.dims.contains(d)) n -> va
+            else {
+              val ax = va.dims.indexOf(d)
+              n -> VarArray(va.dims.filterNot(_ == d), NdArray(va.arr.dtype,
+                va.arr.shape.zipWithIndex.collect { case (s, i) if i != ax => s },
+                va.arr.data))
+            }
+          }))
+      })
+  }
+
+  /** Drop the named variables (xarray `drop_vars`) — [[select]]'s
+    * complement, so on a scan it prunes the read the same way. */
+  def dropVars(names: Set[String]): XbeamDataset =
+    select(template.vars.keySet -- names)
+
+  /** Standardize over `dims` (the z-score normalization step of a
+    * feature pipeline): (v − mean) / std per dim-spanning variable.
+    * Composes [[anomaly]] with a second broadcast divide — two partial
+    * reduction shuffles build mean and std; the full dataset never
+    * reshuffles. */
+  def zscore(dims: Set[String], skipna: Boolean = true): XbeamDataset = {
+    val a = anomaly(dims, skipna)
+    val sd = std(dims, skipna)
+    val ds = dims
+    a.zipReduced(sd)({ (chunk, red) =>
+      ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!va.dims.exists(ds)) n -> va
+        else {
+          val redVa = red.vars(n)
+          val otherAxes = redVa.dims.map(va.dims.indexOf).toArray
+          n -> VarArray(va.dims,
+            va.arr.zipBroadcastF64(redVa.arr, otherAxes)(_ / _))
+        }
+      })
+    }, a.template)
+  }
+
   /** General reductions over dims — the combiners the reference lists
     * as missing (combiners.py:29: "TODO... sum, std, var, min, max").
     * Same distributed shape as [[mean]]: per-chunk partials, one keyed

@@ -1094,6 +1094,28 @@ object XbeamQueries {
         FROM binned WHERE bin IS NOT NULL
         GROUP BY bin ORDER BY bin""")),
 
+    // ---------------------------------------------------------------- x43
+    // z-score standardization over t (anomaly ÷ std — the feature
+    // normalization step): two partial-reduction shuffles build mean
+    // and std, both broadcast back over the grid; the full dataset
+    // never reshuffles. The oracle mirrors the exact x22 population-std
+    // expression and the x30 anomaly expression, so the one extra
+    // division stays bit-identical.
+    QueryDef(
+      "x43_zscore",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).zscore(Set("t"))).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               (CAST(uid AS DOUBLE) - CAST(sum(uid) OVER w AS DOUBLE) / count(*) OVER w) /
+               sqrt((sum(CAST(uid AS DOUBLE) * uid) OVER w - CAST(sum(uid) OVER w AS DOUBLE) * sum(uid) OVER w / count(*) OVER w) / count(*) OVER w) AS uid,
+               (vf - sum(vf) OVER w / count(*) OVER w) /
+               sqrt((sum(vf * vf) OVER w - sum(vf) OVER w * sum(vf) OVER w / count(*) OVER w) / count(*) OVER w) AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

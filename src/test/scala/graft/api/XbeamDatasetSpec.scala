@@ -325,6 +325,43 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("rename/expandDims/squeeze/dropVars are metadata-only reshapes") {
+    val xds = era5ds()
+    val rn = xds.rename(Map("time" -> "t", "temperature" -> "temp"))
+    assert(rn.template.dimOrder == Seq("t", "latitude", "longitude"))
+    assert(rn.template.vars.contains("temp") && !rn.template.vars.contains("temperature"))
+    assert(rn.collectConsolidated()._2.vars("temp").arr
+      .sameAs(Fixtures.era5()("temperature")._2))
+    assertThrows[IllegalArgumentException] { xds.rename(Map("nope" -> "x")) }
+    assertThrows[IllegalArgumentException] { xds.rename(Map("time" -> "precip")) }
+    val ex = xds.expandDims("member")
+    assert(ex.template.dimOrder.head == "member" &&
+      ex.template.dimSizes("member") == 1)
+    val back = ex.squeeze("member")
+    assert(back.template.dimOrder == xds.template.dimOrder)
+    assert(back.collectConsolidated()._2.vars("temperature").arr
+      .sameAs(Fixtures.era5()("temperature")._2))
+    assertThrows[IllegalArgumentException] { xds.squeeze("time") } // size 12
+    assert(xds.dropVars(Set("precip")).template.vars.keySet == Set("temperature"))
+  }
+
+  test("zscore standardizes: mean ~0, std ~1 per lane") {
+    val z = era5ds().zscore(Set("time")).collectConsolidated()._2
+      .vars("temperature").arr
+    val orig = Fixtures.era5()("temperature")._2
+    val lanes = orig.shape(1) * orig.shape(2)
+    val m = orig.shape(0)
+    (0 until lanes).foreach { l =>
+      var s = 0.0
+      var q = 0.0
+      (0 until m).foreach { t =>
+        val v = z.getDouble(t.toLong * lanes + l); s += v; q += v * v
+      }
+      assert(math.abs(s / m) < 1e-9, s"lane $l mean")
+      assert(math.abs(q / m - 1.0) < 1e-9, s"lane $l var")
+    }
+  }
+
   test("groupbyBinsMean groups cells by value bin across chunks") {
     // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
     val by = NdArray.fromDoubles(DType.F64, Array(6, 2),
