@@ -13,6 +13,7 @@ object GraftKryo {
     "graft.operators.ChunkTransforms$MeanAcc",
     "graft.operators.ChunkTransforms$ReduceAcc",
     "graft.operators.ChunkTransforms$ArgAcc",
+    "graft.operators.ChunkTransforms$TrendAcc",
     "scala.Tuple2",
     "scala.Tuple3",
     "scala.collection.immutable.Map$Map1",

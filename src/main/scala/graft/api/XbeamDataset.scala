@@ -1204,6 +1204,152 @@ final class XbeamDataset private (
     withPlan(newTemplate, Map("bin" -> 1), sv = false, out)
   }
 
+  /** Interpolate onto a new coordinate grid along `dim` (xarray
+    * `interp(dim=target)` / regridding, linear): each target position
+    * resolves ON THE DRIVER to its bracketing source indices and
+    * weight against the (strictly increasing, float64) dim coordinate;
+    * each source chunk then ships ONLY the rows some output chunk
+    * needs (≤ 2 rows per target — bounded by 2× the output size, and
+    * exactly the aligned rows when grids align), and output chunks
+    * assemble as (1−w)·row(i0) + w·row(i1). One gather shuffle of row
+    * slivers; no data-sized exchange beyond it. Targets must lie
+    * within the coordinate range (no extrapolation). */
+  def interpLinear(dim: String, target: Array[Double]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"interp needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"interp needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val src = coord.toDoubles
+    val n = src.length
+    require(n >= 2 && src.sliding(2).forall(p => p(0) < p(1)),
+      s"interp requires a strictly increasing coordinate on $dim")
+    val m = target.length
+    require(m >= 1, "interp needs at least one target position")
+    val i0 = new Array[Int](m)
+    val i1 = new Array[Int](m)
+    val wgt = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val tc = target(j)
+      require(tc >= src(0) && tc <= src(n - 1),
+        s"interp target $tc outside coordinate range [${src(0)}, ${src(n - 1)}]")
+      val hit = java.util.Arrays.binarySearch(src, tc)
+      if (hit >= 0) { i0(j) = hit; i1(j) = hit; wgt(j) = 0.0 }
+      else {
+        val ins = -hit - 1 // first index with src > tc; >= 1 by range check
+        i0(j) = ins - 1
+        i1(j) = ins
+        wgt(j) = (tc - src(ins - 1)) / (src(ins) - src(ins - 1))
+      }
+      j += 1
+    }
+    val outChunk = math.min(chunkSizes(dim), m)
+    val d = dim
+    val mT = m
+    val bcI0 = spark.sparkContext.broadcast(i0)
+    val bcI1 = spark.sparkContext.broadcast(i1)
+    val bcW = spark.sparkContext.broadcast(wgt)
+    import org.apache.spark.sql.Encoders
+    implicit val contribEnc =
+      Encoders.kryo[(String, ChunkKey, Array[Long], ArrayChunk)]
+    // each source chunk emits, per output chunk, the distinct rows of
+    // its own range that chunk's targets bracket
+    val contribs = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      val (touched, untouched) = c.vars.partition(_._2.dims.contains(d))
+      val ext = touched.headOption.map { case (_, va) =>
+        va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      if (ext == 0) Iterator.empty
+      else {
+        val a0 = bcI0.value
+        val a1 = bcI1.value
+        val byOc = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.TreeSet[Int]]
+        var jj = 0
+        while (jj < a0.length) {
+          val oc = (jj / outChunk).toLong
+          var t = 0
+          while (t < 2) {
+            val pos = if (t == 0) a0(jj) else a1(jj)
+            if (pos >= off && pos < off + ext)
+              byOc.getOrElseUpdate(oc,
+                scala.collection.mutable.TreeSet.empty[Int]) += (pos - off).toInt
+            t += 1
+          }
+          jj += 1
+        }
+        byOc.iterator.map { case (oc, posSet) =>
+          val local = posSet.toArray
+          val gathered = ArrayChunk(touched.map { case (nm, va) =>
+            nm -> VarArray(va.dims, va.arr.takeAlong(va.dims.indexOf(d), local))
+          } ++ untouched)
+          val outKey = k.copy(offsets = k.offsets + (d -> oc * outChunk))
+          (outKey.canonical, outKey, local.map(p2 => p2 + off), gathered)
+        }
+      }
+    }
+    val outDs = contribs.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toArray
+      val key = items.head._2
+      val ocStart = key.offsets.getOrElse(d, 0L)
+      val ocLen = math.min(outChunk.toLong, mT - ocStart).toInt
+      // global source position → (contribution index, row within it)
+      val rowOf = scala.collection.mutable.Map.empty[Long, (Int, Int)]
+      items.zipWithIndex.foreach { case ((_, _, poss, _), ci) =>
+        poss.zipWithIndex.foreach { case (pos, ri) => rowOf(pos) = (ci, ri) }
+      }
+      val a0 = bcI0.value
+      val a1 = bcI1.value
+      val aw = bcW.value
+      val touchedNames = items.head._4.vars.collect {
+        case (nm, va) if va.dims.contains(d) => nm
+      }.toSet
+      val outVars = items.head._4.vars.map { case (nm, va0) =>
+        if (!touchedNames(nm)) nm -> va0 // untouched replica: keep one
+        else {
+          val ax = va0.dims.indexOf(d)
+          val outShape = va0.arr.shape.clone()
+          outShape(ax) = ocLen
+          val out = NdArray.zeros(DType.F64, outShape)
+          def row(pos: Long): NdArray = {
+            val (ci, ri) = rowOf(pos)
+            val g = items(ci)._4.vars(nm).arr
+            val st = new Array[Int](g.ndim)
+            st(ax) = ri
+            val ln = g.shape.clone()
+            ln(ax) = 1
+            g.slice(st, ln)
+          }
+          var q = 0
+          while (q < ocLen) {
+            val jj = (ocStart + q).toInt
+            val w = aw(jj)
+            val combined =
+              if (w == 0.0) row(a0(jj)).mapF64(v => v)
+              else row(a0(jj)).zipF64(row(a1(jj)))((a, b) => (1 - w) * a + w * b)
+            val st = new Array[Int](out.ndim)
+            st(ax) = q
+            out.insert(st, combined)
+            q += 1
+          }
+          nm -> VarArray(va0.dims, out)
+        }
+      }
+      (key, ArrayChunk(outVars))
+    }
+    val newTemplate = Template(
+      template.dims.map { case (dd, s) => dd -> (if (dd == d) m.toLong else s) },
+      template.vars.map { case (nm, vs) =>
+        nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+      },
+      (template.coords - d) + (d -> NdArray.fromDoubles(DType.F64, Array(m), target)),
+      template.attrs)
+    withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
+  }
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
     * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE

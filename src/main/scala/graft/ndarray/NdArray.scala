@@ -1188,6 +1188,28 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Gather the given positions along `axis` (np.take): output extent
+    * along the axis = positions.length, in the given order. */
+  def takeAlong(axis: Int, positions: Array[Int]): NdArray = {
+    positions.foreach(p => require(p >= 0 && p < shape(axis),
+      s"take position $p out of range for axis extent ${shape(axis)}"))
+    val outShape = shape.clone()
+    outShape(axis) = positions.length
+    val out = NdArray.zeros(dtype, outShape)
+    var j = 0
+    while (j < positions.length) {
+      val starts = new Array[Int](ndim)
+      starts(axis) = positions(j)
+      val lens = shape.clone()
+      lens(axis) = 1
+      val dstStarts = new Array[Int](ndim)
+      dstStarts(axis) = j
+      out.insert(dstStarts, slice(starts, lens))
+      j += 1
+    }
+    out
+  }
+
   /** Exact equality: same dtype, shape, and bytes. */
   def sameAs(other: NdArray): Boolean =
     dtype == other.dtype && shape.sameElements(other.shape) &&

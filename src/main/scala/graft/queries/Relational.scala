@@ -145,10 +145,21 @@ object Relational {
       (s, dir) => {
         import s.implicits._
         val o = t(s, dir, "orders")
-        val l = t(s, dir, "lineitem")
-        l.join(o, $"l_orderkey" === $"o_orderkey")
+        // pre-aggregate lineitem per order BEFORE the join (the
+        // aggregate-through-join pushdown Catalyst doesn't apply
+        // itself): the join then carries one row per order instead of
+        // every line item — at 100 TB that's the difference between
+        // shuffling the fact table and shuffling its rollup. The outer
+        // sum re-aggregates exact decimal partials, so the result is
+        // identical to join-then-aggregate.
+        val perOrder = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+            .as("order_rev")) // stays DECIMAL: partials re-sum exactly
+        perOrder.join(o, $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_custkey")
-          .agg(revenue($"l_extendedprice", $"l_discount").as("revenue"))
+          .agg(sum($"order_rev").cast("double").as("revenue"))
           .orderBy($"revenue".desc, $"o_custkey".asc)
           .limit(10)
       },

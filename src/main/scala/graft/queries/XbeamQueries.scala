@@ -1116,6 +1116,42 @@ object XbeamQueries {
         WINDOW w AS (PARTITION BY x)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x44
+    // Linear interp onto a new grid (xarray interp / regridding): the
+    // t axis gets a float64 coordinate 0..n-1 and the dataset
+    // re-samples at the n-1 midpoints t+0.5. Each target's bracketing
+    // rows and weight resolve on the driver; source chunks ship only
+    // the rows an output chunk needs (one bounded gather shuffle of
+    // row slivers). Midpoint weights are exactly 0.5 and values are
+    // integer-valued, so (1-w)·a + w·b is bit-exact vs the oracle.
+    QueryDef(
+      "x44_interp",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val targets = Array.tabulate(tSize - 1)(i => i + 0.5)
+        TabularBridge.toDataFrame(withCoord.interpLinear("t", targets))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        nxt AS (SELECT t, x,
+                       CAST(uid AS DOUBLE) AS u0, CAST(vf AS DOUBLE) AS v0,
+                       lead(CAST(uid AS DOUBLE)) OVER w AS u1,
+                       lead(CAST(vf AS DOUBLE)) OVER w AS v1
+                FROM grid
+                WINDOW w AS (PARTITION BY x ORDER BY t))
+        SELECT t, x,
+               (1 - 0.5) * u0 + 0.5 * u1 AS uid,
+               (1 - 0.5) * v0 + 0.5 * v1 AS vf
+        FROM nxt WHERE u1 IS NOT NULL
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -362,6 +362,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("interpLinear resamples onto a new grid across chunk boundaries") {
+    // coord 0,10,20,..,110 chunked t=4; targets hit exact points, span
+    // chunk boundaries (35 brackets 30|40 within chunk 0's edge, 75
+    // brackets 70(chunk1)|80(chunk2)), and use non-half weights
+    val vals = NdArray.fromDoubles(DType.F64, Array(12, 2),
+      Array.tabulate(24)(i => ((i / 2) * (i / 2)).toDouble)) // v = t²
+    val coord = NdArray.fromDoubles(DType.F64, Array(12),
+      Array.tabulate(12)(i => i * 10.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val r = ds.interpLinear("t", Array(0.0, 35.0, 75.0, 102.0, 110.0))
+    assert(r.template.dimSizes("t") == 5)
+    val got = r.collectConsolidated()._2.vars("v").arr
+    def lane0(i: Int) = got.getDouble(i.toLong * 2)
+    assert(lane0(0) == 0.0)                      // exact hit t=0
+    assert(lane0(1) == 9.0 + 0.5 * (16.0 - 9.0)) // w=0.5 between 3²,4²
+    assert(lane0(2) == 49.0 + 0.5 * (64.0 - 49.0)) // crosses chunks 1→2
+    assert(lane0(3) == (1 - 0.2) * 100.0 + 0.2 * 121.0) // w=0.2
+    assert(lane0(4) == 121.0)                    // exact hit at the end
+    // new coord = targets; out-of-range target rejected
+    assert(r.template.coords("t").toDoubles.toSeq ==
+      Seq(0.0, 35.0, 75.0, 102.0, 110.0))
+    assertThrows[IllegalArgumentException] {
+      ds.interpLinear("t", Array(-1.0))
+    }
+  }
+
   test("groupbyBinsMean groups cells by value bin across chunks") {
     // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
     val by = NdArray.fromDoubles(DType.F64, Array(6, 2),

@@ -51,6 +51,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anomaly must not reshuffle the full dataset:\n$an")
   }
 
+  test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def plan(ds: graft.api.XbeamDataset): String =
+      ds.chunkDataset.queryExecution.executedPlan.toString
+    val rn = plan(xds.rename(Map("time" -> "t")).expandDims("member")
+      .squeeze("member"))
+    assert(!rn.contains("Exchange"),
+      s"relabel/reshape ops must not shuffle:\n$rn")
+    // zscore: mean and std reduce in their own (collected) jobs; the
+    // full dataset maps against the broadcasts without reshuffling
+    val z = plan(xds.zscore(Set("time")))
+    assert(!z.contains("Exchange"),
+      s"zscore must not reshuffle the full dataset:\n$z")
+  }
+
+  test("d09 span removal join is never a cross join") {
+    val plan = planOf("d09_dedup_repeated_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the recurring-span removal join must be an equi-join")
+  }
+
+  test("c05 packing cumsum windows partition by shard (no global sort)") {
+    val plan = planOf("c05_pack_sequences")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the running sum must partition by shard:\n$plan")
+  }
+
   test("q02 filter pushdown reaches the parquet scan") {
     val plan = planOf("q02_filter_pushdown")
     assert(plan.contains("PushedFilters: [") &&
