@@ -1350,6 +1350,165 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }
 
+  /** Align onto a new coordinate by EXACT label match along `dim`
+    * (xarray `reindex(dim=target)`): positions whose label exists in
+    * the source coordinate copy that row; missing labels fill NaN.
+    * Same bounded gather-shuffle shape as [[interpLinear]] (≤ 1 row
+    * per target), plus driver-built NaN filler chunks for output
+    * chunks whose labels are ALL missing (they receive no
+    * contributions, so the driver enumerates them — metadata only,
+    * the filler arrays materialize on executors). */
+  def reindex(dim: String, target: Array[Double]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"reindex needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"reindex needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    template.vars.foreach { case (n, vs) =>
+      require(vs.dims.contains(dim),
+        s"reindex($dim): variable $n does not span $dim (drop it first)")
+    }
+    val src = coord.toDoubles
+    val byLabel = src.zipWithIndex.toMap
+    require(byLabel.size == src.length,
+      s"reindex requires distinct coordinate labels on $dim")
+    val m = target.length
+    require(m >= 1, "reindex needs at least one target label")
+    val posOf: Array[Int] = target.map(l => byLabel.getOrElse(l, -1))
+    val outChunk = math.min(chunkSizes(dim), m)
+    val d = dim
+    val mT = m
+    val bcPos = spark.sparkContext.broadcast(posOf)
+    import org.apache.spark.sql.Encoders
+    implicit val contribEnc =
+      Encoders.kryo[(String, ChunkKey, Array[Long], ArrayChunk)]
+    val contribs = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      val (touched, _) = c.vars.partition(_._2.dims.contains(d))
+      val ext = touched.headOption.map { case (_, va) =>
+        va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      if (ext == 0) Iterator.empty
+      else {
+        val pos = bcPos.value
+        val byOc = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.TreeSet[Int]]
+        var jj = 0
+        while (jj < pos.length) {
+          val pp = pos(jj)
+          if (pp >= off && pp < off + ext)
+            byOc.getOrElseUpdate((jj / outChunk).toLong,
+              scala.collection.mutable.TreeSet.empty[Int]) += (pp - off).toInt
+          jj += 1
+        }
+        byOc.iterator.map { case (oc, posSet) =>
+          val local = posSet.toArray
+          val gathered = ArrayChunk(touched.map { case (nm, va) =>
+            nm -> VarArray(va.dims, va.arr.takeAlong(va.dims.indexOf(d), local))
+          } ++ c.vars.filterNot(_._2.dims.contains(d)))
+          val outKey = k.copy(offsets = k.offsets + (d -> oc * outChunk))
+          (outKey.canonical, outKey, local.map(p2 => p2 + off), gathered)
+        }
+      }
+    }
+    // output chunks whose targets are ALL missing get no contributions:
+    // enumerate (missing oc) × (other-dim chunk grid) on the driver and
+    // materialize NaN fillers on executors
+    val missingOcs = (0L until ((m + outChunk - 1) / outChunk).toLong).filter { oc =>
+      val end = math.min((oc + 1) * outChunk, m.toLong).toInt
+      ((oc * outChunk).toInt until end).forall(posOf(_) < 0)
+    }
+    val tmpl = template
+    val cs = chunkSizes
+    val fillers: Dataset[(String, ChunkKey, Array[Long], ArrayChunk)] =
+      if (missingOcs.isEmpty)
+        spark.emptyDataset[(String, ChunkKey, Array[Long], ArrayChunk)]
+      else {
+        val otherOrder = tmpl.dimOrder.filterNot(_ == d)
+        val otherSizes = tmpl.dimSizes - d
+        val otherChunks = cs.filter(kv => otherSizes.contains(kv._1))
+        val perOc = ChunkGrid.totalChunks(otherChunks, otherSizes)
+        val ocList = missingOcs.toArray
+        val oCk = outChunk
+        spark.range(perOc * ocList.length).map { i =>
+          val oc = ocList((i / perOc).toInt)
+          val otherKey = ChunkGrid.keyForIndex(i % perOc, otherOrder,
+            otherChunks, otherSizes)
+          val ocLen = math.min(oCk.toLong, mT - oc * oCk).toInt
+          val key = otherKey.copy(offsets = otherKey.offsets + (d -> oc * oCk))
+          val vars = tmpl.vars.map { case (nm, vs) =>
+            val shape = vs.dims.map { dd =>
+              if (dd == d) ocLen
+              else math.min(cs(dd).toLong,
+                otherSizes(dd) - otherKey.offsets.getOrElse(dd, 0L)).toInt
+            }.toArray
+            nm -> VarArray(vs.dims,
+              if (vs.dims.contains(d)) NdArray.fill(DType.F64, shape, Double.NaN)
+              else NdArray.fill(DType.F64, shape, Double.NaN))
+          }
+          (key.canonical, key, Array.empty[Long], ArrayChunk(vars))
+        }
+      }
+    val outDs = contribs.union(fillers)
+      .groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toArray
+        val key = items.head._2
+        val ocStart = key.offsets.getOrElse(d, 0L)
+        val ocLen = math.min(outChunk.toLong, mT - ocStart).toInt
+        if (items.forall(_._3.isEmpty)) (key, items.head._4) // pure filler
+        else {
+          val real = items.filter(_._3.nonEmpty)
+          val rowOf = scala.collection.mutable.Map.empty[Long, (Int, Int)]
+          real.zipWithIndex.foreach { case ((_, _, poss, _), ci) =>
+            poss.zipWithIndex.foreach { case (pos, ri) => rowOf(pos) = (ci, ri) }
+          }
+          val pos = bcPos.value
+          val outVars = real.head._4.vars.map { case (nm, va0) =>
+            if (!va0.dims.contains(d)) nm -> va0
+            else {
+              val ax = va0.dims.indexOf(d)
+              val outShape = va0.arr.shape.clone()
+              outShape(ax) = ocLen
+              val out = NdArray.zeros(DType.F64, outShape)
+              val nanShape = outShape.clone()
+              nanShape(ax) = 1
+              var q = 0
+              while (q < ocLen) {
+                val pp = pos((ocStart + q).toInt)
+                val rowArr =
+                  if (pp < 0 || !rowOf.contains(pp))
+                    NdArray.fill(DType.F64, nanShape, Double.NaN)
+                  else {
+                    val (ci, ri) = rowOf(pp)
+                    val g = real(ci)._4.vars(nm).arr
+                    val st = new Array[Int](g.ndim)
+                    st(ax) = ri
+                    val ln = g.shape.clone()
+                    ln(ax) = 1
+                    g.slice(st, ln).mapF64(v => v)
+                  }
+                val st = new Array[Int](out.ndim)
+                st(ax) = q
+                out.insert(st, rowArr)
+                q += 1
+              }
+              nm -> VarArray(va0.dims, out)
+            }
+          }
+          (key, ArrayChunk(outVars))
+        }
+      }
+    val newTemplate = Template(
+      template.dims.map { case (dd, s) => dd -> (if (dd == d) m.toLong else s) },
+      template.vars.map { case (nm, vs) =>
+        nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+      },
+      (template.coords - d) + (d -> NdArray.fromDoubles(DType.F64, Array(m), target)),
+      template.attrs)
+    withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
+  }
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
     * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE

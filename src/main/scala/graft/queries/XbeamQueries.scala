@@ -1152,6 +1152,50 @@ object XbeamQueries {
         FROM nxt WHERE u1 IS NOT NULL
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x45
+    // Reindex onto new labels (xarray reindex): 40 target labels — 16
+    // present, then 16 missing (a WHOLE output chunk of misses, so the
+    // driver-enumerated NaN filler path runs), then 8 present evens.
+    // Present labels copy their rows through the bounded gather
+    // shuffle; missing labels fill NaN (→ sentinel, as the oracle's
+    // LEFT JOIN yields NULL).
+    QueryDef(
+      "x45_reindex",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val labels = Array.tabulate(40) { j =>
+          if (j < 16) j.toDouble
+          else if (j < 32) 10000.0 + j
+          else ((j - 32) * 2).toDouble
+        }
+        TabularBridge.toDataFrame(withCoord.reindex("t", labels))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        tl AS (SELECT unnest(range(40)) AS j,
+                      unnest(list_transform(range(40), j ->
+                        CASE WHEN j < 16 THEN CAST(j AS DOUBLE)
+                             WHEN j < 32 THEN 10000.0 + j
+                             ELSE CAST((j - 32) * 2 AS DOUBLE) END)) AS label),
+        xs AS (SELECT DISTINCT x FROM grid)
+        SELECT tl.j AS t, xs.x,
+               coalesce(CAST(g.uid AS DOUBLE), -1.0) AS uid,
+               coalesce(g.vf, -1.0) AS vf
+        FROM tl CROSS JOIN xs
+        LEFT JOIN grid g ON CAST(g.t AS DOUBLE) = tl.label AND g.x = xs.x
+        ORDER BY t, xs.x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

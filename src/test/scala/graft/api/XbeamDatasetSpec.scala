@@ -390,6 +390,30 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("reindex aligns by exact label; missing labels (and whole missing " +
+    "chunks) fill NaN") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(8, 2),
+      Array.tabulate(16)(i => (100 + i).toDouble))
+    val coord = NdArray.fromDoubles(DType.F64, Array(8),
+      Array.tabulate(8)(i => i * 10.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    // labels: [70, 999, 30, 0] (mixed order, one miss) then a WHOLE
+    // output chunk of misses [991..994] → the filler path
+    val r = ds.reindex("t", Array(70.0, 999.0, 30.0, 0.0,
+      991.0, 992.0, 993.0, 994.0))
+    assert(r.template.dimSizes("t") == 8)
+    val got = r.collectConsolidated()._2.vars("v").arr
+    def lane0(i: Int) = got.getDouble(i.toLong * 2)
+    assert(lane0(0) == 114.0) // label 70 = src pos 7 → 100 + 7*2
+    assert(lane0(1).isNaN)
+    assert(lane0(2) == 106.0) // label 30 = src pos 3
+    assert(lane0(3) == 100.0)
+    (4 until 8).foreach(i => assert(lane0(i).isNaN, s"filler pos $i"))
+    assert(r.template.coords("t").toDoubles(0) == 70.0)
+  }
+
   test("groupbyBinsMean groups cells by value bin across chunks") {
     // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
     val by = NdArray.fromDoubles(DType.F64, Array(6, 2),
