@@ -896,10 +896,11 @@ final class XbeamDataset private (
     * generalized to op ∈ "sum" | "min" | "max" | "mean" (xarray
     * `rolling(dim=w).sum()/.min()/.max()`), on the same halo exchange:
     * only `window-1` trailing slivers cross the wire. */
-  def rolling(dim: String, window: Int, op: String): XbeamDataset = {
+  def rolling(dim: String, window: Int, op: String,
+              minPeriods: Int = 1): XbeamDataset = {
     require(window >= 2, s"rolling window must be >= 2, got $window")
     mapWithHalo(dim, window - 1) { (joined, ax, skip) =>
-      joined.rollingReduceAlong(ax, window, skip, op)
+      joined.rollingReduceAlong(ax, window, skip, op, minPeriods)
     }
   }
 

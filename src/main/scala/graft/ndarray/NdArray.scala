@@ -970,10 +970,15 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * [[rollingMeanAlong]] loop generalized to op ∈ sum | min | max |
     * mean (SQL's SUM/MIN/MAX/AVG OVER `ROWS BETWEEN window-1 PRECEDING
     * AND CURRENT ROW`, truncated at the sequence start). `skipStart`
-    * as in [[rollingMeanAlong]]. NaN inputs propagate. */
+    * as in [[rollingMeanAlong]]. NaN inputs propagate. Positions whose
+    * truncated window holds fewer than `minPeriods` values yield NaN
+    * (xarray's min_periods; min_periods=window is xarray's default,
+    * 1 is the SQL behavior). */
   def rollingReduceAlong(axis: Int, window: Int, skipStart: Int,
-                         op: String): NdArray = {
+                         op: String, minPeriods: Int = 1): NdArray = {
     require(window >= 1, s"window must be >= 1, got $window")
+    require(minPeriods >= 1 && minPeriods <= window,
+      s"minPeriods $minPeriods must be in [1, window $window]")
     require(skipStart >= 0 && skipStart < shape(axis),
       s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
     val opId = op match {
@@ -1018,7 +1023,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           outFlat += (if (d == axis) (i - skipStart).toLong else idx(d).toLong) * outStrides(d)
           d += 1
         }
-        out.setDouble(outFlat, if (opId == 3) acc / c else acc)
+        out.setDouble(outFlat,
+          if (c < minPeriods) Double.NaN
+          else if (opId == 3) acc / c else acc)
       }
       var d = ndim - 1
       var carry = true

@@ -209,6 +209,59 @@ object StreamOps {
         ORDER BY a.user_id, a.sid"""))
     ,
 
+    // ---------------------------------------------------------------- s04
+    // SLIDING event-time windows (1 hour long, sliding every 15
+    // minutes): each event lands in 4 overlapping windows — the
+    // trending-metrics shape (rolling rate over the last hour,
+    // refreshed per slide). Same watermark/append discipline as s01:
+    // only windows whose end the final watermark passed emit; the
+    // oracle replicates the slide-grid window assignment with a
+    // 4-way unnest.
+    QueryDef(
+      "s04_stream_sliding_windows",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = s.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+                  col("event_type"), col("n_events"))
+        val name = "s04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = stream.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("win_start_us", "event_type")
+      },
+      Some("""
+        WITH ev AS (SELECT *, time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events),
+        w AS (SELECT ev.*, b - k * (INTERVAL 15 MINUTE) AS win_start
+              FROM ev, unnest(range(4)) AS t(k))
+        SELECT epoch_us(win_start) AS win_start_us, event_type,
+               count(*) AS n_events
+        FROM w
+        WHERE win_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        GROUP BY 1, 2 ORDER BY win_start_us, event_type""")),
+
     // ---------------------------------------------------------------- s03
     // Streaming exact dedup with bounded state — the ingestion-side
     // dedup a training-data pipeline runs continuously: documents

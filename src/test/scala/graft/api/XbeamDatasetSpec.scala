@@ -246,6 +246,20 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .collectConsolidated()._2.vars("temperature").arr.sameAs(
         era5ds(Map("time" -> 4)).rollingMean("time", 3)
           .collectConsolidated()._2.vars("temperature").arr))
+    // minPeriods = window (xarray's default): the first window-1
+    // positions are NaN, the rest match the SQL behavior
+    val mp = era5ds(Map("time" -> 4)).rolling("time", 3, "sum", minPeriods = 3)
+      .collectConsolidated()._2.vars("temperature").arr
+    val sql = era5ds(Map("time" -> 4)).rolling("time", 3, "sum")
+      .collectConsolidated()._2.vars("temperature").arr
+    val lanes = mp.size / 12
+    (0 until 12).foreach { t =>
+      (0 until lanes.toInt).foreach { l =>
+        val v = mp.getDouble(t.toLong * lanes + l)
+        if (t < 2) assert(v.isNaN, s"t=$t must be NaN under minPeriods")
+        else assert(v == sql.getDouble(t.toLong * lanes + l))
+      }
+    }
   }
 
   test("trend: chunked OLS slope matches the closed form; NaNs drop") {
