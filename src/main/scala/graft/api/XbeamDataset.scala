@@ -1140,6 +1140,28 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> 1), splitVars, joined)
   }
 
+  /** Trapezoidal integral along `dim` against its coordinate (xarray
+    * `integrate(dim)`): Σ (v[i] + v[i+1])/2 · (c[i+1] − c[i]),
+    * collapsing the dim. One halo-1 exchange turns each position into
+    * its interval's area chunk-locally; the per-chunk areas then sum
+    * through the ordinary partial-reduction shuffle — data crosses
+    * the wire only as 1-sliver halos and (sum) partials. */
+  def integrate(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"integrate needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"integrate needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val c = coord.toDoubles
+    require(c.length == template.dimSizes(dim),
+      s"coordinate length ${c.length} != dim size ${template.dimSizes(dim)}")
+    val deltas = Array.tabulate(c.length - 1)(i => c(i + 1) - c(i))
+    val bc = spark.sparkContext.broadcast(deltas)
+    mapWithHaloAt(dim, 1) { (joined, ax, skip, off) =>
+      joined.trapezoidAlong(ax, skip, off, bc.value)
+    }.sum(Set(dim), skipna = false)
+  }
+
   /** Value-binned mean (xarray `groupby_bins(by, bins).mean()`): cells
     * group by which bin of `edges` their `by`-variable value falls in
     * — [edges(i), edges(i+1)), last bin right-closed — and every
@@ -1585,7 +1607,14 @@ final class XbeamDataset private (
     * never chunk bodies. Variables not spanning `dim` pass through
     * untouched; outputs are F64. */
   def mapWithHalo(dim: String, haloLen: Int)
-                 (kernel: (NdArray, Int, Int) => NdArray): XbeamDataset = {
+                 (kernel: (NdArray, Int, Int) => NdArray): XbeamDataset =
+    mapWithHaloAt(dim, haloLen)((joined, ax, skip, _) => kernel(joined, ax, skip))
+
+  /** [[mapWithHalo]] whose kernel also receives the chunk's global
+    * offset along `dim` — for kernels that index plan-time per-position
+    * metadata (e.g. coordinate spacings in [[integrate]]). */
+  def mapWithHaloAt(dim: String, haloLen: Int)
+                   (kernel: (NdArray, Int, Int, Long) => NdArray): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(haloLen >= 1 && haloLen <= chunkSizes(dim),
       s"halo $haloLen must be in [1, chunk ${chunkSizes(dim)}] for $dim " +
@@ -1646,7 +1675,8 @@ final class XbeamDataset private (
             case None => va.arr
           }
           val skip = haloOpt.map(_.vars(n).arr.shape(ax)).getOrElse(0)
-          n -> VarArray(va.dims, kernel(joined, ax, skip))
+          n -> VarArray(va.dims,
+            kernel(joined, ax, skip, key.offsets.getOrElse(d, 0L)))
         }
       })
       (key, result)

@@ -1195,6 +1195,52 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Per-interval trapezoid contributions along `axis`: output position
+    * i (global g = globalStart + i) holds (v[g−1] + v[g])/2 · Δ[g−1],
+    * the area of the interval ENDING at g (0 at g = 0 — no interval).
+    * `skipStart` drops a prepended halo from the output while keeping
+    * it as the v[g−1] history; `deltas` are the full-dim coordinate
+    * spacings (Δ[j] = c[j+1] − c[j]). Summing the output along the
+    * axis gives the trapezoidal integral. */
+  def trapezoidAlong(axis: Int, skipStart: Int, globalStart: Long,
+                     deltas: Array[Double]): NdArray = {
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.zeros(DType.F64, outShape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart) {
+        val g = globalStart + (i - skipStart)
+        var outFlat = 0L
+        var dd = 0
+        while (dd < ndim) {
+          outFlat += (if (dd == axis) (i - skipStart).toLong else idx(dd).toLong) * outStrides(dd)
+          dd += 1
+        }
+        val v =
+          if (g == 0) 0.0
+          else (getDouble(flat - axisStride) + getDouble(flat)) / 2 *
+            deltas((g - 1).toInt)
+        out.setDouble(outFlat, v)
+      }
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        idx(dd) += 1
+        if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Gather the given positions along `axis` (np.take): output extent
     * along the axis = positions.length, in the given order. */
   def takeAlong(axis: Int, positions: Array[Int]): NdArray = {

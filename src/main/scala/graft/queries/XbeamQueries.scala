@@ -1196,6 +1196,36 @@ object XbeamQueries {
         LEFT JOIN grid g ON CAST(g.t AS DOUBLE) = tl.label AND g.x = xs.x
         ORDER BY t, xs.x""")),
 
+    // ---------------------------------------------------------------- x46
+    // Trapezoidal integral along t against a NON-uniform coordinate
+    // c[t] = t² (xarray integrate): a halo-1 exchange turns each
+    // position into its interval's area chunk-locally, then the areas
+    // sum through the ordinary partial shuffle. Δ[t-1] = 2t−1 is an
+    // exact integer and (a+b)/2 an exact dyadic, so every partial is
+    // an exact multiple of 0.5 — order-independent, bit-exact vs the
+    // oracle's lag-window sum.
+    QueryDef(
+      "x46_integrate",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => i.toDouble * i))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.integrate("t")).orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        d AS (SELECT x, t, CAST(uid AS DOUBLE) AS u, vf,
+                     lag(CAST(uid AS DOUBLE)) OVER w AS pu,
+                     lag(vf) OVER w AS pv
+              FROM grid WINDOW w AS (PARTITION BY x ORDER BY t))
+        SELECT x, sum((pu + u) / 2 * (2 * t - 1)) AS uid,
+               sum((pv + vf) / 2 * (2 * t - 1)) AS vf
+        FROM d WHERE t >= 1 GROUP BY x ORDER BY x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

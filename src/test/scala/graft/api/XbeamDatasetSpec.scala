@@ -428,6 +428,23 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(r.template.coords("t").toDoubles(0) == 70.0)
   }
 
+  test("integrate: trapezoid vs hand computation, non-uniform spacing") {
+    // v = [1, 3, 2, 6] at c = [0, 1, 3, 7]:
+    // (1+3)/2·1 + (3+2)/2·2 + (2+6)/2·4 = 2 + 5 + 16 = 23
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(1.0, 10.0, 3.0, 30.0, 2.0, 20.0, 6.0, 60.0))
+    val coord = NdArray.fromDoubles(DType.F64, Array(4),
+      Array(0.0, 1.0, 3.0, 7.0))
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> ch))
+    val got = ds(2).integrate("t").collectConsolidated()._2.vars("v").arr
+    assert(got.getDouble(0) == 23.0)
+    assert(got.getDouble(1) == 230.0)
+    // chunked == single-chunk (exact dyadic partials)
+    assert(got.sameAs(ds(4).integrate("t").collectConsolidated()._2.vars("v").arr))
+  }
+
   test("groupbyBinsMean groups cells by value bin across chunks") {
     // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
     val by = NdArray.fromDoubles(DType.F64, Array(6, 2),
