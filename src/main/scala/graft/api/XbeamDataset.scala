@@ -1023,6 +1023,39 @@ final class XbeamDataset private (
     * coordinate. `period` ∈ "year" | "month" | "day" | "hour". */
   def resampleMean(dim: String, period: String,
                    skipna: Boolean = true): XbeamDataset = {
+    import ChunkTransforms.MeanAcc
+    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc, ArrayChunk)]
+    resampleCore[MeanAcc](dim, period,
+      sliced => ChunkTransforms.sumCountChunk(sliced, Set(dim), skipna),
+      (a, b) => a.merge(b),
+      _.extract,
+      MeanAcc(ArrayChunk(Map.empty), ArrayChunk(Map.empty)))
+  }
+
+  /** [[resampleMean]] generalized to the other reductions: per-period
+    * sum / min / max / var / std (monthly-max temperature being THE
+    * canonical climate resample). Identical distributed shape — bucket
+    * runs reduce chunk-locally through [[ChunkTransforms.ReduceAcc]],
+    * one shuffle of partials. */
+  def resampleReduce(dim: String, period: String, kind: String,
+                     skipna: Boolean = true): XbeamDataset = {
+    import ChunkTransforms.ReduceAcc
+    val nParts = if (kind == "var" || kind == "std") 3 else 1
+    implicit val accEnc = Encoders.kryo[(ChunkKey, ReduceAcc, ArrayChunk)]
+    resampleCore[ReduceAcc](dim, period,
+      sliced => ReduceAcc.ofChunk(sliced, Set(dim), kind, skipna),
+      (a, b) => a.merge(b),
+      _.extract,
+      ReduceAcc(kind, skipna,
+        Seq.fill(nParts)(ArrayChunk(Map.empty)), ArrayChunk(Map.empty)))
+  }
+
+  private def resampleCore[A](dim: String, period: String,
+                              accOf: ArrayChunk => A,
+                              mergeA: (A, A) => A,
+                              extractA: A => ArrayChunk,
+                              emptyA: A)(
+      implicit accEnc: org.apache.spark.sql.Encoder[(ChunkKey, A, ArrayChunk)]): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"resample needs a coordinate on $dim"))
@@ -1061,9 +1094,6 @@ final class XbeamDataset private (
     val nBuckets = bucketStarts.length
     val bc = spark.sparkContext.broadcast(bucketOf)
     val d = dim
-    val sk = skipna
-    import ChunkTransforms.MeanAcc
-    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc, ArrayChunk)]
     val partials = chunkDataset.flatMap { p: Pair =>
       val (k, c) = p
       val off = k.offsets.getOrElse(d, 0L).toInt
@@ -1075,11 +1105,10 @@ final class XbeamDataset private (
       if (ext == 0) {
         // replica chunk with no dim-spanning vars: carry passthrough once
         Iterator.single((k.copy(offsets = k.offsets - d +
-          (d -> buckets(off).toLong)), MeanAcc(ArrayChunk(Map.empty),
-          ArrayChunk(Map.empty)), ArrayChunk(untouched)))
+          (d -> buckets(off).toLong)), emptyA, ArrayChunk(untouched)))
       } else {
         val outs = scala.collection.mutable.ArrayBuffer
-          .empty[(ChunkKey, MeanAcc, ArrayChunk)]
+          .empty[(ChunkKey, A, ArrayChunk)]
         var i0 = 0
         while (i0 < ext) {
           val b = buckets(off + i0)
@@ -1092,8 +1121,7 @@ final class XbeamDataset private (
             n -> VarArray(va.dims, va.arr.slice(st, ln))
           })
           outs += ((k.copy(offsets = k.offsets - d + (d -> b.toLong)),
-            ChunkTransforms.sumCountChunk(sliced, Set(d), sk),
-            ArrayChunk(untouched)))
+            accOf(sliced), ArrayChunk(untouched)))
           i0 = i1
         }
         outs.iterator
@@ -1102,16 +1130,16 @@ final class XbeamDataset private (
     val varDims: Map[String, Seq[String]] =
       template.vars.map { case (n, vs) => n -> vs.dims }
     val joined = partials
-      .groupByKey { t: (ChunkKey, MeanAcc, ArrayChunk) => t._1.canonical }(Encoders.STRING)
-      .reduceGroups { (a: (ChunkKey, MeanAcc, ArrayChunk),
-                       b: (ChunkKey, MeanAcc, ArrayChunk)) =>
-        (a._1, a._2.merge(b._2), a._3) // passthrough replicas: keep one
+      .groupByKey { t: (ChunkKey, A, ArrayChunk) => t._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, A, ArrayChunk),
+                       b: (ChunkKey, A, ArrayChunk)) =>
+        (a._1, mergeA(a._2, b._2), a._3) // passthrough replicas: keep one
       }
-      .map { kv: (String, (ChunkKey, MeanAcc, ArrayChunk)) =>
+      .map { kv: (String, (ChunkKey, A, ArrayChunk)) =>
         val (k, acc, pass) = kv._2
         // re-insert the dim axis (extent 1) so output chunks keep their
         // variables' full dim order
-        (k, ArrayChunk(acc.extract.vars.map { case (n, va) =>
+        (k, ArrayChunk(extractA(acc).vars.map { case (n, va) =>
           val dims = varDims(n)
           val ax = dims.indexOf(d)
           val shape2 = new Array[Int](va.arr.ndim + 1)

@@ -1021,6 +1021,39 @@ object XbeamQueries {
                x, uid, vf
         FROM g ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x47
+    // Monthly MAX resample (the canonical climate downsample, e.g.
+    // monthly maximum temperature) — x39's bucket machinery with the
+    // extreme reduction: comparisons only, so values are bit-exact at
+    // any merge order.
+    QueryDef(
+      "x47_resample_max",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.resampleReduce("t", "month", "max"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       date_trunc('month',
+                         TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t)) AS mo
+                FROM grid),
+        g AS (SELECT mo, x, CAST(max(uid) AS DOUBLE) AS uid, max(vf) AS vf
+              FROM cal GROUP BY mo, x)
+        SELECT CAST(dense_rank() OVER (ORDER BY mo) - 1 AS BIGINT) AS t,
+               x, uid, vf
+        FROM g ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x40
     // Per-cell linear trend along t (xarray polyfit(deg=1) slope — the
     // secular-trend map): the shuffle carries 5-plane OLS partials

@@ -329,6 +329,13 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .getEpochSecond * 1000000000L)
     assert(starts(1) == java.time.Instant.parse("2020-02-01T00:00:00Z")
       .getEpochSecond * 1000000000L)
+    // the generalized reductions share the bucket machinery
+    val mx = ds.resampleReduce("t", "month", "max")
+      .collectConsolidated()._2.vars("v").arr
+    assert(mx.getDouble(0) == 3.0 && mx.getDouble(2) == 9.0)
+    val sm = ds.resampleReduce("t", "month", "sum")
+      .collectConsolidated()._2.vars("v").arr
+    assert(sm.getDouble(0) == 6.0 && sm.getDouble(2) == 39.0)
     // a coord that runs backwards is rejected
     val bad = NdArray.fromLongs(DType.TimeNs, Array(10),
       Array.tabulate(10)(i => baseNs - i * day))
