@@ -559,6 +559,63 @@ object VectorOps {
         SELECT m.cent_id, count(*) AS n_members,
                any_value(x.c[1]) AS c_first, any_value(x.c[2]) AS c_second
         FROM m2 m JOIN c1x x USING (cent_id)
-        GROUP BY m.cent_id ORDER BY m.cent_id"""))
+        GROUP BY m.cent_id ORDER BY m.cent_id""")),
+
+    // ---------------------------------------------------------------- e10
+    // Product quantization — the ANN compression that beats e06's
+    // scalar quantization at equal bits: each 64-dim vector splits into
+    // 8 subspaces of 8 dims, each subspace encodes as its nearest of 4
+    // codebook centroids (seeded from the first 4 vectors' subvectors —
+    // integer-valued, so every distance is exact; a trained codebook
+    // plugs in via e08's k-means loop), and the 8 two-bit codes pack
+    // into one integer. Codebooks fold into plan-time literals
+    // (broadcast-free, the t05/e02 idiom); encoding is ONE narrow scan
+    // with no shuffle at all, and the reconstruction error rides along
+    // for quality monitoring. Ties break to the lowest centroid id on
+    // both engines (lexicographic struct-min vs row_number).
+    QueryDef(
+      "e10_product_quantize",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").selectExpr("vec_id",
+          """transform(embedding,
+            |  x -> cast(cast(floor(cast(x AS double) * 1000) AS bigint) AS double)) AS qd""".stripMargin)
+        val seed: Array[Array[Double]] = e.filter($"vec_id" < 4)
+          .orderBy($"vec_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+        val bests = (0 until 8).map { sIdx =>
+          val sub = expr(s"slice(qd, ${sIdx * 8 + 1}, 8)")
+          array_min(array((0 until 4).map { cid =>
+            val cent = typedLit(seed(cid).slice(sIdx * 8, sIdx * 8 + 8).toSeq)
+            val d2 = aggregate(
+              zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)
+            struct(d2.as("d2"), lit(cid.toLong).as("cid"))
+          }: _*))
+        }
+        val code = bests.zipWithIndex.map { case (b, i) =>
+          b.getField("cid") * lit(1L << (2 * i))
+        }.reduce(_ + _)
+        val err = bests.map(_.getField("d2")).reduce(_ + _)
+        e.select($"vec_id", code.as("code"), err.as("err"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)) AS qd
+                   FROM embeddings),
+        subs AS (SELECT vec_id, s, qd[s*8+1 : s*8+8] AS sub
+                 FROM e, unnest(range(8)) AS t(s)),
+        cents AS (SELECT s, vec_id AS cid, sub AS c FROM subs WHERE vec_id < 4),
+        d AS (SELECT subs.vec_id, subs.s, cents.cid,
+                list_sum(list_transform(range(1, 9),
+                  i -> (subs.sub[i] - cents.c[i]) * (subs.sub[i] - cents.c[i]))) AS d2
+              FROM subs JOIN cents ON subs.s = cents.s),
+        r AS (SELECT vec_id, s, cid, d2,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+              FROM d)
+        SELECT vec_id, CAST(sum(cid * (1::BIGINT << (2*s))) AS BIGINT) AS code,
+               sum(d2) AS err
+        FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
   )
 }
