@@ -435,6 +435,27 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(r.template.coords("t").toDoubles(0) == 70.0)
   }
 
+  test("reductions pass through variables that do not span the dim") {
+    // v spans (t, x); w spans x only — the scan replicates w across t
+    // chunks, and a reduction over t must keep exactly one replica,
+    // unchanged (xarray leaves non-dim variables alone)
+    val v = NdArray.fromDoubles(DType.F64, Array(6, 2),
+      Array.tabulate(12)(_.toDouble))
+    val w = NdArray.fromDoubles(DType.F64, Array(2), Array(7.0, 9.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), v), "w" -> (Seq("x"), w)),
+      chunks = Map("t" -> 2))
+    Seq[XbeamDataset => XbeamDataset](
+      _.sum(Set("t")), _.mean(Set("t")), _.min(Set("t")),
+      _.trend("t"), _.argmin("t")
+    ).foreach { op =>
+      val out = op(ds).collectConsolidated()._2
+      assert(out.vars("w").arr.toDoubles.toSeq == Seq(7.0, 9.0),
+        s"w must pass through unchanged")
+      assert(out.vars("w").dims == Seq("x"))
+    }
+  }
+
   test("integrate: trapezoid vs hand computation, non-uniform spacing") {
     // v = [1, 3, 2, 6] at c = [0, 1, 3, 7]:
     // (1+3)/2·1 + (3+2)/2·2 + (2+6)/2·4 = 2 + 5 + 16 = 23
