@@ -275,6 +275,60 @@ object CurationOps {
         m AS (SELECT max(tokens) AS max_tokens FROM d)
         SELECT lang, n_docs, tokens,
                sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
-        FROM d, m ORDER BY lang"""))
+        FROM d, m ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- c07
+    // Dedup-aware token accounting: how many tokens each source REALLY
+    // contributes once exact duplicates collapse to one survivor (the
+    // min doc_id per content fingerprint) — the number that decides a
+    // source's weight in a training mix, and the inflation factor
+    // (raw / effective) that flags heavily-copied sources. One shuffle
+    // on the fingerprint to pick survivors; token counts ride the same
+    // aggregate. The survivor is attributed to ITS OWN source (a doc
+    // duplicated across sources counts once, where its lowest id
+    // lives) — the oracle replicates that attribution.
+    QueryDef(
+      "c07_effective_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("fp", md5(lower(trim($"text"))))
+          .withColumn("n_tokens", expr("cast(size(split(text, ' ')) AS bigint)"))
+        val survivors = docs.groupBy($"fp")
+          .agg(min($"doc_id").as("doc_id"))
+        val kept = docs.join(survivors, Seq("fp", "doc_id"), "left_semi")
+        val raw = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("raw_tokens"))
+        val eff = kept.groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("eff_tokens"))
+        raw.join(eff, Seq("source"), "left")
+          .select($"source", $"n_docs",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            $"raw_tokens",
+            coalesce($"eff_tokens", lit(0L)).as("eff_tokens"),
+            ($"raw_tokens".cast("double") /
+              coalesce($"eff_tokens", lit(0L)).cast("double")).as("inflation"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+                          md5(lower(trim(text))) AS fp,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        sv AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+        kept AS (SELECT d.* FROM d JOIN sv USING (fp, doc_id)),
+        raw AS (SELECT source, count(*) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
+                FROM d GROUP BY source),
+        eff AS (SELECT source, count(*) AS n_kept,
+                       CAST(sum(n_tokens) AS BIGINT) AS eff_tokens
+                FROM kept GROUP BY source)
+        SELECT raw.source, raw.n_docs,
+               coalesce(eff.n_kept, 0) AS n_kept,
+               raw.raw_tokens,
+               coalesce(eff.eff_tokens, 0) AS eff_tokens,
+               CAST(raw.raw_tokens AS DOUBLE) / CAST(coalesce(eff.eff_tokens, 0) AS DOUBLE) AS inflation
+        FROM raw LEFT JOIN eff ON raw.source = eff.source
+        ORDER BY raw.source"""))
   )
 }
