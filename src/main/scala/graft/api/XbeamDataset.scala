@@ -1190,6 +1190,28 @@ final class XbeamDataset private (
     }.sum(Set(dim), skipna = false)
   }
 
+  /** Cumulative trapezoidal integral along `dim` (xarray
+    * `cumulative_integrate`): position i holds the integral from the
+    * start of the coordinate to c[i] (0 at the first position) —
+    * [[integrate]]'s per-interval areas fed through the [[cumsum]]
+    * prefix scan instead of the sum reduction. Pure composition of two
+    * existing primitives: one halo-1 exchange + one sliver scan. */
+  def cumulativeIntegrate(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"cumulative_integrate needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"cumulative_integrate needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val c = coord.toDoubles
+    require(c.length == template.dimSizes(dim),
+      s"coordinate length ${c.length} != dim size ${template.dimSizes(dim)}")
+    val deltas = Array.tabulate(c.length - 1)(i => c(i + 1) - c(i))
+    val bc = spark.sparkContext.broadcast(deltas)
+    mapWithHaloAt(dim, 1) { (joined, ax, skip, off) =>
+      joined.trapezoidAlong(ax, skip, off, bc.value)
+    }.cumsum(dim)
+  }
+
   /** Value-binned mean (xarray `groupby_bins(by, bins).mean()`): cells
     * group by which bin of `edges` their `by`-variable value falls in
     * — [edges(i), edges(i+1)), last bin right-closed — and every

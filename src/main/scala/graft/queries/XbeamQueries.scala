@@ -1259,6 +1259,42 @@ object XbeamQueries {
                sum((pv + vf) / 2 * (2 * t - 1)) AS vf
         FROM d WHERE t >= 1 GROUP BY x ORDER BY x""")),
 
+    // ---------------------------------------------------------------- x48
+    // Cumulative trapezoidal integral (xarray cumulative_integrate):
+    // x46's per-interval areas fed through the x26 prefix scan — a
+    // pure composition of the halo and scan primitives. Same quadratic
+    // coord; dyadic-exact partials keep the running sums bit-exact.
+    QueryDef(
+      "x48_cumulative_integrate",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => i.toDouble * i))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.cumulativeIntegrate("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        d AS (SELECT x, t, CAST(uid AS DOUBLE) AS u, vf,
+                     lag(CAST(uid AS DOUBLE)) OVER w AS pu,
+                     lag(vf) OVER w AS pv
+              FROM grid WINDOW w AS (PARTITION BY x ORDER BY t)),
+        a AS (SELECT x, t,
+                     CASE WHEN t = 0 THEN 0.0 ELSE (pu + u) / 2 * (2 * t - 1) END AS au,
+                     CASE WHEN t = 0 THEN 0.0 ELSE (pv + vf) / 2 * (2 * t - 1) END AS av
+              FROM d)
+        SELECT t, x,
+               sum(au) OVER wc AS uid,
+               sum(av) OVER wc AS vf
+        FROM a
+        WINDOW wc AS (PARTITION BY x ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

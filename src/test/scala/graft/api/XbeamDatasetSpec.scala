@@ -471,6 +471,9 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(got.getDouble(1) == 230.0)
     // chunked == single-chunk (exact dyadic partials)
     assert(got.sameAs(ds(4).integrate("t").collectConsolidated()._2.vars("v").arr))
+    // cumulative form: running areas [0, 2, 7, 23] for lane 0
+    val cum = ds(2).cumulativeIntegrate("t").collectConsolidated()._2.vars("v").arr
+    assert((0 until 4).map(t => cum.getDouble(t * 2L)) == Seq(0.0, 2.0, 7.0, 23.0))
   }
 
   test("groupbyBinsMean groups cells by value bin across chunks") {
