@@ -104,6 +104,31 @@ object Zarr {
       case Some(bytes) => return openConsolidated(mapper.readTree(bytes))
       case None =>
     }
+    // v3 consolidated metadata: the root zarr.json embeds every array
+    // node under consolidated_metadata.metadata (zarr-python's v3
+    // analogue of .zmetadata) — again one GET for the whole store
+    store.readIfExists(s"$path/zarr.json").foreach { rootBytes =>
+      val root = mapper.readTree(rootBytes)
+      val cm = root.get("consolidated_metadata")
+      if (cm != null && cm.get("metadata") != null) {
+        val md = cm.get("metadata")
+        val names = {
+          val it = md.fieldNames()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        val arrays = names.filter { n =>
+          val node = md.get(n)
+          node.get("node_type") != null && node.get("node_type").asText == "array"
+        }.map { n =>
+          n -> readArrayMetaV3(n, mapper.writeValueAsBytes(md.get(n)))
+        }.toMap
+        val attrs = Option(root.get("attributes")).map(jsonToAttrs)
+          .getOrElse(Map.empty[String, String])
+        return StoreMeta(mergeDims(arrays), arrays, attrs)
+      }
+    }
     require(store.isContainer(path), s"not a zarr store: $path")
     val arrays = store.listChildren(path)
       .filter(n => store.exists(s"$path/$n/.zarray") ||
@@ -583,6 +608,7 @@ object Zarr {
         Array(0L), arr)
     }
     if (zarrFormat == 2) consolidateMetadata(store, path)
+    else consolidateMetadataV3(store, path)
     store.flush()
   }
 
@@ -792,6 +818,12 @@ object Zarr {
       writeRegion(store, path, dim, m.copy(shape = Seq(newSize)), Array(0L), full)
     }
     if (affected.values.exists(_.format == 2)) consolidateMetadata(store, path)
+    // refresh the v3 consolidated root if this store carries one (the
+    // per-array surgery above would otherwise go stale in it)
+    if (affected.values.exists(_.format == 3) &&
+        store.readIfExists(s"$path/zarr.json").exists(b =>
+          mapper.readTree(b).get("consolidated_metadata") != null))
+      consolidateMetadataV3(store, path)
     store.flush()
   }
 
@@ -814,6 +846,35 @@ object Zarr {
     rootNode.put("zarr_format", 2)
     rootNode.set[JsonNode]("metadata", metaNode)
     writeJson(store, s"$path/.zmetadata", mapper.writeValueAsString(rootNode))
+  }
+
+  /** Rewrite the v3 root zarr.json with every array node embedded under
+    * consolidated_metadata.metadata (zarr-python's v3 consolidated
+    * convention, must_understand=false so non-consolidating readers
+    * ignore it) — the v3 analogue of [[consolidateMetadata]]: one GET
+    * describes the whole store. Per-array zarr.json files stay in
+    * place, as zarr-python keeps them. */
+  private def consolidateMetadataV3(store: BlobStore, path: String): Unit = {
+    val attrs = store.readIfExists(s"$path/zarr.json").flatMap { b =>
+      Option(mapper.readTree(b).get("attributes"))
+    }
+    val metaNode = mapper.createObjectNode()
+    store.listChildren(path).sorted.foreach { n =>
+      store.readIfExists(s"$path/$n/zarr.json").foreach { b =>
+        metaNode.set[JsonNode](n, mapper.readTree(b))
+      }
+    }
+    val cm = mapper.createObjectNode()
+    cm.put("kind", "inline")
+    cm.put("must_understand", false)
+    cm.set[JsonNode]("metadata", metaNode)
+    val root = mapper.createObjectNode()
+    root.put("zarr_format", 3)
+    root.put("node_type", "group")
+    root.set[JsonNode]("attributes",
+      attrs.getOrElse(mapper.createObjectNode()))
+    root.set[JsonNode]("consolidated_metadata", cm)
+    writeJson(store, s"$path/zarr.json", mapper.writeValueAsString(root))
   }
 
   /** Decompress one stored chunk per the array's compressor id

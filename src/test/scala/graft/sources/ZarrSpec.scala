@@ -321,6 +321,40 @@ class ZarrSpec extends AnyFunSuite {
     assert(c.vars("precip").arr.sameAs(graft.Fixtures.era5()("precip")._2))
   }
 
+  test("zarr v3 consolidated metadata: one root GET opens the store") {
+    val path = tmpStore()
+    Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), zarrFormat = 3)
+    // root zarr.json embeds every array node (zarr-python's v3
+    // consolidated convention)
+    val root = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "zarr.json")), "UTF-8")
+    assert(root.contains("consolidated_metadata"))
+    assert(root.contains("\"must_understand\":false"))
+    // delete the per-array files: the consolidated root alone must
+    // fully describe the store (proves openStore uses it, no listing)
+    Files.delete(java.nio.file.Paths.get(path, "v", "zarr.json"))
+    Files.delete(java.nio.file.Paths.get(path, "t", "zarr.json"))
+    val sm = Zarr.openStore(path)
+    assert(sm.arrays.keySet == Set("v", "t"))
+    assert(sm.dims.toMap == Map("t" -> 10L, "x" -> 6L))
+    assert(sm.attrs == Map("title" -> "spec"))
+  }
+
+  test("extendDim refreshes the v3 consolidated root") {
+    val spark = graft.TestSpark.spark
+    val path = tmpStore() + "/v3grow"
+    val xds = graft.api.XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    xds.toZarr(path, zarrFormat = 3)
+    Zarr.extendDim(path, "time", 16L)
+    // reopen THROUGH the consolidated root (delete per-array files)
+    graft.sources.LocalFsStore.listChildren(path).foreach { n =>
+      Files.deleteIfExists(java.nio.file.Paths.get(path, n, "zarr.json"))
+    }
+    val sm = Zarr.openStore(path)
+    assert(sm.dims.toMap.apply("time") == 16L)
+  }
+
   test("misaligned region write is rejected (race prevention, zarr.py:517-587)") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6))
