@@ -495,6 +495,117 @@ final class XbeamDataset private (
   def dropVars(names: Set[String]): XbeamDataset =
     select(template.vars.keySet -- names)
 
+  /** Flatten consecutive dims into one (xarray `stack`, row-major):
+    * requires every variable to carry `dims` adjacently in that order
+    * and every stacked dim AFTER the first to be single-chunk (full
+    * extent) — then a chunk's cells are already contiguous in stacked
+    * order, so this is pure metadata + a per-chunk reshape over the
+    * same buffers, NO shuffle. (Chunked trailing dims would interleave:
+    * rechunk them to full extent first — the same precondition xarray-
+    * on-dask effectively pays as a rechunk.) Stacked-dim coords drop. */
+  def stack(dims: Seq[String], newDim: String): XbeamDataset = {
+    require(dims.length >= 2, s"stack needs at least 2 dims, got $dims")
+    dims.foreach(d => require(template.dimSizes.contains(d), s"unknown dim $d"))
+    require(!template.dimSizes.contains(newDim) || dims.contains(newDim),
+      s"dim $newDim already exists")
+    dims.tail.foreach { d =>
+      require(chunkSizes(d) >= template.dimSizes(d),
+        s"stack: trailing dim $d is chunked (${chunkSizes(d)} < " +
+          s"${template.dimSizes(d)}) — cells would interleave; rechunk it " +
+          "to full extent first")
+    }
+    template.vars.foreach { case (n, vs) =>
+      val i = vs.dims.indexOfSlice(dims)
+      require(i >= 0,
+        s"stack: variable $n dims ${vs.dims} do not carry $dims adjacently")
+    }
+    val tailProd = dims.tail.map(template.dimSizes(_)).product
+    val newSize = template.dimSizes(dims.head) * tailProd
+    val newChunk = math.min(chunkSizes(dims.head).toLong * tailProd, newSize)
+    require(newChunk <= Int.MaxValue, s"stacked chunk $newChunk too large")
+    val ds = dims
+    val nd = newDim
+    val tp = tailProd
+    val newTemplate = Template(
+      {
+        val order = template.dimOrder
+        val i = order.indexOf(dims.head)
+        (order.take(i) :+ nd) ++ order.drop(i + dims.length) map (d =>
+          d -> (if (d == nd) newSize else template.dimSizes(d)))
+      },
+      template.vars.map { case (n, vs) =>
+        val i = vs.dims.indexOfSlice(dims)
+        n -> VarSpec((vs.dims.take(i) :+ nd) ++ vs.dims.drop(i + dims.length),
+          vs.dtype)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate,
+      (chunkSizes -- dims) + (nd -> newChunk.toInt), splitVars,
+      chunkDataset.map { p: Pair =>
+        val (k, c) = p
+        val sOff = k.offsets.getOrElse(ds.head, 0L) * tp
+        (k.copy(offsets = (k.offsets -- ds) + (nd -> sOff)),
+          ArrayChunk(c.vars.map { case (n, va) =>
+            val i = va.dims.indexOfSlice(ds)
+            val merged = va.arr.shape.slice(i, i + ds.length).map(_.toLong).product
+            val shape2 = (va.arr.shape.take(i) :+ merged.toInt) ++
+              va.arr.shape.drop(i + ds.length)
+            n -> VarArray((va.dims.take(i) :+ nd) ++ va.dims.drop(i + ds.length),
+              NdArray(va.arr.dtype, shape2, va.arr.data))
+          }))
+      })
+  }
+
+  /** Split one dim back into two (xarray `unstack`, [[stack]]'s
+    * inverse): `dim` becomes (d1, d2) with |d2| = `innerSize`; the
+    * chunk along `dim` must be a multiple of `innerSize` so every
+    * chunk splits cleanly — again metadata + reshape, NO shuffle. */
+  def unstack(dim: String, d1: String, d2: String,
+              innerSize: Long): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(innerSize >= 1 && template.dimSizes(dim) % innerSize == 0,
+      s"unstack: inner size $innerSize does not divide ${template.dimSizes(dim)}")
+    require(chunkSizes(dim) % innerSize == 0,
+      s"unstack: chunk ${chunkSizes(dim)} along $dim is not a multiple of " +
+        s"$innerSize — chunks would straddle rows")
+    Seq(d1, d2).foreach(d => require(!template.dimSizes.contains(d),
+      s"dim $d already exists"))
+    val outer = template.dimSizes(dim) / innerSize
+    val d = dim
+    val inS = innerSize
+    val newTemplate = Template(
+      template.dims.flatMap { case (dd, s) =>
+        if (dd == d) Seq(d1 -> outer, d2 -> inS) else Seq(dd -> s)
+      },
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.flatMap(dd =>
+          if (dd == d) Seq(d1, d2) else Seq(dd)), vs.dtype)
+      },
+      template.coords - d, template.attrs)
+    withPlan(newTemplate,
+      (chunkSizes - d) + (d1 -> (chunkSizes(d) / inS).toInt) + (d2 -> inS.toInt),
+      splitVars,
+      chunkDataset.map { p: Pair =>
+        val (k, c) = p
+        val sOff = k.offsets.getOrElse(d, 0L)
+        (k.copy(offsets = (k.offsets - d) +
+          (d1 -> sOff / inS) + (d2 -> 0L)),
+          ArrayChunk(c.vars.map { case (n, va) =>
+            if (!va.dims.contains(d)) n -> va
+            else {
+              val ax = va.dims.indexOf(d)
+              val ext = va.arr.shape(ax)
+              val shape2 = (va.arr.shape.take(ax) ++
+                Array((ext / inS).toInt, inS.toInt) ++
+                va.arr.shape.drop(ax + 1))
+              n -> VarArray(va.dims.flatMap(dd =>
+                if (dd == d) Seq(d1, d2) else Seq(dd)),
+                NdArray(va.arr.dtype, shape2, va.arr.data))
+            }
+          }))
+      })
+  }
+
   /** Standardize over `dims` (the z-score normalization step of a
     * feature pipeline): (v − mean) / std per dim-spanning variable.
     * Composes [[anomaly]] with a second broadcast divide — two partial

@@ -1295,6 +1295,22 @@ object XbeamQueries {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x49
+    // stack (t, x) → s (xarray stack, row-major): after rechunking x
+    // to full extent (the precondition that makes every chunk's cells
+    // contiguous in stacked order), flattening is pure metadata + a
+    // per-chunk reshape over the same buffers — no shuffle. The
+    // stacked index reproduces event_id exactly (s = t·50 + x), which
+    // the oracle checks directly.
+    QueryDef(
+      "x49_stack",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).rechunk(Map("t" -> 16, "x" -> 50))
+          .stack(Seq("t", "x"), "s")).orderBy("s"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t * 50 + x AS s, uid, vf FROM grid ORDER BY s""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

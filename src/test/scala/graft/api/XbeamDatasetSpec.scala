@@ -456,6 +456,35 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("stack flattens row-major and unstack inverts it, chunking intact") {
+    // (time 12, lat 5, lon 6) with lat/lon single-chunk → stack the
+    // trailing pair into "cell" (30 per time step)
+    val xds = era5ds(Map("time" -> 4))
+    val st = xds.stack(Seq("latitude", "longitude"), "cell")
+    assert(st.template.dimOrder == Seq("time", "cell"))
+    assert(st.template.dimSizes("cell") == 30)
+    val orig = Fixtures.era5()("temperature")._2
+    val flat = st.collectConsolidated()._2.vars("temperature").arr
+    // row-major flatten: same buffer order
+    assert(java.util.Arrays.equals(flat.data, orig.data))
+    // unstack back: identity
+    val back = st.unstack("cell", "latitude", "longitude", 6)
+    assert(back.template.dimSizes("latitude") == 5)
+    assert(back.collectConsolidated()._2.vars("temperature").arr.sameAs(orig))
+    // a chunked TRAILING dim is rejected (cells would interleave);
+    // a chunked LEADING dim is fine — lat-2 × full-lon blocks stay
+    // contiguous
+    assertThrows[IllegalArgumentException] {
+      era5ds(Map("time" -> 4, "latitude" -> 2)).stack(Seq("time", "latitude"), "c")
+    }
+    assert(era5ds(Map("time" -> 4, "latitude" -> 2))
+      .stack(Seq("latitude", "longitude"), "c").template.dimSizes("c") == 30)
+    // non-dividing inner size rejected
+    assertThrows[IllegalArgumentException] {
+      st.unstack("cell", "a", "b", 7)
+    }
+  }
+
   test("integrate: trapezoid vs hand computation, non-uniform spacing") {
     // v = [1, 3, 2, 6] at c = [0, 1, 3, 7]:
     // (1+3)/2·1 + (3+2)/2·2 + (2+6)/2·4 = 2 + 5 + 16 = 23
