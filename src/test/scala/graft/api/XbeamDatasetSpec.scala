@@ -411,6 +411,67 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("interpLinear/reindex randomized vs local brute force (seeded)") {
+    val rnd = new scala.util.Random(4217)
+    (1 to 5).foreach { round =>
+      val n = 5 + rnd.nextInt(20)
+      val coordVals = Array.iterate(rnd.nextDouble() * 10, n)(
+        c => c + 0.5 + rnd.nextDouble() * 5)
+      val vals = NdArray.fromDoubles(DType.F64, Array(n, 2),
+        Array.fill(2 * n)(math.floor(rnd.nextDouble() * 100)))
+      val ch = 1 + rnd.nextInt(n)
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)),
+        coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(n), coordVals)),
+        chunks = Map("t" -> ch))
+      // targets: mix of exact hits and interior points, shuffled
+      val m = 3 + rnd.nextInt(12)
+      val targets = Array.fill(m) {
+        if (rnd.nextBoolean()) coordVals(rnd.nextInt(n))
+        else {
+          val i = rnd.nextInt(n - 1)
+          coordVals(i) + rnd.nextDouble() * (coordVals(i + 1) - coordVals(i))
+        }
+      }
+      val got = ds.interpLinear("t", targets)
+        .collectConsolidated()._2.vars("v").arr
+      targets.zipWithIndex.foreach { case (tc, j) =>
+        (0 until 2).foreach { lane =>
+          val i1 = coordVals.indexWhere(_ >= tc) match {
+            case -1 => n - 1
+            case k => k
+          }
+          val expect =
+            if (coordVals(i1) == tc) vals.getDouble(i1.toLong * 2 + lane)
+            else {
+              val i0 = i1 - 1
+              val w = (tc - coordVals(i0)) / (coordVals(i1) - coordVals(i0))
+              val a = vals.getDouble(i0.toLong * 2 + lane)
+              val b = vals.getDouble(i1.toLong * 2 + lane)
+              a + (b - a) * w
+            }
+          val g = got.getDouble(j.toLong * 2 + lane)
+          assert(math.abs(g - expect) < 1e-9,
+            s"round $round target $j lane $lane: $g != $expect (ch=$ch)")
+        }
+      }
+      // reindex: half real labels, half misses
+      val labels = Array.fill(m)(
+        if (rnd.nextBoolean()) coordVals(rnd.nextInt(n)) else -1.0 - rnd.nextInt(5))
+      val rgot = ds.reindex("t", labels)
+        .collectConsolidated()._2.vars("v").arr
+      labels.zipWithIndex.foreach { case (l, j) =>
+        val src = coordVals.indexOf(l)
+        (0 until 2).foreach { lane =>
+          val g = rgot.getDouble(j.toLong * 2 + lane)
+          if (src < 0) assert(g.isNaN, s"round $round miss $j")
+          else assert(g == vals.getDouble(src.toLong * 2 + lane),
+            s"round $round label $j lane $lane (ch=$ch)")
+        }
+      }
+    }
+  }
+
   test("reindex aligns by exact label; missing labels (and whole missing " +
     "chunks) fill NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(8, 2),
