@@ -968,6 +968,65 @@ object TextOps {
     // semantics agree between Java regex (Spark) and RE2 (DuckDB), and
     // enter the plan as Column literals, never spliced SQL. Map-only at
     // any scale: no shuffle, no state.
+    // ---------------------------------------------------------------- t08
+    // The composed Gopher-style document filter — the verdict a real
+    // pipeline materializes from the t02/t06 signal family: five
+    // heuristic gates (length bounds, mean word length, stopword
+    // fraction, distinct-word fraction, digit fraction) fold into a
+    // reason BITMASK per document plus the keep verdict. One narrow
+    // pass, no explode (higher-order array functions only), no
+    // shuffle before the final order-by. Every ratio is a per-row
+    // division of exact integers, so thresholds compare identically
+    // on both engines.
+    QueryDef(
+      "t08_filter_verdict",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("f", expr(
+            """element_at(transform(array(split(text, ' ')), ws -> named_struct(
+              |  'n_words', cast(size(ws) AS bigint),
+              |  'sum_wlen', cast(aggregate(ws, 0, (a, w) -> a + length(w)) AS bigint),
+              |  'n_stop', cast(size(filter(ws,
+              |     w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint),
+              |  'n_distinct', cast(size(array_distinct(ws)) AS bigint))), 1)""".stripMargin))
+          .withColumn("n_digits",
+            expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)"))
+          .withColumn("reasons",
+            when($"f.n_words" < 50 || $"f.n_words" > 100000, lit(1L)).otherwise(lit(0L)) +
+            when($"f.sum_wlen".cast("double") / $"f.n_words" < 3.0 ||
+                 $"f.sum_wlen".cast("double") / $"f.n_words" > 10.0, lit(2L)).otherwise(lit(0L)) +
+            when($"f.n_stop".cast("double") / $"f.n_words" < 0.02, lit(4L)).otherwise(lit(0L)) +
+            when($"f.n_distinct".cast("double") / $"f.n_words" < 0.5, lit(8L)).otherwise(lit(0L)) +
+            when($"n_digits".cast("double") / length($"text") > 0.2, lit(16L)).otherwise(lit(0L)))
+          .select($"doc_id", $"f.n_words".as("n_words"), $"reasons",
+            ($"reasons" === 0L).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, text,
+                          string_split(text, ' ') AS ws,
+                          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+                   FROM documents),
+        m AS (SELECT doc_id, text, n_digits,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+                     CAST(len(list_filter(ws,
+                       w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
+                     CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+              FROM f)
+        SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM (
+          SELECT doc_id, n_words,
+                 (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(sum_wlen AS DOUBLE) / n_words < 3.0
+                         OR CAST(sum_wlen AS DOUBLE) / n_words > 10.0 THEN 2 ELSE 0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_words < 0.02 THEN 4 ELSE 0 END
+                + CASE WHEN CAST(n_distinct AS DOUBLE) / n_words < 0.5 THEN 8 ELSE 0 END
+                + CASE WHEN CAST(n_digits AS DOUBLE) / length(text) > 0.2 THEN 16 ELSE 0 END
+                 )::BIGINT AS reasons
+          FROM m)
+        ORDER BY doc_id""")),
+
     QueryDef(
       "t07_pii_redact",
       (s, dir) => {
