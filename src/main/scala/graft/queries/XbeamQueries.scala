@@ -1311,6 +1311,57 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t * 50 + x AS s, uid, vf FROM grid ORDER BY s""")),
 
+    // ---------------------------------------------------------------- x50
+    // The composed pipeline gate — four operators chained the way a
+    // real climate job runs them: datetime-coordinate store → sel
+    // (driver-resolved slice PUSHDOWN into the scan) → calendar
+    // resample to monthly SUMS (bucket partials, one shuffle) →
+    // anomaly vs the cross-month mean (broadcast zip, no reshuffle).
+    // Monthly sums are exact integers, so the final mean-and-subtract
+    // is the only division — bit-exact vs the oracle's window form.
+    QueryDef(
+      "x50_pipeline_composed",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val store = zarrPath("x50", dir)
+        XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        def ns(iso: String): Long =
+          java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        val out = XbeamDataset.fromZarr(s, store)
+          .sel("t", ns("2020-01-10T00:00:00Z"), ns("2020-11-20T00:00:00Z"))
+          .resampleReduce("t", "month", "sum")
+          .anomaly(Set("t"))
+        TabularBridge.toDataFrame(out).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t) AS ts
+                FROM grid),
+        sel AS (SELECT * FROM cal
+                WHERE ts >= TIMESTAMP '2020-01-10 00:00:00'
+                  AND ts <= TIMESTAMP '2020-11-20 00:00:00'),
+        g AS (SELECT date_trunc('month', ts) AS mo, x,
+                     CAST(sum(uid) AS DOUBLE) AS uid, sum(vf) AS vf
+              FROM sel GROUP BY mo, x),
+        r AS (SELECT CAST(dense_rank() OVER (ORDER BY mo) - 1 AS BIGINT) AS t,
+                     x, uid, vf
+              FROM g)
+        SELECT t, x,
+               uid - sum(uid) OVER w / count(*) OVER w AS uid,
+               vf - sum(vf) OVER w / count(*) OVER w AS vf
+        FROM r
+        WINDOW w AS (PARTITION BY x)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf
