@@ -546,6 +546,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("stack/unstack randomized roundtrips (seeded)") {
+    val rnd = new scala.util.Random(90210)
+    (1 to 5).foreach { round =>
+      val n1 = 2 + rnd.nextInt(10)
+      val n2 = 1 + rnd.nextInt(8)
+      val ch = 1 + rnd.nextInt(n1)
+      val vals = NdArray.fromDoubles(DType.F64, Array(n1, n2),
+        Array.fill(n1 * n2)(rnd.nextInt(1000).toDouble))
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("a", "b"), vals)), chunks = Map("a" -> ch))
+      val st = ds.stack(Seq("a", "b"), "s")
+      val flat = st.collectConsolidated()._2.vars("v").arr
+      assert(java.util.Arrays.equals(flat.data, vals.data),
+        s"round $round: row-major buffer identity (ch=$ch, $n1 x $n2)")
+      val back = st.unstack("s", "a", "b", n2)
+      assert(back.collectConsolidated()._2.vars("v").arr.sameAs(vals),
+        s"round $round: unstack inverse (ch=$ch)")
+    }
+  }
+
   test("integrate: trapezoid vs hand computation, non-uniform spacing") {
     // v = [1, 3, 2, 6] at c = [0, 1, 3, 7]:
     // (1+3)/2·1 + (3+2)/2·2 + (2+6)/2·4 = 2 + 5 + 16 = 23
