@@ -972,6 +972,85 @@ final class XbeamDataset private (
       (acc, sliver) => acc.zipF64(sliver)((a, s) => if (s.isNaN) a else s),
       (arr, ax, seed) => arr.ffillAlong(ax, seed))
 
+  /** [[ffill]] with a gap limit (xarray `ffill(dim, limit=n)`): fill
+    * only reaches `limit` positions past the source value — the
+    * bounded-staleness fill an observational pipeline wants. The scan
+    * slivers carry (value, global index) pairs (the interpolateNa
+    * stacked form) so each chunk can measure the gap locally. */
+  def ffill(dim: String, limit: Int): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(limit >= 1, s"ffill limit must be >= 1, got $limit")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+    val d = dim
+    val lim = limit
+    val partials = chunkDataset.map { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      (k, ArrayChunk(c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+            va.arr.edgeValidWithIndexAlong(ax, off, last = true))
+      }))
+    }.filter { p: Pair => p._2.vars.nonEmpty }
+    def overwrite(acc: NdArray, sliver: NdArray): NdArray = {
+      val out = NdArray.zeros(DType.F64, acc.shape)
+      val laneSize = acc.size / 2
+      var j = 0L
+      while (j < laneSize) {
+        val sv = sliver.getDouble(j)
+        if (sv.isNaN) {
+          out.setDouble(j, acc.getDouble(j))
+          out.setDouble(laneSize + j, acc.getDouble(laneSize + j))
+        } else {
+          out.setDouble(j, sv)
+          out.setDouble(laneSize + j, sliver.getDouble(laneSize + j))
+        }
+        j += 1
+      }
+      out
+    }
+    val prefixes = partials
+      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
+        val items = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        var acc: Map[String, VarArray] = items.head._2.vars.map {
+          case (n, va) =>
+            n -> VarArray(va.dims, NdArray.fill(DType.F64, va.arr.shape, Double.NaN))
+        }
+        items.iterator.map { case (k, sliver) =>
+          val cur = acc
+          acc = acc.map { case (n, va) =>
+            n -> VarArray(va.dims, overwrite(va.arr, sliver.vars(n).arr))
+          }
+          (k, ArrayChunk(cur))
+        }
+      }
+    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+      .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+    val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val (key, ownChunk) = items.find(!_._2).get._3
+      val prevVars = items.find(_._2).map(_._3._2.vars)
+        .getOrElse(Map.empty[String, VarArray])
+      val off = key.offsets.getOrElse(d, 0L)
+      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims, va.arr.ffillLimitAlong(ax, off, lim,
+            prevVars.get(n).map(_.arr)))
+        }
+      }))
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, joined)
+  }
+
   /** Backward-fill NaNs along `dim` (xarray `bfill`) — [[ffill]]
     * mirrored: the scan runs in REVERSE dim order, slivers carry each
     * chunk's FIRST non-NaN per lane, and the nearest succeeding chunk

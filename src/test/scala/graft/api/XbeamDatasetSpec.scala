@@ -282,6 +282,28 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(ns.getDouble(1).isNaN)  // single valid point
   }
 
+  test("ffill with limit stops past the gap, across chunk boundaries") {
+    // lane 0: value at t=1 then NaNs — limit 2 fills t=2,3 only (t=3
+    // sits in the second chunk at ch=3, so the limited fill crosses)
+    val m = 9
+    val vals = NdArray.fill(DType.F64, Array(m, 1), Double.NaN)
+    vals.setDouble(1, 10.0)
+    vals.setDouble(7, 20.0)
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val f = ds(3).ffill("t", limit = 2).collectConsolidated()._2.vars("v").arr
+    assert(f.getDouble(0).isNaN)
+    assert(f.getDouble(1) == 10.0 && f.getDouble(2) == 10.0 && f.getDouble(3) == 10.0)
+    assert(f.getDouble(4).isNaN && f.getDouble(5).isNaN && f.getDouble(6).isNaN)
+    assert(f.getDouble(7) == 20.0 && f.getDouble(8) == 20.0)
+    // chunked == single-chunk
+    assert(f.sameAs(ds(9).ffill("t", limit = 2)
+      .collectConsolidated()._2.vars("v").arr))
+    // unlimited ffill fills everything after t=1
+    assert(!ds(3).ffill("t").collectConsolidated()._2.vars("v").arr
+      .getDouble(6).isNaN)
+  }
+
   test("interpolateNa fills interior gaps across chunk boundaries only") {
     // lane 0: valid at t=1 and t=9 (different chunks at ch=4) → linear
     // bridge across two chunk boundaries; lane 1: leading/trailing NaNs
