@@ -977,14 +977,25 @@ final class XbeamDataset private (
     * bounded-staleness fill an observational pipeline wants. The scan
     * slivers carry (value, global index) pairs (the interpolateNa
     * stacked form) so each chunk can measure the gap locally. */
-  def ffill(dim: String, limit: Int): XbeamDataset = {
+  def ffill(dim: String, limit: Int): XbeamDataset =
+    limitFill(dim, limit, reverse = false)
+
+  /** [[bfill]] with a gap limit (xarray `bfill(dim, limit=n)`) —
+    * [[ffill(dim:String,limit:Int)*]] mirrored through the reverse
+    * scan. */
+  def bfill(dim: String, limit: Int): XbeamDataset =
+    limitFill(dim, limit, reverse = true)
+
+  private def limitFill(dim: String, limit: Int,
+                        reverse: Boolean): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
-    require(limit >= 1, s"ffill limit must be >= 1, got $limit")
+    require(limit >= 1, s"fill limit must be >= 1, got $limit")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
     implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
     val d = dim
     val lim = limit
+    val rev = reverse
     val partials = chunkDataset.map { p: Pair =>
       val (k, c) = p
       val off = k.offsets.getOrElse(d, 0L)
@@ -992,7 +1003,7 @@ final class XbeamDataset private (
         case (n, va) if va.dims.contains(d) =>
           val ax = va.dims.indexOf(d)
           n -> VarArray("__s" +: va.dims.filterNot(_ == d),
-            va.arr.edgeValidWithIndexAlong(ax, off, last = true))
+            va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
     def overwrite(acc: NdArray, sliver: NdArray): NdArray = {
@@ -1015,7 +1026,8 @@ final class XbeamDataset private (
     val prefixes = partials
       .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Pair]) =>
-        val items = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
+        val items = if (rev) asc.reverse else asc
         var acc: Map[String, VarArray] = items.head._2.vars.map {
           case (n, va) =>
             n -> VarArray(va.dims, NdArray.fill(DType.F64, va.arr.shape, Double.NaN))
@@ -1033,15 +1045,17 @@ final class XbeamDataset private (
     val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
       val items = it.toSeq
       val (key, ownChunk) = items.find(!_._2).get._3
-      val prevVars = items.find(_._2).map(_._3._2.vars)
+      val seedVars = items.find(_._2).map(_._3._2.vars)
         .getOrElse(Map.empty[String, VarArray])
       val off = key.offsets.getOrElse(d, 0L)
       (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
         if (!va.dims.contains(d)) n -> va
         else {
           val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims, va.arr.ffillLimitAlong(ax, off, lim,
-            prevVars.get(n).map(_.arr)))
+          val seed = seedVars.get(n).map(_.arr)
+          n -> VarArray(va.dims,
+            if (rev) va.arr.bfillLimitAlong(ax, off, lim, seed)
+            else va.arr.ffillLimitAlong(ax, off, lim, seed))
         }
       }))
     }

@@ -1138,6 +1138,63 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Backward-fill along `axis` with a gap LIMIT (xarray
+    * `bfill(limit=n)`) — [[ffillLimitAlong]] mirrored: a NaN position
+    * takes the nearest FOLLOWING non-NaN value if it lies at most
+    * `limit` positions ahead (by global index). `seed` is the stacked
+    * (value, global index) sliver from SUCCEEDING chunks. */
+  def bfillLimitAlong(axis: Int, globalStart: Long, limit: Int,
+                      seed: Option[NdArray]): NdArray = {
+    require(limit >= 1, s"bfill limit must be >= 1, got $limit")
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val m = shape(axis)
+    val out = NdArray.zeros(DType.F64, shape)
+    val axisStride = strides(axis)
+    val laneCount = size / math.max(m, 1)
+    val laneIdx = new Array[Int](math.max(keep.length, 1))
+    val laneShape = keep.map(shape)
+    val laneStrides = new Array[Long](keep.length)
+    var accS = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = accS; accS *= laneShape(k); k -= 1 }
+    val laneSize = laneShape.foldLeft(1L)(_ * _.toLong)
+    var l = 0L
+    while (l < laneCount) {
+      var base = 0L
+      var seedFlat = 0L
+      var kk = 0
+      while (kk < keep.length) {
+        base += laneIdx(kk) * strides(keep(kk))
+        seedFlat += laneIdx(kk) * laneStrides(kk)
+        kk += 1
+      }
+      var nv = seed.map(_.getDouble(seedFlat)).getOrElse(Double.NaN)
+      var ni = seed.map(_.getDouble(laneSize + seedFlat)).getOrElse(Double.NaN)
+      var i = m - 1
+      while (i >= 0) {
+        val off = base + i.toLong * axisStride
+        val v = getDouble(off)
+        val g = globalStart + i
+        if (!v.isNaN) {
+          out.setDouble(off, v)
+          nv = v
+          ni = g.toDouble
+        } else if (!nv.isNaN && ni - g <= limit) out.setDouble(off, nv)
+        else out.setDouble(off, Double.NaN)
+        i -= 1
+      }
+      var kc = keep.length - 1
+      var carry = true
+      while (kc >= 0 && carry) {
+        laneIdx(kc) += 1
+        if (laneIdx(kc) == laneShape(kc)) { laneIdx(kc) = 0; kc -= 1 }
+        else carry = false
+      }
+      l += 1
+    }
+    out
+  }
+
   /** Linear interpolation across NaN runs along `axis` (xarray
     * `interpolate_na(method='linear')`): each NaN position between two
     * valid values takes the line through them at its own global index;

@@ -1397,6 +1397,40 @@ object XbeamQueries {
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x52
+    // bfill with a gap limit — x51 mirrored through the reverse scan:
+    // a NaN position takes the nearest FOLLOWING value at most 3
+    // positions ahead. Oracle: first_value IGNORE NULLS over a
+    // 3-FOLLOWING window.
+    QueryDef(
+      "x52_bfill_limit",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val masked = gridXds(s, dir).mapBlocks(c => c.mapVars { (n, va) =>
+          val m = if (n == "uid") 7.0 else 5.0
+          VarArray(va.dims, va.arr.mapF64(v => if (v % m == 0) Double.NaN else v))
+        })
+        TabularBridge.toDataFrame(masked.bfill("t", limit = 3))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        masked AS (
+          SELECT t, x,
+                 CASE WHEN uid % 7 = 0 THEN NULL ELSE CAST(uid AS DOUBLE) END AS uid,
+                 CASE WHEN vf % 5 = 0 THEN NULL ELSE vf END AS vf
+          FROM grid)
+        SELECT t, x,
+               coalesce(first_value(uid IGNORE NULLS) OVER w, -1.0) AS uid,
+               coalesce(first_value(vf IGNORE NULLS) OVER w, -1.0) AS vf
+        FROM masked
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -302,6 +302,14 @@ class XbeamDatasetSpec extends AnyFunSuite {
     // unlimited ffill fills everything after t=1
     assert(!ds(3).ffill("t").collectConsolidated()._2.vars("v").arr
       .getDouble(6).isNaN)
+    // bfill limit: only t=5,6 reach back from the value at t=7
+    val b = ds(3).bfill("t", limit = 2).collectConsolidated()._2.vars("v").arr
+    assert(b.getDouble(4).isNaN && b.getDouble(5) == 20.0 && b.getDouble(6) == 20.0)
+    assert(b.getDouble(0) == 10.0) // t=1 is 1 ahead → within limit
+    assert(b.getDouble(2).isNaN)   // t=7 is 5 ahead → beyond limit
+    assert(b.getDouble(8).isNaN)   // nothing follows
+    assert(b.sameAs(ds(9).bfill("t", limit = 2)
+      .collectConsolidated()._2.vars("v").arr))
   }
 
   test("interpolateNa fills interior gaps across chunk boundaries only") {
