@@ -1006,23 +1006,7 @@ final class XbeamDataset private (
             va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
-    def overwrite(acc: NdArray, sliver: NdArray): NdArray = {
-      val out = NdArray.zeros(DType.F64, acc.shape)
-      val laneSize = acc.size / 2
-      var j = 0L
-      while (j < laneSize) {
-        val sv = sliver.getDouble(j)
-        if (sv.isNaN) {
-          out.setDouble(j, acc.getDouble(j))
-          out.setDouble(laneSize + j, acc.getDouble(laneSize + j))
-        } else {
-          out.setDouble(j, sv)
-          out.setDouble(laneSize + j, sliver.getDouble(laneSize + j))
-        }
-        j += 1
-      }
-      out
-    }
+    val overwrite = XbeamDataset.overwritePair _
     val prefixes = partials
       .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Pair]) =>
@@ -1153,23 +1137,7 @@ final class XbeamDataset private (
     }.filter { p: Pair => p._2.vars.nonEmpty }
     // overwrite-if-present on the stacked pair: a later sliver's value
     // plane decides; its index plane travels with it
-    def overwrite(acc: NdArray, sliver: NdArray): NdArray = {
-      val out = NdArray.zeros(DType.F64, acc.shape)
-      val laneSize = acc.size / 2
-      var j = 0L
-      while (j < laneSize) {
-        val sv = sliver.getDouble(j)
-        if (sv.isNaN) {
-          out.setDouble(j, acc.getDouble(j))
-          out.setDouble(laneSize + j, acc.getDouble(laneSize + j))
-        } else {
-          out.setDouble(j, sv)
-          out.setDouble(laneSize + j, sliver.getDouble(laneSize + j))
-        }
-        j += 1
-      }
-      out
-    }
+    val overwrite = XbeamDataset.overwritePair _
     // exclusive prefix of "nearest valid so far" per lane-chunk, in
     // (forward | reverse) dim order — the prefixScanAlong shape
     def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] = parts
@@ -2198,6 +2166,28 @@ object XbeamDataset {
   }
 
   /** In-memory entry for tests (from_xarray, dataset.py:624-660). */
+  /** Overwrite-if-present combine for stacked [2]++lane (value, index)
+    * slivers: where the sliver's value plane is present it wins and its
+    * index travels with it — the scan-prefix monoid shared by
+    * interpolateNa and the limited fills. */
+  private[api] def overwritePair(acc: NdArray, sliver: NdArray): NdArray = {
+    val out = NdArray.zeros(DType.F64, acc.shape)
+    val laneSize = acc.size / 2
+    var j = 0L
+    while (j < laneSize) {
+      val sv = sliver.getDouble(j)
+      if (sv.isNaN) {
+        out.setDouble(j, acc.getDouble(j))
+        out.setDouble(laneSize + j, acc.getDouble(laneSize + j))
+      } else {
+        out.setDouble(j, sv)
+        out.setDouble(laneSize + j, sliver.getDouble(laneSize + j))
+      }
+      j += 1
+    }
+    out
+  }
+
   def fromLocal(spark: SparkSession, vars: Map[String, (Seq[String], NdArray)],
                 coords: Map[String, NdArray] = Map.empty,
                 chunks: Map[String, Int] = Map.empty,
