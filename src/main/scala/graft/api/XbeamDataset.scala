@@ -1006,24 +1006,9 @@ final class XbeamDataset private (
             va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
-    val overwrite = XbeamDataset.overwritePair _
-    val prefixes = partials
-      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
-      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
-        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
-        val items = if (rev) asc.reverse else asc
-        var acc: Map[String, VarArray] = items.head._2.vars.map {
-          case (n, va) =>
-            n -> VarArray(va.dims, NdArray.fill(DType.F64, va.arr.shape, Double.NaN))
-        }
-        items.iterator.map { case (k, sliver) =>
-          val cur = acc
-          acc = acc.map { case (n, va) =>
-            n -> VarArray(va.dims, overwrite(va.arr, sliver.vars(n).arr))
-          }
-          (k, ArrayChunk(cur))
-        }
-      }
+    val prefixes = lanePrefixes(partials, d, rev,
+      shape => NdArray.fill(DType.F64, shape, Double.NaN),
+      XbeamDataset.overwritePair)
     val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
       .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
     val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
@@ -1136,27 +1121,13 @@ final class XbeamDataset private (
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
     // overwrite-if-present on the stacked pair: a later sliver's value
-    // plane decides; its index plane travels with it
-    val overwrite = XbeamDataset.overwritePair _
-    // exclusive prefix of "nearest valid so far" per lane-chunk, in
-    // (forward | reverse) dim order — the prefixScanAlong shape
-    def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] = parts
-      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
-      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
-        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
-        val items = if (reverse) asc.reverse else asc
-        var acc: Map[String, VarArray] = items.head._2.vars.map {
-          case (n, va) =>
-            n -> VarArray(va.dims, NdArray.fill(DType.F64, va.arr.shape, Double.NaN))
-        }
-        items.iterator.map { case (k, sliver) =>
-          val cur = acc
-          acc = acc.map { case (n, va) =>
-            n -> VarArray(va.dims, overwrite(va.arr, sliver.vars(n).arr))
-          }
-          (k, ArrayChunk(cur))
-        }
-      }
+    // plane decides; its index plane travels with it — the
+    // exclusive-prefix "nearest valid so far" per lane-chunk, streamed
+    // through the shared scan engine
+    def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] =
+      lanePrefixes(parts, d, reverse,
+        shape => NdArray.fill(DType.F64, shape, Double.NaN),
+        XbeamDataset.overwritePair)
     val fwd = prefixes(partials(last = true), reverse = false)
     val rev = prefixes(partials(last = false), reverse = true)
     val tagged = chunkDataset.map { p: Pair => (p._1.canonical, 0, p) }
@@ -1754,15 +1725,154 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }
 
+  /** Streaming exclusive prefix of per-chunk slivers along `dim` — the
+    * shared scan engine under [[cumsum]]/[[ffill]]/[[bfill]]/[[cummax]]/
+    * [[cummin]]/[[cumulativeIntegrate]], [[interpolateNa]] and the
+    * limited fills. Slivers shuffle once on their lane key with a
+    * SECONDARY SORT on scan position (repartition + sortWithinPartitions
+    * — Spark's external sort spills to disk), then fold STREAMING inside
+    * each partition, so one sliver plus the accumulator is resident per
+    * task no matter how long the lane. A pancake-chunked store scanned
+    * along its long dim (the reference's flagship ERA5 layout,
+    * examples/README.md:10-28: `(31,721,1440)` chunks along `time` →
+    * ~11k slivers x ~8 MB per lane) spills through the sort, never
+    * through the fold.
+    *
+    * Lanes longer than `spark.graft.scan.longLaneThreshold` chunks
+    * (default 64) switch to the classic two-level scan: one pass emits
+    * block-local exclusive prefixes AND per-block totals (blocks of
+    * ~sqrt(n) chunks), a lane-level scan over the block totals yields
+    * each block's seed, and a final streaming merge folds the seed in
+    * front of every block-local prefix — O(sqrt(n)) parallel blocks
+    * instead of one serial lane walk, still one resident sliver per
+    * task. The two-level path reassociates `combine` across block
+    * boundaries: bit-identical for exactly-associative monoids (the
+    * overwrite fills, cummax/cummin) and for integer-valued sums; a
+    * float cumsum may differ from the sequential path by
+    * reassociation ULPs. */
+  private def lanePrefixes(partials: Dataset[Pair], dim: String,
+                           reverse: Boolean,
+                           init: Array[Int] => NdArray,
+                           combine: (NdArray, NdArray) => NdArray): Dataset[Pair] = {
+    import org.apache.spark.sql.functions.col
+    // real (group, ord) columns so the repartition + secondary sort run
+    // without touching the kryo payloads
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(String, Long, Boolean, Pair)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaBoolean, pairEnc)
+    val d = dim
+    val rev = reverse
+    val chunkLen = chunkSizes(d).toLong
+    val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
+    val nC = nChunks
+    val laneOf = (k: ChunkKey) => k.copy(offsets = k.offsets - d).canonical
+    // ascending ord == scan direction; seed rows sort first at MinValue
+    val ordOf = (k: ChunkKey) =>
+      if (rev) -k.offsets.getOrElse(d, 0L) else k.offsets.getOrElse(d, 0L)
+
+    // Exclusive scan per contiguous sorted group: the accumulator starts
+    // at the monoid identity (or at the group's leading seed row, which
+    // is consumed, not emitted) and each row emits it BEFORE folding
+    // itself in.
+    def scanSorted(keyed: Dataset[(String, Long, Boolean, Pair)])
+        : Dataset[(String, Long, Boolean, Pair)] =
+      keyed.repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_2"))
+        .mapPartitions { rows =>
+          var group: String = null
+          var acc: Map[String, VarArray] = null
+          rows.flatMap { case (g, ord, isSeed, (k, sliver)) =>
+            if (g != group) { group = g; acc = null }
+            if (isSeed) { acc = sliver.vars; Iterator.empty }
+            else {
+              if (acc == null)
+                acc = sliver.vars.map { case (n, va) =>
+                  n -> VarArray(va.dims, init(va.arr.shape)) }
+              val cur = acc
+              acc = acc.map { case (n, va) =>
+                n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr)) }
+              Iterator.single((g, ord, false, (k, ArrayChunk(cur))))
+            }
+          }
+        }
+
+    val threshold = spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
+    if (nChunks <= threshold) {
+      scanSorted(partials.map { p: Pair => (laneOf(p._1), ordOf(p._1), false, p) })
+        .map { r: (String, Long, Boolean, Pair) => r._4 }
+    } else {
+      val blockSize = math.max(2L, math.ceil(math.sqrt(nChunks.toDouble)).toLong)
+      val blockOf = (k: ChunkKey) => {
+        val idx = k.offsets.getOrElse(d, 0L) / chunkLen
+        (if (rev) nC - 1 - idx else idx) / blockSize
+      }
+      // pass 1: per (lane, block) — streaming block-local exclusive
+      // prefixes, plus each finished block's total re-keyed to the lane
+      // (tag=true) for the level-2 scan
+      val localsAndTotals = partials
+        .map { p: Pair => (laneOf(p._1) + "#" + blockOf(p._1), ordOf(p._1), false, p) }
+        .repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_2"))
+        .mapPartitions { rows =>
+          val buf = rows.buffered
+          new Iterator[(String, Long, Boolean, Pair)] {
+            private var group: String = null
+            private var acc: Map[String, VarArray] = null
+            private var pendingTotal: (String, Long, Boolean, Pair) = null
+            def hasNext: Boolean = pendingTotal != null || buf.hasNext
+            def next(): (String, Long, Boolean, Pair) = {
+              if (pendingTotal != null) {
+                val r = pendingTotal; pendingTotal = null; return r
+              }
+              val (g, ord, _, (k, sliver)) = buf.next()
+              if (g != group) { group = g; acc = null }
+              if (acc == null)
+                acc = sliver.vars.map { case (n, va) =>
+                  n -> VarArray(va.dims, init(va.arr.shape)) }
+              val cur = acc
+              acc = acc.map { case (n, va) =>
+                n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr)) }
+              if (!buf.hasNext || buf.head._1 != g)
+                pendingTotal = (laneOf(k), blockOf(k), true, (k, ArrayChunk(acc)))
+              (g, ord, false, (k, ArrayChunk(cur)))
+            }
+          }
+        }
+      // pass 2: scan the ~sqrt(n) block totals per lane → block seeds
+      val seeds = scanSorted(
+          localsAndTotals.filter { r: (String, Long, Boolean, Pair) => r._3 }
+            .map { r: (String, Long, Boolean, Pair) => (r._1, r._2, false, r._4) })
+        .map { r: (String, Long, Boolean, Pair) =>
+          (r._1 + "#" + r._2, Long.MinValue, true, r._4) }
+      // pass 3: streaming merge — hold the block's seed, fold it in
+      // front of each block-local prefix
+      localsAndTotals.filter { r: (String, Long, Boolean, Pair) => !r._3 }
+        .union(seeds)
+        .repartition(col("_1"))
+        .sortWithinPartitions(col("_1"), col("_2"))
+        .mapPartitions { rows =>
+          var group: String = null
+          var seed: Map[String, VarArray] = null
+          rows.flatMap { case (g, _, isSeed, (k, c)) =>
+            if (g != group) { group = g; seed = null }
+            if (isSeed) { seed = c.vars; Iterator.empty }
+            else if (seed == null) Iterator.single((k, c))
+            else Iterator.single((k, ArrayChunk(c.vars.map { case (n, va) =>
+              n -> VarArray(va.dims, combine(seed(n).arr, va.arr)) })))
+          }
+        }(pairEnc)
+    }
+  }
+
   /** The generic distributed prefix scan along `dim` backing [[cumsum]]
     * and [[ffill]]: (1) each chunk reduces to a per-lane sliver via
-    * `sliverOf`; (2) slivers group per lane-chunk and an EXCLUSIVE
-    * prefix accumulates in dim order (`init`, then `combine` per
-    * predecessor) — tiny, one sliver per (chunk, lane); (3) prefixes
-    * rejoin their chunks co-partitioned and `applySeed` finishes each
-    * chunk locally. Chunk bodies cross the wire once; scan state is
-    * always the reduced sliver. Variables not spanning `dim` pass
-    * through unchanged; outputs are F64. */
+    * `sliverOf`; (2) slivers scan to an EXCLUSIVE prefix per chunk in
+    * dim order through [[lanePrefixes]] — tiny, one sliver per (chunk,
+    * lane), one resident sliver per task; (3) prefixes rejoin their
+    * chunks co-partitioned and `applySeed` finishes each chunk locally.
+    * Chunk bodies cross the wire once; scan state is always the reduced
+    * sliver. Variables not spanning `dim` pass through unchanged;
+    * outputs are F64. */
   private def prefixScanAlong(dim: String, reverse: Boolean = false)(
       sliverOf: (NdArray, Int) => NdArray,
       init: Array[Int] => NdArray,
@@ -1781,23 +1891,7 @@ final class XbeamDataset private (
           n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
       }))
     }.filter { p: Pair => p._2.vars.nonEmpty }
-    // exclusive prefix per lane-chunk, in dim order
-    val prefixes = partials
-      .groupByKey { p: Pair => p._1.copy(offsets = p._1.offsets - d).canonical }(Encoders.STRING)
-      .flatMapGroups { (_: String, it: Iterator[Pair]) =>
-        val asc = it.toArray.sortBy(_._1.offsets.getOrElse(d, 0L))
-        val items = if (reverse) asc.reverse else asc
-        var acc: Map[String, VarArray] = items.head._2.vars.map {
-          case (n, va) => n -> VarArray(va.dims, init(va.arr.shape))
-        }
-        items.iterator.map { case (k, sliver) =>
-          val cur = acc
-          acc = acc.map { case (n, va) =>
-            n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr))
-          }
-          (k, ArrayChunk(cur))
-        }
-      }
+    val prefixes = lanePrefixes(partials, d, reverse, init, combine)
     val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
       .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
     val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>

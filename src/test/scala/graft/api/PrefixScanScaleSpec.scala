@@ -1,0 +1,83 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ndarray.{DType, NdArray}
+
+/** Scale posture of the shared lane-scan engine (lanePrefixes): the
+  * two-level (block prefixes → scan of block totals → seed merge) path
+  * taken by long lanes must match the sequential streaming fold
+  * bit-for-bit on integer-valued data and exactly-associative monoids,
+  * and a pancake-chunked many-thousand-chunk lane (the ERA5 shape,
+  * reference examples/README.md:10-28) must complete with one resident
+  * sliver per task — the r7 fix for the whole-lane materialization. */
+class PrefixScanScaleSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val THRESH = "spark.graft.scan.longLaneThreshold"
+
+  /** Integer-valued data with a deterministic NaN pattern so sums are
+    * order-independent (bit-exact under reassociation) and the fill /
+    * interp ops see real gaps. */
+  private def gappy(time: Int, x: Int): Map[String, (Seq[String], NdArray)] = {
+    val vals = Array.tabulate(time * x) { i =>
+      if (i % 7 == 3 || i % 11 == 5) Double.NaN else (i % 97).toDouble
+    }
+    Map("v" -> (Seq("time", "x"),
+      NdArray.fromDoubles(DType.F64, Array(time, x), vals)))
+  }
+
+  private def withThreshold[A](n: Int)(body: => A): A =
+    try { spark.conf.set(THRESH, n.toString); body }
+    finally spark.conf.unset(THRESH)
+
+  private def ds(time: Int = 64, x: Int = 8,
+                 chunks: Map[String, Int] = Map("time" -> 2, "x" -> 4)) =
+    XbeamDataset.fromLocal(spark, gappy(time, x), chunks = chunks)
+
+  test("two-level long-lane scan is bit-identical to the sequential fold") {
+    val ops: Seq[XbeamDataset => XbeamDataset] = Seq(
+      _.cumsum("time"), _.ffill("time"), _.bfill("time"),
+      _.cummax("time"), _.cummin("time"), _.interpolateNa("time"),
+      _.ffill("time", limit = 3), _.bfill("time", limit = 2))
+    for (op <- ops) {
+      // 32 chunks along time per lane: sequential below, two-level
+      // (blockSize ~ sqrt(32) = 6, ragged last block) above
+      val seq = withThreshold(1000)(op(ds()).collectConsolidated()._2)
+      val two = withThreshold(8)(op(ds()).collectConsolidated()._2)
+      assert(two.vars("v").arr.sameAs(seq.vars("v").arr))
+    }
+  }
+
+  test("reverse two-level blocks follow the reverse scan direction") {
+    // bfill with a lane long enough that block boundaries sit mid-gap
+    val seq = withThreshold(1000)(
+      ds(time = 90, chunks = Map("time" -> 3, "x" -> 4))
+        .bfill("time").collectConsolidated()._2)
+    val two = withThreshold(5)(
+      ds(time = 90, chunks = Map("time" -> 3, "x" -> 4))
+        .bfill("time").collectConsolidated()._2)
+    assert(two.vars("v").arr.sameAs(seq.vars("v").arr))
+  }
+
+  test("a 10k-chunk pancake lane scans with one resident sliver per task") {
+    // 10,000 chunks along time (chunk=1, the degenerate pancake): the
+    // old flatMapGroups path buffered all 10k slivers in ONE task; the
+    // streaming fold holds one. Default threshold (64) routes this
+    // through the two-level path. Values are integer so the cumsum is
+    // exact; verify against a driver-side running sum.
+    val n = 10000
+    val vals = Array.tabulate(n)(i => ((i * 31) % 101).toDouble)
+    val xds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("time"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
+      chunks = Map("time" -> 1))
+    val got = xds.cumsum("time").collectConsolidated()._2.vars("v").arr
+    val expect = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += vals(i); expect(i) = acc; i += 1 }
+    assert(got.sameAs(NdArray.fromDoubles(DType.F64, Array(n), expect)))
+  }
+}
