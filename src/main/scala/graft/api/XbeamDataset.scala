@@ -843,16 +843,20 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes, splitVars, chunkDataset.union(shifted))
   }
 
-  /** Broadcast-zip with a REDUCED dataset — dims a subset of this
-    * dataset's, typically one of its own reductions (a climatology, a
-    * per-lane mean): every chunk pairs with the one reduced chunk
-    * covering its position and `f(chunk, reducedChunk)` runs per
-    * chunk. The reduced side collects to the driver and broadcasts —
-    * by construction it is smaller than the full data by the reduced
-    * dims' extent (at 100 TB a time-mean over ~350k steps is ~300 MB:
-    * broadcastable; for reduced sides that are NOT small, rechunk +
-    * [[zipAll]] is the co-partitioned alternative). The full dataset
-    * itself never reshuffles. */
+  /** Zip with a REDUCED dataset — dims a subset of this dataset's,
+    * typically one of its own reductions (a climatology, a per-lane
+    * mean): every chunk pairs with the one reduced chunk covering its
+    * position and `f(chunk, reducedChunk)` runs per chunk.
+    *
+    * SIZE-GUARDED: the reduced side's exact nbytes is known at plan
+    * time from its template. Below
+    * `spark.graft.zipReduced.broadcastBytes` (default 512 MB) it
+    * collects and broadcasts — the full dataset never reshuffles (at
+    * 100 TB a time-mean over ~350k steps is ~300 MB: this path).
+    * Above the threshold it automatically falls back to a
+    * co-partitioned join on the shared-dim offsets key: both sides
+    * shuffle on the key, one reduced chunk streams against its many
+    * covering chunks, and nothing touches the driver. */
   def zipReduced(reduced: XbeamDataset)(f: (ArrayChunk, ArrayChunk) => ArrayChunk,
                                         merged: Template): XbeamDataset = {
     val shared = reduced.template.dimSizes.keySet
@@ -865,18 +869,38 @@ final class XbeamDataset private (
         s"dim $d: reduced chunk ${reduced.chunkSizes(d)} != ${chunkSizes(d)} " +
           "(rechunk the reduced side to match)")
     }
-    val reducedMap: Map[String, ArrayChunk] = reduced.chunkDataset.collect()
-      .map { case (k, c) =>
-        ChunkKey(k.offsets.filter(kv => shared(kv._1)), None).canonical -> c
-      }.toMap
-    val bc = spark.sparkContext.broadcast(reducedMap)
     val sh = shared
-    withPlan(merged, chunkSizes, splitVars, chunkDataset.map { p: Pair =>
-      val rk = ChunkKey(p._1.offsets.filter(kv => sh(kv._1)), None).canonical
-      val rc = bc.value.getOrElse(rk, throw new IllegalStateException(
-        s"no reduced chunk covers position $rk"))
-      (p._1, f(p._2, rc))
-    })
+    val sharedKeyOf = (k: ChunkKey) =>
+      ChunkKey(k.offsets.filter(kv => sh(kv._1)), None).canonical
+    val threshold = spark.conf
+      .get("spark.graft.zipReduced.broadcastBytes", (512L << 20).toString).toLong
+    if (reduced.template.nbytes <= threshold) {
+      val reducedMap: Map[String, ArrayChunk] = reduced.chunkDataset.collect()
+        .map { case (k, c) => sharedKeyOf(k) -> c }.toMap
+      val bc = spark.sparkContext.broadcast(reducedMap)
+      withPlan(merged, chunkSizes, splitVars, chunkDataset.map { p: Pair =>
+        val rk = sharedKeyOf(p._1)
+        val rc = bc.value.getOrElse(rk, throw new IllegalStateException(
+          s"no reduced chunk covers position $rk"))
+        (p._1, f(p._2, rc))
+      })
+    } else {
+      implicit val keyedEnc: org.apache.spark.sql.Encoder[(String, Pair)] =
+        Encoders.tuple(Encoders.STRING, pairEnc)
+      val fullKeyed = chunkDataset.map { p: Pair => (sharedKeyOf(p._1), p) }
+      val redKeyed = reduced.chunkDataset.map { p: Pair => (sharedKeyOf(p._1), p) }
+      // left_outer so a missing reduced chunk is a loud error (the
+      // broadcast path's contract), not a silently dropped chunk
+      val joined = fullKeyed
+        .joinWith(redKeyed, fullKeyed("_1") === redKeyed("_1"), "left_outer")
+      withPlan(merged, chunkSizes, splitVars,
+        joined.map { t: ((String, Pair), (String, Pair)) =>
+          val ((rk, p), right) = t
+          if (right == null) throw new IllegalStateException(
+            s"no reduced chunk covers position $rk")
+          (p._1, f(p._2, right._2._2))
+        })
+    }
   }
 
   /** Anomaly vs the mean over `dims`: v − mean_dims(v) per dim-spanning

@@ -745,6 +745,30 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("zipReduced size guard: oversized reduced sides join co-partitioned") {
+    // force the driver-hostile path: a 0-byte broadcast budget sends
+    // EVERY reduced side through the co-partitioned join fallback
+    val broadcast = era5ds(Map("time" -> 4)).anomaly(Set("time"))
+      .collectConsolidated()._2
+    spark.conf.set("spark.graft.zipReduced.broadcastBytes", "0")
+    try {
+      val joined = era5ds(Map("time" -> 4)).anomaly(Set("time"))
+        .collectConsolidated()._2
+      // same chunked mean, same subtraction — only the transport of the
+      // reduced side differs, so the two paths are bit-identical
+      assert(joined.vars("temperature").arr.sameAs(
+        broadcast.vars("temperature").arr))
+      assert(joined.vars("precip").arr.sameAs(broadcast.vars("precip").arr))
+      // zscore composes two reduced zips; both must survive the fallback
+      val z = era5ds(Map("time" -> 4)).zscore(Set("time"))
+        .collectConsolidated()._2.vars("temperature").arr
+      spark.conf.unset("spark.graft.zipReduced.broadcastBytes")
+      val zb = era5ds(Map("time" -> 4)).zscore(Set("time"))
+        .collectConsolidated()._2.vars("temperature").arr
+      assert(z.sameAs(zb))
+    } finally spark.conf.unset("spark.graft.zipReduced.broadcastBytes")
+  }
+
   test("coarsen block-means chunk-locally; factors must divide") {
     val coarse = era5ds(Map("time" -> 4)).coarsen(Map("time" -> 2))
     assert(coarse.template.dimSizes("time") == 6)
