@@ -62,6 +62,51 @@ object VectorOps {
   private val BUCKET_DUCK =
     (0 until 4).map(planeBitDuck).mkString(" || ")
 
+  // ---- shared k-means machinery (e08 trainer, e09 SemDeDup cells) ----
+  // Bit-deterministic across engines and partitionings: coordinates
+  // quantize to integers (floor(x*1000)), centroid updates sum exact
+  // longs (order-independent), only per-row distance folds use floats
+  // in a fixed per-row dim order; assignment ties break on centroid id.
+
+  /** (e, ed): integer-quantized embeddings and their double view with
+    * precomputed squared norm. */
+  private def kmeansQuantized(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = t(s, dir, "embeddings").selectExpr("vec_id",
+      "transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)) AS q")
+    val ed = e
+      .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
+      .withColumn("qq", expr("vec_dot(qd, qd)"))
+    (e, ed)
+  }
+
+  /** argmin-L2 assignment as min(struct(d2, cent_id)): lexicographic
+    * struct min == (d2 asc, cent_id asc) rank 1, but aggregates
+    * map-side — the shuffle carries one row per vector, not one per
+    * (vector, centroid) as a window would. Centroids broadcast. */
+  private def kmeansAssign(ed: DataFrame, cents: DataFrame): DataFrame =
+    ed.join(broadcast(cents))
+      .withColumn("d2", expr("qq - 2 * vec_dot(qd, c) + cc"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"))
+
+  /** Lloyd update: one shuffle of (centroid, dim) exact-long partial
+    * sums → mean coordinates + squared norm per surviving centroid. */
+  private def kmeansUpdate(e: DataFrame, members: DataFrame): DataFrame =
+    members.join(e, "vec_id")
+      .select(col("cent_id"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("cent_id"), col("i"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("cv", col("sv").cast("double") / col("n"))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, cv))), p -> p.cv)").as("c"))
+      .withColumn("cc", expr("vec_dot(c, c)"))
+
+  /** First-k quantized vectors as seed centroids. */
+  private def kmeansSeeds(ed: DataFrame, k: Long): DataFrame =
+    ed.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("qd").as("c"), col("qq").as("cc"))
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- e01
     // Brute-force cosine top-k: the ANN correctness baseline. Query set
@@ -413,14 +458,17 @@ object VectorOps {
 
     // ---------------------------------------------------------------- e09
     // SemDeDup-style semantic dedup (cluster, then dedup WITHIN each
-    // cluster): every vector assigns to its max-cosine cell against the
-    // broadcast centroid set, and a vector is a duplicate if an
-    // earlier-id vector in the SAME cell has cosine >= 0.40 (dup_of =
-    // the least such id; NULL = survivor). This is the shape that makes
+    // cluster): cells come from TRAINED k-means centroids — the shared
+    // e08 trainer (one Lloyd iteration over integer-quantized vectors)
+    // with k = max(8, ceil(n/64)), so cell count grows with the corpus
+    // and within-cell pair cost stays ~O(n * cellSize), never O(n²/8).
+    // A vector is a duplicate if an earlier-id vector in the SAME cell
+    // has cosine >= 0.40 on the ORIGINAL embeddings (dup_of = the
+    // least such id; NULL = survivor). This is the shape that makes
     // embedding dedup tractable at 100 TB: the pairwise join is
-    // cell-local (shuffle bounded by cell population, k grows with the
-    // corpus), never all-pairs — the global-exact twin is e04. Ties and
-    // cosines are the same sequential fold as the oracle: bit-exact.
+    // cell-local (shuffle bounded by cell population), never all-pairs
+    // — the global-exact twin is e04. Training sums exact longs and
+    // assignment folds floats in a fixed dim order: bit-exact.
     QueryDef(
       "e09_semdedup",
       (s, dir) => {
@@ -428,15 +476,14 @@ object VectorOps {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
-        val cents = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-        val scored = e.join(broadcast(cents))
-          .withColumn("c_score",
-            expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"c_score".desc, $"cent_id")
-        val assign = scored.withColumn("crank", row_number().over(wAssign))
-          .filter($"crank" === 1)
-          .select($"vec_id", $"embedding", $"nrm", $"cent_id".as("cell_id"))
+        val (eq, ed) = kmeansQuantized(s, dir)
+        // k scales with the corpus (driver-side scalar count — one
+        // metadata-sized aggregate, the oracle computes the same)
+        val k = math.max(8L, math.ceil(eq.count() / 64.0).toLong)
+        val c1 = kmeansUpdate(eq, kmeansAssign(ed, kmeansSeeds(ed, k)))
+        val assign = e.join(
+          kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
+          "vec_id")
         val a = assign.select($"cell_id", $"vec_id".as("a_id"),
           $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
         val b = assign.select($"cell_id", $"vec_id".as("b_id"),
@@ -452,17 +499,45 @@ object VectorOps {
           .orderBy($"vec_id")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-                  FROM e WHERE vec_id < 8),
-        ranked AS (
-          SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${dotDuck("e.embedding", "cents.c_emb")} / (e.nrm * cents.c_nrm) DESC,
-                            cents.cent_id) AS crank
-          FROM e CROSS JOIN cents),
-        assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell_id
-                   FROM ranked WHERE crank = 1),
+        WITH eraw AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        e AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+        ed AS (SELECT vec_id, q,
+                      list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
+                      ${dotDuck("list_transform(q, v -> CAST(v AS DOUBLE))",
+                                "list_transform(q, v -> CAST(v AS DOUBLE))")} AS qq
+               FROM e),
+        kv AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+               FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id, qd AS c, qq AS cc FROM ed
+               WHERE vec_id < (SELECT k FROM kv)),
+        s1 AS (SELECT ed.vec_id, c0.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c0.c")} + c0.cc AS d2
+               FROM ed, c0),
+        m1 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s1) WHERE rk = 1),
+        u1 AS (SELECT m1.cent_id, t.i, sum(e.q[t.i]) AS sv, count(*) AS n
+               FROM m1 JOIN e USING (vec_id),
+                    unnest(generate_series(1, len(e.q))) AS t(i)
+               GROUP BY 1, 2),
+        c1 AS (SELECT cent_id,
+                      list(CAST(sv AS DOUBLE) / n ORDER BY i) AS c
+               FROM u1 GROUP BY 1),
+        c1x AS (SELECT cent_id, c, ${dotDuck("c", "c")} AS cc FROM c1),
+        s2 AS (SELECT ed.vec_id, c1x.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c1x.c")} + c1x.cc AS d2
+               FROM ed, c1x),
+        m2 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s2) WHERE rk = 1),
+        assign AS (SELECT eraw.vec_id, eraw.embedding, eraw.nrm,
+                          m2.cent_id AS cell_id
+                   FROM eraw JOIN m2 USING (vec_id)),
         dups AS (
           SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
           FROM assign a JOIN assign b
@@ -489,34 +564,9 @@ object VectorOps {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        val e = t(s, dir, "embeddings").selectExpr("vec_id",
-          "transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)) AS q")
-        val ed = e
-          .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
-          .withColumn("qq", expr("vec_dot(qd, qd)"))
-        // argmin as min(struct(d2, cent_id)): lexicographic struct min ==
-        // (d2 asc, cent_id asc) rank 1, but aggregates map-side — the
-        // shuffle carries one row per vector, not one per (vector,
-        // centroid) as a window would
-        def assign(cents: DataFrame): DataFrame =
-          ed.join(broadcast(cents))
-            .withColumn("d2", expr("qq - 2 * vec_dot(qd, c) + cc"))
-            .groupBy($"vec_id")
-            .agg(min(struct($"d2", $"cent_id")).as("m"))
-            .select($"vec_id", $"m.cent_id".as("cent_id"))
-        def update(members: DataFrame): DataFrame =
-          members.join(e, "vec_id")
-            .select($"cent_id", posexplode($"q").as(Seq("i", "v")))
-            .groupBy($"cent_id", $"i")
-            .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
-            .withColumn("cv", $"sv".cast("double") / $"n")
-            .groupBy($"cent_id")
-            .agg(expr("transform(sort_array(collect_list(struct(i, cv))), p -> p.cv)").as("c"))
-            .withColumn("cc", expr("vec_dot(c, c)"))
-        val c0 = ed.filter($"vec_id" < 8)
-          .select($"vec_id".as("cent_id"), $"qd".as("c"), $"qq".as("cc"))
-        val c1 = update(assign(c0))
-        val m2 = assign(c1)
+        val (e, ed) = kmeansQuantized(s, dir)
+        val c1 = kmeansUpdate(e, kmeansAssign(ed, kmeansSeeds(ed, 8L)))
+        val m2 = kmeansAssign(ed, c1)
         m2.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
           .join(c1.select($"cent_id", expr("c[0]").as("c_first"),
             expr("c[1]").as("c_second")), Seq("cent_id"))
