@@ -649,9 +649,11 @@ final class XbeamDataset private (
     * median needs every value of a cell together, so this consolidates
     * chunks to the full extent of the reduced dims (one shuffle — the
     * rechunk primitive) and runs the sort-and-interpolate kernel per
-    * cell. Memory per task is bounded by (reduced extent × kept-dim
-    * chunk), so callers keep the non-reduced chunks small; at 100 TB the
-    * approximate-quantile path (relational q18) is the cheap alternative. */
+    * cell. Memory per task is capped at
+    * `spark.graft.cellwise.maxBytes` (default 256 MB): kept-dim chunks
+    * split automatically until a cell fits, whatever the reduced
+    * extent. At 100 TB the approximate-quantile path (relational q18)
+    * remains the cheap alternative. */
   def median(dims: Set[String], skipna: Boolean = true): XbeamDataset =
     cellwise(dims, skipna, "median")((arr, axes, sk) => arr.medianAlong(axes, sk))
 
@@ -674,13 +676,35 @@ final class XbeamDataset private (
       require(template.dimSizes(d) <= Int.MaxValue,
         s"$what over dim $d: extent ${template.dimSizes(d)} exceeds one chunk")
     }
-    val target = chunkSizes.map { case (d, c) =>
-      d -> (if (dims(d)) template.dimSizes(d).toInt else c)
-    }
     import ChunkTransforms.{Pair, pairEnc}
     import org.apache.spark.sql.Encoders
     val dimsB = dims
     val sk = skipna
+    // Memory guard (spark.graft.cellwise.maxBytes, default 256 MB): one
+    // consolidated cell holds keptChunk × reducedExtent values per
+    // variable, which grows with the reduced extent (an ERA5-shaped
+    // 100× store medianed along time would hold ~hundreds of MB per
+    // task). Kept chunks whose cells exceed the cap split chunk-locally
+    // FIRST (no extra shuffle — the cell consolidation then lands the
+    // same bytes in more, smaller tasks; largest kept chunk halves
+    // until the cell fits), and the reduced output consolidates back
+    // to the original kept grid afterwards — that second shuffle
+    // carries data smaller than the input by the reduced extent.
+    val capBytes = spark.conf
+      .get("spark.graft.cellwise.maxBytes", (256L << 20).toString).toLong
+    val keptDims = template.dimOrder.filterNot(dims)
+    val reducedElems = dims.toSeq.map(template.dimSizes(_)).product
+    var keptTarget = keptDims.map(d => d -> chunkSizes(d)).toMap
+    def cellBytes: Long =
+      keptDims.map(d => keptTarget(d).toLong).product * reducedElems * 8L
+    while (cellBytes > capBytes && keptDims.exists(d => keptTarget(d) > 1)) {
+      val dMax = keptDims.maxBy(keptTarget)
+      keptTarget += dMax -> ((keptTarget(dMax) + 1) / 2)
+    }
+    val needSplit = keptDims.exists(d => keptTarget(d) != chunkSizes(d))
+    val target = chunkSizes.map { case (d, c) =>
+      d -> (if (dims(d)) template.dimSizes(d).toInt else keptTarget(d))
+    }
     // Variables spanning none of the reduced dims are replicated into
     // every chunk along those dims by the scan; they bypass the cell
     // consolidation (whose duplicate-block check would reject the
@@ -690,7 +714,10 @@ final class XbeamDataset private (
     val spanning = chunkDataset.map { p: Pair =>
       (p._1, ArrayChunk(p._2.vars.filter(kv => touchedNames(kv._1))))
     }.filter { p: Pair => p._2.vars.nonEmpty }
-    val medianed = ChunkTransforms.consolidateChunks(spanning, target)
+    val pre =
+      if (needSplit) ChunkTransforms.splitChunks(spanning, chunkSizes ++ keptTarget)
+      else spanning
+    val cells = ChunkTransforms.consolidateChunks(pre, target)
       .map { p: Pair =>
         (p._1.copy(offsets = p._1.offsets -- dimsB),
           ArrayChunk(p._2.vars.map { case (n, va) =>
@@ -701,6 +728,10 @@ final class XbeamDataset private (
               kernel(va.arr, axes, sk))
           }))
       }
+    val medianed =
+      if (needSplit) ChunkTransforms.consolidateChunks(cells,
+        keptDims.map(d => d -> chunkSizes(d)).toMap)
+      else cells
     val out =
       if (untouchedNames.isEmpty) medianed
       else {

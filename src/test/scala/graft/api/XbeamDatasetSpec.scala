@@ -662,6 +662,32 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(vals.quantileAlong(Array(0), 0.5, skipna = true).getDouble(0) == 3.0)
   }
 
+  test("median under a cell byte cap splits kept chunks, same result") {
+    // long reduced extent: 256 time steps × 32 x lanes; uncapped the
+    // cell would hold 32×256×8 = 64 KiB per task — cap at 4 KiB so the
+    // kept chunk must split 32 → 2 to fit, then consolidate back
+    val vals = NdArray.fromDoubles(DType.F64, Array(256, 32),
+      Array.tabulate(256 * 32)(i => ((i * 131) % 977).toDouble))
+    val v1d = arange(DType.F64, 32)
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals), "vx" -> (Seq("x"), v1d)),
+      chunks = Map("t" -> 16))
+    val uncapped = build.median(Set("t"))
+    spark.conf.set("spark.graft.cellwise.maxBytes", "4096")
+    try {
+      val capped = build.median(Set("t"))
+      // output chunking is unchanged — the split is internal
+      assert(capped.chunkSizes == uncapped.chunkSizes)
+      val got = capped.collectConsolidated()._2
+      assert(got.vars("v").arr.sameAs(
+        vals.medianAlong(Array(0), skipna = true)))
+      assert(got.vars("vx").arr.sameAs(v1d)) // replica path still one copy
+      val q = build.quantile(0.25, Set("t")).collectConsolidated()._2
+      assert(q.vars("v").arr.sameAs(
+        vals.quantileAlong(Array(0), 0.25, skipna = true)))
+    } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+  }
+
   test("argmin/argmax cross chunks, break ties to the lowest index") {
     val chunked = era5ds(Map("time" -> 4))
     val amin = chunked.argmin("time").collectConsolidated()._2
