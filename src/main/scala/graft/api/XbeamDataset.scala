@@ -1047,41 +1047,73 @@ final class XbeamDataset private (
     require(limit >= 1, s"fill limit must be >= 1, got $limit")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
-    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
     val d = dim
     val lim = limit
     val rev = reverse
-    val partials = chunkDataset.map { p: Pair =>
-      val (k, c) = p
-      val off = k.offsets.getOrElse(d, 0L)
-      (k, ArrayChunk(c.vars.collect {
-        case (n, va) if va.dims.contains(d) =>
-          val ax = va.dims.indexOf(d)
-          n -> VarArray("__s" +: va.dims.filterNot(_ == d),
-            va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
-      }))
-    }.filter { p: Pair => p._2.vars.nonEmpty }
-    val prefixes = lanePrefixes(partials, d, rev,
-      shape => NdArray.fill(DType.F64, shape, Double.NaN),
-      XbeamDataset.overwritePair)
-    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-      .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-    val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-      val items = it.toSeq
-      val (key, ownChunk) = items.find(!_._2).get._3
-      val seedVars = items.find(_._2).map(_._3._2.vars)
-        .getOrElse(Map.empty[String, VarArray])
-      val off = key.offsets.getOrElse(d, 0L)
-      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
-        if (!va.dims.contains(d)) n -> va
-        else {
-          val ax = va.dims.indexOf(d)
-          val seed = seedVars.get(n).map(_.arr)
-          n -> VarArray(va.dims,
-            if (rev) va.arr.bfillLimitAlong(ax, off, lim, seed)
-            else va.arr.ffillLimitAlong(ax, off, lim, seed))
-        }
-      }))
+    val chunkLen = chunkSizes(d).toLong
+    val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
+    val threshold =
+      spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
+    val joined = if (nChunks <= threshold) {
+      // short lanes: one fused chunk-body shuffle, no sliver stages
+      fusedLaneScan(d, rev)(
+        (k, c) => {
+          val off = k.offsets.getOrElse(d, 0L)
+          c.vars.collect {
+            case (n, va) if va.dims.contains(d) =>
+              val ax = va.dims.indexOf(d)
+              n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+                va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
+          }
+        },
+        shape => NdArray.fill(DType.F64, shape, Double.NaN),
+        XbeamDataset.overwritePair,
+        (k, c, seeds) => {
+          val off = k.offsets.getOrElse(d, 0L)
+          ArrayChunk(c.vars.map { case (n, va) =>
+            if (!va.dims.contains(d)) n -> va
+            else {
+              val ax = va.dims.indexOf(d)
+              n -> VarArray(va.dims,
+                if (rev) va.arr.bfillLimitAlong(ax, off, lim, seeds.get(n))
+                else va.arr.ffillLimitAlong(ax, off, lim, seeds.get(n)))
+            }
+          })
+        })
+    } else {
+      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+      val partials = chunkDataset.map { p: Pair =>
+        val (k, c) = p
+        val off = k.offsets.getOrElse(d, 0L)
+        (k, ArrayChunk(c.vars.collect {
+          case (n, va) if va.dims.contains(d) =>
+            val ax = va.dims.indexOf(d)
+            n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+              va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
+        }))
+      }.filter { p: Pair => p._2.vars.nonEmpty }
+      val prefixes = lanePrefixes(partials, d, rev,
+        shape => NdArray.fill(DType.F64, shape, Double.NaN),
+        XbeamDataset.overwritePair)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(!_._2).get._3
+        val seedVars = items.find(_._2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        val off = key.offsets.getOrElse(d, 0L)
+        (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+          if (!va.dims.contains(d)) n -> va
+          else {
+            val ax = va.dims.indexOf(d)
+            val seed = seedVars.get(n).map(_.arr)
+            n -> VarArray(va.dims,
+              if (rev) va.arr.bfillLimitAlong(ax, off, lim, seed)
+              else va.arr.ffillLimitAlong(ax, off, lim, seed))
+          }
+        }))
+      }
     }
     val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
       n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
@@ -1780,10 +1812,60 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }
 
+  /** FUSED short-lane scan: ONE shuffle of chunk bodies partitioned by
+    * lane with a secondary sort on scan position; the per-lane
+    * streaming fold computes each chunk's exclusive prefix sliver on
+    * the fly (`sliverVars`) and applies it immediately (`apply`) — the
+    * source is read once, and there is no separate sliver shuffle and
+    * no prefix rejoin. Bit-identical to the staged [[lanePrefixes]]
+    * sequential path (the same left fold in the same order). One chunk
+    * plus one sliver per lane is resident per task; everything else
+    * streams through Spark's external sort. Used by the cumulative-op
+    * family when lanes are at most `spark.graft.scan.longLaneThreshold`
+    * chunks — longer lanes take the staged two-level scan, which keeps
+    * O(sqrt n) parallelism at the cost of the rejoin. ([[interpolateNa]]
+    * always stays staged: its forward and reverse scans would need two
+    * opposite chunk-body sorts fused, which costs more than its two
+    * sliver scans.) */
+  private def fusedLaneScan(dim: String, reverse: Boolean)(
+      sliverVars: (ChunkKey, ArrayChunk) => Map[String, VarArray],
+      init: Array[Int] => NdArray,
+      combine: (NdArray, NdArray) => NdArray,
+      apply: (ChunkKey, ArrayChunk, Map[String, NdArray]) => ArrayChunk): Dataset[Pair] = {
+    import org.apache.spark.sql.functions.col
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(String, Long, Pair)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, pairEnc)
+    val d = dim
+    val rev = reverse
+    chunkDataset.map { p: Pair =>
+      val ord = if (rev) -p._1.offsets.getOrElse(d, 0L)
+        else p._1.offsets.getOrElse(d, 0L)
+      (p._1.copy(offsets = p._1.offsets - d).canonical, ord, p)
+    }
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { rows =>
+        var lane: String = null
+        var acc: Map[String, NdArray] = null
+        rows.map { case (g, _, (k, c)) =>
+          if (g != lane) { lane = g; acc = null }
+          val slivers = sliverVars(k, c)
+          if (acc == null && slivers.nonEmpty)
+            acc = slivers.map { case (n, va) => n -> init(va.arr.shape) }
+          val cur = acc
+          if (slivers.nonEmpty)
+            acc = slivers.map { case (n, va) => n -> combine(cur(n), va.arr) }
+          (k, apply(k, c, if (cur == null) Map.empty[String, NdArray] else cur))
+        }
+      }(pairEnc)
+  }
+
   /** Streaming exclusive prefix of per-chunk slivers along `dim` — the
-    * shared scan engine under [[cumsum]]/[[ffill]]/[[bfill]]/[[cummax]]/
-    * [[cummin]]/[[cumulativeIntegrate]], [[interpolateNa]] and the
-    * limited fills. Slivers shuffle once on their lane key with a
+    * STAGED scan engine: long lanes of the [[cumsum]]/[[ffill]]/
+    * [[bfill]]/[[cummax]]/[[cummin]]/[[cumulativeIntegrate]] family and
+    * the limited fills (short lanes take [[fusedLaneScan]]), plus both
+    * directions of [[interpolateNa]] at any length. Slivers shuffle
+    * once on their lane key with a
     * SECONDARY SORT on scan position (repartition + sortWithinPartitions
     * — Spark's external sort spills to disk), then fold STREAMING inside
     * each partition, so one sliver plus the accumulator is resident per
@@ -1811,9 +1893,12 @@ final class XbeamDataset private (
                            combine: (NdArray, NdArray) => NdArray): Dataset[Pair] = {
     import org.apache.spark.sql.functions.col
     // real (group, ord) columns so the repartition + secondary sort run
-    // without touching the kryo payloads
-    implicit val rowEnc: org.apache.spark.sql.Encoder[(String, Long, Boolean, Pair)] =
-      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+    // without touching the kryo payloads; lane and block are SEPARATE
+    // sort columns (a string + a long, no concatenated keys)
+    implicit val scanEnc: org.apache.spark.sql.Encoder[(String, Long, Pair)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, pairEnc)
+    implicit val blockEnc: org.apache.spark.sql.Encoder[(String, Long, Long, Boolean, Pair)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaBoolean, pairEnc)
     val d = dim
     val rev = reverse
@@ -1821,40 +1906,35 @@ final class XbeamDataset private (
     val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
     val nC = nChunks
     val laneOf = (k: ChunkKey) => k.copy(offsets = k.offsets - d).canonical
-    // ascending ord == scan direction; seed rows sort first at MinValue
     val ordOf = (k: ChunkKey) =>
       if (rev) -k.offsets.getOrElse(d, 0L) else k.offsets.getOrElse(d, 0L)
 
     // Exclusive scan per contiguous sorted group: the accumulator starts
-    // at the monoid identity (or at the group's leading seed row, which
-    // is consumed, not emitted) and each row emits it BEFORE folding
+    // at the monoid identity and each row emits it BEFORE folding
     // itself in.
-    def scanSorted(keyed: Dataset[(String, Long, Boolean, Pair)])
-        : Dataset[(String, Long, Boolean, Pair)] =
+    def scanSorted(keyed: Dataset[(String, Long, Pair)])
+        : Dataset[(String, Long, Pair)] =
       keyed.repartition(col("_1"))
         .sortWithinPartitions(col("_1"), col("_2"))
         .mapPartitions { rows =>
           var group: String = null
           var acc: Map[String, VarArray] = null
-          rows.flatMap { case (g, ord, isSeed, (k, sliver)) =>
+          rows.map { case (g, ord, (k, sliver)) =>
             if (g != group) { group = g; acc = null }
-            if (isSeed) { acc = sliver.vars; Iterator.empty }
-            else {
-              if (acc == null)
-                acc = sliver.vars.map { case (n, va) =>
-                  n -> VarArray(va.dims, init(va.arr.shape)) }
-              val cur = acc
-              acc = acc.map { case (n, va) =>
-                n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr)) }
-              Iterator.single((g, ord, false, (k, ArrayChunk(cur))))
-            }
+            if (acc == null)
+              acc = sliver.vars.map { case (n, va) =>
+                n -> VarArray(va.dims, init(va.arr.shape)) }
+            val cur = acc
+            acc = acc.map { case (n, va) =>
+              n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr)) }
+            (g, ord, (k, ArrayChunk(cur)))
           }
         }
 
     val threshold = spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
     if (nChunks <= threshold) {
-      scanSorted(partials.map { p: Pair => (laneOf(p._1), ordOf(p._1), false, p) })
-        .map { r: (String, Long, Boolean, Pair) => r._4 }
+      scanSorted(partials.map { p: Pair => (laneOf(p._1), ordOf(p._1), p) })
+        .map { r: (String, Long, Pair) => r._3 }
     } else {
       val blockSize = math.max(2L, math.ceil(math.sqrt(nChunks.toDouble)).toLong)
       val blockOf = (k: ChunkKey) => {
@@ -1865,51 +1945,60 @@ final class XbeamDataset private (
       // prefixes, plus each finished block's total re-keyed to the lane
       // (tag=true) for the level-2 scan
       val localsAndTotals = partials
-        .map { p: Pair => (laneOf(p._1) + "#" + blockOf(p._1), ordOf(p._1), false, p) }
-        .repartition(col("_1"))
-        .sortWithinPartitions(col("_1"), col("_2"))
+        .map { p: Pair => (laneOf(p._1), blockOf(p._1), ordOf(p._1), false, p) }
+        .repartition(col("_1"), col("_2"))
+        .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
         .mapPartitions { rows =>
           val buf = rows.buffered
-          new Iterator[(String, Long, Boolean, Pair)] {
-            private var group: String = null
+          new Iterator[(String, Long, Long, Boolean, Pair)] {
+            private var lane: String = null
+            private var block: Long = -1L
             private var acc: Map[String, VarArray] = null
-            private var pendingTotal: (String, Long, Boolean, Pair) = null
+            private var pendingTotal: (String, Long, Long, Boolean, Pair) = null
             def hasNext: Boolean = pendingTotal != null || buf.hasNext
-            def next(): (String, Long, Boolean, Pair) = {
+            def next(): (String, Long, Long, Boolean, Pair) = {
               if (pendingTotal != null) {
                 val r = pendingTotal; pendingTotal = null; return r
               }
-              val (g, ord, _, (k, sliver)) = buf.next()
-              if (g != group) { group = g; acc = null }
+              val (g, b, ord, _, (k, sliver)) = buf.next()
+              if (g != lane || b != block) { lane = g; block = b; acc = null }
               if (acc == null)
                 acc = sliver.vars.map { case (n, va) =>
                   n -> VarArray(va.dims, init(va.arr.shape)) }
               val cur = acc
               acc = acc.map { case (n, va) =>
                 n -> VarArray(va.dims, combine(va.arr, sliver.vars(n).arr)) }
-              if (!buf.hasNext || buf.head._1 != g)
-                pendingTotal = (laneOf(k), blockOf(k), true, (k, ArrayChunk(acc)))
-              (g, ord, false, (k, ArrayChunk(cur)))
+              if (!buf.hasNext || buf.head._1 != g || buf.head._2 != b)
+                pendingTotal = (g, b, 0L, true, (k, ArrayChunk(acc)))
+              (g, b, ord, false, (k, ArrayChunk(cur)))
             }
           }
         }
-      // pass 2: scan the ~sqrt(n) block totals per lane → block seeds
+      // pass 1 feeds two branches (locals → pass 3, totals → pass 2):
+      // persist it as an RDD (spills to disk, auto-cleaned by the
+      // ContextCleaner once unreferenced) so the post-shuffle sort read
+      // and the O(n) streaming fold run ONCE, not once per branch
+      val cached = localsAndTotals.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val locals = spark.createDataset(cached.filter(r => !r._4))(blockEnc)
+      val totals = spark.createDataset(cached.filter(r => r._4))(blockEnc)
+      // pass 2: scan the ~sqrt(n) block totals per lane → block seeds,
+      // re-keyed ahead of every real scan position (MinValue)
       val seeds = scanSorted(
-          localsAndTotals.filter { r: (String, Long, Boolean, Pair) => r._3 }
-            .map { r: (String, Long, Boolean, Pair) => (r._1, r._2, false, r._4) })
-        .map { r: (String, Long, Boolean, Pair) =>
-          (r._1 + "#" + r._2, Long.MinValue, true, r._4) }
+          totals.map { r: (String, Long, Long, Boolean, Pair) => (r._1, r._2, r._5) })
+        .map { r: (String, Long, Pair) =>
+          (r._1, r._2, Long.MinValue, true, r._3) }
       // pass 3: streaming merge — hold the block's seed, fold it in
       // front of each block-local prefix
-      localsAndTotals.filter { r: (String, Long, Boolean, Pair) => !r._3 }
-        .union(seeds)
-        .repartition(col("_1"))
-        .sortWithinPartitions(col("_1"), col("_2"))
+      locals.union(seeds)
+        .repartition(col("_1"), col("_2"))
+        .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
         .mapPartitions { rows =>
-          var group: String = null
+          var lane: String = null
+          var block: Long = -1L
           var seed: Map[String, VarArray] = null
-          rows.flatMap { case (g, _, isSeed, (k, c)) =>
-            if (g != group) { group = g; seed = null }
+          rows.flatMap { case (g, b, _, isSeed, (k, c)) =>
+            if (g != lane || b != block) { lane = g; block = b; seed = null }
             if (isSeed) { seed = c.vars; Iterator.empty }
             else if (seed == null) Iterator.single((k, c))
             else Iterator.single((k, ArrayChunk(c.vars.map { case (n, va) =>
@@ -1936,31 +2025,53 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
-    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
     val d = dim
-    val partials = chunkDataset.map { p: Pair =>
-      val (k, c) = p
-      (k, ArrayChunk(c.vars.collect {
-        case (n, va) if va.dims.contains(d) =>
-          val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
-      }))
-    }.filter { p: Pair => p._2.vars.nonEmpty }
-    val prefixes = lanePrefixes(partials, d, reverse, init, combine)
-    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-      .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-      val items = it.toSeq
-      val (key, ownChunk) = items.find(!_._2).get._3
-      val prefixVars = items.find(_._2).map(_._3._2.vars)
-        .getOrElse(Map.empty[String, VarArray])
-      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
-        if (!va.dims.contains(d)) n -> va
-        else {
-          val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims, applySeed(va.arr, ax, prefixVars.get(n).map(_.arr)))
-        }
-      }))
+    val chunkLen = chunkSizes(d).toLong
+    val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
+    val threshold =
+      spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
+    val out = if (nChunks <= threshold) {
+      // short lanes: one fused chunk-body shuffle, no sliver stages
+      fusedLaneScan(d, reverse)(
+        (_, c) => c.vars.collect {
+          case (n, va) if va.dims.contains(d) =>
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
+        },
+        init, combine,
+        (_, c, seeds) => ArrayChunk(c.vars.map { case (n, va) =>
+          if (!va.dims.contains(d)) n -> va
+          else {
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims, applySeed(va.arr, ax, seeds.get(n)))
+          }
+        }))
+    } else {
+      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+      val partials = chunkDataset.map { p: Pair =>
+        val (k, c) = p
+        (k, ArrayChunk(c.vars.collect {
+          case (n, va) if va.dims.contains(d) =>
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
+        }))
+      }.filter { p: Pair => p._2.vars.nonEmpty }
+      val prefixes = lanePrefixes(partials, d, reverse, init, combine)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(!_._2).get._3
+        val prefixVars = items.find(_._2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+          if (!va.dims.contains(d)) n -> va
+          else {
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims, applySeed(va.arr, ax, prefixVars.get(n).map(_.arr)))
+          }
+        }))
+      }
     }
     val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
       n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
