@@ -32,9 +32,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * the shuffled image groups byte-lane j of every element together,
   * with any sub-element remainder bytes carried through unchanged.
   *
-  * Not supported (explicit errors, no silent wrong reads): the blosclz
-  * inner codec and bit-shuffle — both self-describe in the header, so
-  * a store using them fails loudly at first block read.
+  * The blosclz inner codec (c-blosc's native FastLZ-derived LZ77) is
+  * implemented directly — see [[blosclzDecompress]]. Not supported
+  * (explicit error, no silent wrong reads): the bit-shuffle filter —
+  * it self-describes in the header, so a store using it fails loudly
+  * before any block read.
   */
 object Blosc {
 
@@ -138,11 +140,154 @@ object Blosc {
       val n = org.xerial.snappy.Snappy.uncompress(src, srcOff, srcLen,
         dest, destOff)
       require(n == destLen, s"snappy stream decoded $n of $destLen bytes")
-    case CodecBloscLz => throw new IllegalArgumentException(
-      "blosc inner codec 'blosclz' is not supported (lz4/zstd/zlib/snappy " +
-        "are); re-encode the store with cname='lz4'")
+    case CodecBloscLz =>
+      blosclzDecompress(src, srcOff, srcLen, dest, destOff, destLen)
     case other => throw new IllegalArgumentException(
       s"unknown blosc inner codec id $other")
+  }
+
+  // ------------------------------------------------------------ blosclz
+
+  /** Decode one blosclz stream — c-blosc's native FastLZ-derived LZ77
+    * codec (format per the public c-blosc 1.x blosclz.c). Instruction
+    * stream: a control byte with top 3 bits = 0 starts a literal run of
+    * `(ctrl & 31) + 1` bytes (the stream's first control byte is
+    * always a run — the decoder masks it to 31); otherwise a match of
+    * length `(ctrl >> 5) + 2`, where length code 7 extends by
+    * following bytes (each adds its value, 255 continues) and the
+    * distance is `((ctrl & 31) << 8) + nextByte + 1` — unless that
+    * next byte is 255 AND the high bits are all set, which switches to
+    * far-match form: two more bytes give `distance - 8192`. Matches
+    * may self-overlap (distance 1 = RLE), so the copy is sequential. */
+  private[sources] def blosclzDecompress(src: Array[Byte], srcOff: Int,
+                                         srcLen: Int, dest: Array[Byte],
+                                         destOff: Int, destLen: Int): Unit = {
+    require(srcLen > 0, "empty blosclz stream")
+    var ip = srcOff
+    val ipLimit = srcOff + srcLen
+    var op = destOff
+    val opLimit = destOff + destLen
+    var ctrl = src(ip) & 31
+    ip += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        if (len == 6) { // length code 7: extended
+          var code = 0
+          do {
+            require(ip < ipLimit, "truncated blosclz stream (ext length)")
+            code = src(ip) & 0xff; ip += 1
+            len += code
+          } while (code == 255)
+        }
+        require(ip < ipLimit, "truncated blosclz stream (offset byte)")
+        val code = src(ip) & 0xff
+        ip += 1
+        len += 3
+        var ref = op - ofs - code - 1
+        if (code == 255 && ofs == (31 << 8)) { // far match
+          require(ip + 1 < ipLimit, "truncated blosclz stream (far offset)")
+          val far = ((src(ip) & 0xff) << 8) + (src(ip + 1) & 0xff)
+          ip += 2
+          ref = op - far - 8191 - 1
+        }
+        require(ref >= destOff && op + len <= opLimit,
+          s"corrupt blosclz match: ref=${ref - destOff} op=${op - destOff} " +
+            s"len=$len dest=$destLen")
+        var i = 0
+        while (i < len) { dest(op) = dest(ref); op += 1; ref += 1; i += 1 }
+      } else {
+        val run = ctrl + 1
+        require(ip + run <= ipLimit && op + run <= opLimit,
+          "corrupt blosclz literal run")
+        System.arraycopy(src, ip, dest, op, run)
+        ip += run
+        op += run
+      }
+      if (ip < ipLimit) { ctrl = src(ip) & 0xff; ip += 1 } else loop = false
+    }
+    require(op == opLimit,
+      s"blosclz decoded ${op - destOff} of $destLen bytes")
+  }
+
+  /** Encode one blosclz stream: greedy LZ77 with a 3-byte hash table,
+    * emitting the exact instruction forms [[blosclzDecompress]] reads
+    * (literal runs of <= 32, near matches to distance 8191, far
+    * matches to 8192+65535, extended lengths). Returns null when the
+    * result would not be smaller — the caller stores the raw stream,
+    * c-blosc's own fallback. */
+  private[sources] def blosclzCompress(src: Array[Byte], off: Int,
+                                       len: Int): Array[Byte] = {
+    if (len < 16) return null
+    val out = new java.io.ByteArrayOutputStream(len / 2 + 16)
+    val hashLog = 14
+    val table = new Array[Int](1 << hashLog) // pos+1; 0 = empty
+    def hash(p: Int): Int = {
+      val v = ((src(p) & 0xff)) | ((src(p + 1) & 0xff) << 8) |
+        ((src(p + 2) & 0xff) << 16)
+      (v * 2654435761L >>> (32 - hashLog)).toInt & ((1 << hashLog) - 1)
+    }
+    val end = off + len
+    var anchor = off // first unemitted literal
+    var ip = off + 1 // never match at position 0: refs must precede op
+    def flushLiterals(upTo: Int): Unit = {
+      var a = anchor
+      while (a < upTo) {
+        val run = math.min(32, upTo - a)
+        out.write(run - 1)
+        out.write(src, a, run)
+        a += run
+      }
+      anchor = upTo
+    }
+    while (ip < end - 2 && out.size() < len) {
+      val h = hash(ip)
+      val cand = table(h) - 1
+      table(h) = ip + 1
+      val dist = ip - cand
+      if (cand >= off && dist <= 8191 + 65535 + 1 &&
+          src(cand) == src(ip) && src(cand + 1) == src(ip + 1) &&
+          src(cand + 2) == src(ip + 2)) {
+        var l = 3
+        while (ip + l < end && src(cand + l) == src(ip + l)) l += 1
+        flushLiterals(ip)
+        // length field: decoder computes L = code + 2 (code 1..6) or
+        // 7-extended; distance field: D - 1 split high5/low8, far form
+        // when D > 8192
+        val lenCode = if (l <= 8) l - 2 else 7
+        if (dist <= 8191) {
+          val e = dist - 1
+          out.write((lenCode << 5) | (e >> 8))
+          if (lenCode == 7) writeExtLen(out, l - 9)
+          out.write(e & 0xff)
+        } else {
+          val far = dist - 8192
+          out.write((lenCode << 5) | 31)
+          if (lenCode == 7) writeExtLen(out, l - 9)
+          out.write(255)
+          out.write((far >> 8) & 0xff)
+          out.write(far & 0xff)
+        }
+        // index the skipped positions sparsely (entry + exit) like
+        // FastLZ: full indexing buys little at these block sizes
+        if (ip + l < end - 2) table(hash(ip + l - 1)) = ip + l
+        ip += l
+        anchor = ip
+      } else ip += 1
+    }
+    if (out.size() >= len) return null
+    flushLiterals(end)
+    val enc = out.toByteArray
+    if (enc.length < len) enc else null
+  }
+
+  /** Extended-length bytes: each adds its value, 255 continues. */
+  private def writeExtLen(out: java.io.ByteArrayOutputStream, extra: Int): Unit = {
+    var s = extra
+    while (s >= 255) { out.write(255); s -= 255 }
+    out.write(s)
   }
 
   // ------------------------------------------------------------- encode
@@ -159,8 +304,9 @@ object Blosc {
       case "lz4" | "lz4hc" => CodecLz4
       case "zstd" => CodecZstd
       case "zlib" => CodecZlib
+      case "blosclz" => CodecBloscLz
       case other => throw new IllegalArgumentException(
-        s"unsupported blosc cname for encode: $other (lz4/zstd/zlib)")
+        s"unsupported blosc cname for encode: $other (blosclz/lz4/zstd/zlib)")
     }
     val nbytes = data.length
     val doShuffle = shuffle && typesize > 1 && nbytes >= typesize
@@ -244,6 +390,11 @@ object Blosc {
       while (!d.finished()) outBuf.write(buf, 0, d.deflate(buf))
       d.end()
       outBuf.toByteArray
+    case CodecBloscLz =>
+      val enc = blosclzCompress(src, off, len)
+      // null = would not shrink: hand back the raw slice so the
+      // caller's stored-stream fallback fires (enc.length >= neblock)
+      if (enc == null) java.util.Arrays.copyOfRange(src, off, off + len) else enc
     case other => throw new IllegalArgumentException(s"bad encode codec $other")
   }
 

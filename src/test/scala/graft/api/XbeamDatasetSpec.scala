@@ -1075,6 +1075,21 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
   }
 
+  test("zarr round-trip over a blosclz store (the x17 shape, cname=blosclz)") {
+    // the x17 gate's write → reopen → select → head pipeline, but with
+    // c-blosc's native inner codec instead of lz4
+    val path = Files.createTempDirectory("xbeam-zarr-blz").toString + "/store"
+    era5ds(Map("time" -> 4)).toZarr(path, compressor = Some("blosc:blosclz"))
+    val za = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "temperature", ".zarray")), "UTF-8")
+    assert(za.contains("\"cname\":\"blosclz\""))
+    val back = XbeamDataset.fromZarr(spark, path)
+      .select(Set("temperature")).head("time", 8)
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(
+      Fixtures.era5()("temperature")._2.slice(Array(0, 0, 0), Array(8, 5, 6))))
+  }
+
   test("zipWith: co-partitioned aligned sum (multi-dataset zip, core.py:474-502)") {
     val a = XbeamDataset.fromLocal(spark,
       Map("v" -> (Seq("t"), arange(DType.F64, 8))), chunks = Map("t" -> 3))

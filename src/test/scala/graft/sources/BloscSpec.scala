@@ -16,7 +16,7 @@ class BloscSpec extends AnyFunSuite {
     a
   }
 
-  for (cname <- Seq("lz4", "zstd", "zlib");
+  for (cname <- Seq("lz4", "zstd", "zlib", "blosclz");
        typesize <- Seq(1, 2, 4, 8);
        shuffle <- Seq(true, false)) {
     test(s"roundtrip $cname typesize=$typesize shuffle=$shuffle") {
@@ -164,9 +164,71 @@ class BloscSpec extends AnyFunSuite {
     assert(checked == 300)
   }
 
-  test("bit-shuffle and blosclz are rejected with explicit errors") {
+  test("hand-assembled blosclz stream: literals, near match, RLE, ext length") {
+    // Instruction stream written straight from the public blosclz
+    // format (c-blosc 1.x): literal run of 4 ("abcd"), a length-4
+    // match at distance 4 (copies "abcd" again), a length-10
+    // distance-1 match (RLE of 'd', extended-length form), then a
+    // trailing literal run ("xy").
+    val stream = Array[Byte](
+      3, 'a', 'b', 'c', 'd',          // run of 4 literals
+      (2 << 5).toByte, 3,             // match: len code 2 (=4), dist 3+1
+      ((7 << 5) | 0).toByte, 1, 0,    // match: ext len 9+1=10, dist 0+1
+      1, 'x', 'y')                    // run of 2 literals
+    val expect = "abcd".getBytes ++ "abcd".getBytes ++
+      Array.fill(10)('d'.toByte) ++ "xy".getBytes
+    val out = new Array[Byte](expect.length)
+    Blosc.blosclzDecompress(stream, 0, stream.length, out, 0, out.length)
+    assert(out.sameElements(expect))
+    // wrapped as a full frame (dont-split, no shuffle, codec id 0)
+    val headerLen = 16 + 4
+    val total = headerLen + 4 + stream.length
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte)
+      .put(0x10.toByte) // codec id 0 = blosclz, dont-split
+      .put(1.toByte)
+    bb.putInt(expect.length).putInt(expect.length).putInt(total)
+    bb.putInt(headerLen)
+    bb.putInt(stream.length); bb.put(stream)
+    assert(Blosc.decode(bb.array()).sameElements(expect))
+  }
+
+  test("hand-assembled blosclz far match (distance > 8192)") {
+    // 8300 literal bytes, then a length-8 match back to offset 0 —
+    // distance 8300 needs the far form: high offset bits all set,
+    // offset byte 255, then two explicit bytes carrying dist - 8192.
+    val lit = Array.tabulate(8300)(i => ((i * 37) % 251).toByte)
+    val body = new java.io.ByteArrayOutputStream()
+    lit.grouped(32).foreach { run =>
+      body.write(run.length - 1); body.write(run, 0, run.length)
+    }
+    val far = 8300 - 8192
+    body.write((6 << 5) | 31) // len code 6 (= length 8), high bits set
+    body.write(255)
+    body.write((far >> 8) & 0xff)
+    body.write(far & 0xff)
+    val stream = body.toByteArray
+    val expect = lit ++ lit.take(8)
+    val out = new Array[Byte](expect.length)
+    Blosc.blosclzDecompress(stream, 0, stream.length, out, 0, out.length)
+    assert(out.sameElements(expect))
+  }
+
+  test("blosclz compressor emits far matches that roundtrip") {
+    // incompressible noise, then an exact repeat of its head at
+    // distance 10000: the only matches the compressor can find are far.
+    val noise = randomBytes(10000, seed = 42)
+    val data = noise ++ noise.take(600)
+    val enc = Blosc.blosclzCompress(data, 0, data.length)
+    assert(enc != null, "the 600-byte far repeat must compress")
+    val out = new Array[Byte](data.length)
+    Blosc.blosclzDecompress(enc, 0, enc.length, out, 0, out.length)
+    assert(out.sameElements(data))
+  }
+
+  test("bit-shuffle is rejected with an explicit error") {
     // header(16) + one bstart(4) + one stream header cb=0(4): enough
-    // structure to reach the codec dispatch.
+    // structure to reach the filter dispatch.
     val frame = new Array[Byte](24)
     val bb = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
     frame(0) = 2; frame(2) = 0x04; frame(3) = 4 // bitshuffle flag
@@ -174,8 +236,5 @@ class BloscSpec extends AnyFunSuite {
     bb.putInt(16, 20) // bstart → stream at offset 20, cb = 0
     val e1 = intercept[IllegalArgumentException](Blosc.decode(frame))
     assert(e1.getMessage.contains("bit-shuffle"))
-    frame(2) = 0x10 // dont-split, codec 0 = blosclz
-    val e2 = intercept[IllegalArgumentException](Blosc.decode(frame))
-    assert(e2.getMessage.contains("blosclz"))
   }
 }

@@ -61,8 +61,8 @@ class ZarrSpec extends AnyFunSuite {
     assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6)).sameAs(data))
   }
 
-  test("blosc compression roundtrips (v2, lz4 + zstd cnames)") {
-    for (comp <- Seq("blosc", "blosc:zstd")) {
+  test("blosc compression roundtrips (v2, lz4 + zstd + blosclz cnames)") {
+    for (comp <- Seq("blosc", "blosc:zstd", "blosc:blosclz")) {
       val path = tmpStore()
       Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some(comp))
       val meta = Zarr.readArrayMeta(path, "v")
