@@ -26,15 +26,69 @@ trait BlobStore {
 
 object BlobStore {
   /** Scheme dispatch — the extension point for object stores. Plain
-    * paths (and file://) resolve to the local filesystem. */
+    * paths (and file://) resolve to the local filesystem; mem:// is the
+    * in-memory object store ([[MemStore]]). */
   def forUrl(url: String): BlobStore =
     if (url.startsWith("file://")) LocalFsStore
+    else if (url.startsWith("mem://")) MemStore
     else if (url.contains("://")) throw new IllegalArgumentException(
-      s"no BlobStore registered for scheme of $url (local paths only)")
+      s"no BlobStore registered for scheme of $url (mem:// and local paths)")
     else LocalFsStore
 
   def stripScheme(url: String): String =
     if (url.startsWith("file://")) url.substring("file://".length) else url
+}
+
+/** In-memory object store (`mem://…`) — a FLAT concurrent key→bytes
+  * namespace with object-store semantics: whole-blob put/get, no
+  * rename, no real directories ("containers" exist only as key
+  * prefixes). Exercises the exact surface a GCS/S3 backend would
+  * implement, and backs store-layer tests without touching disk. One
+  * namespace per JVM: driver and local-mode executors share it, which
+  * is precisely the single-process scope such a test store is for. */
+object MemStore extends BlobStore {
+  private val blobs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def dirPrefix(url: String) = url.stripSuffix("/") + "/"
+
+  override def read(url: String): Array[Byte] =
+    readIfExists(url).getOrElse(
+      throw new java.io.FileNotFoundException(s"no blob at $url"))
+
+  override def readIfExists(url: String): Option[Array[Byte]] =
+    Option(blobs.get(url))
+
+  override def write(url: String, bytes: Array[Byte]): Unit =
+    blobs.put(url, bytes.clone()) // defensive: callers may reuse buffers
+
+  override def exists(url: String): Boolean =
+    blobs.containsKey(url) || isContainer(url)
+
+  override def listChildren(url: String): Seq[String] = {
+    val prefix = dirPrefix(url)
+    import scala.jdk.CollectionConverters._
+    blobs.keySet().asScala.iterator
+      .filter(_.startsWith(prefix))
+      .map(_.substring(prefix.length))
+      .filter(_.contains('/')) // containers only: a deeper key exists
+      .map(_.takeWhile(_ != '/'))
+      .toSeq.distinct.sorted
+  }
+
+  override def isContainer(url: String): Boolean = {
+    val prefix = dirPrefix(url)
+    import scala.jdk.CollectionConverters._
+    blobs.keySet().asScala.exists(_.startsWith(prefix))
+  }
+
+  /** Test hook: drop every blob under `url` (or everything). */
+  def clear(url: String = "mem://"): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prefix = url.stripSuffix("/")
+    blobs.keySet().asScala.filter(k =>
+      k == prefix || k.startsWith(prefix + "/")).foreach(blobs.remove)
+  }
 }
 
 /** java.nio-backed implementation for local (or locally-mounted)

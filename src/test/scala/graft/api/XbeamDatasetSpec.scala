@@ -1075,6 +1075,23 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
   }
 
+  test("zarr round-trip over mem:// (distributed write + read, no disk)") {
+    // full toZarr → fromZarr over the in-memory object store: driver
+    // stages + flushes metadata, local-mode executors region-write
+    // chunks into the shared JVM namespace, the scan reads them back
+    val path = "mem://bucket/xbeam-roundtrip/store"
+    graft.sources.MemStore.clear(path)
+    val xds = era5ds(Map("time" -> 4))
+    xds.toZarr(path)
+    val back = XbeamDataset.fromZarr(spark, path)
+    assert(back.template.dimSizes == xds.template.dimSizes)
+    assert(back.chunkSizes == xds.chunkSizes)
+    val (_, c) = back.collectConsolidated()
+    assert(c.vars("temperature").arr.sameAs(Fixtures.era5()("temperature")._2))
+    assert(c.vars("precip").arr.sameAs(Fixtures.era5()("precip")._2))
+    graft.sources.MemStore.clear(path)
+  }
+
   test("zarr round-trip over a blosclz store (the x17 shape, cname=blosclz)") {
     // the x17 gate's write → reopen → select → head pipeline, but with
     // c-blosc's native inner codec instead of lz4

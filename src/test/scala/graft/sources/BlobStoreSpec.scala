@@ -6,11 +6,35 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class BlobStoreSpec extends AnyFunSuite {
 
-  test("scheme dispatch: local paths and file:// resolve, others fail") {
+  test("scheme dispatch: local paths, file:// and mem:// resolve, others fail") {
     assert(BlobStore.forUrl("/tmp/x") eq LocalFsStore)
     assert(BlobStore.forUrl("file:///tmp/x") eq LocalFsStore)
+    assert(BlobStore.forUrl("mem://bucket/x") eq MemStore)
     val e = intercept[IllegalArgumentException](BlobStore.forUrl("s3://bucket/x"))
     assert(e.getMessage.contains("no BlobStore registered"))
+  }
+
+  test("mem store: flat object semantics — put/get, prefix containers, no rename") {
+    val root = "mem://bucket/memsem"
+    MemStore.clear(root)
+    MemStore.write(s"$root/a/.zarray", Array[Byte](1))
+    MemStore.write(s"$root/a/0.0", Array[Byte](2, 3))
+    MemStore.write(s"$root/.zgroup", Array[Byte](4))
+    assert(MemStore.read(s"$root/a/0.0").toSeq == Seq[Byte](2, 3))
+    assert(MemStore.readIfExists(s"$root/missing").isEmpty)
+    intercept[java.io.FileNotFoundException](MemStore.read(s"$root/missing"))
+    // containers are key prefixes, nothing more: "a" lists as a child
+    // (a deeper key exists); the blob ".zgroup" does not
+    assert(MemStore.listChildren(root) == Seq("a"))
+    assert(MemStore.isContainer(s"$root/a") && !MemStore.isContainer(s"$root/.zgroup"))
+    assert(MemStore.exists(s"$root/a") && MemStore.exists(s"$root/.zgroup"))
+    // writes are whole-blob overwrites of an immutable copy
+    val buf = Array[Byte](7)
+    MemStore.write(s"$root/a/0.0", buf)
+    buf(0) = 9
+    assert(MemStore.read(s"$root/a/0.0").toSeq == Seq[Byte](7))
+    MemStore.clear(root)
+    assert(!MemStore.isContainer(root))
   }
 
   test("local store: write creates parents, read/exists/list roundtrip") {

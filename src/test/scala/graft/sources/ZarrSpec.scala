@@ -19,6 +19,28 @@ class ZarrSpec extends AnyFunSuite {
     coords = Map("t" -> arange(DType.I64, 10)),
     attrs = Map("title" -> "spec"))
 
+  test("mem:// store: setup + region write + reopen + read roundtrip") {
+    // the same store-layer pipeline as the local-FS roundtrips, but
+    // over the in-memory object store — exercises the scheme dispatch
+    // end-to-end, including the StagedWrites batch flush inside
+    // setupStore (one put per staged metadata blob, no renames)
+    val path = "mem://bucket/zarrspec-roundtrip"
+    MemStore.clear(path)
+    Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some("zlib"))
+    assert(MemStore.isContainer(s"$path/v"))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.compressor.contains("zlib"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    val opened = Zarr.openStore(path)
+    assert(opened.dims == Seq("t" -> 10L, "x" -> 6L))
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+    val mid = Zarr.readRegion(path, "v", meta, Array(3L, 2L), Array(4, 3))
+    assert(mid.sameAs(data.slice(Array(3, 2), Array(4, 3))))
+    MemStore.clear(path)
+  }
+
   test("setup + region write + read roundtrip (uneven edge chunks)") {
     val path = tmpStore()
     val chunks = Map("t" -> 4, "x" -> 6)
