@@ -628,6 +628,15 @@ object XbeamQueries {
     // totals (slivers) → exclusive prefix per lane-chunk → co-partitioned
     // rejoin seeding each chunk's running sum. Oracle: SQL running-sum
     // window; integer-valued data keeps every partial exact.
+    //
+    // HARNESS PIN (cross-engine exactness): the scan's two-level path
+    // (lanes > spark.graft.scan.longLaneThreshold chunks, default 64)
+    // reassociates float addition across block boundaries, so a
+    // NON-integer cumsum over a >64-chunk lane may differ from the
+    // oracle's sequential window by ULPs. This gate stays hash-exact
+    // because its data is integer-valued AND its lanes are short; any
+    // future float cumulative gate over long lanes must either pin the
+    // threshold above its lane length or compare with a tolerance.
     QueryDef(
       "x26_cumsum",
       (s, dir) => TabularBridge.toDataFrame(
