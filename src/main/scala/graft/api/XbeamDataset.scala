@@ -999,15 +999,19 @@ final class XbeamDataset private (
   }
 
   /** Cumulative sum along `dim` — the distributed prefix-scan pattern
-    * (vs. [[mapWithHalo]]'s fixed-neighbor exchange): (1) each chunk
-    * reduces to a per-lane total along the dim (a sliver, data/chunk
-    * the size of the chunk body); (2) totals group per lane-chunk and an
-    * exclusive prefix is computed in dim order — tiny, one row per
-    * (chunk, lane); (3) prefixes rejoin their chunks co-partitioned and
-    * the in-chunk running sum seeds from the incoming prefix. Chunk
-    * bodies cross the wire once; the scan-carried state is always the
-    * reduced sliver. Exact for integer-valued data in any merge order.
-    * Variables not spanning `dim` pass through unchanged. */
+    * (vs. [[mapWithHalo]]'s fixed-neighbor exchange). Short lanes
+    * (<= `spark.graft.scan.longLaneThreshold` chunks) take the FUSED
+    * path: one lane-partitioned secondary-sorted shuffle of chunk
+    * bodies with a streaming fold that computes each chunk's exclusive
+    * prefix sliver on the fly and seeds the in-chunk running sum
+    * immediately. Longer lanes stage: (1) each chunk reduces to a
+    * per-lane sliver; (2) slivers scan to exclusive prefixes through
+    * the two-level [[lanePrefixes]] engine — O(sqrt n) parallel
+    * blocks, one resident sliver per task; (3) prefixes rejoin their
+    * chunks co-partitioned. Either way chunk bodies cross the wire
+    * once and scan-carried state is the reduced sliver. Exact for
+    * integer-valued data in any merge order. Variables not spanning
+    * `dim` pass through unchanged. */
   def cumsum(dim: String): XbeamDataset =
     prefixScanAlong(dim)(
       (arr, ax) => arr.sumCount(Array(ax), skipna = false)._1,

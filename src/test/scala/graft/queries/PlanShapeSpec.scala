@@ -51,6 +51,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anomaly must not reshuffle the full dataset:\n$an")
   }
 
+  test("short-lane cumsum/ffill fuse into a single exchange") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def exchanges(ds: graft.api.XbeamDataset): Int =
+      "(?<!Reused)Exchange".r
+        .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+    // the fused short-lane path: one repartition of chunk bodies on the
+    // lane key — no separate sliver shuffle, no prefix rejoin shuffle
+    assert(exchanges(xds.cumsum("time")) == 1,
+      "short-lane cumsum must shuffle exactly once")
+    assert(exchanges(xds.ffill("time")) == 1,
+      "short-lane ffill must shuffle exactly once")
+    assert(exchanges(xds.ffill("time", limit = 2)) == 1,
+      "short-lane limited fill must shuffle exactly once")
+  }
+
   test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
     import graft.api.XbeamDataset
     import graft.Fixtures
