@@ -1199,18 +1199,26 @@ final class XbeamDataset private (
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
     implicit val taggedEnc = Encoders.kryo[(String, Int, Pair)]
+    implicit val edgeEnc = Encoders.kryo[(ChunkKey, ArrayChunk, ArrayChunk)]
     val d = dim
-    // per-chunk stacked (value, global index) edge slivers
-    def partials(last: Boolean): Dataset[Pair] = chunkDataset.map { p: Pair =>
+    // ONE pass computes BOTH per-chunk stacked (value, global index)
+    // edge slivers, cached as a small disk-spillable RDD (sliver bytes
+    // = data / chunk extent; auto-cleaned by the ContextCleaner): the
+    // forward and reverse scans then derive from the cache, so the
+    // source is read once for slivers + once for the rejoin — two
+    // passes total instead of three
+    val edges = chunkDataset.map { p: Pair =>
       val (k, c) = p
       val off = k.offsets.getOrElse(d, 0L)
-      (k, ArrayChunk(c.vars.collect {
+      def sliver(last: Boolean) = ArrayChunk(c.vars.collect {
         case (n, va) if va.dims.contains(d) =>
           val ax = va.dims.indexOf(d)
           n -> VarArray("__s" +: va.dims.filterNot(_ == d),
             va.arr.edgeValidWithIndexAlong(ax, off, last))
-      }))
-    }.filter { p: Pair => p._2.vars.nonEmpty }
+      })
+      (k, sliver(last = true), sliver(last = false))
+    }.filter { t: (ChunkKey, ArrayChunk, ArrayChunk) => t._2.vars.nonEmpty }
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // overwrite-if-present on the stacked pair: a later sliver's value
     // plane decides; its index plane travels with it — the
     // exclusive-prefix "nearest valid so far" per lane-chunk, streamed
@@ -1219,8 +1227,10 @@ final class XbeamDataset private (
       lanePrefixes(parts, d, reverse,
         shape => NdArray.fill(DType.F64, shape, Double.NaN),
         XbeamDataset.overwritePair)
-    val fwd = prefixes(partials(last = true), reverse = false)
-    val rev = prefixes(partials(last = false), reverse = true)
+    val fwd = prefixes(
+      spark.createDataset(edges.map(t => (t._1, t._2)))(pairEnc), reverse = false)
+    val rev = prefixes(
+      spark.createDataset(edges.map(t => (t._1, t._3)))(pairEnc), reverse = true)
     val tagged = chunkDataset.map { p: Pair => (p._1.canonical, 0, p) }
       .union(fwd.map { p: Pair => (p._1.canonical, 1, p) })
       .union(rev.map { p: Pair => (p._1.canonical, 2, p) })
