@@ -1054,11 +1054,8 @@ final class XbeamDataset private (
     val d = dim
     val lim = limit
     val rev = reverse
-    val chunkLen = chunkSizes(d).toLong
-    val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
-    val threshold =
-      spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
-    val joined = if (nChunks <= threshold) {
+    val nChunks = scanChunksAlong(d)
+    val joined = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
       // short lanes: one fused chunk-body shuffle, no sliver stages
       fusedLaneScan(d, rev)(
         (k, c) => {
@@ -1841,6 +1838,33 @@ final class XbeamDataset private (
     * always stays staged: its forward and reverse scans would need two
     * opposite chunk-body sorts fused, which costs more than its two
     * sliver scans.) */
+  private def scanChunksAlong(d: String): Long = {
+    val chunkLen = chunkSizes(d).toLong
+    (template.dimSizes(d) + chunkLen - 1) / chunkLen
+  }
+
+  private def scanLongLaneThreshold: Long =
+    spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
+
+  /** Whether one whole lane of chunk bodies may stream through a single
+    * task: the fused path serializes a lane per task, which is the
+    * right trade when lanes are many (the normal big-data geometry —
+    * scanning a short dim of a wide store yields totalChunks/nChunks
+    * lanes, far more than any cluster's cores) but not for a few-lane
+    * giant dataset. The bound is plan-time exact:
+    * nChunks × chunkBytes <= `spark.graft.scan.fusedMaxLaneBytes`
+    * (default 4 GiB). Over it, the staged sliver path keeps per-chunk
+    * parallelism in the compute/apply stages. */
+  private def fusedLaneFits(d: String, nChunks: Long): Boolean = {
+    val chunkElems = template.dimOrder.map { dd =>
+      math.min(chunkSizes(dd).toLong, template.dimSizes(dd))
+    }.product
+    val laneBytes = nChunks * chunkElems * template.combinedItemsize(splitVars)
+    val cap = spark.conf
+      .get("spark.graft.scan.fusedMaxLaneBytes", (4L << 30).toString).toLong
+    laneBytes <= cap
+  }
+
   private def fusedLaneScan(dim: String, reverse: Boolean)(
       sliverVars: (ChunkKey, ArrayChunk) => Map[String, VarArray],
       init: Array[Int] => NdArray,
@@ -2040,11 +2064,8 @@ final class XbeamDataset private (
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
     val d = dim
-    val chunkLen = chunkSizes(d).toLong
-    val nChunks = (template.dimSizes(d) + chunkLen - 1) / chunkLen
-    val threshold =
-      spark.conf.get("spark.graft.scan.longLaneThreshold", "64").toLong
-    val out = if (nChunks <= threshold) {
+    val nChunks = scanChunksAlong(d)
+    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
       // short lanes: one fused chunk-body shuffle, no sliver stages
       fusedLaneScan(d, reverse)(
         (_, c) => c.vars.collect {

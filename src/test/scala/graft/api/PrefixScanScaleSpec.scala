@@ -51,6 +51,25 @@ class PrefixScanScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("fused short-lane path is bit-identical to the staged sliver path") {
+    // spark.graft.scan.fusedMaxLaneBytes = 0 declares every lane too
+    // big to stream through one task, forcing the staged sliver path
+    // even for short lanes — results must not depend on the routing
+    val CAP = "spark.graft.scan.fusedMaxLaneBytes"
+    val ops: Seq[XbeamDataset => XbeamDataset] = Seq(
+      _.cumsum("time"), _.ffill("time"), _.bfill("time"),
+      _.cummax("time"), _.cummin("time"),
+      _.ffill("time", limit = 3), _.bfill("time", limit = 2))
+    for (op <- ops) {
+      val fused = op(ds()).collectConsolidated()._2
+      val staged = try {
+        spark.conf.set(CAP, "0")
+        op(ds()).collectConsolidated()._2
+      } finally spark.conf.unset(CAP)
+      assert(staged.vars("v").arr.sameAs(fused.vars("v").arr))
+    }
+  }
+
   test("reverse two-level blocks follow the reverse scan direction") {
     // bfill with a lane long enough that block boundaries sit mid-gap
     val seq = withThreshold(1000)(
