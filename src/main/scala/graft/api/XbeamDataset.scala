@@ -1154,9 +1154,10 @@ final class XbeamDataset private (
       (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = true, seed))
 
   /** Trailing rolling reduction along `dim` — [[rollingMean]]
-    * generalized to op ∈ "sum" | "min" | "max" | "mean" (xarray
-    * `rolling(dim=w).sum()/.min()/.max()`), on the same halo exchange:
-    * only `window-1` trailing slivers cross the wire. */
+    * generalized to op ∈ "sum" | "min" | "max" | "mean" | "var" |
+    * "std" (xarray `rolling(dim=w).sum()/.min()/.max()/.var()/.std()`,
+    * var/std population ddof=0), on the same halo exchange: only
+    * `window-1` trailing slivers cross the wire. */
   def rolling(dim: String, window: Int, op: String,
               minPeriods: Int = 1): XbeamDataset = {
     require(window >= 2, s"rolling window must be >= 2, got $window")

@@ -968,9 +968,12 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 
   /** Trailing rolling reduction along `axis` in float64 — the
     * [[rollingMeanAlong]] loop generalized to op ∈ sum | min | max |
-    * mean (SQL's SUM/MIN/MAX/AVG OVER `ROWS BETWEEN window-1 PRECEDING
-    * AND CURRENT ROW`, truncated at the sequence start). `skipStart`
-    * as in [[rollingMeanAlong]]. NaN inputs propagate. Positions whose
+    * mean | var | std (SQL's SUM/MIN/MAX/AVG OVER `ROWS BETWEEN
+    * window-1 PRECEDING AND CURRENT ROW`, truncated at the sequence
+    * start). var/std are population (ddof=0, xarray's default),
+    * computed as `(Σv² − (Σv)²/c)/c` — mirror that exact expression
+    * tree in a cross-engine oracle. `skipStart` as in
+    * [[rollingMeanAlong]]. NaN inputs propagate. Positions whose
     * truncated window holds fewer than `minPeriods` values yield NaN
     * (xarray's min_periods; min_periods=window is xarray's default,
     * 1 is the SQL behavior). */
@@ -986,8 +989,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       case "min" => 1
       case "max" => 2
       case "mean" => 3
+      case "var" => 4
+      case "std" => 5
       case other => throw new IllegalArgumentException(
-        s"unknown rolling op $other (sum/min/max/mean)")
+        s"unknown rolling op $other (sum/min/max/mean/var/std)")
     }
     val outShape = shape.clone()
     outShape(axis) = shape(axis) - skipStart
@@ -1003,6 +1008,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         val lo = math.max(0, i - window + 1)
         var acc = if (opId == 1) Double.PositiveInfinity
                   else if (opId == 2) Double.NegativeInfinity else 0.0
+        var acc2 = 0.0
         var c = 0
         var j = lo
         val base = flat - (i - lo).toLong * axisStride
@@ -1013,6 +1019,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
             case 0 | 3 => acc += v
             case 1 => if (v < acc) acc = v
             case 2 => if (v > acc) acc = v
+            case 4 | 5 => acc += v; acc2 += v * v
           }
           c += 1
           j += 1
@@ -1025,7 +1032,12 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         }
         out.setDouble(outFlat,
           if (c < minPeriods) Double.NaN
-          else if (opId == 3) acc / c else acc)
+          else opId match {
+            case 3 => acc / c
+            case 4 => (acc2 - acc * acc / c) / c
+            case 5 => math.sqrt((acc2 - acc * acc / c) / c)
+            case _ => acc
+          })
       }
       var d = ndim - 1
       var carry = true

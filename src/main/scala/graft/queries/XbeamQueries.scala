@@ -1440,6 +1440,42 @@ object XbeamQueries {
                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x53
+    // Rolling variance/std along t (xarray rolling().var()/.std(),
+    // population ddof=0): the same halo exchange as x41 with the
+    // two-accumulator moment kernel, window 7. Exactness: vf is
+    // integer-valued (<= 490) so Σv and Σv² are exact for any window
+    // truncation, (Σv)²/c rounds identically on both engines, and a
+    // zero-variance window cancels exactly — both sides compute the
+    // literal expression (Σv² − (Σv)²/c)/c in the same order; sqrt is
+    // IEEE correctly-rounded on both. uid (~1e18) would round in the
+    // v² products, so the gate reduces vf only.
+    QueryDef(
+      "x53_rolling_std",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir).select(Set("vf"))
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("vf").as(s"vf_$tag"))
+        frame(xds.rolling("t", 7, "var"), "rvar")
+          .join(frame(xds.rolling("t", 7, "std"), "rstd"), Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               (sum(vf * vf) OVER w - sum(vf) OVER w * sum(vf) OVER w
+                  / CAST(count(*) OVER w AS DOUBLE))
+                 / CAST(count(*) OVER w AS DOUBLE) AS vf_rvar,
+               sqrt((sum(vf * vf) OVER w - sum(vf) OVER w * sum(vf) OVER w
+                  / CAST(count(*) OVER w AS DOUBLE))
+                 / CAST(count(*) OVER w AS DOUBLE)) AS vf_rstd
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -235,12 +235,20 @@ class XbeamDatasetSpec extends AnyFunSuite {
   }
 
   test("rolling(sum/min/max) reductions cross chunks like rollingMean") {
-    Seq("sum", "min", "max").foreach { op =>
+    Seq("sum", "min", "max", "var", "std").foreach { op =>
       val rolled = era5ds(Map("time" -> 4)).rolling("time", 3, op)
         .collectConsolidated()._2.vars("temperature").arr
       val direct = Fixtures.era5()("temperature")._2.rollingReduceAlong(0, 3, 0, op)
       assert(rolled.sameAs(direct), s"op $op")
     }
+    // hand-checked var/std: window [2,4,6] → mean 4, var 8/3; the
+    // kernel's exact expression is (Σv² − (Σv)²/c)/c
+    val vals = NdArray.fromDoubles(DType.F64, Array(3), Array(2.0, 4.0, 6.0))
+    val v = vals.rollingReduceAlong(0, 3, 0, "var").getDouble(2)
+    assert(v == (56.0 - 144.0 / 3) / 3)
+    assert(vals.rollingReduceAlong(0, 3, 0, "std").getDouble(2) == math.sqrt(v))
+    // single-element window: var 0 exactly
+    assert(vals.rollingReduceAlong(0, 3, 0, "var").getDouble(0) == 0.0)
     // mean op reproduces rollingMean exactly
     assert(era5ds(Map("time" -> 4)).rolling("time", 3, "mean")
       .collectConsolidated()._2.vars("temperature").arr.sameAs(
