@@ -664,6 +664,107 @@ final class XbeamDataset private (
     cellwise(dims, skipna, "quantile")((arr, axes, sk) =>
       arr.quantileAlong(axes, q, sk))
 
+  /** Average-tie ranks along `dim` (xarray `Dataset.rank(dim)`): each
+    * element's 1-based rank among its lane's values, ties sharing the
+    * mean of their positional ranks; NaN ranks NaN. Like
+    * [[median]]/[[quantile]] this is an order statistic — each lane
+    * must assemble once — so it consolidates the full `dim` extent per
+    * cell (one shuffle) under the same
+    * `spark.graft.cellwise.maxBytes` memory cap (kept chunks split to
+    * fit), ranks lane-locally, and splits back to the original chunk
+    * grid along `dim` chunk-locally. When the cap engaged, the output
+    * keeps the smaller kept-dim chunks (rechunk after if the original
+    * grid matters — ranks are full-size data, so consolidating back
+    * would re-shuffle everything). Variables not spanning `dim` pass
+    * through unchanged. */
+  def rank(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(template.dimSizes(dim) <= Int.MaxValue,
+      s"rank over dim $dim: extent ${template.dimSizes(dim)} exceeds one chunk")
+    import ChunkTransforms.{Pair, pairEnc}
+    import org.apache.spark.sql.Encoders
+    val d = dim
+    val capBytes = spark.conf
+      .get("spark.graft.cellwise.maxBytes", (256L << 20).toString).toLong
+    val keptDims = template.dimOrder.filterNot(_ == d)
+    val laneElems = template.dimSizes(d)
+    var keptTarget = keptDims.map(dd => dd -> chunkSizes(dd)).toMap
+    def cellBytes: Long =
+      keptDims.map(dd => keptTarget(dd).toLong).product * laneElems * 8L
+    while (cellBytes > capBytes && keptDims.exists(dd => keptTarget(dd) > 1)) {
+      val dMax = keptDims.maxBy(keptTarget)
+      keptTarget += dMax -> ((keptTarget(dMax) + 1) / 2)
+    }
+    val needSplit = keptDims.exists(dd => keptTarget(dd) != chunkSizes(dd))
+    val outChunks = keptTarget + (d -> chunkSizes(d))
+    val target = outChunks + (d -> template.dimSizes(d).toInt)
+    val touchedNames = template.vars.filter(_._2.dims.contains(d)).keySet
+    val untouchedNames = template.vars.keySet -- touchedNames
+    val spanning = chunkDataset.map { p: Pair =>
+      (p._1, ArrayChunk(p._2.vars.filter(kv => touchedNames(kv._1))))
+    }.filter { p: Pair => p._2.vars.nonEmpty }
+    val pre =
+      if (needSplit) ChunkTransforms.splitChunks(spanning, chunkSizes ++ keptTarget)
+      else spanning
+    val ranked = ChunkTransforms.consolidateChunks(pre, target)
+      .map { p: Pair =>
+        (p._1, ArrayChunk(p._2.vars.map { case (n, va) =>
+          n -> VarArray(va.dims, va.arr.rankAlong(va.dims.indexOf(d)))
+        }))
+      }
+    val back = ChunkTransforms.splitChunks(ranked, outChunks)
+    val out =
+      if (untouchedNames.isEmpty) back
+      else {
+        val un = untouchedNames
+        val untouched0 = chunkDataset.map { p: Pair =>
+          (p._1, ArrayChunk(p._2.vars.filter(kv => un(kv._1))))
+        }.filter { p: Pair => p._2.vars.nonEmpty }
+        // align untouched vars to the (possibly capped) kept grid:
+        // slice vars that span a split dim, REPLICATE vars that don't
+        // (splitChunks only splits dims a chunk's vars span, so a
+        // replica-per-finer-chunk needs explicit key enumeration)
+        val kt = keptTarget
+        val cs = chunkSizes
+        val dimsTotal = template.dimSizes
+        val untouched =
+          if (!needSplit) untouched0
+          else untouched0.flatMap { p: Pair =>
+            var acc = Seq(p)
+            for (dd <- kt.keys.toSeq.sorted if kt(dd) != cs(dd)) {
+              val step = kt(dd)
+              acc = acc.flatMap { case (kk, cc) =>
+                val off = kk.offsets.getOrElse(dd, 0L)
+                val extent = math.min(cs(dd).toLong, dimsTotal(dd) - off)
+                (0L until extent by step.toLong).map { s =>
+                  val len = math.min(step.toLong, extent - s).toInt
+                  (kk.copy(offsets = kk.offsets + (dd -> (off + s))),
+                    ArrayChunk(cc.vars.map { case (n, va) =>
+                      if (!va.dims.contains(dd)) n -> va
+                      else {
+                        val ax = va.dims.indexOf(dd)
+                        val starts = Array.fill(va.arr.ndim)(0)
+                        starts(ax) = s.toInt
+                        val lens = va.arr.shape.clone()
+                        lens(ax) = len
+                        n -> VarArray(va.dims, va.arr.slice(starts, lens))
+                      }
+                    }))
+                }
+              }
+            }
+            acc
+          }
+        ChunkTransforms.consolidateVariables(
+          back.map { p: Pair => (p._1.copy(vars = None), p._2) }
+            .union(untouched.map { p: Pair => (p._1.copy(vars = None), p._2) }))
+      }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, outChunks, splitVars, out)
+  }
+
   /** The shared machinery of the exact order-statistic reductions
     * (median/quantile): consolidate each output cell's full reduced
     * extent together (one shuffle — the rechunk primitive), then run

@@ -370,6 +370,56 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Average-tie ranks along `axis` (xarray `Dataset.rank(dim)`,
+    * bottleneck rankdata semantics): each element's 1-based rank among
+    * its lane's values, ties sharing the mean of their positional
+    * ranks (exact halves). NaN ranks NaN and is excluded from the
+    * ranking. Output shape equals input shape. */
+  def rankAlong(axis: Int): NdArray = {
+    require(axis >= 0 && axis < ndim, s"axis $axis out of range")
+    val m = shape(axis)
+    val out = NdArray.zeros(DType.F64, shape)
+    val axStride = strides(axis)
+    val idx = new Array[Int](ndim)
+    val vals = new Array[Double](m)
+    var done = false
+    while (!done) {
+      var base = 0L
+      var d = 0
+      while (d < ndim) { base += idx(d).toLong * strides(d); d += 1 }
+      var j = 0
+      while (j < m) { vals(j) = getDouble(base + j.toLong * axStride); j += 1 }
+      val sorted = Array.range(0, m).filter(jj => !vals(jj).isNaN).sortBy(vals)
+      var p = 0
+      while (p < sorted.length) {
+        var q = p
+        while (q + 1 < sorted.length && vals(sorted(q + 1)) == vals(sorted(p))) q += 1
+        val avg = (p + q) / 2.0 + 1.0 // mean of the run's 1-based ranks
+        var r = p
+        while (r <= q) { out.setDouble(base + sorted(r).toLong * axStride, avg); r += 1 }
+        p = q + 1
+      }
+      var jj = 0
+      while (jj < m) {
+        if (vals(jj).isNaN)
+          out.setDouble(base + jj.toLong * axStride, Double.NaN)
+        jj += 1
+      }
+      // advance to the next lane (all dims but the ranked axis)
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        if (dd == axis) dd -= 1
+        else {
+          idx(dd) += 1
+          if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+        }
+      }
+      if (carry) done = true
+    }
+    out
+  }
+
   /** Median along the given axes — `quantileAlong(axes, 0.5, skipna)`. */
   def medianAlong(axes: Array[Int], skipna: Boolean): NdArray =
     quantileAlong(axes, 0.5, skipna)

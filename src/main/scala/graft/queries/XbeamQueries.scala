@@ -1476,6 +1476,29 @@ object XbeamQueries {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x54
+    // Average-tie rank along t (xarray Dataset.rank(dim)): each cell's
+    // 1-based rank among its x-lane's values, ties sharing the mean of
+    // their positional ranks — the order-statistic transform (lanes
+    // assemble once under the cellwise memory cap, rank lane-locally,
+    // split back). Oracle: SQL rank() + (tie count − 1)/2; ranks are
+    // integers/halves so both forms are exact. vf only (uid ~1e18
+    // would round in the bridge's double view and could reorder).
+    QueryDef(
+      "x54_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        TabularBridge.toDataFrame(gridXds(s, dir).select(Set("vf")).rank("t"))
+          .select(col("t"), col("x"), col("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CAST(rank() OVER (PARTITION BY x ORDER BY vf) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY x, vf) AS DOUBLE) - 1) / 2 AS vf
+        FROM grid ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x20
     // CF-packed variable decode: vf stores as int16 with scale_factor /
     // add_offset attrs (the ERA5-style packing xarray's decode_cf

@@ -696,6 +696,38 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
   }
 
+  test("rank: average ties, NaN passthrough, cross-chunk and capped") {
+    // hand-checked kernel: [3, 1, 3, NaN, 2] → ranks [3.5, 1, 3.5, NaN, 2]
+    val vals = NdArray.fromDoubles(DType.F64, Array(5),
+      Array(3.0, 1.0, 3.0, Double.NaN, 2.0))
+    val r = vals.rankAlong(0)
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == 1.0 &&
+      r.getDouble(2) == 3.5 && r.getDouble(3).isNaN && r.getDouble(4) == 2.0)
+    // distributed rank equals the single-array kernel, any chunking
+    val direct = Fixtures.era5()("temperature")._2.rankAlong(0)
+    for (ch <- Seq(3, 4, 12)) {
+      val got = era5ds(Map("time" -> ch)).rank("time")
+        .collectConsolidated()._2.vars("temperature").arr
+      assert(got.sameAs(direct), s"chunks=$ch")
+    }
+    // memory cap engaged: kept chunks split, same ranks; an untouched
+    // 1-d var must still replicate exactly once per output chunk
+    val grid2 = NdArray.fromDoubles(DType.F64, Array(64, 32),
+      Array.tabulate(64 * 32)(i => ((i * 131) % 23).toDouble)) // many ties
+    val v1d = arange(DType.F64, 32)
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), grid2), "vx" -> (Seq("x"), v1d)),
+      chunks = Map("t" -> 16))
+    val uncapped = build.rank("t").collectConsolidated()._2
+    spark.conf.set("spark.graft.cellwise.maxBytes", "4096")
+    try {
+      val capped = build.rank("t").collectConsolidated()._2
+      assert(capped.vars("v").arr.sameAs(uncapped.vars("v").arr))
+      assert(capped.vars("v").arr.sameAs(grid2.rankAlong(0)))
+      assert(capped.vars("vx").arr.sameAs(v1d))
+    } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+  }
+
   test("argmin/argmax cross chunks, break ties to the lowest index") {
     val chunked = era5ds(Map("time" -> 4))
     val amin = chunked.argmin("time").collectConsolidated()._2
