@@ -1256,9 +1256,9 @@ final class XbeamDataset private (
 
   /** Trailing rolling reduction along `dim` — [[rollingMean]]
     * generalized to op ∈ "sum" | "min" | "max" | "mean" | "var" |
-    * "std" (xarray `rolling(dim=w).sum()/.min()/.max()/.var()/.std()`,
-    * var/std population ddof=0), on the same halo exchange: only
-    * `window-1` trailing slivers cross the wire. */
+    * "std" | "median" (xarray `rolling(dim=w).sum()/.min()/.max()/
+    * .var()/.std()/.median()`, var/std population ddof=0), on the same
+    * halo exchange: only `window-1` trailing slivers cross the wire. */
   def rolling(dim: String, window: Int, op: String,
               minPeriods: Int = 1): XbeamDataset = {
     require(window >= 2, s"rolling window must be >= 2, got $window")

@@ -1018,9 +1018,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 
   /** Trailing rolling reduction along `axis` in float64 — the
     * [[rollingMeanAlong]] loop generalized to op ∈ sum | min | max |
-    * mean | var | std (SQL's SUM/MIN/MAX/AVG OVER `ROWS BETWEEN
-    * window-1 PRECEDING AND CURRENT ROW`, truncated at the sequence
-    * start). var/std are population (ddof=0, xarray's default),
+    * mean | var | std | median (SQL's SUM/MIN/MAX/AVG/MEDIAN OVER
+    * `ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`, truncated at
+    * the sequence start). var/std are population (ddof=0, xarray's default),
     * computed as `(Σv² − (Σv)²/c)/c` — mirror that exact expression
     * tree in a cross-engine oracle. `skipStart` as in
     * [[rollingMeanAlong]]. NaN inputs propagate. Positions whose
@@ -1041,8 +1041,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       case "mean" => 3
       case "var" => 4
       case "std" => 5
+      case "median" => 6
       case other => throw new IllegalArgumentException(
-        s"unknown rolling op $other (sum/min/max/mean/var/std)")
+        s"unknown rolling op $other (sum/min/max/mean/var/std/median)")
     }
     val outShape = shape.clone()
     outShape(axis) = shape(axis) - skipStart
@@ -1062,6 +1063,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         var c = 0
         var j = lo
         val base = flat - (i - lo).toLong * axisStride
+        val buf = if (opId == 6) new Array[Double](i - lo + 1) else null
         while (j <= i) {
           val v = getDouble(base + (j - lo).toLong * axisStride)
           if (v.isNaN) acc = Double.NaN
@@ -1070,6 +1072,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
             case 1 => if (v < acc) acc = v
             case 2 => if (v > acc) acc = v
             case 4 | 5 => acc += v; acc2 += v * v
+            case 6 => buf(c) = v
           }
           c += 1
           j += 1
@@ -1086,6 +1089,13 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
             case 3 => acc / c
             case 4 => (acc2 - acc * acc / c) / c
             case 5 => math.sqrt((acc2 - acc * acc / c) / c)
+            case 6 =>
+              if (acc.isNaN) Double.NaN // a NaN poisons the window
+              else {
+                java.util.Arrays.sort(buf, 0, c)
+                if (c % 2 == 1) buf(c / 2)
+                else (buf(c / 2 - 1) + buf(c / 2)) / 2
+              }
             case _ => acc
           })
       }

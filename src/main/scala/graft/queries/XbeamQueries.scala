@@ -1476,6 +1476,29 @@ object XbeamQueries {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x55
+    // Rolling median along t (xarray rolling().median(), the despiking
+    // filter): window 7 order statistic per position on the halo
+    // exchange. Integer-valued vf keeps the mid (or the mean of the
+    // two mids — an exact half) bit-identical to DuckDB's windowed
+    // median.
+    QueryDef(
+      "x55_rolling_median",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        TabularBridge.toDataFrame(
+            gridXds(s, dir).select(Set("vf")).rolling("t", 7, "median"))
+          .select(col("t"), col("x"), col("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, median(vf) OVER w AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x54
     // Average-tie rank along t (xarray Dataset.rank(dim)): each cell's
     // 1-based rank among its x-lane's values, ties sharing the mean of

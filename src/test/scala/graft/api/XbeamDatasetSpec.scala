@@ -249,6 +249,16 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(vals.rollingReduceAlong(0, 3, 0, "std").getDouble(2) == math.sqrt(v))
     // single-element window: var 0 exactly
     assert(vals.rollingReduceAlong(0, 3, 0, "var").getDouble(0) == 0.0)
+    // rolling median: odd window picks the middle, truncated even
+    // window averages the two mids; NaN poisons its windows
+    val mvals = NdArray.fromDoubles(DType.F64, Array(5),
+      Array(4.0, 1.0, 3.0, Double.NaN, 2.0))
+    val med = mvals.rollingReduceAlong(0, 3, 0, "median")
+    assert(med.getDouble(0) == 4.0 && med.getDouble(1) == 2.5 &&
+      med.getDouble(2) == 3.0 && med.getDouble(3).isNaN && med.getDouble(4).isNaN)
+    assert(era5ds(Map("time" -> 4)).rolling("time", 3, "median")
+      .collectConsolidated()._2.vars("temperature").arr.sameAs(
+        Fixtures.era5()("temperature")._2.rollingReduceAlong(0, 3, 0, "median")))
     // mean op reproduces rollingMean exactly
     assert(era5ds(Map("time" -> 4)).rolling("time", 3, "mean")
       .collectConsolidated()._2.vars("temperature").arr.sameAs(
