@@ -262,6 +262,63 @@ object StreamOps {
         WHERE win_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
         GROUP BY 1, 2 ORDER BY win_start_us, event_type""")),
 
+    // ---------------------------------------------------------------- s05
+    // Stream-stream interval join (event attribution): each purchase
+    // joins the same user's views from the preceding 6 hours. Both
+    // sides carry watermarks and the range condition bounds the join
+    // STATE on each side (Spark evicts view-state once the purchase
+    // watermark passes view ts + 6h — state is interval-bounded, not
+    // unbounded). Inner joins emit on match, no append-mode window
+    // cutoff, so the bounded result is exactly the batch interval
+    // join — the oracle runs it directly. Timestamps are µs-granular
+    // in the data, so µs (stream) vs ns (oracle) comparisons agree.
+    QueryDef(
+      "s05_stream_interval_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        def side(tag: String, typ: String) = s.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("event_type") === typ)
+          .select(col("event_id").as(s"${tag}_id"),
+                  col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+          .withWatermark(s"${tag}_ts", "0 seconds")
+        val joined = side("v", "view").join(side("p", "purchase"),
+            expr("v_user = p_user AND p_ts >= v_ts AND " +
+                 "p_ts <= v_ts + interval 6 hours"))
+          .select(col("v_id"), col("p_id"), col("v_user").as("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        val name = "s05_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("v_id", "p_id")
+      },
+      Some("""
+        SELECT a.event_id AS v_id, b.event_id AS p_id, a.user_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        ORDER BY v_id, p_id""")),
+
     // ---------------------------------------------------------------- s03
     // Streaming exact dedup with bounded state — the ingestion-side
     // dedup a training-data pipeline runs continuously: documents
