@@ -2306,6 +2306,123 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes, splitVars, out)
   }
 
+  /** Two-sided halo exchange: each chunk receives its PREDECESSOR's
+    * trailing `haloLen` elements AND its SUCCESSOR's leading `haloLen`
+    * elements along `dim`, then `kernel(joined, ax, skipPre, skipPost,
+    * off)` runs per dim-spanning variable — `joined` is
+    * preHalo ++ own ++ postHalo concatenated along the dim,
+    * skipPre/skipPost the halo extents actually present (0 at the
+    * global edges), `off` the chunk's global offset. One co-partitioned
+    * shuffle whose payload is halo slivers from both sides — never
+    * chunk bodies. The two-sided primitive behind central-difference
+    * kernels ([[differentiate]]). */
+  def mapWithHaloBothAt(dim: String, haloLen: Int)(
+      kernel: (NdArray, Int, Int, Int, Long) => NdArray): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(haloLen >= 1 && haloLen <= chunkSizes(dim),
+      s"halo $haloLen must be in [1, chunk ${chunkSizes(dim)}] for $dim " +
+        "(rechunk larger along the dim first)")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Int, Pair)]
+    val d = dim
+    val h = haloLen
+    val dimSize = template.dimSizes(dim)
+    val chunkLen = chunkSizes(d).toLong
+    val tagged = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      val extent = c.vars.collectFirst {
+        case (_, va) if va.dims.contains(d) => va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      def edge(leading: Boolean) = ArrayChunk(c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          val len = math.min(h, extent)
+          val starts = Array.fill(va.arr.ndim)(0)
+          if (!leading) starts(ax) = extent - len
+          val lens = va.arr.shape.clone()
+          lens(ax) = len
+          n -> VarArray(va.dims, va.arr.slice(starts, lens))
+      })
+      val own = Seq((k.canonical, 0, p))
+      val toNext =
+        if (off + extent < dimSize && extent > 0)
+          Seq((k.copy(offsets = k.offsets + (d -> (off + extent))).canonical,
+            1, (k, edge(leading = false))))
+        else Nil
+      val toPrev =
+        if (off > 0 && extent > 0)
+          Seq((k.copy(offsets = k.offsets + (d -> (off - chunkLen))).canonical,
+            2, (k, edge(leading = true))))
+        else Nil
+      own ++ toNext ++ toPrev
+    }
+    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val ownItems = items.filter(_._2 == 0)
+      require(ownItems.length == 1,
+        s"halo2: expected exactly one own chunk per key, got ${ownItems.length}")
+      val (key, ownChunk) = ownItems.head._3
+      val preOpt = items.find(_._2 == 1).map(_._3._2)
+      val postOpt = items.find(_._2 == 2).map(_._3._2)
+      val result = ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          val pre = preOpt.map(_.vars(n).arr)
+          val post = postOpt.map(_.vars(n).arr)
+          val skipPre = pre.map(_.shape(ax)).getOrElse(0)
+          val skipPost = post.map(_.shape(ax)).getOrElse(0)
+          val joined = if (skipPre == 0 && skipPost == 0) va.arr else {
+            val shape2 = va.arr.shape.clone()
+            shape2(ax) += skipPre + skipPost
+            val j = NdArray.zeros(va.arr.dtype, shape2)
+            pre.foreach(j.insert(Array.fill(shape2.length)(0), _))
+            val st = Array.fill(shape2.length)(0)
+            st(ax) = skipPre
+            j.insert(st, va.arr)
+            post.foreach { pa =>
+              val st2 = Array.fill(shape2.length)(0)
+              st2(ax) = skipPre + va.arr.shape(ax)
+              j.insert(st2, pa)
+            }
+            j
+          }
+          n -> VarArray(va.dims,
+            kernel(joined, ax, skipPre, skipPost, key.offsets.getOrElse(d, 0L)))
+        }
+      })
+      (key, result)
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, out)
+  }
+
+  /** Derivative along `dim` against its coordinate (xarray
+    * `differentiate(coord)`, numpy.gradient with edge_order=1):
+    * second-order central differences in the interior, one-sided
+    * first-order at the global edges. One two-sided halo-1 exchange —
+    * only single-sliver halos cross the wire. Needs a float64
+    * coordinate on `dim` (same contract as [[integrate]]). */
+  def differentiate(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"differentiate needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"differentiate needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val c = coord.toDoubles
+    require(c.length == template.dimSizes(dim),
+      s"coordinate length ${c.length} != dim size ${template.dimSizes(dim)}")
+    require(c.length >= 2, "differentiate needs at least 2 positions")
+    val bc = spark.sparkContext.broadcast(c)
+    mapWithHaloBothAt(dim, 1) { (joined, ax, skipPre, skipPost, off) =>
+      joined.gradientAlong(ax, skipPre, skipPost, off, bc.value)
+    }
+  }
+
   private def reduced(dims: Set[String], kind: String,
                       skipna: Boolean): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),

@@ -1382,6 +1382,59 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Central-difference gradient along `axis` against coordinate
+    * values (numpy.gradient / xarray `differentiate`, edge_order=1):
+    * interior positions take (v[g+1] − v[g−1]) / (c[g+1] − c[g−1]),
+    * the global edges the one-sided first-order difference. The array
+    * holds `skipPre` prepended and `skipPost` appended halo elements
+    * along the axis (present exactly when a neighbor chunk exists);
+    * output is the own extent only. `coords` is the full-dim
+    * coordinate array, `off` the own region's global start. */
+  def gradientAlong(axis: Int, skipPre: Int, skipPost: Int, off: Long,
+                    coords: Array[Double]): NdArray = {
+    val m = shape(axis) - skipPre - skipPost
+    require(m >= 1, s"gradient: empty own extent along axis $axis")
+    require(coords.length >= 2, "gradient needs at least 2 positions")
+    val outShape = shape.clone()
+    outShape(axis) = m
+    val out = NdArray.zeros(DType.F64, outShape)
+    val n = coords.length
+    val axStride = strides(axis)
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    val total = out.size
+    while (flat < total) {
+      val p = idx(axis)
+      val g = off + p
+      var jFlat = 0L
+      var dd = 0
+      while (dd < ndim) {
+        jFlat += (if (dd == axis) (skipPre + p).toLong else idx(dd).toLong) *
+          strides(dd)
+        dd += 1
+      }
+      val v =
+        if (g == 0L)
+          (getDouble(jFlat + axStride) - getDouble(jFlat)) /
+            (coords(1) - coords(0))
+        else if (g == n - 1L)
+          (getDouble(jFlat) - getDouble(jFlat - axStride)) /
+            (coords(n - 1) - coords(n - 2))
+        else
+          (getDouble(jFlat + axStride) - getDouble(jFlat - axStride)) /
+            (coords((g + 1).toInt) - coords((g - 1).toInt))
+      out.setDouble(flat, v) // row-major walk: flat == out's C-order index
+      var d2 = ndim - 1
+      var carry = true
+      while (d2 >= 0 && carry) {
+        idx(d2) += 1
+        if (idx(d2) == outShape(d2)) { idx(d2) = 0; d2 -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Per-interval trapezoid contributions along `axis`: output position
     * i (global g = globalStart + i) holds (v[g−1] + v[g])/2 · Δ[g−1],
     * the area of the interval ENDING at g (0 at g = 0 — no interval).

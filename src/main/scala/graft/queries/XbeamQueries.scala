@@ -1268,6 +1268,43 @@ object XbeamQueries {
                sum((pv + vf) / 2 * (2 * t - 1)) AS vf
         FROM d WHERE t >= 1 GROUP BY x ORDER BY x""")),
 
+    // ---------------------------------------------------------------- x56
+    // Derivative against the coordinate (xarray differentiate, numpy
+    // gradient edge_order=1): central differences interior, one-sided
+    // at the edges, over x46's quadratic coord c[t] = t². One
+    // two-sided halo-1 exchange. Exactness: numerators are differences
+    // of exact values and denominators exact integers (c[t+1]−c[t−1] =
+    // 4t), so the single division rounds identically on both engines.
+    QueryDef(
+      "x56_differentiate",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => i.toDouble * i))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.differentiate("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        d AS (SELECT x, t, CAST(uid AS DOUBLE) AS u, vf,
+                     lag(CAST(uid AS DOUBLE)) OVER w AS pu,
+                     lead(CAST(uid AS DOUBLE)) OVER w AS nu,
+                     lag(vf) OVER w AS pv, lead(vf) OVER w AS nv,
+                     max(t) OVER (PARTITION BY x) AS tmax
+              FROM grid WINDOW w AS (PARTITION BY x ORDER BY t))
+        SELECT t, x,
+               CASE WHEN t = 0 THEN (nu - u) / 1
+                    WHEN t = tmax THEN (u - pu) / (CAST(2 * t - 1 AS DOUBLE))
+                    ELSE (nu - pu) / (CAST(4 * t AS DOUBLE)) END AS uid,
+               CASE WHEN t = 0 THEN (nv - vf) / 1
+                    WHEN t = tmax THEN (vf - pv) / (CAST(2 * t - 1 AS DOUBLE))
+                    ELSE (nv - pv) / (CAST(4 * t AS DOUBLE)) END AS vf
+        FROM d ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x48
     // Cumulative trapezoidal integral (xarray cumulative_integrate):
     // x46's per-interval areas fed through the x26 prefix scan — a

@@ -634,6 +634,42 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert((0 until 4).map(t => cum.getDouble(t * 2L)) == Seq(0.0, 2.0, 7.0, 23.0))
   }
 
+  test("differentiate: central differences vs hand computation, any chunking") {
+    // values v = [1, 4, 9, 16, 25, 36] over coord c = [0, 1, 3, 6, 10, 15]
+    // (non-uniform spacing); edge_order=1 gradient hand-computed
+    val v = Array(1.0, 4.0, 9.0, 16.0, 25.0, 36.0)
+    val c = Array(0.0, 1.0, 3.0, 6.0, 10.0, 15.0)
+    val expect = Array(
+      (v(1) - v(0)) / (c(1) - c(0)),
+      (v(2) - v(0)) / (c(2) - c(0)),
+      (v(3) - v(1)) / (c(3) - c(1)),
+      (v(4) - v(2)) / (c(4) - c(2)),
+      (v(5) - v(3)) / (c(5) - c(3)),
+      (v(5) - v(4)) / (c(5) - c(4)))
+    for (ch <- Seq(2, 3, 6)) { // incl. ragged (6 % 4 != 0 avoided; 2,3 divide)
+      val got = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(6), v))),
+        coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(6), c)),
+        chunks = Map("t" -> ch))
+        .differentiate("t").collectConsolidated()._2.vars("v").arr
+      assert(got.sameAs(NdArray.fromDoubles(DType.F64, Array(6), expect)),
+        s"chunks=$ch")
+    }
+    // ragged last chunk: 6 over chunk 4 → extents 4, 2
+    val ragged = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(6), v))),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(6), c)),
+      chunks = Map("t" -> 4))
+      .differentiate("t").collectConsolidated()._2.vars("v").arr
+    assert(ragged.sameAs(NdArray.fromDoubles(DType.F64, Array(6), expect)))
+    // a missing coordinate is rejected
+    assertThrows[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(6), v))),
+        chunks = Map("t" -> 3)).differentiate("t")
+    }
+  }
+
   test("groupbyBinsMean groups cells by value bin across chunks") {
     // by-values 0..11 → bins [0,4): 0-3, [4,8): 4-7, [8,11]: 8-11
     val by = NdArray.fromDoubles(DType.F64, Array(6, 2),
