@@ -903,6 +903,47 @@ final class XbeamDataset private (
   def argmax(dim: String, skipna: Boolean = true): XbeamDataset =
     argExtremeDim(dim, isMin = false, skipna)
 
+  /** Coordinate value of the minimum along `dim` (xarray `idxmin`):
+    * [[argmin]]'s index mapped through the dim's float64 coordinate
+    * chunk-locally — the reduction shuffle is argmin's own; the coord
+    * is plan-time metadata and broadcasts. NaN where a cell has no
+    * data (argmin's -1). */
+  def idxmin(dim: String, skipna: Boolean = true): XbeamDataset =
+    idxExtremeDim(dim, isMin = true, skipna)
+
+  /** Coordinate value of the maximum along `dim` (xarray `idxmax`). */
+  def idxmax(dim: String, skipna: Boolean = true): XbeamDataset =
+    idxExtremeDim(dim, isMin = false, skipna)
+
+  private def idxExtremeDim(dim: String, isMin: Boolean,
+                            skipna: Boolean): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"idx${if (isMin) "min" else "max"} needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"idx${if (isMin) "min" else "max"} needs a float64 coordinate on $dim, " +
+        s"got ${coord.dtype.zarr}")
+    val c = coord.toDoubles
+    val touched = template.vars.filter(_._2.dims.contains(dim)).keySet
+    val arg = argExtremeDim(dim, isMin, skipna)
+    val bc = spark.sparkContext.broadcast(c)
+    val tn = touched
+    val mapped = arg.mapBlocks { chunk =>
+      ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!tn(n)) n -> va
+        else n -> VarArray(va.dims, va.arr.mapF64 { i =>
+          if (i < 0) Double.NaN else bc.value(i.toInt)
+        })
+      })
+    }
+    // mapBlocks keeps the template; fix the mapped vars' dtype to F64
+    val newTemplate = arg.template.copy(vars = arg.template.vars.map {
+      case (n, vs) => n -> VarSpec(vs.dims, if (tn(n)) DType.F64 else vs.dtype)
+    })
+    XbeamDataset.fromPairs(spark, newTemplate, arg.chunkSizes,
+      mapped.chunkDataset, validate = false)
+  }
+
   private def argExtremeDim(dim: String, isMin: Boolean,
                             skipna: Boolean): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")

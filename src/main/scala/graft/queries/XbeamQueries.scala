@@ -720,6 +720,45 @@ object XbeamQueries {
                max(CASE WHEN rv_max = 1 THEN t END) AS vf_amax
         FROM r GROUP BY x ORDER BY x""")),
 
+    // ---------------------------------------------------------------- x57
+    // Coordinate-valued extremes (xarray idxmin/idxmax): x29's argmin
+    // indices mapped through the t coordinate (c[t] = t², plan-time
+    // metadata, broadcast) — the shuffle is argmin's own. Ties to the
+    // lowest index like x29; t² is an exact integer-valued double on
+    // both engines.
+    QueryDef(
+      "x57_idxminmax",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds0 = gridXds(s, dir)
+        val tSize = xds0.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => i.toDouble * i))
+        val xds = XbeamDataset.fromPairs(s,
+          xds0.template.copy(coords = Map("t" -> coord)),
+          xds0.chunkSizes, xds0.chunkDataset, validate = false)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("x"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.idxmin("t"), "imin")
+          .join(frame(xds.idxmax("t"), "imax"), "x")
+          .orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        r AS (SELECT x, t,
+                row_number() OVER (PARTITION BY x ORDER BY uid ASC, t ASC) AS ru_min,
+                row_number() OVER (PARTITION BY x ORDER BY uid DESC, t ASC) AS ru_max,
+                row_number() OVER (PARTITION BY x ORDER BY vf ASC, t ASC) AS rv_min,
+                row_number() OVER (PARTITION BY x ORDER BY vf DESC, t ASC) AS rv_max
+              FROM grid)
+        SELECT x,
+               max(CASE WHEN ru_min = 1 THEN CAST(t * t AS DOUBLE) END) AS uid_imin,
+               max(CASE WHEN rv_min = 1 THEN CAST(t * t AS DOUBLE) END) AS vf_imin,
+               max(CASE WHEN ru_max = 1 THEN CAST(t * t AS DOUBLE) END) AS uid_imax,
+               max(CASE WHEN rv_max = 1 THEN CAST(t * t AS DOUBLE) END) AS vf_imax
+        FROM r GROUP BY x ORDER BY x""")),
+
     // ---------------------------------------------------------------- x30
     // Anomaly vs the t-mean (the climate-pipeline step after a
     // climatology): one reduction shuffle builds mean_t, which

@@ -806,6 +806,25 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(strict.getLong(0) == 1 && strict.getLong(1) == -1)
   }
 
+  test("idxmin/idxmax map arg indices through the coord; empty cells NaN") {
+    // v columns: [5,1,3] (min at t=1, max at t=0), [NaN,NaN,NaN]
+    val vals = NdArray.fromDoubles(DType.F64, Array(3, 2),
+      Array(5.0, Double.NaN, 1.0, Double.NaN, 3.0, Double.NaN))
+    val c = NdArray.fromDoubles(DType.F64, Array(3), Array(10.0, 20.0, 30.0))
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> c),
+      chunks = Map("t" -> 2))
+    val imin = build.idxmin("t").collectConsolidated()._2.vars("v").arr
+    assert(imin.getDouble(0) == 20.0 && imin.getDouble(1).isNaN)
+    val imax = build.idxmax("t").collectConsolidated()._2.vars("v").arr
+    assert(imax.getDouble(0) == 10.0 && imax.getDouble(1).isNaN)
+    // a missing coordinate is rejected
+    assertThrows[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark, Map("v" -> (Seq("t", "x"), vals)),
+        chunks = Map("t" -> 2)).idxmin("t")
+    }
+  }
+
   test("concat shifts keys by the first extent (no shuffle arithmetic)") {
     val dir = Files.createTempDirectory("concat").toString
     era5ds(Map("time" -> 4)).toZarr(s"$dir/store")
