@@ -720,40 +720,54 @@ final class XbeamDataset private (
         val untouched0 = chunkDataset.map { p: Pair =>
           (p._1, ArrayChunk(p._2.vars.filter(kv => un(kv._1))))
         }.filter { p: Pair => p._2.vars.nonEmpty }
-        // align untouched vars to the (possibly capped) kept grid:
-        // slice vars that span a split dim, REPLICATE vars that don't
-        // (splitChunks only splits dims a chunk's vars span, so a
-        // replica-per-finer-chunk needs explicit key enumeration)
+        // Align untouched vars to the (possibly capped) kept grid. Two
+        // behaviors, decided per SPLIT dim: a var SPANNING a split dim
+        // must be re-sliced onto the global output cells — when the
+        // source chunk is not a multiple of the target (chunk 5 capped
+        // to 3) an output cell like [3,6) straddles two source chunks,
+        // so this is a real split→consolidate, not a chunk-local slice;
+        // a var NOT spanning a split dim is replicated once per output
+        // cell, emitted by the unique source chunk containing the
+        // cell's start (no duplicate replicas). Vars spanning the same
+        // subset of split dims behave identically → one stream each.
         val kt = keptTarget
         val cs = chunkSizes
-        val dimsTotal = template.dimSizes
+        val dimsTotal = template.dimSizes // avoid capturing `this` in closures
         val untouched =
           if (!needSplit) untouched0
-          else untouched0.flatMap { p: Pair =>
-            var acc = Seq(p)
-            for (dd <- kt.keys.toSeq.sorted if kt(dd) != cs(dd)) {
-              val step = kt(dd)
-              acc = acc.flatMap { case (kk, cc) =>
-                val off = kk.offsets.getOrElse(dd, 0L)
-                val extent = math.min(cs(dd).toLong, dimsTotal(dd) - off)
-                (0L until extent by step.toLong).map { s =>
-                  val len = math.min(step.toLong, extent - s).toInt
-                  (kk.copy(offsets = kk.offsets + (dd -> (off + s))),
-                    ArrayChunk(cc.vars.map { case (n, va) =>
-                      if (!va.dims.contains(dd)) n -> va
-                      else {
-                        val ax = va.dims.indexOf(dd)
-                        val starts = Array.fill(va.arr.ndim)(0)
-                        starts(ax) = s.toInt
-                        val lens = va.arr.shape.clone()
-                        lens(ax) = len
-                        n -> VarArray(va.dims, va.arr.slice(starts, lens))
+          else {
+            val splitDims = kt.keys.toSeq.sorted.filter(dd => kt(dd) != cs(dd))
+            val spanClass: Map[String, Seq[String]] = untouchedNames.map { n =>
+              n -> splitDims.filter(template.vars(n).dims.contains(_))
+            }.toMap
+            spanClass.values.toSeq.distinct.map { spanned =>
+              val names = untouchedNames.filter(n => spanClass(n) == spanned)
+              val stream0 = untouched0.map { p: Pair =>
+                (p._1, ArrayChunk(p._2.vars.filter(kv => names(kv._1))))
+              }.filter { p: Pair => p._2.vars.nonEmpty }
+              val repDims = splitDims.filterNot(spanned.contains)
+              val replicated =
+                if (repDims.isEmpty) stream0
+                else stream0.flatMap { p: Pair =>
+                  var acc = Seq(p._1)
+                  for (dd <- repDims) {
+                    val step = kt(dd).toLong
+                    acc = acc.flatMap { kk =>
+                      val off = kk.offsets.getOrElse(dd, 0L)
+                      val extent = math.min(cs(dd).toLong, dimsTotal(dd) - off)
+                      // output cells whose start lies in this chunk
+                      val first = ((off + step - 1) / step) * step
+                      (first until (off + extent) by step).map { s =>
+                        kk.copy(offsets = kk.offsets + (dd -> s))
                       }
-                    }))
+                    }
+                  }
+                  acc.map(kk => (kk, p._2))
                 }
-              }
-            }
-            acc
+              if (spanned.isEmpty) replicated
+              else ChunkTransforms.consolidateChunks(
+                ChunkTransforms.splitChunks(replicated, cs ++ kt), outChunks)
+            }.reduce(_.union(_))
           }
         ChunkTransforms.consolidateVariables(
           back.map { p: Pair => (p._1.copy(vars = None), p._2) }
@@ -2595,10 +2609,21 @@ final class XbeamDataset private (
     }
     val stored = if (zarrChunks.isEmpty) chunkSizes
       else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
+    // plan-time shard-grid validation (mirror of dataset.py:754-866's
+    // zarr_chunks/zarr_shards divisibility checks): every violation
+    // names its dim and fails BEFORE setupStore touches the target
+    require(zarrShards.isEmpty || zarrFormat == 3,
+      s"zarr_shards requires zarr format 3 (sharding_indexed is a v3 " +
+        s"codec), got format $zarrFormat")
+    (zarrShards.keySet -- template.dimSizes.keySet).foreach { d =>
+      throw new IllegalArgumentException(
+        s"zarr_shards names unknown dim $d (dims: ${template.dimOrder})")
+    }
     val shardGrid: Map[String, Int] =
       if (zarrShards.isEmpty) Map.empty
       else template.dimOrder.map { d =>
         val sh = zarrShards.getOrElse(d, stored(d))
+        require(sh > 0, s"zarr shard for dim $d must be positive, got $sh")
         require(sh % stored(d) == 0,
           s"zarr shard $sh for dim $d is not a multiple of zarr chunk ${stored(d)}")
         d -> sh

@@ -1022,7 +1022,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * `ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`, truncated at
     * the sequence start). var/std are population (ddof=0, xarray's default),
     * computed as `(Σv² − (Σv)²/c)/c` — mirror that exact expression
-    * tree in a cross-engine oracle. `skipStart` as in
+    * tree in a cross-engine oracle — clamped at 0 before the sqrt so
+    * cancellation on near-constant fractional windows yields 0 (as
+    * bottleneck does), never sqrt(-ε)=NaN; the clamp is a no-op on
+    * the integer-valued data the oracle gates use. `skipStart` as in
     * [[rollingMeanAlong]]. NaN inputs propagate. Positions whose
     * truncated window holds fewer than `minPeriods` values yield NaN
     * (xarray's min_periods; min_periods=window is xarray's default,
@@ -1087,8 +1090,11 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           if (c < minPeriods) Double.NaN
           else opId match {
             case 3 => acc / c
-            case 4 => (acc2 - acc * acc / c) / c
-            case 5 => math.sqrt((acc2 - acc * acc / c) / c)
+            // clamp: the cancelling form can go epsilon-negative on
+            // near-constant fractional windows; bottleneck returns 0
+            // there, not NaN (math.max keeps a poisoned-NaN acc NaN)
+            case 4 => math.max(0.0, (acc2 - acc * acc / c) / c)
+            case 5 => math.sqrt(math.max(0.0, (acc2 - acc * acc / c) / c))
             case 6 =>
               if (acc.isNaN) Double.NaN // a NaN poisons the window
               else {

@@ -16,6 +16,23 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 trait BlobStore {
   def read(url: String): Array[Byte]
   def readIfExists(url: String): Option[Array[Byte]]
+  /** Blob size in bytes without fetching the body (object-store HEAD);
+    * None when absent. Default falls back to a whole read — override
+    * wherever a cheaper stat exists. */
+  def sizeIfExists(url: String): Option[Long] =
+    readIfExists(url).map(_.length.toLong)
+  /** Read `length` bytes starting at `offset` — the object-store ranged
+    * GET. The seam that makes sharded-store reads scale: a v3 shard
+    * interior is fetched chunk-by-chunk through this, never as a
+    * whole-file read. Default falls back to a whole read + slice —
+    * override wherever the backend can seek. */
+  def readRange(url: String, offset: Long, length: Int): Array[Byte] = {
+    require(offset >= 0 && length >= 0, s"bad range $offset+$length for $url")
+    val all = read(url)
+    require(offset + length <= all.length,
+      s"range $offset+$length past end of $url (${all.length} bytes)")
+    java.util.Arrays.copyOfRange(all, offset.toInt, offset.toInt + length)
+  }
   /** Atomic whole-blob overwrite, creating parents as needed. */
   def write(url: String, bytes: Array[Byte]): Unit
   def exists(url: String): Boolean
@@ -27,13 +44,23 @@ trait BlobStore {
 object BlobStore {
   /** Scheme dispatch — the extension point for object stores. Plain
     * paths (and file://) resolve to the local filesystem; mem:// is the
-    * in-memory object store ([[MemStore]]). */
+    * in-memory object store ([[MemStore]]); http(s):// is the
+    * read-only ranged-GET backend ([[HttpStore]]). */
   def forUrl(url: String): BlobStore =
     if (url.startsWith("file://")) LocalFsStore
     else if (url.startsWith("mem://")) MemStore
+    else if (url.startsWith("http://") || url.startsWith("https://")) HttpStore
     else if (url.contains("://")) throw new IllegalArgumentException(
-      s"no BlobStore registered for scheme of $url (mem:// and local paths)")
+      s"no BlobStore registered for scheme of $url " +
+        s"(mem://, http(s)://, and local paths)")
     else LocalFsStore
+
+  /** JVM-wide count of payload bytes fetched by every store's read /
+    * readRange — diagnostic instrumentation (specs assert a sharded
+    * partial read fetched ≪ the shard file; in local mode driver and
+    * executors share it). Not a metrics system: in cluster mode each
+    * executor counts only its own fetches. */
+  val bytesFetched = new java.util.concurrent.atomic.AtomicLong()
 
   def stripScheme(url: String): String =
     if (url.startsWith("file://")) url.substring("file://".length) else url
@@ -56,8 +83,26 @@ object MemStore extends BlobStore {
     readIfExists(url).getOrElse(
       throw new java.io.FileNotFoundException(s"no blob at $url"))
 
-  override def readIfExists(url: String): Option[Array[Byte]] =
-    Option(blobs.get(url))
+  override def readIfExists(url: String): Option[Array[Byte]] = {
+    // cloned for symmetry with write's defensive copy — a caller
+    // mutating the returned array (in-place decode, read-modify-write)
+    // must not corrupt the store under concurrent readers
+    val got = Option(blobs.get(url)).map(_.clone())
+    got.foreach(b => BlobStore.bytesFetched.addAndGet(b.length.toLong))
+    got
+  }
+
+  override def sizeIfExists(url: String): Option[Long] =
+    Option(blobs.get(url)).map(_.length.toLong)
+
+  override def readRange(url: String, offset: Long, length: Int): Array[Byte] = {
+    val all = blobs.get(url)
+    if (all == null) throw new java.io.FileNotFoundException(s"no blob at $url")
+    require(offset >= 0 && length >= 0 && offset + length <= all.length,
+      s"range $offset+$length past end of $url (${all.length} bytes)")
+    BlobStore.bytesFetched.addAndGet(length.toLong)
+    java.util.Arrays.copyOfRange(all, offset.toInt, offset.toInt + length)
+  }
 
   override def write(url: String, bytes: Array[Byte]): Unit =
     blobs.put(url, bytes.clone()) // defensive: callers may reuse buffers
@@ -96,12 +141,41 @@ object MemStore extends BlobStore {
 object LocalFsStore extends BlobStore {
   private def p(url: String) = Paths.get(BlobStore.stripScheme(url))
 
-  override def read(url: String): Array[Byte] = Files.readAllBytes(p(url))
+  override def read(url: String): Array[Byte] = {
+    val b = Files.readAllBytes(p(url))
+    BlobStore.bytesFetched.addAndGet(b.length.toLong)
+    b
+  }
 
   override def readIfExists(url: String): Option[Array[Byte]] = {
     val f = p(url)
-    if (Files.exists(f) && !Files.isDirectory(f)) Some(Files.readAllBytes(f))
-    else None
+    if (Files.exists(f) && !Files.isDirectory(f)) {
+      val b = Files.readAllBytes(f)
+      BlobStore.bytesFetched.addAndGet(b.length.toLong)
+      Some(b)
+    } else None
+  }
+
+  override def sizeIfExists(url: String): Option[Long] = {
+    val f = p(url)
+    if (Files.exists(f) && !Files.isDirectory(f)) Some(Files.size(f)) else None
+  }
+
+  override def readRange(url: String, offset: Long, length: Int): Array[Byte] = {
+    require(offset >= 0 && length >= 0, s"bad range $offset+$length for $url")
+    val ch = java.nio.channels.FileChannel.open(p(url),
+      StandardOpenOption.READ)
+    try {
+      val bb = java.nio.ByteBuffer.allocate(length)
+      var pos = offset
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        require(n >= 0, s"range $offset+$length past end of $url")
+        pos += n
+      }
+      BlobStore.bytesFetched.addAndGet(length.toLong)
+      bb.array()
+    } finally ch.close()
   }
 
   override def write(url: String, bytes: Array[Byte]): Unit = {
@@ -123,6 +197,135 @@ object LocalFsStore extends BlobStore {
   override def isContainer(url: String): Boolean = Files.isDirectory(p(url))
 }
 
+/** Read-only HTTP(S) object store — the reference reads http-served
+  * zarr through fsspec's http filesystem (zarr.py:374-386); this is the
+  * same capability on `java.net.http.HttpClient`. Whole-blob reads are
+  * plain GETs, [[readRange]] is a `Range: bytes=` GET (the request
+  * shape a 100 TB sharded layout depends on — one inner chunk per GET,
+  * never the whole shard), sizes come from HEAD. Transient failures
+  * (IO errors, 5xx, 429) retry with exponential backoff. Listing is
+  * unsupported — plain HTTP has no directory protocol — so opening a
+  * store over http requires consolidated metadata (.zmetadata / v3
+  * root zarr.json), which [[Zarr.openStore]] prefers anyway. */
+object HttpStore extends BlobStore {
+  private val maxAttempts = 4
+  private val baseBackoffMs = 100L
+
+  // one shared client: connection pooling across chunk GETs
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(20))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+
+  private def request(url: String, head: Boolean = false,
+                      range: Option[(Long, Long)] = None)
+      : java.net.http.HttpResponse[Array[Byte]] = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(2))
+    if (head) b.method("HEAD",
+      java.net.http.HttpRequest.BodyPublishers.noBody())
+    range.foreach { case (lo, hi) => b.header("Range", s"bytes=$lo-$hi") }
+    var attempt = 0
+    var last: Either[Throwable, java.net.http.HttpResponse[Array[Byte]]] = null
+    while (attempt < maxAttempts) {
+      if (attempt > 0) Thread.sleep(baseBackoffMs << (attempt - 1))
+      try {
+        val resp = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() >= 500 || resp.statusCode() == 429)
+          last = Left(new java.io.IOException(
+            s"HTTP ${resp.statusCode()} for $url"))
+        else return resp
+      } catch {
+        case e: java.io.IOException => last = Left(e)
+        case e: InterruptedException => throw e
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"$url failed after $maxAttempts attempts", last.swap.toOption.get)
+  }
+
+  private def notFound(url: String) =
+    throw new java.io.FileNotFoundException(s"no blob at $url")
+
+  override def read(url: String): Array[Byte] = {
+    val resp = request(url)
+    if (resp.statusCode() == 404) notFound(url)
+    require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()} for $url")
+    BlobStore.bytesFetched.addAndGet(resp.body().length.toLong)
+    resp.body()
+  }
+
+  override def readIfExists(url: String): Option[Array[Byte]] = {
+    val resp = request(url)
+    if (resp.statusCode() == 404) None
+    else {
+      require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()} for $url")
+      BlobStore.bytesFetched.addAndGet(resp.body().length.toLong)
+      Some(resp.body())
+    }
+  }
+
+  /** Size via a 1-byte ranged GET, reading the total out of
+    * `Content-Range: bytes 0-0/TOTAL` — HEAD Content-Length is
+    * unreliable across servers (Java's own HttpServer drops it), the
+    * Content-Range total is not; fsspec's http filesystem does the
+    * same. A server without range support answers 200 with the whole
+    * body, whose length is the size. */
+  override def sizeIfExists(url: String): Option[Long] = {
+    val resp = request(url, range = Some((0L, 0L)))
+    resp.statusCode() match {
+      case 404 => None
+      case 206 =>
+        val cr = resp.headers().firstValue("Content-Range")
+        require(cr.isPresent, s"206 without Content-Range for $url")
+        val total = cr.get().substring(cr.get().indexOf('/') + 1)
+        require(total != "*", s"Content-Range total unknown for $url")
+        Some(total.toLong)
+      case 200 => Some(resp.body().length.toLong)
+      case s => throw new java.io.IOException(s"HTTP $s sizing $url")
+    }
+  }
+
+  override def readRange(url: String, offset: Long, length: Int): Array[Byte] = {
+    require(offset >= 0 && length >= 0, s"bad range $offset+$length for $url")
+    if (length == 0) return Array.emptyByteArray
+    val resp = request(url, range = Some((offset, offset + length - 1)))
+    if (resp.statusCode() == 404) notFound(url)
+    val body = resp.statusCode() match {
+      case 206 => resp.body()
+      case 200 => // server ignored Range: fall back to slicing the body
+        require(offset + length <= resp.body().length,
+          s"range $offset+$length past end of $url")
+        java.util.Arrays.copyOfRange(
+          resp.body(), offset.toInt, offset.toInt + length)
+      case s => throw new java.io.IOException(s"HTTP $s for ranged $url")
+    }
+    require(body.length == length,
+      s"ranged GET returned ${body.length} bytes, wanted $length ($url)")
+    BlobStore.bytesFetched.addAndGet(length.toLong)
+    body
+  }
+
+  override def write(url: String, bytes: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      s"http(s) BlobStore is read-only (write to $url)")
+
+  override def exists(url: String): Boolean = {
+    val resp = request(url, head = true)
+    resp.statusCode() == 200
+  }
+
+  override def listChildren(url: String): Seq[String] =
+    throw new UnsupportedOperationException(
+      "http(s) BlobStore cannot list: plain HTTP has no directory " +
+        "protocol. Open http-served stores through consolidated " +
+        "metadata (.zmetadata / v3 root zarr.json).")
+
+  override def isContainer(url: String): Boolean = false
+}
+
 /** Write-buffering wrapper — the `stage_locally` analogue
   * (zarr.py:463-513): driver-side store setup writes its many tiny
   * metadata blobs (and eager coordinate chunks) here, then [[flush]]
@@ -138,6 +341,16 @@ final class StagedWrites(target: BlobStore) extends BlobStore {
     staged.getOrElse(url, target.read(url))
   override def readIfExists(url: String): Option[Array[Byte]] =
     staged.get(url).orElse(target.readIfExists(url))
+  override def sizeIfExists(url: String): Option[Long] =
+    staged.get(url).map(_.length.toLong).orElse(target.sizeIfExists(url))
+  override def readRange(url: String, offset: Long, length: Int): Array[Byte] =
+    staged.get(url) match {
+      case Some(all) =>
+        require(offset >= 0 && length >= 0 && offset + length <= all.length,
+          s"range $offset+$length past end of $url (${all.length} bytes)")
+        java.util.Arrays.copyOfRange(all, offset.toInt, offset.toInt + length)
+      case None => target.readRange(url, offset, length)
+    }
   override def write(url: String, bytes: Array[Byte]): Unit =
     staged(url) = bytes
   override def exists(url: String): Boolean =

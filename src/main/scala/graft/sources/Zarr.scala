@@ -129,7 +129,9 @@ object Zarr {
         return StoreMeta(mergeDims(arrays), arrays, attrs)
       }
     }
-    require(store.isContainer(path), s"not a zarr store: $path")
+    require(store.isContainer(path), s"not a zarr store: $path (on a " +
+      "non-listable backend like http(s) the store must carry " +
+      "consolidated metadata: .zmetadata or a v3 root zarr.json)")
     val arrays = store.listChildren(path)
       .filter(n => store.exists(s"$path/$n/.zarray") ||
         store.exists(s"$path/$n/zarr.json"))
@@ -376,50 +378,79 @@ object Zarr {
     c.getValue.toInt
   }
 
-  /** Decode one shard file into a dense (padded) shard block. */
-  private def readShard(store: BlobStore, f: String, meta: ArrayMeta): NdArray = {
+  /** Decode the `[selStarts, selStarts + selLens)` region (shard-local
+    * coords) of one shard file WITHOUT reading the whole file: one
+    * ranged read for the index (its size is fixed —
+    * `16·nInner + 4` bytes at the file end, `index_location: "end"`),
+    * then one ranged read per intersecting PRESENT inner chunk. This is
+    * the access pattern the sharded layout exists for (the reference's
+    * "pancake vs pencil" guidance assumes readers fetch inner chunks by
+    * range, as zarr-python does): a sel/slice that needs one 1 MB inner
+    * chunk of a 1 GB shard fetches ~1 MB, not the gigabyte. Shards may
+    * exceed 2 GiB — the Int bound now applies per inner chunk, where it
+    * is structural (an inner chunk is one in-memory decode). */
+  private def readShardRegion(store: BlobStore, f: String, meta: ArrayMeta,
+                              selStarts: Array[Int],
+                              selLens: Array[Int]): NdArray = {
     val inner = meta.shardChunks.get
     val grid = innerGrid(meta)
+    val nd = grid.length
     val nInner = grid.map(_.toLong).product.toInt
-    val out = NdArray.fill(meta.dtype, meta.chunks.toArray, meta.fillValue)
-    val allOpt = store.readIfExists(f)
-    if (allOpt.isEmpty) return out
-    val all = allOpt.get
+    val out = NdArray.fill(meta.dtype, selLens.clone(), meta.fillValue)
+    val fileLenOpt = store.sizeIfExists(f)
+    if (fileLenOpt.isEmpty) return out
+    val fileLen = fileLenOpt.get
     val idxLen = nInner * 16
-    require(all.length >= idxLen + 4, s"truncated shard file $f")
-    val idx = java.util.Arrays.copyOfRange(all, all.length - idxLen - 4,
-      all.length - 4)
-    val storedCrc = java.nio.ByteBuffer.wrap(all, all.length - 4, 4)
+    require(fileLen >= idxLen + 4, s"truncated shard file $f")
+    val idxAndCrc = store.readRange(f, fileLen - idxLen - 4, idxLen + 4)
+    val idx = java.util.Arrays.copyOfRange(idxAndCrc, 0, idxLen)
+    val storedCrc = java.nio.ByteBuffer.wrap(idxAndCrc, idxLen, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
     require(storedCrc == crc32c(idx), s"shard index crc mismatch in $f")
     val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val innerIdx = new Array[Int](grid.length)
-    (0 until nInner).foreach { flat =>
-      val off = bb.getLong(flat * 16)
-      val len = bb.getLong(flat * 16 + 8)
-      if (off != ShardMissing && len != ShardMissing) {
-        // uint64 offsets from the index; a ≥2 GiB shard would wrap .toInt
-        // into a garbage slice, so fail loudly instead. Compare via
-        // subtraction — off + len itself can overflow Long for corrupt
-        // indices, which is exactly the case this guard must catch.
-        require(off >= 0 && len >= 0 && off <= all.length &&
-          len <= all.length - off,
-          s"shard $f too large or corrupt index: inner chunk at off=$off " +
-            s"len=$len exceeds the 2 GiB single-file read limit")
-        val bytes = decodeBytes(meta,
-          java.util.Arrays.copyOfRange(all, off.toInt, (off + len).toInt))
-        val block = NdArray(meta.dtype, inner.toArray, bytes)
-        out.insert(innerIdx.zipWithIndex.map { case (ci, d) => ci * inner(d) },
-          block)
-      }
-      // C-order odometer over the inner grid
-      var k = grid.length - 1
-      var carry = true
-      while (k >= 0 && carry) {
-        innerIdx(k) += 1
-        if (innerIdx(k) == grid(k)) { innerIdx(k) = 0; k -= 1 } else carry = false
-      }
+    // only the inner chunks the region intersects
+    val ranges: Array[Range] = Array.tabulate(nd) { d =>
+      val first = selStarts(d) / inner(d)
+      val last = (selStarts(d) + selLens(d) - 1) / inner(d)
+      first to last
     }
+    val ci = new Array[Int](nd)
+    def rec(d: Int): Unit = {
+      if (d == nd) {
+        var flat = 0
+        var k = 0
+        while (k < nd) { flat = flat * grid(k) + ci(k); k += 1 }
+        val off = bb.getLong(flat * 16)
+        val len = bb.getLong(flat * 16 + 8)
+        if (off != ShardMissing && len != ShardMissing) {
+          // uint64s from the index; compare via subtraction — off + len
+          // can overflow Long for corrupt indices, which is exactly the
+          // case this guard must catch
+          require(off >= 0 && len >= 0 && off <= fileLen &&
+            len <= fileLen - off && len <= Int.MaxValue,
+            s"corrupt shard index in $f: inner chunk at off=$off len=$len " +
+              s"(file $fileLen bytes; inner chunks are capped at 2 GiB)")
+          val block = NdArray(meta.dtype, inner.toArray,
+            decodeBytes(meta, store.readRange(f, off, len.toInt)))
+          // intersect this inner chunk with the requested region
+          val insStarts = new Array[Int](nd)
+          val blkStarts = new Array[Int](nd)
+          val blkLens = new Array[Int](nd)
+          var j = 0
+          while (j < nd) {
+            val bStart = ci(j) * inner(j)
+            val lo = math.max(bStart, selStarts(j))
+            val hi = math.min(bStart + inner(j), selStarts(j) + selLens(j))
+            blkStarts(j) = lo - bStart
+            blkLens(j) = hi - lo
+            insStarts(j) = lo - selStarts(j)
+            j += 1
+          }
+          out.insert(insStarts, block.slice(blkStarts, blkLens))
+        } // absent inner chunk: fill, already in `out`
+      } else ranges(d).foreach { b => ci(d) = b; rec(d + 1) }
+    }
+    if (out.size > 0) rec(0)
     out
   }
 
@@ -514,7 +545,6 @@ object Zarr {
     }
     def rec(d: Int, blockIdx: Array[Long]): Unit = {
       if (d == nd) {
-        val block = readBlock(store, path, name, meta, blockIdx)
         // intersection of block extent and requested region, in global coords
         val insStarts = new Array[Int](nd)
         val selStarts = new Array[Int](nd)
@@ -529,18 +559,27 @@ object Zarr {
           insStarts(k) = (lo - starts(k)).toInt
           k += 1
         }
-        out.insert(insStarts, block.slice(selStarts, selLens))
+        // sharded blocks take the wanted region so only intersecting
+        // inner chunks are range-read; plain blocks are one compressed
+        // blob — whole-read is structural there, slice after decode
+        val region =
+          if (meta.shardChunks.isDefined)
+            readShardRegion(store, blockKey(path, name, meta, blockIdx),
+              meta, selStarts, selLens)
+          else readBlock(store, path, name, meta, blockIdx)
+            .slice(selStarts, selLens)
+        out.insert(insStarts, region)
       } else blockRanges(d).foreach { b => blockIdx(d) = b; rec(d + 1, blockIdx) }
     }
     if (out.size > 0) rec(0, new Array[Long](nd))
     out
   }
 
-  /** Read one full (padded) zarr block; missing blob → fill value. */
+  /** Read one full (padded) non-sharded zarr block; missing blob →
+    * fill value. */
   private def readBlock(store: BlobStore, path: String, name: String,
                         meta: ArrayMeta, blockIdx: Array[Long]): NdArray = {
     val f = blockKey(path, name, meta, blockIdx)
-    if (meta.shardChunks.isDefined) return readShard(store, f, meta)
     val blockShape = meta.chunks.toArray
     store.readIfExists(f) match {
       case None => NdArray.fill(meta.dtype, blockShape, meta.fillValue)

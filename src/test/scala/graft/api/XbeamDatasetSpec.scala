@@ -774,6 +774,33 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
   }
 
+  test("rank capped path: non-multiple kept split lands on the global grid") {
+    // kept chunk 5 capped to target 3: the chunk at offset 5 must
+    // produce sub-chunks at offsets {5, 6, 9} (the global splitBounds
+    // grid the spanning vars use) — a chunk-local `off + k*step`
+    // enumeration would yield {5, 8} and orphan the untouched vars
+    val grid = NdArray.fromDoubles(DType.F64, Array(8, 10, 4),
+      Array.tabulate(320)(i => ((i * 37) % 11).toDouble)) // ties included
+    val vx = arange(DType.F64, 10)
+    val vy = arange(DType.F64, 4)
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x", "y"), grid),
+        "vx" -> (Seq("x"), vx), "vy" -> (Seq("y"), vy)),
+      chunks = Map("t" -> 4, "x" -> 5))
+    val expect = grid.rankAlong(0)
+    assert(build.rank("t").collectConsolidated()._2.vars("v").arr
+      .sameAs(expect))
+    // cap 800 B: cell = keptX·keptY·tExtent·8 = 5·4·8·8 = 1280 → halve
+    // x to 3 (768 ≤ 800); x=3 does not divide the source chunk 5
+    spark.conf.set("spark.graft.cellwise.maxBytes", "800")
+    try {
+      val capped = build.rank("t").collectConsolidated()._2
+      assert(capped.vars("v").arr.sameAs(expect))
+      assert(capped.vars("vx").arr.sameAs(vx)) // sliced along split dim
+      assert(capped.vars("vy").arr.sameAs(vy)) // replicated per sub-chunk
+    } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+  }
+
   test("argmin/argmax cross chunks, break ties to the lowest index") {
     val chunked = era5ds(Map("time" -> 4))
     val amin = chunked.argmin("time").collectConsolidated()._2

@@ -416,6 +416,73 @@ class ZarrSpec extends AnyFunSuite {
       .sameAs(data))
   }
 
+  test("sharded partial read fetches the index + one inner chunk, not the shard") {
+    val path = tmpStore()
+    val big = Template(
+      Seq("t" -> 64L, "x" -> 32L),
+      Map("v" -> VarSpec(Seq("t", "x"), DType.F64)),
+      coords = Map("t" -> arange(DType.I64, 64)), attrs = Map.empty)
+    // inner chunks 8x8 (4 KiB raw) packed into 32x32 shards (16 inner
+    // chunks per shard), uncompressed so every size is predictable
+    Zarr.setupStore(path, big, Map("t" -> 8, "x" -> 8), zarrFormat = 3,
+      shards = Map("t" -> 32, "x" -> 32))
+    val meta = Zarr.readArrayMeta(path, "v")
+    val data = arange(DType.F64, 64, 32)
+    // write the first shard row only: shards at t >= 32 stay absent
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L),
+      data.slice(Array(0, 0), Array(32, 32)))
+    val shardBytes = Files.size(java.nio.file.Paths.get(path, "v", "c", "0", "0"))
+    BlobStore.bytesFetched.set(0L)
+    val got = Zarr.readRegion(path, "v", meta, Array(8L, 8L), Array(8, 8))
+    assert(got.sameAs(data.slice(Array(8, 8), Array(8, 8))))
+    val fetched = BlobStore.bytesFetched.get()
+    // exactly one inner chunk (1/16th of the shard) + the 260-byte
+    // index — never the whole shard file (the 100 TB posture the
+    // sharded layout exists for)
+    assert(fetched > 16 * 16 + 4,
+      s"fetched $fetched — less than the index alone?")
+    assert(fetched < shardBytes / 4,
+      s"partial read fetched $fetched of the $shardBytes-byte shard")
+    // absent shard: sizeIfExists short-circuits to fill, zero fetches
+    BlobStore.bytesFetched.set(0L)
+    val fill = Zarr.readRegion(path, "v", meta, Array(32L, 0L), Array(4, 4))
+    assert((0 until 4).forall(i => (0 until 4).forall(j =>
+      fill.getDouble(i * 4 + j).isNaN)))
+    assert(BlobStore.bytesFetched.get() == 0L)
+  }
+
+  test("toZarr shard-grid violations fail at plan time, naming the dim") {
+    val spark = graft.TestSpark.spark
+    val xds = graft.api.XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    // shards on v2: sharding_indexed is a v3 codec
+    val e1 = intercept[IllegalArgumentException] {
+      xds.toZarr(tmpStore() + "/s", zarrShards = Map("time" -> 4))
+    }
+    assert(e1.getMessage.contains("requires zarr format 3"))
+    // unknown dim
+    val e2 = intercept[IllegalArgumentException] {
+      xds.toZarr(tmpStore() + "/s", zarrFormat = 3,
+        zarrShards = Map("nope" -> 4))
+    }
+    assert(e2.getMessage.contains("unknown dim nope"))
+    // shard not a multiple of the stored chunk
+    val e3 = intercept[IllegalArgumentException] {
+      xds.toZarr(tmpStore() + "/s", zarrChunks = Map("time" -> 3),
+        zarrFormat = 3, zarrShards = Map("time" -> 4))
+    }
+    assert(e3.getMessage.contains("time") &&
+      e3.getMessage.contains("not a multiple of zarr chunk"))
+    // in-memory chunk not a whole multiple of the shard (sub-shard
+    // writes would race, same rule as sub-chunk writes)
+    val e4 = intercept[IllegalArgumentException] {
+      xds.toZarr(tmpStore() + "/s", zarrChunks = Map("time" -> 2),
+        zarrFormat = 3, zarrShards = Map("time" -> 8))
+    }
+    assert(e4.getMessage.contains("time") &&
+      e4.getMessage.contains("in-memory chunk"))
+  }
+
   test("extendDim refuses a non-chunk-aligned old extent and shrinking") {
     val path = tmpStore()
     // t=10 with chunk t=4: old edge block [8,10) is partial
