@@ -369,6 +369,27 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x, vf FROM grid WHERE t < 14 ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x58
+    // x17's pipeline over the blosc BIT-shuffle filter (numcodecs
+    // shuffle=BITSHUFFLE, the default of some public producers): write
+    // bit-shuffled v2 chunks (.zarray advertises shuffle=2, each frame
+    // carries the bit-shuffle flag), reopen, prune, tail-slice. Proves
+    // the last blosc filter gap closed end-to-end, not just at the
+    // codec layer.
+    QueryDef(
+      "x58_zarr_bitshuffle",
+      (s, dir) => {
+        val store = zarrPath("x58", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("blosc:zstd:bit"))
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf")).tail("t", 14))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t - (SELECT max(t) - 13 FROM grid) AS t, x, vf FROM grid
+        WHERE t >= (SELECT max(t) - 13 FROM grid) ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

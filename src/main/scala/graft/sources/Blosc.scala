@@ -33,10 +33,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * with any sub-element remainder bytes carried through unchanged.
   *
   * The blosclz inner codec (c-blosc's native FastLZ-derived LZ77) is
-  * implemented directly — see [[blosclzDecompress]]. Not supported
-  * (explicit error, no silent wrong reads): the bit-shuffle filter —
-  * it self-describes in the header, so a store using it fails loudly
-  * before any block read.
+  * implemented directly — see [[blosclzDecompress]]. The bit-shuffle
+  * filter (numcodecs `shuffle=BITSHUFFLE`) is implemented per the
+  * public bitshuffle/c-blosc semantics — see [[bitShuffleBytes]] — so
+  * any publicly produced v2 store decodes regardless of its filter.
   */
 object Blosc {
 
@@ -71,11 +71,11 @@ object Blosc {
       return java.util.Arrays.copyOfRange(frame, 16, 16 + nbytes)
     }
     require(blocksize > 0, s"corrupt blosc header: blocksize=$blocksize")
-    require((flags & FlagBitShuffle) == 0,
-      "blosc bit-shuffle filter is not supported (byte shuffle and " +
-        "no-shuffle are); re-encode the store with shuffle=SHUFFLE")
     val codec = (flags >> 5) & 0x7
     val byteShuffle = (flags & FlagShuffle) != 0 && typesize > 1
+    val bitShuffle = (flags & FlagBitShuffle) != 0
+    require(!(byteShuffle && bitShuffle),
+      "corrupt blosc header: both shuffle filters flagged")
     val dontSplit = (flags & FlagDontSplit) != 0
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val out = new Array[Byte](nbytes)
@@ -94,8 +94,9 @@ object Blosc {
       val nstreams =
         if (!dontSplit && !leftover) math.max(typesize, 1) else 1
       val neblock = bsize / nstreams
-      val dest = if (byteShuffle) tmp else out
-      val destBase = if (byteShuffle) 0 else b * blocksize
+      val filtered = byteShuffle || bitShuffle
+      val dest = if (filtered) tmp else out
+      val destBase = if (filtered) 0 else b * blocksize
       var s = 0
       while (s < nstreams) {
         val cb = bb.getInt(pos); pos += 4
@@ -109,6 +110,7 @@ object Blosc {
         s += 1
       }
       if (byteShuffle) unshuffle(typesize, tmp, bsize, out, b * blocksize)
+      else if (bitShuffle) bitUnshuffle(typesize, tmp, bsize, out, b * blocksize)
       b += 1
     }
     out
@@ -293,12 +295,15 @@ object Blosc {
   // ------------------------------------------------------------- encode
 
   /** Encode one buffer as a blosc1 frame. `cname` is "lz4" or "zstd";
-    * byte shuffle is applied when `shuffle` and typesize > 1. Streams
-    * that do not compress are stored; a frame that does not compress
-    * collapses to memcpy mode — exactly c-blosc's fallbacks, so any
-    * blosc reader (zarr-python included) accepts the output. */
+    * byte shuffle is applied when `shuffle` and typesize > 1, the
+    * bit-shuffle filter when `bitShuffle` (which then supersedes byte
+    * shuffle — c-blosc applies at most one filter). Streams that do not
+    * compress are stored; a frame that does not compress collapses to
+    * memcpy mode — exactly c-blosc's fallbacks, so any blosc reader
+    * (zarr-python included) accepts the output. */
   def encode(data: Array[Byte], typesize: Int, cname: String = "lz4",
-             clevel: Int = 5, shuffle: Boolean = true): Array[Byte] = {
+             clevel: Int = 5, shuffle: Boolean = true,
+             bitShuffle: Boolean = false): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"bad typesize $typesize")
     val codec = cname match {
       case "lz4" | "lz4hc" => CodecLz4
@@ -309,7 +314,7 @@ object Blosc {
         s"unsupported blosc cname for encode: $other (blosclz/lz4/zstd/zlib)")
     }
     val nbytes = data.length
-    val doShuffle = shuffle && typesize > 1 && nbytes >= typesize
+    val doShuffle = !bitShuffle && shuffle && typesize > 1 && nbytes >= typesize
     // One block per MiB, aligned down to whole elements so split streams
     // stay exact; tiny buffers are a single block.
     val blocksize =
@@ -332,8 +337,10 @@ object Blosc {
       bstarts.putInt(headerLen + body.size())
       val src = if (doShuffle) {
         shuffleBytes(typesize, data, b * blocksize, bsize, tmp); tmp
+      } else if (bitShuffle) {
+        bitShuffleBytes(typesize, data, b * blocksize, bsize, tmp, 0); tmp
       } else data
-      val srcBase = if (doShuffle) 0 else b * blocksize
+      val srcBase = if (doShuffle || bitShuffle) 0 else b * blocksize
       val nstreams = if (split && !leftover) typesize else 1
       val neblock = bsize / nstreams
       var s = 0
@@ -363,6 +370,7 @@ object Blosc {
     val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     var flags = codec << 5
     if (doShuffle) flags |= FlagShuffle
+    if (bitShuffle) flags |= FlagBitShuffle
     if (!split) flags |= FlagDontSplit
     out.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
     out.putInt(nbytes).putInt(blocksize).putInt(total)
@@ -420,6 +428,89 @@ object Blosc {
     }
     var r = nelem * typesize
     while (r < len) { dest(r) = src(srcOff + r); r += 1 }
+  }
+
+  /** Transpose the 8×8 bit matrix held in a long (byte i = row i, bit
+    * j = column j): result byte j bit i = input byte i bit j. The
+    * three-step masked-swap network is the standard public construction
+    * (Hacker's Delight §7-3; the same TRANS_BIT_8X8 c-blosc's
+    * bitshuffle uses). */
+  @inline private def transposeBits8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** Bit-shuffle src[srcOff, srcOff+len) into dest[destOff, +len) —
+    * the bitshuffle filter's forward transform (public bitshuffle
+    * library semantics, as c-blosc's BITSHUFFLE filter / numcodecs
+    * shuffle=2 apply per block): the len bytes hold len/typesize
+    * elements; the largest multiple of 8 elements is transformed and
+    * every remaining byte copies through unchanged (c-blosc's leftover
+    * rule). Output layout, in rows of ne8/8 bytes: for each byte lane
+    * l, for each bit k, row (l*8 + k) holds bit k of lane l of every
+    * element — byte g of a row packs elements 8g..8g+7, LSB = element
+    * 8g. */
+  private[sources] def bitShuffleBytes(typesize: Int, src: Array[Byte],
+                                       srcOff: Int, len: Int,
+                                       dest: Array[Byte], destOff: Int): Unit = {
+    val nelem = len / typesize
+    val ne8 = nelem - (nelem % 8)
+    val rowLen = ne8 / 8
+    var l = 0
+    while (l < typesize) {
+      var g = 0
+      while (g < rowLen) {
+        // gather the lane-l byte of elements 8g..8g+7 (byte r = elem r)
+        var x = 0L
+        var r = 0
+        var p = srcOff + (g * 8) * typesize + l
+        while (r < 8) { x |= (src(p) & 0xffL) << (8 * r); p += typesize; r += 1 }
+        val y = transposeBits8x8(x) // byte k = bit k of the 8 elements
+        var k = 0
+        while (k < 8) {
+          dest(destOff + (l * 8 + k) * rowLen + g) = (y >>> (8 * k)).toByte
+          k += 1
+        }
+        g += 1
+      }
+      l += 1
+    }
+    val done = ne8 * typesize
+    System.arraycopy(src, srcOff + done, dest, destOff + done, len - done)
+  }
+
+  /** Inverse of [[bitShuffleBytes]]: src[0, len) → dest[destOff, +len). */
+  private[sources] def bitUnshuffle(typesize: Int, src: Array[Byte], len: Int,
+                                    dest: Array[Byte], destOff: Int): Unit = {
+    val nelem = len / typesize
+    val ne8 = nelem - (nelem % 8)
+    val rowLen = ne8 / 8
+    var l = 0
+    while (l < typesize) {
+      var g = 0
+      while (g < rowLen) {
+        var x = 0L
+        var k = 0
+        while (k < 8) {
+          x |= (src((l * 8 + k) * rowLen + g) & 0xffL) << (8 * k)
+          k += 1
+        }
+        val y = transposeBits8x8(x) // byte r = elem 8g+r's lane-l byte
+        var r = 0
+        var p = destOff + (g * 8) * typesize + l
+        while (r < 8) { dest(p) = (y >>> (8 * r)).toByte; p += typesize; r += 1 }
+        g += 1
+      }
+      l += 1
+    }
+    val done = ne8 * typesize
+    System.arraycopy(src, done, dest, destOff + done, len - done)
   }
 
   /** Inverse of [[shuffleBytes]]: src[0, len) → dest[destOff, destOff+len). */

@@ -214,6 +214,13 @@ object Zarr {
     val comp = za.get("compressor") match {
       case null => None
       case n if n.isNull => None
+      case n if n.get("id").asText == "blosc" =>
+        // reconstruct the full spec ("blosc:<cname>[:bit]") so WRITES
+        // into this store (appends, region rewrites) re-encode with the
+        // store's own cname + filter; decode self-describes either way
+        val cname = Option(n.get("cname")).map(_.asText).getOrElse("lz4")
+        val bit = Option(n.get("shuffle")).exists(_.asInt == 2)
+        Some(s"blosc:$cname" + (if (bit) ":bit" else ""))
       case n => Some(n.get("id").asText)
     }
     val fill = za.get("fill_value") match {
@@ -324,7 +331,15 @@ object Zarr {
               .map(_.asText).getOrElse("little")
             require(endian == "little", s"unsupported endian $endian for $name")
           case "gzip" => compressor = Some("gzip")
-          case "blosc" => compressor = Some("blosc")
+          case "blosc" =>
+            // carry cname + filter into the spec string (see the v2
+            // parse): writes re-encode with the store's own settings
+            val cfg = Option(codecs.get(i).get("configuration"))
+            val cname = cfg.flatMap(c => Option(c.get("cname")))
+              .map(_.asText).getOrElse("lz4")
+            val bit = cfg.flatMap(c => Option(c.get("shuffle")))
+              .exists(_.asText == "bitshuffle")
+            compressor = Some(s"blosc:$cname" + (if (bit) ":bit" else ""))
           case "sharding_indexed" =>
             val cfg = codecs.get(i).get("configuration")
             val cs = cfg.get("chunk_shape")
@@ -680,7 +695,9 @@ object Zarr {
       val comp = compressor match {
         case Some("zlib") => """{"id":"zlib","level":1}"""
         case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
-          s"""{"blocksize":0,"clevel":5,"cname":"${bloscCname(c)}","id":"blosc","shuffle":1}"""
+          // numcodecs shuffle codes: 1 = byte SHUFFLE, 2 = BITSHUFFLE
+          s"""{"blocksize":0,"clevel":5,"cname":"${bloscCname(c)}",""" +
+            s""""id":"blosc","shuffle":${if (bloscBit(c)) 2 else 1}}"""
         case None => "null"
         case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
       }
@@ -697,8 +714,9 @@ object Zarr {
           case Some("gzip") | Some("zlib") =>
             Seq("""{"name":"gzip","configuration":{"level":1}}""")
           case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
+            val sh = if (bloscBit(c)) "bitshuffle" else "shuffle"
             Seq(s"""{"name":"blosc","configuration":{"cname":"${bloscCname(c)}",""" +
-              s""""clevel":5,"shuffle":"shuffle","typesize":${dtype.itemsize},""" +
+              s""""clevel":5,"shuffle":"$sh","typesize":${dtype.itemsize},""" +
               s""""blocksize":0}}""")
           case None => Nil
           case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
@@ -958,7 +976,8 @@ object Zarr {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
-        Blosc.encode(bytes, meta.dtype.itemsize, cname = bloscCname(c))
+        Blosc.encode(bytes, meta.dtype.itemsize, cname = bloscCname(c),
+          bitShuffle = bloscBit(c))
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
       case None => bytes
@@ -966,9 +985,12 @@ object Zarr {
   }
 
   /** "blosc" → lz4 (numcodecs' default cname); "blosc:zstd" etc. select
-    * the inner codec explicitly. */
+    * the inner codec explicitly; a ":bit" suffix ("blosc:lz4:bit")
+    * selects the bit-shuffle filter instead of byte shuffle. */
   private def bloscCname(c: String): String =
-    if (c.startsWith("blosc:")) c.substring("blosc:".length) else "lz4"
+    if (c.startsWith("blosc:")) c.split(":")(1) else "lz4"
+
+  private def bloscBit(c: String): Boolean = c.endsWith(":bit")
 
   // --------------------------------------------------------------- helpers
 

@@ -226,15 +226,75 @@ class BloscSpec extends AnyFunSuite {
     assert(out.sameElements(data))
   }
 
-  test("bit-shuffle is rejected with an explicit error") {
-    // header(16) + one bstart(4) + one stream header cb=0(4): enough
-    // structure to reach the filter dispatch.
-    val frame = new Array[Byte](24)
-    val bb = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
-    frame(0) = 2; frame(2) = 0x04; frame(3) = 4 // bitshuffle flag
-    bb.putInt(4, 16); bb.putInt(8, 16); bb.putInt(12, 24)
-    bb.putInt(16, 20) // bstart → stream at offset 20, cb = 0
-    val e1 = intercept[IllegalArgumentException](Blosc.decode(frame))
-    assert(e1.getMessage.contains("bit-shuffle"))
+  test("bit-shuffle transform matches the hand-computed bit-plane layout") {
+    // 8 uint16 elements. Lane 0 (low bytes): element i has ONLY bit i
+    // set → bit-row k must read 1<<k (bit k set exactly for element k,
+    // LSB = element 0). Lane 1 (high bytes): 0xFF for even elements →
+    // every bit-row reads 0b01010101 = 0x55. Rows are lane-major:
+    // lane 0's 8 rows then lane 1's.
+    val data = new Array[Byte](16)
+    for (i <- 0 until 8) {
+      data(2 * i) = (1 << i).toByte
+      data(2 * i + 1) = if (i % 2 == 0) 0xFF.toByte else 0x00
+    }
+    val out = new Array[Byte](16)
+    Blosc.bitShuffleBytes(2, data, 0, 16, out, 0)
+    val expect = Array.tabulate(8)(k => (1 << k).toByte) ++
+      Array.fill(8)(0x55.toByte)
+    assert(out.toSeq == expect.toSeq)
+    val back = new Array[Byte](16)
+    Blosc.bitUnshuffle(2, out, 16, back, 0)
+    assert(back.toSeq == data.toSeq)
+  }
+
+  test("bit-shuffle inverse roundtrips incl. leftover elements and bytes") {
+    for (typesize <- Seq(1, 2, 3, 4, 8);
+         nelem <- Seq(0, 3, 8, 11, 16, 257)) {
+      // +1 trailing byte when it fits: a partial element must copy through
+      val len = nelem * typesize + (if (typesize > 1) 1 else 0)
+      val data = randomBytes(len, seed = typesize * 1000 + nelem)
+      val sh = new Array[Byte](len)
+      Blosc.bitShuffleBytes(typesize, data, 0, len, sh, 0)
+      val back = new Array[Byte](len)
+      Blosc.bitUnshuffle(typesize, sh, len, back, 0)
+      assert(back.toSeq == data.toSeq, s"typesize=$typesize nelem=$nelem")
+      // non-multiple-of-8 tail elements must pass through VERBATIM
+      val ne8 = nelem - nelem % 8
+      assert(sh.drop(ne8 * typesize).toSeq == data.drop(ne8 * typesize).toSeq,
+        s"leftover region must copy unchanged (typesize=$typesize nelem=$nelem)")
+    }
+  }
+
+  for (cname <- Seq("lz4", "zstd", "zlib", "blosclz")) {
+    test(s"bit-shuffled frames roundtrip ($cname)") {
+      for (typesize <- Seq(1, 2, 4, 8); n <- Seq(0, 5, 256, 4096, 100000)) {
+        val data = patterned(n)
+        val enc = Blosc.encode(data, typesize, cname, bitShuffle = true)
+        assert((enc(2) & 0x04) != 0 || (enc(2) & 0x02) != 0, // filter or memcpy
+          s"bitshuffle flag missing (typesize=$typesize n=$n)")
+        assert(Blosc.decode(enc).sameElements(data), s"typesize=$typesize n=$n")
+      }
+    }
+  }
+
+  test("decodes a hand-assembled bit-shuffled frame (not our encoder's shape)") {
+    // single block, stored stream whose payload is the hand-computed
+    // bit-plane transform — proves the DECODER applies the inverse
+    // exactly where the container says, with no help from our encoder
+    val n = 64
+    val typesize = 4
+    val data = patterned(n)
+    val sh = new Array[Byte](n)
+    Blosc.bitShuffleBytes(typesize, data, 0, n, sh, 0)
+    val headerLen = 16 + 4
+    val total = headerLen + 4 + n
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte)
+      .put(((1 << 5) | 0x04 | 0x10).toByte) // lz4, bit-shuffle, dont-split
+      .put(typesize.toByte)
+    bb.putInt(n).putInt(n).putInt(total)
+    bb.putInt(headerLen)
+    bb.putInt(n); bb.put(sh) // stored stream (cbytes == neblock)
+    assert(Blosc.decode(bb.array()).sameElements(data))
   }
 }

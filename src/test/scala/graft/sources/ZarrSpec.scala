@@ -88,7 +88,7 @@ class ZarrSpec extends AnyFunSuite {
       val path = tmpStore()
       Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some(comp))
       val meta = Zarr.readArrayMeta(path, "v")
-      assert(meta.compressor.contains("blosc"))
+      assert(meta.compressor.exists(_.startsWith("blosc")))
       // the .zarray carries the full numcodecs blosc object
       val za = new String(Files.readAllBytes(
         java.nio.file.Paths.get(path, "v", ".zarray")), "UTF-8")
@@ -102,13 +102,34 @@ class ZarrSpec extends AnyFunSuite {
     }
   }
 
+  test("blosc bit-shuffle filter roundtrips; .zarray advertises shuffle=2") {
+    for (comp <- Seq("blosc:lz4:bit", "blosc:zstd:bit")) {
+      val path = tmpStore()
+      Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some(comp))
+      val za = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(path, "v", ".zarray")), "UTF-8")
+      assert(za.contains("\"shuffle\":2"), za) // numcodecs BITSHUFFLE
+      val meta = Zarr.readArrayMeta(path, "v")
+      val data = arange(DType.F64, 10, 6)
+      Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+      // the stored frame itself must carry the bit-shuffle flag
+      val frame = Files.readAllBytes(
+        java.nio.file.Paths.get(path, "v", "0.0"))
+      assert((frame(2) & 0x04) != 0, s"$comp frame flags=${frame(2)}")
+      assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+        .sameAs(data))
+      val mid = Zarr.readRegion(path, "v", meta, Array(3L, 2L), Array(4, 3))
+      assert(mid.sameAs(data.slice(Array(3, 2), Array(4, 3))))
+    }
+  }
+
   test("blosc inside v3 sharding_indexed shards roundtrips") {
     val path = tmpStore()
     Zarr.setupStore(path, template, Map("t" -> 2, "x" -> 6), Some("blosc"),
       zarrFormat = 3, shards = Map("t" -> 4, "x" -> 6))
     val meta = Zarr.readArrayMeta(path, "v")
     assert(meta.shardChunks.contains(Seq(2, 6)) &&
-      meta.compressor.contains("blosc"))
+      meta.compressor.exists(_.startsWith("blosc")))
     val data = arange(DType.F64, 10, 6)
     Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
     assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
@@ -120,7 +141,7 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some("blosc"),
       zarrFormat = 3)
     val meta = Zarr.readArrayMeta(path, "v")
-    assert(meta.format == 3 && meta.compressor.contains("blosc"))
+    assert(meta.format == 3 && meta.compressor.exists(_.startsWith("blosc")))
     val data = arange(DType.F64, 10, 6)
     Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
     assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
