@@ -1309,6 +1309,104 @@ final class XbeamDataset private (
         if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)),
       (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = true, seed))
 
+  /** Running min AND max along `dim` in ONE scan pass — the fused form
+    * of composing [[cummin]] + [[cummax]], which would read the source
+    * twice, run two scan shuffles, and need a join to reunite the
+    * halves. Each var spanning `dim` yields `<name>_cmin` and
+    * `<name>_cmax`; the scan sliver is a stacked `[2] ++ laneShape`
+    * carrying (min, max) together, so chunk bodies cross the machinery
+    * once. Both monoids are exactly associative → bit-exact on either
+    * scan path (fused or staged two-level). */
+  def cumminmax(dim: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    val d = dim
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.contains(d))
+        Seq(s"${n}_cmin", s"${n}_cmax").foreach { out =>
+          require(!template.vars.contains(out),
+            s"cumminmax output $out collides with an existing variable")
+        }
+    }
+    def stack2(a: NdArray, b: NdArray): NdArray =
+      NdArray(DType.F64, Array(2) ++ a.shape, a.data ++ b.data)
+    def planes(s: NdArray): (NdArray, NdArray) = {
+      val lane = s.shape.drop(1)
+      val half = s.data.length / 2
+      (NdArray(DType.F64, lane, java.util.Arrays.copyOfRange(s.data, 0, half)),
+        NdArray(DType.F64, lane,
+          java.util.Arrays.copyOfRange(s.data, half, s.data.length)))
+    }
+    val sliverOf: (NdArray, Int) => NdArray = (arr, ax) => stack2(
+      arr.extreme(Array(ax), skipna = false, isMin = true),
+      arr.extreme(Array(ax), skipna = false, isMin = false))
+    val init: Array[Int] => NdArray = stackedShape => {
+      val lane = stackedShape.drop(1)
+      stack2(NdArray.fill(DType.F64, lane, Double.PositiveInfinity),
+        NdArray.fill(DType.F64, lane, Double.NegativeInfinity))
+    }
+    val combine: (NdArray, NdArray) => NdArray = (acc, sliver) => {
+      val (amin, amax) = planes(acc)
+      val (smin, smax) = planes(sliver)
+      stack2(
+        amin.zipF64(smin)((a, b) =>
+          if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)),
+        amax.zipF64(smax)((a, b) =>
+          if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b)))
+    }
+    def applyChunk(c: ArrayChunk, seeds: Map[String, NdArray]): ArrayChunk =
+      ArrayChunk(c.vars.flatMap { case (n, va) =>
+        if (!va.dims.contains(d)) Seq(n -> va)
+        else {
+          val ax = va.dims.indexOf(d)
+          val seed = seeds.get(n).map(planes)
+          Seq(
+            s"${n}_cmin" -> VarArray(va.dims,
+              va.arr.cumExtremeAlong(ax, isMin = true, seed.map(_._1))),
+            s"${n}_cmax" -> VarArray(va.dims,
+              va.arr.cumExtremeAlong(ax, isMin = false, seed.map(_._2))))
+        }
+      })
+    val stackedSlivers: ArrayChunk => Map[String, VarArray] = c =>
+      c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+            sliverOf(va.arr, ax))
+      }
+    val nChunks = scanChunksAlong(d)
+    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+      fusedLaneScan(d, reverse = false)(
+        (_, c) => stackedSlivers(c), init, combine,
+        (_, c, seeds) => applyChunk(c, seeds))
+    } else {
+      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+      val partials = chunkDataset.map { p: Pair =>
+        (p._1, ArrayChunk(stackedSlivers(p._2)))
+      }.filter { p: Pair => p._2.vars.nonEmpty }
+      val prefixes = lanePrefixes(partials, d, reverse = false, init, combine)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(!_._2).get._3
+        val prefixVars = items.find(_._2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        (key, applyChunk(ownChunk,
+          prefixVars.map { case (n, va) => n -> va.arr }))
+      }
+    }
+    val newVars = template.vars.flatMap { case (n, vs) =>
+      if (!vs.dims.contains(d)) Seq(n -> vs)
+      else Seq(
+        s"${n}_cmin" -> VarSpec(vs.dims, DType.F64),
+        s"${n}_cmax" -> VarSpec(vs.dims, DType.F64))
+    }
+    withPlan(template.copy(vars = newVars), chunkSizes, splitVars,
+      out.map { p: Pair => (p._1.copy(vars = None), p._2) })
+  }
+
   /** Trailing rolling reduction along `dim` — [[rollingMean]]
     * generalized to op ∈ "sum" | "min" | "max" | "mean" | "var" |
     * "std" | "median" (xarray `rolling(dim=w).sum()/.min()/.max()/

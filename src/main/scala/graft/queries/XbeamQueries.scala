@@ -936,22 +936,15 @@ object XbeamQueries {
         FROM sel ORDER BY t, x""")),
 
     // ---------------------------------------------------------------- x36
-    // Running max/min along t (xarray cummax/cummin): the prefix-scan
-    // primitive with the extreme monoid — slivers are per-lane chunk
-    // extremes, comparisons only, so values are bit-exact vs the
-    // oracle's running-window MAX/MIN.
+    // Running max/min along t (xarray cummax/cummin), FUSED: one scan
+    // carries a stacked (min, max) sliver per lane — one shuffle and no
+    // rejoin where composing cummax + cummin would scan twice and join.
+    // Comparisons only, so values are bit-exact vs the oracle's
+    // running-window MAX/MIN.
     QueryDef(
       "x36_cumminmax",
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        val xds = gridXds(s, dir)
-        def frame(x: XbeamDataset, tag: String) =
-          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
-            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
-        frame(xds.cummax("t"), "cmax")
-          .join(frame(xds.cummin("t"), "cmin"), Seq("t", "x"))
-          .orderBy("t", "x")
-      },
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).cumminmax("t")).orderBy("t", "x"),
       Some(s"""
         WITH $GRID_DUCK
         SELECT t, x,

@@ -801,6 +801,31 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
   }
 
+  test("cumminmax fused scan equals separate cummin/cummax on both paths") {
+    val orig = Fixtures.era5()("temperature")._2
+    def check(ds: XbeamDataset): Unit = {
+      val fused = ds.cumminmax("time").collectConsolidated()._2
+      val cmin = ds.cummin("time").collectConsolidated()._2
+      val cmax = ds.cummax("time").collectConsolidated()._2
+      assert(fused.vars("temperature_cmin").arr
+        .sameAs(cmin.vars("temperature").arr))
+      assert(fused.vars("temperature_cmax").arr
+        .sameAs(cmax.vars("temperature").arr))
+      assert(fused.vars("precip_cmin").arr.sameAs(cmin.vars("precip").arr))
+      assert(fused.vars("precip_cmax").arr.sameAs(cmax.vars("precip").arr))
+    }
+    check(era5ds(Map("time" -> 4))) // short lanes: fused single shuffle
+    // force the staged two-level path
+    spark.conf.set("spark.graft.scan.longLaneThreshold", "1")
+    try check(era5ds(Map("time" -> 4)))
+    finally spark.conf.unset("spark.graft.scan.longLaneThreshold")
+    // NaNs poison the running extremes identically on both shapes
+    val masked = era5ds(Map("time" -> 4)).mapBlocks(c => c.mapVars { (_, va) =>
+      VarArray(va.dims, va.arr.mapF64(v => if (v % 7 == 0) Double.NaN else v))
+    })
+    check(masked)
+  }
+
   test("argmin/argmax cross chunks, break ties to the lowest index") {
     val chunked = era5ds(Map("time" -> 4))
     val amin = chunked.argmin("time").collectConsolidated()._2

@@ -106,4 +106,41 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
       "dim predicates must reach the parquet reader")
   }
+
+  test("d02/d03/d04: candidate ids dedup BEFORE any array payload moves") {
+    // The near-dup family's 100 TB posture is structural: the inverted
+    // index / band self-join and its distinct ship (id, key) scalars
+    // only; the array payloads (shingle/word hash sets) join strictly
+    // AFTER the distinct. Reordering a payload join below the distinct
+    // — or degrading the pair join to a cross join — is the regression
+    // this pins, which wall-time jitter alone could hide.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("d02_dedup_word_jaccard", "d03_dedup_shingle_jaccard",
+        "d04_minhash_lsh_candidates")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val s = plan.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation must stay an equi-join")
+      // d02/d04 dedup candidates with a distinct (no agg exprs); d03
+      // counts intersections directly — either way the chokepoint is
+      // the topmost aggregate grouped on the candidate id pair
+      val agg = plan.collectFirst {
+        case a: BaseAggregateExec
+          if Set("id_a", "id_b").subsetOf(a.output.map(_.name).toSet) => a
+      }.getOrElse(fail(s"$q: no aggregate producing (id_a, id_b)"))
+      val arrayExchanges = agg.collect {
+        case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e.nodeName
+        case e: BroadcastExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e.nodeName
+      }
+      assert(arrayExchanges.isEmpty,
+        s"$q: an exchange below the candidate distinct carries an array " +
+          s"payload: $arrayExchanges")
+    }
+  }
 }
