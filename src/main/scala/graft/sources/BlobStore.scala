@@ -62,6 +62,12 @@ object BlobStore {
     * executor counts only its own fetches. */
   val bytesFetched = new java.util.concurrent.atomic.AtomicLong()
 
+  /** JVM-wide count of readRange CALLS — pins range coalescing (a
+    * full-shard read should issue ~2 ranged reads: index + one
+    * coalesced run, not one per inner chunk). Same local-mode caveats
+    * as [[bytesFetched]]. */
+  val rangeFetches = new java.util.concurrent.atomic.AtomicLong()
+
   def stripScheme(url: String): String =
     if (url.startsWith("file://")) url.substring("file://".length) else url
 }
@@ -101,6 +107,7 @@ object MemStore extends BlobStore {
     require(offset >= 0 && length >= 0 && offset + length <= all.length,
       s"range $offset+$length past end of $url (${all.length} bytes)")
     BlobStore.bytesFetched.addAndGet(length.toLong)
+    BlobStore.rangeFetches.incrementAndGet()
     java.util.Arrays.copyOfRange(all, offset.toInt, offset.toInt + length)
   }
 
@@ -174,6 +181,7 @@ object LocalFsStore extends BlobStore {
         pos += n
       }
       BlobStore.bytesFetched.addAndGet(length.toLong)
+      BlobStore.rangeFetches.incrementAndGet()
       bb.array()
     } finally ch.close()
   }
@@ -305,6 +313,7 @@ object HttpStore extends BlobStore {
     require(body.length == length,
       s"ranged GET returned ${body.length} bytes, wanted $length ($url)")
     BlobStore.bytesFetched.addAndGet(length.toLong)
+    BlobStore.rangeFetches.incrementAndGet()
     body
   }
 

@@ -429,6 +429,9 @@ object Zarr {
       val last = (selStarts(d) + selLens(d) - 1) / inner(d)
       first to last
     }
+    // pass 1: index walk — collect each needed PRESENT inner chunk's
+    // (grid position, byte offset, byte length)
+    val needed = Seq.newBuilder[(Array[Int], Long, Int)]
     val ci = new Array[Int](nd)
     def rec(d: Int): Unit = {
       if (d == nd) {
@@ -445,27 +448,54 @@ object Zarr {
             len <= fileLen - off && len <= Int.MaxValue,
             s"corrupt shard index in $f: inner chunk at off=$off len=$len " +
               s"(file $fileLen bytes; inner chunks are capped at 2 GiB)")
-          val block = NdArray(meta.dtype, inner.toArray,
-            decodeBytes(meta, store.readRange(f, off, len.toInt)))
-          // intersect this inner chunk with the requested region
-          val insStarts = new Array[Int](nd)
-          val blkStarts = new Array[Int](nd)
-          val blkLens = new Array[Int](nd)
-          var j = 0
-          while (j < nd) {
-            val bStart = ci(j) * inner(j)
-            val lo = math.max(bStart, selStarts(j))
-            val hi = math.min(bStart + inner(j), selStarts(j) + selLens(j))
-            blkStarts(j) = lo - bStart
-            blkLens(j) = hi - lo
-            insStarts(j) = lo - selStarts(j)
-            j += 1
-          }
-          out.insert(insStarts, block.slice(blkStarts, blkLens))
+          needed += ((ci.clone(), off, len.toInt))
         } // absent inner chunk: fill, already in `out`
       } else ranges(d).foreach { b => ci(d) = b; rec(d + 1) }
     }
     if (out.size > 0) rec(0)
+    // pass 2: fetch — byte-adjacent chunks coalesce into one ranged
+    // read (writers pack streams back-to-back, so a row of needed
+    // chunks is usually one run): on an object store that's one GET
+    // per run instead of one per inner chunk, without ever fetching
+    // bytes the region doesn't need
+    val sorted = needed.result().sortBy(_._2)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      var runLen = sorted(i)._3.toLong
+      while (j + 1 < sorted.length &&
+          sorted(j + 1)._2 == sorted(j)._2 + sorted(j)._3 &&
+          runLen + sorted(j + 1)._3 <= Int.MaxValue) {
+        j += 1
+        runLen += sorted(j)._3
+      }
+      val runOff = sorted(i)._2
+      val run = store.readRange(f, runOff, runLen.toInt)
+      var m = i
+      while (m <= j) {
+        val (pos, off, len) = sorted(m)
+        val raw = java.util.Arrays.copyOfRange(run,
+          (off - runOff).toInt, (off - runOff).toInt + len)
+        val block = NdArray(meta.dtype, inner.toArray, decodeBytes(meta, raw))
+        // intersect this inner chunk with the requested region
+        val insStarts = new Array[Int](nd)
+        val blkStarts = new Array[Int](nd)
+        val blkLens = new Array[Int](nd)
+        var jj = 0
+        while (jj < nd) {
+          val bStart = pos(jj) * inner(jj)
+          val lo = math.max(bStart, selStarts(jj))
+          val hi = math.min(bStart + inner(jj), selStarts(jj) + selLens(jj))
+          blkStarts(jj) = lo - bStart
+          blkLens(jj) = hi - lo
+          insStarts(jj) = lo - selStarts(jj)
+          jj += 1
+        }
+        out.insert(insStarts, block.slice(blkStarts, blkLens))
+        m += 1
+      }
+      i = j + 1
+    }
     out
   }
 

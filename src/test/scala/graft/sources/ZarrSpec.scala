@@ -464,6 +464,13 @@ class ZarrSpec extends AnyFunSuite {
       s"fetched $fetched — less than the index alone?")
     assert(fetched < shardBytes / 4,
       s"partial read fetched $fetched of the $shardBytes-byte shard")
+    // byte-adjacent inner chunks coalesce: a full-shard region read is
+    // the index + ONE merged run — 2 ranged reads, not 1 + 16
+    BlobStore.rangeFetches.set(0L)
+    val whole = Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(32, 32))
+    assert(whole.sameAs(data.slice(Array(0, 0), Array(32, 32))))
+    assert(BlobStore.rangeFetches.get() == 2L,
+      s"expected index + one coalesced run, got ${BlobStore.rangeFetches.get()}")
     // absent shard: sizeIfExists short-circuits to fill, zero fetches
     BlobStore.bytesFetched.set(0L)
     val fill = Zarr.readRegion(path, "v", meta, Array(32L, 0L), Array(4, 4))
