@@ -1309,6 +1309,125 @@ final class XbeamDataset private (
         if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)),
       (arr, ax, seed) => arr.cumExtremeAlong(ax, isMin = true, seed))
 
+  /** Exponentially-weighted moving mean along `dim` (xarray
+    * `rolling_exp().mean()` / pandas `ewm(adjust=False).mean()`):
+    * `y_0 = x_0`, then `y_t = (1-α)·y_{t-1} + α·x_t`. The recurrence
+    * is linear, so a chunk acts on its incoming state as the affine
+    * map `y_out = (1-α)^n · y_in + b` — slivers carry that (a, b)
+    * pair per lane, stacked `[2] ++ laneShape`, and affine COMPOSITION
+    * is the (associative) scan monoid: one sliver-sized shuffle, chunk
+    * bodies never move twice. Plane `a` is always a constant per chunk
+    * (β^n, or 0 for the lane head, whose output ignores any seed), so
+    * a = -1 marks the scan identity without colliding with data NaNs,
+    * which live only in plane `b`. For dyadic α (0.5, 0.25, …) over
+    * integer-valued data every step is exact — the property the
+    * oracle gate leans on. */
+  def ewm(dim: String, alpha: Double): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    val d = dim
+    val al = alpha
+    val beta = 1.0 - alpha
+    def stack2(a: NdArray, b: NdArray): NdArray =
+      NdArray(DType.F64, Array(2) ++ a.shape, a.data ++ b.data)
+    // last slice along `ax` of a chunk-shaped F64 array, as a lane array
+    def lastLane(arr: NdArray, ax: Int): NdArray = {
+      val starts = Array.fill(arr.ndim)(0)
+      starts(ax) = arr.shape(ax) - 1
+      val lens = arr.shape.clone()
+      lens(ax) = 1
+      val sl = arr.slice(starts, lens)
+      NdArray(DType.F64, arr.shape.patch(ax, Nil, 1), sl.data)
+    }
+    // per-chunk affine: lane heads emit (0, y_end) — their output is
+    // seed-independent; interior chunks emit (β^n, y_end-from-zero)
+    val sliverVars: (ChunkKey, ArrayChunk) => Map[String, VarArray] =
+      (k, c) => c.vars.collect {
+        case (n, va) if va.dims.contains(d) =>
+          val ax = va.dims.indexOf(d)
+          val lane = va.arr.shape.patch(ax, Nil, 1)
+          val first = k.offsets.getOrElse(d, 0L) == 0L
+          // β^n by repeated multiplication: exact for dyadic β, where
+          // Math.pow is only 1-ulp-accurate — this constant sits on
+          // the gate's bit-exactness path
+          var betaN = 1.0
+          locally {
+            var i = 0
+            while (i < va.arr.shape(ax)) { betaN *= beta; i += 1 }
+          }
+          val (aPlane, bSeed) =
+            if (first) (NdArray.fill(DType.F64, lane, 0.0), None)
+            else (NdArray.fill(DType.F64, lane, betaN),
+              Some(NdArray.fill(DType.F64, lane, 0.0)))
+          val b = lastLane(va.arr.ewmAlong(ax, al, bSeed), ax)
+          n -> VarArray("__s" +: va.dims.filterNot(_ == d),
+            stack2(aPlane, b))
+      }
+    val init: Array[Int] => NdArray = stackedShape =>
+      NdArray.fill(DType.F64, stackedShape, -1.0) // scan identity marker
+    val combine: (NdArray, NdArray) => NdArray = (acc, sliver) => {
+      val out = NdArray.zeros(DType.F64, acc.shape.clone())
+      val half = acc.size / 2
+      var i = 0L
+      while (i < half) {
+        val a1 = acc.getDouble(i); val b1 = acc.getDouble(half + i)
+        val a2 = sliver.getDouble(i); val b2 = sliver.getDouble(half + i)
+        // the marker is a TWO-SIDED identity: the staged two-level
+        // scan folds block seeds in front of block-local prefixes, so
+        // the marker shows up on either side of a composition
+        if (a1 == -1.0) { out.setDouble(i, a2); out.setDouble(half + i, b2) }
+        else if (a2 == -1.0) { out.setDouble(i, a1); out.setDouble(half + i, b1) }
+        else {
+          out.setDouble(i, a1 * a2)
+          out.setDouble(half + i, a2 * b1 + b2)
+        }
+        i += 1
+      }
+      out
+    }
+    def applyChunk(c: ArrayChunk, seeds: Map[String, NdArray]): ArrayChunk =
+      ArrayChunk(c.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          val seed = seeds.get(n).filter(_.getDouble(0L) != -1.0).map { s =>
+            val lane = s.shape.drop(1)
+            val half = s.data.length / 2
+            NdArray(DType.F64, lane,
+              java.util.Arrays.copyOfRange(s.data, half, s.data.length))
+          }
+          n -> VarArray(va.dims, va.arr.ewmAlong(ax, al, seed))
+        }
+      })
+    val nChunks = scanChunksAlong(d)
+    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+      fusedLaneScan(d, reverse = false)(
+        sliverVars, init, combine, (_, c, seeds) => applyChunk(c, seeds))
+    } else {
+      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+      val partials = chunkDataset.map { p: Pair =>
+        (p._1, ArrayChunk(sliverVars(p._1, p._2)))
+      }.filter { p: Pair => p._2.vars.nonEmpty }
+      val prefixes = lanePrefixes(partials, d, reverse = false, init, combine)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(!_._2).get._3
+        val prefixVars = items.find(_._2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        (key, applyChunk(ownChunk,
+          prefixVars.map { case (n, va) => n -> va.arr }))
+      }
+    }
+    val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+    })
+    withPlan(newTemplate, chunkSizes, splitVars, out)
+  }
+
   /** Running min AND max along `dim` in ONE scan pass — the fused form
     * of composing [[cummin]] + [[cummax]], which would read the source
     * twice, run two scan shuffles, and need a join to reunite the

@@ -940,6 +940,55 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * `cummin`/`cummax` shape): out[i] = op(out[i-1], in[i]) with the
     * lane's seed (or ±∞) before position 0; NaN propagates from its
     * first occurrence onward (like [[cumsumAlong]]). */
+  /** Exponentially-weighted moving mean along `axis` (pandas/xarray
+    * `ewm(adjust=False)` / `rolling_exp` recurrence): `y_0 = x_0`,
+    * `y_t = (1-α)·y_{t-1} + α·x_t`. With `seed` (the predecessor
+    * chunk's final y per lane) the first element folds the seed in:
+    * `y_0 = (1-α)·seed + α·x_0`. NaN poisons from its first
+    * occurrence onward (the recurrence never forgets). For dyadic α
+    * (e.g. 0.5) over integer-valued data the arithmetic is exact. */
+  def ewmAlong(axis: Int, alpha: Double, seed: Option[NdArray]): NdArray = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    seed.foreach { o =>
+      require(o.shape.sameElements(keep.map(shape)),
+        s"seed shape ${o.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val axisStride = strides(axis)
+    val laneStrides = seed.map(_.strides)
+    val beta = 1.0 - alpha
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      val v = getDouble(flat)
+      val y =
+        if (i > 0) beta * out.getDouble(flat - axisStride) + alpha * v
+        else seed match {
+          case Some(o) =>
+            var laneFlat = 0L
+            var k = 0
+            while (k < keep.length) {
+              laneFlat += idx(keep(k)) * laneStrides.get(k)
+              k += 1
+            }
+            beta * o.getDouble(laneFlat) + alpha * v
+          case None => v // y_0 = x_0
+        }
+      out.setDouble(flat, y)
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   def cumExtremeAlong(axis: Int, isMin: Boolean, seed: Option[NdArray]): NdArray = {
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     seed.foreach { o =>

@@ -390,6 +390,37 @@ object XbeamQueries {
         SELECT t - (SELECT max(t) - 13 FROM grid) AS t, x, vf FROM grid
         WHERE t >= (SELECT max(t) - 13 FROM grid) ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x59
+    // Exponentially-weighted moving mean (xarray rolling_exp / pandas
+    // ewm(adjust=False), α=0.5): the linear recurrence crosses chunks
+    // as a composed affine map — sliver-sized shuffle only. α=0.5 makes
+    // every weight a dyadic 2^-k, and head(40) keeps each y a sum of
+    // ≤ 2^49-numerator dyadics, so the recurrence (Spark, sequential
+    // per chunk + affine seams) and the closed-form weighted sum
+    // (DuckDB, any summation order) are BIT-IDENTICAL.
+    QueryDef(
+      "x59_ewm",
+      (s, dir) => {
+        // head() pushdown needs a scan; the bridge grid is built from
+        // rows, so bound t at ingestion instead (the x15 idiom)
+        val xds = TabularBridge.fromDataFrame(
+          gridDf(s, dir).filter("t < 40"), s,
+          dims = Seq("t" -> 40L, "x" -> W),
+          vars = Seq("vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.ewm("t", 0.5)).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        g AS (SELECT t, x, vf FROM grid WHERE t < 40)
+        SELECT a.t, a.x,
+               sum(b.vf * CASE WHEN b.t = 0
+                 THEN 1.0 / CAST((CAST(1 AS BIGINT) << a.t) AS DOUBLE)
+                 ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (a.t - b.t + 1)) AS DOUBLE)
+               END) AS vf
+        FROM g a JOIN g b ON a.x = b.x AND b.t <= a.t
+        GROUP BY a.t, a.x ORDER BY a.t, a.x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

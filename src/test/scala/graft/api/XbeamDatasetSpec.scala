@@ -801,6 +801,51 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
   }
 
+  test("ewm matches the sequential recurrence exactly, any chunking") {
+    // hand-checked: x=[3,1,4,1,5], α=0.5 → y=[3, 2, 3, 2, 3.5]
+    val lane = NdArray.fromDoubles(DType.F64, Array(5),
+      Array(3.0, 1.0, 4.0, 1.0, 5.0))
+    assert(lane.ewmAlong(0, 0.5, None).toDoubles.toSeq ==
+      Seq(3.0, 2.0, 3.0, 2.0, 3.5))
+    // Integer-valued data + dyadic α on a ≤40 lane keeps every step an
+    // exactly-representable dyadic, so distributed == single-array
+    // kernel BIT-EXACTLY across chunkings and both scan paths — the
+    // property the x59 oracle gate leans on. (Fractional data may
+    // differ by affine-seam reassociation ULPs, like the two-level
+    // cumsum; checked with a tolerance below.)
+    val grid = NdArray.fromDoubles(DType.F64, Array(32, 6),
+      Array.tabulate(192)(i => ((i * 37) % 11).toDouble))
+    val direct = grid.ewmAlong(0, 0.5, None)
+    def build = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), grid)), chunks = Map("t" -> 8))
+    def check(): Unit = {
+      val got = build.ewm("t", 0.5).collectConsolidated()._2.vars("v").arr
+      assert(got.sameAs(direct))
+    }
+    check()
+    spark.conf.set("spark.graft.scan.longLaneThreshold", "1")
+    try check()
+    finally spark.conf.unset("spark.graft.scan.longLaneThreshold")
+    // fractional data: equal to the sequential recurrence within
+    // reassociation ULPs
+    val dirEra = Fixtures.era5()("temperature")._2.ewmAlong(0, 0.5, None)
+    val gotEra = era5ds(Map("time" -> 4)).ewm("time", 0.5)
+      .collectConsolidated()._2.vars("temperature").arr
+    assert(gotEra.shape.sameElements(dirEra.shape))
+    var i = 0L
+    while (i < dirEra.size) {
+      val a = dirEra.getDouble(i); val b = gotEra.getDouble(i)
+      assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(a)),
+        s"flat=$i: $a vs $b")
+      i += 1
+    }
+    // NaN poisons from first occurrence onward, like the recurrence
+    val nan = NdArray.fromDoubles(DType.F64, Array(4),
+      Array(2.0, Double.NaN, 6.0, 8.0))
+    val y = nan.ewmAlong(0, 0.5, None).toDoubles
+    assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
+  }
+
   test("cumminmax fused scan equals separate cummin/cummax on both paths") {
     val orig = Fixtures.era5()("temperature")._2
     def check(ds: XbeamDataset): Unit = {
