@@ -1175,6 +1175,30 @@ final class XbeamDataset private (
       (acc, sliver) => acc.zipF64(sliver)(_ + _),
       (arr, ax, seed) => arr.cumsumAlong(ax, seed))
 
+  /** Running product along `dim` (xarray `cumprod`): [[cumsum]] with
+    * the multiplicative monoid — the sliver is each chunk's per-lane
+    * product (the last slice of its local running product), seeds
+    * default to 1. NaN poisons. */
+  def cumprod(dim: String): XbeamDataset =
+    prefixScanAlong(dim)(
+      (arr, ax) => {
+        val cp = arr.cumprodAlong(ax, None)
+        val starts = Array.fill(arr.ndim)(0)
+        starts(ax) = arr.shape(ax) - 1
+        val lens = arr.shape.clone()
+        lens(ax) = 1
+        NdArray(DType.F64, arr.shape.patch(ax, Nil, 1),
+          cp.slice(starts, lens).data)
+      },
+      laneShape => NdArray.fill(DType.F64, laneShape, 1.0),
+      (acc, sliver) => acc.zipF64(sliver)(_ * _),
+      (arr, ax, seed) => arr.cumprodAlong(ax, seed))
+
+  /** Elementwise map over every data variable in float64 —
+    * [[mapBlocks]] sugar (what [[where]]/[[clip]]/[[fillna]] are). */
+  def mapValues(f: Double => Double): XbeamDataset =
+    mapBlocks(c => c.mapVars { (_, va) => VarArray(va.dims, va.arr.mapF64(f)) })
+
   /** Forward-fill NaNs along `dim` (xarray `ffill`): each position
     * takes the most recent non-NaN value; positions before the first
     * one stay NaN. Same distributed shape as [[cumsum]] with the scan

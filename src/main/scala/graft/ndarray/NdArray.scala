@@ -784,6 +784,47 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Running product along `axis` in float64 ([[cumsumAlong]] with the
+    * multiplicative monoid; `seeds` default to 1). NaN poisons. */
+  def cumprodAlong(axis: Int, seeds: Option[NdArray]): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    seeds.foreach { o =>
+      require(o.shape.sameElements(keep.map(shape)),
+        s"seeds shape ${o.shape.toSeq} != lane shape ${keep.map(shape).toSeq}")
+    }
+    val out = NdArray.zeros(DType.F64, shape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val axisStride = strides(axis)
+    val laneStrides = seeds.map(_.strides)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      val prev =
+        if (i > 0) out.getDouble(flat - axisStride)
+        else seeds match {
+          case Some(o) =>
+            var laneFlat = 0L
+            var k = 0
+            while (k < keep.length) {
+              laneFlat += idx(keep(k)) * laneStrides.get(k)
+              k += 1
+            }
+            o.getDouble(laneFlat)
+          case None => 1.0
+        }
+      out.setDouble(flat, prev * getDouble(flat))
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Per-lane LAST non-NaN value along `axis` (NaN when the lane has
     * none) — the sliver a distributed forward-fill ships to its
     * successor chunks. */

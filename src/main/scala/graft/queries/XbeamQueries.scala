@@ -421,6 +421,52 @@ object XbeamQueries {
         FROM g a JOIN g b ON a.x = b.x AND b.t <= a.t
         GROUP BY a.t, a.x ORDER BY a.t, a.x""")),
 
+    // ---------------------------------------------------------------- x60
+    // Elementwise masking chain (xarray where → fillna → clip): pure
+    // narrow per-chunk passes over BOTH vars — no shuffle beyond the
+    // grid build. Integer-valued selections and bounds are exact.
+    QueryDef(
+      "x60_where_clip_fillna",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir)
+          .where(v => v % 3.0 != 0.0) // multiples of 3 → NaN
+          .fillna(-5.0)
+          .clip(0.0, 100.0))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CASE WHEN uid % 3 <> 0
+                 THEN LEAST(GREATEST(CAST(uid AS DOUBLE), 0), 100)
+                 ELSE 0 END AS uid,
+               CASE WHEN vf % 3 <> 0
+                 THEN LEAST(GREATEST(vf, 0), 100) ELSE 0 END AS vf
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x61
+    // Running product (xarray cumprod): the prefix-scan primitive with
+    // the multiplicative monoid. Factors ∈ {1, 2} over a ≤40 lane keep
+    // every running product an exact power of two ≤ 2^40, so any scan
+    // association matches DuckDB's windowed product() bit-exactly.
+    QueryDef(
+      "x61_cumprod",
+      (s, dir) => {
+        val xds = TabularBridge.fromDataFrame(
+          gridDf(s, dir).filter("t < 40"), s,
+          dims = Seq("t" -> 40L, "x" -> W),
+          vars = Seq("vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(
+          xds.mapValues(v => 1.0 + (v % 2.0)).cumprod("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               product(1 + (vf % 2)) OVER (PARTITION BY x ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+        FROM grid WHERE t < 40 ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

@@ -846,6 +846,46 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("cumprod matches the kernel across chunkings and scan paths") {
+    // factors in {1, 2}: running products stay exact powers of two
+    val grid = NdArray.fromDoubles(DType.F64, Array(32, 6),
+      Array.tabulate(192)(i => 1.0 + (i * 37 % 11) % 2))
+    val direct = grid.cumprodAlong(0, None)
+    def build(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), grid)), chunks = Map("t" -> ch))
+    def check(): Unit =
+      for (ch <- Seq(5, 8, 16)) { // 5: non-dividing chunk edge
+        val got = build(ch).cumprod("t").collectConsolidated()._2.vars("v").arr
+        assert(got.sameAs(direct), s"chunks=$ch")
+      }
+    check()
+    spark.conf.set("spark.graft.scan.longLaneThreshold", "1")
+    try check()
+    finally spark.conf.unset("spark.graft.scan.longLaneThreshold")
+    // NaN poisons the running product
+    val nan = NdArray.fromDoubles(DType.F64, Array(3),
+      Array(2.0, Double.NaN, 3.0))
+    val y = nan.cumprodAlong(0, None).toDoubles
+    assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN)
+  }
+
+  test("where/clip/fillna elementwise sugar composes as documented") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(6),
+      Array(0.0, 1.0, 3.0, 151.0, -7.0, 99.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), vals)), chunks = Map("t" -> 4))
+    val out = ds.where(v => v % 3.0 != 0.0).fillna(-5.0).clip(0.0, 100.0)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq
+    // 0, 3, 99 are multiples of 3 → NaN → -5 → clip 0; 151 clips to
+    // 100; -7 clips to 0; 1 passes
+    assert(out == Seq(0.0, 1.0, 0.0, 100.0, 0.0, 0.0))
+    // clip alone keeps NaN
+    val masked = ds.where(_ => false) // all NaN
+    val clipped = masked.clip(0.0, 1.0).collectConsolidated()._2
+      .vars("v").arr.toDoubles
+    assert(clipped.forall(_.isNaN))
+  }
+
   test("cumminmax fused scan equals separate cummin/cummax on both paths") {
     val orig = Fixtures.era5()("temperature")._2
     def check(ds: XbeamDataset): Unit = {
