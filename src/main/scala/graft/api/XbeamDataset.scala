@@ -895,6 +895,43 @@ final class XbeamDataset private (
     }
   }
 
+  /** Circular shift along `dim` (xarray `roll(shifts,
+    * roll_coords=False)`): `out[i] = in[(i - k) mod n]`; coords stay
+    * put. Pure key arithmetic: each chunk's data moves to
+    * `(offset + k) mod n`, splitting at the wrap seam and then at the
+    * chunk grid, and ONE consolidation shuffle reassembles the cells —
+    * data crosses the wire once, like any rechunk stage, at any k. */
+  def roll(dim: String, shift: Long): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    import ChunkTransforms.{Pair, pairEnc}
+    val d = dim
+    val n = template.dimSizes(d)
+    val k = ((shift % n) + n) % n
+    if (k == 0L) return this
+    val cs = chunkSizes
+    val nn = n
+    val shifted = chunkDataset.flatMap { p: Pair =>
+      val (key, chunk) = p
+      chunk.dimSizes.get(d) match {
+        case None => Seq(p) // no var spans the rolled dim
+        case Some(ext) =>
+          val off = key.offsets.getOrElse(d, 0L)
+          val newStart = (off + k) % nn
+          val firstLen = math.min(ext.toLong, nn - newStart).toInt
+          val pieces =
+            if (firstLen >= ext) Seq((newStart, 0, ext))
+            else Seq((newStart, 0, firstLen), (0L, firstLen, ext - firstLen))
+          pieces.map { case (gStart, lStart, len) =>
+            (key.copy(offsets = key.offsets + (d -> gStart)),
+              chunk.isel(Map(d -> (lStart, len))))
+          }
+      }
+    }
+    val out = ChunkTransforms.consolidateChunks(
+      ChunkTransforms.splitChunks(shifted, cs), cs)
+    withPlan(template, cs, splitVars, out)
+  }
+
   /** Discrete difference along `dim` (extent-preserving xarray-`diff`
     * shape): out[i] = in[i] - in[i-periods]; the first `periods`
     * positions have no history and fill NaN. Cross-chunk history
@@ -1552,9 +1589,10 @@ final class XbeamDataset private (
 
   /** Trailing rolling reduction along `dim` — [[rollingMean]]
     * generalized to op ∈ "sum" | "min" | "max" | "mean" | "var" |
-    * "std" | "median" (xarray `rolling(dim=w).sum()/.min()/.max()/
-    * .var()/.std()/.median()`, var/std population ddof=0), on the same
-    * halo exchange: only `window-1` trailing slivers cross the wire. */
+    * "std" | "median" | "count" (xarray `rolling(dim=w).sum()/…/
+    * .count()`, var/std population ddof=0, count = valid values in the
+    * window), on the same halo exchange: only `window-1` trailing
+    * slivers cross the wire. */
   def rolling(dim: String, window: Int, op: String,
               minPeriods: Int = 1): XbeamDataset = {
     require(window >= 2, s"rolling window must be >= 2, got $window")

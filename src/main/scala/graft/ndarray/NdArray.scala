@@ -1135,8 +1135,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       case "var" => 4
       case "std" => 5
       case "median" => 6
+      case "count" => 7
       case other => throw new IllegalArgumentException(
-        s"unknown rolling op $other (sum/min/max/mean/var/std/median)")
+        s"unknown rolling op $other (sum/min/max/mean/var/std/median/count)")
     }
     val outShape = shape.clone()
     outShape(axis) = shape(axis) - skipStart
@@ -1159,13 +1160,16 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         val buf = if (opId == 6) new Array[Double](i - lo + 1) else null
         while (j <= i) {
           val v = getDouble(base + (j - lo).toLong * axisStride)
-          if (v.isNaN) acc = Double.NaN
+          // count SKIPS NaN (it counts the valid values, xarray
+          // rolling().count()); every other op is NaN-poisoned
+          if (v.isNaN) { if (opId != 7) acc = Double.NaN }
           else opId match {
             case 0 | 3 => acc += v
             case 1 => if (v < acc) acc = v
             case 2 => if (v > acc) acc = v
             case 4 | 5 => acc += v; acc2 += v * v
             case 6 => buf(c) = v
+            case 7 => acc += 1
           }
           c += 1
           j += 1

@@ -467,6 +467,46 @@ object XbeamQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
         FROM grid WHERE t < 40 ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x62
+    // Circular shift (xarray roll, roll_coords=False): out[t] =
+    // in[(t-7) mod T]. k=7 is deliberately NOT chunk-aligned (chunks of
+    // 16), so wrap pieces split at the seam AND at the grid before one
+    // consolidation shuffle. Pure data movement → values exact.
+    QueryDef(
+      "x62_roll",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).roll("t", 7)).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT a.t, a.x, b.uid, b.vf
+        FROM grid a JOIN grid b
+          ON a.x = b.x AND b.t = (a.t - 7 + (SELECT sz FROM n)) % (SELECT sz FROM n)
+        ORDER BY a.t, a.x""")),
+
+    // ---------------------------------------------------------------- x63
+    // Rolling valid-count (xarray rolling(t=5).count()): NaN-masked
+    // values counted per trailing window — count skips NaN where every
+    // other rolling op poisons. Integer counts are exact by nature.
+    QueryDef(
+      "x63_rolling_count",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir)
+          .where(v => v % 5.0 != 0.0) // multiples of 5 → NaN
+          .rolling("t", 5, "count"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CAST(sum(CASE WHEN uid % 5 <> 0 THEN 1 ELSE 0 END) OVER w
+                 AS DOUBLE) AS uid,
+               CAST(sum(CASE WHEN vf % 5 <> 0 THEN 1 ELSE 0 END) OVER w
+                 AS DOUBLE) AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

@@ -846,6 +846,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("roll: circular shift wraps exactly, any chunking and any k") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 3),
+      Array.tabulate(30)(_.toDouble))
+    def build(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    for (ch <- Seq(3, 4, 10); k <- Seq(1L, 3L, 7L, 10L, -2L, 23L)) {
+      val got = build(ch).roll("t", k).collectConsolidated()._2.vars("v").arr
+      val kk = (((k % 10) + 10) % 10).toInt
+      for (t <- 0 until 10; x <- 0 until 3) {
+        val src = ((t - kk) + 10) % 10
+        assert(got.getDouble(t * 3 + x) == vals.getDouble(src * 3 + x),
+          s"ch=$ch k=$k t=$t x=$x")
+      }
+    }
+    // k multiple of the extent is the identity
+    assert(build(4).roll("t", 20).collectConsolidated()._2.vars("v").arr
+      .sameAs(vals))
+  }
+
+  test("rolling count skips NaN; other rolling ops poison") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(6),
+      Array(1.0, Double.NaN, 3.0, Double.NaN, Double.NaN, 6.0))
+    val counts = vals.rollingReduceAlong(0, 3, 0, "count").toDoubles.toSeq
+    assert(counts == Seq(1.0, 1.0, 2.0, 1.0, 1.0, 1.0))
+    val sums = vals.rollingReduceAlong(0, 3, 0, "sum").toDoubles
+    assert(sums(0) == 1.0 && sums(1).isNaN && sums(4).isNaN)
+  }
+
   test("cumprod matches the kernel across chunkings and scan paths") {
     // factors in {1, 2}: running products stay exact powers of two
     val grid = NdArray.fromDoubles(DType.F64, Array(32, 6),
