@@ -402,17 +402,20 @@ object XbeamQueries {
       "x59_ewm",
       (s, dir) => {
         // head() pushdown needs a scan; the bridge grid is built from
-        // rows, so bound t at ingestion instead (the x15 idiom)
+        // rows, so bound t at ingestion instead (the x15 idiom) — and
+        // scale-aware, since small SFs have fewer than 40 t rows
+        val tBound = math.min(40L, gridXds(s, dir).template.dimSizes("t"))
         val xds = TabularBridge.fromDataFrame(
-          gridDf(s, dir).filter("t < 40"), s,
-          dims = Seq("t" -> 40L, "x" -> W),
+          gridDf(s, dir).filter(s"t < $tBound"), s,
+          dims = Seq("t" -> tBound, "x" -> W),
           vars = Seq("vf" -> DType.F64),
           chunks = Map("t" -> 16, "x" -> 16))
         TabularBridge.toDataFrame(xds.ewm("t", 0.5)).orderBy("t", "x")
       },
       Some(s"""
         WITH $GRID_DUCK,
-        g AS (SELECT t, x, vf FROM grid WHERE t < 40)
+        g AS (SELECT t, x, vf FROM grid
+              WHERE t < least(40, (SELECT max(t) + 1 FROM grid)))
         SELECT a.t, a.x,
                sum(b.vf * CASE WHEN b.t = 0
                  THEN 1.0 / CAST((CAST(1 AS BIGINT) << a.t) AS DOUBLE)
@@ -451,9 +454,10 @@ object XbeamQueries {
     QueryDef(
       "x61_cumprod",
       (s, dir) => {
+        val tBound = math.min(40L, gridXds(s, dir).template.dimSizes("t"))
         val xds = TabularBridge.fromDataFrame(
-          gridDf(s, dir).filter("t < 40"), s,
-          dims = Seq("t" -> 40L, "x" -> W),
+          gridDf(s, dir).filter(s"t < $tBound"), s,
+          dims = Seq("t" -> tBound, "x" -> W),
           vars = Seq("vf" -> DType.F64),
           chunks = Map("t" -> 16, "x" -> 16))
         TabularBridge.toDataFrame(
@@ -465,7 +469,8 @@ object XbeamQueries {
         SELECT t, x,
                product(1 + (vf % 2)) OVER (PARTITION BY x ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
-        FROM grid WHERE t < 40 ORDER BY t, x""")),
+        FROM grid WHERE t < least(40, (SELECT max(t) + 1 FROM grid))
+        ORDER BY t, x""")),
 
     // ---------------------------------------------------------------- x62
     // Circular shift (xarray roll, roll_coords=False): out[t] =
