@@ -884,15 +884,25 @@ final class XbeamDataset private (
     }
   }
 
-  /** Shift every dim-spanning variable forward by `periods` along `dim`
-    * (xarray `Dataset.shift`): out[i] = in[i - periods], the first
-    * `periods` positions fill NaN. Cross-chunk history arrives through
-    * the same halo exchange as [[rollingMean]]. */
+  /** Shift every dim-spanning variable by `periods` along `dim` (xarray
+    * `Dataset.shift`, either sign): out[i] = in[i - periods]; the
+    * uncovered end (`periods` leading positions, or trailing for
+    * negative periods) fills NaN. Cross-chunk history arrives through
+    * the halo exchange — trailing slivers for positive periods, the
+    * successor's leading slivers for negative. */
   def shift(dim: String, periods: Int = 1): XbeamDataset = {
-    require(periods >= 1, s"shift periods must be >= 1, got $periods")
-    mapWithHalo(dim, periods) { (joined, ax, skip) =>
-      joined.shiftAlong(ax, periods, skip)
-    }
+    require(periods != 0, "shift periods must be non-zero")
+    if (periods >= 1)
+      mapWithHalo(dim, periods) { (joined, ax, skip) =>
+        joined.shiftAlong(ax, periods, skip)
+      }
+    else
+      // negative periods pull values FORWARD (xarray shift(dim=-k)):
+      // the history arrives as the successor's leading sliver through
+      // the two-sided halo exchange; the global tail fills NaN
+      mapWithHaloBothAt(dim, -periods) { (joined, ax, skipPre, skipPost, _) =>
+        joined.leadAlong(ax, -periods, skipPre, skipPost)
+      }
   }
 
   /** Circular shift along `dim` (xarray `roll(shifts,

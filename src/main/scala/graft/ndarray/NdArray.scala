@@ -707,6 +707,48 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * takes input position i-periods; positions with no history are NaN
     * (xarray shift fill). `skipStart` drops that many leading positions
     * from the output (a prepended halo) while keeping them as history. */
+  /** Negative-period shift over a two-sided-halo join: the output
+    * covers the OWN region `[skipPre, extent - skipPost)` and
+    * `out[i] = joined[skipPre + i + lead]` where that source position
+    * exists, else NaN (the global tail, where the trailing halo ends
+    * with the array). */
+  def leadAlong(axis: Int, lead: Int, skipPre: Int, skipPost: Int): NdArray = {
+    require(lead >= 1, s"lead must be >= 1, got $lead")
+    require(skipPre >= 0 && skipPost >= 0 &&
+      skipPre + skipPost < shape(axis),
+      s"halo skips $skipPre/$skipPost out of range for extent ${shape(axis)}")
+    val ownExt = shape(axis) - skipPre - skipPost
+    val outShape = shape.clone()
+    outShape(axis) = ownExt
+    val out = NdArray.fill(DType.F64, outShape, Double.NaN)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipPre && i < skipPre + ownExt && i + lead < shape(axis)) {
+        var outFlat = 0L
+        var dd = 0
+        while (dd < ndim) {
+          outFlat += (if (dd == axis) (i - skipPre).toLong
+            else idx(dd).toLong) * outStrides(dd)
+          dd += 1
+        }
+        out.setDouble(outFlat, getDouble(flat + lead.toLong * axisStride))
+      }
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        idx(dd) += 1
+        if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   def shiftAlong(axis: Int, periods: Int, skipStart: Int): NdArray = {
     require(periods >= 1, s"periods must be >= 1, got $periods")
     require(skipStart >= 0 && skipStart < shape(axis),

@@ -512,6 +512,30 @@ object XbeamQueries {
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x64
+    // Negative shift (xarray shift(t=-3)): values pull FORWARD, the
+    // global tail fills NaN → sentinel. History crosses chunks as the
+    // successor's leading sliver (two-sided halo); k=3 with chunks of
+    // 16 exercises mid-lane and lane-end boundaries.
+    QueryDef(
+      "x64_shift_negative",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        TabularBridge.toDataFrame(gridXds(s, dir).shift("t", -3))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               coalesce(lead(CAST(uid AS DOUBLE), 3)
+                 OVER (PARTITION BY x ORDER BY t), -1.0) AS uid,
+               coalesce(lead(vf, 3)
+                 OVER (PARTITION BY x ORDER BY t), -1.0) AS vf
+        FROM grid ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

@@ -846,6 +846,23 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("negative shift pulls values forward; tail fills NaN") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    for (ch <- Seq(3, 4, 10); k <- Seq(-1, -3)) {
+      val got = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+        .shift("t", k).collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until 10; x <- 0 until 2) {
+        val src = t - k // k negative: source is ahead
+        val g = got.getDouble(t * 2 + x)
+        if (src < 10) assert(g == vals.getDouble(src * 2 + x),
+          s"ch=$ch k=$k t=$t x=$x")
+        else assert(g.isNaN, s"ch=$ch k=$k t=$t x=$x tail must be NaN")
+      }
+    }
+  }
+
   test("roll: circular shift wraps exactly, any chunking and any k") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 3),
       Array.tabulate(30)(_.toDouble))
