@@ -639,10 +639,20 @@ final class XbeamDataset private (
     reduced(dims, "min", skipna)
   def max(dims: Set[String], skipna: Boolean = true): XbeamDataset =
     reduced(dims, "max", skipna)
-  def variance(dims: Set[String], skipna: Boolean = true): XbeamDataset =
-    reduced(dims, "var", skipna)
-  def std(dims: Set[String], skipna: Boolean = true): XbeamDataset =
-    reduced(dims, "std", skipna)
+  /** Variance / standard deviation over dims. `ddof` is xarray's
+    * delta-degrees-of-freedom: divisor `n - ddof` (0 = population,
+    * xarray's default; 1 = the pandas/sample convention). Cells with
+    * `n <= ddof` yield NaN. */
+  def variance(dims: Set[String], skipna: Boolean = true,
+               ddof: Int = 0): XbeamDataset = {
+    require(ddof >= 0, s"ddof must be >= 0, got $ddof")
+    reduced(dims, if (ddof == 0) "var" else s"var:$ddof", skipna)
+  }
+  def std(dims: Set[String], skipna: Boolean = true,
+          ddof: Int = 0): XbeamDataset = {
+    require(ddof >= 0, s"ddof must be >= 0, got $ddof")
+    reduced(dims, if (ddof == 0) "std" else s"std:$ddof", skipna)
+  }
 
   /** Exact median over dims (the last combiner on the reference's TODO
     * list, combiners.py:29). Unlike the moment-based reductions an exact
@@ -1727,7 +1737,8 @@ final class XbeamDataset private (
   def resampleReduce(dim: String, period: String, kind: String,
                      skipna: Boolean = true): XbeamDataset = {
     import ChunkTransforms.ReduceAcc
-    val nParts = if (kind == "var" || kind == "std") 3 else 1
+    val base = ChunkTransforms.ReduceAcc.baseOf(kind)
+    val nParts = if (base == "var" || base == "std") 3 else 1
     implicit val accEnc = Encoders.kryo[(ChunkKey, ReduceAcc, ArrayChunk)]
     resampleCore[ReduceAcc](dim, period,
       sliced => ReduceAcc.ofChunk(sliced, Set(dim), kind, skipna),

@@ -196,6 +196,13 @@ object ChunkTransforms {
   final case class ReduceAcc(kind: String, skipna: Boolean,
                              parts: Seq[ArrayChunk],
                              passthrough: ArrayChunk) {
+    // "var"/"std" optionally carry delta-degrees-of-freedom as
+    // "var:<ddof>" (xarray's ddof param; plain kind = ddof 0)
+    private def baseKind = ReduceAcc.baseOf(kind)
+    private def ddof: Int = kind.indexOf(':') match {
+      case -1 => 0
+      case i => kind.substring(i + 1).toInt
+    }
     private def zipParts(a: ArrayChunk, b: ArrayChunk,
                          f: (Double, Double) => Double): ArrayChunk =
       ArrayChunk(a.vars.map { case (n, va) =>
@@ -203,7 +210,7 @@ object ChunkTransforms {
       })
 
     def merge(other: ReduceAcc): ReduceAcc = {
-      val merged = kind match {
+      val merged = baseKind match {
         case "sum" => Seq(zipParts(parts(0), other.parts(0), _ + _))
         case "min" | "max" =>
           val f: (Double, Double) => Double = { (a, b) =>
@@ -211,7 +218,7 @@ object ChunkTransforms {
             // cell": the other side wins. Without skipna, NaN means
             // "poisoned" and must propagate instead.
             if (a.isNaN) b else if (b.isNaN) a
-            else if (kind == "min") math.min(a, b) else math.max(a, b)
+            else if (baseKind == "min") math.min(a, b) else math.max(a, b)
           }
           val g: (Double, Double) => Double =
             if (skipna) f
@@ -226,7 +233,7 @@ object ChunkTransforms {
     }
 
     def extract: ArrayChunk = {
-      val computed: Map[String, VarArray] = kind match {
+      val computed: Map[String, VarArray] = baseKind match {
         case "sum" | "min" | "max" => parts(0).vars
         case "var" | "std" =>
           parts(0).vars.map { case (n, sva) =>
@@ -239,13 +246,14 @@ object ChunkTransforms {
               val s = sums.getDouble(i)
               val q = sq.getDouble(i)
               val c = cnt.getDouble(i)
-              // population variance (ddof=0, xarray's default), in this
-              // exact expression order on both engines; clamped at 0 so
-              // catastrophic cancellation on near-constant float data
-              // cannot yield a negative variance or a NaN std
-              val v = if (c == 0) Double.NaN
-                else math.max((q - s * s / c) / c, 0.0)
-              res.setDouble(i, if (kind == "std") math.sqrt(v) else v)
+              // variance in this exact expression order on both
+              // engines (population by default, divisor c - ddof when
+              // requested); clamped at 0 so catastrophic cancellation
+              // on near-constant float data cannot yield a negative
+              // variance or a NaN std; cells with c <= ddof are NaN
+              val v = if (c <= ddof) Double.NaN
+                else math.max((q - s * s / c) / (c - ddof), 0.0)
+              res.setDouble(i, if (baseKind == "std") math.sqrt(v) else v)
               i += 1
             }
             n -> VarArray(sva.dims, res)
@@ -256,8 +264,12 @@ object ChunkTransforms {
   }
 
   object ReduceAcc {
+    /** Kind without its optional ":<ddof>" suffix. */
+    def baseOf(kind: String): String = kind.takeWhile(_ != ':')
+
     /** Per-chunk partial for `kind` ("sum" | "min" | "max" | "var" |
-      * "std"), reducing over `dims` inside the chunk first. Variables
+      * "std", the latter two optionally "var:<ddof>"), reducing over
+      * `dims` inside the chunk first. Variables
       * spanning none of `dims` go to `passthrough` untouched. */
     def ofChunk(chunk: ArrayChunk, dims: Set[String], kind: String,
                 skipna: Boolean): ReduceAcc = {
@@ -270,7 +282,9 @@ object ChunkTransforms {
           n -> (keptDims, f(va.arr, axes))
         }
         val nParts =
-          if (partsByVar.isEmpty) (if (kind == "var" || kind == "std") 3 else 1)
+          if (partsByVar.isEmpty)
+            (if (ReduceAcc.baseOf(kind) == "var" ||
+              ReduceAcc.baseOf(kind) == "std") 3 else 1)
           else partsByVar.head._2._2.length
         (0 until nParts).map { i =>
           ArrayChunk(partsByVar.map { case (n, (kd, ps)) =>
@@ -278,7 +292,7 @@ object ChunkTransforms {
           })
         }
       }
-      val parts = kind match {
+      val parts = ReduceAcc.baseOf(kind) match {
         case "sum" => per((a, ax) => Seq(a.sumCount(ax, skipna)._1))
         case "min" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = true)))
         case "max" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = false)))

@@ -730,6 +730,32 @@ object XbeamQueries {
                sqrt((sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / count(*)) AS vf_std
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x65
+    // Sample (ddof=1) variance/std over x — x22's moment machinery with
+    // the n-ddof divisor (xarray's ddof param, pandas' default
+    // convention). Same exact expression tree both sides; only the
+    // final single division changes.
+    QueryDef(
+      "x65_var_ddof",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.variance(Set("x"), ddof = 1), "var1")
+          .join(frame(xds.std(Set("x"), ddof = 1), "std1"), "t")
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+               (sum(CAST(uid AS DOUBLE) * uid) - CAST(sum(uid) AS DOUBLE) * sum(uid) / count(*)) / (count(*) - 1) AS uid_var1,
+               (sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / (count(*) - 1) AS vf_var1,
+               sqrt((sum(CAST(uid AS DOUBLE) * uid) - CAST(sum(uid) AS DOUBLE) * sum(uid) / count(*)) / (count(*) - 1)) AS uid_std1,
+               sqrt((sum(vf * vf) - sum(vf) * sum(vf) / count(*)) / (count(*) - 1)) AS vf_std1
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x23
     // Exact median over dim x: cells assemble via the consolidate
     // shuffle (full x extent per cell), then sort-and-interpolate.

@@ -846,6 +846,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("variance/std ddof: sample divisor, NaN when n <= ddof") {
+    // lane [1, 2, 3, 4]: pop var 1.25; sample var 5/3
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 1),
+      Array(1.0, 2.0, 3.0, 4.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+    def varOf(ddof: Int) = ds.variance(Set("t"), ddof = ddof)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0)
+    assert(varOf(0) == 1.25)
+    assert(varOf(1) == (30.0 - 100.0 / 4) / 3) // exact expression order
+    assert(ds.std(Set("t"), ddof = 1).collectConsolidated()._2
+      .vars("v").arr.getDouble(0) == math.sqrt((30.0 - 100.0 / 4) / 3))
+    // n == ddof → NaN, never a division blow-up
+    val one = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(1),
+        Array(7.0)))), chunks = Map("t" -> 1))
+    assert(one.variance(Set("t"), ddof = 1).collectConsolidated()._2
+      .vars("v").arr.getDouble(0).isNaN)
+  }
+
   test("negative shift pulls values forward; tail fills NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))
