@@ -952,6 +952,70 @@ final class XbeamDataset private (
     withPlan(template, cs, splitVars, out)
   }
 
+  /** Pad `dim` with `before`/`after` NaN positions (xarray
+    * `pad(dim=(b, a))`, constant mode): existing data shifts to
+    * `offset + before` by key arithmetic, each lane's head/tail chunk
+    * emits its region's fill chunk (no driver enumeration — the edge
+    * chunk knows its lane's cross-extents), and ONE consolidation
+    * shuffle realigns everything to the chunk grid, aligned `before`
+    * or not. Vars spanning `dim` come out F64 (NaN is the fill); the
+    * dim's coordinate is dropped (integer coords cannot hold NaN). */
+  def pad(dim: String, before: Int, after: Int): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(before >= 0 && after >= 0,
+      s"pad widths must be >= 0, got ($before, $after)")
+    if (before == 0 && after == 0) return this
+    import ChunkTransforms.{Pair, pairEnc}
+    val d = dim
+    val n = template.dimSizes(d)
+    val cs = chunkSizes
+    val b = before.toLong
+    val af = after.toLong
+    val shifted = chunkDataset.flatMap { p: Pair =>
+      val (key, chunk) = p
+      chunk.dimSizes.get(d) match {
+        case None => Seq(p)
+        case Some(ext) =>
+          val off = key.offsets.getOrElse(d, 0L)
+          // spanning vars → F64 so fill and data agree in the assembly
+          val f64 = ArrayChunk(chunk.vars.map { case (nm, va) =>
+            if (!va.dims.contains(d)) nm -> va
+            else nm -> VarArray(va.dims, va.arr.mapF64(identity))
+          })
+          val own = Seq(
+            (key.copy(offsets = key.offsets + (d -> (off + b))), f64))
+          // non-spanning vars ride along in fill chunks too, keeping
+          // every cell's var set homogeneous for the consolidation
+          def fill(gStart: Long, len: Long): Seq[Pair] =
+            if (len == 0) Nil
+            else Seq((key.copy(offsets = key.offsets + (d -> gStart)),
+              ArrayChunk(chunk.vars.map { case (nm, va) =>
+                if (!va.dims.contains(d)) nm -> va
+                else {
+                  val ax = va.dims.indexOf(d)
+                  val shape2 = va.arr.shape.clone()
+                  shape2(ax) = len.toInt
+                  nm -> VarArray(va.dims,
+                    NdArray.fill(DType.F64, shape2, Double.NaN))
+                }
+              })))
+          own ++ (if (off == 0L) fill(0L, b) else Nil) ++
+            (if (off + ext == n) fill(n + b, af) else Nil)
+      }
+    }
+    val newTemplate = Template(
+      template.dims.map { case (dd, sz) =>
+        dd -> (if (dd == d) n + b + af else sz)
+      },
+      template.vars.map { case (nm, vs) =>
+        nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+      },
+      template.coords - d, template.attrs)
+    withPlan(newTemplate, cs, splitVars,
+      ChunkTransforms.consolidateChunks(
+        ChunkTransforms.splitChunks(shifted, cs), cs))
+  }
+
   /** Discrete difference along `dim` (extent-preserving xarray-`diff`
     * shape): out[i] = in[i] - in[i-periods]; the first `periods`
     * positions have no history and fill NaN. Cross-chunk history

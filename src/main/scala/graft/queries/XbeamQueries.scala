@@ -536,6 +536,33 @@ object XbeamQueries {
                  OVER (PARTITION BY x ORDER BY t), -1.0) AS vf
         FROM grid ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x66
+    // Constant padding (xarray pad(t=(5,3))): data shifts +5, 5 leading
+    // and 3 trailing NaN rows appear → sentinel. before=5 is NOT
+    // chunk-aligned (chunks of 16), so the realigning consolidation is
+    // genuinely exercised.
+    QueryDef(
+      "x66_pad",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        TabularBridge.toDataFrame(gridXds(s, dir).pad("t", 5, 3))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid),
+        axes AS (SELECT a.t, xs.x
+                 FROM (SELECT unnest(range(0, (SELECT sz FROM n) + 8)) AS t) a
+                 CROSS JOIN (SELECT DISTINCT x FROM grid) xs)
+        SELECT axes.t, axes.x,
+               coalesce(CAST(g.uid AS DOUBLE), -1.0) AS uid,
+               coalesce(g.vf, -1.0) AS vf
+        FROM axes LEFT JOIN grid g ON g.t = axes.t - 5 AND g.x = axes.x
+        ORDER BY axes.t, axes.x""")),
+
     // ---------------------------------------------------------------- x18
     // N-way aligned zip (the multi-dataset DatasetToChunks list form,
     // core.py:474-502): three datasets — uid, vf, and a mapBlocks

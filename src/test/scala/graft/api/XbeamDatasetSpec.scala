@@ -866,6 +866,29 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .vars("v").arr.getDouble(0).isNaN)
   }
 
+  test("pad inserts NaN regions, shifts data, survives any chunking") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    for (ch <- Seq(3, 4, 10); (b, a) <- Seq((5, 3), (4, 0), (0, 2), (1, 7))) {
+      val padded = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+        .pad("t", b, a)
+      assert(padded.template.dimSizes("t") == 10L + b + a)
+      val got = padded.collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until (10 + b + a); x <- 0 until 2) {
+        val g = got.getDouble(t * 2 + x)
+        if (t < b || t >= 10 + b) assert(g.isNaN, s"ch=$ch pad=($b,$a) t=$t")
+        else assert(g == vals.getDouble((t - b) * 2 + x),
+          s"ch=$ch pad=($b,$a) t=$t x=$x")
+      }
+    }
+    // pad(0,0) is the identity
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+    assert(ds.pad("t", 0, 0).collectConsolidated()._2.vars("v").arr
+      .sameAs(vals))
+  }
+
   test("negative shift pulls values forward; tail fills NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))

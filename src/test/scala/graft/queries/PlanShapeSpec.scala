@@ -67,6 +67,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "short-lane ffill must shuffle exactly once")
     assert(exchanges(xds.ffill("time", limit = 2)) == 1,
       "short-lane limited fill must shuffle exactly once")
+    // the round-10 scan family keeps the same contract
+    assert(exchanges(xds.cumprod("time")) == 1,
+      "short-lane cumprod must shuffle exactly once")
+    assert(exchanges(xds.ewm("time", 0.5)) == 1,
+      "short-lane ewm must shuffle exactly once")
+    assert(exchanges(xds.cumminmax("time")) == 1,
+      "fused cumminmax must shuffle exactly once")
+    // roll is wrap-split + ONE consolidation; negative shift is the
+    // same single halo exchange as positive
+    assert(exchanges(xds.roll("time", 3)) == 1,
+      "roll must shuffle exactly once")
+    assert(exchanges(xds.shift("time", -2)) == 1,
+      "negative shift must shuffle exactly once")
   }
 
   test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
