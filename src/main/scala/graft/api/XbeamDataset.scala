@@ -674,6 +674,28 @@ final class XbeamDataset private (
     cellwise(dims, skipna, "quantile")((arr, axes, sk) =>
       arr.quantileAlong(axes, q, sk))
 
+  /** Several quantiles in ONE pass (xarray `quantile(list)`): the cell
+    * consolidation and the per-cell sort are paid once, and each q
+    * lands as `<var>_q<percent>` (0.25 → `_q25`). */
+  def quantiles(qs: Seq[Double], dims: Set[String],
+                skipna: Boolean = true): XbeamDataset = {
+    require(qs.nonEmpty, "quantiles needs at least one q")
+    val suffixes = qs.map { q =>
+      val pct = BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
+      s"_q$pct"
+    }
+    require(suffixes.distinct.length == suffixes.length,
+      s"duplicate quantiles: $qs")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.exists(dims)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"quantiles output ${n + suf} collides with an existing variable")
+      }
+    }
+    cellwiseMulti(dims, skipna, "quantiles", suffixes)((arr, axes, sk) =>
+      arr.quantilesAlong(axes, qs, sk))
+  }
+
   /** Average-tie ranks along `dim` (xarray `Dataset.rank(dim)`): each
     * element's 1-based rank among its lane's values, ties sharing the
     * mean of their positional ranks; NaN ranks NaN. Like
@@ -794,7 +816,17 @@ final class XbeamDataset private (
     * extent together (one shuffle — the rechunk primitive), then run
     * `kernel(arr, reducedAxes, skipna)` per variable. */
   private def cellwise(dims: Set[String], skipna: Boolean, what: String)
-                      (kernel: (NdArray, Array[Int], Boolean) => NdArray): XbeamDataset = {
+                      (kernel: (NdArray, Array[Int], Boolean) => NdArray): XbeamDataset =
+    cellwiseMulti(dims, skipna, what, Seq(""))((a, ax, sk) =>
+      Seq(kernel(a, ax, sk)))
+
+  /** [[cellwise]] with several outputs per variable from ONE cell
+    * consolidation: `multiKernel` returns one array per entry of
+    * `suffixes`, and each lands as `<var><suffix>` — the
+    * multi-quantile path, where the sort is paid once. */
+  private def cellwiseMulti(dims: Set[String], skipna: Boolean, what: String,
+                            suffixes: Seq[String])
+                           (multiKernel: (NdArray, Array[Int], Boolean) => Seq[NdArray]): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),
       s"$what dims $dims not all in ${template.dimOrder}")
     dims.foreach { d =>
@@ -842,15 +874,18 @@ final class XbeamDataset private (
     val pre =
       if (needSplit) ChunkTransforms.splitChunks(spanning, chunkSizes ++ keptTarget)
       else spanning
+    val sufs = suffixes
     val cells = ChunkTransforms.consolidateChunks(pre, target)
       .map { p: Pair =>
         (p._1.copy(offsets = p._1.offsets -- dimsB),
-          ArrayChunk(p._2.vars.map { case (n, va) =>
+          ArrayChunk(p._2.vars.flatMap { case (n, va) =>
             val axes = va.dims.zipWithIndex.collect {
               case (d, i) if dimsB(d) => i
             }.toArray
-            n -> VarArray(va.dims.filterNot(dimsB),
-              kernel(va.arr, axes, sk))
+            val keptVarDims = va.dims.filterNot(dimsB)
+            sufs.zip(multiKernel(va.arr, axes, sk)).map {
+              case (suf, arr) => (n + suf) -> VarArray(keptVarDims, arr)
+            }
           }))
       }
     val medianed =
@@ -874,9 +909,10 @@ final class XbeamDataset private (
       }
     val newTemplate = Template(
       template.dims.filterNot(d => dims(d._1)),
-      template.vars.map { case (n, vs) =>
-        n -> VarSpec(vs.dims.filterNot(dims),
-          if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
+      template.vars.flatMap { case (n, vs) =>
+        if (!vs.dims.exists(dims)) Seq(n -> vs)
+        else suffixes.map(suf =>
+          (n + suf) -> VarSpec(vs.dims.filterNot(dims), DType.F64))
       },
       template.coords -- dims, template.attrs)
     withPlan(newTemplate, chunkSizes -- dims, splitVars, out)

@@ -432,11 +432,20 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * cell (all-NaN → NaN); without it any NaN poisons the cell. The
     * reduced extent materializes per output cell, so callers bound
     * memory by keeping the non-reduced chunk small. */
-  def quantileAlong(axes: Array[Int], q: Double, skipna: Boolean): NdArray = {
-    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+  def quantileAlong(axes: Array[Int], q: Double, skipna: Boolean): NdArray =
+    quantilesAlong(axes, Seq(q), skipna).head
+
+  /** All of `qs` from ONE gather + sort per cell — what makes a
+    * multi-quantile summary cost the same consolidation and sort as a
+    * single quantile. */
+  def quantilesAlong(axes: Array[Int], qs: Seq[Double],
+                     skipna: Boolean): Seq[NdArray] = {
+    qs.foreach(q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q"))
     val keep = Array.range(0, ndim).filterNot(axes.contains)
     val outShape = keep.map(shape)
-    val out = NdArray.zeros(DType.F64, outShape)
+    val outs = qs.map(_ => NdArray.zeros(DType.F64, outShape))
+    val out = outs.head // strides/size template
     val redLen = axes.map(shape).product
     val buf = new Array[Double](math.max(redLen, 1))
     val lens = new Array[Int](out.size.toInt)
@@ -468,19 +477,22 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     var i = 0
     while (i < cells.length) {
       val m = lens(i)
-      if ((poisonedAny && poisoned(i)) || m == 0) out.setDouble(i.toLong, Double.NaN)
+      if ((poisonedAny && poisoned(i)) || m == 0)
+        outs.foreach(_.setDouble(i.toLong, Double.NaN))
       else {
         System.arraycopy(cells(i), 0, buf, 0, m)
         java.util.Arrays.sort(buf, 0, m)
-        val h = q * (m - 1)
-        val lo = math.floor(h).toInt
-        val frac = h - lo
-        out.setDouble(i.toLong,
-          if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(lo + 1) - buf(lo)))
+        qs.zip(outs).foreach { case (q, o) =>
+          val h = q * (m - 1)
+          val lo = math.floor(h).toInt
+          val frac = h - lo
+          o.setDouble(i.toLong,
+            if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(lo + 1) - buf(lo)))
+        }
       }
       i += 1
     }
-    out
+    outs
   }
 
   /** Min/max VALUE and its first INDEX along one axis, in float64 — the

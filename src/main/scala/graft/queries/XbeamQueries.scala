@@ -908,6 +908,27 @@ object XbeamQueries {
                quantile_cont(vf, 0.25) AS vf
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x67
+    // Three quantiles in ONE pass (xarray quantile([.25,.5,.75])): the
+    // cell consolidation and per-cell sort are paid once for all three
+    // — where three separate quantile() calls would consolidate three
+    // times. Same exact linear interpolation as x28, three positions.
+    QueryDef(
+      "x67_quantiles",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).quantiles(Seq(0.25, 0.5, 0.75), Set("x")))
+        .orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+               quantile_cont(CAST(uid AS DOUBLE), 0.25) AS uid_q25,
+               quantile_cont(CAST(uid AS DOUBLE), 0.5) AS uid_q50,
+               quantile_cont(CAST(uid AS DOUBLE), 0.75) AS uid_q75,
+               quantile_cont(vf, 0.25) AS vf_q25,
+               quantile_cont(vf, 0.5) AS vf_q50,
+               quantile_cont(vf, 0.75) AS vf_q75
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x29
     // argmin/argmax along t (xarray argmin/argmax): the shuffle carries
     // (best value, global index) partials — chunk data never moves.

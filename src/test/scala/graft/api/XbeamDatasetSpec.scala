@@ -846,6 +846,29 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("quantiles: multi-q equals per-q, one consolidation; capped too") {
+    val ds = era5ds(Map("time" -> 4))
+    val multi = ds.quantiles(Seq(0.25, 0.5, 0.75), Set("time"))
+      .collectConsolidated()._2
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val single = ds.quantile(q, Set("time")).collectConsolidated()._2
+      val suf = s"_q${(q * 100).toInt}"
+      assert(multi.vars(s"temperature$suf").arr
+        .sameAs(single.vars("temperature").arr), s"q=$q")
+    }
+    // under the memory cap (kept chunks split + consolidate back) the
+    // suffixed outputs still assemble correctly
+    spark.conf.set("spark.graft.cellwise.maxBytes", "4096")
+    try {
+      val capped = ds.quantiles(Seq(0.25, 0.75), Set("time"))
+        .collectConsolidated()._2
+      assert(capped.vars("temperature_q25").arr.sameAs(
+        multi.vars("temperature_q25").arr))
+      assert(capped.vars("temperature_q75").arr.sameAs(
+        multi.vars("temperature_q75").arr))
+    } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+  }
+
   test("variance/std ddof: sample divisor, NaN when n <= ddof") {
     // lane [1, 2, 3, 4]: pop var 1.25; sample var 5/3
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 1),
