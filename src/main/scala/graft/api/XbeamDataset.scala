@@ -643,6 +643,13 @@ final class XbeamDataset private (
     * delta-degrees-of-freedom: divisor `n - ddof` (0 = population,
     * xarray's default; 1 = the pandas/sample convention). Cells with
     * `n <= ddof` yield NaN. */
+  /** Count of valid (non-NaN) values over dims (xarray `count`). */
+  def count(dims: Set[String]): XbeamDataset =
+    reduced(dims, "count", skipna = true)
+  /** Product over dims (xarray `prod`; empty/all-NaN cells yield 1,
+    * the multiplicative identity, as numpy's nanprod does). */
+  def prod(dims: Set[String], skipna: Boolean = true): XbeamDataset =
+    reduced(dims, "prod", skipna)
   def variance(dims: Set[String], skipna: Boolean = true,
                ddof: Int = 0): XbeamDataset = {
     require(ddof >= 0, s"ddof must be >= 0, got $ddof")

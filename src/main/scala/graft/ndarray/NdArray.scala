@@ -243,6 +243,35 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     (sums, counts)
   }
 
+  /** Product along the given axes, in float64 — the per-chunk partial
+    * of a distributed prod (xarray `ds.prod`). Under skipna NaN
+    * elements are skipped; an all-NaN (or empty) cell yields 1, the
+    * multiplicative identity, as numpy's nanprod does. */
+  def prodAlong(axes: Array[Int], skipna: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val out = NdArray.fill(DType.F64, keep.map(shape), 1.0)
+    val outStrides = out.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN)
+        out.setDouble(outFlat, out.getDouble(outFlat) * v)
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Weighted sum + weight total along the given axes, in float64 —
     * the per-chunk partial of a weighted mean (xarray
     * `ds.weighted(w).mean()`): each element weighs the product of its

@@ -212,6 +212,12 @@ object ChunkTransforms {
     def merge(other: ReduceAcc): ReduceAcc = {
       val merged = baseKind match {
         case "sum" => Seq(zipParts(parts(0), other.parts(0), _ + _))
+        case "count" => Seq(zipParts(parts(0), other.parts(0), _ + _))
+        case "prod" =>
+          val f: (Double, Double) => Double =
+            if (skipna) (a, b) => a * b
+            else (a, b) => if (a.isNaN || b.isNaN) Double.NaN else a * b
+          Seq(zipParts(parts(0), other.parts(0), f))
         case "min" | "max" =>
           val f: (Double, Double) => Double = { (a, b) =>
             // Under skipna, NaN in a partial means "no data in this
@@ -234,7 +240,7 @@ object ChunkTransforms {
 
     def extract: ArrayChunk = {
       val computed: Map[String, VarArray] = baseKind match {
-        case "sum" | "min" | "max" => parts(0).vars
+        case "sum" | "min" | "max" | "count" | "prod" => parts(0).vars
         case "var" | "std" =>
           parts(0).vars.map { case (n, sva) =>
             val sq = parts(1).vars(n).arr
@@ -294,6 +300,8 @@ object ChunkTransforms {
       }
       val parts = ReduceAcc.baseOf(kind) match {
         case "sum" => per((a, ax) => Seq(a.sumCount(ax, skipna)._1))
+        case "count" => per((a, ax) => Seq(a.sumCount(ax, skipna = true)._2))
+        case "prod" => per((a, ax) => Seq(a.prodAlong(ax, skipna)))
         case "min" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = true)))
         case "max" => per((a, ax) => Seq(a.extreme(ax, skipna, isMin = false)))
         case "var" | "std" => per { (a, ax) =>
@@ -301,7 +309,7 @@ object ChunkTransforms {
           Seq(s, q, c)
         }
         case other => throw new IllegalArgumentException(
-          s"unknown reduction $other (sum/min/max/var/std)")
+          s"unknown reduction $other (sum/min/max/count/prod/var/std)")
       }
       ReduceAcc(kind, skipna, parts, ArrayChunk(untouched))
     }

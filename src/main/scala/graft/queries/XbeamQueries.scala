@@ -929,6 +929,34 @@ object XbeamQueries {
                quantile_cont(vf, 0.75) AS vf_q75
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x68
+    // count + prod reductions (xarray count/prod) over NaN-masked data:
+    // count tallies the valid values; prod multiplies dyadic factors
+    // {1,2} (≤ 2^50 over a 50-cell, exact on both engines), skipping
+    // NaN like numpy's nanprod. Same one-shuffle partial machinery as
+    // sum/min/max.
+    QueryDef(
+      "x68_count_prod",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val masked = gridXds(s, dir).where(v => v % 7.0 != 0.0)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(masked.count(Set("x")), "cnt")
+          .join(frame(masked.mapValues(v => 1.0 + (v % 2.0))
+            .prod(Set("x")), "prod"), "t")
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+               CAST(count(CASE WHEN uid % 7 <> 0 THEN 1 END) AS DOUBLE) AS uid_cnt,
+               CAST(count(CASE WHEN vf % 7 <> 0 THEN 1 END) AS DOUBLE) AS vf_cnt,
+               product(CASE WHEN uid % 7 <> 0 THEN 1.0 + (uid % 2) END) AS uid_prod,
+               product(CASE WHEN vf % 7 <> 0 THEN 1.0 + (vf % 2) END) AS vf_prod
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // ---------------------------------------------------------------- x29
     // argmin/argmax along t (xarray argmin/argmax): the shuffle carries
     // (best value, global index) partials — chunk data never moves.

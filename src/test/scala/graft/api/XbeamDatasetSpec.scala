@@ -846,6 +846,27 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("count/prod reductions: NaN skipping, identity cells, chunking") {
+    // lane [2, NaN, 3, NaN]: count 2, prod 6; all-NaN lane: count 0, prod 1
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2), Array(
+      2.0, Double.NaN,
+      Double.NaN, Double.NaN,
+      3.0, Double.NaN,
+      Double.NaN, Double.NaN))
+    for (ch <- Seq(2, 4)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+      val cnt = ds.count(Set("t")).collectConsolidated()._2.vars("v").arr
+      assert(cnt.getDouble(0) == 2.0 && cnt.getDouble(1) == 0.0, s"ch=$ch")
+      val prd = ds.prod(Set("t")).collectConsolidated()._2.vars("v").arr
+      assert(prd.getDouble(0) == 6.0 && prd.getDouble(1) == 1.0, s"ch=$ch")
+      // skipna=false: NaN poisons the product
+      val prd2 = ds.prod(Set("t"), skipna = false)
+        .collectConsolidated()._2.vars("v").arr
+      assert(prd2.getDouble(0).isNaN && prd2.getDouble(1).isNaN, s"ch=$ch")
+    }
+  }
+
   test("quantiles: multi-q equals per-q, one consolidation; capped too") {
     val ds = era5ds(Map("time" -> 4))
     val multi = ds.quantiles(Seq(0.25, 0.5, 0.75), Set("time"))
