@@ -1721,11 +1721,22 @@ final class XbeamDataset private (
     * window), on the same halo exchange: only `window-1` trailing
     * slivers cross the wire. */
   def rolling(dim: String, window: Int, op: String,
-              minPeriods: Int = 1): XbeamDataset = {
+              minPeriods: Int = 1, center: Boolean = false): XbeamDataset = {
     require(window >= 2, s"rolling window must be >= 2, got $window")
-    mapWithHalo(dim, window - 1) { (joined, ax, skip) =>
-      joined.rollingReduceAlong(ax, window, skip, op, minPeriods)
-    }
+    if (!center)
+      mapWithHalo(dim, window - 1) { (joined, ax, skip) =>
+        joined.rollingReduceAlong(ax, window, skip, op, minPeriods)
+      }
+    else
+      // centered windows need history AND future: the two-sided halo
+      // ships both neighbors' slivers; window [i-(w-1-h), i+h] with
+      // h = (w-1)/2 (pandas' even-window convention), truncated at the
+      // global ends
+      mapWithHaloBothAt(dim, window - 1 - (window - 1) / 2) {
+        (joined, ax, skipPre, skipPost, _) =>
+          joined.rollingCenteredAlong(ax, window, skipPre, skipPost,
+            op, minPeriods)
+      }
   }
 
   /** Per-cell degree-1 OLS slope along `dim` against the global dim

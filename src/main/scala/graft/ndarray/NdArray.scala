@@ -1293,6 +1293,94 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Centered rolling reduction over a two-sided-halo join: the output
+    * covers the OWN region `[skipPre, extent - skipPost)`; position i's
+    * window is `[i - (w-1-h), i + h]` with `h = (window-1)/2` —
+    * symmetric for odd windows, pandas' left-heavy convention for even
+    * — truncated at the joined array's bounds (which are the GLOBAL
+    * bounds at lane edges, since halos only stop at the array ends).
+    * Same op set and minPeriods semantics as [[rollingReduceAlong]]. */
+  def rollingCenteredAlong(axis: Int, window: Int, skipPre: Int,
+                           skipPost: Int, op: String,
+                           minPeriods: Int = 1): NdArray = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minPeriods >= 1 && minPeriods <= window,
+      s"minPeriods $minPeriods must be in [1, window $window]")
+    require(skipPre >= 0 && skipPost >= 0 &&
+      skipPre + skipPost < shape(axis),
+      s"halo skips $skipPre/$skipPost out of range for extent ${shape(axis)}")
+    val h = (window - 1) / 2
+    val before = window - 1 - h
+    val ownExt = shape(axis) - skipPre - skipPost
+    val outShape = shape.clone()
+    outShape(axis) = ownExt
+    val out = NdArray.zeros(DType.F64, outShape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipPre && i < skipPre + ownExt) {
+        val lo = math.max(0, i - before)
+        val hi = math.min(shape(axis) - 1, i + h)
+        var acc = if (op == "min") Double.PositiveInfinity
+          else if (op == "max") Double.NegativeInfinity else 0.0
+        var acc2 = 0.0
+        var c = 0
+        val buf = if (op == "median") new Array[Double](hi - lo + 1) else null
+        var j = lo
+        while (j <= hi) {
+          val v = getDouble(flat + (j - i).toLong * axisStride)
+          if (v.isNaN) { if (op != "count") acc = Double.NaN }
+          else op match {
+            case "sum" | "mean" => acc += v
+            case "min" => if (v < acc) acc = v
+            case "max" => if (v > acc) acc = v
+            case "var" | "std" => acc += v; acc2 += v * v
+            case "median" => buf(c) = v
+            case "count" => acc += 1
+            case other => throw new IllegalArgumentException(
+              s"unknown rolling op $other")
+          }
+          c += 1
+          j += 1
+        }
+        var outFlat = 0L
+        var d = 0
+        while (d < ndim) {
+          outFlat += (if (d == axis) (i - skipPre).toLong
+            else idx(d).toLong) * outStrides(d)
+          d += 1
+        }
+        out.setDouble(outFlat,
+          if (c < minPeriods) Double.NaN
+          else op match {
+            case "mean" => acc / c
+            case "var" => math.max(0.0, (acc2 - acc * acc / c) / c)
+            case "std" => math.sqrt(math.max(0.0, (acc2 - acc * acc / c) / c))
+            case "median" =>
+              if (acc.isNaN) Double.NaN
+              else {
+                java.util.Arrays.sort(buf, 0, c)
+                if (c % 2 == 1) buf(c / 2)
+                else (buf(c / 2 - 1) + buf(c / 2)) / 2
+              }
+            case _ => acc
+          })
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Per-lane (value, global index) of the LAST (`last=true`) or FIRST
     * non-NaN along `axis`, stacked as an output of shape
     * `[2] ++ laneShape` (plane 0 = value, plane 1 = index as double;

@@ -957,6 +957,37 @@ object XbeamQueries {
                product(CASE WHEN vf % 7 <> 0 THEN 1.0 + (vf % 2) END) AS vf_prod
         FROM grid GROUP BY t ORDER BY t""")),
 
+    // ---------------------------------------------------------------- x69
+    // Centered rolling mean/sum (xarray rolling(center=True), window 5
+    // = 2 back + self + 2 ahead): future values arrive as the
+    // successor's leading sliver through the two-sided halo. Truncated
+    // windows at both global ends match SQL's PRECEDING/FOLLOWING
+    // frame; integer sums + one division stay exact.
+    QueryDef(
+      "x69_rolling_center",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.rolling("t", 5, "mean", center = true), "cmean")
+          .join(frame(xds.rolling("t", 5, "sum", center = true), "csum"),
+            Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CAST(sum(uid) OVER w AS DOUBLE) / count(*) OVER w AS uid_cmean,
+               sum(vf) OVER w / count(*) OVER w AS vf_cmean,
+               CAST(sum(uid) OVER w AS DOUBLE) AS uid_csum,
+               sum(vf) OVER w AS vf_csum
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x29
     // argmin/argmax along t (xarray argmin/argmax): the shuffle carries
     // (best value, global index) partials — chunk data never moves.

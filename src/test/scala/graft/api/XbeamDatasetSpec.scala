@@ -846,6 +846,31 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(y(0) == 2.0 && y(1).isNaN && y(2).isNaN && y(3).isNaN)
   }
 
+  test("centered rolling: symmetric odd, left-heavy even, any chunking") {
+    // [10, 20, 30, 40, 50]: center w=3 sums → [30, 60, 90, 120, 90]
+    val lane = NdArray.fromDoubles(DType.F64, Array(5, 1),
+      Array(10.0, 20.0, 30.0, 40.0, 50.0))
+    def sums(w: Int, ch: Int): Seq[Double] = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), lane)), chunks = Map("t" -> ch))
+      .rolling("t", w, "sum", center = true)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq
+    for (ch <- Seq(2, 3, 5)) {
+      assert(sums(3, ch) == Seq(30.0, 60.0, 90.0, 120.0, 90.0), s"ch=$ch")
+      // even w=4: pandas convention [i-2, i+1]
+      assert(sums(4, ch) == Seq(30.0, 60.0, 100.0, 140.0, 120.0), s"ch=$ch")
+    }
+    // centered mean equals the trailing mean shifted by (w-1)/2
+    val grid = Fixtures.era5()("temperature")._2
+    val trailing = grid.rollingReduceAlong(0, 5, 0, "mean")
+    val centered = era5ds(Map("time" -> 4))
+      .rolling("time", 5, "mean", center = true)
+      .collectConsolidated()._2.vars("temperature").arr
+    val lanes = grid.shape(1) * grid.shape(2)
+    for (t <- 0 until grid.shape(0) - 2; l <- 0 until lanes)
+      assert(centered.getDouble(t.toLong * lanes + l) ==
+        trailing.getDouble((t + 2).toLong * lanes + l), s"t=$t l=$l")
+  }
+
   test("count/prod reductions: NaN skipping, identity cells, chunking") {
     // lane [2, NaN, 3, NaN]: count 2, prod 6; all-NaN lane: count 0, prod 1
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 2), Array(
