@@ -80,6 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "roll must shuffle exactly once")
     assert(exchanges(xds.shift("time", -2)) == 1,
       "negative shift must shuffle exactly once")
+    assert(exchanges(xds.pad("time", 3, 2)) == 1,
+      "pad must shuffle exactly once")
+    assert(exchanges(xds.rolling("time", 3, "mean", center = true)) == 1,
+      "centered rolling must shuffle exactly once")
   }
 
   test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
