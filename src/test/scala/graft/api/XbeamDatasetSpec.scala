@@ -384,6 +384,14 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val sm = ds.resampleReduce("t", "month", "sum")
       .collectConsolidated()._2.vars("v").arr
     assert(sm.getDouble(0) == 6.0 && sm.getDouble(2) == 39.0)
+    // the round-10 reduction kinds ride the same bucket machinery
+    val ct = ds.resampleReduce("t", "month", "count")
+      .collectConsolidated()._2.vars("v").arr
+    assert(ct.getDouble(0) == 4.0 && ct.getDouble(2) == 6.0)
+    val pr = ds.resampleReduce("t", "month", "prod")
+      .collectConsolidated()._2.vars("v").arr
+    assert(pr.getDouble(0) == 0.0) // 0*1*2*3
+    assert(pr.getDouble(2) == 60480.0) // 4*5*6*7*8*9
     // a coord that runs backwards is rejected
     val bad = NdArray.fromLongs(DType.TimeNs, Array(10),
       Array.tabulate(10)(i => baseNs - i * day))
