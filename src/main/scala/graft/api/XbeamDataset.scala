@@ -2038,7 +2038,38 @@ final class XbeamDataset private (
     * NaN `by` values (and NaN data) are excluded; empty bins yield
     * NaN. Requires every variable to span the `by` variable's dims. */
   def groupbyBinsMean(by: String, edges: Array[Double]): XbeamDataset = {
-    require(!splitVars, "groupbyBinsMean needs whole-variable chunks " +
+    import ChunkTransforms.MeanAcc
+    import org.apache.spark.sql.Encoders
+    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc)]
+    val allDims = template.dimSizes.keySet
+    groupbyBinsCore[MeanAcc](by, edges)(
+      c => ChunkTransforms.sumCountChunk(c, allDims, skipna = true),
+      (a, b) => a.merge(b), _.extract)
+  }
+
+  /** [[groupbyBinsMean]] generalized to the other reductions —
+    * per-bin sum / min / max / count / prod / var / std (optionally
+    * "var:<ddof>"), same masked-partial shuffle shape. */
+  def groupbyBinsReduce(by: String, edges: Array[Double],
+                        kind: String): XbeamDataset = {
+    import ChunkTransforms.ReduceAcc
+    import org.apache.spark.sql.Encoders
+    implicit val accEnc = Encoders.kryo[(ChunkKey, ReduceAcc)]
+    val allDims = template.dimSizes.keySet
+    groupbyBinsCore[ReduceAcc](by, edges)(
+      c => ReduceAcc.ofChunk(c, allDims, kind, skipna = true),
+      (a, b) => a.merge(b), _.extract)
+  }
+
+  /** The shared bin machinery: per chunk, each bin's mask selects its
+    * values (NaN elsewhere), a skipna partial accumulator reduces the
+    * masked chunk, and ONE shuffle of per-(chunk, bin) partials — never
+    * data — combines per bin. */
+  private def groupbyBinsCore[A](by: String, edges: Array[Double])(
+      partialOf: ArrayChunk => A, mergeF: (A, A) => A,
+      extractF: A => ArrayChunk)(
+      implicit accEnc: org.apache.spark.sql.Encoder[(ChunkKey, A)]): XbeamDataset = {
+    require(!splitVars, "groupby_bins needs whole-variable chunks " +
       "(consolidate variables first)")
     require(template.vars.contains(by), s"unknown variable $by")
     require(edges.length >= 2 && edges.sliding(2).forall(p => p(0) < p(1)),
@@ -2048,13 +2079,10 @@ final class XbeamDataset private (
       require(vs.dims == byDims,
         s"variable $n spans ${vs.dims}, but binning by $by needs $byDims")
     }
-    import ChunkTransforms.MeanAcc
     import org.apache.spark.sql.Encoders
-    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc)]
     val nBins = edges.length - 1
     val ed = edges
     val byName = by
-    val allDims = template.dimSizes.keySet
     val partials = chunkDataset.flatMap { p: Pair =>
       val c = p._2
       val g = c.vars(byName).arr
@@ -2069,18 +2097,17 @@ final class XbeamDataset private (
           n -> VarArray(va.dims,
             va.arr.zipF64(mask)((a, m) => if (m.isNaN) Double.NaN else a))
         })
-        (ChunkKey(Map("bin" -> b.toLong), None),
-          ChunkTransforms.sumCountChunk(masked, allDims, skipna = true))
+        (ChunkKey(Map("bin" -> b.toLong), None), partialOf(masked))
       }
     }
     val out = partials
-      .groupByKey { kv: (ChunkKey, MeanAcc) => kv._1.canonical }(Encoders.STRING)
-      .reduceGroups { (a: (ChunkKey, MeanAcc), b: (ChunkKey, MeanAcc)) =>
-        (a._1, a._2.merge(b._2))
+      .groupByKey { kv: (ChunkKey, A) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, A), b: (ChunkKey, A)) =>
+        (a._1, mergeF(a._2, b._2))
       }
-      .map { kv: (String, (ChunkKey, MeanAcc)) =>
+      .map { kv: (String, (ChunkKey, A)) =>
         val (k, acc) = kv._2
-        (k, ArrayChunk(acc.extract.vars.map { case (n, va) =>
+        (k, ArrayChunk(extractF(acc).vars.map { case (n, va) =>
           n -> VarArray(Seq("bin"), NdArray(DType.F64, Array(1), va.arr.data))
         }))
       }

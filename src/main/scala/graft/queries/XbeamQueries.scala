@@ -1468,6 +1468,39 @@ object XbeamQueries {
         FROM binned WHERE bin IS NOT NULL
         GROUP BY bin ORDER BY bin""")),
 
+    // ---------------------------------------------------------------- x70
+    // groupby_bins with non-mean reductions (xarray groupby_bins(...)
+    // .max()/.count()): same masked-partial shuffle as x42, different
+    // accumulator kinds. Partials move, data never does.
+    QueryDef(
+      "x70_groupby_bins_reduce",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        val edges = Array(0.0, 100.0, 200.0, 300.0, 500.0)
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("bin"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.groupbyBinsReduce("vf", edges, "max"), "max")
+          .join(frame(xds.groupbyBinsReduce("vf", edges, "count"), "cnt"),
+            "bin")
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        binned AS (SELECT CASE WHEN vf >= 0 AND vf < 100 THEN 0
+                               WHEN vf >= 100 AND vf < 200 THEN 1
+                               WHEN vf >= 200 AND vf < 300 THEN 2
+                               WHEN vf >= 300 AND vf <= 500 THEN 3 END AS bin,
+                          uid, vf
+                   FROM grid)
+        SELECT bin,
+               CAST(max(uid) AS DOUBLE) AS uid_max, max(vf) AS vf_max,
+               CAST(count(*) AS DOUBLE) AS uid_cnt,
+               CAST(count(*) AS DOUBLE) AS vf_cnt
+        FROM binned WHERE bin IS NOT NULL
+        GROUP BY bin ORDER BY bin""")),
+
     // ---------------------------------------------------------------- x43
     // z-score standardization over t (anomaly ÷ std — the feature
     // normalization step): two partial-reduction shuffles build mean
