@@ -1399,7 +1399,7 @@ final class XbeamDataset private (
     val lim = limit
     val rev = reverse
     val nChunks = scanChunksAlong(d)
-    val joined = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+    val joined = if (scanRouteFused(d, nChunks)) {
       // short lanes: one fused chunk-body shuffle, no sliver stages
       fusedLaneScan(d, rev)(
         (k, c) => {
@@ -1426,7 +1426,6 @@ final class XbeamDataset private (
           })
         })
     } else {
-      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
       val partials = chunkDataset.map { p: Pair =>
         val (k, c) = p
         val off = k.offsets.getOrElse(d, 0L)
@@ -1437,22 +1436,15 @@ final class XbeamDataset private (
               va.arr.edgeValidWithIndexAlong(ax, off, last = !rev))
         }))
       }.filter { p: Pair => p._2.vars.nonEmpty }
-      val prefixes = lanePrefixes(partials, d, rev,
-        shape => NdArray.fill(DType.F64, shape, Double.NaN),
-        XbeamDataset.overwritePair)
-      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-        val items = it.toSeq
-        val (key, ownChunk) = items.find(!_._2).get._3
-        val seedVars = items.find(_._2).map(_._3._2.vars)
-          .getOrElse(Map.empty[String, VarArray])
+      seedStagedApply(partials, d, rev,
+          shape => NdArray.fill(DType.F64, shape, Double.NaN),
+          XbeamDataset.overwritePair, stackK = 2) { (key, ownChunk, seeds) =>
         val off = key.offsets.getOrElse(d, 0L)
         (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
           if (!va.dims.contains(d)) n -> va
           else {
             val ax = va.dims.indexOf(d)
-            val seed = seedVars.get(n).map(_.arr)
+            val seed = seeds.get(n)
             n -> VarArray(va.dims,
               if (rev) va.arr.bfillLimitAlong(ax, off, lim, seed)
               else va.arr.ffillLimitAlong(ax, off, lim, seed))
@@ -1590,24 +1582,16 @@ final class XbeamDataset private (
         }
       })
     val nChunks = scanChunksAlong(d)
-    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+    val out = if (scanRouteFused(d, nChunks)) {
       fusedLaneScan(d, reverse = false)(
         sliverVars, init, combine, (_, c, seeds) => applyChunk(c, seeds))
     } else {
-      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
       val partials = chunkDataset.map { p: Pair =>
         (p._1, ArrayChunk(sliverVars(p._1, p._2)))
       }.filter { p: Pair => p._2.vars.nonEmpty }
-      val prefixes = lanePrefixes(partials, d, reverse = false, init, combine)
-      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-        val items = it.toSeq
-        val (key, ownChunk) = items.find(!_._2).get._3
-        val prefixVars = items.find(_._2).map(_._3._2.vars)
-          .getOrElse(Map.empty[String, VarArray])
-        (key, applyChunk(ownChunk,
-          prefixVars.map { case (n, va) => n -> va.arr }))
+      seedStagedApply(partials, d, reverse = false, init, combine,
+          stackK = 2) { (key, ownChunk, seeds) =>
+        (key, applyChunk(ownChunk, seeds))
       }
     }
     val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
@@ -1683,25 +1667,17 @@ final class XbeamDataset private (
             sliverOf(va.arr, ax))
       }
     val nChunks = scanChunksAlong(d)
-    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+    val out = if (scanRouteFused(d, nChunks)) {
       fusedLaneScan(d, reverse = false)(
         (_, c) => stackedSlivers(c), init, combine,
         (_, c, seeds) => applyChunk(c, seeds))
     } else {
-      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
       val partials = chunkDataset.map { p: Pair =>
         (p._1, ArrayChunk(stackedSlivers(p._2)))
       }.filter { p: Pair => p._2.vars.nonEmpty }
-      val prefixes = lanePrefixes(partials, d, reverse = false, init, combine)
-      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-        val items = it.toSeq
-        val (key, ownChunk) = items.find(!_._2).get._3
-        val prefixVars = items.find(_._2).map(_._3._2.vars)
-          .getOrElse(Map.empty[String, VarArray])
-        (key, applyChunk(ownChunk,
-          prefixVars.map { case (n, va) => n -> va.arr }))
+      seedStagedApply(partials, d, reverse = false, init, combine,
+          stackK = 2) { (key, ownChunk, seeds) =>
+        (key, applyChunk(ownChunk, seeds))
       }
     }
     val newVars = template.vars.flatMap { case (n, vs) =>
@@ -1778,7 +1754,9 @@ final class XbeamDataset private (
     // forward and reverse scans then derive from the cache, so the
     // source is read once for slivers + once for the rejoin — two
     // passes total instead of three
-    val edges = chunkDataset.map { p: Pair =>
+    val nanInit: Array[Int] => NdArray =
+      shape => NdArray.fill(DType.F64, shape, Double.NaN)
+    val edgesDs = chunkDataset.map { p: Pair =>
       val (k, c) = p
       val off = k.offsets.getOrElse(d, 0L)
       def sliver(last: Boolean) = ArrayChunk(c.vars.collect {
@@ -1789,38 +1767,68 @@ final class XbeamDataset private (
       })
       (k, sliver(last = true), sliver(last = false))
     }.filter { t: (ChunkKey, ArrayChunk, ArrayChunk) => t._2.vars.nonEmpty }
-      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // overwrite-if-present on the stacked pair: a later sliver's value
     // plane decides; its index plane travels with it — the
-    // exclusive-prefix "nearest valid so far" per lane-chunk, streamed
-    // through the shared scan engine
-    def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] =
-      lanePrefixes(parts, d, reverse,
-        shape => NdArray.fill(DType.F64, shape, Double.NaN),
-        XbeamDataset.overwritePair)
-    val fwd = prefixes(
-      spark.createDataset(edges.map(t => (t._1, t._2)))(pairEnc), reverse = false)
-    val rev = prefixes(
-      spark.createDataset(edges.map(t => (t._1, t._3)))(pairEnc), reverse = true)
-    val tagged = chunkDataset.map { p: Pair => (p._1.canonical, 0, p) }
-      .union(fwd.map { p: Pair => (p._1.canonical, 1, p) })
-      .union(rev.map { p: Pair => (p._1.canonical, 2, p) })
-    val joined = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-      val items = it.toSeq
-      val (key, ownChunk) = items.find(_._2 == 0).get._3
-      val prevVars = items.find(_._2 == 1).map(_._3._2.vars)
-        .getOrElse(Map.empty[String, VarArray])
-      val nextVars = items.find(_._2 == 2).map(_._3._2.vars)
-        .getOrElse(Map.empty[String, VarArray])
-      val off = key.offsets.getOrElse(d, 0L)
-      (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
-        if (!va.dims.contains(d)) n -> va
-        else {
-          val ax = va.dims.indexOf(d)
-          n -> VarArray(va.dims, va.arr.interpNaAlong(ax, off,
-            prevVars.get(n).map(_.arr), nextVars.get(n).map(_.arr)))
-        }
-      }))
+    // exclusive-prefix "nearest valid so far" per lane-chunk
+    val joined = if (scanSeedBytes(d, stackK = 4) <= scanSeedBroadcastBytes) {
+      // both directions' seeds fit the broadcast guard: collect the
+      // edge slivers once, fold both driver-side exclusive scans, and
+      // apply in a narrow map — chunk bodies never cross the wire
+      val collected = edgesDs.collect()
+      val bcF = spark.sparkContext.broadcast(XbeamDataset.driverScanSeeds(
+        collected.map(t => (t._1, t._2)), d, reverse = false,
+        nanInit, XbeamDataset.overwritePair))
+      val bcR = spark.sparkContext.broadcast(XbeamDataset.driverScanSeeds(
+        collected.map(t => (t._1, t._3)), d, reverse = true,
+        nanInit, XbeamDataset.overwritePair))
+      chunkDataset.map { p: Pair =>
+        val (key, ownChunk) = p
+        val prev = bcF.value.getOrElse(key.canonical, Map.empty[String, NdArray])
+        val next = bcR.value.getOrElse(key.canonical, Map.empty[String, NdArray])
+        val off = key.offsets.getOrElse(d, 0L)
+        (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+          if (!va.dims.contains(d)) n -> va
+          else {
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims,
+              va.arr.interpNaAlong(ax, off, prev.get(n), next.get(n)))
+          }
+        }))
+      }
+    } else {
+      // ONE pass computes BOTH directions' edge slivers, cached as a
+      // small disk-spillable RDD (sliver bytes = data / chunk extent;
+      // auto-cleaned by the ContextCleaner): the forward and reverse
+      // scans derive from the cache, so the source is read once for
+      // slivers + once for the rejoin
+      val edges = edgesDs
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def prefixes(parts: Dataset[Pair], reverse: Boolean): Dataset[Pair] =
+        lanePrefixes(parts, d, reverse, nanInit, XbeamDataset.overwritePair)
+      val fwd = prefixes(
+        spark.createDataset(edges.map(t => (t._1, t._2)))(pairEnc), reverse = false)
+      val rev = prefixes(
+        spark.createDataset(edges.map(t => (t._1, t._3)))(pairEnc), reverse = true)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, 0, p) }
+        .union(fwd.map { p: Pair => (p._1.canonical, 1, p) })
+        .union(rev.map { p: Pair => (p._1.canonical, 2, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(_._2 == 0).get._3
+        val prevVars = items.find(_._2 == 1).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        val nextVars = items.find(_._2 == 2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        val off = key.offsets.getOrElse(d, 0L)
+        (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+          if (!va.dims.contains(d)) n -> va
+          else {
+            val ax = va.dims.indexOf(d)
+            n -> VarArray(va.dims, va.arr.interpNaAlong(ax, off,
+              prevVars.get(n).map(_.arr), nextVars.get(n).map(_.arr)))
+          }
+        }))
+      }
     }
     val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
       n -> VarSpec(vs.dims, if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
@@ -2467,6 +2475,100 @@ final class XbeamDataset private (
     laneBytes <= cap
   }
 
+  /** Scan routing: take the fused single-shuffle path when a whole lane
+    * may stream through one task. Two ways in, both under the
+    * `fusedMaxLaneBytes` cap: lanes SHORT in chunks (≤
+    * `longLaneThreshold` — the many-lanes geometry), or lanes SMALL in
+    * bytes (≤ `fusedSmallLaneBytes`, default 256 MB) regardless of
+    * chunk count — a 125-chunk lane of 4 KB chunks is half a megabyte,
+    * and serializing its fold costs less than any staged alternative.
+    * Everything else (the pancake regime: thousands of chunks ×
+    * multi-MB cross-sections) stages through sliver scans. */
+  private def scanRouteFused(d: String, nChunks: Long): Boolean = {
+    val small = spark.conf
+      .get("spark.graft.scan.fusedSmallLaneBytes", (256L << 20).toString).toLong
+    val chunkElems = template.dimOrder.map { dd =>
+      math.min(chunkSizes(dd).toLong, template.dimSizes(dd))
+    }.product
+    val laneBytes = nChunks * chunkElems * template.combinedItemsize(splitVars)
+    fusedLaneFits(d, nChunks) &&
+      (nChunks <= scanLongLaneThreshold || laneBytes <= small)
+  }
+
+  /** Plan-time upper bound on the total bytes of every per-chunk scan
+    * sliver along `d` — the scan's whole seed state: chunk count × each
+    * spanning variable's per-chunk lane cross-section × 8 (slivers are
+    * F64) × `stackK` (stacked planes: (value, index) pairs, (min, max),
+    * the ewm affine pair). Edge chunks count full-size, so the bound
+    * only over-estimates. */
+  private def scanSeedBytes(d: String, stackK: Int): Long = {
+    val totalChunks = template.dimOrder.map { dd =>
+      val c = math.max(1L, math.min(chunkSizes(dd).toLong, template.dimSizes(dd)))
+      (template.dimSizes(dd) + c - 1) / c
+    }.product
+    val sliverBytes = template.vars.collect {
+      case (_, vs) if vs.dims.contains(d) =>
+        vs.dims.filterNot(_ == d).map { dd =>
+          math.max(1L, math.min(chunkSizes(dd).toLong, template.dimSizes(dd)))
+        }.product * 8L
+    }.sum
+    totalChunks * sliverBytes * stackK
+  }
+
+  private def scanSeedBroadcastBytes: Long =
+    spark.conf.get("spark.graft.scan.seedBroadcastBytes",
+      (128L << 20).toString).toLong
+
+  /** Finish a staged scan: hand every chunk its EXCLUSIVE lane prefix
+    * and apply. Two shapes, chosen by the plan-time seed size:
+    *
+    *  - seeds fit `spark.graft.scan.seedBroadcastBytes` (128 MB
+    *    default): collect the partial slivers, fold the exclusive
+    *    prefixes on the DRIVER in the same left-fold order as the
+    *    distributed engine (bit-identical by construction), broadcast
+    *    the seed map, and apply in a narrow map — chunk bodies never
+    *    cross the wire. The source is evaluated once for slivers and
+    *    once for the seeded apply; for shuffled inputs the second pass
+    *    reuses the shuffle files (stage skip), for store scans it is a
+    *    second read — the price of zero body shuffle. This is the
+    *    normal regime: seed state is data ÷ chunk extent along `d`.
+    *  - over the guard (the ERA5 pancake regime: ~25k time chunks ×
+    *    8 MB cross-sections ≈ 200 GB of scan state,
+    *    examples/README.md:10-28): slivers scan through the
+    *    distributed [[lanePrefixes]] engine (one resident sliver per
+    *    task) and prefixes co-partition with their chunks in one
+    *    chunk-body shuffle. */
+  private def seedStagedApply(
+      partials: Dataset[Pair], dim: String, reverse: Boolean,
+      init: Array[Int] => NdArray,
+      combine: (NdArray, NdArray) => NdArray, stackK: Int)(
+      apply: (ChunkKey, ArrayChunk, Map[String, NdArray]) => Pair): Dataset[Pair] = {
+    import org.apache.spark.sql.Encoders
+    val d = dim
+    val rev = reverse
+    if (scanSeedBytes(d, stackK) <= scanSeedBroadcastBytes) {
+      val seeds = XbeamDataset.driverScanSeeds(
+        partials.collect(), d, rev, init, combine)
+      val bc = spark.sparkContext.broadcast(seeds)
+      chunkDataset.map { p: Pair =>
+        apply(p._1, p._2, bc.value.getOrElse(p._1.canonical,
+          Map.empty[String, NdArray]))
+      }
+    } else {
+      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+      val prefixes = lanePrefixes(partials, d, rev, init, combine)
+      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
+        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
+      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+        val items = it.toSeq
+        val (key, ownChunk) = items.find(!_._2).get._3
+        val prefixVars = items.find(_._2).map(_._3._2.vars)
+          .getOrElse(Map.empty[String, VarArray])
+        apply(key, ownChunk, prefixVars.map { case (n, va) => n -> va.arr })
+      }
+    }
+  }
+
   private def fusedLaneScan(dim: String, reverse: Boolean)(
       sliverVars: (ChunkKey, ArrayChunk) => Map[String, VarArray],
       init: Array[Int] => NdArray,
@@ -2667,7 +2769,7 @@ final class XbeamDataset private (
     import org.apache.spark.sql.Encoders
     val d = dim
     val nChunks = scanChunksAlong(d)
-    val out = if (nChunks <= scanLongLaneThreshold && fusedLaneFits(d, nChunks)) {
+    val out = if (scanRouteFused(d, nChunks)) {
       // short lanes: one fused chunk-body shuffle, no sliver stages
       fusedLaneScan(d, reverse)(
         (_, c) => c.vars.collect {
@@ -2684,7 +2786,6 @@ final class XbeamDataset private (
           }
         }))
     } else {
-      implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
       val partials = chunkDataset.map { p: Pair =>
         val (k, c) = p
         (k, ArrayChunk(c.vars.collect {
@@ -2693,21 +2794,15 @@ final class XbeamDataset private (
             n -> VarArray(va.dims.filterNot(_ == d), sliverOf(va.arr, ax))
         }))
       }.filter { p: Pair => p._2.vars.nonEmpty }
-      val prefixes = lanePrefixes(partials, d, reverse, init, combine)
-      val tagged = chunkDataset.map { p: Pair => (p._1.canonical, false, p) }
-        .union(prefixes.map { p: Pair => (p._1.canonical, true, p) })
-      tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
-        val items = it.toSeq
-        val (key, ownChunk) = items.find(!_._2).get._3
-        val prefixVars = items.find(_._2).map(_._3._2.vars)
-          .getOrElse(Map.empty[String, VarArray])
-        (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
-          if (!va.dims.contains(d)) n -> va
-          else {
-            val ax = va.dims.indexOf(d)
-            n -> VarArray(va.dims, applySeed(va.arr, ax, prefixVars.get(n).map(_.arr)))
-          }
-        }))
+      seedStagedApply(partials, d, reverse, init, combine, stackK = 1) {
+        (key, ownChunk, seeds) =>
+          (key, ArrayChunk(ownChunk.vars.map { case (n, va) =>
+            if (!va.dims.contains(d)) n -> va
+            else {
+              val ax = va.dims.indexOf(d)
+              n -> VarArray(va.dims, applySeed(va.arr, ax, seeds.get(n)))
+            }
+          }))
       }
     }
     val newTemplate = template.copy(vars = template.vars.map { case (n, vs) =>
@@ -3195,6 +3290,34 @@ object XbeamDataset {
     * slivers: where the sliver's value plane is present it wins and its
     * index travels with it — the scan-prefix monoid shared by
     * interpolateNa and the limited fills. */
+  /** Driver-side exclusive prefix fold over collected partial slivers —
+    * the broadcast-seed scan path: group by lane (key minus `d`), sort
+    * by scan position, left-fold with the SAME (init, combine) as the
+    * distributed engine, emitting each chunk's accumulator BEFORE its
+    * own sliver folds in. Bit-identical to [[lanePrefixes]]'s
+    * sequential path by construction. */
+  private[api] def driverScanSeeds(
+      partials: Array[(ChunkKey, ArrayChunk)], d: String, reverse: Boolean,
+      init: Array[Int] => NdArray,
+      combine: (NdArray, NdArray) => NdArray): Map[String, Map[String, NdArray]] = {
+    val out = Map.newBuilder[String, Map[String, NdArray]]
+    partials.groupBy(p => p._1.copy(offsets = p._1.offsets - d).canonical)
+      .foreach { case (_, lane) =>
+        val sorted = lane.sortBy { p =>
+          val o = p._1.offsets.getOrElse(d, 0L)
+          if (reverse) -o else o
+        }
+        var acc: Map[String, NdArray] = null
+        sorted.foreach { case (k, sliver) =>
+          if (acc == null)
+            acc = sliver.vars.map { case (n, va) => n -> init(va.arr.shape) }
+          out += k.canonical -> acc
+          acc = sliver.vars.map { case (n, va) => n -> combine(acc(n), va.arr) }
+        }
+      }
+    out.result()
+  }
+
   private[api] def overwritePair(acc: NdArray, sliver: NdArray): NdArray = {
     val out = NdArray.zeros(DType.F64, acc.shape)
     val laneSize = acc.size / 2

@@ -17,6 +17,17 @@ class PrefixScanScaleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val THRESH = "spark.graft.scan.longLaneThreshold"
+  private val SEED = "spark.graft.scan.seedBroadcastBytes"
+  private val SMALL = "spark.graft.scan.fusedSmallLaneBytes"
+
+  /** Force the DISTRIBUTED staged machinery (lanePrefixes + the
+    * chunk-body rejoin): zero guards declare every lane too big to
+    * fuse byte-wise and every seed map too big to collect — what a
+    * real pancake-chunked lane (~200 GB of scan state) looks like at
+    * plan time. */
+  private def withDistributedSeeds[A](body: => A): A =
+    try { spark.conf.set(SEED, "0"); spark.conf.set(SMALL, "0"); body }
+    finally { spark.conf.unset(SEED); spark.conf.unset(SMALL) }
 
   /** Integer-valued data with a deterministic NaN pattern so sums are
     * order-independent (bit-exact under reassociation) and the fill /
@@ -44,29 +55,41 @@ class PrefixScanScaleSpec extends AnyFunSuite {
       _.ffill("time", limit = 3), _.bfill("time", limit = 2))
     for (op <- ops) {
       // 32 chunks along time per lane: sequential below, two-level
-      // (blockSize ~ sqrt(32) = 6, ragged last block) above
+      // (blockSize ~ sqrt(32) = 6, ragged last block) above; the zero
+      // seed guard keeps the distributed engine in play (the default
+      // guard would broadcast these tiny seeds instead)
       val seq = withThreshold(1000)(op(ds()).collectConsolidated()._2)
-      val two = withThreshold(8)(op(ds()).collectConsolidated()._2)
+      val two = withDistributedSeeds(
+        withThreshold(8)(op(ds()).collectConsolidated()._2))
       assert(two.vars("v").arr.sameAs(seq.vars("v").arr))
     }
   }
 
-  test("fused short-lane path is bit-identical to the staged sliver path") {
+  test("fused, broadcast-staged, and distributed-staged paths agree") {
     // spark.graft.scan.fusedMaxLaneBytes = 0 declares every lane too
-    // big to stream through one task, forcing the staged sliver path
-    // even for short lanes — results must not depend on the routing
+    // big to stream through one task, forcing the staged path even for
+    // short lanes; the seed guard then splits it into the
+    // broadcast-seeded map (default) and the distributed rejoin (zero
+    // guard) — results must not depend on the routing
     val CAP = "spark.graft.scan.fusedMaxLaneBytes"
     val ops: Seq[XbeamDataset => XbeamDataset] = Seq(
       _.cumsum("time"), _.ffill("time"), _.bfill("time"),
-      _.cummax("time"), _.cummin("time"),
+      _.cummax("time"), _.cummin("time"), _.interpolateNa("time"),
+      _.cumprod("time"), _.ewm("time", 0.5), _.cumminmax("time"),
       _.ffill("time", limit = 3), _.bfill("time", limit = 2))
     for (op <- ops) {
       val fused = op(ds()).collectConsolidated()._2
-      val staged = try {
-        spark.conf.set(CAP, "0")
-        op(ds()).collectConsolidated()._2
-      } finally spark.conf.unset(CAP)
-      assert(staged.vars("v").arr.sameAs(fused.vars("v").arr))
+      def staged[A](body: => A): A =
+        try { spark.conf.set(CAP, "0"); body }
+        finally spark.conf.unset(CAP)
+      val bcast = staged(op(ds()).collectConsolidated()._2)
+      val dist = withDistributedSeeds(staged(op(ds()).collectConsolidated()._2))
+      for (v <- fused.vars.keys) {
+        assert(bcast.vars(v).arr.sameAs(fused.vars(v).arr),
+          s"broadcast-staged diverged on $v")
+        assert(dist.vars(v).arr.sameAs(fused.vars(v).arr),
+          s"distributed-staged diverged on $v")
+      }
     }
   }
 
@@ -75,9 +98,9 @@ class PrefixScanScaleSpec extends AnyFunSuite {
     val seq = withThreshold(1000)(
       ds(time = 90, chunks = Map("time" -> 3, "x" -> 4))
         .bfill("time").collectConsolidated()._2)
-    val two = withThreshold(5)(
+    val two = withDistributedSeeds(withThreshold(5)(
       ds(time = 90, chunks = Map("time" -> 3, "x" -> 4))
-        .bfill("time").collectConsolidated()._2)
+        .bfill("time").collectConsolidated()._2))
     assert(two.vars("v").arr.sameAs(seq.vars("v").arr))
   }
 
@@ -92,7 +115,11 @@ class PrefixScanScaleSpec extends AnyFunSuite {
     val xds = XbeamDataset.fromLocal(spark,
       Map("v" -> (Seq("time"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
       chunks = Map("time" -> 1))
-    val got = xds.cumsum("time").collectConsolidated()._2.vars("v").arr
+    // zero seed guard: this test exists to prove the DISTRIBUTED
+    // two-level engine streams (the default guard would broadcast
+    // these 80 KB of seeds and never touch it)
+    val got = withDistributedSeeds(
+      xds.cumsum("time").collectConsolidated()._2.vars("v").arr)
     val expect = new Array[Double](n)
     var acc = 0.0
     var i = 0

@@ -86,6 +86,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "centered rolling must shuffle exactly once")
   }
 
+  test("broadcast-seeded staged scans add no exchange at all") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    // force the staged path (fused lanes declared too big), keep the
+    // default seed guard: the prefix seeds collect + broadcast, so the
+    // chunk plan is a narrow map over the source — zero shuffles (the
+    // sliver collect runs as its own tiny job at plan time)
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def exchanges(ds: graft.api.XbeamDataset): Int =
+      "(?<!Reused)Exchange".r
+        .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+    val CAP = "spark.graft.scan.fusedMaxLaneBytes"
+    try {
+      spark.conf.set(CAP, "0")
+      assert(exchanges(xds.cumsum("time")) == 0,
+        "broadcast-staged cumsum must not shuffle chunk bodies")
+      assert(exchanges(xds.ffill("time", limit = 2)) == 0,
+        "broadcast-staged limited fill must not shuffle chunk bodies")
+      assert(exchanges(xds.ewm("time", 0.5)) == 0,
+        "broadcast-staged ewm must not shuffle chunk bodies")
+      assert(exchanges(xds.interpolateNa("time")) == 0,
+        "broadcast-staged interpolate_na must not shuffle chunk bodies")
+    } finally spark.conf.unset(CAP)
+  }
+
   test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
     import graft.api.XbeamDataset
     import graft.Fixtures
