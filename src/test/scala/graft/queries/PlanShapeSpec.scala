@@ -107,6 +107,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "broadcast-staged limited fill must not shuffle chunk bodies")
       assert(exchanges(xds.ewm("time", 0.5)) == 0,
         "broadcast-staged ewm must not shuffle chunk bodies")
+      assert(exchanges(xds.cumminmax("time")) == 0,
+        "broadcast-staged cumminmax must not shuffle chunk bodies")
+      assert(exchanges(xds.cumprod("time")) == 0,
+        "broadcast-staged cumprod must not shuffle chunk bodies")
       assert(exchanges(xds.interpolateNa("time")) == 0,
         "broadcast-staged interpolate_na must not shuffle chunk bodies")
     } finally spark.conf.unset(CAP)
