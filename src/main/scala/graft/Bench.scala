@@ -11,6 +11,19 @@ object Bench {
       .config("spark.kryo.classesToRegister", GraftKryo.classes)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Quiet the streaming planner's per-micro-batch AQE warnings
+    // ("spark.sql.adaptive.enabled is not supported in streaming" /
+    // "Disabling AQE since AQE is not supported in stateful
+    // workloads"): expected in local streaming demos, and they would
+    // otherwise dominate the harness tail and mask real warnings.
+    locally {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.config.Configurator
+      Seq(
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream"
+      ).foreach(n => Configurator.setLevel(n, Level.ERROR))
+    }
     // Untimed warmup: exercise whole-stage codegen, the shuffle path,
     // window exec, and the parquet reader once so the first measured
     // query doesn't absorb session/JIT initialization (~5s measured).
@@ -44,33 +57,41 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    // Warm timing: each query runs once untimed (whole-stage-codegen
-    // compilation + C2 JIT of the generated classes cost ~3 s on first
-    // execution and are properties of the JVM, not of the plan), then the
-    // best of two timed runs is reported. Cold, single-shot numbers at
-    // sub-second query times measure mostly compiler latency and host
-    // scheduling noise; warm best-of-2 measures the execution plan.
+    // Warmup pass: EVERY query runs once untimed in fixed (sorted)
+    // order before ANY timing starts. Whole-stage-codegen compilation +
+    // C2 JIT of the generated classes cost ~3 s on first execution and
+    // are properties of the JVM, not of the plan; warming the whole
+    // suite up front (instead of per-query immediately before its
+    // timed reps) also evens out JIT/GC pressure so late-alphabet
+    // queries aren't measured in a different JVM regime than early
+    // ones. Cold, single-shot numbers at sub-second query times
+    // measure mostly compiler latency and host scheduling noise; warm
+    // best-of-N measures the execution plan.
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    System.gc()
     // Clamped to >= 1 (0/negative/garbage would crash times.min below);
-    // a failing rep records -1.0 for the query instead of its elapsed
-    // wall time, so a fast-failing query can never masquerade as fast.
+    // a failing rep records no time for the query (reported -1.0), so a
+    // fast-failing query can never masquerade as fast.
     val timedReps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(2))
-    val results = selected.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val times = (1 to timedReps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
+    val repTimes = selected.map { case (name, fn) =>
+      val times = (1 to timedReps).flatMap(_ => timeOnce(fn))
       // Nudge the driver GC so ContextCleaner can release broadcasts and
       // localCheckpoint blocks from this query before the next one runs:
       // with a large heap the JVM may otherwise not collect for the whole
       // suite, and accumulated storage blocks steal execution memory from
       // later queries (untimed, so it costs nothing measured).
       System.gc()
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times
     }.toMap
     // Jitter protocol: warm best-of-2 at sf0.1 carries a ±0.3 s band on
     // shuffle-heavy queries with ZERO code change (observed across
@@ -78,20 +99,25 @@ object Bench {
     // ±0.3 s in a round that didn't touch them). Sub-±0.3 s deltas are
     // noise, not regressions. To tighten the tail where it matters, the
     // 10 slowest queries get a third warm rep and report best-of-3.
-    val slow10 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val slow10 = repTimes.toSeq.filter(_._2.nonEmpty).sortBy(-_._2.min)
       .take(10).map(_._1).toSet
-    val tightened = results.map { case (name, t) =>
-      if (t < 0 || !slow10(name)) name -> t
+    val allTimes = repTimes.map { case (name, ts) =>
+      if (ts.isEmpty || !slow10(name)) name -> ts
       else {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val extra = try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        val extra = timeOnce(SparkEntry.queries(name))
         System.gc()
-        name -> math.min(t, extra.getOrElse(t))
+        name -> (ts ++ extra)
       }
+    }
+    val tightened = allTimes.map { case (name, ts) =>
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
+    }
+    // Per-query spread (max - min across warm reps): the measured
+    // noise floor of this run, reported so a cross-round delta can be
+    // judged against the variance actually observed rather than the
+    // declared ±0.3 s band.
+    val spreads = allTimes.collect {
+      case (name, ts) if ts.size >= 2 => name -> (ts.max - ts.min)
     }
     val total = tightened.values.filter(_ >= 0).sum
     def fmt(v: Double): String =
@@ -106,15 +132,26 @@ object Bench {
     val allEntries = tightened.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
     val detail = allEntries.mkString("{", ",", "}")
-    val timing = s"warm-best-of-$timedReps (slowest 10: +1 rep)"
+    val timing = s"full-suite warmup then best-of-$timedReps (slowest 10: +1 rep)"
     val jitter = "suite jitter ~+/-0.3s/query on shuffle-heavy paths"
+    // Spread summary for the one-line report; the full per-query rep
+    // lists live in bench_detail.json.
+    val spreadVals = spreads.values.toSeq.sorted
+    def spreadAt(p: Double): Double =
+      if (spreadVals.isEmpty) 0.0
+      else spreadVals(math.min(spreadVals.size - 1, (p * spreadVals.size).toInt))
+    val spreadJson =
+      s"""{"med":${fmt(spreadAt(0.5))},"p90":${fmt(spreadAt(0.9))},"max":${fmt(if (spreadVals.isEmpty) 0.0 else spreadVals.max)}}"""
     try {
+      val repsDetail = allTimes.toSeq.sortBy(_._1).map { case (k, ts) =>
+        s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","n":${tightened.size},"sf":"$sfDir","""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"n":${tightened.size},"sf":"$sfDir","""
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size
