@@ -44,15 +44,17 @@ trait BlobStore {
 object BlobStore {
   /** Scheme dispatch — the extension point for object stores. Plain
     * paths (and file://) resolve to the local filesystem; mem:// is the
-    * in-memory object store ([[MemStore]]); http(s):// is the
+    * in-memory object store ([[MemStore]]); s3:// is the authenticated
+    * S3-compatible backend with writes ([[S3Store]]); http(s):// is the
     * read-only ranged-GET backend ([[HttpStore]]). */
   def forUrl(url: String): BlobStore =
     if (url.startsWith("file://")) LocalFsStore
     else if (url.startsWith("mem://")) MemStore
+    else if (url.startsWith("s3://")) S3Store
     else if (url.startsWith("http://") || url.startsWith("https://")) HttpStore
     else if (url.contains("://")) throw new IllegalArgumentException(
       s"no BlobStore registered for scheme of $url " +
-        s"(mem://, http(s)://, and local paths)")
+        s"(mem://, s3://, http(s)://, and local paths)")
     else LocalFsStore
 
   /** JVM-wide count of payload bytes fetched by every store's read /
@@ -378,9 +380,34 @@ final class StagedWrites(target: BlobStore) extends BlobStore {
 
   def pendingCount: Int = staged.size
 
-  /** Push all staged blobs to the target (insertion order). */
+  /** Push all staged blobs to the target through a bounded thread pool
+    * — the reference's 128-thread metadata copy (zarr.py:374-386) made
+    * policy: setup writes dozens-to-thousands of tiny blobs, and over a
+    * high-latency object store a serial loop pays one round trip each.
+    * Blobs are independent objects, so completion order doesn't matter;
+    * the staged map is only cleared after EVERY write succeeded (a
+    * failed flush keeps the batch intact and rethrows the first
+    * error). Pool size via `graft.stagedFlushThreads` (default 16,
+    * clamped to the batch size; 1 degenerates to the serial loop). */
   def flush(): Unit = {
-    staged.foreach { case (k, v) => target.write(k, v) }
+    if (staged.isEmpty) return
+    val threads = math.max(1, math.min(
+      sys.props.get("graft.stagedFlushThreads").map(_.toInt).getOrElse(16),
+      staged.size))
+    if (threads == 1) staged.foreach { case (k, v) => target.write(k, v) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val futures = staged.toSeq.map { case (k, v) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = target.write(k, v)
+          })
+        }
+        futures.foreach(_.get()) // propagates the first failure
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
     staged.clear()
   }
 }

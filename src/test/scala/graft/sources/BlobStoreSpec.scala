@@ -6,11 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class BlobStoreSpec extends AnyFunSuite {
 
-  test("scheme dispatch: local paths, file:// and mem:// resolve, others fail") {
+  test("scheme dispatch: local paths, file://, mem://, s3:// resolve; others fail") {
     assert(BlobStore.forUrl("/tmp/x") eq LocalFsStore)
     assert(BlobStore.forUrl("file:///tmp/x") eq LocalFsStore)
     assert(BlobStore.forUrl("mem://bucket/x") eq MemStore)
-    val e = intercept[IllegalArgumentException](BlobStore.forUrl("s3://bucket/x"))
+    assert(BlobStore.forUrl("s3://bucket/x") eq S3Store)
+    val e = intercept[IllegalArgumentException](BlobStore.forUrl("gs://bucket/x"))
     assert(e.getMessage.contains("no BlobStore registered"))
   }
 
@@ -63,6 +64,54 @@ class BlobStoreSpec extends AnyFunSuite {
     assert(staged.pendingCount == 0)
     assert(LocalFsStore.read(s"$root/v/.zarray").toSeq == Seq[Byte](1))
     assert(LocalFsStore.read(s"$root/.zgroup").toSeq == Seq[Byte](2))
+  }
+
+  test("StagedWrites flush overlaps writes through the bounded pool") {
+    // A latency-injected target: each write sleeps 50 ms. 24 staged
+    // blobs serially = 1.2 s; the 16-thread pool must land them in two
+    // waves (~100 ms). The 600 ms bound proves overlap with plenty of
+    // scheduling slack while a serial flush cannot pass it.
+    val written = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    object SlowStore extends BlobStore {
+      override def read(url: String): Array[Byte] = written.get(url)
+      override def readIfExists(url: String): Option[Array[Byte]] =
+        Option(written.get(url))
+      override def write(url: String, bytes: Array[Byte]): Unit = {
+        Thread.sleep(50)
+        written.put(url, bytes)
+      }
+      override def exists(url: String): Boolean = written.containsKey(url)
+      override def listChildren(url: String): Seq[String] = Nil
+      override def isContainer(url: String): Boolean = false
+    }
+    val staged = new StagedWrites(SlowStore)
+    (1 to 24).foreach(i => staged.write(s"mem://slow/b$i", Array(i.toByte)))
+    val t0 = System.nanoTime()
+    staged.flush()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 600, s"flush took $elapsedMs ms — writes did not overlap")
+    assert(staged.pendingCount == 0)
+    assert(written.size == 24)
+    (1 to 24).foreach(i =>
+      assert(written.get(s"mem://slow/b$i").toSeq == Seq(i.toByte)))
+  }
+
+  test("StagedWrites flush failure keeps the batch and rethrows") {
+    object FailStore extends BlobStore {
+      override def read(url: String): Array[Byte] = throw new java.io.IOException
+      override def readIfExists(url: String): Option[Array[Byte]] = None
+      override def write(url: String, bytes: Array[Byte]): Unit =
+        throw new java.io.IOException(s"refused $url")
+      override def exists(url: String): Boolean = false
+      override def listChildren(url: String): Seq[String] = Nil
+      override def isContainer(url: String): Boolean = false
+    }
+    val staged = new StagedWrites(FailStore)
+    staged.write("mem://f/a", Array[Byte](1))
+    staged.write("mem://f/b", Array[Byte](2))
+    val e = intercept[java.io.IOException](staged.flush())
+    assert(e.getMessage.startsWith("refused"))
+    assert(staged.pendingCount == 2, "a failed flush must keep the batch")
   }
 
   test("setupStore pushes all metadata in one staged batch (zarr.py:463-513)") {

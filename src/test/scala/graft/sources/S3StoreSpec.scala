@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Fixtures.arange
+import graft.core.{Template, VarSpec}
+import graft.ndarray.DType
+
+/** The s3:// BlobStore against an in-process S3-compatible mock that
+  * VERIFIES SigV4 on every request (recomputing the signature from the
+  * request pieces and the known secret — a wrong or missing signature
+  * is a 403, so every passing test proves authenticated requests).
+  * Covers object GET/PUT, ranged GET, ListObjectsV2, multipart upload,
+  * retry on 500, and a full zarr v2 + v3 (sharded, partial-read)
+  * roundtrip through the store seam. */
+class S3StoreSpec extends AnyFunSuite {
+
+  private val ACCESS = "GRAFTTESTACCESSKEY"
+  private val SECRET = "graft-test-secret-key/with+chars"
+  private val REGION = "us-east-1"
+
+  /** In-memory S3-compatible endpoint on an ephemeral port. */
+  private final class S3Mock(failFirst: Int = 0) {
+    val blobs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    private val uploads = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]]()
+    private val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    val authFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+    private def parseQuery(raw: String): Seq[(String, String)] =
+      if (raw == null || raw.isEmpty) Nil
+      else raw.split("&").toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (URLDecoder.decode(kv, "UTF-8"), "")
+        else (URLDecoder.decode(kv.take(i), "UTF-8"),
+          URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      }
+
+    /** Recompute the SigV4 signature for this exchange with the known
+      * credentials; reject on mismatch. */
+    private def authOk(ex: HttpExchange, body: Array[Byte]): Boolean = {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+      val payloadHash = Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+      if (auth.isEmpty || amzDate.isEmpty || payloadHash.isEmpty) return false
+      // the client signs the payload it sends: verify the hash too
+      if (SigV4.sha256Hex(body) != payloadHash.get) return false
+      val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
+      val expected = SigV4.sign(ex.getRequestMethod, host,
+        ex.getRequestURI.getPath, parseQuery(ex.getRequestURI.getRawQuery),
+        payloadHash.get, amzDate.get, REGION, "s3", ACCESS, SECRET, None)
+      expected("Authorization") == auth.get
+    }
+
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val body = ex.getRequestBody.readAllBytes()
+        if (failures.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(500, -1)
+          return
+        }
+        if (!authOk(ex, body)) {
+          authFailures.incrementAndGet()
+          ex.sendResponseHeaders(403, -1)
+          return
+        }
+        val path = ex.getRequestURI.getPath.stripPrefix("/")
+        val q = parseQuery(ex.getRequestURI.getRawQuery).toMap
+        (ex.getRequestMethod, q) match {
+          case ("GET", qq) if qq.contains("list-type") =>
+            list(ex, path.stripSuffix("/"), qq)
+          case ("POST", qq) if qq.contains("uploads") =>
+            val id = java.util.UUID.randomUUID().toString
+            uploads.put(id, new java.util.concurrent.ConcurrentHashMap())
+            uploads.get(id).put(0, path.getBytes(UTF_8)) // slot 0: the key
+            respond(ex, 200,
+              s"<InitiateMultipartUploadResult><UploadId>$id</UploadId></InitiateMultipartUploadResult>")
+          case ("PUT", qq) if qq.contains("uploadId") =>
+            val parts = uploads.get(qq("uploadId"))
+            if (parts == null) { ex.sendResponseHeaders(404, -1); return }
+            val n = qq("partNumber").toInt
+            parts.put(n, body)
+            ex.getResponseHeaders.add("ETag", "\"" + SigV4.sha256Hex(body).take(32) + "\"")
+            ex.sendResponseHeaders(200, -1)
+          case ("POST", qq) if qq.contains("uploadId") =>
+            val parts = uploads.remove(qq("uploadId"))
+            if (parts == null) { ex.sendResponseHeaders(404, -1); return }
+            val key = new String(parts.remove(0), UTF_8)
+            import scala.jdk.CollectionConverters._
+            val assembled = parts.asScala.toSeq.sortBy(_._1)
+              .flatMap(_._2.toSeq).toArray
+            blobs.put(key, assembled)
+            respond(ex, 200, "<CompleteMultipartUploadResult/>")
+          case ("PUT", _) =>
+            blobs.put(path, body)
+            ex.sendResponseHeaders(200, -1)
+          case ("GET", _) | ("HEAD", _) =>
+            val b = blobs.get(path)
+            if (b == null) { ex.sendResponseHeaders(404, -1); return }
+            if (ex.getRequestMethod == "HEAD") {
+              ex.sendResponseHeaders(200, -1)
+              return
+            }
+            Option(ex.getRequestHeaders.getFirst("Range")) match {
+              case Some(r) =>
+                val bounds = r.stripPrefix("bytes=").split("-")
+                val lo = bounds(0).toLong
+                val hi = bounds(1).toLong
+                if (lo >= b.length) { // zero-length blob or past-end range
+                  ex.getResponseHeaders.add("Content-Range", s"bytes */${b.length}")
+                  ex.sendResponseHeaders(416, -1)
+                  return
+                }
+                val end = math.min(hi, b.length - 1L)
+                val part = java.util.Arrays.copyOfRange(b, lo.toInt, end.toInt + 1)
+                ex.getResponseHeaders.add(
+                  "Content-Range", s"bytes $lo-$end/${b.length}")
+                ex.sendResponseHeaders(206, part.length.toLong)
+                ex.getResponseBody.write(part)
+              case None =>
+                ex.sendResponseHeaders(200, math.max(b.length.toLong, -1L))
+                if (b.nonEmpty) ex.getResponseBody.write(b)
+            }
+          case _ => ex.sendResponseHeaders(400, -1)
+        }
+      } finally ex.close()
+    })
+
+    private def respond(ex: HttpExchange, code: Int, xml: String): Unit = {
+      val b = xml.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, b.length.toLong)
+      ex.getResponseBody.write(b)
+    }
+
+    /** ListObjectsV2 with delimiter: emit CommonPrefixes + KeyCount. */
+    private def list(ex: HttpExchange, bucket: String,
+                     q: Map[String, String]): Unit = {
+      val prefix = q.getOrElse("prefix", "")
+      val delim = q.get("delimiter")
+      import scala.jdk.CollectionConverters._
+      val keys = blobs.keySet().asScala.toSeq.sorted
+        .filter(_.startsWith(s"$bucket/$prefix"))
+        .map(_.stripPrefix(s"$bucket/"))
+      val (commons, plain) = delim match {
+        case Some(d) =>
+          val grouped = keys.partition(k =>
+            k.stripPrefix(prefix).contains(d))
+          (grouped._1.map(k =>
+            prefix + k.stripPrefix(prefix).takeWhile(_ != d.head) + d).distinct,
+            grouped._2)
+        case None => (Nil, keys)
+      }
+      val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
+      val shown = plain.take(maxKeys)
+      val xml = new StringBuilder("<ListBucketResult>")
+      xml.append(s"<Prefix>$prefix</Prefix>")
+      xml.append(s"<KeyCount>${shown.size + commons.size}</KeyCount>")
+      xml.append("<IsTruncated>false</IsTruncated>")
+      shown.foreach(k => xml.append(s"<Contents><Key>$k</Key></Contents>"))
+      commons.foreach(p =>
+        xml.append(s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>"))
+      xml.append("</ListBucketResult>")
+      respond(ex, 200, xml.toString)
+    }
+
+    server.start()
+    val port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Point the s3:// scheme at a fresh mock for the test body. */
+  private def withMock[A](failFirst: Int = 0)(body: S3Mock => A): A = {
+    val mock = new S3Mock(failFirst)
+    val saved = Seq("graft.s3.endpoint", "graft.s3.accessKey",
+      "graft.s3.secretKey", "graft.s3.region").map(k => k -> sys.props.get(k))
+    sys.props("graft.s3.endpoint") = s"http://127.0.0.1:${mock.port}"
+    sys.props("graft.s3.accessKey") = ACCESS
+    sys.props("graft.s3.secretKey") = SECRET
+    sys.props("graft.s3.region") = REGION
+    try body(mock)
+    finally {
+      mock.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => sys.props(k) = x; case None => sys.props -= k }
+      }
+      assert(mock.authFailures.get() == 0,
+        s"${mock.authFailures.get()} requests failed SigV4 verification")
+    }
+  }
+
+  test("SigV4 reproduces the AWS documentation example signature") {
+    // Public worked example from the AWS General Reference (Signature
+    // Version 4 signing process, "Calculate the signature"): GET
+    // iam.amazonaws.com ListUsers with known credentials and date.
+    val headers = SigV4.sign(
+      method = "GET", host = "iam.amazonaws.com", path = "/",
+      query = Seq("Action" -> "ListUsers", "Version" -> "2010-05-08"),
+      payloadHash = SigV4.emptyPayloadHash,
+      amzDate = "20150830T123600Z", region = "us-east-1", service = "iam",
+      accessKey = "AKIDEXAMPLE",
+      secretKey = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+      sessionToken = None,
+      extraSignedHeaders = Map(
+        "content-type" -> "application/x-www-form-urlencoded; charset=utf-8"),
+      signPayloadHeader = false)
+    assert(headers("Authorization") ==
+      "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, " +
+        "SignedHeaders=content-type;host;x-amz-date, " +
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  test("object put/get/range/size/list against the signed mock") {
+    withMock() { mock =>
+      val base = "s3://bucket/store"
+      val store = BlobStore.forUrl(base)
+      assert(store eq S3Store)
+      val payload = Array.tabulate[Byte](1000)(_.toByte)
+      store.write(s"$base/a/chunk0", payload)
+      store.write(s"$base/b/chunk1", Array[Byte](1, 2, 3))
+      store.write(s"$base/empty", Array.emptyByteArray)
+      assert(store.read(s"$base/a/chunk0").toSeq == payload.toSeq)
+      assert(store.readIfExists(s"$base/missing").isEmpty)
+      assert(store.readRange(s"$base/a/chunk0", 100, 10).toSeq ==
+        payload.slice(100, 110).toSeq)
+      assert(store.sizeIfExists(s"$base/a/chunk0").contains(1000L))
+      assert(store.sizeIfExists(s"$base/empty").contains(0L),
+        "zero-length blob must size as 0 through the 416 path")
+      assert(store.sizeIfExists(s"$base/missing").isEmpty)
+      assert(store.exists(s"$base/a/chunk0"))
+      assert(!store.exists(s"$base/missing"))
+      assert(store.listChildren(base) == Seq("a", "b"))
+      assert(store.isContainer(base))
+      assert(!store.isContainer(s"$base/nothing"))
+    }
+  }
+
+  test("transient 500s are retried with the signature refreshed") {
+    withMock(failFirst = 2) { _ =>
+      val store = BlobStore.forUrl("s3://bucket/x")
+      store.write("s3://bucket/x", Array[Byte](9, 9))
+      assert(store.read("s3://bucket/x").toSeq == Seq[Byte](9, 9))
+    }
+  }
+
+  test("multipart upload assembles parts in order") {
+    withMock() { mock =>
+      val saved = sys.props.get("graft.s3.multipartBytes")
+      sys.props("graft.s3.multipartBytes") = "1024" // force multipart
+      try {
+        val blob = Array.tabulate[Byte](3000)(i => (i % 251).toByte)
+        S3Store.write("s3://bucket/big", blob)
+        assert(mock.blobs.get("bucket/big").toSeq == blob.toSeq)
+        // and reads come back whole through the plain GET path
+        assert(S3Store.read("s3://bucket/big").toSeq == blob.toSeq)
+      } finally saved match {
+        case Some(v) => sys.props("graft.s3.multipartBytes") = v
+        case None => sys.props -= "graft.s3.multipartBytes"
+      }
+    }
+  }
+
+  private val template = Template(
+    Seq("t" -> 16L, "x" -> 8L),
+    Map("v" -> VarSpec(Seq("t", "x"), DType.F64)),
+    coords = Map("t" -> arange(DType.I64, 16)), attrs = Map.empty)
+
+  test("zarr v2 roundtrip over s3://") {
+    withMock() { _ =>
+      val root = "s3://bucket/v2store"
+      Zarr.setupStore(root, template, Map("t" -> 4, "x" -> 8), Some("zlib"))
+      val data = arange(DType.F64, 16, 8)
+      val meta = Zarr.readArrayMeta(root, "v")
+      Zarr.writeRegion(root, "v", meta, Array(0L, 0L), data)
+      val sm = Zarr.openStore(root)
+      assert(sm.dims == Seq("t" -> 16L, "x" -> 8L))
+      val got = Zarr.readRegion(root, "v", sm.arrays("v"), Array(3L, 2L), Array(6, 4))
+      assert(got.sameAs(data.slice(Array(3, 2), Array(6, 4))))
+    }
+  }
+
+  test("zarr v3 sharded roundtrip over s3:// reads shards partially") {
+    withMock() { _ =>
+      val root = "s3://bucket/v3store"
+      // inner chunks 4x8 packed into one 16x8 shard (4 inner chunks)
+      Zarr.setupStore(root, template, Map("t" -> 4, "x" -> 8), Some("gzip"),
+        zarrFormat = 3, shards = Map("t" -> 16, "x" -> 8))
+      val data = arange(DType.F64, 16, 8)
+      val meta = Zarr.readArrayMeta(root, "v")
+      Zarr.writeRegion(root, "v", meta, Array(0L, 0L), data)
+      val sm = Zarr.openStore(root)
+      val m = sm.arrays("v")
+      val before = (BlobStore.bytesFetched.get(), BlobStore.rangeFetches.get())
+      // one inner chunk (4 x 8) out of a 16 x 8 shard region
+      val got = Zarr.readRegion(root, "v", m, Array(4L, 0L), Array(4, 8))
+      assert(got.sameAs(data.slice(Array(4, 0), Array(4, 8))))
+      val rangedBytes = BlobStore.bytesFetched.get() - before._1
+      val rangedCalls = BlobStore.rangeFetches.get() - before._2
+      assert(rangedCalls >= 1, "sharded read over s3 must use ranged GETs")
+      val shardBytes = S3Store.sizeIfExists(s"$root/v/c/0/0").getOrElse(0L)
+      assert(rangedBytes < shardBytes,
+        s"partial read fetched $rangedBytes of a $shardBytes-byte shard")
+    }
+  }
+}
