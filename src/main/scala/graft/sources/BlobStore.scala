@@ -337,6 +337,37 @@ object HttpStore extends BlobStore {
   override def isContainer(url: String): Boolean = false
 }
 
+/** One already-fetched blob served through the BlobStore surface — the
+  * dense-shard-read view: [[Zarr]]'s adaptive shard reader fetches a
+  * mostly-needed shard file whole (one get), then runs the same
+  * index-walk + inner-chunk decode code against this in-memory view.
+  * Deliberately does NOT touch [[BlobStore.bytesFetched]] /
+  * [[BlobStore.rangeFetches]]: the single real fetch was already
+  * counted by whichever store produced `bytes`. */
+private[sources] final class ShardBytesView(url: String, bytes: Array[Byte])
+    extends BlobStore {
+  private def check(u: String): Unit =
+    require(u == url, s"ShardBytesView of $url asked for $u")
+  override def read(u: String): Array[Byte] = { check(u); bytes }
+  override def readIfExists(u: String): Option[Array[Byte]] = {
+    check(u); Some(bytes)
+  }
+  override def sizeIfExists(u: String): Option[Long] = {
+    check(u); Some(bytes.length.toLong)
+  }
+  override def readRange(u: String, offset: Long, length: Int): Array[Byte] = {
+    check(u)
+    require(offset >= 0 && length >= 0 && offset + length <= bytes.length,
+      s"range $offset+$length past end of $u (${bytes.length} bytes)")
+    java.util.Arrays.copyOfRange(bytes, offset.toInt, offset.toInt + length)
+  }
+  override def write(u: String, b: Array[Byte]): Unit =
+    throw new UnsupportedOperationException("ShardBytesView is read-only")
+  override def exists(u: String): Boolean = u == url
+  override def listChildren(u: String): Seq[String] = Seq.empty
+  override def isContainer(u: String): Boolean = false
+}
+
 /** Write-buffering wrapper — the `stage_locally` analogue
   * (zarr.py:463-513): driver-side store setup writes its many tiny
   * metadata blobs (and eager coordinate chunks) here, then [[flush]]

@@ -412,12 +412,28 @@ object Zarr {
     val nd = grid.length
     val nInner = grid.map(_.toLong).product.toInt
     val out = NdArray.fill(meta.dtype, selLens.clone(), meta.fillValue)
-    val fileLenOpt = store.sizeIfExists(f)
+    // Adaptive whole-vs-ranged: when the selection covers most of the
+    // shard's extent (>= `graft.shardWholeReadFraction`, default 0.5),
+    // ranged access is pure overhead — a dense read pays stat + index
+    // range + run range(s) to fetch bytes it would mostly need anyway.
+    // Fetch the blob once and serve the index walk and chunk decodes
+    // from memory; sparse selections keep the ranged path (the 100 TB
+    // posture the sharded layout exists for).
+    val wholeFrac = sys.props.get("graft.shardWholeReadFraction")
+      .map(_.toDouble).getOrElse(0.5)
+    val selFrac = (0 until nd)
+      .map(d => selLens(d).toDouble / meta.chunks(d)).product
+    val src: BlobStore =
+      if (selFrac >= wholeFrac) store.readIfExists(f) match {
+        case Some(all) => new ShardBytesView(f, all)
+        case None => return out
+      } else store
+    val fileLenOpt = src.sizeIfExists(f)
     if (fileLenOpt.isEmpty) return out
     val fileLen = fileLenOpt.get
     val idxLen = nInner * 16
     require(fileLen >= idxLen + 4, s"truncated shard file $f")
-    val idxAndCrc = store.readRange(f, fileLen - idxLen - 4, idxLen + 4)
+    val idxAndCrc = src.readRange(f, fileLen - idxLen - 4, idxLen + 4)
     val idx = java.util.Arrays.copyOfRange(idxAndCrc, 0, idxLen)
     val storedCrc = java.nio.ByteBuffer.wrap(idxAndCrc, idxLen, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
@@ -470,7 +486,7 @@ object Zarr {
         runLen += sorted(j)._3
       }
       val runOff = sorted(i)._2
-      val run = store.readRange(f, runOff, runLen.toInt)
+      val run = src.readRange(f, runOff, runLen.toInt)
       var m = i
       while (m <= j) {
         val (pos, off, len) = sorted(m)

@@ -464,13 +464,28 @@ class ZarrSpec extends AnyFunSuite {
       s"fetched $fetched — less than the index alone?")
     assert(fetched < shardBytes / 4,
       s"partial read fetched $fetched of the $shardBytes-byte shard")
-    // byte-adjacent inner chunks coalesce: a full-shard region read is
-    // the index + ONE merged run — 2 ranged reads, not 1 + 16
+    // dense reads flip to ONE whole-blob get (the adaptive choice:
+    // selection covers >= graft.shardWholeReadFraction of the shard,
+    // so stat + index range + run range would be pure overhead)
     BlobStore.rangeFetches.set(0L)
+    BlobStore.bytesFetched.set(0L)
     val whole = Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(32, 32))
     assert(whole.sameAs(data.slice(Array(0, 0), Array(32, 32))))
-    assert(BlobStore.rangeFetches.get() == 2L,
-      s"expected index + one coalesced run, got ${BlobStore.rangeFetches.get()}")
+    assert(BlobStore.rangeFetches.get() == 0L,
+      s"dense shard read must fetch whole, got ${BlobStore.rangeFetches.get()} ranged reads")
+    assert(BlobStore.bytesFetched.get() == shardBytes,
+      s"dense shard read must fetch the file once (${BlobStore.bytesFetched.get()} vs $shardBytes)")
+    // byte-adjacent inner chunks coalesce on the ranged path: a
+    // full-shard region read forced ranged is the index + ONE merged
+    // run — 2 ranged reads, not 1 + 16
+    try {
+      sys.props("graft.shardWholeReadFraction") = "1.1" // never whole
+      BlobStore.rangeFetches.set(0L)
+      val ranged = Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(32, 32))
+      assert(ranged.sameAs(data.slice(Array(0, 0), Array(32, 32))))
+      assert(BlobStore.rangeFetches.get() == 2L,
+        s"expected index + one coalesced run, got ${BlobStore.rangeFetches.get()}")
+    } finally sys.props -= "graft.shardWholeReadFraction"
     // absent shard: sizeIfExists short-circuits to fill, zero fetches
     BlobStore.bytesFetched.set(0L)
     val fill = Zarr.readRegion(path, "v", meta, Array(32L, 0L), Array(4, 4))
