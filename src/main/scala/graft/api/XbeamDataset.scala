@@ -688,7 +688,13 @@ final class XbeamDataset private (
                 skipna: Boolean = true): XbeamDataset = {
     require(qs.nonEmpty, "quantiles needs at least one q")
     val suffixes = qs.map { q =>
-      val pct = BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
+      // round before stripping: BigDecimal of the BINARY double would
+      // render q=0.1 as 10.000000000000002 (0.1*100 isn't exact);
+      // 6 decimals separates any two qs a user can intend. '.' swaps
+      // for 'p' so the variable name stays a plain SQL identifier
+      // (0.125 → _q12p5, no backticks needed).
+      val pct = BigDecimal(q * 100).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+        .underlying.stripTrailingZeros.toPlainString.replace('.', 'p')
       s"_q$pct"
     }
     require(suffixes.distinct.length == suffixes.length,

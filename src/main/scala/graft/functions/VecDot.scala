@@ -106,18 +106,25 @@ object GraftFunctions {
       SortedIntersectCount(exprs.head, exprs(1))
     }))
 
-  /** Idempotent per session: createOrReplaceTempFunction logs a
-    * "replaced a previously registered function" warning on every
-    * re-registration, and callers invoke register() per query — skip
-    * names the registry already holds so bench/verify logs stay clean
-    * (the builders are fixed objects, re-registering never changes
-    * behavior). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, b) =>
-      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-      if (!reg.functionExists(id))
+  /** Idempotent per session, tracked on OUR side: callers invoke
+    * register() per query, and createOrReplaceTempFunction logs a
+    * "replaced a previously registered function" warning each time, so
+    * re-registration must be skipped — but skipping on a bare
+    * `functionExists` would silently keep a FOREIGN temp function a
+    * user happened to register under one of these names (wrong results,
+    * no error). A session-keyed set records which sessions WE
+    * registered into: first call per session always
+    * createOrReplace (claiming the name loudly if it was foreign),
+    * later calls are no-ops. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, _, b) =>
         reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 }

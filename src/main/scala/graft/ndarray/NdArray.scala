@@ -1263,8 +1263,14 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           outFlat += (if (d == axis) (i - skipStart).toLong else idx(d).toLong) * outStrides(d)
           d += 1
         }
+        // count's minPeriods gate compares VALID observations (acc),
+        // not window positions: pandas/xarray min_periods counts
+        // non-NaN values, and count is the one op here that doesn't
+        // NaN-poison (a poisoned acc fails `< minPeriods` for the
+        // other ops only when the window is also short — their NaN
+        // result is already NaN either way)
         out.setDouble(outFlat,
-          if (c < minPeriods) Double.NaN
+          if ((if (opId == 7) acc else c.toDouble) < minPeriods) Double.NaN
           else opId match {
             case 3 => acc / c
             // clamp: the cancelling form can go epsilon-negative on
@@ -1354,8 +1360,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
             else idx(d).toLong) * outStrides(d)
           d += 1
         }
+        // as in rollingReduceAlong: count gates minPeriods on VALID
+        // observations (pandas/xarray min_periods semantics)
         out.setDouble(outFlat,
-          if (c < minPeriods) Double.NaN
+          if ((if (op == "count") acc else c.toDouble) < minPeriods) Double.NaN
           else op match {
             case "mean" => acc / c
             case "var" => math.max(0.0, (acc2 - acc * acc / c) / c)

@@ -493,23 +493,35 @@ object XbeamQueries {
     // Rolling valid-count (xarray rolling(t=5).count()): NaN-masked
     // values counted per trailing window — count skips NaN where every
     // other rolling op poisons. Integer counts are exact by nature.
+    // min_periods gates on VALID observations (pandas/xarray): a window
+    // holding zero valid values yields NaN even at min_periods=1 —
+    // sentinel'd to -1 on both sides (SQL's count would say 0 there).
     QueryDef(
       "x63_rolling_count",
-      (s, dir) => TabularBridge.toDataFrame(
-        gridXds(s, dir)
-          .where(v => v % 5.0 != 0.0) // multiples of 5 → NaN
-          .rolling("t", 5, "count"))
-        .orderBy("t", "x"),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        TabularBridge.toDataFrame(
+          gridXds(s, dir)
+            .where(v => v % 5.0 != 0.0) // multiples of 5 → NaN
+            .rolling("t", 5, "count"))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
       Some(s"""
-        WITH $GRID_DUCK
+        WITH $GRID_DUCK,
+        cnt AS (
+          SELECT t, x,
+                 sum(CASE WHEN uid % 5 <> 0 THEN 1 ELSE 0 END) OVER w AS cu,
+                 sum(CASE WHEN vf % 5 <> 0 THEN 1 ELSE 0 END) OVER w AS cv
+          FROM grid
+          WINDOW w AS (PARTITION BY x ORDER BY t
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
         SELECT t, x,
-               CAST(sum(CASE WHEN uid % 5 <> 0 THEN 1 ELSE 0 END) OVER w
-                 AS DOUBLE) AS uid,
-               CAST(sum(CASE WHEN vf % 5 <> 0 THEN 1 ELSE 0 END) OVER w
-                 AS DOUBLE) AS vf
-        FROM grid
-        WINDOW w AS (PARTITION BY x ORDER BY t
-                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               CASE WHEN cu >= 1 THEN CAST(cu AS DOUBLE) ELSE -1.0 END AS uid,
+               CASE WHEN cv >= 1 THEN CAST(cv AS DOUBLE) ELSE -1.0 END AS vf
+        FROM cnt
         ORDER BY t, x""")),
 
     // ---------------------------------------------------------------- x64

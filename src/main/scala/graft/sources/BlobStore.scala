@@ -294,6 +294,16 @@ object HttpStore extends BlobStore {
         require(total != "*", s"Content-Range total unknown for $url")
         Some(total.toLong)
       case 200 => Some(resp.body().length.toLong)
+      case 416 =>
+        // a zero-length blob satisfies no range: most servers
+        // (including Java's HttpServer) answer 416 here, ideally with
+        // the total in `Content-Range: bytes */TOTAL`; without it, a
+        // plain GET settles existence and size
+        val cr = resp.headers().firstValue("Content-Range")
+        if (cr.isPresent && cr.get().contains("/") &&
+            !cr.get().endsWith("/*"))
+          Some(cr.get().substring(cr.get().indexOf('/') + 1).toLong)
+        else readIfExists(url).map(_.length.toLong)
       case s => throw new java.io.IOException(s"HTTP $s sizing $url")
     }
   }
@@ -303,6 +313,9 @@ object HttpStore extends BlobStore {
     if (length == 0) return Array.emptyByteArray
     val resp = request(url, range = Some((offset, offset + length - 1)))
     if (resp.statusCode() == 404) notFound(url)
+    if (resp.statusCode() == 416) throw new java.io.IOException(
+      s"range $offset+$length not satisfiable for $url " +
+        s"(${resp.headers().firstValue("Content-Range").orElse("no Content-Range")})")
     val body = resp.statusCode() match {
       case 206 => resp.body()
       case 200 => // server ignored Range: fall back to slicing the body

@@ -241,6 +241,19 @@ class XbeamDatasetSpec extends AnyFunSuite {
       val direct = Fixtures.era5()("temperature")._2.rollingReduceAlong(0, 3, 0, op)
       assert(rolled.sameAs(direct), s"op $op")
     }
+    // rolling count with minPeriods: the gate counts VALID observations
+    // (pandas/xarray min_periods), not window positions — a window of
+    // [NaN, NaN, 5] has c=3 positions but 1 valid value, so
+    // min_periods=2 yields NaN where min_periods=1 yields 1
+    val gap = NdArray.fromDoubles(DType.F64, Array(4),
+      Array(Double.NaN, Double.NaN, 5.0, 6.0))
+    val c1 = gap.rollingReduceAlong(0, 3, 0, "count", minPeriods = 1)
+    assert(c1.getDouble(2) == 1.0 && c1.getDouble(3) == 2.0)
+    val c2 = gap.rollingReduceAlong(0, 3, 0, "count", minPeriods = 2)
+    assert(c2.getDouble(2).isNaN, "1 valid < min_periods=2 must be NaN")
+    assert(c2.getDouble(3) == 2.0)
+    val cc = gap.rollingCenteredAlong(0, 3, 0, 0, "count", minPeriods = 2)
+    assert(cc.getDouble(1).isNaN && cc.getDouble(2) == 2.0)
     // hand-checked var/std: window [2,4,6] → mean 4, var 8/3; the
     // kernel's exact expression is (Σv² − (Σv)²/c)/c
     val vals = NdArray.fromDoubles(DType.F64, Array(3), Array(2.0, 4.0, 6.0))
@@ -921,6 +934,13 @@ class XbeamDatasetSpec extends AnyFunSuite {
       assert(capped.vars("temperature_q75").arr.sameAs(
         multi.vars("temperature_q75").arr))
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+    // non-dyadic q: the suffix rounds the binary double (0.1*100 =
+    // 10.000000000000002) and swaps '.' for 'p' so names stay plain
+    // SQL identifiers
+    val odd = ds.quantiles(Seq(0.1, 0.125, 1.0 / 3), Set("time"))
+    assert(odd.template.vars.keySet.filter(_.startsWith("temperature_q")) ==
+      Set("temperature_q10", "temperature_q12p5",
+        "temperature_q33p333333"))
   }
 
   test("variance/std ddof: sample divisor, NaN when n <= ddof") {

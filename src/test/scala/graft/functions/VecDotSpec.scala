@@ -65,6 +65,23 @@ class VecDotSpec extends AnyFunSuite {
     }
   }
 
+  test("register claims the name even over a foreign temp function") {
+    // a user session that happened to define its own vec_dot must get
+    // graft's on the FIRST register (skip-if-exists would silently keep
+    // the foreign one → wrong results); later registers are no-ops (no
+    // replace-warning spam)
+    val s2 = spark.newSession()
+    s2.udf.register("vec_dot",
+      (_: Seq[Double], _: Seq[Double]) => -999.0)
+    import s2.implicits._
+    def run(): Double =
+      Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .selectExpr("vec_dot(a, b)").collect()(0).getDouble(0)
+    assert(run() == -999.0, "foreign registration should win pre-register")
+    GraftFunctions.register(s2)
+    assert(run() == 11.0, "register must claim the name from the foreign fn")
+  }
+
   test("interpreted path matches codegen") {
     // A filter on a literal-true branch keeps codegen; eval() direct call
     // covers the interpreted path.

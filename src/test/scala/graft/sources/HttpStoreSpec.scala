@@ -43,6 +43,13 @@ class HttpStoreSpec extends AnyFunSuite {
         Option(ex.getRequestHeaders.getFirst("Range")) match {
           case Some(r) =>
             val Array(lo, hi) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+            if (lo >= all.length) {
+              // what real servers (incl. Java's HttpServer behind a
+              // zero-length file) answer: 416 with the total after '/'
+              ex.getResponseHeaders.add("Content-Range", s"bytes */${all.length}")
+              ex.sendResponseHeaders(416, -1)
+              return
+            }
             val end = math.min(hi, all.length - 1L)
             val body = java.util.Arrays.copyOfRange(all, lo.toInt, end.toInt + 1)
             ex.getResponseHeaders.add(
@@ -140,6 +147,22 @@ class HttpStoreSpec extends AnyFunSuite {
       }
       intercept[UnsupportedOperationException] {
         HttpStore.listChildren(base)
+      }
+    }
+  }
+
+  test("zero-length blobs size as 0 through the 416 answer") {
+    val dir = Files.createTempDirectory("httpempty")
+    Files.write(dir.resolve("empty"), Array.emptyByteArray)
+    Files.write(dir.resolve("blob"), Array.fill[Byte](10)(3))
+    withServer(dir) { base =>
+      // the 1-byte ranged probe gets 416 for an empty blob; that means
+      // EXISTS with size 0, not an error
+      assert(HttpStore.sizeIfExists(s"$base/empty").contains(0L))
+      assert(HttpStore.read(s"$base/empty").isEmpty)
+      // a past-end range on a real blob is a loud error, not a fill
+      intercept[java.io.IOException] {
+        HttpStore.readRange(s"$base/blob", 100, 5)
       }
     }
   }
