@@ -1001,18 +1001,33 @@ final class XbeamDataset private (
     withPlan(template, cs, splitVars, out)
   }
 
-  /** Pad `dim` with `before`/`after` NaN positions (xarray
-    * `pad(dim=(b, a))`, constant mode): existing data shifts to
-    * `offset + before` by key arithmetic, each lane's head/tail chunk
-    * emits its region's fill chunk (no driver enumeration — the edge
-    * chunk knows its lane's cross-extents), and ONE consolidation
-    * shuffle realigns everything to the chunk grid, aligned `before`
-    * or not. Vars spanning `dim` come out F64 (NaN is the fill); the
+  /** Pad `dim` with `before`/`after` positions (xarray `pad(dim=(b,
+    * a), mode=…)`): existing data shifts to `offset + before` by key
+    * arithmetic, each lane's head/tail chunk emits its region's pad
+    * chunk (no driver enumeration — the edge chunk knows its lane's
+    * cross-extents AND, for edge/reflect, holds the source values the
+    * pad replicates), and ONE consolidation shuffle realigns
+    * everything to the chunk grid, aligned `before` or not. Modes:
+    *
+    *  - `"constant"` (default): NaN fill (xarray's constant_values
+    *    default).
+    *  - `"edge"`: the boundary slice repeats.
+    *  - `"reflect"`: mirrored without repeating the boundary
+    *    (numpy/xarray reflect) — requires the pad width to fit inside
+    *    the edge CHUNK (width ≤ edge extent − 1, checked at plan
+    *    time), which holds whenever pads are small next to chunks (a
+    *    100 TB store's chunks dwarf any sane pad; rechunk first
+    *    otherwise).
+    *
+    * Vars spanning `dim` come out F64 (constant's fill is NaN); the
     * dim's coordinate is dropped (integer coords cannot hold NaN). */
-  def pad(dim: String, before: Int, after: Int): XbeamDataset = {
+  def pad(dim: String, before: Int, after: Int,
+          mode: String = "constant"): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(before >= 0 && after >= 0,
       s"pad widths must be >= 0, got ($before, $after)")
+    require(Set("constant", "edge", "reflect")(mode),
+      s"unknown pad mode $mode (constant | edge | reflect)")
     if (before == 0 && after == 0) return this
     import ChunkTransforms.{Pair, pairEnc}
     val d = dim
@@ -1020,6 +1035,20 @@ final class XbeamDataset private (
     val cs = chunkSizes
     val b = before.toLong
     val af = after.toLong
+    val m = mode
+    if (mode == "reflect") {
+      // the reflected sample for width w reaches w positions past the
+      // boundary: it must live inside the lane's edge chunk
+      val chunkLen = cs(d).toLong
+      val firstExt = math.min(chunkLen, n)
+      val lastExt = n - (n - 1) / chunkLen * chunkLen
+      require(b <= firstExt - 1,
+        s"pad(reflect) before=$before needs ${b + 1} positions but the " +
+          s"first chunk along $d holds $firstExt — rechunk or shrink the pad")
+      require(af <= lastExt - 1,
+        s"pad(reflect) after=$after needs ${af + 1} positions but the " +
+          s"last chunk along $d holds $lastExt — rechunk or shrink the pad")
+    }
     val shifted = chunkDataset.flatMap { p: Pair =>
       val (key, chunk) = p
       chunk.dimSizes.get(d) match {
@@ -1033,23 +1062,51 @@ final class XbeamDataset private (
           })
           val own = Seq(
             (key.copy(offsets = key.offsets + (d -> (off + b))), f64))
-          // non-spanning vars ride along in fill chunks too, keeping
+          // pad-block source indices into THIS edge chunk, in pad
+          // order; None = NaN fill (constant mode)
+          def srcIdx(len: Int, leading: Boolean): Option[Array[Int]] = m match {
+            case "constant" => None
+            case "edge" =>
+              Some(Array.fill(len)(if (leading) 0 else ext - 1))
+            case "reflect" =>
+              // leading: pad position j (0 = farthest out) mirrors
+              // arr[b - j]; trailing: j mirrors arr[ext - 2 - j]
+              Some(if (leading) Array.tabulate(len)(j => (b - j).toInt)
+                else Array.tabulate(len)(j => ext - 2 - j))
+          }
+          // non-spanning vars ride along in pad chunks too, keeping
           // every cell's var set homogeneous for the consolidation
-          def fill(gStart: Long, len: Long): Seq[Pair] =
+          def fill(gStart: Long, len: Long, leading: Boolean): Seq[Pair] =
             if (len == 0) Nil
             else Seq((key.copy(offsets = key.offsets + (d -> gStart)),
-              ArrayChunk(chunk.vars.map { case (nm, va) =>
+              ArrayChunk(f64.vars.map { case (nm, va) =>
                 if (!va.dims.contains(d)) nm -> va
                 else {
                   val ax = va.dims.indexOf(d)
                   val shape2 = va.arr.shape.clone()
                   shape2(ax) = len.toInt
-                  nm -> VarArray(va.dims,
-                    NdArray.fill(DType.F64, shape2, Double.NaN))
+                  nm -> VarArray(va.dims, srcIdx(len.toInt, leading) match {
+                    case None =>
+                      NdArray.fill(DType.F64, shape2, Double.NaN)
+                    case Some(idxs) =>
+                      val out = NdArray.zeros(DType.F64, shape2)
+                      val sl = Array.fill(va.arr.ndim)(0)
+                      val ll = va.arr.shape.clone()
+                      ll(ax) = 1
+                      val dst = Array.fill(va.arr.ndim)(0)
+                      var j = 0
+                      while (j < idxs.length) {
+                        sl(ax) = idxs(j)
+                        dst(ax) = j
+                        out.insert(dst, va.arr.slice(sl, ll))
+                        j += 1
+                      }
+                      out
+                  })
                 }
               })))
-          own ++ (if (off == 0L) fill(0L, b) else Nil) ++
-            (if (off + ext == n) fill(n + b, af) else Nil)
+          own ++ (if (off == 0L) fill(0L, b, leading = true) else Nil) ++
+            (if (off + ext == n) fill(n + b, af, leading = false) else Nil)
       }
     }
     val newTemplate = Template(

@@ -1513,6 +1513,52 @@ object XbeamQueries {
         FROM binned WHERE bin IS NOT NULL
         GROUP BY bin ORDER BY bin""")),
 
+    // ---------------------------------------------------------------- x71
+    // Reflect pad (xarray pad(t=(3,2), mode="reflect")): the lane-edge
+    // chunks mirror their own interior into the pad blocks — no fill
+    // values, every output is an exact copy of a grid value. Oracle:
+    // three UNIONed index maps (pad positions t' < 3 mirror t = 3 - t',
+    // the tail mirrors t = 2·T + 1 - t').
+    QueryDef(
+      "x71_pad_reflect",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).pad("t", 3, 2, mode = "reflect"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT t, x, CAST(uid AS DOUBLE) AS uid, vf FROM (
+          SELECT 3 - t AS t, x, uid, vf FROM grid WHERE t BETWEEN 1 AND 3
+          UNION ALL
+          SELECT t + 3, x, uid, vf FROM grid
+          UNION ALL
+          SELECT 2 * (SELECT sz FROM n) + 1 - t, x, uid, vf FROM grid
+          WHERE t BETWEEN (SELECT sz FROM n) - 3 AND (SELECT sz FROM n) - 2)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x72
+    // Edge pad (xarray pad(t=(2,3), mode="edge")): the boundary slice
+    // replicates outward. Oracle: the pad rows join the t=0 / t=T-1
+    // rows per x.
+    QueryDef(
+      "x72_pad_edge",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).pad("t", 2, 3, mode = "edge"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT t, x, CAST(uid AS DOUBLE) AS uid, vf FROM (
+          SELECT v.p AS t, x, uid, vf
+          FROM grid, (VALUES (0), (1)) v(p) WHERE t = 0
+          UNION ALL
+          SELECT t + 2, x, uid, vf FROM grid
+          UNION ALL
+          SELECT (SELECT sz FROM n) + 2 + v.p, x, uid, vf
+          FROM grid, (VALUES (0), (1), (2)) v(p)
+          WHERE t = (SELECT sz FROM n) - 1)
+        ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x43
     // z-score standardization over t (anomaly ÷ std — the feature
     // normalization step): two partial-reduction shuffles build mean

@@ -50,11 +50,11 @@ object BlobStore {
   def forUrl(url: String): BlobStore =
     if (url.startsWith("file://")) LocalFsStore
     else if (url.startsWith("mem://")) MemStore
-    else if (url.startsWith("s3://")) S3Store
+    else if (url.startsWith("s3://") || url.startsWith("gs://")) S3Store
     else if (url.startsWith("http://") || url.startsWith("https://")) HttpStore
     else if (url.contains("://")) throw new IllegalArgumentException(
       s"no BlobStore registered for scheme of $url " +
-        s"(mem://, s3://, http(s)://, and local paths)")
+        s"(mem://, s3://, gs://, http(s)://, and local paths)")
     else LocalFsStore
 
   /** JVM-wide count of payload bytes fetched by every store's read /

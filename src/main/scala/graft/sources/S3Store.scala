@@ -140,29 +140,57 @@ object S3Store extends BlobStore {
     def schemeFor: String = endpoint.map(_.getScheme).getOrElse("https")
   }
 
-  private def cfg: Cfg = Cfg(
-    endpoint = conf("graft.s3.endpoint", "AWS_ENDPOINT_URL").map(URI.create),
-    region = conf("graft.s3.region", "AWS_REGION").getOrElse("us-east-1"),
-    accessKey = conf("graft.s3.accessKey", "AWS_ACCESS_KEY_ID").getOrElse(
-      throw new IllegalStateException(
-        "s3:// needs credentials: set AWS_ACCESS_KEY_ID / " +
-          "AWS_SECRET_ACCESS_KEY (or graft.s3.* system properties)")),
-    secretKey = conf("graft.s3.secretKey", "AWS_SECRET_ACCESS_KEY").getOrElse(
-      throw new IllegalStateException("missing AWS_SECRET_ACCESS_KEY")),
-    sessionToken = conf("graft.s3.sessionToken", "AWS_SESSION_TOKEN"))
+  /** Per-scheme config. `gs://` rides the same store through GCS's
+    * public S3-interoperability XML API: default endpoint
+    * storage.googleapis.com (path-style), HMAC keys (GCS
+    * interoperability credentials) from `GS_ACCESS_KEY_ID` /
+    * `GS_SECRET_ACCESS_KEY` (boto's naming) falling back to the AWS
+    * variables, SigV4 scope service `storage` with region `auto` — the
+    * convention of Google's XML-API signed requests. */
+  private def cfgFor(url: String): (Cfg, String) =
+    if (url.startsWith("gs://")) (Cfg(
+      endpoint = conf("graft.gs.endpoint", "GS_ENDPOINT_URL").map(URI.create)
+        .orElse(Some(URI.create("https://storage.googleapis.com"))),
+      region = conf("graft.gs.region", "GS_REGION").getOrElse("auto"),
+      accessKey = conf("graft.gs.accessKey", "GS_ACCESS_KEY_ID")
+        .orElse(conf("graft.s3.accessKey", "AWS_ACCESS_KEY_ID")).getOrElse(
+          throw new IllegalStateException(
+            "gs:// needs HMAC credentials: set GS_ACCESS_KEY_ID / " +
+              "GS_SECRET_ACCESS_KEY (GCS interoperability keys, or the " +
+              "AWS variables / graft.gs.* system properties)")),
+      secretKey = conf("graft.gs.secretKey", "GS_SECRET_ACCESS_KEY")
+        .orElse(conf("graft.s3.secretKey", "AWS_SECRET_ACCESS_KEY")).getOrElse(
+          throw new IllegalStateException("missing GS_SECRET_ACCESS_KEY")),
+      sessionToken = None), "storage")
+    else (Cfg(
+      endpoint = conf("graft.s3.endpoint", "AWS_ENDPOINT_URL").map(URI.create),
+      region = conf("graft.s3.region", "AWS_REGION").getOrElse("us-east-1"),
+      accessKey = conf("graft.s3.accessKey", "AWS_ACCESS_KEY_ID").getOrElse(
+        throw new IllegalStateException(
+          "s3:// needs credentials: set AWS_ACCESS_KEY_ID / " +
+            "AWS_SECRET_ACCESS_KEY (or graft.s3.* system properties)")),
+      secretKey = conf("graft.s3.secretKey", "AWS_SECRET_ACCESS_KEY").getOrElse(
+        throw new IllegalStateException("missing AWS_SECRET_ACCESS_KEY")),
+      sessionToken = conf("graft.s3.sessionToken", "AWS_SESSION_TOKEN")), "s3")
 
   private def multipartBytes: Long =
     sys.props.get("graft.s3.multipartBytes").map(_.toLong)
       .getOrElse(64L << 20)
 
-  /** s3://bucket/key → (bucket, key); key may be empty (bucket root). */
+  /** s3://bucket/key or gs://bucket/key → (bucket, key); key may be
+    * empty (bucket root). */
   private[sources] def parse(url: String): (String, String) = {
-    require(url.startsWith("s3://"), s"not an s3 url: $url")
-    val rest = url.stripPrefix("s3://")
+    require(url.startsWith("s3://") || url.startsWith("gs://"),
+      s"not an s3/gs url: $url")
+    val rest = url.stripPrefix("s3://").stripPrefix("gs://")
     val slash = rest.indexOf('/')
     if (slash < 0) (rest, "")
     else (rest.substring(0, slash), rest.substring(slash + 1))
   }
+
+  /** The scheme prefix of `url`, for re-building bucket-root urls. */
+  private def schemePrefix(url: String): String =
+    if (url.startsWith("gs://")) "gs://" else "s3://"
 
   private def amzNow(): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
@@ -174,7 +202,7 @@ object S3Store extends BlobStore {
                       body: Array[Byte] = Array.emptyByteArray,
                       range: Option[(Long, Long)] = None)
       : java.net.http.HttpResponse[Array[Byte]] = {
-    val c = cfg
+    val (c, service) = cfgFor(url)
     val (bucket, key) = parse(url)
     val path = c.pathFor(bucket, key)
     val host = c.hostFor(bucket)
@@ -194,7 +222,7 @@ object S3Store extends BlobStore {
       // signed fresh per attempt: the date (and so the signature) must
       // move with the retry clock
       val headers = SigV4.sign(method, host, path, query, payloadHash,
-        amzNow(), c.region, "s3", c.accessKey, c.secretKey, c.sessionToken)
+        amzNow(), c.region, service, c.accessKey, c.secretKey, c.sessionToken)
       val b = java.net.http.HttpRequest.newBuilder(URI.create(uri))
         .timeout(java.time.Duration.ofMinutes(2))
         .method(method,
@@ -342,7 +370,7 @@ object S3Store extends BlobStore {
     while (more) {
       val q = Seq("list-type" -> "2", "prefix" -> key, "delimiter" -> "/") ++
         token.map("continuation-token" -> _)
-      val resp = request("GET", s"s3://$bucket/", query = q)
+      val resp = request("GET", schemePrefix(url) + s"$bucket/", query = q)
       require(resp.statusCode() == 200,
         s"HTTP ${resp.statusCode()} listing $url")
       val xml = new String(resp.body(), UTF_8)
@@ -357,7 +385,7 @@ object S3Store extends BlobStore {
 
   override def isContainer(url: String): Boolean = {
     val (bucket, key) = parse(url.stripSuffix("/") + "/")
-    val resp = request("GET", s"s3://$bucket/", query = Seq(
+    val resp = request("GET", schemePrefix(url) + s"$bucket/", query = Seq(
       "list-type" -> "2", "prefix" -> key, "max-keys" -> "1"))
     require(resp.statusCode() == 200,
       s"HTTP ${resp.statusCode()} probing $url")

@@ -986,6 +986,43 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .sameAs(vals))
   }
 
+  test("pad modes edge and reflect mirror numpy, any chunking") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def src(t: Int, x: Int) = vals.getDouble(t * 2 + x)
+    for (ch <- Seq(4, 5, 10); (b, a) <- Seq((3, 2), (2, 0), (0, 3))) {
+      def build = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+      // numpy edge: [a b c] (2,_) -> [a a a b c]
+      val eg = build.pad("t", b, a, mode = "edge")
+        .collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until (10 + b + a); x <- 0 until 2) {
+        val want = src(math.min(math.max(t - b, 0), 9), x)
+        assert(eg.getDouble(t * 2 + x) == want, s"edge ch=$ch ($b,$a) t=$t")
+      }
+      // numpy reflect: [a b c d] (2,2) -> [c b | a b c d | c b]; the
+      // widths must fit the edge chunks (ch=4 leaves a 2-wide tail
+      // chunk, correctly rejected below)
+      if (ch >= 5) {
+        val rf = build.pad("t", b, a, mode = "reflect")
+          .collectConsolidated()._2.vars("v").arr
+        for (t <- 0 until (10 + b + a); x <- 0 until 2) {
+          val rel = t - b
+          val want = src(
+            if (rel < 0) -rel else if (rel > 9) 18 - rel else rel, x)
+          assert(rf.getDouble(t * 2 + x) == want, s"reflect ch=$ch ($b,$a) t=$t")
+        }
+      }
+    }
+    // reflect wider than the edge chunk fails LOUDLY at plan time
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 3))
+        .pad("t", 3, 0, mode = "reflect")
+    }
+    assert(e.getMessage.contains("reflect") && e.getMessage.contains("t"))
+  }
+
   test("negative shift pulls values forward; tail fills NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))

@@ -82,6 +82,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "negative shift must shuffle exactly once")
     assert(exchanges(xds.pad("time", 3, 2)) == 1,
       "pad must shuffle exactly once")
+    assert(exchanges(xds.pad("time", 3, 2, mode = "edge")) == 1,
+      "edge pad must shuffle exactly once")
+    assert(exchanges(xds.pad("time", 3, 2, mode = "reflect")) == 1,
+      "reflect pad must shuffle exactly once")
     assert(exchanges(xds.rolling("time", 3, "mean", center = true)) == 1,
       "centered rolling must shuffle exactly once")
   }

@@ -6,12 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class BlobStoreSpec extends AnyFunSuite {
 
-  test("scheme dispatch: local paths, file://, mem://, s3:// resolve; others fail") {
+  test("scheme dispatch: local, file://, mem://, s3://, gs:// resolve; others fail") {
     assert(BlobStore.forUrl("/tmp/x") eq LocalFsStore)
     assert(BlobStore.forUrl("file:///tmp/x") eq LocalFsStore)
     assert(BlobStore.forUrl("mem://bucket/x") eq MemStore)
     assert(BlobStore.forUrl("s3://bucket/x") eq S3Store)
-    val e = intercept[IllegalArgumentException](BlobStore.forUrl("gs://bucket/x"))
+    assert(BlobStore.forUrl("gs://bucket/x") eq S3Store)
+    val e = intercept[IllegalArgumentException](BlobStore.forUrl("abfs://c/x"))
     assert(e.getMessage.contains("no BlobStore registered"))
   }
 

@@ -44,7 +44,10 @@ class S3StoreSpec extends AnyFunSuite {
       }
 
     /** Recompute the SigV4 signature for this exchange with the known
-      * credentials; reject on mismatch. */
+      * credentials; reject on mismatch. Region and service come from
+      * the request's own credential scope (like a real verifier): the
+      * gs:// interop path signs scope `auto/storage`, s3:// signs
+      * `us-east-1/s3` — both must verify against the same secret. */
     private def authOk(ex: HttpExchange, body: Array[Byte]): Boolean = {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
       val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
@@ -52,10 +55,14 @@ class S3StoreSpec extends AnyFunSuite {
       if (auth.isEmpty || amzDate.isEmpty || payloadHash.isEmpty) return false
       // the client signs the payload it sends: verify the hash too
       if (SigV4.sha256Hex(body) != payloadHash.get) return false
+      val scope = "Credential=([^/]+)/(\\d{8})/([^/]+)/([^/]+)/aws4_request".r
+        .findFirstMatchIn(auth.get).getOrElse(return false)
+      if (scope.group(1) != ACCESS) return false
       val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("")
       val expected = SigV4.sign(ex.getRequestMethod, host,
         ex.getRequestURI.getPath, parseQuery(ex.getRequestURI.getRawQuery),
-        payloadHash.get, amzDate.get, REGION, "s3", ACCESS, SECRET, None)
+        payloadHash.get, amzDate.get, scope.group(3), scope.group(4),
+        ACCESS, SECRET, None)
       expected("Authorization") == auth.get
     }
 
@@ -263,6 +270,34 @@ class S3StoreSpec extends AnyFunSuite {
         case Some(v) => sys.props("graft.s3.multipartBytes") = v
         case None => sys.props -= "graft.s3.multipartBytes"
       }
+    }
+  }
+
+  test("gs:// rides the S3 store through the GCS interop conventions") {
+    // same mock, gs config: endpoint override + HMAC keys; requests
+    // sign with scope auto/storage, which the verifier checks from the
+    // request's own credential scope
+    val mock = new S3Mock()
+    val saved = Seq("graft.gs.endpoint", "graft.gs.accessKey",
+      "graft.gs.secretKey").map(k => k -> sys.props.get(k))
+    sys.props("graft.gs.endpoint") = s"http://127.0.0.1:${mock.port}"
+    sys.props("graft.gs.accessKey") = ACCESS
+    sys.props("graft.gs.secretKey") = SECRET
+    try {
+      val store = BlobStore.forUrl("gs://bucket/obj")
+      assert(store eq S3Store)
+      store.write("gs://bucket/obj", Array[Byte](5, 6, 7))
+      assert(store.read("gs://bucket/obj").toSeq == Seq[Byte](5, 6, 7))
+      assert(store.readRange("gs://bucket/obj", 1, 2).toSeq == Seq[Byte](6, 7))
+      store.write("gs://bucket/dir/a", Array[Byte](1))
+      assert(store.listChildren("gs://bucket") == Seq("dir"))
+    } finally {
+      mock.stop()
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => sys.props(k) = x; case None => sys.props -= k }
+      }
+      assert(mock.authFailures.get() == 0,
+        s"${mock.authFailures.get()} gs requests failed SigV4 verification")
     }
   }
 
