@@ -14,6 +14,7 @@ object GraftKryo {
     "graft.operators.ChunkTransforms$ReduceAcc",
     "graft.operators.ChunkTransforms$ArgAcc",
     "graft.operators.ChunkTransforms$TrendAcc",
+    "graft.operators.ChunkTransforms$PolyAcc",
     "scala.Tuple2",
     "scala.Tuple3",
     "scala.collection.immutable.Map$Map1",

@@ -1796,6 +1796,47 @@ final class XbeamDataset private (
       ChunkTransforms.trendReduce(chunkDataset, dim, skipna))
   }
 
+  /** Per-cell least-squares polynomial fit along `dim` (xarray
+    * `Dataset.polyfit(dim, deg)`) against the global integer index:
+    * the output swaps `dim` for a leading `degree` dim of size deg+1,
+    * position k holding the coefficient of t^(deg−k) — xarray's
+    * highest-power-first order (its degree coordinate is the
+    * descending power; ours is positional). deg 1 and 2 extract
+    * through spelled-out Cramer expansions whose expression tree a
+    * SQL oracle mirrors bit-for-bit on integer-exact sums; higher
+    * degrees solve the normal equations by Gaussian elimination with
+    * partial pivoting (xarray itself switches to a numerical lstsq
+    * there — no bit-parity to chase). Same one-shuffle
+    * partial-accumulator shape as [[trend]]: the shuffle carries
+    * 3·deg+2 power/moment planes per cell, never data. */
+  def polyfit(dim: String, deg: Int, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(deg >= 1 && deg <= 8,
+      s"polyfit degree must be in [1, 8], got $deg (normal equations on " +
+        "an integer index are numerically hopeless beyond that)")
+    require(!template.dimSizes.contains("degree"),
+      "polyfit output dim 'degree' collides with an existing dim")
+    val newTemplate = Template(
+      ("degree" -> (deg + 1).toLong) +: template.dims.filterNot(_._1 == dim),
+      template.vars.map { case (n, vs) =>
+        n -> (if (vs.dims.contains(dim))
+          VarSpec("degree" +: vs.dims.filterNot(_ == dim), DType.F64)
+        else vs)
+      },
+      template.coords - dim, template.attrs)
+    withPlan(newTemplate,
+      (chunkSizes - dim) + ("degree" -> (deg + 1)), splitVars,
+      ChunkTransforms.polyReduce(chunkDataset, dim, deg, skipna))
+  }
+
+  /** Elementwise membership mask (xarray `isin`): 1.0 where the value
+    * is one of `values`, else 0.0; NaN is never a member (xarray
+    * returns False there too). [[mapValues]] sugar — pure narrow map. */
+  def isin(values: Set[Double]): XbeamDataset = {
+    val vs = values
+    mapValues(v => if (vs.contains(v)) 1.0 else 0.0)
+  }
+
   /** Linear interpolation across NaN runs along `dim` (xarray
     * `interpolate_na(dim, method='linear')`): each NaN position between
     * two valid values takes the straight line through its nearest valid

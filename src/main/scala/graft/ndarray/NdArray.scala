@@ -1661,6 +1661,59 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Per-lane degree-`deg` polynomial-fit partials along `axis`
+    * against the global index t = globalStart + i, stacked as
+    * [3·deg + 2] ++ laneShape: planes 0..2deg hold the power sums
+    * S_k = Σ t^k over valid positions, planes 2deg+1..3deg+1 the
+    * moment sums V_k = Σ t^k·v for k = 0..deg — the normal-equation
+    * ingredients (A[i][j] = S_{i+j}, b[i] = V_i). Partials add
+    * elementwise across chunks; while every S_k/V_k magnitude stays
+    * under 2^53 the sums are exact integers and merge order cannot
+    * change a bit. `skipna` as in [[olsPartialsAlong]]. */
+  def polyPartialsAlong(axis: Int, globalStart: Long, deg: Int,
+                        skipna: Boolean): NdArray = {
+    val planes = 3 * deg + 2
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val out = NdArray.zeros(DType.F64, planes +: laneShape)
+    val laneSize = out.size / planes
+    val n = size
+    val idx = new Array[Int](ndim)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN || !skipna) {
+        var laneFlat = 0L
+        var kk = 0
+        while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+        val t = (globalStart + idx(axis)).toDouble
+        var p = 1.0
+        var d = 0
+        while (d <= 2 * deg) {
+          out.setDouble(d * laneSize + laneFlat,
+            out.getDouble(d * laneSize + laneFlat) + p)
+          if (d <= deg)
+            out.setDouble((2 * deg + 1 + d) * laneSize + laneFlat,
+              out.getDouble((2 * deg + 1 + d) * laneSize + laneFlat) + p * v)
+          p *= t
+          d += 1
+        }
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Central-difference gradient along `axis` against coordinate
     * values (numpy.gradient / xarray `differentiate`, edge_order=1):
     * interior positions take (v[g+1] − v[g−1]) / (c[g+1] − c[g−1]),

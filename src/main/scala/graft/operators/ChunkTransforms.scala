@@ -475,6 +475,144 @@ object ChunkTransforms {
     }
   }
 
+  /** Polynomial-fit accumulator (xarray polyfit): 3·deg+2 power/moment
+    * planes per cell; extract solves the normal equations. deg 1 and 2
+    * use SPELLED-OUT closed forms (Cramer expansions) whose expression
+    * trees a SQL oracle mirrors bit-for-bit when the sums are exact
+    * integers; deg ≥ 3 runs Gaussian elimination with partial
+    * pivoting. Coefficients come out highest power first (plane k =
+    * coefficient of t^(deg−k), xarray's degree order). */
+  final case class PolyAcc(deg: Int, parts: ArrayChunk,
+                           passthrough: ArrayChunk) {
+    def merge(other: PolyAcc): PolyAcc =
+      copy(parts = ArrayChunk(parts.vars.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(other.parts.vars(n).arr)(_ + _))
+      }))
+
+    def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
+      val a = va.arr
+      val planes = 3 * deg + 2
+      val laneSize = a.size / planes
+      val laneShape = a.shape.drop(1)
+      val out = NdArray.zeros(DType.F64, (deg + 1) +: laneShape)
+      def s(k: Int, i: Long) = a.getDouble(k * laneSize + i)
+      def v(k: Int, i: Long) = a.getDouble((2 * deg + 1 + k) * laneSize + i)
+      var i = 0L
+      while (i < laneSize) {
+        val coefs: Array[Double] =
+          if (s(0, i) < deg + 1) Array.fill(deg + 1)(Double.NaN)
+          else if (deg == 1) {
+            val det = s(0, i) * s(2, i) - s(1, i) * s(1, i)
+            if (det == 0) Array(Double.NaN, Double.NaN)
+            else Array( // highest first: (c1, c0)
+              (s(0, i) * v(1, i) - s(1, i) * v(0, i)) / det,
+              (v(0, i) * s(2, i) - s(1, i) * v(1, i)) / det)
+          } else if (deg == 2) {
+            // first-row cofactor expansions of the 3×3 normal system —
+            // KEEP this exact tree in sync with the x73 oracle SQL
+            val (s0, s1, s2, s3, s4) =
+              (s(0, i), s(1, i), s(2, i), s(3, i), s(4, i))
+            val (v0, v1, v2) = (v(0, i), v(1, i), v(2, i))
+            val det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+              s2 * (s1 * s3 - s2 * s2)
+            if (det == 0) Array(Double.NaN, Double.NaN, Double.NaN)
+            else Array( // highest first: (c2, c1, c0)
+              (s0 * (s2 * v2 - s3 * v1) - s1 * (s1 * v2 - s2 * v1) +
+                v0 * (s1 * s3 - s2 * s2)) / det,
+              (s0 * (v1 * s4 - v2 * s3) - v0 * (s1 * s4 - s3 * s2) +
+                s2 * (s1 * v2 - v1 * s2)) / det,
+              (v0 * (s2 * s4 - s3 * s3) - s1 * (v1 * s4 - s3 * v2) +
+                s2 * (v1 * s3 - s2 * v2)) / det)
+          } else {
+            // Gaussian elimination with partial pivoting on the
+            // (deg+1)² normal matrix A[r][c] = S_{r+c}
+            val m = deg + 1
+            val mat = Array.tabulate(m, m + 1)((r, c) =>
+              if (c == m) v(r, i) else s(r + c, i))
+            var singular = false
+            var col = 0
+            while (col < m && !singular) {
+              var piv = col
+              var r = col + 1
+              while (r < m) {
+                if (math.abs(mat(r)(col)) > math.abs(mat(piv)(col))) piv = r
+                r += 1
+              }
+              if (mat(piv)(col) == 0 || mat(piv)(col).isNaN) singular = true
+              else {
+                val tmp = mat(col); mat(col) = mat(piv); mat(piv) = tmp
+                r = col + 1
+                while (r < m) {
+                  val f = mat(r)(col) / mat(col)(col)
+                  var c = col
+                  while (c <= m) { mat(r)(c) -= f * mat(col)(c); c += 1 }
+                  r += 1
+                }
+              }
+              col += 1
+            }
+            if (singular) Array.fill(m)(Double.NaN)
+            else {
+              val x = new Array[Double](m)
+              var r = m - 1
+              while (r >= 0) {
+                var acc = mat(r)(m)
+                var c = r + 1
+                while (c < m) { acc -= mat(r)(c) * x(c); c += 1 }
+                x(r) = acc / mat(r)(r)
+                r -= 1
+              }
+              x.reverse // ascending-power solve → highest first
+            }
+          }
+        var k = 0
+        while (k <= deg) {
+          out.setDouble(k * laneSize + i, coefs(k))
+          k += 1
+        }
+        i += 1
+      }
+      n -> VarArray("degree" +: va.dims.drop(1), out)
+    } ++ passthrough.vars)
+  }
+
+  object PolyAcc {
+    def ofChunk(chunk: ArrayChunk, dim: String, deg: Int, skipna: Boolean,
+                dimOffset: Long): PolyAcc = {
+      val (touched, untouched) = chunk.vars.partition(_._2.dims.contains(dim))
+      PolyAcc(deg,
+        ArrayChunk(touched.map { case (n, va) =>
+          val ax = va.dims.indexOf(dim)
+          n -> VarArray("__p" +: va.dims.filterNot(_ == dim),
+            va.arr.polyPartialsAlong(ax, dimOffset, deg, skipna))
+        }),
+        ArrayChunk(untouched))
+    }
+  }
+
+  /** Distributed per-cell polynomial fit along one dim — the
+    * [[trendReduce]] shape generalized: one keyed shuffle of 3·deg+2
+    * power/moment planes, never data; the output grows a leading
+    * `degree` chunk axis (offset 0, single chunk). */
+  def polyReduce(ds: Dataset[Pair], dim: String, deg: Int,
+                 skipna: Boolean = true): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, PolyAcc)] =
+      Encoders.kryo[(ChunkKey, PolyAcc)]
+    ds.map { p: Pair =>
+      val off = p._1.offsets.getOrElse(dim, 0L)
+      (p._1.copy(offsets = p._1.offsets - dim),
+        PolyAcc.ofChunk(p._2, dim, deg, skipna, off))
+    }
+      .groupByKey { kv: (ChunkKey, PolyAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, PolyAcc), b: (ChunkKey, PolyAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, PolyAcc)) =>
+        (kv._2._1.copy(offsets = kv._2._1.offsets + ("degree" -> 0L)),
+          kv._2._2.extract)
+      }
+  }
+
   /** Distributed per-cell linear trend along one dim — same one-shuffle
     * shape as [[argReduce]]; the shuffle carries 5-plane OLS partials,
     * never data. */

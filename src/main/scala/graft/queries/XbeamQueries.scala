@@ -1559,6 +1559,77 @@ object XbeamQueries {
           WHERE t = (SELECT sz FROM n) - 1)
         ORDER BY t, x""")),
 
+    // ---------------------------------------------------------------- x73
+    // Quadratic polyfit per x-cell (xarray polyfit(t, deg=2)): one
+    // keyed shuffle of 8 power/moment planes (S0..S4, V0..V2), then the
+    // 3×3 normal system solves by first-row Cramer expansions. Every
+    // sum is an exact integer (Σt⁴ < 2^53 through sf0.1), and the
+    // oracle spells the IDENTICAL expression tree — the three divisions
+    // are the only roundings on either engine, applied to bit-equal
+    // operands. degree is positional: 0 ↔ t², 1 ↔ t, 2 ↔ constant.
+    QueryDef(
+      "x73_polyfit_quadratic",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).polyfit("t", 2)).orderBy("degree", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        sums AS (SELECT x,
+          CAST(count(*) AS DOUBLE) AS s0,
+          CAST(sum(t) AS DOUBLE) AS s1,
+          sum(CAST(t AS DOUBLE) * t) AS s2,
+          sum(CAST(t AS DOUBLE) * t * t) AS s3,
+          sum(CAST(t AS DOUBLE) * t * t * t) AS s4,
+          sum(CAST(uid AS DOUBLE)) AS u0,
+          sum(CAST(t AS DOUBLE) * uid) AS u1,
+          sum(CAST(t AS DOUBLE) * t * uid) AS u2,
+          sum(vf) AS w0,
+          sum(CAST(t AS DOUBLE) * vf) AS w1,
+          sum(CAST(t AS DOUBLE) * t * vf) AS w2
+          FROM grid GROUP BY x),
+        dets AS (SELECT x, s0, s1, s2, s3, s4, u0, u1, u2, w0, w1, w2,
+          s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * s3 - s2 * s2) AS det
+          FROM sums)
+        SELECT 0 AS degree, x,
+          (s0 * (s2 * u2 - s3 * u1) - s1 * (s1 * u2 - s2 * u1) +
+            u0 * (s1 * s3 - s2 * s2)) / det AS uid,
+          (s0 * (s2 * w2 - s3 * w1) - s1 * (s1 * w2 - s2 * w1) +
+            w0 * (s1 * s3 - s2 * s2)) / det AS vf
+        FROM dets
+        UNION ALL
+        SELECT 1, x,
+          (s0 * (u1 * s4 - u2 * s3) - u0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * u2 - u1 * s2)) / det,
+          (s0 * (w1 * s4 - w2 * s3) - w0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * w2 - w1 * s2)) / det
+        FROM dets
+        UNION ALL
+        SELECT 2, x,
+          (u0 * (s2 * s4 - s3 * s3) - s1 * (u1 * s4 - s3 * u2) +
+            s2 * (u1 * s3 - s2 * u2)) / det,
+          (w0 * (s2 * s4 - s3 * s3) - s1 * (w1 * s4 - s3 * w2) +
+            s2 * (w1 * s3 - s2 * w2)) / det
+        FROM dets
+        ORDER BY degree, x""")),
+
+    // ---------------------------------------------------------------- x74
+    // Membership mask (xarray isin): 1.0 where the value is in the
+    // probe set, 0.0 otherwise — a pure narrow map, integer-exact.
+    QueryDef(
+      "x74_isin",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).isin(Set(1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 21.0,
+          34.0, 55.0, 89.0, 144.0, 233.0, 377.0)))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+          CASE WHEN uid IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
+               THEN 1.0 ELSE 0.0 END AS uid,
+          CASE WHEN vf IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
+               THEN 1.0 ELSE 0.0 END AS vf
+        FROM grid ORDER BY t, x""")),
+
     // ---------------------------------------------------------------- x43
     // z-score standardization over t (anomaly ÷ std — the feature
     // normalization step): two partial-reduction shuffles build mean

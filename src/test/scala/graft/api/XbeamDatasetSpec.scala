@@ -1023,6 +1023,54 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reflect") && e.getMessage.contains("t"))
   }
 
+  test("polyfit: deg-1 slope matches trend; exact polynomials recover") {
+    // v(t, x) = (x+1)·t² − 3t + 7: quadratic fit must recover the
+    // coefficients essentially exactly (integer-exact sums; the only
+    // float error is the final Cramer arithmetic)
+    val vals = NdArray.fromDoubles(DType.F64, Array(12, 2),
+      Array.tabulate(24) { i =>
+        val t = i / 2; val x = i % 2
+        ((x + 1) * t * t - 3 * t + 7).toDouble
+      })
+    for (ch <- Seq(3, 5, 12)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+      val fit = ds.polyfit("t", 2).collectConsolidated()._2.vars("v").arr
+      assert(fit.shape.toSeq == Seq(3, 2))
+      for (x <- 0 until 2) {
+        assert(math.abs(fit.getDouble(x) - (x + 1)) < 1e-9, s"c2 ch=$ch x=$x")
+        assert(math.abs(fit.getDouble(2 + x) - -3.0) < 1e-9, s"c1 ch=$ch")
+        assert(math.abs(fit.getDouble(4 + x) - 7.0) < 1e-8, s"c0 ch=$ch")
+      }
+      // deg-1 leading coefficient == trend's slope (identical closed
+      // form on identical partials → bit-equal)
+      val lin = ds.polyfit("t", 1).collectConsolidated()._2.vars("v").arr
+      val slope = ds.trend("t").collectConsolidated()._2.vars("v").arr
+      for (x <- 0 until 2)
+        assert(lin.getDouble(x) == slope.getDouble(x), s"ch=$ch x=$x")
+      // deg 3 exercises the Gaussian path; the cubic term is 0 here
+      val cube = ds.polyfit("t", 3).collectConsolidated()._2.vars("v").arr
+      for (x <- 0 until 2)
+        assert(math.abs(cube.getDouble(x)) < 1e-6, s"c3 ch=$ch x=$x")
+    }
+    // skipna drops NaN points: poke holes, fit still recovers exactly
+    val holed = vals.mapF64(identity)
+    holed.setDouble(6L, Double.NaN)  // t=3, x=0
+    holed.setDouble(15L, Double.NaN) // t=7, x=1
+    val hfit = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), holed)), chunks = Map("t" -> 4))
+      .polyfit("t", 2).collectConsolidated()._2.vars("v").arr
+    for (x <- 0 until 2)
+      assert(math.abs(hfit.getDouble(x) - (x + 1)) < 1e-9, s"skipna x=$x")
+    // too few points per cell → NaN coefficients
+    val tiny = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"),
+        NdArray.fromDoubles(DType.F64, Array(2, 2), Array(1.0, 2, 3, 4)))),
+      chunks = Map("t" -> 2))
+      .polyfit("t", 2).collectConsolidated()._2.vars("v").arr
+    assert((0 until 6).forall(i => tiny.getDouble(i.toLong).isNaN))
+  }
+
   test("negative shift pulls values forward; tail fills NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))
