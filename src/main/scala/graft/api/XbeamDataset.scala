@@ -1272,10 +1272,19 @@ final class XbeamDataset private (
     * shuffle on the key, one reduced chunk streams against its many
     * covering chunks, and nothing touches the driver. */
   def zipReduced(reduced: XbeamDataset)(f: (ArrayChunk, ArrayChunk) => ArrayChunk,
-                                        merged: Template): XbeamDataset = {
+                                        merged: Template): XbeamDataset =
+    zipReducedKeyed(reduced)((_, c, r) => f(c, r), merged)
+
+  /** [[zipReduced]] with the full chunk's key in the combiner — for
+    * zips whose math needs the global position (detrend evaluates its
+    * polynomial at the global index). Dims of `reduced` ABSENT from
+    * this dataset (polyfit's `degree`) are carried, not matched: the
+    * reduced side must hold one chunk per shared position. */
+  def zipReducedKeyed(reduced: XbeamDataset)(
+      f: (ChunkKey, ArrayChunk, ArrayChunk) => ArrayChunk,
+      merged: Template): XbeamDataset = {
     val shared = reduced.template.dimSizes.keySet
-    require(shared.subsetOf(template.dimSizes.keySet),
-      s"reduced dims ${reduced.template.dimOrder} not a subset of ${template.dimOrder}")
+      .intersect(template.dimSizes.keySet)
     shared.foreach { d =>
       require(reduced.template.dimSizes(d) == template.dimSizes(d),
         s"dim $d: reduced size ${reduced.template.dimSizes(d)} != ${template.dimSizes(d)}")
@@ -1296,7 +1305,7 @@ final class XbeamDataset private (
         val rk = sharedKeyOf(p._1)
         val rc = bc.value.getOrElse(rk, throw new IllegalStateException(
           s"no reduced chunk covers position $rk"))
-        (p._1, f(p._2, rc))
+        (p._1, f(p._1, p._2, rc))
       })
     } else {
       implicit val keyedEnc: org.apache.spark.sql.Encoder[(String, Pair)] =
@@ -1312,7 +1321,7 @@ final class XbeamDataset private (
           val ((rk, p), right) = t
           if (right == null) throw new IllegalStateException(
             s"no reduced chunk covers position $rk")
-          (p._1, f(p._2, right._2._2))
+          (p._1, f(p._1, p._2, right._2._2))
         })
     }
   }
@@ -1835,6 +1844,33 @@ final class XbeamDataset private (
   def isin(values: Set[Double]): XbeamDataset = {
     val vs = values
     mapValues(v => if (vs.contains(v)) 1.0 else 0.0)
+  }
+
+  /** Remove a fitted degree-`deg` polynomial along `dim` — detrending
+    * (deg=1 linear, deg=2 the quadratic drift of a warming series):
+    * v − P(t) with P from [[polyfit]], evaluated at the global index
+    * in Horner form highest-first (`(c₂·t + c₁)·t + c₀` — mirror that
+    * exact tree in any oracle). One polyfit shuffle builds the
+    * coefficients; the full dataset then maps against them without
+    * reshuffling ([[zipReducedKeyed]]: broadcast under the size guard,
+    * co-partitioned join above it). NaN values stay NaN. */
+  def detrend(dim: String, deg: Int, skipna: Boolean = true): XbeamDataset = {
+    val fitted = polyfit(dim, deg, skipna)
+    val d = dim
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+    })
+    zipReducedKeyed(fitted)({ (key, chunk, red) =>
+      val off = key.offsets.getOrElse(d, 0L)
+      ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims,
+            va.arr.detrendAlong(ax, off, red.vars(n).arr))
+        }
+      })
+    }, merged)
   }
 
   /** Linear interpolation across NaN runs along `dim` (xarray

@@ -1714,6 +1714,50 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Subtract the per-lane polynomial Σ c_j·t^j evaluated at the
+    * global index t = globalStart + i — the detrend kernel. `coeffs`
+    * is stacked [deg+1] ++ laneShape, HIGHEST power first (polyfit's
+    * output order); evaluation is Horner highest-first,
+    * `((c_d·t + c_{d−1})·t + …) + c_0` — keep that exact tree in sync
+    * with any oracle. NaN values pass through NaN. */
+  def detrendAlong(axis: Int, globalStart: Long, coeffs: NdArray): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val nCoef = coeffs.shape(0)
+    val laneSize = coeffs.size / nCoef
+    require(laneShape.map(_.toLong).product == laneSize,
+      s"coeff lanes ${coeffs.shape.toSeq} do not match data ${shape.toSeq}")
+    val out = NdArray.zeros(DType.F64, shape.clone())
+    val n = size
+    val idx = new Array[Int](ndim)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      var laneFlat = 0L
+      var kk = 0
+      while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+      val t = (globalStart + idx(axis)).toDouble
+      var poly = coeffs.getDouble(laneFlat)
+      var c = 1
+      while (c < nCoef) {
+        poly = poly * t + coeffs.getDouble(c * laneSize + laneFlat)
+        c += 1
+      }
+      out.setDouble(flat, getDouble(flat) - poly)
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Central-difference gradient along `axis` against coordinate
     * values (numpy.gradient / xarray `differentiate`, edge_order=1):
     * interior positions take (v[g+1] − v[g−1]) / (c[g+1] − c[g−1]),

@@ -1071,6 +1071,32 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert((0 until 6).forall(i => tiny.getDouble(i.toLong).isNaN))
   }
 
+  test("detrend removes exact polynomials; NaN passes through") {
+    // v = 2t² − 5t + 1 plus a per-x residual pattern r(t,x) summing to
+    // a polynomial-orthogonal-ish signal; removing the exact quadratic
+    // itself must leave ~0 everywhere
+    val quad = NdArray.fromDoubles(DType.F64, Array(12, 2),
+      Array.tabulate(24) { i =>
+        val t = i / 2
+        (2 * t * t - 5 * t + 1).toDouble
+      })
+    for (ch <- Seq(3, 4, 12)) {
+      val got = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), quad)), chunks = Map("t" -> ch))
+        .detrend("t", 2).collectConsolidated()._2.vars("v").arr
+      for (i <- 0 until 24)
+        assert(math.abs(got.getDouble(i.toLong)) < 1e-7, s"ch=$ch i=$i")
+    }
+    // NaN stays NaN; the fit uses the remaining points (skipna)
+    val holed = quad.mapF64(identity)
+    holed.setDouble(8L, Double.NaN)
+    val hg = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), holed)), chunks = Map("t" -> 4))
+      .detrend("t", 2).collectConsolidated()._2.vars("v").arr
+    assert(hg.getDouble(8L).isNaN)
+    assert(math.abs(hg.getDouble(10L)) < 1e-7)
+  }
+
   test("negative shift pulls values forward; tail fills NaN") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))
