@@ -1070,7 +1070,9 @@ object Zarr {
 
   private def gzip(data: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(data.length / 2 + 64)
-    val g = new java.util.zip.GZIPOutputStream(out)
+    // level 1 to match the declared v3 codec config ({"level":1}) — the
+    // JDK default (6) would silently spend ~4x the CPU per chunk write
+    val g = new java.util.zip.GZIPOutputStream(out) { `def`.setLevel(1) }
     g.write(data); g.finish(); g.close()
     out.toByteArray
   }
