@@ -398,6 +398,125 @@ final class XbeamDataset private (
         weights.map { case (d, a) => d -> a.toDoubles }, skipna))
   }
 
+  /** Weighted sum over dims (xarray `ds.weighted(w).sum()`): Σ w·v with
+    * NaN elements masked out of both the value and the weight total —
+    * same one-shuffle shape as [[weightedMean]]. */
+  def weightedSum(dims: Set[String], weights: Map[String, NdArray],
+                  skipna: Boolean = true): XbeamDataset =
+    weightedReduced(dims, weights, "sum", skipna)
+
+  /** Weighted variance over dims (xarray `ds.weighted(w).var()`):
+    * Σw·v²/Σw − (Σw·v/Σw)², clamped at 0 — the weighted population
+    * moment xarray computes. */
+  def weightedVar(dims: Set[String], weights: Map[String, NdArray],
+                  skipna: Boolean = true): XbeamDataset =
+    weightedReduced(dims, weights, "var", skipna)
+
+  /** Weighted standard deviation over dims (xarray
+    * `ds.weighted(w).std()`). */
+  def weightedStd(dims: Set[String], weights: Map[String, NdArray],
+                  skipna: Boolean = true): XbeamDataset =
+    weightedReduced(dims, weights, "std", skipna)
+
+  private def weightedReduced(dims: Set[String], weights: Map[String, NdArray],
+                              kind: String, skipna: Boolean): XbeamDataset = {
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"weighted $kind dims $dims not all in ${template.dimOrder}")
+    require(weights.keySet.subsetOf(dims),
+      s"weight dims ${weights.keySet} not all among reduced dims $dims")
+    weights.foreach { case (d, arr) =>
+      require(arr.ndim == 1 && arr.shape(0) == template.dimSizes(d),
+        s"weights for dim $d must be 1-d of length ${template.dimSizes(d)}, " +
+          s"got shape ${arr.shape.toSeq}")
+    }
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims), DType.F64)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.weightedReduce(chunkDataset, dims,
+        weights.map { case (d, a) => d -> a.toDoubles }, kind, skipna))
+  }
+
+  /** Pearson correlation of two variables over `dims` (xarray
+    * `xr.corr`): one keyed shuffle of six joint-moment partials
+    * [n, Σx, Σy, Σxy, Σx², Σy²] per kept cell — data never reshuffles,
+    * pairwise-complete (both non-NaN) observations only. The output is
+    * a single variable `out` over the kept dims. */
+  def corr(x: String, y: String, dims: Set[String], out: String = "corr",
+           skipna: Boolean = true): XbeamDataset =
+    pairReduced(x, y, dims, "corr", out, skipna)
+
+  /** Covariance of two variables over `dims` (xarray `xr.cov`;
+    * `ddof` = 1 is xarray's default, the sample convention). */
+  def cov(x: String, y: String, dims: Set[String], ddof: Int = 1,
+          out: String = "cov", skipna: Boolean = true): XbeamDataset = {
+    require(ddof >= 0, s"ddof must be >= 0, got $ddof")
+    pairReduced(x, y, dims, s"cov:$ddof", out, skipna)
+  }
+
+  private def pairReduced(x: String, y: String, dims: Set[String],
+                          kind: String, out: String,
+                          skipna: Boolean): XbeamDataset = {
+    require(dims.nonEmpty && dims.subsetOf(template.dimSizes.keySet),
+      s"dims $dims not all in ${template.dimOrder}")
+    require(!splitVars,
+      "corr/cov needs both variables in each chunk — consolidate variables first")
+    val xs = template.vars.getOrElse(x,
+      throw new IllegalArgumentException(s"unknown variable $x"))
+    val ys = template.vars.getOrElse(y,
+      throw new IllegalArgumentException(s"unknown variable $y"))
+    require(xs.dims == ys.dims,
+      s"corr/cov needs $x and $y on identical dims, got ${xs.dims} vs ${ys.dims}")
+    require(dims.subsetOf(xs.dims.toSet),
+      s"$x does not span all of $dims (has ${xs.dims})")
+    val newTemplate = Template(
+      template.dims.filterNot(d => dims(d._1)),
+      Map(out -> VarSpec(xs.dims.filterNot(dims), DType.F64)),
+      template.coords -- dims, template.attrs)
+    withPlan(newTemplate, chunkSizes -- dims, false,
+      ChunkTransforms.pairMomentsReduce(chunkDataset, x, y, dims, kind, out,
+        skipna))
+  }
+
+  /** Generalized dot product of two variables (xarray `xr.dot`): the
+    * elementwise product summed over `dims` — a narrow per-chunk
+    * multiply composed with [[sum]]'s one-shuffle reduction. */
+  def dot(x: String, y: String, dims: Set[String],
+          out: String = "dot", skipna: Boolean = true): XbeamDataset = {
+    val xs = template.vars.getOrElse(x,
+      throw new IllegalArgumentException(s"unknown variable $x"))
+    val ys = template.vars.getOrElse(y,
+      throw new IllegalArgumentException(s"unknown variable $y"))
+    require(xs.dims == ys.dims,
+      s"dot needs $x and $y on identical dims, got ${xs.dims} vs ${ys.dims}")
+    val xn = x
+    val yn = y
+    val o = out
+    mapBlocks { c =>
+      val xa = c.vars(xn)
+      val ya = c.vars(yn)
+      ArrayChunk(Map(o -> VarArray(xa.dims, xa.arr.zipF64(ya.arr)(_ * _))))
+    }.sum(dims, skipna)
+  }
+
+  /** Reorder along `dim` by its coordinate's values (xarray `sortby`):
+    * the permutation is plan-time metadata (coords live in the
+    * template), so this lowers to [[reindex]]'s label gather — each
+    * output chunk pulls exactly the slices it needs, one co-partitioned
+    * shuffle, no global sort. */
+  def sortby(dim: String, descending: Boolean = false): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"sortby needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"sortby needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val labels = coord.toDoubles.sorted
+    reindex(dim, if (descending) labels.reverse else labels)
+  }
+
   /** Elementwise conveniences (xarray `fillna` / `clip` / `where`) —
     * thin [[mapBlocks]] wrappers; outputs are F64. */
   def fillna(value: Double): XbeamDataset =
@@ -1026,8 +1145,8 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(before >= 0 && after >= 0,
       s"pad widths must be >= 0, got ($before, $after)")
-    require(Set("constant", "edge", "reflect")(mode),
-      s"unknown pad mode $mode (constant | edge | reflect)")
+    require(Set("constant", "edge", "reflect", "wrap")(mode),
+      s"unknown pad mode $mode (constant | edge | reflect | wrap)")
     if (before == 0 && after == 0) return this
     import ChunkTransforms.{Pair, pairEnc}
     val d = dim
@@ -1048,6 +1167,20 @@ final class XbeamDataset private (
       require(af <= lastExt - 1,
         s"pad(reflect) after=$after needs ${af + 1} positions but the " +
           s"last chunk along $d holds $lastExt — rechunk or shrink the pad")
+    }
+    if (mode == "wrap") {
+      // wrapped samples come from the OPPOSITE end of the lane: the
+      // leading pad copies the last chunk's tail, the trailing pad the
+      // first chunk's head — each must fit inside that edge chunk
+      val chunkLen = cs(d).toLong
+      val firstExt = math.min(chunkLen, n)
+      val lastExt = n - (n - 1) / chunkLen * chunkLen
+      require(b <= lastExt,
+        s"pad(wrap) before=$before exceeds the last chunk's $lastExt " +
+          s"positions along $d — rechunk or shrink the pad")
+      require(af <= firstExt,
+        s"pad(wrap) after=$after exceeds the first chunk's $firstExt " +
+          s"positions along $d — rechunk or shrink the pad")
     }
     val shifted = chunkDataset.flatMap { p: Pair =>
       val (key, chunk) = p
@@ -1073,6 +1206,12 @@ final class XbeamDataset private (
               // arr[b - j]; trailing: j mirrors arr[ext - 2 - j]
               Some(if (leading) Array.tabulate(len)(j => (b - j).toInt)
                 else Array.tabulate(len)(j => ext - 2 - j))
+            case "wrap" =>
+              // emitted by the OPPOSITE edge chunk: the leading pad's
+              // position j copies this (last) chunk's arr[ext - b + j];
+              // the trailing pad's j copies this (first) chunk's arr[j]
+              Some(if (leading) Array.tabulate(len)(j => (ext - b + j).toInt)
+                else Array.tabulate(len)(j => j))
           }
           // non-spanning vars ride along in pad chunks too, keeping
           // every cell's var set homogeneous for the consolidation
@@ -1105,8 +1244,15 @@ final class XbeamDataset private (
                   })
                 }
               })))
-          own ++ (if (off == 0L) fill(0L, b, leading = true) else Nil) ++
-            (if (off + ext == n) fill(n + b, af, leading = false) else Nil)
+          own ++ (if (m == "wrap") {
+            // wrap sources pad blocks from the opposite end of the lane:
+            // the LAST chunk emits the leading pad, the FIRST the trailing
+            (if (off + ext == n) fill(0L, b, leading = true) else Nil) ++
+              (if (off == 0L) fill(n + b, af, leading = false) else Nil)
+          } else {
+            (if (off == 0L) fill(0L, b, leading = true) else Nil) ++
+              (if (off + ext == n) fill(n + b, af, leading = false) else Nil)
+          })
       }
     }
     val newTemplate = Template(

@@ -355,6 +355,99 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     (sums, sqs, counts)
   }
 
+  /** Joint moments of this array (x) and `other` (y) along the given
+    * axes, in float64 — the per-chunk partial of a distributed
+    * covariance/correlation (xarray `xr.cov`/`xr.corr`). Returns
+    * [n, Σx, Σy, Σxy, Σx², Σy²]. Under skipna only PAIRWISE-complete
+    * cells contribute (both values non-NaN — xarray's alignment
+    * semantics); without it any NaN poisons every moment of its cell
+    * via the raw sums. Exact for integer-valued data within 2^53. */
+  def pairMoments(other: NdArray, axes: Array[Int],
+                  skipna: Boolean): Array[NdArray] = {
+    require(java.util.Arrays.equals(shape, other.shape),
+      s"pairMoments needs equal shapes, got ${shape.toSeq} vs ${other.shape.toSeq}")
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val out = Array.fill(6)(NdArray.zeros(DType.F64, outShape))
+    val outStrides = out(0).strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val x = getDouble(flat)
+      val y = other.getDouble(flat)
+      if (!skipna || (!x.isNaN && !y.isNaN)) {
+        out(0).setDouble(outFlat, out(0).getDouble(outFlat) + 1.0)
+        out(1).setDouble(outFlat, out(1).getDouble(outFlat) + x)
+        out(2).setDouble(outFlat, out(2).getDouble(outFlat) + y)
+        out(3).setDouble(outFlat, out(3).getDouble(outFlat) + x * y)
+        out(4).setDouble(outFlat, out(4).getDouble(outFlat) + x * x)
+        out(5).setDouble(outFlat, out(5).getDouble(outFlat) + y * y)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
+  /** Weighted first and second moments along the given axes, in
+    * float64 — the per-chunk partial of weighted sum/variance (xarray
+    * `ds.weighted(w).sum()/.var()`): returns (Σw·v, Σw·v², Σw) with
+    * element weights as in [[weightedSumCount]]. Under skipna a NaN
+    * element contributes to none of the three — the masked-weight
+    * semantics. */
+  def weightedMoments(axes: Array[Int], axisWeights: Array[Array[Double]],
+                      skipna: Boolean): (NdArray, NdArray, NdArray) = {
+    require(axisWeights.length == axes.length,
+      s"need one weight array (or null) per reduced axis")
+    axes.zip(axisWeights).foreach { case (ax, w) =>
+      require(w == null || w.length == shape(ax),
+        s"weights for axis $ax have length ${w.length}, extent is ${shape(ax)}")
+    }
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val outShape = keep.map(shape)
+    val sums = NdArray.zeros(DType.F64, outShape)
+    val sqs = NdArray.zeros(DType.F64, outShape)
+    val wsums = NdArray.zeros(DType.F64, outShape)
+    val outStrides = sums.strides
+    val n = size
+    val idx = new Array[Int](ndim)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val v = getDouble(flat)
+      if (!skipna || !v.isNaN) {
+        var w = 1.0
+        var a = 0
+        while (a < axes.length) {
+          if (axisWeights(a) != null) w *= axisWeights(a)(idx(axes(a)))
+          a += 1
+        }
+        sums.setDouble(outFlat, sums.getDouble(outFlat) + w * v)
+        sqs.setDouble(outFlat, sqs.getDouble(outFlat) + w * v * v)
+        wsums.setDouble(outFlat, wsums.getDouble(outFlat) + w)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    (sums, sqs, wsums)
+  }
+
   /** Min or max along the given axes in float64, NaN-aware: with skipna
     * NaN inputs are ignored (all-NaN → NaN); without it any NaN poisons
     * its output cell — xarray's min/max semantics. */

@@ -335,6 +335,159 @@ object ChunkTransforms {
       .map { kv: (String, (ChunkKey, ReduceAcc)) => (kv._2._1, kv._2._2.extract) }
   }
 
+  /** Joint-moment accumulator for a distributed covariance/correlation
+    * between two variables (xarray `xr.cov`/`xr.corr`): per-chunk
+    * partials carry [n, Σx, Σy, Σxy, Σx², Σy²] per kept cell, merging
+    * is pointwise addition, and `extract` applies the closed form —
+    * data never reshuffles. Exact for integer-valued inputs (every
+    * moment stays within 2^53), and the extract expression tree is
+    * spelled exactly once so an oracle can mirror it bit-for-bit. */
+  final case class PairAcc(moments: Seq[VarArray]) {
+    def merge(other: PairAcc): PairAcc =
+      PairAcc(moments.zip(other.moments).map { case (a, b) =>
+        VarArray(a.dims, a.arr.zipF64(b.arr)(_ + _))
+      })
+
+    /** `kind` = "corr" | "cov:<ddof>"; the single output variable is
+      * named `out`. corr: (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) ·
+      * √(n·Σy² − Σy·Σy)); cov: (Σxy − Σx·Σy/n) / (n − ddof). NaN for
+      * empty cells, zero-variance corr cells, and n ≤ ddof. */
+    def extract(kind: String, out: String): ArrayChunk = {
+      val Seq(nA, sxA, syA, sxyA, sxxA, syyA) = moments
+      val res = NdArray.zeros(DType.F64, nA.arr.shape)
+      val ddof = kind.indexOf(':') match {
+        case -1 => 0
+        case i => kind.substring(i + 1).toInt
+      }
+      val isCorr = kind == "corr"
+      var i = 0L
+      while (i < res.size) {
+        val n = nA.arr.getDouble(i)
+        val sx = sxA.arr.getDouble(i)
+        val sy = syA.arr.getDouble(i)
+        val sxy = sxyA.arr.getDouble(i)
+        val v =
+          if (isCorr) {
+            val sxx = sxxA.arr.getDouble(i)
+            val syy = syyA.arr.getDouble(i)
+            val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            if (n < 2 || den == 0.0) Double.NaN
+            else (n * sxy - sx * sy) / den
+          } else {
+            if (n <= ddof) Double.NaN
+            else (sxy - sx * sy / n) / (n - ddof)
+          }
+        res.setDouble(i, v)
+        i += 1
+      }
+      ArrayChunk(Map(out -> VarArray(nA.dims, res)))
+    }
+  }
+
+  /** Distributed cov/corr of two variables over `dims` — the
+    * [[reduceDims]] one-shuffle shape with a six-moment partial. */
+  def pairMomentsReduce(ds: Dataset[Pair], x: String, y: String,
+                        dims: Set[String], kind: String, out: String,
+                        skipna: Boolean = true): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, PairAcc)] =
+      Encoders.kryo[(ChunkKey, PairAcc)]
+    ds.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets -- dims)
+      val xa = p._2.vars(x)
+      val ya = p._2.vars(y)
+      val axes = xa.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
+      val kept = xa.dims.filterNot(dims)
+      val ms = xa.arr.pairMoments(ya.arr, axes, skipna)
+      (nk, PairAcc(ms.toSeq.map(VarArray(kept, _))))
+    }
+      .groupByKey { kv: (ChunkKey, PairAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, PairAcc), b: (ChunkKey, PairAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, PairAcc)) =>
+        (kv._2._1, kv._2._2.extract(kind, out))
+      }
+  }
+
+  /** Weighted-moment accumulator for distributed weighted sum/var/std
+    * (xarray `ds.weighted(w).sum()/.var()/.std()`): per-chunk partials
+    * carry (Σw·v, Σw·v², Σw) per variable, pointwise-add merge.
+    * `passthrough` as in [[ReduceAcc]]. */
+  final case class WeightedAcc(sums: ArrayChunk, sqs: ArrayChunk,
+                               wsums: ArrayChunk, passthrough: ArrayChunk) {
+    def merge(other: WeightedAcc): WeightedAcc = {
+      def zip(a: ArrayChunk, b: ArrayChunk): ArrayChunk =
+        ArrayChunk(a.vars.map { case (n, va) =>
+          n -> VarArray(va.dims, va.arr.zipF64(b.vars(n).arr)(_ + _))
+        })
+      WeightedAcc(zip(sums, other.sums), zip(sqs, other.sqs),
+        zip(wsums, other.wsums), passthrough)
+    }
+
+    /** `kind` = "sum" (Σw·v) | "var" | "std" (weighted population
+      * moments: Σw·v²/Σw − (Σw·v/Σw)², clamped at 0; NaN when Σw = 0). */
+    def extract(kind: String): ArrayChunk =
+      ArrayChunk((kind match {
+        case "sum" => sums.vars
+        case "var" | "std" => sums.vars.map { case (n, sva) =>
+          val sq = sqs.vars(n).arr
+          val sw = wsums.vars(n).arr
+          val res = NdArray.zeros(DType.F64, sva.arr.shape)
+          var i = 0L
+          while (i < res.size) {
+            val w = sw.getDouble(i)
+            val v = if (w == 0.0) Double.NaN
+              else {
+                val mu = sva.arr.getDouble(i) / w
+                math.max(sq.getDouble(i) / w - mu * mu, 0.0)
+              }
+            res.setDouble(i, if (kind == "std") math.sqrt(v) else v)
+            i += 1
+          }
+          n -> VarArray(sva.dims, res)
+        }
+      }) ++ passthrough.vars)
+  }
+
+  /** Keyed weighted reduction over dims — [[weightedMean]]'s shape with
+    * the second moment carried too, for sum/var/std. */
+  def weightedReduce(ds: Dataset[Pair], dims: Set[String],
+                     weights: Map[String, Array[Double]], kind: String,
+                     skipna: Boolean = true): Dataset[Pair] = {
+    require(weights.keySet.subsetOf(dims),
+      s"weight dims ${weights.keySet} not all among reduced dims $dims")
+    implicit val accEnc: Encoder[(ChunkKey, WeightedAcc)] =
+      Encoders.kryo[(ChunkKey, WeightedAcc)]
+    val w = weights
+    ds.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets -- dims)
+      val (touched, untouched) = p._2.vars.partition(_._2.dims.exists(dims))
+      val parts = touched.map { case (n, va) =>
+        val axes = va.dims.zipWithIndex.collect { case (d, i) if dims(d) => i }.toArray
+        val kept = va.dims.filterNot(dims)
+        val aw: Array[Array[Double]] = axes.map { ax =>
+          val d = va.dims(ax)
+          w.get(d) match {
+            case Some(full) =>
+              val off = p._1.offsets.getOrElse(d, 0L).toInt
+              java.util.Arrays.copyOfRange(full, off, off + va.arr.shape(ax))
+            case None => null
+          }
+        }
+        val (s, q, ws) = va.arr.weightedMoments(axes, aw, skipna)
+        (n -> VarArray(kept, s), n -> VarArray(kept, q), n -> VarArray(kept, ws))
+      }
+      (nk, WeightedAcc(ArrayChunk(parts.map(_._1).toMap),
+        ArrayChunk(parts.map(_._2).toMap),
+        ArrayChunk(parts.map(_._3).toMap), ArrayChunk(untouched)))
+    }
+      .groupByKey { kv: (ChunkKey, WeightedAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, WeightedAcc), b: (ChunkKey, WeightedAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, WeightedAcc)) => (kv._2._1, kv._2._2.extract(kind)) }
+  }
+
   /** (best value, its global index) accumulator for a distributed
     * argmin/argmax along one dim. Per-chunk partials carry the chunk's
     * best value AND its dim-global index, so the merge never needs the

@@ -2137,6 +2137,147 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x,
                CAST((vf + 2) * 4 AS DOUBLE) * 0.25 + -2.0 AS pv
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x76
+    // Pearson correlation of uid and vf over t (xarray xr.corr): one
+    // keyed shuffle of six joint-moment partials per x-cell — the data
+    // never reshuffles. Integer-valued inputs keep every moment exact
+    // (max n·Σx² ≈ 3e12 ≪ 2^53 at sf0.1), and the oracle spells the
+    // kernel's exact expression tree, so the one division and two
+    // sqrts round identically on both engines.
+    QueryDef(
+      "x76_corr",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).corr("uid", "vf", Set("t"))).orderBy("x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        m AS (SELECT x, CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(uid) AS DOUBLE) AS sx, sum(vf) AS sy,
+                sum(CAST(uid AS DOUBLE) * vf) AS sxy,
+                sum(CAST(uid AS DOUBLE) * uid) AS sxx,
+                sum(vf * vf) AS syy
+              FROM grid GROUP BY x)
+        SELECT x, (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+        FROM m ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x77
+    // Sample covariance of uid and vf over t (xarray xr.cov, ddof=1):
+    // the same six-moment shuffle as x76 with the closed form
+    // (Σxy − Σx·Σy/n) / (n − 1) — one inner division then one outer,
+    // both on bit-equal operands across engines.
+    QueryDef(
+      "x77_cov",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).cov("uid", "vf", Set("t"))).orderBy("x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        m AS (SELECT x, CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(uid) AS DOUBLE) AS sx, sum(vf) AS sy,
+                sum(CAST(uid AS DOUBLE) * vf) AS sxy
+              FROM grid GROUP BY x)
+        SELECT x, (sxy - sx * sy / n) / (n - 1) AS cov
+        FROM m ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x78
+    // Generalized dot product over t (xarray xr.dot): a narrow
+    // per-chunk multiply composed with the one-shuffle sum reduction.
+    // Products and their sums are exact integers throughout.
+    QueryDef(
+      "x78_dot",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).dot("uid", "vf", Set("t"))).orderBy("x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT x, sum(CAST(uid AS DOUBLE) * vf) AS dot
+        FROM grid GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x79
+    // Circular pad (xarray pad(t=(3,2), mode="wrap")): the leading pad
+    // copies the lane's LAST three positions, the trailing pad its
+    // FIRST two — pad blocks are emitted by the opposite edge chunks
+    // and the same single consolidation shuffle assembles the grid.
+    QueryDef(
+      "x79_pad_wrap",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).pad("t", 3, 2, mode = "wrap"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT t, x, CAST(uid AS DOUBLE) AS uid, vf FROM (
+          SELECT t - (SELECT sz FROM n) + 3 AS t, x, uid, vf FROM grid
+          WHERE t >= (SELECT sz FROM n) - 3
+          UNION ALL
+          SELECT t + 3, x, uid, vf FROM grid
+          UNION ALL
+          SELECT t + (SELECT sz FROM n) + 3, x, uid, vf FROM grid
+          WHERE t < 2)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x80
+    // Weighted sum + weighted std over x (xarray weighted(w).sum() /
+    // .std() — completing the weighted family next to x33's mean):
+    // per-chunk (Σw·v, Σw·v², Σw) partials, one keyed shuffle. The
+    // weighted moments are exact integers (Σw·v² ≤ ~8e8), and the
+    // oracle mirrors the kernel's q/w − μ² expression with its
+    // clamp-at-0, so the divisions and sqrt round identically.
+    QueryDef(
+      "x80_weighted_sum_std",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        val w = NdArray.fromDoubles(DType.F64, Array(W.toInt),
+          Array.tabulate(W.toInt)(i => (i + 1).toDouble))
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"),
+            col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
+        frame(xds.weightedSum(Set("x"), Map("x" -> w)), "sum")
+          .join(frame(xds.weightedStd(Set("x"), Map("x" -> w)), "std"), "t")
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+          sum(CAST(uid AS DOUBLE) * (x + 1)) AS uid_sum,
+          sum(vf * (x + 1)) AS vf_sum,
+          sqrt(greatest(
+            sum(CAST(uid AS DOUBLE) * uid * (x + 1)) / sum(CAST(x + 1 AS DOUBLE))
+              - (sum(CAST(uid AS DOUBLE) * (x + 1)) / sum(CAST(x + 1 AS DOUBLE)))
+                * (sum(CAST(uid AS DOUBLE) * (x + 1)) / sum(CAST(x + 1 AS DOUBLE))),
+            0)) AS uid_std,
+          sqrt(greatest(
+            sum(vf * vf * (x + 1)) / sum(CAST(x + 1 AS DOUBLE))
+              - (sum(vf * (x + 1)) / sum(CAST(x + 1 AS DOUBLE)))
+                * (sum(vf * (x + 1)) / sum(CAST(x + 1 AS DOUBLE))),
+            0)) AS vf_std
+        FROM grid GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x81
+    // Sort by a coordinate, descending (xarray sortby): the permutation
+    // folds to plan-time metadata and lowers to reindex's label gather
+    // — each output chunk pulls exactly the slices it needs in one
+    // co-partitioned shuffle; no global sort ever runs. With the
+    // ascending 0..n-1 coord, descending = reversal along t.
+    QueryDef(
+      "x81_sortby_desc",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.sortby("t", descending = true))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT (SELECT sz FROM n) - 1 - t AS t, x,
+               CAST(uid AS DOUBLE) AS uid, vf
         FROM grid ORDER BY t, x"""))
   )
 }

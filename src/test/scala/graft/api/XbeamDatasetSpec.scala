@@ -1687,4 +1687,111 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .map(_.getLong(1)).toSeq
     assert(out == big, s"int64 values corrupted: $out")
   }
+
+  test("corr/cov match hand computation; NaN pairs drop under skipna") {
+    // x = [1,2,3,4], y = [2,4,6,8]: perfectly correlated → corr 1,
+    // cov (ddof=1) = Σ(x-x̄)(y-ȳ)/3 = (4.5+0.5+0.5+4.5... ) = 10/3
+    def two(xv: Array[Double], yv: Array[Double], ch: Int) =
+      XbeamDataset.fromLocal(spark, Map(
+        "a" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64, Array(xv.length, 1), xv)),
+        "b" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64, Array(yv.length, 1), yv))),
+        chunks = Map("t" -> ch))
+    val ds = two(Array(1, 2, 3, 4), Array(2, 4, 6, 8), 2)
+    val r = ds.corr("a", "b", Set("t")).collectConsolidated()._2.vars("corr").arr
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val cv = ds.cov("a", "b", Set("t")).collectConsolidated()._2.vars("cov").arr
+    assert(math.abs(cv.getDouble(0) - 10.0 / 3.0) < 1e-12)
+    // chunked == unchunked (partials add exactly on integer data)
+    val cv1 = two(Array(1, 2, 3, 4), Array(2, 4, 6, 8), 4)
+      .cov("a", "b", Set("t")).collectConsolidated()._2.vars("cov").arr
+    assert(cv.getDouble(0) == cv1.getDouble(0))
+    // anti-correlated
+    val rn = two(Array(1, 2, 3), Array(3, 2, 1), 2)
+      .corr("a", "b", Set("t")).collectConsolidated()._2.vars("corr").arr
+    assert(math.abs(rn.getDouble(0) + 1.0) < 1e-12)
+    // a NaN on EITHER side drops the pair: remaining pairs (1,2),(4,8)
+    val rp = two(Array(1, 2, 4), Array(2, Double.NaN, 8), 2)
+      .cov("a", "b", Set("t")).collectConsolidated()._2.vars("cov").arr
+    // pairs (1,2),(4,8): cov = (Σxy - ΣxΣy/n)/(n-1) = (34 - 5*10/2)/1 = 9
+    assert(rp.getDouble(0) == 9.0)
+    // zero variance → NaN corr
+    val rz = two(Array(5, 5, 5), Array(1, 2, 3), 3)
+      .corr("a", "b", Set("t")).collectConsolidated()._2.vars("corr").arr
+    assert(rz.getDouble(0).isNaN)
+  }
+
+  test("dot sums the elementwise product over dims (xr.dot)") {
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
+      "b" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(5, 6, 7, 8)))),
+      chunks = Map("t" -> 2))
+    val d = ds.dot("a", "b", Set("t")).collectConsolidated()._2.vars("dot").arr
+    assert(d.getDouble(0) == 5.0 + 12 + 21 + 32)
+  }
+
+  test("weightedSum/weightedVar/weightedStd match hand computation") {
+    // values [1,2,4], weights [1,2,3]: Σwv = 17, μ = 17/6,
+    // Σwv² = 1 + 8 + 48 = 57, var = 57/6 − (17/6)² ≈ 1.4722
+    val vals = NdArray.fromDoubles(DType.F64, Array(3, 1), Array(1.0, 2.0, 4.0))
+    def one(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+    val w = Map("t" -> NdArray.fromDoubles(DType.F64, Array(3), Array(1.0, 2.0, 3.0)))
+    assert(one(3).weightedSum(Set("t"), w)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0) == 17.0)
+    assert(one(2).weightedSum(Set("t"), w)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0) == 17.0)
+    val expectVar = 57.0 / 6.0 - (17.0 / 6.0) * (17.0 / 6.0)
+    val v = one(2).weightedVar(Set("t"), w)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0)
+    assert(math.abs(v - expectVar) < 1e-12)
+    val sd = one(2).weightedStd(Set("t"), w)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0)
+    assert(math.abs(sd - math.sqrt(expectVar)) < 1e-12)
+    // NaN masks value AND weight: [1,NaN,4]·[1,2,3] → Σwv=13, Σw=4
+    val nan = NdArray.fromDoubles(DType.F64, Array(3, 1),
+      Array(1.0, Double.NaN, 4.0))
+    val ns = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), nan)), chunks = Map("t" -> 2))
+      .weightedSum(Set("t"), w).collectConsolidated()._2.vars("v").arr
+    assert(ns.getDouble(0) == 13.0)
+  }
+
+  test("pad wrap copies from the opposite end of the lane") {
+    // [0..5] chunked 2, pad (2, 3) wrap →
+    // [4,5, 0,1,2,3,4,5, 0,1,2]
+    val vals = NdArray.fromDoubles(DType.F64, Array(6),
+      Array.tabulate(6)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), vals)), chunks = Map("t" -> 3))
+    val out = ds.pad("t", 2, 3, mode = "wrap")
+      .collectConsolidated()._2.vars("v").arr
+    assert(out.toDoubles.toSeq ==
+      Seq(4.0, 5, 0, 1, 2, 3, 4, 5, 0, 1, 2))
+    // single-chunk lane: the same chunk feeds both pads
+    val one = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), vals)), chunks = Map("t" -> 6))
+      .pad("t", 2, 2, mode = "wrap")
+      .collectConsolidated()._2.vars("v").arr
+    assert(one.toDoubles.toSeq == Seq(4.0, 5, 0, 1, 2, 3, 4, 5, 0, 1))
+    // pad wider than the edge chunk is rejected loudly
+    assertThrows[IllegalArgumentException] {
+      ds.pad("t", 4, 0, mode = "wrap") // lastExt = 3 < 4
+    }
+  }
+
+  test("sortby reorders by coordinate via the reindex gather") {
+    // coord [30,10,20] ascending sort → order [10,20,30] = rows (1,2,0)
+    val vals = NdArray.fromDoubles(DType.F64, Array(3, 2),
+      Array(1.0, 2, 3, 4, 5, 6))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(3),
+        Array(30.0, 10.0, 20.0))),
+      chunks = Map("t" -> 2))
+    val asc = ds.sortby("t").collectConsolidated()._2.vars("v").arr
+    assert(asc.toDoubles.toSeq == Seq(3.0, 4, 5, 6, 1, 2))
+    val desc = ds.sortby("t", descending = true)
+      .collectConsolidated()._2.vars("v").arr
+    assert(desc.toDoubles.toSeq == Seq(1.0, 2, 5, 6, 3, 4))
+  }
 }
