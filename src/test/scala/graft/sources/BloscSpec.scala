@@ -247,6 +247,44 @@ class BloscSpec extends AnyFunSuite {
     assert(back.toSeq == data.toSeq)
   }
 
+  test("bit-shuffle matches an independent bit-by-bit reference transform") {
+    // Cross-implementation pin (no numcodecs frames are obtainable in
+    // this environment): a NAIVE transform written straight from the
+    // published bitshuffle definition — "the i-th bits of each element
+    // are adjacent", lane-major rows, LSB-first packing — with no 8x8
+    // transpose, no word tricks. Output byte (l*8+k)*rowLen + g packs
+    // bit k of lane-l bytes of elements 8g..8g+7, element 8g+r at bit
+    // position r; the non-multiple-of-8 tail copies verbatim. A
+    // systematic layout divergence in the production kernel (bit-row
+    // order, intra-byte order, lane order) would have to be replicated
+    // here independently to slip through.
+    def naive(typesize: Int, src: Array[Byte]): Array[Byte] = {
+      val len = src.length
+      val nelem = len / typesize
+      val ne8 = nelem - nelem % 8
+      val rowLen = ne8 / 8
+      val dest = new Array[Byte](len)
+      for (l <- 0 until typesize; k <- 0 until 8; e <- 0 until ne8) {
+        if (((src(e * typesize + l) >> k) & 1) != 0) {
+          val at = (l * 8 + k) * rowLen + e / 8
+          dest(at) = (dest(at) | (1 << (e % 8))).toByte
+        }
+      }
+      System.arraycopy(src, ne8 * typesize, dest, ne8 * typesize,
+        len - ne8 * typesize)
+      dest
+    }
+    for (typesize <- Seq(1, 2, 3, 4, 8); nelem <- Seq(8, 16, 21, 64, 1000)) {
+      val len = nelem * typesize
+      val data = randomBytes(len, seed = typesize * 7919 + nelem)
+      val out = new Array[Byte](len)
+      Blosc.bitShuffleBytes(typesize, data, 0, len, out, 0)
+      assert(out.toSeq == naive(typesize, data).toSeq,
+        s"production bitshuffle diverges from the reference layout " +
+          s"(typesize=$typesize nelem=$nelem)")
+    }
+  }
+
   test("bit-shuffle inverse roundtrips incl. leftover elements and bytes") {
     for (typesize <- Seq(1, 2, 3, 4, 8);
          nelem <- Seq(0, 3, 8, 11, 16, 257)) {
