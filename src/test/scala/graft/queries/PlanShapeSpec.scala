@@ -120,6 +120,51 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset(CAP)
   }
 
+  test("corr/cov/dot/weighted reductions shuffle partials exactly once") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    import graft.ndarray.{DType, NdArray}
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def exchanges(ds: graft.api.XbeamDataset): Int =
+      "(?<!Reused)Exchange".r
+        .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+    // six-moment partials ride the one keyed shuffle; chunk bodies never
+    // move (the partial is the map side of the same exchange)
+    assert(exchanges(xds.corr("temperature", "precip", Set("time"))) == 1,
+      "corr must shuffle exactly once")
+    assert(exchanges(xds.cov("temperature", "precip", Set("time"))) == 1,
+      "cov must shuffle exactly once")
+    assert(exchanges(xds.dot("temperature", "precip", Set("time"))) == 1,
+      "dot must shuffle exactly once")
+    val w = Map("time" -> NdArray.fill(DType.F64, Array(12), 1.0))
+    assert(exchanges(xds.weightedSum(Set("time"), w)) == 1,
+      "weightedSum must shuffle exactly once")
+    assert(exchanges(xds.weightedStd(Set("time"), w)) == 1,
+      "weightedStd must shuffle exactly once")
+    // wrap pad keeps the pad family's single consolidation
+    assert(exchanges(xds.pad("time", 2, 2, mode = "wrap")) == 1,
+      "wrap pad must shuffle exactly once")
+  }
+
+  test("sortby lowers to the reindex gather — one exchange, no global sort") {
+    import graft.api.XbeamDataset
+    import graft.ndarray.{DType, NdArray}
+    val vals = NdArray.fromDoubles(DType.F64, Array(8, 2),
+      Array.tabulate(16)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(8),
+        Array.tabulate(8)(_.toDouble))),
+      chunks = Map("t" -> 4))
+    val plan = ds.sortby("t", descending = true)
+      .chunkDataset.queryExecution.executedPlan.toString
+    val ex = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    assert(ex == 1, s"sortby must gather in one co-partitioned shuffle:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"sortby must not range-partition (global sort):\n$plan")
+  }
+
   test("rename/expandDims/squeeze/zscore chunk plans add no shuffle") {
     import graft.api.XbeamDataset
     import graft.Fixtures
