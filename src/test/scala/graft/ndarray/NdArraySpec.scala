@@ -93,4 +93,47 @@ class NdArraySpec extends AnyFunSuite {
     val b = NdArray.fromDoubles(DType.F64, Array(2), Array(1.0 + 1e-12, Double.NaN))
     assert(a.allClose(b))
   }
+
+  test("pairMoments: per-cell joint moments, pairwise NaN drop, multi-axis") {
+    // 2x3: x = [[1,2,3],[4,5,6]], y = [[2,4,6],[8,10,NaN]]
+    val x = NdArray.fromDoubles(DType.F64, Array(2, 3), Array(1, 2, 3, 4, 5, 6))
+    val y = NdArray.fromDoubles(DType.F64, Array(2, 3),
+      Array(2, 4, 6, 8, 10, Double.NaN))
+    // reduce axis 1 → per-row; row 1 keeps pairs (4,8),(5,10)
+    val m = x.pairMoments(y, Array(1), skipna = true)
+    assert(m(0).toDoubles.toSeq == Seq(3.0, 2.0))            // n
+    assert(m(1).toDoubles.toSeq == Seq(6.0, 9.0))            // Σx
+    assert(m(2).toDoubles.toSeq == Seq(12.0, 18.0))          // Σy
+    assert(m(3).toDoubles.toSeq == Seq(2.0 + 8 + 18, 32.0 + 50)) // Σxy
+    assert(m(4).toDoubles.toSeq == Seq(14.0, 41.0))          // Σx²
+    assert(m(5).toDoubles.toSeq == Seq(4.0 + 16 + 36, 164.0)) // Σy²
+    // both axes → one global cell over the 5 complete pairs
+    val g = x.pairMoments(y, Array(0, 1), skipna = true)
+    assert(g(0).getDouble(0) == 5.0 && g(1).getDouble(0) == 15.0)
+    // without skipna the NaN poisons its cell's sums
+    val p = x.pairMoments(y, Array(1), skipna = false)
+    assert(p(0).toDoubles.toSeq == Seq(3.0, 3.0)) // n counts everything
+    assert(p(3).getDouble(1).isNaN)
+    // shape mismatch rejected
+    assertThrows[IllegalArgumentException] {
+      x.pairMoments(NdArray.zeros(DType.F64, Array(3, 2)), Array(0), skipna = true)
+    }
+  }
+
+  test("weightedMoments: (Σwv, Σwv², Σw) with per-axis weights and NaN mask") {
+    // [[1,2],[3,NaN]] weights axis0 = [1,2], axis1 = [10, 100]
+    val a = NdArray.fromDoubles(DType.F64, Array(2, 2),
+      Array(1, 2, 3, Double.NaN))
+    val (s, q, w) = a.weightedMoments(Array(0, 1),
+      Array(Array(1.0, 2.0), Array(10.0, 100.0)), skipna = true)
+    // weights: (0,0)=10 (0,1)=100 (1,0)=20 (1,1)=200(masked)
+    assert(s.getDouble(0) == 10.0 * 1 + 100 * 2 + 20 * 3)
+    assert(q.getDouble(0) == 10.0 * 1 + 100 * 4 + 20 * 9)
+    assert(w.getDouble(0) == 10.0 + 100 + 20)
+    // null weight array = weight 1 on that axis
+    val (s2, _, w2) = a.weightedMoments(Array(0, 1),
+      Array(null, Array(10.0, 100.0)), skipna = true)
+    assert(s2.getDouble(0) == 10.0 * 1 + 100 * 2 + 10 * 3)
+    assert(w2.getDouble(0) == 10.0 + 100 + 10)
+  }
 }
