@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin the zone so the events TIMESTAMP_NTZ->TIMESTAMP conversion
+      // (Tables.normalizeTs) is host-independent, same as Verify
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.kryo.classesToRegister", GraftKryo.classes)
       .getOrCreate()
@@ -40,17 +43,22 @@ object Bench {
         .orderBy(col("k")).count()
       // touch every table once: footer reads + schema inference are
       // first-use costs that otherwise land on whichever query reads
-      // the table first
+      // the table first. Each touch is individually guarded — a broken
+      // loader must cost that table's queries, never the whole bench
+      // (r11: one unguarded events read killed the round's entire perf
+      // signal, rc=1 with zero timings).
+      def warm(body: => Unit): Unit =
+        try body catch { case _: Throwable => () }
       graft.queries.Tables.all.foreach { n =>
-        graft.queries.Tables.t(spark, sfDir, n).count()
+        warm(graft.queries.Tables.t(spark, sfDir, n).count())
       }
       // count() never materializes column pages; force one cold read of
       // the wide payload columns so the alphabetically-first text/vector
       // query (d01/e01) isn't charged for the whole parquet warmup.
-      graft.queries.Tables.t(spark, sfDir, "documents")
-        .select(sum(length(col("text")))).collect()
-      graft.queries.Tables.t(spark, sfDir, "embeddings")
-        .select(sum(size(col("embedding")))).collect()
+      warm(graft.queries.Tables.t(spark, sfDir, "documents")
+        .select(sum(length(col("text")))).collect())
+      warm(graft.queries.Tables.t(spark, sfDir, "embeddings")
+        .select(sum(size(col("embedding")))).collect())
     }
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -22,20 +22,79 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types._
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Event files whose converted `ts` already passed the epoch sanity
+    * check this JVM (one tiny min/max agg, run once per path so the
+    * bench's hot loaders stay cheap). */
+  private val tsChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The type `ts` loads as under this session's confs. The data
+    * builder has shipped events.ts as parquet TIMESTAMP(NANOS) (loads
+    * as BIGINT nanos under `nanosAsLong`) in some vintages and as
+    * timestamp[us] (loads as TIMESTAMP_NTZ) in others — callers must
+    * branch on the loaded schema, never hard-code a vintage. */
+  def eventsTsType(spark: SparkSession, path: String): DataType = {
+    // harmless when ts is already timestamp-typed; required to load
+    // (rather than reject) the TIMESTAMP(NANOS) vintage
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema("ts").dataType
+  }
+
+  /** Normalize an events `ts` column of any builder vintage to a
+    * session-UTC TIMESTAMP. Works on batch and streaming frames (pure
+    * column transform — no action). Unknown types fail loudly: r11's
+    * silent misread of micros-as-nanos is the failure mode this guards. */
+  def normalizeTs(spark: SparkSession, df: DataFrame, raw: DataType,
+                  path: String): DataFrame = {
+    // TIMESTAMP_NTZ -> TIMESTAMP interprets the wall clock in the
+    // session zone; pin UTC so batch/stream/bench all agree with the
+    // DuckDB oracle (which treats the naive micros as-is).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw match {
+      case LongType => // TIMESTAMP(NANOS) vintage, read as raw nanos
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events ts at $path loaded as unsupported type ${other.sql}: " +
+        "expected BIGINT nanos (TIMESTAMP(NANOS) vintage), TIMESTAMP_NTZ " +
+        "(timestamp[us] vintage), or TIMESTAMP — the data builder's " +
+        "schema drifted again; extend Tables.normalizeTs")
+    }
+  }
+
+  /** Load events with `ts` normalized, failing loudly (not silently
+    * corrupting) if the converted timestamps land outside a plausible
+    * epoch window — the r11 builder drift produced confidently wrong
+    * answers, the worst failure mode a data engine has. */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    val raw = eventsTsType(spark, path)
+    val df = normalizeTs(spark, spark.read.parquet(path), raw, path)
+    if (!tsChecked.contains(path)) {
+      val r = df.selectExpr("year(min(ts)) AS lo", "year(max(ts)) AS hi").head()
+      if (!r.isNullAt(0)) {
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        if (lo < 1990 || hi > 2100) throw new IllegalStateException(
+          s"events ts at $path converts to years [$lo, $hi] (raw parquet " +
+          s"type ${raw.sql}) — outside the plausible 1990..2100 window; " +
+          "the unit assumed by Tables.normalizeTs does not match the file")
+      }
+      tsChecked.add(path)
+    }
+    df
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-      // default. Read it as raw nanos and truncate to micros — exactly
-      // what DuckDB (the oracle) does when it loads the same file.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$dir/events.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerViews(spark: SparkSession, dir: String): Unit =

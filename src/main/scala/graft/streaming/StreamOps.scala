@@ -38,17 +38,33 @@ final case class DedupOut(fp: String, survivor_id: Long, n_dups: Long,
   */
 object StreamOps {
 
-  /** events schema for readStream (streaming requires it up front); ts
-    * is TIMESTAMP(NANOS) in the files, which Spark only reads as long
-    * (spark.sql.legacy.parquet.nanosAsLong) — converted to micros in
-    * the stream, exactly like the batch path (Tables.t). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events as a stream with `ts` normalized to a session-UTC
+    * TIMESTAMP. readStream needs the schema up front, and the builder
+    * has shipped `ts` as both TIMESTAMP(NANOS) (loads as BIGINT) and
+    * timestamp[us] (loads as TIMESTAMP_NTZ) across vintages — so probe
+    * the batch footer first and declare `ts` as whatever it actually
+    * is, then convert with the same shared rule as the batch path
+    * (Tables.normalizeTs). Declaring a wrong type here is SILENT
+    * corruption (r11: LongType over a micros file read raw micros as
+    * nanos and 4 of 5 stream gates returned wrong rows) — the batch
+    * loadEvents call also runs the once-per-path epoch sanity check so
+    * drift fails loudly before any stream starts. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val rawType = graft.queries.Tables.eventsTsType(s, path)
+    graft.queries.Tables.loadEvents(s, path) // epoch sanity check (memoized)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", rawType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    graft.queries.Tables.normalizeTs(s, raw, rawType, path)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- s01
@@ -59,7 +75,6 @@ object StreamOps {
     QueryDef(
       "s01_stream_hourly_windows",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // streaming aggregation keeps one state store per shuffle
         // partition per micro-batch; the window×type key space is tiny,
         // so a handful of state partitions cuts checkpoint IO ~4x
@@ -67,10 +82,7 @@ object StreamOps {
         // the batch setting we restore below)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        val stream = s.readStream.schema(eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventsStream(s, dir)
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -122,14 +134,10 @@ object StreamOps {
       "s02_stream_sessions",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val gapUs = 30L * 60 * 1000000
-        val stream = s.readStream.schema(eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventsStream(s, dir)
           .withWatermark("ts", "0 seconds")
           // the watermarked event-time column must flow into the
           // stateful operator for EventTimeTimeout to engage
@@ -220,13 +228,9 @@ object StreamOps {
     QueryDef(
       "s04_stream_sliding_windows",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        val stream = s.readStream.schema(eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val stream = eventsStream(s, dir)
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))
@@ -275,12 +279,9 @@ object StreamOps {
     QueryDef(
       "s05_stream_interval_join",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        def side(tag: String, typ: String) = s.readStream.schema(eventsSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        def side(tag: String, typ: String) = eventsStream(s, dir)
           .filter(col("event_type") === typ)
           .select(col("event_id").as(s"${tag}_id"),
                   col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
