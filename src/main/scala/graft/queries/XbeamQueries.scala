@@ -2278,6 +2278,31 @@ object XbeamQueries {
         n AS (SELECT max(t) + 1 AS sz FROM grid)
         SELECT (SELECT sz FROM n) - 1 - t AS t, x,
                CAST(uid AS DOUBLE) AS uid, vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x82
+    // The authenticated object-store WRITE path end-to-end: toZarr to an
+    // s3:// URL against the in-process SigV4-verifying endpoint
+    // (S3GateServer) — chunk blobs route through StagedWrites staging,
+    // flush as signed multipart uploads (threshold forced to 4 KB so
+    // shard-sized blobs genuinely multipart), then fromZarr re-reads the
+    // store with signed ranged GETs over the v3 sharding index. Every
+    // request is signature-verified server-side, so a hash-match here
+    // proves the whole 100 TB deployment path: stage → sign → multipart
+    // assemble → list → ranged re-read. Identity on the grid.
+    QueryDef(
+      "x82_s3_zarr_roundtrip",
+      (s, dir) => {
+        graft.sources.S3GateServer.install()
+        val store = "s3://graft-gate/x82_" + new java.io.File(dir).getName
+        gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 8),
+          compressor = Some("zlib"), zarrFormat = 3,
+          zarrShards = Map("t" -> 16))
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
   )
 }

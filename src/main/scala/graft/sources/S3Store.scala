@@ -141,27 +141,39 @@ object S3Store extends BlobStore {
   }
 
   /** Per-scheme config. `gs://` rides the same store through GCS's
-    * public S3-interoperability XML API: default endpoint
-    * storage.googleapis.com (path-style), HMAC keys (GCS
-    * interoperability credentials) from `GS_ACCESS_KEY_ID` /
-    * `GS_SECRET_ACCESS_KEY` (boto's naming) falling back to the AWS
-    * variables, SigV4 scope service `storage` with region `auto` — the
-    * convention of Google's XML-API signed requests. */
+    * public XML API at storage.googleapis.com (path-style), with two
+    * auth modes:
+    *  - OAuth bearer tokens ([[GcsToken]] — static token or a
+    *    metadata-server-style vending endpoint), what GCP actually
+    *    issues to service accounts / workload identity; the XML API
+    *    accepts `Authorization: Bearer` directly. When a token source
+    *    is configured it wins and no HMAC keys are required.
+    *  - HMAC keys (GCS S3-interoperability credentials) from
+    *    `GS_ACCESS_KEY_ID` / `GS_SECRET_ACCESS_KEY` (boto's naming)
+    *    falling back to the AWS variables, SigV4 scope service
+    *    `storage` with region `auto` — the convention of Google's
+    *    XML-API signed requests. */
   private def cfgFor(url: String): (Cfg, String) =
-    if (url.startsWith("gs://")) (Cfg(
-      endpoint = conf("graft.gs.endpoint", "GS_ENDPOINT_URL").map(URI.create)
-        .orElse(Some(URI.create("https://storage.googleapis.com"))),
-      region = conf("graft.gs.region", "GS_REGION").getOrElse("auto"),
-      accessKey = conf("graft.gs.accessKey", "GS_ACCESS_KEY_ID")
-        .orElse(conf("graft.s3.accessKey", "AWS_ACCESS_KEY_ID")).getOrElse(
-          throw new IllegalStateException(
-            "gs:// needs HMAC credentials: set GS_ACCESS_KEY_ID / " +
-              "GS_SECRET_ACCESS_KEY (GCS interoperability keys, or the " +
-              "AWS variables / graft.gs.* system properties)")),
-      secretKey = conf("graft.gs.secretKey", "GS_SECRET_ACCESS_KEY")
-        .orElse(conf("graft.s3.secretKey", "AWS_SECRET_ACCESS_KEY")).getOrElse(
-          throw new IllegalStateException("missing GS_SECRET_ACCESS_KEY")),
-      sessionToken = None), "storage")
+    if (url.startsWith("gs://")) {
+      val bearer = GcsToken.configured // HMAC keys unused (and not required)
+      (Cfg(
+        endpoint = conf("graft.gs.endpoint", "GS_ENDPOINT_URL").map(URI.create)
+          .orElse(Some(URI.create("https://storage.googleapis.com"))),
+        region = conf("graft.gs.region", "GS_REGION").getOrElse("auto"),
+        accessKey = conf("graft.gs.accessKey", "GS_ACCESS_KEY_ID")
+          .orElse(conf("graft.s3.accessKey", "AWS_ACCESS_KEY_ID"))
+          .getOrElse(if (bearer) "" else
+            throw new IllegalStateException(
+              "gs:// needs credentials: set GS_OAUTH_TOKEN / GS_TOKEN_URL " +
+                "(OAuth) or GS_ACCESS_KEY_ID / GS_SECRET_ACCESS_KEY (GCS " +
+                "interoperability HMAC keys, or the AWS variables / " +
+                "graft.gs.* system properties)")),
+        secretKey = conf("graft.gs.secretKey", "GS_SECRET_ACCESS_KEY")
+          .orElse(conf("graft.s3.secretKey", "AWS_SECRET_ACCESS_KEY"))
+          .getOrElse(if (bearer) "" else
+            throw new IllegalStateException("missing GS_SECRET_ACCESS_KEY")),
+        sessionToken = None), "storage")
+    }
     else (Cfg(
       endpoint = conf("graft.s3.endpoint", "AWS_ENDPOINT_URL").map(URI.create),
       region = conf("graft.s3.region", "AWS_REGION").getOrElse("us-east-1"),
@@ -220,9 +232,13 @@ object S3Store extends BlobStore {
     while (attempt < maxAttempts) {
       if (attempt > 0) Thread.sleep(baseBackoffMs << (attempt - 1))
       // signed fresh per attempt: the date (and so the signature) must
-      // move with the retry clock
-      val headers = SigV4.sign(method, host, path, query, payloadHash,
-        amzNow(), c.region, service, c.accessKey, c.secretKey, c.sessionToken)
+      // move with the retry clock; bearer mode re-resolves so a token
+      // refreshed mid-retry is picked up
+      val headers: Map[String, String] =
+        if (service == "storage" && GcsToken.configured)
+          Map("Authorization" -> s"Bearer ${GcsToken.get()}")
+        else SigV4.sign(method, host, path, query, payloadHash,
+          amzNow(), c.region, service, c.accessKey, c.secretKey, c.sessionToken)
       val b = java.net.http.HttpRequest.newBuilder(URI.create(uri))
         .timeout(java.time.Duration.ofMinutes(2))
         .method(method,
