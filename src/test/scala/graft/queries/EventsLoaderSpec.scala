@@ -95,6 +95,21 @@ class EventsLoaderSpec extends AnyFunSpec with Matchers {
     e.getMessage should include("1990..2100")
   }
 
+  it("is not a column-pruning barrier: a ts-free projection never reads ts") {
+    // the normalize withColumn must fold away under Catalyst pruning —
+    // at 100 TB, reading the timestamp column for a query that never
+    // touches it is a real IO regression
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$dir/events.parquet").exists()) {
+      val plan = Tables.t(spark, dir, "events")
+        .select("event_type", "user_id")
+        .queryExecution.executedPlan.toString
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+      read should include("event_type")
+      (read should not).include("ts")
+    }
+  }
+
   it("loads the driver's real events table with plausible years") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/events.parquet").exists()) {
