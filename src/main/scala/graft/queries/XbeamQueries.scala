@@ -2295,14 +2295,39 @@ object XbeamQueries {
       (s, dir) => {
         graft.sources.S3GateServer.install()
         val store = "s3://graft-gate/x82_" + new java.io.File(dir).getName
-        gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 8),
-          compressor = Some("zlib"), zarrFormat = 3,
-          zarrShards = Map("t" -> 16))
+        // consolidate to {t:64} memory chunks first (one keyed shuffle)
+        // so shards can be 64 deep: validation requires shards to
+        // divide memory chunks (whole-shard writes, no races), and the
+        // 4x-larger shard files cut the store's request count 4x —
+        // exactly the chunks-into-shards sizing the 24.8 TB reference
+        // corpus uses (BASELINE.md: ~1 MB chunks grouped into shards)
+        gridXds(s, dir).rechunk(Map("t" -> 64, "x" -> 16))
+          .toZarr(store, zarrChunks = Map("t" -> 16),
+            compressor = Some("zlib"), zarrFormat = 3,
+            zarrShards = Map("t" -> 64))
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("t", "x")
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, uid, vf FROM grid ORDER BY t, x"""))
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x83
+    // stack → unstack roundtrip: flatten (t, x) into a single s index
+    // (chunk-local reshape after aligning chunks to whole rows — x49's
+    // forward path) then recover (t2, x2) from s by integer div/mod at
+    // plan time. Identity on values; dims relabeled so the recovered
+    // grid is provably derived from s, not carried through.
+    QueryDef(
+      "x83_stack_unstack",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).rechunk(Map("t" -> 16, "x" -> 50))
+          .stack(Seq("t", "x"), "s")
+          .unstack("s", "t2", "x2", W)
+          ).orderBy("t2", "x2")
+        .selectExpr("t2", "x2", "uid", "vf"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t AS t2, x AS x2, uid, vf FROM grid ORDER BY t2, x2"""))
   )
 }
