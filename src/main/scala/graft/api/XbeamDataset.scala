@@ -2424,7 +2424,9 @@ final class XbeamDataset private (
     * assemble as (1−w)·row(i0) + w·row(i1). One gather shuffle of row
     * slivers; no data-sized exchange beyond it. Targets must lie
     * within the coordinate range (no extrapolation). */
-  def interpLinear(dim: String, target: Array[Double]): XbeamDataset = {
+  /** The validated, strictly increasing float64 coordinate on `dim`,
+    * with the target-in-range check — shared by the interp modes. */
+  private def interpCoord(dim: String, target: Array[Double]): Array[Double] = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"interp needs a coordinate on $dim"))
@@ -2434,16 +2436,45 @@ final class XbeamDataset private (
     val n = src.length
     require(n >= 2 && src.sliding(2).forall(p => p(0) < p(1)),
       s"interp requires a strictly increasing coordinate on $dim")
+    require(target.length >= 1, "interp needs at least one target position")
+    target.foreach(tc => require(tc >= src(0) && tc <= src(n - 1),
+      s"interp target $tc outside coordinate range [${src(0)}, ${src(n - 1)}]"))
+    src
+  }
+
+  /** Nearest-neighbor regrid onto `target` along `dim` (xarray
+    * `interp(dim=target, method="nearest")`): each target resolves at
+    * plan time to its closest source index (exact midpoint ties take
+    * the lower coordinate), then the same bounded gather shuffle as
+    * [[interpLinear]] ships exactly one source row per target. */
+  def interpNearest(dim: String, target: Array[Double]): XbeamDataset = {
+    val src = interpCoord(dim, target)
     val m = target.length
-    require(m >= 1, "interp needs at least one target position")
+    val idx = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val tc = target(j)
+      val hit = java.util.Arrays.binarySearch(src, tc)
+      idx(j) =
+        if (hit >= 0) hit
+        else {
+          val ins = -hit - 1 // first index with src > tc; in [1, n-1]
+          if (tc - src(ins - 1) <= src(ins) - tc) ins - 1 else ins
+        }
+      j += 1
+    }
+    interpGather(dim, target, idx, idx, new Array[Double](m))
+  }
+
+  def interpLinear(dim: String, target: Array[Double]): XbeamDataset = {
+    val src = interpCoord(dim, target)
+    val m = target.length
     val i0 = new Array[Int](m)
     val i1 = new Array[Int](m)
     val wgt = new Array[Double](m)
     var j = 0
     while (j < m) {
       val tc = target(j)
-      require(tc >= src(0) && tc <= src(n - 1),
-        s"interp target $tc outside coordinate range [${src(0)}, ${src(n - 1)}]")
       val hit = java.util.Arrays.binarySearch(src, tc)
       if (hit >= 0) { i0(j) = hit; i1(j) = hit; wgt(j) = 0.0 }
       else {
@@ -2454,6 +2485,17 @@ final class XbeamDataset private (
       }
       j += 1
     }
+    interpGather(dim, target, i0, i1, wgt)
+  }
+
+  /** The shared bounded gather of the interp modes: each source chunk
+    * ships only the rows some output chunk needs (≤ 2 per target), one
+    * keyed shuffle; output rows assemble as (1−w)·row(i0) + w·row(i1)
+    * (w = 0 → a pure gather). */
+  private def interpGather(dim: String, target: Array[Double],
+                           i0: Array[Int], i1: Array[Int],
+                           wgt: Array[Double]): XbeamDataset = {
+    val m = target.length
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m

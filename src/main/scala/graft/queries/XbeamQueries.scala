@@ -2328,6 +2328,37 @@ object XbeamQueries {
         .selectExpr("t2", "x2", "uid", "vf"),
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t AS t2, x AS x2, uid, vf FROM grid ORDER BY t2, x2"""))
+        SELECT t AS t2, x AS x2, uid, vf FROM grid ORDER BY t2, x2""")),
+
+    // ---------------------------------------------------------------- x84
+    // Nearest-neighbor interp (xarray interp(method="nearest")): same
+    // plan-time target resolution and bounded gather shuffle as x44,
+    // but each target ships exactly ONE source row. Targets alternate
+    // j+0.25 / j+0.75 so even outputs snap down to row j and odd ones
+    // snap up to row j+1 — both rounding directions exercised, values
+    // copied exactly (w = 0, no arithmetic).
+    QueryDef(
+      "x84_interp_nearest",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val targets = Array.tabulate(tSize - 1)(j =>
+          j + (if (j % 2 == 0) 0.25 else 0.75))
+        TabularBridge.toDataFrame(withCoord.interpNearest("t", targets))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid),
+        tgt AS (SELECT j AS t, j + (j % 2) AS srct
+                FROM (SELECT unnest(range((SELECT sz FROM n) - 1)) AS j))
+        SELECT tgt.t AS t, g.x AS x, CAST(g.uid AS DOUBLE) AS uid, g.vf AS vf
+        FROM tgt JOIN grid g ON g.t = tgt.srct
+        ORDER BY tgt.t, g.x"""))
   )
 }

@@ -480,6 +480,31 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("interpNearest snaps to the closest row; midpoint ties take the lower") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(12, 2),
+      Array.tabulate(24)(i => ((i / 2) * (i / 2)).toDouble)) // v = t²
+    val coord = NdArray.fromDoubles(DType.F64, Array(12),
+      Array.tabulate(12)(i => i * 10.0))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    // exact hit, snap down (34→30), snap up (36→40), a chunk-crossing
+    // snap (75 is the 70|80 midpoint → ties take the LOWER → 70), end
+    val r = ds.interpNearest("t", Array(0.0, 34.0, 36.0, 75.0, 110.0))
+    val got = r.collectConsolidated()._2.vars("v").arr
+    def lane0(i: Int) = got.getDouble(i.toLong * 2)
+    assert(lane0(0) == 0.0)   // t=0
+    assert(lane0(1) == 9.0)   // t=30 → 3²
+    assert(lane0(2) == 16.0)  // t=40 → 4²
+    assert(lane0(3) == 49.0)  // midpoint tie → t=70 → 7²
+    assert(lane0(4) == 121.0) // t=110 → 11²
+    assert(r.template.coords("t").toDoubles.toSeq ==
+      Seq(0.0, 34.0, 36.0, 75.0, 110.0))
+    assertThrows[IllegalArgumentException] {
+      ds.interpNearest("t", Array(111.0))
+    }
+  }
+
   test("interpLinear/reindex randomized vs local brute force (seeded)") {
     val rnd = new scala.util.Random(4217)
     (1 to 5).foreach { round =>
