@@ -239,4 +239,29 @@ class PlanShapeSpec extends AnyFunSuite {
           s"payload: $arrayExchanges")
     }
   }
+
+  test("stack/unstack reshape shuffle-free; nearest interp gathers in ONE shuffle") {
+    import graft.api.XbeamDataset
+    import graft.ndarray.{DType, NdArray}
+    def plan(ds: XbeamDataset): String =
+      ds.chunkDataset.queryExecution.executedPlan.toString
+    val vals = NdArray.fromDoubles(DType.F64, Array(8, 4),
+      Array.tabulate(32)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+    // stack/unstack: metadata + per-chunk reshape over the SAME buffers
+    val st = ds.stack(Seq("t", "x"), "s")
+    assert(!plan(st).contains("Exchange"), "stack must not shuffle")
+    assert(!plan(st.unstack("s", "t2", "x2", 4L)).contains("Exchange"),
+      "unstack must not shuffle")
+    // nearest interp: the bounded row-sliver gather is the ONLY exchange
+    val coord = NdArray.fromDoubles(DType.F64, Array(8),
+      Array.tabulate(8)(_.toDouble))
+    val dsc = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val ip = plan(dsc.interpNearest("t", Array(0.25, 3.75, 6.5)))
+    assert("Exchange".r.findAllIn(ip).length == 1,
+      s"nearest interp must gather in exactly one shuffle:\n$ip")
+  }
 }
