@@ -1933,6 +1933,105 @@ final class XbeamDataset private (
       }
   }
 
+  /** Rolling Pearson correlation of two variables along `dim` (pandas
+    * `rolling(w).corr()` between columns; xarray reaches it via
+    * `rolling(...).construct` + `xr.corr`): one narrow pass derives six
+    * pairwise-masked moment variables (x, y, xy, x², y², and the
+    * both-valid indicator — a NaN on EITHER side voids the pair in all
+    * six), [[rolling]] sums them through ONE halo exchange, and the
+    * closed form
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²))
+    * folds per cell — no shuffle beyond rolling's sliver exchange, and
+    * the data itself never moves twice. Windows with fewer than
+    * `minPeriods` valid pairs are NaN; zero-variance windows are NaN
+    * too (the numerator is exactly 0 there on exact sums, so 0/0). */
+  def rollingCorr(dim: String, window: Int, x: String, y: String,
+                  minPeriods: Int = 2, center: Boolean = false,
+                  out: String = "corr"): XbeamDataset =
+    rollingPair(dim, window, x, y, "corr", out, minPeriods, center)
+
+  /** Rolling covariance of two variables along `dim` (pandas
+    * `rolling(w).cov()`; ddof = 1, the sample convention, matching
+    * [[cov]]): same six-moment single-halo machinery as
+    * [[rollingCorr]], folding (Σxy − Σx·Σy/n) / (n − ddof). */
+  def rollingCov(dim: String, window: Int, x: String, y: String,
+                 ddof: Int = 1, minPeriods: Int = 2, center: Boolean = false,
+                 out: String = "cov"): XbeamDataset = {
+    require(ddof >= 0, s"ddof must be >= 0, got $ddof")
+    rollingPair(dim, window, x, y, s"cov:$ddof", out, minPeriods, center)
+  }
+
+  private def rollingPair(dim: String, window: Int, x: String, y: String,
+                          kind: String, out: String, minPeriods: Int,
+                          center: Boolean): XbeamDataset = {
+    require(!splitVars,
+      "rollingCorr/rollingCov need both variables in each chunk — " +
+        "consolidate variables first")
+    val xs = template.vars.getOrElse(x,
+      throw new IllegalArgumentException(s"unknown variable $x"))
+    val ys = template.vars.getOrElse(y,
+      throw new IllegalArgumentException(s"unknown variable $y"))
+    require(xs.dims == ys.dims,
+      s"rollingCorr/rollingCov need $x and $y on identical dims, " +
+        s"got ${xs.dims} vs ${ys.dims}")
+    require(xs.dims.contains(dim), s"$x does not span $dim (has ${xs.dims})")
+    val xn = x
+    val yn = y
+    // invalid pairs contribute ZERO to every moment (the rolling-sum
+    // kernel is NaN-poisoning, so a NaN placeholder would void whole
+    // windows — zero-filling plus the 0/1 validity indicator recovers
+    // pandas' pairwise-complete counting instead)
+    val derived = mapBlocks { c =>
+      val xa = c.vars(xn)
+      val ya = c.vars(yn)
+      def z(f: (Double, Double) => Double) =
+        xa.arr.zipF64(ya.arr)((a, b) =>
+          if (a.isNaN || b.isNaN) 0.0 else f(a, b))
+      ArrayChunk(Map(
+        "__px" -> VarArray(xa.dims, z((a, _) => a)),
+        "__py" -> VarArray(xa.dims, z((_, b) => b)),
+        "__pxy" -> VarArray(xa.dims, z(_ * _)),
+        "__pxx" -> VarArray(xa.dims, z((a, _) => a * a)),
+        "__pyy" -> VarArray(xa.dims, z((_, b) => b * b)),
+        "__pn" -> VarArray(xa.dims, z((_, _) => 1.0))))
+    }
+    val summed = derived.rolling(dim, window, "sum", 1, center)
+    val wantCorr = kind == "corr"
+    val ddof = if (wantCorr) 0 else kind.stripPrefix("cov:").toInt
+    val o = out
+    val minP = math.max(minPeriods, 1)
+    summed.mapBlocks { c =>
+      val sx = c.vars("__px").arr
+      val sy = c.vars("__py").arr
+      val sxy = c.vars("__pxy").arr
+      val sxx = c.vars("__pxx").arr
+      val syy = c.vars("__pyy").arr
+      val sn = c.vars("__pn").arr
+      val res = NdArray.zeros(DType.F64, sx.shape.clone())
+      val sz = sx.size
+      var i = 0L
+      while (i < sz) {
+        val n = sn.getDouble(i)
+        val v =
+          if (n < minP) Double.NaN
+          else if (wantCorr) {
+            val num = n * sxy.getDouble(i) - sx.getDouble(i) * sy.getDouble(i)
+            val den =
+              math.sqrt(n * sxx.getDouble(i) -
+                sx.getDouble(i) * sx.getDouble(i)) *
+              math.sqrt(n * syy.getDouble(i) -
+                sy.getDouble(i) * sy.getDouble(i))
+            num / den
+          } else
+            (sxy.getDouble(i) - sx.getDouble(i) * sy.getDouble(i) / n) /
+              (n - ddof)
+        res.setDouble(i, v)
+        i += 1
+      }
+      ArrayChunk(Map(o -> VarArray(c.vars("__px").dims, res)))
+    }
+  }
+
   /** Per-cell degree-1 OLS slope along `dim` against the global dim
     * index (xarray `polyfit(dim, deg=1)`'s linear coefficient — the
     * secular-trend map of a climate pipeline). One keyed shuffle of
@@ -2602,15 +2701,25 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }
 
-  /** Align onto a new coordinate by EXACT label match along `dim`
-    * (xarray `reindex(dim=target)`): positions whose label exists in
-    * the source coordinate copy that row; missing labels fill NaN.
-    * Same bounded gather-shuffle shape as [[interpLinear]] (≤ 1 row
-    * per target), plus driver-built NaN filler chunks for output
-    * chunks whose labels are ALL missing (they receive no
-    * contributions, so the driver enumerates them — metadata only,
-    * the filler arrays materialize on executors). */
-  def reindex(dim: String, target: Array[Double]): XbeamDataset = {
+  /** Align onto a new coordinate along `dim` (xarray
+    * `reindex(dim=target, method=…, tolerance=…)`): each target label
+    * resolves to at most one source row — by exact match (the default),
+    * or by `"nearest"` / `"ffill"`/`"pad"` / `"bfill"`/`"backfill"`
+    * fill (which require a strictly increasing coordinate; `nearest`
+    * midpoint ties take the LOWER label, matching [[interpNearest]]).
+    * An inexact match farther than `tolerance` from its target — and
+    * any unmatched label — fills NaN, xarray's miss semantics. The
+    * label→position map resolves plan-time on the driver (coordinates
+    * live in the template); data moves through the same bounded
+    * gather-shuffle as [[interpLinear]] (≤ 1 row per target), plus
+    * driver-built NaN filler chunks for output chunks whose labels are
+    * ALL missing (they receive no contributions, so the driver
+    * enumerates them — metadata only, the filler arrays materialize on
+    * executors). `ffill`/`nearest` over a denser target grid is also
+    * the upsampling half of resample (pandas `resample().ffill()`). */
+  def reindex(dim: String, target: Array[Double],
+              method: String = "exact",
+              tolerance: Double = Double.PositiveInfinity): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"reindex needs a coordinate on $dim"))
@@ -2626,7 +2735,48 @@ final class XbeamDataset private (
       s"reindex requires distinct coordinate labels on $dim")
     val m = target.length
     require(m >= 1, "reindex needs at least one target label")
-    val posOf: Array[Int] = target.map(l => byLabel.getOrElse(l, -1))
+    require(tolerance >= 0.0, s"tolerance must be >= 0, got $tolerance")
+    val posOf: Array[Int] = method match {
+      case "exact" =>
+        target.map(l => byLabel.get(l) match {
+          case Some(p) => p
+          case None => -1
+        })
+      case "nearest" | "ffill" | "pad" | "bfill" | "backfill" =>
+        var i = 1
+        while (i < src.length) {
+          require(src(i - 1) < src(i),
+            s"reindex(method=$method) needs a strictly increasing " +
+              s"coordinate on $dim")
+          i += 1
+        }
+        target.map { l =>
+          // j = first source index with src(j) >= l
+          var lo = 0
+          var hi = src.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (src(mid) < l) lo = mid + 1 else hi = mid
+          }
+          val j = lo
+          val pick = method match {
+            case "ffill" | "pad" =>
+              if (j < src.length && src(j) == l) j else j - 1
+            case "bfill" | "backfill" => j
+            case _ => // nearest: midpoint ties take the lower label
+              if (j >= src.length) src.length - 1
+              else if (j == 0 || src(j) == l) j
+              else if (l - src(j - 1) <= src(j) - l) j - 1
+              else j
+          }
+          if (pick < 0 || pick >= src.length) -1
+          else if (math.abs(src(pick) - l) > tolerance) -1
+          else pick
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown reindex method $other " +
+          "(exact/nearest/ffill/pad/bfill/backfill)")
+    }
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m

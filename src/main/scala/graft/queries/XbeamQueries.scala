@@ -2359,6 +2359,98 @@ object XbeamQueries {
                 FROM (SELECT unnest(range((SELECT sz FROM n) - 1)) AS j))
         SELECT tgt.t AS t, g.x AS x, CAST(g.uid AS DOUBLE) AS uid, g.vf AS vf
         FROM tgt JOIN grid g ON g.t = tgt.srct
+        ORDER BY tgt.t, g.x""")),
+
+    // ---------------------------------------------------------------- x85
+    // Rolling correlation + covariance of uid and vf along t (pandas
+    // rolling(7).corr()/.cov()): six pairwise moments roll through ONE
+    // halo exchange, the corr/cov closed forms fold per cell. All
+    // operands are exact integers (uid ≤ 1.5e3, vf ≤ 561 → every
+    // product and 7-term sum well under 2^53), so sqrt and the final
+    // divisions see bit-equal inputs in both engines. Sub-minPeriods
+    // (n < 2) and zero-variance windows are NaN — spelled out in the
+    // oracle because DuckDB's x/0 on DOUBLE is NULL, not IEEE.
+    QueryDef(
+      "x85_rolling_corr",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        def frame(x: XbeamDataset, v: String, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col(v).as(tag))
+        frame(xds.rollingCorr("t", 7, "uid", "vf"), "corr", "rc")
+          .join(frame(xds.rollingCov("t", 7, "uid", "vf"), "cov", "rv"),
+            Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        m AS (SELECT t, x,
+                CAST(count(*) OVER w AS DOUBLE) AS n,
+                CAST(sum(uid) OVER w AS DOUBLE) AS sx,
+                sum(vf) OVER w AS sy,
+                sum(CAST(uid AS DOUBLE) * vf) OVER w AS sxy,
+                sum(CAST(uid AS DOUBLE) * uid) OVER w AS sxx,
+                sum(vf * vf) OVER w AS syy
+              FROM grid
+              WINDOW w AS (PARTITION BY x ORDER BY t
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT t, x,
+          CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               THEN CAST('nan' AS DOUBLE)
+               ELSE (n * sxy - sx * sy) /
+                    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+          END AS rc,
+          CASE WHEN n < 2 THEN CAST('nan' AS DOUBLE)
+               ELSE (sxy - sx * sy / n) / (n - 1) END AS rv
+        FROM m ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x86
+    // reindex with fill methods + tolerance (xarray reindex(method=…,
+    // tolerance=…) — the upsampling half of resample): targets between
+    // every integer label at +0.2 (even positions) and +0.7 (odd).
+    // nearest/tol 0.25 hits evens and voids odds (0.3 away); ffill
+    // takes the floor everywhere; bfill/tol 0.35 hits odds (snapping
+    // UP) and voids evens (0.8 away). The label→row map resolves
+    // plan-time; data moves through the bounded reindex gather only.
+    QueryDef(
+      "x86_reindex_method",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+          .select(Set("vf"))
+        val targets = Array.tabulate(2 * (tSize - 1))(k =>
+          k / 2 + (if (k % 2 == 0) 0.2 else 0.7))
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("vf").as(s"vf_$tag"))
+        frame(withCoord.reindex("t", targets, "nearest", 0.25), "nr")
+          .join(frame(withCoord.reindex("t", targets, "ffill"), "ff"),
+            Seq("t", "x"))
+          .join(frame(withCoord.reindex("t", targets, "bfill", 0.35), "bf"),
+            Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid),
+        tgt AS (SELECT k AS t, k // 2 AS j, k % 2 AS odd
+                FROM (SELECT unnest(range(2 * ((SELECT sz FROM n) - 1))) AS k))
+        SELECT tgt.t AS t, g.x AS x,
+          CASE WHEN tgt.odd = 0 THEN g.vf ELSE CAST('nan' AS DOUBLE)
+          END AS vf_nr,
+          g.vf AS vf_ff,
+          CASE WHEN tgt.odd = 1 THEN g2.vf ELSE CAST('nan' AS DOUBLE)
+          END AS vf_bf
+        FROM tgt
+        JOIN grid g ON g.t = tgt.j
+        JOIN grid g2 ON g2.t = tgt.j + 1 AND g2.x = g.x
         ORDER BY tgt.t, g.x"""))
   )
 }

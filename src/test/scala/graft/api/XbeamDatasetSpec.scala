@@ -1745,6 +1745,86 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(rz.getDouble(0).isNaN)
   }
 
+  test("rollingCorr/rollingCov match hand windows; NaN pairs and minPeriods") {
+    // x = [1,2,3,5,4], y = [2,4,6,10,9]: windows of 3 (trailing)
+    def two(xv: Array[Double], yv: Array[Double], ch: Int) =
+      XbeamDataset.fromLocal(spark, Map(
+        "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(xv.length), xv)),
+        "b" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(yv.length), yv))),
+        chunks = Map("t" -> ch))
+    val ds = two(Array(1, 2, 3, 5, 4), Array(2, 4, 6, 10, 9), 2)
+    val rc = ds.rollingCorr("t", 3, "a", "b")
+      .collectConsolidated()._2.vars("corr").arr
+    assert(rc.getDouble(0).isNaN) // below minPeriods=2
+    // window [1,2]/[2,4]: perfectly correlated
+    assert(math.abs(rc.getDouble(1) - 1.0) < 1e-12)
+    // window [1,2,3]/[2,4,6]: still exactly linear
+    assert(math.abs(rc.getDouble(2) - 1.0) < 1e-12)
+    // window [3,5,4]/[6,10,9]: hand-checked n=3, Σx=12, Σy=25, Σxy=104,
+    // Σx²=50, Σy²=217 → (312-300)/(√(150-144)·√(651-625)) = 12/√156
+    assert(math.abs(rc.getDouble(4) - 12.0 / math.sqrt(156.0)) < 1e-12)
+    val cv = ds.rollingCov("t", 3, "a", "b")
+      .collectConsolidated()._2.vars("cov").arr
+    // window [3,5,4]/[6,10,9]: (104 - 12·25/3)/2 = 2
+    assert(cv.getDouble(4) == 2.0)
+    // chunked == unchunked on integer data
+    val cv1 = two(Array(1, 2, 3, 5, 4), Array(2, 4, 6, 10, 9), 5)
+      .rollingCov("t", 3, "a", "b").collectConsolidated()._2.vars("cov").arr
+    (0 until 5).foreach { i =>
+      assert(java.lang.Double.compare(cv.getDouble(i), cv1.getDouble(i)) == 0)
+    }
+    // a NaN on either side voids the PAIR in every moment: window
+    // [2,NaN,4]/[4,6,8] at t=2 keeps pairs (2,4),(4,8) only
+    val np = two(Array(2, Double.NaN, 4), Array(4, 6, 8), 3)
+      .rollingCov("t", 3, "a", "b").collectConsolidated()._2.vars("cov").arr
+    // pairs (2,4),(4,8): cov = (40 - 6·12/2)/1 = 4
+    assert(np.getDouble(2) == 4.0)
+    // zero-variance window → NaN corr (0/0), not ±Inf
+    val zv = two(Array(5, 5, 5), Array(1, 2, 3), 3)
+      .rollingCorr("t", 3, "a", "b").collectConsolidated()._2.vars("corr").arr
+    assert(zv.getDouble(2).isNaN)
+  }
+
+  test("reindex method=nearest/ffill/bfill snaps labels; tolerance voids") {
+    // source coord t = [0, 1, 2, 3]
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4),
+        Array(10, 11, 12, 13)))),
+      chunks = Map("t" -> 2),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(4),
+        Array(0, 1, 2, 3))))
+    def vals(x: XbeamDataset): Array[Double] = {
+      val a = x.collectConsolidated()._2.vars("v").arr
+      (0 until a.shape(0)).map(i => a.getDouble(i)).toArray
+    }
+    // nearest: 0.2→0, 0.7→1, 1.5 tie → LOWER (1), 3.4→3, 9.0 snaps to 3
+    val nr = vals(ds.reindex("t", Array(0.2, 0.7, 1.5, 3.4, 9.0), "nearest"))
+    assert(nr.take(4).sameElements(Array(10.0, 11.0, 11.0, 13.0)) &&
+      nr(4) == 13.0)
+    // ... but tolerance 0.5 voids the 9.0 target (and nothing else)
+    val nt = vals(ds.reindex("t", Array(0.2, 0.7, 1.5, 3.4, 9.0), "nearest", 0.5))
+    assert(nt.take(4).sameElements(Array(10.0, 11.0, 11.0, 13.0)) && nt(4).isNaN)
+    // ffill: greatest label <= target; below-range is a miss
+    val ff = vals(ds.reindex("t", Array(-0.5, 0.0, 0.7, 2.9), "ffill"))
+    assert(ff(0).isNaN && ff(1) == 10.0 && ff(2) == 10.0 && ff(3) == 12.0)
+    // bfill: smallest label >= target; above-range is a miss
+    val bf = vals(ds.reindex("t", Array(0.1, 2.0, 3.2), "bfill"))
+    assert(bf(0) == 11.0 && bf(1) == 12.0 && bf(2).isNaN)
+    // exact stays the default
+    val ex = vals(ds.reindex("t", Array(2.0, 2.5)))
+    assert(ex(0) == 12.0 && ex(1).isNaN)
+    // unsorted coordinate rejected for method fills
+    val shuffled = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(3),
+        Array(1, 2, 3)))),
+      chunks = Map("t" -> 3),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(3),
+        Array(0, 2, 1))))
+    intercept[IllegalArgumentException] {
+      shuffled.reindex("t", Array(0.5), "nearest")
+    }
+  }
+
   test("dot sums the elementwise product over dims (xr.dot)") {
     val ds = XbeamDataset.fromLocal(spark, Map(
       "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
