@@ -1818,6 +1818,57 @@ final class XbeamDataset private (
     withPlan(newTemplate, chunkSizes, splitVars, out)
   }
 
+  /** Exponentially-weighted moving variance along `dim` (the biased /
+    * `bias=True` convention: Var_t = M2_t − M1_t² over the same
+    * recursive unadjusted weights as [[ewm]]): the squared companion
+    * of every dim-spanning variable is derived in a narrow pass, BOTH
+    * moments ride ONE scan (the ewm machinery sees twice the vars, not
+    * twice the shuffles), and the subtraction folds per cell. The
+    * first position is exactly 0 (M2₀ = x₀², M1₀ = x₀). Variables not
+    * spanning `dim` pass through untouched. */
+  def ewmVar(dim: String, alpha: Double): XbeamDataset =
+    ewmSecond(dim, alpha, std = false)
+
+  /** √[[ewmVar]] — the exponentially-weighted moving standard
+    * deviation (biased convention). */
+  def ewmStd(dim: String, alpha: Double): XbeamDataset =
+    ewmSecond(dim, alpha, std = true)
+
+  private def ewmSecond(dim: String, alpha: Double,
+                        std: Boolean): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val d = dim
+    val touched = template.vars.collect {
+      case (n, vs) if vs.dims.contains(d) => n
+    }.toSet
+    val withSq = mapBlocks { c =>
+      ArrayChunk(c.vars.flatMap { case (n, va) =>
+        if (!touched(n)) Seq(n -> va)
+        else Seq(n -> va,
+          s"__sq__$n" -> VarArray(va.dims, va.arr.mapF64(v => v * v)))
+      })
+    }
+    val moments = withSq.ewm(d, alpha)
+    val wantStd = std
+    moments.mapBlocks { c =>
+      ArrayChunk(c.vars.collect {
+        case (n, va) if !n.startsWith("__sq__") =>
+          if (!touched(n)) n -> va
+          else {
+            val m2 = c.vars(s"__sq__$n").arr
+            // clamp: the cancelling form can go epsilon-negative on
+            // near-constant series (the rolling-var kernel clamps the
+            // same way, and DuckDB errors on sqrt(negative));
+            // max keeps a NaN input NaN
+            n -> VarArray(va.dims, va.arr.zipF64(m2) { (m1, mm2) =>
+              val v = math.max(0.0, mm2 - m1 * m1)
+              if (wantStd) math.sqrt(v) else v
+            })
+          }
+      })
+    }
+  }
+
   /** Running min AND max along `dim` in ONE scan pass — the fused form
     * of composing [[cummin]] + [[cummax]], which would read the source
     * twice, run two scan shuffles, and need a join to reunite the

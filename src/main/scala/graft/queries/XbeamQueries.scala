@@ -2451,6 +2451,52 @@ object XbeamQueries {
         FROM tgt
         JOIN grid g ON g.t = tgt.j
         JOIN grid g2 ON g2.t = tgt.j + 1 AND g2.x = g.x
-        ORDER BY tgt.t, g.x"""))
+        ORDER BY tgt.t, g.x""")),
+
+    // ---------------------------------------------------------------- x87
+    // Exponentially-weighted moving variance + std along t (pandas
+    // ewm(alpha).var(bias=True)-style on the recursive unadjusted
+    // weights): both moments ride ONE scan; Var = max(0, M2 − M1²).
+    // Exactness bound: vf ≤ 560 → vf² < 2^19, and t < 30 keeps every
+    // weighted term within a 50-bit span, so BOTH engines' sums are
+    // exact dyadic rationals in any order (the x59 trick, one moment
+    // higher); M1² then rounds identically, the clamp and sqrt fold
+    // identically. greatest(0, …) mirrors the engine's epsilon clamp —
+    // DuckDB errors on sqrt(negative).
+    QueryDef(
+      "x87_ewm_var",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val tBound = math.min(30L, gridXds(s, dir).template.dimSizes("t"))
+        val xds = TabularBridge.fromDataFrame(
+          gridDf(s, dir).filter(s"t < $tBound"), s,
+          dims = Seq("t" -> tBound, "x" -> W),
+          vars = Seq("vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("vf").as(s"vf_$tag"))
+        frame(xds.ewmVar("t", 0.5), "evar")
+          .join(frame(xds.ewmStd("t", 0.5), "estd"), Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        g AS (SELECT t, x, vf FROM grid
+              WHERE t < least(30, (SELECT max(t) + 1 FROM grid))),
+        m AS (SELECT a.t, a.x,
+                sum(b.vf * CASE WHEN b.t = 0
+                  THEN 1.0 / CAST((CAST(1 AS BIGINT) << a.t) AS DOUBLE)
+                  ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (a.t - b.t + 1)) AS DOUBLE)
+                END) AS m1,
+                sum(b.vf * b.vf * CASE WHEN b.t = 0
+                  THEN 1.0 / CAST((CAST(1 AS BIGINT) << a.t) AS DOUBLE)
+                  ELSE 1.0 / CAST((CAST(1 AS BIGINT) << (a.t - b.t + 1)) AS DOUBLE)
+                END) AS m2
+              FROM g a JOIN g b ON a.x = b.x AND b.t <= a.t
+              GROUP BY a.t, a.x)
+        SELECT t, x, greatest(0, m2 - m1 * m1) AS vf_evar,
+               sqrt(greatest(0, m2 - m1 * m1)) AS vf_estd
+        FROM m ORDER BY t, x"""))
   )
 }

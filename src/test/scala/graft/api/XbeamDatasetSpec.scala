@@ -1825,6 +1825,32 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmVar/ewmStd match the two-moment hand recursion") {
+    // x = [2, 4, 8]; alpha = 0.5, unadjusted, y0 = x0:
+    //   M1 = [2, 3, 5.5], M2 = [4, 10, 37]
+    //   Var = M2 - M1² = [0, 1, 6.75]
+    def one(ch: Int) = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(3),
+        Array(2, 4, 8)))), chunks = Map("t" -> ch))
+    val ev = one(2).ewmVar("t", 0.5).collectConsolidated()._2.vars("v").arr
+    assert(ev.getDouble(0) == 0.0 && ev.getDouble(1) == 1.0 &&
+      ev.getDouble(2) == 6.75)
+    val es = one(2).ewmStd("t", 0.5).collectConsolidated()._2.vars("v").arr
+    assert(es.getDouble(1) == 1.0 && es.getDouble(2) == math.sqrt(6.75))
+    // chunked == unchunked bit-for-bit on dyadic data
+    val ev1 = one(3).ewmVar("t", 0.5).collectConsolidated()._2.vars("v").arr
+    (0 until 3).foreach { i =>
+      assert(java.lang.Double.compare(ev.getDouble(i), ev1.getDouble(i)) == 0)
+    }
+    // constant series: variance exactly 0, std exactly 0 (no NaN from
+    // the epsilon clamp)
+    val cz = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4),
+        Array(7, 7, 7, 7)))), chunks = Map("t" -> 2))
+      .ewmStd("t", 0.5).collectConsolidated()._2.vars("v").arr
+    (0 until 4).foreach(i => assert(cz.getDouble(i) == 0.0))
+  }
+
   test("dot sums the elementwise product over dims (xr.dot)") {
     val ds = XbeamDataset.fromLocal(spark, Map(
       "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
