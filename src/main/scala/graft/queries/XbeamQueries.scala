@@ -2497,6 +2497,41 @@ object XbeamQueries {
               GROUP BY a.t, a.x)
         SELECT t, x, greatest(0, m2 - m1 * m1) AS vf_evar,
                sqrt(greatest(0, m2 - m1 * m1)) AS vf_estd
-        FROM m ORDER BY t, x"""))
+        FROM m ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x88
+    // Multi-store open + concat — the reference corpus's one-store-per-
+    // period layout (ERA5 per-year shards) read as one dataset: the
+    // grid's two t-spans are written to SEPARATE zarr stores, each
+    // opened lazily with fromZarr, concatenated along t (a plan-time
+    // key shift — chunk bodies don't move), then a window 3 rolling
+    // sum runs ACROSS the store seam to prove adjacency, not just
+    // unioned rows. The first span is chunk-aligned (16 | cut) so the
+    // shifted chunks land on the combined grid.
+    QueryDef(
+      "x88_multistore_concat",
+      (s, dir) => {
+        val tSize = gridXds(s, dir).template.dimSizes("t")
+        val cut = math.max(16L, tSize / 2 / 16 * 16)
+        def half(lo: Long, hi: Long, tag: String) = {
+          val ds = TabularBridge.fromDataFrame(
+            gridDf(s, dir).filter(s"t >= $lo AND t < $hi")
+              .selectExpr(s"t - $lo AS t", "x", "vf"), s,
+            dims = Seq("t" -> (hi - lo), "x" -> W),
+            vars = Seq("vf" -> DType.F64),
+            chunks = Map("t" -> 16, "x" -> 16))
+          val store = zarrPath(s"x88_$tag", dir)
+          ds.toZarr(store)
+          XbeamDataset.fromZarr(s, store)
+        }
+        val joined = half(0, cut, "a").concat(half(cut, tSize, "b"), "t")
+        TabularBridge.toDataFrame(joined.rolling("t", 3, "sum"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, sum(vf) OVER (PARTITION BY x ORDER BY t
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS vf
+        FROM grid ORDER BY t, x"""))
   )
 }
