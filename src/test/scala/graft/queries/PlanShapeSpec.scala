@@ -240,6 +240,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingCorr/ewmVar add no exchange over their base ops; method reindex matches exact") {
+    import graft.api.XbeamDataset
+    import graft.ndarray.{DType, NdArray}
+    def exchanges(ds: XbeamDataset): Int =
+      "(?<!Reused)Exchange".r
+        .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+    val vals = NdArray.fromDoubles(DType.F64, Array(8, 2),
+      Array.tabulate(16)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "a" -> (Seq("t", "x"), vals),
+      "b" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+    // the six moments ride the SAME halo exchange a plain rolling uses —
+    // the derivation and the closed-form fold are narrow maps
+    val base = exchanges(ds.rolling("t", 3, "sum"))
+    assert(exchanges(ds.rollingCorr("t", 3, "a", "b")) == base,
+      "rollingCorr must not add exchanges over rolling")
+    assert(exchanges(ds.rollingCov("t", 3, "a", "b")) == base,
+      "rollingCov must not add exchanges over rolling")
+    // both ewm moments ride ONE scan
+    val ewmBase = exchanges(ds.ewm("t", 0.5))
+    assert(exchanges(ds.ewmVar("t", 0.5)) == ewmBase,
+      "ewmVar must not add exchanges over ewm")
+    // method fills resolve plan-time: same gather as exact reindex
+    val coord = NdArray.fromDoubles(DType.F64, Array(8),
+      Array.tabulate(8)(_.toDouble))
+    val dsc = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val exact = exchanges(dsc.reindex("t", Array(0.0, 3.0, 6.0)))
+    assert(exchanges(dsc.reindex("t", Array(0.2, 3.4, 6.7), "nearest")) == exact,
+      "nearest reindex must match exact reindex's plan shape")
+    assert(exchanges(dsc.reindex("t", Array(0.2, 3.4, 6.7), "ffill", 2.0)) == exact,
+      "ffill reindex must match exact reindex's plan shape")
+  }
+
   test("stack/unstack reshape shuffle-free; nearest interp gathers in ONE shuffle") {
     import graft.api.XbeamDataset
     import graft.ndarray.{DType, NdArray}
