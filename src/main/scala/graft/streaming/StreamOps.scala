@@ -406,6 +406,62 @@ object StreamOps {
         SELECT fp, survivor_id, n_dups, last_seen_us
         FROM g, wm
         WHERE last_seen_us // 1000 + 20000 < max_us // 1000
-        ORDER BY fp"""))
+        ORDER BY fp""")),
+
+    // ---------------------------------------------------------------- s06
+    // Stream-static enrichment join: the event stream joins the STATIC
+    // customer dimension, then hourly windows per market segment
+    // aggregate. The static side is explicitly broadcast — at 100 TB
+    // the dimension ships once per executor and the stream side never
+    // shuffles for the join (a shuffled stream-static join would
+    // re-shuffle every micro-batch); the only stateful shuffle is the
+    // window aggregation, same append/watermark discipline as s01.
+    QueryDef(
+      "s06_stream_static_join",
+      (s, dir) => {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val cust = graft.queries.Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = eventsStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("value").cast("decimal(18,6)")).cast("double")
+                 .as("sum_value"))
+          .select(unix_micros(col("window.start")).as("hour_start_us"),
+                  col("c_mktsegment"), col("n_events"), col("sum_value"))
+        val name = "s06_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = stream.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("hour_start_us", "c_mktsegment")
+      },
+      Some("""
+        WITH ev AS (SELECT e.value, c.c_mktsegment,
+                           time_bucket(INTERVAL 1 HOUR, e.ts) AS hour_start,
+                           e.ts
+                    FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+        SELECT epoch_us(hour_start) AS hour_start_us, c_mktsegment,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM ev
+        WHERE hour_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        GROUP BY 1, 2 ORDER BY hour_start_us, c_mktsegment"""))
   )
 }
