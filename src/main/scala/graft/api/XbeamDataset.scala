@@ -3593,6 +3593,65 @@ final class XbeamDataset private (
                                    merged: Template): XbeamDataset =
     zipAll(Seq(other))(cs => f(cs(0), cs(1)), merged)
 
+  /** Combine two disjoint-variable datasets on the SAME grid into one
+    * (xarray `xr.merge` for the aligned case): one co-partitioned zip
+    * shuffle unites the chunk pairs, variables concatenate per chunk.
+    * Dims, sizes, and chunk grids must already agree — align first
+    * ([[align]]) when they don't. */
+  def merge(other: XbeamDataset): XbeamDataset = {
+    require(!splitVars && !other.splitVars,
+      "merge needs consolidated variables on both sides")
+    val overlap = template.vars.keySet intersect other.template.vars.keySet
+    require(overlap.isEmpty,
+      s"merge requires disjoint variable sets, both sides have $overlap")
+    (template.coords.keySet intersect other.template.coords.keySet)
+      .foreach { d =>
+        val ca = template.coords(d)
+        val cb = other.template.coords(d)
+        require(ca.dtype == cb.dtype && ca.shape.sameElements(cb.shape) &&
+          ca.data.sameElements(cb.data),
+          s"merge: coordinate $d differs between sides (align first)")
+      }
+    zipWith(other)((ca, cb) => ArrayChunk(ca.vars ++ cb.vars),
+      Template(template.dims, template.vars ++ other.template.vars,
+        template.coords ++ other.template.coords,
+        template.attrs ++ other.template.attrs))
+  }
+
+  /** Align two datasets onto a common coordinate along `dim` (xarray
+    * `xr.align(join=…)`): the joined label set — union for "outer",
+    * intersection for "inner", one side's labels for "left"/"right" —
+    * resolves PLAN-TIME from the template coordinates, then each side
+    * [[reindex]]es onto it (missing labels fill NaN). A side whose
+    * labels already equal the joined set passes through untouched —
+    * so left-aligning a small dataset against a 100 TB one never
+    * moves the big side's chunks. */
+  def align(other: XbeamDataset, dim: String,
+            join: String = "outer"): (XbeamDataset, XbeamDataset) = {
+    def labelsOf(ds: XbeamDataset): Array[Double] = {
+      val c = ds.template.coords.getOrElse(dim,
+        throw new IllegalArgumentException(
+          s"align needs a coordinate on $dim on both sides"))
+      require(c.dtype == DType.F64,
+        s"align needs a float64 coordinate on $dim, got ${c.dtype.zarr}")
+      c.toDoubles
+    }
+    val la = labelsOf(this)
+    val lb = labelsOf(other)
+    val joined: Array[Double] = join match {
+      case "outer" => (la ++ lb).distinct.sorted
+      case "inner" => val bs = lb.toSet; la.filter(bs).sorted
+      case "left" => la
+      case "right" => lb
+      case o => throw new IllegalArgumentException(
+        s"unknown align join $o (outer/inner/left/right)")
+    }
+    require(joined.nonEmpty, s"align($join) yields an empty label set on $dim")
+    def side(ds: XbeamDataset, own: Array[Double]): XbeamDataset =
+      if (own.sameElements(joined)) ds else ds.reindex(dim, joined)
+    (side(this, la), side(other, lb))
+  }
+
   /** N-way co-partitioned zip over aligned datasets — the multi-dataset
     * DatasetToChunks (core.py:474-502): every dataset must span the
     * SAME dims with the same sizes and chunk grid, and chunks line up

@@ -2532,6 +2532,70 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x, sum(vf) OVER (PARTITION BY x ORDER BY t
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x89
+    // Outer align of two OVERLAPPING t-windows (xarray xr.align
+    // join="outer"): the head 3/4 and the tail 3/4 of the grid carry
+    // integer labels; the union label set resolves plan-time and both
+    // sides reindex onto it — each fills NaN over the quarter it
+    // doesn't cover, values land by LABEL (the tail side's rows shift
+    // up by lo positions), data moves only through the bounded gather.
+    QueryDef(
+      "x89_align_outer",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val tSize = gridXds(s, dir).template.dimSizes("t")
+        val lo = tSize / 4
+        val hi = tSize - tSize / 4
+        def part(from: Long, until: Long) = {
+          val n = until - from
+          val base = TabularBridge.fromDataFrame(
+            gridDf(s, dir).filter(s"t >= $from AND t < $until")
+              .selectExpr(s"t - $from AS t", "x", "vf"), s,
+            dims = Seq("t" -> n, "x" -> W),
+            vars = Seq("vf" -> DType.F64),
+            chunks = Map("t" -> 16, "x" -> 16))
+          val labels = NdArray.fromDoubles(DType.F64, Array(n.toInt),
+            Array.tabulate(n.toInt)(i => (from + i).toDouble))
+          XbeamDataset.fromPairs(s,
+            base.template.copy(coords = Map("t" -> labels)),
+            base.chunkSizes, base.chunkDataset, validate = false)
+        }
+        val (a, b) = part(0, hi).align(part(lo, tSize), "t", "outer")
+        def frame(x: XbeamDataset, tag: String) =
+          TabularBridge.toDataFrame(x).select(col("t"), col("x"),
+            col("vf").as(s"vf_$tag"))
+        frame(a, "a").join(frame(b, "b"), Seq("t", "x")).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT g.t, g.x,
+          CASE WHEN g.t < (SELECT sz - sz // 4 FROM n) THEN g.vf
+               ELSE CAST('nan' AS DOUBLE) END AS vf_a,
+          CASE WHEN g.t >= (SELECT sz // 4 FROM n) THEN g.vf
+               ELSE CAST('nan' AS DOUBLE) END AS vf_b
+        FROM grid g ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x90
+    // Merge of disjoint-variable datasets (xarray xr.merge): uid and vf
+    // split into separate single-var datasets, reunited by one
+    // co-partitioned zip (variables concatenate per chunk — no
+    // realignment, no data rewrite), then a keyed mean over x proves
+    // both variables flow through the merged plan.
+    QueryDef(
+      "x90_merge",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        TabularBridge.toDataFrame(
+          xds.select(Set("uid")).merge(xds.select(Set("vf")))
+            .mean(Set("x"))).orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY t ORDER BY t"""))
   )
 }

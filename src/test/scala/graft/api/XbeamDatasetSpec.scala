@@ -1851,6 +1851,50 @@ class XbeamDatasetSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(cz.getDouble(i) == 0.0))
   }
 
+  test("align outer/inner/left/right; merge unites disjoint vars") {
+    def mk(labels: Array[Double], vals: Array[Double], name: String = "v") =
+      XbeamDataset.fromLocal(spark, Map(
+        name -> (Seq("t"), NdArray.fromDoubles(DType.F64,
+          Array(vals.length), vals))),
+        chunks = Map("t" -> 2),
+        coords = Map("t" -> NdArray.fromDoubles(DType.F64,
+          Array(labels.length), labels)))
+    def vals(x: XbeamDataset, name: String = "v"): Array[Double] = {
+      val a = x.collectConsolidated()._2.vars(name).arr
+      (0 until a.shape(0)).map(i => a.getDouble(i)).toArray
+    }
+    val a = mk(Array(0, 1, 2), Array(10, 11, 12))
+    val b = mk(Array(2, 3), Array(22, 23))
+    // outer: labels [0,1,2,3]; each side NaN where absent
+    val (ao, bo) = a.align(b, "t", "outer")
+    assert(vals(ao).take(3).sameElements(Array(10.0, 11.0, 12.0)) &&
+      vals(ao)(3).isNaN)
+    assert(vals(bo)(0).isNaN && vals(bo)(1).isNaN &&
+      vals(bo)(2) == 22.0 && vals(bo)(3) == 23.0)
+    // inner: [2]
+    val (ai, bi) = a.align(b, "t", "inner")
+    assert(vals(ai).sameElements(Array(12.0)) &&
+      vals(bi).sameElements(Array(22.0)))
+    // left: the left side is IDENTICAL (no reindex plan added)
+    val (al, bl) = a.align(b, "t", "left")
+    assert(al eq a, "left align must pass the left side through untouched")
+    assert(vals(bl)(0).isNaN && vals(bl)(2) == 22.0)
+    // right
+    val (ar, br) = a.align(b, "t", "right")
+    assert(br eq b)
+    assert(vals(ar).sameElements(Array(12.0, Double.NaN)) ||
+      (vals(ar)(0) == 12.0 && vals(ar)(1).isNaN))
+    // merge: disjoint vars on the aligned grid
+    val b2 = mk(Array(0, 1, 2), Array(20, 21, 22), "w")
+    val m = a.merge(b2)
+    assert(vals(m, "v").sameElements(Array(10.0, 11.0, 12.0)))
+    assert(vals(m, "w").sameElements(Array(20.0, 21.0, 22.0)))
+    // overlapping vars rejected
+    intercept[IllegalArgumentException] {
+      a.merge(mk(Array(0, 1, 2), Array(1, 2, 3)))
+    }
+  }
+
   test("dot sums the elementwise product over dims (xr.dot)") {
     val ds = XbeamDataset.fromLocal(spark, Map(
       "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
