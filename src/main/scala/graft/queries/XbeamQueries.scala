@@ -2596,6 +2596,48 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM grid GROUP BY t ORDER BY t"""))
+        FROM grid GROUP BY t ORDER BY t""")),
+
+    // ---------------------------------------------------------------- x91
+    // Bilinear regrid = TWO composed 1-D linear interps (xarray
+    // interp(t=…, x=…) — separable, exactly how a geo pipeline regrids
+    // lat/lon): midpoint targets on both dims, so every output cell is
+    // the 4-neighbor average. No new machinery — each pass is the x44
+    // bounded gather; the oracle mirrors the composition tree
+    // 0.5·(0.5·v₀₀+0.5·v₁₀) + 0.5·(0.5·v₀₁+0.5·v₁₁), exact on
+    // half-weights over integer-valued vf.
+    QueryDef(
+      "x91_interp_bilinear",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val xSize = W.toInt
+        def labels(n: Int) = NdArray.fromDoubles(DType.F64, Array(n),
+          Array.tabulate(n)(_.toDouble))
+        val withCoords = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords =
+            Map("t" -> labels(tSize), "x" -> labels(xSize))),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+          .select(Set("vf"))
+        val tMid = Array.tabulate(tSize - 1)(_ + 0.5)
+        val xMid = Array.tabulate(xSize - 1)(_ + 0.5)
+        TabularBridge.toDataFrame(
+          withCoords.interpLinear("t", tMid).interpLinear("x", xMid))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS szt, max(x) + 1 AS szx FROM grid),
+        tj AS (SELECT unnest(range((SELECT szt FROM n) - 1)) AS j),
+        xi AS (SELECT unnest(range((SELECT szx FROM n) - 1)) AS i)
+        SELECT tj.j AS t, xi.i AS x,
+               0.5 * (0.5 * g00.vf + 0.5 * g10.vf)
+             + 0.5 * (0.5 * g01.vf + 0.5 * g11.vf) AS vf
+        FROM tj CROSS JOIN xi
+        JOIN grid g00 ON g00.t = tj.j     AND g00.x = xi.i
+        JOIN grid g10 ON g10.t = tj.j + 1 AND g10.x = xi.i
+        JOIN grid g01 ON g01.t = tj.j     AND g01.x = xi.i + 1
+        JOIN grid g11 ON g11.t = tj.j + 1 AND g11.x = xi.i + 1
+        ORDER BY t, x"""))
   )
 }
