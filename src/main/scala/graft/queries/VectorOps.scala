@@ -666,6 +666,99 @@ object VectorOps {
               FROM d)
         SELECT vec_id, CAST(sum(cid * (1::BIGINT << (2*s))) AS BIGINT) AS code,
                sum(d2) AS err
-        FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
+        FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---------------------------------------------------------------- e11
+    // Two-stage PQ retrieval (the FAISS/DiskANN serving pattern): stage
+    // 1 scores every member by ASYMMETRIC distance — exact query vs the
+    // member's PQ-reconstructed vector (e10's codebook: 8 subspaces ×
+    // 4 centroids, centroids folded into plan literals) — and keeps the
+    // top-10 per query; stage 2 re-ranks ONLY those candidates with the
+    // exact distance and emits the top-3. At 100 TB the coarse pass
+    // reads 64-byte codes instead of 256-byte vectors and the exact
+    // pass touches 10 rows per query — that asymmetry IS the point.
+    // Quantized-integer inputs keep every d2 an exact integer, so
+    // ranking ties break identically (d2, then id) in both engines.
+    QueryDef(
+      "e11_pq_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").selectExpr("vec_id",
+          """transform(embedding,
+            |  x -> cast(cast(floor(cast(x AS double) * 1000) AS bigint) AS double)) AS qd""".stripMargin)
+        val seed: Array[Array[Double]] = e.filter($"vec_id" < 4)
+          .orderBy($"vec_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+        // PQ-reconstruct each member: per subspace the nearest of the 4
+        // centroids (min by (d2, cid)), concatenated back to 64 dims
+        val rec = concat((0 until 8).map { sIdx =>
+          val sub = expr(s"slice(qd, ${sIdx * 8 + 1}, 8)")
+          val best = array_min(array((0 until 4).map { cid =>
+            val cent = typedLit(seed(cid).slice(sIdx * 8, sIdx * 8 + 8).toSeq)
+            val d2 = aggregate(
+              zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)
+            struct(d2.as("d2"), lit(cid).as("cid"))
+          }: _*)).getField("cid")
+          element_at(
+            typedLit((0 until 4).map(cid =>
+              seed(cid).slice(sIdx * 8, sIdx * 8 + 8).toSeq)),
+            best + lit(1))
+        }: _*)
+        val members = e.select($"vec_id".as("m_id"), $"qd".as("m_qd"),
+          rec.as("m_rec"))
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"qd".as("q_qd"))
+        val adc = members.join(broadcast(queries), $"m_id" =!= $"q_id")
+          .withColumn("approx_d2", aggregate(
+            zip_with($"q_qd", $"m_rec", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        val wCoarse = Window.partitionBy($"q_id").orderBy($"approx_d2", $"m_id")
+        val cand = adc.withColumn("crank", row_number().over(wCoarse))
+          .filter($"crank" <= 10)
+        val exact = cand.withColumn("exact_d2", aggregate(
+          zip_with($"q_qd", $"m_qd", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        val wFine = Window.partitionBy($"q_id").orderBy($"exact_d2", $"m_id")
+        exact.withColumn("rank", row_number().over(wFine))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"m_id".as("neighbor_id"),
+                  $"rank".cast("long").as("rank"), $"exact_d2")
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)) AS qd
+                   FROM embeddings),
+        subs AS (SELECT vec_id, s, qd[s*8+1 : s*8+8] AS sub
+                 FROM e, unnest(range(8)) AS t(s)),
+        cents AS (SELECT s, vec_id AS cid, sub AS c FROM subs WHERE vec_id < 4),
+        d AS (SELECT subs.vec_id, subs.s, cents.cid, cents.c,
+                list_sum(list_transform(range(1, 9),
+                  i -> (subs.sub[i] - cents.c[i]) * (subs.sub[i] - cents.c[i]))) AS d2
+              FROM subs JOIN cents ON subs.s = cents.s),
+        r AS (SELECT vec_id, s, cid, c, d2,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+              FROM d),
+        rec AS (SELECT vec_id AS m_id, flatten(list(c ORDER BY s)) AS m_rec
+                FROM r WHERE rn = 1 GROUP BY vec_id),
+        adc AS (SELECT q.vec_id AS q_id, rec.m_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (q.qd[i] - rec.m_rec[i]) * (q.qd[i] - rec.m_rec[i]))) AS approx_d2
+                FROM e q JOIN rec ON rec.m_id <> q.vec_id
+                WHERE q.vec_id < 10),
+        cand AS (SELECT *, row_number() OVER (
+                   PARTITION BY q_id ORDER BY approx_d2, m_id) AS crank
+                 FROM adc),
+        ex AS (SELECT c.q_id, c.m_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> (eq.qd[i] - em.qd[i]) * (eq.qd[i] - em.qd[i]))) AS exact_d2
+               FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+                           JOIN e em ON em.vec_id = c.m_id
+               WHERE c.crank <= 10)
+        SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, exact_d2
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY exact_d2, m_id) AS rank FROM ex)
+        WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }
