@@ -2301,10 +2301,15 @@ object XbeamQueries {
         // 4x-larger shard files cut the store's request count 4x —
         // exactly the chunks-into-shards sizing the 24.8 TB reference
         // corpus uses (BASELINE.md: ~1 MB chunks grouped into shards)
-        gridXds(s, dir).rechunk(Map("t" -> 64, "x" -> 16))
-          .toZarr(store, zarrChunks = Map("t" -> 16),
-            compressor = Some("zlib"), zarrFormat = 3,
-            zarrShards = Map("t" -> 64))
+        // shards need 64 aligned rows; tiny fixtures write unsharded
+        if (gridXds(s, dir).template.dimSizes("t") >= 64)
+          gridXds(s, dir).rechunk(Map("t" -> 64, "x" -> 16))
+            .toZarr(store, zarrChunks = Map("t" -> 16),
+              compressor = Some("zlib"), zarrFormat = 3,
+              zarrShards = Map("t" -> 64))
+        else
+          gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 16),
+            compressor = Some("zlib"), zarrFormat = 3)
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("t", "x")
       },
@@ -2638,6 +2643,44 @@ object XbeamQueries {
         JOIN grid g10 ON g10.t = tj.j + 1 AND g10.x = xi.i
         JOIN grid g01 ON g01.t = tj.j     AND g01.x = xi.i + 1
         JOIN grid g11 ON g11.t = tj.j + 1 AND g11.x = xi.i + 1
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x92
+    // SPARSE re-read over the authenticated s3:// store: x82 proves the
+    // dense roundtrip; this gate writes the same 64-deep sharded layout
+    // and re-reads only a NON-chunk-aligned 21-row window mid-store —
+    // the slice pushdown rewrites the scan region, and the adaptive
+    // shard reader fetches RANGED signed GETs for the touched inner
+    // chunks instead of whole shard blobs (the high-level.ipynb
+    // chunks-in-shards read pattern against object storage).
+    QueryDef(
+      "x92_s3_ranged_reread",
+      (s, dir) => {
+        graft.sources.S3GateServer.install()
+        val store = "s3://graft-gate/x92_" + new java.io.File(dir).getName
+        val tSize = gridXds(s, dir).template.dimSizes("t")
+        // shards need 64 aligned rows; tiny fixtures write unsharded
+        if (tSize >= 64)
+          gridXds(s, dir).rechunk(Map("t" -> 64, "x" -> 16))
+            .toZarr(store, zarrChunks = Map("t" -> 16),
+              compressor = Some("zlib"), zarrFormat = 3,
+              zarrShards = Map("t" -> 64))
+        else
+          gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 16),
+            compressor = Some("zlib"), zarrFormat = 3)
+        val start = math.min(70L, tSize / 2)
+        val len = math.min(21L, tSize - start)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).slice("t", start, len))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid),
+        b AS (SELECT least(70, sz // 2) AS lo,
+                     least(least(70, sz // 2) + 21, sz) AS hi FROM n)
+        SELECT t - (SELECT lo FROM b) AS t, x, uid, vf FROM grid
+        WHERE t >= (SELECT lo FROM b) AND t < (SELECT hi FROM b)
         ORDER BY t, x"""))
   )
 }
