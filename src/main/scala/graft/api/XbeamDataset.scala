@@ -3593,6 +3593,48 @@ final class XbeamDataset private (
                                    merged: Template): XbeamDataset =
     zipAll(Seq(other))(cs => f(cs(0), cs(1)), merged)
 
+  /** Element-wise three-way select across datasets (xarray
+    * `xr.where(cond, a, b)` with `this` as `a`): wherever `cond`'s
+    * variable is non-zero (and non-NaN) the output takes this
+    * dataset's value, elsewhere `other`'s. All three sides must share
+    * the grid (dims, sizes, chunks) and `this`/`other` the variable
+    * set; `cond` contributes one mask variable applied to every
+    * output variable. ONE co-partitioned zip shuffle — the select
+    * itself is a narrow fold over the three aligned chunks. */
+  def whereDs(cond: XbeamDataset, other: XbeamDataset,
+              condVar: String = "mask"): XbeamDataset = {
+    require(template.vars.keySet == other.template.vars.keySet,
+      s"whereDs needs identical variables on both branches: " +
+        s"${template.vars.keySet} vs ${other.template.vars.keySet}")
+    require(cond.template.vars.contains(condVar),
+      s"cond side has no variable $condVar (has ${cond.template.vars.keySet})")
+    val cv = condVar
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, DType.F64)
+    })
+    zipAll(Seq(cond, other))({ cs =>
+      val Seq(a, c, b) = cs
+      val maskVa = c.vars(cv)
+      ArrayChunk(a.vars.map { case (n, va) =>
+        val bv = b.vars(n).arr
+        require(va.dims == maskVa.dims && va.dims == b.vars(n).dims,
+          s"whereDs: variable $n and mask $cv must share dims " +
+            s"(${va.dims} vs ${maskVa.dims} vs ${b.vars(n).dims})")
+        val mask = maskVa.arr
+        val out = NdArray.zeros(DType.F64, va.arr.shape.clone())
+        val sz = out.size
+        var i = 0L
+        while (i < sz) {
+          val m = mask.getDouble(i)
+          out.setDouble(i,
+            if (m.isNaN || m == 0.0) bv.getDouble(i) else va.arr.getDouble(i))
+          i += 1
+        }
+        n -> VarArray(va.dims, out)
+      })
+    }, merged)
+  }
+
   /** Combine two disjoint-variable datasets on the SAME grid into one
     * (xarray `xr.merge` for the aligned case): one co-partitioned zip
     * shuffle unites the chunk pairs, variables concatenate per chunk.

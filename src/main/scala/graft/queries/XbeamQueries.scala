@@ -2681,6 +2681,27 @@ object XbeamQueries {
                      least(least(70, sz // 2) + 21, sz) AS hi FROM n)
         SELECT t - (SELECT lo FROM b) AS t, x, uid, vf FROM grid
         WHERE t >= (SELECT lo FROM b) AND t < (SELECT hi FROM b)
-        ORDER BY t, x"""))
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x93
+    // Three-way dataset select (xarray xr.where(cond, a, b)): branch a
+    // is vf, branch b its negation, the condition a SEPARATE dataset
+    // (uid parity). ONE co-partitioned zip aligns all three sides; the
+    // select is a narrow fold — no per-branch materialization, no
+    // second shuffle.
+    QueryDef(
+      "x93_where_ds",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val a = xds.select(Set("vf"))
+        val b = a.mapValues(v => -v)
+        val cond = xds.select(Set("uid")).mapValues(v => v % 2.0)
+        TabularBridge.toDataFrame(a.whereDs(cond, b, condVar = "uid"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, CASE WHEN uid % 2 = 1 THEN vf ELSE -vf END AS vf
+        FROM grid ORDER BY t, x"""))
   )
 }

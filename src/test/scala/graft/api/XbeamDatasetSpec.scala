@@ -1895,6 +1895,24 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("whereDs three-way select: mask picks branches, NaN mask is false") {
+    def one(vals: Array[Double], name: String) =
+      XbeamDataset.fromLocal(spark, Map(
+        name -> (Seq("t"), NdArray.fromDoubles(DType.F64,
+          Array(vals.length), vals))), chunks = Map("t" -> 2))
+    val a = one(Array(1, Double.NaN, 3, 4), "v")
+    val b = one(Array(10, 20, 30, 40), "v")
+    val cond = one(Array(1, 1, 0, Double.NaN), "mask")
+    val r = a.whereDs(cond, b).collectConsolidated()._2.vars("v").arr
+    // mask true keeps a (INCLUDING a genuine NaN); 0 and NaN take b
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1).isNaN &&
+      r.getDouble(2) == 30.0 && r.getDouble(3) == 40.0)
+    // mismatched variable sets rejected
+    intercept[IllegalArgumentException] {
+      a.whereDs(cond, one(Array(1, 2, 3, 4), "w"))
+    }
+  }
+
   test("dot sums the elementwise product over dims (xr.dot)") {
     val ds = XbeamDataset.fromLocal(spark, Map(
       "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
