@@ -1502,15 +1502,68 @@ final class XbeamDataset private (
     * factor. (The divisibility also covers ragged last chunks: offsets
     * are chunk multiples and the total divides, so every chunk extent
     * is a factor multiple.) */
+  /** Truncate `dim` to its first `newSize` positions — a NARROW,
+    * shuffle-free restriction that works on ANY dataset (unlike
+    * [[head]], which is a scan-region rewrite): chunks entirely past
+    * the bound drop, the one boundary chunk slices, every other chunk
+    * passes through untouched. Keys and chunk grid are unchanged. */
+  def truncate(dim: String, newSize: Long): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val size = template.dimSizes(dim)
+    require(newSize >= 1 && newSize <= size,
+      s"truncate($dim, $newSize) out of range for size $size")
+    if (newSize == size) this
+    else {
+      val d = dim
+      val ns = newSize
+      val newTemplate = template.copy(
+        dims = template.dims.map { case (dd, sz) =>
+          dd -> (if (dd == d) ns else sz)
+        },
+        coords = template.coords.map { case (dd, c) =>
+          if (dd == d) dd -> c.slice(Array(0), Array(ns.toInt)) else dd -> c
+        })
+      val out = chunkDataset.flatMap { p: Pair =>
+        val (k, c) = p
+        val off = k.offsets.getOrElse(d, 0L)
+        val ext = c.dimSizes.getOrElse(d, 0)
+        if (ext == 0) Iterator.single(p)
+        else if (off >= ns) Iterator.empty
+        else if (off + ext <= ns) Iterator.single(p)
+        else Iterator.single((k, c.isel(Map(d -> (0, (ns - off).toInt)))))
+      }
+      withPlan(newTemplate, chunkSizes, splitVars, out)
+    }
+  }
+
   def coarsen(factors: Map[String, Int], op: String = "mean",
-              skipna: Boolean = true): XbeamDataset = {
+              skipna: Boolean = true, boundary: String = "exact"): XbeamDataset = {
+    boundary match {
+      case "exact" =>
+      case "trim" =>
+        // xarray coarsen(boundary="trim"): drop the ragged tail first,
+        // then coarsen exactly — the trim itself is the narrow
+        // [[truncate]], so this adds no shuffle
+        val trimmed = factors.foldLeft(this) { case (ds, (d, f)) =>
+          require(ds.template.dimSizes.contains(d), s"unknown dim $d")
+          require(f >= 1, s"coarsen factor for $d must be >= 1, got $f")
+          val sz = ds.template.dimSizes(d)
+          val keep = sz / f * f
+          require(keep >= f, s"dim $d (size $sz) has no complete window of $f")
+          if (keep == sz) ds else ds.truncate(d, keep)
+        }
+        return trimmed.coarsen(factors, op, skipna, "exact")
+      case other => throw new IllegalArgumentException(
+        s"unknown coarsen boundary $other (exact/trim)")
+    }
     factors.foreach { case (d, f) =>
       require(template.dimSizes.contains(d), s"unknown dim $d")
       require(f >= 1, s"coarsen factor for $d must be >= 1, got $f")
       require(chunkSizes(d) % f == 0,
         s"coarsen factor $f does not divide chunk ${chunkSizes(d)} of dim $d")
       require(template.dimSizes(d) % f == 0,
-        s"coarsen factor $f does not divide size ${template.dimSizes(d)} of dim $d")
+        s"coarsen factor $f does not divide size ${template.dimSizes(d)} of dim $d " +
+          "(use boundary=\"trim\" to drop the ragged tail)")
     }
     def factorOf(d: String): Int = factors.getOrElse(d, 1)
     val newTemplate = Template(

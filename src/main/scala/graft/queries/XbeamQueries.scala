@@ -2702,6 +2702,26 @@ object XbeamQueries {
       Some(s"""
         WITH $GRID_DUCK
         SELECT t, x, CASE WHEN uid % 2 = 1 THEN vf ELSE -vf END AS vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x94
+    // coarsen(boundary="trim") over a RAGGED extent: factor 16 with
+    // t=200 (sf0.01) leaves an 8-row tail that trim drops before the
+    // per-chunk downsample — the trim is the narrow truncate (chunks
+    // past the bound drop, the boundary chunk slices), so the whole
+    // query still has only the grid-build shuffle. 16-integer window
+    // means are exact dyadic divisions in both engines.
+    QueryDef(
+      "x94_coarsen_trim",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).coarsen(Map("t" -> 16), "mean", boundary = "trim"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT ((max(t) + 1) // 16) * 16 AS keep FROM grid)
+        SELECT t // 16 AS t, x,
+               CAST(sum(uid) AS DOUBLE) / 16 AS uid, sum(vf) / 16 AS vf
+        FROM grid WHERE t < (SELECT keep FROM n)
+        GROUP BY t // 16, x ORDER BY t, x"""))
   )
 }

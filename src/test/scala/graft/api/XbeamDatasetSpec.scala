@@ -1913,6 +1913,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("truncate is a narrow restriction; coarsen boundary=trim drops the tail") {
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(7),
+        Array(1, 2, 3, 4, 5, 6, 7)))), chunks = Map("t" -> 4),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(7),
+        Array.tabulate(7)(_.toDouble))))
+    val tr = ds.truncate("t", 5)
+    assert(tr.template.dimSizes("t") == 5L)
+    val a = tr.collectConsolidated()._2.vars("v").arr
+    assert((0 until 5).map(a.getDouble(_)).sameElements(Seq(1.0, 2, 3, 4, 5)))
+    assert(tr.template.coords("t").toDoubles.sameElements(
+      Array(0.0, 1, 2, 3, 4)))
+    // trim: 7 → 6 under factor 2, means of (1,2),(3,4),(5,6)
+    val cz = ds.coarsen(Map("t" -> 2), "mean", boundary = "trim")
+      .collectConsolidated()._2.vars("v").arr
+    assert((0 until 3).map(cz.getDouble(_)).sameElements(Seq(1.5, 3.5, 5.5)))
+    // exact boundary still rejects ragged sizes
+    intercept[IllegalArgumentException] { ds.coarsen(Map("t" -> 2)) }
+  }
+
   test("dot sums the elementwise product over dims (xr.dot)") {
     val ds = XbeamDataset.fromLocal(spark, Map(
       "a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))),
