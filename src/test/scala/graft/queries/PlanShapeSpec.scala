@@ -275,6 +275,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "ffill reindex must match exact reindex's plan shape")
   }
 
+  test("truncate/trim-coarsen add no shuffle; merge and whereDs zip exactly once") {
+    import graft.api.XbeamDataset
+    import graft.ndarray.{DType, NdArray}
+    def exchanges(ds: XbeamDataset): Int =
+      "(?<!Reused)Exchange".r
+        .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def mk(name: String) = XbeamDataset.fromLocal(spark,
+      Map(name -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+    val ds = mk("v")
+    val base = exchanges(ds)
+    // truncate and the trim path slice chunk-locally — zero added exchanges
+    assert(exchanges(ds.truncate("t", 7)) == base,
+      "truncate must not shuffle")
+    assert(exchanges(ds.coarsen(Map("t" -> 2), "mean", boundary = "trim")) == base,
+      "trim coarsen must not shuffle")
+    // merge/whereDs: exactly ONE zip exchange unites the sides
+    val m = mk("v").merge(mk("w"))
+    assert(exchanges(m) == base + 1, "merge must zip in exactly one exchange")
+    val w = mk("v").whereDs(mk("mask"), mk("v"))
+    assert(exchanges(w) == base + 1, "whereDs must zip in exactly one exchange")
+  }
+
   test("stack/unstack reshape shuffle-free; nearest interp gathers in ONE shuffle") {
     import graft.api.XbeamDataset
     import graft.ndarray.{DType, NdArray}
