@@ -502,6 +502,65 @@ final class XbeamDataset private (
     }.sum(dims, skipna)
   }
 
+  /** Every `stride`-th position along `dim`, starting at 0 (xarray
+    * `thin(dim=stride)` / `isel(dim=slice(None, None, stride))` — the
+    * standard subsample-for-plotting / every-Nth-frame op). Narrow and
+    * dtype-preserving: each chunk takes its own stride positions; when
+    * `stride` divides the chunk size the output chunks land on the
+    * `chunk/stride` grid as-is — ZERO shuffle at any scale — otherwise
+    * one consolidation realigns them. The dim's coordinate thins
+    * plan-time. */
+  def thin(dim: String, stride: Int): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(stride >= 1, s"thin stride must be >= 1, got $stride")
+    if (stride == 1) return this
+    import ChunkTransforms.{Pair, pairEnc}
+    val d = dim
+    val st = stride.toLong
+    val n = template.dimSizes(d)
+    val outN = (n + st - 1) / st
+    val thinned = chunkDataset.flatMap { p: Pair =>
+      val (key, chunk) = p
+      chunk.dimSizes.get(d) match {
+        case None => Iterator.single(p)
+        case Some(ext) =>
+          val off = key.offsets.getOrElse(d, 0L)
+          val p0 = (off + st - 1) / st * st // first kept global position
+          if (p0 >= off + ext) Iterator.empty
+          else {
+            val positions = Iterator.iterate(p0)(_ + st)
+              .takeWhile(_ < off + ext).map(g => (g - off).toInt).toArray
+            Iterator.single((key.copy(offsets = key.offsets + (d -> p0 / st)),
+              ArrayChunk(chunk.vars.map { case (nm, va) =>
+                if (!va.dims.contains(d)) nm -> va
+                else nm -> VarArray(va.dims,
+                  va.arr.takeAlong(va.dims.indexOf(d), positions))
+              })))
+          }
+      }
+    }
+    val newTemplate = template.copy(
+      dims = template.dims.map { case (dd, sz) =>
+        dd -> (if (dd == d) outN else sz)
+      },
+      coords = template.coords.map { case (dd, c) =>
+        if (dd == d) dd -> c.takeAlong(0,
+          Iterator.iterate(0L)(_ + st).takeWhile(_ < n).map(_.toInt).toArray)
+        else dd -> c
+      })
+    if (chunkSizes(d) % stride == 0) {
+      // aligned: every input chunk's kept run starts on its own offset,
+      // so outputs already sit on the chunk/stride grid — no shuffle
+      withPlan(newTemplate, chunkSizes + (d -> chunkSizes(d) / stride),
+        splitVars, thinned)
+    } else {
+      val cs = chunkSizes
+      withPlan(newTemplate, cs, splitVars,
+        ChunkTransforms.consolidateChunks(
+          ChunkTransforms.splitChunks(thinned, cs), cs))
+    }
+  }
+
   /** Reorder along `dim` by its coordinate's values (xarray `sortby`):
     * the permutation is plan-time metadata (coords live in the
     * template), so this lowers to [[reindex]]'s label gather — each
@@ -1137,6 +1196,9 @@ final class XbeamDataset private (
     *    time), which holds whenever pads are small next to chunks (a
     *    100 TB store's chunks dwarf any sane pad; rechunk first
     *    otherwise).
+    *  - `"symmetric"`: mirrored INCLUDING the boundary sample
+    *    (numpy/xarray symmetric — width w repeats the first/last w
+    *    values reversed); width ≤ edge extent.
     *
     * Vars spanning `dim` come out F64 (constant's fill is NaN); the
     * dim's coordinate is dropped (integer coords cannot hold NaN). */
@@ -1145,8 +1207,8 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(before >= 0 && after >= 0,
       s"pad widths must be >= 0, got ($before, $after)")
-    require(Set("constant", "edge", "reflect", "wrap")(mode),
-      s"unknown pad mode $mode (constant | edge | reflect | wrap)")
+    require(Set("constant", "edge", "reflect", "symmetric", "wrap")(mode),
+      s"unknown pad mode $mode (constant | edge | reflect | symmetric | wrap)")
     if (before == 0 && after == 0) return this
     import ChunkTransforms.{Pair, pairEnc}
     val d = dim
@@ -1167,6 +1229,19 @@ final class XbeamDataset private (
       require(af <= lastExt - 1,
         s"pad(reflect) after=$after needs ${af + 1} positions but the " +
           s"last chunk along $d holds $lastExt — rechunk or shrink the pad")
+    }
+    if (mode == "symmetric") {
+      // the symmetric sample for width w reaches w − 1 positions past
+      // the boundary (the boundary itself repeats): width ≤ edge extent
+      val chunkLen = cs(d).toLong
+      val firstExt = math.min(chunkLen, n)
+      val lastExt = n - (n - 1) / chunkLen * chunkLen
+      require(b <= firstExt,
+        s"pad(symmetric) before=$before exceeds the first chunk's " +
+          s"$firstExt positions along $d — rechunk or shrink the pad")
+      require(af <= lastExt,
+        s"pad(symmetric) after=$after exceeds the last chunk's $lastExt " +
+          s"positions along $d — rechunk or shrink the pad")
     }
     if (mode == "wrap") {
       // wrapped samples come from the OPPOSITE end of the lane: the
@@ -1206,6 +1281,11 @@ final class XbeamDataset private (
               // arr[b - j]; trailing: j mirrors arr[ext - 2 - j]
               Some(if (leading) Array.tabulate(len)(j => (b - j).toInt)
                 else Array.tabulate(len)(j => ext - 2 - j))
+            case "symmetric" =>
+              // boundary included: leading j mirrors arr[b - 1 - j],
+              // trailing j mirrors arr[ext - 1 - j]
+              Some(if (leading) Array.tabulate(len)(j => (b - 1 - j).toInt)
+                else Array.tabulate(len)(j => ext - 1 - j))
             case "wrap" =>
               // emitted by the OPPOSITE edge chunk: the leading pad's
               // position j copies this (last) chunk's arr[ext - b + j];
@@ -2382,11 +2462,17 @@ final class XbeamDataset private (
         java.time.ZoneOffset.UTC)
       val start = period match {
         case "year" => ldt.toLocalDate.withDayOfYear(1).atStartOfDay()
+        case "quarter" => ldt.toLocalDate
+          .withMonth((ldt.getMonthValue - 1) / 3 * 3 + 1)
+          .withDayOfMonth(1).atStartOfDay()
         case "month" => ldt.toLocalDate.withDayOfMonth(1).atStartOfDay()
+        case "week" => // ISO weeks starting Monday (DuckDB/pandas 'W-MON')
+          ldt.toLocalDate.`with`(java.time.temporal.TemporalAdjusters
+            .previousOrSame(java.time.DayOfWeek.MONDAY)).atStartOfDay()
         case "day" => ldt.toLocalDate.atStartOfDay()
         case "hour" => ldt.withMinute(0).withSecond(0).withNano(0)
         case other => throw new IllegalArgumentException(
-          s"unknown resample period $other (year/month/day/hour)")
+          s"unknown resample period $other (year/quarter/month/week/day/hour)")
       }
       start.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     }
@@ -2404,7 +2490,96 @@ final class XbeamDataset private (
       bucketOf(i) = bucketStarts.length - 1
       i += 1
     }
-    val nBuckets = bucketStarts.length
+    bucketReduceCore[A](dim, bucketOf,
+      NdArray.fromLongs(DType.TimeNs, Array(bucketStarts.length),
+        bucketStarts.toArray),
+      accOf, mergeA, extractA, emptyA)
+  }
+
+  /** Group along `dim` by the DISTINCT VALUES of its coordinate (xarray
+    * `groupby(coord).mean()` — the `'time.season'`-style op where
+    * groups interleave, which [[resampleMean]]'s contiguous-run
+    * contract can't express). The distinct sorted values become the
+    * output dim's coordinate (original dtype preserved), resolved
+    * PLAN-TIME from the template coord; the distributed shape is the
+    * shared bucket core — per-chunk runs reduce locally, ONE shuffle of
+    * per-(chunk, group) partials, never data. */
+  def groupbyCoordMean(dim: String, skipna: Boolean = true): XbeamDataset = {
+    import ChunkTransforms.MeanAcc
+    implicit val accEnc = Encoders.kryo[(ChunkKey, MeanAcc, ArrayChunk)]
+    val (bucketOf, outCoord) = coordGroups(dim)
+    bucketReduceCore[MeanAcc](dim, bucketOf, outCoord,
+      sliced => ChunkTransforms.sumCountChunk(sliced, Set(dim), skipna),
+      (a, b) => a.merge(b),
+      _.extract,
+      MeanAcc(ArrayChunk(Map.empty), ArrayChunk(Map.empty)))
+  }
+
+  /** [[groupbyCoordMean]] generalized to the other reductions — per-group
+    * sum / min / max / count / prod / var / std (optionally
+    * "var:<ddof>"), same interleaved-group partial shuffle. */
+  def groupbyCoordReduce(dim: String, kind: String,
+                         skipna: Boolean = true): XbeamDataset = {
+    import ChunkTransforms.ReduceAcc
+    val base = ChunkTransforms.ReduceAcc.baseOf(kind)
+    val nParts = if (base == "var" || base == "std") 3 else 1
+    implicit val accEnc = Encoders.kryo[(ChunkKey, ReduceAcc, ArrayChunk)]
+    val (bucketOf, outCoord) = coordGroups(dim)
+    bucketReduceCore[ReduceAcc](dim, bucketOf, outCoord,
+      sliced => ChunkTransforms.ReduceAcc.ofChunk(sliced, Set(dim), kind, skipna),
+      (a, b) => a.merge(b),
+      _.extract,
+      ChunkTransforms.ReduceAcc(kind, skipna,
+        Seq.fill(nParts)(ArrayChunk(Map.empty)), ArrayChunk(Map.empty)))
+  }
+
+  /** Plan-time group resolution for [[groupbyCoordMean]]: each position
+    * along `dim` maps to the index of its coordinate value in the
+    * sorted-distinct value list; that list (original dtype) becomes the
+    * output coordinate. Integer, datetime, and float coords supported;
+    * float coords must be NaN-free (a NaN group label is unordered). */
+  private def coordGroups(dim: String): (Array[Int], NdArray) = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"groupby needs a coordinate on $dim"))
+    coord.dtype match {
+      case DType.I64 | DType.TimeNs =>
+        val vs = coord.toLongs
+        val distinct = vs.distinct.sorted
+        val idx = distinct.zipWithIndex.toMap
+        (vs.map(idx), NdArray.fromLongs(coord.dtype,
+          Array(distinct.length), distinct))
+      case DType.F64 =>
+        val vs = coord.toDoubles
+        require(!vs.exists(_.isNaN),
+          s"groupby coord on $dim contains NaN — drop or fill it first")
+        val distinct = vs.distinct.sorted
+        val idx = distinct.zipWithIndex.toMap
+        (vs.map(idx), NdArray.fromDoubles(DType.F64,
+          Array(distinct.length), distinct))
+      case other => throw new IllegalArgumentException(
+        s"groupby coord on $dim has unsupported dtype ${other.zarr}")
+    }
+  }
+
+  /** The shared bucketed-reduction machinery behind [[resampleMean]] /
+    * [[resampleReduce]] (contiguous calendar runs) and
+    * [[groupbyCoordMean]] / [[groupbyCoordReduce]] (arbitrary,
+    * interleaved groups): `bucketOf(i)` names position i's output
+    * bucket, chunks reduce their equal-bucket RUNS locally (interleaved
+    * groups just produce several runs per bucket — the keyed merge
+    * combines them), and one shuffle of fixed-size partials builds the
+    * nBuckets-long output dim carrying `outCoord`. */
+  private def bucketReduceCore[A](dim: String, bucketOf: Array[Int],
+                                  outCoord: NdArray,
+                                  accOf: ArrayChunk => A,
+                                  mergeA: (A, A) => A,
+                                  extractA: A => ArrayChunk,
+                                  emptyA: A)(
+      implicit accEnc: org.apache.spark.sql.Encoder[(ChunkKey, A, ArrayChunk)]): XbeamDataset = {
+    require(bucketOf.length == template.dimSizes(dim).toInt,
+      s"bucket map length ${bucketOf.length} != dim size ${template.dimSizes(dim)}")
+    val nBuckets = outCoord.shape(0)
     val bc = spark.sparkContext.broadcast(bucketOf)
     val d = dim
     val partials = chunkDataset.flatMap { p: Pair =>
@@ -2475,8 +2650,7 @@ final class XbeamDataset private (
         n -> VarSpec(vs.dims,
           if (vs.dims.contains(d)) DType.F64 else vs.dtype)
       },
-      (template.coords - d) + (d -> NdArray.fromLongs(DType.TimeNs,
-        Array(nBuckets), bucketStarts.toArray)),
+      (template.coords - d) + (d -> outCoord),
       template.attrs)
     withPlan(newTemplate, chunkSizes + (d -> 1), splitVars, joined)
   }

@@ -2722,6 +2722,107 @@ object XbeamQueries {
         SELECT t // 16 AS t, x,
                CAST(sum(uid) AS DOUBLE) / 16 AS uid, sum(vf) / 16 AS vf
         FROM grid WHERE t < (SELECT keep FROM n)
-        GROUP BY t // 16, x ORDER BY t, x"""))
+        GROUP BY t // 16, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x95
+    // groupby over a coordinate's distinct values (xarray
+    // groupby(coord).mean() — the 'time.season' shape): the t axis
+    // carries an INTERLEAVED int64 coord (t mod 7), which calendar
+    // resample's contiguous-run contract cannot express; groups resolve
+    // plan-time from the template coord, chunks reduce their runs
+    // locally, and ONE shuffle of per-(chunk, group) partials builds
+    // the 7-long output. Integer sums → exact means both engines.
+    QueryDef(
+      "x95_groupby_coord",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 7).toLong))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> seasons)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.groupbyCoordMean("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t % 7 AS t, x,
+               CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY t % 7, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x96
+    // Symmetric pad (xarray pad(t=(3,2), mode="symmetric")): mirror
+    // INCLUDING the boundary sample — x71's reflect machinery with the
+    // off-by-one source map (leading t' mirrors t = 2 - t', trailing
+    // mirrors t = 2·T + 2 - t'). Every output is an exact grid copy.
+    QueryDef(
+      "x96_pad_symmetric",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).pad("t", 3, 2, mode = "symmetric"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) + 1 AS sz FROM grid)
+        SELECT t, x, CAST(uid AS DOUBLE) AS uid, vf FROM (
+          SELECT 2 - t AS t, x, uid, vf FROM grid WHERE t <= 2
+          UNION ALL
+          SELECT t + 3, x, uid, vf FROM grid
+          UNION ALL
+          SELECT 2 * (SELECT sz FROM n) + 2 - t, x, uid, vf FROM grid
+          WHERE t >= (SELECT sz FROM n) - 2)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x97
+    // thin / strided isel (xarray thin(t=4, x=7)): every 4th t row and
+    // 7th x column survive, dtypes preserved. t's stride divides the
+    // chunk (16) so that pass is SHUFFLE-FREE (outputs land on the
+    // chunk/4 grid as-is); x's stride 7 doesn't divide 16, exercising
+    // the consolidation realign. Outputs are exact copies of grid
+    // values at (4t', 7x').
+    QueryDef(
+      "x97_thin",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).thin("t", 4).thin("x", 7))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t // 4 AS t, x // 7 AS x, uid, vf FROM grid
+        WHERE t % 4 = 0 AND x % 7 = 0
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x98
+    // Weekly resample (xarray resample(t="W-MON").sum() — ISO weeks
+    // starting Monday): x47's calendar bucket machinery with the week
+    // truncation, which DuckDB's date_trunc('week') mirrors exactly.
+    // Integer-valued sums stay order-independent and bit-exact.
+    QueryDef(
+      "x98_resample_week",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.resampleReduce("t", "week", "sum"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       date_trunc('week',
+                         TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t)) AS wk
+                FROM grid),
+        g AS (SELECT wk, x, CAST(sum(uid) AS DOUBLE) AS uid, sum(vf) AS vf
+              FROM cal GROUP BY wk, x)
+        SELECT CAST(dense_rank() OVER (ORDER BY wk) - 1 AS BIGINT) AS t,
+               x, uid, vf
+        FROM g ORDER BY t, x"""))
   )
 }

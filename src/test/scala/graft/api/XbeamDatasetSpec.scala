@@ -405,6 +405,21 @@ class XbeamDatasetSpec extends AnyFunSuite {
       .collectConsolidated()._2.vars("v").arr
     assert(pr.getDouble(0) == 0.0) // 0*1*2*3
     assert(pr.getDouble(2) == 60480.0) // 4*5*6*7*8*9
+    // week buckets break on ISO Mondays: Jan 28 2020 is a Tuesday, so
+    // the first week (Mon Jan 27) holds Jan 28–Feb 2 = 6 positions
+    val wk = ds.resampleReduce("t", "week", "count")
+    assert(wk.template.dimSizes("t") == 2)
+    val wkArr = wk.collectConsolidated()._2.vars("v").arr
+    assert(wkArr.getDouble(0) == 6.0 && wkArr.getDouble(2) == 4.0)
+    assert(wk.template.coords("t").toLongs.head ==
+      java.time.Instant.parse("2020-01-27T00:00:00Z")
+        .getEpochSecond * 1000000000L)
+    // the whole span sits in Q1: quarter yields one bucket at Jan 1
+    val qt = ds.resampleReduce("t", "quarter", "count")
+    assert(qt.template.dimSizes("t") == 1)
+    assert(qt.template.coords("t").toLongs.head ==
+      java.time.Instant.parse("2020-01-01T00:00:00Z")
+        .getEpochSecond * 1000000000L)
     // a coord that runs backwards is rejected
     val bad = NdArray.fromLongs(DType.TimeNs, Array(10),
       Array.tabulate(10)(i => baseNs - i * day))
@@ -2006,5 +2021,106 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val desc = ds.sortby("t", descending = true)
       .collectConsolidated()._2.vars("v").arr
     assert(desc.toDoubles.toSeq == Seq(1.0, 2, 5, 6, 3, 4))
+  }
+
+  test("groupbyCoordMean groups interleaved coordinate values") {
+    // coord [0,1,0,2,1,0,2,1,0,1]: groups interleave across chunk
+    // boundaries (what resample's contiguous-run contract rejects)
+    val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def byGroup(g: Long, x: Int): Seq[Double] =
+      (0 until 10).filter(groups(_) == g).map(t => vals.getDouble(t * 2 + x))
+    for (ch <- Seq(3, 4, 10)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)),
+        coords = Map("t" -> NdArray.fromLongs(DType.I64, Array(10), groups)),
+        chunks = Map("t" -> ch))
+      val r = ds.groupbyCoordMean("t")
+      assert(r.template.dimSizes("t") == 3)
+      // output coord = sorted distinct group values, dtype preserved
+      assert(r.template.coords("t").dtype == DType.I64)
+      assert(r.template.coords("t").toLongs.toSeq == Seq(0L, 1L, 2L))
+      val got = r.collectConsolidated()._2.vars("v").arr
+      for (g <- 0 until 3; x <- 0 until 2) {
+        val m = byGroup(g, x)
+        assert(got.getDouble(g * 2 + x) == m.sum / m.length,
+          s"ch=$ch g=$g x=$x")
+      }
+      // generalized reductions share the machinery
+      val mx = ds.groupbyCoordReduce("t", "max")
+        .collectConsolidated()._2.vars("v").arr
+      for (g <- 0 until 3; x <- 0 until 2)
+        assert(mx.getDouble(g * 2 + x) == byGroup(g, x).max)
+      val ct = ds.groupbyCoordReduce("t", "count")
+        .collectConsolidated()._2.vars("v").arr
+      for (g <- 0 until 3; x <- 0 until 2)
+        assert(ct.getDouble(g * 2 + x) == byGroup(g, x).length.toDouble)
+    }
+    // a NaN float coord label is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)),
+        coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(10),
+          Array.tabulate(10)(i => if (i == 4) Double.NaN else i % 3.0))),
+        chunks = Map("t" -> 4)).groupbyCoordMean("t")
+    }
+    assert(e.getMessage.contains("NaN"))
+  }
+
+  test("thin takes every Nth position, dtype- and coord-preserving") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(11, 2),
+      Array.tabulate(22)(_.toDouble))
+    val ids = NdArray.fromLongs(DType.I64, Array(11),
+      Array.tabulate(11)(i => 100L + i))
+    val coord = NdArray.fromDoubles(DType.F64, Array(11),
+      Array.tabulate(11)(i => i * 10.0))
+    // stride 4 divides chunk 8 (aligned, shuffle-free) and not chunk 3
+    for (ch <- Seq(3, 8, 11)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals), "id" -> (Seq("t"), ids)),
+        coords = Map("t" -> coord), chunks = Map("t" -> ch))
+      val th = ds.thin("t", 4)
+      assert(th.template.dimSizes("t") == 3) // positions 0, 4, 8
+      assert(th.template.coords("t").toDoubles.toSeq == Seq(0.0, 40.0, 80.0))
+      val got = th.collectConsolidated()._2
+      assert(got.vars("id").arr.dtype == DType.I64) // dtype preserved
+      assert(got.vars("id").arr.toLongs.toSeq == Seq(100L, 104L, 108L))
+      for (k <- 0 until 3; x <- 0 until 2)
+        assert(got.vars("v").arr.getDouble(k * 2 + x) ==
+          vals.getDouble(k * 4 * 2 + x), s"ch=$ch k=$k")
+    }
+    // stride 1 is the identity plan
+    val ds1 = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+    assert(ds1.thin("t", 1) eq ds1)
+  }
+
+  test("pad symmetric mirrors including the boundary, any chunking") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def src(t: Int, x: Int) = vals.getDouble(t * 2 + x)
+    for (ch <- Seq(4, 5, 10); (b, a) <- Seq((3, 2), (2, 0), (0, 3))
+         // widths must fit the edge chunks (ch=4 leaves a 2-wide tail)
+         if a <= 10 - (10 - 1) / ch * ch) {
+      // numpy symmetric: [a b c d] (2,2) -> [b a | a b c d | d c]
+      val sy = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+        .pad("t", b, a, mode = "symmetric")
+        .collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until (10 + b + a); x <- 0 until 2) {
+        val rel = t - b
+        val want = src(
+          if (rel < 0) -rel - 1 else if (rel > 9) 19 - rel else rel, x)
+        assert(sy.getDouble(t * 2 + x) == want, s"symmetric ch=$ch ($b,$a) t=$t")
+      }
+    }
+    // wider than the edge chunk fails LOUDLY at plan time
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 3))
+        .pad("t", 4, 0, mode = "symmetric")
+    }
+    assert(e.getMessage.contains("symmetric"))
   }
 }

@@ -290,6 +290,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // truncate and the trim path slice chunk-locally — zero added exchanges
     assert(exchanges(ds.truncate("t", 7)) == base,
       "truncate must not shuffle")
+    // thin with a chunk-dividing stride: outputs land on the chunk/stride
+    // grid as-is — zero added exchanges; a non-dividing stride realigns
+    // through exactly one consolidation
+    assert(exchanges(ds.thin("t", 2)) == base,
+      "aligned thin must not shuffle")
+    assert(exchanges(ds.thin("t", 3)) == base + 1,
+      "non-aligned thin must consolidate in exactly one exchange")
     assert(exchanges(ds.coarsen(Map("t" -> 2), "mean", boundary = "trim")) == base,
       "trim coarsen must not shuffle")
     // merge/whereDs: exactly ONE zip exchange unites the sides
