@@ -1123,6 +1123,32 @@ object TextOps {
                (CAST(top_c AS DOUBLE) / n_words > 0.2)
                  OR (1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5) AS repetitive
         FROM wstats w JOIN bstats USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t09
+    // Corpus-wide boilerplate detection: the 20 most document-frequent
+    // 3-word shingles (nav bars, cookie banners, license headers — the
+    // spans a curation pass strips before training). Shingles are
+    // distinct within a doc, so the count IS document frequency. One
+    // explode → one shuffle of (shingle, partial count) with map-side
+    // combine; the top-20 is a TakeOrdered over the aggregated (tiny)
+    // side — no global sort of the corpus at any scale.
+    QueryDef(
+      "t09_boilerplate_ngrams",
+      (s, dir) => {
+        import s.implicits._
+        shingled(s, dir)
+          .select(explode($"shingles").as("sg"), $"lang")
+          .groupBy($"sg")
+          .agg(count(lit(1)).as("df"), countDistinct($"lang").as("n_langs"))
+          .orderBy($"df".desc, $"sg")
+          .limit(20)
+      },
+      Some(s"""
+        $DUCK_SHINGLE_CTE,
+        ex AS (SELECT lang, unnest(shingles) AS sg FROM sh)
+        SELECT sg, CAST(count(*) AS BIGINT) AS df,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM ex GROUP BY sg ORDER BY df DESC, sg LIMIT 20"""))
   )
 }

@@ -759,6 +759,52 @@ object VectorOps {
         SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, exact_d2
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY exact_d2, m_id) AS rank FROM ex)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------------------- e12
+    // Hard-negative mining for contrastive/retrieval training: for each
+    // query vector, the top-3 most-similar vectors with a DIFFERENT
+    // class label, restricted to the cosine band [0.1, 0.95] — above
+    // the floor so the negative is actually hard, below the ceiling so
+    // a near-duplicate mislabel can't poison training as a false
+    // negative (the standard dense-retrieval mining recipe). Same
+    // broadcast-query × corpus scan as e01 with the label-inequality
+    // predicate; at 100 TB candidate generation swaps to e05's IVF
+    // cells with this same band+label filter applied cell-locally.
+    QueryDef(
+      "e12_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "label", "embedding", s"$NORM_SPARK AS nrm")
+        val q = e.filter($"vec_id" < 15)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = broadcast(q).join(e, $"label" =!= $"q_label")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "embedding")) / ($"q_nrm" * $"nrm"))
+          .filter($"cosine" >= 0.1 && $"cosine" <= 0.95)
+        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"vec_id".as("neg_id"),
+            $"label".cast("long").as("neg_label"),
+            $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding, $NORM_DUCK AS nrm
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS neg_id, e.label AS neg_label,
+                 ${dotDuck("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+          FROM e q JOIN e ON q.vec_id < 15 AND e.label <> q.label)
+        SELECT q_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+               CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neg_id) AS rank
+          FROM scored WHERE cosine >= 0.1 AND cosine <= 0.95)
         WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }
