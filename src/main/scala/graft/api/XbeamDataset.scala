@@ -2533,6 +2533,58 @@ final class XbeamDataset private (
         Seq.fill(nParts)(ArrayChunk(Map.empty)), ArrayChunk(Map.empty)))
   }
 
+  /** Exact per-group median (xarray `groupby(coord).median()`): like
+    * all exact order statistics the group's raw values must meet — the
+    * shuffle ships each group's run SLICES keyed by (chunk, group) and
+    * one task per (cross-chunk, group) cell sorts them, so per-task
+    * memory is that group's extent × the kept chunk's cross-section
+    * (groups are small by construction — seasons, months, classes; the
+    * documented trade of [[median]] applies). */
+  def groupbyCoordMedian(dim: String, skipna: Boolean = true): XbeamDataset =
+    groupbyCoordOrderStat(dim, skipna)((arr, ax, sk) =>
+      arr.medianAlong(Array(ax), sk))
+
+  /** Exact per-group quantile with linear interpolation (xarray
+    * `groupby(coord).quantile(q)`) — same raw-slice shuffle as
+    * [[groupbyCoordMedian]] (median is `q = 0.5`). */
+  def groupbyCoordQuantile(dim: String, q: Double,
+                           skipna: Boolean = true): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0, 1], got $q")
+    groupbyCoordOrderStat(dim, skipna)((arr, ax, sk) =>
+      arr.quantileAlong(Array(ax), q, sk))
+  }
+
+  private def groupbyCoordOrderStat(dim: String, skipna: Boolean)(
+      kernel: (NdArray, Int, Boolean) => NdArray): XbeamDataset = {
+    implicit val accEnc =
+      Encoders.kryo[(ChunkKey, Vector[ArrayChunk], ArrayChunk)]
+    val (bucketOf, outCoord) = coordGroups(dim)
+    val d = dim
+    val sk = skipna
+    bucketReduceCore[Vector[ArrayChunk]](dim, bucketOf, outCoord,
+      sliced => Vector(sliced),
+      (a, b) => a ++ b,
+      slices => ArrayChunk(
+        slices.flatMap(_.vars.keys).distinct.map { n =>
+          // concat the group's slices along d (order-insensitive — the
+          // kernel sorts), then collapse with the order statistic
+          val parts = slices.flatMap(_.vars.get(n))
+          val ax = parts.head.dims.indexOf(d)
+          val shape = parts.head.arr.shape.clone()
+          shape(ax) = parts.map(_.arr.shape(ax)).sum
+          val joined = NdArray.zeros(DType.F64, shape)
+          var pos = 0
+          parts.foreach { p =>
+            val dst = Array.fill(shape.length)(0); dst(ax) = pos
+            joined.insert(dst, p.arr.mapF64(identity))
+            pos += p.arr.shape(ax)
+          }
+          n -> VarArray(parts.head.dims.filterNot(_ == d),
+            kernel(joined, ax, sk))
+        }.toMap),
+      Vector.empty)
+  }
+
   /** Plan-time group resolution for [[groupbyCoordMean]]: each position
     * along `dim` maps to the index of its coordinate value in the
     * sorted-distinct value list; that list (original dtype) becomes the

@@ -2823,6 +2823,33 @@ object XbeamQueries {
               FROM cal GROUP BY wk, x)
         SELECT CAST(dense_rank() OVER (ORDER BY wk) - 1 AS BIGINT) AS t,
                x, uid, vf
-        FROM g ORDER BY t, x"""))
+        FROM g ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x99
+    // groupby(coord).median (xarray groupby + exact order statistic):
+    // x95's interleaved t-mod-7 groups, but medians need the group's
+    // RAW values to meet — the shuffle ships group-run slices keyed by
+    // (chunk, group) and one task per (x-chunk, group) cell sorts them.
+    // Both engines interpolate the even-count midpoint (numpy linear ≡
+    // DuckDB median): integer-valued inputs make every midpoint an
+    // exact dyadic .0/.5.
+    QueryDef(
+      "x99_groupby_median",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 7).toLong))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> seasons)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.groupbyCoordMedian("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t % 7 AS t, x,
+               median(uid) AS uid, median(vf) AS vf
+        FROM grid GROUP BY t % 7, x ORDER BY t, x"""))
   )
 }

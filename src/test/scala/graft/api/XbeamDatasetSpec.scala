@@ -2068,6 +2068,37 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NaN"))
   }
 
+  test("groupbyCoordMedian/Quantile: exact order stats per group") {
+    // group 0 holds rows {0,2,5,8}, group 1 {1,4,7,9}, group 2 {3,6}
+    val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def byGroup(g: Long, x: Int): Seq[Double] =
+      (0 until 10).filter(groups(_) == g).map(t => vals.getDouble(t * 2 + x))
+    def linQuantile(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    for (ch <- Seq(3, 4, 10)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)),
+        coords = Map("t" -> NdArray.fromLongs(DType.I64, Array(10), groups)),
+        chunks = Map("t" -> ch))
+      val med = ds.groupbyCoordMedian("t").collectConsolidated()._2.vars("v").arr
+      val q25 = ds.groupbyCoordQuantile("t", 0.25)
+        .collectConsolidated()._2.vars("v").arr
+      for (g <- 0 until 3; x <- 0 until 2) {
+        assert(med.getDouble(g * 2 + x) == linQuantile(byGroup(g, x), 0.5),
+          s"median ch=$ch g=$g x=$x")
+        assert(q25.getDouble(g * 2 + x) == linQuantile(byGroup(g, x), 0.25),
+          s"q25 ch=$ch g=$g x=$x")
+      }
+    }
+  }
+
   test("thin takes every Nth position, dtype- and coord-preserving") {
     val vals = NdArray.fromDoubles(DType.F64, Array(11, 2),
       Array.tabulate(22)(_.toDouble))
