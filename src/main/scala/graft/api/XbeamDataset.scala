@@ -900,7 +900,7 @@ final class XbeamDataset private (
     * grid matters — ranks are full-size data, so consolidating back
     * would re-shuffle everything). Variables not spanning `dim` pass
     * through unchanged. */
-  def rank(dim: String): XbeamDataset = {
+  def rank(dim: String, pct: Boolean = false): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(template.dimSizes(dim) <= Int.MaxValue,
       s"rank over dim $dim: extent ${template.dimSizes(dim)} exceeds one chunk")
@@ -932,7 +932,17 @@ final class XbeamDataset private (
     val ranked = ChunkTransforms.consolidateChunks(pre, target)
       .map { p: Pair =>
         (p._1, ArrayChunk(p._2.vars.map { case (n, va) =>
-          n -> VarArray(va.dims, va.arr.rankAlong(va.dims.indexOf(d)))
+          val ax = va.dims.indexOf(d)
+          val r = va.arr.rankAlong(ax)
+          // pct (xarray rank(dim, pct=True)): rank / lane's VALID count
+          // — the lane is whole in this cell, so the count is local;
+          // NaN ranks stay NaN through the division
+          val out = if (!pct) r else {
+            val (_, cnt) = va.arr.sumCount(Array(ax), skipna = true)
+            r.zipBroadcastF64(cnt,
+              (0 until va.arr.ndim).filter(_ != ax).toArray)(_ / _)
+          }
+          n -> VarArray(va.dims, out)
         }))
       }
     val back = ChunkTransforms.splitChunks(ranked, outChunks)
@@ -1633,8 +1643,23 @@ final class XbeamDataset private (
           if (keep == sz) ds else ds.truncate(d, keep)
         }
         return trimmed.coarsen(factors, op, skipna, "exact")
+      case "pad" =>
+        // xarray coarsen(boundary="pad"): NaN-extend the ragged tail to
+        // the next window multiple, then coarsen with the reduction's
+        // own skipna — the tail window reduces over the values actually
+        // present. The pad is the existing constant-NaN pad (one
+        // consolidation realign when the tail crosses a chunk).
+        require(skipna, "coarsen(boundary=\"pad\") needs skipna=true — " +
+          "the NaN filler must be skipped, or every tail window is NaN")
+        val padded = factors.foldLeft(this) { case (ds, (d, f)) =>
+          require(ds.template.dimSizes.contains(d), s"unknown dim $d")
+          require(f >= 1, s"coarsen factor for $d must be >= 1, got $f")
+          val rem = (ds.template.dimSizes(d) % f).toInt
+          if (rem == 0) ds else ds.pad(d, 0, f - rem)
+        }
+        return padded.coarsen(factors, op, skipna, "exact")
       case other => throw new IllegalArgumentException(
-        s"unknown coarsen boundary $other (exact/trim)")
+        s"unknown coarsen boundary $other (exact/trim/pad)")
     }
     factors.foreach { case (d, f) =>
       require(template.dimSizes.contains(d), s"unknown dim $d")

@@ -40,11 +40,18 @@ object Tables {
     * as BIGINT nanos under `nanosAsLong`) in some vintages and as
     * timestamp[us] (loads as TIMESTAMP_NTZ) in others — callers must
     * branch on the loaded schema, never hard-code a vintage. */
+  /** Probed `ts` type per path, cached: the footer read costs a driver
+    * round-trip per call, and hot callers (bench reps, registerViews)
+    * load events many times per JVM against an immutable file. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   def eventsTsType(spark: SparkSession, path: String): DataType = {
     // harmless when ts is already timestamp-typed; required to load
     // (rather than reject) the TIMESTAMP(NANOS) vintage
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType
+    tsTypeCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema("ts").dataType)
   }
 
   /** Normalize an events `ts` column of any builder vintage to a

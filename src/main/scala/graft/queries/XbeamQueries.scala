@@ -2850,6 +2850,45 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t % 7 AS t, x,
                median(uid) AS uid, median(vf) AS vf
-        FROM grid GROUP BY t % 7, x ORDER BY t, x"""))
+        FROM grid GROUP BY t % 7, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x100
+    // coarsen(boundary="pad") over a RAGGED extent: factor 16 with
+    // t=200 (sf0.01) NaN-extends an 8-row tail to a full window, and
+    // the skipna mean reduces the tail window over the 8 values
+    // actually present — AVG's natural semantics in the oracle. Every
+    // window mean divides an exact integer sum by 16 or 8 (dyadic).
+    QueryDef(
+      "x100_coarsen_pad",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).coarsen(Map("t" -> 16), "mean", boundary = "pad"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t // 16 AS t, x,
+               CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM grid GROUP BY t // 16, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x101
+    // Percentage rank (xarray rank(dim, pct=True)): x54's average-tie
+    // rank divided by the lane's valid count — one extra division per
+    // cell on bit-equal operands, so both engines round identically.
+    QueryDef(
+      "x101_rank_pct",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        TabularBridge.toDataFrame(
+          gridXds(s, dir).select(Set("vf")).rank("t", pct = true))
+          .select(col("t"), col("x"), col("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               (CAST(rank() OVER (PARTITION BY x ORDER BY vf) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY x, vf) AS DOUBLE) - 1) / 2)
+               / CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) AS vf
+        FROM grid ORDER BY t, x"""))
   )
 }

@@ -833,6 +833,14 @@ class XbeamDatasetSpec extends AnyFunSuite {
       assert(capped.vars("v").arr.sameAs(grid2.rankAlong(0)))
       assert(capped.vars("vx").arr.sameAs(v1d))
     } finally spark.conf.unset("spark.graft.cellwise.maxBytes")
+    // pct: rank / VALID count — NaN excluded from the denominator
+    val withNaN = NdArray.fromDoubles(DType.F64, Array(5, 1),
+      Array(3.0, 1.0, 3.0, Double.NaN, 2.0))
+    val pr = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), withNaN)), chunks = Map("t" -> 2))
+      .rank("t", pct = true).collectConsolidated()._2.vars("v").arr
+    assert(pr.getDouble(0) == 3.5 / 4 && pr.getDouble(1) == 1.0 / 4 &&
+      pr.getDouble(3).isNaN && pr.getDouble(4) == 2.0 / 4)
   }
 
   test("rank capped path: non-multiple kept split lands on the global grid") {
@@ -2125,6 +2133,31 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val ds1 = XbeamDataset.fromLocal(spark,
       Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
     assert(ds1.thin("t", 1) eq ds1)
+  }
+
+  test("coarsen boundary=pad NaN-extends the ragged tail window") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    for (ch <- Seq(4, 8)) { // factor 4 divides both chunk sizes
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> ch))
+      val c = ds.coarsen(Map("t" -> 4), "mean", boundary = "pad")
+      assert(c.template.dimSizes("t") == 3) // ceil(10/4)
+      val got = c.collectConsolidated()._2.vars("v").arr
+      for (w <- 0 until 3; x <- 0 until 2) {
+        val members = (w * 4 until math.min(w * 4 + 4, 10))
+          .map(t => vals.getDouble(t * 2 + x))
+        assert(got.getDouble(w * 2 + x) == members.sum / members.length,
+          s"ch=$ch w=$w x=$x")
+      }
+    }
+    // skipna=false would make every tail window NaN: rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 4))
+        .coarsen(Map("t" -> 4), "mean", skipna = false, boundary = "pad")
+    }
+    assert(e.getMessage.contains("skipna"))
   }
 
   test("pad symmetric mirrors including the boundary, any chunking") {
