@@ -2917,7 +2917,77 @@ final class XbeamDataset private (
         }
       j += 1
     }
-    interpGather(dim, target, idx, idx, new Array[Double](m))
+    interpGather(dim, NdArray.fromDoubles(DType.F64, Array(m), target),
+      idx, idx, new Array[Double](m))
+  }
+
+  /** [[interpNearest]] on a datetime64 coordinate (xarray
+    * `interp(time=targets, method="nearest")`): targets are epoch ns;
+    * bracketing and midpoint ties resolve in exact LONG arithmetic (ns
+    * since epoch exceed double's 2^53 mantissa — a float64 detour
+    * would mis-snap near ties), then the same bounded gather runs. */
+  def interpNearest(dim: String, target: Array[Long]): XbeamDataset = {
+    val src = interpCoordTime(dim, target)
+    val m = target.length
+    val idx = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val tc = target(j)
+      val hit = java.util.Arrays.binarySearch(src, tc)
+      idx(j) =
+        if (hit >= 0) hit
+        else {
+          val ins = -hit - 1
+          if (tc - src(ins - 1) <= src(ins) - tc) ins - 1 else ins
+        }
+      j += 1
+    }
+    interpGather(dim, NdArray.fromLongs(DType.TimeNs, Array(m), target),
+      idx, idx, new Array[Double](m))
+  }
+
+  /** [[interpLinear]] on a datetime64 coordinate: bracketing in exact
+    * LONG epoch-ns space; the weight divides the two small interval
+    * DIFFERENCES (exact as doubles), never the absolute epoch value. */
+  def interpLinear(dim: String, target: Array[Long]): XbeamDataset = {
+    val src = interpCoordTime(dim, target)
+    val m = target.length
+    val i0 = new Array[Int](m)
+    val i1 = new Array[Int](m)
+    val wgt = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val tc = target(j)
+      val hit = java.util.Arrays.binarySearch(src, tc)
+      if (hit >= 0) { i0(j) = hit; i1(j) = hit; wgt(j) = 0.0 }
+      else {
+        val ins = -hit - 1
+        i0(j) = ins - 1
+        i1(j) = ins
+        wgt(j) = (tc - src(ins - 1)).toDouble / (src(ins) - src(ins - 1)).toDouble
+      }
+      j += 1
+    }
+    interpGather(dim, NdArray.fromLongs(DType.TimeNs, Array(m), target),
+      i0, i1, wgt)
+  }
+
+  /** The datetime twin of [[interpCoord]]: validated strictly
+    * increasing epoch-ns coordinate with the in-range check. */
+  private def interpCoordTime(dim: String, target: Array[Long]): Array[Long] = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"interp needs a coordinate on $dim"))
+    require(coord.dtype == DType.TimeNs,
+      s"time interp needs a datetime64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val src = coord.toLongs
+    val n = src.length
+    require(n >= 2 && src.sliding(2).forall(p => p(0) < p(1)),
+      s"interp requires a strictly increasing coordinate on $dim")
+    require(target.length >= 1, "interp needs at least one target position")
+    target.foreach(tc => require(tc >= src(0) && tc <= src(n - 1),
+      s"interp target $tc outside coordinate range [${src(0)}, ${src(n - 1)}]"))
+    src
   }
 
   def interpLinear(dim: String, target: Array[Double]): XbeamDataset = {
@@ -2939,17 +3009,19 @@ final class XbeamDataset private (
       }
       j += 1
     }
-    interpGather(dim, target, i0, i1, wgt)
+    interpGather(dim, NdArray.fromDoubles(DType.F64, Array(m), target),
+      i0, i1, wgt)
   }
 
   /** The shared bounded gather of the interp modes: each source chunk
     * ships only the rows some output chunk needs (≤ 2 per target), one
     * keyed shuffle; output rows assemble as (1−w)·row(i0) + w·row(i1)
-    * (w = 0 → a pure gather). */
-  private def interpGather(dim: String, target: Array[Double],
+    * (w = 0 → a pure gather). `outCoord` becomes the dim's new
+    * coordinate (float64 grids and datetime64 targets both pass here). */
+  private def interpGather(dim: String, outCoord: NdArray,
                            i0: Array[Int], i1: Array[Int],
                            wgt: Array[Double]): XbeamDataset = {
-    val m = target.length
+    val m = outCoord.shape(0)
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m
@@ -3051,7 +3123,7 @@ final class XbeamDataset private (
       template.vars.map { case (nm, vs) =>
         nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
       },
-      (template.coords - d) + (d -> NdArray.fromDoubles(DType.F64, Array(m), target)),
+      (template.coords - d) + (d -> outCoord),
       template.attrs)
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }

@@ -2889,6 +2889,46 @@ object XbeamQueries {
                (CAST(rank() OVER (PARTITION BY x ORDER BY vf) AS DOUBLE)
                  + (CAST(count(*) OVER (PARTITION BY x, vf) AS DOUBLE) - 1) / 2)
                / CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) AS vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x102
+    // Linear interp on a DATETIME coordinate (xarray interp(time=...,
+    // method="linear") — resampling observations onto half-step
+    // timestamps): x44's bounded gather, but bracketing and weights
+    // resolve in exact LONG epoch-ns arithmetic (epoch ns exceed
+    // double's 2^53 mantissa — a float64 detour would mis-bracket).
+    // Midpoint targets make every weight exactly 0.5, so outputs are
+    // dyadic midpoints both engines compute bit-equal.
+    QueryDef(
+      "x102_interp_time",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val targets = Array.tabulate(tSize - 1)(i =>
+          baseNs + i * stepNs + stepNs / 2)
+        TabularBridge.toDataFrame(withCoord.interpLinear("t", targets))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        nxt AS (SELECT t, x,
+                       CAST(uid AS DOUBLE) AS u0, CAST(vf AS DOUBLE) AS v0,
+                       lead(CAST(uid AS DOUBLE)) OVER w AS u1,
+                       lead(CAST(vf AS DOUBLE)) OVER w AS v1
+                FROM grid
+                WINDOW w AS (PARTITION BY x ORDER BY t))
+        SELECT t, x,
+               (1 - 0.5) * u0 + 0.5 * u1 AS uid,
+               (1 - 0.5) * v0 + 0.5 * v1 AS vf
+        FROM nxt WHERE u1 IS NOT NULL
+        ORDER BY t, x"""))
   )
 }

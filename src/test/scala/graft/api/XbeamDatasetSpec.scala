@@ -2135,6 +2135,41 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(ds1.thin("t", 1) eq ds1)
   }
 
+  test("interp on datetime coords brackets in exact long epoch-ns") {
+    // 2020 epoch base (~1.58e18 ns > 2^53): a float64 detour would
+    // round the coords and mis-bracket; long-space search cannot
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(4),
+      Array(0L, 10L, 14L, 20L).map(base + _))
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(0.0, 100, 10, 110, 14, 114, 20, 120))
+    for (ch <- Seq(2, 4)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+        chunks = Map("t" -> ch))
+      val li = ds.interpLinear("t", Array(5L, 11L, 14L).map(base + _))
+      assert(li.template.coords("t").dtype == DType.TimeNs)
+      assert(li.template.coords("t").toLongs.toSeq ==
+        Seq(5L, 11L, 14L).map(base + _))
+      val got = li.collectConsolidated()._2.vars("v").arr
+      assert(got.getDouble(0) == 5.0 && got.getDouble(1) == 105.0) // w=.5
+      assert(got.getDouble(2) == 11.0 && got.getDouble(3) == 111.0) // w=.25
+      assert(got.getDouble(4) == 14.0 && got.getDouble(5) == 114.0) // hit
+      // nearest: 11 snaps down to 10; the exact midpoint 12 ties LOWER
+      val ne = ds.interpNearest("t", Array(11L, 12L, 13L).map(base + _))
+        .collectConsolidated()._2.vars("v").arr
+      assert(ne.getDouble(0) == 10.0 && ne.getDouble(2) == 10.0 &&
+        ne.getDouble(4) == 14.0)
+    }
+    // out-of-range and non-datetime coords are rejected loudly
+    assertThrows[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+        chunks = Map("t" -> 2)).interpLinear("t", Array(base - 1L))
+    }
+  }
+
   test("coarsen boundary=pad NaN-extends the ragged tail window") {
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
       Array.tabulate(20)(_.toDouble))
