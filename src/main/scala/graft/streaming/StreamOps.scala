@@ -462,6 +462,140 @@ object StreamOps {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM ev
         WHERE hour_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
-        GROUP BY 1, 2 ORDER BY hour_start_us, c_mktsegment"""))
+        GROUP BY 1, 2 ORDER BY hour_start_us, c_mktsegment""")),
+
+    // ---------------------------------------------------------------- s07
+    // Streaming ingestion INTO the array store — the missing bridge
+    // between the streaming surface and the chunk engine: micro-batches
+    // of events land as aligned region writes in a driver-templated
+    // zarr store (the reference's eager-template ChunksToZarr contract,
+    // zarr.py:637-821, fed by a stream instead of a batch scan). The
+    // hour axis is templated up front from the table's time bounds;
+    // the source arrives as four chunk-aligned hour-range files
+    // (maxFilesPerTrigger=1 → four micro-batches); each batch
+    // aggregates ITS hour range, densifies zero-event hours, and
+    // region-writes whole chunks at absolute offsets — idempotent under
+    // replay, no cross-batch write ever touches the same chunk. The
+    // gate then reads the store back as the verification scan.
+    QueryDef(
+      "s07_stream_zarr_ingest",
+      (s, dir) => {
+        import graft.api.{TabularBridge, XbeamDataset}
+        import graft.core.{ArrayChunk, ChunkKey}
+        import graft.ndarray.DType
+        import graft.operators.ChunkTransforms.{Pair, pairEnc}
+        val ev = graft.queries.Tables.loadEvents(s, s"$dir/events.parquet")
+        // plan-time template bounds, exactly like a zarr template
+        val bounds = ev.agg(
+          unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+          unix_micros(date_trunc("hour", max(col("ts")))).as("hi")).head()
+        val h0us = bounds.getLong(0)
+        val hours = (bounds.getLong(1) - h0us) / 3600000000L + 1
+        val chunk = 16
+        val fileSpan = ((hours + 3) / 4 + chunk - 1) / chunk * chunk // aligned
+        val sfName = new java.io.File(dir).getName
+        val scratch = java.nio.file.Paths.get("target", "stream_zarr",
+          "src_" + sfName).toAbsolutePath
+        val store = java.nio.file.Paths.get("target", "stream_zarr",
+          "store_" + sfName).toAbsolutePath.toString
+        def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        rmTree(scratch)
+        rmTree(java.nio.file.Paths.get(store))
+        java.nio.file.Files.createDirectories(scratch)
+        // four chunk-aligned hour-range source files, written in order
+        val withHour = ev.select(
+          // `div`, not `/`: Column./ is FLOAT division and would write
+          // the hour index as DOUBLE into the stream source files
+          expr(s"(unix_micros(date_trunc('hour', ts)) - ${h0us}L) div 3600000000")
+            .as("hour"),
+          col("value"))
+        (0 until 4).foreach { k =>
+          val part = withHour
+            .filter(col("hour") >= k * fileSpan && col("hour") < (k + 1) * fileSpan)
+            .withColumn("part", lit(k.toLong))
+          val tmp = scratch.resolve(s"_tmp$k")
+          part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val f = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
+          rmTree(tmp)
+        }
+        // eager store setup: metadata + template only, zero chunk writes
+        val template = graft.core.Template(
+          Seq("hour" -> hours),
+          Map("n_events" -> graft.core.VarSpec(Seq("hour"), DType.I64),
+            "sum_value" -> graft.core.VarSpec(Seq("hour"), DType.F64)),
+          Map.empty, Map.empty)
+        XbeamDataset.fromPairs(s, template, Map("hour" -> chunk),
+          s.emptyDataset[Pair], validate = false).toZarr(store)
+        // the stream: one micro-batch per file, each region-writes its
+        // own aligned hour span
+        val sschema = StructType(Seq(
+          StructField("hour", LongType), StructField("value", DoubleType),
+          StructField("part", LongType)))
+        val stream = s.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", 1).parquet(scratch.toString)
+        val name = "s07_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            if (!bdf.isEmpty) {
+              val ks = bdf.select(col("part")).distinct().collect().map(_.getLong(0))
+              require(ks.length == 1,
+                s"one source file per micro-batch expected, got parts ${ks.toSeq}")
+              val lo = ks.head * fileSpan
+              val hi = math.min(lo + fileSpan, hours)
+              val agg = bdf.groupBy(col("hour"))
+                .agg(count(lit(1)).as("n_events"),
+                  sum(col("value").cast("decimal(18,6)")).cast("double")
+                    .as("sum_value"))
+              // densify: zero-event hours in this span still own cells
+              val dense = s.range(lo, hi).toDF("hour")
+                .join(agg, Seq("hour"), "left")
+                .na.fill(0L, Seq("n_events")).na.fill(0.0, Seq("sum_value"))
+                .withColumn("hour", col("hour") - lo)
+              val local = TabularBridge.fromDataFrame(dense, s,
+                dims = Seq("hour" -> (hi - lo)),
+                vars = Seq("n_events" -> DType.I64, "sum_value" -> DType.F64),
+                chunks = Map("hour" -> chunk))
+              val shifted = local.chunkDataset.map { p: Pair =>
+                (p._1.copy(offsets = p._1.offsets +
+                  ("hour" -> (p._1.offsets.getOrElse("hour", 0L) + lo))), p._2)
+              }
+              XbeamDataset.fromPairs(s, template, Map("hour" -> chunk),
+                shifted, validate = false).toZarr(store, needsSetup = false)
+            }
+          }
+          .start()
+        try q.awaitTermination()
+        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+          catch { case _: Throwable => () } }
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("hour")
+      },
+      Some("""
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          CAST(date_diff('hour', date_trunc('hour', min(ts)),
+                                         date_trunc('hour', max(ts))) AS BIGINT) + 1 AS n
+                   FROM events),
+        agg AS (SELECT CAST(date_diff('hour', (SELECT h0 FROM b),
+                                      date_trunc('hour', ts)) AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                FROM events GROUP BY 1),
+        hours AS (SELECT unnest(range((SELECT n FROM b))) AS hour)
+        SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
+               COALESCE(sum_value, 0.0) AS sum_value
+        FROM hours LEFT JOIN agg ON hours.hour = agg.hour
+        ORDER BY hours.hour"""))
   )
 }
