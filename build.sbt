@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
+  // 170 oracle queries × whole-stage codegen overflow the JDK default
+  // 240 MB JIT code cache mid-suite; once it fills, C2 stops compiling
+  // and late-suite queries run partially interpreted (measured: the
+  // same query ~1.5x slower in-suite than isolated). Size it so the
+  // whole suite stays compiled.
+  "-XX:ReservedCodeCacheSize=768m",
 )

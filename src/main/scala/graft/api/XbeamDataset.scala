@@ -561,6 +561,44 @@ final class XbeamDataset private (
     }
   }
 
+  /** Drop the listed coordinate labels along `dim` (xarray
+    * `drop_sel(dim=[...])` — the complement of label selection): the
+    * kept label set resolves PLAN-TIME from the template coordinate
+    * and lowers to [[reindex]]'s exact-label gather — one bounded
+    * co-partitioned shuffle, never a filter over data. Labels absent
+    * from the coordinate are rejected (xarray's KeyError). */
+  def dropSel(dim: String, labels: Array[Double]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"drop_sel needs a coordinate on $dim"))
+    require(coord.dtype == DType.F64,
+      s"drop_sel needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val have = coord.toDoubles
+    val haveSet = have.toSet
+    labels.foreach(l => require(haveSet(l),
+      s"drop_sel label $l not found in the $dim coordinate"))
+    val drop = labels.toSet
+    val kept = have.filterNot(drop)
+    require(kept.nonEmpty, s"drop_sel would drop every $dim label")
+    reindex(dim, kept)
+  }
+
+  /** Multi-dim rolling window for the SEPARABLE reductions (xarray
+    * `rolling(t=a, x=b).sum()/min()/max()`): a rectangle's sum is the
+    * row-sums summed and its extremum the row-extrema reduced, so the
+    * 2-D (or N-D) window composes the 1-D halo [[rolling]] once per
+    * dim — each pass exchanges only its own halo slivers. Non-separable
+    * kinds (mean/var/std — a truncated edge window's mean-of-means is
+    * not the rectangle mean) are rejected; divide a sum by the window
+    * area when full windows are what you need. */
+  def rollingNd(windows: Map[String, Int], op: String): XbeamDataset = {
+    require(windows.nonEmpty, "rollingNd needs at least one dim")
+    require(Set("sum", "min", "max")(op),
+      s"rollingNd supports the separable kinds sum|min|max, got $op " +
+        "(mean/var/std do not compose across dims at truncated edges)")
+    windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
+  }
+
   /** Reorder along `dim` by its coordinate's values (xarray `sortby`):
     * the permutation is plan-time metadata (coords live in the
     * template), so this lowers to [[reindex]]'s label gather — each

@@ -2929,6 +2929,59 @@ object XbeamQueries {
                (1 - 0.5) * u0 + 0.5 * u1 AS uid,
                (1 - 0.5) * v0 + 0.5 * v1 AS vf
         FROM nxt WHERE u1 IS NOT NULL
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x103
+    // drop_sel (xarray label-drop, the complement of sel): labels
+    // {3, 7, 11} leave the t coordinate plan-time and the kept set
+    // lowers to reindex's exact-label gather — one bounded shuffle, no
+    // filter ever runs over data. Output keys re-origin densely (the
+    // oracle's dense_rank).
+    QueryDef(
+      "x103_drop_sel",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(_.toDouble))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> coord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(
+          withCoord.dropSel("t", Array(3.0, 7.0, 11.0)))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        kept AS (SELECT * FROM grid WHERE t NOT IN (3, 7, 11))
+        SELECT CAST(dense_rank() OVER (ORDER BY t) - 1 AS BIGINT) AS t,
+               x, CAST(uid AS DOUBLE) AS uid, vf
+        FROM kept ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x104
+    // Multi-dim rolling window, separable composition (xarray
+    // rolling(t=3, x=3).sum()): the 3×3 rectangle sum is the t-pass
+    // row-sums summed by the x-pass — two 1-D halo exchanges, each
+    // moving only its own 2-sliver halos, never a 2-D neighborhood
+    // shuffle. Truncated edge windows compose exactly for sum.
+    QueryDef(
+      "x104_rolling_2d",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).rollingNd(Map("t" -> 3, "x" -> 3), "sum"))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        r1 AS (SELECT t, x,
+                      sum(CAST(uid AS DOUBLE)) OVER w AS u1,
+                      sum(vf) OVER w AS v1
+               FROM grid
+               WINDOW w AS (PARTITION BY x ORDER BY t
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        SELECT t, x,
+               sum(u1) OVER w2 AS uid, sum(v1) OVER w2 AS vf
+        FROM r1
+        WINDOW w2 AS (PARTITION BY t ORDER BY x
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         ORDER BY t, x"""))
   )
 }

@@ -2135,6 +2135,40 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(ds1.thin("t", 1) eq ds1)
   }
 
+  test("dropSel drops labels via the reindex gather; rollingNd composes") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(6, 4),
+      Array.tabulate(24)(_.toDouble))
+    val coord = NdArray.fromDoubles(DType.F64, Array(6),
+      Array.tabulate(6)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 3))
+    val kept = ds.dropSel("t", Array(1.0, 4.0))
+    assert(kept.template.dimSizes("t") == 4)
+    assert(kept.template.coords("t").toDoubles.toSeq == Seq(0.0, 2, 3, 5))
+    val got = kept.collectConsolidated()._2.vars("v").arr
+    for ((srcT, outT) <- Seq(0, 2, 3, 5).zipWithIndex; x <- 0 until 4)
+      assert(got.getDouble(outT * 4 + x) == vals.getDouble(srcT * 4 + x))
+    // unknown labels and total drops are rejected
+    assertThrows[IllegalArgumentException](ds.dropSel("t", Array(9.0)))
+    assertThrows[IllegalArgumentException](
+      ds.dropSel("t", Array(0.0, 1, 2, 3, 4, 5)))
+    // rollingNd: 2x2 rectangle sum == hand sum over the truncated window
+    val r = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+      .rollingNd(Map("t" -> 2, "x" -> 2), "sum")
+      .collectConsolidated()._2.vars("v").arr
+    for (t <- 0 until 6; x <- 0 until 4) {
+      val want = (math.max(0, t - 1) to t).flatMap(tt =>
+        (math.max(0, x - 1) to x).map(xx => vals.getDouble(tt * 4 + xx))).sum
+      assert(r.getDouble(t * 4 + x) == want, s"t=$t x=$x")
+    }
+    // non-separable kinds are rejected loudly
+    val e = intercept[IllegalArgumentException](
+      ds.rollingNd(Map("t" -> 2, "x" -> 2), "mean"))
+    assert(e.getMessage.contains("separable"))
+  }
+
   test("interp on datetime coords brackets in exact long epoch-ns") {
     // 2020 epoch base (~1.58e18 ns > 2^53): a float64 detour would
     // round the coords and mis-bracket; long-space search cannot
