@@ -2648,6 +2648,72 @@ final class XbeamDataset private (
       Vector.empty)
   }
 
+  /** Grouped anomaly (xarray `ds.groupby(coord) − ds.groupby(coord)
+    * .mean()` — de-seasonalization, the canonical climate normalizer):
+    * each position subtracts ITS group's mean. One partial shuffle
+    * builds the per-group means ([[groupbyCoordMean]]), which are small
+    * by construction (groups are seasons/months/classes) and broadcast;
+    * the subtraction is then chunk-local — the full dataset never
+    * reshuffles. The original dim, chunking, and coordinate survive. */
+  def groupbyCoordAnomaly(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(!splitVars, "groupbyCoordAnomaly needs whole-variable chunks " +
+      "(consolidate variables first)")
+    val (bucketOf, _) = coordGroups(dim)
+    val reduced = groupbyCoordMean(dim, skipna)
+    val threshold = spark.conf
+      .get("spark.graft.zipReduced.broadcastBytes", (512L << 20).toString).toLong
+    require(reduced.template.nbytes <= threshold,
+      s"grouped means (${reduced.template.nbytes} B) exceed " +
+        s"spark.graft.zipReduced.broadcastBytes=$threshold — a group axis " +
+        "this large wants the co-partitioned run-split zip; rechunk or " +
+        "raise the bound")
+    val d = dim
+    // (cross-dim key, group) -> that group's mean chunk
+    val meansByKey: Map[(String, Long), ArrayChunk] =
+      reduced.chunkDataset.collect().map { case (k, c) =>
+        (ChunkKey(k.offsets - d, None).canonical,
+          k.offsets.getOrElse(d, 0L)) -> c
+      }.toMap
+    val bcMeans = spark.sparkContext.broadcast(meansByKey)
+    val bcGroups = spark.sparkContext.broadcast(bucketOf)
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+    })
+    withPlan(merged, chunkSizes, splitVars, chunkDataset.map { p: Pair =>
+      val (key, chunk) = p
+      val groups = bcGroups.value
+      val off = key.offsets.getOrElse(d, 0L).toInt
+      val crossKey = ChunkKey(key.offsets - d, None).canonical
+      (key, ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          val ext = va.arr.shape(ax)
+          val out = NdArray.zeros(DType.F64, va.arr.shape)
+          val crossAxes = (0 until va.arr.ndim).filter(_ != ax).toArray
+          var i0 = 0
+          while (i0 < ext) { // equal-group runs subtract one mean slice
+            val g = groups(off + i0)
+            var i1 = i0 + 1
+            while (i1 < ext && groups(off + i1) == g) i1 += 1
+            val mc = bcMeans.value.getOrElse((crossKey, g.toLong),
+              throw new IllegalStateException(
+                s"no grouped mean covers ($crossKey, group $g)"))
+            val mv = mc.vars(n).arr // extent 1 at ax: squeeze for broadcast
+            val meanSq = NdArray(mv.dtype,
+              crossAxes.map(va.arr.shape), mv.data)
+            val st = Array.fill(va.arr.ndim)(0); st(ax) = i0
+            val ln = va.arr.shape.clone(); ln(ax) = i1 - i0
+            out.insert(st,
+              va.arr.slice(st, ln).zipBroadcastF64(meanSq, crossAxes)(_ - _))
+            i0 = i1
+          }
+          n -> VarArray(va.dims, out)
+        }
+      }))
+    })
+  }
+
   /** Plan-time group resolution for [[groupbyCoordMean]]: each position
     * along `dim` maps to the index of its coordinate value in the
     * sorted-distinct value list; that list (original dtype) becomes the

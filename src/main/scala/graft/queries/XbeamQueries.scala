@@ -2982,6 +2982,37 @@ object XbeamQueries {
         FROM r1
         WINDOW w2 AS (PARTITION BY t ORDER BY x
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x105
+    // Grouped anomaly (xarray ds.groupby(coord) − .groupby(coord)
+    // .mean() — de-seasonalization): x95's interleaved t-mod-7 groups;
+    // one partial shuffle builds the 7 group means, they broadcast, and
+    // every position subtracts its own group's mean chunk-locally — the
+    // grid never reshuffles. The oracle spells the identical sum/count
+    // division and subtraction, so doubles round the same way.
+    QueryDef(
+      "x105_groupby_anomaly",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 7).toLong))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> seasons)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(withCoord.groupbyCoordAnomaly("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        gm AS (SELECT t % 7 AS g, x,
+                      CAST(sum(uid) AS DOUBLE) / count(*) AS mu,
+                      sum(vf) / count(*) AS mv
+               FROM grid GROUP BY t % 7, x)
+        SELECT t, grid.x AS x,
+               CAST(uid AS DOUBLE) - mu AS uid, vf - mv AS vf
+        FROM grid JOIN gm ON gm.g = grid.t % 7 AND gm.x = grid.x
         ORDER BY t, x"""))
   )
 }

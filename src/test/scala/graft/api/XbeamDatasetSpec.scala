@@ -2076,6 +2076,37 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NaN"))
   }
 
+  test("groupbyCoordAnomaly subtracts each position's group mean") {
+    val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(_.toDouble))
+    def gmean(g: Long, x: Int): Double = {
+      val m = (0 until 10).filter(groups(_) == g)
+        .map(t => vals.getDouble(t * 2 + x))
+      m.sum / m.length
+    }
+    for (ch <- Seq(3, 4, 10)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)),
+        coords = Map("t" -> NdArray.fromLongs(DType.I64, Array(10), groups)),
+        chunks = Map("t" -> ch))
+      val an = ds.groupbyCoordAnomaly("t")
+      // dim, chunking, and coordinate survive
+      assert(an.template.dimSizes("t") == 10)
+      assert(an.template.coords("t").toLongs.toSeq == groups.toSeq)
+      val got = an.collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until 10; x <- 0 until 2)
+        assert(got.getDouble(t * 2 + x) ==
+          vals.getDouble(t * 2 + x) - gmean(groups(t), x), s"ch=$ch t=$t")
+      // each group's anomalies sum to ~0 (exact 0 here: dyadic means)
+      for (g <- 0 until 3; x <- 0 until 2) {
+        val sum = (0 until 10).filter(groups(_) == g)
+          .map(t => got.getDouble(t * 2 + x)).sum
+        assert(math.abs(sum) < 1e-9)
+      }
+    }
+  }
+
   test("groupbyCoordMedian/Quantile: exact order stats per group") {
     // group 0 holds rows {0,2,5,8}, group 1 {1,4,7,9}, group 2 {3,6}
     val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
