@@ -608,10 +608,17 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"sortby needs a coordinate on $dim"))
-    require(coord.dtype == DType.F64,
-      s"sortby needs a float64 coordinate on $dim, got ${coord.dtype.zarr}")
-    val labels = coord.toDoubles.sorted
-    reindex(dim, if (descending) labels.reverse else labels)
+    coord.dtype match {
+      case DType.F64 =>
+        val labels = coord.toDoubles.sorted
+        reindex(dim, if (descending) labels.reverse else labels)
+      case DType.I64 | DType.TimeNs => // exact long-label permutation
+        val labels = coord.toLongs.sorted
+        reindex(dim, if (descending) labels.reverse else labels)
+      case other => throw new IllegalArgumentException(
+        s"sortby needs a float64/int64/datetime64 coordinate on $dim, " +
+          s"got ${other.zarr}")
+    }
   }
 
   /** Elementwise conveniences (xarray `fillna` / `clip` / `where`) —
@@ -3308,6 +3315,86 @@ final class XbeamDataset private (
         s"unknown reindex method $other " +
           "(exact/nearest/ffill/pad/bfill/backfill)")
     }
+    reindexGather(dim, posOf,
+      NdArray.fromDoubles(DType.F64, Array(m), target))
+  }
+
+  /** [[reindex]] onto integer or datetime64 labels (xarray
+    * `reindex(time=[...])`): exact-match alignment in LONG label space
+    * (epoch ns exceed double's 2^53 mantissa). Misses fill NaN. */
+  def reindex(dim: String, target: Array[Long]): XbeamDataset =
+    reindex(dim, target, "exact", Long.MaxValue)
+
+  /** [[reindex(dim:String,target:Array[Long])*]] with a fill method and
+    * tolerance (both in the coordinate's own integer units — ns for
+    * datetime64 coords). */
+  def reindex(dim: String, target: Array[Long], method: String,
+              tolerance: Long): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"reindex needs a coordinate on $dim"))
+    require(coord.dtype == DType.I64 || coord.dtype == DType.TimeNs,
+      s"long-label reindex needs an int64/datetime64 coordinate on $dim, " +
+        s"got ${coord.dtype.zarr}")
+    template.vars.foreach { case (n, vs) =>
+      require(vs.dims.contains(dim),
+        s"reindex($dim): variable $n does not span $dim (drop it first)")
+    }
+    val src = coord.toLongs
+    val byLabel = src.zipWithIndex.toMap
+    require(byLabel.size == src.length,
+      s"reindex requires distinct coordinate labels on $dim")
+    val m = target.length
+    require(m >= 1, "reindex needs at least one target label")
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val posOf: Array[Int] = method match {
+      case "exact" =>
+        target.map(l => byLabel.getOrElse(l, -1))
+      case "nearest" | "ffill" | "pad" | "bfill" | "backfill" =>
+        var i = 1
+        while (i < src.length) {
+          require(src(i - 1) < src(i),
+            s"reindex(method=$method) needs a strictly increasing " +
+              s"coordinate on $dim")
+          i += 1
+        }
+        target.map { l =>
+          var lo = 0
+          var hi = src.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (src(mid) < l) lo = mid + 1 else hi = mid
+          }
+          val j = lo
+          val pick = method match {
+            case "ffill" | "pad" =>
+              if (j < src.length && src(j) == l) j else j - 1
+            case "bfill" | "backfill" => j
+            case _ => // nearest: midpoint ties take the lower label
+              if (j >= src.length) src.length - 1
+              else if (j == 0 || src(j) == l) j
+              else if (l - src(j - 1) <= src(j) - l) j - 1
+              else j
+          }
+          if (pick < 0 || pick >= src.length) -1
+          // distance in exact long space; tolerance in the same units
+          else if (math.abs(src(pick) - l) > tolerance) -1
+          else pick
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown reindex method $other " +
+          "(exact/nearest/ffill/pad/bfill/backfill)")
+    }
+    reindexGather(dim, posOf,
+      NdArray.fromLongs(coord.dtype, Array(m), target))
+  }
+
+  /** The shared gather behind the [[reindex]] label flavors: `posOf(j)`
+    * names target j's resolved source position (−1 = NaN fill), and
+    * `outCoord` becomes the dim's new coordinate. */
+  private def reindexGather(dim: String, posOf: Array[Int],
+                            outCoord: NdArray): XbeamDataset = {
+    val m = outCoord.shape(0)
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m
@@ -3437,7 +3524,7 @@ final class XbeamDataset private (
       template.vars.map { case (nm, vs) =>
         nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
       },
-      (template.coords - d) + (d -> NdArray.fromDoubles(DType.F64, Array(m), target)),
+      (template.coords - d) + (d -> outCoord),
       template.attrs)
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }

@@ -3013,6 +3013,42 @@ object XbeamQueries {
         SELECT t, grid.x AS x,
                CAST(uid AS DOUBLE) - mu AS uid, vf - mv AS vf
         FROM grid JOIN gm ON gm.g = grid.t % 7 AND gm.x = grid.x
-        ORDER BY t, x"""))
+        ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x106
+    // reindex on DATETIME labels (xarray reindex(time=[...])): exact
+    // alignment in long epoch-ns space — odd targets sit 1 ns off the
+    // coordinate (a distinction DuckDB timestamps, µs-grained, cannot
+    // even represent) and must MISS into the NaN fill, which a float64
+    // label detour would wrongly hit (epoch ns round past 2^53). Even
+    // targets gather their rows exactly.
+    QueryDef(
+      "x106_reindex_time",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit, nanvl}
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val targets = Array.tabulate(tSize)(j =>
+          baseNs + j * stepNs + (if (j % 2 == 1) 1L else 0L))
+        TabularBridge.toDataFrame(withCoord.reindex("t", targets))
+          .select(col("t"), col("x"),
+            nanvl(col("uid"), lit(-1.0)).as("uid"),
+            nanvl(col("vf"), lit(-1.0)).as("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CASE WHEN t % 2 = 0 THEN CAST(uid AS DOUBLE) ELSE -1.0 END AS uid,
+               CASE WHEN t % 2 = 0 THEN vf ELSE -1.0 END AS vf
+        FROM grid ORDER BY t, x"""))
   )
 }

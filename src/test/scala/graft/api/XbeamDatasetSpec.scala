@@ -2166,6 +2166,39 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(ds1.thin("t", 1) eq ds1)
   }
 
+  test("reindex on long/datetime labels; sortby on integer coords") {
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(4),
+      Array(0L, 10L, 14L, 20L).map(base + _))
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(0.0, 100, 10, 110, 14, 114, 20, 120))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 2))
+    // exact: hits gather, misses fill NaN; coord dtype survives
+    val ex = ds.reindex("t", Array(10L, 11L, 20L).map(base + _))
+    assert(ex.template.coords("t").dtype == DType.TimeNs)
+    val exArr = ex.collectConsolidated()._2.vars("v").arr
+    assert(exArr.getDouble(0) == 10.0 && exArr.getDouble(2).isNaN &&
+      exArr.getDouble(4) == 20.0)
+    // nearest with an exact-ns tolerance window
+    val ne = ds.reindex("t", Array(11L, 17L).map(base + _), "nearest", 2L)
+      .collectConsolidated()._2.vars("v").arr
+    assert(ne.getDouble(0) == 10.0) // 11 -> 10 (distance 1 <= 2)
+    assert(ne.getDouble(2).isNaN)   // 17 -> nearest 20 at distance 3 > 2
+    // sortby on an integer coordinate (descending)
+    val ic = NdArray.fromLongs(DType.I64, Array(3), Array(30L, 10L, 20L))
+    val vi = NdArray.fromDoubles(DType.F64, Array(3, 2),
+      Array(1.0, 2, 3, 4, 5, 6))
+    val sorted = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vi)), coords = Map("t" -> ic),
+      chunks = Map("t" -> 2)).sortby("t", descending = true)
+    assert(sorted.template.coords("t").toLongs.toSeq == Seq(30L, 20L, 10L))
+    assert(sorted.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(1.0, 2, 5, 6, 3, 4))
+  }
+
   test("dropSel drops labels via the reindex gather; rollingNd composes") {
     val vals = NdArray.fromDoubles(DType.F64, Array(6, 4),
       Array.tabulate(24)(_.toDouble))

@@ -299,6 +299,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "non-aligned thin must consolidate in exactly one exchange")
     assert(exchanges(ds.coarsen(Map("t" -> 2), "mean", boundary = "trim")) == base,
       "trim coarsen must not shuffle")
+    // coordinate groupby: partials shuffle exactly once; grouped anomaly
+    // broadcasts the (plan-time-collected) means and subtracts map-only
+    val coord2 = NdArray.fromLongs(graft.ndarray.DType.I64, Array(10),
+      Array.tabulate(10)(i => (i % 3).toLong))
+    val dsg = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord2),
+      chunks = Map("t" -> 4))
+    assert(exchanges(dsg.groupbyCoordMean("t")) == base + 1,
+      "groupbyCoordMean must shuffle partials exactly once")
+    assert(exchanges(dsg.groupbyCoordAnomaly("t")) == base,
+      "groupbyCoordAnomaly must subtract map-only (means broadcast)")
     // merge/whereDs: exactly ONE zip exchange unites the sides
     val m = mk("v").merge(mk("w"))
     assert(exchanges(m) == base + 1, "merge must zip in exactly one exchange")
