@@ -2655,6 +2655,46 @@ final class XbeamDataset private (
       Vector.empty)
   }
 
+  /** Derive a calendar field from `dim`'s datetime64 coordinate and
+    * install it as the dim's (int64) coordinate — xarray's virtual
+    * `'time.month'` accessors. Pure plan-time metadata (the coord lives
+    * in the template; chunks are untouched), so
+    * `ds.timeField("time", "month").groupbyCoordMean("time")` is
+    * exactly `ds.groupby('time.month').mean()`, and the same
+    * composition reaches the median/quantile/reduce/anomaly flavors.
+    * Fields: `year`, `month` (1-12), `day` (1-31), `hour` (0-23),
+    * `dayofyear` (1-366), `dayofweek` (0 = Monday, xarray's
+    * convention), `season` (0 = DJF, 1 = MAM, 2 = JJA, 3 = SON). */
+  def timeField(dim: String, field: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"timeField needs a coordinate on $dim"))
+    require(coord.dtype == DType.TimeNs,
+      s"timeField needs a datetime64 coordinate on $dim, got ${coord.dtype.zarr}")
+    val derived = coord.toLongs.map { t =>
+      val ldt = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),
+        java.time.ZoneOffset.UTC)
+      field match {
+        case "year" => ldt.getYear.toLong
+        case "month" => ldt.getMonthValue.toLong
+        case "day" => ldt.getDayOfMonth.toLong
+        case "hour" => ldt.getHour.toLong
+        case "dayofyear" => ldt.getDayOfYear.toLong
+        case "dayofweek" => ldt.getDayOfWeek.getValue - 1L // Monday = 0
+        case "season" => (ldt.getMonthValue % 12) / 3L // DJF=0 MAM=1 ...
+        case other => throw new IllegalArgumentException(
+          s"unknown time field $other (year/month/day/hour/dayofyear/" +
+            "dayofweek/season)")
+      }
+    }
+    withPlan(
+      template.copy(coords = template.coords +
+        (dim -> NdArray.fromLongs(DType.I64, Array(derived.length), derived))),
+      chunkSizes, splitVars, chunkDataset)
+  }
+
   /** Grouped anomaly (xarray `ds.groupby(coord) − ds.groupby(coord)
     * .mean()` — de-seasonalization, the canonical climate normalizer):
     * each position subtracts ITS group's mean. One partial shuffle

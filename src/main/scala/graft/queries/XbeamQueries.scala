@@ -3049,6 +3049,41 @@ object XbeamQueries {
         SELECT t, x,
                CASE WHEN t % 2 = 0 THEN CAST(uid AS DOUBLE) ELSE -1.0 END AS uid,
                CASE WHEN t % 2 = 0 THEN vf ELSE -1.0 END AS vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x107
+    // Virtual calendar groupby (xarray ds.groupby('time.hour').mean()):
+    // timeField derives hour-of-day from the datetime coord PLAN-TIME
+    // (pure metadata — chunks untouched) and the 25-hour step makes the
+    // 24 hour groups fully interleaved (25 ≡ 1 mod 24), composing into
+    // the one-partial-shuffle coordinate groupby. Integer sums → exact
+    // means both engines.
+    QueryDef(
+      "x107_groupby_time_hour",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(
+          withCoord.timeField("t", "hour").groupbyCoordMean("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       hour(TIMESTAMP '2020-01-01 00:00:00'
+                            + to_hours(25 * t)) AS hr
+                FROM grid)
+        SELECT CAST(hr AS BIGINT) AS t, x,
+               CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
+               sum(vf) / count(*) AS vf
+        FROM cal GROUP BY hr, x ORDER BY t, x"""))
   )
 }

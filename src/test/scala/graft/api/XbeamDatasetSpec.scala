@@ -2076,6 +2076,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NaN"))
   }
 
+  test("timeField derives xarray's virtual calendar accessors") {
+    def ns(iso: String) = java.time.Instant.parse(iso)
+      .getEpochSecond * 1000000000L
+    // Wed Jan 1 2020, Sat Feb 29 2020 (leap), Mon Jun 15 2020 18:45,
+    // Tue Dec 1 2020
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(4), Array(
+      ns("2020-01-01T00:00:00Z"), ns("2020-02-29T12:00:00Z"),
+      ns("2020-06-15T18:45:00Z"), ns("2020-12-01T06:00:00Z")))
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 1),
+      Array(1.0, 2, 3, 4))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 2))
+    def f(field: String): Seq[Long] =
+      ds.timeField("t", field).template.coords("t").toLongs.toSeq
+    assert(f("year") == Seq(2020L, 2020, 2020, 2020))
+    assert(f("month") == Seq(1L, 2, 6, 12))
+    assert(f("day") == Seq(1L, 29, 15, 1))
+    assert(f("hour") == Seq(0L, 12, 18, 6))
+    assert(f("dayofyear") == Seq(1L, 60, 167, 336))
+    assert(f("dayofweek") == Seq(2L, 5, 0, 1)) // Monday = 0
+    assert(f("season") == Seq(0L, 0, 2, 0))    // DJF, DJF, JJA, DJF
+    // metadata only: chunks and data untouched, composition works
+    val m = ds.timeField("t", "season").groupbyCoordMean("t")
+      .collectConsolidated()._2.vars("v").arr
+    assert(m.getDouble(0) == (1.0 + 2 + 4) / 3 && m.getDouble(1) == 3.0)
+  }
+
   test("groupbyCoordAnomaly subtracts each position's group mean") {
     val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
