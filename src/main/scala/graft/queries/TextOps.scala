@@ -1149,6 +1149,53 @@ object TextOps {
         ex AS (SELECT lang, unnest(shingles) AS sg FROM sh)
         SELECT sg, CAST(count(*) AS BIGINT) AS df,
                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        FROM ex GROUP BY sg ORDER BY df DESC, sg LIMIT 20"""))
+        FROM ex GROUP BY sg ORDER BY df DESC, sg LIMIT 20""")),
+
+    // ---------------------------------------------------------------- d10
+    // Incremental dedup: a NEW batch (doc_id % 5 == 0 stands in for the
+    // nightly increment) dedups against the EXISTING corpus without
+    // re-deduping the corpus itself — the production shape, where the
+    // corpus side reduces to (fingerprint, survivor) pairs once and
+    // only fingerprints ever shuffle. A batch doc is 'dup_vs_corpus'
+    // if its content hash exists in the corpus, 'dup_in_batch' if an
+    // earlier batch doc shares it, else 'new'; survivor_id names the
+    // canonical copy in every case.
+    QueryDef(
+      "d10_dedup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", md5(lower(trim($"text"))).as("fp"))
+        val corpus = docs.filter($"doc_id" % 5 =!= 0)
+          .groupBy($"fp").agg(min($"doc_id").as("corpus_id"))
+        val batch = docs.filter($"doc_id" % 5 === 0)
+          .withColumn("batch_min",
+            min($"doc_id").over(Window.partitionBy($"fp")))
+        batch.join(corpus, Seq("fp"), "left")
+          .select($"doc_id",
+            when($"corpus_id".isNotNull, lit("dup_vs_corpus"))
+              .when($"batch_min" < $"doc_id", lit("dup_in_batch"))
+              .otherwise(lit("new")).as("verdict"),
+            when($"corpus_id".isNotNull, $"corpus_id")
+              .when($"batch_min" < $"doc_id", $"batch_min")
+              .otherwise($"doc_id").as("survivor_id"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        corpus AS (SELECT fp, min(doc_id) AS corpus_id FROM d
+                   WHERE doc_id % 5 <> 0 GROUP BY fp),
+        batch AS (SELECT doc_id, fp,
+                         min(doc_id) OVER (PARTITION BY fp) AS batch_min
+                  FROM d WHERE doc_id % 5 = 0)
+        SELECT b.doc_id,
+               CASE WHEN corpus_id IS NOT NULL THEN 'dup_vs_corpus'
+                    WHEN batch_min < b.doc_id THEN 'dup_in_batch'
+                    ELSE 'new' END AS verdict,
+               CASE WHEN corpus_id IS NOT NULL THEN corpus_id
+                    WHEN batch_min < b.doc_id THEN batch_min
+                    ELSE b.doc_id END AS survivor_id
+        FROM batch b LEFT JOIN corpus USING (fp)
+        ORDER BY b.doc_id"""))
   )
 }
