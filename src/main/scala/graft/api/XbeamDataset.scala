@@ -1442,25 +1442,48 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"idx${if (isMin) "min" else "max"} needs a coordinate on $dim"))
-    require(coord.dtype == DType.F64,
-      s"idx${if (isMin) "min" else "max"} needs a float64 coordinate on $dim, " +
-        s"got ${coord.dtype.zarr}")
-    val c = coord.toDoubles
     val touched = template.vars.filter(_._2.dims.contains(dim)).keySet
     val arg = argExtremeDim(dim, isMin, skipna)
-    val bc = spark.sparkContext.broadcast(c)
     val tn = touched
-    val mapped = arg.mapBlocks { chunk =>
-      ArrayChunk(chunk.vars.map { case (n, va) =>
-        if (!tn(n)) n -> va
-        else n -> VarArray(va.dims, va.arr.mapF64 { i =>
-          if (i < 0) Double.NaN else bc.value(i.toInt)
-        })
-      })
+    val (mapped, outDtype) = coord.dtype match {
+      case DType.F64 =>
+        val bc = spark.sparkContext.broadcast(coord.toDoubles)
+        (arg.mapBlocks { chunk =>
+          ArrayChunk(chunk.vars.map { case (n, va) =>
+            if (!tn(n)) n -> va
+            else n -> VarArray(va.dims, va.arr.mapF64 { i =>
+              if (i < 0) Double.NaN else bc.value(i.toInt)
+            })
+          })
+        }, DType.F64)
+      case dt @ (DType.I64 | DType.TimeNs) =>
+        // datetime/integer index: "when did the extreme occur" keeps
+        // the coord's own dtype; an empty cell (argmin's −1) becomes
+        // Long.MinValue — the NaT convention (integer arrays can't
+        // hold NaN)
+        val bc = spark.sparkContext.broadcast(coord.toLongs)
+        (arg.mapBlocks { chunk =>
+          ArrayChunk(chunk.vars.map { case (n, va) =>
+            if (!tn(n)) n -> va
+            else {
+              val out = NdArray.zeros(dt, va.arr.shape)
+              var i = 0L
+              while (i < va.arr.size) {
+                val p = va.arr.getLong(i)
+                out.setLong(i, if (p < 0) Long.MinValue else bc.value(p.toInt))
+                i += 1
+              }
+              n -> VarArray(va.dims, out)
+            }
+          })
+        }, dt)
+      case other => throw new IllegalArgumentException(
+        s"idx${if (isMin) "min" else "max"} needs a float64/int64/" +
+          s"datetime64 coordinate on $dim, got ${other.zarr}")
     }
-    // mapBlocks keeps the template; fix the mapped vars' dtype to F64
+    // mapBlocks keeps the template; fix the mapped vars' dtype
     val newTemplate = arg.template.copy(vars = arg.template.vars.map {
-      case (n, vs) => n -> VarSpec(vs.dims, if (tn(n)) DType.F64 else vs.dtype)
+      case (n, vs) => n -> VarSpec(vs.dims, if (tn(n)) outDtype else vs.dtype)
     })
     XbeamDataset.fromPairs(spark, newTemplate, arg.chunkSizes,
       mapped.chunkDataset, validate = false)

@@ -3084,6 +3084,45 @@ object XbeamQueries {
         SELECT CAST(hr AS BIGINT) AS t, x,
                CAST(sum(uid) AS DOUBLE) / count(*) AS uid,
                sum(vf) / count(*) AS vf
-        FROM cal GROUP BY hr, x ORDER BY t, x"""))
+        FROM cal GROUP BY hr, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x108
+    // idxmax over a DATETIME coordinate ("WHEN did each lane peak" —
+    // the climate question idxmax exists for): x57's (value, index)
+    // partial shuffle, but the winning index maps through the datetime
+    // coord and the output KEEPS datetime64 — raw epoch ns as BIGINT
+    // through the bridge, mirrored by pure integer arithmetic in the
+    // oracle (ties break to the earliest time on both sides).
+    QueryDef(
+      "x108_idxmax_time",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds0 = gridXds(s, dir)
+        val tSize = xds0.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val xds = XbeamDataset.fromPairs(s,
+          xds0.template.copy(coords = Map("t" -> timeCoord)),
+          xds0.chunkSizes, xds0.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(xds.idxmax("t"))
+          .select(col("x"), col("uid").as("uid_at_max"),
+            col("vf").as("vf_at_max"))
+          .orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        r AS (SELECT x, t,
+                row_number() OVER (PARTITION BY x ORDER BY uid DESC, t ASC) AS ru,
+                row_number() OVER (PARTITION BY x ORDER BY vf DESC, t ASC) AS rv
+              FROM grid)
+        SELECT x,
+               max(CASE WHEN ru = 1
+                   THEN 1577836800000000000 + t * 90000000000000 END) AS uid_at_max,
+               max(CASE WHEN rv = 1
+                   THEN 1577836800000000000 + t * 90000000000000 END) AS vf_at_max
+        FROM r GROUP BY x ORDER BY x"""))
   )
 }

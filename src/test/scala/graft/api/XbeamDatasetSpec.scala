@@ -1304,6 +1304,20 @@ class XbeamDatasetSpec extends AnyFunSuite {
       XbeamDataset.fromLocal(spark, Map("v" -> (Seq("t", "x"), vals)),
         chunks = Map("t" -> 2)).idxmin("t")
     }
+    // datetime coord: output keeps datetime64; empty cells are NaT
+    // (Long.MinValue — integer arrays can't hold NaN)
+    val base = java.time.Instant.parse("2020-06-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val tc = NdArray.fromLongs(DType.TimeNs, Array(3),
+      Array(base, base + 7L, base + 11L))
+    val dtds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> tc),
+      chunks = Map("t" -> 2))
+    val tmin = dtds.idxmin("t")
+    assert(tmin.template.vars("v").dtype == DType.TimeNs)
+    val tminArr = tmin.collectConsolidated()._2.vars("v").arr
+    assert(tminArr.getLong(0) == base + 7L) // min at t=1
+    assert(tminArr.getLong(1) == Long.MinValue) // all-NaN lane -> NaT
   }
 
   test("concat shifts keys by the first extent (no shuffle arithmetic)") {
