@@ -3123,6 +3123,53 @@ object XbeamQueries {
                    THEN 1577836800000000000 + t * 90000000000000 END) AS uid_at_max,
                max(CASE WHEN rv = 1
                    THEN 1577836800000000000 + t * 90000000000000 END) AS vf_at_max
-        FROM r GROUP BY x ORDER BY x"""))
+        FROM r GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- s08
+    // Stream FROM the array store (the backfill/replay pattern — an
+    // archive zarr store feeds the same streaming pipelines a live
+    // source does): the DataSourceV2 connector's MicroBatchStream
+    // serves the store 4 chunks per micro-batch under admission
+    // control, a complete-mode streaming aggregation folds the batches,
+    // and the final state must equal the batch aggregation regardless
+    // of how the chunk log was sliced. Closes the loop with s07
+    // (stream INTO the store).
+    QueryDef(
+      "s08_stream_from_zarr",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        import org.apache.spark.sql.streaming.Trigger
+        val store = zarrPath("s08", dir)
+        gridXds(s, dir).toZarr(store)
+        val stream = s.readStream.format("zarr")
+          .option("maxChunksPerTrigger", 4).load(store)
+        val agg = stream.groupBy(col("x"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("uid").cast("decimal(38,0)")).cast("double").as("sum_uid"),
+            sum(col("vf")).as("sum_vf"))
+        val name = "s08_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT x, count(*) AS n, CAST(sum(uid) AS DOUBLE) AS sum_uid,
+               sum(vf) AS sum_vf
+        FROM grid GROUP BY x ORDER BY x"""))
   )
 }

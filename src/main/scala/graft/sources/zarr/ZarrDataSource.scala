@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => streaming}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,12 +87,14 @@ class ZarrTable(path: String, coords: Boolean = false)
   override def name(): String = s"zarr:$path"
   override def schema(): StructType = ZarrTable.schemaFor(path, coords)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, coords)
+    new ZarrScanBuilder(path, coords,
+      options.getLong("maxChunksPerTrigger", 0L))
 }
 
-class ZarrScanBuilder(path: String, coords: Boolean = false)
+class ZarrScanBuilder(path: String, coords: Boolean = false,
+                      maxChunksPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -142,7 +145,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false)
 
   override def build(): Scan =
     new ZarrScan(path, store.template.dims, store.inferChunks,
-      store.arrays, required, bounds)
+      store.arrays, required, bounds, maxChunksPerTrigger)
 }
 
 /** One chunk of the store = one Spark input partition. */
@@ -150,7 +153,8 @@ case class ZarrInputPartition(offsets: Array[Long]) extends InputPartition
 
 class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int],
                metas: Map[String, Zarr.ArrayMeta], required: StructType,
-               bounds: Map[String, (Long, Long)]) extends Scan with Batch {
+               bounds: Map[String, (Long, Long)],
+               maxChunksPerTrigger: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -174,6 +178,77 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZarrReaderFactory(path, dims, chunks, metas, required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(planInputPartitions(), createReaderFactory(),
+      maxChunksPerTrigger)
+}
+
+/** Offset = number of store chunks consumed (the deterministic
+  * `iterChunkKeys` order is the log). */
+class ZarrChunkOffset(val n: Long) extends streaming.Offset {
+  override def json: String = n.toString
+  override def equals(o: Any): Boolean = o match {
+    case z: ZarrChunkOffset => z.n == n
+    case _ => false
+  }
+  override def hashCode: Int = n.hashCode
+}
+
+/** Stream a (bounded) Zarr store chunk-by-chunk — the backfill/replay
+  * pattern: an archive store feeds the same watermarked streaming
+  * pipelines live sources do, rate-limited by `maxChunksPerTrigger`
+  * chunks per micro-batch (admission control; 0 = all available). The
+  * chunk list in deterministic `iterChunkKeys` order is the log and
+  * the offset is a plain consumed-chunk count, so restarts resume
+  * exactly and every chunk is read once. Partition pruning and column
+  * pruning from the batch scan apply unchanged. */
+class ZarrMicroBatchStream(partitions: Array[InputPartition],
+                           factory: PartitionReaderFactory,
+                           maxPerTrigger: Long)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
+
+  private val total = partitions.length.toLong
+
+  override def initialOffset(): streaming.Offset = new ZarrChunkOffset(0L)
+  override def deserializeOffset(json: String): streaming.Offset =
+    new ZarrChunkOffset(json.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    if (maxPerTrigger > 0) streaming.ReadLimit.maxRows(maxPerTrigger)
+    else streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val s = start.asInstanceOf[ZarrChunkOffset].n
+    val cap = limit match {
+      case mr: streaming.ReadMaxRows => s + mr.maxRows()
+      case _ => total
+    }
+    new ZarrChunkOffset(math.min(total, cap))
+  }
+
+  override def reportLatestOffset(): streaming.Offset =
+    new ZarrChunkOffset(total)
+
+  // the store is bounded: everything is already "available now"
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] =
+    partitions.slice(start.asInstanceOf[ZarrChunkOffset].n.toInt,
+      end.asInstanceOf[ZarrChunkOffset].n.toInt)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 }
 
 /** `metas` resolves on the driver at planning time and ships with the

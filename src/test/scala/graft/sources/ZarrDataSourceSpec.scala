@@ -120,4 +120,28 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(!plan.contains("temperature"))
     assert(df.count() == 360)
   }
+
+  test("readStream over a store: rate-limited micro-batches, exact once") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = writeStore() // time=12 chunked 4 -> 3 chunks
+    val stream = spark.readStream.format("zarr")
+      .option("maxChunksPerTrigger", 1).load(dir)
+    val name = "zarr_stream_" + System.nanoTime()
+    val q = stream.groupBy(col("time"))
+      .agg(count(lit(1)).as("n"), sum(col("temperature")).as("s"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one chunk per micro-batch: 3 data-bearing batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3, s"expected 3 rate-limited batches, got $dataBatches")
+    // the folded streaming state equals the batch aggregation exactly
+    val got = spark.table(name).orderBy("time").collect()
+    val want = spark.read.format("zarr").load(dir)
+      .groupBy(col("time"))
+      .agg(count(lit(1)).as("n"), sum(col("temperature")).as("s"))
+      .orderBy("time").collect()
+    assert(got.sameElements(want))
+  }
 }
