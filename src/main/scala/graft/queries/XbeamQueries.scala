@@ -3170,6 +3170,27 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT x, count(*) AS n, CAST(sum(uid) AS DOUBLE) AS sum_uid,
                sum(vf) AS sum_vf
-        FROM grid GROUP BY x ORDER BY x"""))
+        FROM grid GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x109
+    // zarr v3 crc32c checksum codec end-to-end (the v3 spec's checksum
+    // codec, standard in sharded production stores): every chunk
+    // carries 4 trailing LE crc32c bytes, verified on every read — a
+    // flipped bit fails loudly instead of decoding silently wrong
+    // (ZarrSpec proves the corruption path; this gate proves the
+    // distributed write → re-read roundtrip under the codec).
+    QueryDef(
+      "x109_zarr_crc32c",
+      (s, dir) => {
+        val store = zarrPath("x109", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("gzip+crc"),
+          zarrFormat = 3)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf")).head("t", 9))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x"""))
   )
 }

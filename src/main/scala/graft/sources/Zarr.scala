@@ -321,6 +321,7 @@ object Zarr {
           .map(_.asText).getOrElse("/")
     }
     var compressor: Option[String] = None
+    var checksummed = false
     var shardChunks: Option[Seq[Int]] = None
     def scanCodecs(codecs: JsonNode): Unit =
       (0 until codecs.size).foreach { i =>
@@ -340,6 +341,7 @@ object Zarr {
             val bit = cfg.flatMap(c => Option(c.get("shuffle")))
               .exists(_.asText == "bitshuffle")
             compressor = Some(s"blosc:$cname" + (if (bit) ":bit" else ""))
+          case "crc32c" => checksummed = true
           case "sharding_indexed" =>
             val cfg = codecs.get(i).get("configuration")
             val cs = cfg.get("chunk_shape")
@@ -352,6 +354,8 @@ object Zarr {
         }
       }
     scanCodecs(za.get("codecs"))
+    if (checksummed)
+      compressor = Some(compressor.getOrElse("none") + "+crc")
     val dimNames = za.get("dimension_names") match {
       case null => if (shape.length == 1) Seq(name)
         else throw new IllegalArgumentException(s"array $name lacks dimension_names")
@@ -685,9 +689,12 @@ object Zarr {
         s"""{"zarr_format":3,"node_type":"group","attributes":${attrsJson(template.attrs)}}""")
     }
     val dimSizes = template.dimSizes
-    val comp = compressor.map {
-      case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
-      case c => c
+    val comp = compressor.map { c =>
+      val base = stripCrc(c) match {
+        case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
+        case x => x
+      }
+      base + (if (crcSuffixed(c)) "+crc" else "")
     }
     template.vars.foreach { case (name, spec) =>
       val shape = spec.dims.map(dimSizes)
@@ -738,6 +745,8 @@ object Zarr {
       case _ => "0"
     }
     if (zarrFormat == 2) {
+      require(!compressor.exists(crcSuffixed),
+        "the crc32c checksum codec is zarr v3 only (zarrFormat = 3)")
       val comp = compressor match {
         case Some("zlib") => """{"id":"zlib","level":1}"""
         case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
@@ -756,7 +765,7 @@ object Zarr {
         s"""{"_ARRAY_DIMENSIONS":[${dims.map(d => "\"" + d + "\"").mkString(",")}]$cfJson}""")
     } else {
       val innerCodecs = Seq("""{"name":"bytes","configuration":{"endian":"little"}}""") ++
-        (compressor match {
+        (compressor.map(stripCrc) match {
           case Some("gzip") | Some("zlib") =>
             Seq("""{"name":"gzip","configuration":{"level":1}}""")
           case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
@@ -764,9 +773,12 @@ object Zarr {
             Seq(s"""{"name":"blosc","configuration":{"cname":"${bloscCname(c)}",""" +
               s""""clevel":5,"shuffle":"$sh","typesize":${dtype.itemsize},""" +
               s""""blocksize":0}}""")
-          case None => Nil
+          case Some("none") | None => Nil
           case Some(other) => throw new IllegalArgumentException(s"unsupported compressor $other")
-        })
+        }) ++
+        // the v3 checksum codec: 4 trailing LE crc32c bytes per chunk
+        (if (compressor.exists(crcSuffixed))
+          Seq("""{"name":"crc32c"}""") else Nil)
       val codecs = shards match {
         case None => innerCodecs
         case Some(sh) =>
@@ -985,17 +997,33 @@ object Zarr {
     * self-describe their inner codec and shuffle filter, so one decode
     * path serves any blosc store regardless of write-time settings. */
   private def decodeBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] = {
-    val raw = meta.compressor match {
-      case Some("zlib") => inflate(bytes)
-      case Some("gzip") => gunzip(bytes)
+    // "+crc" marks the v3 crc32c checksum codec: 4 trailing LE bytes
+    // over the (compressed) payload, verified then stripped
+    val payload = if (meta.compressor.exists(crcSuffixed)) {
+      require(bytes.length >= 4, "crc32c chunk shorter than its checksum")
+      val body = bytes.dropRight(4)
+      val stored = java.nio.ByteBuffer.wrap(bytes, bytes.length - 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == crc32c(body),
+        "crc32c mismatch on chunk read — the store is corrupt")
+      body
+    } else bytes
+    val raw = meta.compressor.map(stripCrc) match {
+      case Some("zlib") => inflate(payload)
+      case Some("gzip") => gunzip(payload)
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
-        Blosc.decode(bytes)
+        Blosc.decode(payload)
+      case Some("none") | None => payload
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
-      case None => bytes
     }
     if (meta.bigEndian) swapEndian(raw, meta.dtype.itemsize) else raw
   }
+
+  /** Compressor-spec handling for the crc32c checksum codec: a "+crc"
+    * suffix ("gzip+crc", or bare "none+crc" for checksum-only). */
+  private def crcSuffixed(c: String): Boolean = c.endsWith("+crc")
+  private def stripCrc(c: String): String = c.stripSuffix("+crc")
 
   /** Reverse the bytes of each element in place-of-copy. */
   private def swapEndian(bytes: Array[Byte], itemsize: Int): Array[Byte] = {
@@ -1018,16 +1046,20 @@ object Zarr {
     require(!meta.bigEndian,
       "writing to big-endian stores is not supported (reads byte-swap; " +
         "a little-endian write would corrupt the array)")
-    meta.compressor match {
+    val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
         Blosc.encode(bytes, meta.dtype.itemsize, cname = bloscCname(c),
           bitShuffle = bloscBit(c))
+      case Some("none") | None => bytes
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
-      case None => bytes
     }
+    if (meta.compressor.exists(crcSuffixed))
+      body ++ java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc32c(body)).array()
+    else body
   }
 
   /** "blosc" → lz4 (numcodecs' default cname); "blosc:zstd" etc. select

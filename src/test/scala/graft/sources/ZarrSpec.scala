@@ -538,4 +538,43 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.extendDim(path, "t", 6L)
     }
   }
+
+  test("v3 crc32c checksum codec: roundtrip, corruption detection, v2 reject") {
+    val path = tmpStore()
+    val chunks = Map("t" -> 4, "x" -> 6)
+    Zarr.setupStore(path, template, chunks, Some("gzip+crc"), zarrFormat = 3)
+    // metadata advertises the codec; openStore carries it back
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "v", "zarr.json")), "UTF-8")
+    assert(json.contains("\"crc32c\""))
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.compressor.contains("gzip+crc"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+    // checksum-only (no compression) also roundtrips
+    val p2 = tmpStore()
+    Zarr.setupStore(p2, template, chunks, Some("none+crc"), zarrFormat = 3)
+    val m2 = Zarr.readArrayMeta(p2, "v")
+    assert(m2.compressor.contains("none+crc"))
+    Zarr.writeRegion(p2, "v", m2, Array(0L, 0L), data)
+    assert(Zarr.readRegion(p2, "v", m2, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+    // a flipped payload byte fails LOUDLY, never a silent wrong decode
+    val chunkFile = java.nio.file.Paths.get(p2, "v", "c", "0", "0")
+    val bytes = Files.readAllBytes(chunkFile)
+    bytes(3) = (bytes(3) ^ 0x40).toByte
+    Files.write(chunkFile, bytes)
+    val e2 = intercept[IllegalArgumentException] {
+      Zarr.readRegion(p2, "v", m2, Array(0L, 0L), Array(4, 6))
+    }
+    assert(e2.getMessage.contains("crc32c"))
+    // v2 has no checksum codec: rejected at setup
+    val e3 = intercept[IllegalArgumentException] {
+      Zarr.setupStore(tmpStore(), template, chunks, Some("gzip+crc"),
+        zarrFormat = 2)
+    }
+    assert(e3.getMessage.contains("v3"))
+  }
 }
