@@ -3140,9 +3140,17 @@ object XbeamQueries {
         import org.apache.spark.sql.functions.{col, count, lit, sum}
         import org.apache.spark.sql.streaming.Trigger
         val store = zarrPath("s08", dir)
-        gridXds(s, dir).toZarr(store)
+        val xds = gridXds(s, dir)
+        xds.toZarr(store)
+        // scale the admission limit with the store: ~8 micro-batches at
+        // any sf (each micro-batch costs ~0.5 s of scheduler overhead in
+        // local mode — a fixed small limit would mean 125 batches at
+        // sf0.1); still always >= 2 batches, so the rate-limited
+        // multi-batch path is what's exercised
+        val nChunks = ((xds.template.dimSizes("t") + 15) / 16) * ((W + 15) / 16)
+        val perTrigger = math.max(4L, nChunks / 8)
         val stream = s.readStream.format("zarr")
-          .option("maxChunksPerTrigger", 4).load(store)
+          .option("maxChunksPerTrigger", perTrigger).load(store)
         val agg = stream.groupBy(col("x"))
           .agg(count(lit(1)).as("n"),
             sum(col("uid").cast("decimal(38,0)")).cast("double").as("sum_uid"),
