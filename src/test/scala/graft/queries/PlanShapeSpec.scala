@@ -331,6 +331,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan(st).contains("Exchange"), "stack must not shuffle")
     assert(!plan(st.unstack("s", "t2", "x2", 4L)).contains("Exchange"),
       "unstack must not shuffle")
+    // the datetime-label flavors share the same gather machinery: one
+    // exchange for time interp and long reindex, zero added for the
+    // plan-time timeField coord derivation
+    locally {
+      val base = java.time.Instant.parse("2020-01-01T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      val tc = NdArray.fromLongs(graft.ndarray.DType.TimeNs, Array(8),
+        Array.tabulate(8)(i => base + i * 1000L))
+      val dst = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> tc),
+        chunks = Map("t" -> 4))
+      def exchanges(ds: XbeamDataset): Int =
+        "(?<!Reused)Exchange".r
+          .findAllIn(ds.chunkDataset.queryExecution.executedPlan.toString).size
+      val b = exchanges(dst)
+      assert(exchanges(dst.interpLinear("t",
+        Array(base + 500L, base + 2500L))) == b + 1,
+        "time interp must gather in exactly one exchange")
+      assert(exchanges(dst.reindex("t", Array(base, base + 3000L))) == b + 1,
+        "long-label reindex must gather in exactly one exchange")
+      assert(exchanges(dst.timeField("t", "hour")) == b,
+        "timeField is plan-time metadata — no added exchange")
+    }
     // nearest interp: the bounded row-sliver gather is the ONLY exchange
     val coord = NdArray.fromDoubles(DType.F64, Array(8),
       Array.tabulate(8)(_.toDouble))
