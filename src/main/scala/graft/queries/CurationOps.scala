@@ -329,6 +329,85 @@ object CurationOps {
                coalesce(eff.eff_tokens, 0) AS eff_tokens,
                CAST(raw.raw_tokens AS DOUBLE) / CAST(coalesce(eff.eff_tokens, 0) AS DOUBLE) AS inflation
         FROM raw LEFT JOIN eff ON raw.source = eff.source
-        ORDER BY raw.source"""))
+        ORDER BY raw.source""")),
+
+    // ---------------------------------------------------------------- c08
+    // The curation pipeline END-TO-END in one lineage: t08's quality
+    // verdict filters, d01's exact dedup keeps min-id survivors among
+    // the kept docs, and c05's shard-windowed packing lays the
+    // survivors into 2048-token training sequences. One narrow
+    // feature pass + one fingerprint-partitioned window + one
+    // partitioned packing window — the same three shuffles the pieces
+    // cost individually; nothing re-materializes between stages.
+    QueryDef(
+      "c08_curated_pack",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .withColumn("f", expr(
+            """element_at(transform(array(split(text, ' ')), ws -> named_struct(
+              |  'n_words', cast(size(ws) AS bigint),
+              |  'sum_wlen', cast(aggregate(ws, 0, (a, w) -> a + length(w)) AS bigint),
+              |  'n_stop', cast(size(filter(ws,
+              |     w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint),
+              |  'n_distinct', cast(size(array_distinct(ws)) AS bigint))), 1)""".stripMargin))
+          .withColumn("n_digits",
+            expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)"))
+          .filter(
+            !($"f.n_words" < 50 || $"f.n_words" > 100000) &&
+            !($"f.sum_wlen".cast("double") / $"f.n_words" < 3.0 ||
+              $"f.sum_wlen".cast("double") / $"f.n_words" > 10.0) &&
+            !($"f.n_stop".cast("double") / $"f.n_words" < 0.02) &&
+            !($"f.n_distinct".cast("double") / $"f.n_words" < 0.5) &&
+            !($"n_digits".cast("double") / length($"text") > 0.2))
+          .select($"doc_id", $"f.n_words".as("n_tokens"),
+            md5(lower(trim($"text"))).as("fp"))
+        val surv = base
+          .withColumn("min_id", min($"doc_id").over(Window.partitionBy($"fp")))
+          .filter($"doc_id" === $"min_id")
+          .withColumn("shard", expr("doc_id div 125"))
+        val w = Window.partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        surv
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", expr("cum_before div 2048"))
+          .groupBy($"shard", $"seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"shard", $"seq_id")
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+                   FROM documents),
+        m AS (SELECT doc_id, text, n_digits,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+                     CAST(len(list_filter(ws,
+                       w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
+                     CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+              FROM f),
+        kept AS (SELECT doc_id, n_words AS n_tokens, md5(lower(trim(text))) AS fp
+                 FROM m
+                 WHERE NOT (n_words < 50 OR n_words > 100000)
+                   AND NOT (CAST(sum_wlen AS DOUBLE) / n_words < 3.0
+                         OR CAST(sum_wlen AS DOUBLE) / n_words > 10.0)
+                   AND NOT (CAST(n_stop AS DOUBLE) / n_words < 0.02)
+                   AND NOT (CAST(n_distinct AS DOUBLE) / n_words < 0.5)
+                   AND NOT (CAST(n_digits AS DOUBLE) / length(text) > 0.2)),
+        surv AS (SELECT doc_id, n_tokens, doc_id // 125 AS shard FROM (
+                   SELECT doc_id, n_tokens,
+                          min(doc_id) OVER (PARTITION BY fp) AS min_id
+                   FROM kept)
+                 WHERE doc_id = min_id),
+        c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM surv)
+        SELECT shard, cum_before // 2048 AS seq_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""))
   )
 }
