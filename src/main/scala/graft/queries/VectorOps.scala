@@ -805,6 +805,64 @@ object VectorOps {
           SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY cosine DESC, neg_id) AS rank
           FROM scored WHERE cosine >= 0.1 AND cosine <= 0.95)
-        WHERE rank <= 3 ORDER BY q_id, rank"""))
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------------------- e13
+    // Prototypicality pruning (the data-pruning recipe: drop the
+    // samples farthest from their cluster centroid — noisy/outlier
+    // examples contribute least and hurt most): e08's quantized
+    // broadcast-centroid assignment KEEPS the winning distance, then a
+    // cell-partitioned window ranks members farthest-first and flags
+    // the top 10% per cell. One broadcast join + one cell-keyed window
+    // — no pairwise anything; integer-quantized distances make ranks
+    // bit-deterministic across engines and partitionings.
+    QueryDef(
+      "e13_prototype_prune",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val (_, ed) = kmeansQuantized(s, dir)
+        val assigned = ed.join(broadcast(kmeansSeeds(ed, 8)))
+          .withColumn("d2", expr("qq - 2 * vec_dot(qd, c) + cc"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"d2", $"cent_id")).as("m"))
+          .select($"vec_id", $"m.cent_id".as("cell_id"), $"m.d2".as("d2"))
+        val far = Window.partitionBy($"cell_id").orderBy($"d2".desc, $"vec_id")
+        assigned
+          .withColumn("far_rank", row_number().over(far).cast("long"))
+          .withColumn("cell_n",
+            count(lit(1)).over(Window.partitionBy($"cell_id")))
+          .withColumn("prune", $"far_rank" * 10 <= $"cell_n")
+          .select($"vec_id", $"cell_id", $"d2", $"far_rank", $"cell_n", $"prune")
+          .orderBy($"vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+                   FROM embeddings),
+        ed AS (SELECT vec_id,
+                      list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
+                      ${dotDuck("list_transform(q, v -> CAST(v AS DOUBLE))",
+                                "list_transform(q, v -> CAST(v AS DOUBLE))")} AS qq
+               FROM e),
+        c0 AS (SELECT vec_id AS cent_id, qd AS c, qq AS cc FROM ed
+               WHERE vec_id < 8),
+        s1 AS (SELECT ed.vec_id, c0.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c0.c")} + c0.cc AS d2
+               FROM ed, c0),
+        m AS (SELECT vec_id, cent_id AS cell_id, d2 FROM (
+                SELECT vec_id, cent_id, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cent_id) AS rk
+                FROM s1) WHERE rk = 1),
+        r AS (SELECT vec_id, cell_id, d2,
+                     CAST(row_number() OVER (PARTITION BY cell_id
+                         ORDER BY d2 DESC, vec_id) AS BIGINT) AS far_rank,
+                     CAST(count(*) OVER (PARTITION BY cell_id) AS BIGINT) AS cell_n
+              FROM m)
+        SELECT vec_id, cell_id, d2, far_rank, cell_n,
+               far_rank * 10 <= cell_n AS prune
+        FROM r ORDER BY vec_id"""))
   )
 }
