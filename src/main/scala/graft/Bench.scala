@@ -2,6 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Heap guard: the recorded baseline assumes the pinned 8 GiB forked
+    // heap (build.sbt -Xms=-Xmx from SPARK_DRIVER_MEM). A smaller heap
+    // changes the GC/spill regime and silently invalidates every number,
+    // so fail loudly instead of producing quietly-wrong timings.
+    locally {
+      val maxGb = Runtime.getRuntime.maxMemory / (1 << 30).toDouble
+      require(maxGb >= 7.5,
+        f"Bench requires the pinned 8 GiB driver heap (got $maxGb%.1f GiB). " +
+          "Unset SPARK_DRIVER_MEM or set it >= 8g; numbers from a smaller " +
+          "heap are not comparable to BASELINE.md.")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -150,13 +161,34 @@ object Bench {
       else spreadVals(math.min(spreadVals.size - 1, (p * spreadVals.size).toInt))
     val spreadJson =
       s"""{"med":${fmt(spreadAt(0.5))},"p90":${fmt(spreadAt(0.9))},"max":${fmt(if (spreadVals.isEmpty) 0.0 else spreadVals.max)}}"""
+    // JVM-regime diagnostics, captured AFTER all timing (cannot perturb
+    // the measurements): per-CodeHeap occupancy (a full code cache turns
+    // C2 off and leaves late-suite queries partially interpreted — the
+    // 240 MB-default episode cost ~1.5x on affected queries), cumulative
+    // JIT compilation time, and GC totals. Written to bench_detail.json
+    // so a suite-vs-isolated delta can be attributed to the JVM regime
+    // rather than guessed at.
+    val jvmDiag: String = try {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
+        .map { p =>
+          val u = p.getUsage
+          s""""${p.getName}":{"used_mb":${u.getUsed / 1048576},"max_mb":${u.getMax / 1048576}}"""
+        }.mkString("{", ",", "}")
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(g => s""""${g.getName}":{"count":${g.getCollectionCount},"time_ms":${g.getCollectionTime}}""")
+        .mkString("{", ",", "}")
+      s""""jvm":{"code_heaps":$pools,"jit_total_ms":${jit.getTotalCompilationTime},"gc":$gc}"""
+    } catch { case _: Throwable => "\"jvm\":{}" }
     try {
       val repsDetail = allTimes.toSeq.sortBy(_._1).map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"n":${tightened.size},"sf":"$sfDir","""

@@ -35,6 +35,29 @@ object Tables {
   private val tsChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Cache key = path + size + mtime, not the bare path: a regenerated
+    * events.parquet at the same path with a different timestamp vintage
+    * (the exact drift class that cost 87 gates in r11) must invalidate
+    * the cached probe, or the stale type would silently select the
+    * wrong normalization branch. Non-local paths (s3://, ...) fall back
+    * to the bare path — they are immutable in our harness. */
+  private def tsKey(path: String): String =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val kids = java.nio.file.Files.list(p).iterator().asScala.toSeq
+        def sz(k: java.nio.file.Path) =
+          try java.nio.file.Files.size(k) catch { case _: Exception => 0L }
+        def mt(k: java.nio.file.Path) =
+          try java.nio.file.Files.getLastModifiedTime(k).toMillis
+          catch { case _: Exception => 0L }
+        s"$path@${kids.map(sz).sum}:${kids.map(mt).maxOption.getOrElse(0L)}"
+      } else
+        s"$path@${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    } catch { case _: Exception => path }
+
   /** The type `ts` loads as under this session's confs. The data
     * builder has shipped events.ts as parquet TIMESTAMP(NANOS) (loads
     * as BIGINT nanos under `nanosAsLong`) in some vintages and as
@@ -50,8 +73,8 @@ object Tables {
     // harmless when ts is already timestamp-typed; required to load
     // (rather than reject) the TIMESTAMP(NANOS) vintage
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsTypeCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema("ts").dataType)
+    tsTypeCache.computeIfAbsent(tsKey(path),
+      _ => spark.read.parquet(path).schema("ts").dataType)
   }
 
   /** Normalize an events `ts` column of any builder vintage to a
@@ -85,7 +108,8 @@ object Tables {
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
     val raw = eventsTsType(spark, path)
     val df = normalizeTs(spark, spark.read.parquet(path), raw, path)
-    if (!tsChecked.contains(path)) {
+    val ck = tsKey(path)
+    if (!tsChecked.contains(ck)) {
       val r = df.selectExpr("year(min(ts)) AS lo", "year(max(ts)) AS hi").head()
       if (!r.isNullAt(0)) {
         val (lo, hi) = (r.getInt(0), r.getInt(1))
@@ -94,7 +118,7 @@ object Tables {
           s"type ${raw.sql}) — outside the plausible 1990..2100 window; " +
           "the unit assumed by Tables.normalizeTs does not match the file")
       }
-      tsChecked.add(path)
+      tsChecked.add(ck)
     }
     df
   }

@@ -680,16 +680,24 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // Training explodes a bounded 400-char prefix, not the whole
+        // text: Cavnar–Trenkle character profiles converge within a few
+        // hundred characters per document, so the training cost is
+        // O(sampled docs x 400) regardless of document length — at
+        // 100 TB the profile pass reads a fixed prefix per sampled doc
+        // instead of 2x the corpus characters.
         val occ = docs
           .filter(expr(
             "cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 5 = 0"))
           .select($"lang", explode(expr(
-            "transform(sequence(1, greatest(length(text) - 1, 0)), i -> substr(text, i, 2))")).as("bg"))
-        val wProf = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg")
+            "transform(sequence(1, greatest(least(length(text), 401) - 1, 0)), i -> substr(text, i, 2))")).as("bg"))
+        // count + top-20 fold into aggregations (no window): the second
+        // agg runs over the already-tiny (lang, bg) side and selects the
+        // profile via one sorted-struct slice per language.
         val profiles = occ.groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
-          .withColumn("prank", row_number().over(wProf))
-          .filter($"prank" <= 20)
-          .select($"lang".as("plang"), $"bg")
+          .groupBy($"lang")
+          .agg(slice(array_sort(collect_list(
+            struct((-$"cnt").as("neg"), $"bg"))), 1, 20).as("top"))
         // The trained profile is ~20 bigrams x ~5 langs: collect it and
         // fold it into plan-time array literals (the e02 plane-weights
         // idiom). Scoring is then one narrow pass with the doc's
@@ -700,8 +708,9 @@ object TextOps {
         // construction into every profile's score (measured 2.5x slower
         // without the binding).
         val prof: Map[String, Seq[String]] = profiles.collect()
-          .groupBy(_.getString(0))
-          .map { case (pl, rows) => pl -> rows.map(_.getString(1)).toSeq }
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)).toSeq)
+          .toMap
         val plangs = prof.keys.toSeq.sorted
         if (plangs.isEmpty) {
           // empty/tiny corpus: no profiles trained, no predictions — the
@@ -734,7 +743,7 @@ object TextOps {
       },
       Some("""
         WITH occ AS (
-          SELECT lang, unnest(list_transform(range(1, greatest(length(text) - 1, 0) + 1),
+          SELECT lang, unnest(list_transform(range(1, greatest(least(length(text), 401) - 1, 0) + 1),
                    i -> substr(text, i, 2))) AS bg
           FROM documents
           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0),

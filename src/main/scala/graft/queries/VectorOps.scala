@@ -214,18 +214,33 @@ object VectorOps {
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
         val cents = e.filter($"vec_id" < 8)
           .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-        val scoredCells = e.join(broadcast(cents))
-          .withColumn("c_score",
-            expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"c_score".desc, $"cent_id")
-        val ranked = scoredCells.withColumn("crank", row_number().over(wAssign))
-        val assign = ranked.filter($"crank" === 1)
-          .select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
-                  $"nrm".as("m_nrm"), $"cent_id".as("cell_id"))
-        val probes = ranked.filter($"vec_id" < 10 && $"crank" <= 2)
+        def scored(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(cents))
+            .withColumn("c_score",
+              expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
+        // Member assignment is a map-side-combinable argmax (the e13
+        // idiom, min over struct(-score, cent_id)): the 8 scored rows per
+        // vector reduce to ONE before the exchange, instead of a window
+        // sorting all 8N rows on vec_id. The embedding/norm ride along
+        // via first() — constant within the group. Tie-break matches the
+        // oracle: highest score, then lowest cent_id.
+        val assign = scored(e)
+          .groupBy($"vec_id")
+          .agg(min(struct(negate($"c_score"), $"cent_id")).as("m"),
+               first($"embedding").as("m_emb"), first($"nrm").as("m_nrm"))
+          .select($"vec_id".as("m_id"), $"m_emb", $"m_nrm",
+                  $"m.cent_id".as("cell_id"))
+        // Cell probing needs the top-2 cells only for the 10 query
+        // vectors — the window runs over 80 rows, and the probe table
+        // BROADCASTS into the candidate join so assigned members never
+        // shuffle for candidate generation.
+        val wProbe = Window.partitionBy($"vec_id").orderBy($"c_score".desc, $"cent_id")
+        val probes = scored(e.filter($"vec_id" < 10))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter($"crank" <= 2)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
                   $"nrm".as("q_nrm"), $"cent_id".as("cell_id"))
-        val cand = probes.join(assign, Seq("cell_id"))
+        val cand = assign.join(broadcast(probes), Seq("cell_id"))
           .filter($"m_id" =!= $"q_id")
           .withColumn("cosine",
             expr(dotSpark("q_emb", "m_emb")) / ($"q_nrm" * $"m_nrm"))

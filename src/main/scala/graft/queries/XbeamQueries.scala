@@ -3142,13 +3142,14 @@ object XbeamQueries {
         val store = zarrPath("s08", dir)
         val xds = gridXds(s, dir)
         xds.toZarr(store)
-        // scale the admission limit with the store: ~8 micro-batches at
-        // any sf (each micro-batch costs ~0.5 s of scheduler overhead in
-        // local mode — a fixed small limit would mean 125 batches at
-        // sf0.1); still always >= 2 batches, so the rate-limited
-        // multi-batch path is what's exercised
+        // scale the admission limit with the store: ~3 micro-batches at
+        // any sf (each micro-batch costs ~0.5-1 s of scheduler overhead
+        // in local mode — a fixed small limit would mean 125 batches at
+        // sf0.1, and even 8 batches spent more time in the scheduler
+        // than the data path); still always >= 2 batches, so the
+        // rate-limited multi-batch admission path is what's exercised
         val nChunks = ((xds.template.dimSizes("t") + 15) / 16) * ((W + 15) / 16)
-        val perTrigger = math.max(4L, nChunks / 8)
+        val perTrigger = math.max(4L, (nChunks + 2) / 3)
         val stream = s.readStream.format("zarr")
           .option("maxChunksPerTrigger", perTrigger).load(store)
         val agg = stream.groupBy(col("x"))
@@ -3199,6 +3200,27 @@ object XbeamQueries {
       },
       Some(s"""
         WITH $GRID_DUCK
-        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x"""))
+        SELECT t, x, vf FROM grid WHERE t < 9 ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x110
+    // zarr v3 standalone zstd codec end-to-end — zarr-python 3's common
+    // default compressor (codecs=[bytes, zstd]), which the reference
+    // opens transparently via zarr-python (zarr.py:72-96). Distributed
+    // write with compressor="zstd" → distributed re-read; ZarrSpec
+    // additionally proves the decode against a hand-built zstd chunk.
+    QueryDef(
+      "x110_zarr_v3_zstd",
+      (s, dir) => {
+        val store = zarrPath("x110", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("zstd"),
+          zarrFormat = 3)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf")).tail("t", 8))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t - (SELECT max(t) - 7 FROM grid) AS t, x, vf FROM grid
+        WHERE t >= (SELECT max(t) - 7 FROM grid) ORDER BY t, x"""))
   )
 }

@@ -50,6 +50,10 @@ object Zarr {
     * `keySep` separates chunk-key coordinates: v2 defaults to "."
     * (flat "0.1" files; `dimension_separator: "/"` nests them), v3
     * constructions must pass "/" (the default `c/0/1` encoding). */
+  /** `transposeOrder` carries the v3 `transpose` array→array codec's
+    * permutation when present: stored chunk bytes are laid out C-order
+    * over the PERMUTED chunk shape and inverse-permute on read
+    * (read-only — writes into such stores are rejected loudly). */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
                              fillValue: Double, format: Int = 2,
@@ -57,7 +61,8 @@ object Zarr {
                              shardChunks: Option[Seq[Int]] = None,
                              cfScale: Option[(Double, Double)] = None,
                              cfFill: Option[Double] = None,
-                             bigEndian: Boolean = false)
+                             bigEndian: Boolean = false,
+                             transposeOrder: Option[Seq[Int]] = None)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -323,7 +328,9 @@ object Zarr {
     var compressor: Option[String] = None
     var checksummed = false
     var shardChunks: Option[Seq[Int]] = None
-    def scanCodecs(codecs: JsonNode): Unit =
+    var transposeOrder: Option[Seq[Int]] = None
+    var outerTranspose = false
+    def scanCodecs(codecs: JsonNode, inShard: Boolean = false): Unit =
       (0 until codecs.size).foreach { i =>
         codecs.get(i).get("name").asText match {
           case "bytes" =>
@@ -332,6 +339,17 @@ object Zarr {
               .map(_.asText).getOrElse("little")
             require(endian == "little", s"unsupported endian $endian for $name")
           case "gzip" => compressor = Some("gzip")
+          // standalone zstd — zarr-python 3's common default compressor;
+          // the frame self-describes, so level/checksum config is
+          // write-side only
+          case "zstd" => compressor = Some("zstd")
+          // array→array transpose (v3 core spec): chunk bytes are stored
+          // C-order over the permuted chunk shape; record the permutation
+          // and inverse-apply on read
+          case "transpose" =>
+            val ord = codecs.get(i).get("configuration").get("order")
+            transposeOrder = Some((0 until ord.size).map(ord.get(_).asInt))
+            if (!inShard) outerTranspose = true
           case "blosc" =>
             // carry cname + filter into the spec string (see the v2
             // parse): writes re-encode with the store's own settings
@@ -348,12 +366,17 @@ object Zarr {
             shardChunks = Some((0 until cs.size).map(cs.get(_).asInt))
             val loc = Option(cfg.get("index_location")).map(_.asText).getOrElse("end")
             require(loc == "end", s"unsupported index_location $loc for $name")
-            scanCodecs(cfg.get("codecs"))
+            scanCodecs(cfg.get("codecs"), inShard = true)
           case other => throw new IllegalArgumentException(
             s"unsupported v3 codec $other for $name")
         }
       }
     scanCodecs(za.get("codecs"))
+    // inner-chunk transpose decodes per inner chunk; a transpose OUTSIDE
+    // sharding permutes the whole shard layout, which the inner-chunk
+    // inverse would silently misread — reject loudly instead
+    require(transposeOrder.isEmpty || shardChunks.isEmpty || !outerTranspose,
+      s"transpose codec outside sharding_indexed is not supported for $name")
     if (checksummed)
       compressor = Some(compressor.getOrElse("none") + "+crc")
     val dimNames = za.get("dimension_names") match {
@@ -374,7 +397,8 @@ object Zarr {
     val v3Attrs = Option(za.get("attributes"))
     ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
-      cfScale = v3Attrs.flatMap(cfScaleOf), cfFill = v3Attrs.flatMap(cfFillOf))
+      cfScale = v3Attrs.flatMap(cfScaleOf), cfFill = v3Attrs.flatMap(cfFillOf),
+      transposeOrder = transposeOrder)
   }
 
   // ------------------------------------------------------- v3 sharding
@@ -496,7 +520,7 @@ object Zarr {
         val (pos, off, len) = sorted(m)
         val raw = java.util.Arrays.copyOfRange(run,
           (off - runOff).toInt, (off - runOff).toInt + len)
-        val block = NdArray(meta.dtype, inner.toArray, decodeBytes(meta, raw))
+        val block = decodeChunk(meta, inner.toArray, raw)
         // intersect this inner chunk with the requested region
         val insStarts = new Array[Int](nd)
         val blkStarts = new Array[Int](nd)
@@ -648,7 +672,7 @@ object Zarr {
     val blockShape = meta.chunks.toArray
     store.readIfExists(f) match {
       case None => NdArray.fill(meta.dtype, blockShape, meta.fillValue)
-      case Some(raw) => NdArray(meta.dtype, blockShape, decodeBytes(meta, raw))
+      case Some(raw) => decodeChunk(meta, blockShape, raw)
     }
   }
 
@@ -749,6 +773,7 @@ object Zarr {
         "the crc32c checksum codec is zarr v3 only (zarrFormat = 3)")
       val comp = compressor match {
         case Some("zlib") => """{"id":"zlib","level":1}"""
+        case Some("zstd") => """{"id":"zstd","level":1}"""
         case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
           // numcodecs shuffle codes: 1 = byte SHUFFLE, 2 = BITSHUFFLE
           s"""{"blocksize":0,"clevel":5,"cname":"${bloscCname(c)}",""" +
@@ -768,6 +793,8 @@ object Zarr {
         (compressor.map(stripCrc) match {
           case Some("gzip") | Some("zlib") =>
             Seq("""{"name":"gzip","configuration":{"level":1}}""")
+          case Some("zstd") =>
+            Seq("""{"name":"zstd","configuration":{"level":1,"checksum":false}}""")
           case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
             val sh = if (bloscBit(c)) "bitshuffle" else "shuffle"
             Seq(s"""{"name":"blosc","configuration":{"cname":"${bloscCname(c)}",""" +
@@ -1011,14 +1038,79 @@ object Zarr {
     val raw = meta.compressor.map(stripCrc) match {
       case Some("zlib") => inflate(payload)
       case Some("gzip") => gunzip(payload)
+      case Some("zstd") =>
+        // stored chunks are always full chunk shape (padded), so the
+        // decoded size is known exactly — decode straight into it
+        val destLen = meta.shardChunks.getOrElse(meta.chunks)
+          .map(_.toLong).product * meta.dtype.itemsize
+        require(destLen <= Int.MaxValue, s"zstd chunk over 2 GiB")
+        val dst = new Array[Byte](destLen.toInt)
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          dst, 0, dst.length, payload, 0, payload.length)
+        require(!com.github.luben.zstd.Zstd.isError(n) && n == destLen,
+          s"zstd chunk decode failed (rc=$n, want $destLen bytes)")
+        dst
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
         Blosc.decode(payload)
       case Some("none") | None => payload
       case Some(other) => throw new IllegalArgumentException(
-        s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
+        s"unsupported compressor: $other (supported: null, zlib, gzip, zstd, blosc)")
     }
     if (meta.bigEndian) swapEndian(raw, meta.dtype.itemsize) else raw
   }
+
+  /** Decode one stored chunk into an NdArray of `shape` (the full
+    * padded chunk — or inner shard chunk — shape), inverse-applying the
+    * v3 transpose codec's permutation when the store declares one. */
+  private def decodeChunk(meta: ArrayMeta, shape: Array[Int],
+                          bytes: Array[Byte]): NdArray =
+    NdArray(meta.dtype, shape,
+      inverseTranspose(meta, shape, decodeBytes(meta, bytes)))
+
+  /** Undo the v3 `transpose` codec: `bytes` is C-order over the
+    * permuted shape `[shape(order(i))]`; produce C-order over `shape`.
+    * Logical dim d's element stride in the stored buffer is the C
+    * stride of the stored axis j with order(j) == d; a single odometer
+    * walk over logical C order copies each element with incremental
+    * stride updates — O(n), no per-element index math. */
+  private def inverseTranspose(meta: ArrayMeta, shape: Array[Int],
+                               bytes: Array[Byte]): Array[Byte] =
+    meta.transposeOrder match {
+      case None => bytes
+      case Some(order) =>
+        val nd = shape.length
+        require(order.length == nd && order.sorted == (0 until nd),
+          s"transpose codec order $order is not a permutation of 0..${nd - 1}")
+        val stored = Array.tabulate(nd)(i => shape(order(i)))
+        val sStrides = new Array[Long](nd) // C strides of the stored shape
+        var acc = 1L
+        var j = nd - 1
+        while (j >= 0) { sStrides(j) = acc; acc *= stored(j); j -= 1 }
+        val strideForLogical = new Array[Long](nd)
+        j = 0
+        while (j < nd) { strideForLogical(order(j)) = sStrides(j); j += 1 }
+        val item = meta.dtype.itemsize
+        val out = new Array[Byte](bytes.length)
+        val idx = new Array[Int](nd)
+        var srcElem = 0L
+        var o = 0
+        while (o < out.length) {
+          System.arraycopy(bytes, (srcElem * item).toInt, out, o, item)
+          var d = nd - 1
+          var carry = true
+          while (carry && d >= 0) {
+            idx(d) += 1
+            srcElem += strideForLogical(d)
+            if (idx(d) == shape(d)) {
+              idx(d) = 0
+              srcElem -= strideForLogical(d) * shape(d)
+              d -= 1
+            } else carry = false
+          }
+          o += item
+        }
+        out
+    }
 
   /** Compressor-spec handling for the crc32c checksum codec: a "+crc"
     * suffix ("gzip+crc", or bare "none+crc" for checksum-only). */
@@ -1046,15 +1138,21 @@ object Zarr {
     require(!meta.bigEndian,
       "writing to big-endian stores is not supported (reads byte-swap; " +
         "a little-endian write would corrupt the array)")
+    require(meta.transposeOrder.isEmpty,
+      "writing into a store with the v3 transpose codec is not supported " +
+        "(reads inverse-permute; a C-order write would corrupt the array)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)
+      // level 1, matching the declared v3 codec config ({"level":1}) and
+      // the gzip choice above: chunk writes are throughput-bound
+      case Some("zstd") => com.github.luben.zstd.Zstd.compress(bytes, 1)
       case Some(c) if c == "blosc" || c.startsWith("blosc:") =>
         Blosc.encode(bytes, meta.dtype.itemsize, cname = bloscCname(c),
           bitShuffle = bloscBit(c))
       case Some("none") | None => bytes
       case Some(other) => throw new IllegalArgumentException(
-        s"unsupported compressor: $other (supported: null, zlib, gzip, blosc)")
+        s"unsupported compressor: $other (supported: null, zlib, gzip, zstd, blosc)")
     }
     if (meta.compressor.exists(crcSuffixed))
       body ++ java.nio.ByteBuffer.allocate(4)

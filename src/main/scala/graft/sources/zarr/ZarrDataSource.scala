@@ -186,14 +186,19 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
 }
 
 /** Offset = number of store chunks consumed (the deterministic
-  * `iterChunkKeys` order is the log). */
-class ZarrChunkOffset(val n: Long) extends streaming.Offset {
-  override def json: String = n.toString
+  * `iterChunkKeys` order is the log), PLUS the total planned chunk
+  * count at checkpoint time: if the store grows or rechunks between
+  * runs (extendDim along a non-leading dim interleaves new chunks into
+  * the C-order log), a bare count would silently remap to different
+  * chunks — the total acts as a store-shape fingerprint and restart
+  * fails loudly instead. */
+class ZarrChunkOffset(val n: Long, val total: Long) extends streaming.Offset {
+  override def json: String = s"""{"n":$n,"total":$total}"""
   override def equals(o: Any): Boolean = o match {
-    case z: ZarrChunkOffset => z.n == n
+    case z: ZarrChunkOffset => z.n == n && z.total == total
     case _ => false
   }
-  override def hashCode: Int = n.hashCode
+  override def hashCode: Int = (n, total).hashCode
 }
 
 /** Stream a (bounded) Zarr store chunk-by-chunk — the backfill/replay
@@ -213,9 +218,27 @@ class ZarrMicroBatchStream(partitions: Array[InputPartition],
 
   private val total = partitions.length.toLong
 
-  override def initialOffset(): streaming.Offset = new ZarrChunkOffset(0L)
-  override def deserializeOffset(json: String): streaming.Offset =
-    new ZarrChunkOffset(json.toLong)
+  override def initialOffset(): streaming.Offset = new ZarrChunkOffset(0L, total)
+  override def deserializeOffset(json: String): streaming.Offset = {
+    val t = json.trim
+    // legacy checkpoints were a bare count with no shape fingerprint
+    val (n, ckptTotal) =
+      if (t.startsWith("{")) {
+        def field(k: String): Long =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(t)
+            .map(_.group(1).toLong)
+            .getOrElse(throw new IllegalArgumentException(
+              s"malformed zarr stream offset: $t"))
+        (field("n"), field("total"))
+      } else (t.toLong, total)
+    require(ckptTotal == total,
+      s"zarr stream checkpoint was taken against a store planning " +
+        s"$ckptTotal chunks, but the store now plans $total: the C-order " +
+        "chunk log has been remapped (store grown along a non-leading dim, " +
+        "rechunked, or pruned differently) and resuming would silently " +
+        "skip or re-read chunks — restart with a fresh checkpoint")
+    new ZarrChunkOffset(n, total)
+  }
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -234,11 +257,11 @@ class ZarrMicroBatchStream(partitions: Array[InputPartition],
       case mr: streaming.ReadMaxRows => s + mr.maxRows()
       case _ => total
     }
-    new ZarrChunkOffset(math.min(total, cap))
+    new ZarrChunkOffset(math.min(total, cap), total)
   }
 
   override def reportLatestOffset(): streaming.Offset =
-    new ZarrChunkOffset(total)
+    new ZarrChunkOffset(total, total)
 
   // the store is bounded: everything is already "available now"
   override def prepareForTriggerAvailableNow(): Unit = ()

@@ -547,13 +547,23 @@ object StreamOps {
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (bdf: DataFrame, _: Long) =>
-            if (!bdf.isEmpty) {
-              val ks = bdf.select(col("part")).distinct().collect().map(_.getLong(0))
-              require(ks.length == 1,
-                s"one source file per micro-batch expected, got parts ${ks.toSeq}")
-              val lo = ks.head * fileSpan
-              val hi = math.min(lo + fileSpan, hours)
+          .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+            // the span index derives from the micro-batch id (files
+            // arrive in name order under maxFilesPerTrigger=1), NOT
+            // from the rows: an hour span with ZERO events must still
+            // write its densified all-zero chunks, or the read-back
+            // would depend on the store fill value instead of explicit
+            // zeros (latent at sparser scale factors where an entire
+            // span can be empty)
+            val k = batchId
+            val lo = k * fileSpan
+            val hi = math.min(lo + fileSpan, hours)
+            if (k < 4 && hi > lo) {
+              if (!bdf.isEmpty) {
+                val ks = bdf.select(col("part")).distinct().collect().map(_.getLong(0))
+                require(ks.toSeq == Seq(k),
+                  s"micro-batch $k expected source part $k, got ${ks.toSeq}")
+              }
               val agg = bdf.groupBy(col("hour"))
                 .agg(count(lit(1)).as("n_events"),
                   sum(col("value").cast("decimal(18,6)")).cast("double")

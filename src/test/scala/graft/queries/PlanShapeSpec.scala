@@ -183,6 +183,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"zscore must not reshuffle the full dataset:\n$z")
   }
 
+  test("e05 IVF: assignment is a map-side agg; no window over the full embedding set") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.SparkEntry.queries("e05_ivf_ann")(spark, dir)
+      .queryExecution.sparkPlan
+    val s = plan.toString
+    // member assignment must combine map-side (min(struct(-score, cent)))
+    // — 1 row per vector reaches the exchange, never a sort of 8N rows
+    assert(s.contains("partial_min"),
+      s"e05 assignment must map-side combine before its exchange:\n$s")
+    // every remaining window runs over a probe-bounded set: either
+    // partitioned by q_id (candidate top-k) or fed by the vec_id < 10
+    // probe filter — NEVER over the full embedding set
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "e05 should rank probes/candidates via windows")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.map(_.sql).mkString(",")
+      val sub = w.child.toString
+      assert(keys.contains("q_id") ||
+        sub.contains("LessThan(vec_id,10)") ||
+        "vec_id#\\d+L? < 10".r.findFirstIn(sub).isDefined,
+        s"e05 window over [$keys] is not probe-bounded:\n$sub")
+    }
+  }
+
   test("d09 span removal join is never a cross join") {
     val plan = planOf("d09_dedup_repeated_spans")
     assert(!plan.contains("CartesianProduct") &&

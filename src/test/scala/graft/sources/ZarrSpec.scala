@@ -577,4 +577,148 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("v3"))
   }
+
+  test("v3 standalone zstd codec: our roundtrip + a hand-built stock chunk; v2 zstd too") {
+    // our write → our read, v3, declared as the standard codec object
+    val path = tmpStore()
+    Zarr.setupStore(path, template, Map("t" -> 4, "x" -> 6), Some("zstd"),
+      zarrFormat = 3)
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "v", "zarr.json")), "UTF-8")
+    assert(json.contains("\"name\":\"zstd\""), json)
+    val meta = Zarr.readArrayMeta(path, "v")
+    assert(meta.compressor.contains("zstd"))
+    val data = arange(DType.F64, 10, 6)
+    Zarr.writeRegion(path, "v", meta, Array(0L, 0L), data)
+    assert(Zarr.readRegion(path, "v", meta, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+    assert(Zarr.readRegion(path, "v", meta, Array(3L, 2L), Array(4, 3))
+      .sameAs(data.slice(Array(3, 2), Array(4, 3))))
+    // hand-built store, as stock zarr-python 3 writes it (codecs =
+    // [bytes le, zstd], a different level than ours): decode must not
+    // depend on our own encoder
+    val p2 = tmpStore()
+    val dir = java.nio.file.Paths.get(p2, "w")
+    Files.createDirectories(dir.resolve("c").resolve("0"))
+    Files.write(dir.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[4,3],""" +
+        """"data_type":"float64",""" +
+        """"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4,3]}},""" +
+        """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+        """"fill_value":0.0,""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"zstd","configuration":{"level":7,"checksum":false}}],""" +
+        """"dimension_names":["t","x"]}""").getBytes("UTF-8"))
+    val raw = java.nio.ByteBuffer.allocate(12 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 12).foreach(i => raw.putDouble(i * 1.5))
+    Files.write(dir.resolve("c").resolve("0").resolve("0"),
+      com.github.luben.zstd.Zstd.compress(raw.array(), 7))
+    val m2 = Zarr.readArrayMeta(p2, "w")
+    assert(m2.compressor.contains("zstd"))
+    val back = Zarr.readRegion(p2, "w", m2, Array(0L, 0L), Array(4, 3))
+    assert(back.sameAs(NdArray.fromDoubles(DType.F64, Array(4, 3),
+      Array.tabulate(12)(_ * 1.5))))
+    // a corrupt zstd chunk fails loudly, never decodes wrong
+    val cf = dir.resolve("c").resolve("0").resolve("0")
+    val cb = Files.readAllBytes(cf)
+    cb(cb.length - 1) = (cb(cb.length - 1) ^ 0x5a).toByte
+    Files.write(cf, cb)
+    intercept[Exception] {
+      Zarr.readRegion(p2, "w", m2, Array(0L, 0L), Array(4, 3))
+    }
+    // v2: numcodecs {"id":"zstd"} roundtrips through the same spec string
+    val p3 = tmpStore()
+    Zarr.setupStore(p3, template, Map("t" -> 4, "x" -> 6), Some("zstd"))
+    val za = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(p3, "v", ".zarray")), "UTF-8")
+    assert(za.contains("\"id\":\"zstd\""), za)
+    val m3 = Zarr.readArrayMeta(p3, "v")
+    Zarr.writeRegion(p3, "v", m3, Array(0L, 0L), data)
+    assert(Zarr.readRegion(p3, "v", m3, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+    // zstd inside v3 shards roundtrips (the zarr-python sharded default)
+    val p4 = tmpStore()
+    Zarr.setupStore(p4, template, Map("t" -> 2, "x" -> 3), Some("zstd"),
+      zarrFormat = 3, shards = Map("t" -> 4, "x" -> 6))
+    val m4 = Zarr.readArrayMeta(p4, "v")
+    assert(m4.shardChunks.contains(Seq(2, 3)) && m4.compressor.contains("zstd"))
+    Zarr.writeRegion(p4, "v", m4, Array(0L, 0L), data.slice(Array(0, 0), Array(8, 6)))
+    Zarr.writeRegion(p4, "v", m4, Array(8L, 0L), data.slice(Array(8, 0), Array(2, 6)))
+    assert(Zarr.readRegion(p4, "v", m4, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
+  }
+
+  test("v3 transpose codec reads; writes refused; unknown codecs stay loud") {
+    def writeV3Array(p: String, name: String, shape: Seq[Int],
+                     codecs: String, dims: Seq[String]): java.nio.file.Path = {
+      val dir = java.nio.file.Paths.get(p, name)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("zarr.json"),
+        (s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+          s""""data_type":"float64",""" +
+          s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${shape.mkString(",")}]}},""" +
+          s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+          s""""fill_value":0.0,"codecs":[$codecs],""" +
+          s""""dimension_names":[${dims.map("\"" + _ + "\"").mkString(",")}]}""").getBytes("UTF-8"))
+      dir
+    }
+    def le(doubles: Array[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(doubles.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      doubles.foreach(bb.putDouble)
+      bb.array()
+    }
+    // 2-d, order [1,0]: logical (4,3) arange stored as its (3,4) transpose
+    val p = tmpStore()
+    val dir = writeV3Array(p, "w", Seq(4, 3),
+      """{"name":"transpose","configuration":{"order":[1,0]}},""" +
+        """{"name":"bytes","configuration":{"endian":"little"}}""",
+      Seq("t", "x"))
+    val logical = Array.tabulate(12)(_.toDouble) // C-order over (4,3)
+    val stored2d = Array.tabulate(12) { k =>      // C-order over (3,4)
+      val j = k / 4; val i = k % 4; logical(i * 3 + j)
+    }
+    Files.createDirectories(dir.resolve("c").resolve("0"))
+    Files.write(dir.resolve("c").resolve("0").resolve("0"), le(stored2d))
+    val meta = Zarr.readArrayMeta(p, "w")
+    assert(meta.transposeOrder.contains(Seq(1, 0)))
+    assert(Zarr.readRegion(p, "w", meta, Array(0L, 0L), Array(4, 3))
+      .sameAs(NdArray.fromDoubles(DType.F64, Array(4, 3), logical)))
+    // unaligned sub-region through the permuted layout
+    assert(Zarr.readRegion(p, "w", meta, Array(1L, 1L), Array(2, 2))
+      .sameAs(NdArray.fromDoubles(DType.F64, Array(4, 3), logical)
+        .slice(Array(1, 1), Array(2, 2))))
+    // writes into a transposed store are refused loudly
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(p, "w", meta, Array(0L, 0L),
+        NdArray.fromDoubles(DType.F64, Array(4, 3), logical))
+    }
+    assert(ew.getMessage.contains("transpose"))
+    // 3-d, a non-trivial cycle order [2,0,1]: stored shape (4,2,3)
+    val p3 = tmpStore()
+    val d3 = writeV3Array(p3, "w", Seq(2, 3, 4),
+      """{"name":"transpose","configuration":{"order":[2,0,1]}},""" +
+        """{"name":"bytes","configuration":{"endian":"little"}}""",
+      Seq("a", "b", "c"))
+    val log3 = Array.tabulate(24)(_.toDouble) // C over (2,3,4)
+    // stored axes = (logical 2, logical 0, logical 1) → shape (4,2,3)
+    val sto3 = new Array[Double](24)
+    for (i <- 0 until 2; j <- 0 until 3; k <- 0 until 4)
+      sto3(k * 6 + i * 3 + j) = log3(i * 12 + j * 4 + k)
+    Files.createDirectories(d3.resolve("c").resolve("0").resolve("0"))
+    Files.write(d3.resolve("c").resolve("0").resolve("0").resolve("0"), le(sto3))
+    val m3 = Zarr.readArrayMeta(p3, "w")
+    assert(Zarr.readRegion(p3, "w", m3, Array(0L, 0L, 0L), Array(2, 3, 4))
+      .sameAs(NdArray.fromDoubles(DType.F64, Array(2, 3, 4), log3)))
+    // genuinely unknown codecs still fail loudly at metadata parse
+    val pu = tmpStore()
+    writeV3Array(pu, "w", Seq(4, 3),
+      """{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"frobnicate"}""", Seq("t", "x"))
+    val eu = intercept[IllegalArgumentException] {
+      Zarr.readArrayMeta(pu, "w")
+    }
+    assert(eu.getMessage.contains("unsupported v3 codec frobnicate"))
+  }
 }
