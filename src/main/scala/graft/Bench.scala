@@ -3,15 +3,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     // Heap guard: the recorded baseline assumes the pinned 8 GiB forked
-    // heap (build.sbt -Xms=-Xmx from SPARK_DRIVER_MEM). A smaller heap
-    // changes the GC/spill regime and silently invalidates every number,
-    // so fail loudly instead of producing quietly-wrong timings.
+    // heap (build.sbt). EITHER direction off that regime invalidates
+    // the numbers (measured: a 96 GiB heap runs the same suite ~1.35x
+    // slower from G1 behavior alone), so fail loudly instead of
+    // producing quietly-incomparable timings.
     locally {
       val maxGb = Runtime.getRuntime.maxMemory / (1 << 30).toDouble
-      require(maxGb >= 7.5,
-        f"Bench requires the pinned 8 GiB driver heap (got $maxGb%.1f GiB). " +
-          "Unset SPARK_DRIVER_MEM or set it >= 8g; numbers from a smaller " +
-          "heap are not comparable to BASELINE.md.")
+      require(maxGb >= 7.5 && maxGb <= 12.0,
+        f"Bench requires the pinned 8 GiB forked heap (got $maxGb%.1f GiB). " +
+          "Unset SPARK_GRAFT_HEAP (build.sbt pins 8g); numbers from any " +
+          "other heap are not comparable to BASELINE.md.")
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -932,6 +932,62 @@ final class XbeamDataset private (
       arr.quantilesAlong(axes, qs, sk))
   }
 
+  /** Approximate quantile `q` over dims — the scale-safe sibling of the
+    * exact [[quantile]]: instead of consolidating every cell's raw
+    * values (the one family that must move data, SURVEY §9), this runs
+    * TWO reduction-shaped passes whose shuffled payload per output cell
+    * is O(bins), independent of the reduced extent:
+    *   1. exact per-cell (min, max) bounds — one keyed shuffle of 2
+    *      doubles per cell ([[ChunkTransforms.boundsReduce]]);
+    *   2. equi-width integer histograms over those bounds, attached to
+    *      chunks via the size-guarded [[zipReduced]] — map-side
+    *      combined, one keyed shuffle of `bins` doubles per cell.
+    * The estimate places each order statistic uniformly within its bin,
+    * so |approx − exact| <= (max − min) / bins per cell, and the sketch
+    * is bit-deterministic under ANY partitioning (fixed bin edges,
+    * integer counts — unlike merge-order-dependent digests), which is
+    * what lets the DuckDB oracle reproduce it exactly (gate x111). The
+    * reference has no quantile combiner at all (combiners.py:29's TODO
+    * list); at 100 TB this is the quantile a user actually runs first. */
+  def approxQuantile(q: Double, dims: Set[String], bins: Int = 256,
+                     skipna: Boolean = true): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q")
+    require(bins >= 1 && bins <= (1 << 20),
+      s"bins must be in [1, 2^20], got $bins")
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"approxQuantile dims $dims not all in ${template.dimOrder}")
+    template.vars.keys.foreach { n =>
+      require(!template.vars.contains(s"${n}__lo") &&
+        !template.vars.contains(s"${n}__hi"),
+        s"approxQuantile reserves the __lo/__hi suffixes ($n collides)")
+    }
+    val keptDims = template.dims.filterNot(d => dims(d._1))
+    val touched = template.vars.filter(_._2.dims.exists(dims))
+    val boundsTemplate = Template(
+      keptDims,
+      touched.flatMap { case (n, vs) =>
+        val kd = vs.dims.filterNot(dims)
+        Seq(s"${n}__lo" -> VarSpec(kd, DType.F64),
+          s"${n}__hi" -> VarSpec(kd, DType.F64))
+      } ++ template.vars.filterNot(kv => touched.contains(kv._1)),
+      template.coords -- dims, template.attrs)
+    val bounds = withPlan(boundsTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.boundsReduce(chunkDataset, dims, skipna))
+    val mergedTemplate = template.copy(
+      vars = template.vars ++ boundsTemplate.vars)
+    val withBounds = zipReduced(bounds)(
+      (c, r) => ArrayChunk(c.vars ++ r.vars), mergedTemplate)
+    val outTemplate = Template(
+      keptDims,
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(dims),
+          if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(outTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.histQuantileReduce(withBounds.chunkDataset, dims, q, bins))
+  }
+
   /** Average-tie ranks along `dim` (xarray `Dataset.rank(dim)`): each
     * element's 1-based rank among its lane's values, ties sharing the
     * mean of their positional ranks; NaN ranks NaN. Like

@@ -28,6 +28,218 @@ object ChunkTransforms {
   def splitChunks(ds: Dataset[Pair], target: Map[String, Int]): Dataset[Pair] =
     ds.flatMap { p: Pair => ChunkOps.splitChunks(p._1, p._2, target) }
 
+  // ------------------------------------------------- approximate quantile
+
+  /** Bounds pass of the approximate-quantile sketch: exact per-cell
+    * (min, max) over `dims` in ONE keyed shuffle, emitted as
+    * `<v>__lo` / `<v>__hi` variables (kept dims, F64). Variables
+    * spanning none of `dims` pass through unchanged so the bounds
+    * dataset covers every kept chunk position (the [[ReduceAcc]]
+    * passthrough contract). */
+  def boundsReduce(ds: Dataset[Pair], dims: Set[String],
+                   skipna: Boolean): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, ReduceAcc, ReduceAcc)] =
+      Encoders.kryo[(ChunkKey, ReduceAcc, ReduceAcc)]
+    ds.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets -- dims)
+      (nk, ReduceAcc.ofChunk(p._2, dims, "min", skipna),
+        ReduceAcc.ofChunk(p._2, dims, "max", skipna))
+    }
+      .groupByKey { kv: (ChunkKey, ReduceAcc, ReduceAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, ReduceAcc, ReduceAcc),
+                       b: (ChunkKey, ReduceAcc, ReduceAcc)) =>
+        (a._1, a._2.merge(b._2), a._3.merge(b._3))
+      }
+      .map { kv: (String, (ChunkKey, ReduceAcc, ReduceAcc)) =>
+        val (k, mnAcc, mxAcc) = kv._2
+        val mn = mnAcc.extract
+        val mx = mxAcc.extract
+        // touched vars (reduced by min/max) rename to __lo/__hi; the
+        // passthrough replicas (present identically in both extracts)
+        // keep their names once
+        val touched = mnAcc.parts.headOption
+          .map(_.vars.keySet).getOrElse(Set.empty[String])
+        (k, ArrayChunk(
+          mn.vars.collect { case (n, va) if touched(n) => s"${n}__lo" -> va } ++
+          mx.vars.collect { case (n, va) if touched(n) => s"${n}__hi" -> va } ++
+          mn.vars.filterNot(kv2 => touched(kv2._1))))
+      }
+  }
+
+  /** Merged-histogram accumulator of the approximate quantile: per kept
+    * cell an equi-width integer histogram of `bins` bins over that
+    * cell's exact [lo, hi] (from [[boundsReduce]], attached to every
+    * chunk before this pass). Bin edges are fixed plan-wide per cell, so
+    * merge is pointwise addition — associative, commutative, and
+    * bit-deterministic under ANY partitioning (unlike a t-digest, whose
+    * centroids depend on merge order; determinism is what lets a SQL
+    * oracle reproduce the sketch exactly). The quantile estimate places
+    * the k-th order statistic uniformly inside its bin, so
+    * |approx − exact| <= (hi − lo) / bins per cell — the stated error
+    * bound. `hists` dims are the kept dims plus a trailing bin axis. */
+  final case class HistAcc(hists: Map[String, VarArray],
+                           los: Map[String, VarArray],
+                           his: Map[String, VarArray],
+                           passthrough: ArrayChunk) {
+    def merge(other: HistAcc): HistAcc =
+      HistAcc(hists.map { case (n, va) =>
+        n -> VarArray(va.dims, va.arr.zipF64(other.hists(n).arr)(_ + _))
+      }, los, his, passthrough)
+
+    /** Per-cell quantile from the merged histogram. The estimator (and
+      * the oracle SQL mirroring it) in this exact expression order:
+      *   w  = (hi − lo) / bins
+      *   h  = q · (n − 1);  k0 = floor(h);  k1 = min(k0 + 1, n − 1)
+      *   est(k) = lo + w · (b + ((k − cumBefore) + 0.5) / cnt_b)
+      *   result = est(k0) + (h − k0) · (est(k1) − est(k0))
+      * Empty/poisoned cells (NaN bounds) yield NaN; constant cells
+      * (hi == lo) yield the exact value. */
+    def extract(q: Double, bins: Int): ArrayChunk = {
+      val computed = hists.map { case (n, hva) =>
+        val lo = los(n).arr
+        val hi = his(n).arr
+        val keptDims = hva.dims.dropRight(1)
+        val keptShape = hva.arr.shape.dropRight(1)
+        val out = NdArray.zeros(DType.F64, keptShape)
+        val cells = out.size
+        var cell = 0L
+        while (cell < cells) {
+          val l = lo.getDouble(cell)
+          val hb = hi.getDouble(cell)
+          val base = cell * bins
+          var nTot = 0L
+          var b = 0
+          while (b < bins) { nTot += hva.arr.getDouble(base + b).toLong; b += 1 }
+          val v =
+            if (nTot == 0L || l.isNaN || hb.isNaN) Double.NaN
+            else if (hb == l) l
+            else {
+              val w = (hb - l) / bins
+              val h = q * (nTot - 1)
+              val k0 = math.floor(h).toLong
+              val k1 = math.min(k0 + 1, nTot - 1)
+              var cum = 0L
+              var e0 = Double.NaN
+              var e1 = Double.NaN
+              b = 0
+              while (b < bins && (e0.isNaN || e1.isNaN)) {
+                val cnt = hva.arr.getDouble(base + b).toLong
+                if (cnt > 0) {
+                  if (e0.isNaN && k0 < cum + cnt)
+                    e0 = l + w * (b + ((k0 - cum) + 0.5) / cnt)
+                  if (e1.isNaN && k1 < cum + cnt)
+                    e1 = l + w * (b + ((k1 - cum) + 0.5) / cnt)
+                  cum += cnt
+                }
+                b += 1
+              }
+              e0 + (h - k0) * (e1 - e0)
+            }
+          out.setDouble(cell, v)
+          cell += 1
+        }
+        n -> VarArray(keptDims, out)
+      }
+      ArrayChunk(computed ++ passthrough.vars)
+    }
+  }
+
+  object HistAcc {
+    /** Per-chunk partial histograms. The chunk must carry `<v>__lo` /
+      * `<v>__hi` for every variable spanning `dims` (kept-dims shaped,
+      * attached via zipReduced from [[boundsReduce]]'s output). One
+      * odometer walk per variable fills the bins — O(chunk elements)
+      * with incremental kept-index strides, no per-element index math. */
+    def ofChunk(chunk: ArrayChunk, dims: Set[String], bins: Int): HistAcc = {
+      val isBoundsVar = (n: String) => n.endsWith("__lo") || n.endsWith("__hi")
+      val touched = chunk.vars.filter { case (n, va) =>
+        !isBoundsVar(n) && va.dims.exists(dims)
+      }
+      val passthrough = ArrayChunk(chunk.vars.filter { case (n, va) =>
+        !isBoundsVar(n) && !va.dims.exists(dims)
+      })
+      val hists = touched.map { case (n, va) =>
+        val loVa = chunk.vars.getOrElse(s"${n}__lo", throw new IllegalStateException(
+          s"histogram pass: chunk lacks bounds var ${n}__lo"))
+        val hiVa = chunk.vars(s"${n}__hi")
+        val s = va.arr.shape
+        val nd = s.length
+        val keptDims = va.dims.filterNot(dims)
+        require(loVa.dims == keptDims,
+          s"bounds dims ${loVa.dims} != kept dims $keptDims for $n")
+        // stride of each dim's index in the kept-cell flat offset
+        // (0 for reduced dims)
+        val keptStride = new Array[Long](nd)
+        var acc = 1L
+        var j = nd - 1
+        while (j >= 0) {
+          if (!dims(va.dims(j))) { keptStride(j) = acc; acc *= s(j) }
+          j -= 1
+        }
+        val hist = NdArray.zeros(DType.F64,
+          keptDims.map(d => s(va.dims.indexOf(d))).toArray :+ bins)
+        val total = va.arr.size
+        val idx = new Array[Int](nd)
+        var keptFlat = 0L
+        var i = 0L
+        while (i < total) {
+          val v = va.arr.getDouble(i)
+          if (!v.isNaN) {
+            val l = loVa.arr.getDouble(keptFlat)
+            val hb = hiVa.arr.getDouble(keptFlat)
+            if (!l.isNaN && !hb.isNaN) {
+              val b =
+                if (hb == l) 0
+                else math.min(bins - 1,
+                  math.floor((v - l) / ((hb - l) / bins)).toInt)
+              val off = keptFlat * bins + b
+              hist.setDouble(off, hist.getDouble(off) + 1.0)
+            }
+          }
+          // odometer increment with incremental kept-offset update
+          var d = nd - 1
+          var carry = true
+          while (carry && d >= 0) {
+            idx(d) += 1
+            keptFlat += keptStride(d)
+            if (idx(d) == s(d)) {
+              idx(d) = 0
+              keptFlat -= keptStride(d) * s(d)
+              d -= 1
+            } else carry = false
+          }
+          i += 1
+        }
+        n -> VarArray(keptDims :+ "__bin", hist)
+      }
+      HistAcc(hists,
+        touched.map { case (n, _) => n -> chunk.vars(s"${n}__lo") },
+        touched.map { case (n, _) => n -> chunk.vars(s"${n}__hi") },
+        passthrough)
+    }
+  }
+
+  /** Histogram pass of the approximate quantile: per-chunk partials,
+    * ONE keyed shuffle with map-side combine (reduceGroups), extract.
+    * Same distributed shape as [[reduceDims]]; the shuffled payload per
+    * kept cell is `bins` doubles, independent of the reduced extent. */
+  def histQuantileReduce(ds: Dataset[Pair], dims: Set[String], q: Double,
+                         bins: Int): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, HistAcc)] =
+      Encoders.kryo[(ChunkKey, HistAcc)]
+    ds.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets -- dims)
+      (nk, HistAcc.ofChunk(p._2, dims, bins))
+    }
+      .groupByKey { kv: (ChunkKey, HistAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, HistAcc), b: (ChunkKey, HistAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, HistAcc)) =>
+        (kv._2._1, kv._2._2.extract(q, bins))
+      }
+  }
+
   def splitVariables(ds: Dataset[Pair]): Dataset[Pair] =
     ds.flatMap { p: Pair => ChunkOps.splitVariables(p._1, p._2) }
 

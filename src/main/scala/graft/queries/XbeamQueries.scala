@@ -3221,6 +3221,57 @@ object XbeamQueries {
       Some(s"""
         WITH $GRID_DUCK
         SELECT t - (SELECT max(t) - 7 FROM grid) AS t, x, vf FROM grid
-        WHERE t >= (SELECT max(t) - 7 FROM grid) ORDER BY t, x"""))
+        WHERE t >= (SELECT max(t) - 7 FROM grid) ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x111
+    // Approximate quantile (median here) over dim t: the scale-safe
+    // sketch sibling of the exact quantile family — exact per-cell
+    // bounds, then merged equi-width histograms (64 bins; payload per
+    // cell is O(bins), never the raw values). The sketch is
+    // bit-deterministic (fixed bin edges + integer counts), so the
+    // oracle reproduces the estimator exactly in SQL; the spec
+    // additionally asserts |approx − exact| <= (max − min)/bins and
+    // merge associativity across chunkings.
+    QueryDef(
+      "x111_approx_quantile",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).approxQuantile(0.5, Set("t"), bins = 64))
+        .orderBy("x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        v AS (SELECT x, 'uid' AS var, CAST(uid AS DOUBLE) AS val FROM grid
+              UNION ALL SELECT x, 'vf', vf FROM grid),
+        b AS (SELECT x, var, min(val) AS lo, max(val) AS hi,
+                     count(*) AS n
+              FROM v GROUP BY 1, 2),
+        p AS (SELECT x, var, lo, hi, n, (hi - lo) / 64 AS w,
+                     0.5e0 * (n - 1) AS h,
+                     CAST(floor(0.5e0 * (n - 1)) AS BIGINT) AS k0,
+                     LEAST(CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1, n - 1) AS k1
+              FROM b),
+        binned AS (
+          SELECT v.x, v.var,
+                 LEAST(CAST(floor((v.val - p.lo) / p.w) AS BIGINT), 63) AS bin,
+                 count(*) AS cnt
+          FROM v JOIN p USING (x, var) WHERE p.w > 0
+          GROUP BY 1, 2, 3),
+        cum AS (SELECT x, var, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY x, var ORDER BY bin) - cnt AS cb
+                FROM binned),
+        est AS (
+          SELECT p.x, p.var, p.h, p.k0,
+            max(CASE WHEN p.k0 >= c.cb AND p.k0 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k0 - c.cb) + 0.5e0) / c.cnt) END) AS e0,
+            max(CASE WHEN p.k1 >= c.cb AND p.k1 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k1 - c.cb) + 0.5e0) / c.cnt) END) AS e1
+          FROM p JOIN cum c USING (x, var)
+          GROUP BY 1, 2, 3, 4),
+        res AS (SELECT x, var, e0 + (h - k0) * (e1 - e0) AS val FROM est
+                UNION ALL
+                SELECT x, var, lo AS val FROM p WHERE w = 0)
+        SELECT x,
+               max(CASE WHEN var = 'uid' THEN val END) AS uid,
+               max(CASE WHEN var = 'vf' THEN val END) AS vf
+        FROM res GROUP BY x ORDER BY x"""))
   )
 }

@@ -9,13 +9,13 @@ import graft.ndarray.{DType, NdArray}
 object TestSpark {
   lazy val spark: SparkSession = {
     // Heap guard: the suite is sized for the pinned 8 GiB forked heap
-    // (build.sbt). A smaller SPARK_DRIVER_MEM turns OOMs/GC thrash into
+    // (build.sbt). A smaller SPARK_GRAFT_HEAP turns OOMs/GC thrash into
     // mystery flakes — fail with a self-explaining message instead.
     locally {
       val maxGb = Runtime.getRuntime.maxMemory / (1 << 30).toDouble
       require(maxGb >= 7.5,
         f"Test suite requires the pinned 8 GiB forked heap (got $maxGb%.1f " +
-          "GiB). Unset SPARK_DRIVER_MEM or set it >= 8g (build.sbt javaOptions).")
+          "GiB). Unset SPARK_GRAFT_HEAP (build.sbt javaOptions pins 8g).")
     }
     val s = SparkSession.builder()
       .master("local[4]")

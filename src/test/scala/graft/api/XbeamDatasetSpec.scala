@@ -2362,4 +2362,61 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("symmetric"))
   }
+
+  test("approxQuantile: merge-associative across chunkings; within (max-min)/bins of exact") {
+    // identical results under 3 different chunk partitionings — the
+    // histogram merge is pointwise integer addition, so the sketch is
+    // bit-deterministic whatever the partial grouping (the
+    // merge-associativity contract a t-digest cannot give)
+    def res(chunk: Int): NdArray =
+      era5ds(Map("time" -> chunk)).approxQuantile(0.5, Set("time"), bins = 32)
+        .collectConsolidated()._2.vars("temperature").arr
+    val r4 = res(4)
+    assert(r4.sameAs(res(3)) && r4.sameAs(res(12)),
+      "sketch must be bit-identical under any chunking")
+    // per-cell error bound vs the exact quantile: (max - min) / bins
+    val exact = era5ds().quantile(0.5, Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    val lo = era5ds().min(Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    val hi = era5ds().max(Set("time"))
+      .collectConsolidated()._2.vars("temperature").arr
+    var i = 0L
+    while (i < r4.size) {
+      val bound = (hi.getDouble(i) - lo.getDouble(i)) / 32
+      assert(math.abs(r4.getDouble(i) - exact.getDouble(i)) <= bound + 1e-12,
+        s"cell $i: approx ${r4.getDouble(i)} vs exact ${exact.getDouble(i)} " +
+          s"exceeds bound $bound")
+      i += 1
+    }
+  }
+
+  test("approxQuantile: constant, NaN-bearing, and poisoned cells") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 3), Array(
+      1.0, 5.0, Double.NaN,
+      1.0, 7.0, Double.NaN,
+      1.0, 6.0, Double.NaN,
+      1.0, 8.0, 2.0))
+    def ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+    val a = ds.approxQuantile(0.5, Set("t"), bins = 8)
+      .collectConsolidated()._2.vars("v").arr
+    assert(a.getDouble(0) == 1.0, "constant cell must be exact")
+    // x=1: {5,7,6,8}, exact median 6.5, bound (8-5)/8
+    assert(math.abs(a.getDouble(1) - 6.5) <= 3.0 / 8 + 1e-12)
+    // x=2 under skipna: single valid value -> degenerate bounds -> exact
+    assert(a.getDouble(2) == 2.0)
+    // skipna=false: any NaN poisons the cell
+    val p = ds.approxQuantile(0.5, Set("t"), bins = 8, skipna = false)
+      .collectConsolidated()._2.vars("v").arr
+    assert(p.getDouble(0) == 1.0 && p.getDouble(2).isNaN)
+    // reserved suffix collision fails loudly at plan time
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t", "x"), vals),
+        "v__lo" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+        .approxQuantile(0.5, Set("t"))
+    }
+    assert(e.getMessage.contains("__lo"))
+  }
 }

@@ -144,4 +144,28 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       .orderBy("time").collect()
     assert(got.sameElements(want))
   }
+
+  test("stream offsets fingerprint the chunk log; a remapped store fails loudly") {
+    import graft.sources.zarr.{ZarrInputPartition, ZarrMicroBatchStream}
+    import org.apache.spark.sql.connector.read.InputPartition
+    def streamOf(n: Int) = new ZarrMicroBatchStream(
+      Array.tabulate[InputPartition](n)(i => ZarrInputPartition(Array(i.toLong))),
+      null, 0L)
+    val s6 = streamOf(6)
+    // offsets serialize with the planned total
+    val j = s6.initialOffset().json
+    assert(j.contains("\"total\":6"), j)
+    // same-shape restart round-trips, and legacy bare-count checkpoints
+    // (pre-fingerprint) still load
+    assert(s6.deserializeOffset(j).json == j)
+    assert(s6.deserializeOffset("3").json.contains("\"n\":3"))
+    // a checkpoint taken against a 6-chunk log must NOT silently remap
+    // onto a store that now plans 8 chunks (grown along a non-leading
+    // dim interleaves new chunks into the C-order log)
+    val s8 = streamOf(8)
+    val e = intercept[IllegalArgumentException] {
+      s8.deserializeOffset(j)
+    }
+    assert(e.getMessage.contains("remapped"), e.getMessage)
+  }
 }
