@@ -952,6 +952,37 @@ final class XbeamDataset private (
   def approxQuantile(q: Double, dims: Set[String], bins: Int = 256,
                      skipna: Boolean = true): XbeamDataset = {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q")
+    approxQuantileImpl(Seq(q), Seq(""), dims, bins, skipna)
+  }
+
+  /** Several approximate quantiles from ONE sketch (the multi-q form,
+    * mirroring [[quantiles]]' suffix naming): the bounds pass, the
+    * histogram fill, and both shuffles are paid once; each q lands as
+    * `<var>_q<percent>` (0.25 → `_q25`). */
+  def approxQuantiles(qs: Seq[Double], dims: Set[String], bins: Int = 256,
+                      skipna: Boolean = true): XbeamDataset = {
+    require(qs.nonEmpty, "approxQuantiles needs at least one q")
+    qs.foreach(q =>
+      require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q"))
+    val suffixes = qs.map { q =>
+      val pct = BigDecimal(q * 100).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+        .underlying.stripTrailingZeros.toPlainString.replace('.', 'p')
+      s"_q$pct"
+    }
+    require(suffixes.distinct.length == suffixes.length,
+      s"duplicate quantiles: $qs")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.exists(dims)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"approxQuantiles output ${n + suf} collides with an existing variable")
+      }
+    }
+    approxQuantileImpl(qs, suffixes, dims, bins, skipna)
+  }
+
+  private def approxQuantileImpl(qs: Seq[Double], suffixes: Seq[String],
+                                 dims: Set[String], bins: Int,
+                                 skipna: Boolean): XbeamDataset = {
     require(bins >= 1 && bins <= (1 << 20),
       s"bins must be in [1, 2^20], got $bins")
     require(dims.subsetOf(template.dimSizes.keySet),
@@ -979,13 +1010,16 @@ final class XbeamDataset private (
       (c, r) => ArrayChunk(c.vars ++ r.vars), mergedTemplate)
     val outTemplate = Template(
       keptDims,
-      template.vars.map { case (n, vs) =>
-        n -> VarSpec(vs.dims.filterNot(dims),
-          if (vs.dims.exists(dims)) DType.F64 else vs.dtype)
+      template.vars.flatMap { case (n, vs) =>
+        if (vs.dims.exists(dims))
+          suffixes.map(suf =>
+            s"$n$suf" -> VarSpec(vs.dims.filterNot(dims), DType.F64))
+        else Seq(n -> vs)
       },
       template.coords -- dims, template.attrs)
     withPlan(outTemplate, chunkSizes -- dims, splitVars,
-      ChunkTransforms.histQuantileReduce(withBounds.chunkDataset, dims, q, bins))
+      ChunkTransforms.histQuantilesReduce(withBounds.chunkDataset, dims, qs,
+        suffixes, bins))
   }
 
   /** Average-tie ranks along `dim` (xarray `Dataset.rank(dim)`): each

@@ -94,14 +94,21 @@ object ChunkTransforms {
       *   result = est(k0) + (h − k0) · (est(k1) − est(k0))
       * Empty/poisoned cells (NaN bounds) yield NaN; constant cells
       * (hi == lo) yield the exact value. */
-    def extract(q: Double, bins: Int): ArrayChunk = {
-      val computed = hists.map { case (n, hva) =>
+    def extract(q: Double, bins: Int): ArrayChunk =
+      extractMulti(Seq(q), Seq(""), bins)
+
+    /** Several quantiles from ONE merged histogram (the multi-q form —
+      * the bounds pass, fill pass, and shuffle are all paid once); each
+      * q lands as `<var><suffix>`. */
+    def extractMulti(qs: Seq[Double], suffixes: Seq[String],
+                     bins: Int): ArrayChunk = {
+      val computed = hists.flatMap { case (n, hva) =>
         val lo = los(n).arr
         val hi = his(n).arr
         val keptDims = hva.dims.dropRight(1)
         val keptShape = hva.arr.shape.dropRight(1)
-        val out = NdArray.zeros(DType.F64, keptShape)
-        val cells = out.size
+        val outs = qs.map(_ => NdArray.zeros(DType.F64, keptShape))
+        val cells = outs.head.size
         var cell = 0L
         while (cell < cells) {
           val l = lo.getDouble(cell)
@@ -110,35 +117,40 @@ object ChunkTransforms {
           var nTot = 0L
           var b = 0
           while (b < bins) { nTot += hva.arr.getDouble(base + b).toLong; b += 1 }
-          val v =
-            if (nTot == 0L || l.isNaN || hb.isNaN) Double.NaN
-            else if (hb == l) l
-            else {
-              val w = (hb - l) / bins
-              val h = q * (nTot - 1)
-              val k0 = math.floor(h).toLong
-              val k1 = math.min(k0 + 1, nTot - 1)
-              var cum = 0L
-              var e0 = Double.NaN
-              var e1 = Double.NaN
-              b = 0
-              while (b < bins && (e0.isNaN || e1.isNaN)) {
-                val cnt = hva.arr.getDouble(base + b).toLong
-                if (cnt > 0) {
-                  if (e0.isNaN && k0 < cum + cnt)
-                    e0 = l + w * (b + ((k0 - cum) + 0.5) / cnt)
-                  if (e1.isNaN && k1 < cum + cnt)
-                    e1 = l + w * (b + ((k1 - cum) + 0.5) / cnt)
-                  cum += cnt
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            val v =
+              if (nTot == 0L || l.isNaN || hb.isNaN) Double.NaN
+              else if (hb == l) l
+              else {
+                val w = (hb - l) / bins
+                val h = q * (nTot - 1)
+                val k0 = math.floor(h).toLong
+                val k1 = math.min(k0 + 1, nTot - 1)
+                var cum = 0L
+                var e0 = Double.NaN
+                var e1 = Double.NaN
+                b = 0
+                while (b < bins && (e0.isNaN || e1.isNaN)) {
+                  val cnt = hva.arr.getDouble(base + b).toLong
+                  if (cnt > 0) {
+                    if (e0.isNaN && k0 < cum + cnt)
+                      e0 = l + w * (b + ((k0 - cum) + 0.5) / cnt)
+                    if (e1.isNaN && k1 < cum + cnt)
+                      e1 = l + w * (b + ((k1 - cum) + 0.5) / cnt)
+                    cum += cnt
+                  }
+                  b += 1
                 }
-                b += 1
+                e0 + (h - k0) * (e1 - e0)
               }
-              e0 + (h - k0) * (e1 - e0)
-            }
-          out.setDouble(cell, v)
+            outs(qi).setDouble(cell, v)
+            qi += 1
+          }
           cell += 1
         }
-        n -> VarArray(keptDims, out)
+        qs.indices.map(i => s"$n${suffixes(i)}" -> VarArray(keptDims, outs(i)))
       }
       ArrayChunk(computed ++ passthrough.vars)
     }
@@ -224,7 +236,14 @@ object ChunkTransforms {
     * Same distributed shape as [[reduceDims]]; the shuffled payload per
     * kept cell is `bins` doubles, independent of the reduced extent. */
   def histQuantileReduce(ds: Dataset[Pair], dims: Set[String], q: Double,
-                         bins: Int): Dataset[Pair] = {
+                         bins: Int): Dataset[Pair] =
+    histQuantilesReduce(ds, dims, Seq(q), Seq(""), bins)
+
+  /** Multi-q form: one bounds attach, one fill, one shuffle; each q
+    * extracts as `<var><suffix>`. */
+  def histQuantilesReduce(ds: Dataset[Pair], dims: Set[String],
+                          qs: Seq[Double], suffixes: Seq[String],
+                          bins: Int): Dataset[Pair] = {
     implicit val accEnc: Encoder[(ChunkKey, HistAcc)] =
       Encoders.kryo[(ChunkKey, HistAcc)]
     ds.map { p: Pair =>
@@ -236,7 +255,7 @@ object ChunkTransforms {
         (a._1, a._2.merge(b._2))
       }
       .map { kv: (String, (ChunkKey, HistAcc)) =>
-        (kv._2._1, kv._2._2.extract(q, bins))
+        (kv._2._1, kv._2._2.extractMulti(qs, suffixes, bins))
       }
   }
 

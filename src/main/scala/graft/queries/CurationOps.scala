@@ -408,6 +408,108 @@ object CurationOps {
         SELECT shard, cum_before // 2048 AS seq_id, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""))
+        FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""")),
+
+    // ---------------------------------------------------------------- c09
+    // Quality-percentile filtering with the approx-quantile sketch: keep
+    // documents at/above their LANGUAGE's p75 quality score (the "top
+    // quartile per domain" curation recipe). The threshold comes from
+    // the same deterministic equi-width histogram sketch as x111 — exact
+    // per-language (min, max, n) in one map-side-combined pass, then
+    // (lang, bin) integer counts in a second; raw scores never shuffle,
+    // the cumulative walk runs over the <= langs x 32 aggregated side,
+    // and the thresholds broadcast back into a narrow filter. At 100 TB
+    // an exact per-group percentile would move every score; the sketch
+    // moves 32 counts per language and is bit-deterministic, so the
+    // oracle reproduces the threshold exactly (error <= (max-min)/32,
+    // which only shifts WHICH boundary docs pass — identically in both
+    // engines).
+    QueryDef(
+      "c09_quality_percentile_filter",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val bins = 32
+        // t02's composite quality score, plus lang for the grouping
+        val q = t(s, dir, "documents")
+          .withColumn("ws", expr("split(text, ' ')"))
+          .withColumn("n_words", expr("cast(size(ws) AS bigint)"))
+          .withColumn("quality",
+            (expr("cast(size(filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint)")
+              .cast("double") / $"n_words") * 0.5 +
+            (expr("cast(size(array_distinct(ws)) AS bigint)").cast("double") / $"n_words") * 0.5 -
+            expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)")
+              .cast("double") / expr("length(text)"))
+          .select($"doc_id", $"lang", $"quality")
+        val p = q.groupBy($"lang")
+          .agg(min($"quality").as("lo"), max($"quality").as("hi"),
+            count(lit(1)).as("n"))
+          .withColumn("w", ($"hi" - $"lo") / bins)
+          .withColumn("h", lit(0.75) * ($"n" - 1))
+          .withColumn("k0", floor($"h"))
+          .withColumn("k1", least($"k0" + 1, $"n" - 1))
+        val binned = q.join(broadcast(p), Seq("lang")).where($"w" > 0)
+          .withColumn("bin",
+            least(floor(($"quality" - $"lo") / $"w"), lit((bins - 1).toLong)))
+          .groupBy($"lang", $"bin").agg(count(lit(1)).as("cnt"))
+        val cum = binned.withColumn("cb",
+          sum($"cnt").over(Window.partitionBy($"lang").orderBy($"bin")) - $"cnt")
+        val est = cum.join(broadcast(p), Seq("lang"))
+          .groupBy($"lang")
+          .agg(
+            max(when($"k0" >= $"cb" && $"k0" < $"cb" + $"cnt",
+              $"lo" + $"w" * ($"bin" + (($"k0" - $"cb") + lit(0.5)) / $"cnt"))).as("e0"),
+            max(when($"k1" >= $"cb" && $"k1" < $"cb" + $"cnt",
+              $"lo" + $"w" * ($"bin" + (($"k1" - $"cb") + lit(0.5)) / $"cnt"))).as("e1"),
+            first($"h").as("h"), first($"k0").as("k0"))
+        val thr = est
+          .select($"lang", ($"e0" + ($"h" - $"k0") * ($"e1" - $"e0")).as("q75"))
+          .union(p.where($"w" === 0).select($"lang", $"lo".as("q75")))
+        q.join(broadcast(thr), Seq("lang"))
+          .where($"quality" >= $"q75")
+          .select($"doc_id", $"lang", $"quality", $"q75")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        q AS (SELECT doc_id, lang,
+                (CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                   / CAST(len(ws) AS BIGINT)) * 0.5
+                + (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS BIGINT)) * 0.5
+                - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS quality
+              FROM d),
+        b AS (SELECT lang, min(quality) AS lo, max(quality) AS hi,
+                     count(*) AS n
+              FROM q GROUP BY 1),
+        p AS (SELECT lang, lo, hi, n, (hi - lo) / 32 AS w,
+                     0.75e0 * (n - 1) AS h,
+                     CAST(floor(0.75e0 * (n - 1)) AS BIGINT) AS k0,
+                     LEAST(CAST(floor(0.75e0 * (n - 1)) AS BIGINT) + 1, n - 1) AS k1
+              FROM b),
+        binned AS (
+          SELECT q.lang,
+                 LEAST(CAST(floor((q.quality - p.lo) / p.w) AS BIGINT), 31) AS bin,
+                 count(*) AS cnt
+          FROM q JOIN p USING (lang) WHERE p.w > 0
+          GROUP BY 1, 2),
+        cum AS (SELECT lang, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY bin) - cnt AS cb
+                FROM binned),
+        est AS (
+          SELECT p.lang, p.h, p.k0,
+            max(CASE WHEN p.k0 >= c.cb AND p.k0 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k0 - c.cb) + 0.5e0) / c.cnt) END) AS e0,
+            max(CASE WHEN p.k1 >= c.cb AND p.k1 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k1 - c.cb) + 0.5e0) / c.cnt) END) AS e1
+          FROM p JOIN cum c USING (lang)
+          GROUP BY 1, 2, 3),
+        thr AS (SELECT lang, e0 + (h - k0) * (e1 - e0) AS q75 FROM est
+                UNION ALL
+                SELECT lang, lo AS q75 FROM p WHERE w = 0)
+        SELECT q.doc_id, q.lang, q.quality, t.q75
+        FROM q JOIN thr t USING (lang)
+        WHERE q.quality >= t.q75
+        ORDER BY q.doc_id"""))
   )
 }

@@ -2391,6 +2391,25 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("approxQuantiles multi-q: one sketch, each suffix equals its single-q run") {
+    val multi = era5ds().approxQuantiles(Seq(0.25, 0.5, 0.9), Set("time"),
+      bins = 16).collectConsolidated()._2
+    for ((q, suf) <- Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.9 -> "_q90")) {
+      val single = era5ds().approxQuantile(q, Set("time"), bins = 16)
+        .collectConsolidated()._2.vars("temperature").arr
+      assert(multi.vars(s"temperature$suf").arr.sameAs(single),
+        s"multi-q $suf must match the single-q sketch bit-exactly")
+    }
+    // output-name collision fails loudly
+    val e = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t", "x"), Fixtures.arange(DType.F64, 4, 2)),
+        "v_q50" -> (Seq("t", "x"), Fixtures.arange(DType.F64, 4, 2))),
+        chunks = Map("t" -> 2)).approxQuantiles(Seq(0.5), Set("t"))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("approxQuantile: constant, NaN-bearing, and poisoned cells") {
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 3), Array(
       1.0, 5.0, Double.NaN,
