@@ -250,14 +250,22 @@ object Zarr {
     val sep = Option(za.get("dimension_separator")).map(_.asText).getOrElse(".")
     require(sep == "." || sep == "/", s"bad dimension_separator $sep for $name")
     // Unsupported layouts must fail loudly, not decode wrong: a filter
-    // chain (delta/fixedscaleoffset/...) changes the byte meaning, and
-    // Fortran order changes the element layout.
+    // chain (delta/fixedscaleoffset/...) changes the byte meaning.
     val filters = za.get("filters")
     require(filters == null || filters.isNull,
       s"array $name uses zarr v2 filters ($filters) — not supported")
+    // Fortran-order chunks (scipy-era writers, some HDF5 converters)
+    // are exactly the full-reversal case of the v3 transpose codec: an
+    // F-order buffer of shape s IS the C-order buffer of the
+    // axis-reversed array, so reads route through the same inverse
+    // permutation. Writes into F-order stores stay refused (the
+    // encodeBytes transpose guard).
     val order = Option(za.get("order")).map(_.asText).getOrElse("C")
-    require(order == "C", s"array $name is $order-order; only C-order " +
-      "stores are supported")
+    require(order == "C" || order == "F",
+      s"array $name has unknown order $order (C or F)")
+    val fOrder: Option[Seq[Int]] =
+      if (order == "F" && shape.length > 1) Some(shape.indices.reverse)
+      else None
     // big-endian stores (HDF5-converted data) read via a byte swap;
     // the in-memory representation stays little-endian throughout
     val dtypeStr = za.get("dtype").asText
@@ -267,7 +275,7 @@ object Zarr {
     ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
-      bigEndian = bigEndian)
+      bigEndian = bigEndian, transposeOrder = fOrder)
   }
 
   /** CF packing attrs, when both or either are present (missing one

@@ -207,6 +207,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c09 percentile filter: document text never shuffles; thresholds broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.SparkEntry.queries("c09_quality_percentile_filter")(spark, dir)
+      .queryExecution.sparkPlan
+    // the sketch moves (lang, bin) counts and per-language thresholds;
+    // raw document text must never cross an exchange at any scale
+    val bad = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(a => a.name == "text" || a.name == "ws") => e.nodeName
+    }
+    assert(bad.isEmpty, s"document text crossed an exchange: $bad")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "bounds/threshold application must broadcast, not shuffle the docs")
+    assert(s.contains("partial_count"),
+      "(lang, bin) histogram counts must combine map-side")
+  }
+
+  test("approxQuantile chunk plan: one keyed exchange (same as mean), no windows") {
+    import graft.api.XbeamDataset
+    import graft.Fixtures
+    def xds = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 4))
+    def plan(ds: XbeamDataset): String =
+      ds.chunkDataset.queryExecution.executedPlan.toString
+    def exchanges(p: String): Int = "(?<!Reused)Exchange".r.findAllIn(p).size
+    // the bounds pass reduces in its own (collected-and-broadcast) job,
+    // so the remaining plan carries exactly the histogram reduce — the
+    // same single keyed exchange a mean costs; per-cell payload is
+    // O(bins), never the reduced extent, and no window sorts anything
+    val mean = exchanges(plan(xds.mean(Set("time"))))
+    val aq = plan(xds.approxQuantile(0.5, Set("time"), bins = 32))
+    assert(exchanges(aq) == mean,
+      s"approxQuantile must match mean's single keyed exchange:\n$aq")
+    assert(!aq.contains("Window"), s"approxQuantile must not window:\n$aq")
+    // multi-q shares the same plan shape
+    val aqm = plan(xds.approxQuantiles(Seq(0.25, 0.75), Set("time"), bins = 32))
+    assert(exchanges(aqm) == mean,
+      s"approxQuantiles must match mean's single keyed exchange:\n$aqm")
+  }
+
   test("d09 span removal join is never a cross join") {
     val plan = planOf("d09_dedup_repeated_spans")
     assert(!plan.contains("CartesianProduct") &&

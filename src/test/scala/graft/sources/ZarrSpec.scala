@@ -234,7 +234,7 @@ class ZarrSpec extends AnyFunSuite {
       .sameAs(data))
   }
 
-  test("v2 filters and F-order are rejected loudly (no silent wrong decode)") {
+  test("v2 filters are rejected loudly (no silent wrong decode); 1-d F-order is C") {
     def writeZa(body: String): String = {
       val path = tmpStore()
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v"))
@@ -250,12 +250,13 @@ class ZarrSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       Zarr.readArrayMeta(withFilters, "v"))
     assert(e1.getMessage.contains("filters"))
+    // 1-d F-order is byte-identical to C: reads as a plain array with no
+    // transpose (multi-d F-order reads via the transpose path — see the
+    // dedicated F-order test)
     val fOrder = writeZa(
       """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
         """"filters":null,"order":"F","shape":[8],"zarr_format":2}""")
-    val e2 = intercept[IllegalArgumentException](
-      Zarr.readArrayMeta(fOrder, "v"))
-    assert(e2.getMessage.contains("F-order"))
+    assert(Zarr.readArrayMeta(fOrder, "v").transposeOrder.isEmpty)
   }
 
   test("big-endian v2 stores byte-swap on read; writes are refused") {
@@ -720,5 +721,52 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readArrayMeta(pu, "w")
     }
     assert(eu.getMessage.contains("unsupported v3 codec frobnicate"))
+  }
+
+  test("v2 Fortran-order stores read via the transpose path; writes refused") {
+    // scipy-era writers emit order:"F" — an F-order buffer of shape
+    // (4,3) is the C-order buffer of the axis-reversed (3,4) array, so
+    // reads route through the transpose codec's inverse permutation
+    val p = tmpStore()
+    val dir = java.nio.file.Paths.get(p, "w")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(".zarray"),
+      ("""{"chunks":[4,3],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":null,"order":"F","shape":[4,3],"zarr_format":2}""").getBytes("UTF-8"))
+    Files.write(dir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t","x"]}""".getBytes("UTF-8"))
+    val logical = Array.tabulate(12)(_.toDouble) // C-order over (4,3)
+    // F-order serialization: element (i,j) at j*4 + i
+    val f = new Array[Double](12)
+    for (i <- 0 until 4; j <- 0 until 3) f(j * 4 + i) = logical(i * 3 + j)
+    val bb = java.nio.ByteBuffer.allocate(96)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    f.foreach(bb.putDouble)
+    Files.write(dir.resolve("0.0"), bb.array())
+    val meta = Zarr.readArrayMeta(p, "w")
+    assert(meta.transposeOrder.contains(Seq(1, 0)))
+    assert(Zarr.readRegion(p, "w", meta, Array(0L, 0L), Array(4, 3))
+      .sameAs(NdArray.fromDoubles(DType.F64, Array(4, 3), logical)))
+    assert(Zarr.readRegion(p, "w", meta, Array(1L, 1L), Array(2, 2))
+      .sameAs(NdArray.fromDoubles(DType.F64, Array(4, 3), logical)
+        .slice(Array(1, 1), Array(2, 2))))
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(p, "w", meta, Array(0L, 0L),
+        NdArray.fromDoubles(DType.F64, Array(4, 3), logical))
+    }
+    assert(ew.getMessage.contains("transpose"))
+    // unknown orders still fail loudly
+    val p2 = tmpStore()
+    val d2 = java.nio.file.Paths.get(p2, "w")
+    Files.createDirectories(d2)
+    Files.write(d2.resolve(".zarray"),
+      ("""{"chunks":[4,3],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":null,"order":"K","shape":[4,3],"zarr_format":2}""").getBytes("UTF-8"))
+    Files.write(d2.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t","x"]}""".getBytes("UTF-8"))
+    val eo = intercept[IllegalArgumentException] {
+      Zarr.readArrayMeta(p2, "w")
+    }
+    assert(eo.getMessage.contains("order"))
   }
 }
