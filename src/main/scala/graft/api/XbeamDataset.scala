@@ -2737,6 +2737,65 @@ final class XbeamDataset private (
       arr.quantileAlong(Array(ax), q, sk))
   }
 
+  /** Per-group APPROXIMATE quantile — the scale-safe sibling of
+    * [[groupbyCoordQuantile]], using the same deterministic equi-width
+    * histogram sketch as [[approxQuantile]] per (group, kept cell).
+    * Exact per-group (min, max) bounds build in their own bucket-reduce
+    * jobs (small by construction — the size class
+    * [[groupbyCoordAnomaly]] already collects and broadcasts) and
+    * broadcast into the histogram pass, which ships `bins` doubles per
+    * (group, cell) through the ONE partial shuffle of the shared bucket
+    * core. Unlike the exact path, the group's raw values never meet;
+    * error <= (max − min)/bins per (group, cell), bit-deterministic
+    * under any partitioning (gate x112's oracle reproduces it). */
+  def groupbyCoordApproxQuantile(dim: String, q: Double, bins: Int = 256,
+                                 skipna: Boolean = true): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q")
+    require(bins >= 1 && bins <= (1 << 20),
+      s"bins must be in [1, 2^20], got $bins")
+    import ChunkTransforms.HistAcc
+    val (bucketOf, outCoord) = coordGroups(dim)
+    // exact per-group bounds in ONE extra traversal (min and max ride
+    // the same partials), consolidated and broadcast
+    val (loVars, hiVars) =
+      bucketBoundsCollect(dim, bucketOf, outCoord.shape(0), skipna)
+    val bcLo = spark.sparkContext.broadcast(loVars)
+    val bcHi = spark.sparkContext.broadcast(hiVars)
+    implicit val accEnc = Encoders.kryo[(ChunkKey, HistAcc, ArrayChunk)]
+    val d = dim
+    val b = bins
+    bucketReduceCoreKeyed[HistAcc](dim, bucketOf, outCoord,
+      (key, sliced) => HistAcc.ofSlice(sliced, Set(d), b, { n =>
+        // cut this (bucket, kept-window) slab out of the broadcast
+        // per-group bounds: index the group axis at the bucket id (the
+        // key's dim offset) and the kept axes at the chunk's offsets
+        val va = sliced.vars(n)
+        def cut(all: Map[String, VarArray]): NdArray = {
+          val full = all(n)
+          val st = full.dims.map {
+            case `d` => key.offsets(d).toInt
+            case dd => key.offsets.getOrElse(dd, 0L).toInt
+          }.toArray
+          val ln = full.dims.map {
+            case `d` => 1
+            case dd => va.arr.shape(va.dims.indexOf(dd))
+          }.toArray
+          val sl = full.arr.slice(st, ln)
+          val keptShape = va.dims.zipWithIndex.collect {
+            case (dd, i) if dd != d => va.arr.shape(i)
+          }.toArray
+          NdArray(DType.F64, keptShape, sl.data)
+        }
+        (cut(bcLo.value), cut(bcHi.value))
+      }),
+      // empty accs come from passthrough-only replica chunks: merge must
+      // treat them as the identity, not clobber the real partial
+      (x, y) =>
+        if (x.hists.isEmpty) y else if (y.hists.isEmpty) x else x.merge(y),
+      acc => acc.extract(q, b),
+      HistAcc(Map.empty, Map.empty, Map.empty, ArrayChunk(Map.empty)))
+  }
+
   private def groupbyCoordOrderStat(dim: String, skipna: Boolean)(
       kernel: (NdArray, Int, Boolean) => NdArray): XbeamDataset = {
     implicit val accEnc =
@@ -2879,6 +2938,91 @@ final class XbeamDataset private (
     * sorted-distinct value list; that list (original dtype) becomes the
     * output coordinate. Integer, datetime, and float coords supported;
     * float coords must be NaN-free (a NaN group label is unordered). */
+  /** Exact per-(bucket, kept-cell) (min, max) bounds in ONE traversal
+    * — the bounds stage of [[groupbyCoordApproxQuantile]]. Same run
+    * slicing as [[bucketReduceCoreKeyed]], but min and max partials
+    * ride the same tuples and the merged result assembles driver-side
+    * into full (bucket × kept) arrays per variable (the size class
+    * [[groupbyCoordAnomaly]] already collects and broadcasts). Cells no
+    * data reaches stay NaN. */
+  private def bucketBoundsCollect(dim: String, bucketOf: Array[Int],
+                                  nBuckets: Int, skipna: Boolean)
+      : (Map[String, VarArray], Map[String, VarArray]) = {
+    import ChunkTransforms.ReduceAcc
+    implicit val accEnc =
+      Encoders.kryo[(ChunkKey, ReduceAcc, ReduceAcc)]
+    val bc = spark.sparkContext.broadcast(bucketOf)
+    val d = dim
+    val partials = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L).toInt
+      val touched = c.vars.filter(_._2.dims.contains(d))
+      val ext = touched.headOption.map { case (_, va) =>
+        va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      val buckets = bc.value
+      val outs = scala.collection.mutable.ArrayBuffer
+        .empty[(ChunkKey, ReduceAcc, ReduceAcc)]
+      var i0 = 0
+      while (i0 < ext) {
+        val b = buckets(off + i0)
+        var i1 = i0 + 1
+        while (i1 < ext && buckets(off + i1) == b) i1 += 1
+        val sliced = ArrayChunk(touched.map { case (n, va) =>
+          val ax = va.dims.indexOf(d)
+          val st = Array.fill(va.arr.ndim)(0); st(ax) = i0
+          val ln = va.arr.shape.clone(); ln(ax) = i1 - i0
+          n -> VarArray(va.dims, va.arr.slice(st, ln))
+        })
+        outs += ((k.copy(offsets = k.offsets - d + (d -> b.toLong)),
+          ReduceAcc.ofChunk(sliced, Set(d), "min", skipna),
+          ReduceAcc.ofChunk(sliced, Set(d), "max", skipna)))
+        i0 = i1
+      }
+      outs.iterator
+    }
+    val merged = partials
+      .groupByKey { t: (ChunkKey, ReduceAcc, ReduceAcc) => t._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, ReduceAcc, ReduceAcc),
+                       b: (ChunkKey, ReduceAcc, ReduceAcc)) =>
+        (a._1, a._2.merge(b._2), a._3.merge(b._3))
+      }
+      .map { kv: (String, (ChunkKey, ReduceAcc, ReduceAcc)) => kv._2 }
+      .collect()
+    // assemble full (bucket x kept) arrays per variable, NaN-filled
+    def assemble(pick: ((ChunkKey, ReduceAcc, ReduceAcc)) => ReduceAcc)
+        : Map[String, VarArray] = {
+      val out = scala.collection.mutable.Map[String, VarArray]()
+      merged.foreach { t =>
+        val key = t._1
+        pick(t).extract.vars.foreach { case (n, va) =>
+          val fullDims = template.vars(n).dims
+          val full = out.getOrElseUpdate(n, {
+            val shape = fullDims.map { dd =>
+              if (dd == d) nBuckets else template.dimSizes(dd).toInt
+            }.toArray
+            VarArray(fullDims, NdArray.fill(DType.F64, shape, Double.NaN))
+          })
+          // re-insert the reduced axis (extent 1) for the insert
+          val ax = fullDims.indexOf(d)
+          val shape1 = new Array[Int](va.arr.ndim + 1)
+          var j = 0
+          while (j < shape1.length) {
+            shape1(j) =
+              if (j < ax) va.arr.shape(j)
+              else if (j == ax) 1
+              else va.arr.shape(j - 1)
+            j += 1
+          }
+          val starts = fullDims.map(dd => key.offsets.getOrElse(dd, 0L).toInt).toArray
+          full.arr.insert(starts, NdArray(DType.F64, shape1, va.arr.data))
+        }
+      }
+      out.toMap
+    }
+    (assemble(_._2), assemble(_._3))
+  }
+
   private def coordGroups(dim: String): (Array[Int], NdArray) = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
@@ -2917,6 +3061,21 @@ final class XbeamDataset private (
                                   mergeA: (A, A) => A,
                                   extractA: A => ArrayChunk,
                                   emptyA: A)(
+      implicit accEnc: org.apache.spark.sql.Encoder[(ChunkKey, A, ArrayChunk)]): XbeamDataset =
+    bucketReduceCoreKeyed[A](dim, bucketOf, outCoord,
+      (_, sliced) => accOf(sliced), mergeA, extractA, emptyA)
+
+  /** [[bucketReduceCore]] with the OUTPUT bucket key in the slicer —
+    * the key carries the chunk's kept offsets plus the bucket id as
+    * `dim`'s offset, which is what a per-(group, cell) combiner (the
+    * grouped approx-quantile histogram) needs to index its broadcast
+    * side. */
+  private def bucketReduceCoreKeyed[A](dim: String, bucketOf: Array[Int],
+                                  outCoord: NdArray,
+                                  accOf: (ChunkKey, ArrayChunk) => A,
+                                  mergeA: (A, A) => A,
+                                  extractA: A => ArrayChunk,
+                                  emptyA: A)(
       implicit accEnc: org.apache.spark.sql.Encoder[(ChunkKey, A, ArrayChunk)]): XbeamDataset = {
     require(bucketOf.length == template.dimSizes(dim).toInt,
       s"bucket map length ${bucketOf.length} != dim size ${template.dimSizes(dim)}")
@@ -2949,8 +3108,8 @@ final class XbeamDataset private (
             val ln = va.arr.shape.clone(); ln(ax) = i1 - i0
             n -> VarArray(va.dims, va.arr.slice(st, ln))
           })
-          outs += ((k.copy(offsets = k.offsets - d + (d -> b.toLong)),
-            accOf(sliced), ArrayChunk(untouched)))
+          val nk = k.copy(offsets = k.offsets - d + (d -> b.toLong))
+          outs += ((nk, accOf(nk, sliced), ArrayChunk(untouched)))
           i0 = i1
         }
         outs.iterator

@@ -174,60 +174,90 @@ object ChunkTransforms {
         val loVa = chunk.vars.getOrElse(s"${n}__lo", throw new IllegalStateException(
           s"histogram pass: chunk lacks bounds var ${n}__lo"))
         val hiVa = chunk.vars(s"${n}__hi")
-        val s = va.arr.shape
-        val nd = s.length
         val keptDims = va.dims.filterNot(dims)
         require(loVa.dims == keptDims,
           s"bounds dims ${loVa.dims} != kept dims $keptDims for $n")
-        // stride of each dim's index in the kept-cell flat offset
-        // (0 for reduced dims)
-        val keptStride = new Array[Long](nd)
-        var acc = 1L
-        var j = nd - 1
-        while (j >= 0) {
-          if (!dims(va.dims(j))) { keptStride(j) = acc; acc *= s(j) }
-          j -= 1
-        }
-        val hist = NdArray.zeros(DType.F64,
-          keptDims.map(d => s(va.dims.indexOf(d))).toArray :+ bins)
-        val total = va.arr.size
-        val idx = new Array[Int](nd)
-        var keptFlat = 0L
-        var i = 0L
-        while (i < total) {
-          val v = va.arr.getDouble(i)
-          if (!v.isNaN) {
-            val l = loVa.arr.getDouble(keptFlat)
-            val hb = hiVa.arr.getDouble(keptFlat)
-            if (!l.isNaN && !hb.isNaN) {
-              val b =
-                if (hb == l) 0
-                else math.min(bins - 1,
-                  math.floor((v - l) / ((hb - l) / bins)).toInt)
-              val off = keptFlat * bins + b
-              hist.setDouble(off, hist.getDouble(off) + 1.0)
-            }
-          }
-          // odometer increment with incremental kept-offset update
-          var d = nd - 1
-          var carry = true
-          while (carry && d >= 0) {
-            idx(d) += 1
-            keptFlat += keptStride(d)
-            if (idx(d) == s(d)) {
-              idx(d) = 0
-              keptFlat -= keptStride(d) * s(d)
-              d -= 1
-            } else carry = false
-          }
-          i += 1
-        }
-        n -> VarArray(keptDims :+ "__bin", hist)
+        n -> VarArray(keptDims :+ "__bin",
+          fillHist(va, dims, bins, loVa.arr, hiVa.arr))
       }
       HistAcc(hists,
         touched.map { case (n, _) => n -> chunk.vars(s"${n}__lo") },
         touched.map { case (n, _) => n -> chunk.vars(s"${n}__hi") },
         passthrough)
+    }
+
+    /** Partial histograms for a chunk/slice whose bounds come from the
+      * CALLER (per-group bounds cut out of a broadcast — the
+      * grouped-quantile path) rather than from attached `__lo`/`__hi`
+      * vars. `boundsOf(n)` returns this slice's (lo, hi) arrays in kept
+      * shape. */
+    def ofSlice(sliced: ArrayChunk, dims: Set[String], bins: Int,
+                boundsOf: String => (NdArray, NdArray)): HistAcc = {
+      val touched = sliced.vars.filter(_._2.dims.exists(dims))
+      val hists = touched.map { case (n, va) =>
+        val (lo, hi) = boundsOf(n)
+        val keptDims = va.dims.filterNot(dims)
+        n -> VarArray(keptDims :+ "__bin", fillHist(va, dims, bins, lo, hi))
+      }
+      HistAcc(hists,
+        touched.map { case (n, va) =>
+          n -> VarArray(va.dims.filterNot(dims), boundsOf(n)._1) },
+        touched.map { case (n, va) =>
+          n -> VarArray(va.dims.filterNot(dims), boundsOf(n)._2) },
+        ArrayChunk(Map.empty))
+    }
+
+    /** One odometer walk filling the per-kept-cell equi-width bins —
+      * O(slice elements) with incremental kept-offset strides. */
+    private def fillHist(va: VarArray, dims: Set[String], bins: Int,
+                         loArr: NdArray, hiArr: NdArray): NdArray = {
+      val s = va.arr.shape
+      val nd = s.length
+      val keptDims = va.dims.filterNot(dims)
+      // stride of each dim's index in the kept-cell flat offset
+      // (0 for reduced dims)
+      val keptStride = new Array[Long](nd)
+      var acc = 1L
+      var j = nd - 1
+      while (j >= 0) {
+        if (!dims(va.dims(j))) { keptStride(j) = acc; acc *= s(j) }
+        j -= 1
+      }
+      val hist = NdArray.zeros(DType.F64,
+        keptDims.map(d => s(va.dims.indexOf(d))).toArray :+ bins)
+      val total = va.arr.size
+      val idx = new Array[Int](nd)
+      var keptFlat = 0L
+      var i = 0L
+      while (i < total) {
+        val v = va.arr.getDouble(i)
+        if (!v.isNaN) {
+          val l = loArr.getDouble(keptFlat)
+          val hb = hiArr.getDouble(keptFlat)
+          if (!l.isNaN && !hb.isNaN) {
+            val b =
+              if (hb == l) 0
+              else math.min(bins - 1,
+                math.floor((v - l) / ((hb - l) / bins)).toInt)
+            val off = keptFlat * bins + b
+            hist.setDouble(off, hist.getDouble(off) + 1.0)
+          }
+        }
+        // odometer increment with incremental kept-offset update
+        var d = nd - 1
+        var carry = true
+        while (carry && d >= 0) {
+          idx(d) += 1
+          keptFlat += keptStride(d)
+          if (idx(d) == s(d)) {
+            idx(d) = 0
+            keptFlat -= keptStride(d) * s(d)
+            d -= 1
+          } else carry = false
+        }
+        i += 1
+      }
+      hist
     }
   }
 

@@ -3272,6 +3272,65 @@ object XbeamQueries {
         SELECT x,
                max(CASE WHEN var = 'uid' THEN val END) AS uid,
                max(CASE WHEN var = 'vf' THEN val END) AS vf
-        FROM res GROUP BY x ORDER BY x"""))
+        FROM res GROUP BY x ORDER BY x""")),
+
+    // ---------------------------------------------------------------- x112
+    // Grouped approximate quantile (x99's scale-safe sibling): per
+    // (interleaved group, cell) histogram-sketch median over the same
+    // 7-group coordinate x99 uses. Exact per-group bounds build in
+    // their own bucket-reduce jobs and broadcast; the histogram pass
+    // ships 64 counts per (group, cell) — the group's raw values never
+    // meet, unlike x99's slice shuffle. Same deterministic estimator as
+    // x111, reproduced exactly by the oracle.
+    QueryDef(
+      "x112_groupby_approx_quantile",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 7).toLong))
+        val withCoord = XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> seasons)),
+          xds.chunkSizes, xds.chunkDataset, validate = false)
+        TabularBridge.toDataFrame(
+          withCoord.groupbyCoordApproxQuantile("t", 0.5, bins = 64))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        v AS (SELECT t % 7 AS g, x, 'uid' AS var, CAST(uid AS DOUBLE) AS val FROM grid
+              UNION ALL SELECT t % 7, x, 'vf', vf FROM grid),
+        b AS (SELECT g, x, var, min(val) AS lo, max(val) AS hi,
+                     count(*) AS n
+              FROM v GROUP BY 1, 2, 3),
+        p AS (SELECT g, x, var, lo, hi, n, (hi - lo) / 64 AS w,
+                     0.5e0 * (n - 1) AS h,
+                     CAST(floor(0.5e0 * (n - 1)) AS BIGINT) AS k0,
+                     LEAST(CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1, n - 1) AS k1
+              FROM b),
+        binned AS (
+          SELECT v.g, v.x, v.var,
+                 LEAST(CAST(floor((v.val - p.lo) / p.w) AS BIGINT), 63) AS bin,
+                 count(*) AS cnt
+          FROM v JOIN p USING (g, x, var) WHERE p.w > 0
+          GROUP BY 1, 2, 3, 4),
+        cum AS (SELECT g, x, var, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY g, x, var ORDER BY bin) - cnt AS cb
+                FROM binned),
+        est AS (
+          SELECT p.g, p.x, p.var, p.h, p.k0,
+            max(CASE WHEN p.k0 >= c.cb AND p.k0 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k0 - c.cb) + 0.5e0) / c.cnt) END) AS e0,
+            max(CASE WHEN p.k1 >= c.cb AND p.k1 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k1 - c.cb) + 0.5e0) / c.cnt) END) AS e1
+          FROM p JOIN cum c USING (g, x, var)
+          GROUP BY 1, 2, 3, 4, 5),
+        res AS (SELECT g, x, var, e0 + (h - k0) * (e1 - e0) AS val FROM est
+                UNION ALL
+                SELECT g, x, var, lo AS val FROM p WHERE w = 0)
+        SELECT g AS t, x,
+               max(CASE WHEN var = 'uid' THEN val END) AS uid,
+               max(CASE WHEN var = 'vf' THEN val END) AS vf
+        FROM res GROUP BY g, x ORDER BY t, x"""))
   )
 }

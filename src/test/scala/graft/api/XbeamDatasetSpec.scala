@@ -2410,6 +2410,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("groupbyCoordApproxQuantile: chunking-invariant; within per-group bound") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(12, 2),
+      Array.tabulate(24)(i => ((i * 7) % 13).toDouble))
+    val coord = NdArray.fromLongs(DType.I64, Array(12),
+      Array.tabulate(12)(i => (i % 3).toLong)) // 3 interleaved groups
+    def mk(ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)),
+      coords = Map("t" -> coord), chunks = Map("t" -> ch))
+    def res(ch: Int) = mk(ch).groupbyCoordApproxQuantile("t", 0.5, bins = 8)
+      .collectConsolidated()._2.vars("v").arr
+    val r = res(4)
+    assert(r.sameAs(res(3)) && r.sameAs(res(12)),
+      "grouped sketch must be bit-identical under any chunking")
+    val exact = mk(4).groupbyCoordQuantile("t", 0.5)
+      .collectConsolidated()._2.vars("v").arr
+    val lo = mk(4).groupbyCoordReduce("t", "min")
+      .collectConsolidated()._2.vars("v").arr
+    val hi = mk(4).groupbyCoordReduce("t", "max")
+      .collectConsolidated()._2.vars("v").arr
+    var i = 0L
+    while (i < r.size) {
+      val bound = (hi.getDouble(i) - lo.getDouble(i)) / 8
+      assert(math.abs(r.getDouble(i) - exact.getDouble(i)) <= bound + 1e-12,
+        s"cell $i: approx ${r.getDouble(i)} vs exact ${exact.getDouble(i)}")
+      i += 1
+    }
+  }
+
   test("approxQuantile: constant, NaN-bearing, and poisoned cells") {
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 3), Array(
       1.0, 5.0, Double.NaN,
