@@ -62,7 +62,8 @@ object Zarr {
                              cfScale: Option[(Double, Double)] = None,
                              cfFill: Option[Double] = None,
                              bigEndian: Boolean = false,
-                             transposeOrder: Option[Seq[Int]] = None)
+                             transposeOrder: Option[Seq[Int]] = None,
+                             deltaFilter: Boolean = false)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -249,11 +250,31 @@ object Zarr {
     // absent and read as fill — a silent wrong read.
     val sep = Option(za.get("dimension_separator")).map(_.asText).getOrElse(".")
     require(sep == "." || sep == "/", s"bad dimension_separator $sep for $name")
-    // Unsupported layouts must fail loudly, not decode wrong: a filter
-    // chain (delta/fixedscaleoffset/...) changes the byte meaning.
+    // Filters change the byte meaning, so anything we can't decode
+    // exactly must fail loudly, not decode wrong. The one filter real
+    // stores commonly carry is numcodecs `delta` (monotonic coordinate
+    // arrays compress to near-nothing under it): stored values are
+    // x[0], x[1]-x[0], ... in the array's own dtype, decoded by a
+    // cumulative sum. Supported read-only, and ONLY when it neither
+    // changes the dtype (astype, if present, must equal dtype) nor
+    // chains with other filters.
     val filters = za.get("filters")
-    require(filters == null || filters.isNull,
-      s"array $name uses zarr v2 filters ($filters) — not supported")
+    val deltaFilter: Boolean =
+      if (filters == null || filters.isNull) false
+      else {
+        require(filters.isArray && filters.size == 1 &&
+          filters.get(0).get("id").asText == "delta",
+          s"array $name uses unsupported zarr v2 filters ($filters) — " +
+            "only a single delta filter is supported")
+        val f = filters.get(0)
+        val fdt = Option(f.get("dtype")).map(_.asText)
+        val astype = Option(f.get("astype")).filterNot(_.isNull).map(_.asText)
+        val arrDt = za.get("dtype").asText
+        require(fdt.forall(_ == arrDt) && astype.forall(_ == arrDt),
+          s"array $name: delta filter dtype/astype (${fdt.orNull}/" +
+            s"${astype.orNull}) must match the array dtype $arrDt")
+        true
+      }
     // Fortran-order chunks (scipy-era writers, some HDF5 converters)
     // are exactly the full-reversal case of the v3 transpose codec: an
     // F-order buffer of shape s IS the C-order buffer of the
@@ -275,7 +296,8 @@ object Zarr {
     ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
-      bigEndian = bigEndian, transposeOrder = fOrder)
+      bigEndian = bigEndian, transposeOrder = fOrder,
+      deltaFilter = deltaFilter)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -1071,9 +1093,63 @@ object Zarr {
     * padded chunk — or inner shard chunk — shape), inverse-applying the
     * v3 transpose codec's permutation when the store declares one. */
   private def decodeChunk(meta: ArrayMeta, shape: Array[Int],
-                          bytes: Array[Byte]): NdArray =
-    NdArray(meta.dtype, shape,
-      inverseTranspose(meta, shape, decodeBytes(meta, bytes)))
+                          bytes: Array[Byte]): NdArray = {
+    // numcodecs pipeline order: compressor(filter(raw)) — so decompress,
+    // then undo the delta filter over the stored-order buffer, then
+    // inverse-permute the layout
+    val raw = decodeBytes(meta, bytes)
+    val unfiltered = if (meta.deltaFilter) deltaDecode(raw, meta.dtype) else raw
+    NdArray(meta.dtype, shape, inverseTranspose(meta, shape, unfiltered))
+  }
+
+  /** Undo numcodecs `delta` in place: stored = x[0], x[1]−x[0], … in
+    * the array's own dtype; decode = running sum with the dtype's
+    * native wraparound for integers. */
+  private def deltaDecode(bytes: Array[Byte], dtype: DType): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case DType.F64 =>
+        var acc = 0.0
+        var i = 0
+        while (i + 8 <= bytes.length) {
+          acc += bb.getDouble(i); bb.putDouble(i, acc); i += 8
+        }
+      case DType.I64 | DType.TimeNs =>
+        var acc = 0L
+        var i = 0
+        while (i + 8 <= bytes.length) {
+          acc += bb.getLong(i); bb.putLong(i, acc); i += 8
+        }
+      case DType.F32 =>
+        var acc = 0.0f
+        var i = 0
+        while (i + 4 <= bytes.length) {
+          acc += bb.getFloat(i); bb.putFloat(i, acc); i += 4
+        }
+      case DType.I32 =>
+        var acc = 0
+        var i = 0
+        while (i + 4 <= bytes.length) {
+          acc += bb.getInt(i); bb.putInt(i, acc); i += 4
+        }
+      case DType.I16 =>
+        var acc: Short = 0
+        var i = 0
+        while (i + 2 <= bytes.length) {
+          acc = (acc + bb.getShort(i)).toShort; bb.putShort(i, acc); i += 2
+        }
+      case DType.I8 | DType.U8 =>
+        var acc: Byte = 0
+        var i = 0
+        while (i < bytes.length) {
+          acc = (acc + bytes(i)).toByte; bytes(i) = acc; i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"delta filter over dtype ${other.zarr} is not supported")
+    }
+    bytes
+  }
 
   /** Undo the v3 `transpose` codec: `bytes` is C-order over the
     * permuted shape `[shape(order(i))]`; produce C-order over `shape`.
@@ -1149,6 +1225,9 @@ object Zarr {
     require(meta.transposeOrder.isEmpty,
       "writing into a store with the v3 transpose codec is not supported " +
         "(reads inverse-permute; a C-order write would corrupt the array)")
+    require(!meta.deltaFilter,
+      "writing into a delta-filtered store is not supported (reads " +
+        "cumulative-sum; an unfiltered write would corrupt the array)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)

@@ -244,12 +244,27 @@ class ZarrSpec extends AnyFunSuite {
         """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
       path
     }
+    // a filter we can't decode exactly stays a loud reject
     val withFilters = writeZa(
       """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
-        """"filters":[{"id":"delta","dtype":"<f8"}],"order":"C","shape":[8],"zarr_format":2}""")
+        """"filters":[{"id":"fixedscaleoffset","scale":10,"offset":0}],"order":"C","shape":[8],"zarr_format":2}""")
     val e1 = intercept[IllegalArgumentException](
       Zarr.readArrayMeta(withFilters, "v"))
     assert(e1.getMessage.contains("filters"))
+    // a delta filter chained with another filter is also rejected
+    val chained = writeZa(
+      """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":[{"id":"delta","dtype":"<f8"},{"id":"shuffle"}],"order":"C","shape":[8],"zarr_format":2}""")
+    val e1b = intercept[IllegalArgumentException](
+      Zarr.readArrayMeta(chained, "v"))
+    assert(e1b.getMessage.contains("filters"))
+    // a dtype-CHANGING delta (astype narrower than the array) is rejected
+    val astype = writeZa(
+      """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
+        """"filters":[{"id":"delta","dtype":"<f8","astype":"<f4"}],"order":"C","shape":[8],"zarr_format":2}""")
+    val e1c = intercept[IllegalArgumentException](
+      Zarr.readArrayMeta(astype, "v"))
+    assert(e1c.getMessage.contains("astype"))
     // 1-d F-order is byte-identical to C: reads as a plain array with no
     // transpose (multi-d F-order reads via the transpose path — see the
     // dedicated F-order test)
@@ -721,6 +736,57 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readArrayMeta(pu, "w")
     }
     assert(eu.getMessage.contains("unsupported v3 codec frobnicate"))
+  }
+
+  test("v2 numcodecs delta filter reads (int64 wraparound + float64); writes refused") {
+    // numcodecs Delta: stored = x[0], x[1]-x[0], ... in the array's own
+    // dtype — THE filter monotonic coordinate arrays ship with
+    def store(dtype: String, enc: Array[Byte], compressor: String = "null"): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "v")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        (s"""{"chunks":[6],"compressor":$compressor,"dtype":"$dtype","fill_value":0,""" +
+          s""""filters":[{"id":"delta","dtype":"$dtype"}],"order":"C","shape":[6],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), enc)
+      p
+    }
+    // i8 (long): 1970, +10, +10, -5, +MAX wraparound exercise via big steps
+    val longs = Array(100L, 110L, 120L, 115L, 315L, 275L)
+    val encL = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    longs.indices.foreach { i =>
+      encL.putLong(if (i == 0) longs(0) else longs(i) - longs(i - 1))
+    }
+    val pL = store("<i8", encL.array())
+    val mL = Zarr.readArrayMeta(pL, "v")
+    assert(mL.deltaFilter)
+    assert(Zarr.readRegion(pL, "v", mL, Array(0L), Array(6)).toLongs.toSeq
+      == longs.toSeq)
+    // f8, and under zlib compression (filter under the compressor)
+    val dbls = Array(1.5, 2.25, 2.0, 7.5, 7.5, -1.0)
+    val raw = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dbls.indices.foreach { i =>
+      raw.putDouble(if (i == 0) dbls(0) else dbls(i) - dbls(i - 1))
+    }
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(raw.array()); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    val pD = store("<f8", out.toByteArray, """{"id":"zlib","level":1}""")
+    val mD = Zarr.readArrayMeta(pD, "v")
+    val back = Zarr.readRegion(pD, "v", mD, Array(0L), Array(6)).toDoubles
+    assert(back.toSeq == dbls.toSeq, back.toSeq.toString)
+    // writes into delta stores are refused loudly
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(pL, "v", mL, Array(0L),
+        NdArray.fromDoubles(DType.I64, Array(6), Array.tabulate(6)(_.toDouble)))
+    }
+    assert(ew.getMessage.contains("delta"))
   }
 
   test("v2 Fortran-order stores read via the transpose path; writes refused") {
