@@ -983,6 +983,9 @@ final class XbeamDataset private (
   private def approxQuantileImpl(qs: Seq[Double], suffixes: Seq[String],
                                  dims: Set[String], bins: Int,
                                  skipna: Boolean): XbeamDataset = {
+    require(!splitVars,
+      "approxQuantile needs whole-variable chunks (the bounds zip keys " +
+        "positions, not (position, variable)) — consolidateVariables first")
     require(bins >= 1 && bins <= (1 << 20),
       s"bins must be in [1, 2^20], got $bins")
     require(dims.subsetOf(template.dimSizes.keySet),

@@ -2465,5 +2465,13 @@ class XbeamDatasetSpec extends AnyFunSuite {
         .approxQuantile(0.5, Set("t"))
     }
     assert(e.getMessage.contains("__lo"))
+    // split-variable chunks are refused with guidance (the bounds zip
+    // keys positions, not (position, variable))
+    val es = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
+        chunks = Map("time" -> 4), splitVars = true)
+        .approxQuantile(0.5, Set("time"))
+    }
+    assert(es.getMessage.contains("consolidateVariables"))
   }
 }

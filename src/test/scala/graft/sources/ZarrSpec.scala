@@ -653,6 +653,16 @@ class ZarrSpec extends AnyFunSuite {
     Zarr.writeRegion(p3, "v", m3, Array(0L, 0L), data)
     assert(Zarr.readRegion(p3, "v", m3, Array(0L, 0L), Array(10, 6))
       .sameAs(data))
+    // zstd + crc32c codec chain roundtrips (zarr-python's checksummed
+    // default combination)
+    val p5 = tmpStore()
+    Zarr.setupStore(p5, template, Map("t" -> 4, "x" -> 6), Some("zstd+crc"),
+      zarrFormat = 3)
+    val m5 = Zarr.readArrayMeta(p5, "v")
+    assert(m5.compressor.contains("zstd+crc"))
+    Zarr.writeRegion(p5, "v", m5, Array(0L, 0L), data)
+    assert(Zarr.readRegion(p5, "v", m5, Array(0L, 0L), Array(10, 6))
+      .sameAs(data))
     // zstd inside v3 shards roundtrips (the zarr-python sharded default)
     val p4 = tmpStore()
     Zarr.setupStore(p4, template, Map("t" -> 2, "x" -> 3), Some("zstd"),
