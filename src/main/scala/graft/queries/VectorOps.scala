@@ -878,6 +878,94 @@ object VectorOps {
               FROM m)
         SELECT vec_id, cell_id, d2, far_rank, cell_n,
                far_rank * 10 <= cell_n AS prune
-        FROM r ORDER BY vec_id"""))
+        FROM r ORDER BY vec_id""")),
+
+    // ---------------------------------------------------------------- e14
+    // Semantic benchmark decontamination — the embedding-space sibling
+    // of c01's shingle overlap (train/test leakage that paraphrasing
+    // hides from n-gram checks): flag corpus vectors whose best cosine
+    // against any held-out benchmark vector (the vec_id % 20 == 7
+    // slice) reaches the threshold. The synthetic corpus plants its
+    // near-dups WITHIN the corpus (e04's exact baseline), never across
+    // the benchmark split, so the gate thresholds at 0.3 — mid-range
+    // for this data — to exercise both verdict branches; a real
+    // pipeline would run ~0.9. Candidates generate CELL-LOCALLY via the IVF
+    // assignment (e05's map-side argmax agg); the benchmark side is
+    // bounded by construction and BROADCASTS, so the corpus never
+    // shuffles for the match. The oracle reproduces the cell
+    // restriction exactly — "pair missed because it fell in another
+    // cell" is part of the defined recall-bounded semantics, identical
+    // in both engines (e04 remains the exact-recall baseline).
+    QueryDef(
+      "e14_semantic_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val cents = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("cent_id"), $"embedding".as("c_emb"),
+                  $"nrm".as("c_nrm"))
+        val assign = e.join(broadcast(cents))
+          .withColumn("c_score",
+            expr(dotSpark("embedding", "c_emb")) / ($"nrm" * $"c_nrm"))
+          .groupBy($"vec_id")
+          .agg(min(struct(negate($"c_score").as("neg"), $"cent_id")).as("m"),
+               first($"embedding").as("emb"), first($"nrm").as("nr"))
+          .select($"vec_id", $"emb", $"nr", $"m.cent_id".as("cell_id"))
+        val bench = assign.filter($"vec_id" % 20 === 7)
+          .select($"vec_id".as("b_id"), $"emb".as("b_emb"),
+                  $"nr".as("b_nrm"), $"cell_id")
+        val corpus = assign.filter($"vec_id" % 20 =!= 7)
+        val best = corpus.join(broadcast(bench), Seq("cell_id"))
+          .withColumn("cosine",
+            expr(dotSpark("emb", "b_emb")) / ($"nr" * $"b_nrm"))
+          .groupBy($"vec_id")
+          .agg(count(lit(1)).as("n_cands"),
+               min(struct(negate($"cosine").as("neg"), $"b_id")).as("mb"))
+          .select($"vec_id", $"n_cands", $"mb.b_id".as("best_id"),
+                  negate($"mb.neg").as("best_cosine"))
+        corpus.select($"vec_id")
+          .join(best, Seq("vec_id"), "left")
+          .select($"vec_id",
+            coalesce($"n_cands", lit(0L)).as("n_cands"),
+            coalesce($"best_id", lit(-1L)).as("best_id"),
+            coalesce($"best_cosine", lit(-2.0)).as("best_cosine"),
+            coalesce($"best_cosine" >= 0.3, lit(false)).as("contaminated"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                  FROM e WHERE vec_id < 8),
+        ranked AS (
+          SELECT e.vec_id, e.embedding, e.nrm, cents.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${dotDuck("e.embedding", "cents.c_emb")} / (e.nrm * cents.c_nrm) DESC,
+                            cents.cent_id) AS crank
+          FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell_id
+                   FROM ranked WHERE crank = 1),
+        bench AS (SELECT vec_id AS b_id, embedding AS b_emb, nrm AS b_nrm,
+                         cell_id
+                  FROM assign WHERE vec_id % 20 = 7),
+        corpus AS (SELECT * FROM assign WHERE vec_id % 20 <> 7),
+        cand AS (SELECT c.vec_id, b.b_id,
+                        ${dotDuck("c.embedding", "b.b_emb")} / (c.nrm * b.b_nrm) AS cosine
+                 FROM corpus c JOIN bench b USING (cell_id)),
+        best AS (SELECT vec_id, n_cands, b_id AS best_id,
+                        cosine AS best_cosine FROM (
+                   SELECT vec_id, b_id, cosine,
+                          CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_cands,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, b_id) AS rk
+                   FROM cand) WHERE rk = 1)
+        SELECT c.vec_id,
+               COALESCE(b.n_cands, 0) AS n_cands,
+               COALESCE(b.best_id, -1) AS best_id,
+               COALESCE(b.best_cosine, -2.0) AS best_cosine,
+               COALESCE(b.best_cosine >= 0.3, false) AS contaminated
+        FROM corpus c LEFT JOIN best b USING (vec_id)
+        ORDER BY c.vec_id"""))
   )
 }
