@@ -3331,6 +3331,52 @@ object XbeamQueries {
         SELECT g AS t, x,
                max(CASE WHEN var = 'uid' THEN val END) AS uid,
                max(CASE WHEN var = 'vf' THEN val END) AS vf
-        FROM res GROUP BY g, x ORDER BY t, x"""))
+        FROM res GROUP BY g, x ORDER BY t, x""")),
+
+    // ---------------------------------------------------------------- x113
+    // The archive-analytics composition: write a v3 zstd store, re-open
+    // it, prune to ONE variable at the scan, and run the approx-quantile
+    // sketch (p90 over x per t) — store codec, variable pushdown, the
+    // bounds broadcast, and the histogram reduce all in one lineage.
+    QueryDef(
+      "x113_store_approx_quantile",
+      (s, dir) => {
+        val store = zarrPath("x113", dir)
+        gridXds(s, dir).toZarr(store, compressor = Some("zstd"),
+          zarrFormat = 3)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).select(Set("vf"))
+            .approxQuantile(0.9, Set("x"), bins = 32))
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        b AS (SELECT t, min(vf) AS lo, max(vf) AS hi, count(*) AS n
+              FROM grid GROUP BY 1),
+        p AS (SELECT t, lo, hi, n, (hi - lo) / 32 AS w,
+                     0.9e0 * (n - 1) AS h,
+                     CAST(floor(0.9e0 * (n - 1)) AS BIGINT) AS k0,
+                     LEAST(CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1, n - 1) AS k1
+              FROM b),
+        binned AS (
+          SELECT g.t, LEAST(CAST(floor((g.vf - p.lo) / p.w) AS BIGINT), 31) AS bin,
+                 count(*) AS cnt
+          FROM grid g JOIN p USING (t) WHERE p.w > 0
+          GROUP BY 1, 2),
+        cum AS (SELECT t, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY t ORDER BY bin) - cnt AS cb
+                FROM binned),
+        est AS (
+          SELECT p.t, p.h, p.k0,
+            max(CASE WHEN p.k0 >= c.cb AND p.k0 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k0 - c.cb) + 0.5e0) / c.cnt) END) AS e0,
+            max(CASE WHEN p.k1 >= c.cb AND p.k1 < c.cb + c.cnt
+                 THEN p.lo + p.w * (c.bin + ((p.k1 - c.cb) + 0.5e0) / c.cnt) END) AS e1
+          FROM p JOIN cum c USING (t)
+          GROUP BY 1, 2, 3)
+        SELECT t, e0 + (h - k0) * (e1 - e0) AS vf FROM est
+        UNION ALL
+        SELECT t, lo AS vf FROM p WHERE w = 0
+        ORDER BY t"""))
   )
 }
