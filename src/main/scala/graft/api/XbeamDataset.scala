@@ -4649,14 +4649,22 @@ final class XbeamDataset private (
     * the template must match the store's dims, and chunk offsets land
     * wherever their keys say, so a partial chunk cover appends exactly
     * its own regions. */
+  /** `stats = true` additionally writes a per-write-unit min/max
+    * sidecar ([[graft.sources.zarr.ChunkStats]]) in the SAME pass as
+    * the data (no re-read): the DSv2 scan then prunes chunks on pushed
+    * data-variable predicates — parquet-style zone maps for the array
+    * store. */
   def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
              compressor: Option[String] = None, zarrFormat: Int = 2,
              zarrShards: Map[String, Int] = Map.empty,
-             needsSetup: Boolean = true): Unit = {
+             needsSetup: Boolean = true, stats: Boolean = false): Unit = {
     if (!needsSetup) {
       require(zarrChunks.isEmpty && compressor.isEmpty && zarrShards.isEmpty,
         "with needsSetup=false the store's existing metadata decides " +
           "chunks/compressor/shards — do not pass them")
+      require(!stats, "stats sidecars are written by the setup path only: " +
+        "an append invalidates existing stats (partial covers can't " +
+        "produce complete bounds)")
       return appendToStore(path)
     }
     val stored = if (zarrChunks.isEmpty) chunkSizes
@@ -4697,7 +4705,7 @@ final class XbeamDataset private (
     val sharded = shardGrid.nonEmpty
     val writeChunks = spark.sparkContext.longAccumulator("graft.write-chunks")
     val writeBytes = spark.sparkContext.longAccumulator("graft.write-bytes")
-    chunkDataset.foreach { p: Pair =>
+    val writeOne: Pair => Unit = { p =>
       val (key, chunk) = p
       writeChunks.add(1L)
       writeBytes.add(chunk.nbytes)
@@ -4718,11 +4726,70 @@ final class XbeamDataset private (
         Zarr.writeRegion(path, name, meta, starts, va.arr)
       }
     }
+    // Stats sidecar sizing is a plan-time constant (the write-unit grid
+    // is known from the template), so the skip decision happens BEFORE
+    // the job: at the reference's recommended ~1 MB-chunks-in-shards
+    // layout even a 100 TB store is ~1e5 write units, far under the
+    // bound; a store deliberately written as tens of millions of tiny
+    // unsharded chunks skips stats instead of bloating the driver.
+    val statMetas: Map[String, graft.sources.zarr.ChunkStats.VarStatsMeta] =
+      if (!stats) Map.empty
+      else tmpl.vars.map { case (n, vs) =>
+        n -> graft.sources.zarr.ChunkStats.VarStatsMeta(vs.dims,
+          vs.dims.map(writeUnit),
+          vs.dims.map(d =>
+            ((tmpl.dimSizes(d) + writeUnit(d) - 1) / writeUnit(d)).toInt))
+      }
+    val statEntries = statMetas.values.map(_.entries).sum
+    val statLimit = spark.conf.get("spark.graft.stats.maxEntries", "4000000").toLong
+    if (!stats || statEntries > statLimit) {
+      if (stats)
+        System.err.println(s"[graft] skipping chunk stats for $path: " +
+          s"$statEntries write-unit entries exceed " +
+          s"spark.graft.stats.maxEntries=$statLimit")
+      chunkDataset.foreach { p: Pair => writeOne(p) }
+    } else {
+      // one pass: each task region-writes its chunks AND emits one
+      // (var, write-unit index, min, max) row per write unit it covers
+      // — fixed-size rows, never payloads; the driver assembles the
+      // (bounded) sidecar arrays once at the end
+      val wu = writeUnit
+      val rows = chunkDataset.rdd.flatMap { p =>
+        writeOne(p)
+        val (key, chunk) = p
+        chunk.vars.iterator.flatMap { case (name, va) =>
+          graft.sources.zarr.ZarrStatsWrite.rowsFor(
+            name, va, key.offsets, va.dims.map(wu), statMetas(name).grid)
+        }
+      }.collect()
+      val isFloat = tmpl.vars.map { case (n, vs) =>
+        n -> (vs.dtype == DType.F32 || vs.dtype == DType.F64)
+      }
+      val arrays = statMetas.map { case (n, m) =>
+        // unwritten write units read as the fill value: NaN for floats
+        // (NaN bounds prune, matching reads) and exactly 0 for ints
+        val init = if (isFloat(n)) Double.NaN else 0.0
+        n -> Array.fill((m.entries * 2).toInt)(init)
+      }
+      rows.foreach { case (n, idx, mn, mx) =>
+        val a = arrays(n)
+        a((idx * 2).toInt) = mn
+        a((idx * 2).toInt + 1) = mx
+      }
+      arrays.foreach { case (n, a) =>
+        graft.sources.zarr.ChunkStats.writeVar(path, n, a)
+      }
+      graft.sources.zarr.ChunkStats.writeIndex(path, statMetas)
+    }
   }
 
   /** The needsSetup=false write path: region-write this dataset's chunks
     * into an existing store using the store's own array metadata. */
   private def appendToStore(path: String): Unit = {
+    // an append rewrites/extends chunk contents, so any recorded
+    // min/max sidecar would lie — tombstone it BEFORE touching data
+    // (a racing planner sees valid-old stats or none, never wrong ones)
+    graft.sources.zarr.ChunkStats.invalidate(path)
     val sm = Zarr.openStore(path)
     val storeDims = sm.dims.toMap
     template.dimOrder.foreach { d =>

@@ -510,6 +510,72 @@ object CurationOps {
         SELECT q.doc_id, q.lang, q.quality, t.q75
         FROM q JOIN thr t USING (lang)
         WHERE q.quality >= t.q75
-        ORDER BY q.doc_id"""))
+        ORDER BY q.doc_id""")),
+
+    // ---------------------------------------------------------------- c10
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // corpus document by how much its hashed-token distribution looks
+    // like a TARGET domain (here the English slice) versus the raw
+    // corpus, then keep the top-k. Features are words hashed into 256
+    // buckets (the first md5 hex byte — identical in both engines);
+    // per-bucket importance ratios are Laplace-smoothed
+    // p_target/p_raw quantized to MICRO-UNITS with pure integer
+    // arithmetic (128-bit intermediates: DECIMAL(38,0) here, HUGEINT in
+    // the oracle; `div` and `//` both truncate toward zero on
+    // positives), so scores are bit-identical cross-engine — the
+    // fixed-point stand-in for DSIR's log-likelihood ratio, monotone in
+    // the same ranking for any fixed quantum. Scale shape: the token
+    // explode is a narrow pass (recomputed, never cached — re-reading
+    // beats materializing at 100 TB); bucket tables are <= 256 rows and
+    // BROADCAST back; the per-doc score is one map-side-combined
+    // groupBy(doc_id) over 8-byte partials; top-k is a TakeOrdered, not
+    // a global sort. Raw text never shuffles.
+    QueryDef(
+      "c10_dsir_importance",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode(expr("split(text, ' ')")).as("w"))
+          .where($"w" =!= "")
+          .withColumn("b", expr("substring(md5(w), 1, 2)"))
+        val raw = toks.groupBy($"b").agg(count(lit(1)).as("nr"))
+        val tgt = toks.where($"lang" === "en")
+          .groupBy($"b").agg(count(lit(1)).as("nt"))
+        val counts = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("nt"))
+        val tot = counts.agg(count(lit(1)).as("u"), sum($"nr").as("rtot"),
+          sum($"nt").as("ttot"))
+        val ratios = counts.crossJoin(broadcast(tot))
+          .select($"b", expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * (nt + 1) * (rtot + u)) div " +
+              "(CAST(nr + 1 AS DECIMAL(38,0)) * (ttot + u))").as("r"))
+        toks.join(broadcast(ratios), Seq("b"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"r").as("dsir_score"), count(lit(1)).as("n_tokens"))
+          .orderBy($"dsir_score".desc, $"doc_id")
+          .limit(100)
+          .select($"doc_id", $"lang", $"n_tokens", $"dsir_score")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+        tk AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+               FROM toks WHERE w <> ''),
+        raw AS (SELECT b, count(*) AS nr FROM tk GROUP BY 1),
+        tgt AS (SELECT b, count(*) AS nt FROM tk WHERE lang = 'en' GROUP BY 1),
+        cnt AS (SELECT raw.b, raw.nr, COALESCE(tgt.nt, 0) AS nt
+                FROM raw LEFT JOIN tgt USING (b)),
+        tot AS (SELECT count(*) AS u, sum(nr) AS rtot, sum(nt) AS ttot FROM cnt),
+        ratios AS (SELECT b,
+          CAST((1000000::HUGEINT * (nt + 1) * (rtot + u)) //
+               ((nr + 1)::HUGEINT * (ttot + u)) AS BIGINT) AS r
+          FROM cnt, tot),
+        scored AS (SELECT tk.doc_id, tk.lang,
+                          CAST(sum(r) AS BIGINT) AS dsir_score,
+                          count(*) AS n_tokens
+                   FROM tk JOIN ratios USING (b) GROUP BY 1, 2)
+        SELECT doc_id, lang, n_tokens, dsir_score
+        FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100"""))
   )
 }

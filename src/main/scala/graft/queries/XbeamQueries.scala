@@ -3377,6 +3377,46 @@ object XbeamQueries {
         SELECT t, e0 + (h - k0) * (e1 - e0) AS vf FROM est
         UNION ALL
         SELECT t, lo AS vf FROM p WHERE w = 0
-        ORDER BY t"""))
+        ORDER BY t""")),
+
+    // --------------------------------------------------------------- x114
+    // Chunk-stats zone maps end to end: toZarr(stats=true) records
+    // per-write-unit min/max in the same pass as the data
+    // (ChunkStats/ZarrStatsWrite), and the DSv2 scan prunes chunks on
+    // the pushed DATA-variable predicate — parquet-style statistics
+    // pruning the reference's chunk enumeration can't do
+    // (core.py:544-670 plans every chunk regardless of predicate).
+    // `ev` is monotone in C-order, so `ev >= 90th-percentile-threshold`
+    // leaves ~1/10 of the chunks in planInputPartitions (plan-pinned in
+    // ZarrStatsSpec/PlanShapeSpec); the predicate stays residual, so
+    // chunk-granular pruning is exactly a superset cut and the result
+    // matches the oracle row for row.
+    QueryDef(
+      "x114_zarr_stats_pruned_scan",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val store = zarrPath("x114", dir)
+        TabularBridge.fromDataFrame(
+          t(s, dir, "events").selectExpr(
+            s"event_id div $W AS t", s"event_id % $W AS x",
+            "CAST(event_id AS DOUBLE) AS ev"),
+          s, dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("ev" -> DType.F64), chunks = Map("t" -> 16, "x" -> 16))
+          .toZarr(store, stats = true)
+        val k = n * 9 / 10
+        s.read.format("zarr").load(store)
+          .filter(col("ev") >= k.toDouble)
+          .groupBy(col("t"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("ev")).as("sum_ev"))
+          .orderBy(col("t"))
+      },
+      Some(s"""
+        WITH g AS (SELECT event_id // $W AS t, CAST(event_id AS DOUBLE) AS ev
+                   FROM events),
+             k AS (SELECT 9 * count(*) // 10 AS k FROM events)
+        SELECT t, count(*) AS n, sum(ev) AS sum_ev
+        FROM g WHERE ev >= (SELECT k FROM k)
+        GROUP BY t ORDER BY t"""))
   )
 }

@@ -946,6 +946,10 @@ object Zarr {
     require(newSize >= oldSize,
       s"cannot shrink dim $dim from $oldSize to $newSize")
     if (newSize == oldSize && coordTail.isEmpty) return
+    // growing a dim changes the chunk grid, so any min/max stats sidecar
+    // (ChunkStats) recorded against the old grid is tombstoned first
+    // (readers also self-protect via the grid recorded in the index)
+    graft.sources.zarr.ChunkStats.invalidate(path)
     affected.foreach { case (name, m) =>
       val d = m.dims.indexOf(dim)
       require(oldSize % m.chunks(d) == 0,

@@ -104,6 +104,9 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
   private var pushed: Array[Filter] = Array.empty
   // per-dim inclusive global-index bounds from pushed predicates
   private var bounds: Map[String, (Long, Long)] = Map.empty
+  // per-variable inclusive value bounds, used against the store's
+  // chunk-stats sidecar (ChunkStats) when one exists
+  private var varBounds: Map[String, (Double, Double)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -113,10 +116,22 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     * results. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val dimSet = dimOrder.toSet
+    val varSet = store.template.vars.keySet
     def clamp(d: String, lo: Long, hi: Long): Unit = {
       val (clo, chi) = bounds.getOrElse(d, (Long.MinValue, Long.MaxValue))
       bounds += d -> (math.max(clo, lo), math.min(chi, hi))
     }
+    // variable-value bounds are kept inclusive and conservatively
+    // widened (Long endpoints that don't convert exactly to Double
+    // round OUTWARD), so stats pruning can only be a superset cut
+    def vclamp(v: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = varBounds.getOrElse(v,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      varBounds += v -> (math.max(clo, lo), math.min(chi, hi))
+    }
+    def fl(v: Long) = ChunkStats.floorDouble(v)
+    def ce(v: Long) = ChunkStats.ceilDouble(v)
+    val inf = Double.PositiveInfinity
     filters.foreach {
       case EqualTo(d, v: Long) if dimSet(d) => clamp(d, v, v)
       case EqualTo(d, v: Int) if dimSet(d) => clamp(d, v.toLong, v.toLong)
@@ -128,14 +143,32 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
       case LessThan(d, v: Int) if dimSet(d) => clamp(d, Long.MinValue, v - 1L)
       case LessThanOrEqual(d, v: Long) if dimSet(d) => clamp(d, Long.MinValue, v)
       case LessThanOrEqual(d, v: Int) if dimSet(d) => clamp(d, Long.MinValue, v.toLong)
+      case EqualTo(v, x: Double) if varSet(v) => vclamp(v, x, x)
+      case EqualTo(v, x: Long) if varSet(v) => vclamp(v, fl(x), ce(x))
+      case EqualTo(v, x: Int) if varSet(v) => vclamp(v, x.toDouble, x.toDouble)
+      // strict Double comparisons tighten exactly by one ulp (v > x on
+      // doubles is v >= nextUp(x)); strict Long comparisons stay at the
+      // conservative inclusive endpoint
+      case GreaterThan(v, x: Double) if varSet(v) => vclamp(v, Math.nextUp(x), inf)
+      case GreaterThan(v, x: Long) if varSet(v) => vclamp(v, fl(x), inf)
+      case GreaterThan(v, x: Int) if varSet(v) => vclamp(v, x.toDouble, inf)
+      case GreaterThanOrEqual(v, x: Double) if varSet(v) => vclamp(v, x, inf)
+      case GreaterThanOrEqual(v, x: Long) if varSet(v) => vclamp(v, fl(x), inf)
+      case GreaterThanOrEqual(v, x: Int) if varSet(v) => vclamp(v, x.toDouble, inf)
+      case LessThan(v, x: Double) if varSet(v) => vclamp(v, -inf, Math.nextDown(x))
+      case LessThan(v, x: Long) if varSet(v) => vclamp(v, -inf, ce(x))
+      case LessThan(v, x: Int) if varSet(v) => vclamp(v, -inf, x.toDouble)
+      case LessThanOrEqual(v, x: Double) if varSet(v) => vclamp(v, -inf, x)
+      case LessThanOrEqual(v, x: Long) if varSet(v) => vclamp(v, -inf, ce(x))
+      case LessThanOrEqual(v, x: Int) if varSet(v) => vclamp(v, -inf, x.toDouble)
       case _ => ()
     }
     pushed = filters.filter {
-      case EqualTo(d, _) => dimSet(d)
-      case GreaterThan(d, _) => dimSet(d)
-      case GreaterThanOrEqual(d, _) => dimSet(d)
-      case LessThan(d, _) => dimSet(d)
-      case LessThanOrEqual(d, _) => dimSet(d)
+      case EqualTo(c, _) => dimSet(c) || varSet(c)
+      case GreaterThan(c, _) => dimSet(c) || varSet(c)
+      case GreaterThanOrEqual(c, _) => dimSet(c) || varSet(c)
+      case LessThan(c, _) => dimSet(c) || varSet(c)
+      case LessThanOrEqual(c, _) => dimSet(c) || varSet(c)
       case _ => false
     }
     filters // all residual
@@ -145,7 +178,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
 
   override def build(): Scan =
     new ZarrScan(path, store.template.dims, store.inferChunks,
-      store.arrays, required, bounds, maxChunksPerTrigger)
+      store.arrays, required, bounds, maxChunksPerTrigger, varBounds)
 }
 
 /** One chunk of the store = one Spark input partition. */
@@ -154,23 +187,34 @@ case class ZarrInputPartition(offsets: Array[Long]) extends InputPartition
 class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int],
                metas: Map[String, Zarr.ArrayMeta], required: StructType,
                bounds: Map[String, (Long, Long)],
-               maxChunksPerTrigger: Long = 0L) extends Scan with Batch {
+               maxChunksPerTrigger: Long = 0L,
+               varBounds: Map[String, (Double, Double)] = Map.empty)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"zarr:$path chunks=$chunks prunedDims=${bounds.keys.mkString(",")}"
+    s"zarr:$path chunks=$chunks prunedDims=${bounds.keys.mkString(",")}" +
+      (if (varBounds.isEmpty) ""
+       else s" statsPrunedVars=${varBounds.keys.toSeq.sorted.mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dimOrder = dims.map(_._1)
     val dimSizes = dims.toMap
+    // data-variable zone-map pruning: resolved once at plan time from
+    // the store's stats sidecar (absent/stale/grid-mismatched sidecars
+    // resolve to no-op); every pushed predicate stays residual, so this
+    // only ever drops chunks whose [min,max] cannot satisfy the filter
+    val statPrune: Map[String, Long] => Boolean =
+      ChunkStats.pruner(path, varBounds, chunks, dimSizes)
+        .getOrElse((_: Map[String, Long]) => true)
     ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
       .filter { key =>
         bounds.forall { case (d, (lo, hi)) =>
           val off = key.offsets(d)
           val len = math.min(chunks(d).toLong, dimSizes(d) - off)
           off <= hi && off + len - 1 >= lo
-        }
+        } && statPrune(key.offsets)
       }
       .map(key => ZarrInputPartition(dimOrder.map(key.offsets).toArray): InputPartition)
       .toArray
