@@ -3417,6 +3417,51 @@ object XbeamQueries {
              k AS (SELECT 9 * count(*) // 10 AS k FROM events)
         SELECT t, count(*) AS n, sum(ev) AS sum_ev
         FROM g WHERE ev >= (SELECT k FROM k)
+        GROUP BY t ORDER BY t""")),
+
+    // --------------------------------------------------------------- x115
+    // Coordinate-predicate chunk pruning on the SQL surface: a time
+    // RANGE predicate on the `<dim>_coord` column prunes chunks at plan
+    // time from the stored coordinate array — the SQL face of the chunk
+    // engine's `sel` (x35) and of the reference's head/tail scan rewrite
+    // (dataset.py:366-397), generalized to any stored coordinate. The
+    // comparison runs in exact Long space (nanosecond timestamps sit
+    // beyond 2^53 — plan-pinned nanosecond-exact in ZarrCoordPruneSpec);
+    // the predicate stays residual, so rows are exact regardless of the
+    // chunk-granular cut.
+    QueryDef(
+      "x115_zarr_coord_pruned_scan",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        val store = zarrPath("x115", dir)
+        XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> timeCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        def ns(iso: String): Long =
+          java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        s.read.format("zarr").option("coords", "true").load(store)
+          .filter(col("t_coord") >= ns("2020-01-03T00:00:00Z") &&
+            col("t_coord") <= ns("2020-01-20T00:00:00Z"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("vf")).as("sum_vf"))
+          .orderBy(col("t"))
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, vf,
+                       TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t) AS ts
+                FROM grid)
+        SELECT t, count(*) AS n, sum(vf) AS sum_vf
+        FROM cal
+        WHERE ts >= TIMESTAMP '2020-01-03 00:00:00'
+          AND ts <= TIMESTAMP '2020-01-20 00:00:00'
         GROUP BY t ORDER BY t"""))
   )
 }

@@ -107,6 +107,12 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
   // per-variable inclusive value bounds, used against the store's
   // chunk-stats sidecar (ChunkStats) when one exists
   private var varBounds: Map[String, (Double, Double)] = Map.empty
+  // per-dim inclusive COORDINATE-value bounds from predicates on
+  // `<dim>_coord` columns, kept in the column's own value space:
+  // integer/datetime coordinates are nanosecond-scale longs well beyond
+  // 2^53, where a double round-trip would mis-prune by up to 1024 ns
+  private var coordBoundsL: Map[String, (Long, Long)] = Map.empty
+  private var coordBoundsD: Map[String, (Double, Double)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -132,6 +138,42 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     def fl(v: Long) = ChunkStats.floorDouble(v)
     def ce(v: Long) = ChunkStats.ceilDouble(v)
     val inf = Double.PositiveInfinity
+    // `<dim>_coord` predicate handling: only for dims that actually
+    // have a stored coordinate array (others can't be pruned or even
+    // projected). Long clamps saturate at the Long range edges.
+    def coordDim(c: String): Option[String] =
+      if (!c.endsWith("_coord")) None
+      else Some(c.stripSuffix("_coord")).filter(store.coordVars.contains)
+    def cclampL(c: String, lo: Long, hi: Long): Unit = coordDim(c).foreach { d =>
+      val (clo, chi) = coordBoundsL.getOrElse(d, (Long.MinValue, Long.MaxValue))
+      coordBoundsL += d -> (math.max(clo, lo), math.min(chi, hi))
+    }
+    def cclampD(c: String, lo: Double, hi: Double): Unit = coordDim(c).foreach { d =>
+      val (clo, chi) = coordBoundsD.getOrElse(d,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      coordBoundsD += d -> (math.max(clo, lo), math.min(chi, hi))
+    }
+    def incL(v: Long) = if (v == Long.MaxValue) v else v + 1
+    def decL(v: Long) = if (v == Long.MinValue) v else v - 1
+    val isCoord: String => Boolean = c => coordDim(c).isDefined
+    filters.foreach {
+      case EqualTo(c, x: Long) if isCoord(c) => cclampL(c, x, x)
+      case EqualTo(c, x: Int) if isCoord(c) => cclampL(c, x.toLong, x.toLong)
+      case EqualTo(c, x: Double) if isCoord(c) => cclampD(c, x, x)
+      case GreaterThan(c, x: Long) if isCoord(c) => cclampL(c, incL(x), Long.MaxValue)
+      case GreaterThan(c, x: Int) if isCoord(c) => cclampL(c, x + 1L, Long.MaxValue)
+      case GreaterThan(c, x: Double) if isCoord(c) => cclampD(c, Math.nextUp(x), inf)
+      case GreaterThanOrEqual(c, x: Long) if isCoord(c) => cclampL(c, x, Long.MaxValue)
+      case GreaterThanOrEqual(c, x: Int) if isCoord(c) => cclampL(c, x.toLong, Long.MaxValue)
+      case GreaterThanOrEqual(c, x: Double) if isCoord(c) => cclampD(c, x, inf)
+      case LessThan(c, x: Long) if isCoord(c) => cclampL(c, Long.MinValue, decL(x))
+      case LessThan(c, x: Int) if isCoord(c) => cclampL(c, Long.MinValue, x - 1L)
+      case LessThan(c, x: Double) if isCoord(c) => cclampD(c, -inf, Math.nextDown(x))
+      case LessThanOrEqual(c, x: Long) if isCoord(c) => cclampL(c, Long.MinValue, x)
+      case LessThanOrEqual(c, x: Int) if isCoord(c) => cclampL(c, Long.MinValue, x.toLong)
+      case LessThanOrEqual(c, x: Double) if isCoord(c) => cclampD(c, -inf, x)
+      case _ => ()
+    }
     filters.foreach {
       case EqualTo(d, v: Long) if dimSet(d) => clamp(d, v, v)
       case EqualTo(d, v: Int) if dimSet(d) => clamp(d, v.toLong, v.toLong)
@@ -164,11 +206,11 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
       case _ => ()
     }
     pushed = filters.filter {
-      case EqualTo(c, _) => dimSet(c) || varSet(c)
-      case GreaterThan(c, _) => dimSet(c) || varSet(c)
-      case GreaterThanOrEqual(c, _) => dimSet(c) || varSet(c)
-      case LessThan(c, _) => dimSet(c) || varSet(c)
-      case LessThanOrEqual(c, _) => dimSet(c) || varSet(c)
+      case EqualTo(c, _) => dimSet(c) || varSet(c) || isCoord(c)
+      case GreaterThan(c, _) => dimSet(c) || varSet(c) || isCoord(c)
+      case GreaterThanOrEqual(c, _) => dimSet(c) || varSet(c) || isCoord(c)
+      case LessThan(c, _) => dimSet(c) || varSet(c) || isCoord(c)
+      case LessThanOrEqual(c, _) => dimSet(c) || varSet(c) || isCoord(c)
       case _ => false
     }
     filters // all residual
@@ -176,9 +218,57 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Coordinate-predicate chunk pruning, resolved once at plan time: a
+    * constrained dim's (1-D, plan-scale) coordinate array is read on
+    * the driver — the same CF-decoded values the `<dim>_coord` column
+    * emits — and each chunk along that dim keeps iff ANY of its
+    * coordinate values satisfies the pushed range. Per-element (not
+    * min/max), so it needs no monotonicity; integer/datetime
+    * coordinates compare in exact Long space. The predicates stay
+    * residual, so this is only ever a superset cut. This is the SQL
+    * face of the chunk engine's `sel` (dataset.py:366-397's range
+    * rewrite, generalized to any stored coordinate). */
+  private def coordKeepSets(): Map[String, Array[Boolean]] = {
+    val chunksByDim = store.inferChunks
+    (coordBoundsL.keySet ++ coordBoundsD.keySet).iterator.flatMap { d =>
+      val m = store.coordVars(d)
+      val c = chunksByDim.getOrElse(d, return Map.empty)
+      val arr = Zarr.decodeCf(m, Zarr.readCoord(path, d, m))
+      val n = arr.size
+      val isFloat = arr.dtype == graft.ndarray.DType.F32 ||
+        arr.dtype == graft.ndarray.DType.F64
+      val (loL, hiL) = coordBoundsL.getOrElse(d, (Long.MinValue, Long.MaxValue))
+      val (loD, hiD) = coordBoundsD.getOrElse(d,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      // cross-space constraints (a Double predicate on an integer
+      // coordinate or vice versa) fold in conservatively
+      val satisfies: Long => Boolean =
+        if (isFloat) {
+          val lo = math.max(loD, ChunkStats.floorDouble(loL))
+          val hi = math.min(hiD, ChunkStats.ceilDouble(hiL))
+          i => { val x = arr.getDouble(i); x >= lo && x <= hi }
+        } else {
+          val lo = if (loD <= Long.MinValue.toDouble) loL
+            else math.max(loL, math.ceil(loD).toLong)
+          val hi = if (hiD >= Long.MaxValue.toDouble) hiL
+            else math.min(hiL, math.floor(hiD).toLong)
+          i => { val x = arr.getLong(i); x >= lo && x <= hi }
+        }
+      val nChunks = ((n + c - 1) / c).toInt
+      val keep = new Array[Boolean](nChunks)
+      var i = 0L
+      while (i < n) {
+        if (satisfies(i)) keep((i / c).toInt) = true
+        i += 1
+      }
+      Iterator.single(d -> keep)
+    }.toMap
+  }
+
   override def build(): Scan =
     new ZarrScan(path, store.template.dims, store.inferChunks,
-      store.arrays, required, bounds, maxChunksPerTrigger, varBounds)
+      store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
+      coordKeepSets())
 }
 
 /** One chunk of the store = one Spark input partition. */
@@ -188,7 +278,8 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
                metas: Map[String, Zarr.ArrayMeta], required: StructType,
                bounds: Map[String, (Long, Long)],
                maxChunksPerTrigger: Long = 0L,
-               varBounds: Map[String, (Double, Double)] = Map.empty)
+               varBounds: Map[String, (Double, Double)] = Map.empty,
+               coordKeep: Map[String, Array[Boolean]] = Map.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -196,7 +287,9 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
   override def description(): String =
     s"zarr:$path chunks=$chunks prunedDims=${bounds.keys.mkString(",")}" +
       (if (varBounds.isEmpty) ""
-       else s" statsPrunedVars=${varBounds.keys.toSeq.sorted.mkString(",")}")
+       else s" statsPrunedVars=${varBounds.keys.toSeq.sorted.mkString(",")}") +
+      (if (coordKeep.isEmpty) ""
+       else s" coordPrunedDims=${coordKeep.keys.toSeq.sorted.mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dimOrder = dims.map(_._1)
@@ -214,6 +307,8 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
           val off = key.offsets(d)
           val len = math.min(chunks(d).toLong, dimSizes(d) - off)
           off <= hi && off + len - 1 >= lo
+        } && coordKeep.forall { case (d, keep) =>
+          keep((key.offsets(d) / chunks(d)).toInt)
         } && statPrune(key.offsets)
       }
       .map(key => ZarrInputPartition(dimOrder.map(key.offsets).toArray): InputPartition)
