@@ -63,7 +63,14 @@ object Zarr {
                              cfFill: Option[Double] = None,
                              bigEndian: Boolean = false,
                              transposeOrder: Option[Seq[Int]] = None,
-                             deltaFilter: Boolean = false)
+                             deltaFilter: Boolean = false,
+                             fsoFilter: Option[FsoFilter] = None)
+
+  /** numcodecs `FixedScaleOffset` (read-only): stored chunk bytes are
+    * `astype` integers `round((x - offset) * scale)`; decode is
+    * `stored / scale + offset` in float64 — the packed-float layout
+    * climate archives use when CF attrs aren't in play. */
+  final case class FsoFilter(offset: Double, scale: Double, astype: DType)
 
   final case class StoreMeta(dims: Seq[(String, Long)],
                              arrays: Map[String, ArrayMeta],
@@ -259,22 +266,47 @@ object Zarr {
     // changes the dtype (astype, if present, must equal dtype) nor
     // chains with other filters.
     val filters = za.get("filters")
-    val deltaFilter: Boolean =
-      if (filters == null || filters.isNull) false
-      else {
-        require(filters.isArray && filters.size == 1 &&
-          filters.get(0).get("id").asText == "delta",
-          s"array $name uses unsupported zarr v2 filters ($filters) — " +
-            "only a single delta filter is supported")
-        val f = filters.get(0)
-        val fdt = Option(f.get("dtype")).map(_.asText)
-        val astype = Option(f.get("astype")).filterNot(_.isNull).map(_.asText)
-        val arrDt = za.get("dtype").asText
-        require(fdt.forall(_ == arrDt) && astype.forall(_ == arrDt),
-          s"array $name: delta filter dtype/astype (${fdt.orNull}/" +
-            s"${astype.orNull}) must match the array dtype $arrDt")
-        true
+    var deltaFilter = false
+    var fsoFilter: Option[FsoFilter] = None
+    if (filters != null && !filters.isNull) {
+      require(filters.isArray && filters.size == 1,
+        s"array $name uses unsupported zarr v2 filters ($filters) — " +
+          "only a single delta or fixedscaleoffset filter is supported")
+      val f = filters.get(0)
+      val arrDt = za.get("dtype").asText
+      f.get("id").asText match {
+        case "delta" =>
+          val fdt = Option(f.get("dtype")).map(_.asText)
+          val astype = Option(f.get("astype")).filterNot(_.isNull).map(_.asText)
+          require(fdt.forall(_ == arrDt) && astype.forall(_ == arrDt),
+            s"array $name: delta filter dtype/astype (${fdt.orNull}/" +
+              s"${astype.orNull}) must match the array dtype $arrDt")
+          deltaFilter = true
+        case "fixedscaleoffset" =>
+          // stored bytes are `astype` integers of round((x-offset)*scale);
+          // decode = stored/scale + offset in float64. Restricted to the
+          // layout real archives use: little-endian float array dtype,
+          // little-endian (or byte-wide) integer astype.
+          val fdt = Option(f.get("dtype")).map(_.asText)
+          require(fdt.forall(_ == arrDt),
+            s"array $name: fixedscaleoffset dtype ${fdt.orNull} must match " +
+              s"the array dtype $arrDt")
+          require(arrDt == "<f8" || arrDt == "<f4",
+            s"array $name: fixedscaleoffset only supported on little-endian " +
+              s"float arrays, got $arrDt")
+          val at = Option(f.get("astype")).filterNot(_.isNull).map(_.asText)
+            .getOrElse(arrDt)
+          require(!at.startsWith(">"),
+            s"array $name: big-endian fixedscaleoffset astype $at unsupported")
+          val scale = f.get("scale").asDouble
+          require(scale != 0.0, s"array $name: fixedscaleoffset scale is 0")
+          fsoFilter = Some(FsoFilter(f.get("offset").asDouble, scale,
+            DType.fromZarr(at)))
+        case other => throw new IllegalArgumentException(
+          s"array $name uses unsupported zarr v2 filter $other — " +
+            "only delta and fixedscaleoffset are supported")
       }
+    }
     // Fortran-order chunks (scipy-era writers, some HDF5 converters)
     // are exactly the full-reversal case of the v3 transpose codec: an
     // F-order buffer of shape s IS the C-order buffer of the
@@ -297,7 +329,7 @@ object Zarr {
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
       bigEndian = bigEndian, transposeOrder = fOrder,
-      deltaFilter = deltaFilter)
+      deltaFilter = deltaFilter, fsoFilter = fsoFilter)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -1102,8 +1134,31 @@ object Zarr {
     // then undo the delta filter over the stored-order buffer, then
     // inverse-permute the layout
     val raw = decodeBytes(meta, bytes)
-    val unfiltered = if (meta.deltaFilter) deltaDecode(raw, meta.dtype) else raw
+    val unfiltered = meta.fsoFilter match {
+      case Some(fso) => fsoDecode(raw, fso, meta.dtype, shape)
+      case None if meta.deltaFilter => deltaDecode(raw, meta.dtype)
+      case None => raw
+    }
     NdArray(meta.dtype, shape, inverseTranspose(meta, shape, unfiltered))
+  }
+
+  /** Undo numcodecs `FixedScaleOffset`: the raw buffer holds `astype`
+    * integers; each expands to `stored / scale + offset` in the array's
+    * float dtype (numcodecs decode order: divide, then add). */
+  private def fsoDecode(bytes: Array[Byte], fso: FsoFilter,
+                        dtype: DType, shape: Array[Int]): Array[Byte] = {
+    val n = shape.foldLeft(1L)(_ * _)
+    require(bytes.length.toLong == n * fso.astype.itemsize,
+      s"fixedscaleoffset chunk is ${bytes.length} bytes, expected " +
+        s"$n x ${fso.astype.itemsize} (astype ${fso.astype.zarr})")
+    val enc = NdArray(fso.astype, shape, bytes)
+    val out = NdArray.zeros(dtype, shape)
+    var i = 0L
+    while (i < n) {
+      out.setDouble(i, enc.getDouble(i) / fso.scale + fso.offset)
+      i += 1
+    }
+    out.data
   }
 
   /** Undo numcodecs `delta` in place: stored = x[0], x[1]−x[0], … in
@@ -1232,6 +1287,9 @@ object Zarr {
     require(!meta.deltaFilter,
       "writing into a delta-filtered store is not supported (reads " +
         "cumulative-sum; an unfiltered write would corrupt the array)")
+    require(meta.fsoFilter.isEmpty,
+      "writing into a fixedscaleoffset-filtered store is not supported " +
+        "(reads scale-decode; an unpacked write would corrupt the array)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)

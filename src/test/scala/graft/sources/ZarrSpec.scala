@@ -244,13 +244,15 @@ class ZarrSpec extends AnyFunSuite {
         """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
       path
     }
-    // a filter we can't decode exactly stays a loud reject
+    // a filter we can't decode exactly stays a loud reject (bitround is
+    // lossy-at-encode but changes no bytes we could verify; packbits
+    // and friends stay out too)
     val withFilters = writeZa(
       """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
-        """"filters":[{"id":"fixedscaleoffset","scale":10,"offset":0}],"order":"C","shape":[8],"zarr_format":2}""")
+        """"filters":[{"id":"bitround","keepbits":7}],"order":"C","shape":[8],"zarr_format":2}""")
     val e1 = intercept[IllegalArgumentException](
       Zarr.readArrayMeta(withFilters, "v"))
-    assert(e1.getMessage.contains("filters"))
+    assert(e1.getMessage.contains("filter"))
     // a delta filter chained with another filter is also rejected
     val chained = writeZa(
       """{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":0,""" +
@@ -797,6 +799,67 @@ class ZarrSpec extends AnyFunSuite {
         NdArray.fromDoubles(DType.I64, Array(6), Array.tabulate(6)(_.toDouble)))
     }
     assert(ew.getMessage.contains("delta"))
+  }
+
+  test("v2 numcodecs fixedscaleoffset reads (i2/u1 packed floats); writes refused") {
+    // numcodecs FixedScaleOffset: stored = astype(round((x-offset)*scale));
+    // decode = stored/scale + offset — the packed-float layout climate
+    // archives use when CF attrs aren't in play. scale 4.0 and /8-grid
+    // values keep the roundtrip exact in float64.
+    def store(astype: String, enc: Array[Byte], scale: Double,
+              offset: Double, compressor: String = "null"): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "v")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        (s"""{"chunks":[6],"compressor":$compressor,"dtype":"<f8","fill_value":0,""" +
+          s""""filters":[{"id":"fixedscaleoffset","offset":$offset,"scale":$scale,""" +
+          s""""dtype":"<f8","astype":"$astype"}],"order":"C","shape":[6],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), enc)
+      p
+    }
+    // <i2 astype, scale 4, offset 0.5: values on the quarter grid
+    val vals = Array(0.5, 1.75, -2.0, 100.25, 0.0, 37.5)
+    val encS = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => encS.putShort(math.round((v - 0.5) * 4.0).toShort))
+    val pS = store("<i2", encS.array(), 4.0, 0.5)
+    val mS = Zarr.readArrayMeta(pS, "v")
+    assert(mS.fsoFilter.contains(Zarr.FsoFilter(0.5, 4.0, DType.I16)))
+    assert(mS.dtype == DType.F64)
+    assert(Zarr.readRegion(pS, "v", mS, Array(0L), Array(6)).toDoubles.toSeq
+      == vals.toSeq)
+    // |u1 astype under zlib (filter under the compressor), offset 200
+    val vals2 = Array(200.0, 200.25, 210.5, 263.75, 200.0, 201.0)
+    val encB = vals2.map(v => math.round((v - 200.0) * 4.0).toByte)
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(encB); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    val pB = store("|u1", out.toByteArray, 4.0, 200.0,
+      """{"id":"zlib","level":1}""")
+    val mB = Zarr.readArrayMeta(pB, "v")
+    assert(Zarr.readRegion(pB, "v", mB, Array(0L), Array(6)).toDoubles.toSeq
+      == vals2.toSeq)
+    // writes into fso stores are refused loudly
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(pS, "v", mS, Array(0L),
+        NdArray.fromDoubles(DType.F64, Array(6), vals))
+    }
+    assert(ew.getMessage.contains("fixedscaleoffset"))
+    // an integer ARRAY dtype under fso is rejected (decode divides)
+    val pI = store("<i2", encS.array(), 4.0, 0.5)
+    val za = java.nio.file.Paths.get(pI, "v", ".zarray")
+    Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
+      .replace(""""dtype":"<f8"""", """"dtype":"<i8"""")
+      .replace("""fixedscaleoffset","offset":0.5,"scale":4.0,"dtype":"<f8"""",
+        """fixedscaleoffset","offset":0.5,"scale":4.0,"dtype":"<i8"""")
+      .getBytes("UTF-8"))
+    val eI = intercept[IllegalArgumentException](Zarr.readArrayMeta(pI, "v"))
+    assert(eI.getMessage.contains("float"))
   }
 
   test("v2 Fortran-order stores read via the transpose path; writes refused") {
