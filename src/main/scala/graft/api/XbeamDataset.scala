@@ -897,18 +897,23 @@ final class XbeamDataset private (
   def median(dims: Set[String], skipna: Boolean = true): XbeamDataset =
     cellwise(dims, skipna, "median")((arr, axes, sk) => arr.medianAlong(axes, sk))
 
-  /** Exact quantile `q` over dims with linear interpolation (xarray
-    * `Dataset.quantile`, numpy 'linear') — same distributed shape and
-    * memory bound as [[median]] (which is `quantile(0.5)`). */
-  def quantile(q: Double, dims: Set[String], skipna: Boolean = true): XbeamDataset =
+  /** Exact quantile `q` over dims (xarray `Dataset.quantile`) — same
+    * distributed shape and memory bound as [[median]] (which is
+    * `quantile(0.5)`). `method` is xarray/numpy's interpolation
+    * selector: linear (default) / lower / higher / nearest / midpoint
+    * ([[graft.ndarray.NdArray.quantilesAlong]] documents the rank
+    * arithmetic). */
+  def quantile(q: Double, dims: Set[String], skipna: Boolean = true,
+               method: String = "linear"): XbeamDataset =
     cellwise(dims, skipna, "quantile")((arr, axes, sk) =>
-      arr.quantileAlong(axes, q, sk))
+      arr.quantileAlong(axes, q, sk, method))
 
   /** Several quantiles in ONE pass (xarray `quantile(list)`): the cell
     * consolidation and the per-cell sort are paid once, and each q
     * lands as `<var>_q<percent>` (0.25 → `_q25`). */
   def quantiles(qs: Seq[Double], dims: Set[String],
-                skipna: Boolean = true): XbeamDataset = {
+                skipna: Boolean = true,
+                method: String = "linear"): XbeamDataset = {
     require(qs.nonEmpty, "quantiles needs at least one q")
     val suffixes = qs.map { q =>
       // round before stripping: BigDecimal of the BINARY double would
@@ -929,7 +934,7 @@ final class XbeamDataset private (
       }
     }
     cellwiseMulti(dims, skipna, "quantiles", suffixes)((arr, axes, sk) =>
-      arr.quantilesAlong(axes, qs, sk))
+      arr.quantilesAlong(axes, qs, sk, method))
   }
 
   /** Approximate quantile `q` over dims — the scale-safe sibling of the

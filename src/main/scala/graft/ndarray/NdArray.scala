@@ -554,16 +554,25 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * cell (all-NaN → NaN); without it any NaN poisons the cell. The
     * reduced extent materializes per output cell, so callers bound
     * memory by keeping the non-reduced chunk small. */
-  def quantileAlong(axes: Array[Int], q: Double, skipna: Boolean): NdArray =
-    quantilesAlong(axes, Seq(q), skipna).head
+  def quantileAlong(axes: Array[Int], q: Double, skipna: Boolean,
+                    method: String = "linear"): NdArray =
+    quantilesAlong(axes, Seq(q), skipna, method).head
 
   /** All of `qs` from ONE gather + sort per cell — what makes a
     * multi-quantile summary cost the same consolidation and sort as a
-    * single quantile. */
+    * single quantile. `method` selects the order-statistic
+    * interpolation at rank h = q·(m-1) (xarray/numpy `method=`):
+    * "linear" (default), "lower" (v⌊h⌋), "higher" (v⌈h⌉), "nearest"
+    * (v⌊h⌋ unless the fraction exceeds 0.5 — a deterministic tie rule,
+    * where numpy delegates to round-half-even), "midpoint"
+    * ((v⌊h⌋ + v⌈h⌉)/2). */
   def quantilesAlong(axes: Array[Int], qs: Seq[Double],
-                     skipna: Boolean): Seq[NdArray] = {
+                     skipna: Boolean, method: String = "linear"): Seq[NdArray] = {
     qs.foreach(q =>
       require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q"))
+    require(Set("linear", "lower", "higher", "nearest", "midpoint")(method),
+      s"unknown quantile method $method " +
+        "(linear, lower, higher, nearest, midpoint)")
     val keep = Array.range(0, ndim).filterNot(axes.contains)
     val outShape = keep.map(shape)
     val outs = qs.map(_ => NdArray.zeros(DType.F64, outShape))
@@ -608,8 +617,15 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           val h = q * (m - 1)
           val lo = math.floor(h).toInt
           val frac = h - lo
-          o.setDouble(i.toLong,
-            if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(lo + 1) - buf(lo)))
+          val hi = if (frac == 0.0) lo else lo + 1
+          o.setDouble(i.toLong, method match {
+            case "linear" =>
+              if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(hi) - buf(lo))
+            case "lower" => buf(lo)
+            case "higher" => buf(hi)
+            case "nearest" => if (frac > 0.5) buf(hi) else buf(lo)
+            case "midpoint" => (buf(lo) + buf(hi)) / 2.0
+          })
         }
       }
       i += 1

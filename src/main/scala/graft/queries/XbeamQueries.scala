@@ -3462,6 +3462,44 @@ object XbeamQueries {
         FROM cal
         WHERE ts >= TIMESTAMP '2020-01-03 00:00:00'
           AND ts <= TIMESTAMP '2020-01-20 00:00:00'
-        GROUP BY t ORDER BY t"""))
+        GROUP BY t ORDER BY t""")),
+
+    // --------------------------------------------------------------- x116
+    // Quantile interpolation methods (xarray `quantile(method=)`):
+    // x28/x67 pin the default 'linear'; this pins 'nearest' — pure
+    // order-statistic SELECTION at rank h = q*(m-1) with a
+    // deterministic half-tie rule (fraction > 0.5 takes the upper
+    // neighbour), so the result is an actual data value and bit-exact
+    // cross-engine with no interpolation arithmetic at all. Same
+    // distributed shape as x67: one cell consolidation, one sort, both
+    // qs from the same gather.
+    QueryDef(
+      "x116_quantile_nearest",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).quantiles(Seq(0.33, 0.77), Set("x"),
+          method = "nearest")).orderBy("t"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        s AS (SELECT t, uid, vf,
+                     row_number() OVER (PARTITION BY t ORDER BY uid) - 1 AS ru,
+                     row_number() OVER (PARTITION BY t ORDER BY vf) - 1 AS rv,
+                     count(*) OVER (PARTITION BY t) AS m
+              FROM grid),
+        k AS (SELECT t, m,
+                     CASE WHEN 0.33e0*(m-1) - floor(0.33e0*(m-1)) > 0.5e0
+                          THEN CAST(floor(0.33e0*(m-1)) AS BIGINT) + 1
+                          ELSE CAST(floor(0.33e0*(m-1)) AS BIGINT) END AS k33,
+                     CASE WHEN 0.77e0*(m-1) - floor(0.77e0*(m-1)) > 0.5e0
+                          THEN CAST(floor(0.77e0*(m-1)) AS BIGINT) + 1
+                          ELSE CAST(floor(0.77e0*(m-1)) AS BIGINT) END AS k77
+              FROM (SELECT DISTINCT t, m FROM s)),
+        j AS (SELECT s.t AS t, uid, vf, ru, rv, k33, k77
+              FROM s JOIN k USING (t))
+        SELECT t,
+               max(CASE WHEN ru = k33 THEN CAST(uid AS DOUBLE) END) AS uid_q33,
+               max(CASE WHEN ru = k77 THEN CAST(uid AS DOUBLE) END) AS uid_q77,
+               max(CASE WHEN rv = k33 THEN vf END) AS vf_q33,
+               max(CASE WHEN rv = k77 THEN vf END) AS vf_q77
+        FROM j GROUP BY t ORDER BY t"""))
   )
 }

@@ -136,4 +136,30 @@ class NdArraySpec extends AnyFunSuite {
     assert(s2.getDouble(0) == 10.0 * 1 + 100 * 2 + 10 * 3)
     assert(w2.getDouble(0) == 10.0 + 100 + 10)
   }
+
+  test("quantile interpolation methods at rank h = q*(m-1)") {
+    // 1-d cell [10, 20, 30, 40]: h = q*3
+    val a = NdArray.fromDoubles(DType.F64, Array(4), Array(10, 20, 30, 40))
+    def q(qq: Double, m: String): Double =
+      a.quantileAlong(Array(0), qq, skipna = true, method = m).getDouble(0)
+    // q=0.4 -> h=1.2: lo=20, hi=30
+    assert(math.abs(q(0.4, "linear") - 22.0) < 1e-12)
+    assert(q(0.4, "lower") == 20.0)
+    assert(q(0.4, "higher") == 30.0)
+    assert(q(0.4, "nearest") == 20.0) // frac 0.2 <= 0.5
+    assert(q(0.4, "midpoint") == 25.0)
+    // q=0.6 -> h=1.8: nearest goes up
+    assert(q(0.6, "nearest") == 30.0)
+    // exact (dyadic) ranks: all methods agree at the endpoints
+    Seq("linear", "lower", "higher", "nearest", "midpoint").foreach { m =>
+      assert(q(0.0, m) == 10.0, m)
+      assert(q(1.0, m) == 40.0, m)
+    }
+    // half tie (h=1.5, q=0.5): deterministic rule takes the LOWER value
+    assert(q(0.5, "nearest") == 20.0)
+    assert(q(0.5, "midpoint") == 25.0)
+    // unknown method rejects loudly
+    val e = intercept[IllegalArgumentException](q(0.5, "weird"))
+    assert(e.getMessage.contains("method"))
+  }
 }
