@@ -10,7 +10,8 @@ object SparkEntry {
     * SQL-expressible) a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ TextOps.defs ++ CurationOps.defs ++ VectorOps.defs ++
-      XbeamQueries.defs ++ graft.streaming.StreamOps.defs
+      XbeamQueries.defs ++ XbeamQueries.defsTail ++
+      graft.streaming.StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -4776,15 +4776,30 @@ final class XbeamDataset private (
         val init = if (isFloat(n)) Double.NaN else 0.0
         n -> Array.fill((m.entries * 2).toInt)(init)
       }
-      rows.foreach { case (n, idx, mn, mx) =>
+      val nanFlags = scala.collection.mutable.Map[String, Boolean]()
+      rows.foreach { case (n, idx, mn, mx, hasNan) =>
         val a = arrays(n)
         a((idx * 2).toInt) = mn
         a((idx * 2).toInt + 1) = mx
+        if (hasNan) nanFlags(n) = true
       }
       arrays.foreach { case (n, a) =>
         graft.sources.zarr.ChunkStats.writeVar(path, n, a)
       }
-      graft.sources.zarr.ChunkStats.writeIndex(path, statMetas)
+      // hasNan folds in units the cover never wrote: their cells read
+      // as the NaN fill, so the variable's DATA genuinely contains NaN
+      val metasWithNan = statMetas.map { case (n, m) =>
+        val covered = !isFloat(n) || {
+          val a = arrays(n)
+          var i = 0
+          var anyNaN = false
+          while (i < a.length && !anyNaN) { anyNaN = a(i).isNaN; i += 1 }
+          !anyNaN
+        }
+        n -> m.copy(hasNan =
+          (isFloat(n) && (nanFlags.getOrElse(n, false) || !covered)))
+      }
+      graft.sources.zarr.ChunkStats.writeIndex(path, metasWithNan)
     }
   }
 

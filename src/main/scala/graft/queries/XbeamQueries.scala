@@ -3502,4 +3502,44 @@ object XbeamQueries {
                max(CASE WHEN rv = k77 THEN vf END) AS vf_q77
         FROM j GROUP BY t ORDER BY t"""))
   )
+
+  /** x117 appends to `defs` below (split keeps the Seq literal within
+    * javac/scalac method-size comfort). */
+  val defsTail: Seq[QueryDef] = Seq(
+    // --------------------------------------------------------------- x117
+    // Complete aggregate pushdown on the zarr connector: an ungrouped,
+    // filterless COUNT(*)/MIN/MAX is answered from the store's dim
+    // sizes and the chunk-stats sidecar at PLAN time — one partition,
+    // one row, zero chunk reads (ZarrStatsSpec proves the same query
+    // answers with every chunk file deleted). COUNT(*) is the dim
+    // product, dim MAX is size-1, float MIN/MAX fold the per-unit
+    // bounds (MAX only when the sidecar's hasNan flag is clear — Spark
+    // orders NaN above every double). The reference enumerates and
+    // reads every chunk for ANY question (core.py:544-670); this is
+    // the payoff of stats-bearing consolidated metadata at 100 TB:
+    // corpus-level accounting queries cost one metadata GET.
+    QueryDef(
+      "x117_zarr_agg_pushdown",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val store = zarrPath("x117", dir)
+        TabularBridge.fromDataFrame(
+          t(s, dir, "events").selectExpr(
+            s"event_id div $W AS t", s"event_id % $W AS x",
+            "CAST(event_id AS DOUBLE) AS ev"),
+          s, dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("ev" -> DType.F64), chunks = Map("t" -> 16, "x" -> 16))
+          .toZarr(store, stats = true)
+        s.read.format("zarr").load(store)
+          .agg(count(lit(1)).as("n"), min(col("ev")).as("mn"),
+            max(col("ev")).as("mx"), max(col("t")).as("t_max"))
+      },
+      Some(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(min(event_id) AS DOUBLE) AS mn,
+               CAST(max(event_id) AS DOUBLE) AS mx,
+               CAST(max(event_id) // $W AS BIGINT) AS t_max
+        FROM events"""))
+  )
 }

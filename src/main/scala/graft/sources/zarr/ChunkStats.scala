@@ -59,8 +59,14 @@ object ChunkStats {
     if (BigDecimal(d) < BigDecimal(l)) Math.nextUp(d) else d
   }
 
+  /** `hasNan` = the variable's data contains at least one NaN anywhere
+    * (counting fill-value reads of never-written units) — conservative
+    * default true on read. It gates MAX aggregate pushdown: Spark
+    * orders NaN above every double, so a single NaN makes the true max
+    * NaN while the bounds ignore it. MIN is NaN-immune (NaN sorts
+    * last) and COUNT(*) comes from the dim sizes alone. */
   final case class VarStatsMeta(dims: Seq[String], chunks: Seq[Int],
-                                grid: Seq[Int]) {
+                                grid: Seq[Int], hasNan: Boolean = true) {
     def entries: Long = grid.foldLeft(1L)(_ * _)
   }
 
@@ -69,7 +75,8 @@ object ChunkStats {
     val vars = metas.toSeq.sortBy(_._1).map { case (n, m) =>
       s""""$n":{"dims":[${m.dims.map(d => s""""$d"""").mkString(",")}],""" +
         s""""chunks":[${m.chunks.mkString(",")}],""" +
-        s""""grid":[${m.grid.mkString(",")}]}"""
+        s""""grid":[${m.grid.mkString(",")}],""" +
+        s""""nan":${m.hasNan}}"""
     }.mkString(",")
     store.write(indexUrl(path),
       s"""{"version":1,"vars":{$vars}}""".getBytes("UTF-8"))
@@ -101,7 +108,8 @@ object ChunkStats {
             def ints(f: String) = v.get(f).elements().asScala.map(_.asInt).toSeq
             n -> VarStatsMeta(
               v.get("dims").elements().asScala.map(_.asText).toSeq,
-              ints("chunks"), ints("grid"))
+              ints("chunks"), ints("grid"),
+              hasNan = v.path("nan").asBoolean(true))
           }.toMap)
         }
       } catch { case _: Exception => None } // unreadable sidecar = no stats

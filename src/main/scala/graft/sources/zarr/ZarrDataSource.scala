@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => streaming}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -96,7 +98,8 @@ class ZarrTable(path: String, coords: Boolean = false)
 class ZarrScanBuilder(path: String, coords: Boolean = false,
                       maxChunksPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private val store = Zarr.openStore(path)
   private val dimOrder = store.template.dimOrder
@@ -115,7 +118,9 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
   private var coordBoundsD: Map[String, (Double, Double)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // with a complete aggregate pushed, the scan's output IS the
+    // aggregated row — Spark's post-agg pruning doesn't apply to it
+    if (pushedAgg.isEmpty) required = requiredSchema
 
   /** Record dim-column ranges for chunk pruning; every filter stays
     * residual (returned), so chunk-granular pruning can never change
@@ -218,6 +223,96 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- aggregate pushdown: COUNT(*) / MIN / MAX with zero chunk IO.
+  // COUNT(*) is the dim-size product (every cell is a row, fill
+  // included); MIN/MAX over a dim column are 0 / size-1; MIN over a
+  // float variable folds the stats sidecar's per-unit mins (NaN sorts
+  // last in Spark, so data-min == Spark-min unless ALL values are NaN,
+  // which the fold reproduces); MAX additionally requires the sidecar's
+  // hasNan=false (one NaN makes the true max NaN). Only complete,
+  // filterless, ungrouped aggregations push — anything else runs the
+  // normal scan. The reference has no metadata-answered aggregates at
+  // all; this is what the consolidated-metadata + stats design buys.
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+
+  private def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def aggValue(f: AggregateFunc,
+                       stats: => Option[Map[String, ChunkStats.VarStatsMeta]])
+      : Option[(StructField, Any)] = {
+    val dimSizes = store.template.dims.toMap
+    val nonEmpty = dimSizes.values.forall(_ > 0)
+    def varMinMax(v: String, wantMax: Boolean): Option[Double] =
+      stats.flatMap(_.get(v)).flatMap { m =>
+        if (wantMax && m.hasNan) None
+        else ChunkStats.readVar(path, v, m.entries).map { mm =>
+          var best = Double.NaN
+          var i = 0
+          while (i < mm.length) {
+            val x = mm(i + (if (wantMax) 1 else 0))
+            if (!x.isNaN && (best.isNaN ||
+              (if (wantMax) x > best else x < best))) best = x
+            i += 2
+          }
+          best // NaN = every unit all-NaN = the true (all-NaN) min
+        }
+      }
+    def isFloatVar(v: String) = store.template.vars.get(v).exists(vs =>
+      vs.dtype == graft.ndarray.DType.F32 || vs.dtype == graft.ndarray.DType.F64)
+    f match {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          dimSizes.values.product))
+      case m: Min => simpleCol(m.column).flatMap { c =>
+        if (dimSizes.contains(c) && nonEmpty)
+          Some((StructField(s"min_$c", LongType, nullable = false), 0L))
+        else if (isFloatVar(c) && nonEmpty)
+          varMinMax(c, wantMax = false)
+            .map(v => (StructField(s"min_$c", DoubleType, nullable = false), v))
+        else None
+      }
+      case m: Max => simpleCol(m.column).flatMap { c =>
+        if (dimSizes.contains(c) && nonEmpty)
+          Some((StructField(s"max_$c", LongType, nullable = false),
+            dimSizes(c) - 1))
+        else if (isFloatVar(c) && nonEmpty)
+          varMinMax(c, wantMax = true)
+            .map(v => (StructField(s"max_$c", DoubleType, nullable = false), v))
+        else None
+      }
+      case _ => None
+    }
+  }
+
+  private def resolveAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    // residual-filter safety: any recorded predicate means rows are
+    // filtered AFTER the scan, so metadata answers would overcount
+    if (bounds.nonEmpty || varBounds.nonEmpty ||
+      coordBoundsL.nonEmpty || coordBoundsD.nonEmpty || pushed.nonEmpty)
+      return None
+    lazy val stats = ChunkStats.readIndex(path)
+    val resolved = agg.aggregateExpressions.map(f => aggValue(f, stats))
+    if (resolved.exists(_.isEmpty)) None
+    else Some((StructType(resolved.map(_.get._1)),
+      resolved.map(_.get._2: Any)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    resolveAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    resolveAgg(agg) match {
+      case Some(sv) => pushedAgg = Some(sv); true
+      case None => false // no partial-pushdown mode: run the real scan
+    }
+  }
+
   /** Coordinate-predicate chunk pruning, resolved once at plan time: a
     * constrained dim's (1-D, plan-scale) coordinate array is read on
     * the driver — the same CF-decoded values the `<dim>_coord` column
@@ -265,10 +360,39 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     }.toMap
   }
 
-  override def build(): Scan =
-    new ZarrScan(path, store.template.dims, store.inferChunks,
-      store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
-      coordKeepSets())
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) => new ZarrAggScan(path, schema, values)
+    case None =>
+      new ZarrScan(path, store.template.dims, store.inferChunks,
+        store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
+        coordKeepSets())
+  }
+}
+
+/** A completely-pushed aggregation: one partition, one row, ZERO chunk
+  * reads — COUNT(*)/MIN/MAX answered from the store's dim sizes and the
+  * [[ChunkStats]] sidecar at plan time. */
+class ZarrAggScan(path: String, schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"zarr:$path aggPushed=${schema.fieldNames.mkString(",")} (no chunk IO)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrInputPartition(Array.empty))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrAggReaderFactory(values)
+}
+
+class ZarrAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 /** One chunk of the store = one Spark input partition. */

@@ -16,9 +16,13 @@ import graft.ndarray.DType
   */
 object ZarrStatsWrite {
 
+  /** The 5th field flags whether the unit contains ANY NaN — the bit
+    * that decides whether a pushed-down MAX can be answered from the
+    * sidecar (Spark orders NaN above every double, so a single NaN
+    * makes the true max NaN while the bounds ignore it). */
   def rowsFor(name: String, va: VarArray, offsets: Map[String, Long],
               unit: Seq[Int], grid: Seq[Int])
-      : Iterator[(String, Long, Double, Double)] = {
+      : Iterator[(String, Long, Double, Double, Boolean)] = {
     val arr = va.arr
     val nd = va.dims.length
     if (nd == 0 || arr.size == 0) return Iterator.empty
@@ -30,7 +34,7 @@ object ZarrStatsWrite {
     val subCounts = Array.tabulate(nd)(i => (shape(i) + unit(i) - 1) / unit(i))
     val base = Array.tabulate(nd)(i => offsets.getOrElse(va.dims(i), 0L))
     val sub = new Array[Int](nd)
-    val out = Seq.newBuilder[(String, Long, Double, Double)]
+    val out = Seq.newBuilder[(String, Long, Double, Double, Boolean)]
     var more = true
     while (more) {
       val starts = Array.tabulate(nd)(i => sub(i) * unit(i))
@@ -39,11 +43,13 @@ object ZarrStatsWrite {
       var mn = Double.PositiveInfinity
       var mx = Double.NegativeInfinity
       var any = false
+      var hasNan = false
       var i = 0L
       val n = s.size
       while (i < n) {
         val x = s.getDouble(i)
-        if (!x.isNaN) {
+        if (x.isNaN) hasNan = true
+        else {
           any = true
           if (x < mn) mn = x
           if (x > mx) mx = x
@@ -58,7 +64,7 @@ object ZarrStatsWrite {
         idx = idx * grid(d) + (base(d) + starts(d)) / unit(d)
         d += 1
       }
-      out += ((name, idx, mn, mx))
+      out += ((name, idx, mn, mx, hasNan))
       // odometer over the sub-unit grid
       var k = nd - 1
       more = false

@@ -89,6 +89,58 @@ class ZarrStatsSpec extends AnyFunSuite {
     assert(planned(dir, GreaterThanOrEqual("v", 80.0)) == 6)
   }
 
+  test("count/min/max aggregate pushdown answers with every chunk file deleted") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = statsStore()
+    // delete every chunk payload (keep .zarray/.zattrs/.zmetadata and
+    // the stats sidecar): a metadata-answered aggregate must not notice
+    import scala.jdk.CollectionConverters._
+    Seq("v", "iv").foreach { v =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, v)).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("\\d+(\\.\\d+)*"))
+        .foreach(java.nio.file.Files.delete)
+    }
+    val df = spark.read.format("zarr").load(dir)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"), min(col("t")).as("tmn"),
+        max(col("t")).as("tmx"))
+    assert(df.queryExecution.executedPlan.toString.contains("aggPushed"))
+    val row = df.head()
+    assert(row.getLong(0) == 96L)
+    assert(row.getDouble(1) == 0.0 && row.getDouble(2) == 95.0)
+    assert(row.getLong(3) == 0L && row.getLong(4) == 23L)
+  }
+
+  test("NaNs block MAX pushdown (Spark orders NaN above all); MIN still pushes") {
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = Files.createTempDirectory("zarr_stats_nan").toString + "/store"
+    val vals = Array.tabulate(16)(_.toDouble)
+    vals(5) = Double.NaN
+    XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), graft.ndarray.NdArray.fromDoubles(
+        graft.ndarray.DType.F64, Array(16), vals))),
+      chunks = Map("t" -> 4)).toZarr(dir, stats = true)
+    val mxPlan = spark.read.format("zarr").load(dir).agg(max(col("v")))
+    assert(!mxPlan.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(mxPlan.head().getDouble(0).isNaN) // Spark max: NaN wins
+    val mnPlan = spark.read.format("zarr").load(dir).agg(min(col("v")))
+    assert(mnPlan.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(mnPlan.head().getDouble(0) == 0.0)
+  }
+
+  test("filters and groupings block aggregate pushdown (residual semantics)") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = statsStore()
+    val filtered = spark.read.format("zarr").load(dir)
+      .filter(col("t") < 4).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(filtered.head().getLong(0) == 16L)
+    val grouped = spark.read.format("zarr").load(dir)
+      .groupBy(col("t")).agg(count(lit(1))).orderBy(col("t"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(grouped.count() == 24)
+  }
+
   test("conservative Long->Double endpoints beyond 2^53") {
     val big = (1L << 60) + 1
     assert(BigDecimal(ChunkStats.floorDouble(big)) <= BigDecimal(big))
