@@ -985,6 +985,60 @@ final class XbeamDataset private (
     approxQuantileImpl(qs, suffixes, dims, bins, skipna)
   }
 
+  /** Weight-mass approximate quantile (xarray `weighted(w).quantile(q)`
+    * made scale-safe, the cos-latitude-weighted statistic climate users
+    * run): the estimate is the value below which a q-fraction of the
+    * TOTAL WEIGHT of `weightVar` lies. Same two reduction-shaped passes
+    * as [[approxQuantile]] — exact per-cell bounds, then equi-width
+    * histograms whose bins accumulate Σweight (one keyed shuffle of
+    * `bins` doubles per cell; raw values and weights never move). The
+    * weight variable must share each data variable's exact dims and is
+    * consumed (dropped from the output); NaN data and NaN/negative
+    * weights contribute nothing. With exact-summable (integer-valued)
+    * weights the result is bit-deterministic under any partitioning —
+    * same contract as the counted sketch (x111). */
+  def approxWeightedQuantile(q: Double, dims: Set[String], weightVar: String,
+                             bins: Int = 256,
+                             skipna: Boolean = true): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q")
+    require(template.vars.contains(weightVar),
+      s"unknown weight variable $weightVar (vars: ${template.vars.keySet})")
+    require(!splitVars,
+      "approxWeightedQuantile needs whole-variable chunks — " +
+        "consolidateVariables first")
+    require(bins >= 1 && bins <= (1 << 20), s"bins must be in [1, 2^20], got $bins")
+    require(dims.subsetOf(template.dimSizes.keySet),
+      s"approxWeightedQuantile dims $dims not all in ${template.dimOrder}")
+    val keptDims = template.dims.filterNot(d => dims(d._1))
+    val touched = template.vars.filter(_._2.dims.exists(dims))
+    val boundsTemplate = Template(
+      keptDims,
+      touched.flatMap { case (n, vs) =>
+        val kd = vs.dims.filterNot(dims)
+        Seq(s"${n}__lo" -> VarSpec(kd, DType.F64),
+          s"${n}__hi" -> VarSpec(kd, DType.F64))
+      } ++ template.vars.filterNot(kv => touched.contains(kv._1)),
+      template.coords -- dims, template.attrs)
+    val bounds = withPlan(boundsTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.boundsReduce(chunkDataset, dims, skipna))
+    val mergedTemplate = template.copy(
+      vars = template.vars ++ boundsTemplate.vars)
+    val withBounds = zipReduced(bounds)(
+      (c, r) => ArrayChunk(c.vars ++ r.vars), mergedTemplate)
+    val outTemplate = Template(
+      keptDims,
+      template.vars.flatMap { case (n, vs) =>
+        if (n == weightVar) Seq.empty // consumed by the weighting
+        else if (vs.dims.exists(dims))
+          Seq(n -> VarSpec(vs.dims.filterNot(dims), DType.F64))
+        else Seq(n -> vs)
+      },
+      template.coords -- dims, template.attrs)
+    withPlan(outTemplate, chunkSizes -- dims, splitVars,
+      ChunkTransforms.weightedHistQuantileReduce(withBounds.chunkDataset,
+        dims, q, weightVar, bins))
+  }
+
   private def approxQuantileImpl(qs: Seq[Double], suffixes: Seq[String],
                                  dims: Set[String], bins: Int,
                                  skipna: Boolean): XbeamDataset = {

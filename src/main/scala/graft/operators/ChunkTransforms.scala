@@ -154,6 +154,64 @@ object ChunkTransforms {
       }
       ArrayChunk(computed ++ passthrough.vars)
     }
+
+    /** Weighted-mass quantile from a histogram whose bins hold Σweight
+      * instead of counts: the estimate is the value below which a
+      * q-fraction of the TOTAL WEIGHT lies. Estimator (mirrored by the
+      * oracle SQL):
+      *   w = (hi − lo) / bins;  h = q · Wtot
+      *   take the FIRST bin (ascending, zero-mass bins skipped) with
+      *   h <= cumBefore + mass_b;  est = lo + w · (b + (h − cumBefore)
+      *   / mass_b)
+      * Exact-summable (integer-valued) weights make the result
+      * bit-deterministic under any partitioning, same as the counted
+      * sketch. Empty/NaN-bounded cells yield NaN; constant cells the
+      * exact value. */
+    def extractWeighted(q: Double, bins: Int): ArrayChunk = {
+      val computed = hists.map { case (n, hva) =>
+        val lo = los(n).arr
+        val hi = his(n).arr
+        val keptDims = hva.dims.dropRight(1)
+        val keptShape = hva.arr.shape.dropRight(1)
+        val out = NdArray.zeros(DType.F64, keptShape)
+        val cells = out.size
+        var cell = 0L
+        while (cell < cells) {
+          val l = lo.getDouble(cell)
+          val hb = hi.getDouble(cell)
+          val base = cell * bins
+          var wTot = 0.0
+          var b = 0
+          while (b < bins) { wTot += hva.arr.getDouble(base + b); b += 1 }
+          val v =
+            if (wTot <= 0.0 || l.isNaN || hb.isNaN) Double.NaN
+            else if (hb == l) l
+            else {
+              val w = (hb - l) / bins
+              val h = q * wTot
+              if (h == 0.0) l
+              else {
+                var cum = 0.0
+                var est = Double.NaN
+                b = 0
+                while (b < bins && est.isNaN) {
+                  val cnt = hva.arr.getDouble(base + b)
+                  if (cnt > 0.0) {
+                    if (h <= cum + cnt) est = l + w * (b + (h - cum) / cnt)
+                    cum += cnt
+                  }
+                  b += 1
+                }
+                est
+              }
+            }
+          out.setDouble(cell, v)
+          cell += 1
+        }
+        n -> VarArray(keptDims, out)
+      }
+      ArrayChunk(computed ++ passthrough.vars)
+    }
   }
 
   object HistAcc {
@@ -186,6 +244,40 @@ object ChunkTransforms {
         passthrough)
     }
 
+    /** Weighted partial histograms: like [[ofChunk]] but each element
+      * contributes its WEIGHT (the aligned cell of `weightVar`, which
+      * must share the variable's exact dim order) instead of 1. The
+      * weight variable itself is excluded from outputs; NaN data or
+      * NaN/negative-weight elements contribute nothing. */
+    def ofChunkWeighted(chunk: ArrayChunk, dims: Set[String], bins: Int,
+                        weightVar: String): HistAcc = {
+      val isBoundsVar = (n: String) => n.endsWith("__lo") || n.endsWith("__hi")
+      val wVa = chunk.vars.getOrElse(weightVar, throw new IllegalStateException(
+        s"weighted histogram pass: chunk lacks weight var $weightVar"))
+      val touched = chunk.vars.filter { case (n, va) =>
+        !isBoundsVar(n) && n != weightVar && va.dims.exists(dims)
+      }
+      val passthrough = ArrayChunk(chunk.vars.filter { case (n, va) =>
+        !isBoundsVar(n) && n != weightVar && !va.dims.exists(dims)
+      })
+      val hists = touched.map { case (n, va) =>
+        require(wVa.dims == va.dims,
+          s"weight var $weightVar dims ${wVa.dims} must match $n's ${va.dims}")
+        val loVa = chunk.vars.getOrElse(s"${n}__lo", throw new IllegalStateException(
+          s"weighted histogram pass: chunk lacks bounds var ${n}__lo"))
+        val hiVa = chunk.vars(s"${n}__hi")
+        val keptDims = va.dims.filterNot(dims)
+        require(loVa.dims == keptDims,
+          s"bounds dims ${loVa.dims} != kept dims $keptDims for $n")
+        n -> VarArray(keptDims :+ "__bin",
+          fillHist(va, dims, bins, loVa.arr, hiVa.arr, wVa.arr))
+      }
+      HistAcc(hists,
+        touched.map { case (n, _) => n -> chunk.vars(s"${n}__lo") },
+        touched.map { case (n, _) => n -> chunk.vars(s"${n}__hi") },
+        passthrough)
+    }
+
     /** Partial histograms for a chunk/slice whose bounds come from the
       * CALLER (per-group bounds cut out of a broadcast — the
       * grouped-quantile path) rather than from attached `__lo`/`__hi`
@@ -210,7 +302,8 @@ object ChunkTransforms {
     /** One odometer walk filling the per-kept-cell equi-width bins —
       * O(slice elements) with incremental kept-offset strides. */
     private def fillHist(va: VarArray, dims: Set[String], bins: Int,
-                         loArr: NdArray, hiArr: NdArray): NdArray = {
+                         loArr: NdArray, hiArr: NdArray,
+                         weights: NdArray = null): NdArray = {
       val s = va.arr.shape
       val nd = s.length
       val keptDims = va.dims.filterNot(dims)
@@ -235,12 +328,17 @@ object ChunkTransforms {
           val l = loArr.getDouble(keptFlat)
           val hb = hiArr.getDouble(keptFlat)
           if (!l.isNaN && !hb.isNaN) {
-            val b =
-              if (hb == l) 0
-              else math.min(bins - 1,
-                math.floor((v - l) / ((hb - l) / bins)).toInt)
-            val off = keptFlat * bins + b
-            hist.setDouble(off, hist.getDouble(off) + 1.0)
+            val wt =
+              if (weights == null) 1.0
+              else { val x = weights.getDouble(i); if (x.isNaN) 0.0 else x }
+            if (wt > 0.0) {
+              val b =
+                if (hb == l) 0
+                else math.min(bins - 1,
+                  math.floor((v - l) / ((hb - l) / bins)).toInt)
+              val off = keptFlat * bins + b
+              hist.setDouble(off, hist.getDouble(off) + wt)
+            }
           }
         }
         // odometer increment with incremental kept-offset update
@@ -286,6 +384,27 @@ object ChunkTransforms {
       }
       .map { kv: (String, (ChunkKey, HistAcc)) =>
         (kv._2._1, kv._2._2.extractMulti(qs, suffixes, bins))
+      }
+  }
+
+  /** Weighted-mass approximate quantile: same one-shuffle shape as
+    * [[histQuantilesReduce]], bins accumulate Σweight, extraction takes
+    * the q-fraction of total weight ([[HistAcc.extractWeighted]]). */
+  def weightedHistQuantileReduce(ds: Dataset[Pair], dims: Set[String],
+                                 q: Double, weightVar: String,
+                                 bins: Int): Dataset[Pair] = {
+    implicit val accEnc: Encoder[(ChunkKey, HistAcc)] =
+      Encoders.kryo[(ChunkKey, HistAcc)]
+    ds.map { p: Pair =>
+      val nk = p._1.copy(offsets = p._1.offsets -- dims)
+      (nk, HistAcc.ofChunkWeighted(p._2, dims, bins, weightVar))
+    }
+      .groupByKey { kv: (ChunkKey, HistAcc) => kv._1.canonical }(Encoders.STRING)
+      .reduceGroups { (a: (ChunkKey, HistAcc), b: (ChunkKey, HistAcc)) =>
+        (a._1, a._2.merge(b._2))
+      }
+      .map { kv: (String, (ChunkKey, HistAcc)) =>
+        (kv._2._1, kv._2._2.extractWeighted(q, bins))
       }
   }
 

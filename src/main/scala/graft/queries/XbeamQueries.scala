@@ -3540,6 +3540,61 @@ object XbeamQueries {
                CAST(min(event_id) AS DOUBLE) AS mn,
                CAST(max(event_id) AS DOUBLE) AS mx,
                CAST(max(event_id) // $W AS BIGINT) AS t_max
-        FROM events"""))
+        FROM events""")),
+
+    // --------------------------------------------------------------- x118
+    // Weight-mass approximate quantile (xarray weighted(w).quantile —
+    // the cos-latitude-weighted statistic climate users run — made
+    // scale-safe): per-cell weighted p75, where the estimate is the
+    // value below which 75% of the total WEIGHT lies. Two
+    // reduction-shaped passes (exact bounds, Σweight histograms), one
+    // keyed shuffle of 32 doubles per cell; values and weights never
+    // move. Integer-valued weights keep every sum exact, so the oracle
+    // reproduces the estimator bit for bit (the x111 contract,
+    // weighted).
+    QueryDef(
+      "x118_weighted_approx_quantile",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        TabularBridge.toDataFrame(
+          TabularBridge.fromDataFrame(
+            t(s, dir, "events").selectExpr(
+              s"event_id div $W AS t", s"event_id % $W AS x",
+              "CAST(floor(value) AS DOUBLE) AS vf",
+              "CAST(event_id % 5 + 1 AS DOUBLE) AS wt"),
+            s, dims = Seq("t" -> n / W, "x" -> W),
+            vars = Seq("vf" -> DType.F64, "wt" -> DType.F64),
+            chunks = Map("t" -> 16, "x" -> 16))
+            .approxWeightedQuantile(0.75, Set("x"), "wt", bins = 32))
+          .orderBy("t")
+      },
+      Some(s"""
+        WITH g AS (SELECT event_id // $W AS t,
+                          CAST(floor(value) AS DOUBLE) AS vf,
+                          CAST(event_id % 5 + 1 AS DOUBLE) AS wt
+                   FROM events),
+        b AS (SELECT t, min(vf) AS lo, max(vf) AS hi, sum(wt) AS wtot
+              FROM g GROUP BY 1),
+        p AS (SELECT t, lo, hi, wtot, (hi - lo) / 32 AS w,
+                     0.75e0 * wtot AS h
+              FROM b),
+        binned AS (
+          SELECT g.t, LEAST(CAST(floor((g.vf - p.lo) / p.w) AS BIGINT), 31) AS bin,
+                 sum(g.wt) AS cnt
+          FROM g JOIN p USING (t) WHERE p.w > 0
+          GROUP BY 1, 2),
+        cum AS (SELECT t, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY t ORDER BY bin) - cnt AS cb
+                FROM binned),
+        est AS (
+          SELECT p.t,
+                 max(CASE WHEN p.h > c.cb AND p.h <= c.cb + c.cnt
+                     THEN p.lo + p.w * (c.bin + (p.h - c.cb) / c.cnt) END) AS vf
+          FROM p JOIN cum c USING (t)
+          GROUP BY 1)
+        SELECT t, vf FROM est
+        UNION ALL
+        SELECT t, lo AS vf FROM p WHERE w = 0
+        ORDER BY t"""))
   )
 }

@@ -2391,6 +2391,52 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("approxWeightedQuantile: chunking-invariant; unit weights land in the same bin family") {
+    import graft.Fixtures.arange
+    // v = 0..23 over (t=12, x=2), integer weights 1..3 cycling
+    def wds(chunk: Int) = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 12, 2)),
+      "w" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64, Array(12, 2),
+        Array.tabulate(24)(i => (i % 3 + 1).toDouble)))),
+      chunks = Map("t" -> chunk))
+    def res(chunk: Int): NdArray =
+      wds(chunk).approxWeightedQuantile(0.75, Set("t"), "w", bins = 16)
+        .collectConsolidated()._2.vars("v").arr
+    val r = res(4)
+    // bit-identical under any partitioning (integer-exact bin sums)
+    assert(r.sameAs(res(3)) && r.sameAs(res(12)))
+    // the weight var is consumed
+    val out = wds(4).approxWeightedQuantile(0.75, Set("t"), "w", bins = 16)
+    assert(out.template.vars.keySet == Set("v"))
+    // with ALL weights 1 the mass quantile tracks the exact quantile
+    // within one bin's width
+    val ones = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 12, 2)),
+      "w" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64, Array(12, 2),
+        Array.fill(24)(1.0)))),
+      chunks = Map("t" -> 4))
+    val uw = ones.approxWeightedQuantile(0.5, Set("t"), "w", bins = 16)
+      .collectConsolidated()._2.vars("v").arr
+    val exact = ones.select(Set("v")).quantile(0.5, Set("t"))
+      .collectConsolidated()._2.vars("v").arr
+    var i = 0L
+    while (i < uw.size) {
+      assert(math.abs(uw.getDouble(i) - exact.getDouble(i)) <= 22.0 / 16 + 1e-12)
+      i += 1
+    }
+    // a heavy weight drags the mass quantile toward its value: cell x=0
+    // has values 0,2,...,22; all weight on 22 puts every q there
+    val spiked = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), arange(DType.F64, 12)),
+      "w" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(12),
+        Array.tabulate(12)(i => if (i == 11) 100.0 else 0.0)))),
+      chunks = Map("t" -> 4))
+    val sp = spiked.approxWeightedQuantile(0.5, Set("t"), "w", bins = 16)
+      .collectConsolidated()._2.vars("v").arr
+    // all mass in the top bin: estimate lands inside it
+    assert(sp.getDouble(0) > 10.0 && sp.getDouble(0) <= 11.0 + 1e-12)
+  }
+
   test("approxQuantiles multi-q: one sketch, each suffix equals its single-q run") {
     val multi = era5ds().approxQuantiles(Seq(0.25, 0.5, 0.9), Set("time"),
       bins = 16).collectConsolidated()._2
