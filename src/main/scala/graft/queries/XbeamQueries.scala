@@ -3595,6 +3595,40 @@ object XbeamQueries {
         SELECT t, vf FROM est
         UNION ALL
         SELECT t, lo AS vf FROM p WHERE w = 0
-        ORDER BY t"""))
+        ORDER BY t""")),
+
+    // --------------------------------------------------------------- x119
+    // The SQL write surface: `df.write.format("zarr")` (V1-fallback
+    // DSv2 write delegating to the bridge's one keyed shuffle + toZarr
+    // region writes) round-trips through `spark.read.format("zarr")`
+    // with predicate + column pushdown intact — a SQL user can now
+    // produce AND consume stores without touching the typed API. The
+    // reference's only write path is Python to_zarr (zarr.py:637-866);
+    // this is its SQL face.
+    QueryDef(
+      "x119_zarr_sql_write",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val store = zarrPath("x119", dir)
+        t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          "user_id AS uid", "CAST(floor(value) AS DOUBLE) AS vf")
+          .write.format("zarr").mode("overwrite")
+          .option("dims", "t,x").option("chunks", "t=16,x=16")
+          .save(store)
+        s.read.format("zarr").load(store)
+          .filter(col("t") < 25)
+          .groupBy(col("t"))
+          .agg(sum(col("vf")).as("sum_vf"),
+            sum(col("uid")).as("sum_uid"),
+            count(lit(1)).cast("long").as("n"))
+          .orderBy(col("t"))
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, sum(vf) AS sum_vf,
+               CAST(sum(CAST(uid AS HUGEINT)) AS BIGINT) AS sum_uid,
+               count(*) AS n
+        FROM grid WHERE t < 25 GROUP BY t ORDER BY t"""))
   )
 }

@@ -108,6 +108,16 @@ object Zarr {
 
   // ------------------------------------------------------------------ read
 
+  /** Whether `path` holds a zarr store (v2 or v3, consolidated or not)
+    * — the existence probe write paths use before deciding between
+    * setup and append. */
+  def storeExists(path: String): Boolean = {
+    val store = BlobStore.forUrl(path)
+    val base = path.stripSuffix("/")
+    store.exists(s"$base/.zmetadata") || store.exists(s"$base/zarr.json") ||
+      store.exists(s"$base/.zgroup")
+  }
+
   def openStore(path: String): StoreMeta = {
     val store = BlobStore.forUrl(path)
     // Consolidated-metadata fast path: one GET describes the whole

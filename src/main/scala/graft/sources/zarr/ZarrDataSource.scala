@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
@@ -48,8 +48,14 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTable.schemaFor(pathOf(options), options.getBoolean("coords", false))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = pathOf(options)
+    // writes target paths that don't hold a store yet: report an empty
+    // schema (ACCEPT_ANY_SCHEMA lets the query schema through); reads
+    // of a missing store fail at scan build with a real message
+    if (!Zarr.storeExists(p)) new StructType()
+    else ZarrTable.schemaFor(p, options.getBoolean("coords", false))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -85,14 +91,27 @@ object ZarrTable {
 }
 
 class ZarrTable(path: String, coords: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrTable.schemaFor(path, coords)
+  override def schema(): StructType =
+    if (!Zarr.storeExists(path)) new StructType()
+    else ZarrTable.schemaFor(path, coords)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    // BATCH_WRITE routes DataFrameWriter.save onto the V2 write plans;
+    // V1_BATCH_WRITE marks the Write as the InsertableRelation fallback
+    // the physical planner then executes (both are required)
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      // writes carry their own schema (the table may not exist yet);
+      // ZarrWrite validates dim/var columns itself
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, coords,
       options.getLong("maxChunksPerTrigger", 0L))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZarrWriteBuilder(path, info)
 }
 
 class ZarrScanBuilder(path: String, coords: Boolean = false,
