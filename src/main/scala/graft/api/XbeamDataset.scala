@@ -599,6 +599,50 @@ final class XbeamDataset private (
     windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
   }
 
+  /** De-duplicate coordinate labels along `dim` (xarray
+    * `drop_duplicates(dim, keep)`): keep the first (or last) occurrence
+    * of each label, preserving original order. The kept POSITIONS
+    * resolve plan-time from the template coordinate (duplicate labels
+    * make a label gather ambiguous, so this goes straight to the
+    * position gather `reindexGather`) — one bounded co-partitioned
+    * shuffle, each output chunk pulling exactly the slices it keeps.
+    * NaN labels count as one label (first/last NaN kept). */
+  def dropDuplicates(dim: String, keep: String = "first"): XbeamDataset = {
+    require(keep == "first" || keep == "last",
+      s"drop_duplicates keep must be 'first' or 'last', got $keep")
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
+      s"drop_duplicates needs a coordinate on $dim"))
+    val isFloat = coord.dtype == DType.F64
+    require(isFloat || coord.dtype == DType.I64 || coord.dtype == DType.TimeNs,
+      s"drop_duplicates needs a float64/int64/datetime64 coordinate on " +
+        s"$dim, got ${coord.dtype.zarr}")
+    val n = template.dimSizes(dim)
+    require(n <= Int.MaxValue, s"dim $dim extent $n exceeds a plan-time coordinate")
+    // canonical key per label: raw bits, so NaN == NaN
+    val keys: Array[Long] =
+      if (isFloat) coord.toDoubles.map(java.lang.Double.doubleToLongBits)
+      else coord.toLongs
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    var i = 0
+    while (i < n.toInt) {
+      val k = keys(i)
+      if (keep == "first") { if (!seen.contains(k)) seen(k) = i }
+      else seen(k) = i
+      i += 1
+    }
+    val pos = seen.values.toArray.sorted // original order
+    val outCoord =
+      if (isFloat) {
+        val c = coord.toDoubles
+        NdArray.fromDoubles(DType.F64, Array(pos.length), pos.map(c))
+      } else {
+        val c = coord.toLongs
+        NdArray.fromLongs(coord.dtype, Array(pos.length), pos.map(c))
+      }
+    reindexGather(dim, pos, outCoord)
+  }
+
   /** Reorder along `dim` by its coordinate's values (xarray `sortby`):
     * the permutation is plan-time metadata (coords live in the
     * template), so this lowers to [[reindex]]'s label gather — each

@@ -3629,6 +3629,34 @@ object XbeamQueries {
         SELECT t, sum(vf) AS sum_vf,
                CAST(sum(CAST(uid AS HUGEINT)) AS BIGINT) AS sum_uid,
                count(*) AS n
-        FROM grid WHERE t < 25 GROUP BY t ORDER BY t"""))
+        FROM grid WHERE t < 25 GROUP BY t ORDER BY t""")),
+
+    // --------------------------------------------------------------- x120
+    // drop_duplicates over a coordinate (xarray
+    // `drop_duplicates(dim, keep="first")`): the t coordinate repeats
+    // each label 3x (t div 3), so de-duplication keeps the first row of
+    // every triple in original order. The kept POSITIONS resolve at
+    // plan time from the template coordinate and lower to the same
+    // bounded position-gather as sortby/reindex — one co-partitioned
+    // shuffle, no data-dependent filtering.
+    QueryDef(
+      "x120_drop_duplicates",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val dupCoord = NdArray.fromLongs(DType.I64, Array(tSize),
+          Array.tabulate(tSize)(i => (i / 3).toLong))
+        val store = zarrPath("x120", dir)
+        XbeamDataset.fromPairs(s,
+          xds.template.copy(coords = Map("t" -> dupCoord)),
+          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        TabularBridge.toDataFrame(
+          XbeamDataset.fromZarr(s, store).dropDuplicates("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t // 3 AS t, x, uid, vf
+        FROM grid WHERE t % 3 = 0 ORDER BY t, x"""))
   )
 }

@@ -2391,6 +2391,41 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("dropDuplicates: keep first/last in original order; NaN is one label") {
+    import graft.Fixtures.arange
+    def ds(coordVals: Array[Double]) = {
+      val base = XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t"), arange(DType.F64, coordVals.length))),
+        chunks = Map("t" -> 3))
+      XbeamDataset.fromPairs(spark,
+        base.template.copy(coords = Map("t" ->
+          NdArray.fromDoubles(DType.F64, Array(coordVals.length), coordVals))),
+        base.chunkSizes, base.chunkDataset, validate = false)
+    }
+    // labels: 5, 2, 5, NaN, 2, NaN, 9  (v = 0..6)
+    val labels = Array(5.0, 2.0, 5.0, Double.NaN, 2.0, Double.NaN, 9.0)
+    val first = ds(labels).dropDuplicates("t")
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(first.toSeq == Seq(0.0, 1.0, 3.0, 6.0)) // positions 0,1,3,6
+    val last = ds(labels).dropDuplicates("t", keep = "last")
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(last.toSeq == Seq(2.0, 4.0, 5.0, 6.0)) // positions 2,4,5,6
+    // coordinate carries the de-duplicated labels
+    val outCoord = ds(labels).dropDuplicates("t").template.coords("t").toDoubles
+    assert(outCoord(0) == 5.0 && outCoord(1) == 2.0 &&
+      outCoord(2).isNaN && outCoord(3) == 9.0)
+    // rejects: no coordinate / bad keep
+    val e1 = intercept[IllegalArgumentException] {
+      XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t"), arange(DType.F64, 4))),
+        chunks = Map("t" -> 2)).dropDuplicates("t")
+    }
+    assert(e1.getMessage.contains("coordinate"))
+    val e2 = intercept[IllegalArgumentException](
+      ds(labels).dropDuplicates("t", keep = "any"))
+    assert(e2.getMessage.contains("keep"))
+  }
+
   test("approxWeightedQuantile: chunking-invariant; unit weights land in the same bin family") {
     import graft.Fixtures.arange
     // v = 0..23 over (t=12, x=2), integer weights 1..3 cycling
