@@ -619,9 +619,11 @@ final class XbeamDataset private (
         s"$dim, got ${coord.dtype.zarr}")
     val n = template.dimSizes(dim)
     require(n <= Int.MaxValue, s"dim $dim extent $n exceeds a plan-time coordinate")
-    // canonical key per label: raw bits, so NaN == NaN
+    // canonical key per label: raw bits, so NaN == NaN; −0.0 folds to
+    // +0.0 first (pandas/xarray treat signed zeros as one label)
     val keys: Array[Long] =
-      if (isFloat) coord.toDoubles.map(java.lang.Double.doubleToLongBits)
+      if (isFloat) coord.toDoubles.map(x =>
+        java.lang.Double.doubleToLongBits(if (x == 0.0) 0.0 else x))
       else coord.toLongs
     val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
     var i = 0
@@ -3809,13 +3811,21 @@ final class XbeamDataset private (
 
   /** The shared gather behind the [[reindex]] label flavors: `posOf(j)`
     * names target j's resolved source position (−1 = NaN fill), and
-    * `outCoord` becomes the dim's new coordinate. */
+    * `outCoord` becomes the dim's new coordinate.
+    *
+    * Dtype preservation matches xarray: when EVERY target position
+    * resolves (no −1 — e.g. `drop_duplicates`, `sortby`, or a reindex
+    * onto a label subset), the gather is a pure selection and each
+    * variable keeps its original dtype (int64 stays int64). Only when
+    * some position needs NaN fill do dim-spanning variables promote to
+    * float64, exactly as xarray's reindex does. */
   private def reindexGather(dim: String, posOf: Array[Int],
                             outCoord: NdArray): XbeamDataset = {
     val m = outCoord.shape(0)
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m
+    val allResolved = posOf.forall(_ >= 0)
     val bcPos = spark.sparkContext.broadcast(posOf)
     import org.apache.spark.sql.Encoders
     implicit val contribEnc =
@@ -3908,7 +3918,8 @@ final class XbeamDataset private (
               val ax = va0.dims.indexOf(d)
               val outShape = va0.arr.shape.clone()
               outShape(ax) = ocLen
-              val out = NdArray.zeros(DType.F64, outShape)
+              val outDt = if (allResolved) va0.arr.dtype else DType.F64
+              val out = NdArray.zeros(outDt, outShape)
               val nanShape = outShape.clone()
               nanShape(ax) = 1
               var q = 0
@@ -3924,7 +3935,8 @@ final class XbeamDataset private (
                     st(ax) = ri
                     val ln = g.shape.clone()
                     ln(ax) = 1
-                    g.slice(st, ln).mapF64(v => v)
+                    val sl = g.slice(st, ln)
+                    if (allResolved) sl else sl.mapF64(v => v)
                   }
                 val st = new Array[Int](out.ndim)
                 st(ax) = q
@@ -3940,7 +3952,8 @@ final class XbeamDataset private (
     val newTemplate = Template(
       template.dims.map { case (dd, s) => dd -> (if (dd == d) m.toLong else s) },
       template.vars.map { case (nm, vs) =>
-        nm -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+        nm -> VarSpec(vs.dims,
+          if (vs.dims.contains(d) && !allResolved) DType.F64 else vs.dtype)
       },
       (template.coords - d) + (d -> outCoord),
       template.attrs)

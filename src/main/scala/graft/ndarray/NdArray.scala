@@ -623,7 +623,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
               if (frac == 0.0) buf(lo) else buf(lo) + frac * (buf(hi) - buf(lo))
             case "lower" => buf(lo)
             case "higher" => buf(hi)
-            case "nearest" => if (frac > 0.5) buf(hi) else buf(lo)
+            case "nearest" => // numpy: half-ties round to even index
+              if (frac > 0.5 || (frac == 0.5 && (lo & 1) == 1)) buf(hi)
+              else buf(lo)
             case "midpoint" => (buf(lo) + buf(hi)) / 2.0
           })
         }

@@ -3467,9 +3467,10 @@ object XbeamQueries {
     // --------------------------------------------------------------- x116
     // Quantile interpolation methods (xarray `quantile(method=)`):
     // x28/x67 pin the default 'linear'; this pins 'nearest' — pure
-    // order-statistic SELECTION at rank h = q*(m-1) with a
-    // deterministic half-tie rule (fraction > 0.5 takes the upper
-    // neighbour), so the result is an actual data value and bit-exact
+    // order-statistic SELECTION at rank h = q*(m-1) with numpy's
+    // half-tie rule (fraction > 0.5 takes the upper neighbour; an
+    // exact .5 rounds to the EVEN index, i.e. upper when floor(h) is
+    // odd), so the result is an actual data value and bit-exact
     // cross-engine with no interpolation arithmetic at all. Same
     // distributed shape as x67: one cell consolidation, one sort, both
     // qs from the same gather.
@@ -3487,9 +3488,13 @@ object XbeamQueries {
               FROM grid),
         k AS (SELECT t, m,
                      CASE WHEN 0.33e0*(m-1) - floor(0.33e0*(m-1)) > 0.5e0
+                            OR (0.33e0*(m-1) - floor(0.33e0*(m-1)) = 0.5e0
+                                AND CAST(floor(0.33e0*(m-1)) AS BIGINT) % 2 = 1)
                           THEN CAST(floor(0.33e0*(m-1)) AS BIGINT) + 1
                           ELSE CAST(floor(0.33e0*(m-1)) AS BIGINT) END AS k33,
                      CASE WHEN 0.77e0*(m-1) - floor(0.77e0*(m-1)) > 0.5e0
+                            OR (0.77e0*(m-1) - floor(0.77e0*(m-1)) = 0.5e0
+                                AND CAST(floor(0.77e0*(m-1)) AS BIGINT) % 2 = 1)
                           THEN CAST(floor(0.77e0*(m-1)) AS BIGINT) + 1
                           ELSE CAST(floor(0.77e0*(m-1)) AS BIGINT) END AS k77
               FROM (SELECT DISTINCT t, m FROM s)),

@@ -131,6 +131,16 @@ object ZarrWrite {
       val p = java.nio.file.Paths.get(bare)
       if (isLocal && java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
+        // the recursive delete only ever targets a zarr store (or an
+        // empty directory): a mistyped path pointing at arbitrary data
+        // must fail loudly, not be wiped
+        val isEmptyDir = java.nio.file.Files.isDirectory(p) && {
+          val s = java.nio.file.Files.list(p)
+          try !s.iterator().hasNext finally s.close()
+        }
+        require(isEmptyDir || graft.sources.Zarr.storeExists(path),
+          s"overwrite target $path exists but is not a zarr store — " +
+            "refusing to delete it; remove it yourself or pick another path")
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
       } else if (!isLocal) {

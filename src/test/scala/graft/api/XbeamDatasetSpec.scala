@@ -2426,6 +2426,62 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep"))
   }
 
+  test("all-resolved gathers preserve dtype; NaN-fill reindex promotes") {
+    import graft.Fixtures.arange
+    def intDs(ch: Int) = {
+      val base = XbeamDataset.fromLocal(spark, Map(
+        "iv" -> (Seq("t"), arange(DType.I64, 6)),
+        "fv" -> (Seq("t"), arange(DType.F64, 6))),
+        chunks = Map("t" -> ch))
+      XbeamDataset.fromPairs(spark,
+        base.template.copy(coords = Map("t" -> NdArray.fromLongs(
+          DType.I64, Array(6), Array(5L, 2L, 5L, 7L, 2L, 1L)))),
+        base.chunkSizes, base.chunkDataset, validate = false)
+    }
+    // drop_duplicates is a pure selection: int64 stays int64 (beyond
+    // 2^53 exactness and the emitted Spark schema both depend on this)
+    for (ch <- Seq(2, 3, 6)) {
+      val dd = intDs(ch).dropDuplicates("t")
+      assert(dd.template.vars("iv").dtype == DType.I64, s"chunk=$ch")
+      assert(dd.template.vars("fv").dtype == DType.F64, s"chunk=$ch")
+      val (_, chunk) = dd.collectConsolidated()
+      assert(chunk.vars("iv").arr.dtype == DType.I64, s"chunk=$ch")
+      assert(chunk.vars("iv").arr.toLongs.toSeq == Seq(0L, 1L, 3L, 5L),
+        s"chunk=$ch")
+    }
+    // sortby rides the same gather: dtype preserved, order by label
+    val ub = XbeamDataset.fromLocal(spark, Map(
+      "iv" -> (Seq("t"), arange(DType.I64, 6))), chunks = Map("t" -> 2))
+    val uds = XbeamDataset.fromPairs(spark,
+      ub.template.copy(coords = Map("t" -> NdArray.fromLongs(
+        DType.I64, Array(6), Array(5L, 2L, 0L, 7L, 3L, 1L)))),
+      ub.chunkSizes, ub.chunkDataset, validate = false)
+    val st = uds.sortby("t")
+    assert(st.template.vars("iv").dtype == DType.I64)
+    assert(st.collectConsolidated()._2.vars("iv").arr.toLongs.toSeq ==
+      Seq(2L, 5L, 1L, 4L, 0L, 3L)) // labels 0,1,2,3,5,7
+    // a reindex that misses a label needs NaN fill -> promotes to F64;
+    // one that hits every label is a pure selection -> dtype kept
+    val ri = uds.reindex("t", Array(5L, 99L))
+    assert(ri.template.vars("iv").dtype == DType.F64)
+    val rv = ri.collectConsolidated()._2.vars("iv").arr
+    assert(rv.getDouble(0) == 0.0 && rv.getDouble(1).isNaN)
+    val rh = uds.reindex("t", Array(7L, 5L))
+    assert(rh.template.vars("iv").dtype == DType.I64)
+    assert(rh.collectConsolidated()._2.vars("iv").arr.toLongs.toSeq ==
+      Seq(3L, 0L))
+    // signed zeros are ONE float label (pandas/xarray semantics)
+    val z = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), arange(DType.F64, 3))), chunks = Map("t" -> 3))
+    val zd = XbeamDataset.fromPairs(spark,
+      z.template.copy(coords = Map("t" -> NdArray.fromDoubles(
+        DType.F64, Array(3), Array(-0.0, 0.0, 1.0)))),
+      z.chunkSizes, z.chunkDataset, validate = false).dropDuplicates("t")
+    assert(zd.template.dimSizes("t") == 2L)
+    assert(zd.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(0.0, 2.0))
+  }
+
   test("approxWeightedQuantile: chunking-invariant; unit weights land in the same bin family") {
     import graft.Fixtures.arange
     // v = 0..23 over (t=12, x=2), integer weights 1..3 cycling

@@ -155,9 +155,13 @@ class NdArraySpec extends AnyFunSuite {
       assert(q(0.0, m) == 10.0, m)
       assert(q(1.0, m) == 40.0, m)
     }
-    // half tie (h=1.5, q=0.5): deterministic rule takes the LOWER value
-    assert(q(0.5, "nearest") == 20.0)
+    // half tie (h=1.5, q=0.5): numpy rounds half to EVEN index -> 2 -> 30
+    assert(q(0.5, "nearest") == 30.0)
     assert(q(0.5, "midpoint") == 25.0)
+    // half tie at an even floor stays put: [10,20,30] q=0.25 -> h=0.5 -> 10
+    val b = NdArray.fromDoubles(DType.F64, Array(3), Array(10, 20, 30))
+    assert(b.quantileAlong(Array(0), 0.25, skipna = true,
+      method = "nearest").getDouble(0) == 10.0)
     // unknown method rejects loudly
     val e = intercept[IllegalArgumentException](q(0.5, "weird"))
     assert(e.getMessage.contains("method"))
