@@ -51,6 +51,60 @@ object TextOps {
        |sh AS (SELECT doc_id, lang, n_chars, $SHINGLES_DUCK AS shingles
        |       FROM w WHERE len(words) >= 3)""".stripMargin
 
+  /** Exact shingle-Jaccard >= num/den pair join — the d02 prefix-filter
+    * idiom (AllPairs/PPJoin) shared by d03 and d07. Shingles get a
+    * global canonical order (document frequency ascending, then hash);
+    * for J >= t two sets must share a shingle within their first
+    * |X| - ceil(t*|X|) + 1 shingles of that order, so only those short
+    * rare-shingle prefixes are inverted-index-joined; candidates then
+    * verify with the exact Jaccard over sorted 64-bit shingle hashes
+    * (codegen'd merge kernel, 2^-64 collision odds per shingle pair —
+    * the d02/d04 justification). The result is IDENTICAL to joining on
+    * every shared shingle, but the hot-key failure mode is gone: a
+    * corpus-wide boilerplate shingle has maximal df, ranks LAST in the
+    * canonical order, and so never enters a prefix (prefix length is
+    * ~(1-t)*sz), where the naive index join would have shuffled its
+    * D^2 collision pairs. ceil(t*sz) is integer math — (num*sz+den-1)
+    * div den — so float rounding can never shorten a prefix and drop a
+    * true pair. */
+  private def shingleJaccardPairs(s: SparkSession, dir: String,
+                                  num: Int, den: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // the hashed shingle sets are the working set of BOTH the prefix
+    // branch and the verify branch; persist them once (8 bytes/shingle
+    // — the compact representation, not the raw text) so shingling and
+    // hashing don't run twice per query
+    val sh = shingled(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars",
+        "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
+        "size(shingles) AS sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
+      explode($"hsh").as("h"))
+    val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val prefix = tok.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter($"rn" <= $"sz" - expr(s"($num * sz + ${den - 1}) div $den") + 1)
+      .select($"doc_id", $"lang", $"n_chars", $"h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
+        $"a.doc_id" < $"b.doc_id" &&
+        abs($"a.n_chars" - $"b.n_chars") <= 50)
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val hsets = sh.select($"doc_id", $"hsh", $"sz")
+    cand
+      .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
+      .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+      .withColumn("jaccard", $"inter".cast("double") /
+        ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jaccard" >= lit(num.toDouble / den))
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- d01
     // Exact dedup: hash-groupBy on normalized content. At scale this is
@@ -138,37 +192,16 @@ object TextOps {
     // ---------------------------------------------------------------- d03
     // 3-gram shingle Jaccard near-dup pairs (the planted near-dups
     // separate cleanly: max ~0.99 vs p99 ~0.015 on this corpus).
-    // Inverted-index set-similarity join: explode shingles and equi-join
-    // on (shingle, lang); the per-pair match count IS the exact
-    // intersection size (shingles are distinct within a doc), so Jaccard
-    // comes straight out of one count aggregation. Any qualifying pair
-    // (J >= 0.5 > 0) shares a shingle, so the result is identical to the
-    // cross-join formulation — but the cost is one shuffle bounded by
-    // shingle collisions, never the O(n^2) pair space.
+    // Prefix-filtered set-similarity join ([[shingleJaccardPairs]]):
+    // identical results to the every-shared-shingle index join, but
+    // only the rare-shingle prefixes hit the inverted index, so a
+    // corpus-wide boilerplate shingle can no longer manufacture a hot
+    // join key — the round-14 hardening item for the 100 TB posture.
     QueryDef(
       "d03_dedup_shingle_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sh = shingled(s, dir).withColumn("sz", expr("size(shingles)"))
-        // 64-bit shingle hashes as the join key: same match multiset as
-        // joining the raw ~50-char strings (xxhash64 collisions across a
-        // candidate pair are ~2^-64 per shingle pair) at 1/6 the shuffle
-        // width.
-        val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
-          explode($"shingles").as("s"))
-          .withColumn("h", expr("xxhash64(s)")).drop("s")
-        tok.as("a").join(tok.as("b"),
-            $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
-            $"a.doc_id" < $"b.doc_id" &&
-            abs($"a.n_chars" - $"b.n_chars") <= 50)
-          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-                   $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("jaccard", $"inter".cast("double") /
-            ($"sz_a" + $"sz_b" - $"inter"))
-          .filter($"jaccard" >= 0.5)
-          .select($"id_a", $"id_b", $"jaccard")
-          .orderBy($"id_a", $"id_b")
+        shingleJaccardPairs(s, dir, 1, 2).orderBy($"id_a", $"id_b")
       },
       Some(s"""
         $DUCK_SHINGLE_CTE
@@ -569,19 +602,9 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        val sh = shingled(s, dir).withColumn("sz", expr("size(shingles)"))
-        val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
-          explode($"shingles").as("str"))
-          .withColumn("h", expr("xxhash64(str)")).drop("str")
-        val pairs = tok.as("a").join(tok.as("b"),
-            $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
-            $"a.doc_id" < $"b.doc_id" &&
-            abs($"a.n_chars" - $"b.n_chars") <= 50)
-          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-                   $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
-          .agg(count(lit(1)).as("inter"))
-          .filter($"inter".cast("double") /
-            ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
+        // prefix-filtered exact pair join (the d03 path — same hot-key
+        // hardening applies to the component edge list)
+        val pairs = shingleJaccardPairs(s, dir, 1, 2)
           .select($"id_a", $"id_b")
         // materialize the edge list once — every propagation round
         // would otherwise re-execute the whole pair pipeline
