@@ -244,8 +244,19 @@ object VectorOps {
           .filter($"m_id" =!= $"q_id")
           .withColumn("cosine",
             expr(dotSpark("q_emb", "m_emb")) / ($"q_nrm" * $"m_nrm"))
+        // Two-stage top-k (the hot-cell skew gate): a query probing a
+        // popular cell would funnel that cell's whole candidate stream
+        // into ONE window partition. Stage 1 ranks within (q_id, salt)
+        // — any single sort sees ~1/S of a hot query's candidates —
+        // and stage 2 ranks the <= 3S survivors per query. Exact: the
+        // global top-3 is a subset of the union of salted top-3s.
+        val S = 32
+        val wSalt = Window.partitionBy($"q_id", pmod($"m_id", lit(S)))
+          .orderBy($"cosine".desc, $"m_id")
+        val local = cand.withColumn("srank", row_number().over(wSalt))
+          .filter($"srank" <= 3).drop("srank")
         val wTop = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")
-        cand.withColumn("rank", row_number().over(wTop))
+        local.withColumn("rank", row_number().over(wTop))
           .filter($"rank" <= 3)
           .select($"q_id", $"m_id".as("neighbor_id"),
                   $"rank".cast("long").as("rank"), $"cosine")
@@ -499,11 +510,39 @@ object VectorOps {
         val assign = e.join(
           kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
           "vec_id")
-        val a = assign.select($"cell_id", $"vec_id".as("a_id"),
-          $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
-        val b = assign.select($"cell_id", $"vec_id".as("b_id"),
-          $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
-        val dups = a.join(b, Seq("cell_id")).filter($"a_id" < $"b_id")
+        // Hot-cell skew gate: a degenerate centroid can swallow far
+        // more than the ~64-member average, and the within-cell
+        // pairwise join would then compute that cell's P^2 pairs in
+        // ONE task. Adaptive salting splits only cells above
+        // `spark.graft.semdedup.cellCap` (default 4096) into
+        // ceil(P/cap) id-blocks and enumerates block PAIRS as extra
+        // join-key bits — a hot cell's quadratic work spreads over
+        // nblk*(nblk+1)/2 tasks at (P/nblk)^2 each. Normal cells get
+        // nblk = 1: zero replication, the exact original join. The
+        // hot-cell table is tiny by construction (skew is the
+        // exception) and broadcasts.
+        val cellCap = s.conf.get("spark.graft.semdedup.cellCap", "4096").toInt
+        val hot = assign.groupBy($"cell_id").agg(count(lit(1)).as("pop"))
+          .filter($"pop" > cellCap)
+          .select($"cell_id",
+            ceil($"pop" / cellCap.toDouble).cast("int").as("nblk"))
+        val salted = assign.join(broadcast(hot), Seq("cell_id"), "left")
+          .withColumn("nblk", coalesce($"nblk", lit(1)))
+          .withColumn("blk", pmod($"vec_id", $"nblk").cast("int"))
+        def side(p: String) = salted
+          .withColumn("o", explode(sequence(lit(0), $"nblk" - 1)))
+          .select($"cell_id",
+            (least($"blk", $"o") * $"nblk" + greatest($"blk", $"o")).as("pk"),
+            $"blk".as(s"${p}_blk"), $"nblk".as(s"${p}_nblk"),
+            $"vec_id".as(s"${p}_id"), $"embedding".as(s"${p}_emb"),
+            $"nrm".as(s"${p}_nrm"))
+        // cross-block pairs meet at exactly one pk (both orderings,
+        // deduped by a_id < b_id); same-block pairs meet at every pk
+        // containing their block, so they count only at pk(blk, blk)
+        val dups = side("a").join(side("b"), Seq("cell_id", "pk"))
+          .filter($"a_id" < $"b_id" &&
+            ($"a_blk" =!= $"b_blk" ||
+             $"pk" === $"a_blk" * $"a_nblk" + $"a_blk"))
           .withColumn("cosine",
             expr(dotSpark("a_emb", "b_emb")) / ($"a_nrm" * $"b_nrm"))
           .filter($"cosine" >= 0.40)

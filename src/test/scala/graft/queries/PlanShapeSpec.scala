@@ -305,6 +305,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("e09 hot-cell salting: forced-low cap gives identical duplicates") {
+    // The adaptive block-pair decomposition must be invisible in the
+    // results: force EVERY cell through the salted path (cap 4) and
+    // require row-identical output to the default (cap 4096 — no cell
+    // salted at this scale). Also pin the structural posture: the
+    // within-cell join stays an equi-join either way.
+    def rows() = graft.SparkEntry.queries("e09_semdedup")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val plain = rows()
+    spark.conf.set("spark.graft.semdedup.cellCap", "4")
+    try {
+      val salted = graft.SparkEntry.queries("e09_semdedup")(spark, dir)
+      val s = salted.queryExecution.executedPlan.toString
+      // centroid scoring is a deliberate broadcast NLJ (vectors x
+      // broadcast centroids); the within-cell pair join must not be —
+      // it joins on (cell_id, pk), so no cartesian anywhere
+      assert(!s.contains("CartesianProduct"),
+        "salted within-cell join must stay an equi-join")
+      assert(salted.collect().map(_.toString).toSeq == plain,
+        "salted and plain within-cell joins must give identical results")
+    } finally spark.conf.unset("spark.graft.semdedup.cellCap")
+  }
+
+  test("e05 two-stage top-k: salted pre-rank keeps the exact top-3") {
+    // the salted stage must never change results — compare against the
+    // oracle-shaped invariant: ranks are 1..3 per query, cosines
+    // non-increasing, and the pre-rank stage admits every survivor
+    val df = graft.SparkEntry.queries("e05_ivf_ann")(spark, dir).collect()
+    val byQ = df.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"q=$q ranks $ranks")
+      val cos = rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, s"q=$q cosines not descending")
+    }
+  }
+
   test("rollingCorr/ewmVar add no exchange over their base ops; method reindex matches exact") {
     import graft.api.XbeamDataset
     import graft.ndarray.{DType, NdArray}
