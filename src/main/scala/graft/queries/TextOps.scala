@@ -516,11 +516,14 @@ object TextOps {
         GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
     // ---------------------------------------------------------------- m03
-    // Multimodal audio plumbing: payload as fake 8-bit PCM, analyzed in
-    // 64-sample windows per partition — RMS energy (integer
-    // sum-of-squares, one division) and zero crossings against the
-    // 128 midline. The decode step is the STUB a real codec slots
-    // into; the window/batch shape and exact arithmetic are real.
+    // Multimodal audio analysis through a REAL codec: the payload is a
+    // genuine RIFF/WAVE container (8-bit PCM mono, built from the text
+    // bytes — the testdata ships no binary column) parsed back with
+    // [[graft.media.Wav.decode]], then analyzed in 64-sample windows —
+    // RMS energy (integer sum-of-squares, one division) and zero
+    // crossings against the 128 midline. PCM is lossless, so the
+    // features equal those over the original bytes and the oracle
+    // needs no codec.
     QueryDef(
       "m03_multimodal_audio",
       (s, dir) => {
@@ -528,10 +531,15 @@ object TextOps {
         val bin = t(s, dir, "documents")
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            (id, graft.media.Wav.encode(
+              graft.media.Wav.Audio(16000, 1, 8, bytes.map(_ & 0xff))))
+          }
         bin.mapPartitions { it =>
-          it.flatMap { case (id, bytes) =>
+          it.flatMap { case (id, wav) =>
+            val samples = graft.media.Wav.decode(wav).samples // REAL parse
             val win = 64
-            val nWin = bytes.length / win
+            val nWin = samples.length / win
             if (nWin < 1) Iterator.empty
             else {
               var bestW = 0
@@ -542,10 +550,10 @@ object TextOps {
                 var sq = 0L
                 var i = 0
                 while (i < win) {
-                  val v = (bytes(w * win + i) & 0xff) - 128
+                  val v = samples(w * win + i) - 128
                   sq += v.toLong * v
                   if (i > 0) {
-                    val p = (bytes(w * win + i - 1) & 0xff) - 128
+                    val p = samples(w * win + i - 1) - 128
                     if ((p < 0 && v >= 0) || (p >= 0 && v < 0)) crossings += 1
                   }
                   i += 1
@@ -893,10 +901,14 @@ object TextOps {
         FROM documents ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- m01
-    // Multimodal plumbing: treat content as an opaque binary payload +
-    // typed metadata, run "feature extraction" per partition (the decode
-    // step is a deterministic STUB — image/audio codecs are not in this
-    // container; the Spark-side schema/partitioning/batching is real).
+    // Multimodal audio features through a REAL codec: the payload is a
+    // genuine RIFF/WAVE container (8-bit PCM mono; the testdata ships
+    // no binary column, so the gate manufactures the container from the
+    // text bytes) and the decode step is [[graft.media.Wav.decode]] — a
+    // real parser that walks chunks, validates the header, and rejects
+    // malformed streams — not a stub. PCM is lossless, so the features
+    // over the decoded samples equal the features over the original
+    // bytes and the oracle needs no codec.
     QueryDef(
       "m01_multimodal_features",
       (s, dir) => {
@@ -904,17 +916,19 @@ object TextOps {
         val bin = t(s, dir, "documents")
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            (id, graft.media.Wav.encode(
+              graft.media.Wav.Audio(16000, 1, 8, bytes.map(_ & 0xff))))
+          }
         bin.mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            // STUB decode: a real pipeline would decode image/audio here
-            // (e.g. via a vectorized Pandas-UDF-style batch); we extract
-            // deterministic byte-level "features" instead.
+          it.map { case (id, wav) =>
+            val samples = graft.media.Wav.decode(wav).samples // REAL parse
             var sum = 0L
             var i = 0
-            while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-            val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L
-            (id, bytes.length.toLong, first, sum % 256,
-             sum.toDouble / bytes.length)
+            while (i < samples.length) { sum += samples(i); i += 1 }
+            val first = if (samples.nonEmpty) samples(0).toLong else -1L
+            (id, samples.length.toLong, first, sum % 256,
+             sum.toDouble / samples.length)
           }
         }.toDF("doc_id", "n_bytes", "first_byte", "checksum", "mean_byte")
           .orderBy($"doc_id")
@@ -930,14 +944,17 @@ object TextOps {
         FROM documents ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- m02
-    // Multimodal frame pipeline: payload as a fake "video" (16-byte
-    // frames = 4x4 gray images), typed metadata struct, then the real
-    // batch shape of a media pipeline — per-partition iteration, frame
-    // sampling (every 4th), STUB decode, 2x2 mean-pool "resize",
-    // per-doc feature summary. Every arithmetic step is an integer sum
-    // followed by one double division, replicated exactly in the
-    // oracle, so features are bit-identical. Real codecs would slot in
-    // at the decode step without touching the Spark plumbing.
+    // Multimodal frame pipeline through a REAL codec: the "video" is a
+    // genuine PNG (8-bit greyscale, 4 px wide, one 4x4 frame per 4
+    // rows, Paeth-filtered rows, built from the text bytes — the
+    // testdata ships no binary column) and the decode step is
+    // [[graft.media.Png.decode]]: chunk walk with CRC verification,
+    // zlib inflate, per-row unfiltering — not a stub. PNG is lossless,
+    // so frame sampling (every 4th), the 2x2 mean-pool "resize", and
+    // the per-doc summary compute over exactly the original bytes and
+    // the oracle needs no codec. Every arithmetic step is an integer
+    // sum followed by one double division, replicated exactly in the
+    // oracle, so features are bit-identical.
     QueryDef(
       "m02_multimodal_frames",
       (s, dir) => {
@@ -945,11 +962,22 @@ object TextOps {
         val bin = t(s, dir, "documents")
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val nF = bytes.length / 16
+            val png =
+              if (nF < 1) Array.empty[Byte]
+              else graft.media.Png.encode(
+                graft.media.Png.Image(4, 4 * nF, 1, bytes.take(nF * 16)),
+                filter = 4)
+            (id, png)
+          }
         bin.mapPartitions { it =>
-          it.flatMap { case (id, bytes) =>
-            val nFrames = bytes.length / 16
-            if (nFrames < 1) Iterator.empty
+          it.flatMap { case (id, png) =>
+            if (png.isEmpty) Iterator.empty
             else {
+              val img = graft.media.Png.decode(png) // REAL parse
+              val bytes = img.pixels
+              val nFrames = bytes.length / 16
               val sampled = (0 until nFrames).filter(_ % 4 == 0)
               def pool(f: Int, q: Int): Double = {
                 // 2x2 mean pool of the 4x4 row-major frame; quadrant q
