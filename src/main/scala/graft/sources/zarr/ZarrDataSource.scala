@@ -102,6 +102,7 @@ class ZarrTable(path: String, coords: Boolean = false)
     // the physical planner then executes (both are required)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       // writes carry their own schema (the table may not exist yet);
       // ZarrWrite validates dim/var columns itself

@@ -47,6 +47,11 @@ class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
         override def insert(data: Dataset[Row], ov: Boolean): Unit =
           ZarrWrite.run(path, info.options(), data, overwrite || ov)
       }
+    // the streaming half: df.writeStream.format("zarr") — fragment
+    // staging + epoch-commit chunk merge (ZarrStreamWrite.scala)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new ZarrStreamingWrite(path, info.schema(), info.options())
   }
 }
 

@@ -606,6 +606,120 @@ object StreamOps {
         SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
                COALESCE(sum_value, 0.0) AS sum_value
         FROM hours LEFT JOIN agg ON hours.hour = agg.hour
+        ORDER BY hours.hour""")),
+
+    // ---------------------------------------------------------------- s09
+    // The FIRST-CLASS streaming sink: `writeStream.format("zarr")` —
+    // the DSv2 StreamingWrite (ZarrStreamWrite.scala) replaces s07's
+    // foreachBatch with the real connector surface. Each micro-batch's
+    // rows are cells; writer tasks stage one compact fragment per
+    // (task, chunk) and the epoch commit merges each touched chunk
+    // once (read region -> apply cells -> region-write). Unlike s07,
+    // the hour spans here are deliberately NOT chunk-aligned: a chunk
+    // straddling two spans is written by two epochs and the
+    // chunk-granular upsert merge makes that correct — the alignment
+    // obligation the foreachBatch path puts on the user disappears.
+    // Same store contents, same oracle as s07.
+    QueryDef(
+      "s09_stream_zarr_sink",
+      (s, dir) => {
+        import graft.api.{TabularBridge, XbeamDataset}
+        import graft.ndarray.DType
+        import graft.operators.ChunkTransforms.{Pair, pairEnc}
+        val ev = graft.queries.Tables.loadEvents(s, s"$dir/events.parquet")
+        val bounds = ev.agg(
+          unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+          unix_micros(date_trunc("hour", max(col("ts")))).as("hi")).head()
+        val h0us = bounds.getLong(0)
+        val hours = (bounds.getLong(1) - h0us) / 3600000000L + 1
+        val chunk = 16
+        val fileSpan = (hours + 3) / 4 // NOT chunk-aligned on purpose
+        val sfName = new java.io.File(dir).getName
+        val scratch = java.nio.file.Paths.get("target", "stream_sink",
+          "src_" + sfName).toAbsolutePath
+        val store = java.nio.file.Paths.get("target", "stream_sink",
+          "store_" + sfName).toAbsolutePath.toString
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        rmTree(scratch)
+        rmTree(java.nio.file.Paths.get(store))
+        java.nio.file.Files.createDirectories(scratch)
+        // per-span source files carry FINAL densified cell values (the
+        // sink is a keyed cell sink — aggregation happens upstream,
+        // exactly as it would in an Update-mode pipeline)
+        val withHour = ev.select(
+          expr(s"(unix_micros(date_trunc('hour', ts)) - ${h0us}L) div 3600000000")
+            .as("hour"),
+          col("value"))
+        (0 until 4).foreach { k =>
+          val lo = k * fileSpan
+          val hi = if (k == 3) hours else math.min((k + 1) * fileSpan, hours)
+          if (hi > lo) {
+            val agg = withHour
+              .filter(col("hour") >= lo && col("hour") < hi)
+              .groupBy(col("hour"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("value").cast("decimal(18,6)")).cast("double")
+                  .as("sum_value"))
+            val dense = s.range(lo, hi).toDF("hour")
+              .join(agg, Seq("hour"), "left")
+              .na.fill(0L, Seq("n_events")).na.fill(0.0, Seq("sum_value"))
+            val tmp = scratch.resolve(s"_tmp$k")
+            dense.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            import scala.jdk.CollectionConverters._
+            val f = java.nio.file.Files.list(tmp).iterator().asScala
+              .find(_.toString.endsWith(".parquet")).get
+            java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
+            rmTree(tmp)
+          }
+        }
+        // eager template setup, zero chunk writes
+        val template = graft.core.Template(
+          Seq("hour" -> hours),
+          Map("n_events" -> graft.core.VarSpec(Seq("hour"), DType.I64),
+            "sum_value" -> graft.core.VarSpec(Seq("hour"), DType.F64)),
+          Map.empty, Map.empty)
+        XbeamDataset.fromPairs(s, template, Map("hour" -> chunk),
+          s.emptyDataset[Pair], validate = false).toZarr(store)
+        val sschema = StructType(Seq(
+          StructField("hour", LongType), StructField("n_events", LongType),
+          StructField("sum_value", DoubleType)))
+        val name = "s09_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = s.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", 1).parquet(scratch.toString)
+          .writeStream.format("zarr")
+          .option("path", store)
+          .option("dims", "hour")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+          catch { case _: Throwable => () } }
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("hour")
+      },
+      Some("""
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          CAST(date_diff('hour', date_trunc('hour', min(ts)),
+                                         date_trunc('hour', max(ts))) AS BIGINT) + 1 AS n
+                   FROM events),
+        agg AS (SELECT CAST(date_diff('hour', (SELECT h0 FROM b),
+                                      date_trunc('hour', ts)) AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                FROM events GROUP BY 1),
+        hours AS (SELECT unnest(range((SELECT n FROM b))) AS hour)
+        SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
+               COALESCE(sum_value, 0.0) AS sum_value
+        FROM hours LEFT JOIN agg ON hours.hour = agg.hour
         ORDER BY hours.hour"""))
   )
 }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** `writeStream.format("zarr")` end-to-end: the fragment-staging +
+  * epoch-commit sink against a 2-D store, with one chunk's cells
+  * deliberately split across many writer tasks (repartition before the
+  * sink) so the driver-side merge path does real work, and a second
+  * epoch upserting over the first. */
+class ZarrStreamSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    }
+
+  test("streaming cells land as chunk merges; second epoch upserts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.api.XbeamDataset
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    import graft.operators.ChunkTransforms.Pair
+
+    val base = java.nio.file.Paths.get("target", "stream_sink_spec")
+      .toAbsolutePath
+    rmTree(base)
+    java.nio.file.Files.createDirectories(base)
+    val store = base.resolve("store.zarr").toString
+    val src = base.resolve("src")
+    val ckpt = base.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(src)
+
+    // 2-D template 10x6, chunks 4x6 -> 3 chunks along t; no data yet
+    val template = Template(
+      Seq("t" -> 10L, "x" -> 6L),
+      Map("iv" -> VarSpec(Seq("t", "x"), DType.I64),
+        "fv" -> VarSpec(Seq("t", "x"), DType.F64)),
+      Map.empty, Map.empty)
+    XbeamDataset.fromPairs(spark, template, Map("t" -> 4, "x" -> 6),
+      spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
+      validate = false).toZarr(store)
+
+    // epoch 0: every cell of rows t<8; epoch 1: upsert t in [2, 4)
+    def cells(tLo: Int, tHi: Int, bias: Long) =
+      spark.range(tLo.toLong * 6, tHi.toLong * 6).select(
+        (col("id") / 6).cast("long").as("t"),
+        pmod(col("id"), lit(6)).cast("long").as("x"),
+        (col("id") * 10 + bias).as("iv"),
+        (col("id").cast("double") / 4 + bias).as("fv"))
+    cells(0, 8, 0).coalesce(1).write.parquet(src.resolve("b0").toString + ".d")
+    cells(2, 4, 1000000).coalesce(1).write
+      .parquet(src.resolve("b1").toString + ".d")
+    // file source streams dirs in name order under maxFilesPerTrigger
+    val schema = StructType(Seq(
+      StructField("t", LongType), StructField("x", LongType),
+      StructField("iv", LongType), StructField("fv", DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*.d")
+      .repartition(5) // force multi-task fragments per chunk
+      .writeStream.format("zarr")
+      .option("path", store)
+      .option("dims", "t,x")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = graft.api.TabularBridge.toDataFrame(
+      XbeamDataset.fromZarr(spark, store))
+      .orderBy("t", "x").collect()
+    assert(got.length == 60)
+    got.foreach { r =>
+      val t = r.getLong(0)
+      val x = r.getLong(1)
+      val id = t * 6 + x
+      val bias = if (t >= 2 && t < 4) 1000000L else 0L
+      if (t < 8) {
+        assert(r.getLong(r.fieldIndex("iv")) == id * 10 + bias, s"iv at ($t,$x)")
+        assert(r.getDouble(r.fieldIndex("fv")) == id.toDouble / 4 + bias,
+          s"fv at ($t,$x)")
+      } else {
+        // never-written chunk: store fill values
+        assert(r.getLong(r.fieldIndex("iv")) == 0L, s"fill iv at ($t,$x)")
+        assert(r.getDouble(r.fieldIndex("fv")).isNaN ||
+          r.getDouble(r.fieldIndex("fv")) == 0.0, s"fill fv at ($t,$x)")
+      }
+    }
+    // stage dirs are cleaned up after each epoch commit
+    val stage = java.nio.file.Paths.get(store, ".stream_stage")
+    if (java.nio.file.Files.exists(stage)) {
+      import scala.jdk.CollectionConverters._
+      val left = java.nio.file.Files.walk(stage).iterator().asScala
+        .count(_.toString.endsWith(".frag"))
+      assert(left == 0, s"$left orphaned fragments")
+    }
+    rmTree(base)
+  }
+
+  test("sink rejects a missing store, unknown dims, and bad columns") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("t", LongType), StructField("v", DoubleType)))
+    def tryStart(path: String, dims: String) = {
+      val src = java.nio.file.Files
+        .createTempDirectory("zss_src").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("zss_ck").toString
+      // a non-empty source so the sink write actually constructs
+      spark.range(3).selectExpr("id AS t", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("zarr")
+        .option("path", path).option("dims", dims)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val e1 = intercept[Exception](
+      tryStart("/tmp/definitely_missing_store.zarr", "t"))
+    assert(e1.getMessage.contains("EXISTING store") ||
+      Option(e1.getCause).exists(_.getMessage.contains("EXISTING store")),
+      s"got: ${e1.getMessage}")
+  }
+}
