@@ -108,6 +108,10 @@ class ZarrStreamingWrite(path: String, schema: StructType,
       case m: ZarrStreamCommitMessage => m.frags
     }.flatten
     if (frags.isEmpty) return
+    // a cell upsert would make any recorded min/max sidecar lie —
+    // tombstone it BEFORE touching data, same contract as batch append
+    // (XbeamDataset.toZarr) and extendDim
+    graft.sources.zarr.ChunkStats.invalidate(path)
     val sm = Zarr.openStore(path)
     val byChunk = frags.groupBy(_.chunkId)
     val threads = math.max(1, math.min(8, byChunk.size))

@@ -44,7 +44,7 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
       Map.empty, Map.empty)
     XbeamDataset.fromPairs(spark, template, Map("t" -> 4, "x" -> 6),
       spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
-      validate = false).toZarr(store)
+      validate = false).toZarr(store, stats = true)
 
     // epoch 0: every cell of rows t<8; epoch 1: upsert t in [2, 4)
     def cells(tLo: Int, tHi: Int, bias: Long) =
@@ -92,6 +92,10 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
           r.getDouble(r.fieldIndex("fv")) == 0.0, s"fill fv at ($t,$x)")
       }
     }
+    // the upsert tombstoned the stats sidecar (stale bounds must not
+    // prune future scans)
+    assert(graft.sources.zarr.ChunkStats.readIndex(store).isEmpty,
+      "stats sidecar must be tombstoned by a streaming write")
     // stage dirs are cleaned up after each epoch commit
     val stage = java.nio.file.Paths.get(store, ".stream_stage")
     if (java.nio.file.Files.exists(stage)) {
