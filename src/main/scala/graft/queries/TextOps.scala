@@ -595,6 +595,86 @@ object TextOps {
         FROM pk p JOIN zc z ON z.doc_id = p.doc_id
         ORDER BY p.doc_id""")),
 
+    // ---------------------------------------------------------------- m04
+    // Image TRANSFORM pipeline (the resize leg of the multimodal
+    // brief): decode a real PNG (4-wide grey "video", one 4x4 frame
+    // per 4 rows), mean-pool each frame to a 2x2 thumbnail in INTEGER
+    // space (sum div 4 — stays in byte range), re-encode the thumbnail
+    // stack as a second real PNG (Up-filtered), decode THAT, and
+    // summarize. Both codec directions run as executor-side pipeline
+    // stages; every feature is computed from decoded pixels (never
+    // from compressed bytes, which would tie results to the zlib
+    // build), so the oracle replicates the integer pooling directly.
+    QueryDef(
+      "m04_multimodal_thumbnail",
+      (s, dir) => {
+        import s.implicits._
+        val bin = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            val nF = bytes.length / 16
+            val png =
+              if (nF < 1) Array.empty[Byte]
+              else graft.media.Png.encode(
+                graft.media.Png.Image(4, 4 * nF, 1, bytes.take(nF * 16)),
+                filter = 4)
+            (id, png)
+          }
+        bin.mapPartitions { it =>
+          it.flatMap { case (id, png) =>
+            if (png.isEmpty) Iterator.empty
+            else {
+              val src = graft.media.Png.decode(png) // REAL parse
+              val b = src.pixels
+              val nFrames = b.length / 16
+              // integer 2x2 mean-pool: frame f, quadrant q (row-major)
+              val thumb = new Array[Byte](nFrames * 4)
+              var f = 0
+              while (f < nFrames) {
+                var q = 0
+                while (q < 4) {
+                  val base = f * 16 + (q / 2) * 8 + (q % 2) * 2
+                  thumb(f * 4 + q) = (((b(base) & 0xff) + (b(base + 1) & 0xff) +
+                    (b(base + 4) & 0xff) + (b(base + 5) & 0xff)) / 4).toByte
+                  q += 1
+                }
+                f += 1
+              }
+              // re-encode the thumbnail stack, decode it back, and
+              // feature-extract from the SECOND decode
+              val thumbPng = graft.media.Png.encode(
+                graft.media.Png.Image(2, 2 * nFrames, 1, thumb), filter = 2)
+              val out = graft.media.Png.decode(thumbPng).pixels
+              var sum = 0L
+              var i = 0
+              while (i < out.length) { sum += (out(i) & 0xff); i += 1 }
+              Iterator((id, nFrames.toLong, (out(0) & 0xff).toLong, sum,
+                sum.toDouble / out.length))
+            }
+          }
+        }.toDF("doc_id", "n_frames", "first_px", "sum_px", "mean_px")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id,
+                          list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+                          length(text) // 16 AS n_frames
+                   FROM documents),
+        p AS (SELECT doc_id, n_frames,
+                     flatten(list_transform(range(0, n_frames), f ->
+                       list_transform(range(0, 4), q ->
+                         (bytes[f*16 + (q//2)*8 + (q%2)*2 + 1]
+                        + bytes[f*16 + (q//2)*8 + (q%2)*2 + 2]
+                        + bytes[f*16 + (q//2)*8 + (q%2)*2 + 5]
+                        + bytes[f*16 + (q//2)*8 + (q%2)*2 + 6]) // 4))) AS thumb
+              FROM b WHERE n_frames >= 1)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(thumb[1] AS BIGINT) AS first_px,
+               CAST(list_reduce(thumb, (a, x) -> a + x) AS BIGINT) AS sum_px,
+               CAST(list_reduce(thumb, (a, x) -> a + x) AS DOUBLE) / len(thumb) AS mean_px
+        FROM p ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d07
     // Dedup resolution: near-dup pairs (d03's shingle-Jaccard edges) →
     // connected components → one canonical survivor per component (min
