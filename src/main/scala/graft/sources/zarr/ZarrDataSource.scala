@@ -424,10 +424,58 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
                maxChunksPerTrigger: Long = 0L,
                varBounds: Map[String, (Double, Double)] = Map.empty,
                coordKeep: Map[String, Array[Boolean]] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime (DPP-style) chunk pruning: when this scan joins a
+  // small dimension table on a dim column, Spark materializes the
+  // build side's key set at execution and hands it here as an IN
+  // predicate BEFORE planInputPartitions — a chunk survives only if
+  // some key falls inside its dim range. This is dynamic partition
+  // pruning for the chunk grid: the star-join shape (huge store x
+  // broadcast dim filter) reads only the chunks the dim table names,
+  // with zero user annotations. Unparseable predicates are ignored
+  // (pruning is only ever an optimization; pushed filters stay
+  // residual).
+  @volatile private var runtimeIn: Map[String, Array[Long]] = Map.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    dims.map(_._1).filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val dimNames = dims.map(_._1).toSet
+    val parsed = predicates.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case r: NamedReference if dimNames.contains(r.fieldNames.mkString(".")) =>
+          val vals = p.children().drop(1).flatMap {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case n: java.lang.Number => Some(n.longValue())
+                case _ => None
+              }
+            case _ => None
+          }
+          // a partially-unparseable value list must NOT prune (missing
+          // keys would silently drop matching chunks)
+          if (vals.length == p.children().length - 1)
+            Some(r.fieldNames.mkString(".") -> vals.sorted)
+          else None
+        case _ => None
+      }
+    }
+    runtimeIn = parsed.groupBy(_._1).map { case (d, vs) =>
+      // several IN filters on one dim intersect; keep the smallest set
+      d -> vs.map(_._2).minBy(_.length)
+    }
+  }
   override def description(): String =
     s"zarr:$path chunks=$chunks prunedDims=${bounds.keys.mkString(",")}" +
       (if (varBounds.isEmpty) ""
@@ -445,6 +493,7 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
     val statPrune: Map[String, Long] => Boolean =
       ChunkStats.pruner(path, varBounds, chunks, dimSizes)
         .getOrElse((_: Map[String, Long]) => true)
+    val rIn = runtimeIn
     ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
       .filter { key =>
         bounds.forall { case (d, (lo, hi)) =>
@@ -453,6 +502,17 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
           off <= hi && off + len - 1 >= lo
         } && coordKeep.forall { case (d, keep) =>
           keep((key.offsets(d) / chunks(d)).toInt)
+        } && rIn.forall { case (d, vals) =>
+          val off = key.offsets(d)
+          val end = off + math.min(chunks(d).toLong, dimSizes(d) - off)
+          // sorted values: binary-search the first >= off
+          var lo = 0
+          var hi = vals.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (vals(mid) < off) lo = mid + 1 else hi = mid
+          }
+          lo < vals.length && vals(lo) < end
         } && statPrune(key.offsets)
       }
       .map(key => ZarrInputPartition(dimOrder.map(key.offsets).toArray): InputPartition)

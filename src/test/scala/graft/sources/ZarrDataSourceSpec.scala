@@ -168,4 +168,70 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("remapped"), e.getMessage)
   }
+
+  test("runtime V2 filtering prunes chunks from an IN key set") {
+    import graft.sources.zarr.{ZarrScan, ZarrScanBuilder}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.graftshim.Lit
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = writeStore() // time=12 chunked 4 -> 3 chunks
+    def freshScan(): ZarrScan = new ZarrScanBuilder(dir).build()
+      .asInstanceOf[ZarrScan]
+    assert(freshScan().planInputPartitions().length == 3)
+    def in(dim: String, vals: Long*): Predicate =
+      new Predicate("IN", (Expressions.column(dim) +:
+        vals.map(v => Lit(v, LongType))).toArray)
+    // keys 1 and 9 live in chunks [0,4) and [8,12) -> chunk [4,8) drops
+    val s1 = freshScan()
+    s1.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(in("time", 1L, 9L)))
+    val kept = s1.planInputPartitions()
+    assert(kept.length == 2, s"expected 2 chunks, got ${kept.length}")
+    // an unparseable value list must NOT prune (safety: missing keys
+    // would silently drop matching chunks)
+    val s2 = freshScan()
+    s2.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+      new Predicate("IN", Array(Expressions.column("time"),
+        Lit(org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+          StringType)))))
+    assert(s2.planInputPartitions().length == 3)
+    // non-dim references and other predicate names are ignored too
+    val s3 = freshScan()
+    s3.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+      in("nosuchdim", 1L),
+      new Predicate("=", Array(Expressions.column("time"),
+        Lit(1L, LongType)))))
+    assert(s3.planInputPartitions().length == 3)
+    // filterAttributes exposes exactly the dim columns
+    assert(freshScan().asInstanceOf[SupportsRuntimeV2Filtering]
+      .filterAttributes().map(_.fieldNames.mkString(".")).toSet ==
+      Set("time", "latitude", "longitude"))
+  }
+
+  test("broadcast dim-table join plants a runtime filter; results exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val dir = writeStore()
+    // the build side must be a SOURCE-backed relation with a surviving
+    // selective filter: a LocalRelation's filter constant-folds away
+    // (ConvertToLocalRelation) and DPP then sees nothing selective
+    val kdir = Files.createTempDirectory("zarr_dpp_keys").toString
+    Seq((1L, "a"), (9L, "b"), (100L, "c")).toDF("time", "tag")
+      .write.mode("overwrite").parquet(kdir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val zarr = spark.read.format("zarr").load(dir)
+      val keys = spark.read.parquet(kdir).filter($"time" < 50)
+      val joined = zarr.join(broadcast(keys), Seq("time"))
+        .orderBy("time", "latitude", "longitude", "tag")
+      val rows = joined.collect()
+      assert(rows.length == 2 * 5 * 6)
+      assert(rows.map(_.getAs[Long]("time")).distinct.toSeq == Seq(1L, 9L))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"expected a planted runtime filter on the zarr scan:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
 }
