@@ -2408,6 +2408,100 @@ final class XbeamDataset private (
       }
   }
 
+  /** Sliding-window materialization (xarray
+    * `rolling(dim=w).construct(windowDim)`): every dim-spanning
+    * variable gains ONE new trailing dim of length `window`, where
+    * [..., i, ..., k] is the value at position i − (window−1) + k
+    * along `dim` — NaN where that position falls before the array
+    * start (xarray's left-truncated leading windows). Same single halo
+    * exchange as [[rolling]]: only window−1 trailing slivers cross the
+    * wire, the materialization is chunk-local, and the new dim is
+    * unchunked (every chunk carries its full `window` extent), so the
+    * chunk count — and the plan shape — is unchanged at any scale.
+    * The w× data blow-up is the operator's SEMANTICS (a materialized
+    * sliding view), not an implementation artifact. */
+  def rollingConstruct(dim: String, window: Int,
+                       windowDim: String = "window"): XbeamDataset = {
+    require(window >= 2, s"construct window must be >= 2, got $window")
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(!template.dimSizes.contains(windowDim) &&
+      !template.vars.contains(windowDim),
+      s"window dim $windowDim already exists in the dataset")
+    val haloLen = window - 1
+    require(haloLen <= chunkSizes(dim),
+      s"halo $haloLen must be <= chunk ${chunkSizes(dim)} for $dim " +
+        "(rechunk larger along the dim first)")
+    import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.Encoders
+    implicit val taggedEnc = Encoders.kryo[(String, Boolean, Pair)]
+    val d = dim
+    val wd = windowDim
+    val w = window
+    val dimSize = template.dimSizes(dim)
+    val tagged = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      val extent = c.vars.collectFirst {
+        case (_, va) if va.dims.contains(d) => va.arr.shape(va.dims.indexOf(d))
+      }.getOrElse(0)
+      val own = (k.canonical, false, p)
+      val nextOff = off + extent
+      if (nextOff < dimSize && extent > 0) {
+        val hl = math.min(w - 1, extent)
+        val halo = ArrayChunk(c.vars.collect {
+          case (n, va) if va.dims.contains(d) =>
+            val ax = va.dims.indexOf(d)
+            val starts = Array.fill(va.arr.ndim)(0)
+            starts(ax) = extent - hl
+            val lens = va.arr.shape.clone()
+            lens(ax) = hl
+            n -> VarArray(va.dims, va.arr.slice(starts, lens))
+        })
+        val nextKey = k.copy(offsets = k.offsets + (d -> nextOff))
+        Seq(own, (nextKey.canonical, true, (k, halo)))
+      } else Seq(own)
+    }
+    val out = tagged.groupByKey(_._1)(Encoders.STRING).mapGroups { (_, it) =>
+      val items = it.toSeq
+      val ownItems = items.filter(!_._2)
+      require(ownItems.length == 1,
+        s"construct: expected exactly one own chunk per key, got ${ownItems.length}")
+      val (key, ownChunk) = ownItems.head._3
+      val haloOpt = items.find(_._2).map(_._3._2)
+      val result = ArrayChunk(ownChunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          val joined = haloOpt match {
+            case Some(h) =>
+              val ha = h.vars(n).arr
+              val shape2 = va.arr.shape.clone()
+              shape2(ax) += ha.shape(ax)
+              val j = NdArray.zeros(va.arr.dtype, shape2)
+              j.insert(Array.fill(shape2.length)(0), ha)
+              val st = Array.fill(shape2.length)(0)
+              st(ax) = ha.shape(ax)
+              j.insert(st, va.arr)
+              j
+            case None => va.arr
+          }
+          val skip = haloOpt.map(_.vars(n).arr.shape(ax)).getOrElse(0)
+          n -> VarArray(va.dims :+ wd,
+            joined.rollingConstructAlong(ax, w, skip))
+        }
+      })
+      (key, result)
+    }
+    val newTemplate = Template(
+      template.dims :+ (wd -> w.toLong),
+      template.vars.map { case (n, vs) =>
+        n -> (if (vs.dims.contains(d)) VarSpec(vs.dims :+ wd, DType.F64) else vs)
+      },
+      template.coords, template.attrs)
+    withPlan(newTemplate, chunkSizes + (wd -> w), splitVars,
+      out.map { p: Pair => (p._1.copy(vars = None), p._2) })
+  }
+
   /** Rolling Pearson correlation of two variables along `dim` (pandas
     * `rolling(w).corr()` between columns; xarray reaches it via
     * `rolling(...).construct` + `xr.corr`): one narrow pass derives six

@@ -1970,6 +1970,52 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 
   /** Gather the given positions along `axis` (np.take): output extent
     * along the axis = positions.length, in the given order. */
+  /** Sliding-window VIEW materialization (xarray
+    * `rolling(dim=w).construct(windowDim)`): `this` is halo ++ own
+    * along `axis` (`skipStart` halo elements prepended); the result
+    * keeps the own extent along `axis` and appends ONE trailing axis
+    * of length `window`, where out[..., i, ..., k] is the value at
+    * axis position i - (window-1) + k — NaN where that position falls
+    * before the start of the array (the left-truncated windows of the
+    * first chunk; interior chunks see them through the halo). */
+  def rollingConstructAlong(axis: Int, window: Int, skipStart: Int): NdArray = {
+    val ext = shape(axis) - skipStart
+    val outShape = shape.clone()
+    outShape(axis) = ext
+    val out = NdArray.zeros(DType.F64, outShape :+ window)
+    val srcStrides = strides
+    val idx = new Array[Int](ndim)
+    val total = outShape.foldLeft(1L)(_ * _)
+    var ownFlat = 0L
+    while (ownFlat < total) {
+      var base = 0L
+      var d = 0
+      while (d < ndim) {
+        base += (if (d == axis) (idx(d) + skipStart).toLong else idx(d).toLong) *
+          srcStrides(d)
+        d += 1
+      }
+      var k = 0
+      while (k < window) {
+        val srcAxis = idx(axis) + skipStart - (window - 1) + k
+        out.setDouble(ownFlat * window + k,
+          if (srcAxis < 0) Double.NaN
+          else getDouble(base + (srcAxis - idx(axis) - skipStart).toLong *
+            srcStrides(axis)))
+        k += 1
+      }
+      // row-major odometer over the own extents
+      var c = ndim - 1
+      var carry = true
+      while (c >= 0 && carry) {
+        idx(c) += 1
+        if (idx(c) == outShape(c)) { idx(c) = 0; c -= 1 } else carry = false
+      }
+      ownFlat += 1
+    }
+    out
+  }
+
   def takeAlong(axis: Int, positions: Array[Int]): NdArray = {
     positions.foreach(p => require(p >= 0 && p < shape(axis),
       s"take position $p out of range for axis extent ${shape(axis)}"))

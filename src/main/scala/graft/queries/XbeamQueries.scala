@@ -3662,6 +3662,40 @@ object XbeamQueries {
       Some(s"""
         WITH $GRID_DUCK
         SELECT t // 3 AS t, x, uid, vf
-        FROM grid WHERE t % 3 = 0 ORDER BY t, x"""))
+        FROM grid WHERE t % 3 = 0 ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x121
+    // Sliding-window materialization (xarray `rolling(t=3)
+    // .construct("win")`): every dim-spanning variable gains a
+    // trailing win dim of length 3 — [t, x, k] = value at t-2+k, NaN
+    // for positions before the start. ONE halo exchange (2 trailing
+    // rows per chunk boundary) and a chunk-local materialization; the
+    // 3x output size is the operator's semantics. head(40) bounds the
+    // dump and still spans three t-chunks of 16.
+    QueryDef(
+      "x121_rolling_construct",
+      (s, dir) => {
+        // extent min(40, actual): sparser sf dirs have fewer t rows
+        // than the 40-row cap (the oracle's t < 40 matches either way)
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = math.min(40L, n / W)
+        val g = TabularBridge.fromDataFrame(
+          gridDf(s, dir).filter(s"t < $tExt"), s,
+          dims = Seq("t" -> tExt, "x" -> W),
+          vars = Seq("uid" -> DType.I64, "vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(g.rollingConstruct("t", 3, "win"))
+          .orderBy("t", "x", "win")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        g AS (SELECT * FROM grid WHERE t < 40),
+        k AS (SELECT unnest([0, 1, 2]) AS win)
+        SELECT a.t, a.x, CAST(k.win AS BIGINT) AS win,
+               coalesce(CAST(b.uid AS DOUBLE), CAST('nan' AS DOUBLE)) AS uid,
+               coalesce(b.vf, CAST('nan' AS DOUBLE)) AS vf
+        FROM g a CROSS JOIN k
+        LEFT JOIN g b ON b.x = a.x AND b.t = a.t - 2 + k.win
+        ORDER BY a.t, a.x, k.win"""))
   )
 }

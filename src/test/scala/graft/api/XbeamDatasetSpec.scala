@@ -2426,6 +2426,37 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep"))
   }
 
+  test("rollingConstruct: window view matches manual lags at any chunking") {
+    import graft.Fixtures.arange
+    // 2-D (t=10, x=3): the win dim appends last; [t, x, k] = v[t-2+k, x]
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 10, 3))),
+      chunks = Map("t" -> ch, "x" -> 3))
+    val expected = for {
+      t <- 0 until 10; x <- 0 until 3; k <- 0 until 3
+    } yield {
+      val src = t - 2 + k
+      if (src < 0) Double.NaN else (src * 3 + x).toDouble
+    }
+    for (ch <- Seq(3, 5, 10)) {
+      val out = ds(ch).rollingConstruct("t", 3, "win")
+      assert(out.template.dimSizes("win") == 3L, s"chunk=$ch")
+      assert(out.template.vars("v").dims == Seq("t", "x", "win"), s"chunk=$ch")
+      val got = out.collectConsolidated()._2.vars("v").arr.toDoubles
+      assert(got.length == expected.length, s"chunk=$ch")
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert((g.isNaN && e.isNaN) || g == e, s"chunk=$ch cell $i: $g vs $e")
+      }
+    }
+    // rejects: existing dim name, window larger than chunk+1
+    val e1 = intercept[IllegalArgumentException](
+      ds(5).rollingConstruct("t", 3, "x"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException](
+      ds(3).rollingConstruct("t", 5))
+    assert(e2.getMessage.contains("halo"))
+  }
+
   test("all-resolved gathers preserve dtype; NaN-fill reindex promotes") {
     import graft.Fixtures.arange
     def intDs(ch: Int) = {
