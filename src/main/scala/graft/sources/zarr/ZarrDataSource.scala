@@ -425,10 +425,47 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
                varBounds: Map[String, (Double, Double)] = Map.empty,
                coordKeep: Map[String, Array[Boolean]] = Map.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact relation statistics from store metadata: the chunk grid is
+    * plan-time knowledge, so row count is the Σ over PLANNED (i.e.
+    * post-pruning) chunks of their clamped cell counts and bytes
+    * follow from the projected column widths. Without this a DSv2
+    * relation reports `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and a small store can never auto-broadcast in a join —
+    * with it, Catalyst sizes joins against a zarr table exactly as it
+    * would a parquet table with fresh stats. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = planInputPartitions().iterator.map {
+      case ZarrInputPartition(offsets) =>
+        val dimOrder = dims.map(_._1)
+        offsets.indices.map { i =>
+          val d = dimOrder(i)
+          math.min(chunks(d).toLong, dims(i)._2 - offsets(i))
+        }.product
+      case _ => 0L
+    }.sum
+    // projected width: dim columns are 8-byte longs; var columns their
+    // decoded itemsize (coordinate columns ride at 8 bytes too)
+    val dimNames = dims.map(_._1).toSet
+    val width = required.fields.map { f =>
+      if (dimNames.contains(f.name)) 8L
+      else metas.get(f.name)
+        .map(m => Zarr.decodedDType(m).itemsize.toLong).getOrElse(8L)
+    }.sum
+    val bytes = rows * math.max(width, 1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   // ---- runtime (DPP-style) chunk pruning: when this scan joins a
   // small dimension table on a dim column, Spark materializes the

@@ -209,6 +209,26 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       Set("time", "latitude", "longitude"))
   }
 
+  test("scan reports exact stats; a small store auto-broadcasts in joins") {
+    import graft.sources.zarr.{ZarrScan, ZarrScanBuilder}
+    val dir = writeStore() // 12*5*6 = 360 cells, 1 var + 3 dim cols
+    val scan = new ZarrScanBuilder(dir).build().asInstanceOf[ZarrScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong == 360L)
+    // width = 3 dim cols * 8 + 2 f64 vars * 8 = 40 bytes/row
+    assert(stats.sizeInBytes().getAsLong == 360L * 40)
+    // effect: joined WITHOUT a broadcast hint, the small zarr side is
+    // auto-broadcast (a stats-less DSv2 relation would report
+    // defaultSizeInBytes and force a sort-merge join)
+    import spark.implicits._
+    val big = spark.range(0, 1000000).selectExpr("id % 12 AS time", "id AS k")
+    val joined = big.join(spark.read.format("zarr").load(dir), Seq("time"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 11 KB zarr side to auto-broadcast:\n$plan")
+  }
+
   test("broadcast dim-table join plants a runtime filter; results exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
