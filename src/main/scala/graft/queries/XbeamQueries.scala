@@ -3696,6 +3696,42 @@ object XbeamQueries {
                coalesce(b.vf, CAST('nan' AS DOUBLE)) AS vf
         FROM g a CROSS JOIN k
         LEFT JOIN g b ON b.x = a.x AND b.t = a.t - 2 + k.win
-        ORDER BY a.t, a.x, k.win"""))
+        ORDER BY a.t, a.x, k.win""")),
+
+    // --------------------------------------------------------------- x122
+    // GROUPED aggregate pushdown on the zarr connector: GROUP BY over
+    // dim columns with COUNT(*)/MIN/MAX over dim columns is pure grid
+    // arithmetic — per-group count is the product of the non-grouped
+    // dim sizes, a grouped dim's min/max the group value, a
+    // non-grouped dim's 0/size-1 — and the result emits DISTRIBUTEDLY
+    // over flat group ranges with zero chunk reads (ZarrStatsSpec
+    // proves the same query answers with every chunk file deleted).
+    // x117's ungrouped pushdown extended to the per-partition-key
+    // accounting queries a 100 TB store sees daily.
+    QueryDef(
+      "x122_zarr_grouped_agg_pushdown",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val store = zarrPath("x122", dir)
+        TabularBridge.fromDataFrame(
+          t(s, dir, "events").selectExpr(
+            s"event_id div $W AS t", s"event_id % $W AS x",
+            "CAST(event_id AS DOUBLE) AS ev"),
+          s, dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("ev" -> DType.F64), chunks = Map("t" -> 16, "x" -> 16))
+          .toZarr(store)
+        s.read.format("zarr").load(store)
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n"), min(col("t")).as("t_min"),
+            max(col("x")).as("x_max"))
+          .orderBy(col("t"))
+      },
+      Some(s"""
+        SELECT event_id // $W AS t,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(event_id // $W AS BIGINT) AS t_min,
+               CAST(max(event_id % $W) AS BIGINT) AS x_max
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -140,7 +140,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
   override def pruneColumns(requiredSchema: StructType): Unit =
     // with a complete aggregate pushed, the scan's output IS the
     // aggregated row — Spark's post-agg pruning doesn't apply to it
-    if (pushedAgg.isEmpty) required = requiredSchema
+    if (pushedAgg.isEmpty && pushedGroupAgg.isEmpty) required = requiredSchema
 
   /** Record dim-column ranges for chunk pruning; every filter stays
     * residual (returned), so chunk-granular pruning can never change
@@ -323,13 +323,76 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
       resolved.map(_.get._2: Any)))
   }
 
+  // ---- GROUPED aggregate pushdown: GROUP BY over dim columns with
+  // COUNT(*)/MIN/MAX over dim columns is pure grid arithmetic — each
+  // group's count is the product of the NON-grouped dim sizes, a
+  // grouped dim's min/max is the group value itself, a non-grouped
+  // dim's is 0 / size-1. The result can be enormous (one row per
+  // group-space cell), so it is emitted DISTRIBUTEDLY: flat group
+  // ranges become input partitions and readers de-flatten row-major —
+  // still zero chunk IO. Float-variable aggregates don't push here
+  // (the stats sidecar is per chunk, not per group value).
+  private var pushedGroupAgg
+      : Option[(StructType, Array[Long], Seq[ZarrGroupedAggScan.GAgg])] = None
+
+  private def resolveGroupedAgg(agg: Aggregation)
+      : Option[(StructType, Array[Long], Seq[ZarrGroupedAggScan.GAgg])] = {
+    import ZarrGroupedAggScan.{GAgg, GConst, GGroupVal}
+    if (agg.groupByExpressions.isEmpty) return None
+    if (bounds.nonEmpty || varBounds.nonEmpty ||
+      coordBoundsL.nonEmpty || coordBoundsD.nonEmpty || pushed.nonEmpty)
+      return None
+    val dimSizes = store.template.dims.toMap
+    val gdOpt = agg.groupByExpressions.toSeq.map(simpleCol)
+    if (gdOpt.exists(g => g.isEmpty || !dimSizes.contains(g.get))) return None
+    val gd = gdOpt.map(_.get)
+    if (gd.distinct.length != gd.length) return None
+    val aggs: Seq[Option[(StructField, GAgg)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          val cnt = dimSizes.keys.filterNot(gd.contains).map(dimSizes).product
+          Some((StructField("count_star", LongType, nullable = false),
+            GConst(cnt): GAgg))
+        case m: Min => simpleCol(m.column).flatMap { c =>
+          if (!dimSizes.contains(c)) None
+          else if (gd.contains(c)) Some((
+            StructField(s"min_$c", LongType, nullable = false),
+            GGroupVal(gd.indexOf(c)): GAgg))
+          else Some((StructField(s"min_$c", LongType, nullable = false),
+            GConst(0L): GAgg))
+        }
+        case m: Max => simpleCol(m.column).flatMap { c =>
+          if (!dimSizes.contains(c)) None
+          else if (gd.contains(c)) Some((
+            StructField(s"max_$c", LongType, nullable = false),
+            GGroupVal(gd.indexOf(c)): GAgg))
+          else Some((StructField(s"max_$c", LongType, nullable = false),
+            GConst(dimSizes(c) - 1): GAgg))
+        }
+        case _ => None
+      }
+    if (aggs.exists(_.isEmpty)) return None
+    val schema = StructType(
+      gd.map(d => StructField(d, LongType, nullable = false)) ++
+        aggs.map(_.get._1))
+    // any zero-extent dim = an empty table = ZERO groups (not rows of
+    // count 0); the empty sentinel is an empty size array
+    val groupSizes =
+      if (dimSizes.values.exists(_ == 0)) Array.empty[Long]
+      else gd.map(dimSizes).toArray
+    Some((schema, groupSizes, aggs.map(_.get._2)))
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    resolveAgg(agg).isDefined
+    resolveAgg(agg).isDefined || resolveGroupedAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     resolveAgg(agg) match {
       case Some(sv) => pushedAgg = Some(sv); true
-      case None => false // no partial-pushdown mode: run the real scan
+      case None => resolveGroupedAgg(agg) match {
+        case Some(g) => pushedGroupAgg = Some(g); true
+        case None => false // no partial-pushdown mode: run the real scan
+      }
     }
   }
 
@@ -382,10 +445,14 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, values)) => new ZarrAggScan(path, schema, values)
-    case None =>
-      new ZarrScan(path, store.template.dims, store.inferChunks,
-        store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
-        coordKeepSets())
+    case None => pushedGroupAgg match {
+      case Some((schema, groupSizes, aggs)) =>
+        new ZarrGroupedAggScan(path, schema, groupSizes, aggs)
+      case None =>
+        new ZarrScan(path, store.template.dims, store.inferChunks,
+          store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
+          coordKeepSets())
+    }
   }
 }
 
@@ -411,6 +478,77 @@ class ZarrAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
       override def get(): InternalRow =
         new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+}
+
+object ZarrGroupedAggScan {
+  /** One aggregate's per-group value: a grid constant (COUNT, or a
+    * non-grouped dim's min/max) or the group's own value along group
+    * dim `idx` (a grouped dim's min/max). */
+  sealed trait GAgg extends Serializable
+  final case class GConst(v: Long) extends GAgg
+  final case class GGroupVal(idx: Int) extends GAgg
+
+  /** Flat group-range partition [start, end). */
+  final case class GroupRange(start: Long, end: Long) extends InputPartition
+}
+
+/** A completely-pushed GROUPED aggregation over dim columns: one row
+  * per group-space cell, values from grid arithmetic, ZERO chunk
+  * reads. The group space partitions into flat ranges so a
+  * billion-group store still answers distributedly. */
+class ZarrGroupedAggScan(path: String, schema: StructType,
+                         groupSizes: Array[Long],
+                         aggs: Seq[ZarrGroupedAggScan.GAgg])
+    extends Scan with Batch {
+  import ZarrGroupedAggScan._
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"zarr:$path groupedAggPushed=${schema.fieldNames.mkString(",")} (no chunk IO)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (groupSizes.isEmpty) return Array.empty // zero-extent dim: no rows
+    val total = groupSizes.product
+    val per = 1L << 20
+    val n = ((total + per - 1) / per).toInt
+    Array.tabulate[InputPartition](n)(i =>
+      GroupRange(i * per, math.min((i + 1) * per, total)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrGroupedAggReaderFactory(groupSizes, aggs.toArray)
+}
+
+class ZarrGroupedAggReaderFactory(groupSizes: Array[Long],
+                                  aggs: Array[ZarrGroupedAggScan.GAgg])
+    extends PartitionReaderFactory {
+  import ZarrGroupedAggScan._
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val range = p.asInstanceOf[GroupRange]
+      private var flat = range.start - 1
+      override def next(): Boolean = { flat += 1; flat < range.end }
+      override def get(): InternalRow = {
+        val k = groupSizes.length
+        val vals = new Array[Any](k + aggs.length)
+        // de-flatten row-major over the group dims (groupBy order)
+        var rem = flat
+        var i = k - 1
+        while (i >= 0) {
+          vals(i) = rem % groupSizes(i)
+          rem /= groupSizes(i)
+          i -= 1
+        }
+        var a = 0
+        while (a < aggs.length) {
+          vals(k + a) = aggs(a) match {
+            case GConst(v) => v
+            case GGroupVal(idx) => vals(idx).asInstanceOf[Long]
+          }
+          a += 1
+        }
+        new GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
 }

@@ -128,17 +128,58 @@ class ZarrStatsSpec extends AnyFunSuite {
     assert(mnPlan.head().getDouble(0) == 0.0)
   }
 
-  test("filters and groupings block aggregate pushdown (residual semantics)") {
+  test("filters block aggregate pushdown (residual semantics)") {
     import org.apache.spark.sql.functions.{count, lit}
     val dir = statsStore()
     val filtered = spark.read.format("zarr").load(dir)
       .filter(col("t") < 4).agg(count(lit(1)))
     assert(!filtered.queryExecution.executedPlan.toString.contains("aggPushed"))
     assert(filtered.head().getLong(0) == 16L)
-    val grouped = spark.read.format("zarr").load(dir)
-      .groupBy(col("t")).agg(count(lit(1))).orderBy(col("t"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("aggPushed"))
-    assert(grouped.count() == 24)
+    val filteredGrouped = spark.read.format("zarr").load(dir)
+      .filter(col("t") < 4).groupBy(col("t")).agg(count(lit(1)))
+    assert(!filteredGrouped.queryExecution.executedPlan.toString
+      .contains("AggPushed"))
+    assert(filteredGrouped.count() == 4)
+  }
+
+  test("grouped-by-dim pushdown answers from the grid with chunks deleted") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = statsStore()
+    import scala.jdk.CollectionConverters._
+    Seq("v", "iv").foreach { v =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, v)).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("\\d+(\\.\\d+)*"))
+        .foreach(java.nio.file.Files.delete)
+    }
+    // GROUP BY t: count = 4 (the x extent), min/max of t = the group
+    // value, max of x = 3 — all grid arithmetic, zero chunk reads
+    val df = spark.read.format("zarr").load(dir)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("tmn"),
+        max(col("x")).as("xmx"))
+      .orderBy(col("t"))
+    assert(df.queryExecution.executedPlan.toString.contains("groupedAggPushed"))
+    val rows = df.collect()
+    assert(rows.length == 24)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong && r.getLong(1) == 4L &&
+        r.getLong(2) == i.toLong && r.getLong(3) == 3L, s"row $i: $r")
+    }
+    // two group dims: one row per (t, x) cell, count 1
+    val df2 = spark.read.format("zarr").load(dir)
+      .groupBy(col("t"), col("x")).agg(count(lit(1)).as("n"))
+    assert(df2.queryExecution.executedPlan.toString.contains("groupedAggPushed"))
+    assert(df2.collect().forall(_.getLong(2) == 1L))
+    assert(df2.count() == 96)
+    // grouping by a VARIABLE column needs the data: must NOT push
+    // (chunks are deleted, so a wrong pushdown would be loudly visible)
+    val byVar = spark.read.format("zarr").load(dir)
+      .groupBy(col("iv")).agg(count(lit(1)))
+    assert(!byVar.queryExecution.executedPlan.toString.contains("AggPushed"))
+    // min over a float var grouped by dim can't answer from metadata
+    val varAgg = spark.read.format("zarr").load(dir)
+      .groupBy(col("t")).agg(min(col("v")))
+    assert(!varAgg.queryExecution.executedPlan.toString.contains("AggPushed"))
   }
 
   test("conservative Long->Double endpoints beyond 2^53") {
