@@ -38,7 +38,12 @@ import graft.ndarray.DType
   * float64, anything else rejects loudly.
   */
 class ZarrWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    // Update-mode streaming output is welcome: the streaming sink is a
+    // cell-level UPSERT (each epoch's rows overwrite their cells), so a
+    // watermarked running aggregate converges to its final value — the
+    // exact semantics update-as-append asks the sink to provide
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {

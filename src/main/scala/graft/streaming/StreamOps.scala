@@ -720,6 +720,118 @@ object StreamOps {
         SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
                COALESCE(sum_value, 0.0) AS sum_value
         FROM hours LEFT JOIN agg ON hours.hour = agg.hour
+        ORDER BY hours.hour""")),
+
+    // ---------------------------------------------------------------- s10
+    // Watermarked UPDATE-mode aggregation streaming straight into the
+    // store: raw events stream in (one hour-span file per micro-batch),
+    // the STREAMING QUERY owns the stateful groupBy(hour) aggregation
+    // (watermark bounds its state), and update-mode rows flow into the
+    // zarr sink, whose cell-level upsert is exactly what update output
+    // needs — each epoch's cumulative per-hour totals overwrite their
+    // cells, so the store CONVERGES to the final aggregate
+    // (SupportsStreamingUpdateAsAppend on the write builder). The
+    // accumulator store is zero-initialized by a batch write first, so
+    // zero-event hours read back as explicit zeros. s07 aggregated in
+    // foreachBatch and s09 pre-aggregated outside the stream; here
+    // Spark's own streaming state machine feeds the connector — the
+    // full Structured Streaming surface composed with the store.
+    QueryDef(
+      "s10_stream_update_into_zarr",
+      (s, dir) => {
+        import graft.api.{TabularBridge, XbeamDataset}
+        import graft.ndarray.DType
+        val ev = graft.queries.Tables.loadEvents(s, s"$dir/events.parquet")
+        val bounds = ev.agg(
+          unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+          unix_micros(date_trunc("hour", max(col("ts")))).as("hi")).head()
+        val h0us = bounds.getLong(0)
+        val hours = (bounds.getLong(1) - h0us) / 3600000000L + 1
+        val chunk = 16
+        val fileSpan = (hours + 3) / 4
+        val sfName = new java.io.File(dir).getName
+        val scratch = java.nio.file.Paths.get("target", "stream_upd",
+          "src_" + sfName).toAbsolutePath
+        val store = java.nio.file.Paths.get("target", "stream_upd",
+          "store_" + sfName).toAbsolutePath.toString
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        rmTree(scratch)
+        rmTree(java.nio.file.Paths.get(store))
+        java.nio.file.Files.createDirectories(scratch)
+        // raw event files, one per hour span, streamed in order
+        val withHour = ev.select(col("ts"),
+          expr(s"(unix_micros(date_trunc('hour', ts)) - ${h0us}L) div 3600000000")
+            .as("hour"),
+          col("value"))
+        (0 until 4).foreach { k =>
+          val lo = k * fileSpan
+          val hi = if (k == 3) hours else math.min((k + 1) * fileSpan, hours)
+          if (hi > lo) {
+            val part = withHour
+              .filter(col("hour") >= lo && col("hour") < hi)
+              .select(col("ts"), col("value"))
+            val tmp = scratch.resolve(s"_tmp$k")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            import scala.jdk.CollectionConverters._
+            val f = java.nio.file.Files.list(tmp).iterator().asScala
+              .find(_.toString.endsWith(".parquet")).get
+            java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
+            rmTree(tmp)
+          }
+        }
+        // zero-initialized accumulator store (batch write)
+        s.range(hours).selectExpr("id AS hour", "CAST(0 AS BIGINT) AS n_events",
+            "CAST(0.0 AS DOUBLE) AS sum_value")
+          .write.format("zarr").option("dims", "hour")
+          .option("sizes", s"hour=$hours").option("chunks", s"hour=$chunk")
+          .mode("overwrite").save(store)
+        val sschema = StructType(Seq(
+          StructField("ts", TimestampType), StructField("value", DoubleType)))
+        val name = "s10_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = s.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", 1).parquet(scratch.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(expr(
+            s"(unix_micros(date_trunc('hour', ts)) - ${h0us}L) div 3600000000")
+            .as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .writeStream.format("zarr")
+          .option("path", store)
+          .option("dims", "hour")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+          catch { case _: Throwable => () } }
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("hour")
+      },
+      Some("""
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                          CAST(date_diff('hour', date_trunc('hour', min(ts)),
+                                         date_trunc('hour', max(ts))) AS BIGINT) + 1 AS n
+                   FROM events),
+        agg AS (SELECT CAST(date_diff('hour', (SELECT h0 FROM b),
+                                      date_trunc('hour', ts)) AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                FROM events GROUP BY 1),
+        hours AS (SELECT unnest(range((SELECT n FROM b))) AS hour)
+        SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
+               COALESCE(sum_value, 0.0) AS sum_value
+        FROM hours LEFT JOIN agg ON hours.hour = agg.hour
         ORDER BY hours.hour"""))
   )
 }
