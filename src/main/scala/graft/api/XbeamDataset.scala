@@ -2687,6 +2687,34 @@ final class XbeamDataset private (
     }, merged)
   }
 
+  /** Fitted-polynomial evaluation along `dim` (xarray
+    * `xr.polyval(coord, ds.polyfit(...))` composed): the per-cell
+    * degree-`deg` least-squares fit evaluated back at every global
+    * index in Horner form highest-first — the trend SURFACE [[detrend]]
+    * subtracts. Same plan as detrend: one polyfit shuffle builds the
+    * coefficients, then the dataset maps against them without
+    * reshuffling (broadcast under the zipReduced size guard). Output
+    * is a pure function of (coordinate index, coefficients); data NaNs
+    * affect it only through the fit itself (skipna). */
+  def polyval(dim: String, deg: Int, skipna: Boolean = true): XbeamDataset = {
+    val fitted = polyfit(dim, deg, skipna)
+    val d = dim
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, if (vs.dims.contains(d)) DType.F64 else vs.dtype)
+    })
+    zipReducedKeyed(fitted)({ (key, chunk, red) =>
+      val off = key.offsets.getOrElse(d, 0L)
+      ArrayChunk(chunk.vars.map { case (n, va) =>
+        if (!va.dims.contains(d)) n -> va
+        else {
+          val ax = va.dims.indexOf(d)
+          n -> VarArray(va.dims,
+            va.arr.polyvalAlong(ax, off, red.vars(n).arr))
+        }
+      })
+    }, merged)
+  }
+
   /** Linear interpolation across NaN runs along `dim` (xarray
     * `interpolate_na(dim, method='linear')`): each NaN position between
     * two valid values takes the straight line through its nearest valid

@@ -1831,6 +1831,48 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * output order); evaluation is Horner highest-first,
     * `((c_d·t + c_{d−1})·t + …) + c_0` — keep that exact tree in sync
     * with any oracle. NaN values pass through NaN. */
+  /** Evaluate per-lane polynomial coefficients at the global index
+    * (xarray `polyval`): the [[detrendAlong]] Horner tree WITHOUT the
+    * subtraction — out = P(globalStart + i) per cell, independent of
+    * this array's values (only the shape routes the lanes). */
+  def polyvalAlong(axis: Int, globalStart: Long, coeffs: NdArray): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val nCoef = coeffs.shape(0)
+    val laneSize = coeffs.size / nCoef
+    require(laneShape.map(_.toLong).product == laneSize,
+      s"coeff lanes ${coeffs.shape.toSeq} do not match data ${shape.toSeq}")
+    val out = NdArray.zeros(DType.F64, shape.clone())
+    val n = size
+    val idx = new Array[Int](ndim)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      var laneFlat = 0L
+      var kk = 0
+      while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+      val t = (globalStart + idx(axis)).toDouble
+      var poly = coeffs.getDouble(laneFlat)
+      var c = 1
+      while (c < nCoef) {
+        poly = poly * t + coeffs.getDouble(c * laneSize + laneFlat)
+        c += 1
+      }
+      out.setDouble(flat, poly)
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   def detrendAlong(axis: Int, globalStart: Long, coeffs: NdArray): NdArray = {
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)

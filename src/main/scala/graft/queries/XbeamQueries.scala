@@ -3732,6 +3732,59 @@ object XbeamQueries {
                CAST(count(*) AS BIGINT) AS n,
                CAST(event_id // $W AS BIGINT) AS t_min,
                CAST(max(event_id % $W) AS BIGINT) AS x_max
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- x123
+    // Fitted-polynomial evaluation (xarray `xr.polyval(coord,
+    // ds.polyfit(...))`): the per-x quadratic least-squares fit
+    // evaluated back at every t — the trend SURFACE x75's detrend
+    // subtracts, with the identical Cramer-exact coefficients and the
+    // identical highest-first Horner tree, so the oracle is x75's
+    // minus the subtraction. Same plan too: one polyfit shuffle, then
+    // a broadcast map — the dataset never reshuffles.
+    QueryDef(
+      "x123_polyval_quadratic",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).polyval("t", 2)).orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK,
+        sums AS (SELECT x,
+          CAST(count(*) AS DOUBLE) AS s0,
+          CAST(sum(t) AS DOUBLE) AS s1,
+          sum(CAST(t AS DOUBLE) * t) AS s2,
+          sum(CAST(t AS DOUBLE) * t * t) AS s3,
+          sum(CAST(t AS DOUBLE) * t * t * t) AS s4,
+          sum(CAST(uid AS DOUBLE)) AS u0,
+          sum(CAST(t AS DOUBLE) * uid) AS u1,
+          sum(CAST(t AS DOUBLE) * t * uid) AS u2,
+          sum(vf) AS w0,
+          sum(CAST(t AS DOUBLE) * vf) AS w1,
+          sum(CAST(t AS DOUBLE) * t * vf) AS w2
+          FROM grid GROUP BY x),
+        dets AS (SELECT *,
+          s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * s3 - s2 * s2) AS det
+          FROM sums),
+        co AS (SELECT x,
+          (s0 * (s2 * u2 - s3 * u1) - s1 * (s1 * u2 - s2 * u1) +
+            u0 * (s1 * s3 - s2 * s2)) / det AS cu2,
+          (s0 * (u1 * s4 - u2 * s3) - u0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * u2 - u1 * s2)) / det AS cu1,
+          (u0 * (s2 * s4 - s3 * s3) - s1 * (u1 * s4 - s3 * u2) +
+            s2 * (u1 * s3 - s2 * u2)) / det AS cu0,
+          (s0 * (s2 * w2 - s3 * w1) - s1 * (s1 * w2 - s2 * w1) +
+            w0 * (s1 * s3 - s2 * s2)) / det AS cv2,
+          (s0 * (w1 * s4 - w2 * s3) - w0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * w2 - w1 * s2)) / det AS cv1,
+          (w0 * (s2 * s4 - s3 * s3) - s1 * (w1 * s4 - s3 * w2) +
+            s2 * (w1 * s3 - s2 * w2)) / det AS cv0
+          FROM dets)
+        SELECT g.t, g.x,
+          (co.cu2 * CAST(g.t AS DOUBLE) + co.cu1) * CAST(g.t AS DOUBLE)
+            + co.cu0 AS uid,
+          (co.cv2 * CAST(g.t AS DOUBLE) + co.cv1) * CAST(g.t AS DOUBLE)
+            + co.cv0 AS vf
+        FROM grid g JOIN co ON g.x = co.x
+        ORDER BY g.t, g.x"""))
   )
 }
