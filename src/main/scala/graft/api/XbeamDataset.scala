@@ -645,6 +645,60 @@ final class XbeamDataset private (
     reindexGather(dim, pos, outCoord)
   }
 
+  /** Drop positions along `dim` whose cross-section contains NaN
+    * (xarray `dropna(dim, how, thresh)`): `how="any"` keeps a position
+    * only if EVERY value across the other dims of every dim-spanning
+    * variable is valid, `how="all"` drops only all-NaN positions, and
+    * `thresh=n` keeps positions with at least n valid values
+    * (overriding `how`, pandas semantics). Unlike the label-driven
+    * gathers, the keep-set is DATA-dependent: one narrow validity
+    * reduction (per-chunk valid counts — a Long per touched dim
+    * position — aggregated on `dim` position; values never move)
+    * resolves the kept positions at plan scale, then the same bounded
+    * position gather as [[dropDuplicates]] rearranges the data —
+    * dtype-preserving, since every kept position resolves. */
+  def dropna(dim: String, how: String = "any",
+             thresh: Option[Int] = None): XbeamDataset = {
+    require(how == "any" || how == "all",
+      s"dropna how must be 'any' or 'all', got $how")
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val n = template.dimSizes(dim)
+    require(n <= Int.MaxValue, s"dim $dim extent $n exceeds a plan-time keep set")
+    val d = dim
+    val totalPerPos: Long = template.vars.collect {
+      case (_, vs) if vs.dims.contains(d) =>
+        vs.dims.filterNot(_ == d).map(template.dimSizes(_)).product
+    }.sum
+    require(totalPerPos > 0, s"dropna($d): no variable spans $d")
+    import org.apache.spark.sql.Encoders
+    implicit val posEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val perChunk = chunkDataset.flatMap { p: Pair =>
+      val (k, c) = p
+      val off = k.offsets.getOrElse(d, 0L)
+      c.vars.iterator.filter(_._2.dims.contains(d)).flatMap { case (_, va) =>
+        val ax = va.dims.indexOf(d)
+        val others = Array.range(0, va.arr.ndim).filterNot(_ == ax)
+        val counts = va.arr.sumCount(others, skipna = true)._2
+        (0 until va.arr.shape(ax)).iterator.map(i =>
+          (off + i, counts.getDouble(i).toLong))
+      }
+    }
+    val valid = new Array[Long](n.toInt)
+    perChunk.toDF("pos", "v")
+      .groupBy("pos").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      .collect() // one Long per dim position — plan-scale, like a coordinate
+      .foreach(r => valid(r.getLong(0).toInt) = r.getLong(1))
+    val keep: Long => Boolean = thresh match {
+      case Some(t) => v => v >= t
+      case None if how == "any" => v => v == totalPerPos
+      case None => v => v > 0
+    }
+    val pos = (0 until n.toInt).filter(i => keep(valid(i))).toArray
+    require(pos.nonEmpty, s"dropna would drop every $d position")
+    val coordOpt = template.coords.get(d).map(_.takeAlong(0, pos))
+    reindexGatherOpt(d, pos, coordOpt)
+  }
+
   /** Reorder along `dim` by its coordinate's values (xarray `sortby`):
     * the permutation is plan-time metadata (coords live in the
     * template), so this lowers to [[reindex]]'s label gather — each
@@ -3942,8 +3996,16 @@ final class XbeamDataset private (
     * some position needs NaN fill do dim-spanning variables promote to
     * float64, exactly as xarray's reindex does. */
   private def reindexGather(dim: String, posOf: Array[Int],
-                            outCoord: NdArray): XbeamDataset = {
-    val m = outCoord.shape(0)
+                            outCoord: NdArray): XbeamDataset =
+    reindexGatherOpt(dim, posOf, Some(outCoord))
+
+  /** [[reindexGather]] without a replacement coordinate — for
+    * position-selection operators on datasets that carry no coordinate
+    * along `dim` ([[dropna]]): the dim's coord entry (if any) is
+    * dropped rather than fabricated. */
+  private def reindexGatherOpt(dim: String, posOf: Array[Int],
+                               outCoord: Option[NdArray]): XbeamDataset = {
+    val m = outCoord.map(_.shape(0)).getOrElse(posOf.length)
     val outChunk = math.min(chunkSizes(dim), m)
     val d = dim
     val mT = m
@@ -4077,7 +4139,7 @@ final class XbeamDataset private (
         nm -> VarSpec(vs.dims,
           if (vs.dims.contains(d) && !allResolved) DType.F64 else vs.dtype)
       },
-      (template.coords - d) + (d -> outCoord),
+      (template.coords - d) ++ outCoord.map(d -> _),
       template.attrs)
     withPlan(newTemplate, chunkSizes + (d -> outChunk), splitVars, outDs)
   }

@@ -3785,6 +3785,44 @@ object XbeamQueries {
           (co.cv2 * CAST(g.t AS DOUBLE) + co.cv1) * CAST(g.t AS DOUBLE)
             + co.cv0 AS vf
         FROM grid g JOIN co ON g.x = co.x
-        ORDER BY g.t, g.x"""))
+        ORDER BY g.t, g.x""")),
+
+    // --------------------------------------------------------------- x124
+    // dropna (xarray `dropna(dim, how="any")`): NaNs are planted at
+    // event_id % 997 == 0, so a t row survives iff none of its 50 x
+    // cells hit a multiple of 997. The keep-set is DATA-dependent —
+    // one narrow validity reduction (a Long per t position; values
+    // never move) resolves it, then the same bounded position gather
+    // as drop_duplicates rearranges the rows. uid stays BIGINT through
+    // the dtype-preserving gather; the emitted t is the new dense
+    // position index (the oracle's row_number over surviving t).
+    QueryDef(
+      "x124_dropna",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val g = TabularBridge.fromDataFrame(
+          t(s, dir, "events").selectExpr(
+            s"event_id div $W AS t", s"event_id % $W AS x",
+            "user_id AS uid",
+            "CASE WHEN event_id % 997 = 0 THEN CAST('NaN' AS DOUBLE) " +
+              "ELSE CAST(floor(value) AS DOUBLE) END AS vf"),
+          s, dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("uid" -> DType.I64, "vf" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(g.dropna("t")).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH g2 AS (SELECT event_id // $W AS t, event_id % $W AS x,
+                           user_id AS uid,
+                           CASE WHEN event_id % 997 = 0 THEN CAST('nan' AS DOUBLE)
+                                ELSE CAST(floor(value) AS DOUBLE) END AS vf
+                    FROM events),
+        bad AS (SELECT DISTINCT t FROM g2 WHERE isnan(vf)),
+        keep AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS tn
+                 FROM (SELECT DISTINCT t FROM g2
+                       WHERE t NOT IN (SELECT t FROM bad)))
+        SELECT k.tn AS t, g.x, g.uid, g.vf
+        FROM g2 g JOIN keep k ON g.t = k.t
+        ORDER BY k.tn, g.x"""))
   )
 }

@@ -2426,6 +2426,44 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep"))
   }
 
+  test("dropna: any/all/thresh keep sets; dtype and coord subset; chunk-proof") {
+    import graft.Fixtures.arange
+    // v (t=8, x=3): NaN planted at t=1 (one cell), t=4 (whole row);
+    // iv int (never NaN). how=any drops t 1 and 4; how=all drops t 4;
+    // thresh=5 needs >=5 of the 6 values valid (3 from v + 3 from iv)
+    def ds(ch: Int) = {
+      val v = arange(DType.F64, 8, 3)
+      v.setDouble(1 * 3 + 2, Double.NaN)
+      (0 until 3).foreach(x => v.setDouble(4 * 3 + x, Double.NaN))
+      val base = XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t", "x"), v),
+        "iv" -> (Seq("t", "x"), arange(DType.I64, 8, 3))),
+        chunks = Map("t" -> ch, "x" -> 3))
+      XbeamDataset.fromPairs(spark,
+        base.template.copy(coords = Map("t" -> NdArray.fromLongs(
+          DType.I64, Array(8), Array.tabulate(8)(i => 100L + i)))),
+        base.chunkSizes, base.chunkDataset, validate = false)
+    }
+    for (ch <- Seq(3, 8)) {
+      val any = ds(ch).dropna("t")
+      assert(any.template.dimSizes("t") == 6L, s"chunk=$ch")
+      assert(any.template.coords("t").toLongs.toSeq ==
+        Seq(100L, 102L, 103L, 105L, 106L, 107L), s"chunk=$ch")
+      assert(any.template.vars("iv").dtype == DType.I64, s"chunk=$ch")
+      val ivs = any.collectConsolidated()._2.vars("iv").arr.toLongs
+      assert(ivs.take(3).toSeq == Seq(0L, 1L, 2L) &&
+        ivs.slice(3, 6).toSeq == Seq(6L, 7L, 8L), s"chunk=$ch")
+      val all = ds(ch).dropna("t", how = "all")
+      // iv is never NaN, so no position is ALL-NaN: nothing drops
+      assert(all.template.dimSizes("t") == 8L, s"chunk=$ch")
+      // thresh: t=1 has 5 valid (drop needs < 5), t=4 has 3
+      val th = ds(ch).dropna("t", thresh = Some(5))
+      assert(th.template.dimSizes("t") == 7L, s"chunk=$ch")
+    }
+    val e = intercept[IllegalArgumentException](ds(4).dropna("t", how = "most"))
+    assert(e.getMessage.contains("how"))
+  }
+
   test("rollingConstruct: window view matches manual lags at any chunking") {
     import graft.Fixtures.arange
     // 2-D (t=10, x=3): the win dim appends last; [t, x, k] = v[t-2+k, x]
