@@ -708,17 +708,31 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"sortby needs a coordinate on $dim"))
-    coord.dtype match {
+    val n = template.dimSizes(dim)
+    require(n <= Int.MaxValue, s"dim $dim extent $n exceeds a plan-time permutation")
+    // STABLE positional argsort of the plan-time coordinate — unlike a
+    // label reindex this tolerates duplicate labels (ties keep source
+    // order, numpy kind='stable'), orders NaN labels last (numpy), and
+    // rides the dtype-preserving all-resolved gather
+    val perm: Array[Int] = coord.dtype match {
       case DType.F64 =>
-        val labels = coord.toDoubles.sorted
-        reindex(dim, if (descending) labels.reverse else labels)
-      case DType.I64 | DType.TimeNs => // exact long-label permutation
-        val labels = coord.toLongs.sorted
-        reindex(dim, if (descending) labels.reverse else labels)
+        val v = coord.toDoubles
+        val base = Ordering.by[Int, Double](v)(Ordering.Double.TotalOrdering)
+        val sorted = Array.range(0, n.toInt)
+          .sorted(if (descending) base.reverse else base)
+        // NaN labels sort LAST in both directions (numpy); TotalOrdering
+        // put them last ascending but first under the reversed comparator
+        val (nan, ok) = sorted.partition(i => v(i).isNaN)
+        ok ++ nan
+      case DType.I64 | DType.TimeNs =>
+        val v = coord.toLongs
+        val base = Ordering.by[Int, Long](v)
+        Array.range(0, n.toInt).sorted(if (descending) base.reverse else base)
       case other => throw new IllegalArgumentException(
         s"sortby needs a float64/int64/datetime64 coordinate on $dim, " +
           s"got ${other.zarr}")
     }
+    reindexGather(dim, perm, coord.takeAlong(0, perm))
   }
 
   /** Elementwise conveniences (xarray `fillna` / `clip` / `where`) —
@@ -3851,6 +3865,44 @@ final class XbeamDataset private (
     * enumerates them — metadata only, the filler arrays materialize on
     * executors). `ffill`/`nearest` over a denser target grid is also
     * the upsampling half of resample (pandas `resample().ffill()`). */
+  /** Align onto ANOTHER dataset's coordinate along `dim` (xarray
+    * `reindex_like(other)`, one dim at a time): both coordinates are
+    * plan-time template metadata, so this is exactly [[reindex]] onto
+    * the other's labels — integer/datetime coords align in exact Long
+    * space, float in double; mixed spaces reject loudly. */
+  def reindexLike(other: XbeamDataset, dim: String,
+                  method: String = "exact"): XbeamDataset = {
+    val oc = other.template.coords.getOrElse(dim,
+      throw new IllegalArgumentException(
+        s"reindexLike: the other dataset has no coordinate on $dim"))
+    val mine = template.coords.getOrElse(dim,
+      throw new IllegalArgumentException(
+        s"reindexLike: this dataset has no coordinate on $dim"))
+    def isLong(dt: DType) = dt == DType.I64 || dt == DType.TimeNs
+    (mine.dtype, oc.dtype) match {
+      case (DType.F64, DType.F64) =>
+        reindex(dim, oc.toDoubles, method)
+      case (a, b) if isLong(a) && isLong(b) =>
+        reindex(dim, oc.toLongs, method, Long.MaxValue)
+      case (a, b) => throw new IllegalArgumentException(
+        s"reindexLike: coordinate spaces differ on $dim " +
+          s"(${a.zarr} vs ${b.zarr})")
+    }
+  }
+
+  /** Interpolate onto ANOTHER dataset's float64 coordinate along `dim`
+    * (xarray `interp_like(other)`, one dim at a time) — the other's
+    * plan-time labels feed [[interpLinear]]'s bounded two-row gather. */
+  def interpLike(other: XbeamDataset, dim: String): XbeamDataset = {
+    val oc = other.template.coords.getOrElse(dim,
+      throw new IllegalArgumentException(
+        s"interpLike: the other dataset has no coordinate on $dim"))
+    require(oc.dtype == DType.F64,
+      s"interpLike needs a float64 target coordinate on $dim, " +
+        s"got ${oc.dtype.zarr}")
+    interpLinear(dim, oc.toDoubles)
+  }
+
   def reindex(dim: String, target: Array[Double],
               method: String = "exact",
               tolerance: Double = Double.PositiveInfinity): XbeamDataset = {

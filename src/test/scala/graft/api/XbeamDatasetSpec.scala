@@ -2426,6 +2426,46 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep"))
   }
 
+  test("sortby: duplicate labels stable, NaN last both ways; like-aligns") {
+    import graft.Fixtures.arange
+    def mk(labels: Array[Double]) = {
+      val base = XbeamDataset.fromLocal(spark, Map(
+        "v" -> (Seq("t"), arange(DType.I64, labels.length))),
+        chunks = Map("t" -> 3))
+      XbeamDataset.fromPairs(spark,
+        base.template.copy(coords = Map("t" -> NdArray.fromDoubles(
+          DType.F64, Array(labels.length), labels))),
+        base.chunkSizes, base.chunkDataset, validate = false)
+    }
+    // duplicates: 5 appears at positions 0 and 2 — STABLE sort keeps
+    // source order within the tie, and the int var keeps its dtype
+    val labels = Array(5.0, 2.0, 5.0, Double.NaN, 1.0)
+    val asc = mk(labels).sortby("t")
+    assert(asc.template.vars("v").dtype == DType.I64)
+    assert(asc.collectConsolidated()._2.vars("v").arr.toLongs.toSeq ==
+      Seq(4L, 1L, 0L, 2L, 3L)) // labels 1, 2, 5, 5, NaN
+    val desc = mk(labels).sortby("t", descending = true)
+    assert(desc.collectConsolidated()._2.vars("v").arr.toLongs.toSeq ==
+      Seq(0L, 2L, 1L, 4L, 3L)) // labels 5, 5, 2, 1, NaN — ties stable
+    // reindexLike / interpLike align onto the OTHER dataset's coord;
+    // a duplicate-label SOURCE rejects (ambiguous label gather)
+    val target = mk(Array(2.0, 5.0, 9.0))
+    val dupErr = intercept[IllegalArgumentException](
+      mk(labels.take(3)).reindexLike(target, "t"))
+    assert(dupErr.getMessage.contains("distinct"))
+    val src = mk(Array(1.0, 2.0, 5.0))
+    val rl2 = src.reindexLike(target, "t")
+    assert(rl2.template.coords("t").toDoubles.toSeq == Seq(2.0, 5.0, 9.0))
+    val got = rl2.collectConsolidated()._2.vars("v").arr
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 2.0 &&
+      got.getDouble(2).isNaN)
+    // interp is interpolation-only: use an in-range target
+    val il = src.interpLike(mk(Array(1.5, 3.5)), "t")
+    assert(il.template.coords("t").toDoubles.toSeq == Seq(1.5, 3.5))
+    val iv = il.collectConsolidated()._2.vars("v").arr
+    assert(iv.getDouble(0) == 0.5 && iv.getDouble(1) == 1.5)
+  }
+
   test("dropna: any/all/thresh keep sets; dtype and coord subset; chunk-proof") {
     import graft.Fixtures.arange
     // v (t=8, x=3): NaN planted at t=1 (one cell), t=4 (whole row);
