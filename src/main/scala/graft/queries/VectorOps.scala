@@ -1005,6 +1005,76 @@ object VectorOps {
                COALESCE(b.best_cosine, -2.0) AS best_cosine,
                COALESCE(b.best_cosine >= 0.3, false) AS contaminated
         FROM corpus c LEFT JOIN best b USING (vec_id)
-        ORDER BY c.vec_id"""))
+        ORDER BY c.vec_id""")),
+
+    // ---------------------------------------------------------------- e15
+    // Matryoshka-style truncated-dimension retrieval (MRL two-stage):
+    // stage 1 ranks candidates by cosine over the FIRST 8 dims only —
+    // an 8x-cheaper dot against prefix-truncated embeddings, the trick
+    // Matryoshka representations are trained for — keeping the top 20
+    // per query; stage 2 re-ranks those by full 64-dim cosine, top 3.
+    // Queries broadcast so the corpus never shuffles for candidate
+    // generation; the coarse top-k goes through the e05 salted
+    // two-stage so one query's candidate stream never funnels into a
+    // single sort. At 100 TB the prefix pass is the scan cost and the
+    // re-rank touches 20 rows/query. Deterministic arithmetic
+    // (left-to-right folds both engines), exact oracle.
+    QueryDef(
+      "e15_mrl_rerank",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val P = 8
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+            s"slice(embedding, 1, $P) AS pfx",
+            s"sqrt(vec_dot(slice(embedding, 1, $P), slice(embedding, 1, $P))) AS pnrm")
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+            $"nrm".as("q_nrm"), $"pfx".as("q_pfx"), $"pnrm".as("q_pnrm"))
+        val coarse = e.select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+            $"nrm".as("m_nrm"), $"pfx".as("m_pfx"), $"pnrm".as("m_pnrm"))
+          .join(broadcast(queries), $"m_id" =!= $"q_id")
+          .withColumn("pcos",
+            expr(dotSpark("q_pfx", "m_pfx")) / ($"q_pnrm" * $"m_pnrm"))
+        val S = 32
+        val wSalt = Window.partitionBy($"q_id", pmod($"m_id", lit(S)))
+          .orderBy($"pcos".desc, $"m_id")
+        val local = coarse.withColumn("srank", row_number().over(wSalt))
+          .filter($"srank" <= 20).drop("srank")
+        val wCoarse = Window.partitionBy($"q_id").orderBy($"pcos".desc, $"m_id")
+        val cand = local.withColumn("crank", row_number().over(wCoarse))
+          .filter($"crank" <= 20)
+        val wFine = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")
+        cand
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "m_emb")) / ($"q_nrm" * $"m_nrm"))
+          .withColumn("rank", row_number().over(wFine))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"m_id".as("neighbor_id"),
+            $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                          embedding[1:8] AS pfx,
+                          sqrt(${dotDuck("embedding[1:8]", "embedding[1:8]")}) AS pnrm
+                   FROM embeddings),
+        coarse AS (SELECT q.vec_id AS q_id, m.vec_id AS m_id,
+                          ${dotDuck("q.pfx", "m.pfx")} / (q.pnrm * m.pnrm) AS pcos
+                   FROM e q JOIN e m ON m.vec_id <> q.vec_id
+                   WHERE q.vec_id < 10),
+        cand AS (SELECT q_id, m_id FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY pcos DESC, m_id) AS crank
+                   FROM coarse) WHERE crank <= 20),
+        fine AS (SELECT c.q_id, c.m_id,
+                        ${dotDuck("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+                 FROM cand c JOIN e q ON q.vec_id = c.q_id
+                             JOIN e m ON m.vec_id = c.m_id)
+        SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, m_id) AS rank FROM fine)
+        WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }
