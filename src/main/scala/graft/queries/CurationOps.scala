@@ -576,6 +576,63 @@ object CurationOps {
                           count(*) AS n_tokens
                    FROM tk JOIN ratios USING (b) GROUP BY 1, 2)
         SELECT doc_id, lang, n_tokens, dsir_score
-        FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100"""))
+        FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100""")),
+
+    // ---------------------------------------------------------------- c11
+    // Temperature-scaled mixture sampling EXECUTED (c06 only scores the
+    // weights): per-language sampling shares w_l = sqrt(n_l) / Σ
+    // (temperature tau = 0.5 — sqrt is IEEE-exact cross-engine, unlike
+    // pow), a 200-doc budget allocated floor(share*B) capped at n_l,
+    // and the allocation FILLED deterministically — each language's
+    // docs rank by md5(doc_id), so the "random" sample is reproducible
+    // and oracle-checkable. The share denominator folds in sorted
+    // language order on BOTH engines (an unordered float sum could
+    // flip a floor() by one ulp). One tiny counts aggregate (broadcast
+    // back), one per-language window for the fill — the corpus
+    // shuffles once, on lang.
+    QueryDef(
+      "c11_temperature_sample",
+      (s, dir) => {
+        import s.implicits._
+        val B = 200
+        val counts = t(s, dir, "documents")
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1)
+        // sorted-order fold, exactly as the oracle's list_reduce
+        val denom = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+          .foldLeft(0.0)(_ + _)
+        val takes = counts.map { case (l, n) =>
+          (l, math.min(n, math.floor(math.sqrt(n.toDouble) / denom * B).toLong))
+        }.toMap
+        val takesDf = broadcast(takes.toSeq.toDF("lang", "take"))
+        val wLang = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        t(s, dir, "documents").select($"doc_id", $"lang")
+          .withColumn("rk", row_number().over(wLang))
+          .join(takesDf, "lang")
+          .filter($"rk" <= $"take")
+          .select($"lang", $"doc_id", $"rk".cast("long").as("rk"))
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY lang),
+        denom AS (SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE))
+                                          ORDER BY lang), (a, b) -> a + b) AS s
+                  FROM c),
+        takes AS (SELECT lang,
+                         least(n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))
+                           / (SELECT s FROM denom) * 200) AS BIGINT)) AS take
+                  FROM c),
+        ranked AS (SELECT lang, doc_id,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                   FROM documents)
+        SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+        FROM ranked r JOIN takes t ON r.lang = t.lang
+        WHERE r.rk <= t.take
+        ORDER BY r.lang, r.rk"""))
   )
 }
