@@ -305,6 +305,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x120 determinism stress: repeated runs across partition counts") {
+    // round-14's one red driver row was x120 (hash mismatch on
+    // rows/schema-green output, root-caused to the F64 retype in the
+    // gather — fixed). This pins the other suspect class: the full
+    // gate pipeline (store write -> read-back -> position gather ->
+    // tabular dump) must be value-identical under repetition and under
+    // different shuffle-partition counts.
+    def run(): Seq[String] =
+      graft.SparkEntry.queries("x120_drop_duplicates")(spark, dir)
+        .collect().map(_.toString).toSeq
+    val baseline = run()
+    assert(baseline.nonEmpty)
+    for (parts <- Seq("3", "7", "32"); rep <- 1 to 2) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try assert(run() == baseline, s"parts=$parts rep=$rep diverged")
+      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+  }
+
   test("e09 hot-cell salting: forced-low cap gives identical duplicates") {
     // The adaptive block-pair decomposition must be invisible in the
     // results: force EVERY cell through the salted path (cap 4) and
