@@ -801,33 +801,45 @@ class ZarrReaderFactory(path: String, dims: Seq[(String, Long)],
                         required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(path, dims, chunks, metas, required,
-      partition.asInstanceOf[ZarrInputPartition].offsets)
+    new ZarrPartitionReader(new ZarrChunkContext(path, dims, chunks, metas,
+      required, partition.asInstanceOf[ZarrInputPartition].offsets))
+
+  // Columnar (vectorized) reads: the projected schema is always
+  // long/double columns, so every chunk decodes straight into on-heap
+  // column vectors and flows into whole-stage codegen through Spark's
+  // ColumnarToRow — no per-cell row allocation, no boxing.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarPartitionReader(new ZarrChunkContext(path, dims, chunks,
+      metas, required, partition.asInstanceOf[ZarrInputPartition].offsets))
 }
 
-class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
-                          chunks: Map[String, Int],
-                          metas: Map[String, Zarr.ArrayMeta],
-                          required: StructType,
-                          offsets: Array[Long])
-    extends PartitionReader[InternalRow] {
-
+/** Shared per-partition decode state for the row and columnar readers:
+  * the chunk's clamped extents plus, per projected column, whether it
+  * is a dim index, a dim coordinate, or a variable region (read once,
+  * in the VARIABLE's own axis order — `varDimPos(c) == null` marks the
+  * fast path where that order matches the template's). */
+private[zarr] final class ZarrChunkContext(path: String,
+                                           dims: Seq[(String, Long)],
+                                           chunks: Map[String, Int],
+                                           metas: Map[String, Zarr.ArrayMeta],
+                                           required: StructType,
+                                           val offsets: Array[Long]) {
   private val dimOrder = dims.map(_._1)
   private val dimSizes = dims.toMap
-  private val lens: Array[Int] = dimOrder.zipWithIndex.map { case (d, i) =>
+  val lens: Array[Int] = dimOrder.zipWithIndex.map { case (d, i) =>
     math.min(chunks(d).toLong, dimSizes(d) - offsets(i)).toInt
   }.toArray
-  private val total: Long = lens.map(_.toLong).product
+  val total: Long = lens.map(_.toLong).product
 
-  // which output column is which: dim index, dim coordinate, or
-  // variable array
-  private val fields = required.fields
-  private val dimPos: Array[Int] = fields.map(f => dimOrder.indexOf(f.name))
-  private val coordOf: Array[Int] = fields.map { f =>
+  val fields: Array[StructField] = required.fields
+  val dimPos: Array[Int] = fields.map(f => dimOrder.indexOf(f.name))
+  val coordOf: Array[Int] = fields.map { f =>
     if (f.name.endsWith("_coord")) dimOrder.indexOf(f.name.stripSuffix("_coord"))
     else -1
   }
-  private val coordArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
+  val coordArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
     case (f, i) =>
       if (coordOf(i) < 0) null
       else {
@@ -837,15 +849,10 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
         Zarr.decodeCf(m, Zarr.readCoord(path, dim, m))
       }
   }
-  // Variables may order their axes differently from the template (or
-  // span a subset of its dims): each one reads its region in ITS OWN
-  // axis order, and row emission maps the shared dim odometer through
-  // `varDimPos` to index it. `varDimPos(c) == null` marks the fast
-  // path where the variable's layout matches the template's.
-  private val varArrays: Array[graft.ndarray.NdArray] =
+  val varArrays: Array[graft.ndarray.NdArray] =
     new Array[graft.ndarray.NdArray](fields.length)
-  private val varDimPos: Array[Array[Int]] = new Array[Array[Int]](fields.length)
-  private val varLens: Array[Array[Int]] = new Array[Array[Int]](fields.length)
+  val varDimPos: Array[Array[Int]] = new Array[Array[Int]](fields.length)
+  val varLens: Array[Array[Int]] = new Array[Array[Int]](fields.length)
   fields.zipWithIndex.foreach { case (f, i) =>
     if (!dimOrder.contains(f.name) && coordOf(i) < 0) {
       val meta = metas(f.name)
@@ -865,48 +872,109 @@ class ZarrPartitionReader(path: String, dims: Seq[(String, Long)],
       }
     }
   }
-  private val isFloat: Array[Boolean] = fields.map(_.dataType == DoubleType)
+  val isFloat: Array[Boolean] = fields.map(_.dataType == DoubleType)
 
-  private val idx = new Array[Int](lens.length)
-  private var flat = 0L
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
-    if (flat >= total) return false
-    val vals = new Array[Any](fields.length)
-    var c = 0
-    while (c < fields.length) {
-      vals(c) =
-        if (dimPos(c) >= 0) offsets(dimPos(c)) + idx(dimPos(c))
-        else if (coordOf(c) >= 0) {
-          val gi = offsets(coordOf(c)) + idx(coordOf(c))
-          if (isFloat(c)) coordArrays(c).getDouble(gi) else coordArrays(c).getLong(gi)
-        }
-        else {
-          val vflat = if (varDimPos(c) == null) flat else {
-            val pos = varDimPos(c)
-            val vl = varLens(c)
-            var vf = 0L
-            var j = 0
-            while (j < pos.length) { vf = vf * vl(j) + idx(pos(j)); j += 1 }
-            vf
-          }
-          if (isFloat(c)) varArrays(c).getDouble(vflat)
-          else varArrays(c).getLong(vflat)
-        }
-      c += 1
+  /** Variable flat index for column c at odometer position (flat, idx). */
+  @inline def varFlat(c: Int, flat: Long, idx: Array[Int]): Long =
+    if (varDimPos(c) == null) flat
+    else {
+      val pos = varDimPos(c)
+      val vl = varLens(c)
+      var vf = 0L
+      var j = 0
+      while (j < pos.length) { vf = vf * vl(j) + idx(pos(j)); j += 1 }
+      vf
     }
-    current = new GenericInternalRow(vals)
+
+  /** Advance the row-major odometer one step. */
+  @inline def advance(idx: Array[Int]): Unit = {
     var k = lens.length - 1
     var carry = true
     while (k >= 0 && carry) {
       idx(k) += 1
       if (idx(k) == lens(k)) { idx(k) = 0; k -= 1 } else carry = false
     }
+  }
+}
+
+class ZarrPartitionReader(cc: ZarrChunkContext)
+    extends PartitionReader[InternalRow] {
+  private val idx = new Array[Int](cc.lens.length)
+  private var flat = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (flat >= cc.total) return false
+    val fields = cc.fields
+    val vals = new Array[Any](fields.length)
+    var c = 0
+    while (c < fields.length) {
+      vals(c) =
+        if (cc.dimPos(c) >= 0) cc.offsets(cc.dimPos(c)) + idx(cc.dimPos(c))
+        else if (cc.coordOf(c) >= 0) {
+          val gi = cc.offsets(cc.coordOf(c)) + idx(cc.coordOf(c))
+          if (cc.isFloat(c)) cc.coordArrays(c).getDouble(gi)
+          else cc.coordArrays(c).getLong(gi)
+        }
+        else {
+          val vflat = cc.varFlat(c, flat, idx)
+          if (cc.isFloat(c)) cc.varArrays(c).getDouble(vflat)
+          else cc.varArrays(c).getLong(vflat)
+        }
+      c += 1
+    }
+    current = new GenericInternalRow(vals)
+    cc.advance(idx)
     flat += 1
     true
   }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+class ZarrColumnarPartitionReader(cc: ZarrChunkContext)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val batchCap = 1 << 14 // 16Ki cells per batch
+  private val idx = new Array[Int](cc.lens.length)
+  private var flat = 0L
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (flat >= cc.total) return false
+    val n = math.min(batchCap.toLong, cc.total - flat).toInt
+    val fields = cc.fields
+    val vecs = fields.map(f => new OnHeapColumnVector(n, f.dataType))
+    var r = 0
+    while (r < n) {
+      var c = 0
+      while (c < fields.length) {
+        if (cc.dimPos(c) >= 0)
+          vecs(c).putLong(r, cc.offsets(cc.dimPos(c)) + idx(cc.dimPos(c)))
+        else if (cc.coordOf(c) >= 0) {
+          val gi = cc.offsets(cc.coordOf(c)) + idx(cc.coordOf(c))
+          if (cc.isFloat(c)) vecs(c).putDouble(r, cc.coordArrays(c).getDouble(gi))
+          else vecs(c).putLong(r, cc.coordArrays(c).getLong(gi))
+        } else {
+          val vflat = cc.varFlat(c, flat, idx)
+          if (cc.isFloat(c)) vecs(c).putDouble(r, cc.varArrays(c).getDouble(vflat))
+          else vecs(c).putLong(r, cc.varArrays(c).getLong(vflat))
+        }
+        c += 1
+      }
+      cc.advance(idx)
+      flat += 1
+      r += 1
+    }
+    batch = new ColumnarBatch(
+      vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) { batch.close(); batch = null }
 }
