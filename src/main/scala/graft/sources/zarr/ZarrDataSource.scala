@@ -57,10 +57,43 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     else ZarrTable.schemaFor(p, options.getBoolean("coords", false))
   }
 
+  // a catalog CREATE TABLE declares columns up front (the session
+  // catalog stores them); the store's own metadata stays authoritative
+  // — getTable resolves from the store and the analyzer reconciles,
+  // so a mistyped declared schema fails at query time with a real
+  // column-level message instead of silently reading wrong columns
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ZarrTable(properties.get("path"),
-      "true".equalsIgnoreCase(properties.getOrDefault("coords", "false")))
+                        properties: util.Map[String, String]): Table = {
+    // the session catalog qualifies stored locations as file: URIs
+    // (file:/x or file:///x) — normalize back to a filesystem path
+    val rawPath = properties.get("path")
+    val path =
+      if (rawPath != null && rawPath.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(rawPath)).toString
+      else rawPath
+    val coords = "true".equalsIgnoreCase(properties.getOrDefault("coords", "false"))
+    val declared =
+      if (schema == null || schema.isEmpty || !Zarr.storeExists(path)) None
+      else {
+        // a catalog table carries its declared columns: validate each
+        // against the store (name + type; nullability is the catalog's
+        // business) and serve exactly the declared shape
+        val real = ZarrTable.schemaFor(path, coords)
+        schema.fields.foreach { f =>
+          val r = real.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"declared column ${f.name} does not exist in zarr store " +
+                s"$path (columns: ${real.fieldNames.mkString(", ")})"))
+          require(r.dataType == f.dataType,
+            s"declared column ${f.name} is ${f.dataType} but the store " +
+              s"projects ${r.dataType}")
+        }
+        Some(schema)
+      }
+    new ZarrTable(path, coords, declared)
+  }
 }
 
 object ZarrTable {
@@ -90,12 +123,14 @@ object ZarrTable {
   }
 }
 
-class ZarrTable(path: String, coords: Boolean = false)
+class ZarrTable(path: String, coords: Boolean = false,
+                declared: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType =
+  override def schema(): StructType = declared.getOrElse {
     if (!Zarr.storeExists(path)) new StructType()
     else ZarrTable.schemaFor(path, coords)
+  }
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE routes DataFrameWriter.save onto the V2 write plans;
     // V1_BATCH_WRITE marks the Write as the InsertableRelation fallback

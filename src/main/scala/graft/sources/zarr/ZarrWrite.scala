@@ -73,8 +73,14 @@ object ZarrWrite {
           data: Dataset[Row], overwrite: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, max}
     val spark = data.sparkSession
-    val dimsOpt = Option(options.get("dims")).getOrElse(
-      throw new IllegalArgumentException(
+    // an EXISTING store knows its own dim order, so appends into it
+    // (e.g. INSERT INTO a catalog table, which carries no write
+    // options) don't need the dims option; fresh-store writes do
+    val dimsOpt = Option(options.get("dims"))
+      .orElse(if (!overwrite && graft.sources.Zarr.storeExists(path))
+        Some(graft.sources.Zarr.openStore(path).template.dimOrder.mkString(","))
+      else None)
+      .getOrElse(throw new IllegalArgumentException(
         "zarr write requires option 'dims': ordered dim column names, " +
           "e.g. .option(\"dims\", \"t,x\")"))
     val dimNames = dimsOpt.split(",").map(_.trim).filter(_.nonEmpty).toSeq
