@@ -5117,36 +5117,8 @@ final class XbeamDataset private (
       val isFloat = tmpl.vars.map { case (n, vs) =>
         n -> (vs.dtype == DType.F32 || vs.dtype == DType.F64)
       }
-      val arrays = statMetas.map { case (n, m) =>
-        // unwritten write units read as the fill value: NaN for floats
-        // (NaN bounds prune, matching reads) and exactly 0 for ints
-        val init = if (isFloat(n)) Double.NaN else 0.0
-        n -> Array.fill((m.entries * 2).toInt)(init)
-      }
-      val nanFlags = scala.collection.mutable.Map[String, Boolean]()
-      rows.foreach { case (n, idx, mn, mx, hasNan) =>
-        val a = arrays(n)
-        a((idx * 2).toInt) = mn
-        a((idx * 2).toInt + 1) = mx
-        if (hasNan) nanFlags(n) = true
-      }
-      arrays.foreach { case (n, a) =>
-        graft.sources.zarr.ChunkStats.writeVar(path, n, a)
-      }
-      // hasNan folds in units the cover never wrote: their cells read
-      // as the NaN fill, so the variable's DATA genuinely contains NaN
-      val metasWithNan = statMetas.map { case (n, m) =>
-        val covered = !isFloat(n) || {
-          val a = arrays(n)
-          var i = 0
-          var anyNaN = false
-          while (i < a.length && !anyNaN) { anyNaN = a(i).isNaN; i += 1 }
-          !anyNaN
-        }
-        n -> m.copy(hasNan =
-          (isFloat(n) && (nanFlags.getOrElse(n, false) || !covered)))
-      }
-      graft.sources.zarr.ChunkStats.writeIndex(path, metasWithNan)
+      graft.sources.zarr.ChunkStats.assembleAndWrite(path, statMetas,
+        isFloat, rows)
     }
   }
 
@@ -5212,6 +5184,41 @@ final class XbeamDataset private (
 }
 
 object XbeamDataset {
+
+  /** Recompute an existing store's chunk-stats sidecar in one scan —
+    * the maintenance pass after appends, extends, or streaming upserts
+    * tombstoned it ([[graft.sources.zarr.ChunkStats.invalidate]]).
+    * One narrow distributed pass over the chunks; only fixed-size
+    * (var, unit, min, max, hasNan) rows come back to the driver, and
+    * bounds record at the stored-chunk granularity the DSv2 pruner
+    * compares against. The same entry cap as the write-time pass
+    * applies (`spark.graft.stats.maxEntries`). */
+  def rebuildStats(spark: SparkSession, path: String): Unit = {
+    val xds = fromZarr(spark, path)
+    val tmpl = xds.template
+    val cs = xds.chunkSizes
+    val statMetas = tmpl.vars.map { case (n, vs) =>
+      n -> graft.sources.zarr.ChunkStats.VarStatsMeta(vs.dims,
+        vs.dims.map(cs),
+        vs.dims.map(d => ((tmpl.dimSizes(d) + cs(d) - 1) / cs(d)).toInt))
+    }
+    val entries = statMetas.values.map(_.entries).sum
+    val limit = spark.conf.get("spark.graft.stats.maxEntries", "4000000").toLong
+    require(entries <= limit,
+      s"rebuildStats: $entries write-unit entries exceed " +
+        s"spark.graft.stats.maxEntries=$limit")
+    val rows = xds.chunkDataset.rdd.flatMap { case (key, chunk) =>
+      chunk.vars.iterator.flatMap { case (name, va) =>
+        graft.sources.zarr.ZarrStatsWrite.rowsFor(name, va, key.offsets,
+          va.dims.map(cs), statMetas(name).grid)
+      }
+    }.collect()
+    val isFloat = tmpl.vars.map { case (n, vs) =>
+      n -> (vs.dtype == DType.F32 || vs.dtype == DType.F64)
+    }
+    graft.sources.zarr.ChunkStats.assembleAndWrite(path, statMetas,
+      isFloat, rows)
+  }
 
   /** Scan entry: open a Zarr store (open_zarr + from_zarr,
     * zarr.py:72-96, dataset.py:662-703). `chunks` defaults to the

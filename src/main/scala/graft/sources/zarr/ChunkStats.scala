@@ -116,6 +116,43 @@ object ChunkStats {
     }
   }
 
+  /** Assemble per-var (min,max) arrays from the collected
+    * [[ZarrStatsWrite.rowsFor]] rows and write the full sidecar
+    * (blobs + index). Unwritten write units keep the fill-value
+    * bounds (NaN for floats — always prunes, matching reads; exact 0
+    * for ints); a float var whose cover misses any unit carries
+    * hasNan=true (those cells read as the NaN fill). Shared by the
+    * write-time pass (toZarr stats=true) and [[graft.api.XbeamDataset.rebuildStats]]. */
+  def assembleAndWrite(path: String, metas: Map[String, VarStatsMeta],
+                       isFloat: Map[String, Boolean],
+                       rows: Iterable[(String, Long, Double, Double, Boolean)])
+      : Unit = {
+    val arrays = metas.map { case (n, m) =>
+      val init = if (isFloat(n)) Double.NaN else 0.0
+      n -> Array.fill((m.entries * 2).toInt)(init)
+    }
+    val nanFlags = scala.collection.mutable.Map[String, Boolean]()
+    rows.foreach { case (n, idx, mn, mx, hasNan) =>
+      val a = arrays(n)
+      a((idx * 2).toInt) = mn
+      a((idx * 2).toInt + 1) = mx
+      if (hasNan) nanFlags(n) = true
+    }
+    arrays.foreach { case (n, a) => writeVar(path, n, a) }
+    val metasWithNan = metas.map { case (n, m) =>
+      val covered = !isFloat(n) || {
+        val a = arrays(n)
+        var i = 0
+        var anyNaN = false
+        while (i < a.length && !anyNaN) { anyNaN = a(i).isNaN; i += 1 }
+        !anyNaN
+      }
+      n -> m.copy(hasNan =
+        (isFloat(n) && (nanFlags.getOrElse(n, false) || !covered)))
+    }
+    writeIndex(path, metasWithNan)
+  }
+
   def writeVar(path: String, v: String, minmax: Array[Double]): Unit = {
     val buf = ByteBuffer.allocate(minmax.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     minmax.foreach(buf.putDouble)

@@ -79,6 +79,28 @@ class ZarrStatsSpec extends AnyFunSuite {
     assert(ChunkStats.readIndex(dir).isEmpty)
   }
 
+  test("rebuildStats restores pruning after a tombstoning append") {
+    import graft.Fixtures.arange
+    val dir = statsStore()
+    // v < 16 touches only the first of 6 chunks when stats are live
+    assert(planned(dir, LessThan("v", 16.0)) == 1)
+    // append rewrites chunk rows t<4 and tombstones the sidecar
+    spark.range(16).selectExpr("id div 4 AS t", "id % 4 AS x",
+        "CAST(id AS DOUBLE) * 0.5 AS v", "id AS iv")
+      .write.format("zarr").option("dims", "t,x")
+      .option("sizes", "t=24,x=4").mode("append").save(dir)
+    assert(ChunkStats.readIndex(dir).isEmpty, "append must tombstone")
+    assert(planned(dir, LessThan("v", 16.0)) == 6, "no stats -> no pruning")
+    // one scan pass rebuilds the sidecar; pruning returns and results
+    // reflect the post-append data
+    XbeamDataset.rebuildStats(spark, dir)
+    assert(ChunkStats.readIndex(dir).nonEmpty)
+    assert(planned(dir, LessThan("v", 16.0)) == 1)
+    val n = spark.read.format("zarr").load(dir)
+      .filter(col("v") < 16.0).count()
+    assert(n == 16L)
+  }
+
   test("grid-mismatched sidecar is ignored, not trusted") {
     val dir = statsStore()
     // tamper: claim the stats were computed on a different grid
