@@ -107,6 +107,48 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     rmTree(base)
   }
 
+  test("epoch replay: re-merging the same fragments converges byte-stably") {
+    import graft.api.XbeamDataset
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    import graft.operators.ChunkTransforms.Pair
+    import graft.sources.zarr.{ZarrStreamFormat, ZarrStreamGrid}
+    val base = java.nio.file.Files.createTempDirectory("zss_replay")
+    val store = base.resolve("store.zarr").toString
+    XbeamDataset.fromPairs(spark,
+      Template(Seq("t" -> 6L),
+        Map("v" -> VarSpec(Seq("t"), DType.F64)), Map.empty, Map.empty),
+      Map("t" -> 4),
+      spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
+      validate = false).toZarr(store)
+    val grid = ZarrStreamGrid(store, Seq("t"), Array(6L), Array(4),
+      Array(0), Array(false), Array("v"), Array(1), Array(true), 1000L)
+    // two fragments for chunk [0,4): cells 1 and 3 from different tasks
+    def frag(cell: Long, value: Double): Array[Byte] =
+      ZarrStreamFormat.encode(grid, Array(0L), Array(4),
+        Array(cell, java.lang.Double.doubleToRawLongBits(value)))
+    val st = graft.sources.BlobStore.forUrl(store)
+    val u1 = s"$store/.stream_stage/ep0/0/a.frag"
+    val u2 = s"$store/.stream_stage/ep0/0/b.frag"
+    st.write(u1, frag(1L, 42.5))
+    st.write(u2, frag(3L, -7.25))
+    val sm = graft.sources.Zarr.openStore(store)
+    def readBack(): Seq[Long] = {
+      val meta = sm.dataVars("v")
+      val arr = graft.sources.Zarr.readRegion(store, "v", meta,
+        Array(0L), Array(4))
+      (0 until 4).map(i =>
+        java.lang.Double.doubleToRawLongBits(arr.getDouble(i)))
+    }
+    ZarrStreamFormat.mergeChunk(store, sm, grid, Seq(u1, u2))
+    val first = readBack()
+    assert(java.lang.Double.longBitsToDouble(first(1)) == 42.5 &&
+      java.lang.Double.longBitsToDouble(first(3)) == -7.25)
+    // replayed commit (same fragments) must converge to the same bits
+    ZarrStreamFormat.mergeChunk(store, sm, grid, Seq(u1, u2))
+    assert(readBack() == first)
+  }
+
   test("sink rejects a missing store, unknown dims, and bad columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
