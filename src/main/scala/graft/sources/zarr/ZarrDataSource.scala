@@ -154,7 +154,20 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
                       maxChunksPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  // LIMIT pushdown is chunk-granular: planning stops once the kept
+  // chunks cover `limit` cells, so `SELECT ... LIMIT 100` against a
+  // million-chunk store plans one task instead of a million. Partial
+  // by construction (a chunk overshoots), so Spark keeps its own
+  // limit on top and results are exact.
+  private var pushedLimit: Int = -1
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = limit
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private val store = Zarr.openStore(path)
   private val dimOrder = store.template.dimOrder
@@ -486,7 +499,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
       case None =>
         new ZarrScan(path, store.template.dims, store.inferChunks,
           store.arrays, required, bounds, maxChunksPerTrigger, varBounds,
-          coordKeepSets())
+          coordKeepSets(), pushedLimit)
     }
   }
 }
@@ -596,7 +609,8 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
                bounds: Map[String, (Long, Long)],
                maxChunksPerTrigger: Long = 0L,
                varBounds: Map[String, (Double, Double)] = Map.empty,
-               coordKeep: Map[String, Array[Boolean]] = Map.empty)
+               coordKeep: Map[String, Array[Boolean]] = Map.empty,
+               limitRows: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -704,7 +718,7 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
       ChunkStats.pruner(path, varBounds, chunks, dimSizes)
         .getOrElse((_: Map[String, Long]) => true)
     val rIn = runtimeIn
-    ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
+    val all = ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
       .filter { key =>
         bounds.forall { case (d, (lo, hi)) =>
           val off = key.offsets(d)
@@ -727,6 +741,21 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
       }
       .map(key => ZarrInputPartition(dimOrder.map(key.offsets).toArray): InputPartition)
       .toArray
+    // chunk-granular LIMIT: stop planning once the kept chunks cover
+    // the pushed row cap (Spark applies the exact limit on top)
+    if (limitRows < 0) all
+    else {
+      var cells = 0L
+      var keep = 0
+      while (keep < all.length && cells < limitRows) {
+        val offs = all(keep).asInstanceOf[ZarrInputPartition].offsets
+        cells += dimOrder.indices.map { i =>
+          math.min(chunks(dimOrder(i)).toLong, dimSizes(dimOrder(i)) - offs(i))
+        }.product
+        keep += 1
+      }
+      all.take(keep)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -209,6 +209,22 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       Set("time", "latitude", "longitude"))
   }
 
+  test("limit pushdown plans only the chunks that cover the cap") {
+    import graft.sources.zarr.{ZarrScan, ZarrScanBuilder}
+    val dir = writeStore() // 3 chunks x 120 cells
+    val b = new ZarrScanBuilder(dir)
+    assert(b.pushLimit(5) && b.isPartiallyPushed())
+    assert(b.build().asInstanceOf[ZarrScan].planInputPartitions().length == 1)
+    val b2 = new ZarrScanBuilder(dir)
+    b2.pushLimit(121) // needs two chunks
+    assert(b2.build().asInstanceOf[ZarrScan].planInputPartitions().length == 2)
+    // e2e: the residual limit keeps results exact
+    val rows = spark.read.format("zarr").load(dir).limit(5).collect()
+    assert(rows.length == 5)
+    val all = spark.read.format("zarr").load(dir).count()
+    assert(all == 360L) // no limit -> full plan untouched
+  }
+
   test("scan reports exact stats; a small store auto-broadcasts in joins") {
     import graft.sources.zarr.{ZarrScan, ZarrScanBuilder}
     val dir = writeStore() // 12*5*6 = 360 cells, 1 var + 3 dim cols
