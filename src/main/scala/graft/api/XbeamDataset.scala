@@ -754,6 +754,18 @@ final class XbeamDataset private (
     mapBlocks(c => c.mapVars((_, va) =>
       VarArray(va.dims, va.arr.mapF64(v => if (cond(v)) v else other))))
 
+  /** Mask-and-trim (xarray `where(cond, drop=True)`): mask failing
+    * cells to NaN, then drop the positions along `dims` (default:
+    * every dim) whose whole cross-section went NaN — the composition
+    * xarray documents, [[where]] then [[dropna]](how="all") per dim.
+    * One narrow mask pass plus one validity reduction + bounded gather
+    * per trimmed dim. */
+  def whereDrop(cond: Double => Boolean,
+                dims: Seq[String] = Seq.empty): XbeamDataset = {
+    val target = if (dims.nonEmpty) dims else template.dimOrder
+    target.foldLeft(where(cond)) { (ds, d) => ds.dropna(d, how = "all") }
+  }
+
   /** Rename dims and/or variables (xarray `rename`): pure metadata —
     * template, chunk grid, keys, and per-chunk dim labels all relabel;
     * no data moves and no shuffle runs. */

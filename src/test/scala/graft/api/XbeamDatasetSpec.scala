@@ -2426,6 +2426,27 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keep"))
   }
 
+  test("whereDrop trims all-NaN cross-sections after masking") {
+    import graft.Fixtures.arange
+    // v (t=4, x=3) = 0..11; mask v >= 3 kills row t=0 entirely and
+    // nothing else fully — whereDrop trims t to 3 rows, x stays 3
+    // (every column keeps at least one valid cell)
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 4, 3))),
+      chunks = Map("t" -> 2))
+    val out = ds.whereDrop(_ >= 3.0)
+    assert(out.template.dimSizes("t") == 3L &&
+      out.template.dimSizes("x") == 3L)
+    val got = out.collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(got.length == 9)
+    assert(got.toSeq == (3 until 12).map(_.toDouble))
+    // restricting the trimmed dims: x-only trim leaves t intact
+    val xOnly = ds.whereDrop(_ >= 3.0, Seq("x"))
+    assert(xOnly.template.dimSizes("t") == 4L &&
+      xOnly.template.dimSizes("x") == 3L)
+    assert(xOnly.collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
+  }
+
   test("sortby: duplicate labels stable, NaN last both ways; like-aligns") {
     import graft.Fixtures.arange
     def mk(labels: Array[Double]) = {
