@@ -5232,6 +5232,52 @@ object XbeamDataset {
       isFloat, rows)
   }
 
+  /** Stack datasets along a NEW leading dim (xarray
+    * `concat(datasets, dim="ensemble")` with a fresh dim name — the
+    * ensemble/member workflow): every variable gains the new dim with
+    * extent 1 per member, member i's chunks keep their keys plus
+    * offset i along the new dim, and the result is a pure metadata
+    * rewrite + union — ZERO shuffle at any member count. Templates,
+    * dtypes, and chunk grids must match exactly; the new dim is
+    * chunked 1 (each member's chunks stay intact). The leading-1
+    * reshape reuses each chunk's bytes (row-major layout is
+    * unchanged). */
+  def concatNew(dim: String, datasets: Seq[XbeamDataset]): XbeamDataset = {
+    require(datasets.nonEmpty, "concatNew needs at least one dataset")
+    val head = datasets.head
+    require(!head.template.dimSizes.contains(dim) &&
+      !head.template.vars.contains(dim),
+      s"concatNew: $dim already exists in the dataset")
+    datasets.tail.foreach { d =>
+      require(d.template.dims == head.template.dims &&
+        d.template.vars == head.template.vars,
+        "concatNew: member templates differ (dims/vars must match exactly)")
+      require(d.chunkSizes == head.chunkSizes,
+        "concatNew: member chunk grids differ (rechunk to a common grid first)")
+    }
+    import graft.operators.ChunkTransforms.{Pair, pairEnc}
+    val newTemplate = graft.core.Template(
+      (dim -> datasets.length.toLong) +: head.template.dims,
+      head.template.vars.map { case (nm, vs) =>
+        nm -> graft.core.VarSpec(dim +: vs.dims, vs.dtype)
+      },
+      head.template.coords, head.template.attrs)
+    val d = dim
+    val out = datasets.zipWithIndex.map { case (ds, i) =>
+      val ii = i.toLong
+      ds.chunkDataset.map { p: Pair =>
+        val (k, c) = p
+        (k.copy(offsets = k.offsets + (d -> ii)),
+          graft.core.ArrayChunk(c.vars.map { case (nm, va) =>
+            nm -> graft.core.VarArray(d +: va.dims,
+              graft.ndarray.NdArray(va.arr.dtype, 1 +: va.arr.shape, va.arr.data))
+          }))
+      }
+    }.reduce(_.union(_))
+    head.withPlan(newTemplate, head.chunkSizes + (dim -> 1),
+      head.splitVars, out)
+  }
+
   /** Scan entry: open a Zarr store (open_zarr + from_zarr,
     * zarr.py:72-96, dataset.py:662-703). `chunks` defaults to the
     * stored chunking (_infer_chunks, zarr.py:48-68). */

@@ -3823,6 +3823,40 @@ object XbeamQueries {
                        WHERE t NOT IN (SELECT t FROM bad)))
         SELECT k.tn AS t, g.x, g.uid, g.vf
         FROM g2 g JOIN keep k ON g.t = k.t
-        ORDER BY k.tn, g.x"""))
+        ORDER BY k.tn, g.x""")),
+
+    // --------------------------------------------------------------- x125
+    // Concat along a NEW dim (xarray `concat([a, b, c], dim="run")` —
+    // the ensemble workflow): three deterministic variants of the grid
+    // stack into a leading run dim. Pure metadata rewrite + union:
+    // member chunks keep their bytes (the leading-1 reshape is free)
+    // and their keys gain a run offset — ZERO shuffle at any member
+    // count. clip/where push every variable to F64, so the oracle
+    // casts uid accordingly.
+    QueryDef(
+      "x125_concat_new_dim",
+      (s, dir) => {
+        val g = gridXds(s, dir)
+        val stacked = XbeamDataset.concatNew("run", Seq(
+          g.clip(-1e15, 1e15),   // identity within range, F64 vars
+          g.clip(0, 1e15),       // clamps negatives to 0
+          g.where(_ >= 10)))     // NaN below 10
+        TabularBridge.toDataFrame(stacked).orderBy("run", "t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT run, t, x, uid, vf FROM (
+          SELECT 0 AS run, t, x, CAST(uid AS DOUBLE) AS uid, vf FROM grid
+          UNION ALL
+          SELECT 1, t, x, greatest(CAST(uid AS DOUBLE), 0), greatest(vf, 0)
+          FROM grid
+          UNION ALL
+          SELECT 2, t, x,
+                 CASE WHEN uid >= 10 THEN CAST(uid AS DOUBLE)
+                      ELSE CAST('nan' AS DOUBLE) END,
+                 CASE WHEN vf >= 10 THEN vf
+                      ELSE CAST('nan' AS DOUBLE) END
+          FROM grid)
+        ORDER BY run, t, x"""))
   )
 }

@@ -41,6 +41,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // concat: shifted-key union of two scans — pure key arithmetic
     val cat = plan(xds.head("time", 8).concat(xds.tail("time", 4), "time"))
     assert(!cat.contains("Exchange"), s"concat must not shuffle:\n$cat")
+    // concatNew (ensemble stacking): metadata rewrite + union only
+    val cn = plan(XbeamDataset.concatNew("run", Seq(xds, xds, xds)))
+    assert(!cn.contains("Exchange"), s"concatNew must not shuffle:\n$cn")
     // coarsen: chunk-local block means
     val co = plan(xds.coarsen(Map("time" -> 2)))
     assert(!co.contains("Exchange"), s"coarsen must not shuffle:\n$co")
