@@ -2276,8 +2276,7 @@ object XbeamQueries {
       Some(s"""
         WITH $GRID_DUCK,
         n AS (SELECT max(t) + 1 AS sz FROM grid)
-        SELECT (SELECT sz FROM n) - 1 - t AS t, x,
-               CAST(uid AS DOUBLE) AS uid, vf
+        SELECT (SELECT sz FROM n) - 1 - t AS t, x, uid, vf
         FROM grid ORDER BY t, x""")),
 
     // ---------------------------------------------------------------- x82
@@ -2955,7 +2954,7 @@ object XbeamQueries {
         WITH $GRID_DUCK,
         kept AS (SELECT * FROM grid WHERE t NOT IN (3, 7, 11))
         SELECT CAST(dense_rank() OVER (ORDER BY t) - 1 AS BIGINT) AS t,
-               x, CAST(uid AS DOUBLE) AS uid, vf
+               x, uid, vf
         FROM kept ORDER BY t, x""")),
 
     // ---------------------------------------------------------------- x104

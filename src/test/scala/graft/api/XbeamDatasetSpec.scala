@@ -2045,6 +2045,38 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(desc.toDoubles.toSeq == Seq(1.0, 2, 5, 6, 3, 4))
   }
 
+  test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
+    // Guard against the r15 class of regression: the gather
+    // (XbeamDataset.reindexGather) preserves the source dtype whenever
+    // every output position resolves to a source row (sortby, dropSel,
+    // dropDuplicates, dropna, all-present reindex), and widens to F64
+    // only when NaN fills are possible. Engine output dtype and the
+    // template's declared dtype must BOTH match, so an engine change
+    // can't silently split from the oracle SQL again.
+    val iv = NdArray.fromLongs(DType.I64, Array(6), Array(9L, 8, 7, 6, 5, 4))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("iv" -> (Seq("t"), iv)),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(6),
+        Array(5.0, 3, 1, 0, 2, 4))),
+      chunks = Map("t" -> 2))
+    def check(out: XbeamDataset, want: DType): Unit = {
+      assert(out.template.vars("iv").dtype == want)
+      assert(out.collectConsolidated()._2.vars("iv").arr.dtype == want)
+    }
+    check(ds.sortby("t"), DType.I64)
+    check(ds.sortby("t", descending = true), DType.I64)
+    check(ds.dropSel("t", Array(1.0, 4.0)), DType.I64)
+    check(ds.dropna("t"), DType.I64)
+    check(ds.reindex("t", Array(0.0, 1, 2, 3, 4, 5)), DType.I64) // all hit
+    check(ds.reindex("t", Array(0.0, 99.0)), DType.F64)          // a miss
+    val dup = XbeamDataset.fromLocal(spark,
+      Map("iv" -> (Seq("t"), iv)),
+      coords = Map("t" -> NdArray.fromLongs(DType.I64, Array(6),
+        Array(0L, 0, 1, 1, 2, 2))),
+      chunks = Map("t" -> 2))
+    check(dup.dropDuplicates("t"), DType.I64)
+  }
+
   test("groupbyCoordMean groups interleaved coordinate values") {
     // coord [0,1,0,2,1,0,2,1,0,1]: groups interleave across chunk
     // boundaries (what resample's contiguous-run contract rejects)
