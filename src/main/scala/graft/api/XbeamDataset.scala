@@ -5018,12 +5018,24 @@ final class XbeamDataset private (
     * the data (no re-read): the DSv2 scan then prunes chunks on pushed
     * data-variable predicates — parquet-style zone maps for the array
     * store. */
+  /** `zarrChunksPerShard` (Dataset.to_zarr's zarr_chunks_per_shard,
+    * dataset.py:705-732, 779-786): the convenience spelling — write
+    * this dataset into shards (one per in-memory chunk unless
+    * `zarrShards` overrides) each holding this many inner Zarr chunks
+    * along the named dim. Dims not named default to 1 chunk per shard;
+    * the key `"..."` sets a different default (the reference's
+    * ellipsis key). Mutually exclusive with `zarrChunks`; implies
+    * Zarr v3 when `zarrFormat` is left at auto. */
+  /** `zarrFormat = 0` means AUTO: v3 when sharding (shards are a v3
+    * codec, dataset.py:857-858), v2 otherwise. */
   def toZarr(path: String, zarrChunks: Map[String, Int] = Map.empty,
-             compressor: Option[String] = None, zarrFormat: Int = 2,
+             compressor: Option[String] = None, zarrFormat: Int = 0,
              zarrShards: Map[String, Int] = Map.empty,
-             needsSetup: Boolean = true, stats: Boolean = false): Unit = {
+             needsSetup: Boolean = true, stats: Boolean = false,
+             zarrChunksPerShard: Map[String, Int] = Map.empty): Unit = {
     if (!needsSetup) {
-      require(zarrChunks.isEmpty && compressor.isEmpty && zarrShards.isEmpty,
+      require(zarrChunks.isEmpty && compressor.isEmpty && zarrShards.isEmpty
+          && zarrChunksPerShard.isEmpty,
         "with needsSetup=false the store's existing metadata decides " +
           "chunks/compressor/shards — do not pass them")
       require(!stats, "stats sidecars are written by the setup path only: " +
@@ -5031,23 +5043,59 @@ final class XbeamDataset private (
         "produce complete bounds)")
       return appendToStore(path)
     }
-    val stored = if (zarrChunks.isEmpty) chunkSizes
-      else ChunkGrid.normalizeChunks(chunkSizes ++ zarrChunks, template.dimSizes)
+    // zarr_chunks_per_shard → (zarr_chunks, zarr_shards)
+    // (dataset.py:705-732 + to_zarr's defaulting at :820-830): shards
+    // default to the in-memory chunks, each dim's inner chunk is
+    // shard/cps, and the division must be exact.
+    require(zarrChunksPerShard.isEmpty || zarrChunks.isEmpty,
+      "cannot supply both zarrChunksPerShard and zarrChunks")
+    val (effChunks, effShards) =
+      if (zarrChunksPerShard.isEmpty) (zarrChunks, zarrShards)
+      else {
+        val defaultCps = zarrChunksPerShard.getOrElse("...", 1)
+        val cps = zarrChunksPerShard - "..."
+        val extra = cps.keySet -- template.dimSizes.keySet
+        require(extra.isEmpty,
+          s"zarrChunksPerShard=$zarrChunksPerShard includes keys that are " +
+            s"not dimensions in template: $extra")
+        val shards = if (zarrShards.nonEmpty) zarrShards else chunkSizes
+        val chunks = shards.map { case (d, shardSize) =>
+          val n = cps.getOrElse(d, defaultCps)
+          require(n > 0, s"chunks per shard for dim $d must be positive, got $n")
+          require(shardSize % n == 0,
+            s"cannot write a dataset with chunks $chunkSizes to Zarr with " +
+              s"zarrChunksPerShard=$zarrChunksPerShard, which do not evenly " +
+              s"divide into chunks. Computed chunk size for dimension '$d' " +
+              s"is ${shardSize / n}, based on $n chunks per shard.")
+          d -> shardSize / n
+        }
+        (chunks, shards)
+      }
+    val stored = if (effChunks.isEmpty) chunkSizes
+      else ChunkGrid.normalizeChunks(chunkSizes ++ effChunks, template.dimSizes)
+    val fmt = if (zarrFormat != 0) zarrFormat
+      else if (effShards.nonEmpty) 3 else 2
     // plan-time shard-grid validation (mirror of dataset.py:754-866's
     // zarr_chunks/zarr_shards divisibility checks): every violation
     // names its dim and fails BEFORE setupStore touches the target
-    require(zarrShards.isEmpty || zarrFormat == 3,
+    require(effShards.isEmpty || fmt == 3,
       s"zarr_shards requires zarr format 3 (sharding_indexed is a v3 " +
-        s"codec), got format $zarrFormat")
-    (zarrShards.keySet -- template.dimSizes.keySet).foreach { d =>
+        s"codec), got format $fmt")
+    (effShards.keySet -- template.dimSizes.keySet).foreach { d =>
       throw new IllegalArgumentException(
         s"zarr_shards names unknown dim $d (dims: ${template.dimOrder})")
     }
     val shardGrid: Map[String, Int] =
-      if (zarrShards.isEmpty) Map.empty
+      if (effShards.isEmpty) Map.empty
       else template.dimOrder.map { d =>
-        val sh = zarrShards.getOrElse(d, stored(d))
-        require(sh > 0, s"zarr shard for dim $d must be positive, got $sh")
+        val sh0 = effShards.getOrElse(d, stored(d))
+        require(sh0 > 0, s"zarr shard for dim $d must be positive, got $sh0")
+        // shard sizes spanning the full dim round UP to a whole multiple
+        // of the inner chunk (dataset.py:842-853: zarr constrains shards
+        // to integer chunk multiples, so a full-dim shard may overhang)
+        val sh = if (sh0.toLong == template.dimSizes(d) && sh0 % stored(d) != 0)
+          ((sh0 + stored(d) - 1) / stored(d)) * stored(d)
+        else sh0
         require(sh % stored(d) == 0,
           s"zarr shard $sh for dim $d is not a multiple of zarr chunk ${stored(d)}")
         d -> sh
@@ -5055,15 +5103,19 @@ final class XbeamDataset private (
     // writes go in units of the chunk grid (shards when sharded)
     val writeUnit = if (shardGrid.isEmpty) stored else shardGrid
     template.dimOrder.foreach { d =>
-      require(chunkSizes(d) % writeUnit(d) == 0,
+      // full-dim in-memory chunks are exempt (dataset.py:738-752's
+      // _check_shards_or_chunks: one writer owns the whole dim, so an
+      // overhanging write unit cannot race)
+      require(chunkSizes(d) % writeUnit(d) == 0 ||
+          chunkSizes(d).toLong == template.dimSizes(d),
         s"in-memory chunk ${chunkSizes(d)} for dim $d is not a multiple of " +
           s"zarr ${if (shardGrid.isEmpty) "chunk" else "shard"} ${writeUnit(d)} " +
           "(sub-unit writes would race, zarr.py:560-587)")
     }
-    Zarr.setupStore(path, template, stored, compressor, zarrFormat, shardGrid)
+    Zarr.setupStore(path, template, stored, compressor, fmt, shardGrid)
     val tmpl = template
     val comp = compressor.map {
-      case "zlib" | "gzip" if zarrFormat == 3 => "gzip"
+      case "zlib" | "gzip" if fmt == 3 => "gzip"
       case c => c
     }
     val sharded = shardGrid.nonEmpty
@@ -5079,8 +5131,8 @@ final class XbeamDataset private (
           spec.dims.map(tmpl.dimSizes), spec.dims.map(writeUnit),
           spec.dtype, spec.dims, comp,
           if (spec.dtype == DType.F32 || spec.dtype == DType.F64) Double.NaN else 0.0,
-          format = zarrFormat,
-          keySep = if (zarrFormat == 3) "/" else ".",
+          format = fmt,
+          keySep = if (fmt == 3) "/" else ".",
           shardChunks = if (sharded) Some(spec.dims.map(stored)) else None)
         val starts = va.dims.map(d => key.offsets.getOrElse(d, 0L)).toArray
         starts.zip(va.dims).foreach { case (st, d) =>

@@ -2301,11 +2301,14 @@ object XbeamQueries {
         // exactly the chunks-into-shards sizing the 24.8 TB reference
         // corpus uses (BASELINE.md: ~1 MB chunks grouped into shards)
         // shards need 64 aligned rows; tiny fixtures write unsharded
+        // the chunks-per-shard spelling (dataset.py:779-786): shards
+        // default to the in-memory chunks {t:64, x:16}, inner zarr
+        // chunks come out t:64/4=16 — same store layout as spelling
+        // it zarrChunks={t:16} + zarrShards={t:64}, format auto-v3
         if (gridXds(s, dir).template.dimSizes("t") >= 64)
           gridXds(s, dir).rechunk(Map("t" -> 64, "x" -> 16))
-            .toZarr(store, zarrChunks = Map("t" -> 16),
-              compressor = Some("zlib"), zarrFormat = 3,
-              zarrShards = Map("t" -> 64))
+            .toZarr(store, compressor = Some("zlib"),
+              zarrChunksPerShard = Map("t" -> 4))
         else
           gridXds(s, dir).toZarr(store, zarrChunks = Map("t" -> 16),
             compressor = Some("zlib"), zarrFormat = 3)

@@ -516,9 +516,11 @@ class ZarrSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     val xds = graft.api.XbeamDataset.fromLocal(spark, graft.Fixtures.era5(),
       chunks = Map("time" -> 4))
-    // shards on v2: sharding_indexed is a v3 codec
+    // shards on EXPLICIT v2: sharding_indexed is a v3 codec (with the
+    // format left at auto, shards imply v3 — dataset.py:857-858)
     val e1 = intercept[IllegalArgumentException] {
-      xds.toZarr(tmpStore() + "/s", zarrShards = Map("time" -> 4))
+      xds.toZarr(tmpStore() + "/s", zarrFormat = 2,
+        zarrShards = Map("time" -> 4))
     }
     assert(e1.getMessage.contains("requires zarr format 3"))
     // unknown dim
@@ -542,6 +544,84 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("time") &&
       e4.getMessage.contains("in-memory chunk"))
+  }
+
+  test("toZarr zarrChunksPerShard: defaults, ellipsis, round-up, errors") {
+    // ports dataset_test.py:725-833 (test_to_zarr_chunks_per_shard and
+    // test_to_zarr_shards_round_up) onto the Scala surface; the "..."
+    // map key is the reference's ellipsis default
+    val spark = graft.TestSpark.spark
+    import graft.api.XbeamDataset
+    def oneD(n: Int, chunk: Int): XbeamDataset = XbeamDataset.fromLocal(
+      spark, Map("foo" -> (Seq("x"),
+        NdArray.fromLongs(DType.I64, Array(n), Array.tabulate(n)(_.toLong)))),
+      chunks = Map("x" -> chunk))
+    def metaOf(path: String) = Zarr.openStore(path).arrays("foo")
+    def roundtrips(path: String, n: Int): Unit = {
+      val back = XbeamDataset.fromZarr(spark, path)
+        .collectConsolidated()._2.vars("foo").arr
+      assert(back.toDoubles.toSeq == (0 until n).map(_.toDouble))
+    }
+
+    // simple: cps {x:2} over mem chunks {x:6} → inner 3, shard 6, auto-v3
+    val p1 = tmpStore() + "/cps1"
+    oneD(12, 6).toZarr(p1, zarrChunksPerShard = Map("x" -> 2))
+    assert(metaOf(p1).chunks == Seq(6) && metaOf(p1).shardChunks == Some(Seq(3)))
+    roundtrips(p1, 12)
+
+    // ellipsis default: {...:2} behaves like {x:2}
+    val p2 = tmpStore() + "/cps2"
+    oneD(12, 6).toZarr(p2, zarrChunksPerShard = Map("..." -> 2))
+    assert(metaOf(p2).chunks == Seq(6) && metaOf(p2).shardChunks == Some(Seq(3)))
+    roundtrips(p2, 12)
+
+    // named dim + ellipsis default over 2-D: {x:3, ...:1} with mem
+    // chunks {x:6, y:5} → inner (2,5), shards (6,5)
+    val p3 = tmpStore() + "/cps3"
+    XbeamDataset.fromLocal(spark, Map("foo" -> (Seq("x", "y"),
+        NdArray.fromDoubles(DType.F64, Array(12, 10),
+          Array.tabulate(120)(_.toDouble)))),
+      chunks = Map("x" -> 6, "y" -> 5))
+      .toZarr(p3, zarrChunksPerShard = Map("x" -> 3, "..." -> 1))
+    assert(metaOf(p3).chunks == Seq(6, 5) &&
+      metaOf(p3).shardChunks == Some(Seq(2, 5)))
+
+    // explicit shards override the mem-chunk default: shards {x:6} over
+    // mem {x:12}, cps {x:2} → inner 3, shard 6
+    val p4 = tmpStore() + "/cps4"
+    oneD(24, 12).toZarr(p4, zarrChunksPerShard = Map("x" -> 2),
+      zarrShards = Map("x" -> 6))
+    assert(metaOf(p4).chunks == Seq(6) && metaOf(p4).shardChunks == Some(Seq(3)))
+    roundtrips(p4, 24)
+
+    // full-dim shards round UP to a whole chunk multiple (overhanging
+    // shard, dataset_test.py:727-741): x=19, zarr chunks 10 → shard 20
+    for (sh <- Seq(Map("x" -> 19), Map("x" -> 20))) {
+      val p = tmpStore() + s"/rup${sh("x")}"
+      oneD(19, 19).toZarr(p, zarrChunks = Map("x" -> 10), zarrShards = sh,
+        zarrFormat = 3)
+      assert(metaOf(p).chunks == Seq(20) &&
+        metaOf(p).shardChunks == Some(Seq(10)))
+      roundtrips(p, 19)
+    }
+
+    // error catalog (messages mirror dataset.py:705-732)
+    val eBoth = intercept[IllegalArgumentException] {
+      oneD(12, 6).toZarr(tmpStore() + "/e1",
+        zarrChunksPerShard = Map("x" -> 2), zarrChunks = Map("x" -> 3))
+    }
+    assert(eBoth.getMessage.contains(
+      "cannot supply both zarrChunksPerShard and zarrChunks"))
+    val eKey = intercept[IllegalArgumentException] {
+      oneD(12, 6).toZarr(tmpStore() + "/e2",
+        zarrChunksPerShard = Map("y" -> 2))
+    }
+    assert(eKey.getMessage.contains("not dimensions in template"))
+    val eDiv = intercept[IllegalArgumentException] {
+      oneD(12, 6).toZarr(tmpStore() + "/e3",
+        zarrChunksPerShard = Map("x" -> 5))
+    }
+    assert(eDiv.getMessage.contains("do not evenly divide"))
   }
 
   test("extendDim refuses a non-chunk-aligned old extent and shrinking") {
