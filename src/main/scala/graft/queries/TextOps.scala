@@ -105,6 +105,62 @@ object TextOps {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Connected components over an undirected edge list (`u`, `v`
+    * columns) by min-label propagation with a pointer-doubling
+    * shortcut: each round every vertex takes the least of its own
+    * label, its neighbors' labels, AND its label's label
+    * (`label(label(u))`), so label chains halve per round and
+    * convergence is O(log diameter) rounds instead of
+    * O(diameter) — the same doubling idea as large-star/small-star.
+    * The convergence test rides a LongAccumulator filled by the SAME
+    * eager `localCheckpoint` that materializes the round, so each
+    * round is ONE action (the r15 shape ran a second `count()` job
+    * per round). Returns (labels: doc_id → component-min label,
+    * rounds). Task retries can only over-count `changed`, which at
+    * worst delays termination one round — never a wrong result. */
+  def connectedComponents(s: SparkSession, edges0: DataFrame,
+                          maxRounds: Int = 16): (DataFrame, Int) = {
+    import s.implicits._
+    // symmetrize once and cut lineage: every round re-reads the edges
+    val edges = edges0.select($"u".cast("long"), $"v".cast("long"))
+      .union(edges0.select($"v".cast("long").as("u"),
+        $"u".cast("long").as("v")))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint()
+    var labels = edges.select($"u".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val acc = s.sparkContext.longAccumulator(s"graft.cc.changed.r$rounds")
+      val msgs = edges
+        .join(labels.select($"doc_id".as("v"), $"label".as("nlabel")),
+          Seq("v"))
+        .groupBy($"u".as("doc_id"))
+        .agg(min($"nlabel").as("minN"))
+      val next = labels.as("a")
+        .join(msgs, Seq("doc_id"), "left")
+        .join(labels.select($"doc_id".as("p"), $"label".as("lref")),
+          $"a.label" === $"p", "left")
+        .select($"doc_id", $"a.label".as("old"),
+          least($"a.label", coalesce($"minN", $"a.label"),
+            coalesce($"lref", $"a.label")).as("label"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, old, nl) =>
+            if (nl != old) acc.add(1L)
+            (id, nl)
+          }
+        }.toDF("doc_id", "label")
+        .localCheckpoint() // eager: materializes the round AND fills acc
+      converged = acc.value == 0
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"component labels did not converge in $rounds rounds")
+    (labels, rounds)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- d01
     // Exact dedup: hash-groupBy on normalized content. At scale this is
@@ -678,13 +734,13 @@ object TextOps {
     // ---------------------------------------------------------------- d07
     // Dedup resolution: near-dup pairs (d03's shingle-Jaccard edges) →
     // connected components → one canonical survivor per component (min
-    // doc_id). This is the decision step of a dedup pipeline: iterative
-    // min-label propagation, each round one join + one aggregation,
-    // converging in O(component diameter) rounds (near-dup clusters are
-    // shallow; a driver-side fixpoint check caps the loop). At 100 TB
-    // this is the standard alternating-star shape — never a collect of
-    // edges. The oracle computes the same components via a recursive
-    // reachability CTE.
+    // doc_id). This is the decision step of a dedup pipeline:
+    // min-label propagation with a pointer-doubling shortcut
+    // (connectedComponents above) — O(log diameter) rounds, ONE Spark
+    // action per round with the convergence test folded into the
+    // round's accumulator. At 100 TB edges are near-dup pairs (small
+    // by construction) and never collect to the driver. The oracle
+    // computes the same components via a recursive reachability CTE.
     QueryDef(
       "d07_dedup_components",
       (s, dir) => {
@@ -694,31 +750,8 @@ object TextOps {
         // hardening applies to the component edge list)
         val pairs = shingleJaccardPairs(s, dir, 1, 2)
           .select($"id_a", $"id_b")
-        // materialize the edge list once — every propagation round
-        // would otherwise re-execute the whole pair pipeline
-        val edges = pairs.select($"id_a".as("u"), $"id_b".as("v"))
-          .union(pairs.select($"id_b".as("u"), $"id_a".as("v")))
-          .localCheckpoint()
-        var labels = edges.select($"u".as("doc_id")).distinct()
-          .withColumn("label", $"doc_id")
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 25) {
-          val msgs = edges
-            .join(labels.withColumnRenamed("doc_id", "v")
-              .withColumnRenamed("label", "nlabel"), Seq("v"))
-            .groupBy($"u".as("doc_id"))
-            .agg(min($"nlabel").as("minN"))
-          val next = labels.join(msgs, Seq("doc_id"), "left")
-            .select($"doc_id",
-              least($"label", coalesce($"minN", $"label")).as("label"))
-            .localCheckpoint() // cut the growing lineage each round
-          changed = next.as("n").join(labels.as("o"), "doc_id")
-            .filter($"n.label" =!= $"o.label").count()
-          labels = next
-          rounds += 1
-        }
-        require(changed == 0, s"component labels did not converge in $rounds rounds")
+        val (labels, _) = connectedComponents(s,
+          pairs.select($"id_a".as("u"), $"id_b".as("v")))
         labels.select($"doc_id", $"label".as("component_id"),
             ($"doc_id" === $"label").as("keep"))
           .orderBy($"doc_id")
