@@ -5306,6 +5306,16 @@ object XbeamDataset {
         "concatNew: member templates differ (dims/vars must match exactly)")
       require(d.chunkSizes == head.chunkSizes,
         "concatNew: member chunk grids differ (rechunk to a common grid first)")
+      // value-equality on the coordinate arrays (xarray concat aligns /
+      // validates coordinates): stacking members with different labels
+      // under the head's coordinates would silently mislabel their data
+      require(d.template.coords.keySet == head.template.coords.keySet &&
+        head.template.coords.forall { case (k, c) =>
+          d.template.coords(k).sameAs(c) },
+        "concatNew: member coordinates differ — align or reindex to " +
+          "common labels first (stacking would mislabel data)")
+      require(d.template.attrs == head.template.attrs,
+        "concatNew: member attrs differ")
     }
     import graft.operators.ChunkTransforms.{Pair, pairEnc}
     val newTemplate = graft.core.Template(

@@ -628,15 +628,25 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
     * would a parquet table with fresh stats. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = planInputPartitions().iterator.map {
-      case ZarrInputPartition(offsets) =>
-        val dimOrder = dims.map(_._1)
-        offsets.indices.map { i =>
-          val d = dimOrder(i)
-          math.min(chunks(d).toLong, dims(i)._2 - offsets(i))
-        }.product
-      case _ => 0L
-    }.sum
+    // Catalyst may ask for stats several times per plan; never pay the
+    // O(#chunks) enumeration per ask. When every active pruner is
+    // per-dim (dim bounds + coordinate keep-masks), the row count
+    // decomposes into a product of per-dim sums — O(#chunks-per-dim),
+    // no key enumeration at all (the million-chunk posture). Only the
+    // cross-dim pruners (stats sidecar, runtime IN-filters) need the
+    // real chunk walk, and that walk is memoized with
+    // planInputPartitions' cache, which execution reuses anyway.
+    val rows = arithmeticRowCount.getOrElse {
+      planInputPartitions().iterator.map {
+        case ZarrInputPartition(offsets) =>
+          val dimOrder = dims.map(_._1)
+          offsets.indices.map { i =>
+            val d = dimOrder(i)
+            math.min(chunks(d).toLong, dims(i)._2 - offsets(i))
+          }.product
+        case _ => 0L
+      }.sum
+    }
     // projected width: dim columns are 8-byte longs; var columns their
     // decoded itemsize (coordinate columns ride at 8 bytes too)
     val dimNames = dims.map(_._1).toSet
@@ -707,7 +717,47 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
       (if (coordKeep.isEmpty) ""
        else s" coordPrunedDims=${coordKeep.keys.toSeq.sorted.mkString(",")}")
 
+  /** Exact row count WITHOUT enumerating chunk keys, valid whenever no
+    * cross-dim pruner is active: per-dim keeps are independent, so the
+    * count is the product over dims of the kept clamped chunk lengths. */
+  private def arithmeticRowCount: Option[Long] = {
+    if (varBounds.nonEmpty || runtimeIn.nonEmpty) return None
+    Some(dims.map { case (d, size) =>
+      val ch = chunks(d).toLong
+      val n = ((size + ch - 1) / ch).toInt
+      var sum = 0L
+      var c = 0
+      while (c < n) {
+        val off = c * ch
+        val len = math.min(ch, size - off)
+        val keptBounds = bounds.get(d).forall { case (lo, hi) =>
+          off <= hi && off + len - 1 >= lo
+        }
+        val keptCoord = coordKeep.get(d).forall(_(c))
+        if (keptBounds && keptCoord) sum += len
+        c += 1
+      }
+      sum
+    }.product)
+  }
+
+  /** planInputPartitions is asked for once by execution and possibly
+    * several more times by stats/planning; memoize per runtime-filter
+    * state so the chunk walk happens once. */
+  @volatile private var plannedCache
+      : (Map[String, Array[Long]], Array[InputPartition]) = null
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val rIn = runtimeIn
+    val cached = plannedCache
+    if (cached != null && (cached._1 eq rIn)) return cached._2
+    val planned = planPartitions(rIn)
+    plannedCache = (rIn, planned)
+    planned
+  }
+
+  private def planPartitions(rIn: Map[String, Array[Long]])
+      : Array[InputPartition] = {
     val dimOrder = dims.map(_._1)
     val dimSizes = dims.toMap
     // data-variable zone-map pruning: resolved once at plan time from
@@ -717,7 +767,6 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
     val statPrune: Map[String, Long] => Boolean =
       ChunkStats.pruner(path, varBounds, chunks, dimSizes)
         .getOrElse((_: Map[String, Long]) => true)
-    val rIn = runtimeIn
     val all = ChunkGrid.iterChunkKeys(dimOrder, chunks, dimSizes)
       .filter { key =>
         bounds.forall { case (d, (lo, hi)) =>

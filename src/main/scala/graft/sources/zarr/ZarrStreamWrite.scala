@@ -77,16 +77,33 @@ class ZarrStreamingWrite(path: String, schema: StructType,
         require(meta.dims == dimNames,
           s"variable ${f.name} spans ${meta.dims.mkString(",")} but the " +
             s"stream writes ${dimNames.mkString(",")} — orders must match")
-        val isFloat = f.dataType match {
-          case DoubleType | FloatType => true
-          case LongType | IntegerType => false
+        // column accessor code: 0=double, 1=float, 2=long, 3=int — the
+        // writer must read each UnsafeRow slot with the EXACT column
+        // type (a FloatType field occupies the low 4 bytes of its
+        // slot; getDouble would reinterpret the bits)
+        val code = f.dataType match {
+          case DoubleType  => 0
+          case FloatType   => 1
+          case LongType    => 2
+          case IntegerType => 3
           case other => throw new IllegalArgumentException(
             s"variable column ${f.name} must be numeric, got $other")
         }
-        require(isFloat == (Zarr.decodedDType(meta) == DType.F64),
-          s"variable ${f.name}: column ${f.dataType} does not match store " +
-            s"dtype ${meta.dtype.zarr}")
-        (f.name, i, isFloat)
+        // dtype families compare exactly: the merge kernel carries
+        // cells as full-width double/long, so the store side must be
+        // F64 (float columns, lossless widen) or I64 (integral
+        // columns) — an F32/I32/I16 store variable would silently
+        // narrow on merge and is rejected loudly instead
+        val decoded = Zarr.decodedDType(meta)
+        if (code <= 1) require(decoded == DType.F64,
+          s"variable ${f.name}: float column ${f.dataType} needs an " +
+            s"f8/F64-decoding store variable, got ${meta.dtype.zarr} " +
+            "(narrowing on merge would lose precision)")
+        else require(decoded == DType.I64,
+          s"variable ${f.name}: integral column ${f.dataType} needs an " +
+            s"i8/I64 store variable, got ${meta.dtype.zarr} " +
+            "(narrowing on merge would lose precision)")
+        (f.name, i, code)
       }.toSeq
     require(varCols.nonEmpty, "stream schema has no variable columns")
     val maxCells = Option(options.get("maxBufferedCells"))
@@ -148,7 +165,11 @@ final case class ZarrStreamGrid(path: String, dimNames: Seq[String],
                                 dimSizes: Array[Long], chunkPerDim: Array[Int],
                                 dimColIdx: Array[Int], dimColIsInt: Array[Boolean],
                                 varNames: Array[String], varColIdx: Array[Int],
-                                varIsFloat: Array[Boolean], maxCells: Long)
+                                varColCode: Array[Int], maxCells: Long) {
+  /** Store-side cell family: float vars carry double raw bits in the
+    * fragment cells, integral vars carry the long itself. */
+  def varIsFloat(v: Int): Boolean = varColCode(v) <= 1
+}
 
 final case class ZarrStreamFrag(chunkId: String, url: String)
 
@@ -204,9 +225,12 @@ class ZarrStreamDataWriter(grid: ZarrStreamGrid, partitionId: Int,
     while (v < grid.varNames.length) {
       val c = grid.varColIdx(v)
       require(!row.isNullAt(c), s"null value for ${grid.varNames(v)}")
-      cc.cells += (if (grid.varIsFloat(v))
-        java.lang.Double.doubleToRawLongBits(row.getDouble(c))
-      else row.getLong(c))
+      cc.cells += (grid.varColCode(v) match {
+        case 0 => java.lang.Double.doubleToRawLongBits(row.getDouble(c))
+        case 1 => java.lang.Double.doubleToRawLongBits(row.getFloat(c).toDouble)
+        case 2 => row.getLong(c)
+        case _ => row.getInt(c).toLong
+      })
       v += 1
     }
     nCells += 1

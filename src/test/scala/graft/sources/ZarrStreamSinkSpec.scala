@@ -122,7 +122,8 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
       spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
       validate = false).toZarr(store)
     val grid = ZarrStreamGrid(store, Seq("t"), Array(6L), Array(4),
-      Array(0), Array(false), Array("v"), Array(1), Array(true), 1000L)
+      Array(0), Array(false), Array("v"), Array(1), Array(0) /* double */,
+      1000L)
     // two fragments for chunk [0,4): cells 1 and 3 from different tasks
     def frag(cell: Long, value: Double): Array[Byte] =
       ZarrStreamFormat.encode(grid, Array(0L), Array(4),
@@ -147,6 +148,81 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     // replayed commit (same fragments) must converge to the same bits
     ZarrStreamFormat.mergeChunk(store, sm, grid, Seq(u1, u2))
     assert(readBack() == first)
+  }
+
+  test("float/int stream columns write exact values; narrow stores reject") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.api.XbeamDataset
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    import graft.operators.ChunkTransforms.Pair
+
+    val base = java.nio.file.Paths.get("target", "stream_sink_dtype_spec")
+      .toAbsolutePath
+    rmTree(base)
+    java.nio.file.Files.createDirectories(base)
+    def mkStore(name: String, dt: DType): String = {
+      val store = base.resolve(name).toString
+      val template = Template(Seq("t" -> 6L),
+        Map("v" -> VarSpec(Seq("t"), dt)), Map.empty, Map.empty)
+      XbeamDataset.fromPairs(spark, template, Map("t" -> 3),
+        spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
+        validate = false).toZarr(store)
+      store
+    }
+
+    // FloatType/IntegerType columns into an F64/I64 store: the writer
+    // must read each UnsafeRow slot with the column's EXACT width
+    // (getFloat/getInt) — getDouble on a FloatType slot reinterprets
+    // the low 4 bytes as half a double and writes garbage. The public
+    // writeStream path blocks Float/Int columns at the table-schema
+    // check, so drive the DataWriter directly with real UnsafeRows.
+    val f64Store = mkStore("f64.zarr", DType.F64)
+    val schema = StructType(Seq(
+      StructField("t", IntegerType), StructField("v", FloatType)))
+    val writeGrid = graft.sources.zarr.ZarrStreamGrid(
+      f64Store, Seq("t"), Array(6L), Array(3),
+      Array(0), Array(true) /* int dim */, Array("v"), Array(1),
+      Array(1) /* float accessor */, 1000L)
+    val writer = new graft.sources.zarr.ZarrStreamDataWriter(
+      writeGrid, 0, 0L, 0L)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(schema)
+    val expect = (0 until 6).map(i => (i.toFloat / 2.0f + 0.25f).toDouble)
+    (0 until 6).foreach { i =>
+      writer.write(proj(org.apache.spark.sql.catalyst.InternalRow(
+        i, i.toFloat / 2.0f + 0.25f)))
+    }
+    val msg = writer.commit().asInstanceOf[graft.sources.zarr.ZarrStreamCommitMessage]
+    val sm = Zarr.openStore(f64Store)
+    msg.frags.groupBy(_.chunkId).foreach { case (_, fs) =>
+      graft.sources.zarr.ZarrStreamFormat.mergeChunk(
+        f64Store, sm, writeGrid, fs.map(_.url))
+    }
+    val got = XbeamDataset.fromZarr(spark, f64Store)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq
+    assert(got == expect, s"float column bits mangled: $got vs $expect")
+
+    // narrowing stores reject loudly at sink construction
+    def buildWrite(store: String, sch: StructType) = {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("dims", "t")
+      new graft.sources.zarr.ZarrStreamingWrite(store, sch, opts)
+    }
+    val f32Store = mkStore("f32.zarr", DType.F32)
+    val i32Store = mkStore("i32.zarr", DType.I32)
+    val i64Store = mkStore("i64.zarr", DType.I64)
+    val eF = intercept[IllegalArgumentException](buildWrite(f32Store,
+      StructType(Seq(StructField("t", LongType), StructField("v", DoubleType)))))
+    assert(eF.getMessage.contains("narrowing on merge"))
+    val eI = intercept[IllegalArgumentException](buildWrite(i32Store,
+      StructType(Seq(StructField("t", LongType), StructField("v", LongType)))))
+    assert(eI.getMessage.contains("narrowing on merge"))
+    // integral column into a float store (and vice versa) also rejects
+    val eX = intercept[IllegalArgumentException](buildWrite(i64Store,
+      StructType(Seq(StructField("t", LongType), StructField("v", DoubleType)))))
+    assert(eX.getMessage.contains("F64"))
   }
 
   test("sink rejects a missing store, unknown dims, and bad columns") {
