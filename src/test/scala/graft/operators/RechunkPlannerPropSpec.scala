@@ -2,77 +2,97 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
 /** Property tests for the planner — ports of the reference's Hypothesis
-  * properties (rechunker_algorithm_test.py:188-209, 437-512), run over
-  * seeded random case streams (the scalatest/scalacheck bridge is not
-  * in the offline cache, so sampling is explicit). */
+  * properties (rechunker_algorithm_test.py:188-209, 437-512) as real
+  * ScalaCheck generators (the reference drives these with Hypothesis
+  * strategies; `io_ops_chunks` and `shapes_chunks_maxmem_for_ndim` map
+  * 1:1 onto the Gens below). Run through ScalaCheck's own runner since
+  * the scalatest bridge artifact is not in the offline cache. */
 class RechunkPlannerPropSpec extends AnyFunSuite {
+
+  private def checkProp(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   test("singleStageIoOps counts distinct (source,target) block pairs " +
        "(rechunker_algorithm_test.py:188-209)") {
-    val rng = new scala.util.Random(1234)
-    (1 to 500).foreach { _ =>
-      val size = 1L + rng.nextInt(1000)
-      val source = 1L + rng.nextInt(1000)
-      val target = 1L + rng.nextInt(1000)
+    // io_ops_chunks strategy: size/source/target each in [1, 1000]
+    val gen = for {
+      size <- Gen.chooseNum(1L, 1000L)
+      source <- Gen.chooseNum(1L, 1000L)
+      target <- Gen.chooseNum(1L, 1000L)
+    } yield (size, source, target)
+    checkProp(Prop.forAllNoShrink(gen) { case (size, source, target) =>
       val calculated = RechunkPlanner.singleStageIoOps(
         Vector(size), Vector(source), Vector(target))
-      val actual = (0L until size).map(i => (i / source, i / target)).distinct.size
-      assert(calculated == actual.toLong,
-        s"size=$size source=$source target=$target")
-    }
+      val actual = (0L until size).map(i => (i / source, i / target))
+        .distinct.size.toLong
+      (calculated == actual) :| s"size=$size source=$source target=$target " +
+        s"calculated=$calculated actual=$actual"
+    }, n = 500)
   }
 
   test("multistagePlan always yields valid memory-bounded stages " +
        "(rechunker_algorithm_test.py:437-512)") {
     val itemsize = 4L
-    val rng = new scala.util.Random(4242)
-    (1 to 300).foreach { _ =>
-      val ndim = 1 + rng.nextInt(4)
-      val dims = Vector.fill(ndim) {
-        val sh = 1L + rng.nextInt(10000)
-        val sc = 1L + (rng.nextDouble() * sh).toLong.min(sh - 1)
-        val tc = 1L + (rng.nextDouble() * sh).toLong.min(sh - 1)
-        (sh, sc, tc)
-      }
-      val shape = dims.map(_._1)
-      val source = dims.map(_._2)
-      val target = dims.map(_._3)
-      val origMem = itemsize * math.max(source.product, target.product)
-      val maxMem = origMem * 10
-      val minMem = math.min(
-        math.min(itemsize * math.max(shape.product / 4, 1), 5 * origMem), maxMem)
-      val clue = s"shape=$shape source=$source target=$target " +
-        s"minMem=$minMem maxMem=$maxMem"
-      val plan = RechunkPlanner.multistagePlan(
-        shape, source, target, itemsize, minMem, maxMem)
-      val stages = plan.stages
-      assert(stages.nonEmpty, clue)
-      // first read covers source; last write covers + evenly slices target
-      source.zip(stages.head.read).foreach { case (sc, rc) =>
-        assert(rc >= sc, clue)
-      }
-      shape.indices.foreach { d =>
-        val wc = stages.last.write(d)
-        assert(wc >= target(d), clue)
-        assert(wc == shape(d) || wc % target(d) == 0, clue)
-      }
-      stages.foreach { st =>
-        assert(st.read.length == shape.length && st.write.length == shape.length, clue)
-        assert(itemsize * st.read.product <= maxMem, clue)
-        assert(itemsize * st.intermediate.product <= maxMem, clue)
-        assert(itemsize * st.write.product <= maxMem, clue)
-        assert(minMem <= itemsize * st.read.product, clue)
-        assert(minMem <= itemsize * st.write.product, clue)
-        if (plan.excessiveIo)
-          assert(itemsize * st.intermediate.product <= minMem, clue)
-        else
-          assert(minMem <= itemsize * st.intermediate.product, clue)
-        st.read.indices.foreach { d =>
-          assert(st.intermediate(d) == math.min(st.read(d), st.write(d)), clue)
+    // shapes_chunks_maxmem_for_ndim strategy: per dim draw
+    // shape in [1, 10000] and chunks in [1, shape] (the reference's
+    // assume(sc <= sh)); ndim in [1, 4] keeps every product within
+    // Long range (the reference's ndim 5 relies on Python bigints)
+    val dimGen = for {
+      sh <- Gen.chooseNum(1L, 10000L)
+      sc <- Gen.chooseNum(1L, sh)
+      tc <- Gen.chooseNum(1L, sh)
+    } yield (sh, sc, tc)
+    val caseGen = for {
+      ndim <- Gen.chooseNum(1, 4)
+      dims <- Gen.listOfN(ndim, dimGen)
+      shape = dims.map(_._1).toVector
+      source = dims.map(_._2).toVector
+      target = dims.map(_._3).toVector
+      origMem = itemsize * math.max(source.product, target.product)
+      minHi = math.max(itemsize,
+        math.min(itemsize * math.max(shape.product / 4, 1L), 5L * origMem))
+      minMem <- Gen.chooseNum(itemsize, minHi)
+    } yield (shape, source, target, minMem, origMem * 10)
+    checkProp(Prop.forAllNoShrink(caseGen) {
+      case (shape, source, target, minMem, maxMem) =>
+        val clue = s"shape=$shape source=$source target=$target " +
+          s"minMem=$minMem maxMem=$maxMem"
+        val plan = RechunkPlanner.multistagePlan(
+          shape, source, target, itemsize, minMem, maxMem)
+        val stages = plan.stages
+        // _verify_multistage_plan_correctness, line for line:
+        // first read covers source; last write covers + evenly slices
+        // target (or spans the whole dim)
+        val headOk = source.zip(stages.head.read).forall { case (sc, rc) =>
+          rc >= sc
         }
-      }
-    }
+        val lastOk = shape.indices.forall { d =>
+          val wc = stages.last.write(d)
+          wc >= target(d) && (wc == shape(d) || wc % target(d) == 0)
+        }
+        val stagesOk = stages.forall { st =>
+          st.read.length == shape.length &&
+          st.write.length == shape.length &&
+          itemsize * st.read.product <= maxMem &&
+          itemsize * st.intermediate.product <= maxMem &&
+          itemsize * st.write.product <= maxMem &&
+          minMem <= itemsize * st.read.product &&
+          minMem <= itemsize * st.write.product &&
+          (if (plan.excessiveIo) itemsize * st.intermediate.product <= minMem
+           else minMem <= itemsize * st.intermediate.product) &&
+          st.read.indices.forall { d =>
+            st.intermediate(d) == math.min(st.read(d), st.write(d))
+          }
+        }
+        (stages.nonEmpty && headOk && lastOk && stagesOk) :| clue
+    }, n = 300)
   }
 
   test("pangeo rechunker issue 115 regression (rechunker_algorithm_test.py:513+)") {
