@@ -228,10 +228,32 @@ final class XbeamDataset private (
     * dataset.py:880-899). Keys are kept as-is; the caller declares the
     * truth and per-chunk validation enforces it downstream. */
   def mapBlocks(f: ArrayChunk => ArrayChunk, newTemplate: Template,
-                newChunks: Map[String, Int]): XbeamDataset =
-    withPlan(newTemplate,
-      ChunkGrid.normalizeChunks(newChunks, newTemplate.dimSizes), splitVars,
+                newChunks: Map[String, Int]): XbeamDataset = {
+    val nc = ChunkGrid.normalizeChunks(newChunks, newTemplate.dimSizes)
+    // the reference validates chunk-COUNT preservation even with an
+    // explicit template (dataset.py:943-957): a multi-chunk source dim
+    // must survive into the result with the same chunk count, or keys
+    // would collide / go unmapped
+    template.dimOrder.foreach { d =>
+      val size = template.dimSizes(d)
+      val old = chunkSizes(d)
+      if (old < size) {
+        if (!newTemplate.dimSizes.contains(d))
+          throw new IllegalArgumentException(
+            s"dimension '$d' has multiple chunks on the source dataset, " +
+              "and therefore must be included in the result of map_blocks, " +
+              s"but is not in the new template: ${newTemplate.dimOrder}")
+        val oldCount = (size + old - 1) / old
+        val newCount =
+          (newTemplate.dimSizes(d) + nc(d) - 1) / nc(d)
+        require(oldCount == newCount,
+          s"dimension '$d' has $oldCount chunks on the source dataset " +
+            s"and $newCount in the result of map_blocks")
+      }
+    }
+    withPlan(newTemplate, nc, splitVars,
       chunkDataset.map { p: Pair => (p._1, f(p._2)) })
+  }
 
   def mapBlocks(f: ArrayChunk => ArrayChunk): XbeamDataset = {
     val dimSizes = template.dimSizes
@@ -243,15 +265,27 @@ final class XbeamDataset private (
     val out = f(dummy)
     if (splitVars)
       require(out.varNames == dummy.varNames,
-        "map_blocks over split-vars datasets must not change the variable set " +
-          s"(got ${out.varNames}, expected ${dummy.varNames})")
+        "cannot use map_blocks on a dataset with split_vars=true if the " +
+          "transformation returns a different set of variables. " +
+          s"Old split variables: ${dummy.varNames}. " +
+          s"New split variables: ${out.varNames}")
     val outSizes = out.dimSizes
+    // a multi-chunk source dim dropped by `f` would collapse distinct
+    // keys onto one output key (dataset.py:943-950): reject loudly
+    template.dimOrder.foreach { d =>
+      if (chunkSizes(d) < template.dimSizes(d) && !outSizes.contains(d))
+        throw new IllegalArgumentException(
+          s"dimension '$d' has multiple chunks on the source dataset, " +
+            "and therefore must be included in the result of map_blocks, " +
+            s"but is not in the new template: ${outSizes.keys.toSeq.sorted}")
+    }
     // per-dim rational scale factor newChunk/oldChunk
     val scales: Map[String, (Long, Long)] = outSizes.map { case (d, outLen) =>
       dummyShape.get(d) match {
         case Some(inLen) =>
           require(outLen % inLen == 0 || inLen % outLen == 0,
-            s"map_blocks must evenly rescale dim $d: $inLen -> $outLen")
+            s"cannot infer new chunks for dimension '$d' with changed " +
+              s"size $inLen -> $outLen: map_blocks must evenly rescale")
           d -> (outLen.toLong, inLen.toLong)
         case None => d -> (1L, 1L) // brand-new dim: single chunk
       }
@@ -260,7 +294,8 @@ final class XbeamDataset private (
       template.dims.collect { case (d, s) if outSizes.contains(d) =>
         val (num, den) = scales(d)
         require((s * num) % den == 0,
-          s"map_blocks rescale of dim $d does not divide size $s evenly")
+          s"cannot infer new chunks for dimension '$d': the rescaled " +
+            s"chunks do not evenly divide the new size of dim size $s")
         d -> s * num / den
       } ++ outSizes.toSeq.sortBy(_._1).collect {
         case (d, s) if !template.dimSizes.contains(d) => d -> s.toLong
@@ -270,7 +305,8 @@ final class XbeamDataset private (
         val (num, den) = scales(d)
         val scaled = chunkSizes(d).toLong * num
         require(scaled % den == 0,
-          s"map_blocks rescale does not divide chunk size ${chunkSizes(d)} of dim $d")
+          s"cannot infer new chunks for dimension '$d': existing chunks " +
+            s"${chunkSizes(d)} do not evenly rescale by $num/$den")
         d -> (scaled / den).toInt
       } else d -> outLen
     }

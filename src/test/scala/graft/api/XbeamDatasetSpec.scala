@@ -1584,6 +1584,69 @@ class XbeamDatasetSpec extends AnyFunSuite {
       Fixtures.era5()("temperature")._2.mapF64(_ * 2)))
   }
 
+  test("map_blocks_non_unique: dropping a multi-chunk dim fails " +
+       "(dataset_test.py:1087-1096)") {
+    // foo over x=8 chunked {x:4}: mean('x') drops x, whose two source
+    // chunks would collide onto one output key
+    val xds = XbeamDataset.fromLocal(spark,
+      Map("foo" -> (Seq("x"),
+        NdArray.fromLongs(DType.I64, Array(8), Array.tabulate(8)(_.toLong)))),
+      chunks = Map("x" -> 4))
+    val e = intercept[IllegalArgumentException] {
+      xds.mapBlocks { c =>
+        ArrayChunk(c.vars.map { case (n, va) =>
+          n -> VarArray(Seq.empty,
+            NdArray.fill(DType.F64, Array.empty[Int],
+              va.arr.toDoubles.sum / va.arr.size))
+        })
+      }
+    }
+    assert(e.getMessage.contains("dimension 'x' has multiple chunks on " +
+      "the source dataset, and therefore must be included in the result " +
+      "of map_blocks, but is not in the new template"))
+  }
+
+  test("map_blocks_inconsistent_chunks_error: explicit chunks must keep " +
+       "the chunk count (dataset_test.py:1098-1106)") {
+    val xds = XbeamDataset.fromLocal(spark,
+      Map("foo" -> (Seq("x"),
+        NdArray.fromLongs(DType.I64, Array(8), Array.tabulate(8)(_.toLong)))),
+      chunks = Map("x" -> 4))
+    val e = intercept[IllegalArgumentException] {
+      xds.mapBlocks(identity, xds.template, Map("x" -> 1))
+    }
+    assert(e.getMessage.contains(
+      "dimension 'x' has 2 chunks on the source dataset and 8 in the " +
+        "result of map_blocks"))
+    // a dropped multi-chunk dim fails on the explicit path too
+    val e2 = intercept[IllegalArgumentException] {
+      xds.mapBlocks(identity,
+        graft.core.Template(Seq.empty,
+          Map("foo" -> graft.core.VarSpec(Seq.empty, DType.F64)),
+          Map.empty, Map.empty), Map.empty)
+    }
+    assert(e2.getMessage.contains("must be included in the result"))
+    // chunk-count-preserving explicit templates still pass
+    assert(xds.mapBlocks(identity, xds.template, Map("x" -> 4))
+      .collectConsolidated()._2.vars("foo").arr.toDoubles.toSeq ==
+      (0 until 8).map(_.toDouble))
+  }
+
+  test("map_blocks_new_split_vars_fails: split-vars variable set is " +
+       "pinned (dataset_test.py:1074-1085)") {
+    val xds = XbeamDataset.fromLocal(spark,
+      Map("foo" -> (Seq("x"),
+        NdArray.fromLongs(DType.I64, Array(8), Array.tabulate(8)(_.toLong)))),
+      chunks = Map("x" -> 4), splitVars = true)
+    val e = intercept[IllegalArgumentException] {
+      xds.mapBlocks(c => ArrayChunk(c.vars.map { case (_, va) => "bar" -> va }))
+    }
+    assert(e.getMessage.contains("cannot use map_blocks on a dataset " +
+      "with split_vars=true if the transformation returns a different " +
+      "set of variables"))
+    assert(e.getMessage.contains("foo") && e.getMessage.contains("bar"))
+  }
+
   test("rechunkSpecs mixes exact, full and byte-target dims") {
     import graft.core.ChunkSpec
     val xds = era5ds(Map("time" -> 1))
