@@ -3859,6 +3859,56 @@ object XbeamQueries {
                  CASE WHEN vf >= 10 THEN vf
                       ELSE CAST('nan' AS DOUBLE) END
           FROM grid)
-        ORDER BY run, t, x"""))
+        ORDER BY run, t, x""")),
+
+    // --------------------------------------------------------------- x126
+    // Large-N scan stress: a 200,000-chunk store (t=400k / chunk t=2)
+    // where only the LAST five chunks hold data — the regime the
+    // reference shards key spaces for (core.py:554-555's
+    // shard_keys_threshold). The store is metadata-only to set up
+    // (O(1) blobs — setupStore never enumerates chunks) and the pushed
+    // t-range predicate must prune 199,995 of the 200,000 keys at plan
+    // time: the read plans 5 input partitions, never 200k tasks, and
+    // stats come from the arithmetic per-dim path (no key enumeration).
+    // ZarrDataSourceSpec pins the planned-partition count and planning
+    // latency; a hash-match here proves enumeration + pruning + the
+    // fill-value read path all hold at 100 TB chunk counts.
+    QueryDef(
+      "x126_scan_200k_chunks",
+      (s, dir) => {
+        import graft.core.{Template, VarSpec}
+        import graft.sources.Zarr
+        val store = zarrPath("x126", dir)
+        val root = java.nio.file.Paths.get(store)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+        val tSize = 400000L
+        val template = Template(Seq("t" -> tSize, "x" -> 8L),
+          Map("uid" -> VarSpec(Seq("t", "x"), DType.I64),
+            "vf" -> VarSpec(Seq("t", "x"), DType.F64)),
+          Map.empty, Map.empty)
+        Zarr.setupStore(store, template, Map("t" -> 2, "x" -> 8))
+        val sm = Zarr.openStore(store)
+        (0 until 5).foreach { k =>
+          val t0 = tSize - 10 + k * 2
+          Zarr.writeRegion(store, "uid", sm.arrays("uid"), Array(t0, 0L),
+            NdArray.fromLongs(DType.I64, Array(2, 8),
+              Array.tabulate(16)(i => (t0 + i / 8) * 8 + i % 8)))
+          Zarr.writeRegion(store, "vf", sm.arrays("vf"), Array(t0, 0L),
+            NdArray.fromDoubles(DType.F64, Array(2, 8),
+              Array.tabulate(16)(i => (t0 + i / 8) + (i % 8) / 8.0)))
+        }
+        s.read.format("zarr").load(store)
+          .filter(s"t >= ${tSize - 10}")
+          .orderBy("t", "x")
+      },
+      Some("""
+        SELECT t, x, t * 8 + x AS uid, t + x / 8.0 AS vf
+        FROM (SELECT unnest(range(399990, 400000)) AS t),
+             (SELECT unnest(range(8)) AS x)
+        ORDER BY t, x"""))
   )
 }

