@@ -828,6 +828,30 @@ final class XbeamDataset private (
       })
   }
 
+  /** Attach (or replace) a coordinate on an existing dim (xarray
+    * `assign_coords`): pure plan-time metadata — chunks never move,
+    * the scan/lineage is untouched. The label array must span the dim
+    * exactly; every coordinate-consuming op (sortby, sel, reindex,
+    * groupbyCoord*, resample) reads it from the template. Pass
+    * `coord = None` to drop the coordinate (xarray `reset_index`
+    * flavor). */
+  def assignCoords(dim: String, coord: Option[NdArray]): XbeamDataset = {
+    require(template.dimSizes.contains(dim),
+      s"assign_coords: unknown dim $dim (dims: ${template.dimOrder})")
+    coord.foreach { c =>
+      require(c.ndim == 1 && c.shape(0).toLong == template.dimSizes(dim),
+        s"assign_coords: coordinate for dim $dim must be 1-D of length " +
+          s"${template.dimSizes(dim)}, got shape ${c.shape.mkString("x")}")
+    }
+    withPlan(template.copy(coords = coord match {
+      case Some(c) => template.coords + (dim -> c)
+      case None => template.coords - dim
+    }), chunkSizes, splitVars, chunkDataset)
+  }
+
+  def assignCoords(dim: String, coord: NdArray): XbeamDataset =
+    assignCoords(dim, Some(coord))
+
   /** Add a new size-1 leading dim (xarray `expand_dims`): every
     * variable gains a leading axis of extent 1 and every key an offset
     * 0 along it — metadata plus a per-chunk reshape, no shuffle. */

@@ -626,9 +626,7 @@ object XbeamQueries {
         // persist the coord through a store and read it back: the gate
         // covers datetime64 coordinate IO, not just the rekey
         val store = zarrPath("x16", dir)
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         withCoord.toZarr(store)
         val back = XbeamDataset.fromZarr(s, store)
         val coordNs = back.template.coords("t").toLongs
@@ -1046,9 +1044,7 @@ object XbeamQueries {
         val tSize = xds0.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(i => i.toDouble * i))
-        val xds = XbeamDataset.fromPairs(s,
-          xds0.template.copy(coords = Map("t" -> coord)),
-          xds0.chunkSizes, xds0.chunkDataset, validate = false)
+        val xds = xds0.assignCoords("t", coord)
         def frame(x: XbeamDataset, tag: String) =
           TabularBridge.toDataFrame(x).select(col("x"),
             col("uid").as(s"uid_$tag"), col("vf").as(s"vf_$tag"))
@@ -1205,9 +1201,7 @@ object XbeamQueries {
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
         val store = zarrPath("x35", dir)
-        XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        xds.assignCoords("t", timeCoord).toZarr(store)
         val back = XbeamDataset.fromZarr(s, store)
         def ns(iso: String): Long =
           java.time.Instant.parse(iso).getEpochSecond * 1000000000L
@@ -1355,9 +1349,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         TabularBridge.toDataFrame(withCoord.resampleMean("t", "month"))
           .orderBy("t", "x")
       },
@@ -1389,9 +1381,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         TabularBridge.toDataFrame(withCoord.resampleReduce("t", "month", "max"))
           .orderBy("t", "x")
       },
@@ -1720,9 +1710,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         val targets = Array.tabulate(tSize - 1)(i => i + 0.5)
         TabularBridge.toDataFrame(withCoord.interpLinear("t", targets))
           .orderBy("t", "x")
@@ -1756,9 +1744,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         val labels = Array.tabulate(40) { j =>
           if (j < 16) j.toDouble
           else if (j < 32) 10000.0 + j
@@ -1800,9 +1786,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(i => i.toDouble * i))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         TabularBridge.toDataFrame(withCoord.integrate("t")).orderBy("x")
       },
       Some(s"""
@@ -1829,9 +1813,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(i => i.toDouble * i))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         TabularBridge.toDataFrame(withCoord.differentiate("t"))
           .orderBy("t", "x")
       },
@@ -1864,9 +1846,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(i => i.toDouble * i))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         TabularBridge.toDataFrame(withCoord.cumulativeIntegrate("t"))
           .orderBy("t", "x")
       },
@@ -1923,9 +1903,7 @@ object XbeamQueries {
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
         val store = zarrPath("x50", dir)
-        XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        xds.assignCoords("t", timeCoord).toZarr(store)
         def ns(iso: String): Long =
           java.time.Instant.parse(iso).getEpochSecond * 1000000000L
         val out = XbeamDataset.fromZarr(s, store)
@@ -2267,9 +2245,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         TabularBridge.toDataFrame(withCoord.sortby("t", descending = true))
           .orderBy("t", "x")
       },
@@ -2351,9 +2327,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         val targets = Array.tabulate(tSize - 1)(j =>
           j + (if (j % 2 == 0) 0.25 else 0.75))
         TabularBridge.toDataFrame(withCoord.interpNearest("t", targets))
@@ -2428,9 +2402,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
           .select(Set("vf"))
         val targets = Array.tabulate(2 * (tSize - 1))(k =>
           k / 2 + (if (k % 2 == 0) 0.2 else 0.7))
@@ -2565,9 +2537,7 @@ object XbeamQueries {
             chunks = Map("t" -> 16, "x" -> 16))
           val labels = NdArray.fromDoubles(DType.F64, Array(n.toInt),
             Array.tabulate(n.toInt)(i => (from + i).toDouble))
-          XbeamDataset.fromPairs(s,
-            base.template.copy(coords = Map("t" -> labels)),
-            base.chunkSizes, base.chunkDataset, validate = false)
+          base.assignCoords("t", labels)
         }
         val (a, b) = part(0, hi).align(part(lo, tSize), "t", "outer")
         def frame(x: XbeamDataset, tag: String) =
@@ -2621,10 +2591,9 @@ object XbeamQueries {
         val xSize = W.toInt
         def labels(n: Int) = NdArray.fromDoubles(DType.F64, Array(n),
           Array.tabulate(n)(_.toDouble))
-        val withCoords = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords =
-            Map("t" -> labels(tSize), "x" -> labels(xSize))),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoords = xds
+          .assignCoords("t", labels(tSize))
+          .assignCoords("x", labels(xSize))
           .select(Set("vf"))
         val tMid = Array.tabulate(tSize - 1)(_ + 0.5)
         val xMid = Array.tabulate(xSize - 1)(_ + 0.5)
@@ -2741,9 +2710,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
           Array.tabulate(tSize)(i => (i % 7).toLong))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> seasons)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", seasons)
         TabularBridge.toDataFrame(withCoord.groupbyCoordMean("t"))
           .orderBy("t", "x")
       },
@@ -2809,9 +2776,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         TabularBridge.toDataFrame(withCoord.resampleReduce("t", "week", "sum"))
           .orderBy("t", "x")
       },
@@ -2842,9 +2807,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
           Array.tabulate(tSize)(i => (i % 7).toLong))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> seasons)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", seasons)
         TabularBridge.toDataFrame(withCoord.groupbyCoordMedian("t"))
           .orderBy("t", "x")
       },
@@ -2911,9 +2874,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         val targets = Array.tabulate(tSize - 1)(i =>
           baseNs + i * stepNs + stepNs / 2)
         TabularBridge.toDataFrame(withCoord.interpLinear("t", targets))
@@ -2946,9 +2907,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val coord = NdArray.fromDoubles(DType.F64, Array(tSize),
           Array.tabulate(tSize)(_.toDouble))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> coord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", coord)
         TabularBridge.toDataFrame(
           withCoord.dropSel("t", Array(3.0, 7.0, 11.0)))
           .orderBy("t", "x")
@@ -3000,9 +2959,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
           Array.tabulate(tSize)(i => (i % 7).toLong))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> seasons)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", seasons)
         TabularBridge.toDataFrame(withCoord.groupbyCoordAnomaly("t"))
           .orderBy("t", "x")
       },
@@ -3035,9 +2992,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         val targets = Array.tabulate(tSize)(j =>
           baseNs + j * stepNs + (if (j % 2 == 1) 1L else 0L))
         TabularBridge.toDataFrame(withCoord.reindex("t", targets))
@@ -3070,9 +3025,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", timeCoord)
         TabularBridge.toDataFrame(
           withCoord.timeField("t", "hour").groupbyCoordMean("t"))
           .orderBy("t", "x")
@@ -3106,9 +3059,7 @@ object XbeamQueries {
         val stepNs = 25L * 3600 * 1000000000L
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
-        val xds = XbeamDataset.fromPairs(s,
-          xds0.template.copy(coords = Map("t" -> timeCoord)),
-          xds0.chunkSizes, xds0.chunkDataset, validate = false)
+        val xds = xds0.assignCoords("t", timeCoord)
         TabularBridge.toDataFrame(xds.idxmax("t"))
           .select(col("x"), col("uid").as("uid_at_max"),
             col("vf").as("vf_at_max"))
@@ -3291,9 +3242,7 @@ object XbeamQueries {
         val tSize = xds.template.dimSizes("t").toInt
         val seasons = NdArray.fromLongs(DType.I64, Array(tSize),
           Array.tabulate(tSize)(i => (i % 7).toLong))
-        val withCoord = XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> seasons)),
-          xds.chunkSizes, xds.chunkDataset, validate = false)
+        val withCoord = xds.assignCoords("t", seasons)
         TabularBridge.toDataFrame(
           withCoord.groupbyCoordApproxQuantile("t", 0.5, bins = 64))
           .orderBy("t", "x")
@@ -3443,9 +3392,7 @@ object XbeamQueries {
         val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
           Array.tabulate(tSize)(i => baseNs + i * stepNs))
         val store = zarrPath("x115", dir)
-        XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> timeCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        xds.assignCoords("t", timeCoord).toZarr(store)
         def ns(iso: String): Long =
           java.time.Instant.parse(iso).getEpochSecond * 1000000000L
         s.read.format("zarr").option("coords", "true").load(store)
@@ -3654,9 +3601,7 @@ object XbeamQueries {
         val dupCoord = NdArray.fromLongs(DType.I64, Array(tSize),
           Array.tabulate(tSize)(i => (i / 3).toLong))
         val store = zarrPath("x120", dir)
-        XbeamDataset.fromPairs(s,
-          xds.template.copy(coords = Map("t" -> dupCoord)),
-          xds.chunkSizes, xds.chunkDataset, validate = false).toZarr(store)
+        xds.assignCoords("t", dupCoord).toZarr(store)
         TabularBridge.toDataFrame(
           XbeamDataset.fromZarr(s, store).dropDuplicates("t"))
           .orderBy("t", "x")

@@ -2108,6 +2108,27 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(desc.toDoubles.toSeq == Seq(1.0, 2, 5, 6, 3, 4))
   }
 
+  test("assignCoords attaches/replaces/drops a dim coordinate plan-time") {
+    val vals = NdArray.fromDoubles(DType.F64, Array(4), Array(1.0, 2, 3, 4))
+    val ds = XbeamDataset.fromLocal(spark, Map("v" -> (Seq("t"), vals)),
+      chunks = Map("t" -> 2))
+    val coord = NdArray.fromDoubles(DType.F64, Array(4), Array(3.0, 1, 2, 0))
+    val withC = ds.assignCoords("t", coord)
+    assert(withC.template.coords("t").sameAs(coord))
+    // coordinate-consuming ops read it: sortby by the new labels
+    assert(withC.sortby("t").collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(4.0, 2, 3, 1))
+    // replace, then drop (reset_index flavor)
+    val replaced = withC.assignCoords("t",
+      NdArray.fromLongs(DType.I64, Array(4), Array(9L, 8, 7, 6)))
+    assert(replaced.template.coords("t").toDoubles.head == 9.0)
+    assert(withC.assignCoords("t", None).template.coords.isEmpty)
+    // validation: unknown dim, wrong length
+    assertThrows[IllegalArgumentException](ds.assignCoords("nope", coord))
+    assertThrows[IllegalArgumentException](ds.assignCoords("t",
+      NdArray.fromDoubles(DType.F64, Array(3), Array(1.0, 2, 3))))
+  }
+
   test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
     // Guard against the r15 class of regression: the gather
     // (XbeamDataset.reindexGather) preserves the source dtype whenever
