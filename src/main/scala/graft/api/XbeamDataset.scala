@@ -229,7 +229,12 @@ final class XbeamDataset private (
     * truth and per-chunk validation enforces it downstream. */
   def mapBlocks(f: ArrayChunk => ArrayChunk, newTemplate: Template,
                 newChunks: Map[String, Int]): XbeamDataset = {
-    val nc = ChunkGrid.normalizeChunks(newChunks, newTemplate.dimSizes)
+    // dims shared with the source inherit its chunking unless newChunks
+    // overrides (the reference normalizes against previous chunks);
+    // only brand-new dims default to one full-dim chunk
+    val inherited = chunkSizes.filter(kv => newTemplate.dimSizes.contains(kv._1))
+    val nc = ChunkGrid.normalizeChunks(inherited ++ newChunks,
+      newTemplate.dimSizes)
     // the reference validates chunk-COUNT preservation even with an
     // explicit template (dataset.py:943-957): a multi-chunk source dim
     // must survive into the result with the same chunk count, or keys
@@ -5118,7 +5123,12 @@ final class XbeamDataset private (
         require(extra.isEmpty,
           s"zarrChunksPerShard=$zarrChunksPerShard includes keys that are " +
             s"not dimensions in template: $extra")
-        val shards = if (zarrShards.nonEmpty) zarrShards else chunkSizes
+        // an explicit partial zarrShards map normalizes against the
+        // in-memory chunks first (the reference's normalize_chunks with
+        // previous_chunks=self.chunks, dataset.py:812-818), so a cps
+        // key for a dim the shards map doesn't name still applies
+        val shards = template.dimOrder
+          .map(d => d -> zarrShards.getOrElse(d, chunkSizes(d))).toMap
         val chunks = shards.map { case (d, shardSize) =>
           val n = cps.getOrElse(d, defaultCps)
           require(n > 0, s"chunks per shard for dim $d must be positive, got $n")
@@ -5374,8 +5384,8 @@ object XbeamDataset {
           d.template.coords(k).sameAs(c) },
         "concatNew: member coordinates differ — align or reindex to " +
           "common labels first (stacking would mislabel data)")
-      require(d.template.attrs == head.template.attrs,
-        "concatNew: member attrs differ")
+      // attrs intentionally NOT validated: xarray concat's default
+      // combine_attrs="override" keeps the first dataset's attrs
     }
     import graft.operators.ChunkTransforms.{Pair, pairEnc}
     val newTemplate = graft.core.Template(

@@ -721,7 +721,9 @@ class ZarrScan(path: String, dims: Seq[(String, Long)], chunks: Map[String, Int]
     * cross-dim pruner is active: per-dim keeps are independent, so the
     * count is the product over dims of the kept clamped chunk lengths. */
   private def arithmeticRowCount: Option[Long] = {
-    if (varBounds.nonEmpty || runtimeIn.nonEmpty) return None
+    // a pushed LIMIT truncates planPartitions to the covering chunks —
+    // fall back to the (memoized) enumeration so stats stay limit-sized
+    if (varBounds.nonEmpty || runtimeIn.nonEmpty || limitRows >= 0) return None
     Some(dims.map { case (d, size) =>
       val ch = chunks(d).toLong
       val n = ((size + ch - 1) / ch).toInt

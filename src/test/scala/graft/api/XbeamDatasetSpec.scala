@@ -1630,6 +1630,11 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(xds.mapBlocks(identity, xds.template, Map("x" -> 4))
       .collectConsolidated()._2.vars("foo").arr.toDoubles.toSeq ==
       (0 until 8).map(_.toDouble))
+    // dims shared with the source inherit its chunking: an EMPTY (or
+    // partial) newChunks map must not default a multi-chunk dim to one
+    // full-dim chunk and then fail its own count check
+    assert(xds.mapBlocks(identity, xds.template, Map.empty)
+      .chunkSizes("x") == 4)
   }
 
   test("map_blocks_new_split_vars_fails: split-vars variable set is " +

@@ -105,9 +105,18 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     // path: repeated asks stay cheap and exact
     val s0 = System.nanoTime()
     (1 to 20).foreach { _ =>
-      val stats = df.filter(s"t < 100").queryExecution.optimizedPlan.stats
-      assert(stats.rowCount.forall(_ == BigInt(100 * 8)) ||
-        stats.sizeInBytes > 0) // exact when DSv2 stats propagate
+      // read the V2 scan relation's own stats (a Filter node above it
+      // drops rowCount without CBO): pushdown rewrites the filter into
+      // the scan, whose estimateStatistics must report the EXACT
+      // bounds-pruned count through the arithmetic per-dim path
+      val plan = df.filter(s"t < 100").queryExecution.optimizedPlan
+      val scanStats = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }
+      assert(scanStats.nonEmpty, s"no V2 scan relation in:\n$plan")
+      assert(scanStats.head.rowCount.contains(BigInt(100 * 8)),
+        s"expected exact pruned row count 800, got ${scanStats.head.rowCount}")
     }
     val statsMs = (System.nanoTime() - s0) / 1e6
     assert(statsMs < 20000, s"20 stats asks over 200k chunks took $statsMs ms")

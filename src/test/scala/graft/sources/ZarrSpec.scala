@@ -594,6 +594,20 @@ class ZarrSpec extends AnyFunSuite {
     assert(metaOf(p4).chunks == Seq(6) && metaOf(p4).shardChunks == Some(Seq(3)))
     roundtrips(p4, 24)
 
+    // a cps key for a dim the explicit shards map does NOT name still
+    // applies: shards normalize against the in-memory chunks first
+    // (normalize_chunks with previous_chunks, dataset.py:812-818)
+    val p5 = tmpStore() + "/cps5"
+    XbeamDataset.fromLocal(spark, Map("foo" -> (Seq("x", "y"),
+        NdArray.fromDoubles(DType.F64, Array(12, 10),
+          Array.tabulate(120)(_.toDouble)))),
+      chunks = Map("x" -> 6, "y" -> 5))
+      .toZarr(p5, zarrChunksPerShard = Map("y" -> 5),
+        zarrShards = Map("x" -> 6))
+    // shards {x:6 explicit, y:5 from mem chunks}; inner {x:6, y:1}
+    assert(metaOf(p5).chunks == Seq(6, 5) &&
+      metaOf(p5).shardChunks == Some(Seq(6, 1)))
+
     // full-dim shards round UP to a whole chunk multiple (overhanging
     // shard, dataset_test.py:727-741): x=19, zarr chunks 10 → shard 20
     for (sh <- Seq(Map("x" -> 19), Map("x" -> 20))) {
