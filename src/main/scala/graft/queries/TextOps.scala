@@ -32,21 +32,21 @@ object TextOps {
     * construction O(words^2) per document (measured 6x slower at
     * sf0.1). The wrapper keeps the split a lambda-bound value that is
     * evaluated once per row no matter how projections collapse. */
-  private val SHINGLES_SPARK =
+  private[graft] val SHINGLES_SPARK =
     """array_distinct(flatten(transform(array(split(text, ' ')),
       |  ws -> transform(sequence(1, size(ws) - 2),
       |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
       |                ' ', element_at(ws, i + 2))))))""".stripMargin
 
   /** doc_id, lang, n_chars, shingles for docs with >= 3 words. */
-  private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
       .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
   private val SHINGLES_DUCK =
     """list_distinct(list_transform(range(1, len(words) - 1),
       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))""".stripMargin
 
-  private[queries] val DUCK_SHINGLE_CTE =
+  private[graft] val DUCK_SHINGLE_CTE =
     s"""WITH w AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words FROM documents),
        |sh AS (SELECT doc_id, lang, n_chars, $SHINGLES_DUCK AS shingles
        |       FROM w WHERE len(words) >= 3)""".stripMargin
@@ -103,6 +103,41 @@ object TextOps {
         ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jaccard" >= lit(num.toDouble / den))
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** 8-lane minhash signature from TWO md5 digests per shingle: each
+    * digest array is computed ONCE (as an argument of the array()
+    * wrapper, not inside the k-loop where it would be re-evaluated 8x),
+    * then sliced into 4 x 32-bit hex lanes and min-reduced per lane.
+    * Lane k = digest (k div 4), slice (k % 4) — the exact order the
+    * DuckDB oracles' k-loops produce. */
+  private[graft] val MINHASH_SIGS_EXPR =
+    """element_at(transform(array(shingles), sha ->
+      |  flatten(transform(
+      |    array(transform(sha, s -> md5(concat('0|', s))),
+      |          transform(sha, s -> md5(concat('1|', s)))),
+      |    dg -> transform(sequence(0, 3),
+      |      j -> array_min(transform(dg, d -> substr(d, j * 8 + 1, 8))))))), 1)""".stripMargin
+  /** Four 2-lane LSH bands over `sigs`. Lambda-bound once — otherwise
+    * projection collapse re-inlines the whole minhash computation into
+    * every element_at reference (8x per doc, measured 2s at sf0.1). */
+  private[graft] val MINHASH_BANDS_EXPR =
+    """element_at(transform(array(sigs), sg ->
+      |  transform(sequence(0, 3),
+      |    b -> concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)))), 1)""".stripMargin
+
+  /** Banded minhash rows for LSH bucketing: every non-(doc_id,
+    * shingles) column of `docs` is carried through, `shingles` is
+    * replaced by (band_idx, band). Shared by d04's batch LSH and the
+    * streaming near-dup gate (s11). Streaming-safe: pure codegen
+    * expressions, no aggregation. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    val carry = docs.columns.filterNot(Set("doc_id", "shingles")).toSeq
+    val sel = Seq("doc_id") ++ carry ++ Seq(s"$MINHASH_SIGS_EXPR AS sigs")
+    docs.selectExpr(sel: _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+
+        posexplode(expr(MINHASH_BANDS_EXPR))): _*)
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
   }
 
   /** Connected components over an undirected edge list (`u`, `v`
@@ -279,32 +314,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val sh = shingled(s, dir).select($"doc_id", $"shingles")
-        // 8 minhash lanes from TWO md5 digests per shingle: each digest
-        // array is computed ONCE (as an argument of the array() wrapper,
-        // not inside the k-loop where it would be re-evaluated 8x), then
-        // sliced into 4 x 32-bit hex lanes and min-reduced per lane.
-        // Lane k = digest (k div 4), slice (k % 4) — the exact order the
-        // oracle's k-loop produces. The shingle array is lambda-bound
-        // once too (see SHINGLES_SPARK).
-        val sig = sh.selectExpr("doc_id",
-          """element_at(transform(array(shingles), sha ->
-            |  flatten(transform(
-            |    array(transform(sha, s -> md5(concat('0|', s))),
-            |          transform(sha, s -> md5(concat('1|', s)))),
-            |    dg -> transform(sequence(0, 3),
-            |      j -> array_min(transform(dg, d -> substr(d, j * 8 + 1, 8))))))), 1) AS sigs""".stripMargin)
         // bands carry only (doc_id, band): candidate ids are deduped
         // BEFORE any array payload is shuffled, then verified against
         // the shingle sets — the band join never moves document content.
-        // sigs is lambda-bound once here too — otherwise projection
-        // collapse re-inlines the whole minhash computation into every
-        // element_at reference (8x per doc, measured 2s at sf0.1).
-        val bands = sig.select($"doc_id",
-            posexplode(expr(
-              """element_at(transform(array(sigs), sg ->
-                |  transform(sequence(0, 3),
-                |    b -> concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)))), 1)""".stripMargin)))
-          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+        val bands = minhashBands(sh)
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")

@@ -832,6 +832,103 @@ object StreamOps {
         SELECT hours.hour AS hour, COALESCE(n_events, 0) AS n_events,
                COALESCE(sum_value, 0.0) AS sum_value
         FROM hours LEFT JOIN agg ON hours.hour = agg.hour
-        ORDER BY hours.hour"""))
+        ORDER BY hours.hour""")),
+
+    // ---------------------------------------------------------------- s11
+    // Streaming near-dup detection against an existing corpus — the
+    // always-on ingestion half of the d04 batch dedup: new documents
+    // (doc_id % 3 == 0) arrive as micro-batches, each is minhash-banded
+    // with the SAME codegen expressions as d04, and a stream-static
+    // equi-join on (band_idx, band) probes the banded index of the
+    // existing corpus (doc_id % 3 != 0). The 100 TB asymmetry is the
+    // point: the unbounded corpus side ships only (id, 16-hex-char
+    // band) rows and its shingle-hash sets join in ONLY for verified
+    // candidates, while the new doc's own 8-byte hash array rides its
+    // micro-batch (bounded by batch size by definition). In-stream
+    // dropDuplicates collapses multi-band hits before the verify join;
+    // exact Jaccard over sorted 64-bit shingle hashes via the codegen'd
+    // merge kernel, same as d04. The oracle replays the identical
+    // minhash in DuckDB over the same new/old split.
+    QueryDef(
+      "s11_stream_minhash_neardup",
+      (s, dir) => {
+        import graft.queries.TextOps
+        graft.functions.GraftFunctions.register(s)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // static side: banded LSH index + verification sets of the
+        // existing corpus (at scale both live as maintained tables)
+        val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
+        val idxBands = TextOps.minhashBands(
+            corpus.select(col("doc_id"), col("shingles")))
+          .withColumnRenamed("doc_id", "id_old")
+        val idxSets = corpus.selectExpr("doc_id AS id_old",
+          "array_sort(transform(shingles, x -> xxhash64(x))) AS h_old",
+          "size(shingles) AS sz_old")
+        // stream side: new documents, shingled + banded per micro-batch
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val newDocs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter("doc_id % 3 = 0")
+          .filter(expr("size(split(text, ' ')) >= 3"))
+          .selectExpr("doc_id", s"${TextOps.SHINGLES_SPARK} AS shingles")
+          .selectExpr("doc_id", "shingles",
+            "array_sort(transform(shingles, x -> xxhash64(x))) AS h_new",
+            "size(shingles) AS sz_new")
+        val cand = TextOps.minhashBands(newDocs)
+          .withColumnRenamed("doc_id", "id_new")
+          .join(idxBands, Seq("band_idx", "band"))
+          .select(col("id_new"), col("id_old"), col("h_new"), col("sz_new"))
+          .dropDuplicates("id_new", "id_old")
+        val verified = cand.join(idxSets, Seq("id_old"))
+          .withColumn("inter", expr("sorted_intersect_count(h_new, h_old)"))
+          .select(col("id_new"), col("id_old"),
+            (col("inter").cast("double") /
+              (col("sz_new") + col("sz_old") - col("inter"))).as("jaccard"))
+        val name = "s11_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+        val q = verified.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            import scala.jdk.CollectionConverters._
+            val p = java.nio.file.Paths.get(ckpt)
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        }
+        s.table(name).orderBy("id_new", "id_old")
+      },
+      Some(s"""
+        ${graft.queries.TextOps.DUCK_SHINGLE_CTE},
+        sig AS (SELECT doc_id, shingles,
+                       list_transform(range(0, 8),
+                         k -> list_aggregate(list_transform(
+                                list_transform(shingles,
+                                  s -> md5((k // 4)::VARCHAR || '|' || s)),
+                                d -> substr(d, (k % 4) * 8 + 1, 8)), 'min')) AS sigs
+                FROM sh),
+        bands AS (SELECT doc_id, b AS band_idx,
+                         sigs[2*b+1] || sigs[2*b+2] AS band
+                  FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+        cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+                 FROM bands n JOIN bands o
+                   ON n.band_idx = o.band_idx AND n.band = o.band
+                 WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0)
+        SELECT id_new, id_old,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+               (len(x.shingles) + len(y.shingles) -
+                len(list_intersect(x.shingles, y.shingles))) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_new JOIN sh y ON y.doc_id = id_old
+        ORDER BY id_new, id_old"""))
   )
 }
