@@ -845,7 +845,11 @@ object StreamOps {
     // band) rows and its shingle-hash sets join in ONLY for verified
     // candidates, while the new doc's own 8-byte hash array rides its
     // micro-batch (bounded by batch size by definition). In-stream
-    // dropDuplicates collapses multi-band hits before the verify join;
+    // dropDuplicates collapses multi-band hits before the verify join —
+    // its state is effectively batch-bounded here because each doc_id
+    // arrives exactly once (pairs can't recur across batches); a
+    // deployment with re-deliverable ids would bound it explicitly with
+    // dropDuplicatesWithinWatermark on ingest time;
     // exact Jaccard over sorted 64-bit shingle hashes via the codegen'd
     // merge kernel, same as d04. The oracle replays the identical
     // minhash in DuckDB over the same new/old split.

@@ -52,6 +52,48 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("random graphs: labels equal a local union-find's component minima") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val s = spark
+    import s.implicits._
+    val edgesGen = for {
+      n <- Gen.chooseNum(2, 40) // vertex universe
+      m <- Gen.chooseNum(1, 60) // edge count
+      es <- Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0L, n.toLong - 1)
+        v <- Gen.chooseNum(0L, n.toLong - 1)
+      } yield (u, v))
+    } yield es
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), // Spark jobs per case
+      Prop.forAllNoShrink(edgesGen) { es =>
+        val real = es.filter { case (u, v) => u != v }
+        (real.nonEmpty) ==> {
+          // local union-find oracle
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          real.foreach { case (u, v) =>
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+          }
+          val verts = real.flatMap { case (u, v) => Seq(u, v) }.distinct
+          val expect = verts.map(v => v -> {
+            // component min = root under min-union
+            find(v)
+          }).toMap
+          val (labels, _) = TextOps.connectedComponents(s,
+            es.toDF("u", "v"))
+          val got = labels.as[(Long, Long)].collect().toMap
+          (got == expect) :| s"edges=$real got=$got expect=$expect"
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("one Spark action per round: no separate convergence count() job") {
     val s = spark
     // count root actions (job-group starts) while the loop runs; with
