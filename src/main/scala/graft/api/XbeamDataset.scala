@@ -5126,7 +5126,13 @@ final class XbeamDataset private (
         // an explicit partial zarrShards map normalizes against the
         // in-memory chunks first (the reference's normalize_chunks with
         // previous_chunks=self.chunks, dataset.py:812-818), so a cps
-        // key for a dim the shards map doesn't name still applies
+        // key for a dim the shards map doesn't name still applies.
+        // Unknown shard keys still fail loudly (defaulting by dimOrder
+        // would otherwise silently drop the typo'd entry).
+        (zarrShards.keySet -- template.dimSizes.keySet).foreach { d =>
+          throw new IllegalArgumentException(
+            s"zarr_shards names unknown dim $d (dims: ${template.dimOrder})")
+        }
         val shards = template.dimOrder
           .map(d => d -> zarrShards.getOrElse(d, chunkSizes(d))).toMap
         val chunks = shards.map { case (d, shardSize) =>

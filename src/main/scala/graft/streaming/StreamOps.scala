@@ -66,6 +66,46 @@ object StreamOps {
     graft.queries.Tables.normalizeTs(s, raw, rawType, path)
   }
 
+  /** Run a bounded stream to completion into a memory sink and return
+    * the collected table (the shared tail of every sNN gate). Shuffle
+    * partitions drop to 8 for the run — streaming state stores are
+    * per-shuffle-partition and the key spaces here are tiny, so fewer
+    * state partitions cut checkpoint IO ~4x — and are restored even
+    * when plan construction or start() throws (`build` is by-name and
+    * evaluated inside the try). Checkpoints go to tmpfs when available
+    * (the bounded demo run has no recovery story to preserve; a
+    * production job points this at durable storage) and are removed
+    * afterwards with a properly closed walk stream. */
+  private def runToMemoryTable(s: SparkSession, prefix: String)
+                              (build: => DataFrame): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val name = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = (if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
+        System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = build.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val p = java.nio.file.Paths.get(ckpt)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+          } finally walk.close()
+        }
+      } catch { case _: Throwable => () }
+    }
+    s.table(name)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- s01
     // Hourly event-time windows with a zero-delay watermark, append
@@ -80,38 +120,16 @@ object StreamOps {
         // so a handful of state partitions cuts checkpoint IO ~4x
         // (state partitioning is fixed at stream start, independent of
         // the batch setting we restore below)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val stream = eventsStream(s, dir)
-          .withWatermark("ts", "0 seconds")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-               sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-          .select(unix_micros(col("window.start")).as("hour_start_us"),
-                  col("event_type"), col("n_events"), col("sum_value"))
-        val name = "s01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        // checkpoint on tmpfs when available: the bounded demo run has
-        // no recovery story to preserve, so state-commit fsyncs are
-        // pure overhead (a production job points this at durable
-        // storage)
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = stream.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("hour_start_us", "event_type")
+        runToMemoryTable(s, "s01_sink") {
+          val stream = eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+                 sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+            .select(unix_micros(col("window.start")).as("hour_start_us"),
+                    col("event_type"), col("n_events"), col("sum_value"))
+          stream
+        }.orderBy("hour_start_us", "event_type")
       },
       Some("""
         WITH ev AS (SELECT *, time_bucket(INTERVAL 1 HOUR, ts) AS hour_start FROM events)
@@ -134,65 +152,47 @@ object StreamOps {
       "s02_stream_sessions",
       (s, dir) => {
         import s.implicits._
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val gapUs = 30L * 60 * 1000000
-        val stream = eventsStream(s, dir)
-          .withWatermark("ts", "0 seconds")
-          // the watermarked event-time column must flow into the
-          // stateful operator for EventTimeTimeout to engage
-          .select($"user_id", unix_micros($"ts").as("ts_us"), $"ts")
-          .as[(Long, Long, java.sql.Timestamp)]
-        val sessions = stream.groupByKey(_._1)
-          .flatMapGroupsWithState[SessionState, SessionOut](
-            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-            (uid: Long, events: Iterator[(Long, Long, java.sql.Timestamp)],
-             state: GroupState[SessionState]) =>
-              if (state.hasTimedOut) {
-                val st = state.get
-                state.remove()
-                Iterator(SessionOut(uid, st.sid, st.startUs, st.endUs, st.n))
-              } else {
-                // events within a batch arrive unordered — sessionize in
-                // event-time order, resuming from any open session
-                val ts = events.map(_._2).toArray.sorted
-                val closed = Seq.newBuilder[SessionOut]
-                var cur = state.getOption.orNull
-                ts.foreach { t =>
-                  cur match {
-                    case null => cur = SessionState(1L, t, t, 1L)
-                    case st if t - st.endUs > gapUs =>
-                      closed += SessionOut(uid, st.sid, st.startUs, st.endUs, st.n)
-                      cur = SessionState(st.sid + 1, t, t, 1L)
-                    case st =>
-                      cur = st.copy(endUs = math.max(st.endUs, t), n = st.n + 1)
+        runToMemoryTable(s, "s02_sink") {
+          val gapUs = 30L * 60 * 1000000
+          val stream = eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds")
+            // the watermarked event-time column must flow into the
+            // stateful operator for EventTimeTimeout to engage
+            .select($"user_id", unix_micros($"ts").as("ts_us"), $"ts")
+            .as[(Long, Long, java.sql.Timestamp)]
+          val sessions = stream.groupByKey(_._1)
+            .flatMapGroupsWithState[SessionState, SessionOut](
+              OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+              (uid: Long, events: Iterator[(Long, Long, java.sql.Timestamp)],
+               state: GroupState[SessionState]) =>
+                if (state.hasTimedOut) {
+                  val st = state.get
+                  state.remove()
+                  Iterator(SessionOut(uid, st.sid, st.startUs, st.endUs, st.n))
+                } else {
+                  // events within a batch arrive unordered — sessionize in
+                  // event-time order, resuming from any open session
+                  val ts = events.map(_._2).toArray.sorted
+                  val closed = Seq.newBuilder[SessionOut]
+                  var cur = state.getOption.orNull
+                  ts.foreach { t =>
+                    cur match {
+                      case null => cur = SessionState(1L, t, t, 1L)
+                      case st if t - st.endUs > gapUs =>
+                        closed += SessionOut(uid, st.sid, st.startUs, st.endUs, st.n)
+                        cur = SessionState(st.sid + 1, t, t, 1L)
+                      case st =>
+                        cur = st.copy(endUs = math.max(st.endUs, t), n = st.n + 1)
+                    }
                   }
+                  state.update(cur)
+                  // fire once the watermark (ms precision) passes end + gap
+                  state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000)
+                  closed.result().iterator
                 }
-                state.update(cur)
-                // fire once the watermark (ms precision) passes end + gap
-                state.setTimeoutTimestamp(cur.endUs / 1000 + gapUs / 1000)
-                closed.result().iterator
-              }
-          }
-        val name = "s02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = sessions.toDF().writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("user_id", "sid")
+            }
+          sessions.toDF()
+        }.orderBy("user_id", "sid")
       },
       Some("""
         WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
@@ -228,33 +228,15 @@ object StreamOps {
     QueryDef(
       "s04_stream_sliding_windows",
       (s, dir) => {
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val stream = eventsStream(s, dir)
-          .withWatermark("ts", "0 seconds")
-          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(unix_micros(col("window.start")).as("win_start_us"),
-                  col("event_type"), col("n_events"))
-        val name = "s04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = stream.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("win_start_us", "event_type")
+        runToMemoryTable(s, "s04_sink") {
+          val stream = eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(unix_micros(col("window.start")).as("win_start_us"),
+                    col("event_type"), col("n_events"))
+          stream
+        }.orderBy("win_start_us", "event_type")
       },
       Some("""
         WITH ev AS (SELECT *, time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events),
@@ -279,37 +261,19 @@ object StreamOps {
     QueryDef(
       "s05_stream_interval_join",
       (s, dir) => {
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        def side(tag: String, typ: String) = eventsStream(s, dir)
-          .filter(col("event_type") === typ)
-          .select(col("event_id").as(s"${tag}_id"),
-                  col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
-          .withWatermark(s"${tag}_ts", "0 seconds")
-        val joined = side("v", "view").join(side("p", "purchase"),
-            expr("v_user = p_user AND p_ts >= v_ts AND " +
-                 "p_ts <= v_ts + interval 6 hours"))
-          .select(col("v_id"), col("p_id"), col("v_user").as("user_id"),
-            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-        val name = "s05_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("v_id", "p_id")
+        runToMemoryTable(s, "s05_sink") {
+          def side(tag: String, typ: String) = eventsStream(s, dir)
+            .filter(col("event_type") === typ)
+            .select(col("event_id").as(s"${tag}_id"),
+                    col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+            .withWatermark(s"${tag}_ts", "0 seconds")
+          val joined = side("v", "view").join(side("p", "purchase"),
+              expr("v_user = p_user AND p_ts >= v_ts AND " +
+                   "p_ts <= v_ts + interval 6 hours"))
+            .select(col("v_id"), col("p_id"), col("v_user").as("user_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+          joined
+        }.orderBy("v_id", "p_id")
       },
       Some("""
         SELECT a.event_id AS v_id, b.event_id AS p_id, a.user_id,
@@ -337,65 +301,47 @@ object StreamOps {
       "s03_stream_dedup",
       (s, dir) => {
         import s.implicits._
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val horizonMs = 20000L
-        val docsSchema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("text", StringType),
-          StructField("lang", StringType),
-          StructField("source", StringType),
-          StructField("n_chars", LongType)))
-        val stream = s.readStream.schema(docsSchema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
-          // +1 day keeps the first doc's event time off the initial
-          // watermark (a ts of exactly epoch 0 is filtered as late)
-          .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
-          .withWatermark("ts", "0 seconds")
-          .select(md5($"text").as("fp"), $"doc_id",
-            unix_micros($"ts").as("ts_us"), $"ts")
-          .as[(String, Long, Long, java.sql.Timestamp)]
-        val survivors = stream.groupByKey(_._1)
-          .flatMapGroupsWithState[DedupState, DedupOut](
-            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-            (fp: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
-             state: GroupState[DedupState]) =>
-              if (state.hasTimedOut) {
-                val st = state.get
-                state.remove()
-                Iterator(DedupOut(fp, st.minId, st.n, st.maxUs))
-              } else {
-                var st = state.getOption.getOrElse(
-                  DedupState(Long.MaxValue, 0L, Long.MinValue))
-                rows.foreach { r =>
-                  st = DedupState(math.min(st.minId, r._2), st.n + 1,
-                    math.max(st.maxUs, r._3))
+        runToMemoryTable(s, "s03_sink") {
+          val horizonMs = 20000L
+          val docsSchema = StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("text", StringType),
+            StructField("lang", StringType),
+            StructField("source", StringType),
+            StructField("n_chars", LongType)))
+          val stream = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            // +1 day keeps the first doc's event time off the initial
+            // watermark (a ts of exactly epoch 0 is filtered as late)
+            .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+            .withWatermark("ts", "0 seconds")
+            .select(md5($"text").as("fp"), $"doc_id",
+              unix_micros($"ts").as("ts_us"), $"ts")
+            .as[(String, Long, Long, java.sql.Timestamp)]
+          val survivors = stream.groupByKey(_._1)
+            .flatMapGroupsWithState[DedupState, DedupOut](
+              OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+              (fp: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+               state: GroupState[DedupState]) =>
+                if (state.hasTimedOut) {
+                  val st = state.get
+                  state.remove()
+                  Iterator(DedupOut(fp, st.minId, st.n, st.maxUs))
+                } else {
+                  var st = state.getOption.getOrElse(
+                    DedupState(Long.MaxValue, 0L, Long.MinValue))
+                  rows.foreach { r =>
+                    st = DedupState(math.min(st.minId, r._2), st.n + 1,
+                      math.max(st.maxUs, r._3))
+                  }
+                  state.update(st)
+                  state.setTimeoutTimestamp(st.maxUs / 1000 + horizonMs)
+                  Iterator.empty
                 }
-                state.update(st)
-                state.setTimeoutTimestamp(st.maxUs / 1000 + horizonMs)
-                Iterator.empty
-              }
-          }
-        val name = "s03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = survivors.toDF().writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("fp")
+            }
+          survivors.toDF()
+        }.orderBy("fp")
       },
       Some("""
         WITH g AS (SELECT md5(text) AS fp, min(doc_id) AS survivor_id,
@@ -419,38 +365,20 @@ object StreamOps {
     QueryDef(
       "s06_stream_static_join",
       (s, dir) => {
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val cust = graft.queries.Tables.t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))
-        val stream = eventsStream(s, dir)
-          .withWatermark("ts", "0 seconds")
-          .join(broadcast(cust), col("user_id") === col("c_custkey"))
-          .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_events"),
-               sum(col("value").cast("decimal(18,6)")).cast("double")
-                 .as("sum_value"))
-          .select(unix_micros(col("window.start")).as("hour_start_us"),
-                  col("c_mktsegment"), col("n_events"), col("sum_value"))
-        val name = "s06_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = stream.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("hour_start_us", "c_mktsegment")
+        runToMemoryTable(s, "s06_sink") {
+          val cust = graft.queries.Tables.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val stream = eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds")
+            .join(broadcast(cust), col("user_id") === col("c_custkey"))
+            .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_events"),
+                 sum(col("value").cast("decimal(18,6)")).cast("double")
+                   .as("sum_value"))
+            .select(unix_micros(col("window.start")).as("hour_start_us"),
+                    col("c_mktsegment"), col("n_events"), col("sum_value"))
+          stream
+        }.orderBy("hour_start_us", "c_mktsegment")
       },
       Some("""
         WITH ev AS (SELECT e.value, c.c_mktsegment,
@@ -858,59 +786,45 @@ object StreamOps {
       (s, dir) => {
         import graft.queries.TextOps
         graft.functions.GraftFunctions.register(s)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // static side: banded LSH index + verification sets of the
-        // existing corpus (at scale both live as maintained tables)
-        val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
-        val idxBands = TextOps.minhashBands(
-            corpus.select(col("doc_id"), col("shingles")))
-          .withColumnRenamed("doc_id", "id_old")
-        val idxSets = corpus.selectExpr("doc_id AS id_old",
-          "array_sort(transform(shingles, x -> xxhash64(x))) AS h_old",
-          "size(shingles) AS sz_old")
-        // stream side: new documents, shingled + banded per micro-batch
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
-        val newDocs = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .filter("doc_id % 3 = 0")
-          .filter(expr("size(split(text, ' ')) >= 3"))
-          .selectExpr("doc_id", s"${TextOps.SHINGLES_SPARK} AS shingles")
-          .selectExpr("doc_id", "shingles",
-            "array_sort(transform(shingles, x -> xxhash64(x))) AS h_new",
-            "size(shingles) AS sz_new")
-        val cand = TextOps.minhashBands(newDocs)
-          .withColumnRenamed("doc_id", "id_new")
-          .join(idxBands, Seq("band_idx", "band"))
-          .select(col("id_new"), col("id_old"), col("h_new"), col("sz_new"))
-          .dropDuplicates("id_new", "id_old")
-        val verified = cand.join(idxSets, Seq("id_old"))
-          .withColumn("inter", expr("sorted_intersect_count(h_new, h_old)"))
-          .select(col("id_new"), col("id_old"),
-            (col("inter").cast("double") /
-              (col("sz_new") + col("sz_old") - col("inter"))).as("jaccard"))
-        val name = "s11_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = verified.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("id_new", "id_old")
+        runToMemoryTable(s, "s11_sink") {
+          // static side: banded LSH index + verification sets of the
+          // existing corpus — persisted: both derive from the shingle
+          // arrays, and a stream-static join re-evaluates its static
+          // side every micro-batch (at scale both live as MAINTAINED
+          // tables; the cache stands in for that here)
+          val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val idxBands = TextOps.minhashBands(
+              corpus.select(col("doc_id"), col("shingles")))
+            .withColumnRenamed("doc_id", "id_old")
+          val idxSets = corpus.selectExpr("doc_id AS id_old",
+            "array_sort(transform(shingles, x -> xxhash64(x))) AS h_old",
+            "size(shingles) AS sz_old")
+          // stream side: new documents, shingled + banded per micro-batch
+          val schema = StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType),
+            StructField("n_chars", LongType)))
+          val newDocs = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter("doc_id % 3 = 0")
+            .filter(expr("size(split(text, ' ')) >= 3"))
+            .selectExpr("doc_id", s"${TextOps.SHINGLES_SPARK} AS shingles")
+            .selectExpr("doc_id", "shingles",
+              "array_sort(transform(shingles, x -> xxhash64(x))) AS h_new",
+              "size(shingles) AS sz_new")
+          val cand = TextOps.minhashBands(newDocs)
+            .withColumnRenamed("doc_id", "id_new")
+            .join(idxBands, Seq("band_idx", "band"))
+            .select(col("id_new"), col("id_old"), col("h_new"), col("sz_new"))
+            .dropDuplicates("id_new", "id_old")
+          val verified = cand.join(idxSets, Seq("id_old"))
+            .withColumn("inter", expr("sorted_intersect_count(h_new, h_old)"))
+            .select(col("id_new"), col("id_old"),
+              (col("inter").cast("double") /
+                (col("sz_new") + col("sz_old") - col("inter"))).as("jaccard"))
+          verified
+        }.orderBy("id_new", "id_old")
       },
       Some(s"""
         ${graft.queries.TextOps.DUCK_SHINGLE_CTE},
