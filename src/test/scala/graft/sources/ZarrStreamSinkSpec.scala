@@ -225,6 +225,52 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(eX.getMessage.contains("F64"))
   }
 
+  test("streaming cells merge into a v3 SHARDED store (shard-granular upsert)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.api.XbeamDataset
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    import graft.operators.ChunkTransforms.Pair
+
+    val base = java.nio.file.Paths.get("target", "stream_sink_shard_spec")
+      .toAbsolutePath
+    rmTree(base)
+    java.nio.file.Files.createDirectories(base)
+    val store = base.resolve("store.zarr").toString
+    // t=12: inner zarr chunks of 2 packed 3-per-shard → shards of 6;
+    // the stream's addressable unit is the SHARD (inferChunks returns
+    // the shard grid), so merges land as whole-shard region writes
+    val template = Template(Seq("t" -> 12L),
+      Map("v" -> VarSpec(Seq("t"), DType.F64)), Map.empty, Map.empty)
+    XbeamDataset.fromPairs(spark, template, Map("t" -> 6),
+      spark.emptyDataset[Pair](graft.operators.ChunkTransforms.pairEnc),
+      validate = false).toZarr(store, zarrChunksPerShard = Map("t" -> 3))
+    assert(Zarr.openStore(store).arrays("v").shardChunks == Some(Seq(2)))
+
+    val src = base.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    // cells span both shards, sparse (t = 1, 4, 7, 10)
+    spark.range(4).select((col("id") * 3 + 1).as("t"),
+        (col("id").cast("double") * 10 + 0.5).as("v"))
+      .coalesce(1).write.parquet(src.toString + "/b0.d")
+    val schema = StructType(Seq(
+      StructField("t", LongType), StructField("v", DoubleType)))
+    val q = spark.readStream.schema(schema).parquet(src.toString + "/*.d")
+      .writeStream.format("zarr")
+      .option("path", store).option("dims", "t")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = XbeamDataset.fromZarr(spark, store)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq
+    (0 until 12).foreach { t =>
+      if (t % 3 == 1) assert(got(t) == (t / 3) * 10 + 0.5, s"t=$t got ${got(t)}")
+      else assert(got(t).isNaN, s"t=$t expected fill, got ${got(t)}")
+    }
+  }
+
   test("sink rejects a missing store, unknown dims, and bad columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
