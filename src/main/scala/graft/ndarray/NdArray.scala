@@ -202,10 +202,14 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 
   /** Raw element bits as long (for exact moves regardless of dtype). */
   private def getLongBits(flat: Long): Long = dtype.itemsize match {
+    case 1 => buf.get(flat.toInt).toLong
+    case 2 => buf.getShort((flat * 2).toInt).toLong
     case 4 => buf.getInt((flat * 4).toInt).toLong
     case 8 => buf.getLong((flat * 8).toInt)
   }
   private[ndarray] def setLongBits(flat: Long, bits: Long): Unit = dtype.itemsize match {
+    case 1 => buf.put(flat.toInt, bits.toByte)
+    case 2 => buf.putShort((flat * 2).toInt, bits.toShort)
     case 4 => buf.putInt((flat * 4).toInt, bits.toInt)
     case 8 => buf.putLong((flat * 8).toInt, bits)
   }
