@@ -57,6 +57,37 @@ class BridgePropSpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("rechunk to any grid is identity on values (incl. forced multistage)") {
+    val g = for {
+      ndim <- Gen.chooseNum(1, 2)
+      dims <- Gen.listOfN(ndim, for {
+        size <- Gen.chooseNum(2, 10)
+        srcChunk <- Gen.chooseNum(1, size)
+        dstChunk <- Gen.chooseNum(1, size)
+      } yield (size, srcChunk, dstChunk))
+      seed <- Gen.chooseNum(0, 1000)
+      // tiny maxMem forces the planner through real intermediate stages
+      // on some cases; 1 GiB takes the single-stage fast path
+      tightMem <- Gen.oneOf(false, true)
+    } yield (dims.toVector, seed, tightMem)
+    check(Prop.forAllNoShrink(g) { case (dims, seed, tightMem) =>
+      val names = dims.indices.map(i => s"d$i")
+      val shape = dims.map(_._1).toArray
+      val src = mk(DType.F64, shape, seed)
+      val ds = XbeamDataset.fromLocal(spark, Map("v" -> (names, src)),
+        chunks = names.zip(dims.map(_._2)).toMap)
+      val maxMem = if (tightMem) 8L * math.max(1,
+        math.max(dims.map(_._2).product, dims.map(_._3).product))
+      else 1L << 30
+      val re = ds.rechunk(names.zip(dims.map(_._3)).toMap, maxMem = maxMem)
+      val got = re.collectConsolidated()._2.vars("v").arr
+      (got.sameAs(src) &&
+        names.zip(dims.map(_._3)).forall { case (d, c) =>
+          re.chunkSizes(d) == c }) :|
+        s"dims=$dims tightMem=$tightMem got=${re.chunkSizes}"
+    }, n = 20)
+  }
+
   test("sumCount along random axes agrees with a naive per-cell loop") {
     val g = for {
       ndim <- Gen.chooseNum(1, 3)
