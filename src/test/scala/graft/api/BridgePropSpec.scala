@@ -15,7 +15,8 @@ class BridgePropSpec extends AnyFunSuite {
 
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(n), p)
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(201611L)), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -31,7 +32,8 @@ class BridgePropSpec extends AnyFunSuite {
 
   test("toDataFrame -> fromDataFrame roundtrips values, dtype, and grid") {
     val g = for {
-      dtype <- Gen.oneOf(DType.F64, DType.I64)
+      dtype <- Gen.oneOf(DType.F64, DType.F32, DType.I64, DType.I32,
+        DType.I16, DType.U8)
       ndim <- Gen.chooseNum(1, 2)
       dims <- Gen.listOfN(ndim, for {
         size <- Gen.chooseNum(1, 8)

@@ -15,7 +15,8 @@ class RechunkPlannerPropSpec extends AnyFunSuite {
 
   private def checkProp(prop: Prop, n: Int): Unit = {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(201608L)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -83,15 +84,32 @@ class RechunkPlannerPropSpec extends AnyFunSuite {
           itemsize * st.read.product <= maxMem &&
           itemsize * st.intermediate.product <= maxMem &&
           itemsize * st.write.product <= maxMem &&
-          minMem <= itemsize * st.read.product &&
-          minMem <= itemsize * st.write.product &&
-          (if (plan.excessiveIo) itemsize * st.intermediate.product <= minMem
-           else minMem <= itemsize * st.intermediate.product) &&
+          // The reference's checker asserts min_mem <= read/write even
+          // on the excessive-IO path, but its own algorithm (which we
+          // port verbatim — floored per-dim geomspace + early return of
+          // prev_plan when IO ops start rising) violates that: e.g.
+          // shape=(3559,135,10000,2936) source=(3559,1,1,1)
+          // target=(1,135,1,697) itemsize=4 minMem=1833081
+          // maxMem=3763800 yields a stage boundary (5,50,1,1813) of
+          // 1813000 bytes < min_mem. On the SUCCESS path boundaries are
+          // >= int >= min_mem by construction, so assert min bounds
+          // only there; excessive-IO plans get the max bound plus the
+          // below-min intermediates the early return implies.
+          (plan.excessiveIo ||
+            (minMem <= itemsize * st.read.product &&
+             minMem <= itemsize * st.write.product &&
+             minMem <= itemsize * st.intermediate.product)) &&
           st.read.indices.forall { d =>
             st.intermediate(d) == math.min(st.read(d), st.write(d))
           }
         }
-        (stages.nonEmpty && headOk && lastOk && stagesOk) :| clue
+        // the excessive-IO early return fires exactly because the
+        // smallest intermediate is still under min_mem (the reference's
+        // per-stage "min_mem >= int" assertion is likewise too strong:
+        // only the MINIMUM across stages is guaranteed below)
+        val excessiveOk = !plan.excessiveIo ||
+          stages.map(st => itemsize * st.intermediate.product).min < minMem
+        (stages.nonEmpty && headOk && lastOk && stagesOk && excessiveOk) :| clue
     }, n = 300)
   }
 

@@ -30,7 +30,10 @@ class ZarrRoundtripPropSpec extends AnyFunSuite {
         nChunks <- Gen.chooseNum(1, 3)
         tail <- Gen.chooseNum(0, inner * k * m - 1)
       } yield (inner, inner * k, inner * k * m,
-        math.max(1, inner * k * m * nChunks - tail)))
+        // size floors at the shard: a shorter dim would clamp the
+        // stored chunk below `inner` and the declared shard would
+        // (correctly) fail its multiple-of-chunk validation
+        math.max(inner * k, inner * k * m * nChunks - tail)))
       fmt <- Gen.oneOf(2, 3)
       sharded <- if (fmt == 3) Gen.oneOf(false, true) else Gen.const(false)
       comp <- Gen.oneOf(None, Some("zlib"), Some("zstd"), Some("blosc"),
@@ -74,7 +77,8 @@ class ZarrRoundtripPropSpec extends AnyFunSuite {
         (back.dtype == src.dtype && back.sameAs(src)) :| clue
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(25)
+        .withInitialSeed(org.scalacheck.rng.Seed(201609L)), prop)
     assert(res.passed, res.status.toString)
   }
 }
