@@ -1,0 +1,125 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.ndarray.{DType, NdArray}
+
+/** ScalaCheck fuzz over three distinct reduction machineries: exact
+  * quantile (order statistics with numpy linear interpolation), ewm
+  * (the affine-composition scan monoid), and coarsen trim/exact (block
+  * reduce), each against a naive oracle on random chunkings. */
+class ReducePropSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def check(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(201617L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def mk1d(spark: org.apache.spark.sql.SparkSession, n: Int,
+                   chunk: Int, vals: Array[Double]) =
+    XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"),
+        NdArray.fromDoubles(DType.F64, Array(n, 2),
+          Array.tabulate(2 * n)(i => vals(i / 2) + (i % 2))))),
+      chunks = Map("t" -> chunk, "x" -> 2))
+
+  test("quantile over t matches numpy linear interpolation per lane") {
+    val g = for {
+      n <- Gen.chooseNum(2, 12)
+      chunk <- Gen.chooseNum(1, n)
+      qk <- Gen.chooseNum(0, 8) // q in eighths incl. endpoints
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, chunk, qk / 8.0, seed)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, q, seed) =>
+      val vals = Array.tabulate(n)(i => (((i * 31 + seed) % 101) - 50) / 2.0)
+      val ds = mk1d(spark, n, chunk, vals)
+      val got = ds.quantile(q, Set("t"))
+        .collectConsolidated()._2.vars("v").arr.toDoubles
+      def naive(xs: Array[Double]): Double = {
+        val s = xs.sorted
+        val pos = q * (s.length - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        val w = pos - lo
+        (1 - w) * s(lo) + w * s(hi)
+      }
+      val exp = Array(naive(vals), naive(vals.map(_ + 1)))
+      (got.length == 2 && got.indices.forall(i =>
+        math.abs(got(i) - exp(i)) < 1e-9)) :|
+        s"n=$n chunk=$chunk q=$q got=${got.toSeq} exp=${exp.toSeq}"
+    }, n = 40)
+  }
+
+  test("ewm matches the naive recursive unadjusted mean per lane") {
+    val g = for {
+      n <- Gen.chooseNum(2, 12)
+      chunk <- Gen.chooseNum(1, n)
+      ak <- Gen.chooseNum(1, 8) // alpha in eighths (dyadic — exact)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, chunk, ak / 8.0, seed)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, alpha, seed) =>
+      val vals = Array.tabulate(n)(i => (((i * 31 + seed) % 101) - 50) / 2.0)
+      val ds = mk1d(spark, n, chunk, vals)
+      val got = ds.ewm("t", alpha)
+        .collectConsolidated()._2.vars("v").arr.toDoubles
+      def naive(xs: Array[Double]): Array[Double] = {
+        val out = new Array[Double](xs.length)
+        out(0) = xs(0)
+        (1 until xs.length).foreach(i =>
+          out(i) = (1 - alpha) * out(i - 1) + alpha * xs(i))
+        out
+      }
+      val e0 = naive(vals)
+      val e1 = naive(vals.map(_ + 1))
+      val ok = (0 until n).forall { i =>
+        math.abs(got(i * 2) - e0(i)) < 1e-9 &&
+        math.abs(got(i * 2 + 1) - e1(i)) < 1e-9
+      }
+      ok :| s"n=$n chunk=$chunk alpha=$alpha got=${got.toSeq} " +
+        s"exp=${e0.toSeq}/${e1.toSeq}"
+    }, n = 40)
+  }
+
+  test("coarsen sum with exact/trim boundaries matches naive block sums") {
+    val g = for {
+      n <- Gen.chooseNum(2, 12)
+      f <- Gen.chooseNum(2, 4)
+      chunkMult <- Gen.chooseNum(1, 3)
+      seed <- Gen.chooseNum(0, 1000)
+      trim <- Gen.oneOf(false, true)
+    } yield (n, f, chunkMult, seed, trim)
+    check(Prop.forAllNoShrink(g) { case (n0, f, chunkMult, seed, trim) =>
+      // exact boundary needs f | n; trim allows any tail
+      val n = if (trim) n0 else (n0 / f).max(1) * f
+      val vals = Array.tabulate(n)(i => (((i * 31 + seed) % 101) - 50) / 2.0)
+      // coarsen requires chunk boundaries aligned to whole blocks
+      // (factor | chunk), and normalizeChunks clamps chunks to the dim
+      // size — so pick a whole-block chunk that fits
+      val chunk = f * math.min(chunkMult, math.max(1, n / f))
+      val ds = mk1d(spark, n, chunk, vals)
+      // fewer positions than one block: the engine rejects loudly
+      // ("no complete window") for BOTH boundaries — skip those
+      if (n < f) Prop.passed
+      else {
+        val out = ds.coarsen(Map("t" -> f), "sum",
+          boundary = if (trim) "trim" else "exact")
+        val got = out.collectConsolidated()._2.vars("v").arr.toDoubles
+        val blocks = n / f
+        val exp0 = Array.tabulate(blocks)(b =>
+          (0 until f).map(k => vals(b * f + k)).sum)
+        val ok = got.length == 2 * blocks && (0 until blocks).forall { b =>
+          math.abs(got(b * 2) - exp0(b)) < 1e-9 &&
+          math.abs(got(b * 2 + 1) - (exp0(b) + f)) < 1e-9
+        }
+        ok :| s"n=$n f=$f chunk=$chunk trim=$trim got=${got.toSeq} " +
+          s"exp0=${exp0.toSeq}"
+      }
+    }, n = 40)
+  }
+}
