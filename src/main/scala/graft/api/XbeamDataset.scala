@@ -857,6 +857,46 @@ final class XbeamDataset private (
   def assignCoords(dim: String, coord: NdArray): XbeamDataset =
     assignCoords(dim, Some(coord))
 
+  /** Promote a 1-D data variable to its dim's coordinate (xarray
+    * `set_index`): the variable's values gather to the driver in chunk
+    * order — bounded by the dim length, exactly like fromZarr's
+    * coordinate read (coords are driver-resident template metadata by
+    * design) — become the coordinate, and the variable leaves the data
+    * vars. Composes with every coordinate consumer: sortby/sel/
+    * reindex/groupbyCoord/resample over a COMPUTED key is
+    * `derive -> setIndex -> op`. The inverse is
+    * `assignCoords(dim, None)` (reset_index). */
+  def setIndex(varName: String): XbeamDataset = {
+    val vspec = template.vars.getOrElse(varName,
+      throw new IllegalArgumentException(
+        s"set_index: unknown variable $varName " +
+          s"(vars: ${template.vars.keys.toSeq.sorted.mkString(",")})"))
+    require(vspec.dims.length == 1,
+      s"set_index: $varName spans ${vspec.dims.mkString(",")} — the index " +
+        "variable must be 1-D over the dim it indexes")
+    val dim = vspec.dims.head
+    val n = template.dimSizes(dim)
+    val maxLen = spark.conf.get("spark.graft.coord.maxLen",
+      (1L << 26).toString).toLong
+    require(n <= maxLen,
+      s"set_index: dim $dim has $n positions — beyond " +
+        s"spark.graft.coord.maxLen=$maxLen for a driver-resident " +
+        "coordinate (raise it deliberately if the driver can hold it)")
+    // gather the variable's slivers; chunks along OTHER dims duplicate
+    // the 1-D sliver identically, so keying by offset dedups for free
+    implicit val sliverEnc = Encoders.kryo[(Long, VarArray)]
+    val dName = dim
+    val vName = varName
+    val parts = select(Set(varName)).chunkDataset
+      .map { p: Pair => (p._1.offsets.getOrElse(dName, 0L), p._2.vars(vName)) }
+      .collect().toMap
+    val coord = NdArray.zeros(vspec.dtype, Array(n.toInt))
+    parts.foreach { case (off, va) =>
+      coord.insert(Array(off.toInt), va.arr)
+    }
+    dropVars(Set(varName)).assignCoords(dim, coord)
+  }
+
   /** Add a new size-1 leading dim (xarray `expand_dims`): every
     * variable gains a leading axis of extent 1 and every key an offset
     * 0 along it — metadata plus a per-chunk reshape, no shuffle. */

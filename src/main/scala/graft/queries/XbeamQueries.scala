@@ -3806,6 +3806,42 @@ object XbeamQueries {
           FROM grid)
         ORDER BY run, t, x""")),
 
+    // --------------------------------------------------------------- x127
+    // set_index + sortby over a COMPUTED key (xarray
+    // `ds.set_index(t="key").sortby("t")` — "order the dataset by a
+    // derived per-row statistic", the analytics shape behind any
+    // sort-by-score materialization): the per-t mean of vf (one keyed
+    // reduction over x) merges back as a 1-D variable, setIndex
+    // promotes it to the t coordinate (values gather driver-side,
+    // bounded by the dim length — coords are template metadata by
+    // design), and sortby's stable positional argsort reorders the
+    // grid through the dtype-preserving gather. Ties (equal means)
+    // keep source order = the oracle's ORDER BY k, t.
+    QueryDef(
+      "x127_set_index_sortby",
+      (s, dir) => {
+        // x is unchunked in the grid fixture, so the per-t mean is
+        // chunk-local: mapBlocks attaches it as a 1-D variable
+        val g = gridXds(s, dir).rechunk(Map("x" -> W.toInt))
+        val keyed = g.mapBlocks { c =>
+          val vf = c.vars("vf")
+          val (sums, counts) = vf.arr.sumCount(Array(1), skipna = true)
+          graft.core.ArrayChunk(c.vars +
+            ("tkey" -> graft.core.VarArray(Seq("t"),
+              sums.zipF64(counts)(_ / _))))
+        }
+        TabularBridge.toDataFrame(keyed.setIndex("tkey").sortby("t"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        key AS (SELECT t, avg(vf) AS k FROM grid GROUP BY t),
+        ord AS (SELECT t, row_number() OVER (ORDER BY k, t) - 1 AS tn
+                FROM key)
+        SELECT o.tn AS t, g.x, g.uid, g.vf
+        FROM grid g JOIN ord o ON g.t = o.t
+        ORDER BY o.tn, g.x""")),
+
     // --------------------------------------------------------------- x126
     // Large-N scan stress: a 200,000-chunk store (t=400k / chunk t=2)
     // where only the LAST five chunks hold data — the regime the

@@ -2134,6 +2134,36 @@ class XbeamDatasetSpec extends AnyFunSuite {
       NdArray.fromDoubles(DType.F64, Array(3), Array(1.0, 2, 3))))
   }
 
+  test("setIndex promotes a 1-D variable to the coordinate; reset inverts") {
+    val key = NdArray.fromDoubles(DType.F64, Array(4), Array(2.5, 0.5, 3.5, 1.5))
+    val data = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array.tabulate(8)(_.toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), data), "k" -> (Seq("t"), key)),
+      chunks = Map("t" -> 2))
+    val indexed = ds.setIndex("k")
+    assert(!indexed.template.vars.contains("k"))
+    assert(indexed.template.coords("t").sameAs(key))
+    // the promoted coordinate drives sortby: key order 0.5,1.5,2.5,3.5
+    // = source rows 1,3,0,2
+    val sorted = indexed.sortby("t").collectConsolidated()._2.vars("v").arr
+    assert(sorted.toDoubles.toSeq ==
+      Seq(2.0, 3, 6, 7, 0, 1, 4, 5))
+    // dtype of an integer index survives
+    val dsI = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(3),
+        Array(1.0, 2, 3))),
+        "ik" -> (Seq("t"), NdArray.fromLongs(DType.I64, Array(3),
+          Array(30L, 10L, 20L)))),
+      chunks = Map("t" -> 2))
+    assert(dsI.setIndex("ik").template.coords("t").dtype == DType.I64)
+    // reset_index drops it again
+    assert(indexed.assignCoords("t", None).template.coords.isEmpty)
+    // errors: unknown var; a 2-D var cannot index
+    assertThrows[IllegalArgumentException](ds.setIndex("nope"))
+    assertThrows[IllegalArgumentException](ds.setIndex("v"))
+  }
+
   test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
     // Guard against the r15 class of regression: the gather
     // (XbeamDataset.reindexGather) preserves the source dtype whenever
