@@ -788,6 +788,31 @@ final class XbeamDataset private (
       VarArray(va.dims, va.arr.mapF64(v => math.min(math.max(v, lo), hi)))))
   }
 
+  /** Cast data variables to new dtypes (xarray/numpy `.astype`):
+    * chunk-local elementwise conversion, no shuffle — the op behind
+    * "store this f64 pipeline output as f32" (halving bytes at the
+    * sink) and "promote packed i16 telemetry before arithmetic".
+    * float→int truncates toward zero (NaN → 0, the JVM's saturating
+    * cast; numpy leaves NaN→int platform-undefined), int→float rounds
+    * past 2^53, any→bool is `!= 0`. The map form casts a subset;
+    * unlisted variables pass through untouched. */
+  def astype(casts: Map[String, DType]): XbeamDataset = {
+    casts.keys.foreach(n => require(template.vars.contains(n),
+      s"astype: unknown variable $n " +
+        s"(vars: ${template.vars.keys.toSeq.sorted.mkString(",")})"))
+    val m = casts
+    mapBlocks(c => ArrayChunk(c.vars.map { case (n, va) =>
+      n -> (m.get(n) match {
+        case Some(dt) => VarArray(va.dims, va.arr.astype(dt))
+        case None => va
+      })
+    }))
+  }
+
+  /** [[astype]] of every data variable to one target dtype. */
+  def astype(dtype: DType): XbeamDataset =
+    astype(template.vars.keys.map(_ -> dtype).toMap)
+
   /** Keep elements where `cond` holds, else `other` (xarray
     * `where(cond, other)` with an elementwise predicate; default NaN). */
   def where(cond: Double => Boolean,
@@ -895,6 +920,24 @@ final class XbeamDataset private (
       coord.insert(Array(off.toInt), va.arr)
     }
     dropVars(Set(varName)).assignCoords(dim, coord)
+  }
+
+  /** Make a 1-D data variable its dim's index AND its name (xarray
+    * `swap_dims({dim: varName})`): [[setIndex]] promotes the variable
+    * to the dim's coordinate, then the dim relabels to the variable's
+    * name — the bounded coordinate gather plus pure metadata, no data
+    * shuffle. The old coordinate (if any) is dropped: non-dimension
+    * coordinates are outside this model (coords are per-dim template
+    * metadata); keep it by copying it to a data variable first. */
+  def swapDims(dim: String, varName: String): XbeamDataset = {
+    val vspec = template.vars.getOrElse(varName,
+      throw new IllegalArgumentException(
+        s"swap_dims: unknown variable $varName " +
+          s"(vars: ${template.vars.keys.toSeq.sorted.mkString(",")})"))
+    require(vspec.dims == Seq(dim),
+      s"swap_dims: $varName spans ${vspec.dims.mkString(",")} — it must " +
+        s"be 1-D over $dim to become its index")
+    setIndex(varName).rename(Map(dim -> varName))
   }
 
   /** Add a new size-1 leading dim (xarray `expand_dims`): every
@@ -2685,6 +2728,25 @@ final class XbeamDataset private (
       template.coords, template.attrs)
     withPlan(newTemplate, chunkSizes + (wd -> w), splitVars,
       out.map { p: Pair => (p._1.copy(vars = None), p._2) })
+  }
+
+  /** Kernel-weighted trailing window along `dim` (xarray's
+    * `rolling(dim, w).construct(windowDim).dot(weights)` idiom, fused):
+    * position i becomes Σ_k weights(k)·v[i−w+1+k] with k = 0 the
+    * OLDEST tap; the first w−1 positions are NaN (incomplete windows —
+    * the construct view's NaN pads propagated through the dot), and a
+    * NaN tap anywhere voids the window. ONE halo exchange, exactly
+    * like [[rolling]]: window−1 trailing slivers cross the wire and
+    * the weighted fold is chunk-local — the w× construct view is never
+    * materialized, so the plan shape (and the shuffle payload) is that
+    * of a plain rolling mean at any scale. */
+  def convolve(dim: String, weights: Array[Double]): XbeamDataset = {
+    require(weights.length >= 2,
+      s"convolve kernel must have >= 2 taps, got ${weights.length}")
+    val ws = weights.clone()
+    mapWithHalo(dim, weights.length - 1) { (joined, ax, skip) =>
+      joined.convolveAlong(ax, ws, skip)
+    }
   }
 
   /** Rolling Pearson correlation of two variables along `dim` (pandas

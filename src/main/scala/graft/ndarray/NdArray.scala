@@ -2062,6 +2062,85 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Dtype cast (numpy `astype`): elementwise C-style conversion —
+    * float→int truncates toward zero (NaN becomes 0 via the JVM's
+    * saturating cast, where numpy's result is platform-undefined),
+    * int→float rounds past 2^53, narrowing int→int keeps the low bits,
+    * any→bool is `!= 0` (NaN → true, as numpy). Same dtype returns
+    * `this` unchanged. */
+  def astype(target: DType): NdArray = {
+    if (target == dtype) return this
+    val out = NdArray.zeros(target, shape)
+    val floatSide = dtype == DType.F32 || dtype == DType.F64 ||
+      target == DType.F32 || target == DType.F64
+    val n = size
+    var i = 0L
+    while (i < n) {
+      if (floatSide) out.setDouble(i, getDouble(i))
+      else out.setLong(i, getLong(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Trailing kernel-weighted window (the fused form of
+    * `rollingConstructAlong(axis, w) · weights`): output position i is
+    * Σ_k weights(k) · v[i − w + 1 + k] with k = 0 the OLDEST tap, NaN
+    * where the window reaches before the array start (the construct
+    * view pads those taps with NaN and a dot product propagates it) or
+    * where any tap is NaN. Output covers `[skipStart, extent)` along
+    * the axis; accumulation is left-to-right in k so exact-weight
+    * kernels reproduce a SQL `w0·lag(v,w−1) + … + w_{w−1}·v` bit-for-
+    * bit. */
+  def convolveAlong(axis: Int, weights: Array[Double],
+                    skipStart: Int): NdArray = {
+    val w = weights.length
+    require(w >= 1, "convolve needs at least one weight")
+    require(skipStart >= 0 && skipStart < shape(axis),
+      s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
+    val outShape = shape.clone()
+    outShape(axis) = shape(axis) - skipStart
+    val out = NdArray.zeros(DType.F64, outShape)
+    val n = size
+    val idx = new Array[Int](ndim)
+    val outStrides = out.strides
+    val axisStride = strides(axis)
+    var flat = 0L
+    while (flat < n) {
+      val i = idx(axis)
+      if (i >= skipStart) {
+        val res =
+          if (i < w - 1) Double.NaN // window reaches before the start
+          else {
+            var acc = 0.0
+            val base = flat - (w - 1).toLong * axisStride
+            var k = 0
+            while (k < w) {
+              acc += weights(k) * getDouble(base + k.toLong * axisStride)
+              k += 1
+            }
+            acc
+          }
+        var outFlat = 0L
+        var d = 0
+        while (d < ndim) {
+          outFlat += (if (d == axis) (i - skipStart).toLong
+                      else idx(d).toLong) * outStrides(d)
+          d += 1
+        }
+        out.setDouble(outFlat, res)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   def takeAlong(axis: Int, positions: Array[Int]): NdArray = {
     positions.foreach(p => require(p >= 0 && p < shape(axis),
       s"take position $p out of range for axis extent ${shape(axis)}"))

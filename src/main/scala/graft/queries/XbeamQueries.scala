@@ -3842,6 +3842,38 @@ object XbeamQueries {
         FROM grid g JOIN ord o ON g.t = o.t
         ORDER BY o.tn, g.x""")),
 
+    // --------------------------------------------------------------- x128
+    // Kernel-weighted trailing window (xarray's
+    // `rolling(t, 4).construct("w").dot(weights)` idiom, fused as
+    // convolve): a 4-tap kernel [0.25, 0.5, 1, 2] folds along t
+    // through ONE halo exchange — the 4× construct view is never
+    // materialized. The first 3 positions are NaN (construct's NaN
+    // pads through the dot). Exact binary-fraction weights × integer-
+    // valued operands → every product and 4-term sum is exact, and the
+    // kernel's oldest-first accumulation matches the oracle's
+    // left-to-right lag chain bit-for-bit.
+    QueryDef(
+      "x128_convolve",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).convolve("t", Array(0.25, 0.5, 1.0, 2.0)))
+        .orderBy("t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+          CASE WHEN row_number() OVER w >= 4
+               THEN 0.25 * lag(CAST(uid AS DOUBLE), 3) OVER w
+                  + 0.5 * lag(CAST(uid AS DOUBLE), 2) OVER w
+                  + 1.0 * lag(CAST(uid AS DOUBLE), 1) OVER w
+                  + 2.0 * CAST(uid AS DOUBLE)
+               ELSE CAST('nan' AS DOUBLE) END AS uid,
+          CASE WHEN row_number() OVER w >= 4
+               THEN 0.25 * lag(vf, 3) OVER w + 0.5 * lag(vf, 2) OVER w
+                  + 1.0 * lag(vf, 1) OVER w + 2.0 * vf
+               ELSE CAST('nan' AS DOUBLE) END AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t)
+        ORDER BY t, x""")),
+
     // --------------------------------------------------------------- x126
     // Large-N scan stress: a 200,000-chunk store (t=400k / chunk t=2)
     // where only the LAST five chunks hold data — the regime the

@@ -2162,6 +2162,17 @@ class XbeamDatasetSpec extends AnyFunSuite {
     // errors: unknown var; a 2-D var cannot index
     assertThrows[IllegalArgumentException](ds.setIndex("nope"))
     assertThrows[IllegalArgumentException](ds.setIndex("v"))
+    // swap_dims = setIndex + dim rename: the dim takes the variable's
+    // name, the variable's values become its coordinate, and every
+    // coordinate consumer works under the new name
+    val swapped = ds.swapDims("t", "k")
+    assert(swapped.template.dimOrder == Seq("k", "x"))
+    assert(!swapped.template.vars.contains("k"))
+    assert(swapped.template.vars("v").dims == Seq("k", "x"))
+    assert(swapped.template.coords("k").sameAs(key))
+    val sw = swapped.sortby("k").collectConsolidated()._2.vars("v").arr
+    assert(sw.toDoubles.toSeq == Seq(2.0, 3, 6, 7, 0, 1, 4, 5))
+    assertThrows[IllegalArgumentException](ds.swapDims("x", "v"))
   }
 
   test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
@@ -2704,6 +2715,42 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("already exists"))
     val e2 = intercept[IllegalArgumentException](
       ds(3).rollingConstruct("t", 5))
+    assert(e2.getMessage.contains("halo"))
+  }
+
+  test("convolve: fused construct-dot matches the manual kernel; NaN taps void") {
+    import graft.Fixtures.arange
+    val wts = Array(0.25, 0.5, 1.0, 2.0)
+    def ds(ch: Int) = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 12, 2))),
+      chunks = Map("t" -> ch, "x" -> 2))
+    val expected = for { t <- 0 until 12; x <- 0 until 2 } yield {
+      if (t < 3) Double.NaN
+      else (0 until 4).map(k => wts(k) * ((t - 3 + k) * 2 + x)).sum
+    }
+    for (ch <- Seq(4, 6, 12)) {
+      val got = ds(ch).convolve("t", wts)
+        .collectConsolidated()._2.vars("v").arr.toDoubles
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert((g.isNaN && e.isNaN) || g == e, s"chunk=$ch cell $i: $g vs $e")
+      }
+    }
+    // a NaN tap voids exactly the windows that see it (t=5 → out 5..8)
+    val data = Array.tabulate(12)(t => if (t == 5) Double.NaN else t.toDouble)
+    val withNaN = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(12), data))),
+      chunks = Map("t" -> 4))
+    val gotN = withNaN.convolve("t", wts)
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    (0 until 12).foreach { t =>
+      if (t < 3 || (t >= 5 && t <= 8)) assert(gotN(t).isNaN, s"t=$t")
+      else assert(gotN(t) ==
+        (0 until 4).map(k => wts(k) * (t - 3 + k)).sum, s"t=$t")
+    }
+    // rejects: a 1-tap kernel, a kernel wider than chunk+1
+    val e1 = intercept[IllegalArgumentException](ds(4).convolve("t", Array(1.0)))
+    assert(e1.getMessage.contains("taps"))
+    val e2 = intercept[IllegalArgumentException](ds(2).convolve("t", wts))
     assert(e2.getMessage.contains("halo"))
   }
 
