@@ -3874,6 +3874,38 @@ object XbeamQueries {
         WINDOW w AS (PARTITION BY x ORDER BY t)
         ORDER BY t, x""")),
 
+    // --------------------------------------------------------------- x129
+    // astype dtype casts (xarray/numpy .astype): int64 uid promotes to
+    // f64 (BIGINT → DOUBLE in the emitted schema), integer-valued vf
+    // truncates to int64 (DOUBLE → BIGINT), and vf/7 — NOT f32-
+    // representable — narrows through f32 and back out as DOUBLE, so
+    // the round-to-nearest-float step is observable in the hash. All
+    // chunk-local, no shuffle; both engines share IEEE semantics for
+    // each cast.
+    QueryDef(
+      "x129_astype",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        val cast = xds.astype(Map("uid" -> DType.F64, "vf" -> DType.I64))
+        val narrowed = xds.select(Set("vf")).mapValues(_ / 7)
+          .astype(DType.F32)
+        TabularBridge.toDataFrame(cast)
+          .select(col("t"), col("x"), col("uid").as("uid_f64"),
+            col("vf").as("vf_i64"))
+          .join(TabularBridge.toDataFrame(narrowed)
+            .select(col("t"), col("x"), col("vf").as("vf_f32")),
+            Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+          CAST(uid AS DOUBLE) AS uid_f64,
+          CAST(vf AS BIGINT) AS vf_i64,
+          CAST(CAST(vf / 7 AS REAL) AS DOUBLE) AS vf_f32
+        FROM grid ORDER BY t, x""")),
+
     // --------------------------------------------------------------- x126
     // Large-N scan stress: a 200,000-chunk store (t=400k / chunk t=2)
     // where only the LAST five chunks hold data — the regime the

@@ -2175,6 +2175,44 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ds.swapDims("x", "v"))
   }
 
+  test("astype casts per-variable: truncation, narrowing, bool, identity") {
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "f" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4),
+        Array(1.9, -2.9, Double.NaN, 3.0))),
+      "i" -> (Seq("t"), NdArray.fromLongs(DType.I64, Array(4),
+        Array(5L, -7L, 0L, 1L << 54)))),
+      chunks = Map("t" -> 2))
+    // float -> int truncates toward zero; NaN -> 0 (JVM saturating cast)
+    val fi = ds.astype(Map("f" -> DType.I64))
+    assert(fi.template.vars("f").dtype == DType.I64)
+    assert(fi.template.vars("i").dtype == DType.I64) // untouched
+    val (_, c1) = fi.collectConsolidated()
+    assert(c1.vars("f").arr.toLongs.toSeq == Seq(1L, -2L, 0L, 3L))
+    // int -> float rounds past 2^53 (1<<54 + nothing lost here, exact)
+    val if64 = ds.astype(Map("i" -> DType.F64))
+    assert(if64.template.vars("i").dtype == DType.F64)
+    assert(if64.collectConsolidated()._2.vars("i").arr.toDoubles.toSeq ==
+      Seq(5.0, -7.0, 0.0, math.pow(2, 54)))
+    // f64 -> f32 rounds to nearest float
+    val f32 = ds.select(Set("f")).astype(DType.F32)
+    assert(f32.template.vars("f").dtype == DType.F32)
+    val g32 = f32.collectConsolidated()._2.vars("f").arr
+    assert(g32.getDouble(0) == 1.9f.toDouble)
+    // any -> bool is != 0, NaN -> true (numpy truthiness)
+    val b = ds.astype(Map("f" -> DType.Bool)).collectConsolidated()
+      ._2.vars("f").arr
+    assert(b.toDoubles.toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+    val b0 = XbeamDataset.fromLocal(spark, Map(
+      "z" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(2),
+        Array(0.0, 2.0)))), chunks = Map("t" -> 2))
+      .astype(DType.Bool).collectConsolidated()._2.vars("z").arr
+    assert(b0.toDoubles.toSeq == Seq(0.0, 1.0))
+    // same-dtype cast is the identity; unknown variable rejects
+    assert(ds.astype(Map("i" -> DType.I64)).collectConsolidated()
+      ._2.vars("i").arr.toLongs.toSeq == Seq(5L, -7L, 0L, 1L << 54))
+    assertThrows[IllegalArgumentException](ds.astype(Map("nope" -> DType.F64)))
+  }
+
   test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
     // Guard against the r15 class of regression: the gather
     // (XbeamDataset.reindexGather) preserves the source dtype whenever
