@@ -1147,6 +1147,17 @@ final class XbeamDataset private (
     * the multiplicative identity, as numpy's nanprod does). */
   def prod(dims: Set[String], skipna: Boolean = true): XbeamDataset =
     reduced(dims, "prod", skipna)
+  /** Boolean reductions over dims (xarray `any` / `all`): numpy
+    * truthiness (nonzero is true; NaN is true), folded as max/min of
+    * the 0/1 mask — per-chunk partials, one keyed shuffle, the same
+    * distributed shape as [[sum]]. Output dtype is Bool. */
+  def any(dims: Set[String]): XbeamDataset =
+    mapValues(v => if (v != 0.0) 1.0 else 0.0)
+      .max(dims, skipna = false).astype(DType.Bool)
+  def all(dims: Set[String]): XbeamDataset =
+    mapValues(v => if (v != 0.0) 1.0 else 0.0)
+      .min(dims, skipna = false).astype(DType.Bool)
+
   def variance(dims: Set[String], skipna: Boolean = true,
                ddof: Int = 0): XbeamDataset = {
     require(ddof >= 0, s"ddof must be >= 0, got $ddof")

@@ -3906,6 +3906,32 @@ object XbeamQueries {
           CAST(CAST(vf / 7 AS REAL) AS DOUBLE) AS vf_f32
         FROM grid ORDER BY t, x""")),
 
+    // --------------------------------------------------------------- x130
+    // any/all boolean reductions over x (xarray .any()/.all() — the
+    // reductions numpy spells nanany/nanall): numpy truthiness (value
+    // shifted by 42 so real zeros appear), folded as max/min of the
+    // 0/1 mask through the same one-shuffle keyed reduction as sum.
+    // Bool output emerges as BIGINT 0/1 on both engines.
+    QueryDef(
+      "x130_any_all",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val shifted = gridXds(s, dir).mapValues(_ - 42)
+        val anyDf = TabularBridge.toDataFrame(shifted.any(Set("x")))
+          .select(col("t"), col("uid").as("uid_any"), col("vf").as("vf_any"))
+        val allDf = TabularBridge.toDataFrame(shifted.all(Set("x")))
+          .select(col("t"), col("uid").as("uid_all"), col("vf").as("vf_all"))
+        anyDf.join(allDf, Seq("t")).orderBy("t")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t,
+          CAST(bool_or(uid <> 42) AS BIGINT) AS uid_any,
+          CAST(bool_or(vf <> 42) AS BIGINT) AS vf_any,
+          CAST(bool_and(uid <> 42) AS BIGINT) AS uid_all,
+          CAST(bool_and(vf <> 42) AS BIGINT) AS vf_all
+        FROM grid GROUP BY t ORDER BY t""")),
+
     // --------------------------------------------------------------- x126
     // Large-N scan stress: a 200,000-chunk store (t=400k / chunk t=2)
     // where only the LAST five chunks hold data — the regime the

@@ -2213,6 +2213,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ds.astype(Map("nope" -> DType.F64)))
   }
 
+  test("any/all boolean reductions: numpy truthiness incl. NaN-is-true") {
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64, Array(3, 2),
+        Array(0.0, 0.0, /* t=0: all false */
+              1.0, 0.0, /* t=1: mixed */
+              Double.NaN, 2.0 /* t=2: NaN counts true */ )))),
+      chunks = Map("t" -> 2, "x" -> 2))
+    val anyR = ds.any(Set("x"))
+    assert(anyR.template.vars("v").dtype == DType.Bool)
+    assert(anyR.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(0.0, 1.0, 1.0))
+    assert(ds.all(Set("x")).collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(0.0, 0.0, 1.0))
+    // reduce everything: one scalar per variable
+    assert(ds.any(Set("t", "x")).collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(1.0))
+    assert(ds.all(Set("t", "x")).collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == Seq(0.0))
+  }
+
   test("all-resolved gather ops preserve dtype; unresolved reindex widens") {
     // Guard against the r15 class of regression: the gather
     // (XbeamDataset.reindexGather) preserves the source dtype whenever
