@@ -125,4 +125,36 @@ class CrossChunkPropSpec extends AnyFunSuite {
       }
     }, n = 30)
   }
+
+  test("convolve across random chunk boundaries equals the naive kernel") {
+    val g = for {
+      base <- caseGen
+      w <- Gen.chooseNum(2, 5)
+    } yield (base, w)
+    check(Prop.forAllNoShrink(g) { case ((n0, c0, n1, seed), w) =>
+      val vals = mkVals(n0 * n1, seed)
+      // quarter-step weights: products with the half-step values are
+      // exact eighths, so the naive loop must match bit-for-bit
+      val wts = Array.tabulate(w)(k => (((k * 13 + seed) % 7) - 3) / 4.0)
+      if (w - 1 > c0) {
+        val e = intercept[IllegalArgumentException](
+          collect(ds(n0, c0, n1, vals).convolve("d0", wts)))
+        e.getMessage.contains("rechunk larger") :| s"err=${e.getMessage}"
+      } else {
+        val got = collect(ds(n0, c0, n1, vals).convolve("d0", wts))
+        val ok = (0 until n0).forall { i =>
+          (0 until n1).forall { j =>
+            val gv = got(i * n1 + j)
+            if (i < w - 1) gv.isNaN
+            else {
+              var acc = 0.0
+              (0 until w).foreach(k => acc += wts(k) * vals((i - w + 1 + k) * n1 + j))
+              gv == acc
+            }
+          }
+        }
+        ok :| s"n0=$n0 c0=$c0 n1=$n1 w=$w wts=${wts.toSeq} got=${got.toSeq}"
+      }
+    }, n = 30)
+  }
 }

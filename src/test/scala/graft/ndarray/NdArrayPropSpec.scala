@@ -107,4 +107,33 @@ class NdArrayPropSpec extends AnyFunSuite {
         s"dtype=${a.dtype} shape=${a.shape.toSeq} perm=${perm.toSeq}"
     })
   }
+
+  test("astype agrees with per-cell C-cast semantics on every dtype pair") {
+    val g = for {
+      a <- arrGen
+      target <- dtypeGen
+    } yield (a, target)
+    check(Prop.forAll(g) { case (a, target) =>
+      val out = a.astype(target)
+      val floatSide = Seq(a.dtype, target)
+        .exists(d => d == DType.F32 || d == DType.F64)
+      val ok = out.dtype == target && out.shape.sameElements(a.shape) &&
+        (0L until a.size).forall { i =>
+          if (floatSide) {
+            // value routes through double then the target's setDouble:
+            // float targets keep it (F32 narrows), int targets truncate
+            val expect = NdArray.zeros(target, Array(1))
+            expect.setDouble(0L, a.getDouble(i))
+            out.getDouble(i) == expect.getDouble(0L)
+          } else out.getLong(i) == {
+            val expect = NdArray.zeros(target, Array(1))
+            expect.setLong(0L, a.getLong(i))
+            expect.getLong(0L)
+          }
+        }
+      // same-dtype cast is the identity object
+      (ok && (a.astype(a.dtype) eq a)) :|
+        s"src=${a.dtype} dst=$target shape=${a.shape.toSeq}"
+    })
+  }
 }
