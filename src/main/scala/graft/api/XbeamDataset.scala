@@ -788,6 +788,14 @@ final class XbeamDataset private (
       VarArray(va.dims, va.arr.mapF64(v => math.min(math.max(v, lo), hi)))))
   }
 
+  /** Constant-fill companions (xarray `full_like` / `zeros_like` /
+    * `ones_like`): same dims, chunking, coords, and variable set, every
+    * cell `value` — chunk-local, no shuffle. Dtypes become F64 (pass
+    * through [[astype]] to recover integer templates). */
+  def fullLike(value: Double): XbeamDataset = mapValues(_ => value)
+  def zerosLike: XbeamDataset = fullLike(0.0)
+  def onesLike: XbeamDataset = fullLike(1.0)
+
   /** Cast data variables to new dtypes (xarray/numpy `.astype`):
     * chunk-local elementwise conversion, no shuffle — the op behind
     * "store this f64 pipeline output as f32" (halving bytes at the
@@ -2981,8 +2989,18 @@ final class XbeamDataset private (
     * chunk's last (value, index) and a reverse pass carrying its first
     * — then one co-partitioned rejoin interpolates chunk-locally.
     * Chunk bodies cross the wire once; everything else is slivers. */
-  def interpolateNa(dim: String): XbeamDataset = {
+  def interpolateNa(dim: String): XbeamDataset =
+    interpolateNa(dim, Double.PositiveInfinity)
+
+  /** [[interpolateNa]] with xarray's `max_gap`: a NaN run whose
+    * bracketing valid positions sit more than `maxGap` index steps
+    * apart stays NaN (gap measured endpoint-to-endpoint, the xarray
+    * definition). The distributed shape is identical — the (value,
+    * global index) slivers already carry everything the gap test
+    * needs, so the bound applies chunk-locally at fill time. */
+  def interpolateNa(dim: String, maxGap: Double): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(maxGap > 0, s"max_gap must be positive, got $maxGap")
     import ChunkTransforms.pairEnc
     import org.apache.spark.sql.Encoders
     implicit val taggedEnc = Encoders.kryo[(String, Int, Pair)]
@@ -3031,7 +3049,7 @@ final class XbeamDataset private (
           else {
             val ax = va.dims.indexOf(d)
             n -> VarArray(va.dims,
-              va.arr.interpNaAlong(ax, off, prev.get(n), next.get(n)))
+              va.arr.interpNaAlong(ax, off, prev.get(n), next.get(n), maxGap))
           }
         }))
       }
@@ -3065,7 +3083,8 @@ final class XbeamDataset private (
           else {
             val ax = va.dims.indexOf(d)
             n -> VarArray(va.dims, va.arr.interpNaAlong(ax, off,
-              prevVars.get(n).map(_.arr), nextVars.get(n).map(_.arr)))
+              prevVars.get(n).map(_.arr), nextVars.get(n).map(_.arr),
+              maxGap))
           }
         }))
       }

@@ -1666,9 +1666,12 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * valid values takes the line through them at its own global index;
     * leading/trailing NaNs (nothing on one side) stay NaN. `prev` /
     * `next` are [2]++laneShape stacked (value, global index) seeds from
-    * the neighboring chunks (see [[edgeValidWithIndexAlong]]). */
+    * the neighboring chunks (see [[edgeValidWithIndexAlong]]).
+    * `maxGap` is xarray's max_gap: a run whose bracketing valid
+    * indices sit more than `maxGap` apart stays NaN. */
   def interpNaAlong(axis: Int, globalStart: Long,
-                    prev: Option[NdArray], next: Option[NdArray]): NdArray = {
+                    prev: Option[NdArray], next: Option[NdArray],
+                    maxGap: Double = Double.PositiveInfinity): NdArray = {
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val m = shape(axis)
     val out = NdArray.zeros(DType.F64, shape)
@@ -1714,7 +1717,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         if (!v.isNaN) {
           out.setDouble(off, v)
           pv = v; pi = (globalStart + i).toDouble
-        } else if (!pv.isNaN && !nextV(i).isNaN) {
+        } else if (!pv.isNaN && !nextV(i).isNaN && nextI(i) - pi <= maxGap) {
           val g = (globalStart + i).toDouble
           out.setDouble(off,
             pv + (nextV(i) - pv) * (g - pi) / (nextI(i) - pi))

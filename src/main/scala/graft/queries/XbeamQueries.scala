@@ -3980,6 +3980,49 @@ object XbeamQueries {
         SELECT t, x, t * 8 + x AS uid, t + x / 8.0 AS vf
         FROM (SELECT unnest(range(399990, 400000)) AS t),
              (SELECT unnest(range(8)) AS x)
-        ORDER BY t, x"""))
+        ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x131
+    // Wide-store stress: 300 variables (the ERA5-width regime — x126
+    // stressed chunk COUNT, this stresses variable count). Only the two
+    // selected variables ever hold data, and column pruning must reach
+    // the store: the scan reads exactly v007/v123's chunk files and
+    // never touches the other 298 (ZarrDataSourceSpec pins the pruned
+    // ReadSchema; here the hash proves open → prune → read holds at
+    // width). Setup is metadata-only for the unselected variables.
+    QueryDef(
+      "x131_wide_store",
+      (s, dir) => {
+        import graft.core.{Template, VarSpec}
+        import graft.sources.Zarr
+        val store = zarrPath("x131", dir)
+        val root = java.nio.file.Paths.get(store)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+        val tSize = 64L
+        val template = Template(Seq("t" -> tSize),
+          (0 until 300).map(i => f"v$i%03d" -> VarSpec(Seq("t"), DType.F64))
+            .toMap,
+          Map.empty, Map.empty)
+        Zarr.setupStore(store, template, Map("t" -> 16))
+        val sm = Zarr.openStore(store)
+        Seq("v007" -> ((t: Int) => t * 2.0),
+            "v123" -> ((t: Int) => 1000.0 - t)).foreach { case (v, f) =>
+          (0 until 4).foreach { k =>
+            Zarr.writeRegion(store, v, sm.arrays(v), Array(k * 16L),
+              NdArray.fromDoubles(DType.F64, Array(16),
+                Array.tabulate(16)(i => f(k * 16 + i))))
+          }
+        }
+        s.read.format("zarr").load(store)
+          .select("t", "v007", "v123").orderBy("t")
+      },
+      Some("""
+        SELECT t, CAST(t * 2 AS DOUBLE) AS v007,
+               CAST(1000 - t AS DOUBLE) AS v123
+        FROM (SELECT unnest(range(64)) AS t) ORDER BY t"""))
   )
 }

@@ -364,6 +364,19 @@ class XbeamDatasetSpec extends AnyFunSuite {
     // chunked == single-chunk bit-for-bit (same expression per position)
     assert(filled.sameAs(
       ds(12).interpolateNa("t").collectConsolidated()._2.vars("v").arr))
+    // max_gap: lane 0's run spans 9-1 = 8 index steps endpoint-to-
+    // endpoint — a bound of 8 fills it, anything under voids it; the
+    // bound is chunk-independent
+    for (ch <- Seq(4, 12)) {
+      val wide = ds(ch).interpolateNa("t", maxGap = 8.0)
+        .collectConsolidated()._2.vars("v").arr
+      assert(wide.getDouble(5 * 2) == 30.0, s"ch=$ch")
+      val tight = ds(ch).interpolateNa("t", maxGap = 7.0)
+        .collectConsolidated()._2.vars("v").arr
+      assert(tight.getDouble(5 * 2).isNaN, s"ch=$ch")
+      assert(tight.getDouble(1 * 2) == 10.0, s"ch=$ch") // valids survive
+    }
+    assertThrows[IllegalArgumentException](ds(4).interpolateNa("t", 0.0))
   }
 
   test("resampleMean buckets by calendar period from the datetime coord") {
@@ -2211,6 +2224,27 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(ds.astype(Map("i" -> DType.I64)).collectConsolidated()
       ._2.vars("i").arr.toLongs.toSeq == Seq(5L, -7L, 0L, 1L << 54))
     assertThrows[IllegalArgumentException](ds.astype(Map("nope" -> DType.F64)))
+  }
+
+  test("fullLike/zerosLike/onesLike keep shape+chunking, fill the value") {
+    import graft.Fixtures.arange
+    val ds = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t", "x"), arange(DType.F64, 4, 3)),
+      "i" -> (Seq("t"), arange(DType.I64, 4))),
+      chunks = Map("t" -> 2, "x" -> 3))
+    val full = ds.fullLike(7.5)
+    assert(full.template.dimSizes == ds.template.dimSizes)
+    assert(full.chunkSizes == ds.chunkSizes)
+    val (_, c) = full.collectConsolidated()
+    assert(c.vars("v").arr.toDoubles.forall(_ == 7.5))
+    assert(c.vars("i").arr.toDoubles.forall(_ == 7.5))
+    assert(ds.zerosLike.collectConsolidated()._2.vars("v").arr
+      .toDoubles.forall(_ == 0.0))
+    assert(ds.onesLike.collectConsolidated()._2.vars("i").arr
+      .toDoubles.forall(_ == 1.0))
+    // integer template recovers through astype
+    assert(ds.zerosLike.astype(Map("i" -> DType.I64))
+      .template.vars("i").dtype == DType.I64)
   }
 
   test("any/all boolean reductions: numpy truthiness incl. NaN-is-true") {

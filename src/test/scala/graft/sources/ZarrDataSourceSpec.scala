@@ -122,6 +122,40 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(statsMs < 20000, s"20 stats asks over 200k chunks took $statsMs ms")
   }
 
+  test("300-variable store: pruned ReadSchema reads only the selected vars") {
+    // the ERA5-width regime: variable count must not leak into the
+    // scan — a 2-variable projection over a 300-variable store prunes
+    // the read schema to exactly those columns and never opens the
+    // other 298 variables' chunk files
+    import graft.core.{Template, VarSpec}
+    import graft.ndarray.DType
+    val dir = Files.createTempDirectory("zarr_dsv2_wide").toString + "/store"
+    val template = Template(Seq("t" -> 64L),
+      (0 until 300).map(i => f"v$i%03d" -> VarSpec(Seq("t"), DType.F64))
+        .toMap, Map.empty, Map.empty)
+    Zarr.setupStore(dir, template, Map("t" -> 16))
+    val sm = Zarr.openStore(dir)
+    (0 until 4).foreach { k =>
+      Zarr.writeRegion(dir, "v007", sm.arrays("v007"), Array(k * 16L),
+        graft.ndarray.NdArray.fromDoubles(DType.F64, Array(16),
+          Array.tabulate(16)(i => (k * 16 + i) * 2.0)))
+    }
+    val t0 = System.nanoTime()
+    val df = spark.read.format("zarr").load(dir).select("t", "v007")
+    val plan = df.queryExecution.optimizedPlan
+    val schemas = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema()
+    }
+    assert(schemas.nonEmpty)
+    assert(schemas.head.fieldNames.toSet == Set("t", "v007"),
+      s"read schema must prune to the projection, got ${schemas.head}")
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      (0 until 64).map(t => (t.toLong, t * 2.0)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 20000, s"planning+reading 2-of-300 variables took $ms ms")
+  }
+
   test("connector reads v3 sharded stores transparently") {
     val dir = Files.createTempDirectory("zarr_dsv2_v3").toString + "/store"
     XbeamDataset.fromLocal(spark, Fixtures.era5(), chunks = Map("time" -> 4))
