@@ -91,6 +91,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "reflect pad must shuffle exactly once")
     assert(exchanges(xds.rolling("time", 3, "mean", center = true)) == 1,
       "centered rolling must shuffle exactly once")
+    // convolve rides the same halo exchange as rolling — never the
+    // w-times construct materialization plus a join
+    assert(exchanges(xds.convolve("time", Array(0.25, 0.5, 0.25))) == 1,
+      "convolve must shuffle exactly once (the halo sliver exchange)")
+    // astype and the fullLike family are chunk-local
+    assert(exchanges(xds.astype(graft.ndarray.DType.F32)) == 0,
+      "astype must not shuffle")
+    assert(exchanges(xds.zerosLike) == 0, "zerosLike must not shuffle")
+    // any/all reduce like sum: partials + one keyed shuffle
+    assert(exchanges(xds.any(Set("time"))) == 1,
+      "any must shuffle partials exactly once")
   }
 
   test("broadcast-seeded staged scans add no exchange at all") {
