@@ -76,7 +76,8 @@ class PrefixScanScaleSpec extends AnyFunSuite {
       _.cumsum("time"), _.ffill("time"), _.bfill("time"),
       _.cummax("time"), _.cummin("time"), _.interpolateNa("time"),
       _.cumprod("time"), _.ewm("time", 0.5), _.cumminmax("time"),
-      _.ffill("time", limit = 3), _.bfill("time", limit = 2))
+      _.ffill("time", limit = 3), _.bfill("time", limit = 2),
+      _.interpolateNa("time", maxGap = 6.0))
     for (op <- ops) {
       val fused = op(ds()).collectConsolidated()._2
       def staged[A](body: => A): A =
