@@ -46,7 +46,7 @@ object BlobStore {
     * paths (and file://) resolve to the local filesystem; mem:// is the
     * in-memory object store ([[MemStore]]); s3:// is the authenticated
     * S3-compatible backend with writes ([[S3Store]]); http(s):// is the
-    * read-only ranged-GET backend ([[HttpStore]]). */
+    * ranged-GET backend with PUT writes ([[HttpStore]]). */
   def forUrl(url: String): BlobStore =
     if (url.startsWith("file://")) LocalFsStore
     else if (url.startsWith("mem://")) MemStore
@@ -69,6 +69,11 @@ object BlobStore {
     * coalesced run, not one per inner chunk). Same local-mode caveats
     * as [[bytesFetched]]. */
   val rangeFetches = new java.util.concurrent.atomic.AtomicLong()
+
+  /** JVM-wide count of payload bytes PUT by writes that go over a
+    * network protocol (currently http(s)). Same local-mode caveats as
+    * [[bytesFetched]]. */
+  val bytesWritten = new java.util.concurrent.atomic.AtomicLong()
 
   def stripScheme(url: String): String =
     if (url.startsWith("file://")) url.substring("file://".length) else url
@@ -207,16 +212,19 @@ object LocalFsStore extends BlobStore {
   override def isContainer(url: String): Boolean = Files.isDirectory(p(url))
 }
 
-/** Read-only HTTP(S) object store — the reference reads http-served
-  * zarr through fsspec's http filesystem (zarr.py:374-386); this is the
-  * same capability on `java.net.http.HttpClient`. Whole-blob reads are
+/** HTTP(S) object store — the reference reads http-served zarr
+  * through fsspec's http filesystem (zarr.py:374-386); this is the
+  * same capability on `java.net.http.HttpClient`, plus fsspec's write
+  * half (PUT) for endpoints that accept it. Whole-blob reads are
   * plain GETs, [[readRange]] is a `Range: bytes=` GET (the request
   * shape a 100 TB sharded layout depends on — one inner chunk per GET,
   * never the whole shard), sizes come from HEAD. Transient failures
   * (IO errors, 5xx, 429) retry with exponential backoff. Listing is
   * unsupported — plain HTTP has no directory protocol — so opening a
   * store over http requires consolidated metadata (.zmetadata / v3
-  * root zarr.json), which [[Zarr.openStore]] prefers anyway. */
+  * root zarr.json), which [[Zarr.openStore]] prefers anyway (and
+  * which setup writes via [[StagedWrites]], whose staged map answers
+  * the consolidation listing without touching the target). */
 object HttpStore extends BlobStore {
   private val maxAttempts = 4
   private val baseBackoffMs = 100L
@@ -332,9 +340,47 @@ object HttpStore extends BlobStore {
     body
   }
 
-  override def write(url: String, bytes: Array[Byte]): Unit =
-    throw new UnsupportedOperationException(
-      s"http(s) BlobStore is read-only (write to $url)")
+  /** PUT the blob — the write half of fsspec's http filesystem: the
+    * target is any endpoint accepting `PUT <url>` (WebDAV, nginx
+    * dav_methods, a signed-URL proxy). 200/201/204 succeed; transient
+    * failures (IO errors, 5xx, 429) retry with the read path's
+    * backoff; anything else fails loudly — a server without PUT
+    * answers 405 and surfaces immediately, not after retries. Note
+    * plain HTTP still cannot LIST, so overwriting an http store does
+    * not clear stale chunks from an older grid (same caveat as any
+    * non-listable target); point new grids at fresh paths. */
+  override def write(url: String, bytes: Array[Byte]): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(2))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes))
+      .build()
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      if (attempt > 0) Thread.sleep(baseBackoffMs << (attempt - 1))
+      val resp =
+        try Some(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray()))
+        catch {
+          case e: java.io.IOException => last = e; None
+          case e: InterruptedException => throw e
+        }
+      resp.foreach { r =>
+        r.statusCode() match {
+          case 200 | 201 | 204 =>
+            BlobStore.bytesWritten.addAndGet(bytes.length.toLong)
+            return
+          case s if s >= 500 || s == 429 =>
+            last = new java.io.IOException(s"HTTP $s writing $url")
+          case s => throw new java.io.IOException(
+            s"HTTP $s writing $url (the endpoint must accept PUT)")
+        }
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"PUT $url failed after $maxAttempts attempts", last)
+  }
 
   override def exists(url: String): Boolean = {
     val resp = request(url, head = true)

@@ -17,8 +17,10 @@ import graft.ndarray.DType
 class HttpStoreSpec extends AnyFunSuite {
 
   /** Serve `root` on an ephemeral localhost port. `failFirst` requests
-    * get a 500 before the server behaves (retry exercise). */
-  private def withServer[A](root: Path, failFirst: Int = 0)
+    * get a 500 before the server behaves (retry exercise). `allowPut`
+    * false answers 405 to writes — a static file server. */
+  private def withServer[A](root: Path, failFirst: Int = 0,
+                            allowPut: Boolean = true)
                            (body: String => A): A = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -31,6 +33,15 @@ class HttpStoreSpec extends AnyFunSuite {
         }
         val rel = ex.getRequestURI.getPath.stripPrefix("/")
         val f = root.resolve(rel)
+        if (ex.getRequestMethod == "PUT") {
+          // the WebDAV/nginx-dav write shape HttpStore.write targets
+          if (!allowPut) { ex.sendResponseHeaders(405, -1); return }
+          val bytes = ex.getRequestBody.readAllBytes()
+          Files.createDirectories(f.getParent)
+          Files.write(f, bytes)
+          ex.sendResponseHeaders(201, -1)
+          return
+        }
         if (!Files.exists(f) || Files.isDirectory(f)) {
           ex.sendResponseHeaders(404, -1)
           return
@@ -143,11 +154,42 @@ class HttpStoreSpec extends AnyFunSuite {
         HttpStore.read(s"$base/nope")
       }
       intercept[UnsupportedOperationException] {
-        HttpStore.write(s"$base/blob", Array[Byte](1))
-      }
-      intercept[UnsupportedOperationException] {
         HttpStore.listChildren(base)
       }
+    }
+    // a static (no-PUT) endpoint rejects writes loudly and immediately
+    withServer(dir, allowPut = false) { base =>
+      val e = intercept[java.io.IOException] {
+        HttpStore.write(s"$base/blob", Array[Byte](1))
+      }
+      assert(e.getMessage.contains("405"), e.getMessage)
+    }
+  }
+
+  test("http PUT writes: full zarr store setup + re-read over http://") {
+    val dir = Files.createTempDirectory("httpwrite")
+    withServer(dir) { base =>
+      val url = s"$base/store"
+      // setup stages metadata + coords in memory and flushes as PUTs;
+      // the consolidation listing is answered by the staged map, never
+      // the (unlistable) http target
+      Zarr.setupStore(url, template, Map("t" -> 4, "x" -> 8), Some("zlib"))
+      val data = arange(DType.F64, 16, 8)
+      val sm0 = Zarr.openStore(url) // via the consolidated metadata GET
+      Zarr.writeRegion(url, "v", sm0.arrays("v"), Array(0L, 0L), data)
+      val sm = Zarr.openStore(url)
+      assert(sm.dims == Seq("t" -> 16L, "x" -> 8L))
+      val got = Zarr.readRegion(url, "v", sm.arrays("v"),
+        Array(0L, 0L), Array(16, 8))
+      assert(got.sameAs(data))
+      assert(Zarr.readCoord(url, "t", sm.arrays("t")).toLongs.toSeq ==
+        (0L until 16L))
+    }
+    // transient 500s on PUT retry like reads
+    val dir2 = Files.createTempDirectory("httpwflaky")
+    withServer(dir2, failFirst = 2) { base =>
+      HttpStore.write(s"$base/b", Array[Byte](9, 8))
+      assert(HttpStore.read(s"$base/b").toSeq == Seq[Byte](9, 8))
     }
   }
 
