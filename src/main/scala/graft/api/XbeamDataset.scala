@@ -2632,9 +2632,11 @@ final class XbeamDataset private (
 
   /** Trailing rolling reduction along `dim` — [[rollingMean]]
     * generalized to op ∈ "sum" | "min" | "max" | "mean" | "var" |
-    * "std" | "median" | "count" (xarray `rolling(dim=w).sum()/…/
-    * .count()`, var/std population ddof=0, count = valid values in the
-    * window), on the same halo exchange: only `window-1` trailing
+    * "std" | "median" | "count" | "quantile:<q>" (xarray
+    * `rolling(dim=w).sum()/…/.count()/.quantile(q)`, var/std
+    * population ddof=0, count = valid values in the window, quantile
+    * the numpy-linear order statistic at q·(n−1) — median is its
+    * q=0.5 case), on the same halo exchange: only `window-1` trailing
     * slivers cross the wire. */
   def rolling(dim: String, window: Int, op: String,
               minPeriods: Int = 1, center: Boolean = false): XbeamDataset = {
@@ -2653,6 +2655,17 @@ final class XbeamDataset private (
           joined.rollingCenteredAlong(ax, window, skipPre, skipPost,
             op, minPeriods)
       }
+  }
+
+  /** Rolling order statistic (xarray `rolling(dim=w).quantile(q)`):
+    * [[rolling]] with the `"quantile:<q>"` op — per window the sorted
+    * values interpolated linearly at position q·(n−1), numpy's default
+    * method. Same single halo exchange; the sort is window-local. */
+  def rollingQuantile(dim: String, window: Int, q: Double,
+                      minPeriods: Int = 1,
+                      center: Boolean = false): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0, 1]")
+    rolling(dim, window, s"quantile:$q", minPeriods, center)
   }
 
   /** Sliding-window materialization (xarray
@@ -5078,6 +5091,61 @@ final class XbeamDataset private (
     }, merged)
   }
 
+  /** Fill this dataset's NaN holes from `other` (xarray
+    * `Dataset.combine_first`): self wins wherever it has a value,
+    * `other` supplies the rest; variables present on only one side
+    * pass through, so the output carries the variable UNION. Same
+    * aligned-grid contract as [[whereDs]]/[[merge]] (dims, sizes, and
+    * chunks must agree — [[align]]/[[rechunk]] first) and the same
+    * plan: ONE co-partitioned zip shuffle, the fill a narrow fold.
+    * Integer variables cannot hold NaN, so shared integer variables
+    * pass self through untouched (dtype preserved); shared float
+    * variables fill at the wider of the two float dtypes. */
+  def combineFirst(other: XbeamDataset): XbeamDataset = {
+    require(!splitVars && !other.splitVars,
+      "combineFirst needs consolidated variables on both sides")
+    val shared = template.vars.keySet intersect other.template.vars.keySet
+    shared.foreach { n =>
+      require(template.vars(n).dims == other.template.vars(n).dims,
+        s"combineFirst: variable $n has dims ${template.vars(n).dims} vs " +
+          s"${other.template.vars(n).dims}")
+    }
+    def outType(n: String): DType = {
+      val a = template.vars(n).dtype
+      if (a != DType.F32 && a != DType.F64) a // ints can't hold NaN
+      else if (a == DType.F64 || other.template.vars(n).dtype == DType.F64)
+        DType.F64
+      else DType.F32
+    }
+    val merged = template.copy(vars =
+      template.vars.map { case (n, vs) =>
+        n -> (if (shared(n)) VarSpec(vs.dims, outType(n)) else vs)
+      } ++ other.template.vars.filterNot(kv => template.vars.contains(kv._1)))
+    val sharedFloat = shared.filter(n =>
+      template.vars(n).dtype == DType.F32 ||
+        template.vars(n).dtype == DType.F64)
+    val outTypes = sharedFloat.iterator.map(n => n -> outType(n)).toMap
+    zipWith(other)({ (a, b) =>
+      ArrayChunk(
+        a.vars.map { case (n, va) =>
+          if (!sharedFloat(n)) n -> va
+          else {
+            val bv = b.vars(n).arr
+            val out = NdArray.zeros(outTypes(n), va.arr.shape.clone())
+            val sz = out.size
+            var i = 0L
+            while (i < sz) {
+              val v = va.arr.getDouble(i)
+              out.setDouble(i, if (v.isNaN) bv.getDouble(i) else v)
+              i += 1
+            }
+            n -> VarArray(va.dims, out)
+          }
+        } ++ b.vars.filterNot(kv => a.vars.contains(kv._1))
+      )
+    }, merged)
+  }
+
   /** Combine two disjoint-variable datasets on the SAME grid into one
     * (xarray `xr.merge` for the aligned case): one co-partitioned zip
     * shuffle unites the chunk pairs, variables concatenate per chunk.
@@ -5660,6 +5728,80 @@ object XbeamDataset {
         }
       }
     new XbeamDataset(spark, template, normalized, splitVars, None, Some(checked))
+  }
+
+  /** Discovered-template construction (`ChunksToZarr(template=None)`,
+    * zarr.py:741-751 + `_DiscoverTemplate`, zarr.py:242-271): infer the
+    * global template AND the chunk grid from a raw (key, chunk)
+    * collection, so `fromPairsDiscovered(...).toZarr(store)` is the
+    * reference's template-free sink. The reference deprecated the mode
+    * because its Beam spelling races setup against writes (the
+    * discovered template flows in as a side input and can silently miss
+    * chunks); here discovery is its OWN metadata-only job — each chunk
+    * folds to a few dozen bytes of (var → dims/dtype, dim → max extent
+    * + max end) and a `treeReduce` merges them — and only then does the
+    * validated dataset (and any later `toZarr` setup) run. Race-free by
+    * construction, and the shuffle carries metadata, never payloads, so
+    * the discovery pass at 100 TB costs one scan of the input.
+    *
+    * Grid inference follows the reference's make_template-then-
+    * consolidate rule: the chunk size along a dim is the largest extent
+    * seen (interior chunks are full-size, only the tail may be ragged)
+    * and the dim size is the largest offset+extent. The result then
+    * passes through [[fromPairs]] WITH validation, so an input that is
+    * not a regular grid (misaligned offsets, holes in a var's
+    * coverage surface at write time) fails loudly instead of writing
+    * silently incomplete data — the exact failure mode the reference
+    * warns about. Discovered templates have no coords/attrs (chunks
+    * don't carry them; assign via [[XbeamDataset.assignCoords]]). */
+  def fromPairsDiscovered(spark: SparkSession,
+                          ds: Dataset[(ChunkKey, ArrayChunk)],
+                          splitVars: Boolean = false): XbeamDataset = {
+    // (var → (dims, dtype)), (dim → (max chunk extent, max end))
+    type Meta = (Map[String, (Seq[String], DType)], Map[String, (Int, Long)])
+    def merge(a: Meta, b: Meta): Meta = {
+      val vars = (a._1.keySet ++ b._1.keySet).iterator.map { n =>
+        (a._1.get(n), b._1.get(n)) match {
+          case (Some(x), Some(y)) =>
+            require(x == y, s"inconsistent var $n across chunks: $x vs $y")
+            n -> x
+          case (x, y) => n -> x.orElse(y).get
+        }
+      }.toMap
+      val dims = (a._2.keySet ++ b._2.keySet).iterator.map { d =>
+        val x = a._2.getOrElse(d, (0, 0L)); val y = b._2.getOrElse(d, (0, 0L))
+        d -> (math.max(x._1, y._1), math.max(x._2, y._2))
+      }.toMap
+      (vars, dims)
+    }
+    val metas = ds.rdd.map { case (key, chunk) =>
+      require(key.indices.isEmpty,
+        "template discovery needs offsets-keyed chunks (indices carry no " +
+          "grid positions) — key.indices must be empty")
+      val vars = chunk.vars.map { case (n, va) => n -> (va.dims, va.arr.dtype) }
+      val dims = chunk.vars.valuesIterator.flatMap { va =>
+        va.dims.zip(va.arr.shape).map { case (d, s) =>
+          val off = key.offsets.getOrElse(d, 0L)
+          d -> (s, off + s)
+        }
+      }.toMap.map(identity)  // last-wins per chunk; merge() takes the max
+      (vars, dims): Meta
+    }
+    val (vars, dims) =
+      try metas.treeReduce(merge)
+      catch { case _: UnsupportedOperationException =>
+        throw new IllegalArgumentException(
+          "cannot discover a template from an empty chunk collection")
+      }
+    // deterministic dim order: first appearance walking vars by name
+    val order = scala.collection.mutable.LinkedHashSet[String]()
+    vars.toSeq.sortBy(_._1).foreach { case (_, (ds0, _)) => order ++= ds0 }
+    val template = Template(
+      order.toSeq.map(d => d -> dims(d)._2),
+      vars.map { case (n, (dimSeq, dt)) => n -> VarSpec(dimSeq, dt) },
+      Map.empty, Map.empty)
+    fromPairs(spark, template, dims.map { case (d, (ext, _)) => d -> ext },
+      ds, splitVars, validate = true)
   }
 
   /** Executor-side chunk read for a scan key (the read half of

@@ -1325,18 +1325,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       s"minPeriods $minPeriods must be in [1, window $window]")
     require(skipStart >= 0 && skipStart < shape(axis),
       s"skipStart $skipStart out of range for axis extent ${shape(axis)}")
-    val opId = op match {
-      case "sum" => 0
-      case "min" => 1
-      case "max" => 2
-      case "mean" => 3
-      case "var" => 4
-      case "std" => 5
-      case "median" => 6
-      case "count" => 7
-      case other => throw new IllegalArgumentException(
-        s"unknown rolling op $other (sum/min/max/mean/var/std/median/count)")
-    }
+    val (opId, quantileQ) = NdArray.rollingOpId(op)
     val outShape = shape.clone()
     outShape(axis) = shape(axis) - skipStart
     val out = NdArray.zeros(DType.F64, outShape)
@@ -1355,7 +1344,8 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         var c = 0
         var j = lo
         val base = flat - (i - lo).toLong * axisStride
-        val buf = if (opId == 6) new Array[Double](i - lo + 1) else null
+        val buf = if (opId == 6 || opId == 8) new Array[Double](i - lo + 1)
+                  else null
         while (j <= i) {
           val v = getDouble(base + (j - lo).toLong * axisStride)
           // count SKIPS NaN (it counts the valid values, xarray
@@ -1366,7 +1356,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
             case 1 => if (v < acc) acc = v
             case 2 => if (v > acc) acc = v
             case 4 | 5 => acc += v; acc2 += v * v
-            case 6 => buf(c) = v
+            case 6 | 8 => buf(c) = v
             case 7 => acc += 1
           }
           c += 1
@@ -1400,6 +1390,17 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
                 if (c % 2 == 1) buf(c / 2)
                 else (buf(c / 2 - 1) + buf(c / 2)) / 2
               }
+            case 8 =>
+              if (acc.isNaN) Double.NaN // a NaN poisons the window
+              else {
+                // numpy linear interpolation: order stat q*(c-1)
+                java.util.Arrays.sort(buf, 0, c)
+                val pos = quantileQ * (c - 1)
+                val loI = pos.toInt
+                val frac = pos - loI
+                if (frac == 0.0 || loI + 1 >= c) buf(loI)
+                else buf(loI) + frac * (buf(loI + 1) - buf(loI))
+              }
             case _ => acc
           })
       }
@@ -1430,6 +1431,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     require(skipPre >= 0 && skipPost >= 0 &&
       skipPre + skipPost < shape(axis),
       s"halo skips $skipPre/$skipPost out of range for extent ${shape(axis)}")
+    val (opId, quantileQ) = NdArray.rollingOpId(op)
     val h = (window - 1) / 2
     val before = window - 1 - h
     val ownExt = shape(axis) - skipPre - skipPost
@@ -1446,24 +1448,23 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       if (i >= skipPre && i < skipPre + ownExt) {
         val lo = math.max(0, i - before)
         val hi = math.min(shape(axis) - 1, i + h)
-        var acc = if (op == "min") Double.PositiveInfinity
-          else if (op == "max") Double.NegativeInfinity else 0.0
+        var acc = if (opId == 1) Double.PositiveInfinity
+          else if (opId == 2) Double.NegativeInfinity else 0.0
         var acc2 = 0.0
         var c = 0
-        val buf = if (op == "median") new Array[Double](hi - lo + 1) else null
+        val buf = if (opId == 6 || opId == 8) new Array[Double](hi - lo + 1)
+                  else null
         var j = lo
         while (j <= hi) {
           val v = getDouble(flat + (j - i).toLong * axisStride)
-          if (v.isNaN) { if (op != "count") acc = Double.NaN }
-          else op match {
-            case "sum" | "mean" => acc += v
-            case "min" => if (v < acc) acc = v
-            case "max" => if (v > acc) acc = v
-            case "var" | "std" => acc += v; acc2 += v * v
-            case "median" => buf(c) = v
-            case "count" => acc += 1
-            case other => throw new IllegalArgumentException(
-              s"unknown rolling op $other")
+          if (v.isNaN) { if (opId != 7) acc = Double.NaN }
+          else opId match {
+            case 0 | 3 => acc += v
+            case 1 => if (v < acc) acc = v
+            case 2 => if (v > acc) acc = v
+            case 4 | 5 => acc += v; acc2 += v * v
+            case 6 | 8 => buf(c) = v
+            case 7 => acc += 1
           }
           c += 1
           j += 1
@@ -1478,17 +1479,27 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         // as in rollingReduceAlong: count gates minPeriods on VALID
         // observations (pandas/xarray min_periods semantics)
         out.setDouble(outFlat,
-          if ((if (op == "count") acc else c.toDouble) < minPeriods) Double.NaN
-          else op match {
-            case "mean" => acc / c
-            case "var" => math.max(0.0, (acc2 - acc * acc / c) / c)
-            case "std" => math.sqrt(math.max(0.0, (acc2 - acc * acc / c) / c))
-            case "median" =>
+          if ((if (opId == 7) acc else c.toDouble) < minPeriods) Double.NaN
+          else opId match {
+            case 3 => acc / c
+            case 4 => math.max(0.0, (acc2 - acc * acc / c) / c)
+            case 5 => math.sqrt(math.max(0.0, (acc2 - acc * acc / c) / c))
+            case 6 =>
               if (acc.isNaN) Double.NaN
               else {
                 java.util.Arrays.sort(buf, 0, c)
                 if (c % 2 == 1) buf(c / 2)
                 else (buf(c / 2 - 1) + buf(c / 2)) / 2
+              }
+            case 8 =>
+              if (acc.isNaN) Double.NaN
+              else {
+                java.util.Arrays.sort(buf, 0, c)
+                val pos = quantileQ * (c - 1)
+                val loI = pos.toInt
+                val frac = pos - loI
+                if (frac == 0.0 || loI + 1 >= c) buf(loI)
+                else buf(loI) + frac * (buf(loI + 1) - buf(loI))
               }
             case _ => acc
           })
@@ -2187,6 +2198,28 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 }
 
 object NdArray {
+  /** Rolling-op dispatch shared by [[NdArray.rollingReduceAlong]] and
+    * [[NdArray.rollingCenteredAlong]]: op string → (opId, quantile q).
+    * `"quantile:<q>"` carries its order statistic inline (median is
+    * the q=0.5 special case with pandas' mean-of-two-mids tie). */
+  private[ndarray] def rollingOpId(op: String): (Int, Double) = op match {
+    case "sum" => (0, 0.0)
+    case "min" => (1, 0.0)
+    case "max" => (2, 0.0)
+    case "mean" => (3, 0.0)
+    case "var" => (4, 0.0)
+    case "std" => (5, 0.0)
+    case "median" => (6, 0.0)
+    case "count" => (7, 0.0)
+    case q if q.startsWith("quantile:") =>
+      val v = q.stripPrefix("quantile:").toDouble
+      require(v >= 0.0 && v <= 1.0, s"rolling quantile $v outside [0, 1]")
+      (8, v)
+    case other => throw new IllegalArgumentException(
+      s"unknown rolling op $other " +
+        "(sum/min/max/mean/var/std/median/count/quantile:<q>)")
+  }
+
   def zeros(dtype: DType, shape: Array[Int]): NdArray = {
     val n = shape.foldLeft(1L)(_ * _) * dtype.itemsize
     require(n <= Int.MaxValue, s"array too large: $n bytes")

@@ -4023,6 +4023,81 @@ object XbeamQueries {
       Some("""
         SELECT t, CAST(t * 2 AS DOUBLE) AS v007,
                CAST(1000 - t AS DOUBLE) AS v123
-        FROM (SELECT unnest(range(64)) AS t) ORDER BY t"""))
+        FROM (SELECT unnest(range(64)) AS t) ORDER BY t""")),
+
+    // --------------------------------------------------------------- x132
+    // Discovered-template sink (ChunksToZarr(template=None), the
+    // reference's deprecated race-prone mode, zarr.py:741-751): raw
+    // (key, chunk) pairs with NO template — discovery is a separate
+    // metadata-only treeReduce job (a few dozen bytes per chunk, never
+    // payloads), then the validated dataset writes through the normal
+    // template'd sink and the store re-reads. Race-free where the
+    // reference's side-input spelling wasn't; the hash proves pairs →
+    // discover → setup → write → re-read is the identity.
+    QueryDef(
+      "x132_discovered_template",
+      (s, dir) => {
+        val pairs = gridXds(s, dir).chunkDataset
+        val disc = XbeamDataset.fromPairsDiscovered(s, pairs)
+        val store = zarrPath("x132", dir)
+        val root = java.nio.file.Paths.get(store)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+        disc.toZarr(store, compressor = Some("zlib"))
+        TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, uid, vf FROM grid ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x133
+    // Rolling quantile along t (xarray rolling(t=7).quantile(0.25) —
+    // the despiking filter generalized from x55's median to an
+    // arbitrary order statistic): per window the numpy-linear
+    // interpolation at q·(n−1), on the SAME single halo exchange as
+    // every rolling op — the sort is window-local, only 6 trailing
+    // rows cross the wire. q=0.25 over integer-valued vf keeps every
+    // interpolation an exact quarter fraction of integers, so the
+    // engine is bit-identical to DuckDB's windowed quantile_cont.
+    QueryDef(
+      "x133_rolling_quantile",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        TabularBridge.toDataFrame(
+            gridXds(s, dir).select(Set("vf")).rollingQuantile("t", 7, 0.25))
+          .select(col("t"), col("x"), col("vf"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x, quantile_cont(vf, 0.25) OVER w AS vf
+        FROM grid
+        WINDOW w AS (PARTITION BY x ORDER BY t
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x134
+    // combine_first (xarray Dataset.combine_first): self wins where it
+    // has a value, the other dataset fills the NaN holes — the gap-fill
+    // idiom (observations patched from a model run). One co-partitioned
+    // zip shuffle, the fill a narrow fold. Holes are every vf divisible
+    // by 3; the fill side is the same field shifted down 1000, so every
+    // filled cell is provably from the OTHER dataset.
+    QueryDef(
+      "x134_combine_first",
+      (s, dir) => {
+        val a = gridXds(s, dir).select(Set("vf")).where(v => v % 3.0 != 0.0)
+        val b = gridXds(s, dir).select(Set("vf")).mapValues(v => v - 1000.0)
+        TabularBridge.toDataFrame(a.combineFirst(b)).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t, x,
+               CASE WHEN vf % 3 != 0 THEN vf ELSE vf - 1000.0 END AS vf
+        FROM grid ORDER BY t, x"""))
   )
 }

@@ -89,7 +89,7 @@ class CrossChunkPropSpec extends AnyFunSuite {
     val g = for {
       base <- caseGen
       w <- Gen.chooseNum(2, 4)
-      op <- Gen.oneOf("sum", "min")
+      op <- Gen.oneOf("sum", "min", "quantile:0.25", "quantile:0.9")
       center <- Gen.oneOf(false, true)
     } yield (base, w, op, center)
     check(Prop.forAllNoShrink(g) { case ((n0, c0, n1, seed), w, op, center) =>
@@ -117,6 +117,15 @@ class CrossChunkPropSpec extends AnyFunSuite {
           val e = op match {
             case "sum" => xs.sum
             case "min" => xs.min
+            case q if q.startsWith("quantile:") =>
+              // numpy-linear order statistic at q*(n-1)
+              val qq = q.stripPrefix("quantile:").toDouble
+              val sorted = xs.sorted
+              val pos = qq * (sorted.length - 1)
+              val lo = pos.toInt
+              val frac = pos - lo
+              if (frac == 0.0 || lo + 1 >= sorted.length) sorted(lo)
+              else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
           }
           math.abs(got(i * n1 + j) - e) < 1e-9
         }

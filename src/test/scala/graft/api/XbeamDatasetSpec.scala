@@ -1203,6 +1203,42 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(sums(0) == 1.0 && sums(1).isNaN && sums(4).isNaN)
   }
 
+  test("rollingQuantile: numpy-linear order statistic, NaN poison, bad q") {
+    // window [2,8,4]: sorted (2,4,8); q=0.25 → pos 0.5 → 3; q=0 → min;
+    // q=1 → max; q=0.5 matches median
+    val vals = NdArray.fromDoubles(DType.F64, Array(5),
+      Array(2.0, 8.0, 4.0, Double.NaN, 16.0))
+    def roll(q: Double) =
+      vals.rollingReduceAlong(0, 3, 0, s"quantile:$q").toDoubles
+    assert(roll(0.25).toSeq.take(3) == Seq(2.0, 3.5, 3.0))
+    assert(roll(0.0)(2) == 2.0 && roll(1.0)(2) == 8.0)
+    assert(roll(0.5)(2) ==
+      vals.rollingReduceAlong(0, 3, 0, "median").toDoubles(2))
+    // NaN poisons windows containing position 3
+    assert(roll(0.25)(3).isNaN && roll(0.25)(4).isNaN)
+    // end-to-end through the dataset API, trailing + centered agree
+    // with the single-chunk kernel
+    val grid = NdArray.fromDoubles(DType.F64, Array(12),
+      Array.tabulate(12)(i => ((i * 29) % 13).toDouble))
+    val expectT = grid.rollingReduceAlong(0, 4, 0, "quantile:0.75").toDoubles
+    val gotT = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), grid)), chunks = Map("t" -> 6))
+      .rollingQuantile("t", 4, 0.75)
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(gotT.toSeq == expectT.toSeq)
+    val gotC = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), grid)), chunks = Map("t" -> 6))
+      .rollingQuantile("t", 3, 0.75, center = true)
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    val expectC = grid.rollingCenteredAlong(0, 3, 0, 0, "quantile:0.75")
+      .toDoubles
+    assert(gotC.toSeq == expectC.toSeq)
+    val e = intercept[IllegalArgumentException](
+      XbeamDataset.fromLocal(spark, Map("v" -> (Seq("t"), grid)),
+        chunks = Map("t" -> 6)).rollingQuantile("t", 3, 1.5))
+    assert(e.getMessage.contains("quantile"))
+  }
+
   test("cumprod matches the kernel across chunkings and scan paths") {
     // factors in {1, 2}: running products stay exact powers of two
     val grid = NdArray.fromDoubles(DType.F64, Array(32, 6),
@@ -2029,6 +2065,40 @@ class XbeamDatasetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       a.whereDs(cond, one(Array(1, 2, 3, 4), "w"))
     }
+  }
+
+  test("combineFirst: self wins, other fills, union of vars, int untouched") {
+    def one(vals: Map[String, Array[Double]], dt: DType = DType.F64) =
+      XbeamDataset.fromLocal(spark, vals.map { case (n, vs) =>
+        (n, (Seq("t"), NdArray.fromDoubles(dt, Array(vs.length), vs)))
+      }, chunks = Map("t" -> 2))
+    val a = one(Map("v" -> Array(1, Double.NaN, 3, Double.NaN),
+                    "onlyA" -> Array(7.0, 7, 7, 7)))
+    val b = one(Map("v" -> Array(10.0, 20, 30, 40),
+                    "onlyB" -> Array(9.0, 9, 9, 9)))
+    val out = a.combineFirst(b).collectConsolidated()._2
+    assert(out.vars("v").arr.toDoubles.toSeq == Seq(1.0, 20.0, 3.0, 40.0))
+    // one-sided variables pass through (xarray's union semantics)
+    assert(out.vars("onlyA").arr.toDoubles.toSeq == Seq(7.0, 7, 7, 7))
+    assert(out.vars("onlyB").arr.toDoubles.toSeq == Seq(9.0, 9, 9, 9))
+    // a genuine NaN on BOTH sides stays NaN
+    val bn = one(Map("v" -> Array(10.0, Double.NaN, 30, 40)))
+    assert(a.select(Set("v")).combineFirst(bn)
+      .collectConsolidated()._2.vars("v").arr.getDouble(1).isNaN)
+    // shared integer variables pass self through, dtype preserved
+    val ia = one(Map("k" -> Array(1.0, 2, 3, 4)), DType.I64)
+    val ib = one(Map("k" -> Array(5.0, 6, 7, 8)), DType.I64)
+    val ic = ia.combineFirst(ib)
+    assert(ic.template.vars("k").dtype == DType.I64)
+    assert(ic.collectConsolidated()._2.vars("k").arr.toDoubles.toSeq ==
+      Seq(1.0, 2, 3, 4))
+    // F32 self + F64 other promotes to F64 (the wider float)
+    val fa = one(Map("v" -> Array(1.0f.toDouble, Double.NaN)), DType.F32)
+    val fb = one(Map("v" -> Array(5.0, 6.5)))
+    val fc = fa.combineFirst(fb)
+    assert(fc.template.vars("v").dtype == DType.F64)
+    assert(fc.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(1.0, 6.5))
   }
 
   test("truncate is a narrow restriction; coarsen boundary=trim drops the tail") {
@@ -3030,5 +3100,72 @@ class XbeamDatasetSpec extends AnyFunSuite {
         .approxQuantile(0.5, Set("time"))
     }
     assert(es.getMessage.contains("consolidateVariables"))
+  }
+
+  test("fromPairsDiscovered infers template + grid from raw pairs") {
+    // strip the template off a known dataset; discovery must rebuild it
+    val base = era5ds() // time=12 chunked 4, ragged-free
+    val disc = XbeamDataset.fromPairsDiscovered(spark, base.chunkDataset)
+    assert(disc.template.dims == base.template.dims)
+    assert(disc.template.vars == base.template.vars)
+    assert(disc.chunkSizes == base.chunkSizes)
+    assert(disc.collectConsolidated()._2.vars("temperature").arr
+      .sameAs(base.collectConsolidated()._2.vars("temperature").arr))
+
+    // ragged tail: 10 rows in chunks of 4 → sizes 4,4,2; the largest
+    // extent (4) is the grid, the max end (10) the dim size
+    val ragged = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), arange(DType.F64, 10))), chunks = Map("t" -> 4))
+    val rd = XbeamDataset.fromPairsDiscovered(spark, ragged.chunkDataset)
+    assert(rd.template.dimSizes("t") == 10L && rd.chunkSizes("t") == 4)
+    assert(rd.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      (0 until 10).map(_.toDouble))
+
+    // split-variable pairs: per-var keys still discover the union schema
+    val sv = XbeamDataset.fromLocal(spark, Fixtures.era5(),
+      chunks = Map("time" -> 6), splitVars = true)
+    val svd = XbeamDataset.fromPairsDiscovered(spark, sv.chunkDataset,
+      splitVars = true)
+    assert(svd.template.vars == sv.template.vars)
+
+    // the discovered dataset is the template-free sink: toZarr works
+    val dir = Files.createTempDirectory("discover_zarr").toString
+    disc.toZarr(dir)
+    val back = XbeamDataset.fromZarr(spark, dir)
+    assert(back.collectConsolidated()._2.vars("temperature").arr
+      .sameAs(base.collectConsolidated()._2.vars("temperature").arr))
+
+    // misaligned grids fail loudly through validation instead of
+    // writing silently incomplete data (the reference's race warning)
+    import graft.operators.ChunkTransforms.pairEnc
+    val badPairs = base.chunkDataset.map { p: (ChunkKey, ArrayChunk) =>
+      val k = p._1
+      // shift one interior chunk off-grid
+      if (k.offsets.getOrElse("time", 0L) == 4L)
+        (k.withOffsets("time" -> 5L), p._2) else p
+    }
+    val e = intercept[Exception] {
+      XbeamDataset.fromPairsDiscovered(spark, badPairs)
+        .collectConsolidated()
+    }
+    assert(e.getMessage != null)
+
+    // indices-keyed chunks are rejected (no grid positions to discover)
+    val idxPairs = base.chunkDataset.map { p: (ChunkKey, ArrayChunk) =>
+      (ChunkKey(Map.empty, p._1.vars,
+        indices = Map("time" -> p._1.offsets("time") / 4)), p._2)
+    }
+    val e2 = intercept[Exception] {
+      XbeamDataset.fromPairsDiscovered(spark, idxPairs).chunkDataset.count()
+    }
+    assert(e2.getMessage.contains("indices") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("indices"))
+
+    // empty collection: loud failure
+    val e3 = intercept[IllegalArgumentException] {
+      XbeamDataset.fromPairsDiscovered(spark,
+        base.chunkDataset.filter((_: (ChunkKey, ArrayChunk)) => false))
+    }
+    assert(e3.getMessage.contains("empty"))
   }
 }
