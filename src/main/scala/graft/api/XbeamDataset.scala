@@ -915,14 +915,28 @@ final class XbeamDataset private (
       s"set_index: dim $dim has $n positions — beyond " +
         s"spark.graft.coord.maxLen=$maxLen for a driver-resident " +
         "coordinate (raise it deliberately if the driver can hold it)")
-    // gather the variable's slivers; chunks along OTHER dims duplicate
-    // the 1-D sliver identically, so keying by offset dedups for free
+    // gather the variable's slivers; chunks along OTHER dims carry
+    // copies of the 1-D sliver, which must AGREE — a per-chunk-derived
+    // key (a mapBlocks computing different values per other-dim chunk)
+    // would otherwise set a nondeterministic whichever-arrived-last
+    // coordinate. Collect all copies and verify equality per offset.
     implicit val sliverEnc = Encoders.kryo[(Long, VarArray)]
     val dName = dim
     val vName = varName
-    val parts = select(Set(varName)).chunkDataset
+    val collected = select(Set(varName)).chunkDataset
       .map { p: Pair => (p._1.offsets.getOrElse(dName, 0L), p._2.vars(vName)) }
-      .collect().toMap
+      .collect()
+    val parts = collected.groupBy(_._1).map { case (off, copies) =>
+      val first = copies.head._2
+      copies.tail.foreach { case (_, other) =>
+        require(other.arr.sameAs(first.arr),
+          s"set_index: $varName is not constant across chunks of the " +
+            s"other dims at $dName offset $off — an index variable must " +
+            "hold ONE value per position (reduce it first, e.g. " +
+            "groupby/mean over the other dims)")
+      }
+      off -> first
+    }
     val coord = NdArray.zeros(vspec.dtype, Array(n.toInt))
     parts.foreach { case (off, va) =>
       coord.insert(Array(off.toInt), va.arr)
@@ -5748,17 +5762,24 @@ object XbeamDataset {
     * consolidate rule: the chunk size along a dim is the largest extent
     * seen (interior chunks are full-size, only the tail may be ragged)
     * and the dim size is the largest offset+extent. The result then
-    * passes through [[fromPairs]] WITH validation, so an input that is
-    * not a regular grid (misaligned offsets, holes in a var's
-    * coverage surface at write time) fails loudly instead of writing
-    * silently incomplete data — the exact failure mode the reference
-    * warns about. Discovered templates have no coords/attrs (chunks
-    * don't carry them; assign via [[XbeamDataset.assignCoords]]). */
+    * passes through [[fromPairs]] WITH validation, plus a per-variable
+    * coverage check (every variable must reach each of its dims'
+    * discovered ends), so misaligned offsets, interior holes, and a
+    * variable missing its tail all fail loudly. The one inherent
+    * limit: a trailing chunk missing from EVERY variable truncates the
+    * discovered extent itself — discovery DEFINES the dataset as what
+    * the chunks cover (the reference's mode is identical there); when
+    * the true extent is known upstream, pass it via [[fromPairs]].
+    * Discovered templates have no coords/attrs (chunks don't carry
+    * them; assign via [[XbeamDataset.assignCoords]]). */
   def fromPairsDiscovered(spark: SparkSession,
                           ds: Dataset[(ChunkKey, ArrayChunk)],
                           splitVars: Boolean = false): XbeamDataset = {
-    // (var → (dims, dtype)), (dim → (max chunk extent, max end))
-    type Meta = (Map[String, (Seq[String], DType)], Map[String, (Int, Long)])
+    // (var → (dims, dtype)), (dim → (max chunk extent, max end)),
+    // ((var, dim) → max end) — the per-var coverage surface
+    type Meta = (Map[String, (Seq[String], DType)],
+                 Map[String, (Int, Long)],
+                 Map[(String, String), Long])
     def merge(a: Meta, b: Meta): Meta = {
       val vars = (a._1.keySet ++ b._1.keySet).iterator.map { n =>
         (a._1.get(n), b._1.get(n)) match {
@@ -5772,7 +5793,10 @@ object XbeamDataset {
         val x = a._2.getOrElse(d, (0, 0L)); val y = b._2.getOrElse(d, (0, 0L))
         d -> (math.max(x._1, y._1), math.max(x._2, y._2))
       }.toMap
-      (vars, dims)
+      val ends = (a._3.keySet ++ b._3.keySet).iterator.map { k =>
+        k -> math.max(a._3.getOrElse(k, 0L), b._3.getOrElse(k, 0L))
+      }.toMap
+      (vars, dims, ends)
     }
     val metas = ds.rdd.map { case (key, chunk) =>
       require(key.indices.isEmpty,
@@ -5785,14 +5809,28 @@ object XbeamDataset {
           d -> (s, off + s)
         }
       }.toMap.map(identity)  // last-wins per chunk; merge() takes the max
-      (vars, dims): Meta
+      val ends = chunk.vars.iterator.flatMap { case (n, va) =>
+        va.dims.zip(va.arr.shape).map { case (d, s) =>
+          (n, d) -> (key.offsets.getOrElse(d, 0L) + s)
+        }
+      }.toMap
+      (vars, dims, ends): Meta
     }
-    val (vars, dims) =
+    val (vars, dims, ends) =
       try metas.treeReduce(merge)
       catch { case _: UnsupportedOperationException =>
         throw new IllegalArgumentException(
           "cannot discover a template from an empty chunk collection")
       }
+    vars.foreach { case (n, (dimSeq, _)) =>
+      dimSeq.foreach { d =>
+        val got = ends.getOrElse((n, d), 0L)
+        require(got == dims(d)._2,
+          s"discovered template: variable $n covers only $got of dim $d's " +
+            s"discovered size ${dims(d)._2} — a trailing chunk of $n is " +
+            "missing from the collection")
+      }
+    }
     // deterministic dim order: first appearance walking vars by name
     val order = scala.collection.mutable.LinkedHashSet[String]()
     vars.toSeq.sortBy(_._1).foreach { case (_, (ds0, _)) => order ++= ds0 }

@@ -3118,13 +3118,8 @@ object XbeamQueries {
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination()
         finally {
-          try {
-            import scala.jdk.CollectionConverters._
-            val p = java.nio.file.Paths.get(ckpt)
-            if (java.nio.file.Files.exists(p))
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: Throwable => () }
+          try graft.core.Fs.deleteRecursively(ckpt)
+          catch { case _: Throwable => () }
         }
         s.table(name).orderBy("x")
       },
@@ -3950,12 +3945,7 @@ object XbeamQueries {
         import graft.core.{Template, VarSpec}
         import graft.sources.Zarr
         val store = zarrPath("x126", dir)
-        val root = java.nio.file.Paths.get(store)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        }
+        graft.core.Fs.deleteRecursively(store)
         val tSize = 400000L
         val template = Template(Seq("t" -> tSize, "x" -> 8L),
           Map("uid" -> VarSpec(Seq("t", "x"), DType.I64),
@@ -3996,12 +3986,7 @@ object XbeamQueries {
         import graft.core.{Template, VarSpec}
         import graft.sources.Zarr
         val store = zarrPath("x131", dir)
-        val root = java.nio.file.Paths.get(store)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        }
+        graft.core.Fs.deleteRecursively(store)
         val tSize = 64L
         val template = Template(Seq("t" -> tSize),
           (0 until 300).map(i => f"v$i%03d" -> VarSpec(Seq("t"), DType.F64))
@@ -4040,12 +4025,7 @@ object XbeamQueries {
         val pairs = gridXds(s, dir).chunkDataset
         val disc = XbeamDataset.fromPairsDiscovered(s, pairs)
         val store = zarrPath("x132", dir)
-        val root = java.nio.file.Paths.get(store)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        }
+        graft.core.Fs.deleteRecursively(store)
         disc.toZarr(store, compressor = Some("zlib"))
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("t", "x")

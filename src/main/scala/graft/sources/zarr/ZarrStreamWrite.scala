@@ -148,11 +148,7 @@ class ZarrStreamingWrite(path: String, schema: StructType,
     if (isLocal) {
       val stage = java.nio.file.Paths.get(
         BlobStore.stripScheme(path), ".stream_stage", s"ep$epochId")
-      if (java.nio.file.Files.exists(stage)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
-          .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      }
+      graft.core.Fs.deleteRecursively(stage)
     }
   }
 

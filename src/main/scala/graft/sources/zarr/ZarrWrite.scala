@@ -157,8 +157,7 @@ object ZarrWrite {
         require(isEmptyDir || graft.sources.Zarr.storeExists(path),
           s"overwrite target $path exists but is not a zarr store — " +
             "refusing to delete it; remove it yourself or pick another path")
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        graft.core.Fs.deleteRecursively(p)
       } else if (!isLocal) {
         require(!graft.sources.Zarr.storeExists(path),
           s"overwrite into existing remote store $path is not supported " +

@@ -91,17 +91,8 @@ object StreamOps {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        val p = java.nio.file.Paths.get(ckpt)
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse
-              .foreach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
-          } finally walk.close()
-        }
-      } catch { case _: Throwable => () }
+      try graft.core.Fs.deleteRecursively(ckpt)
+      catch { case _: Throwable => () }
     }
     s.table(name)
   }
@@ -426,13 +417,8 @@ object StreamOps {
           "src_" + sfName).toAbsolutePath
         val store = java.nio.file.Paths.get("target", "stream_zarr",
           "store_" + sfName).toAbsolutePath.toString
-        def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-        rmTree(scratch)
-        rmTree(java.nio.file.Paths.get(store))
+        graft.core.Fs.deleteRecursively(scratch)
+        graft.core.Fs.deleteRecursively(store)
         java.nio.file.Files.createDirectories(scratch)
         // four chunk-aligned hour-range source files, written in order
         val withHour = ev.select(
@@ -451,7 +437,7 @@ object StreamOps {
           val f = java.nio.file.Files.list(tmp).iterator().asScala
             .find(_.toString.endsWith(".parquet")).get
           java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
-          rmTree(tmp)
+          graft.core.Fs.deleteRecursively(tmp)
         }
         // eager store setup: metadata + template only, zero chunk writes
         val template = graft.core.Template(
@@ -515,7 +501,7 @@ object StreamOps {
           }
           .start()
         try q.awaitTermination()
-        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+        finally { try graft.core.Fs.deleteRecursively(ckpt)
           catch { case _: Throwable => () } }
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("hour")
@@ -567,14 +553,8 @@ object StreamOps {
           "src_" + sfName).toAbsolutePath
         val store = java.nio.file.Paths.get("target", "stream_sink",
           "store_" + sfName).toAbsolutePath.toString
-        def rmTree(p: java.nio.file.Path): Unit =
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
-        rmTree(scratch)
-        rmTree(java.nio.file.Paths.get(store))
+        graft.core.Fs.deleteRecursively(scratch)
+        graft.core.Fs.deleteRecursively(store)
         java.nio.file.Files.createDirectories(scratch)
         // per-span source files carry FINAL densified cell values (the
         // sink is a keyed cell sink — aggregation happens upstream,
@@ -602,7 +582,7 @@ object StreamOps {
             val f = java.nio.file.Files.list(tmp).iterator().asScala
               .find(_.toString.endsWith(".parquet")).get
             java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
-            rmTree(tmp)
+            graft.core.Fs.deleteRecursively(tmp)
           }
         }
         // eager template setup, zero chunk writes
@@ -629,7 +609,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         try q.awaitTermination()
-        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+        finally { try graft.core.Fs.deleteRecursively(ckpt)
           catch { case _: Throwable => () } }
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("hour")
@@ -682,14 +662,8 @@ object StreamOps {
           "src_" + sfName).toAbsolutePath
         val store = java.nio.file.Paths.get("target", "stream_upd",
           "store_" + sfName).toAbsolutePath.toString
-        def rmTree(p: java.nio.file.Path): Unit =
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
-        rmTree(scratch)
-        rmTree(java.nio.file.Paths.get(store))
+        graft.core.Fs.deleteRecursively(scratch)
+        graft.core.Fs.deleteRecursively(store)
         java.nio.file.Files.createDirectories(scratch)
         // raw event files, one per hour span, streamed in order
         val withHour = ev.select(col("ts"),
@@ -709,7 +683,7 @@ object StreamOps {
             val f = java.nio.file.Files.list(tmp).iterator().asScala
               .find(_.toString.endsWith(".parquet")).get
             java.nio.file.Files.move(f, scratch.resolve(s"batch$k.parquet"))
-            rmTree(tmp)
+            graft.core.Fs.deleteRecursively(tmp)
           }
         }
         // zero-initialized accumulator store (batch write)
@@ -741,7 +715,7 @@ object StreamOps {
           .trigger(Trigger.AvailableNow())
           .start()
         try q.awaitTermination()
-        finally { try rmTree(java.nio.file.Paths.get(ckpt))
+        finally { try graft.core.Fs.deleteRecursively(ckpt)
           catch { case _: Throwable => () } }
         TabularBridge.toDataFrame(XbeamDataset.fromZarr(s, store))
           .orderBy("hour")
@@ -786,14 +760,16 @@ object StreamOps {
       (s, dir) => {
         import graft.queries.TextOps
         graft.functions.GraftFunctions.register(s)
-        runToMemoryTable(s, "s11_sink") {
-          // static side: banded LSH index + verification sets of the
-          // existing corpus — persisted: both derive from the shingle
-          // arrays, and a stream-static join re-evaluates its static
-          // side every micro-batch (at scale both live as MAINTAINED
-          // tables; the cache stands in for that here)
-          val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // static side: banded LSH index + verification sets of the
+        // existing corpus — persisted: both derive from the shingle
+        // arrays, and a stream-static join re-evaluates its static
+        // side every micro-batch (at scale both live as MAINTAINED
+        // tables; the cache stands in for that here). Unpersisted
+        // after the run — the memory sink holds the results, and a
+        // leaked cache block would skew every later gate's memory.
+        val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try runToMemoryTable(s, "s11_sink") {
           val idxBands = TextOps.minhashBands(
               corpus.select(col("doc_id"), col("shingles")))
             .withColumnRenamed("doc_id", "id_old")
@@ -825,6 +801,7 @@ object StreamOps {
                 (col("sz_new") + col("sz_old") - col("inter"))).as("jaccard"))
           verified
         }.orderBy("id_new", "id_old")
+        finally { corpus.unpersist(); () }
       },
       Some(s"""
         ${graft.queries.TextOps.DUCK_SHINGLE_CTE},

@@ -2245,6 +2245,22 @@ class XbeamDatasetSpec extends AnyFunSuite {
     // errors: unknown var; a 2-D var cannot index
     assertThrows[IllegalArgumentException](ds.setIndex("nope"))
     assertThrows[IllegalArgumentException](ds.setIndex("v"))
+    // an index variable whose copies DISAGREE across other-dim chunks
+    // (a per-chunk-derived key) is rejected, not silently
+    // last-write-wins: chunk x in {0,1} derives k = x-dependent values
+    val disagree = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), data), "k" -> (Seq("t"), key)),
+      chunks = Map("t" -> 2, "x" -> 1))
+      .mapBlocks { c =>
+        val xDep = c.vars("v").arr.getDouble(0) // differs per x chunk
+        ArrayChunk(c.vars + ("k" -> VarArray(Seq("t"),
+          NdArray.fromDoubles(DType.F64, Array(c.vars("k").arr.shape(0)),
+            Array.fill(c.vars("k").arr.shape(0))(xDep)))))
+      }
+    val eDis = intercept[Exception](disagree.setIndex("k"))
+    assert(eDis.getMessage.contains("not constant") ||
+      (eDis.getCause != null &&
+        eDis.getCause.getMessage.contains("not constant")))
     // swap_dims = setIndex + dim rename: the dim takes the variable's
     // name, the variable's values become its coordinate, and every
     // coordinate consumer works under the new name
@@ -3167,5 +3183,17 @@ class XbeamDatasetSpec extends AnyFunSuite {
         base.chunkDataset.filter((_: (ChunkKey, ArrayChunk)) => false))
     }
     assert(e3.getMessage.contains("empty"))
+
+    // a variable missing its TRAILING chunk (while another variable
+    // reaches further) fails the per-var coverage check instead of
+    // silently truncating that variable's data
+    val holed = base.chunkDataset.map { p: (ChunkKey, ArrayChunk) =>
+      if (p._1.offsets.getOrElse("time", 0L) == 8L)
+        (p._1, ArrayChunk(p._2.vars - "temperature"))
+      else p
+    }
+    val e4 = intercept[IllegalArgumentException](
+      XbeamDataset.fromPairsDiscovered(spark, holed))
+    assert(e4.getMessage.contains("covers only"))
   }
 }
