@@ -5160,6 +5160,60 @@ final class XbeamDataset private (
     }, merged)
   }
 
+  /** 3-vector cross product along `dim` (xarray `xr.cross(a, b,
+    * dim=...)` for the size-3 case): per cell of the other dims,
+    * c = a × b of the two 3-component vectors. `dim` must be size 3
+    * and unchunked (a 3-extent dim always is), so the product is
+    * chunk-local: ONE co-partitioned zip shuffle, then three
+    * fused-multiply-subtract slices per variable reassemble in place —
+    * no shuffle grows with the vector field's size. Same aligned-grid
+    * contract as [[whereDs]]. */
+  def cross(other: XbeamDataset, dim: String): XbeamDataset = {
+    require(template.dimSizes.get(dim).contains(3L) &&
+      other.template.dimSizes.get(dim).contains(3L),
+      s"cross needs dim $dim of size 3 on both sides " +
+        s"(got ${template.dimSizes.get(dim)} vs " +
+        s"${other.template.dimSizes.get(dim)})")
+    require(chunkSizes.get(dim).forall(_ == 3),
+      s"cross needs dim $dim unchunked (chunk size 3) — rechunk first")
+    require(template.vars.keySet == other.template.vars.keySet,
+      s"cross needs identical variables on both sides: " +
+        s"${template.vars.keySet} vs ${other.template.vars.keySet}")
+    template.vars.foreach { case (n, vs) =>
+      require(vs.dims.contains(dim),
+        s"cross: variable $n does not span $dim")
+      require(vs.dims == other.template.vars(n).dims,
+        s"cross: variable $n has dims ${vs.dims} vs " +
+          s"${other.template.vars(n).dims}")
+    }
+    val d = dim
+    val merged = template.copy(vars = template.vars.map { case (n, vs) =>
+      n -> VarSpec(vs.dims, DType.F64)
+    })
+    zipWith(other)({ (a, b) =>
+      ArrayChunk(a.vars.map { case (n, va) =>
+        val ax = va.dims.indexOf(d)
+        val vb = b.vars(n).arr
+        def comp(arr: NdArray, k: Int): NdArray = {
+          val starts = new Array[Int](arr.ndim); starts(ax) = k
+          val shp = arr.shape.clone(); shp(ax) = 1
+          arr.slice(starts, shp)
+        }
+        def fms(x: NdArray, y: NdArray, u: NdArray, v: NdArray): NdArray =
+          x.zipF64(y)(_ * _).zipF64(u.zipF64(v)(_ * _))(_ - _)
+        val (a0, a1, a2) = (comp(va.arr, 0), comp(va.arr, 1), comp(va.arr, 2))
+        val (b0, b1, b2) = (comp(vb, 0), comp(vb, 1), comp(vb, 2))
+        val outShape = va.arr.shape.clone()
+        val out = NdArray.zeros(DType.F64, outShape)
+        val at = new Array[Int](out.ndim)
+        at(ax) = 0; out.insert(at.clone(), fms(a1, b2, a2, b1))
+        at(ax) = 1; out.insert(at.clone(), fms(a2, b0, a0, b2))
+        at(ax) = 2; out.insert(at.clone(), fms(a0, b1, a1, b0))
+        n -> VarArray(va.dims, out)
+      })
+    }, merged)
+  }
+
   /** Combine two disjoint-variable datasets on the SAME grid into one
     * (xarray `xr.merge` for the aligned case): one co-partitioned zip
     * shuffle unites the chunk pairs, variables concatenate per chunk.

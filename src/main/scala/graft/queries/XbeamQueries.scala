@@ -4078,6 +4078,38 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t, x,
                CASE WHEN vf % 3 != 0 THEN vf ELSE vf - 1000.0 END AS vf
-        FROM grid ORDER BY t, x"""))
+        FROM grid ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x135
+    // Vector cross product (xr.cross along a size-3 component dim):
+    // two 3-component vector fields built by ensemble-stacking derived
+    // grids along a new "c" dim (x125's zero-shuffle concat), the
+    // components consolidated into one chunk (c is 3 wide — always
+    // unchunked in practice), then c = a × b chunk-locally after ONE
+    // co-partitioned zip. Integer-valued vf keeps every product exact,
+    // so the component formulas match DuckDB bit-for-bit.
+    QueryDef(
+      "x135_cross",
+      (s, dir) => {
+        val g = gridXds(s, dir).select(Set("vf"))
+        def stack3(fs: Seq[Double => Double]) =
+          XbeamDataset.concatNew("c", fs.map(f => g.mapValues(f)))
+            .rechunk(Map("c" -> 3))
+        val a = stack3(Seq(v => v + 1, v => v * 2, v => v - 3))
+        val b = stack3(Seq(v => v - 2, v => v, v => v * 3))
+        TabularBridge.toDataFrame(a.cross(b, "c")).orderBy("c", "t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT c, t, x, vf FROM (
+          SELECT 0 AS c, t, x, (vf * 2) * (vf * 3) - (vf - 3) * vf AS vf
+          FROM grid
+          UNION ALL
+          SELECT 1, t, x, (vf - 3) * (vf - 2) - (vf + 1) * (vf * 3)
+          FROM grid
+          UNION ALL
+          SELECT 2, t, x, (vf + 1) * vf - (vf * 2) * (vf - 2)
+          FROM grid)
+        ORDER BY c, t, x"""))
   )
 }

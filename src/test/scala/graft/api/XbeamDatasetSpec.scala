@@ -2067,6 +2067,30 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("cross: 3-vector product per cell, unit axes, errors") {
+    // fields over (c=3, t=2): a = rows of vectors
+    def mk(vecs: Array[Double]) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("c", "t"), NdArray.fromDoubles(DType.F64,
+        Array(3, 2), vecs))), chunks = Map("c" -> 3, "t" -> 1))
+    // t=0: x̂ × ŷ = ẑ; t=1: (1,2,3) × (4,5,6) = (-3, 6, -3)
+    val a = mk(Array(1, 1, 0, 2, 0, 3))  // c-major: a0=(1,1) a1=(0,2) a2=(0,3)
+    val b = mk(Array(0, 4, 1, 5, 0, 6))
+    val out = a.cross(b, "c").collectConsolidated()._2.vars("v").arr
+    // t=0: a=(1,0,0) b=(0,1,0) → (0,0,1); t=1: (1,2,3)×(4,5,6)=(-3,6,-3)
+    assert(out.toDoubles.toSeq == Seq(0.0, -3.0, 0.0, 6.0, 1.0, -3.0))
+    // the chunked-along-t distributed answer equals the single-chunk one
+    val a2 = mk(Array(1, 1, 0, 2, 0, 3)).rechunk(Map("t" -> 2))
+    val b2 = mk(Array(0, 4, 1, 5, 0, 6)).rechunk(Map("t" -> 2))
+    assert(a2.cross(b2, "c").collectConsolidated()._2.vars("v").arr
+      .toDoubles.toSeq == out.toDoubles.toSeq)
+    // errors: wrong dim size; dim chunked below 3; var missing the dim
+    assertThrows[IllegalArgumentException](a.cross(b, "t"))
+    val ch = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("c", "t"), NdArray.fromDoubles(DType.F64,
+        Array(3, 2), Array.fill(6)(1.0)))), chunks = Map("c" -> 1))
+    assertThrows[IllegalArgumentException](ch.cross(ch, "c"))
+  }
+
   test("combineFirst: self wins, other fills, union of vars, int untouched") {
     def one(vals: Map[String, Array[Double]], dt: DType = DType.F64) =
       XbeamDataset.fromLocal(spark, vals.map { case (n, vs) =>

@@ -450,6 +450,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(m) == base + 1, "merge must zip in exactly one exchange")
     val w = mk("v").whereDs(mk("mask"), mk("v"))
     assert(exchanges(w) == base + 1, "whereDs must zip in exactly one exchange")
+    // combineFirst rides the same single zip; the fill is a narrow fold
+    val cf = mk("v").combineFirst(mk("v").mapValues(_ - 1))
+    assert(exchanges(cf) == base + 1,
+      "combineFirst must zip in exactly one exchange")
+    // rollingQuantile shares rolling's single halo exchange — the
+    // window-local sort adds no plan step
+    assert(exchanges(ds.rollingQuantile("t", 3, 0.25)) == base + 1,
+      "rollingQuantile must shuffle exactly once (the halo exchange)")
+    // cross: one zip exchange; the 3-slice product is chunk-local
+    val vec = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("c", "t"), NdArray.fromDoubles(DType.F64,
+        Array(3, 4), Array.tabulate(12)(_.toDouble)))),
+      chunks = Map("c" -> 3, "t" -> 2))
+    assert(exchanges(vec.cross(vec, "c")) == exchanges(vec) + 1,
+      "cross must zip in exactly one exchange")
   }
 
   test("stack/unstack reshape shuffle-free; nearest interp gathers in ONE shuffle") {
