@@ -1014,6 +1014,74 @@ final class XbeamDataset private (
   def dropVars(names: Set[String]): XbeamDataset =
     select(template.vars.keySet -- names)
 
+  /** Tile this dataset across the dims `other` has and this one lacks
+    * (xarray `broadcast_like` for the missing-dims case): every
+    * variable gains the new dims LEADING, in `other`'s dim order, with
+    * `other`'s extents, chunk grid, and coordinates; values repeat
+    * across the new axes. Purely narrow — each source chunk flatMaps
+    * into one buffer-repeated copy per new-dim grid cell, NO shuffle;
+    * the leading-axis tile is a straight byte-buffer repeat and the
+    * fan-out count is the new dims' chunk-grid size, fixed at plan
+    * time (it IS the output's size — no avoidable work). Shared dims
+    * must agree in extent; xarray's size-mismatch broadcasting (which
+    * it rejects too) stays rejected. */
+  def broadcastLike(other: XbeamDataset): XbeamDataset = {
+    val newDims = other.template.dims.filter { case (dn, _) =>
+      !template.dimSizes.contains(dn) }
+    require(newDims.nonEmpty,
+      "broadcastLike: other has no dims this dataset lacks")
+    template.dimSizes.foreach { case (dn, n) =>
+      other.template.dimSizes.get(dn).foreach { m =>
+        require(m == n,
+          s"broadcastLike: shared dim $dn extent mismatch ($n vs $m)") } }
+    val newChunkEntries = newDims.map { case (dn, n) =>
+      dn -> other.chunkSizes.getOrElse(dn, n.toInt) }
+    // plan-time grid over the new dims: one (dim, offset, extent)
+    // combination per output cell along the broadcast axes
+    val cells: Seq[Seq[(String, Long, Int)]] = newDims
+      .map { case (dn, n) =>
+        val cs = other.chunkSizes.getOrElse(dn, n.toInt)
+        (0L until n by cs.toLong)
+          .map(o => (dn, o, math.min(cs.toLong, n - o).toInt))
+      }
+      .foldLeft(Seq(Seq.empty[(String, Long, Int)])) { (acc, dimCells) =>
+        acc.flatMap(pfx => dimCells.map(pfx :+ _))
+      }
+    val newDimNames = newDims.map(_._1)
+    val newTemplate = Template(
+      newDims ++ template.dims,
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(newDimNames ++ vs.dims, vs.dtype) },
+      template.coords ++
+        other.template.coords.filter(kv => newDimNames.contains(kv._1)),
+      template.attrs)
+    withPlan(newTemplate, chunkSizes ++ newChunkEntries, splitVars,
+      chunkDataset.flatMap { p: Pair =>
+        cells.map { cell =>
+          val k = p._1.copy(offsets =
+            p._1.offsets ++ cell.map(c => c._1 -> c._2))
+          val reps = cell.map(_._3.toLong).product
+          val chunk = ArrayChunk(p._2.vars.map { case (n, va) =>
+            val src = va.arr
+            val outBytes = src.data.length.toLong * reps
+            require(outBytes <= Int.MaxValue,
+              s"broadcastLike: tiled chunk for $n exceeds 2 GiB " +
+                s"($outBytes bytes) — use smaller chunks on the new dims")
+            val out = new Array[Byte](outBytes.toInt)
+            var i = 0
+            while (i < reps) {
+              System.arraycopy(src.data, 0, out,
+                i * src.data.length, src.data.length)
+              i += 1
+            }
+            n -> VarArray(newDimNames ++ va.dims,
+              NdArray(src.dtype, cell.map(_._3).toArray ++ src.shape, out))
+          })
+          (k, chunk)
+        }
+      })
+  }
+
   /** Flatten consecutive dims into one (xarray `stack`, row-major):
     * requires every variable to carry `dims` adjacently in that order
     * and every stacked dim AFTER the first to be single-chunk (full

@@ -1075,6 +1075,97 @@ object VectorOps {
         SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cosine DESC, m_id) AS rank FROM fine)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------------------- e16
+    // Binary (sign-bit) quantization + Hamming retrieval: each 64-dim
+    // float vector compresses to 64 sign bits packed into two 32-bit
+    // halves (16 bytes/row, a 16x index shrink) — the binary-quantized
+    // serving tier (USearch/Vespa/pgvector's bit vectors). The coarse
+    // scan ranks the corpus by Hamming distance (xor + bit_count, pure
+    // integer codegen) through the salted two-stage top-k, so a hot
+    // query never funnels the corpus into one sort; only the 20
+    // survivors' float payloads are fetched for the exact cosine
+    // re-rank. Zero exact dims touch the coarse stage. Sign bits are
+    // exact on both engines: the corpus is zero-centered with no
+    // exact-zero coordinates, so `x > 0` is an unambiguous float
+    // compare, and the packed codes are integers throughout.
+    QueryDef(
+      "e16_binary_hamming_rerank",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        def pack(from: Int): String =
+          s"""aggregate(sequence($from, ${from + 31}), 0L, (acc, d) ->
+             |acc + IF(element_at(embedding, d + 1) > 0,
+             |shiftleft(1L, d - $from), 0L))""".stripMargin
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+            s"${pack(0)} AS lo", s"${pack(32)} AS hi")
+        // the serving index: ids + packed codes only — floats stay home
+        val idx = e.select($"vec_id".as("m_id"), $"lo", $"hi")
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+            $"nrm".as("q_nrm"), $"lo".as("q_lo"), $"hi".as("q_hi"))
+        val coarse = idx
+          .join(broadcast(queries.select($"q_id", $"q_lo", $"q_hi")),
+            $"m_id" =!= $"q_id")
+          .withColumn("hamming", expr(
+            "CAST(bit_count(q_lo ^ lo) + bit_count(q_hi ^ hi) AS BIGINT)"))
+        val S = 32
+        val wSalt = Window.partitionBy($"q_id", pmod($"m_id", lit(S)))
+          .orderBy($"hamming", $"m_id")
+        val local = coarse.withColumn("srank", row_number().over(wSalt))
+          .filter($"srank" <= 20).drop("srank")
+        val wCoarse = Window.partitionBy($"q_id").orderBy($"hamming", $"m_id")
+        val cand = local.withColumn("crank", row_number().over(wCoarse))
+          .filter($"crank" <= 20)
+          .select($"q_id", $"m_id", $"hamming")
+        // exact re-rank: the tiny candidate set broadcasts into the
+        // corpus for its 20 float payloads — the corpus never shuffles
+        val wFine = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")
+        broadcast(cand)
+          .join(e.select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+            $"nrm".as("m_nrm")), "m_id")
+          .join(broadcast(queries.select($"q_id", $"q_emb", $"q_nrm")), "q_id")
+          .withColumn("cosine",
+            expr(dotSpark("q_emb", "m_emb")) / ($"q_nrm" * $"m_nrm"))
+          .withColumn("rank", row_number().over(wFine))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"m_id".as("neighbor_id"),
+            $"rank".cast("long").as("rank"), $"hamming", $"cosine")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                 list_reduce(list_transform(range(0, 32), d ->
+                   CASE WHEN embedding[d + 1] > 0
+                        THEN (1::BIGINT << d::INT) ELSE 0::BIGINT END),
+                   (a, b) -> a + b) AS lo,
+                 list_reduce(list_transform(range(32, 64), d ->
+                   CASE WHEN embedding[d + 1] > 0
+                        THEN (1::BIGINT << (d - 32)::INT) ELSE 0::BIGINT END),
+                   (a, b) -> a + b) AS hi
+          FROM embeddings),
+        coarse AS (
+          SELECT q.vec_id AS q_id, m.vec_id AS m_id,
+                 CAST(bit_count(xor(q.lo, m.lo)) +
+                      bit_count(xor(q.hi, m.hi)) AS BIGINT) AS hamming
+          FROM e q JOIN e m ON m.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        cand AS (SELECT q_id, m_id, hamming FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY q_id ORDER BY hamming, m_id) AS crank
+                   FROM coarse) WHERE crank <= 20),
+        fine AS (SELECT c.q_id, c.m_id, c.hamming,
+                        ${dotDuck("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+                 FROM cand c JOIN e q ON q.vec_id = c.q_id
+                             JOIN e m ON m.vec_id = c.m_id)
+        SELECT q_id, m_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+               hamming, cosine
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, m_id) AS rank FROM fine)
         WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }

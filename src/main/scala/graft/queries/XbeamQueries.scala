@@ -4110,6 +4110,27 @@ object XbeamQueries {
           UNION ALL
           SELECT 2, t, x, (vf + 1) * vf - (vf * 2) * (vf - 2)
           FROM grid)
-        ORDER BY c, t, x"""))
+        ORDER BY c, t, x""")),
+
+    // --------------------------------------------------------------- x136
+    // broadcast_like: the per-x t-mean (a (x,) dataset) tiles back over
+    // the full (t, x) grid. The reduction is the ordinary one-shuffle
+    // keyed mean; the broadcast itself is NARROW — each (x,) sliver
+    // chunk flatMaps into one buffer-repeated copy per t-chunk, no
+    // shuffle added (PlanShapeSpec pins it). Integer-valued vf makes
+    // the mean sum exact, so sum/count matches DuckDB bit-for-bit.
+    QueryDef(
+      "x136_broadcast_like",
+      (s, dir) => {
+        val g = gridXds(s, dir).select(Set("vf"))
+        TabularBridge.toDataFrame(g.mean(Set("t")).broadcastLike(g))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        mx AS (SELECT x, sum(vf) / count(*) AS vf FROM grid GROUP BY x)
+        SELECT g.t, g.x, mx.vf
+        FROM (SELECT DISTINCT t, x FROM grid) g JOIN mx USING (x)
+        ORDER BY g.t, g.x"""))
   )
 }

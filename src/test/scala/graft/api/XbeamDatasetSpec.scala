@@ -2067,6 +2067,44 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastLike: tiles new leading dims, coords carry, errors") {
+    // target grid (t=5, x=2) with a coordinate on t and uneven t-chunks
+    val tgt = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64,
+        Array(5, 2), Array.tabulate(10)(_.toDouble)))),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(5),
+        Array(10, 20, 30, 40, 50))),
+      chunks = Map("t" -> 2, "x" -> 2))
+    // source: an (x,) sliver — per-x values 7 and 9
+    val src = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("x"), NdArray.fromDoubles(DType.F64,
+        Array(2), Array(7, 9)))), chunks = Map("x" -> 2))
+    val out = src.broadcastLike(tgt)
+    assert(out.template.dimOrder == Seq("t", "x"))
+    assert(out.template.dimSizes == Map("t" -> 5L, "x" -> 2L))
+    assert(out.chunkSizes == Map("t" -> 2, "x" -> 2))
+    // the target's t coordinate rides along
+    assert(out.template.coords("t").toDoubles.toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    val arr = out.collectConsolidated()._2.vars("v").arr
+    assert(arr.shape.toSeq == Seq(5, 2))
+    assert(arr.toDoubles.toSeq == Seq.fill(5)(Seq(7.0, 9.0)).flatten)
+    // integer dtype survives the tile
+    val isrc = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("x"), NdArray.fromDoubles(DType.I64,
+        Array(2), Array(3, 4)))), chunks = Map("x" -> 2))
+    val iout = isrc.broadcastLike(tgt.astype(Map("v" -> DType.I64)))
+    assert(iout.template.vars("v").dtype == DType.I64)
+    assert(iout.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq.fill(5)(Seq(3.0, 4.0)).flatten)
+    // errors: nothing to broadcast; shared-dim extent mismatch
+    intercept[IllegalArgumentException](tgt.broadcastLike(tgt))
+    val wrong = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), NdArray.fromDoubles(DType.F64,
+        Array(5, 3), Array.fill(15)(0.0)))), chunks = Map("t" -> 5, "x" -> 3))
+    intercept[IllegalArgumentException](src.broadcastLike(wrong))
+  }
+
   test("cross: 3-vector product per cell, unit axes, errors") {
     // fields over (c=3, t=2): a = rows of vectors
     def mk(vecs: Array[Double]) = XbeamDataset.fromLocal(spark,

@@ -465,6 +465,12 @@ class PlanShapeSpec extends AnyFunSuite {
       chunks = Map("c" -> 3, "t" -> 2))
     assert(exchanges(vec.cross(vec, "c")) == exchanges(vec) + 1,
       "cross must zip in exactly one exchange")
+    // broadcastLike: the tile is a narrow flatMap — NO exchange added
+    val sliver = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64,
+        Array(4), Array(1, 2, 3, 4)))), chunks = Map("t" -> 2))
+    assert(exchanges(sliver.broadcastLike(vec)) == exchanges(sliver),
+      "broadcastLike must add no exchange (narrow tile)")
   }
 
   test("stack/unstack reshape shuffle-free; nearest interp gathers in ONE shuffle") {
