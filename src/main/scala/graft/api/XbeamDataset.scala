@@ -3228,6 +3228,53 @@ final class XbeamDataset private (
         Seq.fill(nParts)(ArrayChunk(Map.empty)), ArrayChunk(Map.empty)))
   }
 
+  /** Calendar UPSAMPLE onto a finer fixed-width grid (xarray
+    * `resample(time=freq).ffill()/bfill()/nearest()/interpolate()` in
+    * the upsampling direction): the target index is every `period`
+    * boundary inside the coordinate's [min, max] (epoch-aligned;
+    * "day" | "hour" | "minute" — the fixed-width frequencies), resolved
+    * at plan time from the datetime coordinate, then values fill via
+    * [[reindex]]'s bounded position gather (ffill/bfill/nearest) or
+    * [[interpLinear]]'s two-row gather (linear). Keeping targets
+    * inside the observed range makes every label resolvable, so the
+    * fill methods preserve integer dtypes and linear never
+    * extrapolates — same contract as the underlying gathers. */
+  def resampleUpsample(dim: String, period: String,
+                       method: String): XbeamDataset = {
+    val coord = template.coords.getOrElse(dim,
+      throw new IllegalArgumentException(
+        s"resampleUpsample needs a coordinate on $dim"))
+    require(coord.dtype == DType.TimeNs,
+      s"resampleUpsample needs a datetime64 coord on $dim, " +
+        s"got ${coord.dtype.zarr}")
+    val stepNs = period match {
+      case "day"    => 86400L * 1000000000L
+      case "hour"   => 3600L * 1000000000L
+      case "minute" => 60L * 1000000000L
+      case other => throw new IllegalArgumentException(
+        "resampleUpsample needs a fixed-width period " +
+          s"(day | hour | minute), got $other")
+    }
+    val src = coord.toLongs
+    require(src.nonEmpty, s"empty coordinate on $dim")
+    val lo = src.min
+    val hi = src.max
+    val start = -Math.floorDiv(-lo, stepNs) * stepNs // ceil to boundary
+    val targets =
+      Iterator.iterate(start)(_ + stepNs).takeWhile(_ <= hi).toArray
+    require(targets.nonEmpty,
+      s"resampleUpsample: no $period boundary inside " +
+        s"the coordinate range [$lo, $hi]")
+    method match {
+      case "linear" => interpLinear(dim, targets)
+      case "ffill" | "bfill" | "nearest" =>
+        reindex(dim, targets, method, Long.MaxValue)
+      case other => throw new IllegalArgumentException(
+        "resampleUpsample method must be " +
+          s"ffill | bfill | nearest | linear, got $other")
+    }
+  }
+
   private def resampleCore[A](dim: String, period: String,
                               accOf: ArrayChunk => A,
                               mergeA: (A, A) => A,

@@ -4131,6 +4131,35 @@ object XbeamQueries {
         mx AS (SELECT x, sum(vf) / count(*) AS vf FROM grid GROUP BY x)
         SELECT g.t, g.x, mx.vf
         FROM (SELECT DISTINCT t, x FROM grid) g JOIN mx USING (x)
-        ORDER BY g.t, g.x"""))
+        ORDER BY g.t, g.x""")),
+
+    // --------------------------------------------------------------- x137
+    // Resample UPSAMPLING (xarray resample(time="1D").ffill()): the
+    // 25-hour-spaced series re-grids onto every day boundary inside
+    // its range; each day forward-fills from the latest source row at
+    // or before it. Targets resolve at plan time from the datetime
+    // coordinate; the fill is reindex's bounded ffill gather, so uid
+    // stays BIGINT (all labels resolve). Day k maps to source position
+    // (24k)//25 exactly — the oracle states that arithmetic directly.
+    QueryDef(
+      "x137_resample_upsample",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        TabularBridge.toDataFrame(xds.assignCoords("t", timeCoord)
+          .resampleUpsample("t", "day", "ffill")).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        ks AS (SELECT unnest(range(0,
+                 (SELECT max(t) * 25 // 24 FROM grid) + 1)) AS k)
+        SELECT ks.k AS t, g.x, g.uid, g.vf
+        FROM ks JOIN grid g ON g.t = ks.k * 24 // 25
+        ORDER BY t, g.x"""))
   )
 }

@@ -2067,6 +2067,55 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleUpsample: day grid inside range, all four methods, errors") {
+    // 4 positions every 36 h from midnight: 0h, 36h, 72h, 108h —
+    // day boundaries inside [0, 108h] are 0/24/48/72/96 h (5 targets)
+    val baseNs = java.time.Instant.parse("2021-03-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val h36 = 36L * 3600 * 1000000000L
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(4),
+      Array.tabulate(4)(i => baseNs + i * h36))
+    def mk(dt: DType) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(dt, Array(4),
+        Array(10, 20, 30, 40)))),
+      coords = Map("t" -> coord), chunks = Map("t" -> 2))
+    val ff = mk(DType.F64).resampleUpsample("t", "day", "ffill")
+    assert(ff.template.dimSizes("t") == 5)
+    // day k is 24k h; latest source at/before: 0,0,1,2,2
+    assert(ff.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(10.0, 10.0, 20.0, 30.0, 30.0))
+    assert(mk(DType.F64).resampleUpsample("t", "day", "bfill")
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(10.0, 20.0, 30.0, 30.0, 40.0))
+    // nearest: 24h is 24 from 0h and 12 from 36h -> 20; 48h ties never
+    // occur on this grid (12 vs 24, 0 vs 36, ...)
+    assert(mk(DType.F64).resampleUpsample("t", "day", "nearest")
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(10.0, 20.0, 20.0, 30.0, 40.0))
+    // linear: exact thirds-free weights 24/36 = 2/3 etc. — 24h between
+    // 10 and 20 at w=2/3 -> 16.666...; use dyadic-friendly check via
+    // 96h = between 72h(30) and 108h(40) at w=2/3
+    val lin = mk(DType.F64).resampleUpsample("t", "day", "linear")
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(lin(0) == 10.0 && math.abs(lin(1) - (10 + 10 * 2.0 / 3)) < 1e-12)
+    // integer dtype survives the resolved fill methods
+    val iff = mk(DType.I64).resampleUpsample("t", "day", "ffill")
+    assert(iff.template.vars("v").dtype == DType.I64)
+    // the new coordinate is the day boundaries
+    assert(ff.template.coords("t").toLongs.toSeq ==
+      Seq.tabulate(5)(k => baseNs + k * 24L * 3600 * 1000000000L))
+    // errors: non-fixed-width period; unknown method; no datetime coord
+    intercept[IllegalArgumentException](
+      mk(DType.F64).resampleUpsample("t", "month", "ffill"))
+    intercept[IllegalArgumentException](
+      mk(DType.F64).resampleUpsample("t", "day", "pad"))
+    val noCoord = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4),
+        Array(1, 2, 3, 4)))), chunks = Map("t" -> 2))
+    intercept[IllegalArgumentException](
+      noCoord.resampleUpsample("t", "day", "ffill"))
+  }
+
   test("broadcastLike: tiles new leading dims, coords carry, errors") {
     // target grid (t=5, x=2) with a coordinate on t and uneven t-chunks
     val tgt = XbeamDataset.fromLocal(spark,
