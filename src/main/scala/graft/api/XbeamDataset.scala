@@ -1308,8 +1308,41 @@ final class XbeamDataset private (
           s"quantiles output ${n + suf} collides with an existing variable")
       }
     }
-    cellwiseMulti(dims, skipna, "quantiles", suffixes)((arr, axes, sk) =>
+    cellwiseMulti(dims, skipna, "quantiles", suffixes)((arr, axes, _, sk) =>
       arr.quantilesAlong(axes, qs, sk, method))
+  }
+
+  /** Weighted quantile over `dims` with plan-time per-dim weight
+    * vectors (xarray `ds.weighted(w).quantile(q, dim=...)` for 1-D
+    * dim weights — latitude area weighting being THE canonical use):
+    * the inverted-CDF estimator, the only one numpy defines for
+    * weighted quantiles (`np.quantile(..., weights=...,
+    * method="inverted_cdf")`) — the smallest value whose cumulative
+    * weight reaches q·W. Dims without a weight entry weigh 1
+    * everywhere; a position's weight is the product across reduced
+    * axes. Same cell-consolidation shape and memory guard as
+    * [[quantile]]; under skipna a NaN value drops with its weight. */
+  def weightedQuantile(q: Double, dims: Set[String],
+                       weights: Map[String, NdArray],
+                       skipna: Boolean = true): XbeamDataset = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1], got $q")
+    require(weights.nonEmpty, "weightedQuantile needs at least one weight")
+    require(weights.keySet.subsetOf(dims),
+      s"weight dims ${weights.keySet} must be reduced dims $dims")
+    weights.foreach { case (d, arr) =>
+      require(arr.ndim == 1 && arr.shape(0) == template.dimSizes(d),
+        s"weight on $d must be 1-D of length ${template.dimSizes(d)}, " +
+          s"got ${arr.shape.mkString("x")}")
+      val w = arr.toDoubles
+      require(w.forall(v => v >= 0.0 && !v.isNaN),
+        s"weights on $d must be finite and >= 0")
+    }
+    val wArrs = weights.map { case (d, arr) => d -> arr.toDoubles }
+    val sizes = template.dimSizes
+    cellwiseMulti(dims, skipna, "weightedQuantile", Seq(""))(
+      (arr, axes, axDims, sk) => Seq(arr.weightedQuantileAlong(axes, q,
+        axDims.map(d => wArrs.getOrElse(d,
+          Array.fill(sizes(d).toInt)(1.0))).toArray, sk)))
   }
 
   /** Approximate quantile `q` over dims — the scale-safe sibling of the
@@ -1590,7 +1623,7 @@ final class XbeamDataset private (
     * `kernel(arr, reducedAxes, skipna)` per variable. */
   private def cellwise(dims: Set[String], skipna: Boolean, what: String)
                       (kernel: (NdArray, Array[Int], Boolean) => NdArray): XbeamDataset =
-    cellwiseMulti(dims, skipna, what, Seq(""))((a, ax, sk) =>
+    cellwiseMulti(dims, skipna, what, Seq(""))((a, ax, _, sk) =>
       Seq(kernel(a, ax, sk)))
 
   /** [[cellwise]] with several outputs per variable from ONE cell
@@ -1599,7 +1632,7 @@ final class XbeamDataset private (
     * multi-quantile path, where the sort is paid once. */
   private def cellwiseMulti(dims: Set[String], skipna: Boolean, what: String,
                             suffixes: Seq[String])
-                           (multiKernel: (NdArray, Array[Int], Boolean) => Seq[NdArray]): XbeamDataset = {
+                           (multiKernel: (NdArray, Array[Int], Seq[String], Boolean) => Seq[NdArray]): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),
       s"$what dims $dims not all in ${template.dimOrder}")
     dims.foreach { d =>
@@ -1652,11 +1685,12 @@ final class XbeamDataset private (
       .map { p: Pair =>
         (p._1.copy(offsets = p._1.offsets -- dimsB),
           ArrayChunk(p._2.vars.flatMap { case (n, va) =>
-            val axes = va.dims.zipWithIndex.collect {
-              case (d, i) if dimsB(d) => i
-            }.toArray
+            val axPairs = va.dims.zipWithIndex.collect {
+              case (d, i) if dimsB(d) => (d, i)
+            }
+            val axes = axPairs.map(_._2).toArray
             val keptVarDims = va.dims.filterNot(dimsB)
-            sufs.zip(multiKernel(va.arr, axes, sk)).map {
+            sufs.zip(multiKernel(va.arr, axes, axPairs.map(_._1), sk)).map {
               case (suf, arr) => (n + suf) -> VarArray(keptVarDims, arr)
             }
           }))

@@ -639,6 +639,87 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     outs
   }
 
+  /** Weighted quantile along `axes` via the inverted-CDF estimator —
+    * the smallest value whose cumulative weight reaches q·W (numpy's
+    * only weighted-quantile method, `np.quantile(..., weights=...,
+    * method="inverted_cdf")`). `axisWeights(k)` is the weight vector
+    * of `axes(k)` (callers pass full-extent cells, so local index IS
+    * the weight index); a position's weight is the product across
+    * reduced axes. Under skipna a NaN value drops with its weight,
+    * otherwise it poisons its cell; zero-total cells yield NaN. */
+  def weightedQuantileAlong(axes: Array[Int], q: Double,
+                            axisWeights: Array[Array[Double]],
+                            skipna: Boolean): NdArray = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    require(axisWeights.length == axes.length,
+      s"need one weight vector per reduced axis " +
+        s"(${axisWeights.length} vs ${axes.length})")
+    axes.zip(axisWeights).foreach { case (ax, w) =>
+      require(w.length == shape(ax),
+        s"weight vector length ${w.length} != axis extent ${shape(ax)}")
+    }
+    val keep = Array.range(0, ndim).filterNot(axes.contains)
+    val out = NdArray.zeros(DType.F64, keep.map(shape))
+    val redLen = axes.map(shape).product
+    val lens = new Array[Int](out.size.toInt)
+    val vcell = Array.fill(out.size.toInt)(new Array[Double](math.max(redLen, 1)))
+    val wcell = Array.fill(out.size.toInt)(new Array[Double](math.max(redLen, 1)))
+    val n = size
+    val outStrides = out.strides
+    val idx = new Array[Int](ndim)
+    var poisonedAny = false
+    val poisoned = new Array[Boolean](out.size.toInt)
+    var flat = 0L
+    while (flat < n) {
+      var outFlat = 0L
+      var k = 0
+      while (k < keep.length) { outFlat += idx(keep(k)) * outStrides(k); k += 1 }
+      val oI = outFlat.toInt
+      val v = getDouble(flat)
+      if (v.isNaN) { if (!skipna) { poisoned(oI) = true; poisonedAny = true } }
+      else {
+        var w = 1.0
+        var a = 0
+        while (a < axes.length) { w *= axisWeights(a)(idx(axes(a))); a += 1 }
+        vcell(oI)(lens(oI)) = v
+        wcell(oI)(lens(oI)) = w
+        lens(oI) += 1
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    var i = 0
+    while (i < vcell.length) {
+      val m = lens(i)
+      var total = 0.0
+      var j = 0
+      while (j < m) { total += wcell(i)(j); j += 1 }
+      if ((poisonedAny && poisoned(i)) || m == 0 || total <= 0.0)
+        out.setDouble(i.toLong, Double.NaN)
+      else {
+        val ord = Array.range(0, m).sortBy(vcell(i)(_))
+        val threshold = q * total
+        var cum = 0.0
+        var pick = ord(m - 1)
+        var found = false
+        j = 0
+        while (j < m && !found) {
+          cum += wcell(i)(ord(j))
+          if (cum >= threshold) { pick = ord(j); found = true }
+          j += 1
+        }
+        out.setDouble(i.toLong, vcell(i)(pick))
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Min/max VALUE and its first INDEX along one axis, in float64 — the
     * per-chunk partial for a distributed argmin/argmax (indices are
     * chunk-local; callers add the chunk's dim offset). Ties take the

@@ -4160,6 +4160,40 @@ object XbeamQueries {
                  (SELECT max(t) * 25 // 24 FROM grid) + 1)) AS k)
         SELECT ks.k AS t, g.x, g.uid, g.vf
         FROM ks JOIN grid g ON g.t = ks.k * 24 // 25
-        ORDER BY t, g.x"""))
+        ORDER BY t, g.x""")),
+
+    // --------------------------------------------------------------- x138
+    // Weighted quantile (xarray ds.weighted(w).quantile(0.5, dim="t"),
+    // numpy's inverted-CDF — its only weighted estimator): per x, the
+    // smallest value whose cumulative t-weight reaches half the total.
+    // The weight vector w(t) = t%5+1 is plan-time metadata; the
+    // reduction rides the same cell consolidation as quantile/median.
+    // Integer-valued weights make every cumulative sum exact in any
+    // accumulation order, so the SQL window CDF (RANGE frame: ties
+    // share their full group weight, exactly the CDF the estimator
+    // reads) reproduces the pick bit-for-bit.
+    QueryDef(
+      "x138_weighted_quantile",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val w = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 5 + 1).toDouble))
+        TabularBridge.toDataFrame(
+          xds.weightedQuantile(0.5, Set("t"), Map("t" -> w))).orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        g AS (SELECT t, x, uid, vf, CAST(t % 5 + 1 AS DOUBLE) AS wt
+              FROM grid),
+        u AS (SELECT x, CAST(min(uid) AS DOUBLE) AS uid FROM (
+                SELECT x, uid, sum(wt) OVER (PARTITION BY x ORDER BY uid) AS cw,
+                       sum(wt) OVER (PARTITION BY x) AS tw FROM g)
+              WHERE cw >= 0.5 * tw GROUP BY x),
+        v AS (SELECT x, min(vf) AS vf FROM (
+                SELECT x, vf, sum(wt) OVER (PARTITION BY x ORDER BY vf) AS cw,
+                       sum(wt) OVER (PARTITION BY x) AS tw FROM g)
+              WHERE cw >= 0.5 * tw GROUP BY x)
+        SELECT u.x, u.uid, v.vf FROM u JOIN v USING (x) ORDER BY x"""))
   )
 }

@@ -2067,6 +2067,48 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedQuantile: inverted CDF, ties, skipna, implicit-1 dims") {
+    // per x-lane values over t=4 with weights 1,2,3,4 (total 10)
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      // lane 0: 10,20,30,40; lane 1: 5,5,7,NaN
+      Array(10, 5, 20, 5, 30, 7, 40, Double.NaN))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2, "x" -> 2))
+    val w = NdArray.fromDoubles(DType.F64, Array(4), Array(1, 2, 3, 4))
+    val got = ds.weightedQuantile(0.5, Set("t"), Map("t" -> w))
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    // lane 0: cum 1,3,6,10 vs threshold 5 -> 30
+    assert(got(0) == 30.0)
+    // lane 1: NaN drops with weight 4 -> total 6, threshold 3;
+    // ties at 5 share cum 3 >= 3 -> 5 (the CDF group crossing)
+    assert(got(1) == 5.0)
+    // skipna=false poisons the NaN lane only
+    val strict = ds.weightedQuantile(0.5, Set("t"), Map("t" -> w),
+      skipna = false).collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(strict(0) == 30.0 && strict(1).isNaN)
+    // reducing BOTH dims with only t weighted: x weighs 1 implicitly;
+    // pairs (v, w): lane0 and lane1 values share their t weight
+    val both = ds.weightedQuantile(0.5, Set("t", "x"), Map("t" -> w))
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    // values sorted: 5(1),5(2),7(3),10(1),20(2),30(3),40(4); lane 1's
+    // NaN drops its weight 4 -> total 16, threshold 8: cum 1,3,6,7,9
+    assert(both(0) == 20.0)
+    // q=1 picks the max; q=0 the min
+    assert(ds.weightedQuantile(1.0, Set("t"), Map("t" -> w))
+      .collectConsolidated()._2.vars("v").arr.getDouble(0) == 40.0)
+    assert(ds.weightedQuantile(0.0, Set("t"), Map("t" -> w))
+      .collectConsolidated()._2.vars("v").arr.getDouble(0) == 10.0)
+    // errors: weight on a non-reduced dim; wrong length; negative
+    intercept[IllegalArgumentException](
+      ds.weightedQuantile(0.5, Set("t"), Map("x" -> w)))
+    intercept[IllegalArgumentException](
+      ds.weightedQuantile(0.5, Set("t"), Map("t" ->
+        NdArray.fromDoubles(DType.F64, Array(3), Array(1, 2, 3)))))
+    intercept[IllegalArgumentException](
+      ds.weightedQuantile(0.5, Set("t"), Map("t" ->
+        NdArray.fromDoubles(DType.F64, Array(4), Array(1, -2, 3, 4)))))
+  }
+
   test("resampleUpsample: day grid inside range, all four methods, errors") {
     // 4 positions every 36 h from midnight: 0h, 36h, 72h, 108h —
     // day boundaries inside [0, 108h] are 0/24/48/72/96 h (5 targets)
