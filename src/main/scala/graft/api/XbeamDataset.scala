@@ -3014,6 +3014,37 @@ final class XbeamDataset private (
       ChunkTransforms.trendReduce(chunkDataset, dim, skipna))
   }
 
+  /** WEIGHTED per-cell OLS slope along `dim` (xarray
+    * `polyfit(dim, deg=1, w=weights)`'s slope for a 1-D weight vector
+    * on the dim — e.g. down-weighting known-noisy epochs): the same
+    * one-shuffle partial-accumulator shape as [[trend]], with the
+    * 5 moment planes weight-multiplied (Σw, Σwt, Σwt², Σwv, Σwtv) and
+    * the weight vector broadcast once. Degenerate cells (one point,
+    * or all weight on one position) land on a zero denominator → NaN.
+    * Integer-valued weights and data keep every sum exact, so merge
+    * order cannot change a bit. */
+  def weightedTrend(dim: String, weights: NdArray,
+                    skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(weights.ndim == 1 &&
+      weights.shape(0) == template.dimSizes(dim),
+      s"weight on $dim must be 1-D of length ${template.dimSizes(dim)}, " +
+        s"got ${weights.shape.mkString("x")}")
+    val w = weights.toDoubles
+    require(w.forall(v => v >= 0.0 && !v.isNaN),
+      s"weights on $dim must be finite and >= 0")
+    val newTemplate = Template(
+      template.dims.filterNot(_._1 == dim),
+      template.vars.map { case (n, vs) =>
+        n -> VarSpec(vs.dims.filterNot(_ == dim),
+          if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
+      },
+      template.coords - dim, template.attrs)
+    val bc = spark.sparkContext.broadcast(w)
+    withPlan(newTemplate, chunkSizes - dim, splitVars,
+      ChunkTransforms.trendReduce(chunkDataset, dim, skipna, Some(bc)))
+  }
+
   /** Per-cell least-squares polynomial fit along `dim` (xarray
     * `Dataset.polyfit(dim, deg)`) against the global integer index:
     * the output swaps `dim` for a leading `degree` dim of size deg+1,

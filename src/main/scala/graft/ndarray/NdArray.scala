@@ -1871,6 +1871,53 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** [[olsPartialsAlong]] with a per-position weight (xarray
+    * `polyfit(w=...)` at degree 1): planes stack Σw, Σwt, Σwt², Σwv,
+    * Σwtv — the weighted normal-equation ingredients, with `weights`
+    * indexed by the GLOBAL position t = globalStart + i. A skipped NaN
+    * drops its weight. Partials add elementwise across chunks; with
+    * integer-valued weights and data every sum is exact, so merge
+    * order cannot change a bit. */
+  def weightedOlsPartialsAlong(axis: Int, globalStart: Long,
+                               weights: Array[Double],
+                               skipna: Boolean): NdArray = {
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val out = NdArray.zeros(DType.F64, 5 +: laneShape)
+    val laneSize = out.size / 5
+    val n = size
+    val idx = new Array[Int](ndim)
+    val laneStrides = new Array[Long](keep.length)
+    var acc = 1L
+    var k = keep.length - 1
+    while (k >= 0) { laneStrides(k) = acc; acc *= laneShape(k); k -= 1 }
+    var flat = 0L
+    while (flat < n) {
+      val v = getDouble(flat)
+      if (!v.isNaN || !skipna) {
+        var laneFlat = 0L
+        var kk = 0
+        while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
+        val g = globalStart + idx(axis)
+        val t = g.toDouble
+        val w = weights(g.toInt)
+        out.setDouble(laneFlat, out.getDouble(laneFlat) + w)
+        out.setDouble(laneSize + laneFlat, out.getDouble(laneSize + laneFlat) + w * t)
+        out.setDouble(2 * laneSize + laneFlat, out.getDouble(2 * laneSize + laneFlat) + w * t * t)
+        out.setDouble(3 * laneSize + laneFlat, out.getDouble(3 * laneSize + laneFlat) + w * v)
+        out.setDouble(4 * laneSize + laneFlat, out.getDouble(4 * laneSize + laneFlat) + w * t * v)
+      }
+      var d = ndim - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        idx(d) += 1
+        if (idx(d) == shape(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      flat += 1
+    }
+    out
+  }
+
   /** Per-lane degree-`deg` polynomial-fit partials along `axis`
     * against the global index t = globalStart + i, stacked as
     * [3·deg + 2] ++ laneShape: planes 0..2deg hold the power sums

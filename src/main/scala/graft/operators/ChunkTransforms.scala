@@ -965,14 +965,18 @@ object ChunkTransforms {
     * contributes [n, Σt, Σt², Σv, Σt·v] per cell against the GLOBAL
     * dim index, partials add elementwise across chunks, and the merge
     * never needs the data again. `passthrough` as in [[ReduceAcc]]. */
-  final case class TrendAcc(parts: ArrayChunk, passthrough: ArrayChunk) {
+  final case class TrendAcc(parts: ArrayChunk, passthrough: ArrayChunk,
+                            weighted: Boolean = false) {
     def merge(other: TrendAcc): TrendAcc =
       copy(parts = ArrayChunk(parts.vars.map { case (n, va) =>
         n -> VarArray(va.dims, va.arr.zipF64(other.parts.vars(n).arr)(_ + _))
       }))
 
-    /** Slope per cell: (nΣtv − ΣtΣv) / (nΣt² − (Σt)²); NaN when fewer
-      * than two points or a degenerate denominator. */
+    /** Slope per cell: (nΣtv − ΣtΣv) / (nΣt² − (Σt)²) — weighted, the
+      * same tree over Σw-moments. NaN when fewer than two points
+      * (unweighted; the weighted degenerate cases all land on a zero
+      * denominator: one point, or all weight on one position) or a
+      * degenerate denominator. */
     def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
       val a = va.arr
       val laneSize = a.size / 5
@@ -986,7 +990,7 @@ object ChunkTransforms {
         val stv = a.getDouble(4 * laneSize + i)
         val denom = cnt * st2 - st * st
         out.setDouble(i,
-          if (cnt < 2 || denom == 0) Double.NaN
+          if ((!weighted && cnt < 2) || denom == 0) Double.NaN
           else (cnt * stv - st * sv) / denom)
         i += 1
       }
@@ -1005,6 +1009,21 @@ object ChunkTransforms {
             va.arr.olsPartialsAlong(ax, dimOffset, skipna))
         }),
         ArrayChunk(untouched))
+    }
+
+    /** [[ofChunk]] with a per-position weight vector over `dim`
+      * (global indexing — the chunk's offset selects its slice). */
+    def ofChunkWeighted(chunk: ArrayChunk, dim: String, skipna: Boolean,
+                        dimOffset: Long,
+                        weights: Array[Double]): TrendAcc = {
+      val (touched, untouched) = chunk.vars.partition(_._2.dims.contains(dim))
+      TrendAcc(
+        ArrayChunk(touched.map { case (n, va) =>
+          val ax = va.dims.indexOf(dim)
+          n -> VarArray("__p" +: va.dims.filterNot(_ == dim),
+            va.arr.weightedOlsPartialsAlong(ax, dimOffset, weights, skipna))
+        }),
+        ArrayChunk(untouched), weighted = true)
     }
   }
 
@@ -1150,13 +1169,19 @@ object ChunkTransforms {
     * shape as [[argReduce]]; the shuffle carries 5-plane OLS partials,
     * never data. */
   def trendReduce(ds: Dataset[Pair], dim: String,
-                  skipna: Boolean = true): Dataset[Pair] = {
+                  skipna: Boolean = true,
+                  weights: Option[org.apache.spark.broadcast.Broadcast[
+                    Array[Double]]] = None): Dataset[Pair] = {
     implicit val accEnc: Encoder[(ChunkKey, TrendAcc)] =
       Encoders.kryo[(ChunkKey, TrendAcc)]
     ds.map { p: Pair =>
       val off = p._1.offsets.getOrElse(dim, 0L)
       (p._1.copy(offsets = p._1.offsets - dim),
-        TrendAcc.ofChunk(p._2, dim, skipna, off))
+        weights match {
+          case Some(w) =>
+            TrendAcc.ofChunkWeighted(p._2, dim, skipna, off, w.value)
+          case None => TrendAcc.ofChunk(p._2, dim, skipna, off)
+        })
     }
       .groupByKey { kv: (ChunkKey, TrendAcc) => kv._1.canonical }(Encoders.STRING)
       .reduceGroups { (a: (ChunkKey, TrendAcc), b: (ChunkKey, TrendAcc)) =>

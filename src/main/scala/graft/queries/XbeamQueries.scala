@@ -4194,6 +4194,33 @@ object XbeamQueries {
                 SELECT x, vf, sum(wt) OVER (PARTITION BY x ORDER BY vf) AS cw,
                        sum(wt) OVER (PARTITION BY x) AS tw FROM g)
               WHERE cw >= 0.5 * tw GROUP BY x)
-        SELECT u.x, u.uid, v.vf FROM u JOIN v USING (x) ORDER BY x"""))
+        SELECT u.x, u.uid, v.vf FROM u JOIN v USING (x) ORDER BY x""")),
+
+    // --------------------------------------------------------------- x139
+    // Weighted OLS trend (xarray polyfit(dim, 1, w=...)'s slope with a
+    // 1-D dim weight): x40's one-shuffle moment accumulator with every
+    // plane weight-multiplied; the weight vector w(t) = t%3+1 is
+    // plan-time metadata, broadcast once. Integer weights and values
+    // keep all five sums exact, so the oracle mirrors the extract's
+    // exact expression tree: (Sw*Swtv - Swt*Swv)/(Sw*Swt2 - Swt*Swt).
+    QueryDef(
+      "x139_weighted_trend",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val w = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 3 + 1).toDouble))
+        TabularBridge.toDataFrame(xds.weightedTrend("t", w)).orderBy("x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        g AS (SELECT t, x, uid, vf, CAST(t % 3 + 1 AS DOUBLE) AS wt
+              FROM grid)
+        SELECT x,
+               (sum(wt) * sum(wt * t * uid) - sum(wt * t) * sum(wt * uid)) /
+               (sum(wt) * sum(wt * t * t) - sum(wt * t) * sum(wt * t)) AS uid,
+               (sum(wt) * sum(wt * t * vf) - sum(wt * t) * sum(wt * vf)) /
+               (sum(wt) * sum(wt * t * t) - sum(wt * t) * sum(wt * t)) AS vf
+        FROM g GROUP BY x ORDER BY x"""))
   )
 }

@@ -122,4 +122,72 @@ class ReducePropSpec extends AnyFunSuite {
       }
     }, n = 40)
   }
+
+  test("weightedQuantile matches the naive inverted CDF per lane") {
+    val g = for {
+      n <- Gen.chooseNum(2, 12)
+      chunk <- Gen.chooseNum(1, n)
+      qk <- Gen.chooseNum(0, 8)
+      seed <- Gen.chooseNum(0, 1000)
+      nanAt <- Gen.chooseNum(-1, 11) // -1 = no NaN; else position % n
+    } yield (n, chunk, qk / 8.0, seed, nanAt)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, q, seed, nanAt) =>
+      val vals = Array.tabulate(n) { i =>
+        if (nanAt >= 0 && nanAt % n == i) Double.NaN
+        else (((i * 37 + seed) % 23) - 11).toDouble // ties likely
+      }
+      val wts = Array.tabulate(n)(i => ((i * 13 + seed) % 5 + 1).toDouble)
+      val ds = mk1d(spark, n, chunk, vals)
+      val w = NdArray.fromDoubles(DType.F64, Array(n), wts)
+      val got = ds.weightedQuantile(q, Set("t"), Map("t" -> w))
+        .collectConsolidated()._2.vars("v").arr.toDoubles
+      def naive(xs: Array[Double]): Double = {
+        val pairs = xs.zip(wts).filterNot(_._1.isNaN).sortBy(_._1)
+        val total = pairs.map(_._2).sum
+        if (pairs.isEmpty || total <= 0) Double.NaN
+        else {
+          var cum = 0.0
+          pairs.find { p => cum += p._2; cum >= q * total }
+            .getOrElse(pairs.last)._1
+        }
+      }
+      val exp = Array(naive(vals), naive(vals.map(_ + 1)))
+      (got.length == 2 && got.indices.forall(i =>
+        got(i) == exp(i) || (got(i).isNaN && exp(i).isNaN))) :|
+        s"n=$n chunk=$chunk q=$q nanAt=$nanAt got=${got.toSeq} " +
+          s"exp=${exp.toSeq}"
+    }, n = 60)
+  }
+
+  test("weightedTrend matches the naive weighted-moment formula per lane") {
+    val g = for {
+      n <- Gen.chooseNum(2, 12)
+      chunk <- Gen.chooseNum(1, n)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, chunk, seed)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, seed) =>
+      val vals = Array.tabulate(n)(i => (((i * 41 + seed) % 19) - 9).toDouble)
+      val wts = Array.tabulate(n)(i => ((i * 7 + seed) % 4).toDouble) // 0s ok
+      val ds = mk1d(spark, n, chunk, vals)
+      val w = NdArray.fromDoubles(DType.F64, Array(n), wts)
+      val got = ds.weightedTrend("t", w)
+        .collectConsolidated()._2.vars("v").arr.toDoubles
+      def naive(xs: Array[Double]): Double = {
+        var sw = 0.0; var swt = 0.0; var swt2 = 0.0
+        var swv = 0.0; var swtv = 0.0
+        xs.indices.foreach { i =>
+          val wv = wts(i); val t = i.toDouble
+          sw += wv; swt += wv * t; swt2 += wv * t * t
+          swv += wv * xs(i); swtv += wv * t * xs(i)
+        }
+        val denom = sw * swt2 - swt * swt
+        if (denom == 0) Double.NaN else (sw * swtv - swt * swv) / denom
+      }
+      val exp = Array(naive(vals), naive(vals.map(_ + 1)))
+      (got.length == 2 && got.indices.forall(i =>
+        got(i) == exp(i) || (got(i).isNaN && exp(i).isNaN))) :|
+        s"n=$n chunk=$chunk got=${got.toSeq} exp=${exp.toSeq} " +
+          s"wts=${wts.toSeq}"
+    }, n = 60)
+  }
 }

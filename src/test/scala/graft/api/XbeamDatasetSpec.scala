@@ -2067,6 +2067,36 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedTrend: weighted OLS slope, unit weights = trend, errors") {
+    // lane 0: v = 3t + 1 exactly (slope 3 under ANY weights);
+    // lane 1: v = t^2 (weighting changes the fitted slope)
+    val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
+      Array(1, 0, 4, 1, 7, 4, 10, 9))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2, "x" -> 2))
+    val w = NdArray.fromDoubles(DType.F64, Array(4), Array(1, 1, 2, 4))
+    val got = ds.weightedTrend("t", w)
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(got(0) == 3.0)
+    // lane 1 by hand: Sw=8, Swt=17, Swt2=45, Swv=45, Swtv=125
+    // slope = (8*125 - 17*45)/(8*45 - 17*17) = 235/71
+    assert(got(1) == 235.0 / 71.0)
+    // all-ones weights reproduce the unweighted trend exactly
+    val ones = NdArray.fromDoubles(DType.F64, Array(4), Array(1, 1, 1, 1))
+    assert(ds.weightedTrend("t", ones)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      ds.trend("t").collectConsolidated()._2.vars("v").arr.toDoubles.toSeq)
+    // all weight on one position -> zero denominator -> NaN
+    val point = NdArray.fromDoubles(DType.F64, Array(4), Array(0, 5, 0, 0))
+    assert(ds.weightedTrend("t", point)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
+    // errors: wrong length, negative weight
+    intercept[IllegalArgumentException](ds.weightedTrend("t",
+      NdArray.fromDoubles(DType.F64, Array(3), Array(1, 1, 1))))
+    intercept[IllegalArgumentException](ds.weightedTrend("t",
+      NdArray.fromDoubles(DType.F64, Array(4), Array(1, -1, 1, 1))))
+  }
+
   test("weightedQuantile: inverted CDF, ties, skipna, implicit-1 dims") {
     // per x-lane values over t=4 with weights 1,2,3,4 (total 10)
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
