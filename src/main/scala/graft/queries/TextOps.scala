@@ -744,6 +744,76 @@ object TextOps {
                CAST(list_reduce(thumb, (a, x) -> a + x) AS DOUBLE) / len(thumb) AS mean_px
         FROM p ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- m05
+    // Perceptual image dedup via dHash (difference hash — THE standard
+    // cheap near-dup fingerprint for image corpora): each document's
+    // first 72 bytes become a genuine 9x8 greyscale PNG (the m01/m04
+    // manufacture trick — testdata ships no binary column), decoded by
+    // the REAL parser (CRC walk + inflate + unfilter), and the hash is
+    // the 64 horizontal-gradient sign bits px[r][c] < px[r][c+1],
+    // packed into two 32-bit BIGINT halves (the e16 packing — 16
+    // bytes/row serving index). Dedup groups = exact hash equality:
+    // ONE map-side-combined shuffle on the 16-byte code; canonical id
+    // is the group min. PNG is lossless, so the oracle computes the
+    // same gradient bits straight from the text bytes.
+    QueryDef(
+      "m05_image_dhash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val bin = t(s, dir, "documents")
+          .select($"doc_id", encode($"text", "utf-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            if (bytes.length < 72) None
+            else Some((id, graft.media.Png.encode(
+              graft.media.Png.Image(9, 8, 1, bytes.take(72)), filter = 3)))
+          }
+        val hashed = bin.mapPartitions { it =>
+          it.map { case (id, png) =>
+            val px = graft.media.Png.decode(png).pixels // REAL parse
+            var lo = 0L
+            var hi = 0L
+            var k = 0
+            while (k < 64) {
+              val p = (k / 8) * 9 + (k % 8)
+              if ((px(p) & 0xff) < (px(p + 1) & 0xff)) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            (id, lo, hi)
+          }
+        }.toDF("doc_id", "lo", "hi")
+        val canon = hashed.groupBy($"lo", $"hi")
+          .agg(min($"doc_id").as("canonical_id"),
+            count(lit(1)).as("group_n"))
+        hashed.join(canon, Seq("lo", "hi"))
+          .select($"doc_id", $"lo", $"hi", $"canonical_id", $"group_n")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id,
+                          list_transform(string_split(text, ''),
+                                         c -> ascii(c)) AS px
+                   FROM documents WHERE length(text) >= 72),
+        h AS (SELECT doc_id,
+                list_reduce(list_transform(range(0, 32), k ->
+                  CASE WHEN px[(k // 8) * 9 + (k % 8) + 1]
+                          < px[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << k::INT) ELSE 0::BIGINT END),
+                  (a, b) -> a + b) AS lo,
+                list_reduce(list_transform(range(32, 64), k ->
+                  CASE WHEN px[(k // 8) * 9 + (k % 8) + 1]
+                          < px[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << (k - 32)::INT) ELSE 0::BIGINT END),
+                  (a, b) -> a + b) AS hi
+              FROM b),
+        c AS (SELECT lo, hi, min(doc_id) AS canonical_id,
+                     count(*) AS group_n
+              FROM h GROUP BY lo, hi)
+        SELECT h.doc_id, h.lo, h.hi, c.canonical_id, c.group_n
+        FROM h JOIN c USING (lo, hi) ORDER BY h.doc_id""")),
+
     // ---------------------------------------------------------------- d07
     // Dedup resolution: near-dup pairs (d03's shingle-Jaccard edges) →
     // connected components → one canonical survivor per component (min

@@ -159,6 +159,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // wrap pad keeps the pad family's single consolidation
     assert(exchanges(xds.pad("time", 2, 2, mode = "wrap")) == 1,
       "wrap pad must shuffle exactly once")
+    // weighted trend rides trend's one-shuffle moment accumulator;
+    // weighted quantile rides quantile's one cell consolidation
+    assert(exchanges(xds.weightedTrend("time",
+      NdArray.fill(DType.F64, Array(12), 1.0))) == 1,
+      "weightedTrend must shuffle exactly once")
+    assert(exchanges(xds.weightedQuantile(0.5, Set("time"), w)) == 1,
+      "weightedQuantile must shuffle exactly once")
   }
 
   test("sortby lowers to the reindex gather — one exchange, no global sort") {
