@@ -1333,16 +1333,21 @@ final class XbeamDataset private (
       require(arr.ndim == 1 && arr.shape(0) == template.dimSizes(d),
         s"weight on $d must be 1-D of length ${template.dimSizes(d)}, " +
           s"got ${arr.shape.mkString("x")}")
-      val w = arr.toDoubles
-      require(w.forall(v => v >= 0.0 && !v.isNaN),
-        s"weights on $d must be finite and >= 0")
     }
-    val wArrs = weights.map { case (d, arr) => d -> arr.toDoubles }
+    // one validated vector per reduced dim (implicit 1s filled in),
+    // broadcast ONCE — tasks never re-allocate or re-ship plan
+    // constants. bytesPerElem 16: the kernel holds (value, weight)
+    // per cell position, so the cellwise split guard budgets 2x.
     val sizes = template.dimSizes
-    cellwiseMulti(dims, skipna, "weightedQuantile", Seq(""))(
+    val all: Map[String, Array[Double]] = dims.iterator.map { d =>
+      d -> weights.get(d).map(XbeamDataset.checkedWeights(_, d))
+        .getOrElse(Array.fill(sizes(d).toInt)(1.0))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(all)
+    cellwiseMulti(dims, skipna, "weightedQuantile", Seq(""),
+      bytesPerElem = 16L)(
       (arr, axes, axDims, sk) => Seq(arr.weightedQuantileAlong(axes, q,
-        axDims.map(d => wArrs.getOrElse(d,
-          Array.fill(sizes(d).toInt)(1.0))).toArray, sk)))
+        axDims.map(bc.value).toArray, sk)))
   }
 
   /** Approximate quantile `q` over dims — the scale-safe sibling of the
@@ -1631,7 +1636,7 @@ final class XbeamDataset private (
     * `suffixes`, and each lands as `<var><suffix>` — the
     * multi-quantile path, where the sort is paid once. */
   private def cellwiseMulti(dims: Set[String], skipna: Boolean, what: String,
-                            suffixes: Seq[String])
+                            suffixes: Seq[String], bytesPerElem: Long = 8L)
                            (multiKernel: (NdArray, Array[Int], Seq[String], Boolean) => Seq[NdArray]): XbeamDataset = {
     require(dims.subsetOf(template.dimSizes.keySet),
       s"$what dims $dims not all in ${template.dimOrder}")
@@ -1659,7 +1664,8 @@ final class XbeamDataset private (
     val reducedElems = dims.toSeq.map(template.dimSizes(_)).product
     var keptTarget = keptDims.map(d => d -> chunkSizes(d)).toMap
     def cellBytes: Long =
-      keptDims.map(d => keptTarget(d).toLong).product * reducedElems * 8L
+      keptDims.map(d => keptTarget(d).toLong).product * reducedElems *
+        bytesPerElem
     while (cellBytes > capBytes && keptDims.exists(d => keptTarget(d) > 1)) {
       val dMax = keptDims.maxBy(keptTarget)
       keptTarget += dMax -> ((keptTarget(dMax) + 1) / 2)
@@ -3001,18 +3007,8 @@ final class XbeamDataset private (
     * secular-trend map of a climate pipeline). One keyed shuffle of
     * 5-plane (n, Σt, Σt², Σv, Σtv) partials — data never reshuffles;
     * NaN where a cell has fewer than two valid points. */
-  def trend(dim: String, skipna: Boolean = true): XbeamDataset = {
-    require(template.dimSizes.contains(dim), s"unknown dim $dim")
-    val newTemplate = Template(
-      template.dims.filterNot(_._1 == dim),
-      template.vars.map { case (n, vs) =>
-        n -> VarSpec(vs.dims.filterNot(_ == dim),
-          if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
-      },
-      template.coords - dim, template.attrs)
-    withPlan(newTemplate, chunkSizes - dim, splitVars,
-      ChunkTransforms.trendReduce(chunkDataset, dim, skipna))
-  }
+  def trend(dim: String, skipna: Boolean = true): XbeamDataset =
+    trendCore(dim, skipna, None)
 
   /** WEIGHTED per-cell OLS slope along `dim` (xarray
     * `polyfit(dim, deg=1, w=weights)`'s slope for a 1-D weight vector
@@ -3030,9 +3026,12 @@ final class XbeamDataset private (
       weights.shape(0) == template.dimSizes(dim),
       s"weight on $dim must be 1-D of length ${template.dimSizes(dim)}, " +
         s"got ${weights.shape.mkString("x")}")
-    val w = weights.toDoubles
-    require(w.forall(v => v >= 0.0 && !v.isNaN),
-      s"weights on $dim must be finite and >= 0")
+    trendCore(dim, skipna, Some(XbeamDataset.checkedWeights(weights, dim)))
+  }
+
+  private def trendCore(dim: String, skipna: Boolean,
+                        weights: Option[Array[Double]]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val newTemplate = Template(
       template.dims.filterNot(_._1 == dim),
       template.vars.map { case (n, vs) =>
@@ -3040,9 +3039,9 @@ final class XbeamDataset private (
           if (vs.dims.contains(dim)) DType.F64 else vs.dtype)
       },
       template.coords - dim, template.attrs)
-    val bc = spark.sparkContext.broadcast(w)
     withPlan(newTemplate, chunkSizes - dim, splitVars,
-      ChunkTransforms.trendReduce(chunkDataset, dim, skipna, Some(bc)))
+      ChunkTransforms.trendReduce(chunkDataset, dim, skipna,
+        weights.map(spark.sparkContext.broadcast(_))))
   }
 
   /** Per-cell least-squares polynomial fit along `dim` (xarray
@@ -3296,14 +3295,16 @@ final class XbeamDataset private (
   /** Calendar UPSAMPLE onto a finer fixed-width grid (xarray
     * `resample(time=freq).ffill()/bfill()/nearest()/interpolate()` in
     * the upsampling direction): the target index is every `period`
-    * boundary inside the coordinate's [min, max] (epoch-aligned;
-    * "day" | "hour" | "minute" — the fixed-width frequencies), resolved
-    * at plan time from the datetime coordinate, then values fill via
-    * [[reindex]]'s bounded position gather (ffill/bfill/nearest) or
-    * [[interpLinear]]'s two-row gather (linear). Keeping targets
-    * inside the observed range makes every label resolvable, so the
-    * fill methods preserve integer dtypes and linear never
-    * extrapolates — same contract as the underlying gathers. */
+    * boundary from floor(min) through max (epoch-aligned;
+    * "day" | "hour" | "minute" — the fixed-width frequencies; xarray's
+    * bin-label grid), resolved at plan time from the datetime
+    * coordinate, then values fill via [[reindex]]'s bounded position
+    * gather (ffill/bfill/nearest) or [[interpLinear]]'s two-row gather
+    * (linear). A leading label before the first observation
+    * forward-fills to NaN exactly as xarray does (dim variables widen
+    * to float64 then; a boundary-aligned series keeps every label
+    * resolved and integer dtypes intact). Linear starts at ceil(min)
+    * instead — interpolation never extrapolates. */
   def resampleUpsample(dim: String, period: String,
                        method: String): XbeamDataset = {
     val coord = template.coords.getOrElse(dim,
@@ -3324,7 +3325,9 @@ final class XbeamDataset private (
     require(src.nonEmpty, s"empty coordinate on $dim")
     val lo = src.min
     val hi = src.max
-    val start = -Math.floorDiv(-lo, stepNs) * stepNs // ceil to boundary
+    val start =
+      if (method == "linear") -Math.floorDiv(-lo, stepNs) * stepNs // ceil
+      else Math.floorDiv(lo, stepNs) * stepNs // xarray's bin-label floor
     val targets =
       Iterator.iterate(start)(_ + stepNs).takeWhile(_ <= hi).toArray
     require(targets.nonEmpty,
@@ -5772,6 +5775,15 @@ final class XbeamDataset private (
 }
 
 object XbeamDataset {
+
+  /** Validated weight vector for the weighted reductions: every entry
+    * finite (rejects NaN AND infinities) and >= 0. */
+  private[api] def checkedWeights(arr: NdArray, dim: String): Array[Double] = {
+    val w = arr.toDoubles
+    require(w.forall(v => v >= 0.0 && java.lang.Double.isFinite(v)),
+      s"weights on $dim must be finite and >= 0")
+    w
+  }
 
   /** Recompute an existing store's chunk-stats sidecar in one scan —
     * the maintenance pass after appends, extends, or streaming upserts

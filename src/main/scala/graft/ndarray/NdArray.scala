@@ -702,15 +702,15 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       if ((poisonedAny && poisoned(i)) || m == 0 || total <= 0.0)
         out.setDouble(i.toLong, Double.NaN)
       else {
-        val ord = Array.range(0, m).sortBy(vcell(i)(_))
+        NdArray.sortTandem(vcell(i), wcell(i), 0, m)
         val threshold = q * total
         var cum = 0.0
-        var pick = ord(m - 1)
+        var pick = m - 1
         var found = false
         j = 0
         while (j < m && !found) {
-          cum += wcell(i)(ord(j))
-          if (cum >= threshold) { pick = ord(j); found = true }
+          cum += wcell(i)(j)
+          if (cum >= threshold) { pick = j; found = true }
           j += 1
         }
         out.setDouble(i.toLong, vcell(i)(pick))
@@ -2326,6 +2326,48 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 }
 
 object NdArray {
+  /** In-place tandem quicksort of `v[from, until)` ascending, with
+    * `w` permuted alongside — the primitive-array index-free argsort
+    * the weighted-quantile kernel needs (no boxing, no tuple
+    * ordering). Median-of-three pivots, recursion on the smaller
+    * partition (depth O(log n)), insertion sort below 16. Callers
+    * exclude NaN beforehand (plain `<`/`>` comparisons). */
+  private[ndarray] def sortTandem(v: Array[Double], w: Array[Double],
+                                  from: Int, until: Int): Unit = {
+    var lo = from
+    var hi = until - 1
+    while (hi - lo >= 16) {
+      val mid = lo + ((hi - lo) >> 1)
+      val a = v(lo); val b = v(mid); val c = v(hi)
+      val pivot =
+        if (a < b) { if (b < c) b else if (a < c) c else a }
+        else { if (a < c) a else if (b < c) c else b }
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (v(i) < pivot) i += 1
+        while (v(j) > pivot) j -= 1
+        if (i <= j) {
+          val tv = v(i); v(i) = v(j); v(j) = tv
+          val tw = w(i); w(i) = w(j); w(j) = tw
+          i += 1; j -= 1
+        }
+      }
+      if (j - lo < hi - i) { sortTandem(v, w, lo, j + 1); lo = i }
+      else { sortTandem(v, w, i, hi + 1); hi = j }
+    }
+    var k = lo + 1
+    while (k <= hi) {
+      val kv = v(k); val kw = w(k)
+      var p = k - 1
+      while (p >= lo && v(p) > kv) {
+        v(p + 1) = v(p); w(p + 1) = w(p); p -= 1
+      }
+      v(p + 1) = kv; w(p + 1) = kw
+      k += 1
+    }
+  }
+
   /** Rolling-op dispatch shared by [[NdArray.rollingReduceAlong]] and
     * [[NdArray.rollingCenteredAlong]]: op string → (opId, quantile q).
     * `"quantile:<q>"` carries its order statistic inline (median is

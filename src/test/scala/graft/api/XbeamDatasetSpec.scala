@@ -2090,11 +2090,17 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val point = NdArray.fromDoubles(DType.F64, Array(4), Array(0, 5, 0, 0))
     assert(ds.weightedTrend("t", point)
       .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
-    // errors: wrong length, negative weight
+    // errors: wrong length, negative weight, non-finite weight
     intercept[IllegalArgumentException](ds.weightedTrend("t",
       NdArray.fromDoubles(DType.F64, Array(3), Array(1, 1, 1))))
     intercept[IllegalArgumentException](ds.weightedTrend("t",
       NdArray.fromDoubles(DType.F64, Array(4), Array(1, -1, 1, 1))))
+    intercept[IllegalArgumentException](ds.weightedTrend("t",
+      NdArray.fromDoubles(DType.F64, Array(4),
+        Array(1, Double.PositiveInfinity, 1, 1))))
+    intercept[IllegalArgumentException](ds.weightedQuantile(0.5, Set("t"),
+      Map("t" -> NdArray.fromDoubles(DType.F64, Array(4),
+        Array(1, Double.PositiveInfinity, 1, 1)))))
   }
 
   test("weightedQuantile: inverted CDF, ties, skipna, implicit-1 dims") {
@@ -2176,6 +2182,26 @@ class XbeamDatasetSpec extends AnyFunSuite {
     // the new coordinate is the day boundaries
     assert(ff.template.coords("t").toLongs.toSeq ==
       Seq.tabulate(5)(k => baseNs + k * 24L * 3600 * 1000000000L))
+    // unaligned start (xarray bin-label grid): first obs at 06:00,
+    // the leading midnight label forward-fills to NaN and the dim
+    // variable widens to f64 — exactly xarray's resample().ffill()
+    val h6 = 6L * 3600 * 1000000000L
+    val off = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.I64, Array(4),
+        Array(10, 20, 30, 40)))),
+      coords = Map("t" -> NdArray.fromLongs(DType.TimeNs, Array(4),
+        Array.tabulate(4)(i => baseNs + h6 + i * h36))),
+      chunks = Map("t" -> 2))
+    val offF = off.resampleUpsample("t", "day", "ffill")
+    assert(offF.template.vars("v").dtype == DType.F64)
+    val offVals = offF.collectConsolidated()._2.vars("v").arr.toDoubles
+    // targets 0,24,48,72,96 h; obs at 6,42,78,114 h — ffill picks the
+    // latest obs at/before each: none, 6h, 42h, 42h, 78h
+    assert(offVals(0).isNaN &&
+      offVals.drop(1).toSeq == Seq(10.0, 20.0, 20.0, 30.0))
+    // linear still never extrapolates: its grid starts at ceil(min)
+    val offL = off.astype(DType.F64).resampleUpsample("t", "day", "linear")
+    assert(offL.template.coords("t").toLongs.head == baseNs + 24L * 3600 * 1000000000L)
     // errors: non-fixed-width period; unknown method; no datetime coord
     intercept[IllegalArgumentException](
       mk(DType.F64).resampleUpsample("t", "month", "ffill"))
