@@ -3292,6 +3292,36 @@ final class XbeamDataset private (
         Seq.fill(nParts)(ArrayChunk(Map.empty)), ArrayChunk(Map.empty)))
   }
 
+  /** Calendar-period EXACT median per bucket (xarray
+    * `resample(time=freq).median()`): each position's datetime
+    * coordinate rewrites PLAN-TIME to its period start, and the
+    * groupbyCoord order-statistic machinery does the rest — per-group
+    * raw runs meet in one (chunk, group)-keyed shuffle, and the output
+    * dim's coordinate is the period starts. The order-statistic
+    * sibling of [[resampleMean]]/[[resampleReduce]] (whose partials
+    * can't express a median). */
+  def resampleMedian(dim: String, period: String,
+                     skipna: Boolean = true): XbeamDataset =
+    withPeriodCoord(dim, period).groupbyCoordMedian(dim, skipna)
+
+  /** [[resampleMedian]] generalized to any quantile (xarray
+    * `resample(time=freq).quantile(q)`), numpy linear interpolation. */
+  def resampleQuantile(dim: String, period: String, q: Double,
+                       skipna: Boolean = true): XbeamDataset =
+    withPeriodCoord(dim, period).groupbyCoordQuantile(dim, q, skipna)
+
+  private def withPeriodCoord(dim: String, period: String): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val coord = template.coords.getOrElse(dim,
+      throw new IllegalArgumentException(
+        s"resample needs a coordinate on $dim"))
+    require(coord.dtype == DType.TimeNs,
+      s"resample needs a datetime64 coord on $dim, got ${coord.dtype.zarr}")
+    val starts = coord.toLongs.map(XbeamDataset.periodStartNs(period, _))
+    assignCoords(dim,
+      NdArray.fromLongs(DType.TimeNs, Array(starts.length), starts))
+  }
+
   /** Calendar UPSAMPLE onto a finer fixed-width grid (xarray
     * `resample(time=freq).ffill()/bfill()/nearest()/interpolate()` in
     * the upsampling direction): the target index is every `period`
@@ -3355,27 +3385,8 @@ final class XbeamDataset private (
     require(coord.dtype == DType.TimeNs,
       s"resample needs a datetime64 coord on $dim, got ${coord.dtype.zarr}")
     val ns = coord.toLongs
-    def periodStartNs(t: Long): Long = {
-      val ldt = java.time.LocalDateTime.ofInstant(
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),
-        java.time.ZoneOffset.UTC)
-      val start = period match {
-        case "year" => ldt.toLocalDate.withDayOfYear(1).atStartOfDay()
-        case "quarter" => ldt.toLocalDate
-          .withMonth((ldt.getMonthValue - 1) / 3 * 3 + 1)
-          .withDayOfMonth(1).atStartOfDay()
-        case "month" => ldt.toLocalDate.withDayOfMonth(1).atStartOfDay()
-        case "week" => // ISO weeks starting Monday (DuckDB/pandas 'W-MON')
-          ldt.toLocalDate.`with`(java.time.temporal.TemporalAdjusters
-            .previousOrSame(java.time.DayOfWeek.MONDAY)).atStartOfDay()
-        case "day" => ldt.toLocalDate.atStartOfDay()
-        case "hour" => ldt.withMinute(0).withSecond(0).withNano(0)
-        case other => throw new IllegalArgumentException(
-          s"unknown resample period $other (year/quarter/month/week/day/hour)")
-      }
-      start.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    }
+    def periodStartNs(t: Long): Long =
+      XbeamDataset.periodStartNs(period, t)
     // dense bucket ids; monotonic time makes each bucket one contiguous run
     val bucketOf = new Array[Int](ns.length)
     val bucketStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -5775,6 +5786,31 @@ final class XbeamDataset private (
 }
 
 object XbeamDataset {
+
+  /** Epoch-ns start of the calendar period containing `t` (UTC) — the
+    * bucket-label arithmetic shared by the resample family. ISO weeks
+    * start Monday (DuckDB/pandas 'W-MON'). */
+  private[api] def periodStartNs(period: String, t: Long): Long = {
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),
+      java.time.ZoneOffset.UTC)
+    val start = period match {
+      case "year" => ldt.toLocalDate.withDayOfYear(1).atStartOfDay()
+      case "quarter" => ldt.toLocalDate
+        .withMonth((ldt.getMonthValue - 1) / 3 * 3 + 1)
+        .withDayOfMonth(1).atStartOfDay()
+      case "month" => ldt.toLocalDate.withDayOfMonth(1).atStartOfDay()
+      case "week" =>
+        ldt.toLocalDate.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY)).atStartOfDay()
+      case "day" => ldt.toLocalDate.atStartOfDay()
+      case "hour" => ldt.withMinute(0).withSecond(0).withNano(0)
+      case other => throw new IllegalArgumentException(
+        s"unknown resample period $other (year/quarter/month/week/day/hour)")
+    }
+    start.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+  }
 
   /** Validated weight vector for the weighted reductions: every entry
     * finite (rejects NaN AND infinities) and >= 0. */

@@ -4221,6 +4221,40 @@ object XbeamQueries {
                (sum(wt) * sum(wt * t * t) - sum(wt * t) * sum(wt * t)) AS uid,
                (sum(wt) * sum(wt * t * vf) - sum(wt * t) * sum(wt * vf)) /
                (sum(wt) * sum(wt * t * t) - sum(wt * t) * sum(wt * t)) AS vf
-        FROM g GROUP BY x ORDER BY x"""))
+        FROM g GROUP BY x ORDER BY x""")),
+
+    // --------------------------------------------------------------- x140
+    // Calendar resample MEDIAN (xarray resample(time="1W").median() —
+    // the order statistic resampleReduce's mergeable partials can't
+    // express): x98's weekly buckets, but each bucket's RAW run meets
+    // in the (chunk, group)-keyed shuffle of the groupbyCoord
+    // order-statistic core after the datetime coordinate rewrites
+    // plan-time to its week start. Integer values make every even-run
+    // midpoint an exact dyadic .0/.5 (numpy linear ≡ DuckDB median).
+    QueryDef(
+      "x140_resample_median",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val baseNs = java.time.Instant.parse("2020-01-01T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        val stepNs = 25L * 3600 * 1000000000L
+        val timeCoord = NdArray.fromLongs(DType.TimeNs, Array(tSize),
+          Array.tabulate(tSize)(i => baseNs + i * stepNs))
+        TabularBridge.toDataFrame(xds.assignCoords("t", timeCoord)
+          .resampleMedian("t", "week")).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        cal AS (SELECT t, x, uid, vf,
+                       date_trunc('week',
+                         TIMESTAMP '2020-01-01 00:00:00' + to_hours(25 * t)) AS wk
+                FROM grid),
+        g AS (SELECT wk, x, median(CAST(uid AS DOUBLE)) AS uid,
+                     median(vf) AS vf
+              FROM cal GROUP BY wk, x)
+        SELECT CAST(dense_rank() OVER (ORDER BY wk) - 1 AS BIGINT) AS t,
+               x, uid, vf
+        FROM g ORDER BY t, x"""))
   )
 }

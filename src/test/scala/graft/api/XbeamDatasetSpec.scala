@@ -2067,6 +2067,38 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleMedian/Quantile: per-bucket order statistics") {
+    // 10 daily steps from Jan 28: Jan run = 0,1,2,3 / Feb = 4..9
+    val baseNs = java.time.Instant.parse("2020-01-28T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val day = 24L * 3600 * 1000000000L
+    val coord = NdArray.fromLongs(DType.TimeNs, Array(10),
+      Array.tabulate(10)(i => baseNs + i * day))
+    val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),
+      Array.tabulate(20)(i => (i / 2).toDouble))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), coords = Map("t" -> coord),
+      chunks = Map("t" -> 4))
+    val med = ds.resampleMedian("t", "month")
+    assert(med.template.dimSizes("t") == 2)
+    val got = med.collectConsolidated()._2.vars("v").arr
+    // Jan median of 0,1,2,3 = 1.5; Feb median of 4..9 = 6.5
+    assert(got.getDouble(0) == 1.5 && got.getDouble(2) == 6.5)
+    // new coord = the period starts
+    assert(med.template.coords("t").toLongs.toSeq ==
+      Seq("2020-01-01T00:00:00Z", "2020-02-01T00:00:00Z").map(s =>
+        java.time.Instant.parse(s).getEpochSecond * 1000000000L))
+    // q=0.25 over the Feb run 4..9: h = 0.25*5 = 1.25 -> 5.25
+    val q = ds.resampleQuantile("t", "month", 0.25)
+      .collectConsolidated()._2.vars("v").arr
+    assert(q.getDouble(2) == 5.25)
+    // needs a datetime coordinate
+    val plain = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(4),
+        Array(1, 2, 3, 4)))), chunks = Map("t" -> 2))
+    intercept[IllegalArgumentException](plain.resampleMedian("t", "month"))
+  }
+
   test("weightedTrend: weighted OLS slope, unit weights = trend, errors") {
     // lane 0: v = 3t + 1 exactly (slope 3 under ANY weights);
     // lane 1: v = t^2 (weighting changes the fitted slope)
