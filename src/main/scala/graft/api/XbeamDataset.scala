@@ -624,6 +624,47 @@ final class XbeamDataset private (
     reindex(dim, kept)
   }
 
+  /** Arbitrary positional selection along `dim` (xarray
+    * `isel(dim=[i0, i1, ...])` with an integer array — fancy
+    * indexing): output position j holds source position
+    * `positions(j)`; repeats and reorders allowed. Lowers to the
+    * dtype-preserving resolved gather ([[sortby]]'s machinery): source
+    * chunks ship only the row slivers an output chunk needs through
+    * one bounded shuffle — no global sort, integer variables stay
+    * integer. The dim's coordinate (if any) gathers along. */
+  def isel(dim: String, positions: Array[Long]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val n = template.dimSizes(dim)
+    require(positions.nonEmpty, "isel needs at least one position")
+    positions.foreach(p => require(p >= 0 && p < n,
+      s"isel position $p out of range [0, $n) on $dim"))
+    val posOf = positions.map(_.toInt)
+    val outCoord = template.coords.get(dim).map { c =>
+      val item = c.dtype.itemsize
+      val out = NdArray.zeros(c.dtype, Array(posOf.length))
+      var j = 0
+      while (j < posOf.length) {
+        System.arraycopy(c.data, posOf(j) * item, out.data, j * item, item)
+        j += 1
+      }
+      out
+    }
+    reindexGatherOpt(dim, posOf, outCoord)
+  }
+
+  /** Drop the given positions along `dim` (xarray `drop_isel`) —
+    * [[isel]] of the kept complement, original order preserved. */
+  def dropIsel(dim: String, positions: Array[Long]): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val n = template.dimSizes(dim)
+    positions.foreach(p => require(p >= 0 && p < n,
+      s"drop_isel position $p out of range [0, $n) on $dim"))
+    val drop = positions.toSet
+    val kept = (0L until n).filterNot(drop).toArray
+    require(kept.nonEmpty, s"drop_isel would drop every $dim position")
+    isel(dim, kept)
+  }
+
   /** Multi-dim rolling window for the SEPARABLE reductions (xarray
     * `rolling(t=a, x=b).sum()/min()/max()`): a rectangle's sum is the
     * row-sums summed and its extremum the row-extrema reduced, so the

@@ -4255,6 +4255,32 @@ object XbeamQueries {
               FROM cal GROUP BY wk, x)
         SELECT CAST(dense_rank() OVER (ORDER BY wk) - 1 AS BIGINT) AS t,
                x, uid, vf
-        FROM g ORDER BY t, x"""))
+        FROM g ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x141
+    // Fancy positional indexing (xarray isel(dim=[...]) with an
+    // integer array): position 5 twice, then every 3rd position in
+    // DESCENDING order — repeats and reorders through the same
+    // dtype-preserving resolved gather as sortby (one bounded shuffle
+    // of row slivers, no global sort; uid stays BIGINT). The oracle
+    // states the output-j -> source-t arithmetic directly.
+    QueryDef(
+      "x141_isel_fancy",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val every3 = (0L until tSize.toLong by 3).reverse.toArray
+        TabularBridge.toDataFrame(
+          xds.isel("t", Array(5L, 5L) ++ every3)).orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        n AS (SELECT max(t) // 3 + 1 AS cnt FROM grid),
+        ks AS (SELECT unnest(range(0, (SELECT cnt FROM n) + 2)) AS j)
+        SELECT ks.j AS t, g.x, g.uid, g.vf
+        FROM ks JOIN grid g
+          ON g.t = CASE WHEN ks.j < 2 THEN 5
+                        ELSE ((SELECT cnt FROM n) - 1 - (ks.j - 2)) * 3 END
+        ORDER BY t, g.x"""))
   )
 }

@@ -2067,6 +2067,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("isel/dropIsel: fancy positions, repeats, coord gather, errors") {
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), NdArray.fromDoubles(DType.I64,
+        Array(5, 2), Array.tabulate(10)(_.toDouble)))),
+      coords = Map("t" -> NdArray.fromDoubles(DType.F64, Array(5),
+        Array(10, 20, 30, 40, 50))),
+      chunks = Map("t" -> 2, "x" -> 2))
+    // reorder + repeat: [3, 0, 0, 4]
+    val out = ds.isel("t", Array(3L, 0L, 0L, 4L))
+    assert(out.template.dimSizes("t") == 4)
+    assert(out.template.vars("v").dtype == DType.I64) // dtype preserved
+    assert(out.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(6.0, 7.0, 0.0, 1.0, 0.0, 1.0, 8.0, 9.0))
+    // the coordinate gathers along
+    assert(out.template.coords("t").toDoubles.toSeq ==
+      Seq(40.0, 10.0, 10.0, 50.0))
+    // dropIsel keeps the complement in order
+    val kept = ds.dropIsel("t", Array(1L, 3L))
+    assert(kept.template.coords("t").toDoubles.toSeq ==
+      Seq(10.0, 30.0, 50.0))
+    assert(kept.collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      Seq(0.0, 1.0, 4.0, 5.0, 8.0, 9.0))
+    // errors: out of range; dropping everything
+    intercept[IllegalArgumentException](ds.isel("t", Array(5L)))
+    intercept[IllegalArgumentException](
+      ds.dropIsel("t", Array(0L, 1L, 2L, 3L, 4L)))
+  }
+
   test("resampleMedian/Quantile: per-bucket order statistics") {
     // 10 daily steps from Jan 28: Jan run = 0,1,2,3 / Feb = 4..9
     val baseNs = java.time.Instant.parse("2020-01-28T00:00:00Z")
