@@ -93,4 +93,26 @@ class GatherPropSpec extends AnyFunSuite {
           s"asc=${gotA.toDoubles.toSeq} desc=${gotD.toDoubles.toSeq}"
     }, n = 30)
   }
+
+  test("isel on random positions (repeats, reorders) matches the naive take") {
+    val g = for {
+      base <- caseGen
+      m <- Gen.chooseNum(1, 15)
+      raw <- Gen.listOfN(m, Gen.chooseNum(0, 1000))
+    } yield (base, raw)
+    check(Prop.forAllNoShrink(g) { case ((n, chunk, seed), raw) =>
+      val labels = Array.tabulate(n)(_ * 2.0)
+      val (vals, ds) = mkDs(n, chunk, seed, labels)
+      val positions = raw.map(j => (j % n).toLong).toArray
+      val out = ds.isel("t", positions)
+      val got = out.collectConsolidated()._2.vars("iv").arr
+      val expVals = positions.map(p => vals(p.toInt).toDouble).toSeq
+      val expCoord = positions.map(p => labels(p.toInt)).toSeq
+      (got.dtype == DType.I64 &&
+        got.toDoubles.toSeq == expVals &&
+        out.template.coords("t").toDoubles.toSeq == expCoord) :|
+        s"n=$n chunk=$chunk positions=${positions.toSeq} " +
+          s"got=${got.toDoubles.toSeq} exp=$expVals"
+    }, n = 40)
+  }
 }
