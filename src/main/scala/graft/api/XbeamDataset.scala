@@ -3098,7 +3098,29 @@ final class XbeamDataset private (
     * there — no bit-parity to chase). Same one-shuffle
     * partial-accumulator shape as [[trend]]: the shuffle carries
     * 3·deg+2 power/moment planes per cell, never data. */
-  def polyfit(dim: String, deg: Int, skipna: Boolean = true): XbeamDataset = {
+  def polyfit(dim: String, deg: Int, skipna: Boolean = true): XbeamDataset =
+    polyfitCore(dim, deg, skipna, None)
+
+  /** WEIGHTED polynomial fit (xarray `polyfit(dim, deg, w=weights)`
+    * with a 1-D dim weight vector): [[polyfit]]'s power and moment
+    * planes each multiply by w — the weighted normal equations — with
+    * the same extract (Cramer at deg ≤ 2, pivoted elimination above;
+    * degenerate weighted systems land on a zero determinant/pivot →
+    * NaN). The weight vector broadcasts once; [[weightedTrend]] is
+    * this at deg 1, slope only. */
+  def weightedPolyfit(dim: String, deg: Int, weights: NdArray,
+                      skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(weights.ndim == 1 &&
+      weights.shape(0) == template.dimSizes(dim),
+      s"weight on $dim must be 1-D of length ${template.dimSizes(dim)}, " +
+        s"got ${weights.shape.mkString("x")}")
+    polyfitCore(dim, deg, skipna,
+      Some(XbeamDataset.checkedWeights(weights, dim)))
+  }
+
+  private def polyfitCore(dim: String, deg: Int, skipna: Boolean,
+                          weights: Option[Array[Double]]): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     require(deg >= 1 && deg <= 8,
       s"polyfit degree must be in [1, 8], got $deg (normal equations on " +
@@ -3115,7 +3137,8 @@ final class XbeamDataset private (
       template.coords - dim, template.attrs)
     withPlan(newTemplate,
       (chunkSizes - dim) + ("degree" -> (deg + 1)), splitVars,
-      ChunkTransforms.polyReduce(chunkDataset, dim, deg, skipna))
+      ChunkTransforms.polyReduce(chunkDataset, dim, deg, skipna,
+        weights.map(spark.sparkContext.broadcast(_))))
   }
 
   /** Elementwise membership mask (xarray `isin`): 1.0 where the value

@@ -1928,7 +1928,11 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * under 2^53 the sums are exact integers and merge order cannot
     * change a bit. `skipna` as in [[olsPartialsAlong]]. */
   def polyPartialsAlong(axis: Int, globalStart: Long, deg: Int,
-                        skipna: Boolean): NdArray = {
+                        skipna: Boolean,
+                        weights: Array[Double] = null): NdArray = {
+    // weights (optional, indexed by GLOBAL position): every power and
+    // moment plane multiplies by w — the weighted normal equations
+    // (xarray polyfit(w=...)); a skipped NaN drops its weight.
     val planes = 3 * deg + 2
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)
@@ -1947,8 +1951,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         var laneFlat = 0L
         var kk = 0
         while (kk < keep.length) { laneFlat += idx(keep(kk)) * laneStrides(kk); kk += 1 }
-        val t = (globalStart + idx(axis)).toDouble
-        var p = 1.0
+        val g = globalStart + idx(axis)
+        val t = g.toDouble
+        var p = if (weights == null) 1.0 else weights(g.toInt)
         var d = 0
         while (d <= 2 * deg) {
           out.setDouble(d * laneSize + laneFlat,

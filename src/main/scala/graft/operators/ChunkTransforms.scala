@@ -1035,7 +1035,8 @@ object ChunkTransforms {
     * pivoting. Coefficients come out highest power first (plane k =
     * coefficient of t^(deg−k), xarray's degree order). */
   final case class PolyAcc(deg: Int, parts: ArrayChunk,
-                           passthrough: ArrayChunk) {
+                           passthrough: ArrayChunk,
+                           weighted: Boolean = false) {
     def merge(other: PolyAcc): PolyAcc =
       copy(parts = ArrayChunk(parts.vars.map { case (n, va) =>
         n -> VarArray(va.dims, va.arr.zipF64(other.parts.vars(n).arr)(_ + _))
@@ -1052,7 +1053,10 @@ object ChunkTransforms {
       var i = 0L
       while (i < laneSize) {
         val coefs: Array[Double] =
-          if (s(0, i) < deg + 1) Array.fill(deg + 1)(Double.NaN)
+          // unweighted: fewer than deg+1 points can't determine the
+          // fit; weighted: s0 is a weight MASS, not a count — the
+          // determinant/pivot checks catch every degenerate system
+          if (!weighted && s(0, i) < deg + 1) Array.fill(deg + 1)(Double.NaN)
           else if (deg == 1) {
             val det = s(0, i) * s(2, i) - s(1, i) * s(1, i)
             if (det == 0) Array(Double.NaN, Double.NaN)
@@ -1130,15 +1134,16 @@ object ChunkTransforms {
 
   object PolyAcc {
     def ofChunk(chunk: ArrayChunk, dim: String, deg: Int, skipna: Boolean,
-                dimOffset: Long): PolyAcc = {
+                dimOffset: Long,
+                weights: Array[Double] = null): PolyAcc = {
       val (touched, untouched) = chunk.vars.partition(_._2.dims.contains(dim))
       PolyAcc(deg,
         ArrayChunk(touched.map { case (n, va) =>
           val ax = va.dims.indexOf(dim)
           n -> VarArray("__p" +: va.dims.filterNot(_ == dim),
-            va.arr.polyPartialsAlong(ax, dimOffset, deg, skipna))
+            va.arr.polyPartialsAlong(ax, dimOffset, deg, skipna, weights))
         }),
-        ArrayChunk(untouched))
+        ArrayChunk(untouched), weighted = weights != null)
     }
   }
 
@@ -1147,13 +1152,16 @@ object ChunkTransforms {
     * power/moment planes, never data; the output grows a leading
     * `degree` chunk axis (offset 0, single chunk). */
   def polyReduce(ds: Dataset[Pair], dim: String, deg: Int,
-                 skipna: Boolean = true): Dataset[Pair] = {
+                 skipna: Boolean = true,
+                 weights: Option[org.apache.spark.broadcast.Broadcast[
+                   Array[Double]]] = None): Dataset[Pair] = {
     implicit val accEnc: Encoder[(ChunkKey, PolyAcc)] =
       Encoders.kryo[(ChunkKey, PolyAcc)]
     ds.map { p: Pair =>
       val off = p._1.offsets.getOrElse(dim, 0L)
       (p._1.copy(offsets = p._1.offsets - dim),
-        PolyAcc.ofChunk(p._2, dim, deg, skipna, off))
+        PolyAcc.ofChunk(p._2, dim, deg, skipna, off,
+          weights.map(_.value).orNull))
     }
       .groupByKey { kv: (ChunkKey, PolyAcc) => kv._1.canonical }(Encoders.STRING)
       .reduceGroups { (a: (ChunkKey, PolyAcc), b: (ChunkKey, PolyAcc)) =>

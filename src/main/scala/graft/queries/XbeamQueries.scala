@@ -4281,6 +4281,66 @@ object XbeamQueries {
         FROM ks JOIN grid g
           ON g.t = CASE WHEN ks.j < 2 THEN 5
                         ELSE ((SELECT cnt FROM n) - 1 - (ks.j - 2)) * 3 END
-        ORDER BY t, g.x"""))
+        ORDER BY t, g.x""")),
+
+    // --------------------------------------------------------------- x142
+    // Weighted quadratic polyfit (xarray polyfit(dim, 2, w=...)): x73's
+    // Cramer extract over WEIGHTED power/moment sums S_k = sum(w t^k),
+    // V_k = sum(w t^k v) — w(t) = t%4+1 is plan-time metadata,
+    // broadcast once. Integer weights keep every sum exact, so the
+    // oracle repeats the extract's exact cofactor tree over the
+    // weighted sums and matches bit-for-bit.
+    QueryDef(
+      "x142_weighted_polyfit",
+      (s, dir) => {
+        val xds = gridXds(s, dir)
+        val tSize = xds.template.dimSizes("t").toInt
+        val w = NdArray.fromDoubles(DType.F64, Array(tSize),
+          Array.tabulate(tSize)(i => (i % 4 + 1).toDouble))
+        TabularBridge.toDataFrame(xds.weightedPolyfit("t", 2, w))
+          .orderBy("degree", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        gw AS (SELECT t, x, uid, vf, CAST(t % 4 + 1 AS DOUBLE) AS wt
+               FROM grid),
+        sums AS (SELECT x,
+          sum(wt) AS s0,
+          sum(wt * t) AS s1,
+          sum(wt * t * t) AS s2,
+          sum(wt * t * t * t) AS s3,
+          sum(wt * t * t * t * t) AS s4,
+          sum(wt * uid) AS u0,
+          sum(wt * t * uid) AS u1,
+          sum(wt * t * t * uid) AS u2,
+          sum(wt * vf) AS w0,
+          sum(wt * t * vf) AS w1,
+          sum(wt * t * t * vf) AS w2
+          FROM gw GROUP BY x),
+        dets AS (SELECT x, s0, s1, s2, s3, s4, u0, u1, u2, w0, w1, w2,
+          s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * s3 - s2 * s2) AS det
+          FROM sums)
+        SELECT 0 AS degree, x,
+          (s0 * (s2 * u2 - s3 * u1) - s1 * (s1 * u2 - s2 * u1) +
+            u0 * (s1 * s3 - s2 * s2)) / det AS uid,
+          (s0 * (s2 * w2 - s3 * w1) - s1 * (s1 * w2 - s2 * w1) +
+            w0 * (s1 * s3 - s2 * s2)) / det AS vf
+        FROM dets
+        UNION ALL
+        SELECT 1, x,
+          (s0 * (u1 * s4 - u2 * s3) - u0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * u2 - u1 * s2)) / det,
+          (s0 * (w1 * s4 - w2 * s3) - w0 * (s1 * s4 - s3 * s2) +
+            s2 * (s1 * w2 - w1 * s2)) / det
+        FROM dets
+        UNION ALL
+        SELECT 2, x,
+          (u0 * (s2 * s4 - s3 * s3) - s1 * (u1 * s4 - s3 * u2) +
+            s2 * (u1 * s3 - s2 * u2)) / det,
+          (w0 * (s2 * s4 - s3 * s3) - s1 * (w1 * s4 - s3 * w2) +
+            s2 * (w1 * s3 - s2 * w2)) / det
+        FROM dets
+        ORDER BY degree, x"""))
   )
 }

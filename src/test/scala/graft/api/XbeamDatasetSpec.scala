@@ -2163,6 +2163,41 @@ class XbeamDatasetSpec extends AnyFunSuite {
         Array(1, Double.PositiveInfinity, 1, 1)))))
   }
 
+  test("weightedPolyfit: exact quadratic, unit weights = polyfit, deg1 = trend") {
+    // lane 0: v = 2t^2 - 3t + 5 exactly — ANY weights recover it
+    val n = 6
+    val vals = NdArray.fromDoubles(DType.F64, Array(n, 1),
+      Array.tabulate(n)(t => 2.0 * t * t - 3 * t + 5))
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2, "x" -> 1))
+    val w = NdArray.fromDoubles(DType.F64, Array(n), Array(1, 3, 2, 5, 1, 4))
+    val got = ds.weightedPolyfit("t", 2, w)
+      .collectConsolidated()._2.vars("v").arr.toDoubles
+    assert(got.toSeq == Seq(2.0, -3.0, 5.0)) // highest power first
+    // all-ones weights reproduce the unweighted fit exactly
+    val ones = NdArray.fromDoubles(DType.F64, Array(n), Array.fill(n)(1.0))
+    assert(ds.weightedPolyfit("t", 2, ones)
+      .collectConsolidated()._2.vars("v").arr.toDoubles.toSeq ==
+      ds.polyfit("t", 2).collectConsolidated()._2.vars("v").arr.toDoubles.toSeq)
+    // deg-1 weighted fit's slope plane equals weightedTrend
+    val p1 = ds.weightedPolyfit("t", 1, w)
+      .collectConsolidated()._2.vars("v").arr
+    assert(p1.getDouble(0) ==
+      ds.weightedTrend("t", w).collectConsolidated()._2.vars("v").arr
+        .getDouble(0))
+    // all weight on two positions -> deg-2 system singular -> NaN
+    val two = NdArray.fromDoubles(DType.F64, Array(n),
+      Array(1, 1, 0, 0, 0, 0))
+    assert(ds.weightedPolyfit("t", 2, two)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
+    // errors: wrong length; non-finite weight
+    intercept[IllegalArgumentException](ds.weightedPolyfit("t", 2,
+      NdArray.fromDoubles(DType.F64, Array(3), Array(1, 1, 1))))
+    intercept[IllegalArgumentException](ds.weightedPolyfit("t", 2,
+      NdArray.fromDoubles(DType.F64, Array(n),
+        Array(1, Double.NaN, 1, 1, 1, 1))))
+  }
+
   test("weightedQuantile: inverted CDF, ties, skipna, implicit-1 dims") {
     // per x-lane values over t=4 with weights 1,2,3,4 (total 10)
     val vals = NdArray.fromDoubles(DType.F64, Array(4, 2),
