@@ -635,6 +635,9 @@ final class XbeamDataset private (
   def isel(dim: String, positions: Array[Long]): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val n = template.dimSizes(dim)
+    require(n <= Int.MaxValue,
+      s"isel over dim $dim: extent $n exceeds the position-gather's " +
+        "Int index space — slice/sel the region first")
     require(positions.nonEmpty, "isel needs at least one position")
     positions.foreach(p => require(p >= 0 && p < n,
       s"isel position $p out of range [0, $n) on $dim"))
@@ -657,10 +660,20 @@ final class XbeamDataset private (
   def dropIsel(dim: String, positions: Array[Long]): XbeamDataset = {
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val n = template.dimSizes(dim)
+    require(n <= Int.MaxValue,
+      s"drop_isel over dim $dim: extent $n exceeds the position-gather's " +
+        "Int index space — slice/sel the region first")
     positions.foreach(p => require(p >= 0 && p < n,
       s"drop_isel position $p out of range [0, $n) on $dim"))
     val drop = positions.toSet
-    val kept = (0L until n).filterNot(drop).toArray
+    // primitive complement build — no boxed range materialization
+    val kept = new Array[Long](n.toInt - drop.size)
+    var src = 0L
+    var j = 0
+    while (src < n) {
+      if (!drop(src)) { kept(j) = src; j += 1 }
+      src += 1
+    }
     require(kept.nonEmpty, s"drop_isel would drop every $dim position")
     isel(dim, kept)
   }

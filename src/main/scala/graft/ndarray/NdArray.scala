@@ -1881,10 +1881,13 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
   def weightedOlsPartialsAlong(axis: Int, globalStart: Long,
                                weights: Array[Double],
                                skipna: Boolean): NdArray = {
+    // plane 5 holds the UNWEIGHTED valid-point count — the reliable
+    // underdetermined-cell rejection (an FP denominator of a singular
+    // weighted system is rounding noise, not an exact zero)
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)
-    val out = NdArray.zeros(DType.F64, 5 +: laneShape)
-    val laneSize = out.size / 5
+    val out = NdArray.zeros(DType.F64, 6 +: laneShape)
+    val laneSize = out.size / 6
     val n = size
     val idx = new Array[Int](ndim)
     val laneStrides = new Array[Long](keep.length)
@@ -1906,6 +1909,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         out.setDouble(2 * laneSize + laneFlat, out.getDouble(2 * laneSize + laneFlat) + w * t * t)
         out.setDouble(3 * laneSize + laneFlat, out.getDouble(3 * laneSize + laneFlat) + w * v)
         out.setDouble(4 * laneSize + laneFlat, out.getDouble(4 * laneSize + laneFlat) + w * t * v)
+        out.setDouble(5 * laneSize + laneFlat, out.getDouble(5 * laneSize + laneFlat) + 1.0)
       }
       var d = ndim - 1
       var carry = true
@@ -1932,8 +1936,12 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
                         weights: Array[Double] = null): NdArray = {
     // weights (optional, indexed by GLOBAL position): every power and
     // moment plane multiplies by w — the weighted normal equations
-    // (xarray polyfit(w=...)); a skipped NaN drops its weight.
-    val planes = 3 * deg + 2
+    // (xarray polyfit(w=...)); a skipped NaN drops its weight. The
+    // weighted form appends ONE extra plane holding the UNWEIGHTED
+    // valid-point count: weight mass can't stand in for it, and an
+    // underdetermined cell's FP determinant is rounding noise rather
+    // than an exact zero — the count guard is the reliable rejection.
+    val planes = 3 * deg + 2 + (if (weights == null) 0 else 1)
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)
     val out = NdArray.zeros(DType.F64, planes +: laneShape)
@@ -1964,6 +1972,9 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           p *= t
           d += 1
         }
+        if (weights != null)
+          out.setDouble((3 * deg + 2) * laneSize + laneFlat,
+            out.getDouble((3 * deg + 2) * laneSize + laneFlat) + 1.0)
       }
       var d = ndim - 1
       var carry = true

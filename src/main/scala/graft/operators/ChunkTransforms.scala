@@ -979,7 +979,7 @@ object ChunkTransforms {
       * degenerate denominator. */
     def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
       val a = va.arr
-      val laneSize = a.size / 5
+      val laneSize = a.size / (if (weighted) 6 else 5)
       val out = NdArray.zeros(DType.F64, a.shape.drop(1))
       var i = 0L
       while (i < laneSize) {
@@ -988,9 +988,13 @@ object ChunkTransforms {
         val st2 = a.getDouble(2 * laneSize + i)
         val sv = a.getDouble(3 * laneSize + i)
         val stv = a.getDouble(4 * laneSize + i)
+        // weighted: plane 5's UNWEIGHTED valid count is the reliable
+        // underdetermined rejection — one valid point's FP denominator
+        // is rounding noise, not an exact zero
+        val points = if (weighted) a.getDouble(5 * laneSize + i) else cnt
         val denom = cnt * st2 - st * st
         out.setDouble(i,
-          if ((!weighted && cnt < 2) || denom == 0) Double.NaN
+          if (points < 2 || denom == 0) Double.NaN
           else (cnt * stv - st * sv) / denom)
         i += 1
       }
@@ -1044,7 +1048,7 @@ object ChunkTransforms {
 
     def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
       val a = va.arr
-      val planes = 3 * deg + 2
+      val planes = 3 * deg + 2 + (if (weighted) 1 else 0)
       val laneSize = a.size / planes
       val laneShape = a.shape.drop(1)
       val out = NdArray.zeros(DType.F64, (deg + 1) +: laneShape)
@@ -1053,10 +1057,12 @@ object ChunkTransforms {
       var i = 0L
       while (i < laneSize) {
         val coefs: Array[Double] =
-          // unweighted: fewer than deg+1 points can't determine the
-          // fit; weighted: s0 is a weight MASS, not a count — the
-          // determinant/pivot checks catch every degenerate system
-          if (!weighted && s(0, i) < deg + 1) Array.fill(deg + 1)(Double.NaN)
+          // fewer than deg+1 valid points can't determine the fit; the
+          // weighted form reads its dedicated count plane (s0 is a
+          // weight MASS there, and an underdetermined system's FP
+          // determinant is rounding noise, not an exact zero)
+          if ((if (weighted) a.getDouble((3 * deg + 2) * laneSize + i)
+               else s(0, i)) < deg + 1) Array.fill(deg + 1)(Double.NaN)
           else if (deg == 1) {
             val det = s(0, i) * s(2, i) - s(1, i) * s(1, i)
             if (det == 0) Array(Double.NaN, Double.NaN)

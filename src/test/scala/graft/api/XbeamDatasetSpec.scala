@@ -2190,6 +2190,25 @@ class XbeamDatasetSpec extends AnyFunSuite {
       Array(1, 1, 0, 0, 0, 0))
     assert(ds.weightedPolyfit("t", 2, two)
       .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
+    // underdetermined via NaN + FRACTIONAL weights: only 2 valid
+    // points remain, and the singular system's FP determinant is
+    // rounding noise, not exact zero — the valid-count plane must
+    // reject it (NaN), never emit a noise parabola
+    val nanVals = NdArray.fromDoubles(DType.F64, Array(n, 1),
+      Array(Double.NaN, 2, Double.NaN, Double.NaN, 7, Double.NaN))
+    val dsNa = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), nanVals)), chunks = Map("t" -> 2, "x" -> 1))
+    val frac = NdArray.fromDoubles(DType.F64, Array(n),
+      Array(0.2, 0.1, 0.2, 0.2, 0.3, 0.2))
+    assert(dsNa.weightedPolyfit("t", 2, frac)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
+    // same hole's trend twin: ONE valid point + fractional weight
+    val oneVal = NdArray.fromDoubles(DType.F64, Array(n, 1),
+      Array(Double.NaN, Double.NaN, Double.NaN, 4, Double.NaN, Double.NaN))
+    val dsOne = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), oneVal)), chunks = Map("t" -> 2, "x" -> 1))
+    assert(dsOne.weightedTrend("t", frac)
+      .collectConsolidated()._2.vars("v").arr.getDouble(0).isNaN)
     // errors: wrong length; non-finite weight
     intercept[IllegalArgumentException](ds.weightedPolyfit("t", 2,
       NdArray.fromDoubles(DType.F64, Array(3), Array(1, 1, 1))))

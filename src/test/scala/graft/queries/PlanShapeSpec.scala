@@ -166,6 +166,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "weightedTrend must shuffle exactly once")
     assert(exchanges(xds.weightedQuantile(0.5, Set("time"), w)) == 1,
       "weightedQuantile must shuffle exactly once")
+    // weighted polyfit: the same 3deg+2(+count)-plane single shuffle
+    assert(exchanges(xds.weightedPolyfit("time", 2,
+      NdArray.fill(DType.F64, Array(12), 1.0))) == 1,
+      "weightedPolyfit must shuffle exactly once")
+    // fancy isel is the bounded position gather — one exchange, and
+    // NEVER a global sort (no range partitioning)
+    val fancy = xds.isel("time", Array(7L, 7L, 2L, 0L))
+    assert(exchanges(fancy) == 1, "isel must shuffle exactly once")
+    assert(!fancy.chunkDataset.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"),
+      "isel must not range-partition (no global sort)")
+    // resample median: the groupbyCoord order-statistic core's ONE
+    // (chunk, group)-keyed shuffle after the plan-time coord rewrite
+    val tcoord = NdArray.fromLongs(graft.ndarray.DType.TimeNs, Array(12),
+      Array.tabulate(12)(i => 1577836800000000000L +
+        i * 25L * 3600 * 1000000000L))
+    assert(exchanges(xds.assignCoords("time", tcoord)
+      .resampleMedian("time", "week")) == 1,
+      "resampleMedian must shuffle exactly once")
   }
 
   test("sortby lowers to the reindex gather — one exchange, no global sort") {
