@@ -678,6 +678,31 @@ final class XbeamDataset private (
     isel(dim, kept)
   }
 
+  /** Stack every data variable along a new leading dim (xarray
+    * `Dataset.to_dataarray(dim="variable")`): the output carries ONE
+    * variable (`name`) whose position k along `dim` is the k-th
+    * variable in SORTED-name order (xarray keeps insertion order and a
+    * string coordinate; our coords are numeric, so the deterministic
+    * sort IS the documented order). Values promote to float64 —
+    * xarray's common-dtype result for mixed variables. Zero-shuffle:
+    * each variable's chunks relabel into their `dim` slot via
+    * [[concatNew]]'s metadata rewrite + union; the per-var [[astype]]
+    * is chunk-local. Variables must span identical dims (xarray
+    * broadcasts first; broadcast with [[broadcastLike]] as needed). */
+  def toDataArray(dim: String = "variable",
+                  name: String = "value"): XbeamDataset = {
+    require(template.vars.nonEmpty, "to_dataarray needs data variables")
+    val names = template.vars.keys.toSeq.sorted
+    val headDims = template.vars(names.head).dims
+    names.foreach { n =>
+      require(template.vars(n).dims == headDims,
+        s"to_dataarray: variable $n spans ${template.vars(n).dims}, " +
+          s"not ${headDims} — broadcast to common dims first")
+    }
+    XbeamDataset.concatNew(dim, names.map(n =>
+      select(Set(n)).astype(DType.F64).rename(Map(n -> name))))
+  }
+
   /** Multi-dim rolling window for the SEPARABLE reductions (xarray
     * `rolling(t=a, x=b).sum()/min()/max()`): a rectangle's sum is the
     * row-sums summed and its extremum the row-extrema reduced, so the

@@ -4341,6 +4341,24 @@ object XbeamQueries {
           (w0 * (s2 * s4 - s3 * s3) - s1 * (w1 * s4 - s3 * w2) +
             s2 * (w1 * s3 - s2 * w2)) / det
         FROM dets
-        ORDER BY degree, x"""))
+        ORDER BY degree, x""")),
+
+    // --------------------------------------------------------------- x143
+    // to_dataarray (xarray Dataset.to_dataarray): the grid's two
+    // variables stack along a new leading "variable" dim in sorted
+    // name order (uid then vf), values promoted to float64 — a
+    // ZERO-SHUFFLE metadata rewrite + union (concatNew) over
+    // chunk-local casts.
+    QueryDef(
+      "x143_to_dataarray",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).toDataArray()).orderBy("variable", "t", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT v AS variable, t, x, value FROM (
+          SELECT 0 AS v, t, x, CAST(uid AS DOUBLE) AS value FROM grid
+          UNION ALL
+          SELECT 1, t, x, vf FROM grid)
+        ORDER BY variable, t, x"""))
   )
 }

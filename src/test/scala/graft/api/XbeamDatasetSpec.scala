@@ -2067,6 +2067,34 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("toDataArray: sorted-name stacking, f64 promotion, errors") {
+    val ds = XbeamDataset.fromLocal(spark,
+      Map("b" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(3),
+          Array(4, 5, 6))),
+        "a" -> (Seq("t"), NdArray.fromDoubles(DType.I64, Array(3),
+          Array(1, 2, 3)))),
+      chunks = Map("t" -> 2))
+    val out = ds.toDataArray()
+    assert(out.template.dimOrder == Seq("variable", "t"))
+    assert(out.template.vars.keySet == Set("value"))
+    assert(out.template.vars("value").dtype == DType.F64)
+    // sorted name order: a (promoted from I64) then b
+    assert(out.collectConsolidated()._2.vars("value").arr.toDoubles.toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // custom dim/name
+    val named = ds.toDataArray(dim = "vv", name = "payload")
+    assert(named.template.dimOrder.head == "vv" &&
+      named.template.vars.keySet == Set("payload"))
+    // mismatched variable dims rejected
+    val ragged = XbeamDataset.fromLocal(spark,
+      Map("a" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(3),
+          Array(1, 2, 3))),
+        "b" -> (Seq("u"), NdArray.fromDoubles(DType.F64, Array(2),
+          Array(4, 5)))),
+      chunks = Map("t" -> 3, "u" -> 2))
+    intercept[IllegalArgumentException](ragged.toDataArray())
+  }
+
   test("isel/dropIsel: fancy positions, repeats, coord gather, errors") {
     val ds = XbeamDataset.fromLocal(spark,
       Map("v" -> (Seq("t", "x"), NdArray.fromDoubles(DType.I64,
