@@ -166,4 +166,32 @@ class CrossChunkPropSpec extends AnyFunSuite {
       }
     }, n = 30)
   }
+
+  test("broadcastLike tiles values across any new-dim chunking") {
+    // a (d1,) sliver broadcast against a (d0, d1) target: every d0
+    // row of the output must equal the sliver, for ANY chunk cut on
+    // either dim of the target (incl. ragged tails)
+    val g = for {
+      n0 <- Gen.chooseNum(1, 12)
+      c0 <- Gen.chooseNum(1, n0)
+      n1 <- Gen.chooseNum(1, 5)
+      c1 <- Gen.chooseNum(1, n1)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n0, c0, n1, c1, seed)
+    check(Prop.forAllNoShrink(g) { case (n0, c0, n1, c1, seed) =>
+      val sliver = mkVals(n1, seed)
+      val src = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("d1"),
+          NdArray.fromDoubles(DType.F64, Array(n1), sliver))),
+        chunks = Map("d1" -> c1))
+      val tgt = ds(n0, c0, n1, Array.fill(n0 * n1)(0.0))
+        .rechunk(Map("d1" -> c1))
+      val out = src.broadcastLike(tgt)
+      val got = out.collectConsolidated()._2.vars("v").arr
+      val ok = got.shape.toSeq == Seq(n0, n1) &&
+        got.toDoubles.toSeq == Seq.fill(n0)(sliver.toSeq).flatten
+      ok :| s"n0=$n0 c0=$c0 n1=$n1 c1=$c1 got=${got.toDoubles.toSeq} " +
+        s"sliver=${sliver.toSeq}"
+    }, n = 40)
+  }
 }
