@@ -190,4 +190,65 @@ class ReducePropSpec extends AnyFunSuite {
           s"wts=${wts.toSeq}"
     }, n = 60)
   }
+
+  test("resampleUpsample matches naive grid fills for random steps/offsets") {
+    val HOUR = 3600L * 1000000000L
+    val DAY = 24 * HOUR
+    val base = java.time.Instant.parse("2022-06-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val g = for {
+      n <- Gen.chooseNum(2, 10)
+      chunk <- Gen.chooseNum(1, n)
+      stepH <- Gen.chooseNum(25, 49) // > 1 day: genuine upsample
+      offH <- Gen.chooseNum(0, 23)   // unaligned starts too
+      method <- Gen.oneOf("ffill", "bfill", "nearest", "linear")
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, chunk, stepH, offH, method, seed)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, stepH, offH, method, seed) =>
+      val times = Array.tabulate(n)(i => base + offH * HOUR + i * stepH * HOUR)
+      val vals = Array.tabulate(n)(i => (((i * 29 + seed) % 37) - 18).toDouble)
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
+        coords = Map("t" -> NdArray.fromLongs(DType.TimeNs, Array(n), times)),
+        chunks = Map("t" -> chunk))
+      val lo = times.head
+      val hi = times.last
+      val start =
+        if (method == "linear") -Math.floorDiv(-lo, DAY) * DAY
+        else Math.floorDiv(lo, DAY) * DAY
+      val targets = Iterator.iterate(start)(_ + DAY).takeWhile(_ <= hi).toArray
+      if (targets.isEmpty)
+        Prop(true) // engine requires >= 1 target; nothing to compare
+      else {
+        val got = ds.resampleUpsample("t", "day", method)
+          .collectConsolidated()._2.vars("v").arr.toDoubles
+        def naive(tc: Long): Double = method match {
+          case "ffill" =>
+            val i = times.lastIndexWhere(_ <= tc)
+            if (i < 0) Double.NaN else vals(i)
+          case "bfill" =>
+            val i = times.indexWhere(_ >= tc)
+            if (i < 0) Double.NaN else vals(i)
+          case "nearest" =>
+            val i = times.indices.minBy(i =>
+              (math.abs(times(i) - tc), times(i))) // ties take lower label
+            vals(i)
+          case "linear" =>
+            val j = times.indexWhere(_ >= tc)
+            if (times(j) == tc) vals(j)
+            else {
+              val w = (tc - times(j - 1)).toDouble /
+                (times(j) - times(j - 1)).toDouble
+              vals(j - 1) + w * (vals(j) - vals(j - 1))
+            }
+        }
+        val exp = targets.map(naive)
+        (got.length == exp.length && got.indices.forall(i =>
+          got(i) == exp(i) || (got(i).isNaN && exp(i).isNaN) ||
+            math.abs(got(i) - exp(i)) < 1e-12)) :|
+          s"n=$n chunk=$chunk step=${stepH}h off=${offH}h method=$method " +
+            s"got=${got.toSeq} exp=${exp.toSeq}"
+      }
+    }, n = 60)
+  }
 }
