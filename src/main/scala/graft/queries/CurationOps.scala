@@ -633,6 +633,87 @@ object CurationOps {
         SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk
         FROM ranked r JOIN takes t ON r.lang = t.lang
         WHERE r.rk <= t.take
-        ORDER BY r.lang, r.rk"""))
+        ORDER BY r.lang, r.rk""")),
+
+    // ---------------------------------------------------------------- c12
+    // Bloom-filter decontamination — c01's scale path: instead of
+    // joining corpus shingles against the benchmark (c01's exact
+    // overlap), the benchmark's shingle set compresses into a FIXED
+    // 4096-bit Bloom filter (128 packed 32-bit words, k=2 md5-derived
+    // probe positions) that broadcasts once; each corpus document then
+    // answers "do half my shingles possibly appear in the benchmark?"
+    // (c01's 0.5-overlap verdict) with two O(1) bit tests per shingle
+    // in one narrow pass — the corpus NEVER shuffles, and the filter's
+    // size is constant no matter how large the benchmark grows. False
+    // positives are inherent to the
+    // structure and fully deterministic here (fixed hashes, fixed m),
+    // so the oracle reproduces every verdict bit-for-bit, false
+    // positives included. 32-bit words keep the packing portable
+    // (DuckDB rejects 1::BIGINT << 63).
+    QueryDef(
+      "c12_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = TextOps.shingled(s, dir)
+        def h(off: Int) =
+          s"cast(conv(substr(md5(sg), $off, 8), 16, 10) AS bigint) % 4096"
+        val pos = sh.filter($"doc_id" % 20 === 7)
+          .select(explode($"shingles").as("sg"))
+          .selectExpr(s"${h(1)} AS p1", s"${h(9)} AS p2")
+        val words = pos.selectExpr("p1 AS p").union(pos.selectExpr("p2 AS p"))
+          .groupBy(expr("p div 32").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, cast(p % 32 AS int)))").as("bits"))
+        val bloomRow = s.range(128).toDF("w")
+          .join(words, Seq("w"), "left")
+          .selectExpr("w", "coalesce(bits, 0L) AS bits")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(w, bits))), s -> s.bits)")
+            .as("bloom"))
+        def bitTest(hh: String) =
+          s"((shiftright(element_at(bloom, cast(($hh) div 32 AS int) + 1), " +
+            s"cast(($hh) % 32 AS int))) & 1) = 1"
+        sh.filter($"doc_id" % 20 =!= 7)
+          .crossJoin(broadcast(bloomRow))
+          .withColumn("n_hits", expr(
+            s"""aggregate(shingles, 0L, (acc, sg) ->
+               |acc + IF(${bitTest(h(1))} AND ${bitTest(h(9))}, 1L, 0L))"""
+              .stripMargin))
+          .selectExpr("doc_id",
+            "cast(size(shingles) AS bigint) AS n_probes", "n_hits",
+            // c01's 0.5-overlap verdict threshold, integer-exact
+            "cast(IF(n_hits * 2 >= size(shingles), 1, 0) AS bigint) AS flagged")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        ${TextOps.DUCK_SHINGLE_CTE},
+        bs AS (SELECT unnest(shingles) AS sg FROM sh WHERE doc_id % 20 = 7),
+        ps AS (SELECT ('0x' || substr(md5(sg), 1, 8))::BIGINT % 4096 AS p
+               FROM bs
+               UNION ALL
+               SELECT ('0x' || substr(md5(sg), 9, 8))::BIGINT % 4096 FROM bs),
+        wsparse AS (SELECT p // 32 AS w,
+                           bit_or(1::BIGINT << (p % 32)::INT) AS bits
+                    FROM ps GROUP BY 1),
+        bloom AS (SELECT list(COALESCE(bits, 0) ORDER BY r.w) AS bloom
+                  FROM (SELECT unnest(range(0, 128)) AS w) r
+                  LEFT JOIN wsparse ON r.w = wsparse.w)
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_probes,
+               CAST(len(list_filter(shingles, sg ->
+                 ((bloom[(('0x' || substr(md5(sg), 1, 8))::BIGINT % 4096) // 32 + 1]
+                   >> ((('0x' || substr(md5(sg), 1, 8))::BIGINT % 4096) % 32)::INT) & 1) = 1
+                 AND
+                 ((bloom[(('0x' || substr(md5(sg), 9, 8))::BIGINT % 4096) // 32 + 1]
+                   >> ((('0x' || substr(md5(sg), 9, 8))::BIGINT % 4096) % 32)::INT) & 1) = 1))
+                 AS BIGINT) AS n_hits,
+               CAST(CASE WHEN len(list_filter(shingles, sg ->
+                 ((bloom[(('0x' || substr(md5(sg), 1, 8))::BIGINT % 4096) // 32 + 1]
+                   >> ((('0x' || substr(md5(sg), 1, 8))::BIGINT % 4096) % 32)::INT) & 1) = 1
+                 AND
+                 ((bloom[(('0x' || substr(md5(sg), 9, 8))::BIGINT % 4096) // 32 + 1]
+                   >> ((('0x' || substr(md5(sg), 9, 8))::BIGINT % 4096) % 32)::INT) & 1) = 1)) * 2
+                 >= len(shingles)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM sh, bloom WHERE doc_id % 20 <> 7
+        ORDER BY doc_id"""))
   )
 }
