@@ -784,6 +784,14 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val n = template.dimSizes(dim)
     require(n <= Int.MaxValue, s"dim $dim extent $n exceeds a plan-time keep set")
+    // same driver-residency bound as set_index: the validity reduction
+    // collects ONE Long per dim position
+    val dropnaMaxLen = spark.conf.get("spark.graft.coord.maxLen",
+      (1L << 26).toString).toLong
+    require(n <= dropnaMaxLen,
+      s"dropna: dim $dim has $n positions — beyond " +
+        s"spark.graft.coord.maxLen=$dropnaMaxLen for a driver-resident " +
+        "keep set (raise it deliberately if the driver can hold it)")
     val d = dim
     val totalPerPos: Long = template.vars.collect {
       case (_, vs) if vs.dims.contains(d) =>
@@ -6187,18 +6195,32 @@ object XbeamDataset {
         "template discovery needs offsets-keyed chunks (indices carry no " +
           "grid positions) — key.indices must be empty")
       val vars = chunk.vars.map { case (n, va) => n -> (va.dims, va.arr.dtype) }
-      val dims = chunk.vars.valuesIterator.flatMap { va =>
-        va.dims.zip(va.arr.shape).map { case (d, s) =>
+      // variables within ONE chunk must agree on each shared dim's
+      // extent (they cover the same grid cell) — a last-wins map here
+      // would make the discovered grid depend on iteration order and
+      // surface later as a misleading shape mismatch; fail at the
+      // disagreeing chunk instead
+      val dims = scala.collection.mutable.Map[String, (Int, Long)]()
+      chunk.vars.foreach { case (n, va) =>
+        va.dims.zip(va.arr.shape).foreach { case (d, s) =>
           val off = key.offsets.getOrElse(d, 0L)
-          d -> (s, off + s)
+          dims.get(d) match {
+            case Some((prev, _)) if prev != s =>
+              throw new IllegalArgumentException(
+                s"template discovery: chunk at ${key.offsets} has " +
+                  s"variables disagreeing on dim $d's extent " +
+                  s"($prev vs $s from $n) — all variables in one chunk " +
+                  "must cover the same grid cell")
+            case _ => dims(d) = (s, off + s)
+          }
         }
-      }.toMap.map(identity)  // last-wins per chunk; merge() takes the max
+      }
       val ends = chunk.vars.iterator.flatMap { case (n, va) =>
         va.dims.zip(va.arr.shape).map { case (d, s) =>
           (n, d) -> (key.offsets.getOrElse(d, 0L) + s)
         }
       }.toMap
-      (vars, dims, ends): Meta
+      (vars, dims.toMap, ends): Meta
     }
     val (vars, dims, ends) =
       try metas.treeReduce(merge)

@@ -1881,9 +1881,13 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
   def weightedOlsPartialsAlong(axis: Int, globalStart: Long,
                                weights: Array[Double],
                                skipna: Boolean): NdArray = {
-    // plane 5 holds the UNWEIGHTED valid-point count — the reliable
-    // underdetermined-cell rejection (an FP denominator of a singular
-    // weighted system is rounding noise, not an exact zero)
+    // plane 5 holds the count of valid points with NONZERO weight —
+    // the rank of the weighted system (each global t occurs once per
+    // lane, so nonzero weight at >= 2 positions means genuinely
+    // nonsingular). A zero-weighted point contributes nothing to any
+    // moment plane, so counting it would let a rank-deficient system
+    // through to an FP denominator that is rounding noise, not an
+    // exact zero.
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)
     val out = NdArray.zeros(DType.F64, 6 +: laneShape)
@@ -1909,7 +1913,8 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
         out.setDouble(2 * laneSize + laneFlat, out.getDouble(2 * laneSize + laneFlat) + w * t * t)
         out.setDouble(3 * laneSize + laneFlat, out.getDouble(3 * laneSize + laneFlat) + w * v)
         out.setDouble(4 * laneSize + laneFlat, out.getDouble(4 * laneSize + laneFlat) + w * t * v)
-        out.setDouble(5 * laneSize + laneFlat, out.getDouble(5 * laneSize + laneFlat) + 1.0)
+        if (w != 0)
+          out.setDouble(5 * laneSize + laneFlat, out.getDouble(5 * laneSize + laneFlat) + 1.0)
       }
       var d = ndim - 1
       var carry = true
@@ -1937,8 +1942,10 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     // weights (optional, indexed by GLOBAL position): every power and
     // moment plane multiplies by w — the weighted normal equations
     // (xarray polyfit(w=...)); a skipped NaN drops its weight. The
-    // weighted form appends ONE extra plane holding the UNWEIGHTED
-    // valid-point count: weight mass can't stand in for it, and an
+    // weighted form appends ONE extra plane counting valid points
+    // with NONZERO weight — the system's rank (each global t occurs
+    // once per lane): weight mass can't stand in for it, a
+    // zero-weighted point adds nothing to any moment plane, and an
     // underdetermined cell's FP determinant is rounding noise rather
     // than an exact zero — the count guard is the reliable rejection.
     val planes = 3 * deg + 2 + (if (weights == null) 0 else 1)
@@ -1972,7 +1979,7 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
           p *= t
           d += 1
         }
-        if (weights != null)
+        if (weights != null && weights(g.toInt) != 0)
           out.setDouble((3 * deg + 2) * laneSize + laneFlat,
             out.getDouble((3 * deg + 2) * laneSize + laneFlat) + 1.0)
       }

@@ -973,10 +973,10 @@ object ChunkTransforms {
       }))
 
     /** Slope per cell: (nΣtv − ΣtΣv) / (nΣt² − (Σt)²) — weighted, the
-      * same tree over Σw-moments. NaN when fewer than two points
-      * (unweighted; the weighted degenerate cases all land on a zero
-      * denominator: one point, or all weight on one position) or a
-      * degenerate denominator. */
+      * same tree over Σw-moments. NaN when fewer than two valid points
+      * (weighted: fewer than two with NONZERO weight — the rank guard;
+      * a singular weighted system's FP denominator is rounding noise,
+      * not an exact zero) or a degenerate denominator. */
     def extract: ArrayChunk = ArrayChunk(parts.vars.map { case (n, va) =>
       val a = va.arr
       val laneSize = a.size / (if (weighted) 6 else 5)
@@ -988,9 +988,10 @@ object ChunkTransforms {
         val st2 = a.getDouble(2 * laneSize + i)
         val sv = a.getDouble(3 * laneSize + i)
         val stv = a.getDouble(4 * laneSize + i)
-        // weighted: plane 5's UNWEIGHTED valid count is the reliable
-        // underdetermined rejection — one valid point's FP denominator
-        // is rounding noise, not an exact zero
+        // weighted: plane 5's nonzero-weight valid count is the rank
+        // of the system — the reliable underdetermined rejection (a
+        // singular weighted system's FP denominator is rounding
+        // noise, not an exact zero)
         val points = if (weighted) a.getDouble(5 * laneSize + i) else cnt
         val denom = cnt * st2 - st * st
         out.setDouble(i,
@@ -1058,9 +1059,10 @@ object ChunkTransforms {
       while (i < laneSize) {
         val coefs: Array[Double] =
           // fewer than deg+1 valid points can't determine the fit; the
-          // weighted form reads its dedicated count plane (s0 is a
-          // weight MASS there, and an underdetermined system's FP
-          // determinant is rounding noise, not an exact zero)
+          // weighted form reads its dedicated nonzero-weight count
+          // plane — the system's rank (s0 is a weight MASS there, and
+          // an underdetermined system's FP determinant is rounding
+          // noise, not an exact zero)
           if ((if (weighted) a.getDouble((3 * deg + 2) * laneSize + i)
                else s(0, i)) < deg + 1) Array.fill(deg + 1)(Double.NaN)
           else if (deg == 1) {

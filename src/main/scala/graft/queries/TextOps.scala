@@ -598,6 +598,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val bin = t(s, dir, "documents")
+          // byte-for-byte parity with the codepoint-based oracle needs
+          // ASCII payloads: restrict to docs whose UTF-8 byte length
+          // equals the character length (the oracle filters identically)
+          .filter(octet_length($"text") === length($"text"))
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
           .map { case (id, bytes) =>
@@ -642,7 +646,8 @@ object TextOps {
         WITH b AS (SELECT doc_id,
                           list_transform(string_split(text, ''), c -> ascii(c) - 128) AS s,
                           length(text) // 64 AS n_windows
-                   FROM documents WHERE length(text) // 64 >= 1),
+                   FROM documents
+                   WHERE length(text) // 64 >= 1 AND strlen(text) = length(text)),
         w AS (SELECT doc_id, n_windows,
                      list_transform(range(0, n_windows), w ->
                        list_reduce(list_transform(range(w*64+1, w*64+65),
@@ -679,6 +684,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val bin = t(s, dir, "documents")
+          // byte-for-byte parity with the codepoint-based oracle needs
+          // ASCII payloads: restrict to docs whose UTF-8 byte length
+          // equals the character length (the oracle filters identically)
+          .filter(octet_length($"text") === length($"text"))
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
           .map { case (id, bytes) =>
@@ -729,7 +738,7 @@ object TextOps {
         WITH b AS (SELECT doc_id,
                           list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
                           length(text) // 16 AS n_frames
-                   FROM documents),
+                   FROM documents WHERE strlen(text) = length(text)),
         p AS (SELECT doc_id, n_frames,
                      flatten(list_transform(range(0, n_frames), f ->
                        list_transform(range(0, 4), q ->
@@ -761,6 +770,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val bin = t(s, dir, "documents")
+          // byte-for-byte parity with the codepoint-based oracle needs
+          // ASCII payloads: restrict to docs whose UTF-8 byte length
+          // equals the character length (the oracle filters identically)
+          .filter(octet_length($"text") === length($"text"))
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
           .flatMap { case (id, bytes) =>
@@ -795,7 +808,8 @@ object TextOps {
         WITH b AS (SELECT doc_id,
                           list_transform(string_split(text, ''),
                                          c -> ascii(c)) AS px
-                   FROM documents WHERE length(text) >= 72),
+                   FROM documents
+                   WHERE length(text) >= 72 AND strlen(text) = length(text)),
         h AS (SELECT doc_id,
                 list_reduce(list_transform(range(0, 32), k ->
                   CASE WHEN px[(k // 8) * 9 + (k % 8) + 1]
@@ -1110,6 +1124,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val bin = t(s, dir, "documents")
+          // byte-for-byte parity with the codepoint-based oracle needs
+          // ASCII payloads: restrict to docs whose UTF-8 byte length
+          // equals the character length (the oracle filters identically)
+          .filter(octet_length($"text") === length($"text"))
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
           .map { case (id, bytes) =>
@@ -1137,7 +1155,8 @@ object TextOps {
                                 (a, b) -> a + b) % 256 AS BIGINT) AS checksum,
                CAST(list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
                                 (a, b) -> a + b) AS DOUBLE) / length(text) AS mean_byte
-        FROM documents ORDER BY doc_id""")),
+        FROM documents WHERE strlen(text) = length(text)
+        ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- m02
     // Multimodal frame pipeline through a REAL codec: the "video" is a
@@ -1156,6 +1175,10 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val bin = t(s, dir, "documents")
+          // byte-for-byte parity with the codepoint-based oracle needs
+          // ASCII payloads: restrict to docs whose UTF-8 byte length
+          // equals the character length (the oracle filters identically)
+          .filter(octet_length($"text") === length($"text"))
           .select($"doc_id", encode($"text", "utf-8").as("payload"))
           .as[(Long, Array[Byte])]
           .map { case (id, bytes) =>
@@ -1195,7 +1218,7 @@ object TextOps {
         WITH b AS (SELECT doc_id,
                           list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
                           length(text) // 16 AS n_frames
-                   FROM documents),
+                   FROM documents WHERE strlen(text) = length(text)),
         f AS (SELECT doc_id, bytes, n_frames,
                      list_filter(range(0, n_frames), j -> j % 4 = 0) AS sampled
               FROM b WHERE n_frames >= 1),

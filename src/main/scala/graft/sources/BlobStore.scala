@@ -39,6 +39,11 @@ trait BlobStore {
   /** Names of immediate child containers (array nodes) under a root. */
   def listChildren(url: String): Seq[String]
   def isContainer(url: String): Boolean
+  /** Whether this backend can enumerate keys under a prefix. False for
+    * plain http(s): no directory protocol, so stale blobs from an older
+    * store layout can never be found and cleared — write paths use this
+    * to refuse grid-changing overwrites. */
+  def canList: Boolean = true
 }
 
 object BlobStore {
@@ -342,7 +347,8 @@ object HttpStore extends BlobStore {
 
   /** PUT the blob — the write half of fsspec's http filesystem: the
     * target is any endpoint accepting `PUT <url>` (WebDAV, nginx
-    * dav_methods, a signed-URL proxy). 200/201/204 succeed; transient
+    * dav_methods, a signed-URL proxy). Any 2xx succeeds (202 Accepted
+    * from async gateways and WebDAV proxies included); transient
     * failures (IO errors, 5xx, 429) retry with the read path's
     * backoff; anything else fails loudly — a server without PUT
     * answers 405 and surfaces immediately, not after retries. Note
@@ -367,7 +373,7 @@ object HttpStore extends BlobStore {
         }
       resp.foreach { r =>
         r.statusCode() match {
-          case 200 | 201 | 204 =>
+          case s if s >= 200 && s < 300 =>
             BlobStore.bytesWritten.addAndGet(bytes.length.toLong)
             return
           case s if s >= 500 || s == 429 =>
@@ -394,6 +400,8 @@ object HttpStore extends BlobStore {
         "metadata (.zmetadata / v3 root zarr.json).")
 
   override def isContainer(url: String): Boolean = false
+
+  override def canList: Boolean = false
 }
 
 /** One already-fetched blob served through the BlobStore surface — the

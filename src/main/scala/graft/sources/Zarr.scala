@@ -772,6 +772,13 @@ object Zarr {
                  shards: Map[String, Int] = Map.empty): Unit = {
     require(zarrFormat == 2 || zarrFormat == 3, s"zarr_format must be 2 or 3")
     require(shards.isEmpty || zarrFormat == 3, "zarr shards require zarr_format 3")
+    // Non-listable targets (plain http/https) can never enumerate — and
+    // so never clear — chunk blobs written under an older layout: a
+    // grid-changing overwrite would leave stale chunks lingering forever
+    // behind the fresh metadata. Refuse loudly; an identical-grid
+    // re-setup (idempotent re-run) is still allowed because the new job
+    // rewrites every key the metadata references.
+    checkNonListableOverwrite(path, template, chunks, shards)
     // All setup writes (dozens of tiny metadata blobs + eager coords)
     // stage in memory and flush to the target in one batch — the
     // stage_locally metadata optimization (zarr.py:463-513).
@@ -813,6 +820,60 @@ object Zarr {
     if (zarrFormat == 2) consolidateMetadata(store, path)
     else consolidateMetadataV3(store, path)
     store.flush()
+  }
+
+  /** The non-listable-overwrite refusal behind [[setupStore]]: when the
+    * target cannot LIST and already carries a store whose grid differs
+    * from what setup is about to write, fail before touching anything.
+    * "Differs" = any existing array absent from the new template, any
+    * dim size change, or any shape/chunk/shard change on a surviving
+    * array — exactly the cases that strand unreachable-but-readable
+    * stale chunk blobs. */
+  private def checkNonListableOverwrite(path: String, template: Template,
+                                        chunks: Map[String, Int],
+                                        shards: Map[String, Int]): Unit = {
+    if (BlobStore.forUrl(path).canList || !storeExists(path)) return
+    val old = try openStore(path) catch {
+      case scala.util.control.NonFatal(_) => return // unreadable remnant:
+      // setup overwrites the metadata wholesale, nothing to compare
+    }
+    val dimSizes = template.dimSizes
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    val newNames = template.vars.keySet ++ template.coords.keySet
+    (old.arrays.keySet -- newNames).toSeq.sorted.foreach(n =>
+      problems += s"existing array '$n' is absent from the new template " +
+        "(its chunk blobs would linger unreferenced)")
+    old.dims.foreach { case (d, sz) =>
+      dimSizes.get(d) match {
+        case Some(nsz) if nsz != sz => problems += s"dim $d: existing $sz vs new $nsz"
+        case None => problems += s"existing dim $d is absent from the new template"
+        case _ =>
+      }
+    }
+    old.dataVars.foreach { case (n, am) =>
+      template.vars.get(n).foreach { spec =>
+        val shape = spec.dims.map(dimSizes)
+        val inner = spec.dims.map(d => chunks.getOrElse(d,
+          math.min(dimSizes(d), Int.MaxValue).toInt))
+        val storedChunks = // read-back convention: chunks = shard when sharded
+          if (shards.isEmpty) inner
+          else spec.dims.zip(inner).map { case (d, c) => shards.getOrElse(d, c) }
+        val newShardChunks = if (shards.isEmpty) None else Some(inner)
+        if (am.dims != spec.dims) problems += s"var $n dims: ${am.dims} vs ${spec.dims}"
+        if (am.shape != shape) problems += s"var $n shape: ${am.shape} vs $shape"
+        if (am.chunks != storedChunks)
+          problems += s"var $n chunk grid: ${am.chunks} vs $storedChunks"
+        if (am.shardChunks != newShardChunks)
+          problems += s"var $n shards: ${am.shardChunks} vs $newShardChunks"
+      }
+    }
+    if (problems.nonEmpty) throw new IllegalArgumentException(
+      s"refusing to overwrite the zarr store at $path: the target cannot " +
+        "LIST (plain http(s) has no directory protocol), so chunk blobs " +
+        "of the existing grid can never be found and cleared — they " +
+        "would linger behind the fresh metadata. Grid differences: " +
+        problems.mkString("; ") + ". Point the new grid at a fresh path, " +
+        "or delete the old store out of band first.")
   }
 
   private def fillOf(dtype: DType): Double = dtype match {

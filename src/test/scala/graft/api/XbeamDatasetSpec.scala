@@ -3214,6 +3214,14 @@ class XbeamDatasetSpec extends AnyFunSuite {
     }
     val e = intercept[IllegalArgumentException](ds(4).dropna("t", how = "most"))
     assert(e.getMessage.contains("how"))
+    // driver-residency guard: the per-position validity array obeys
+    // spark.graft.coord.maxLen, same as set_index
+    spark.conf.set("spark.graft.coord.maxLen", "4")
+    try {
+      val g = intercept[IllegalArgumentException](ds(4).dropna("t"))
+      assert(g.getMessage.contains("coord.maxLen") &&
+        g.getMessage.contains("dropna"), g.getMessage)
+    } finally spark.conf.unset("spark.graft.coord.maxLen")
   }
 
   test("rollingConstruct: window view matches manual lags at any chunking") {

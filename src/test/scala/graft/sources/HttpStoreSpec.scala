@@ -193,6 +193,39 @@ class HttpStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite onto http refuses a grid change; identical grid re-runs") {
+    val dir = Files.createTempDirectory("httpow")
+    withServer(dir) { base =>
+      val url = s"$base/store"
+      Zarr.setupStore(url, template, Map("t" -> 4, "x" -> 8), Some("zlib"))
+      // identical grid: an idempotent re-run rewrites every referenced
+      // key, so it stays allowed
+      Zarr.setupStore(url, template, Map("t" -> 4, "x" -> 8), Some("zlib"))
+      // a different chunk grid would strand the old grid's chunk blobs
+      // behind fresh metadata — http can't LIST, so they can never be
+      // cleared: refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        Zarr.setupStore(url, template, Map("t" -> 8, "x" -> 8), Some("zlib"))
+      }
+      assert(e.getMessage.contains("cannot") && e.getMessage.contains("LIST"),
+        e.getMessage)
+      assert(e.getMessage.contains("chunk grid"), e.getMessage)
+      // a shrunk dim is the same hazard
+      val small = Template(Seq("t" -> 8L, "x" -> 8L),
+        Map("v" -> VarSpec(Seq("t", "x"), DType.F64)),
+        coords = Map("t" -> arange(DType.I64, 8)), attrs = Map.empty)
+      val e2 = intercept[IllegalArgumentException] {
+        Zarr.setupStore(url, small, Map("t" -> 4, "x" -> 8), Some("zlib"))
+      }
+      assert(e2.getMessage.contains("dim t"), e2.getMessage)
+      // a listable target (plain filesystem) keeps the old behavior:
+      // grid-changing overwrite allowed
+      val localDir = Files.createTempDirectory("httpow-local")
+      Zarr.setupStore(localDir.toString, template, Map("t" -> 4, "x" -> 8))
+      Zarr.setupStore(localDir.toString, template, Map("t" -> 8, "x" -> 8))
+    }
+  }
+
   test("zero-length blobs size as 0 through the 416 answer") {
     val dir = Files.createTempDirectory("httpempty")
     Files.write(dir.resolve("empty"), Array.emptyByteArray)
