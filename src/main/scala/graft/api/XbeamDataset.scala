@@ -703,20 +703,105 @@ final class XbeamDataset private (
       select(Set(n)).astype(DType.F64).rename(Map(n -> name))))
   }
 
-  /** Multi-dim rolling window for the SEPARABLE reductions (xarray
-    * `rolling(t=a, x=b).sum()/min()/max()`): a rectangle's sum is the
-    * row-sums summed and its extremum the row-extrema reduced, so the
-    * 2-D (or N-D) window composes the 1-D halo [[rolling]] once per
-    * dim — each pass exchanges only its own halo slivers. Non-separable
-    * kinds (mean/var/std — a truncated edge window's mean-of-means is
-    * not the rectangle mean) are rejected; divide a sum by the window
-    * area when full windows are what you need. */
-  def rollingNd(windows: Map[String, Int], op: String): XbeamDataset = {
+  /** Multi-dim rolling window (xarray `rolling(t=a, x=b).<op>()`).
+    *
+    * The SEPARABLE kinds compose directly: a rectangle's sum is the
+    * row-sums summed and its extremum the row-extrema reduced, so
+    * sum/min/max run the 1-D halo [[rolling]] once per dim — each pass
+    * exchanges only its own halo slivers.
+    *
+    * mean/var/std do NOT compose that way (a truncated edge window's
+    * mean-of-means is not the rectangle mean), but their MOMENTS do:
+    * the rectangle's Σx, Σx² and valid count are each a separable
+    * rollingNd-sum over NaN-zeroed planes (x, x², 1[valid]), so the
+    * non-separable kinds lower to moment planes ridden through the
+    * same per-dim halo passes and folded per cell at the end —
+    * mean = Σx/n, var = Σx²/n − (Σx/n)² (population, ddof 0, matching
+    * the 1-D [[rolling]]), std = √var; NaN where the rectangle's valid
+    * count is below `minPeriods` (or zero). Chunk bodies still never
+    * cross the wire — each pass ships its own window−1 halo slivers
+    * of the (constant ×2 or ×3) moment planes.
+    *
+    * A variable spanning only SOME window dims rolls over the dims it
+    * has (the per-dim passes skip dims a variable lacks — the same
+    * behavior as chaining 1-D rollings); variables spanning none pass
+    * through untouched. */
+  def rollingNd(windows: Map[String, Int], op: String,
+                minPeriods: Int = 1): XbeamDataset = {
     require(windows.nonEmpty, "rollingNd needs at least one dim")
-    require(Set("sum", "min", "max")(op),
-      s"rollingNd supports the separable kinds sum|min|max, got $op " +
-        "(mean/var/std do not compose across dims at truncated edges)")
-    windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
+    require(Set("sum", "min", "max", "mean", "var", "std")(op),
+      s"rollingNd supports sum|min|max|mean|var|std, got $op " +
+        "(order statistics do not decompose into separable passes)")
+    windows.foreach { case (d, w) =>
+      require(template.dimSizes.contains(d), s"unknown dim $d")
+      require(w >= 2, s"rolling window on $d must be >= 2, got $w")
+    }
+    if (Set("sum", "min", "max")(op))
+      return windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
+    val needS2 = op != "mean"
+    val wdims = windows.keySet
+    val touched: Set[String] = template.vars.collect {
+      case (n, vs) if vs.dims.exists(wdims) => n
+    }.toSet
+    require(touched.nonEmpty,
+      s"rollingNd(${windows.keys.mkString(",")}): no variable spans a window dim")
+    // invalid cells contribute ZERO to every moment (the rolling-sum
+    // kernel is NaN-poisoning, so NaN placeholders would void whole
+    // windows — zero-fill plus the 0/1 validity plane recovers skipna
+    // counting, the rollingPair trick)
+    val s2Wanted = needS2
+    val derived = mapBlocks { c =>
+      ArrayChunk(c.vars.flatMap { case (n, va) =>
+        if (!touched(n)) Seq(n -> va)
+        else {
+          val z = va.arr.mapF64(x => if (x.isNaN) 0.0 else x)
+          val one = va.arr.mapF64(x => if (x.isNaN) 0.0 else 1.0)
+          Seq(s"__r1_$n" -> VarArray(va.dims, z),
+            s"__rn_$n" -> VarArray(va.dims, one)) ++
+            (if (s2Wanted)
+              Seq(s"__r2_$n" -> VarArray(va.dims,
+                va.arr.mapF64(x => if (x.isNaN) 0.0 else x * x)))
+            else Nil)
+        }
+      })
+    }
+    val summed = windows.foldLeft(derived) { case (ds, (d, w)) =>
+      ds.rolling(d, w, "sum")
+    }
+    val o = op
+    val minP = math.max(minPeriods, 1)
+    summed.mapBlocks { c =>
+      ArrayChunk(c.vars.collect {
+        case (n, va) if !n.startsWith("__r") => n -> va
+      } ++ touched.toSeq.sorted.flatMap { n =>
+        c.vars.get(s"__r1_$n").map { s1va =>
+          val s1 = s1va.arr
+          val nn = c.vars(s"__rn_$n").arr
+          val s2 = if (s2Wanted) c.vars(s"__r2_$n").arr else null
+          val res = NdArray.zeros(DType.F64, s1.shape.clone())
+          val sz = s1.size
+          var i = 0L
+          while (i < sz) {
+            val cnt = nn.getDouble(i)
+            val v =
+              if (cnt < minP || cnt <= 0) Double.NaN
+              else {
+                val m = s1.getDouble(i) / cnt
+                if (o == "mean") m
+                else {
+                  val variance = s2.getDouble(i) / cnt - m * m
+                  // FP cancellation can dip a hair below zero
+                  val vv = if (variance < 0) 0.0 else variance
+                  if (o == "var") vv else math.sqrt(vv)
+                }
+              }
+            res.setDouble(i, v)
+            i += 1
+          }
+          n -> VarArray(s1va.dims, res)
+        }
+      })
+    }
   }
 
   /** De-duplicate coordinate labels along `dim` (xarray

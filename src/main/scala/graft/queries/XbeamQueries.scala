@@ -4359,6 +4359,59 @@ object XbeamQueries {
           SELECT 0 AS v, t, x, CAST(uid AS DOUBLE) AS value FROM grid
           UNION ALL
           SELECT 1, t, x, vf FROM grid)
-        ORDER BY variable, t, x"""))
+        ORDER BY variable, t, x""")),
+
+    // --------------------------------------------------------------- x144
+    // Multi-dim rolling mean/var/std (xarray rolling(t=3, x=2).mean()/
+    // .var()/.std()): NOT separable as mean-of-means at truncated
+    // edges, but the rectangle's MOMENTS are — Σx, Σx² and the valid
+    // count each ride the two 1-D halo sum passes (x104's shape), and
+    // one chunk-local fold divides at the end: mean = Σx/n,
+    // var = Σx²/n − (Σx/n)² (population ddof 0), std = √var. Exactness:
+    // uid ≤ 149 and vf ≤ 490 are integer-valued, so every nested
+    // window sum is exact and both engines round the identical
+    // divide/multiply/subtract tree the same way; the oracle mirrors
+    // the engine's negative-variance clamp.
+    QueryDef(
+      "x144_rolling_2d_moments",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val xds = gridXds(s, dir)
+        val win = Map("t" -> 3, "x" -> 2)
+        val meanDf = TabularBridge.toDataFrame(xds.rollingNd(win, "mean"))
+          .select(col("t"), col("x"),
+            col("uid").as("uid_mean"), col("vf").as("vf_mean"))
+        val vfOnly = xds.select(Set("vf"))
+        def f(op: String, tag: String) =
+          TabularBridge.toDataFrame(vfOnly.rollingNd(win, op))
+            .select(col("t"), col("x"), col("vf").as(s"vf_$tag"))
+        meanDf.join(f("var", "rvar"), Seq("t", "x"))
+          .join(f("std", "rstd"), Seq("t", "x"))
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH $GRID_DUCK,
+        r1 AS (SELECT t, x,
+                 sum(CAST(uid AS DOUBLE)) OVER w AS su,
+                 sum(vf) OVER w AS sv,
+                 sum(vf * vf) OVER w AS sv2,
+                 CAST(count(*) OVER w AS DOUBLE) AS c1
+               FROM grid
+               WINDOW w AS (PARTITION BY x ORDER BY t
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+        r2 AS (SELECT t, x,
+                 sum(su) OVER w2 AS s1u, sum(sv) OVER w2 AS s1v,
+                 sum(sv2) OVER w2 AS s2v, sum(c1) OVER w2 AS n
+               FROM r1
+               WINDOW w2 AS (PARTITION BY t ORDER BY x
+                             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW))
+        SELECT t, x,
+               s1u / n AS uid_mean,
+               s1v / n AS vf_mean,
+               CASE WHEN s2v / n - (s1v / n) * (s1v / n) < 0 THEN 0.0
+                    ELSE s2v / n - (s1v / n) * (s1v / n) END AS vf_rvar,
+               sqrt(CASE WHEN s2v / n - (s1v / n) * (s1v / n) < 0 THEN 0.0
+                    ELSE s2v / n - (s1v / n) * (s1v / n) END) AS vf_rstd
+        FROM r2 ORDER BY t, x"""))
   )
 }

@@ -2960,9 +2960,41 @@ class XbeamDatasetSpec extends AnyFunSuite {
         (math.max(0, x - 1) to x).map(xx => vals.getDouble(tt * 4 + xx))).sum
       assert(r.getDouble(t * 4 + x) == want, s"t=$t x=$x")
     }
-    // non-separable kinds are rejected loudly
+    // mean/var/std via moment composition: rectangle moments against a
+    // naive nested loop, with a planted NaN exercising skipna counting
+    val nvals = NdArray.fromDoubles(DType.F64, Array(6, 4),
+      Array.tabulate(24)(_.toDouble))
+    nvals.setDouble(2 * 4 + 1, Double.NaN)
+    def naive(t: Int, x: Int): Seq[Double] =
+      (math.max(0, t - 2) to t).flatMap(tt =>
+        (math.max(0, x - 1) to x).map(xx => nvals.getDouble(tt * 4 + xx)))
+        .filterNot(_.isNaN)
+    for (ch <- Seq(2, 6); opN <- Seq("mean", "var", "std")) {
+      val got = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), nvals)), chunks = Map("t" -> ch))
+        .rollingNd(Map("t" -> 3, "x" -> 2), opN, minPeriods = 2)
+        .collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until 6; x <- 0 until 4) {
+        val w = naive(t, x)
+        val want =
+          if (w.length < 2) Double.NaN
+          else {
+            val m = w.sum / w.length
+            opN match {
+              case "mean" => m
+              case "var" => w.map(v => v * v).sum / w.length - m * m
+              case "std" =>
+                math.sqrt(w.map(v => v * v).sum / w.length - m * m)
+            }
+          }
+        val g = got.getDouble(t * 4 + x)
+        assert((g.isNaN && want.isNaN) || math.abs(g - want) < 1e-12,
+          s"op=$opN ch=$ch t=$t x=$x: $g vs $want")
+      }
+    }
+    // order statistics still reject loudly
     val e = intercept[IllegalArgumentException](
-      ds.rollingNd(Map("t" -> 2, "x" -> 2), "mean"))
+      ds.rollingNd(Map("t" -> 2, "x" -> 2), "median"))
     assert(e.getMessage.contains("separable"))
   }
 

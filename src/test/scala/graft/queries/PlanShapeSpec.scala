@@ -419,6 +419,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "rollingCorr must not add exchanges over rolling")
     assert(exchanges(ds.rollingCov("t", 3, "a", "b")) == base,
       "rollingCov must not add exchanges over rolling")
+    // rollingNd mean/var/std: the moment planes ride the SAME per-dim
+    // halo exchanges the separable sum uses — plane derivation and the
+    // closed-form fold are narrow maps, never extra shuffles
+    val nd2 = exchanges(ds.rollingNd(Map("t" -> 3, "x" -> 2), "sum"))
+    assert(exchanges(ds.rollingNd(Map("t" -> 3, "x" -> 2), "mean")) == nd2,
+      "rollingNd mean must not add exchanges over the separable sum")
+    assert(exchanges(ds.rollingNd(Map("t" -> 3, "x" -> 2), "std")) == nd2,
+      "rollingNd std must not add exchanges over the separable sum")
     // both ewm moments ride ONE scan
     val ewmBase = exchanges(ds.ewm("t", 0.5))
     assert(exchanges(ds.ewmVar("t", 0.5)) == ewmBase,
