@@ -30,7 +30,8 @@ final case class DedupOut(fp: String, survivor_id: Long, n_dups: Long,
   * The pipeline shape is the production one — `readStream` → event-time
   * window aggregation with a watermark → sink; at 100 TB the sink is
   * files/Kafka and the trigger a real schedule. Here the bounded run
-  * uses Trigger.AvailableNow and a memory sink so the result is a
+  * uses Trigger.AvailableNow and a foreachBatch parquet sink (a real
+  * file store) so the result is a
   * DataFrame the oracle gate can hash: append mode emits exactly the
   * windows the final watermark passes, which is deterministic on
   * bounded input (windows ending after the last event stay open and
@@ -66,26 +67,39 @@ object StreamOps {
     graft.queries.Tables.normalizeTs(s, raw, rawType, path)
   }
 
-  /** Run a bounded stream to completion into a memory sink and return
-    * the collected table (the shared tail of every sNN gate). Shuffle
-    * partitions drop to 8 for the run — streaming state stores are
-    * per-shuffle-partition and the key spaces here are tiny, so fewer
-    * state partitions cut checkpoint IO ~4x — and are restored even
-    * when plan construction or start() throws (`build` is by-name and
-    * evaluated inside the try). Checkpoints go to tmpfs when available
-    * (the bounded demo run has no recovery story to preserve; a
-    * production job points this at durable storage) and are removed
-    * afterwards with a properly closed walk stream. */
-  private def runToMemoryTable(s: SparkSession, prefix: String)
-                              (build: => DataFrame): DataFrame = {
+  /** Run a bounded stream to completion through `foreachBatch` into a
+    * REAL file store (parquet under target/stream_sink, the same
+    * scratch root the zarr gates use) and return a reader over it —
+    * the shared tail of every sNN gate. foreachBatch + append-mode
+    * parquet is the production sink shape (each micro-batch appends
+    * exactly the rows the mode finalizes; at 100 TB the same call
+    * targets an object store or a table format), so no gate depends
+    * on the demo-only in-memory sink. Shuffle partitions drop to 8
+    * for the run — streaming state stores are per-shuffle-partition
+    * and the key spaces here are tiny, so fewer state partitions cut
+    * checkpoint IO ~4x — and are restored even when plan construction
+    * or start() throws (`build` is by-name and evaluated inside the
+    * try). Checkpoints go to tmpfs when available (the bounded run
+    * has no recovery story to preserve; a production job points this
+    * at durable storage) and are removed afterwards. */
+  private def runToFileSink(s: SparkSession, prefix: String)
+                           (build: => DataFrame): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val name = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = (if (java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
         System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
+    val out = java.nio.file.Paths.get("target", "stream_sink", name)
+      .toAbsolutePath.toString
+    var schema: StructType = null
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = build.writeStream.format("memory").queryName(name)
+      val df = build
+      schema = df.schema
+      val q = df.writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          bdf.write.mode("append").parquet(out)
+        }
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -94,7 +108,13 @@ object StreamOps {
       try graft.core.Fs.deleteRecursively(ckpt)
       catch { case _: Throwable => () }
     }
-    s.table(name)
+    // a run whose batches all finalized zero rows may never have
+    // appended a file — surface the (legitimate) empty result rather
+    // than a reader error
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else s.read.schema(schema).parquet(out)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -111,7 +131,7 @@ object StreamOps {
         // so a handful of state partitions cuts checkpoint IO ~4x
         // (state partitioning is fixed at stream start, independent of
         // the batch setting we restore below)
-        runToMemoryTable(s, "s01_sink") {
+        runToFileSink(s, "s01_sink") {
           val stream = eventsStream(s, dir)
             .withWatermark("ts", "0 seconds")
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -143,7 +163,7 @@ object StreamOps {
       "s02_stream_sessions",
       (s, dir) => {
         import s.implicits._
-        runToMemoryTable(s, "s02_sink") {
+        runToFileSink(s, "s02_sink") {
           val gapUs = 30L * 60 * 1000000
           val stream = eventsStream(s, dir)
             .withWatermark("ts", "0 seconds")
@@ -219,7 +239,7 @@ object StreamOps {
     QueryDef(
       "s04_stream_sliding_windows",
       (s, dir) => {
-        runToMemoryTable(s, "s04_sink") {
+        runToFileSink(s, "s04_sink") {
           val stream = eventsStream(s, dir)
             .withWatermark("ts", "0 seconds")
             .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -252,7 +272,7 @@ object StreamOps {
     QueryDef(
       "s05_stream_interval_join",
       (s, dir) => {
-        runToMemoryTable(s, "s05_sink") {
+        runToFileSink(s, "s05_sink") {
           def side(tag: String, typ: String) = eventsStream(s, dir)
             .filter(col("event_type") === typ)
             .select(col("event_id").as(s"${tag}_id"),
@@ -292,7 +312,7 @@ object StreamOps {
       "s03_stream_dedup",
       (s, dir) => {
         import s.implicits._
-        runToMemoryTable(s, "s03_sink") {
+        runToFileSink(s, "s03_sink") {
           val horizonMs = 20000L
           val docsSchema = StructType(Seq(
             StructField("doc_id", LongType),
@@ -356,7 +376,7 @@ object StreamOps {
     QueryDef(
       "s06_stream_static_join",
       (s, dir) => {
-        runToMemoryTable(s, "s06_sink") {
+        runToFileSink(s, "s06_sink") {
           val cust = graft.queries.Tables.t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment"))
           val stream = eventsStream(s, dir)
@@ -765,11 +785,11 @@ object StreamOps {
         // arrays, and a stream-static join re-evaluates its static
         // side every micro-batch (at scale both live as MAINTAINED
         // tables; the cache stands in for that here). Unpersisted
-        // after the run — the memory sink holds the results, and a
-        // leaked cache block would skew every later gate's memory.
+        // after the run — the file sink already holds the results, and
+        // a leaked cache block would skew every later gate's memory.
         val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try runToMemoryTable(s, "s11_sink") {
+        try runToFileSink(s, "s11_sink") {
           val idxBands = TextOps.minhashBands(
               corpus.select(col("doc_id"), col("shingles")))
             .withColumnRenamed("doc_id", "id_old")
