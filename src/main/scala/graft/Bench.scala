@@ -39,6 +39,39 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream"
       ).foreach(n => Configurator.setLevel(n, Level.ERROR))
     }
+    // Host-IO drift sentinel (see BASELINE.md "Store-write drift
+    // sentinel"): a FIXED 32 MiB uncompressed local zarr write (setup +
+    // 4 region writes of an 8 MiB block), measured in isolation before
+    // any suite work, one untimed warm rep then best-of-3. Store-write
+    // and micro-batch gates have drifted 1.3–2.7x across rounds purely
+    // from host IO/load; when this sentinel reads >= 1.3x its recorded
+    // reference, rescale the store-write rows by (sentinel / reference)
+    // instead of re-recording each one ad hoc with an isolated A/B.
+    val sentinelSec: Double = try {
+      import graft.core.{Template, VarSpec}
+      import graft.ndarray.{DType, NdArray}
+      val tmpl = Template(Seq("t" -> 2048L, "x" -> 2048L),
+        Map("v" -> VarSpec(Seq("t", "x"), DType.F64)), Map.empty, Map.empty)
+      val block = NdArray.zeros(DType.F64, Array(512, 2048))
+      val meta = graft.sources.Zarr.ArrayMeta(
+        Seq(2048L, 2048L), Seq(512, 2048), DType.F64, Seq("t", "x"),
+        None, Double.NaN)
+      def once(): Double = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_sentinel").toString
+        val t0 = System.nanoTime()
+        graft.sources.Zarr.setupStore(dir, tmpl, Map("t" -> 512, "x" -> 2048))
+        (0 until 4).foreach { i =>
+          graft.sources.Zarr.writeRegion(dir, "v", meta,
+            Array(i * 512L, 0L), block)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Fs.deleteRecursively(dir)
+        dt
+      }
+      once() // warm the IO path untimed
+      (1 to 3).map(_ => once()).min
+    } catch { case _: Throwable => -1.0 }
     // Untimed warmup: exercise whole-stage codegen, the shuffle path,
     // window exec, and the parquet reader once so the first measured
     // query doesn't absorb session/JIT initialization (~5s measured).
@@ -189,10 +222,10 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"n":${tightened.size},"sf":"$sfDir","""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"n":${tightened.size},"sf":"$sfDir","""
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size
