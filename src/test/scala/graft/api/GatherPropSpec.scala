@@ -115,4 +115,41 @@ class GatherPropSpec extends AnyFunSuite {
           s"got=${got.toDoubles.toSeq} exp=$expVals"
     }, n = 40)
   }
+
+  test("isel adversarial patterns: all-same, reverse, sawtooth, boundary runs, k-fold") {
+    // structured worst cases the uniform-random fuzz rarely hits: one
+    // source position fanned out m times (maximal sliver duplication),
+    // a full reverse (every chunk reads every chunk), a 0/n-1 sawtooth
+    // (alternating extreme chunks), runs of repeats pinned AT the chunk
+    // boundary (the off-by-one hotspot), and k whole copies of the
+    // identity (output larger than the source)
+    val g = for {
+      base <- caseGen
+      kind <- Gen.chooseNum(0, 4)
+      m <- Gen.chooseNum(1, 24)
+    } yield (base, kind, m)
+    check(Prop.forAllNoShrink(g) { case ((n, chunk, seed), kind, m) =>
+      val labels = Array.tabulate(n)(_ * 2.0)
+      val (vals, ds) = mkDs(n, chunk, seed, labels)
+      val b = math.min(n - 1, chunk) // first boundary position (or end)
+      val positions: Array[Long] = kind match {
+        case 0 => Array.fill(m)((seed % n).toLong)
+        case 1 => Array.tabulate(n)(i => (n - 1 - i).toLong)
+        case 2 => Array.tabulate(m)(i => if (i % 2 == 0) 0L else (n - 1).toLong)
+        case 3 => Array.tabulate(m)(i =>
+          (math.max(0, b - 1) + i % 3).toLong).map(p => math.min(p, n - 1L))
+        case _ => Array.tabulate(3 * n)(i => (i % n).toLong)
+      }
+      val out = ds.isel("t", positions)
+      val got = out.collectConsolidated()._2.vars("iv").arr
+      val expVals = positions.map(p => vals(p.toInt).toDouble).toSeq
+      val expCoord = positions.map(p => labels(p.toInt)).toSeq
+      (got.dtype == DType.I64 &&
+        out.template.dimSizes("t") == positions.length.toLong &&
+        got.toDoubles.toSeq == expVals &&
+        out.template.coords("t").toDoubles.toSeq == expCoord) :|
+        s"kind=$kind n=$n chunk=$chunk positions=${positions.toSeq} " +
+          s"got=${got.toDoubles.toSeq} exp=$expVals"
+    }, n = 60)
+  }
 }

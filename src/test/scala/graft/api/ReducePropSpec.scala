@@ -251,4 +251,97 @@ class ReducePropSpec extends AnyFunSuite {
       }
     }, n = 60)
   }
+
+  test("weightedPolyfit deg>=3 recovers exact polynomials; rank-deficient NaN") {
+    // the pivoted-elimination extract path (deg >= 3) with weights:
+    // values sit EXACTLY on an integer polynomial, so any weighting
+    // with >= deg+1 NONZERO-weight positions forms a consistent system
+    // that must recover the coefficients; fewer nonzero-weight points
+    // must NaN via the rank plane (the FP determinant of a singular
+    // weighted system is rounding noise, never exactly 0)
+    val g = for {
+      deg <- Gen.chooseNum(3, 4)
+      n <- Gen.chooseNum(deg + 2, 10)
+      chunk <- Gen.chooseNum(1, n)
+      coefs <- Gen.listOfN(deg + 1, Gen.chooseNum(-3, 3))
+      weights <- Gen.listOfN(n, Gen.frequency(
+        2 -> Gen.const(0), 3 -> Gen.chooseNum(1, 3)))
+    } yield (deg, n, chunk, coefs.toArray, weights.toArray)
+    check(Prop.forAllNoShrink(g) { case (deg, n, chunk, coefs, weights) =>
+      val vals = Array.tabulate(n) { i =>
+        var acc = 0.0; var p = 1.0
+        coefs.foreach { c => acc += c * p; p *= i }
+        acc
+      }
+      // two lanes: lane 1 shifts the constant term by +1 — still an
+      // exact polynomial, same higher coefficients
+      val ds = mk1d(spark, n, chunk, vals)
+      val w = NdArray.fromDoubles(DType.F64, Array(n), weights.map(_.toDouble))
+      val out = ds.weightedPolyfit("t", deg, w)
+        .collectConsolidated()._2.vars("v").arr
+      val nz = weights.count(_ != 0)
+      if (nz < deg + 1)
+        out.toDoubles.forall(_.isNaN) :|
+          s"deg=$deg nz=$nz expected all-NaN, got ${out.toDoubles.toSeq}"
+      else {
+        // plane k lane j at k*2+j; plane k = coefficient of t^(deg-k)
+        val ok = (0 to deg).forall { k =>
+          val c = coefs(deg - k)
+          val want0 = c.toDouble
+          val want1 = if (k == deg) c + 1.0 else c.toDouble
+          math.abs(out.getDouble(k * 2L) - want0) < 1e-5 &&
+            math.abs(out.getDouble(k * 2L + 1) - want1) < 1e-5
+        }
+        ok :| s"deg=$deg n=$n chunk=$chunk coefs=${coefs.toSeq} " +
+          s"wts=${weights.toSeq} got=${out.toDoubles.toSeq}"
+      }
+    }, n = 50)
+  }
+
+  test("resampleQuantile matches naive per-day order statistics at ragged boundaries") {
+    // sample spacing of 5-40 hours crosses day boundaries raggedly:
+    // periods hold 1..5 samples, some days are skipped entirely —
+    // the bucket machinery must group by period start, not position
+    val HOUR = 3600L * 1000000000L
+    val DAY = 24 * HOUR
+    val base = java.time.Instant.parse("2021-03-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val g = for {
+      n <- Gen.chooseNum(3, 14)
+      chunk <- Gen.chooseNum(1, n)
+      stepH <- Gen.chooseNum(5, 40)
+      offH <- Gen.chooseNum(0, 47)
+      qk <- Gen.chooseNum(0, 4)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (n, chunk, stepH, offH, qk / 4.0, seed)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, stepH, offH, q, seed) =>
+      val times = Array.tabulate(n)(i => base + (offH + i.toLong * stepH) * HOUR)
+      val vals = Array.tabulate(n)(i => (((i * 31 + seed) % 101) - 50) / 2.0)
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
+        coords = Map("t" -> NdArray.fromLongs(DType.TimeNs, Array(n), times)),
+        chunks = Map("t" -> chunk))
+      val out = ds.resampleQuantile("t", "day", q)
+      val gotCoord = out.template.coords("t").toLongs
+      val got = out.collectConsolidated()._2.vars("v").arr.toDoubles
+      val byDay = times.indices.groupBy(i => Math.floorDiv(times(i), DAY))
+        .toSeq.sortBy(_._1)
+      def naive(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val pos = q * (s.length - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        val w = pos - lo
+        (1 - w) * s(lo) + w * s(hi)
+      }
+      val expCoord = byDay.map(_._1 * DAY)
+      val exp = byDay.map { case (_, idx) => naive(idx.map(vals)) }
+      (gotCoord.toSeq == expCoord &&
+        got.length == exp.length &&
+        got.indices.forall(i => math.abs(got(i) - exp(i)) < 1e-9)) :|
+        s"n=$n chunk=$chunk step=${stepH}h off=${offH}h q=$q " +
+          s"gotCoord=${gotCoord.toSeq} expCoord=$expCoord " +
+          s"got=${got.toSeq} exp=$exp"
+    }, n = 50)
+  }
 }
