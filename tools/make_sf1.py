@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Build the sf1.0 SCALE-PROBE dataset (10x sf0.1) under target/sf1.0.
+
+Probe-only data for BENCH_sf1.json — never used by correctness gates
+(those stay on the driver-generated /root/testdata). Replication is
+designed to keep gate WORKLOADS scaling linearly, the way a real 10x
+corpus would, rather than adversarially:
+
+- documents: 10 replicas; replica k suffixes every word with _k and
+  offsets doc_id by k*1e9. Replicas share no vocabulary, so shingle/
+  word/minhash/simhash dedup sees 10x independent corpora (linear
+  candidate growth) instead of every doc gaining 9 artificial
+  near-duplicates (quadratic blowup a real corpus doesn't have).
+  Replica 0 is the original byte-for-byte.
+- events: 10 replicas; replica k offsets event_id by k*N (the grid
+  gates' t dimension grows 10x) and shifts ts by k*(range+1h) (the
+  stream timeline extends 10x; watermark state stays bounded).
+- remaining tables symlink to sf0.1 (only warmup touches them for the
+  probed gates).
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "target/sf1.0"
+K = 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute("SET threads TO 8")
+
+# documents: vocabulary-disjoint replicas
+con.execute(f"""
+  COPY (
+    SELECT doc_id, text, lang, source, n_chars
+    FROM '{SRC}/documents.parquet'
+    UNION ALL
+    SELECT d.doc_id + k.k * 1000000000 AS doc_id,
+           regexp_replace(d.text, '([^ ]+)', '\\1_' || k.k::VARCHAR, 'g') AS text,
+           d.lang, d.source,
+           length(regexp_replace(d.text, '([^ ]+)', '\\1_' || k.k::VARCHAR, 'g')) AS n_chars
+    FROM '{SRC}/documents.parquet' d, (SELECT unnest(range(1, {K})) AS k) k
+    ORDER BY doc_id
+  ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+""")
+
+# events: extended timeline + extended event_id grid
+n, lo, hi = con.execute(
+    f"SELECT count(*), min(ts), max(ts) FROM '{SRC}/events.parquet'").fetchone()
+con.execute(f"""
+  COPY (
+    SELECT e.event_id + k.k * {n} AS event_id,
+           e.ts + k.k * (TIMESTAMP '{hi}' - TIMESTAMP '{lo}' + INTERVAL 1 HOUR) AS ts,
+           e.user_id, e.event_type, e.value, e.props
+    FROM '{SRC}/events.parquet' e, (SELECT unnest(range(0, {K})) AS k) k
+    ORDER BY event_id
+  ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+""")
+
+# embeddings: 10 replicas, id-offset, deterministic sign-flip pattern so
+# replicas aren't bit-identical vectors (ANN bucket populations grow
+# linearly, not 10-deep exact duplicates)
+con.execute(f"""
+  COPY (
+    SELECT * FROM '{SRC}/embeddings.parquet'
+    UNION ALL
+    SELECT e.vec_id + k.k * 1000000000 AS vec_id,
+           list_transform(e.embedding,
+             x -> (CASE WHEN k.k % 2 = 1 THEN -x ELSE x END
+                  * (1.0 + k.k / 100.0))::FLOAT) AS embedding,
+           e.label
+    FROM '{SRC}/embeddings.parquet' e, (SELECT unnest(range(1, {K})) AS k) k
+    ORDER BY vec_id
+  ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]:
+    dst = f"{DST}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+
+for t in ["documents", "events", "embeddings"]:
+    r = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    print(t, r)
+print("done ->", DST)
