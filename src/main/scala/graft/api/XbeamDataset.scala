@@ -1484,6 +1484,33 @@ final class XbeamDataset private (
       arr.quantilesAlong(axes, qs, sk, method))
   }
 
+  /** Nonlinear per-cell curve fit y = a·exp(b·t) along `dim` (xarray
+    * `Dataset.curvefit(coords=t, func=exponential)`'s canonical model;
+    * t is the GLOBAL integer index along the dim — rescale the
+    * recovered rate plan-side when a physical coordinate step matters).
+    * Like the exact order statistics, a nonlinear solver needs each
+    * cell's FULL series at once (its normal equations change every
+    * iteration — no fixed-size partial exists), so this rides the same
+    * one-shuffle cell consolidation and
+    * `spark.graft.cellwise.maxBytes` split guard as [[median]]: data
+    * moves exactly once, the Levenberg–Marquardt solve
+    * ([[graft.ndarray.NdArray.curvefitExpAlong]]) is cell-local and
+    * bit-deterministic under any chunking, and each fitted variable
+    * lands as `<var>_cf_a` / `<var>_cf_b` over the kept dims (NaN
+    * where fewer than 2 valid points determine the lane). */
+  def curvefitExp(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val suffixes = Seq("_cf_a", "_cf_b")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.contains(dim)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"curvefit output ${n + suf} collides with an existing variable")
+      }
+    }
+    cellwiseMulti(Set(dim), skipna, "curvefit", suffixes)(
+      (arr, axes, _, sk) => arr.curvefitExpAlong(axes.head, sk))
+  }
+
   /** Weighted quantile over `dims` with plan-time per-dim weight
     * vectors (xarray `ds.weighted(w).quantile(q, dim=...)` for 1-D
     * dim weights — latitude area weighting being THE canonical use):

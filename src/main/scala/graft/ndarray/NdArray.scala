@@ -546,6 +546,65 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     out
   }
 
+  /** Per-lane nonlinear least squares for y = a·exp(b·t) along `axis`
+    * (xarray `curvefit`'s canonical exponential model), t = the GLOBAL
+    * integer position `globalStart + i`: Levenberg–Marquardt on the
+    * 2-parameter model, seeded by the closed-form log-linear fit over
+    * the lane's positive values (exact up to rounding when the data
+    * sits on the curve — the zero-residual case converges in a step or
+    * two). Deterministic: the solve is sequential per lane and the
+    * caller hands each lane its full extent, so chunking cannot change
+    * a bit. Lanes with fewer than 2 valid points (or NaN-poisoned
+    * without skipna) emit NaN for both parameters. Returns
+    * Seq(a, b) shaped as the kept dims. */
+  def curvefitExpAlong(axis: Int, skipna: Boolean,
+                       globalStart: Long = 0L): Seq[NdArray] = {
+    require(axis >= 0 && axis < ndim, s"axis $axis out of range")
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val aOut = NdArray.zeros(DType.F64, laneShape)
+    val bOut = NdArray.zeros(DType.F64, laneShape)
+    val nT = shape(axis)
+    val str = strides
+    val axStride = str(axis)
+    val idx = new Array[Int](ndim)
+    val tv = new Array[Double](nT)
+    val yv = new Array[Double](nT)
+    var lane = 0L
+    var done = false
+    while (!done) {
+      var base = 0L
+      var d = 0
+      while (d < ndim) { base += idx(d).toLong * str(d); d += 1 }
+      var m = 0
+      var poisoned = false
+      var j = 0
+      while (j < nT) {
+        val y = getDouble(base + j.toLong * axStride)
+        if (!y.isNaN) { tv(m) = (globalStart + j).toDouble; yv(m) = y; m += 1 }
+        else if (!skipna) poisoned = true
+        j += 1
+      }
+      val (pa, pb) =
+        if (poisoned || m < 2) (Double.NaN, Double.NaN)
+        else NdArray.fitExp(tv, yv, m)
+      aOut.setDouble(lane, pa)
+      bOut.setDouble(lane, pb)
+      lane += 1
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        if (dd == axis) dd -= 1
+        else {
+          idx(dd) += 1
+          if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+        }
+      }
+      if (carry) done = true
+    }
+    Seq(aOut, bOut)
+  }
+
   /** Median along the given axes — `quantileAlong(axes, 0.5, skipna)`. */
   def medianAlong(axes: Array[Int], skipna: Boolean): NdArray =
     quantileAlong(axes, 0.5, skipna)
@@ -2349,6 +2408,81 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
 }
 
 object NdArray {
+  /** Levenberg–Marquardt solve of y ≈ a·exp(b·t) over the first `m`
+    * entries of (t, y) — the [[curvefitExpAlong]] per-lane core. Seed:
+    * the closed-form log-linear OLS over positive y (ln y = ln a + b·t);
+    * when fewer than two positive points exist, (mean(y), 0). Damping
+    * starts at 1e-3, ×10 on a rejected step, ×0.3 on acceptance;
+    * terminates on relative step < 1e-13, SSE ≤ 1e-28, a singular
+    * normal matrix, damping overflow past 1e12, or 60 iterations —
+    * all data-dependent only, so the result is bit-deterministic. */
+  private[ndarray] def fitExp(t: Array[Double], y: Array[Double],
+                              m: Int): (Double, Double) = {
+    var n = 0.0; var st = 0.0; var st2 = 0.0; var sl = 0.0; var stl = 0.0
+    var i = 0
+    while (i < m) {
+      if (y(i) > 0) {
+        val l = math.log(y(i))
+        n += 1; st += t(i); st2 += t(i) * t(i); sl += l; stl += t(i) * l
+      }
+      i += 1
+    }
+    var a = 0.0
+    var b = 0.0
+    if (n >= 2 && n * st2 - st * st != 0) {
+      b = (n * stl - st * sl) / (n * st2 - st * st)
+      a = math.exp((sl - b * st) / n)
+    } else {
+      var sy = 0.0; i = 0
+      while (i < m) { sy += y(i); i += 1 }
+      a = sy / m
+    }
+    def sse(aa: Double, bb: Double): Double = {
+      var s = 0.0; var k = 0
+      while (k < m) {
+        val r = y(k) - aa * math.exp(bb * t(k)); s += r * r; k += 1
+      }
+      s
+    }
+    var cur = sse(a, b)
+    var lambda = 1e-3
+    var it = 0
+    while (it < 60) {
+      var j11 = 0.0; var j12 = 0.0; var j22 = 0.0; var g1 = 0.0; var g2 = 0.0
+      var k = 0
+      while (k < m) {
+        val e = math.exp(b * t(k))
+        val r = y(k) - a * e
+        val d2 = a * t(k) * e
+        j11 += e * e; j12 += e * d2; j22 += d2 * d2
+        g1 += e * r; g2 += d2 * r
+        k += 1
+      }
+      val a11 = j11 * (1 + lambda)
+      val a22 = j22 * (1 + lambda)
+      val det = a11 * a22 - j12 * j12
+      if (det == 0 || det.isNaN) it = 60
+      else {
+        val da = (g1 * a22 - j12 * g2) / det
+        val db = (a11 * g2 - g1 * j12) / det
+        val ns = sse(a + da, b + db)
+        if (ns.isNaN || ns >= cur) {
+          lambda *= 10
+          if (lambda > 1e12) it = 60
+        } else {
+          val rel = math.max(
+            math.abs(da) / (math.abs(a) + java.lang.Double.MIN_VALUE),
+            math.abs(db) / (math.abs(b) + java.lang.Double.MIN_VALUE))
+          a += da; b += db; cur = ns
+          lambda = math.max(lambda * 0.3, 1e-12)
+          if (rel < 1e-13 || cur <= 1e-28) it = 60
+        }
+      }
+      it += 1
+    }
+    (a, b)
+  }
+
   /** In-place tandem quicksort of `v[from, until)` ascending, with
     * `w` permuted alongside — the primitive-array index-free argsort
     * the weighted-quantile kernel needs (no boxing, no tuple

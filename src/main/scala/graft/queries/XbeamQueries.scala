@@ -4412,6 +4412,42 @@ object XbeamQueries {
                     ELSE s2v / n - (s1v / n) * (s1v / n) END AS vf_rvar,
                sqrt(CASE WHEN s2v / n - (s1v / n) * (s1v / n) < 0 THEN 0.0
                     ELSE s2v / n - (s1v / n) * (s1v / n) END) AS vf_rstd
-        FROM r2 ORDER BY t, x"""))
+        FROM r2 ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x145
+    // Nonlinear curve fit y = a·exp(b·t) per x lane (xarray
+    // Dataset.curvefit, the exponential decay model — the last gap on
+    // the extended-xarray list): an iterative solver has no fixed-size
+    // partial, so it rides the cell-consolidation shuffle (the exact-
+    // quantile shape) and solves Levenberg–Marquardt cell-locally.
+    // Oracle design: the series is CONSTRUCTED from events as
+    // c_x·exp(-0.001·t) with c_x = 2 + x%5, so the zero-residual fit
+    // must recover the planted parameters to ~1e-13 (log-linear seed
+    // is already exact up to rounding); both sides round to 6 decimals
+    // — a planted-parameter recovery oracle, not an expression-tree
+    // mirror (no closed form exists for the solver's float path).
+    QueryDef(
+      "x145_curvefit_exp",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sqlRound}
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val df = t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) * " +
+            s"exp(-0.001 * CAST(event_id div $W AS DOUBLE)) AS y")
+        val xds = TabularBridge.fromDataFrame(df, s,
+          dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("y" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.curvefitExp("t"))
+          .select(col("x"), sqlRound(col("y_cf_a"), 6).as("a"),
+            sqlRound(col("y_cf_b"), 6).as("b"))
+          .orderBy("x")
+      },
+      Some(s"""
+        SELECT DISTINCT event_id % $W AS x,
+               CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
+               CAST(round(CAST(-0.001 AS DOUBLE), 6) AS DOUBLE) AS b
+        FROM events ORDER BY x"""))
   )
 }

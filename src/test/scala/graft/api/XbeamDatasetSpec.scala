@@ -3256,6 +3256,60 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.coord.maxLen")
   }
 
+  test("curvefitExp recovers planted exponentials at any chunking; NaN rules") {
+    import graft.Fixtures.arange
+    // 4 lanes: growth, decay, constant (b=0), and an underdetermined
+    // lane (one valid point); lane 1 also carries NaN holes (skipna
+    // must fit through them, 9 valid points remain)
+    val as = Array(2.0, 0.5, 4.0, 3.0)
+    val bs = Array(0.1, -0.2, 0.0, 0.05)
+    val n = 12
+    def mkVals(): NdArray = {
+      val v = NdArray.zeros(DType.F64, Array(n, 4))
+      for (t <- 0 until n; x <- 0 until 4)
+        v.setDouble(t * 4L + x, as(x) * math.exp(bs(x) * t))
+      v.setDouble(2 * 4L + 1, Double.NaN)
+      v.setDouble(7 * 4L + 1, Double.NaN)
+      v.setDouble(9 * 4L + 1, Double.NaN)
+      for (t <- 1 until n) v.setDouble(t * 4L + 3, Double.NaN)
+      v
+    }
+    for (ch <- Seq(3, 5, 12)) {
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), mkVals())), chunks = Map("t" -> ch))
+      val out = ds.curvefitExp("t")
+      assert(out.template.vars.keySet == Set("v_cf_a", "v_cf_b"))
+      assert(out.template.vars("v_cf_a").dims == Seq("x"))
+      val (_, c) = out.collectConsolidated()
+      val ga = c.vars("v_cf_a").arr.toDoubles
+      val gb = c.vars("v_cf_b").arr.toDoubles
+      for (x <- 0 until 3) {
+        assert(math.abs(ga(x) - as(x)) < 1e-8, s"ch=$ch lane $x a=${ga(x)}")
+        assert(math.abs(gb(x) - bs(x)) < 1e-8, s"ch=$ch lane $x b=${gb(x)}")
+      }
+      // lane 3 has ONE valid point: underdetermined -> NaN both params
+      assert(ga(3).isNaN && gb(3).isNaN, s"ch=$ch ${ga(3)}/${gb(3)}")
+      // chunking must not change a bit (deterministic cell-local solve)
+      val ref = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), mkVals())), chunks = Map("t" -> 12))
+        .curvefitExp("t").collectConsolidated()._2.vars("v_cf_a").arr.toDoubles
+      assert(ga.toSeq.zip(ref.toSeq).forall { case (p, q) =>
+        (p.isNaN && q.isNaN) || p == q
+      }, s"ch=$ch chunking changed bits")
+    }
+    // without skipna, a NaN poisons its lane
+    val strict = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), mkVals())), chunks = Map("t" -> 4))
+      .curvefitExp("t", skipna = false)
+      .collectConsolidated()._2.vars("v_cf_a").arr.toDoubles
+    assert(!strict(0).isNaN && strict(1).isNaN && strict(3).isNaN)
+    // name collision rejects loudly
+    val clash = XbeamDataset.fromLocal(spark, Map(
+      "v" -> (Seq("t"), arange(DType.F64, 8)),
+      "v_cf_a" -> (Seq("t"), arange(DType.F64, 8))), chunks = Map("t" -> 4))
+    assertThrows[IllegalArgumentException](clash.curvefitExp("t"))
+  }
+
   test("rollingConstruct: window view matches manual lags at any chunking") {
     import graft.Fixtures.arange
     // 2-D (t=10, x=3): the win dim appends last; [t, x, k] = v[t-2+k, x]

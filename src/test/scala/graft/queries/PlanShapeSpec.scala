@@ -419,6 +419,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "rollingCorr must not add exchanges over rolling")
     assert(exchanges(ds.rollingCov("t", 3, "a", "b")) == base,
       "rollingCov must not add exchanges over rolling")
+    // curvefit rides the SAME cell-consolidation shuffle as the exact
+    // order statistics — the iterative solve is cell-local
+    assert(exchanges(ds.curvefitExp("t")) ==
+      exchanges(ds.median(Set("t"))),
+      "curvefitExp must match median's cell-consolidation plan shape")
     // rollingNd mean/var/std: the moment planes ride the SAME per-dim
     // halo exchanges the separable sum uses — plane derivation and the
     // closed-form fold are narrow maps, never extra shuffles
