@@ -59,17 +59,22 @@ con.execute(f"""
   ) TO '{DST}/events.parquet' (FORMAT PARQUET)
 """)
 
-# embeddings: 10 replicas, id-offset, deterministic sign-flip pattern so
-# replicas aren't bit-identical vectors (ANN bucket populations grow
-# linearly, not 10-deep exact duplicates)
+# embeddings: 10 replicas, id-offset, DIRECTION-DECORRELATED: replica k
+# cyclically shifts components by k and alternates signs by (i+k)
+# parity, so replica directions are near-orthogonal to the originals.
+# (A whole-vector sign flip or pure scaling would preserve the cosine
+# DIRECTION — every vector would gain 9 exact-direction duplicates and
+# LSH/semdedup would see an adversarial 10-deep-duplicate corpus no
+# real 10x crawl produces.)
 con.execute(f"""
   COPY (
     SELECT * FROM '{SRC}/embeddings.parquet'
     UNION ALL
     SELECT e.vec_id + k.k * 1000000000 AS vec_id,
-           list_transform(e.embedding,
-             x -> (CASE WHEN k.k % 2 = 1 THEN -x ELSE x END
-                  * (1.0 + k.k / 100.0))::FLOAT) AS embedding,
+           list_transform(
+             e.embedding[k.k + 1:] || e.embedding[:k.k],
+             (x, i) -> (x * (CASE WHEN (i + k.k) % 2 = 0
+                             THEN -1.0 ELSE 1.0 END))::FLOAT) AS embedding,
            e.label
     FROM '{SRC}/embeddings.parquet' e, (SELECT unnest(range(1, {K})) AS k) k
     ORDER BY vec_id
