@@ -1365,6 +1365,52 @@ final class XbeamDataset private (
       })
   }
 
+  /** Window-view reshape (xarray `coarsen(dim=window, boundary=...)
+    * .construct(dim=(outer, inner))`): `dim` splits into
+    * (outer, inner = window) where cell (o, i) holds the value at
+    * position o·window + i — no reduction and no data duplication
+    * (unlike [[rollingConstruct]]'s sliding view, these windows TILE).
+    * Boundary semantics follow [[coarsen]]: "exact" requires the
+    * window to divide the extent, "trim" drops the ragged tail (the
+    * narrow [[truncate]]), "pad" NaN-extends to the next multiple
+    * (the constant [[pad]] — float64 widening). The reshape itself is
+    * [[unstack]]'s zero-shuffle metadata rewrite; when the chunk along
+    * `dim` is not a window multiple the dim rechunks first (windows
+    * must not straddle chunks). The dim's coordinate drops (xarray
+    * keeps it as a 2-D non-index coordinate, which our 1-D coord model
+    * deliberately does not represent — reattach per-axis coordinates
+    * with [[assignCoords]]). */
+  def coarsenConstruct(dim: String, window: Int, outer: String,
+                       inner: String,
+                       boundary: String = "exact"): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val n = template.dimSizes(dim)
+    val base = boundary match {
+      case "exact" =>
+        require(n % window == 0,
+          s"coarsenConstruct: window $window does not divide $dim " +
+            s"extent $n (use boundary=\"trim\" or \"pad\")")
+        this
+      case "trim" =>
+        val keep = n / window * window
+        require(keep >= window,
+          s"dim $dim (size $n) has no complete window of $window")
+        if (keep == n) this else truncate(dim, keep)
+      case "pad" =>
+        val rem = (n % window).toInt
+        if (rem == 0) this else pad(dim, 0, window - rem)
+      case other => throw new IllegalArgumentException(
+        s"unknown boundary $other (exact/trim/pad)")
+    }
+    val aligned =
+      if (base.chunkSizes(dim) % window == 0) base
+      else base.rechunk(Map(dim ->
+        math.min(base.template.dimSizes(dim),
+          math.max(1L, base.chunkSizes(dim).toLong / window) * window).toInt))
+    aligned.unstack(dim, outer, inner, window.toLong)
+  }
+
   /** Standardize over `dims` (the z-score normalization step of a
     * feature pipeline): (v − mean) / std per dim-spanning variable.
     * Composes [[anomaly]] with a second broadcast divide — two partial

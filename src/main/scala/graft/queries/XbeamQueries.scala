@@ -4448,6 +4448,25 @@ object XbeamQueries {
         SELECT DISTINCT event_id % $W AS x,
                CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
                CAST(round(CAST(-0.001 AS DOUBLE), 6) AS DOUBLE) AS b
-        FROM events ORDER BY x"""))
+        FROM events ORDER BY x""")),
+
+    // --------------------------------------------------------------- x146
+    // coarsen(...).construct (xarray window-view reshape): t splits
+    // into (tw, ti=7) where (o, i) holds t = o*7 + i — tiling windows,
+    // NOT the w-times sliding blowup of rolling.construct. boundary=
+    // trim drops the ragged tail via the narrow truncate; the reshape
+    // is unstack's zero-shuffle metadata rewrite (the grid's t chunk
+    // 16 is not a 7-multiple, so the gate also exercises the automatic
+    // window-aligned rechunk).
+    QueryDef(
+      "x146_coarsen_construct",
+      (s, dir) => TabularBridge.toDataFrame(
+        gridXds(s, dir).coarsenConstruct("t", 7, "tw", "ti", "trim"))
+        .orderBy("tw", "ti", "x"),
+      Some(s"""
+        WITH $GRID_DUCK
+        SELECT t // 7 AS tw, t % 7 AS ti, x, uid, vf FROM grid
+        WHERE t < (SELECT (max(t) + 1) // 7 * 7 FROM grid)
+        ORDER BY tw, ti, x"""))
   )
 }

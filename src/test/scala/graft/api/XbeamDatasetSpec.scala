@@ -3256,6 +3256,39 @@ class XbeamDatasetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.coord.maxLen")
   }
 
+  test("coarsenConstruct tiles windows: exact/trim/pad, auto-rechunk") {
+    import graft.Fixtures.arange
+    val vals = arange(DType.F64, 7, 2) // v[t, x] = t*2 + x
+    def mk(n: Int, ch: Int) = XbeamDataset.fromLocal(spark,
+      Map("v" -> (Seq("t", "x"), arange(DType.F64, n, 2))),
+      chunks = Map("t" -> ch))
+    // trim: 7 → (2, 3), tail t=6 dropped; chunk 2 forces the
+    // window-aligned rechunk first
+    for (ch <- Seq(2, 3, 7)) {
+      val out = mk(7, ch).coarsenConstruct("t", 3, "tw", "ti", "trim")
+      assert(out.template.dimSizes("tw") == 2L &&
+        out.template.dimSizes("ti") == 3L, s"ch=$ch")
+      assert(out.template.vars("v").dims == Seq("tw", "ti", "x"), s"ch=$ch")
+      val got = out.collectConsolidated()._2.vars("v").arr
+      for (o <- 0 until 2; i <- 0 until 3; x <- 0 until 2)
+        assert(got.getDouble((o * 3 + i) * 2L + x) ==
+          vals.getDouble((o * 3 + i) * 2L + x), s"ch=$ch o=$o i=$i x=$x")
+    }
+    // pad: 7 → (3, 3) with a NaN tail of 2
+    val padded = mk(7, 7).coarsenConstruct("t", 3, "tw", "ti", "pad")
+    assert(padded.template.dimSizes("tw") == 3L)
+    val gp = padded.collectConsolidated()._2.vars("v").arr
+    assert(gp.getDouble(2 * 3 * 2L) == 12.0) // (2,0,0) = t6 x0
+    assert(gp.getDouble((2 * 3 + 1) * 2L).isNaN &&
+      gp.getDouble((2 * 3 + 2) * 2L + 1).isNaN)
+    // exact divides cleanly, rejects a ragged extent
+    assert(mk(6, 3).coarsenConstruct("t", 3, "tw", "ti")
+      .template.dimSizes("tw") == 2L)
+    val e = intercept[IllegalArgumentException](
+      mk(7, 7).coarsenConstruct("t", 3, "tw", "ti"))
+    assert(e.getMessage.contains("trim"), e.getMessage)
+  }
+
   test("curvefitExp recovers planted exponentials at any chunking; NaN rules") {
     import graft.Fixtures.arange
     // 4 lanes: growth, decay, constant (b=0), and an underdetermined
