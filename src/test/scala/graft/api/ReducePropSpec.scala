@@ -298,6 +298,97 @@ class ReducePropSpec extends AnyFunSuite {
     }, n = 50)
   }
 
+  test("curvefitExp recovers random planted exponentials under NaN holes") {
+    // randomized version of the planted-recovery spec: random (a, b)
+    // per lane, random chunking, random NaN holes — the fit must
+    // recover the parameters wherever >= 2 valid points remain and
+    // NaN otherwise, identically at every chunking (the cell
+    // consolidation hands the solver the same bytes)
+    val g = for {
+      n <- Gen.chooseNum(4, 14)
+      chunk <- Gen.chooseNum(1, n)
+      a8 <- Gen.chooseNum(1, 32)   // a in eighths: 0.125 .. 4
+      b100 <- Gen.chooseNum(-30, 30) // b in hundredths: -0.3 .. 0.3
+      holes <- Gen.listOfN(n, Gen.frequency(4 -> false, 1 -> true))
+    } yield (n, chunk, a8 / 8.0, b100 / 100.0, holes.toArray)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, a, b, holes) =>
+      val vals = Array.tabulate(n)(i =>
+        if (holes(i)) Double.NaN else a * math.exp(b * i))
+      val valid = vals.count(!_.isNaN)
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
+        chunks = Map("t" -> chunk))
+      val c = ds.curvefitExp("t").collectConsolidated()._2
+      val ga = c.vars("v_cf_a").arr.getDouble(0L)
+      val gb = c.vars("v_cf_b").arr.getDouble(0L)
+      val ok =
+        if (valid < 2) ga.isNaN && gb.isNaN
+        else math.abs(ga - a) < 1e-7 * math.max(1, a) &&
+          math.abs(gb - b) < 1e-7
+      ok :| s"n=$n chunk=$chunk a=$a b=$b valid=$valid got=($ga, $gb)"
+    }, n = 60)
+  }
+
+  test("rollingNd mean/var match naive rectangle moments on random grids") {
+    val g = for {
+      nt <- Gen.chooseNum(2, 8)
+      nx <- Gen.chooseNum(2, 6)
+      wt0 <- Gen.chooseNum(2, 4)
+      wx <- Gen.chooseNum(2, 3)
+      chunk0 <- Gen.chooseNum(1, 8)
+      minP <- Gen.chooseNum(1, 4)
+      op <- Gen.oneOf("mean", "var", "std")
+      seed <- Gen.chooseNum(0, 1000)
+      holes <- Gen.listOfN(48, Gen.frequency(5 -> false, 1 -> true))
+    } yield {
+      // the halo exchange's documented precondition: window-1 slivers
+      // come from the immediate neighbor, so chunk >= window-1
+      val wt = math.min(wt0, nt)
+      val chunk = math.max(math.min(chunk0, nt), wt - 1)
+      (nt, nx, wt, wx, chunk, minP, op, seed, holes)
+    }
+    check(Prop.forAllNoShrink(g) {
+      case (nt, nx, wt, wx, chunk, minP, op, seed, holes) =>
+        val vals = NdArray.zeros(DType.F64, Array(nt, nx))
+        for (t <- 0 until nt; x <- 0 until nx)
+          vals.setDouble(t.toLong * nx + x,
+            if (holes((t * nx + x) % 48)) Double.NaN
+            else (((t * nx + x) * 31 + seed) % 101 - 50) / 2.0)
+        val ds = XbeamDataset.fromLocal(spark,
+          Map("v" -> (Seq("t", "x"), vals)), chunks = Map("t" -> chunk))
+        val got = ds.rollingNd(Map("t" -> wt, "x" -> wx), op, minP)
+          .collectConsolidated()._2.vars("v").arr
+        var ok = true
+        var msg = ""
+        for (t <- 0 until nt; x <- 0 until nx) {
+          val w = (math.max(0, t - wt + 1) to t).flatMap(tt =>
+            (math.max(0, x - wx + 1) to x).map(xx =>
+              vals.getDouble(tt.toLong * nx + xx))).filterNot(_.isNaN)
+          val want =
+            if (w.length < minP || w.isEmpty) Double.NaN
+            else {
+              val m = w.sum / w.length
+              op match {
+                case "mean" => m
+                case "var" =>
+                  val v = w.map(v => v * v).sum / w.length - m * m
+                  if (v < 0) 0.0 else v
+                case _ =>
+                  val v = w.map(v => v * v).sum / w.length - m * m
+                  math.sqrt(if (v < 0) 0.0 else v)
+              }
+            }
+          val gv = got.getDouble(t.toLong * nx + x)
+          if (!((gv.isNaN && want.isNaN) || math.abs(gv - want) < 1e-10)) {
+            ok = false
+            msg = s"t=$t x=$x got=$gv want=$want"
+          }
+        }
+        ok :| s"nt=$nt nx=$nx wt=$wt wx=$wx chunk=$chunk minP=$minP " +
+          s"op=$op $msg"
+    }, n = 50)
+  }
+
   test("resampleQuantile matches naive per-day order statistics at ragged boundaries") {
     // sample spacing of 5-40 hours crosses day boundaries raggedly:
     // periods hold 1..5 samples, some days are skipped entirely —
