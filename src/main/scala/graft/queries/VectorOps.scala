@@ -57,10 +57,17 @@ object VectorOps {
        |  pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (a, b) -> a + b) > 0
        |THEN '1' ELSE '0' END""".stripMargin
 
-  private val BUCKET_SPARK =
-    s"concat(${(0 until 4).map(planeBitSpark).mkString(", ")})"
-  private val BUCKET_DUCK =
-    (0 until 4).map(planeBitDuck).mkString(" || ")
+  /** `bits` hyperplanes → 2^bits buckets. The production sizing rule:
+    * bits ≈ log2(N / target bucket population), so buckets grow with
+    * the corpus and per-bucket candidate work stays flat (the e03 vs
+    * e17 pair demonstrates the knob: 4 bits at the base corpus, 8 bits
+    * at 10× — same per-bucket population, linear total candidates). */
+  private def bucketSpark(bits: Int): String =
+    s"concat(${(0 until bits).map(planeBitSpark).mkString(", ")})"
+  private def bucketDuck(bits: Int): String =
+    (0 until bits).map(planeBitDuck).mkString(" || ")
+  private val BUCKET_SPARK = bucketSpark(4)
+  private val BUCKET_DUCK = bucketDuck(4)
 
   // ---- shared k-means machinery (e08 trainer, e09 SemDeDup cells) ----
   // Bit-deterministic across engines and partitionings: coordinates
@@ -1166,6 +1173,50 @@ object VectorOps {
                hamming, cosine
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cosine DESC, m_id) AS rank FROM fine)
-        WHERE rank <= 3 ORDER BY q_id, rank"""))
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---------------------------------------------------------------- e17
+    // e03's SCALE KNOB demonstrated as a gate: the identical LSH ANN
+    // pipeline at 8 hyperplane bits (256 buckets) instead of 4. The
+    // bucket-join's candidate work is Σ n_b² ≈ N²/2^bits, so the
+    // production sizing rule bits ≈ log2(N / target bucket population)
+    // keeps per-bucket population — and per-vector candidate work —
+    // flat as the corpus grows: 8 bits at a 10× corpus restores the
+    // 4-bit base corpus's bucket population (measured in
+    // BENCH_sf1.json). Top-3 per vector among same-bucket candidates;
+    // vectors alone in their (sparser) bucket simply emit no rows.
+    QueryDef(
+      "e17_lsh_scaled_bits",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+                      s"${bucketSpark(8)} AS bucket")
+        val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
+                         $"nrm".as("nrm_b"), $"bucket")
+        val scored = a.join(b, Seq("bucket"))
+          .filter($"vec_id" =!= $"neighbor_id")
+          .withColumn("cosine",
+            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"vec_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"vec_id", $"rank")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                          ${bucketDuck(8)} AS bucket
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY vec_id, rank"""))
   )
 }
