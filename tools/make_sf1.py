@@ -81,13 +81,52 @@ con.execute(f"""
   ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"]:
+# relational star: 10 replicas with consistent key remaps (replica k
+# offsets every synthetic key by k*max so joins stay replica-local —
+# the realistic growth shape: more customers/orders/parts, same
+# geography). nation/region stay fixed.
+C, O, P, S = [con.execute(
+    f"SELECT max({k}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+    for k, t in [("c_custkey", "customer"), ("o_orderkey", "orders"),
+                 ("p_partkey", "part"), ("s_suppkey", "supplier")]]
+ks = f"(SELECT unnest(range(0, {K})) AS k) k"
+con.execute(f"""
+  COPY (SELECT c_custkey + k.k * {C} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM '{SRC}/customer.parquet' c, {ks} ORDER BY c_custkey)
+  TO '{DST}/customer.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+  COPY (SELECT s_suppkey + k.k * {S} AS s_suppkey, s_name, s_nationkey,
+               s_acctbal
+        FROM '{SRC}/supplier.parquet' s, {ks} ORDER BY s_suppkey)
+  TO '{DST}/supplier.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+  COPY (SELECT p_partkey + k.k * {P} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice
+        FROM '{SRC}/part.parquet' p, {ks} ORDER BY p_partkey)
+  TO '{DST}/part.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+  COPY (SELECT o_orderkey + k.k * {O} AS o_orderkey,
+               o_custkey + k.k * {C} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{SRC}/orders.parquet' o, {ks} ORDER BY o_orderkey)
+  TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+  COPY (SELECT l_orderkey + k.k * {O} AS l_orderkey,
+               l_partkey + k.k * {P} AS l_partkey,
+               l_suppkey + k.k * {S} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM '{SRC}/lineitem.parquet' l, {ks} ORDER BY l_orderkey, l_linenumber)
+  TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+
+for t in ["region", "nation"]:
     dst = f"{DST}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
 
-for t in ["documents", "events", "embeddings"]:
+for t in ["documents", "events", "embeddings", "customer", "orders",
+          "lineitem", "supplier", "part"]:
     r = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
     print(t, r)
 print("done ->", DST)
