@@ -25,7 +25,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "target/sf1.0"
-K = 10
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
