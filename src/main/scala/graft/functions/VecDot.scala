@@ -104,6 +104,11 @@ object GraftFunctions {
       require(exprs.length == 2,
         s"sorted_intersect_count expects 2 args, got ${exprs.length}")
       SortedIntersectCount(exprs.head, exprs(1))
+    }),
+    ("bigram_best_profile", classOf[BigramBestProfile].getName, { exprs =>
+      require(exprs.length == 2,
+        s"bigram_best_profile expects 2 args, got ${exprs.length}")
+      BigramBestProfile(exprs.head, exprs(1))
     }))
 
   /** Idempotent per session, tracked on OUR side: callers invoke

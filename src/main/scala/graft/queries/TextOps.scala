@@ -965,16 +965,16 @@ object TextOps {
           // spliced SQL text: corpus-derived bigrams may contain quotes or
           // backslashes, which Spark's lexer treats differently from
           // DuckDB's (adjacent-literal concatenation, backslash escapes) —
-          // literals bypass the lexer entirely.
-          val bigrams = array_distinct(
-            transform(sequence(lit(1), greatest(length($"text") - 1, lit(0))),
-              i => $"text".substr(i, lit(2))))
-          val predicted = element_at(
-            transform(array(bigrams), bs =>
-              array_min(array(plangs.map { pl =>
-                struct((-size(array_intersect(bs, typedLit(prof(pl))))).as("neg"),
-                  lit(pl).as("pl"))
-              }: _*)).getField("pl")), 1)
+          // literals bypass the lexer entirely. Scoring is the native
+          // one-pass codegen'd kernel ([[graft.functions.BigramBestProfile]]):
+          // identical argmax semantics to the declarative
+          // distinct-bigrams + per-profile array_intersect chain, but one
+          // codepoint walk per row instead of ~L substring allocations,
+          // a distinct hash, and |langs| interpreted intersects.
+          graft.functions.GraftFunctions.register(s)
+          val idx = call_function("bigram_best_profile", $"text",
+            typedLit(plangs.map(prof)))
+          val predicted = get(typedLit(plangs), idx)
           docs
             .select($"lang", predicted.as("predicted"))
             .groupBy($"lang", $"predicted")
