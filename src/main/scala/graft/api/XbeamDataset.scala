@@ -1557,6 +1557,29 @@ final class XbeamDataset private (
       (arr, axes, _, sk) => arr.curvefitExpAlong(axes.head, sk))
   }
 
+  /** Nonlinear per-cell POWER-LAW fit y = a·(t+1)^b along `dim`
+    * (xarray `curvefit` with a power model — the Zipf/frequency-vs-rank
+    * fit of corpus analysis; the 1-based index keeps the abscissa
+    * positive). Identity a·u^b = a·exp(b·ln u) lowers this to
+    * [[curvefitExp]] over the log abscissa: the SAME cell-consolidation
+    * shuffle, the SAME Levenberg–Marquardt solver, just a transformed
+    * x — so every distributed-shape and determinism property carries
+    * over verbatim. Outputs `<var>_cf_a` / `<var>_cf_b` (b = the
+    * exponent), NaN for underdetermined lanes. */
+  def curvefitPow(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val suffixes = Seq("_cf_a", "_cf_b")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.contains(dim)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"curvefit output ${n + suf} collides with an existing variable")
+      }
+    }
+    cellwiseMulti(Set(dim), skipna, "curvefit", suffixes)(
+      (arr, axes, _, sk) =>
+        arr.curvefitExpAlong(axes.head, sk, logAbscissa = true))
+  }
+
   /** Weighted quantile over `dims` with plan-time per-dim weight
     * vectors (xarray `ds.weighted(w).quantile(q, dim=...)` for 1-D
     * dim weights — latitude area weighting being THE canonical use):

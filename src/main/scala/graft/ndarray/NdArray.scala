@@ -557,8 +557,14 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     * a bit. Lanes with fewer than 2 valid points (or NaN-poisoned
     * without skipna) emit NaN for both parameters. Returns
     * Seq(a, b) shaped as the kept dims. */
+  /** `logAbscissa` turns the model into the POWER LAW a·(t+1)^b: since
+    * a·u^b = a·exp(b·ln u), the power fit IS the exponential fit over
+    * the transformed abscissa x = ln(t+1) — same solver, same seed,
+    * same determinism (the 1-based shift keeps the abscissa positive;
+    * the Zipf-over-rank convention). */
   def curvefitExpAlong(axis: Int, skipna: Boolean,
-                       globalStart: Long = 0L): Seq[NdArray] = {
+                       globalStart: Long = 0L,
+                       logAbscissa: Boolean = false): Seq[NdArray] = {
     require(axis >= 0 && axis < ndim, s"axis $axis out of range")
     val keep = Array.range(0, ndim).filterNot(_ == axis)
     val laneShape = keep.map(shape)
@@ -581,7 +587,12 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
       var j = 0
       while (j < nT) {
         val y = getDouble(base + j.toLong * axStride)
-        if (!y.isNaN) { tv(m) = (globalStart + j).toDouble; yv(m) = y; m += 1 }
+        if (!y.isNaN) {
+          val g = (globalStart + j).toDouble
+          tv(m) = if (logAbscissa) math.log(g + 1.0) else g
+          yv(m) = y
+          m += 1
+        }
         else if (!skipna) poisoned = true
         j += 1
       }

@@ -4467,6 +4467,38 @@ object XbeamQueries {
         WITH $GRID_DUCK
         SELECT t // 7 AS tw, t % 7 AS ti, x, uid, vf FROM grid
         WHERE t < (SELECT (max(t) + 1) // 7 * 7 FROM grid)
-        ORDER BY tw, ti, x"""))
+        ORDER BY tw, ti, x""")),
+
+    // --------------------------------------------------------------- x147
+    // Power-law curvefit y = a·(t+1)^b per x lane (xarray curvefit
+    // with the Zipf model — frequency-vs-rank corpus fits): the
+    // identity a·u^b = a·exp(b·ln u) lowers it to x145's exponential
+    // solver over a log abscissa, so the cell-consolidation shuffle
+    // and the planted-parameter round-6 oracle design carry over: the
+    // series is c_x·(t+1)^(-0.25) with c_x = 2 + x%5, zero residual,
+    // recovery to ~1e-12.
+    QueryDef(
+      "x147_curvefit_pow",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sqlRound}
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val df = t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) * " +
+            s"power(CAST(event_id div $W AS DOUBLE) + 1.0, -0.25) AS y")
+        val xds = TabularBridge.fromDataFrame(df, s,
+          dims = Seq("t" -> n / W, "x" -> W),
+          vars = Seq("y" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.curvefitPow("t"))
+          .select(col("x"), sqlRound(col("y_cf_a"), 6).as("a"),
+            sqlRound(col("y_cf_b"), 6).as("b"))
+          .orderBy("x")
+      },
+      Some(s"""
+        SELECT DISTINCT event_id % $W AS x,
+               CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
+               CAST(round(CAST(-0.25 AS DOUBLE), 6) AS DOUBLE) AS b
+        FROM events ORDER BY x"""))
   )
 }

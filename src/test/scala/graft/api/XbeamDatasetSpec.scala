@@ -3341,6 +3341,23 @@ class XbeamDatasetSpec extends AnyFunSuite {
       "v" -> (Seq("t"), arange(DType.F64, 8)),
       "v_cf_a" -> (Seq("t"), arange(DType.F64, 8))), chunks = Map("t" -> 4))
     assertThrows[IllegalArgumentException](clash.curvefitExp("t"))
+    // power-law variant: planted a·(t+1)^b recovery across chunkings
+    // (a·u^b = a·exp(b·ln u) — the same solver over a log abscissa)
+    for (ch <- Seq(3, 12)) {
+      val pv = NdArray.zeros(DType.F64, Array(12, 2))
+      for (t <- 0 until 12; x <- 0 until 2)
+        pv.setDouble(t * 2L + x,
+          (if (x == 0) 3.0 else 0.5) * math.pow(t + 1.0, if (x == 0) -0.5 else 0.75))
+      val out = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), pv)), chunks = Map("t" -> ch))
+        .curvefitPow("t").collectConsolidated()._2
+      val pa = out.vars("v_cf_a").arr.toDoubles
+      val pb = out.vars("v_cf_b").arr.toDoubles
+      assert(math.abs(pa(0) - 3.0) < 1e-8 && math.abs(pb(0) + 0.5) < 1e-8,
+        s"ch=$ch ${pa(0)}/${pb(0)}")
+      assert(math.abs(pa(1) - 0.5) < 1e-8 && math.abs(pb(1) - 0.75) < 1e-8,
+        s"ch=$ch ${pa(1)}/${pb(1)}")
+    }
   }
 
   test("rollingConstruct: window view matches manual lags at any chunking") {
