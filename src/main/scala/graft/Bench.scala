@@ -225,7 +225,12 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"n":${tightened.size},"sf":"$sfDir","""
+    // "detail" names the committed file carrying ALL per-query rows +
+    // raw rep lists (the stdout line elides the fast tail to stay under
+    // the harness's ~2000-char stdout retention — an overflowed line is
+    // never parsed at all, observed r04); independent per-query audits
+    // read bench_detail.json, which is committed every round.
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"n":${tightened.size},"detail":"bench_detail.json","sf":"$sfDir","""
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size

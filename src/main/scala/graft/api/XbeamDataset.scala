@@ -722,6 +722,14 @@ final class XbeamDataset private (
     * cross the wire — each pass ships its own window−1 halo slivers
     * of the (constant ×2 or ×3) moment planes.
     *
+    * `minPeriods`: sum with minPeriods=1 and min/max chain the
+    * NaN-poisoning 1-D passes directly; sum with minPeriods>1 rides
+    * the moment machinery so the RECTANGLE's valid count gates the
+    * result (xarray/bottleneck `min_count`: NaN-skipping sum, NaN
+    * below minPeriods valid cells — a per-pass threshold could not
+    * express a rectangle count); min/max reject minPeriods>1 loudly
+    * (no separable valid-count decomposition exists for extremes).
+    *
     * A variable spanning only SOME window dims rolls over the dims it
     * has (the per-dim passes skip dims a variable lacks — the same
     * behavior as chaining 1-D rollings); variables spanning none pass
@@ -736,15 +744,37 @@ final class XbeamDataset private (
       require(template.dimSizes.contains(d), s"unknown dim $d")
       require(w >= 2, s"rolling window on $d must be >= 2, got $w")
     }
-    if (Set("sum", "min", "max")(op))
+    // min/max have no moment decomposition, and threading a per-pass
+    // minPeriods through chained 1-D rollings would gate on each pass's
+    // window-position count, NOT the rectangle's valid count — silently
+    // wrong. The kernels NaN-poison anyway (any NaN in the rectangle
+    // already yields NaN), so reject rather than mislead.
+    require(minPeriods <= 1 || (op != "min" && op != "max"),
+      s"rollingNd($op) does not support minPeriods > 1: extremes have " +
+        "no separable valid-count decomposition (the NaN-poisoning " +
+        "kernel already yields NaN for any rectangle containing NaN)")
+    // sum with minPeriods=1 keeps the chained NaN-poisoning fast path
+    // (1-D rolling parity); minPeriods>1 falls through to the moment
+    // machinery below, whose count plane gates the RECTANGLE's valid
+    // count — xarray/bottleneck min_count semantics (NaN-skipping sum,
+    // NaN below minPeriods valid cells).
+    if (Set("min", "max")(op) || (op == "sum" && minPeriods <= 1))
       return windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
-    val needS2 = op != "mean"
+    val needS2 = op == "var" || op == "std"
     val wdims = windows.keySet
     val touched: Set[String] = template.vars.collect {
       case (n, vs) if vs.dims.exists(wdims) => n
     }.toSet
     require(touched.nonEmpty,
       s"rollingNd(${windows.keys.mkString(",")}): no variable spans a window dim")
+    // the moment planes claim the __r* name space for the duration of
+    // this lineage — an existing __r* variable would either be silently
+    // dropped by the final filter or collide with a derived plane
+    template.vars.keys.find(_.startsWith("__r")).foreach { n =>
+      throw new IllegalArgumentException(
+        s"rollingNd reserves variable names starting with __r for its " +
+          s"internal moment planes; rename variable '$n' first")
+    }
     // invalid cells contribute ZERO to every moment (the rolling-sum
     // kernel is NaN-poisoning, so NaN placeholders would void whole
     // windows — zero-fill plus the 0/1 validity plane recovers skipna
@@ -785,6 +815,7 @@ final class XbeamDataset private (
             val cnt = nn.getDouble(i)
             val v =
               if (cnt < minP || cnt <= 0) Double.NaN
+              else if (o == "sum") s1.getDouble(i)
               else {
                 val m = s1.getDouble(i) / cnt
                 if (o == "mean") m

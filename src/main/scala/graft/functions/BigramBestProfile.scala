@@ -62,6 +62,10 @@ case class BigramBestProfile(left: Expression, right: Expression)
       var j = 0
       while (j < arr.numElements()) {
         val s = arr.getUTF8String(j).toString
+        // guard BEFORE codePointAt: an empty or 1-codepoint entry must
+        // fail with the descriptive message, not a raw
+        // StringIndexOutOfBoundsException from the probe itself
+        require(s.nonEmpty, "profile bigram '' is not exactly 2 codepoints")
         val c1 = s.codePointAt(0)
         val adv = Character.charCount(c1)
         require(s.length > adv && s.length == adv + Character.charCount(

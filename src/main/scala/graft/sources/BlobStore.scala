@@ -373,6 +373,26 @@ object HttpStore extends BlobStore {
         }
       resp.foreach { r =>
         r.statusCode() match {
+          // 202 Accepted means an async gateway acknowledged WITHOUT
+          // durably storing yet — verify with HEAD before declaring
+          // success (size must match when the endpoint reports one);
+          // a failed verify is retryable like a 5xx. Durability past
+          // the verified HEAD is necessarily delegated to the gateway.
+          case 202 =>
+            val ok =
+              try {
+                val head = request(url, head = true)
+                head.statusCode() == 200 && {
+                  val len = head.headers.firstValue("Content-Length")
+                  !len.isPresent || len.get.toLong == bytes.length.toLong
+                }
+              } catch { case _: java.io.IOException => false }
+            if (ok) {
+              BlobStore.bytesWritten.addAndGet(bytes.length.toLong)
+              return
+            } else last = new java.io.IOException(
+              s"HTTP 202 writing $url but verify-after-write HEAD " +
+                "did not confirm the blob")
           case s if s >= 200 && s < 300 =>
             BlobStore.bytesWritten.addAndGet(bytes.length.toLong)
             return

@@ -89,16 +89,34 @@ object StreamOps {
     val ckpt = (if (java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
         System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-    val out = java.nio.file.Paths.get("target", "stream_sink", name)
-      .toAbsolutePath.toString
+    val sinkRoot = java.nio.file.Paths.get("target", "stream_sink")
+      .toAbsolutePath
+    // a rep of the same gate reclaims the previous rep's sink dir
+    // (its result was consumed when that rep returned), so disk use
+    // stays bounded at one dir per gate across bench/spec repetitions
+    // instead of growing a UUID dir per run
+    if (java.nio.file.Files.isDirectory(sinkRoot)) {
+      val it = java.nio.file.Files.list(sinkRoot).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(prefix + "_"))
+          try graft.core.Fs.deleteRecursively(p.toString)
+          catch { case _: Throwable => () }
+      }
+    }
+    val out = sinkRoot.resolve(name).toString
     var schema: StructType = null
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val df = build
       schema = df.schema
+      // one OVERWRITTEN directory per micro-batch: a retried/replayed
+      // epoch rewrites its own b<id> path instead of appending a
+      // duplicate copy, restoring the exactly-once reads the old
+      // file-sink manifest gave (foreachBatch alone is at-least-once)
       val q = df.writeStream
-        .foreachBatch { (bdf: DataFrame, _: Long) =>
-          bdf.write.mode("append").parquet(out)
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          bdf.write.mode("overwrite").parquet(s"$out/b$batchId")
         }
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -114,7 +132,8 @@ object StreamOps {
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
-    else s.read.schema(schema).parquet(out)
+    else s.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(out)
   }
 
   val defs: Seq[QueryDef] = Seq(

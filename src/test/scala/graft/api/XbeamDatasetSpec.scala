@@ -2996,6 +2996,32 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       ds.rollingNd(Map("t" -> 2, "x" -> 2), "median"))
     assert(e.getMessage.contains("separable"))
+    // sum with minPeriods>1 rides the count plane (xarray min_count
+    // semantics: NaN-skipping sum, NaN below minPeriods valid cells) —
+    // the chained fast path would have silently ignored minPeriods
+    for (ch <- Seq(2, 6)) {
+      val got = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), nvals)), chunks = Map("t" -> ch))
+        .rollingNd(Map("t" -> 3, "x" -> 2), "sum", minPeriods = 5)
+        .collectConsolidated()._2.vars("v").arr
+      for (t <- 0 until 6; x <- 0 until 4) {
+        val w = naive(t, x)
+        val want = if (w.length < 5) Double.NaN else w.sum
+        val g = got.getDouble(t * 4 + x)
+        assert((g.isNaN && want.isNaN) || math.abs(g - want) < 1e-12,
+          s"sum minP ch=$ch t=$t x=$x: $g vs $want")
+      }
+    }
+    // extremes reject minPeriods>1 loudly (no valid-count decomposition)
+    val e2 = intercept[IllegalArgumentException](
+      ds.rollingNd(Map("t" -> 2, "x" -> 2), "min", minPeriods = 2))
+    assert(e2.getMessage.contains("minPeriods"))
+    // the __r moment-plane prefix is reserved with a loud guard
+    val clash = XbeamDataset.fromLocal(spark,
+      Map("__r_user" -> (Seq("t", "x"), vals)), chunks = Map("t" -> 2))
+    val e3 = intercept[IllegalArgumentException](
+      clash.rollingNd(Map("t" -> 2, "x" -> 2), "mean"))
+    assert(e3.getMessage.contains("__r"))
   }
 
   test("interp on datetime coords brackets in exact long epoch-ns") {

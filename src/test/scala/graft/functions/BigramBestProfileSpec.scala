@@ -75,6 +75,18 @@ class BigramBestProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed profile entries fail with the descriptive message") {
+    // empty entry: must hit the nonEmpty require, not a raw
+    // StringIndexOutOfBoundsException from codePointAt(0)
+    val e1 = intercept[Exception](best("ab", Seq(Seq(""))))
+    assert(e1.getMessage.contains("not exactly 2 codepoints"), e1.getMessage)
+    // 1-codepoint and 3-codepoint entries get the same message
+    val e2 = intercept[Exception](best("ab", Seq(Seq("a"))))
+    assert(e2.getMessage.contains("not exactly 2 codepoints"), e2.getMessage)
+    val e3 = intercept[Exception](best("ab", Seq(Seq("abc"))))
+    assert(e3.getMessage.contains("not exactly 2 codepoints"), e3.getMessage)
+  }
+
   test("non-literal profiles are rejected loudly") {
     import spark.implicits._
     val e = intercept[Exception] {

@@ -20,7 +20,9 @@ class HttpStoreSpec extends AnyFunSuite {
     * get a 500 before the server behaves (retry exercise). `allowPut`
     * false answers 405 to writes — a static file server. */
   private def withServer[A](root: Path, failFirst: Int = 0,
-                            allowPut: Boolean = true)
+                            allowPut: Boolean = true,
+                            putStatus: Int = 201,
+                            putStores: Boolean = true)
                            (body: String => A): A = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -37,9 +39,11 @@ class HttpStoreSpec extends AnyFunSuite {
           // the WebDAV/nginx-dav write shape HttpStore.write targets
           if (!allowPut) { ex.sendResponseHeaders(405, -1); return }
           val bytes = ex.getRequestBody.readAllBytes()
-          Files.createDirectories(f.getParent)
-          Files.write(f, bytes)
-          ex.sendResponseHeaders(201, -1)
+          if (putStores) {
+            Files.createDirectories(f.getParent)
+            Files.write(f, bytes)
+          }
+          ex.sendResponseHeaders(putStatus, -1)
           return
         }
         if (!Files.exists(f) || Files.isDirectory(f)) {
@@ -190,6 +194,29 @@ class HttpStoreSpec extends AnyFunSuite {
     withServer(dir2, failFirst = 2) { base =>
       HttpStore.write(s"$base/b", Array[Byte](9, 8))
       assert(HttpStore.read(s"$base/b").toSeq == Seq[Byte](9, 8))
+    }
+  }
+
+  test("202 Accepted PUTs are verified with HEAD before counting as done") {
+    // an async gateway that acks 202 AND durably stores: the
+    // verify-after-write HEAD confirms the blob and the write succeeds
+    val dir = Files.createTempDirectory("http202ok")
+    withServer(dir, putStatus = 202) { base =>
+      HttpStore.write(s"$base/b", Array[Byte](1, 2, 3))
+      assert(HttpStore.read(s"$base/b").toSeq == Seq[Byte](1, 2, 3))
+    }
+    // a gateway that acks 202 but never materializes the blob: the
+    // verify fails, the write retries, and the final error names the
+    // unconfirmed verify instead of reporting silent success
+    val dir2 = Files.createTempDirectory("http202lost")
+    withServer(dir2, putStatus = 202, putStores = false) { base =>
+      val e = intercept[java.io.IOException] {
+        HttpStore.write(s"$base/gone", Array[Byte](7))
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("verify")),
+        chain(e).mkString(" | "))
     }
   }
 
