@@ -66,8 +66,32 @@ object VectorOps {
     s"concat(${(0 until bits).map(planeBitSpark).mkString(", ")})"
   private def bucketDuck(bits: Int): String =
     (0 until bits).map(planeBitDuck).mkString(" || ")
+  // e03's pinned 4-bit table is the DELIBERATE fixed-config baseline
+  // (its Σn² growth at scale is the measured exhibit in BENCH_sf1.json);
+  // new pipelines default to autoLshBits so the quadratic cannot ship
+  // by omission — e18 is the auto-sized spelling of the same pipeline.
   private val BUCKET_SPARK = bucketSpark(4)
   private val BUCKET_DUCK = bucketDuck(4)
+
+  /** The production LSH sizing rule as THE default: the smallest bit
+    * count whose 2^bits buckets hold ≤ `targetPop` vectors each in
+    * expectation — bits = ceil(log2(n / targetPop)), computed in pure
+    * integer arithmetic (smallest b with targetPop·2^b ≥ n; no float
+    * log2 boundary hazard) and clamped to [1, maxBits]. Bucket-join
+    * candidate work is Σ n_b² ≈ n²/2^bits, so holding per-bucket
+    * population flat keeps per-vector candidate work constant as the
+    * corpus grows (e03 vs e17 measured the knob: 4→8 bits across a 10×
+    * corpus, BENCH_sf1.json). targetPop=128 reproduces both measured
+    * choices: n=2000 → 4 bits (e03's base), n=20000 → 8 bits (e17's
+    * 10×). Overridable per call; `maxBits` exists because each bit is
+    * one more md5-derived hyperplane projection per row at plan-literal
+    * cost — at 10^9 vectors the rule asks for 23 bits, still just 23
+    * inlined weight arrays. */
+  def autoLshBits(n: Long, targetPop: Long = 128, maxBits: Int = 24): Int = {
+    require(n >= 0 && targetPop >= 1 && maxBits >= 1,
+      s"autoLshBits(n=$n, targetPop=$targetPop, maxBits=$maxBits)")
+    (1 to maxBits).find(b => targetPop << b >= n).getOrElse(maxBits)
+  }
 
   // ---- shared k-means machinery (e08 trainer, e09 SemDeDup cells) ----
   // Bit-deterministic across engines and partitionings: coordinates
@@ -1210,6 +1234,57 @@ object VectorOps {
         WITH e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
                           ${bucketDuck(8)} AS bucket
                    FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // ---------------------------------------------------------------- e18
+    // The e03 pipeline with bits = AUTO: [[autoLshBits]] sizes the
+    // hyperplane count from the corpus count at plan time (one cheap
+    // parquet-metadata count), so the sizing rule is the DEFAULT rather
+    // than something a caller must remember — the e03 quadratic cannot
+    // ship by omission. At sf0.1 (n=2000) auto picks 4 bits (e03's
+    // plan, bit-identical buckets); at the 10× corpus (n=20000) it
+    // picks 8 (e17's plan). The oracle derives the SAME bit count in
+    // pure integer SQL (smallest b with 128·2^b ≥ n) and prefixes an
+    // 8-plane code to it, so both engines agree at every scale factor
+    // without a hardcoded bit count anywhere.
+    QueryDef(
+      "e18_lsh_auto_bits",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val n = t(s, dir, "embeddings").count() // plan-time, metadata-only
+        val bits = autoLshBits(n, maxBits = 8) // 8 = oracle code length
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+                      s"${bucketSpark(bits)} AS bucket")
+        val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
+                         $"nrm".as("nrm_b"), $"bucket")
+        val scored = a.join(b, Seq("bucket"))
+          .filter($"vec_id" =!= $"neighbor_id")
+          .withColumn("cosine",
+            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"vec_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"vec_id", $"rank")
+      },
+      Some(s"""
+        WITH bits AS (
+          SELECT coalesce(min(b), 8) AS bits
+          FROM generate_series(1, 8) t(b)
+          WHERE 128 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+        e AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm,
+                     substr(${bucketDuck(8)}, 1, (SELECT bits FROM bits)) AS bucket
+              FROM embeddings),
         scored AS (
           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                  ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
