@@ -17,13 +17,31 @@ object TestSpark {
         f"Test suite requires the pinned 8 GiB forked heap (got $maxGb%.1f " +
           "GiB). Unset SPARK_GRAFT_HEAP (build.sbt javaOptions pins 8g).")
     }
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // Master is env-switchable so the SAME suite can run multi-JVM:
+    //   SPARK_GRAFT_TEST_MASTER=local-cluster[2,2,2048] sbt test
+    // exercises broadcast transport, executor-side classloading, remote
+    // shuffle fetch, and closure serialization across real process
+    // boundaries — the failure class local[N] structurally cannot catch.
+    // The default keeps single-JVM local mode but with task retries
+    // (local[4, 3]) so fault-injection specs can exercise the
+    // idempotent-write-under-retry contract.
+    val master = sys.env.getOrElse("SPARK_GRAFT_TEST_MASTER", "local[4, 3]")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs are forked fresh: they need this test JVM's full
+      // classpath (graft classes + test classes + scalatest and spark
+      // jars) and enough retries for the fault-injection specs
+      builder
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.task.maxFailures", "3")
+    }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
