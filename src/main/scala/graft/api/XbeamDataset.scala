@@ -74,7 +74,11 @@ final class XbeamDataset private (
     // named accumulators — visible in the Spark UI under the same names
     val readChunks = spark.sparkContext.longAccumulator("graft.read-chunks")
     val readBytes = spark.sparkContext.longAccumulator("graft.read-bytes")
+    // store endpoints/credentials vended on the driver must ride the
+    // closure — forked executor JVMs never see driver sys.props
+    val ambient = graft.sources.GraftProps.snapshot()
     val base = spark.range(total).map { i =>
+      graft.sources.GraftProps.restore(ambient)
       val key = ChunkGrid.keyForIndex(i, dimOrder, chunks, dimSizes)
       val chunk = XbeamDataset.readChunk(spec, tmpl, chunks, key)
       readChunks.add(1L)
@@ -5981,7 +5985,9 @@ final class XbeamDataset private (
     val sharded = shardGrid.nonEmpty
     val writeChunks = spark.sparkContext.longAccumulator("graft.write-chunks")
     val writeBytes = spark.sparkContext.longAccumulator("graft.write-bytes")
+    val ambient = graft.sources.GraftProps.snapshot()
     val writeOne: Pair => Unit = { p =>
+      graft.sources.GraftProps.restore(ambient)
       val (key, chunk) = p
       writeChunks.add(1L)
       writeBytes.add(chunk.nbytes)
@@ -6084,7 +6090,9 @@ final class XbeamDataset private (
     }
     val writeChunks = spark.sparkContext.longAccumulator("graft.write-chunks")
     val writeBytes = spark.sparkContext.longAccumulator("graft.write-bytes")
+    val ambient = graft.sources.GraftProps.snapshot()
     chunkDataset.foreach { p: Pair =>
+      graft.sources.GraftProps.restore(ambient)
       val (key, chunk) = p
       writeChunks.add(1L)
       writeBytes.add(chunk.nbytes)

@@ -41,10 +41,20 @@ object S3GateServer {
     * keep the 64 MB default. */
   def install(): Unit = synchronized {
     val ep = endpoint // force start
-    sys.props("graft.s3.endpoint") = ep
-    sys.props("graft.s3.accessKey") = ACCESS
-    sys.props("graft.s3.secretKey") = SECRET
-    sys.props("graft.s3.multipartBytes") = "4096"
+    val props = Seq(
+      "graft.s3.endpoint" -> ep,
+      "graft.s3.accessKey" -> ACCESS,
+      "graft.s3.secretKey" -> SECRET,
+      "graft.s3.multipartBytes" -> "4096")
+    props.foreach { case (k, v) => sys.props(k) = v }
+    // sys.props only reach tasks when executors share this JVM; local
+    // properties ride every task launched from this thread (and its
+    // children), so the gate also runs under local-cluster / real
+    // clusters where executor JVMs are forked (S3Store.conf reads them
+    // via TaskContext.getLocalProperty)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      props.foreach { case (k, v) => s.sparkContext.setLocalProperty(k, v) }
+    }
   }
 
   /** Every server thread must be a daemon: Verify/Bench end by falling

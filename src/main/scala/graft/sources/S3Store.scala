@@ -123,9 +123,21 @@ object S3Store extends BlobStore {
     .connectTimeout(java.time.Duration.ofSeconds(20))
     .build()
 
-  private def conf(prop: String, env: String): Option[String] =
-    sys.props.get(prop).filter(_.nonEmpty)
+  /** Credential/config lookup chain: Spark task local property (set on
+    * the DRIVER via `sc.setLocalProperty` — the only per-job channel
+    * that reaches tasks in forked executor JVMs, where driver-side
+    * `sys.props` are invisible; surfaced by the round-18 multi-JVM
+    * correctness run) → JVM system property → environment variable.
+    * On a real cluster, `spark.executorEnv.AWS_*` or an instance
+    * profile are the usual sources; the local-property hop exists so
+    * driver-vended per-job credentials also work. */
+  private def conf(prop: String, env: String): Option[String] = {
+    val tc = org.apache.spark.TaskContext.get()
+    (if (tc == null) None
+     else Option(tc.getLocalProperty(prop)).filter(_.nonEmpty))
+      .orElse(sys.props.get(prop).filter(_.nonEmpty))
       .orElse(sys.env.get(env).filter(_.nonEmpty))
+  }
 
   private final case class Cfg(endpoint: Option[URI], region: String,
                                accessKey: String, secretKey: String,
@@ -186,7 +198,7 @@ object S3Store extends BlobStore {
       sessionToken = conf("graft.s3.sessionToken", "AWS_SESSION_TOKEN")), "s3")
 
   private def multipartBytes: Long =
-    sys.props.get("graft.s3.multipartBytes").map(_.toLong)
+    conf("graft.s3.multipartBytes", "GRAFT_S3_MULTIPART_BYTES").map(_.toLong)
       .getOrElse(64L << 20)
 
   /** s3://bucket/key or gs://bucket/key → (bucket, key); key may be

@@ -915,9 +915,14 @@ class ZarrReaderFactory(path: String, dims: Seq[(String, Long)],
                         metas: Map[String, Zarr.ArrayMeta],
                         required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  // driver-vended store config/credentials for forked executor JVMs
+  // (captured at factory construction on the driver)
+  private val ambient = graft.sources.GraftProps.snapshot()
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    graft.sources.GraftProps.restore(ambient)
     new ZarrPartitionReader(new ZarrChunkContext(path, dims, chunks, metas,
       required, partition.asInstanceOf[ZarrInputPartition].offsets))
+  }
 
   // Columnar (vectorized) reads: the projected schema is always
   // long/double columns, so every chunk decodes straight into on-heap
@@ -925,9 +930,11 @@ class ZarrReaderFactory(path: String, dims: Seq[(String, Long)],
   // ColumnarToRow — no per-cell row allocation, no boxing.
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    graft.sources.GraftProps.restore(ambient)
     new ZarrColumnarPartitionReader(new ZarrChunkContext(path, dims, chunks,
       metas, required, partition.asInstanceOf[ZarrInputPartition].offsets))
+  }
 }
 
 /** Shared per-partition decode state for the row and columnar readers:

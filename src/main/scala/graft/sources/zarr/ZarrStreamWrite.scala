@@ -117,7 +117,10 @@ class ZarrStreamingWrite(path: String, schema: StructType,
   }
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory = new ZarrStreamWriterFactory(grid)
+      : StreamingDataWriterFactory =
+    // driver-vended store config/credentials ride the factory into
+    // forked executor JVMs (sys.props do not cross process boundaries)
+    new ZarrStreamWriterFactory(grid, graft.sources.GraftProps.snapshot())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -172,11 +175,14 @@ final case class ZarrStreamFrag(chunkId: String, url: String)
 final case class ZarrStreamCommitMessage(frags: Seq[ZarrStreamFrag])
     extends WriterCommitMessage
 
-class ZarrStreamWriterFactory(grid: ZarrStreamGrid)
+class ZarrStreamWriterFactory(grid: ZarrStreamGrid,
+                              ambient: Map[String, String] = Map.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
+                            epochId: Long): DataWriter[InternalRow] = {
+    graft.sources.GraftProps.restore(ambient)
     new ZarrStreamDataWriter(grid, partitionId, taskId, epochId)
+  }
 }
 
 /** Per-task cell buffer: cells pack as (localFlat, one long per var —

@@ -45,6 +45,13 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** True when the suite runs across process boundaries (executors in
+    * forked JVMs). The handful of specs that depend on single-process
+    * state BY DESIGN — e.g. distributed writes into the in-memory
+    * `mem://` object store, whose namespace is a JVM static — `assume`
+    * on this and cancel cleanly in multi-JVM runs. */
+  def isMultiJvm: Boolean = spark.sparkContext.master.startsWith("local-cluster")
 }
 
 /** Deterministic synthetic fixtures — the dummy_era5_surface_dataset
