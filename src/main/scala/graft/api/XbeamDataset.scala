@@ -1615,6 +1615,31 @@ final class XbeamDataset private (
         arr.curvefitExpAlong(axes.head, sk, logAbscissa = true))
   }
 
+  /** Nonlinear per-cell LOGISTIC fit y = L/(1+exp(-k·(t-t0))) along
+    * `dim` (xarray `curvefit` with the classic sigmoid — saturation /
+    * growth-curve series; t is the global integer index). Same
+    * distributed shape as [[curvefitExp]]: a 3-parameter iterative
+    * solver has no fixed-size partial, so each cell's series
+    * consolidates once (the exact-order-statistic shuffle,
+    * `cellwise.maxBytes`-guarded) and a bit-deterministic cell-local
+    * Levenberg–Marquardt (logit-linear seed,
+    * [[graft.ndarray.NdArray.fitLogistic]]) fits each lane. Outputs
+    * `<var>_cf_l` (carrying capacity L), `<var>_cf_k` (rate),
+    * `<var>_cf_t0` (midpoint); NaN where fewer than 3 valid points —
+    * or no positive values — determine the lane. */
+  def curvefitLogistic(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val suffixes = Seq("_cf_l", "_cf_k", "_cf_t0")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.contains(dim)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"curvefit output ${n + suf} collides with an existing variable")
+      }
+    }
+    cellwiseMulti(Set(dim), skipna, "curvefit", suffixes)(
+      (arr, axes, _, sk) => arr.curvefitLogisticAlong(axes.head, sk))
+  }
+
   /** Weighted quantile over `dims` with plan-time per-dim weight
     * vectors (xarray `ds.weighted(w).quantile(q, dim=...)` for 1-D
     * dim weights — latitude area weighting being THE canonical use):

@@ -616,6 +616,61 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     Seq(aOut, bOut)
   }
 
+  /** Per-lane LOGISTIC fit y = L/(1+exp(-k·(t-t0))) along `axis`
+    * ([[NdArray.fitLogistic]] per lane, t = globalStart + i) — the
+    * same lane walk, skipna/poison rules, and determinism contract as
+    * [[curvefitExpAlong]]. Lanes with fewer than 3 valid points emit
+    * the NaN triple. Returns Seq(L, k, t0) shaped as the kept dims. */
+  def curvefitLogisticAlong(axis: Int, skipna: Boolean,
+                            globalStart: Long = 0L): Seq[NdArray] = {
+    require(axis >= 0 && axis < ndim, s"axis $axis out of range")
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val lOut = NdArray.zeros(DType.F64, laneShape)
+    val kOut = NdArray.zeros(DType.F64, laneShape)
+    val tOut = NdArray.zeros(DType.F64, laneShape)
+    val nT = shape(axis)
+    val str = strides
+    val axStride = str(axis)
+    val idx = new Array[Int](ndim)
+    val tv = new Array[Double](nT)
+    val yv = new Array[Double](nT)
+    var lane = 0L
+    var done = false
+    while (!done) {
+      var base = 0L
+      var d = 0
+      while (d < ndim) { base += idx(d).toLong * str(d); d += 1 }
+      var m = 0
+      var poisoned = false
+      var j = 0
+      while (j < nT) {
+        val y = getDouble(base + j.toLong * axStride)
+        if (!y.isNaN) { tv(m) = (globalStart + j).toDouble; yv(m) = y; m += 1 }
+        else if (!skipna) poisoned = true
+        j += 1
+      }
+      val (pl, pk, pt) =
+        if (poisoned || m < 3) (Double.NaN, Double.NaN, Double.NaN)
+        else NdArray.fitLogistic(tv, yv, m)
+      lOut.setDouble(lane, pl)
+      kOut.setDouble(lane, pk)
+      tOut.setDouble(lane, pt)
+      lane += 1
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        if (dd == axis) dd -= 1
+        else {
+          idx(dd) += 1
+          if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+        }
+      }
+      if (carry) done = true
+    }
+    Seq(lOut, kOut, tOut)
+  }
+
   /** Median along the given axes — `quantileAlong(axes, 0.5, skipna)`. */
   def medianAlong(axes: Array[Int], skipna: Boolean): NdArray =
     quantileAlong(axes, 0.5, skipna)
@@ -2492,6 +2547,107 @@ object NdArray {
       it += 1
     }
     (a, b)
+  }
+
+  /** Per-lane nonlinear least squares for the LOGISTIC growth model
+    * y = L / (1 + exp(-k·(t - t0))) — xarray `curvefit` with the
+    * classic sigmoid (saturation curves, adoption/growth series).
+    * Levenberg–Marquardt on the 3-parameter model with the standard
+    * seed: L₀ = 1.05·max(y), then the logit transform
+    * ln(L₀/y - 1) = -k·t + k·t0 is LINEAR in t, so an ordinary
+    * least-squares line over the (0, L₀)-interior points seeds k and
+    * t0 (exact up to rounding on zero-residual data, same as fitExp's
+    * log-linear seed). Deterministic sequential solve per lane.
+    * Returns (L, k, t0); NaN triple when fewer than 3 valid points or
+    * no positive values (the model is unidentifiable). */
+  private[ndarray] def fitLogistic(t: Array[Double], y: Array[Double],
+                                   m: Int): (Double, Double, Double) = {
+    var ymax = 0.0
+    var i = 0
+    while (i < m) { if (y(i) > ymax) ymax = y(i); i += 1 }
+    if (m < 3 || ymax <= 0) return (Double.NaN, Double.NaN, Double.NaN)
+    var big = 1.05 * ymax
+    // logit-linear seed over interior points
+    var n = 0.0; var st = 0.0; var st2 = 0.0; var sz = 0.0; var stz = 0.0
+    i = 0
+    while (i < m) {
+      if (y(i) > 0 && y(i) < big) {
+        val z = math.log(big / y(i) - 1.0)
+        n += 1; st += t(i); st2 += t(i) * t(i); sz += z; stz += t(i) * z
+      }
+      i += 1
+    }
+    var l = big
+    var k = 0.0
+    var t0 = 0.0
+    if (n >= 2 && n * st2 - st * st != 0) {
+      val slope = (n * stz - st * sz) / (n * st2 - st * st) // = -k
+      val icept = (sz - slope * st) / n                     // = k·t0
+      k = -slope
+      t0 = if (k != 0) icept / k else 0.0
+    }
+    if (k == 0) { k = 1e-3; t0 = st / math.max(n, 1.0) }
+    def sse(ll: Double, kk: Double, tt: Double): Double = {
+      var s = 0.0; var j = 0
+      while (j < m) {
+        val r = y(j) - ll / (1.0 + math.exp(-kk * (t(j) - tt)))
+        s += r * r; j += 1
+      }
+      s
+    }
+    var cur = sse(l, k, t0)
+    var lambda = 1e-3
+    var it = 0
+    while (it < 80) {
+      // 3x3 normal equations J'J + gradient J'r with Jacobian columns
+      // dL = s, dk = L·s·(1-s)·(t-t0), dt0 = -L·s·(1-s)·k
+      var a11 = 0.0; var a12 = 0.0; var a13 = 0.0
+      var a22 = 0.0; var a23 = 0.0; var a33 = 0.0
+      var g1 = 0.0; var g2 = 0.0; var g3 = 0.0
+      var j = 0
+      while (j < m) {
+        val s = 1.0 / (1.0 + math.exp(-k * (t(j) - t0)))
+        val r = y(j) - l * s
+        val w = l * s * (1.0 - s)
+        val d1 = s
+        val d2 = w * (t(j) - t0)
+        val d3 = -w * k
+        a11 += d1 * d1; a12 += d1 * d2; a13 += d1 * d3
+        a22 += d2 * d2; a23 += d2 * d3; a33 += d3 * d3
+        g1 += d1 * r; g2 += d2 * r; g3 += d3 * r
+        j += 1
+      }
+      val b11 = a11 * (1 + lambda)
+      val b22 = a22 * (1 + lambda)
+      val b33 = a33 * (1 + lambda)
+      // Cramer on the damped symmetric 3x3
+      val det = b11 * (b22 * b33 - a23 * a23) -
+        a12 * (a12 * b33 - a23 * a13) + a13 * (a12 * a23 - b22 * a13)
+      if (det == 0 || det.isNaN) it = 80
+      else {
+        val dl = (g1 * (b22 * b33 - a23 * a23) -
+          a12 * (g2 * b33 - a23 * g3) + a13 * (g2 * a23 - b22 * g3)) / det
+        val dk = (b11 * (g2 * b33 - a23 * g3) -
+          g1 * (a12 * b33 - a23 * a13) + a13 * (a12 * g3 - g2 * a13)) / det
+        val dt = (b11 * (b22 * g3 - g2 * a23) -
+          a12 * (a12 * g3 - g2 * a13) + g1 * (a12 * a23 - b22 * a13)) / det
+        val ns = sse(l + dl, k + dk, t0 + dt)
+        if (ns.isNaN || ns >= cur) {
+          lambda *= 10
+          if (lambda > 1e12) it = 80
+        } else {
+          val rel = math.max(math.max(
+            math.abs(dl) / (math.abs(l) + java.lang.Double.MIN_VALUE),
+            math.abs(dk) / (math.abs(k) + java.lang.Double.MIN_VALUE)),
+            math.abs(dt) / (math.abs(t0) + java.lang.Double.MIN_VALUE))
+          l += dl; k += dk; t0 += dt; cur = ns
+          lambda = math.max(lambda * 0.3, 1e-12)
+          if (rel < 1e-13 || cur <= 1e-28) it = 80
+        }
+      }
+      it += 1
+    }
+    (l, k, t0)
   }
 
   /** In-place tandem quicksort of `v[from, until)` ascending, with

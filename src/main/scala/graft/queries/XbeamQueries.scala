@@ -4499,6 +4499,50 @@ object XbeamQueries {
         SELECT DISTINCT event_id % $W AS x,
                CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
                CAST(round(CAST(-0.25 AS DOUBLE), 6) AS DOUBLE) AS b
+        FROM events ORDER BY x""")),
+
+    // --------------------------------------------------------------- x148
+    // Logistic curvefit y = L/(1+exp(-k·(t-t0))) per x lane (xarray
+    // curvefit with the classic sigmoid — saturation/adoption curves):
+    // a 3-parameter Levenberg–Marquardt over the same cell-consolidated
+    // shuffle as x145/x147, seeded by the logit-linear transform.
+    // Planted parameters: L = 2 + x%5, k = 12/T, t0 = T/2 (T = the t
+    // extent): the sigmoid argument spans [-6, +6] at EVERY scale
+    // factor, so the series covers both tails (y from 0.0025·L to
+    // 0.9975·L) and all three parameters stay identifiable — a fixed k
+    // on the sf0.001 extent (T=20) would leave a near-linear segment
+    // where (L, k, t0) are degenerate. Zero residual → recovery well
+    // under the 6-decimal round on both engines; the oracle states the
+    // planted values, deriving T from the same count (the 12/T
+    // division is spelled identically on both sides, so the planted k
+    // is the same IEEE double).
+    QueryDef(
+      "x148_curvefit_logistic",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sqlRound}
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = n / W
+        val df = t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) / " +
+            s"(1.0 + exp(-(12.0 / ${tExt}.0) * " +
+            s"(CAST(event_id div $W AS DOUBLE) - ${tExt / 2}.0))) AS y")
+        val xds = TabularBridge.fromDataFrame(df, s,
+          dims = Seq("t" -> tExt, "x" -> W),
+          vars = Seq("y" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.curvefitLogistic("t"))
+          .select(col("x"), sqlRound(col("y_cf_l"), 6).as("l"),
+            sqlRound(col("y_cf_k"), 6).as("k"),
+            sqlRound(col("y_cf_t0"), 6).as("t0"))
+          .orderBy("x")
+      },
+      Some(s"""
+        WITH ext AS (SELECT count(*) // $W AS T FROM events)
+        SELECT DISTINCT event_id % $W AS x,
+               CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS l,
+               CAST(round(12.0 / CAST((SELECT T FROM ext) AS DOUBLE), 6) AS DOUBLE) AS k,
+               CAST(round(CAST((SELECT T // 2 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS t0
         FROM events ORDER BY x"""))
   )
 }

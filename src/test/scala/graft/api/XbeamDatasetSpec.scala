@@ -3405,6 +3405,45 @@ class XbeamDatasetSpec extends AnyFunSuite {
       assert(math.abs(pa(1) - 0.5) < 1e-8 && math.abs(pb(1) - 0.75) < 1e-8,
         s"ch=$ch ${pa(1)}/${pb(1)}")
     }
+    // logistic variant: planted L/(1+exp(-k(t-t0))) recovery across
+    // chunkings (3-parameter LM, logit-linear seed); lane 1 carries
+    // NaN holes, lane 2 has 2 valid points (< 3 -> NaN triple)
+    val nT = 40
+    def mkLog(): NdArray = {
+      val v = NdArray.zeros(DType.F64, Array(nT, 3))
+      val Ls = Array(5.0, 2.0, 3.0)
+      val ks = Array(0.4, 0.3, 0.5)
+      val t0s = Array(20.0, 16.0, 20.0)
+      for (t <- 0 until nT; x <- 0 until 3)
+        v.setDouble(t * 3L + x,
+          Ls(x) / (1.0 + math.exp(-ks(x) * (t - t0s(x)))))
+      v.setDouble(5 * 3L + 1, Double.NaN)
+      v.setDouble(21 * 3L + 1, Double.NaN)
+      for (t <- 0 until nT if t != 3 && t != 30)
+        v.setDouble(t * 3L + 2, Double.NaN)
+      v
+    }
+    var logRef: Array[Double] = null
+    for (ch <- Seq(7, 40)) {
+      val out = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), mkLog())), chunks = Map("t" -> ch))
+        .curvefitLogistic("t")
+      assert(out.template.vars.keySet ==
+        Set("v_cf_l", "v_cf_k", "v_cf_t0"), s"ch=$ch")
+      val c = out.collectConsolidated()._2
+      val gl = c.vars("v_cf_l").arr.toDoubles
+      val gk = c.vars("v_cf_k").arr.toDoubles
+      val gt = c.vars("v_cf_t0").arr.toDoubles
+      assert(math.abs(gl(0) - 5.0) < 1e-7 && math.abs(gk(0) - 0.4) < 1e-7 &&
+        math.abs(gt(0) - 20.0) < 1e-6, s"ch=$ch ${gl(0)}/${gk(0)}/${gt(0)}")
+      assert(math.abs(gl(1) - 2.0) < 1e-7 && math.abs(gk(1) - 0.3) < 1e-7 &&
+        math.abs(gt(1) - 16.0) < 1e-6, s"ch=$ch ${gl(1)}/${gk(1)}/${gt(1)}")
+      assert(gl(2).isNaN && gk(2).isNaN && gt(2).isNaN, s"ch=$ch")
+      if (logRef == null) logRef = gl ++ gk ++ gt
+      else assert((gl ++ gk ++ gt).zip(logRef).forall { case (p, q) =>
+        (p.isNaN && q.isNaN) || p == q
+      }, s"ch=$ch logistic chunking changed bits")
+    }
   }
 
   test("rollingConstruct: window view matches manual lags at any chunking") {
