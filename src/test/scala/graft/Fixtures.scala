@@ -54,6 +54,20 @@ object TestSpark {
   def isMultiJvm: Boolean = spark.sparkContext.master.startsWith("local-cluster")
 }
 
+/** Pinned ScalaCheck seed with an env override: every property suite
+  * routes its pinned seed through here, so
+  * `SPARK_GRAFT_FUZZ_SEED=<long> sbt test` re-runs the ENTIRE fuzz
+  * campaign on a fresh seed without touching source (the per-spec pin
+  * is XOR-mixed in so suites still explore distinct spaces). Default =
+  * the pin, keeping CI runs reproducible. */
+object FuzzSeed {
+  def apply(pinned: Long): Long =
+    sys.env.get("SPARK_GRAFT_FUZZ_SEED") match {
+      case Some(s) => s.toLong ^ pinned
+      case None => pinned
+    }
+}
+
 /** Deterministic synthetic fixtures — the dummy_era5_surface_dataset
   * analogue (reference test_util.py:76-99): seeded RNG, a couple of
   * float variables over (time, latitude, longitude). */

@@ -16,7 +16,7 @@ class BridgePropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201611L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201611L))), p)
     assert(res.passed, res.status.toString)
   }
 

@@ -19,7 +19,7 @@ class GatherPropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201614L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201614L))), p)
     assert(res.passed, res.status.toString)
   }
 

@@ -16,7 +16,7 @@ class GroupPadPropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201615L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201615L))), p)
     assert(res.passed, res.status.toString)
   }
 

@@ -16,7 +16,7 @@ class InterpStackPropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201616L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201616L))), p)
     assert(res.passed, res.status.toString)
   }
 

@@ -17,7 +17,7 @@ class ReducePropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201617L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201617L))), p)
     assert(res.passed, res.status.toString)
   }
 

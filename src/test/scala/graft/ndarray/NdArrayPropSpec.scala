@@ -13,7 +13,7 @@ class NdArrayPropSpec extends AnyFunSuite {
   private def check(p: Prop, n: Int = 80): Unit = {
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(201610L)), p)
+      .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201610L))), p)
     assert(res.passed, res.status.toString)
   }
 

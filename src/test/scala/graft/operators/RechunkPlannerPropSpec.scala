@@ -16,7 +16,7 @@ class RechunkPlannerPropSpec extends AnyFunSuite {
   private def checkProp(prop: Prop, n: Int): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(n)
-        .withInitialSeed(org.scalacheck.rng.Seed(201608L)), prop)
+        .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201608L))), prop)
     assert(res.passed, res.status.toString)
   }
 

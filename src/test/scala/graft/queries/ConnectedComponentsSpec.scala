@@ -67,7 +67,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     } yield es
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12) // Spark jobs per case
-        .withInitialSeed(org.scalacheck.rng.Seed(201612L)),
+        .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201612L))),
       Prop.forAllNoShrink(edgesGen) { es =>
         val real = es.filter { case (u, v) => u != v }
         (real.nonEmpty) ==> {

@@ -78,7 +78,7 @@ class ZarrRoundtripPropSpec extends AnyFunSuite {
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25)
-        .withInitialSeed(org.scalacheck.rng.Seed(201609L)), prop)
+        .withInitialSeed(org.scalacheck.rng.Seed(graft.FuzzSeed(201609L))), prop)
     assert(res.passed, res.status.toString)
   }
 }
