@@ -16,15 +16,23 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER switches to a multi-JVM master for the
+    // cross-executor probe (BENCH_sf1.json multijvm_probe) — timings
+    // there are NOT comparable to BASELINE.md's single-JVM rows; the
+    // driver's canonical bench leaves this unset.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // pin the zone so the events TIMESTAMP_NTZ->TIMESTAMP conversion
       // (Tables.normalizeTs) is host-independent, same as Verify
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.kryo.classesToRegister", GraftKryo.classes)
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder0.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+    val spark = builder0.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Quiet the streaming planner's per-micro-batch AQE warnings
     // ("spark.sql.adaptive.enabled is not supported in streaming" /
