@@ -1640,6 +1640,29 @@ final class XbeamDataset private (
       (arr, axes, _, sk) => arr.curvefitLogisticAlong(axes.head, sk))
   }
 
+  /** Nonlinear per-cell GAUSSIAN peak fit y = a·exp(-(t-μ)²/(2σ²))
+    * along `dim` (xarray `curvefit` with the spectral/peak model —
+    * line fitting, pulse timing; t is the global integer index). Same
+    * distributed shape as [[curvefitExp]]/[[curvefitLogistic]]: one
+    * cell consolidation, a bit-deterministic cell-local
+    * Levenberg–Marquardt seeded by the moment method
+    * ([[graft.ndarray.NdArray.fitGaussian]]). Outputs `<var>_cf_a`
+    * (amplitude), `<var>_cf_mu` (center), `<var>_cf_sigma` (width,
+    * positive by convention — the model is even in σ); NaN where fewer
+    * than 3 valid points or no positive values determine the lane. */
+  def curvefitGaussian(dim: String, skipna: Boolean = true): XbeamDataset = {
+    require(template.dimSizes.contains(dim), s"unknown dim $dim")
+    val suffixes = Seq("_cf_a", "_cf_mu", "_cf_sigma")
+    template.vars.foreach { case (n, vs) =>
+      if (vs.dims.contains(dim)) suffixes.foreach { suf =>
+        require(!template.vars.contains(n + suf),
+          s"curvefit output ${n + suf} collides with an existing variable")
+      }
+    }
+    cellwiseMulti(Set(dim), skipna, "curvefit", suffixes)(
+      (arr, axes, _, sk) => arr.curvefitGaussianAlong(axes.head, sk))
+  }
+
   /** Weighted quantile over `dims` with plan-time per-dim weight
     * vectors (xarray `ds.weighted(w).quantile(q, dim=...)` for 1-D
     * dim weights — latitude area weighting being THE canonical use):

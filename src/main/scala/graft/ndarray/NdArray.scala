@@ -671,6 +671,62 @@ final case class NdArray(dtype: DType, shape: Array[Int], data: Array[Byte])
     Seq(lOut, kOut, tOut)
   }
 
+  /** Per-lane GAUSSIAN peak fit y = a·exp(-(t-mu)²/(2·sigma²)) along
+    * `axis` ([[NdArray.fitGaussian]] per lane, t = globalStart + i) —
+    * the same lane walk, skipna/poison rules, and determinism contract
+    * as [[curvefitExpAlong]]. Lanes with fewer than 3 valid points (or
+    * no positive values) emit the NaN triple. Returns Seq(a, mu,
+    * sigma) shaped as the kept dims. */
+  def curvefitGaussianAlong(axis: Int, skipna: Boolean,
+                            globalStart: Long = 0L): Seq[NdArray] = {
+    require(axis >= 0 && axis < ndim, s"axis $axis out of range")
+    val keep = Array.range(0, ndim).filterNot(_ == axis)
+    val laneShape = keep.map(shape)
+    val aOut = NdArray.zeros(DType.F64, laneShape)
+    val mOut = NdArray.zeros(DType.F64, laneShape)
+    val sOut = NdArray.zeros(DType.F64, laneShape)
+    val nT = shape(axis)
+    val str = strides
+    val axStride = str(axis)
+    val idx = new Array[Int](ndim)
+    val tv = new Array[Double](nT)
+    val yv = new Array[Double](nT)
+    var lane = 0L
+    var done = false
+    while (!done) {
+      var base = 0L
+      var d = 0
+      while (d < ndim) { base += idx(d).toLong * str(d); d += 1 }
+      var m = 0
+      var poisoned = false
+      var j = 0
+      while (j < nT) {
+        val y = getDouble(base + j.toLong * axStride)
+        if (!y.isNaN) { tv(m) = (globalStart + j).toDouble; yv(m) = y; m += 1 }
+        else if (!skipna) poisoned = true
+        j += 1
+      }
+      val (pa, pm, ps) =
+        if (poisoned || m < 3) (Double.NaN, Double.NaN, Double.NaN)
+        else NdArray.fitGaussian(tv, yv, m)
+      aOut.setDouble(lane, pa)
+      mOut.setDouble(lane, pm)
+      sOut.setDouble(lane, ps)
+      lane += 1
+      var dd = ndim - 1
+      var carry = true
+      while (dd >= 0 && carry) {
+        if (dd == axis) dd -= 1
+        else {
+          idx(dd) += 1
+          if (idx(dd) == shape(dd)) { idx(dd) = 0; dd -= 1 } else carry = false
+        }
+      }
+      if (carry) done = true
+    }
+    Seq(aOut, mOut, sOut)
+  }
+
   /** Median along the given axes — `quantileAlong(axes, 0.5, skipna)`. */
   def medianAlong(axes: Array[Int], skipna: Boolean): NdArray =
     quantileAlong(axes, 0.5, skipna)
@@ -2648,6 +2704,101 @@ object NdArray {
       it += 1
     }
     (l, k, t0)
+  }
+
+  /** Per-lane nonlinear least squares for the GAUSSIAN peak model
+    * y = a·exp(-(t-mu)²/(2·sigma²)) — xarray `curvefit` with the
+    * spectral/peak-fitting classic. Levenberg–Marquardt on the
+    * 3-parameter model, seeded by the moment method over positive
+    * values (mu₀ = Σt·y/Σy, sigma₀ from the second central moment,
+    * a₀ = max y) — exact up to rounding on zero-residual data.
+    * Deterministic sequential solve per lane. Returns (a, mu, sigma)
+    * with sigma > 0 by convention (the model is even in sigma); NaN
+    * triple when fewer than 3 valid points or no positive values. */
+  private[ndarray] def fitGaussian(t: Array[Double], y: Array[Double],
+                                   m: Int): (Double, Double, Double) = {
+    var ymax = 0.0
+    var sy = 0.0; var sty = 0.0
+    var i = 0
+    while (i < m) {
+      if (y(i) > 0) {
+        if (y(i) > ymax) ymax = y(i)
+        sy += y(i); sty += t(i) * y(i)
+      }
+      i += 1
+    }
+    if (m < 3 || ymax <= 0 || sy <= 0)
+      return (Double.NaN, Double.NaN, Double.NaN)
+    var a = ymax
+    var mu = sty / sy
+    var s2 = 0.0
+    i = 0
+    while (i < m) {
+      if (y(i) > 0) s2 += y(i) * (t(i) - mu) * (t(i) - mu)
+      i += 1
+    }
+    var sg = math.sqrt(s2 / sy)
+    if (!(sg > 0) || sg.isNaN) sg = 1.0
+    def sse(aa: Double, m0: Double, s0: Double): Double = {
+      var s = 0.0; var j = 0
+      while (j < m) {
+        val d = (t(j) - m0) / s0
+        val r = y(j) - aa * math.exp(-0.5 * d * d)
+        s += r * r; j += 1
+      }
+      s
+    }
+    var cur = sse(a, mu, sg)
+    var lambda = 1e-3
+    var it = 0
+    while (it < 80) {
+      // Jacobian columns: da = e, dmu = a·e·(t-mu)/s², ds = a·e·(t-mu)²/s³
+      var a11 = 0.0; var a12 = 0.0; var a13 = 0.0
+      var a22 = 0.0; var a23 = 0.0; var a33 = 0.0
+      var g1 = 0.0; var g2 = 0.0; var g3 = 0.0
+      var j = 0
+      while (j < m) {
+        val u = t(j) - mu
+        val e = math.exp(-0.5 * u * u / (sg * sg))
+        val r = y(j) - a * e
+        val d1 = e
+        val d2 = a * e * u / (sg * sg)
+        val d3 = a * e * u * u / (sg * sg * sg)
+        a11 += d1 * d1; a12 += d1 * d2; a13 += d1 * d3
+        a22 += d2 * d2; a23 += d2 * d3; a33 += d3 * d3
+        g1 += d1 * r; g2 += d2 * r; g3 += d3 * r
+        j += 1
+      }
+      val b11 = a11 * (1 + lambda)
+      val b22 = a22 * (1 + lambda)
+      val b33 = a33 * (1 + lambda)
+      val det = b11 * (b22 * b33 - a23 * a23) -
+        a12 * (a12 * b33 - a23 * a13) + a13 * (a12 * a23 - b22 * a13)
+      if (det == 0 || det.isNaN) it = 80
+      else {
+        val da = (g1 * (b22 * b33 - a23 * a23) -
+          a12 * (g2 * b33 - a23 * g3) + a13 * (g2 * a23 - b22 * g3)) / det
+        val dm = (b11 * (g2 * b33 - a23 * g3) -
+          g1 * (a12 * b33 - a23 * a13) + a13 * (a12 * g3 - g2 * a13)) / det
+        val ds = (b11 * (b22 * g3 - g2 * a23) -
+          a12 * (a12 * g3 - g2 * a13) + g1 * (a12 * a23 - b22 * a13)) / det
+        val ns = sse(a + da, mu + dm, sg + ds)
+        if (ns.isNaN || ns >= cur || sg + ds == 0.0) {
+          lambda *= 10
+          if (lambda > 1e12) it = 80
+        } else {
+          val rel = math.max(math.max(
+            math.abs(da) / (math.abs(a) + java.lang.Double.MIN_VALUE),
+            math.abs(dm) / (math.abs(mu) + java.lang.Double.MIN_VALUE)),
+            math.abs(ds) / (math.abs(sg) + java.lang.Double.MIN_VALUE))
+          a += da; mu += dm; sg += ds; cur = ns
+          lambda = math.max(lambda * 0.3, 1e-12)
+          if (rel < 1e-13 || cur <= 1e-28) it = 80
+        }
+      }
+      it += 1
+    }
+    (a, mu, math.abs(sg))
   }
 
   /** In-place tandem quicksort of `v[from, until)` ascending, with

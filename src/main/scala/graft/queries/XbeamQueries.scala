@@ -4543,6 +4543,46 @@ object XbeamQueries {
                CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS l,
                CAST(round(12.0 / CAST((SELECT T FROM ext) AS DOUBLE), 6) AS DOUBLE) AS k,
                CAST(round(CAST((SELECT T // 2 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS t0
+        FROM events ORDER BY x""")),
+
+    // --------------------------------------------------------------- x149
+    // Gaussian-peak curvefit y = a·exp(-(t-mu)²/(2·sigma²)) per x lane
+    // (xarray curvefit with the spectral/peak model — line fitting,
+    // pulse timing): the third 3-parameter Levenberg–Marquardt over the
+    // same cell-consolidated shuffle, seeded by the moment method.
+    // Planted parameters scale with the t extent like x148: a = 2+x%5,
+    // mu = T/2, sigma = T/10 — the peak sits mid-series with visible
+    // tails at every scale factor. Zero residual → recovery well under
+    // the 6-decimal round; planted values stated directly by the
+    // oracle (T from the same count, identical integer divisions).
+    QueryDef(
+      "x149_curvefit_gaussian",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sqlRound}
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = n / W
+        val df = t(s, dir, "events").selectExpr(
+          s"event_id div $W AS t", s"event_id % $W AS x",
+          s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) * " +
+            s"exp(-(CAST(event_id div $W AS DOUBLE) - ${tExt / 2}.0) * " +
+            s"(CAST(event_id div $W AS DOUBLE) - ${tExt / 2}.0) / " +
+            s"(2.0 * ${tExt / 10}.0 * ${tExt / 10}.0)) AS y")
+        val xds = TabularBridge.fromDataFrame(df, s,
+          dims = Seq("t" -> tExt, "x" -> W),
+          vars = Seq("y" -> DType.F64),
+          chunks = Map("t" -> 16, "x" -> 16))
+        TabularBridge.toDataFrame(xds.curvefitGaussian("t"))
+          .select(col("x"), sqlRound(col("y_cf_a"), 6).as("a"),
+            sqlRound(col("y_cf_mu"), 6).as("mu"),
+            sqlRound(col("y_cf_sigma"), 6).as("sigma"))
+          .orderBy("x")
+      },
+      Some(s"""
+        WITH ext AS (SELECT count(*) // $W AS T FROM events)
+        SELECT DISTINCT event_id % $W AS x,
+               CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
+               CAST(round(CAST((SELECT T // 2 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS mu,
+               CAST(round(CAST((SELECT T // 10 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS sigma
         FROM events ORDER BY x"""))
   )
 }

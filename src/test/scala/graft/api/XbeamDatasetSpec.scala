@@ -3444,6 +3444,42 @@ class XbeamDatasetSpec extends AnyFunSuite {
         (p.isNaN && q.isNaN) || p == q
       }, s"ch=$ch logistic chunking changed bits")
     }
+    // gaussian variant: planted a·exp(-(t-mu)²/(2σ²)) recovery across
+    // chunkings (moment-method seed); lane 1 has NaN holes, lane 2 is
+    // all-zero (no positive values -> NaN triple); sigma is positive by
+    // convention regardless of the solver's internal sign
+    def mkGauss(): NdArray = {
+      val v = NdArray.zeros(DType.F64, Array(40, 3))
+      val as2 = Array(4.0, 1.5, 0.0)
+      val mus = Array(20.0, 14.0, 0.0)
+      val sgs = Array(5.0, 3.0, 1.0)
+      for (t <- 0 until 40; x <- 0 until 2)
+        v.setDouble(t * 3L + x,
+          as2(x) * math.exp(-(t - mus(x)) * (t - mus(x)) / (2 * sgs(x) * sgs(x))))
+      v.setDouble(4 * 3L + 1, Double.NaN)
+      v.setDouble(25 * 3L + 1, Double.NaN)
+      v
+    }
+    var gaussRef: Array[Double] = null
+    for (ch <- Seq(7, 40)) {
+      val c = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t", "x"), mkGauss())), chunks = Map("t" -> ch))
+        .curvefitGaussian("t").collectConsolidated()._2
+      val ga2 = c.vars("v_cf_a").arr.toDoubles
+      val gm = c.vars("v_cf_mu").arr.toDoubles
+      val gs = c.vars("v_cf_sigma").arr.toDoubles
+      assert(math.abs(ga2(0) - 4.0) < 1e-7 && math.abs(gm(0) - 20.0) < 1e-6 &&
+        math.abs(gs(0) - 5.0) < 1e-6, s"ch=$ch ${ga2(0)}/${gm(0)}/${gs(0)}")
+      assert(math.abs(ga2(1) - 1.5) < 1e-7 && math.abs(gm(1) - 14.0) < 1e-6 &&
+        math.abs(gs(1) - 3.0) < 1e-6, s"ch=$ch ${ga2(1)}/${gm(1)}/${gs(1)}")
+      assert(gs(0) > 0 && gs(1) > 0, s"ch=$ch sigma sign convention")
+      assert(ga2(2).isNaN && gm(2).isNaN && gs(2).isNaN,
+        s"ch=$ch all-zero lane must be NaN (no positive values)")
+      if (gaussRef == null) gaussRef = ga2 ++ gm ++ gs
+      else assert((ga2 ++ gm ++ gs).zip(gaussRef).forall { case (p, q) =>
+        (p.isNaN && q.isNaN) || p == q
+      }, s"ch=$ch gaussian chunking changed bits")
+    }
   }
 
   test("rollingConstruct: window view matches manual lags at any chunking") {

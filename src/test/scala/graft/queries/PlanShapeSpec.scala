@@ -427,6 +427,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(ds.curvefitLogistic("t")) ==
       exchanges(ds.median(Set("t"))),
       "curvefitLogistic must match median's cell-consolidation plan shape")
+    assert(exchanges(ds.curvefitGaussian("t")) ==
+      exchanges(ds.median(Set("t"))),
+      "curvefitGaussian must match median's cell-consolidation plan shape")
     // rollingNd mean/var/std: the moment planes ride the SAME per-dim
     // halo exchanges the separable sum uses — plane derivation and the
     // closed-form fold are narrow maps, never extra shuffles
