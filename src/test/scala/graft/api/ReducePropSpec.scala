@@ -329,6 +329,50 @@ class ReducePropSpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("curvefitLogistic/Gaussian recover random planted curves under NaN holes") {
+    // the 3-parameter siblings of the exp property: random planted
+    // (L, k, t0) sigmoids and (a, mu, sigma) peaks with random NaN
+    // holes and chunkings. The shape parameters are drawn so the curve
+    // stays identifiable over [0, n): transition/peak mid-series,
+    // width a fraction of the extent. Recovery within 1e-5 relative
+    // wherever >= 3 valid points remain; NaN triple otherwise.
+    val g = for {
+      n <- Gen.chooseNum(24, 48)
+      chunk <- Gen.chooseNum(1, 48)
+      amp8 <- Gen.chooseNum(8, 48)       // amplitude 1 .. 6
+      mid <- Gen.chooseNum(40, 60)       // center at 40-60% of n
+      width <- Gen.chooseNum(12, 25)     // width = n/100*width*...
+      holes <- Gen.listOfN(48, Gen.frequency(9 -> false, 1 -> true))
+      gauss <- Gen.oneOf(true, false)
+    } yield (n, math.min(chunk, n), amp8 / 8.0, mid, width, holes.toArray, gauss)
+    check(Prop.forAllNoShrink(g) { case (n, chunk, amp, mid, width, holes, gauss) =>
+      val t0 = n * mid / 100.0
+      val w = n * width / 100.0 // sigma, or 1/k scale
+      val vals = Array.tabulate(n) { i =>
+        if (holes(i)) Double.NaN
+        else if (gauss) amp * math.exp(-(i - t0) * (i - t0) / (2 * w * w))
+        else amp / (1.0 + math.exp(-(4.0 / w) * (i - t0)))
+      }
+      val valid = vals.count(!_.isNaN)
+      val ds = XbeamDataset.fromLocal(spark,
+        Map("v" -> (Seq("t"), NdArray.fromDoubles(DType.F64, Array(n), vals))),
+        chunks = Map("t" -> chunk))
+      val c = (if (gauss) ds.curvefitGaussian("t") else ds.curvefitLogistic("t"))
+        .collectConsolidated()._2
+      val p1 = c.vars(if (gauss) "v_cf_a" else "v_cf_l").arr.getDouble(0L)
+      val p2 = c.vars(if (gauss) "v_cf_mu" else "v_cf_t0").arr.getDouble(0L)
+      val p3 = c.vars(if (gauss) "v_cf_sigma" else "v_cf_k").arr.getDouble(0L)
+      val want3 = if (gauss) w else 4.0 / w
+      val ok =
+        if (valid < 3) p1.isNaN && p2.isNaN && p3.isNaN
+        else math.abs(p1 - amp) < 1e-5 * amp &&
+          math.abs(p2 - t0) < 1e-5 * math.max(1, t0) &&
+          math.abs(p3 - want3) < 1e-5 * want3
+      ok :| s"gauss=$gauss n=$n chunk=$chunk amp=$amp t0=$t0 w=$w " +
+        s"valid=$valid got=($p1, $p2, $p3)"
+    }, n = 60)
+  }
+
   test("rollingNd mean/var match naive rectangle moments on random grids") {
     val g = for {
       nt <- Gen.chooseNum(2, 8)
