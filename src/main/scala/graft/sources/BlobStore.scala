@@ -198,11 +198,32 @@ object LocalFsStore extends BlobStore {
     } finally ch.close()
   }
 
+  /** Atomic whole-blob write: stage to a same-directory temp file and
+    * rename into place. Direct truncate+write would let CONCURRENT
+    * duplicate attempts of the same chunk (speculative execution, a
+    * zombie task racing its retry) interleave into a torn file — the
+    * idempotent-retry contract needs last-writer-wins of a COMPLETE
+    * payload, which object stores give per-PUT and the local FS only
+    * gives via rename (the same atomicity note the reference leans on,
+    * zarr.py:248-251). Unique temp names keep concurrent stagers from
+    * clobbering each other before their renames. */
   override def write(url: String, bytes: Array[Byte]): Unit = {
     val f = p(url)
     Option(f.getParent).foreach(Files.createDirectories(_))
-    Files.write(f, bytes, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+    val tmp = f.resolveSibling(
+      f.getFileName.toString + ".tmp." +
+        java.lang.Long.toHexString(Thread.currentThread.getId) + "." +
+        java.lang.Long.toHexString(System.nanoTime()))
+    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW,
+      StandardOpenOption.WRITE)
+    try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // exotic filesystems: fall back to a plain replace (still a
+        // rename on POSIX; at worst the pre-fix behavior)
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   override def exists(url: String): Boolean = Files.exists(p(url))

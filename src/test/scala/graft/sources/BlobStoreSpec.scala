@@ -48,6 +48,56 @@ class BlobStoreSpec extends AnyFunSuite {
     assert(LocalFsStore.listChildren(root) == Seq("a"))
   }
 
+  test("local store: concurrent duplicate writers never expose a torn blob") {
+    // the speculative-execution / zombie-vs-retry shape: two attempts
+    // write the SAME key with complete (here: distinct) payloads
+    // concurrently while readers poll. Atomic temp+rename means every
+    // observed state is ONE complete payload — a truncate+write path
+    // would interleave. 2 MB payloads x 40 rounds x 4 writer threads.
+    val root = Files.createTempDirectory("blobrace").toString
+    val key = s"$root/store/chunk.0"
+    val pa = Array.fill[Byte](2 << 20)('A')
+    val pb = Array.fill[Byte](2 << 20)('B')
+    LocalFsStore.write(key, pa)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val writers = (0 until 4).map { i =>
+      new Thread(() => {
+        var r = 0
+        while (r < 40 && !stop.get) {
+          LocalFsStore.write(key, if ((r + i) % 2 == 0) pa else pb)
+          r += 1
+        }
+      })
+    }
+    val reader = new Thread(() => {
+      while (!stop.get) {
+        val got = LocalFsStore.read(key)
+        if (got.length != pa.length)
+          torn.compareAndSet(null, s"short read: ${got.length}")
+        else {
+          val first = got(0)
+          var j = 1
+          while (j < got.length) {
+            if (got(j) != first) {
+              torn.compareAndSet(null, s"mixed payload at byte $j")
+              j = got.length
+            } else j += 1
+          }
+        }
+      }
+    })
+    reader.start(); writers.foreach(_.start())
+    writers.foreach(_.join(30000))
+    stop.set(true); reader.join(5000)
+    assert(torn.get == null, s"torn blob observed: ${torn.get}")
+    // no temp files linger after clean completion
+    val leftovers = Files.list(java.nio.file.Paths.get(root, "store"))
+    try assert(!leftovers.toArray.map(_.toString).exists(_.contains(".tmp.")),
+      "orphaned temp files after clean writes")
+    finally leftovers.close()
+  }
+
   test("StagedWrites buffers until flush, reads through, lists union") {
     val root = Files.createTempDirectory("staged").toString
     LocalFsStore.write(s"$root/pre/.zarray", Array[Byte](9))
