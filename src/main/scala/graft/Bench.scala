@@ -80,6 +80,72 @@ object Bench {
       once() // warm the IO path untimed
       (1 to 3).map(_ => once()).min
     } catch { case _: Throwable => -1.0 }
+    // Host-IO READ drift sentinel (round 19+; see BASELINE.md "Store
+    // read drift sentinel"): the write sentinel cannot see drift on the
+    // re-read half of write-then-reread gates (x05/x10/x109/x110 read
+    // 2.3-3.5x baseline in the r18 driver run while the write sentinel
+    // sat in band at 1.16x; the isolated A/B proved the code innocent).
+    // Measure the read path directly: two FIXED 32 MiB stores written
+    // once untimed — (a) v3+zstd in 64 chunks of 512 KiB (per-file open
+    // + decode, the many-small-GETs shape of a chunked store re-read)
+    // and (b) v3 sharded uncompressed, 2 shards x 32 inner chunks
+    // (shard-index fetch + ranged GETs of the shard interior) — then a
+    // timed full decode of (a) plus interior ranged reads of (b), one
+    // untimed warm rep then best-of-3. Page cache is deliberately warm:
+    // the gates this governs re-read stores they just wrote.
+    val sentinelReadSec: Double = try {
+      import graft.core.{Template, VarSpec}
+      import graft.ndarray.{DType, NdArray}
+      import graft.sources.Zarr
+      val tmpl = Template(Seq("t" -> 2048L, "x" -> 2048L),
+        Map("v" -> VarSpec(Seq("t", "x"), DType.F64)), Map.empty, Map.empty)
+      // Moderately compressible payload: repeating value cycle so zstd
+      // really compresses (decode does real work) without the
+      // all-zeros degenerate case (near-free decode).
+      val block = NdArray.zeros(DType.F64, Array(512, 2048))
+      locally {
+        var i = 0
+        while (i < 512 * 2048) { block.setDouble(i, (i % 4099) * 0.5); i += 1 }
+      }
+      val dirA = java.nio.file.Files
+        .createTempDirectory("graft_sentinel_rd_a").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory("graft_sentinel_rd_b").toString
+      Zarr.setupStore(dirA, tmpl, Map("t" -> 128, "x" -> 512),
+        compressor = Some("zstd"), zarrFormat = 3)
+      Zarr.setupStore(dirB, tmpl, Map("t" -> 128, "x" -> 512),
+        zarrFormat = 3, shards = Map("t" -> 1024, "x" -> 2048))
+      (0 until 4).foreach { i =>
+        val st = Array(i * 512L, 0L)
+        Zarr.writeRegion(dirA, "v",
+          Zarr.readArrayMeta(dirA, "v"), st, block)
+      }
+      (0 until 2).foreach { i =>
+        val shard = NdArray.zeros(DType.F64, Array(1024, 2048))
+        var j = 0
+        while (j < 1024 * 2048) { shard.setDouble(j, (j % 4099) * 0.5); j += 1 }
+        Zarr.writeRegion(dirB, "v",
+          Zarr.readArrayMeta(dirB, "v"), Array(i * 1024L, 0L), shard)
+      }
+      val metaA = Zarr.readArrayMeta(dirA, "v")
+      val metaB = Zarr.readArrayMeta(dirB, "v")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // (a) full chunked decode: 64 file opens + zstd decode of 32 MiB
+        Zarr.readRegion(dirA, "v", metaA, Array(0L, 0L), Array(2048, 2048))
+        // (b) four interior ranged reads, one inner chunk each, from
+        // both shards (shard-index GET + ranged data GET per read)
+        Seq(256L, 640L, 1280L, 1664L).foreach { t =>
+          Zarr.readRegion(dirB, "v", metaB, Array(t, 512L), Array(128, 512))
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm untimed
+      val best = (1 to 3).map(_ => once()).min
+      graft.core.Fs.deleteRecursively(dirA)
+      graft.core.Fs.deleteRecursively(dirB)
+      best
+    } catch { case _: Throwable => -1.0 }
     // Untimed warmup: exercise whole-stage codegen, the shuffle path,
     // window exec, and the parquet reader once so the first measured
     // query doesn't absorb session/JIT initialization (~5s measured).
@@ -230,7 +296,7 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
     // "detail" names the committed file carrying ALL per-query rows +
@@ -238,7 +304,7 @@ object Bench {
     // the harness's ~2000-char stdout retention — an overflowed line is
     // never parsed at all, observed r04); independent per-query audits
     // read bench_detail.json, which is committed every round.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"n":${tightened.size},"detail":"bench_detail.json","sf":"$sfDir","""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},"n":${tightened.size},"detail":"bench_detail.json","sf":"$sfDir","""
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size
