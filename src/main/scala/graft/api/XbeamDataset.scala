@@ -726,20 +726,23 @@ final class XbeamDataset private (
     * cross the wire — each pass ships its own window−1 halo slivers
     * of the (constant ×2 or ×3) moment planes.
     *
-    * `minPeriods`: sum with minPeriods=1 and min/max chain the
-    * NaN-poisoning 1-D passes directly; sum with minPeriods>1 rides
-    * the moment machinery so the RECTANGLE's valid count gates the
-    * result (xarray/bottleneck `min_count`: NaN-skipping sum, NaN
-    * below minPeriods valid cells — a per-pass threshold could not
-    * express a rectangle count); min/max reject minPeriods>1 loudly
-    * (no separable valid-count decomposition exists for extremes).
+    * `minPeriods`: sum with minPeriods UNSET (<=0, the default) and
+    * min/max chain the NaN-poisoning 1-D passes directly; sum with any
+    * EXPLICIT minPeriods>=1 rides the moment machinery so the
+    * RECTANGLE's valid count gates the result (xarray/bottleneck
+    * `min_count`: NaN-skipping sum, NaN below minPeriods valid cells —
+    * a per-pass threshold could not express a rectangle count; and
+    * explicit minPeriods=1 means min_count=1, i.e. the valid-sum, NOT
+    * the poison path — raising minPeriods can only add NaNs); min/max
+    * reject minPeriods>1 loudly (no separable valid-count
+    * decomposition exists for extremes).
     *
     * A variable spanning only SOME window dims rolls over the dims it
     * has (the per-dim passes skip dims a variable lacks — the same
     * behavior as chaining 1-D rollings); variables spanning none pass
     * through untouched. */
   def rollingNd(windows: Map[String, Int], op: String,
-                minPeriods: Int = 1): XbeamDataset = {
+                minPeriods: Int = 0): XbeamDataset = {
     require(windows.nonEmpty, "rollingNd needs at least one dim")
     require(Set("sum", "min", "max", "mean", "var", "std")(op),
       s"rollingNd supports sum|min|max|mean|var|std, got $op " +
@@ -757,12 +760,15 @@ final class XbeamDataset private (
       s"rollingNd($op) does not support minPeriods > 1: extremes have " +
         "no separable valid-count decomposition (the NaN-poisoning " +
         "kernel already yields NaN for any rectangle containing NaN)")
-    // sum with minPeriods=1 keeps the chained NaN-poisoning fast path
-    // (1-D rolling parity); minPeriods>1 falls through to the moment
-    // machinery below, whose count plane gates the RECTANGLE's valid
-    // count — xarray/bottleneck min_count semantics (NaN-skipping sum,
-    // NaN below minPeriods valid cells).
-    if (Set("min", "max")(op) || (op == "sum" && minPeriods <= 1))
+    // sum with minPeriods UNSET (<=0, the default) keeps the chained
+    // NaN-poisoning fast path (1-D rolling parity); any EXPLICIT
+    // minPeriods>=1 falls through to the moment machinery below, whose
+    // count plane gates the RECTANGLE's valid count — xarray/bottleneck
+    // min_count semantics (NaN-skipping sum, NaN below minPeriods valid
+    // cells). Routing explicit minPeriods=1 through the moment path too
+    // keeps the semantics monotone: raising minPeriods can only ADD
+    // NaNs, never remove the fast path's poison-NaNs.
+    if (Set("min", "max")(op) || (op == "sum" && minPeriods <= 0))
       return windows.foldLeft(this) { case (ds, (d, w)) => ds.rolling(d, w, op) }
     val needS2 = op == "var" || op == "std"
     val wdims = windows.keySet

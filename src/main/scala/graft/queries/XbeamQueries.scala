@@ -4522,6 +4522,11 @@ object XbeamQueries {
         import org.apache.spark.sql.functions.{col, round => sqlRound}
         val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
         val tExt = n / W
+        // The planted midpoint tExt/2 is an integer division; below 2
+        // rows per column the curve degenerates and the gate would fail
+        // as a confusing value mismatch instead of loudly here.
+        require(tExt >= 2, s"x148 needs events rows >= ${2 * W} " +
+          s"(t extent $tExt < 2 at this scale factor)")
         val df = t(s, dir, "events").selectExpr(
           s"event_id div $W AS t", s"event_id % $W AS x",
           s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) / " +
@@ -4561,6 +4566,12 @@ object XbeamQueries {
         import org.apache.spark.sql.functions.{col, round => sqlRound}
         val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
         val tExt = n / W
+        // sigma is planted as tExt/10 (integer division): below 10 rows
+        // per column it is 0 and the generator divides by zero (NaN/Inf
+        // y) while the oracle states sigma=0 — fail loudly instead.
+        require(tExt >= 10, s"x149 needs events rows >= ${10 * W} " +
+          s"(t extent $tExt < 10 at this scale factor makes the " +
+          "planted sigma = tExt/10 zero)")
         val df = t(s, dir, "events").selectExpr(
           s"event_id div $W AS t", s"event_id % $W AS x",
           s"CAST(2 + (event_id % $W) % 5 AS DOUBLE) * " +

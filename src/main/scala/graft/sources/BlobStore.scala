@@ -214,15 +214,25 @@ object LocalFsStore extends BlobStore {
       f.getFileName.toString + ".tmp." +
         java.lang.Long.toHexString(Thread.currentThread.getId) + "." +
         java.lang.Long.toHexString(System.nanoTime()))
-    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW,
-      StandardOpenOption.WRITE)
-    try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        // exotic filesystems: fall back to a plain replace (still a
-        // rename on POSIX; at worst the pre-fix behavior)
-        Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Any failure after the temp exists (disk full mid-write, an
+    // interrupt, a rename error) must not orphan the .tmp — orphans
+    // accumulate in the store directory where listing-based scans can
+    // observe them.
+    try {
+      Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW,
+        StandardOpenOption.WRITE)
+      try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // exotic filesystems: fall back to a plain replace (still a
+          // rename on POSIX; at worst the pre-fix behavior)
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw e
     }
   }
 
@@ -400,7 +410,12 @@ object HttpStore extends BlobStore {
           // a failed verify is retryable like a 5xx. Durability past
           // the verified HEAD is necessarily delegated to the gateway.
           case 202 =>
-            val ok =
+            // A genuinely asynchronous gateway may materialize the blob
+            // a beat after acknowledging; re-HEAD with a short bounded
+            // backoff before declaring the verify failed, so
+            // eventual-consistency within a few hundred ms still
+            // succeeds without burning a full PUT retry.
+            def headOnce(): Boolean =
               try {
                 val head = request(url, head = true)
                 head.statusCode() == 200 && {
@@ -408,6 +423,13 @@ object HttpStore extends BlobStore {
                   !len.isPresent || len.get.toLong == bytes.length.toLong
                 }
               } catch { case _: java.io.IOException => false }
+            var verifies = 0
+            var ok = headOnce()
+            while (!ok && verifies < 2) {
+              Thread.sleep(baseBackoffMs << verifies)
+              verifies += 1
+              ok = headOnce()
+            }
             if (ok) {
               BlobStore.bytesWritten.addAndGet(bytes.length.toLong)
               return

@@ -1442,10 +1442,21 @@ class XbeamDatasetSpec extends AnyFunSuite {
         .sameAs(intBroadcast))
       val joined = era5ds(Map("time" -> 4)).anomaly(Set("time"))
         .collectConsolidated()._2
-      assert(joined.vars("temperature").arr.allClose(
-        broadcast.vars("temperature").arr, 1e-12))
-      assert(joined.vars("precip").arr.allClose(
-        broadcast.vars("precip").arr, 1e-12))
+      // Single-JVM merge order is stable, so demand bit-exactness there
+      // (the regression signal this test originally carried); only
+      // multi-JVM runs — where partial-merge order is genuinely
+      // unpinned — get the float tolerance.
+      if (!graft.TestSpark.isMultiJvm) {
+        assert(joined.vars("temperature").arr.sameAs(
+          broadcast.vars("temperature").arr))
+        assert(joined.vars("precip").arr.sameAs(
+          broadcast.vars("precip").arr))
+      } else {
+        assert(joined.vars("temperature").arr.allClose(
+          broadcast.vars("temperature").arr, 1e-12))
+        assert(joined.vars("precip").arr.allClose(
+          broadcast.vars("precip").arr, 1e-12))
+      }
       // zscore composes two reduced zips; both must survive the fallback.
       // Tolerance 1e-8: the population variance's cancelling form
       // (q/n − μ²) subtracts ~1e5-magnitude operands on ~285-valued
@@ -1456,7 +1467,8 @@ class XbeamDatasetSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.zipReduced.broadcastBytes")
       val zb = era5ds(Map("time" -> 4)).zscore(Set("time"))
         .collectConsolidated()._2.vars("temperature").arr
-      assert(z.allClose(zb, 1e-8))
+      if (!graft.TestSpark.isMultiJvm) assert(z.sameAs(zb))
+      else assert(z.allClose(zb, 1e-8))
     } finally spark.conf.unset("spark.graft.zipReduced.broadcastBytes")
   }
 
