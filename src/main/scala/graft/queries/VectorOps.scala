@@ -93,6 +93,118 @@ object VectorOps {
     (1 to maxBits).find(b => targetPop << b >= n).getOrElse(maxBits)
   }
 
+  /** The SemDeDup oracle CTE chain shared by e09 and e19: quantized
+    * k-means training + assignment + within-cell duplicate detection.
+    * Exposes CTEs `eraw` (vec_id, embedding, nrm), `assign`
+    * (vec_id, embedding, nrm, cell_id) and `dups` (b_id, dup_of). */
+  private lazy val SEMDEDUP_DUCK: String =
+    s"""eraw AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
+        e AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+        ed AS (SELECT vec_id, q,
+                      list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
+                      ${dotDuck("list_transform(q, v -> CAST(v AS DOUBLE))",
+                                "list_transform(q, v -> CAST(v AS DOUBLE))")} AS qq
+               FROM e),
+        kv AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+               FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id, qd AS c, qq AS cc FROM ed
+               WHERE vec_id < (SELECT k FROM kv)),
+        s1 AS (SELECT ed.vec_id, c0.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c0.c")} + c0.cc AS d2
+               FROM ed, c0),
+        m1 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s1) WHERE rk = 1),
+        u1 AS (SELECT m1.cent_id, t.i, sum(e.q[t.i]) AS sv, count(*) AS n
+               FROM m1 JOIN e USING (vec_id),
+                    unnest(generate_series(1, len(e.q))) AS t(i)
+               GROUP BY 1, 2),
+        c1 AS (SELECT cent_id,
+                      list(CAST(sv AS DOUBLE) / n ORDER BY i) AS c
+               FROM u1 GROUP BY 1),
+        c1x AS (SELECT cent_id, c, ${dotDuck("c", "c")} AS cc FROM c1),
+        s2 AS (SELECT ed.vec_id, c1x.cent_id,
+                      ed.qq - 2 * ${dotDuck("ed.qd", "c1x.c")} + c1x.cc AS d2
+               FROM ed, c1x),
+        m2 AS (SELECT vec_id, cent_id FROM (
+                 SELECT vec_id, cent_id,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+                 FROM s2) WHERE rk = 1),
+        assign AS (SELECT eraw.vec_id, eraw.embedding, eraw.nrm,
+                          m2.cent_id AS cell_id
+                   FROM eraw JOIN m2 USING (vec_id)),
+        dups AS (
+          SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
+          FROM assign a JOIN assign b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
+          GROUP BY b.vec_id)"""
+
+  /** Shared SemDeDup core (e09, and e19's dedup phase): trained-cell
+    * assignment + within-cell least-earlier-id duplicate detection with
+    * adaptive hot-cell salting. Returns (vec_id, cell_id, dup_of) —
+    * dup_of NULL = survivor. See the e09 gate comment for the full
+    * scale story. */
+  private def semdedupCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
+        val (eq, ed) = kmeansQuantized(s, dir)
+        // k scales with the corpus (driver-side scalar count — one
+        // metadata-sized aggregate, the oracle computes the same)
+        val k = math.max(8L, math.ceil(eq.count() / 64.0).toLong)
+        val c1 = kmeansUpdate(eq, kmeansAssign(ed, kmeansSeeds(ed, k)))
+        val assign = e.join(
+          kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
+          "vec_id")
+        // Hot-cell skew gate: a degenerate centroid can swallow far
+        // more than the ~64-member average, and the within-cell
+        // pairwise join would then compute that cell's P^2 pairs in
+        // ONE task. Adaptive salting splits only cells above
+        // `spark.graft.semdedup.cellCap` (default 4096) into
+        // ceil(P/cap) id-blocks and enumerates block PAIRS as extra
+        // join-key bits — a hot cell's quadratic work spreads over
+        // nblk*(nblk+1)/2 tasks at (P/nblk)^2 each. Normal cells get
+        // nblk = 1: zero replication, the exact original join. The
+        // hot-cell table is tiny by construction (skew is the
+        // exception) and broadcasts.
+        val cellCap = s.conf.get("spark.graft.semdedup.cellCap", "4096").toInt
+        val hot = assign.groupBy($"cell_id").agg(count(lit(1)).as("pop"))
+          .filter($"pop" > cellCap)
+          .select($"cell_id",
+            ceil($"pop" / cellCap.toDouble).cast("int").as("nblk"))
+        val salted = assign.join(broadcast(hot), Seq("cell_id"), "left")
+          .withColumn("nblk", coalesce($"nblk", lit(1)))
+          .withColumn("blk", pmod($"vec_id", $"nblk").cast("int"))
+        def side(p: String) = salted
+          .withColumn("o", explode(sequence(lit(0), $"nblk" - 1)))
+          .select($"cell_id",
+            (least($"blk", $"o") * $"nblk" + greatest($"blk", $"o")).as("pk"),
+            $"blk".as(s"${p}_blk"), $"nblk".as(s"${p}_nblk"),
+            $"vec_id".as(s"${p}_id"), $"embedding".as(s"${p}_emb"),
+            $"nrm".as(s"${p}_nrm"))
+        // cross-block pairs meet at exactly one pk (both orderings,
+        // deduped by a_id < b_id); same-block pairs meet at every pk
+        // containing their block, so they count only at pk(blk, blk)
+        val dups = side("a").join(side("b"), Seq("cell_id", "pk"))
+          .filter($"a_id" < $"b_id" &&
+            ($"a_blk" =!= $"b_blk" ||
+             $"pk" === $"a_blk" * $"a_nblk" + $"a_blk"))
+          .withColumn("cosine",
+            expr(dotSpark("a_emb", "b_emb")) / ($"a_nrm" * $"b_nrm"))
+          .filter($"cosine" >= 0.40)
+          .groupBy($"b_id").agg(min($"a_id").as("dup_of"))
+        assign.select($"vec_id", $"cell_id")
+          .join(dups, $"vec_id" === $"b_id", "left")
+          .select($"vec_id", $"cell_id", $"dup_of")
+  }
+
   // ---- shared k-means machinery (e08 trainer, e09 SemDeDup cells) ----
   // Bit-deterministic across engines and partitionings: coordinates
   // quantize to integers (floor(x*1000)), centroid updates sum exact
@@ -528,107 +640,9 @@ object VectorOps {
     // assignment folds floats in a fixed dim order: bit-exact.
     QueryDef(
       "e09_semdedup",
-      (s, dir) => {
-        import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val e = t(s, dir, "embeddings")
-          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
-        val (eq, ed) = kmeansQuantized(s, dir)
-        // k scales with the corpus (driver-side scalar count — one
-        // metadata-sized aggregate, the oracle computes the same)
-        val k = math.max(8L, math.ceil(eq.count() / 64.0).toLong)
-        val c1 = kmeansUpdate(eq, kmeansAssign(ed, kmeansSeeds(ed, k)))
-        val assign = e.join(
-          kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
-          "vec_id")
-        // Hot-cell skew gate: a degenerate centroid can swallow far
-        // more than the ~64-member average, and the within-cell
-        // pairwise join would then compute that cell's P^2 pairs in
-        // ONE task. Adaptive salting splits only cells above
-        // `spark.graft.semdedup.cellCap` (default 4096) into
-        // ceil(P/cap) id-blocks and enumerates block PAIRS as extra
-        // join-key bits — a hot cell's quadratic work spreads over
-        // nblk*(nblk+1)/2 tasks at (P/nblk)^2 each. Normal cells get
-        // nblk = 1: zero replication, the exact original join. The
-        // hot-cell table is tiny by construction (skew is the
-        // exception) and broadcasts.
-        val cellCap = s.conf.get("spark.graft.semdedup.cellCap", "4096").toInt
-        val hot = assign.groupBy($"cell_id").agg(count(lit(1)).as("pop"))
-          .filter($"pop" > cellCap)
-          .select($"cell_id",
-            ceil($"pop" / cellCap.toDouble).cast("int").as("nblk"))
-        val salted = assign.join(broadcast(hot), Seq("cell_id"), "left")
-          .withColumn("nblk", coalesce($"nblk", lit(1)))
-          .withColumn("blk", pmod($"vec_id", $"nblk").cast("int"))
-        def side(p: String) = salted
-          .withColumn("o", explode(sequence(lit(0), $"nblk" - 1)))
-          .select($"cell_id",
-            (least($"blk", $"o") * $"nblk" + greatest($"blk", $"o")).as("pk"),
-            $"blk".as(s"${p}_blk"), $"nblk".as(s"${p}_nblk"),
-            $"vec_id".as(s"${p}_id"), $"embedding".as(s"${p}_emb"),
-            $"nrm".as(s"${p}_nrm"))
-        // cross-block pairs meet at exactly one pk (both orderings,
-        // deduped by a_id < b_id); same-block pairs meet at every pk
-        // containing their block, so they count only at pk(blk, blk)
-        val dups = side("a").join(side("b"), Seq("cell_id", "pk"))
-          .filter($"a_id" < $"b_id" &&
-            ($"a_blk" =!= $"b_blk" ||
-             $"pk" === $"a_blk" * $"a_nblk" + $"a_blk"))
-          .withColumn("cosine",
-            expr(dotSpark("a_emb", "b_emb")) / ($"a_nrm" * $"b_nrm"))
-          .filter($"cosine" >= 0.40)
-          .groupBy($"b_id").agg(min($"a_id").as("dup_of"))
-        assign.select($"vec_id", $"cell_id")
-          .join(dups, $"vec_id" === $"b_id", "left")
-          .select($"vec_id", $"cell_id", $"dup_of")
-          .orderBy($"vec_id")
-      },
+      (s, dir) => semdedupCells(s, dir).orderBy(col("vec_id")),
       Some(s"""
-        WITH eraw AS (SELECT vec_id, embedding, $NORM_DUCK AS nrm FROM embeddings),
-        e AS (SELECT vec_id,
-                list_transform(embedding,
-                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-              FROM embeddings),
-        ed AS (SELECT vec_id, q,
-                      list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
-                      ${dotDuck("list_transform(q, v -> CAST(v AS DOUBLE))",
-                                "list_transform(q, v -> CAST(v AS DOUBLE))")} AS qq
-               FROM e),
-        kv AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
-               FROM embeddings),
-        c0 AS (SELECT vec_id AS cent_id, qd AS c, qq AS cc FROM ed
-               WHERE vec_id < (SELECT k FROM kv)),
-        s1 AS (SELECT ed.vec_id, c0.cent_id,
-                      ed.qq - 2 * ${dotDuck("ed.qd", "c0.c")} + c0.cc AS d2
-               FROM ed, c0),
-        m1 AS (SELECT vec_id, cent_id FROM (
-                 SELECT vec_id, cent_id,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
-                 FROM s1) WHERE rk = 1),
-        u1 AS (SELECT m1.cent_id, t.i, sum(e.q[t.i]) AS sv, count(*) AS n
-               FROM m1 JOIN e USING (vec_id),
-                    unnest(generate_series(1, len(e.q))) AS t(i)
-               GROUP BY 1, 2),
-        c1 AS (SELECT cent_id,
-                      list(CAST(sv AS DOUBLE) / n ORDER BY i) AS c
-               FROM u1 GROUP BY 1),
-        c1x AS (SELECT cent_id, c, ${dotDuck("c", "c")} AS cc FROM c1),
-        s2 AS (SELECT ed.vec_id, c1x.cent_id,
-                      ed.qq - 2 * ${dotDuck("ed.qd", "c1x.c")} + c1x.cc AS d2
-               FROM ed, c1x),
-        m2 AS (SELECT vec_id, cent_id FROM (
-                 SELECT vec_id, cent_id,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
-                 FROM s2) WHERE rk = 1),
-        assign AS (SELECT eraw.vec_id, eraw.embedding, eraw.nrm,
-                          m2.cent_id AS cell_id
-                   FROM eraw JOIN m2 USING (vec_id)),
-        dups AS (
-          SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
-          FROM assign a JOIN assign b
-            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-          WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.40
-          GROUP BY b.vec_id)
+        WITH $SEMDEDUP_DUCK
         SELECT m.vec_id, m.cell_id, d.dup_of
         FROM assign m LEFT JOIN dups d ON d.b_id = m.vec_id
         ORDER BY m.vec_id""")),
@@ -1289,6 +1303,64 @@ object VectorOps {
           SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                  ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // ---------------------------------------------------------------- e19
+    // The production composition of e09 and e18 as ONE lineage:
+    // SemDeDup FIRST, then the auto-sized LSH ANN index over SURVIVORS
+    // only (dedup-then-index — the order a training-data pipeline
+    // actually runs, because a duplicate cluster that reaches the
+    // serving index inflates every member's candidate list). The
+    // round-18 skew probe measured exactly that failure: a planted
+    // 2700-vector identical-direction cluster pushed bare e18 to 3.9x
+    // its uniform-corpus cost (3.64M genuine near-dup pairs), while
+    // e09 removed the cluster at 0.80x — composed, the hot cell never
+    // reaches the bucket join. Bits are sized from the SURVIVOR count
+    // (the corpus the index actually serves); the survivor id set is
+    // persisted across its two uses (count + join), metadata-small.
+    QueryDef(
+      "e19_dedup_then_index",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val surv = semdedupCells(s, dir).filter($"dup_of".isNull)
+          .select($"vec_id").persist()
+        val bits = autoLshBits(surv.count(), maxBits = 8) // 8 = oracle code length
+        val e = t(s, dir, "embeddings").join(surv, "vec_id")
+          .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
+                      s"${bucketSpark(bits)} AS bucket")
+        val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
+                         $"nrm".as("nrm_b"), $"bucket")
+        val scored = a.join(b, Seq("bucket"))
+          .filter($"vec_id" =!= $"neighbor_id")
+          .withColumn("cosine",
+            expr(dotSpark("emb_a", "emb_b")) / ($"nrm_a" * $"nrm_b"))
+        val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"neighbor_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"vec_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"cosine")
+          .orderBy($"vec_id", $"rank")
+      },
+      Some(s"""
+        WITH $SEMDEDUP_DUCK,
+        surv AS (SELECT m.vec_id FROM assign m
+                 LEFT JOIN dups d ON d.b_id = m.vec_id
+                 WHERE d.b_id IS NULL),
+        bits AS (
+          SELECT coalesce(min(b), 8) AS bits
+          FROM generate_series(1, 8) t(b)
+          WHERE 128 * (1::BIGINT << b) >= (SELECT count(*) FROM surv)),
+        se AS (SELECT e.vec_id, e.embedding, e.nrm,
+                      substr(${bucketDuck(8)}, 1, (SELECT bits FROM bits)) AS bucket
+               FROM eraw e JOIN surv USING (vec_id)),
+        scored AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+          FROM se a JOIN se b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
         SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)

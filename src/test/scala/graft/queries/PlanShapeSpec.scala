@@ -387,6 +387,34 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.semdedup.cellCap")
   }
 
+  test("e19 dedup-then-index: only e09 survivors reach the serving index") {
+    // The composed pipeline's contract: the ANN index is built over the
+    // SemDeDup survivor set — no duplicate id may appear on either side
+    // of a neighbor pair — and the per-vector result keeps the e18
+    // shape (ranks 1..k, cosines non-increasing, no self-pairs).
+    val sem = graft.SparkEntry.queries("e09_semdedup")(spark, dir).collect()
+    val survivors = sem.filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.size < sem.length,
+      "fixture must contain both survivors and duplicates")
+    val idx = graft.SparkEntry.queries("e19_dedup_then_index")(spark, dir)
+    val p = idx.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "the survivor bucket join must stay an equi-join")
+    val rows = idx.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(survivors(r.getLong(0)) && survivors(r.getLong(1)),
+        s"non-survivor id in the serving index: $r")
+      assert(r.getLong(0) != r.getLong(1), s"self-pair: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"q=$q ranks $ranks")
+      val cos = rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, s"q=$q cosines not descending")
+    }
+  }
+
   test("e05 two-stage top-k: salted pre-rank keeps the exact top-3") {
     // the salted stage must never change results — compare against the
     // oracle-shaped invariant: ranks are 1..3 per query, cosines
