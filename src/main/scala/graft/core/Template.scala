@@ -2,8 +2,16 @@ package graft.core
 
 import graft.ndarray.{DType, NdArray}
 
-/** Schema of one variable in the virtual whole dataset. */
-final case class VarSpec(dims: Seq[String], dtype: DType) {
+/** Schema of one variable in the virtual whole dataset. `fillValue`
+  * overrides the store default fill (NaN for floats, 0 for ints) when
+  * the variable's zarr metadata is written — the lever that makes
+  * metadata-only store initialization possible: an accumulator store
+  * declared with fillValue=0 needs ZERO chunk writes for absent cells
+  * to read back as explicit zeros (readRegion materializes absent
+  * blocks from the stored fill_value), where a zero-init batch write
+  * would touch every chunk of a possibly-huge store. */
+final case class VarSpec(dims: Seq[String], dtype: DType,
+                         fillValue: Option[Double] = None) {
   def shape(dimSizes: Map[String, Long]): Seq[Long] = dims.map(dimSizes)
 }
 

@@ -806,11 +806,12 @@ object Zarr {
       val sh = if (shards.isEmpty) None
         else Some(spec.dims.zip(ch).map { case (d, c) => shards.getOrElse(d, c) })
       writeArrayMeta(store, path, name, shape, ch, spec.dtype, spec.dims, comp,
-        zarrFormat, sh, None)
+        zarrFormat, sh, None, spec.fillValue)
     }
     template.coords.foreach { case (dim, arr) =>
       writeArrayMeta(store, path, dim, Seq(arr.shape(0).toLong),
-        Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None, None)
+        Seq(arr.shape(0)), arr.dtype, Seq(dim), None, zarrFormat, None, None,
+        None)
       writeRegion(store, path, dim,
         ArrayMeta(Seq(arr.shape(0).toLong), Seq(arr.shape(0)), arr.dtype,
           Seq(dim), None, fillOf(arr.dtype), format = zarrFormat,
@@ -887,19 +888,31 @@ object Zarr {
                      shards: Option[Seq[Int]] = None,
                      cfScale: Option[(Double, Double)] = None): Unit =
     writeArrayMeta(BlobStore.forUrl(path), path, name, shape, chunks, dtype,
-      dims, compressor, zarrFormat, shards, cfScale)
+      dims, compressor, zarrFormat, shards, cfScale, None)
 
   private def writeArrayMeta(store: BlobStore, path: String, name: String,
                              shape: Seq[Long], chunks: Seq[Int],
                              dtype: DType, dims: Seq[String],
                              compressor: Option[String], zarrFormat: Int,
                              shards: Option[Seq[Int]],
-                             cfScale: Option[(Double, Double)]): Unit = {
+                             cfScale: Option[(Double, Double)],
+                             fillOverride: Option[Double]): Unit = {
     require(shards.isEmpty || zarrFormat == 3,
       "zarr shards require zarr_format 3")
-    val fill = dtype match {
-      case DType.F32 | DType.F64 => "\"NaN\""
-      case _ => "0"
+    // fill_value: the declared override (VarSpec.fillValue — enables
+    // metadata-only initialization of accumulator stores), else the
+    // dtype default (NaN floats / 0 ints). Readers on both formats
+    // already honor whatever lands in the metadata.
+    val fill = fillOverride match {
+      case Some(v) => dtype match {
+        case DType.F32 | DType.F64 =>
+          if (v.isNaN) "\"NaN\"" else v.toString
+        case _ => v.toLong.toString
+      }
+      case None => dtype match {
+        case DType.F32 | DType.F64 => "\"NaN\""
+        case _ => "0"
+      }
     }
     if (zarrFormat == 2) {
       require(!compressor.exists(crcSuffixed),

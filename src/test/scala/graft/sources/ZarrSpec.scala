@@ -1002,4 +1002,39 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(eo.getMessage.contains("order"))
   }
+
+  test("VarSpec.fillValue: metadata-only init reads back explicit fills") {
+    // The accumulator-store shape (s10): declare fillValue=0 on an I64
+    // and an F64 variable, write ZERO chunks, and absent blocks must
+    // materialize as real zeros (not the dtype defaults 0/NaN) in both
+    // zarr formats — then a partial region write leaves the untouched
+    // remainder still reading the declared fill.
+    for (fmt <- Seq(2, 3)) {
+      val p = tmpStore()
+      val tmpl = Template(Seq("t" -> 10L),
+        Map("n" -> VarSpec(Seq("t"), DType.I64, Some(0.0)),
+            "v" -> VarSpec(Seq("t"), DType.F64, Some(0.0)),
+            "nan" -> VarSpec(Seq("t"), DType.F64)),
+        Map.empty, Map.empty)
+      Zarr.setupStore(p, tmpl, Map("t" -> 4), zarrFormat = fmt)
+      val mv = Zarr.readArrayMeta(p, "v")
+      assert(mv.fillValue == 0.0, s"fmt $fmt: declared fill must persist")
+      assert(Zarr.readArrayMeta(p, "nan").fillValue.isNaN,
+        s"fmt $fmt: default F64 fill stays NaN")
+      val got = Zarr.readRegion(p, "v", mv, Array(0L), Array(10))
+      (0 until 10).foreach(i => assert(got.getDouble(i) == 0.0))
+      val gn = Zarr.readRegion(p, "n",
+        Zarr.readArrayMeta(p, "n"), Array(0L), Array(10))
+      (0 until 10).foreach(i => assert(gn.getDouble(i) == 0.0))
+      // partial write: chunk [4,8) gets data; the rest stays fill
+      val blk = NdArray.zeros(DType.F64, Array(4))
+      (0 until 4).foreach(i => blk.setDouble(i, 7.0 + i))
+      Zarr.writeRegion(p, "v", mv, Array(4L), blk)
+      val after = Zarr.readRegion(p, "v", mv, Array(0L), Array(10))
+      (0 until 10).foreach { i =>
+        val want = if (i >= 4 && i < 8) 7.0 + (i - 4) else 0.0
+        assert(after.getDouble(i) == want, s"fmt $fmt cell $i")
+      }
+    }
+  }
 }
