@@ -126,6 +126,39 @@ object TextOps {
       |  transform(sequence(0, 3),
       |    b -> concat(element_at(sg, 2*b+1), element_at(sg, 2*b+2)))), 1)""".stripMargin
 
+  /** The MinHash-LSH banding rule as an explicit function: split
+    * `totalHashes` signature lanes into (bands, rowsPerBand) so the
+    * S-curve threshold (1/b)^(1/r) sits closest to `targetJaccard` —
+    * pairs are LSH candidates with probability 1-(1-j^r)^b, and the
+    * midpoint of that curve is (1/b)^(1/r), so picking (b, r) IS
+    * picking the similarity the dedup targets. d04's fixed 4x2 table
+    * is exactly this rule at (8 lanes, t=0.5); d11 demonstrates the
+    * knob at (16, 0.7) -> 4 bands x 4 rows. Ties break to fewer bands
+    * (fewer shuffled rows). Mirrors [[VectorOps.autoLshBits]]: the
+    * sizing rule is a first-class default, not folklore. */
+  def autoMinhashBands(totalHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(totalHashes >= 1 && targetJaccard > 0 && targetJaccard < 1,
+      s"autoMinhashBands(totalHashes=$totalHashes, t=$targetJaccard)")
+    val pairs = (1 to totalHashes)
+      .filter(totalHashes % _ == 0).map(b => (b, totalHashes / b))
+    pairs.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), b)
+    }
+  }
+
+  /** 16 minhash lanes (4 md5 seeds x 4 lanes each) — the d04 signature
+    * widened for threshold-targeted banding; lane k = seed k/4, hex
+    * window k%4, identical to the oracle's `k // 4` / `k % 4`. */
+  private[graft] val MINHASH16_SIGS_EXPR =
+    """element_at(transform(array(shingles), sha ->
+      |  flatten(transform(
+      |    array(transform(sha, s -> md5(concat('0|', s))),
+      |          transform(sha, s -> md5(concat('1|', s))),
+      |          transform(sha, s -> md5(concat('2|', s))),
+      |          transform(sha, s -> md5(concat('3|', s)))),
+      |    dg -> transform(sequence(0, 3),
+      |      j -> array_min(transform(dg, d -> substr(d, j * 8 + 1, 8))))))), 1)""".stripMargin
+
   /** Banded minhash rows for LSH bucketing: every non-(doc_id,
     * shingles) column of `docs` is carried through, `shingles` is
     * replaced by (band_idx, band). Shared by d04's batch LSH and the
@@ -1475,6 +1508,76 @@ object TextOps {
                     WHEN batch_min < b.doc_id THEN batch_min
                     ELSE b.doc_id END AS survivor_id
         FROM batch b LEFT JOIN corpus USING (fp)
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ---------------------------------------------------------------- d11
+    // d04's LSH banding with the (bands, rows) split SIZED FROM THE
+    // TARGET JACCARD instead of hardcoded — [[autoMinhashBands]] picks
+    // the divisor pair of the 16-lane signature whose S-curve midpoint
+    // (1/b)^(1/r) is closest to t=0.7, here 4 bands x 4 rows (vs
+    // d04's 4x2 at t=0.5 over 8 lanes). Same one-shuffle shape: bands
+    // carry only (doc_id, band) — content never rides the band join —
+    // candidates dedup before the sorted-hash verify, exact jaccard on
+    // the survivors. The oracle derives the SAME (b, r) in SQL (argmin
+    // over the divisor pairs of 16), so nothing is hardcoded twice.
+    QueryDef(
+      "d11_minhash_auto_bands",
+      (s, dir) => {
+        import s.implicits._
+        val (b, r) = autoMinhashBands(16, 0.7)
+        val sh = shingled(s, dir).select($"doc_id", $"shingles")
+        val bands = sh
+          .selectExpr("doc_id", s"$MINHASH16_SIGS_EXPR AS sigs")
+          .select(col("doc_id"), posexplode(expr(
+            s"""element_at(transform(array(sigs), sg ->
+               |  transform(sequence(0, ${b - 1}),
+               |    i -> concat_ws('', slice(sg, i * $r + 1, $r)))), 1)"""
+              .stripMargin)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+        val cand = bands.as("a")
+          .join(bands.as("b"), Seq("band_idx", "band"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
+        graft.functions.GraftFunctions.register(s)
+        val hsets = sh.selectExpr("doc_id",
+          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
+          "size(shingles) AS sz")
+        cand
+          .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
+          .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
+          .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+          .withColumn("jaccard", $"inter".cast("double") /
+            ($"sz_a" + $"sz_b" - $"inter"))
+          .select($"id_a", $"id_b", $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        $DUCK_SHINGLE_CTE,
+        sig AS (SELECT doc_id, shingles,
+                       list_transform(range(0, 16),
+                         k -> list_aggregate(list_transform(
+                                list_transform(shingles,
+                                  s -> md5((k // 4)::VARCHAR || '|' || s)),
+                                d -> substr(d, (k % 4) * 8 + 1, 8)), 'min')) AS sigs
+                FROM sh),
+        choice AS (SELECT b, r
+                   FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)) t(b, r)
+                   ORDER BY abs(pow(1.0 / b, 1.0 / r) - 0.7), b LIMIT 1),
+        bands AS (SELECT doc_id, i AS band_idx,
+                         array_to_string(
+                           sigs[(i * (SELECT r FROM choice) + 1):
+                                ((i + 1) * (SELECT r FROM choice))], '') AS band
+                  FROM sig,
+                       unnest(range((SELECT b FROM choice))) AS t(i)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+               (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        ORDER BY id_a, id_b"""))
   )
 }
