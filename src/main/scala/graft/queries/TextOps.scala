@@ -1463,6 +1463,50 @@ object TextOps {
                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         FROM ex GROUP BY sg ORDER BY df DESC, sg LIMIT 20""")),
 
+    // ---------------------------------------------------------------- t10
+    // Retrieval-style chunking: slice each document's token stream into
+    // fixed-width windows (W=16 whitespace tokens) advancing by a
+    // stride (S=12, a 4-token overlap) — the unit a RAG/embedding
+    // pipeline feeds the encoder. The window count is closed-form
+    // (1 + ceil((n-W)/S) for n>W, computed in exact integer math so
+    // float rounding can never drop a tail window), so the per-doc
+    // index list materializes with sequence() + one explode: no
+    // self-join, no per-row UDF, and the whole op is a narrow
+    // projection — zero shuffles at any corpus size. Emits the chunk's
+    // md5 (not its text) so the verify surface stays narrow at scale.
+    QueryDef(
+      "t10_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val (w, st) = (16, 12)
+        t(s, dir, "documents")
+          .withColumn("toks", split($"text", " "))
+          .withColumn("n", size($"toks"))
+          .withColumn("n_chunks", expr(
+            s"1 + CASE WHEN n > $w THEN (n - $w + ${st - 1}) div $st ELSE 0 END"))
+          .withColumn("chunk_idx",
+            explode(expr("sequence(cast(0 AS bigint), cast(n_chunks - 1 AS bigint))")))
+          .withColumn("win", expr(s"slice(toks, cast(chunk_idx * $st + 1 AS int), $w)"))
+          .select($"doc_id", $"chunk_idx",
+            expr("cast(size(win) AS bigint)").as("n_chunk_tokens"),
+            md5(expr("array_join(win, ' ')")).as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, toks,
+                 1 + CASE WHEN n > 16 THEN (n - 16 + 11) // 12 ELSE 0 END AS n_chunks
+          FROM tok)
+        SELECT doc_id, i AS chunk_idx,
+               CAST(len(toks[i*12+1 : i*12+16]) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(toks[i*12+1 : i*12+16], ' ')) AS chunk_md5
+        FROM cnt, unnest(range(n_chunks)) AS t(i)
+        ORDER BY doc_id, chunk_idx""")),
+
     // ---------------------------------------------------------------- d10
     // Incremental dedup: a NEW batch (doc_id % 5 == 0 stands in for the
     // nightly increment) dedups against the EXISTING corpus without

@@ -15,6 +15,33 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  test("t10 chunking: narrow explode — no join; only the presentation sort exchanges") {
+    val plan = planOf("t10_chunk_overlap")
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    // The op itself is a projection + explode; the single allowed
+    // Exchange is the ORDER BY's range partitioning for the oracle dump.
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the presentation sort may shuffle:\n${exchanges.mkString("\n")}")
+    // Coverage invariants at sf0.001: windows tile every token stream —
+    // per doc, chunk_idx is dense from 0 and the last window reaches
+    // the final token (chunk_idx*stride + width >= n_tokens).
+    val rows = graft.SparkEntry.queries("t10_chunk_overlap")(spark, dir)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr("max(chunk_idx) AS mi"),
+        org.apache.spark.sql.functions.expr("count(*) AS c"))
+      .collect()
+    assert(rows.nonEmpty)
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, mi, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(c == mi + 1, s"doc $id: sparse chunk_idx")
+      assert(mi * 12 + 16 >= nTok(id), s"doc $id: tail tokens uncovered")
+    }
+  }
+
   test("d06 banded simhash: equi-join on band values, no quadratic join") {
     val plan = planOf("d06_simhash_neardup_pairs")
     assert(!plan.contains("CartesianProduct"),
