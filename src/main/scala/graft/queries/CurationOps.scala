@@ -714,6 +714,36 @@ object CurationOps {
                  >= len(shingles)
                  THEN 1 ELSE 0 END AS BIGINT) AS flagged
         FROM sh, bloom WHERE doc_id % 20 <> 7
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c13
+    // Leakproof train/val/test split: the 90/5/5 bucket comes from a
+    // hash of the NORMALIZED CONTENT, not the doc id — byte-identical
+    // duplicates always share a bucket, so an exact dup can never
+    // straddle train and test (the contamination c01 hunts for is
+    // prevented at split time instead of detected later). Pure
+    // per-row function of the text: map-only scan, no shuffle, no
+    // state, reproducible bit-for-bit across engines/runs/cluster
+    // sizes at any corpus scale. md5 (not engine hash functions) for
+    // the same cross-engine parity reason as c02.
+    QueryDef(
+      "c13_leakproof_split",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("bucket", expr(
+            "cast(conv(substr(md5(lower(trim(text))), 1, 8), 16, 10) AS bigint) % 100"))
+          .withColumn("split", expr(
+            "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+          .select($"doc_id", $"bucket", $"split")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               ('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT % 100 AS bucket,
+               CASE WHEN ('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                    WHEN ('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""))
   )
 }
