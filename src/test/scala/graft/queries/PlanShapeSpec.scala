@@ -42,6 +42,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c13 leakproof split: map-only scan — no join, no aggregate, sort-only exchange") {
+    val plan = planOf("c13_leakproof_split")
+    assert(!plan.contains("Join"), s"split must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"split must not aggregate:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the presentation sort may shuffle:\n${exchanges.mkString("\n")}")
+    // The leakproof property itself: byte-identical texts share a split.
+    val leaks = graft.SparkEntry.queries("c13_leakproof_split")(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      .groupBy(org.apache.spark.sql.functions.expr("md5(lower(trim(text)))"))
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n_splits"))
+      .filter("n_splits > 1").count()
+    assert(leaks == 0, s"$leaks duplicate groups straddle splits")
+  }
+
   test("d06 banded simhash: equi-join on band values, no quadratic join") {
     val plan = planOf("d06_simhash_neardup_pairs")
     assert(!plan.contains("CartesianProduct"),
