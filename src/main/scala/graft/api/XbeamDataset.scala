@@ -6126,7 +6126,8 @@ final class XbeamDataset private (
         s"store $path has no array $n"))
     }.toMap
     metas.foreach { case (n, m) =>
-      require(m.cfScale.isEmpty && m.cfFill.isEmpty,
+      require(m.cfScale.isEmpty && m.cfFill.isEmpty && m.cfTime.isEmpty &&
+        m.timeUnitNs == 1L,
         s"cannot append to CF-packed array $n (writes would need re-encoding)")
       require(!m.bigEndian,
         s"cannot append to big-endian array $n (writes are little-endian " +

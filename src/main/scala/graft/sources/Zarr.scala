@@ -54,6 +54,13 @@ object Zarr {
     * permutation when present: stored chunk bytes are laid out C-order
     * over the PERMUTED chunk shape and inverse-permute on read
     * (read-only — writes into such stores are rejected loudly). */
+  /** `cfTime` carries CF time-encoding attrs (`units: "<unit> since
+    * <timestamp>"` on an integer/float array — how stock xarray writes
+    * EVERY datetime coordinate to zarr): stored values decode to
+    * epoch-ns `epochNs + v * unitNs` datetime64[ns] (read-only; writes
+    * into such arrays are refused like other encoded layouts).
+    * `timeUnitNs` scales non-nanosecond raw datetime dtypes
+    * (`<M8[s]`, `<M8[us]`, ...) to ns on read; 1 means already-ns. */
   final case class ArrayMeta(shape: Seq[Long], chunks: Seq[Int], dtype: DType,
                              dims: Seq[String], compressor: Option[String],
                              fillValue: Double, format: Int = 2,
@@ -64,7 +71,13 @@ object Zarr {
                              bigEndian: Boolean = false,
                              transposeOrder: Option[Seq[Int]] = None,
                              deltaFilter: Boolean = false,
-                             fsoFilter: Option[FsoFilter] = None)
+                             fsoFilter: Option[FsoFilter] = None,
+                             cfTime: Option[CfTime] = None,
+                             timeUnitNs: Long = 1L)
+
+  /** CF time encoding: stored number `v` is `epochNs + v * unitNs`
+    * nanoseconds since the Unix epoch (proleptic-Gregorian UTC). */
+  final case class CfTime(epochNs: Long, unitNs: Long)
 
   /** numcodecs `FixedScaleOffset` (read-only): stored chunk bytes are
     * `astype` integers `round((x - offset) * scale)`; decode is
@@ -333,13 +346,28 @@ object Zarr {
     // the in-memory representation stays little-endian throughout
     val dtypeStr = za.get("dtype").asText
     val bigEndian = dtypeStr.startsWith(">")
-    val dtype = DType.fromZarr(
-      if (bigEndian) "<" + dtypeStr.substring(1) else dtypeStr)
+    val littleStr = if (bigEndian) "<" + dtypeStr.substring(1) else dtypeStr
+    // numpy non-ns datetime64 ("<M8[s]", "<M8[us]", ...): same i64
+    // payload, scaled to ns on read (NaT = Long.MinValue passes through)
+    val m8Re = """<M8\[(\w+)\]""".r
+    val (dtype, timeUnitNs) = littleStr match {
+      case "<M8[ns]" => (DType.TimeNs, 1L)
+      case m8Re(unit) => (DType.TimeNs, cfUnitNs(unit).getOrElse(
+        throw new IllegalArgumentException(
+          s"array $name: unsupported datetime64 unit '$unit' in $dtypeStr")))
+      case other => (DType.fromZarr(other), 1L)
+    }
+    val cfTime = zattrs.flatMap(a => cfTimeOf(a, name))
+      .filter(_ => dtype != DType.TimeNs) // M8 already IS datetime; units attr is then just metadata
+    require(cfTime.isEmpty || cfScale.isEmpty,
+      s"array $name carries both CF time units and scale_factor/" +
+        "add_offset — ambiguous encoding")
     ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
       bigEndian = bigEndian, transposeOrder = fOrder,
-      deltaFilter = deltaFilter, fsoFilter = fsoFilter)
+      deltaFilter = deltaFilter, fsoFilter = fsoFilter,
+      cfTime = cfTime, timeUnitNs = timeUnitNs)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -354,12 +382,105 @@ object Zarr {
   private def cfFillOf(attrs: JsonNode): Option[Double] =
     Option(attrs.get("_FillValue")).filter(_.isNumber).map(_.asDouble)
 
+  private val cfTimeUnitsRe = """^\s*(\S+)\s+since\s+(.+?)\s*$""".r
+
+  /** ns per CF time unit, for the unit spellings udunits/xarray emit. */
+  private def cfUnitNs(u: String): Option[Long] = u.toLowerCase match {
+    case "nanosecond" | "nanoseconds" | "ns" => Some(1L)
+    case "microsecond" | "microseconds" | "us" => Some(1000L)
+    case "millisecond" | "milliseconds" | "ms" => Some(1000000L)
+    case "second" | "seconds" | "sec" | "secs" | "s" => Some(1000000000L)
+    case "minute" | "minutes" | "min" | "mins" => Some(60L * 1000000000L)
+    case "hour" | "hours" | "hr" | "hrs" | "h" => Some(3600L * 1000000000L)
+    case "day" | "days" | "d" => Some(86400L * 1000000000L)
+    case _ => None
+  }
+
+  /** Epoch-ns of a CF reference timestamp ("1979-01-01",
+    * "2000-01-01 06:00:00", T-separated, optional fractional seconds,
+    * optional trailing Z / +00:00). UTC proleptic Gregorian. */
+  private def cfEpochNs(ts: String): Long = {
+    val t0 = ts.trim.stripSuffix("Z").stripSuffix("+00:00").replace(' ', 'T')
+    val ldt =
+      if (t0.contains("T")) java.time.LocalDateTime.parse(t0)
+      else java.time.LocalDate.parse(t0).atStartOfDay()
+    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    math.addExact(math.multiplyExact(inst.getEpochSecond, 1000000000L),
+      inst.getNano.toLong)
+  }
+
+  /** CF time encoding, when `units` reads "<time-unit> since <ts>" on a
+    * numeric array — the layout every stock xarray `to_zarr` emits for
+    * datetime coordinates (zarr.py:72-96 opens stores through xarray's
+    * decode_cf, which is where the reference gets this for free). A
+    * recognized unit with an unparseable timestamp or a non-Gregorian
+    * calendar fails loudly: silently surfacing raw offsets would be a
+    * wrong read. Unknown unit words ("metres since launch") are NOT
+    * time encodings and decode as plain numbers. */
+  private def cfTimeOf(attrs: JsonNode, name: String): Option[CfTime] =
+    Option(attrs.get("units")).filter(_.isTextual).map(_.asText).flatMap {
+      case cfTimeUnitsRe(unitWord, ts) =>
+        cfUnitNs(unitWord).map { unitNs =>
+          Option(attrs.get("calendar")).filter(_.isTextual).map(_.asText)
+            .foreach { cal =>
+              require(Set("standard", "gregorian", "proleptic_gregorian")
+                .contains(cal.toLowerCase),
+                s"array $name: unsupported CF calendar '$cal' (only " +
+                  "Gregorian calendars map onto datetime64)")
+            }
+          val epoch = try cfEpochNs(ts) catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"array $name: cannot parse CF time reference '$ts' in " +
+                s"units '$unitWord since $ts'", e)
+          }
+          CfTime(epoch, unitNs)
+        }
+      case _ => None
+    }
+
   /** Apply CF decoding to a freshly-read block: raw values equal to the
     * `_FillValue` sentinel mask to NaN, then packed integers become
     * `v * scale + offset` doubles — xarray's masking-then-scaling order.
     * Identity when the array carries neither attribute. */
   def decodeCf(meta: ArrayMeta, arr: NdArray): NdArray =
-    if (meta.cfScale.isEmpty && meta.cfFill.isEmpty) arr
+    if (meta.cfTime.isDefined) {
+      // CF time: fill sentinel / NaN masks to NaT, then number -> epoch
+      // ns. Integer inputs use exact Long math (float-detouring 2^53+
+      // ns values would corrupt them — the same hazard XbeamDataset's
+      // datetime kernels guard against); float inputs round half-even.
+      val ct = meta.cfTime.get
+      val isFloat = meta.dtype == DType.F64 || meta.dtype == DType.F32
+      val out = NdArray.zeros(DType.TimeNs, arr.shape)
+      var i = 0L
+      while (i < arr.size) {
+        if (isFloat) {
+          val v = arr.getDouble(i)
+          out.setLong(i,
+            if (v.isNaN || meta.cfFill.contains(v)) Long.MinValue
+            else math.addExact(ct.epochNs, math.rint(v * ct.unitNs).toLong))
+        } else {
+          val v = arr.getLong(i)
+          out.setLong(i,
+            if (meta.cfFill.exists(_ == v.toDouble)) Long.MinValue
+            else math.addExact(ct.epochNs,
+              math.multiplyExact(v, ct.unitNs)))
+        }
+        i += 1
+      }
+      out
+    } else if (meta.timeUnitNs != 1L) {
+      // non-ns datetime64: scale ticks to ns; NaT passes through
+      val out = NdArray.zeros(DType.TimeNs, arr.shape)
+      var i = 0L
+      while (i < arr.size) {
+        val v = arr.getLong(i)
+        out.setLong(i,
+          if (v == Long.MinValue) v
+          else math.multiplyExact(v, meta.timeUnitNs))
+        i += 1
+      }
+      out
+    } else if (meta.cfScale.isEmpty && meta.cfFill.isEmpty) arr
     else {
       val (sf, ao) = meta.cfScale.getOrElse((1.0, 0.0))
       val out = NdArray.zeros(DType.F64, arr.shape)
@@ -375,7 +496,8 @@ object Zarr {
 
   /** The dtype a reader sees after CF decoding. */
   def decodedDType(meta: ArrayMeta): DType =
-    if (meta.cfScale.isDefined || meta.cfFill.isDefined) DType.F64
+    if (meta.cfTime.isDefined) DType.TimeNs
+    else if (meta.cfScale.isDefined || meta.cfFill.isDefined) DType.F64
     else meta.dtype
 
   private def readArrayMetaV3(name: String, v3Bytes: Array[Byte]): ArrayMeta = {
@@ -467,10 +589,17 @@ object Zarr {
       case n => n.asDouble
     }
     val v3Attrs = Option(za.get("attributes"))
+    val v3CfScale = v3Attrs.flatMap(cfScaleOf)
+    // v3 has no datetime data_type; stock xarray stores time on v3 the
+    // same CF way it does on v2 — numbers + a "units: ... since ..." attr
+    val v3CfTime = v3Attrs.flatMap(a => cfTimeOf(a, name))
+    require(v3CfTime.isEmpty || v3CfScale.isEmpty,
+      s"array $name carries both CF time units and scale_factor/" +
+        "add_offset — ambiguous encoding")
     ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
-      cfScale = v3Attrs.flatMap(cfScaleOf), cfFill = v3Attrs.flatMap(cfFillOf),
-      transposeOrder = transposeOrder)
+      cfScale = v3CfScale, cfFill = v3Attrs.flatMap(cfFillOf),
+      transposeOrder = transposeOrder, cfTime = v3CfTime)
   }
 
   // ------------------------------------------------------- v3 sharding
@@ -752,7 +881,8 @@ object Zarr {
     val store = BlobStore.forUrl(path)
     if (!store.exists(s"$path/$dim/.zarray") &&
       !store.exists(s"$path/$dim/zarr.json")) return None
-    Some(readCoord(path, dim, readArrayMeta(path, dim)))
+    val m = readArrayMeta(path, dim)
+    Some(decodeCf(m, readCoord(path, dim, m)))
   }
 
   /** Coordinate read with the metadata already in hand (no metadata
@@ -1100,7 +1230,8 @@ object Zarr {
         s"store has no coordinate array for dim $dim"))
       require(tail.shape.toSeq == Seq((newSize - oldSize).toInt),
         s"coordTail shape ${tail.shape.toSeq} != added extent ${newSize - oldSize}")
-      require(m.cfScale.isEmpty && m.cfFill.isEmpty && !m.bigEndian,
+      require(m.cfScale.isEmpty && m.cfFill.isEmpty && !m.bigEndian &&
+        m.cfTime.isEmpty && m.timeUnitNs == 1L,
         s"cannot append to an encoded coordinate array $dim")
       // rewrite the coord whole (it is small and driver-local): blocks
       // realign cleanly because writes start at offset 0
@@ -1374,6 +1505,12 @@ object Zarr {
     require(meta.fsoFilter.isEmpty,
       "writing into a fixedscaleoffset-filtered store is not supported " +
         "(reads scale-decode; an unpacked write would corrupt the array)")
+    require(meta.cfTime.isEmpty,
+      "writing into a CF-time-encoded array is not supported (reads " +
+        "decode units-since-epoch; a raw ns write would corrupt it)")
+    require(meta.timeUnitNs == 1L,
+      "writing into a non-nanosecond datetime64 array is not supported " +
+        "(reads rescale ticks to ns; an ns write would corrupt it)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)

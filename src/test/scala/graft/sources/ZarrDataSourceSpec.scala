@@ -32,6 +32,61 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("CF-time coordinate decodes to epoch-ns datetime values") {
+    // A store whose time coord is CF-encoded ints (units since epoch) —
+    // the layout stock xarray writes — must read through the connector
+    // as TIMESTAMP values, not raw offsets.
+    val p = Files.createTempDirectory("zarr_cftime").toString + "/store"
+    val tdir = java.nio.file.Paths.get(p, "time")
+    Files.createDirectories(tdir)
+    Files.write(java.nio.file.Paths.get(p, ".zgroup"),
+      """{"zarr_format":2}""".getBytes("UTF-8"))
+    Files.write(tdir.resolve(".zarray"),
+      ("""{"chunks":[4],"compressor":null,"dtype":"<i8","fill_value":null,""" +
+        """"filters":null,"order":"C","shape":[4],"zarr_format":2}""")
+        .getBytes("UTF-8"))
+    Files.write(tdir.resolve(".zattrs"),
+      ("""{"_ARRAY_DIMENSIONS":["time"],""" +
+        """"units":"hours since 1979-01-01","calendar":"standard"}""")
+        .getBytes("UTF-8"))
+    val tb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 6L, 12L, 18L).foreach(tb.putLong)
+    Files.write(tdir.resolve("0"), tb.array())
+    val vdir = java.nio.file.Paths.get(p, "v")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve(".zarray"),
+      ("""{"chunks":[4],"compressor":null,"dtype":"<f8","fill_value":"NaN",""" +
+        """"filters":null,"order":"C","shape":[4],"zarr_format":2}""")
+        .getBytes("UTF-8"))
+    Files.write(vdir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["time"]}""".getBytes("UTF-8"))
+    val vb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(vb.putDouble)
+    Files.write(vdir.resolve("0"), vb.array())
+    val df = spark.read.format("zarr").option("coords", "true").load(p)
+    // datetime values stay epoch-ns LONGS through the tabular layer
+    // (the engine's convention everywhere — Spark timestamps are µs
+    // and would silently drop ns); the decode itself must have
+    // happened: hour offsets became absolute epoch ns.
+    val epoch79 = 283996800L * 1000000000L
+    val got = df.selectExpr("time_coord", "v")
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head == (epoch79, 1.0), got.head.toString)
+    assert(got.last == (epoch79 + 18L * 3600L * 1000000000L, 4.0),
+      got.last.toString)
+    // and the raw stored offsets (0, 6, 12, 18) must NOT leak through
+    assert(got.forall(_._1 >= epoch79))
+    // fromZarr sees the same decode: the coord is datetime64[ns], so
+    // xarray's virtual 'time.hour' accessor works directly
+    import graft.ndarray.DType
+    val ds = XbeamDataset.fromZarr(spark, p)
+    assert(ds.template.coords("time").dtype == DType.TimeNs)
+    val hours = ds.timeField("time", "hour").template.coords("time")
+    assert(hours.toLongs.toSeq == Seq(0L, 6L, 12L, 18L))
+  }
+
   test("variables with permuted or lower-rank axes read correctly") {
     import graft.core.{Template, VarSpec}
     import graft.ndarray.DType

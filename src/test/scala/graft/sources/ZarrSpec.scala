@@ -1037,4 +1037,125 @@ class ZarrSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CF time units decode (stock xarray layout) + non-ns datetime64") {
+    // Stock xarray.to_zarr CF-encodes EVERY datetime coordinate as
+    // numbers + 'units: "<unit> since <ts>"' (zarr.py:72-96 reads
+    // stores back through decode_cf) — these stores are hand-built to
+    // that layout, byte-for-byte, never touching our writer.
+    def v2(dtype: String, attrs: String, payload: Array[Byte],
+           n: Int): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "time")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        (s"""{"chunks":[$n],"compressor":null,"dtype":"$dtype",""" +
+          s""""fill_value":null,"filters":null,"order":"C",""" +
+          s""""shape":[$n],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        (s"""{"_ARRAY_DIMENSIONS":["time"],$attrs}""").getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), payload)
+      p
+    }
+    def le(f: java.nio.ByteBuffer => Unit, cap: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(cap)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); bb.array()
+    }
+    val G = 1000000000L
+    // int64 hours since 1979-01-01 (the ERA5 fixture's epoch)
+    val epoch79 = 283996800L * G
+    val p1 = v2("<i8",
+      """"units":"hours since 1979-01-01","calendar":"proleptic_gregorian"""",
+      le(bb => Seq(0L, 6L, 12L, 18L).foreach(bb.putLong), 32), 4)
+    val m1 = Zarr.readArrayMeta(p1, "time")
+    assert(Zarr.decodedDType(m1) == DType.TimeNs)
+    val a1 = Zarr.decodeCf(m1, Zarr.readRegion(p1, "time", m1, Array(0L), Array(4)))
+    assert(a1.dtype == DType.TimeNs)
+    assert(a1.toLongs.toSeq == Seq(0L, 6L, 12L, 18L).map(h => epoch79 + h * 3600L * G))
+    // the 1-arg coord read decodes too (openStore's lazy-coord path)
+    assert(Zarr.readCoord(p1, "time").get.toLongs.toSeq.head == epoch79)
+    // int32 days since a mid-day reference, with a _FillValue -> NaT
+    val epoch00n = (946684800L + 21600L) * G // 2000-01-01 06:00:00
+    val p2 = v2("<i4",
+      """"units":"days since 2000-01-01 06:00:00","_FillValue":-1""",
+      le(bb => Seq(0, 1, -1, 3).foreach(bb.putInt), 16), 4)
+    val m2 = Zarr.readArrayMeta(p2, "time")
+    val a2 = Zarr.decodeCf(m2, Zarr.readRegion(p2, "time", m2, Array(0L), Array(4)))
+    assert(a2.toLongs.toSeq == Seq(epoch00n, epoch00n + 86400L * G,
+      Long.MinValue, epoch00n + 3L * 86400L * G))
+    // float64 fractional days round to ns
+    val epoch00 = 946684800L * G
+    val p3 = v2("<f8", """"units":"days since 2000-01-01"""",
+      le(bb => Seq(0.0, 0.5, 1.25).foreach(bb.putDouble), 24), 3)
+    val m3 = Zarr.readArrayMeta(p3, "time")
+    val a3 = Zarr.decodeCf(m3, Zarr.readRegion(p3, "time", m3, Array(0L), Array(3)))
+    assert(a3.toLongs.toSeq == Seq(epoch00, epoch00 + 43200L * G,
+      epoch00 + 108000L * G))
+    // raw non-ns datetime64: <M8[s] scales ticks to ns; NaT passes
+    val p4 = v2("<M8[s]", """"note":"raw seconds datetime"""",
+      le(bb => Seq(946684800L, Long.MinValue, 946771200L).foreach(bb.putLong), 24), 3)
+    val m4 = Zarr.readArrayMeta(p4, "time")
+    assert(m4.dtype == DType.TimeNs && m4.timeUnitNs == G)
+    val a4 = Zarr.decodeCf(m4, Zarr.readRegion(p4, "time", m4, Array(0L), Array(3)))
+    assert(a4.toLongs.toSeq == Seq(epoch00, Long.MinValue, epoch00 + 86400L * G))
+    // non-Gregorian calendars cannot map onto datetime64 -> loud reject
+    val p5 = v2("<i8", """"units":"days since 2000-01-01","calendar":"360_day"""",
+      le(bb => bb.putLong(0L), 8), 1)
+    val e5 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p5, "time"))
+    assert(e5.getMessage.contains("calendar"))
+    // a 'since' phrase with a NON-time unit is not a time encoding
+    val p6 = v2("<i8", """"units":"metres since launch"""",
+      le(bb => bb.putLong(42L), 8), 1)
+    val m6 = Zarr.readArrayMeta(p6, "time")
+    assert(m6.cfTime.isEmpty && Zarr.decodedDType(m6) == DType.I64)
+    assert(Zarr.decodeCf(m6,
+      Zarr.readRegion(p6, "time", m6, Array(0L), Array(1))).toLongs.head == 42L)
+    // a known time unit with a garbage reference must fail loudly
+    val p7 = v2("<i8", """"units":"days since the dawn of time"""",
+      le(bb => bb.putLong(0L), 8), 1)
+    val e7 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p7, "time"))
+    assert(e7.getMessage.contains("cannot parse CF time reference"))
+    // writes into CF-time arrays are refused (reads decode; a raw ns
+    // write would corrupt the store for every other reader)
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(p1, "time", m1, Array(0L),
+        NdArray.zeros(DType.I64, Array(4)))
+    }
+    assert(ew.getMessage.contains("CF-time"))
+    val ew4 = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(p4, "time", m4, Array(0L),
+        NdArray.zeros(DType.TimeNs, Array(3)))
+    }
+    assert(ew4.getMessage.contains("non-nanosecond"))
+  }
+
+  test("CF time decode on zarr v3 attributes (int time + units attr)") {
+    // v3 has no datetime data_type; xarray stores time on v3 the same
+    // CF way. Hand-built v3 node: int64 + units attr, gzip-free.
+    val p = tmpStore()
+    val dir = java.nio.file.Paths.get(p, "time")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[3],""" +
+        """"data_type":"int64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[3]}},""" +
+        """"chunk_key_encoding":{"name":"default",""" +
+        """"configuration":{"separator":"/"}},"fill_value":0,""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""" +
+        """"dimension_names":["time"],""" +
+        """"attributes":{"units":"seconds since 1970-01-01T00:00:30Z"}}""")
+        .getBytes("UTF-8"))
+    val cdir = dir.resolve("c")
+    Files.createDirectories(cdir)
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0L, 30L, 90L).foreach(bb.putLong)
+    Files.write(cdir.resolve("0"), bb.array())
+    val m = Zarr.readArrayMeta(p, "time")
+    assert(m.format == 3 && Zarr.decodedDType(m) == DType.TimeNs)
+    val a = Zarr.decodeCf(m, Zarr.readRegion(p, "time", m, Array(0L), Array(3)))
+    val G = 1000000000L
+    assert(a.toLongs.toSeq == Seq(30L * G, 60L * G, 120L * G))
+  }
 }
