@@ -6127,7 +6127,7 @@ final class XbeamDataset private (
     }.toMap
     metas.foreach { case (n, m) =>
       require(m.cfScale.isEmpty && m.cfFill.isEmpty && m.cfTime.isEmpty &&
-        m.timeUnitNs == 1L,
+        m.timeUnitNs == 1L && m.widenFrom.isEmpty,
         s"cannot append to CF-packed array $n (writes would need re-encoding)")
       require(!m.bigEndian,
         s"cannot append to big-endian array $n (writes are little-endian " +

@@ -73,11 +73,23 @@ object Zarr {
                              deltaFilter: Boolean = false,
                              fsoFilter: Option[FsoFilter] = None,
                              cfTime: Option[CfTime] = None,
-                             timeUnitNs: Long = 1L)
+                             timeUnitNs: Long = 1L,
+                             widenFrom: Option[String] = None)
 
   /** CF time encoding: stored number `v` is `epochNs + v * unitNs`
     * nanoseconds since the Unix epoch (proleptic-Gregorian UTC). */
   final case class CfTime(epochNs: Long, unitNs: Long)
+
+  /** Bytes-per-element as stored on disk — differs from
+    * `dtype.itemsize` only for widened dtypes (`widenFrom`), where the
+    * NdArray kernel carries a wider native type than the store. */
+  def storedItemsize(meta: ArrayMeta): Int = meta.widenFrom match {
+    case Some("<u2") | Some("<f2") => 2
+    case Some("<u4") => 4
+    case Some(other) => throw new IllegalStateException(
+      s"unknown widenFrom $other")
+    case None => meta.dtype.itemsize
+  }
 
   /** numcodecs `FixedScaleOffset` (read-only): stored chunk bytes are
     * `astype` integers `round((x - offset) * scale)`; decode is
@@ -348,15 +360,25 @@ object Zarr {
     val bigEndian = dtypeStr.startsWith(">")
     val littleStr = if (bigEndian) "<" + dtypeStr.substring(1) else dtypeStr
     // numpy non-ns datetime64 ("<M8[s]", "<M8[us]", ...): same i64
-    // payload, scaled to ns on read (NaT = Long.MinValue passes through)
+    // payload, scaled to ns on read (NaT = Long.MinValue passes
+    // through). uint16/uint32/float16 — the packed layouts satellite
+    // and reanalysis archives actually ship — widen losslessly to the
+    // kernel's i4/i8/f4 right after decompression (read-only).
     val m8Re = """<M8\[(\w+)\]""".r
-    val (dtype, timeUnitNs) = littleStr match {
-      case "<M8[ns]" => (DType.TimeNs, 1L)
+    val (dtype, timeUnitNs, widenFrom) = littleStr match {
+      case "<M8[ns]" => (DType.TimeNs, 1L, None)
       case m8Re(unit) => (DType.TimeNs, cfUnitNs(unit).getOrElse(
         throw new IllegalArgumentException(
-          s"array $name: unsupported datetime64 unit '$unit' in $dtypeStr")))
-      case other => (DType.fromZarr(other), 1L)
+          s"array $name: unsupported datetime64 unit '$unit' in $dtypeStr")),
+        None)
+      case "<u2" | "|u2" => (DType.I32, 1L, Some("<u2"))
+      case "<u4" | "|u4" => (DType.I64, 1L, Some("<u4"))
+      case "<f2" | "|f2" => (DType.F32, 1L, Some("<f2"))
+      case other => (DType.fromZarr(other), 1L, None)
     }
+    require(widenFrom.isEmpty || (!deltaFilter && fsoFilter.isEmpty),
+      s"array $name: numcodecs filters on widened dtype $dtypeStr are " +
+        "not supported (wraparound semantics differ after widening)")
     val cfTime = zattrs.flatMap(a => cfTimeOf(a, name))
       .filter(_ => dtype != DType.TimeNs) // M8 already IS datetime; units attr is then just metadata
     require(cfTime.isEmpty || cfScale.isEmpty,
@@ -367,7 +389,7 @@ object Zarr {
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
       bigEndian = bigEndian, transposeOrder = fOrder,
       deltaFilter = deltaFilter, fsoFilter = fsoFilter,
-      cfTime = cfTime, timeUnitNs = timeUnitNs)
+      cfTime = cfTime, timeUnitNs = timeUnitNs, widenFrom = widenFrom)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -596,10 +618,12 @@ object Zarr {
     require(v3CfTime.isEmpty || v3CfScale.isEmpty,
       s"array $name carries both CF time units and scale_factor/" +
         "add_offset — ambiguous encoding")
-    ArrayMeta(shape, chunks, dtypeFromV3(za.get("data_type").asText), dimNames,
+    val (v3Dtype, v3Widen) = dtypeFromV3Full(za.get("data_type").asText)
+    ArrayMeta(shape, chunks, v3Dtype, dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
       cfScale = v3CfScale, cfFill = v3Attrs.flatMap(cfFillOf),
-      transposeOrder = transposeOrder, cfTime = v3CfTime)
+      transposeOrder = transposeOrder, cfTime = v3CfTime,
+      widenFrom = v3Widen)
   }
 
   // ------------------------------------------------------- v3 sharding
@@ -788,17 +812,25 @@ object Zarr {
     case DType.Bool => "bool"
   }
 
-  private[sources] def dtypeFromV3(s: String): DType = s match {
-    case "float32" => DType.F32
-    case "float64" => DType.F64
-    case "int32" => DType.I32
-    case "int64" => DType.I64
-    case "int16" => DType.I16
-    case "int8" => DType.I8
-    case "uint8" => DType.U8
-    case "bool" => DType.Bool
-    case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
-  }
+  private[sources] def dtypeFromV3(s: String): DType = dtypeFromV3Full(s)._1
+
+  /** v3 data_type → (kernel dtype, widenFrom): uint16/uint32/float16
+    * widen losslessly to i4/i8/f4 on read, mirroring the v2 parse. */
+  private[sources] def dtypeFromV3Full(s: String): (DType, Option[String]) =
+    s match {
+      case "float32" => (DType.F32, None)
+      case "float64" => (DType.F64, None)
+      case "int32" => (DType.I32, None)
+      case "int64" => (DType.I64, None)
+      case "int16" => (DType.I16, None)
+      case "int8" => (DType.I8, None)
+      case "uint8" => (DType.U8, None)
+      case "bool" => (DType.Bool, None)
+      case "uint16" => (DType.I32, Some("<u2"))
+      case "uint32" => (DType.I64, Some("<u4"))
+      case "float16" => (DType.F32, Some("<f2"))
+      case other => throw new IllegalArgumentException(s"unsupported v3 data_type $other")
+    }
 
   /** Chunk blob key for a block index, per format: v2 "0.1" (or nested
     * "0/1" with dimension_separator "/"), v3 "c/0/1" (or "c.0.1" with
@@ -1231,7 +1263,7 @@ object Zarr {
       require(tail.shape.toSeq == Seq((newSize - oldSize).toInt),
         s"coordTail shape ${tail.shape.toSeq} != added extent ${newSize - oldSize}")
       require(m.cfScale.isEmpty && m.cfFill.isEmpty && !m.bigEndian &&
-        m.cfTime.isEmpty && m.timeUnitNs == 1L,
+        m.cfTime.isEmpty && m.timeUnitNs == 1L && m.widenFrom.isEmpty,
         s"cannot append to an encoded coordinate array $dim")
       // rewrite the coord whole (it is small and driver-local): blocks
       // realign cleanly because writes start at offset 0
@@ -1323,7 +1355,7 @@ object Zarr {
         // stored chunks are always full chunk shape (padded), so the
         // decoded size is known exactly — decode straight into it
         val destLen = meta.shardChunks.getOrElse(meta.chunks)
-          .map(_.toLong).product * meta.dtype.itemsize
+          .map(_.toLong).product * storedItemsize(meta)
         require(destLen <= Int.MaxValue, s"zstd chunk over 2 GiB")
         val dst = new Array[Byte](destLen.toInt)
         val n = com.github.luben.zstd.Zstd.decompressByteArray(
@@ -1337,7 +1369,68 @@ object Zarr {
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported compressor: $other (supported: null, zlib, gzip, zstd, blosc)")
     }
-    if (meta.bigEndian) swapEndian(raw, meta.dtype.itemsize) else raw
+    val le = if (meta.bigEndian) swapEndian(raw, storedItemsize(meta)) else raw
+    widenBytes(meta, le)
+  }
+
+  /** Lossless read-side widening: stored u2/u4/f2 payloads become the
+    * kernel's i4/i8/f4 (zero-extension for unsigned ints; IEEE 754
+    * half→single for float16, preserving subnormals, ±0, ±Inf, NaN). */
+  private def widenBytes(meta: ArrayMeta, bytes: Array[Byte]): Array[Byte] =
+    meta.widenFrom match {
+      case None => bytes
+      case Some("<u2") =>
+        val in = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = java.nio.ByteBuffer.allocate(bytes.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i + 2 <= bytes.length) {
+          out.putInt(in.getShort(i) & 0xffff); i += 2
+        }
+        out.array()
+      case Some("<u4") =>
+        val in = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = java.nio.ByteBuffer.allocate(bytes.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i + 4 <= bytes.length) {
+          out.putLong(in.getInt(i) & 0xffffffffL); i += 4
+        }
+        out.array()
+      case Some("<f2") =>
+        val in = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = java.nio.ByteBuffer.allocate(bytes.length * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i + 2 <= bytes.length) {
+          out.putFloat(halfToFloat(in.getShort(i) & 0xffff)); i += 2
+        }
+        out.array()
+      case Some(other) =>
+        throw new IllegalStateException(s"unknown widenFrom $other")
+    }
+
+  /** IEEE 754 binary16 → binary32 (exact: every half value is
+    * representable in single precision). */
+  private[sources] def halfToFloat(h: Int): Float = {
+    val s = (h >> 15) & 1
+    val e = (h >> 10) & 0x1f
+    val f = h & 0x3ff
+    val bits =
+      if (e == 0) {
+        if (f == 0) s << 31 // ±0
+        else { // subnormal: value = f * 2^-24 — normalize into single
+          var e2 = 0
+          var f2 = f
+          while ((f2 & 0x400) == 0) { f2 <<= 1; e2 += 1 }
+          (s << 31) | ((127 - 15 + 1 - e2) << 23) | ((f2 & 0x3ff) << 13)
+        }
+      } else if (e == 31) (s << 31) | 0x7f800000 | (f << 13) // ±Inf / NaN
+      else (s << 31) | ((e - 15 + 127) << 23) | (f << 13)
+    java.lang.Float.intBitsToFloat(bits)
   }
 
   /** Decode one stored chunk into an NdArray of `shape` (the full
@@ -1511,6 +1604,9 @@ object Zarr {
     require(meta.timeUnitNs == 1L,
       "writing into a non-nanosecond datetime64 array is not supported " +
         "(reads rescale ticks to ns; an ns write would corrupt it)")
+    require(meta.widenFrom.isEmpty,
+      "writing into a uint16/uint32/float16 array is not supported " +
+        "(reads widen to i4/i8/f4; a widened write would corrupt it)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)

@@ -1130,6 +1130,108 @@ class ZarrSpec extends AnyFunSuite {
     assert(ew4.getMessage.contains("non-nanosecond"))
   }
 
+  test("uint16/uint32/float16 stores widen losslessly on read") {
+    // The packed layouts archives actually ship: hand-built stores
+    // (literal .zarray bytes, never our writer).
+    def v2(dtype: String, attrs: String, payload: Array[Byte],
+           n: Int): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "v")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        (s"""{"chunks":[$n],"compressor":null,"dtype":"$dtype",""" +
+          s""""fill_value":null,"filters":null,"order":"C",""" +
+          s""""shape":[$n],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        (s"""{"_ARRAY_DIMENSIONS":["t"]$attrs}""").getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), payload)
+      p
+    }
+    def le(f: java.nio.ByteBuffer => Unit, cap: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(cap)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); bb.array()
+    }
+    // u2: full range incl. values over Short.MaxValue (the sign trap)
+    val u2s = Seq(0, 1, 32767, 32768, 65535)
+    val p1 = v2("<u2", "",
+      le(bb => u2s.foreach(v => bb.putShort(v.toShort)), 10), 5)
+    val m1 = Zarr.readArrayMeta(p1, "v")
+    assert(m1.dtype == DType.I32 && m1.widenFrom.contains("<u2"))
+    assert(Zarr.readRegion(p1, "v", m1, Array(0L), Array(5)).toLongs.toSeq
+      == u2s.map(_.toLong))
+    // the REAL satellite layout: u2 + CF scale/offset -> float64
+    val p1cf = v2("<u2", ""","scale_factor":0.01,"add_offset":-50.0""",
+      le(bb => u2s.foreach(v => bb.putShort(v.toShort)), 10), 5)
+    val m1cf = Zarr.readArrayMeta(p1cf, "v")
+    assert(Zarr.decodedDType(m1cf) == DType.F64)
+    val dec = Zarr.decodeCf(m1cf,
+      Zarr.readRegion(p1cf, "v", m1cf, Array(0L), Array(5)))
+    assert(dec.toDoubles.toSeq == u2s.map(_ * 0.01 - 50.0))
+    // u4: over Int.MaxValue
+    val u4s = Seq(0L, 1L, 2147483647L, 2147483648L, 4294967295L)
+    val p2 = v2("<u4", "",
+      le(bb => u4s.foreach(v => bb.putInt(v.toInt)), 20), 5)
+    val m2 = Zarr.readArrayMeta(p2, "v")
+    assert(m2.dtype == DType.I64)
+    assert(Zarr.readRegion(p2, "v", m2, Array(0L), Array(5)).toLongs.toSeq == u4s)
+    // f2: normals, subnormals, ±0, ±Inf, NaN, max half
+    val halfs = Seq(0x3C00, 0x3800, 0xC000, 0x7BFF, 0x0001, 0x03FF,
+      0x8000, 0x7C00, 0xFC00, 0x7E00)
+    val want = Seq(1.0f, 0.5f, -2.0f, 65504.0f, 5.9604645e-8f,
+      6.097555e-5f, -0.0f, Float.PositiveInfinity,
+      Float.NegativeInfinity, Float.NaN)
+    val p3 = v2("<f2", "",
+      le(bb => halfs.foreach(v => bb.putShort(v.toShort)), 20), 10)
+    val m3 = Zarr.readArrayMeta(p3, "v")
+    assert(m3.dtype == DType.F32)
+    val got = Zarr.readRegion(p3, "v", m3, Array(0L), Array(10))
+    halfs.indices.foreach { i =>
+      val g = got.getDouble(i).toFloat
+      if (want(i).isNaN) assert(g.isNaN, s"half $i")
+      else assert(g == want(i) &&
+        (g != 0f || 1f / g == 1f / want(i)), s"half $i: $g != ${want(i)}")
+    }
+    // big-endian >u2 swaps THEN widens
+    val pbe = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "v")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        ("""{"chunks":[2],"compressor":null,"dtype":">u2","fill_value":null,""" +
+          """"filters":null,"order":"C","shape":[2],"zarr_format":2}""")
+          .getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), Array[Byte](0x01, 0x00, 0xff.toByte, 0xfe.toByte))
+      p
+    }
+    val mbe = Zarr.readArrayMeta(pbe, "v")
+    assert(mbe.bigEndian && mbe.widenFrom.contains("<u2"))
+    assert(Zarr.readRegion(pbe, "v", mbe, Array(0L), Array(2)).toLongs.toSeq
+      == Seq(256L, 65534L))
+    // writes into widened stores are refused
+    val ew = intercept[IllegalArgumentException] {
+      Zarr.writeRegion(p1, "v", m1, Array(0L), NdArray.zeros(DType.I32, Array(5)))
+    }
+    assert(ew.getMessage.contains("widen"))
+    // numcodecs filters on widened dtypes reject loudly at parse
+    val pf = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "v")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        ("""{"chunks":[2],"compressor":null,"dtype":"<u2","fill_value":null,""" +
+          """"filters":[{"id":"delta","dtype":"<u2"}],"order":"C",""" +
+          """"shape":[2],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      p
+    }
+    val ef = intercept[IllegalArgumentException](Zarr.readArrayMeta(pf, "v"))
+    assert(ef.getMessage.contains("widened"))
+  }
+
   test("CF time decode on zarr v3 attributes (int time + units attr)") {
     // v3 has no datetime data_type; xarray stores time on v3 the same
     // CF way. Hand-built v3 node: int64 + units attr, gzip-free.
