@@ -4594,6 +4594,84 @@ object XbeamQueries {
                CAST(round(CAST(2 + (event_id % $W) % 5 AS DOUBLE), 6) AS DOUBLE) AS a,
                CAST(round(CAST((SELECT T // 2 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS mu,
                CAST(round(CAST((SELECT T // 10 FROM ext) AS DOUBLE), 6) AS DOUBLE) AS sigma
-        FROM events ORDER BY x"""))
+        FROM events ORDER BY x""")),
+
+    // --------------------------------------------------------------- x150
+    // Foreign-layout interop, driver-gated: a STOCK-xarray-shaped store
+    // the engine could never have produced — CF-time coordinate (int64
+    // hours-since-epoch + units attr) and a uint16 data variable packed
+    // with CF scale/offset (the standard satellite layout) — written
+    // here as literal .zarray/.zattrs/chunk bytes (our writer refuses
+    // these encodings by design), then read back distributed through
+    // the DSv2 connector. Values derive from indices alone, so the
+    // oracle reproduces them in pure SQL. The fixture t-extent is
+    // scale-capped at 512 (interop decode correctness, not volume, is
+    // under test); chunked [64, 16] so multi-chunk reads + final-chunk
+    // padding are exercised.
+    QueryDef(
+      "x150_cf_packed_interop",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = math.min(512L, n / W).toInt
+        require(tExt >= 1, s"x150 needs events rows >= $W")
+        val xExt = 16
+        val store = zarrPath("x150", dir)
+        graft.core.Fs.deleteRecursively(store)
+        val root = java.nio.file.Paths.get(store)
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.write(root.resolve(".zgroup"),
+          """{"zarr_format":2}""".getBytes("UTF-8"))
+        // CF-time coordinate: int64 hours since 1979-01-01, value t*6
+        val tdir = root.resolve("t")
+        java.nio.file.Files.createDirectories(tdir)
+        java.nio.file.Files.write(tdir.resolve(".zarray"),
+          (s"""{"chunks":[$tExt],"compressor":null,"dtype":"<i8",""" +
+            s""""fill_value":null,"filters":null,"order":"C",""" +
+            s""""shape":[$tExt],"zarr_format":2}""").getBytes("UTF-8"))
+        java.nio.file.Files.write(tdir.resolve(".zattrs"),
+          ("""{"_ARRAY_DIMENSIONS":["t"],""" +
+            """"units":"hours since 1979-01-01",""" +
+            """"calendar":"proleptic_gregorian"}""").getBytes("UTF-8"))
+        val tb = java.nio.ByteBuffer.allocate(tExt * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until tExt).foreach(t0 => tb.putLong(t0 * 6L))
+        java.nio.file.Files.write(tdir.resolve("0"), tb.array())
+        // packed uint16 variable: stored = (t*131 + x*17) % 65536,
+        // decodes to stored * 0.01 - 50.0 float64
+        val vdir = root.resolve("v")
+        java.nio.file.Files.createDirectories(vdir)
+        val tChunk = 64
+        java.nio.file.Files.write(vdir.resolve(".zarray"),
+          (s"""{"chunks":[$tChunk,$xExt],"compressor":null,"dtype":"<u2",""" +
+            s""""fill_value":0,"filters":null,"order":"C",""" +
+            s""""shape":[$tExt,$xExt],"zarr_format":2}""").getBytes("UTF-8"))
+        java.nio.file.Files.write(vdir.resolve(".zattrs"),
+          ("""{"_ARRAY_DIMENSIONS":["t","x"],""" +
+            """"scale_factor":0.01,"add_offset":-50.0}""").getBytes("UTF-8"))
+        val nChunks = (tExt + tChunk - 1) / tChunk
+        (0 until nChunks).foreach { ci =>
+          val cb = java.nio.ByteBuffer.allocate(tChunk * xExt * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until tChunk).foreach { lt =>
+            val gt = ci * tChunk + lt
+            (0 until xExt).foreach { x =>
+              val v = if (gt < tExt) (gt * 131 + x * 17) % 65536 else 0
+              cb.putShort(v.toShort)
+            }
+          }
+          java.nio.file.Files.write(vdir.resolve(s"$ci.0"), cb.array())
+        }
+        s.read.format("zarr").option("coords", "true").load(store)
+          .selectExpr("t", "x", "t_coord AS time_ns", "v")
+          .orderBy("t", "x")
+      },
+      Some(s"""
+        WITH n AS (SELECT LEAST(512, (SELECT count(*) FROM events) // $W) AS text)
+        SELECT tt.i AS t, xx.i AS x,
+               283996800000000000 + tt.i * 21600000000000 AS time_ns,
+               ((tt.i * 131 + xx.i * 17) % 65536) * 0.01e0 + (-50.0e0) AS v
+        FROM unnest(range((SELECT text FROM n))) tt(i),
+             unnest(range(16)) xx(i)
+        ORDER BY t, x"""))
   )
 }
