@@ -3952,6 +3952,11 @@ final class XbeamDataset private (
     require(coord.dtype == DType.TimeNs,
       s"timeField needs a datetime64 coordinate on $dim, got ${coord.dtype.zarr}")
     val derived = coord.toLongs.map { t =>
+      // NaT (possible since CF-time stores decode missing slots to NaT)
+      // would otherwise derive silent year-1677 calendar fields
+      require(t != Long.MinValue,
+        "NaT in datetime coordinate — drop or fill missing times before " +
+          "timeField")
       val ldt = java.time.LocalDateTime.ofInstant(
         java.time.Instant.ofEpochSecond(
           Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),
@@ -6176,6 +6181,11 @@ object XbeamDataset {
     * bucket-label arithmetic shared by the resample family. ISO weeks
     * start Monday (DuckDB/pandas 'W-MON'). */
   private[api] def periodStartNs(period: String, t: Long): Long = {
+    // NaT (possible since CF-time stores decode missing slots to NaT)
+    // would otherwise bucket silently as the year-1677 pandas epoch
+    require(t != Long.MinValue,
+      "NaT in datetime coordinate — drop or fill missing times before " +
+        "calendar bucketing")
     val ldt = java.time.LocalDateTime.ofInstant(
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L)),

@@ -85,6 +85,13 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(ds.template.coords("time").dtype == DType.TimeNs)
     val hours = ds.timeField("time", "hour").template.coords("time")
     assert(hours.toLongs.toSeq == Seq(0L, 6L, 12L, 18L))
+    // a NaT in the coordinate (CF _FillValue slot) must fail LOUDLY in
+    // calendar kernels, not bucket as the year-1677 pandas epoch
+    val nat = ds.template.coords("time").toLongs.updated(2, Long.MinValue)
+    val dsNat = ds.assignCoords("time", graft.ndarray.NdArray.fromLongs(
+      DType.TimeNs, Array(4), nat))
+    val en = intercept[IllegalArgumentException](dsNat.timeField("time", "hour"))
+    assert(en.getMessage.contains("NaT"))
   }
 
   test("variables with permuted or lower-rank axes read correctly") {
