@@ -83,13 +83,12 @@ object Zarr {
   /** Bytes-per-element as stored on disk — differs from
     * `dtype.itemsize` only for widened dtypes (`widenFrom`), where the
     * NdArray kernel carries a wider native type than the store. */
-  def storedItemsize(meta: ArrayMeta): Int = meta.widenFrom match {
-    case Some("<u2") | Some("<f2") => 2
-    case Some("<u4") => 4
-    case Some(other) => throw new IllegalStateException(
-      s"unknown widenFrom $other")
-    case None => meta.dtype.itemsize
-  }
+  def storedItemsize(meta: ArrayMeta): Int =
+    // every widening doubles the element width (u2→i4, u4→i8, f2→f4),
+    // so the stored size is derivable — no second dispatch to keep in
+    // sync with widenBytes
+    if (meta.widenFrom.isDefined) meta.dtype.itemsize / 2
+    else meta.dtype.itemsize
 
   /** numcodecs `FixedScaleOffset` (read-only): stored chunk bytes are
     * `astype` integers `round((x - offset) * scale)`; decode is
@@ -367,9 +366,11 @@ object Zarr {
     val m8Re = """<M8\[(\w+)\]""".r
     val (dtype, timeUnitNs, widenFrom) = littleStr match {
       case "<M8[ns]" => (DType.TimeNs, 1L, None)
-      case m8Re(unit) => (DType.TimeNs, cfUnitNs(unit).getOrElse(
+      case m8Re(unit) => (DType.TimeNs, m8UnitNs(unit).getOrElse(
         throw new IllegalArgumentException(
-          s"array $name: unsupported datetime64 unit '$unit' in $dtypeStr")),
+          s"array $name: unsupported datetime64 unit '$unit' in $dtypeStr" +
+            " (fixed-duration codes ns/us/ms/s/m/h/D/W only — M/Y vary " +
+            "by calendar and cannot map onto datetime64[ns])")),
         None)
       case "<u2" | "|u2" => (DType.I32, 1L, Some("<u2"))
       case "<u4" | "|u4" => (DType.I64, 1L, Some("<u4"))
@@ -406,7 +407,10 @@ object Zarr {
 
   private val cfTimeUnitsRe = """^\s*(\S+)\s+since\s+(.+?)\s*$""".r
 
-  /** ns per CF time unit, for the unit spellings udunits/xarray emit. */
+  /** ns per CF time unit, for the unit spellings udunits/xarray emit.
+    * Weeks are a fixed 7 days; months/years are NOT fixed durations, so
+    * a "months since"/"years since" axis cannot map onto datetime64 —
+    * callers must reject it loudly rather than surface raw counts. */
   private def cfUnitNs(u: String): Option[Long] = u.toLowerCase match {
     case "nanosecond" | "nanoseconds" | "ns" => Some(1L)
     case "microsecond" | "microseconds" | "us" => Some(1000L)
@@ -415,6 +419,22 @@ object Zarr {
     case "minute" | "minutes" | "min" | "mins" => Some(60L * 1000000000L)
     case "hour" | "hours" | "hr" | "hrs" | "h" => Some(3600L * 1000000000L)
     case "day" | "days" | "d" => Some(86400L * 1000000000L)
+    case "week" | "weeks" => Some(7L * 86400L * 1000000000L)
+    case _ => None
+  }
+
+  /** ns per numpy datetime64 unit CODE — case-SENSITIVE ('m' is minutes,
+    * 'M' is months): the fixed-duration codes map; M/Y (calendar-varying)
+    * have no ns equivalent and must reject. */
+  private def m8UnitNs(code: String): Option[Long] = code match {
+    case "ns" => Some(1L)
+    case "us" => Some(1000L)
+    case "ms" => Some(1000000L)
+    case "s" => Some(1000000000L)
+    case "m" => Some(60L * 1000000000L)
+    case "h" => Some(3600L * 1000000000L)
+    case "D" => Some(86400L * 1000000000L)
+    case "W" => Some(7L * 86400L * 1000000000L)
     case _ => None
   }
 
@@ -442,6 +462,13 @@ object Zarr {
   private def cfTimeOf(attrs: JsonNode, name: String): Option[CfTime] =
     Option(attrs.get("units")).filter(_.isTextual).map(_.asText).flatMap {
       case cfTimeUnitsRe(unitWord, ts) =>
+        // months/years since: udunits-legal but calendar-varying — a
+        // count of them has no fixed ns equivalent. Silently surfacing
+        // raw counts would be a wrong read; reject loudly.
+        require(!Set("month", "months", "year", "years")
+          .contains(unitWord.toLowerCase),
+          s"array $name: CF time unit '$unitWord' varies by calendar " +
+            "and cannot map onto datetime64[ns]")
         cfUnitNs(unitWord).map { unitNs =>
           Option(attrs.get("calendar")).filter(_.isTextual).map(_.asText)
             .foreach { cal =>
@@ -482,22 +509,31 @@ object Zarr {
             else math.addExact(ct.epochNs, math.rint(v * ct.unitNs).toLong))
         } else {
           val v = arr.getLong(i)
+          // exact Long fill compare (an integral fill near 2^53 would
+          // false-match through the double detour)
           out.setLong(i,
-            if (meta.cfFill.exists(_ == v.toDouble)) Long.MinValue
+            if (meta.cfFill.exists(f => f.isWhole && f.toLong == v))
+              Long.MinValue
             else math.addExact(ct.epochNs,
               math.multiplyExact(v, ct.unitNs)))
         }
         i += 1
       }
       out
-    } else if (meta.timeUnitNs != 1L) {
-      // non-ns datetime64: scale ticks to ns; NaT passes through
+    } else if (meta.dtype == DType.TimeNs &&
+      (meta.timeUnitNs != 1L || meta.cfFill.isDefined)) {
+      // datetime64 stays datetime64: scale non-ns ticks to ns; NaT and
+      // a declared _FillValue sentinel both pass through as NaT
+      // (scaling the sentinel would mint a bogus 1970-era timestamp,
+      // and the generic fill branch below would detour to float64)
       val out = NdArray.zeros(DType.TimeNs, arr.shape)
       var i = 0L
       while (i < arr.size) {
         val v = arr.getLong(i)
         out.setLong(i,
-          if (v == Long.MinValue) v
+          if (v == Long.MinValue ||
+            meta.cfFill.exists(f => f.isWhole && f.toLong == v))
+            Long.MinValue
           else math.multiplyExact(v, meta.timeUnitNs))
         i += 1
       }
@@ -516,9 +552,10 @@ object Zarr {
       out
     }
 
-  /** The dtype a reader sees after CF decoding. */
+  /** The dtype a reader sees after CF decoding. Datetime arrays stay
+    * datetime (fills mask to NaT, never a float64 detour). */
   def decodedDType(meta: ArrayMeta): DType =
-    if (meta.cfTime.isDefined) DType.TimeNs
+    if (meta.cfTime.isDefined || meta.dtype == DType.TimeNs) DType.TimeNs
     else if (meta.cfScale.isDefined || meta.cfFill.isDefined) DType.F64
     else meta.dtype
 

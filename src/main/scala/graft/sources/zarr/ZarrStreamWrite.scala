@@ -94,6 +94,17 @@ class ZarrStreamingWrite(path: String, schema: StructType,
         // F64 (float columns, lossless widen) or I64 (integral
         // columns) — an F32/I32/I16 store variable would silently
         // narrow on merge and is rejected loudly instead
+        // the sink writes DECODED-space values; an encoded store layout
+        // (CF packing/time, non-ns datetime, widened dtypes) would make
+        // those bytes mean something else to every reader — and the
+        // write-side refusal would only fire at the first epoch commit,
+        // after the stream started. Fail fast at sink construction.
+        require(meta.cfScale.isEmpty && meta.cfFill.isEmpty &&
+          meta.cfTime.isEmpty && meta.timeUnitNs == 1L &&
+          meta.widenFrom.isEmpty,
+          s"variable ${f.name}: store array is encoded (CF packing/" +
+            "time, non-ns datetime, or a widened dtype) — the streaming " +
+            "sink writes raw decoded values and cannot re-encode")
         val decoded = Zarr.decodedDType(meta)
         if (code <= 1) require(decoded == DType.F64,
           s"variable ${f.name}: float column ${f.dataType} needs an " +

@@ -1104,6 +1104,34 @@ class ZarrSpec extends AnyFunSuite {
       le(bb => bb.putLong(0L), 8), 1)
     val e5 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p5, "time"))
     assert(e5.getMessage.contains("calendar"))
+    // M8 with a _FillValue sentinel: masks to NaT, dtype STAYS datetime
+    val p4f = v2("<M8[s]", """"_FillValue":-9999""",
+      le(bb => Seq(946684800L, -9999L).foreach(bb.putLong), 16), 2)
+    val m4f = Zarr.readArrayMeta(p4f, "time")
+    assert(Zarr.decodedDType(m4f) == DType.TimeNs)
+    val a4f = Zarr.decodeCf(m4f, Zarr.readRegion(p4f, "time", m4f, Array(0L), Array(2)))
+    assert(a4f.toLongs.toSeq == Seq(epoch00, Long.MinValue))
+    // numpy unit codes are case-sensitive: 'm' is MINUTES; 'M' (months)
+    // varies by calendar and rejects
+    val pm = v2("<M8[m]", """"note":"minutes"""",
+      le(bb => bb.putLong(60L), 8), 1)
+    val mm = Zarr.readArrayMeta(pm, "time")
+    assert(mm.timeUnitNs == 60L * G)
+    val pM = v2("<M8[M]", """"note":"months"""",
+      le(bb => bb.putLong(1L), 8), 1)
+    val eM = intercept[IllegalArgumentException](Zarr.readArrayMeta(pM, "time"))
+    assert(eM.getMessage.contains("M/Y"))
+    // CF 'weeks since' is a fixed 7 days and decodes
+    val pw = v2("<i8", """"units":"weeks since 2000-01-01"""",
+      le(bb => bb.putLong(2L), 8), 1)
+    val mw = Zarr.readArrayMeta(pw, "time")
+    val aw = Zarr.decodeCf(mw, Zarr.readRegion(pw, "time", mw, Array(0L), Array(1)))
+    assert(aw.toLongs.head == epoch00 + 14L * 86400L * G)
+    // 'months since' / 'years since' vary by calendar -> loud reject
+    val pmo = v2("<i8", """"units":"months since 2000-01-01"""",
+      le(bb => bb.putLong(1L), 8), 1)
+    val emo = intercept[IllegalArgumentException](Zarr.readArrayMeta(pmo, "time"))
+    assert(emo.getMessage.contains("calendar"))
     // a 'since' phrase with a NON-time unit is not a time encoding
     val p6 = v2("<i8", """"units":"metres since launch"""",
       le(bb => bb.putLong(42L), 8), 1)
