@@ -385,6 +385,13 @@ object Zarr {
     require(cfTime.isEmpty || cfScale.isEmpty,
       s"array $name carries both CF time units and scale_factor/" +
         "add_offset — ambiguous encoding")
+    // mirror of the cfTime+cfScale rejection: scale/offset on a raw
+    // datetime64 dtype is the same ambiguity (decodeCf's generic CF
+    // branch would float-detour epoch values that decodedDType reports
+    // as TimeNs, and non-ns units would silently drop the scale)
+    require(dtype != DType.TimeNs || cfScale.isEmpty,
+      s"array $name carries scale_factor/add_offset on datetime64 " +
+        s"dtype $dtypeStr — ambiguous encoding")
     ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
       cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
@@ -438,17 +445,47 @@ object Zarr {
     case _ => None
   }
 
+  /** Lenient match for udunits reference timestamps: real-world
+    * spellings are sloppier than strict ISO ("days since 2000-1-1",
+    * "hours since 1990-01-01 0:00:0.0", offsets like +10:00 / -0600),
+    * and xarray/cftime accept all of them. Groups: y, mo, d, then
+    * optional h[, mi[, s[.frac]]], then optional Z / ±hh[:mm] offset. */
+  private val cfRefTsRe =
+    ("""^(\d{1,4})-(\d{1,2})-(\d{1,2})""" +
+      """(?:[T ]\s*(\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?)?""" +
+      """\s*(Z|UTC|[+-]\d{1,2}:?(?:\d{2})?)?$""").r
+
   /** Epoch-ns of a CF reference timestamp ("1979-01-01",
-    * "2000-01-01 06:00:00", T-separated, optional fractional seconds,
-    * optional trailing Z / +00:00). UTC proleptic Gregorian. */
+    * "2000-1-1", "2000-01-01 06:00:00", T-separated, optional
+    * fractional seconds, optional Z/UTC or explicit ±hh[:mm] offset
+    * applied per OffsetDateTime semantics). Proleptic Gregorian. */
   private def cfEpochNs(ts: String): Long = {
-    val t0 = ts.trim.stripSuffix("Z").stripSuffix("+00:00").replace(' ', 'T')
-    val ldt =
-      if (t0.contains("T")) java.time.LocalDateTime.parse(t0)
-      else java.time.LocalDate.parse(t0).atStartOfDay()
-    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
-    math.addExact(math.multiplyExact(inst.getEpochSecond, 1000000000L),
-      inst.getNano.toLong)
+    ts.trim match {
+      case cfRefTsRe(y, mo, d, h, mi, s, frac, off) =>
+        val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+          Option(h).map(_.toInt).getOrElse(0),
+          Option(mi).map(_.toInt).getOrElse(0),
+          Option(s).map(_.toInt).getOrElse(0))
+        val fracNs = Option(frac)
+          .map(f => math.rint(f.toDouble * 1e9).toLong).getOrElse(0L)
+        val offSec = Option(off) match {
+          case None | Some("Z") | Some("UTC") => 0L
+          case Some(o) =>
+            val sign = if (o.startsWith("-")) -1L else 1L
+            val body = o.substring(1).replace(":", "")
+            val (hh, mm) =
+              if (body.length <= 2) (body.toInt, 0)
+              else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+            require(hh <= 23 && mm <= 59,
+              s"bad UTC offset '$o' in CF reference timestamp '$ts'")
+            sign * (hh * 3600L + mm * 60L)
+        }
+        val epochSec = math.subtractExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC), offSec)
+        math.addExact(math.multiplyExact(epochSec, 1000000000L), fracNs)
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse CF reference timestamp '$ts'")
+    }
   }
 
   /** CF time encoding, when `units` reads "<time-unit> since <ts>" on a
@@ -510,9 +547,14 @@ object Zarr {
         } else {
           val v = arr.getLong(i)
           // exact Long fill compare (an integral fill near 2^53 would
-          // false-match through the double detour)
+          // false-match through the double detour); a stored
+          // Long.MinValue is numpy's iNaT sentinel, which producers
+          // leave in raw int64 CF arrays without declaring _FillValue —
+          // pass it through as NaT like the timeUnitNs branch below
+          // rather than overflowing multiplyExact
           out.setLong(i,
-            if (meta.cfFill.exists(f => f.isWhole && f.toLong == v))
+            if (v == Long.MinValue ||
+              meta.cfFill.exists(f => f.isWhole && f.toLong == v))
               Long.MinValue
             else math.addExact(ct.epochNs,
               math.multiplyExact(v, ct.unitNs)))

@@ -1158,6 +1158,73 @@ class ZarrSpec extends AnyFunSuite {
     assert(ew4.getMessage.contains("non-nanosecond"))
   }
 
+  test("CF reference timestamp leniency + datetime ambiguity guards") {
+    def v2(dtype: String, attrs: String, payload: Array[Byte],
+           n: Int): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, "time")
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"),
+        (s"""{"chunks":[$n],"compressor":null,"dtype":"$dtype",""" +
+          s""""fill_value":null,"filters":null,"order":"C",""" +
+          s""""shape":[$n],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"),
+        (s"""{"_ARRAY_DIMENSIONS":["time"],$attrs}""").getBytes("UTF-8"))
+      Files.write(dir.resolve("0"), payload)
+      p
+    }
+    def le(f: java.nio.ByteBuffer => Unit, cap: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(cap)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); bb.array()
+    }
+    val G = 1000000000L
+    val epoch00 = 946684800L * G
+    def decodeOne(units: String): Long = {
+      val p = v2("<i8", s""""units":"$units"""",
+        le(bb => bb.putLong(0L), 8), 1)
+      val m = Zarr.readArrayMeta(p, "time")
+      Zarr.decodeCf(m, Zarr.readRegion(p, "time", m, Array(0L), Array(1)))
+        .toLongs.head
+    }
+    // non-zero-padded dates — the most common real-world udunits sloppiness
+    assert(decodeOne("days since 2000-1-1") == epoch00)
+    // sloppy time-of-day with fractional seconds
+    assert(decodeOne("hours since 1990-01-01 0:00:0.0") == 631152000L * G)
+    // hour-only time-of-day
+    assert(decodeOne("days since 2000-01-01 6") == epoch00 + 21600L * G)
+    // explicit non-UTC offsets (both spellings) shift to UTC
+    assert(decodeOne("days since 2000-01-01 00:00:00+10:00") ==
+      epoch00 - 10L * 3600L * G)
+    assert(decodeOne("days since 2000-01-01 00:00:00 -0600") ==
+      epoch00 + 6L * 3600L * G)
+    // strict spellings keep working
+    assert(decodeOne("days since 2000-01-01T00:00:00Z") == epoch00)
+    assert(decodeOne("seconds since 2000-01-01 00:00:00.25") ==
+      epoch00 + 250000000L)
+    // garbage still rejects loudly
+    val pg = v2("<i8", """"units":"days since yesterday"""",
+      le(bb => bb.putLong(0L), 8), 1)
+    val eg = intercept[IllegalArgumentException](Zarr.readArrayMeta(pg, "time"))
+    assert(eg.getMessage.contains("cannot parse CF time reference"))
+    val pb = v2("<i8", """"units":"days since 2000-13-45"""",
+      le(bb => bb.putLong(0L), 8), 1)
+    val eb = intercept[IllegalArgumentException](Zarr.readArrayMeta(pb, "time"))
+    assert(eb.getMessage.contains("cannot parse CF time reference"))
+    // stored iNaT (Long.MinValue) in a raw int64 CF array passes
+    // through as NaT instead of overflowing the unit multiply
+    val pn = v2("<i8", """"units":"hours since 1979-01-01"""",
+      le(bb => Seq(0L, Long.MinValue).foreach(bb.putLong), 16), 2)
+    val mn = Zarr.readArrayMeta(pn, "time")
+    val an = Zarr.decodeCf(mn, Zarr.readRegion(pn, "time", mn, Array(0L), Array(2)))
+    assert(an.toLongs.toSeq == Seq(283996800L * G, Long.MinValue))
+    // scale_factor on a raw datetime64 dtype is ambiguous -> loud reject
+    val pa = v2("<M8[s]", """"scale_factor":2.0""",
+      le(bb => bb.putLong(0L), 8), 1)
+    val ea = intercept[IllegalArgumentException](Zarr.readArrayMeta(pa, "time"))
+    assert(ea.getMessage.contains("ambiguous"))
+  }
+
   test("uint16/uint32/float16 stores widen losslessly on read") {
     // The packed layouts archives actually ship: hand-built stores
     // (literal .zarray bytes, never our writer).
