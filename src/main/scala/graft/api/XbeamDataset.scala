@@ -151,6 +151,40 @@ final class XbeamDataset private (
       sortedCheck = coordFor(dim).toDoubles.sliding(2).forall(w =>
         w.length < 2 || w(0) <= w(1)))
 
+  /** Selection by STRING coordinate labels (xarray
+    * `sel(dim=["S03", "S07"])` on a station/label coordinate). The
+    * label array is store-resident (string coords don't embed in the
+    * numeric template); it is read once on the driver — coordinate
+    * arrays are plan-scale — and resolved to positions honoring any
+    * prior slice pushdown. A contiguous run lowers to [[slice]] (scan
+    * pushdown: the read itself shrinks); anything else to the
+    * [[isel]] gather. Only valid on a dataset that originated
+    * [[XbeamDataset.fromZarr]]. */
+  def selLabels(dim: String, labels: Seq[String]): XbeamDataset = {
+    val spec = scan.getOrElse(throw new IllegalArgumentException(
+      s"selLabels($dim): label selection needs the zarr scan's string " +
+        "coordinate — apply it before other transforms"))
+    val src = spec.source match {
+      case z: ZarrSource => z
+      case _ => throw new IllegalArgumentException(
+        s"selLabels($dim): no zarr store to read the label coordinate from")
+    }
+    val m = src.metas.getOrElse(dim, throw new IllegalArgumentException(
+      s"selLabels($dim): the store has no coordinate array for $dim"))
+    require(m.stringDType.isDefined,
+      s"selLabels($dim): coordinate is not string-typed — use sel")
+    val values = Zarr.readStringCoord(src.path, dim, m)
+    val want = labels.toSet
+    val off = spec.offset.getOrElse(dim, 0L)
+    val size = template.dimSizes(dim)
+    val pos = (0L until size).filter(i => want.contains(values((off + i).toInt)))
+    require(pos.nonEmpty, s"selLabels($dim): no coordinate values match " +
+      s"${labels.mkString(", ")}")
+    val contiguous = pos.zipWithIndex.forall { case (p, j) => p == pos.head + j }
+    if (contiguous) slice(dim, pos.head, pos.length.toLong)
+    else isel(dim, pos.toArray)
+  }
+
   private def coordFor(dim: String): NdArray =
     template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"sel($dim): the dataset has no coordinate for $dim"))
@@ -6315,9 +6349,14 @@ object XbeamDataset {
                splitVars: Boolean = false): XbeamDataset = {
     val store = Zarr.openStore(path)
     val template0 = store.template
-    val coords = store.coordVars.map { case (d, m) =>
-      d -> Zarr.decodeCf(m, Zarr.readCoord(path, d, m))
-    }
+    // string coordinates (station/label arrays) can't live in the
+    // numeric NdArray coord map; they stay store-resident and are
+    // addressed by label via selLabels (which reads them on demand)
+    val coords = store.coordVars
+      .filter { case (_, m) => m.stringDType.isEmpty }
+      .map { case (d, m) =>
+        d -> Zarr.decodeCf(m, Zarr.readCoord(path, d, m))
+      }
     val template = template0.copy(coords = coords)
     val normalized = ChunkGrid.normalizeChunks(
       if (chunks.isEmpty) store.inferChunks else chunks, template.dimSizes)

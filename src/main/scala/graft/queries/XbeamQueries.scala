@@ -4672,6 +4672,109 @@ object XbeamQueries {
                ((tt.i * 131 + xx.i * 17) % 65536) * 0.01e0 + (-50.0e0) AS v
         FROM unnest(range((SELECT text FROM n))) tt(i),
              unnest(range(16)) xx(i)
-        ORDER BY t, x"""))
+        ORDER BY t, x""")),
+
+    // --------------------------------------------------------------- x151
+    // String-coordinate interop, driver-gated: a stock-xarray-shaped
+    // store with a |S8 station-label coordinate (chunked, NUL-padded)
+    // and a vlen-utf8 tag coordinate (the two string layouts real
+    // stores carry; our writer refuses both by design) — hand-written
+    // as literal metadata/chunk bytes, read back distributed through
+    // the DSv2 connector with an IN predicate ON THE LABELS. The
+    // predicate prunes station chunks at plan time (coordKeepSets over
+    // the decoded strings: 3 of 8 chunks survive), which is the 100 TB
+    // posture — label selection must shrink the read, not filter rows
+    // post-scan. Values derive from indices alone, so the oracle
+    // restates them in pure SQL (printf labels). t-extent scale-capped
+    // at 256 (interop decode correctness is under test, not volume).
+    QueryDef(
+      "x151_string_coord_interop",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = math.min(256L, n / W).toInt
+        require(tExt >= 1, s"x151 needs events rows >= $W")
+        val nSta = 32; val staChunk = 4; val tChunk = 64
+        val store = zarrPath("x151", dir)
+        graft.core.Fs.deleteRecursively(store)
+        val root = java.nio.file.Paths.get(store)
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.write(root.resolve(".zgroup"),
+          """{"zarr_format":2}""".getBytes("UTF-8"))
+        // |S8 station labels "S00".."S31", NUL-padded, chunked 4
+        val sdir = root.resolve("station")
+        java.nio.file.Files.createDirectories(sdir)
+        java.nio.file.Files.write(sdir.resolve(".zarray"),
+          (s"""{"chunks":[$staChunk],"compressor":null,"dtype":"|S8",""" +
+            s""""fill_value":"","filters":null,"order":"C",""" +
+            s""""shape":[$nSta],"zarr_format":2}""").getBytes("UTF-8"))
+        java.nio.file.Files.write(sdir.resolve(".zattrs"),
+          """{"_ARRAY_DIMENSIONS":["station"]}""".getBytes("UTF-8"))
+        (0 until nSta / staChunk).foreach { c =>
+          val b = new Array[Byte](staChunk * 8)
+          (0 until staChunk).foreach { i =>
+            val lbl = f"S${c * staChunk + i}%02d".getBytes("UTF-8")
+            System.arraycopy(lbl, 0, b, i * 8, lbl.length)
+          }
+          java.nio.file.Files.write(sdir.resolve(s"$c"), b)
+        }
+        // vlen-utf8 tag coordinate "t000".."tNNN" over dim t, chunked 64
+        val tdir = root.resolve("t")
+        java.nio.file.Files.createDirectories(tdir)
+        java.nio.file.Files.write(tdir.resolve(".zarray"),
+          (s"""{"chunks":[$tChunk],"compressor":null,"dtype":"|O",""" +
+            s""""fill_value":null,"filters":[{"id":"vlen-utf8"}],""" +
+            s""""order":"C","shape":[$tExt],"zarr_format":2}""").getBytes("UTF-8"))
+        java.nio.file.Files.write(tdir.resolve(".zattrs"),
+          """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+        val nTChunks = (tExt + tChunk - 1) / tChunk
+        (0 until nTChunks).foreach { c =>
+          val items = (0 until tChunk).map { i =>
+            f"t${c * tChunk + i}%03d".getBytes("UTF-8")
+          }
+          val bb = java.nio.ByteBuffer
+            .allocate(4 + items.map(_.length + 4).sum)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(items.length)
+          items.foreach { e => bb.putInt(e.length); bb.put(e) }
+          java.nio.file.Files.write(tdir.resolve(s"$c"), bb.array())
+        }
+        // int64 variable v(station, t) = station*1000 + t
+        val vdir = root.resolve("v")
+        java.nio.file.Files.createDirectories(vdir)
+        java.nio.file.Files.write(vdir.resolve(".zarray"),
+          (s"""{"chunks":[$staChunk,$tChunk],"compressor":null,""" +
+            s""""dtype":"<i8","fill_value":0,"filters":null,"order":"C",""" +
+            s""""shape":[$nSta,$tExt],"zarr_format":2}""").getBytes("UTF-8"))
+        java.nio.file.Files.write(vdir.resolve(".zattrs"),
+          """{"_ARRAY_DIMENSIONS":["station","t"]}""".getBytes("UTF-8"))
+        (0 until nSta / staChunk).foreach { sc =>
+          (0 until nTChunks).foreach { tc =>
+            val bb = java.nio.ByteBuffer.allocate(staChunk * tChunk * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (0 until staChunk).foreach { i =>
+              val sta = sc * staChunk + i
+              (0 until tChunk).foreach { j =>
+                val gt = tc * tChunk + j
+                bb.putLong(if (gt < tExt) sta * 1000L + gt else 0L)
+              }
+            }
+            java.nio.file.Files.write(vdir.resolve(s"$sc.$tc"), bb.array())
+          }
+        }
+        s.read.format("zarr").option("coords", "true").load(store)
+          .filter("station_coord IN ('S03', 'S17', 'S29')")
+          .selectExpr("station", "station_coord AS label", "t",
+            "t_coord AS tag", "v")
+          .orderBy("station", "t")
+      },
+      Some(s"""
+        WITH n AS (SELECT LEAST(256, (SELECT count(*) FROM events) // $W) AS text),
+             sta AS (SELECT i, printf('S%02d', i) AS label
+                     FROM unnest(range(32)) s(i))
+        SELECT sta.i AS station, sta.label AS label, tt.i AS t,
+               printf('t%03d', tt.i) AS tag, sta.i * 1000 + tt.i AS v
+        FROM sta, unnest(range((SELECT text FROM n))) tt(i)
+        WHERE sta.label IN ('S03', 'S17', 'S29')
+        ORDER BY station, t"""))
   )
 }

@@ -74,7 +74,30 @@ object Zarr {
                              fsoFilter: Option[FsoFilter] = None,
                              cfTime: Option[CfTime] = None,
                              timeUnitNs: Long = 1L,
-                             widenFrom: Option[String] = None)
+                             widenFrom: Option[String] = None,
+                             stringDType: Option[StringDType] = None)
+
+  /** String array encodings (read-only, 1-D coordinate arrays only):
+    * stock xarray stores routinely carry station names / labels /
+    * member ids as fixed-width `|S<n>` bytes, fixed-width `<U<n>`
+    * UCS-4, or numcodecs `vlen-utf8` object arrays — the reference
+    * reads all three for free through numpy/zarr-python
+    * (core.py:72-76: a chunk is any xarray.Dataset). The NdArray
+    * kernel stays numeric; string arrays route through
+    * [[Zarr.readStringCoord]] and every numeric path rejects them
+    * loudly. */
+  sealed trait StringDType extends Serializable
+  object StringDType {
+    /** numpy `|S<n>`: n bytes per element, right-padded with NULs. */
+    final case class FixedS(width: Int) extends StringDType
+    /** numpy `<U<n>`: n little-endian UCS-4 code points per element,
+      * right-padded with zero code points. */
+    final case class FixedU(width: Int) extends StringDType
+    /** numcodecs VLenUTF8 over dtype `|O`: chunk payload is a LE
+      * uint32 item count, then per item a LE uint32 byte length +
+      * UTF-8 bytes. */
+    case object VlenUtf8 extends StringDType
+  }
 
   /** CF time encoding: stored number `v` is `epochNs + v * unitNs`
     * nanoseconds since the Unix epoch (proleptic-Gregorian UTC). */
@@ -83,12 +106,19 @@ object Zarr {
   /** Bytes-per-element as stored on disk — differs from
     * `dtype.itemsize` only for widened dtypes (`widenFrom`), where the
     * NdArray kernel carries a wider native type than the store. */
-  def storedItemsize(meta: ArrayMeta): Int =
-    // every widening doubles the element width (u2→i4, u4→i8, f2→f4),
-    // so the stored size is derivable — no second dispatch to keep in
-    // sync with widenBytes
-    if (meta.widenFrom.isDefined) meta.dtype.itemsize / 2
-    else meta.dtype.itemsize
+  def storedItemsize(meta: ArrayMeta): Int = meta.stringDType match {
+    case Some(StringDType.FixedS(w)) => w
+    case Some(StringDType.FixedU(w)) => 4 * w
+    case Some(StringDType.VlenUtf8) => throw new IllegalArgumentException(
+      "vlen-utf8 string arrays have no fixed itemsize (unsupported here: " +
+        "zstd-compressed vlen chunks need a declared decoded size)")
+    case None =>
+      // every widening doubles the element width (u2→i4, u4→i8, f2→f4),
+      // so the stored size is derivable — no second dispatch to keep in
+      // sync with widenBytes
+      if (meta.widenFrom.isDefined) meta.dtype.itemsize / 2
+      else meta.dtype.itemsize
+  }
 
   /** numcodecs `FixedScaleOffset` (read-only): stored chunk bytes are
     * `astype` integers `round((x - offset) * scale)`; decode is
@@ -277,7 +307,13 @@ object Zarr {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity
         case "-Infinity" => Double.NegativeInfinity
-        case other => other.toDouble
+        case other =>
+          // string dtypes carry string/base64 fills ("" is typical);
+          // the numeric fill is meaningless there — readStringCoord
+          // fills absent chunks with "" itself
+          if ("""^[|<>][SUO]""".r.findFirstIn(za.get("dtype").asText).isDefined)
+            0.0
+          else other.toDouble
       }
       case n => n.asDouble
     }
@@ -291,6 +327,28 @@ object Zarr {
     // absent and read as fill — a silent wrong read.
     val sep = Option(za.get("dimension_separator")).map(_.asText).getOrElse(".")
     require(sep == "." || sep == "/", s"bad dimension_separator $sep for $name")
+    val dtypeStr = za.get("dtype").asText
+    // String dtypes (|S / <U fixed width, |O + vlen-utf8): read-only,
+    // 1-D coordinate arrays only — the stock-store layouts for station
+    // names / labels / CMIP member ids. Detected before the filter
+    // parse because vlen-utf8 arrives AS a v2 filter.
+    val fixedSRe = """\|S(\d+)""".r
+    val fixedURe = """[<|]U(\d+)""".r
+    val stringDType: Option[StringDType] = dtypeStr match {
+      case fixedSRe(w) => Some(StringDType.FixedS(w.toInt))
+      case fixedURe(w) => Some(StringDType.FixedU(w.toInt))
+      case "|O" =>
+        val f = za.get("filters")
+        require(f != null && !f.isNull && f.isArray && f.size == 1 &&
+          f.get(0).get("id").asText == "vlen-utf8",
+          s"array $name: object dtype |O is only readable with a single " +
+            "vlen-utf8 filter declaring the byte layout")
+        Some(StringDType.VlenUtf8)
+      case s if s.startsWith(">U") || s.startsWith(">S") =>
+        throw new IllegalArgumentException(
+          s"array $name: big-endian string dtype $s is not supported")
+      case _ => None
+    }
     // Filters change the byte meaning, so anything we can't decode
     // exactly must fail loudly, not decode wrong. The one filter real
     // stores commonly carry is numcodecs `delta` (monotonic coordinate
@@ -302,7 +360,8 @@ object Zarr {
     val filters = za.get("filters")
     var deltaFilter = false
     var fsoFilter: Option[FsoFilter] = None
-    if (filters != null && !filters.isNull) {
+    if (filters != null && !filters.isNull &&
+        !stringDType.contains(StringDType.VlenUtf8)) {
       require(filters.isArray && filters.size == 1,
         s"array $name uses unsupported zarr v2 filters ($filters) — " +
           "only a single delta or fixedscaleoffset filter is supported")
@@ -355,8 +414,7 @@ object Zarr {
       else None
     // big-endian stores (HDF5-converted data) read via a byte swap;
     // the in-memory representation stays little-endian throughout
-    val dtypeStr = za.get("dtype").asText
-    val bigEndian = dtypeStr.startsWith(">")
+    val bigEndian = stringDType.isEmpty && dtypeStr.startsWith(">")
     val littleStr = if (bigEndian) "<" + dtypeStr.substring(1) else dtypeStr
     // numpy non-ns datetime64 ("<M8[s]", "<M8[us]", ...): same i64
     // payload, scaled to ns on read (NaT = Long.MinValue passes
@@ -364,7 +422,10 @@ object Zarr {
     // and reanalysis archives actually ship — widen losslessly to the
     // kernel's i4/i8/f4 right after decompression (read-only).
     val m8Re = """<M8\[(\w+)\]""".r
-    val (dtype, timeUnitNs, widenFrom) = littleStr match {
+    val (dtype, timeUnitNs, widenFrom) =
+      if (stringDType.isDefined) (DType.U8, 1L, None) // placeholder; every
+      // numeric path guards on stringDType and rejects loudly
+      else littleStr match {
       case "<M8[ns]" => (DType.TimeNs, 1L, None)
       case m8Re(unit) => (DType.TimeNs, m8UnitNs(unit).getOrElse(
         throw new IllegalArgumentException(
@@ -380,8 +441,16 @@ object Zarr {
     require(widenFrom.isEmpty || (!deltaFilter && fsoFilter.isEmpty),
       s"array $name: numcodecs filters on widened dtype $dtypeStr are " +
         "not supported (wraparound semantics differ after widening)")
+    // string arrays: only as 1-D coordinates named after their own dim
+    // (the station/label/member-id layout); string DATA variables would
+    // need a string kernel dtype and stay loudly unsupported
+    require(stringDType.isEmpty ||
+      (shape.length == 1 && resolvedDims == Seq(name)),
+      s"array $name: string dtype $dtypeStr is only supported for 1-D " +
+        "coordinate arrays (read-only)")
     val cfTime = zattrs.flatMap(a => cfTimeOf(a, name))
       .filter(_ => dtype != DType.TimeNs) // M8 already IS datetime; units attr is then just metadata
+      .filter(_ => stringDType.isEmpty) // a units attr on a string label array is plain metadata
     require(cfTime.isEmpty || cfScale.isEmpty,
       s"array $name carries both CF time units and scale_factor/" +
         "add_offset — ambiguous encoding")
@@ -394,10 +463,12 @@ object Zarr {
         s"dtype $dtypeStr — ambiguous encoding")
     ArrayMeta(shape, chunks, dtype, resolvedDims,
       comp, fill, keySep = sep,
-      cfScale = cfScale, cfFill = zattrs.flatMap(cfFillOf),
+      cfScale = if (stringDType.isDefined) None else cfScale,
+      cfFill = if (stringDType.isDefined) None else zattrs.flatMap(cfFillOf),
       bigEndian = bigEndian, transposeOrder = fOrder,
       deltaFilter = deltaFilter, fsoFilter = fsoFilter,
-      cfTime = cfTime, timeUnitNs = timeUnitNs, widenFrom = widenFrom)
+      cfTime = cfTime, timeUnitNs = timeUnitNs, widenFrom = widenFrom,
+      stringDType = stringDType)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -597,7 +668,10 @@ object Zarr {
   /** The dtype a reader sees after CF decoding. Datetime arrays stay
     * datetime (fills mask to NaT, never a float64 detour). */
   def decodedDType(meta: ArrayMeta): DType =
-    if (meta.cfTime.isDefined || meta.dtype == DType.TimeNs) DType.TimeNs
+    if (meta.stringDType.isDefined) throw new IllegalArgumentException(
+      "string-typed array has no numeric decoded dtype — callers must " +
+        "branch on stringDType and use readStringCoord")
+    else if (meta.cfTime.isDefined || meta.dtype == DType.TimeNs) DType.TimeNs
     else if (meta.cfScale.isDefined || meta.cfFill.isDefined) DType.F64
     else meta.dtype
 
@@ -935,6 +1009,9 @@ object Zarr {
   private def readRegion(store: BlobStore, path: String, name: String,
                          meta: ArrayMeta, starts: Array[Long],
                          lengths: Array[Int]): NdArray = {
+    require(meta.stringDType.isEmpty,
+      s"array $name is string-typed — read it via readStringCoord " +
+        "(strings are read-only 1-D coordinate arrays)")
     val nd = meta.shape.length
     require(starts.length == nd && lengths.length == nd)
     val out = NdArray.zeros(meta.dtype, lengths)
@@ -1001,6 +1078,90 @@ object Zarr {
   def readCoord(path: String, dim: String, meta: ArrayMeta): NdArray =
     readRegion(BlobStore.forUrl(path), path, dim, meta, Array(0L),
       Array(meta.shape.head.toInt))
+
+  /** Read a 1-D string coordinate array (`|S<n>` / `<U<n>` fixed
+    * width, or numcodecs vlen-utf8) decoded to JVM strings — the
+    * station/label/member-id layout stock xarray stores carry, which
+    * the reference reads natively through numpy (core.py:72-76).
+    * Read-only and plan-scale (coordinate arrays are driver-resident
+    * metadata, like the numeric readCoord); absent chunks fill with
+    * the empty string. */
+  def readStringCoord(path: String, name: String,
+                      meta: ArrayMeta): Array[String] = {
+    val sd = meta.stringDType.getOrElse(throw new IllegalArgumentException(
+      s"array $name is not string-typed"))
+    require(meta.shape.length == 1 && meta.shape.head <= Int.MaxValue,
+      s"string coordinate $name must be 1-D and under 2^31 elements")
+    val store = BlobStore.forUrl(path)
+    val n = meta.shape.head.toInt
+    val c = meta.chunks.head
+    val out = Array.fill(n)("")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val nBlocks = (n + c - 1) / c
+    var b = 0
+    while (b < nBlocks) {
+      val f = blockKey(path, name, meta, Array(b.toLong))
+      store.readIfExists(f).foreach { rawBytes =>
+        // decodeBytes handles the compressor pipeline; endian swap and
+        // widening never apply to string metas (parse guarantees)
+        val raw = decodeBytes(meta, rawBytes)
+        val start = b * c
+        val len = math.min(c, n - start)
+        sd match {
+          case StringDType.FixedS(w) =>
+            require(raw.length >= len * w,
+              s"string chunk $f is ${raw.length} bytes, expected >= ${len * w}")
+            var i = 0
+            while (i < len) {
+              var end = (i + 1) * w
+              while (end > i * w && raw(end - 1) == 0) end -= 1
+              out(start + i) = new String(raw, i * w, end - i * w, utf8)
+              i += 1
+            }
+          case StringDType.FixedU(w) =>
+            require(raw.length >= len * w * 4L,
+              s"string chunk $f is ${raw.length} bytes, expected >= ${len * w * 4L}")
+            val bb = java.nio.ByteBuffer.wrap(raw)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < len) {
+              var eff = w
+              while (eff > 0 && bb.getInt((i.toLong * w + eff - 1).toInt * 4) == 0)
+                eff -= 1
+              val sb = new java.lang.StringBuilder(eff)
+              var j = 0
+              while (j < eff) {
+                sb.appendCodePoint(bb.getInt((i.toLong * w + j).toInt * 4))
+                j += 1
+              }
+              out(start + i) = sb.toString
+              i += 1
+            }
+          case StringDType.VlenUtf8 =>
+            require(raw.length >= 4, s"vlen-utf8 chunk $f under 4 bytes")
+            val bb = java.nio.ByteBuffer.wrap(raw)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val items = bb.getInt(0)
+            require(items >= len, s"vlen-utf8 chunk $f declares $items " +
+              s"items, expected >= $len")
+            var off = 4
+            var i = 0
+            while (i < len) {
+              require(off + 4 <= raw.length, s"vlen-utf8 chunk $f truncated")
+              val l = bb.getInt(off)
+              off += 4
+              require(l >= 0 && off + l <= raw.length,
+                s"vlen-utf8 chunk $f truncated (item $i wants $l bytes)")
+              out(start + i) = new String(raw, off, l, utf8)
+              off += l
+              i += 1
+            }
+        }
+      }
+      b += 1
+    }
+    out
+  }
 
   // ----------------------------------------------------------------- write
 
@@ -1342,7 +1503,8 @@ object Zarr {
       require(tail.shape.toSeq == Seq((newSize - oldSize).toInt),
         s"coordTail shape ${tail.shape.toSeq} != added extent ${newSize - oldSize}")
       require(m.cfScale.isEmpty && m.cfFill.isEmpty && !m.bigEndian &&
-        m.cfTime.isEmpty && m.timeUnitNs == 1L && m.widenFrom.isEmpty,
+        m.cfTime.isEmpty && m.timeUnitNs == 1L && m.widenFrom.isEmpty &&
+        m.stringDType.isEmpty,
         s"cannot append to an encoded coordinate array $dim")
       // rewrite the coord whole (it is small and driver-local): blocks
       // realign cleanly because writes start at offset 0
@@ -1686,6 +1848,9 @@ object Zarr {
     require(meta.widenFrom.isEmpty,
       "writing into a uint16/uint32/float16 array is not supported " +
         "(reads widen to i4/i8/f4; a widened write would corrupt it)")
+    require(meta.stringDType.isEmpty,
+      "writing into a string-typed array is not supported (strings are " +
+        "read-only coordinate arrays)")
     val body = meta.compressor.map(stripCrc) match {
       case Some("zlib") => deflate(bytes)
       case Some("gzip") => gzip(bytes)

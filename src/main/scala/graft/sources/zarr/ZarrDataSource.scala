@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => streaming}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -112,8 +112,12 @@ object ZarrTable {
     val coordCols =
       if (!coords) Seq.empty
       else dims.filter(store.coordVars.contains).map { d =>
-        StructField(s"${d}_coord",
-          sparkTypeOf(Zarr.decodedDType(store.coordVars(d))), nullable = false)
+        val m = store.coordVars(d)
+        // string coordinates (station/label arrays) project as STRING;
+        // everything else as the CF-decoded numeric type
+        val t = if (m.stringDType.isDefined) StringType
+          else sparkTypeOf(Zarr.decodedDType(m))
+        StructField(s"${d}_coord", t, nullable = false)
       }
     StructType(
       dims.map(d => StructField(d, LongType, nullable = false)) ++
@@ -184,6 +188,10 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
   // 2^53, where a double round-trip would mis-prune by up to 1024 ns
   private var coordBoundsL: Map[String, (Long, Long)] = Map.empty
   private var coordBoundsD: Map[String, (Double, Double)] = Map.empty
+  // per-dim wanted-value sets from equality/IN predicates on STRING
+  // `<dim>_coord` columns (station = 'S03'); several predicates on one
+  // dim intersect
+  private var coordStrSets: Map[String, Set[String]] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // with a complete aggregate pushed, the scan's output IS the
@@ -229,7 +237,15 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     def incL(v: Long) = if (v == Long.MaxValue) v else v + 1
     def decL(v: Long) = if (v == Long.MinValue) v else v - 1
     val isCoord: String => Boolean = c => coordDim(c).isDefined
+    def cstr(c: String, vs: Set[String]): Unit = coordDim(c).foreach { d =>
+      coordStrSets += d ->
+        coordStrSets.get(d).map(_.intersect(vs)).getOrElse(vs)
+    }
     filters.foreach {
+      case EqualTo(c, x: String) if isCoord(c) => cstr(c, Set(x))
+      case In(c, vs) if isCoord(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        cstr(c, vs.iterator.map(_.asInstanceOf[String]).toSet)
       case EqualTo(c, x: Long) if isCoord(c) => cclampL(c, x, x)
       case EqualTo(c, x: Int) if isCoord(c) => cclampL(c, x.toLong, x.toLong)
       case EqualTo(c, x: Double) if isCoord(c) => cclampD(c, x, x)
@@ -280,6 +296,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     }
     pushed = filters.filter {
       case EqualTo(c, _) => dimSet(c) || varSet(c) || isCoord(c)
+      case In(c, _) => isCoord(c)
       case GreaterThan(c, _) => dimSet(c) || varSet(c) || isCoord(c)
       case GreaterThanOrEqual(c, _) => dimSet(c) || varSet(c) || isCoord(c)
       case LessThan(c, _) => dimSet(c) || varSet(c) || isCoord(c)
@@ -456,9 +473,25 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
     * rewrite, generalized to any stored coordinate). */
   private def coordKeepSets(): Map[String, Array[Boolean]] = {
     val chunksByDim = store.inferChunks
-    (coordBoundsL.keySet ++ coordBoundsD.keySet).iterator.flatMap { d =>
+    (coordBoundsL.keySet ++ coordBoundsD.keySet ++
+      coordStrSets.keySet).iterator.flatMap { d =>
       val m = store.coordVars(d)
       val c = chunksByDim.getOrElse(d, return Map.empty)
+      if (m.stringDType.isDefined) {
+        // string coordinate: keep each chunk iff any of its label
+        // values is in the wanted set (equality/IN only — numeric
+        // bounds can't arise on a STRING column)
+        val vals = Zarr.readStringCoord(path, d, m)
+        val want = coordStrSets(d)
+        val nChunks = (vals.length + c - 1) / c
+        val keep = new Array[Boolean](nChunks)
+        var i = 0
+        while (i < vals.length) {
+          if (want.contains(vals(i))) keep(i / c) = true
+          i += 1
+        }
+        Iterator.single(d -> keep)
+      } else {
       val arr = Zarr.decodeCf(m, Zarr.readCoord(path, d, m))
       val n = arr.size
       val isFloat = arr.dtype == graft.ndarray.DType.F32 ||
@@ -488,6 +521,7 @@ class ZarrScanBuilder(path: String, coords: Boolean = false,
         i += 1
       }
       Iterator.single(d -> keep)
+      }
     }.toMap
   }
 
@@ -961,14 +995,29 @@ private[zarr] final class ZarrChunkContext(path: String,
     if (f.name.endsWith("_coord")) dimOrder.indexOf(f.name.stripSuffix("_coord"))
     else -1
   }
+  val isStr: Array[Boolean] = fields.map(_.dataType == StringType)
   val coordArrays: Array[graft.ndarray.NdArray] = fields.zipWithIndex.map {
     case (f, i) =>
-      if (coordOf(i) < 0) null
+      if (coordOf(i) < 0 || isStr(i)) null
       else {
         val dim = f.name.stripSuffix("_coord")
         val m = metas.getOrElse(dim,
           throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
         Zarr.decodeCf(m, Zarr.readCoord(path, dim, m))
+      }
+  }
+  // string coordinates, pre-encoded to UTF-8 once per partition: the
+  // row reader wraps them as UTF8String without copying, the columnar
+  // reader appends the raw bytes
+  val coordStrs: Array[Array[Array[Byte]]] = fields.zipWithIndex.map {
+    case (f, i) =>
+      if (coordOf(i) < 0 || !isStr(i)) null
+      else {
+        val dim = f.name.stripSuffix("_coord")
+        val m = metas.getOrElse(dim,
+          throw new IllegalArgumentException(s"no stored coordinate for ${f.name}"))
+        Zarr.readStringCoord(path, dim, m)
+          .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
   }
   val varArrays: Array[graft.ndarray.NdArray] =
@@ -1035,7 +1084,10 @@ class ZarrPartitionReader(cc: ZarrChunkContext)
         if (cc.dimPos(c) >= 0) cc.offsets(cc.dimPos(c)) + idx(cc.dimPos(c))
         else if (cc.coordOf(c) >= 0) {
           val gi = cc.offsets(cc.coordOf(c)) + idx(cc.coordOf(c))
-          if (cc.isFloat(c)) cc.coordArrays(c).getDouble(gi)
+          if (cc.isStr(c))
+            org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(cc.coordStrs(c)(gi.toInt))
+          else if (cc.isFloat(c)) cc.coordArrays(c).getDouble(gi)
           else cc.coordArrays(c).getLong(gi)
         }
         else {
@@ -1079,7 +1131,8 @@ class ZarrColumnarPartitionReader(cc: ZarrChunkContext)
           vecs(c).putLong(r, cc.offsets(cc.dimPos(c)) + idx(cc.dimPos(c)))
         else if (cc.coordOf(c) >= 0) {
           val gi = cc.offsets(cc.coordOf(c)) + idx(cc.coordOf(c))
-          if (cc.isFloat(c)) vecs(c).putDouble(r, cc.coordArrays(c).getDouble(gi))
+          if (cc.isStr(c)) vecs(c).putByteArray(r, cc.coordStrs(c)(gi.toInt))
+          else if (cc.isFloat(c)) vecs(c).putDouble(r, cc.coordArrays(c).getDouble(gi))
           else vecs(c).putLong(r, cc.coordArrays(c).getLong(gi))
         } else {
           val vflat = cc.varFlat(c, flat, idx)

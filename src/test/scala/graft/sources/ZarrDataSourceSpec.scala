@@ -249,6 +249,84 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(!spark.read.format("zarr").load(dir).columns.contains("time_coord"))
   }
 
+  test("string coordinate: projects, filters prune chunks, selLabels") {
+    // Hand-built store with a |S8 station label coordinate (the layout
+    // stock xarray writes for string coords) over dims (station, t).
+    val p = Files.createTempDirectory("zarr_strcoord").toString + "/store"
+    val root = java.nio.file.Paths.get(p)
+    Files.createDirectories(root)
+    Files.write(root.resolve(".zgroup"), """{"zarr_format":2}""".getBytes("UTF-8"))
+    val nSta = 8; val nT = 4; val staChunk = 2
+    val sdir = root.resolve("station")
+    Files.createDirectories(sdir)
+    Files.write(sdir.resolve(".zarray"),
+      (s"""{"chunks":[$staChunk],"compressor":null,"dtype":"|S8",""" +
+        s""""fill_value":"","filters":null,"order":"C",""" +
+        s""""shape":[$nSta],"zarr_format":2}""").getBytes("UTF-8"))
+    Files.write(sdir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["station"]}""".getBytes("UTF-8"))
+    (0 until nSta / staChunk).foreach { c =>
+      val b = new Array[Byte](staChunk * 8)
+      (0 until staChunk).foreach { i =>
+        val s = f"S${c * staChunk + i}%02d".getBytes("UTF-8")
+        System.arraycopy(s, 0, b, i * 8, s.length)
+      }
+      Files.write(sdir.resolve(s"$c"), b)
+    }
+    val vdir = root.resolve("v")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve(".zarray"),
+      (s"""{"chunks":[$staChunk,$nT],"compressor":null,"dtype":"<i8",""" +
+        s""""fill_value":0,"filters":null,"order":"C",""" +
+        s""""shape":[$nSta,$nT],"zarr_format":2}""").getBytes("UTF-8"))
+    Files.write(vdir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["station","t"]}""".getBytes("UTF-8"))
+    (0 until nSta / staChunk).foreach { c =>
+      val bb = java.nio.ByteBuffer.allocate(staChunk * nT * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until staChunk).foreach { i =>
+        (0 until nT).foreach(t => bb.putLong((c * staChunk + i) * 100L + t))
+      }
+      Files.write(vdir.resolve(s"$c.0"), bb.array())
+    }
+    val df = spark.read.format("zarr").option("coords", "true").load(p)
+    assert(df.schema("station_coord").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // full read round-trips the labels
+    val all = df.select("station", "station_coord").distinct()
+      .orderBy("station").collect()
+    assert(all.map(_.getString(1)).toSeq ==
+      (0 until nSta).map(i => f"S$i%02d"))
+    // equality predicate prunes to the one chunk holding the label
+    val one = df.filter("station_coord = 'S05'")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select("v").orderBy("t").collect().map(_.getLong(0)).toSeq ==
+      (0 until nT).map(t => 500L + t))
+    // IN set spanning two chunks prunes to exactly those two
+    val two = df.filter("station_coord IN ('S00', 'S07')")
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 2L * nT)
+    // chunk-engine label selection: contiguous run lowers to a slice
+    val ds = XbeamDataset.fromZarr(spark, p)
+    assert(!ds.template.coords.contains("station")) // strings stay store-resident
+    val sliced = TabularBridge.toDataFrame(
+      ds.selLabels("station", Seq("S02", "S03")))
+      .orderBy("station", "t").collect()
+    assert(sliced.length == 2 * nT)
+    assert(sliced.map(_.getLong(sliced.head.fieldIndex("v"))).toSeq ==
+      (for (s <- 2 to 3; t <- 0 until nT) yield s * 100L + t))
+    // non-contiguous labels route through the isel gather
+    val gathered = TabularBridge.toDataFrame(
+      ds.selLabels("station", Seq("S06", "S01")))
+      .orderBy("station", "t").collect()
+    assert(gathered.map(_.getLong(gathered.head.fieldIndex("v"))).toSeq ==
+      (for (s <- Seq(1, 6); t <- 0 until nT) yield s * 100L + t))
+    // an unknown label fails loudly
+    val e = intercept[IllegalArgumentException](
+      ds.selLabels("station", Seq("NOPE")))
+    assert(e.getMessage.contains("no coordinate values match"))
+  }
+
   test("column pruning reaches the store read") {
     val dir = writeStore()
     val df = spark.read.format("zarr").load(dir).select("time", "precip")

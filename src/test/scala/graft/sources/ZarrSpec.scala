@@ -1225,6 +1225,109 @@ class ZarrSpec extends AnyFunSuite {
     assert(ea.getMessage.contains("ambiguous"))
   }
 
+  test("string coordinate arrays read (|S, <U, vlen-utf8); writes refuse") {
+    // The station/label layouts stock xarray stores carry — hand-built
+    // to the wire format, never touching our writer (which refuses
+    // string dtypes by design).
+    def mk(name: String, zarray: String, zattrs: String,
+           chunks: Map[String, Array[Byte]]): String = {
+      val p = tmpStore()
+      val dir = java.nio.file.Paths.get(p, name)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(".zarray"), zarray.getBytes("UTF-8"))
+      Files.write(dir.resolve(".zattrs"), zattrs.getBytes("UTF-8"))
+      chunks.foreach { case (k, b) => Files.write(dir.resolve(k), b) }
+      p
+    }
+    // |S8, two chunks of 3 (last partial), trailing-NUL padding, an
+    // empty string, and a stray "" fill_value (what zarr-python writes)
+    def s8(s: String): Array[Byte] = {
+      val b = new Array[Byte](8)
+      val raw = s.getBytes("UTF-8")
+      System.arraycopy(raw, 0, b, 0, raw.length)
+      b
+    }
+    val p1 = mk("station",
+      """{"chunks":[3],"compressor":null,"dtype":"|S8","fill_value":"",""" +
+        """"filters":null,"order":"C","shape":[5],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["station"]}""",
+      Map("0" -> (s8("KSEA") ++ s8("KPDX") ++ s8("")),
+        "1" -> (s8("KLAX-07") ++ s8("KSFO") ++ s8("pad"))))
+    val m1 = Zarr.readArrayMeta(p1, "station")
+    assert(m1.stringDType.contains(Zarr.StringDType.FixedS(8)))
+    assert(Zarr.readStringCoord(p1, "station", m1).toSeq ==
+      Seq("KSEA", "KPDX", "", "KLAX-07", "KSFO"))
+    // <U4 (UCS-4 LE) with non-ASCII labels, zlib-compressed
+    def u4(s: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      s.codePoints().toArray.foreach(bb.putInt)
+      bb.array()
+    }
+    val uRaw = u4("αβγ") ++ u4("r1") ++ u4("日本語帳")
+    val uZ = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(uRaw); d.finish()
+      val buf = new Array[Byte](uRaw.length * 2 + 64)
+      val n = d.deflate(buf)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val p2 = mk("member",
+      """{"chunks":[3],"compressor":{"id":"zlib","level":1},"dtype":"<U4",""" +
+        """"fill_value":"","filters":null,"order":"C","shape":[3],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["member"]}""",
+      Map("0" -> uZ))
+    val m2 = Zarr.readArrayMeta(p2, "member")
+    assert(m2.stringDType.contains(Zarr.StringDType.FixedU(4)))
+    assert(Zarr.readStringCoord(p2, "member", m2).toSeq ==
+      Seq("αβγ", "r1", "日本語帳"))
+    // numcodecs vlen-utf8 over |O: LE u32 count, then per item LE u32
+    // length + bytes
+    def vlen(items: Seq[String]): Array[Byte] = {
+      val enc = items.map(_.getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.allocate(4 + enc.map(_.length + 4).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(items.length)
+      enc.foreach { e => bb.putInt(e.length); bb.put(e) }
+      bb.array()
+    }
+    val p3 = mk("label",
+      """{"chunks":[2],"compressor":null,"dtype":"|O","fill_value":null,""" +
+        """"filters":[{"id":"vlen-utf8"}],"order":"C","shape":[4],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["label"]}""",
+      Map("0" -> vlen(Seq("cmip6-hist", "ssp5-8.5")),
+        "1" -> vlen(Seq("", "piControl"))))
+    val m3 = Zarr.readArrayMeta(p3, "label")
+    assert(m3.stringDType.contains(Zarr.StringDType.VlenUtf8))
+    assert(Zarr.readStringCoord(p3, "label", m3).toSeq ==
+      Seq("cmip6-hist", "ssp5-8.5", "", "piControl"))
+    // numeric reads of a string array reject loudly
+    val er = intercept[IllegalArgumentException](
+      Zarr.readRegion(p1, "station", m1, Array(0L), Array(5)))
+    assert(er.getMessage.contains("readStringCoord"))
+    // writes into string arrays reject loudly
+    val ew = intercept[IllegalArgumentException](
+      Zarr.writeRegion(p1, "station", m1, Array(0L),
+        graft.ndarray.NdArray.zeros(graft.ndarray.DType.U8, Array(5))))
+    assert(ew.getMessage.contains("string"))
+    // a string DATA variable (2-D / not named after its dim) rejects
+    val pv = mk("v",
+      """{"chunks":[2,2],"compressor":null,"dtype":"|S4","fill_value":"",""" +
+        """"filters":null,"order":"C","shape":[2,2],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["a","b"]}""",
+      Map.empty)
+    val ev = intercept[IllegalArgumentException](Zarr.readArrayMeta(pv, "v"))
+    assert(ev.getMessage.contains("1-D coordinate"))
+    // big-endian UCS-4 rejects rather than misreads
+    val pb = mk("be",
+      """{"chunks":[1],"compressor":null,"dtype":">U2","fill_value":"",""" +
+        """"filters":null,"order":"C","shape":[1],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["be"]}""",
+      Map.empty)
+    val eb = intercept[IllegalArgumentException](Zarr.readArrayMeta(pb, "be"))
+    assert(eb.getMessage.contains("big-endian"))
+  }
+
   test("uint16/uint32/float16 stores widen losslessly on read") {
     // The packed layouts archives actually ship: hand-built stores
     // (literal .zarray bytes, never our writer).
