@@ -55,7 +55,13 @@ object Bench {
     // from host IO/load; when this sentinel reads >= 1.3x its recorded
     // reference, rescale the store-write rows by (sentinel / reference)
     // instead of re-recording each one ad hoc with an isolated A/B.
-    val sentinelSec: Double = try {
+    // Round 20: measured as a BRACKET — once here at suite start and
+    // once again after all timing — because mid-suite host drift is
+    // invisible to a start-only sentinel (r19: seven store gates read
+    // 1.4–1.9× with both start sentinels in band; the isolated A/B
+    // exonerated the code). Either bracket out of band, or the two
+    // brackets disagreeing by >1.3×, classifies the run drift-flagged.
+    def measureWriteSentinel(): Double = try {
       import graft.core.{Template, VarSpec}
       import graft.ndarray.{DType, NdArray}
       val tmpl = Template(Seq("t" -> 2048L, "x" -> 2048L),
@@ -80,6 +86,7 @@ object Bench {
       once() // warm the IO path untimed
       (1 to 3).map(_ => once()).min
     } catch { case _: Throwable => -1.0 }
+    val sentinelSec: Double = measureWriteSentinel()
     // Host-IO READ drift sentinel (round 19+; see BASELINE.md "Store
     // read drift sentinel"): the write sentinel cannot see drift on the
     // re-read half of write-then-reread gates (x05/x10/x109/x110 read
@@ -93,7 +100,7 @@ object Bench {
     // timed full decode of (a) plus interior ranged reads of (b), one
     // untimed warm rep then best-of-3. Page cache is deliberately warm:
     // the gates this governs re-read stores they just wrote.
-    val sentinelReadSec: Double = try {
+    def measureReadSentinel(): Double = try {
       import graft.core.{Template, VarSpec}
       import graft.ndarray.{DType, NdArray}
       import graft.sources.Zarr
@@ -146,6 +153,7 @@ object Bench {
       graft.core.Fs.deleteRecursively(dirB)
       best
     } catch { case _: Throwable => -1.0 }
+    val sentinelReadSec: Double = measureReadSentinel()
     // Untimed warmup: exercise whole-stage codegen, the shuffle path,
     // window exec, and the parquet reader once so the first measured
     // query doesn't absorb session/JIT initialization (~5s measured).
@@ -246,6 +254,36 @@ object Bench {
     val spreads = allTimes.collect {
       case (name, ts) if ts.size >= 2 => name -> (ts.max - ts.min)
     }
+    // End-of-run sentinel bracket: re-measure the SAME write/read
+    // sentinels after all timing (untimed, so it costs nothing
+    // measured). The start/end pair classifies mid-suite host IO drift
+    // that a start-only measurement cannot see.
+    val sentinelEndSec: Double = measureWriteSentinel()
+    val sentinelReadEndSec: Double = measureReadSentinel()
+    // Drift classification per BASELINE.md's rescale rule: a run is
+    // drift-flagged when EITHER bracket of EITHER sentinel is out of
+    // band (>= 1.3× its recorded reference) or the two brackets of a
+    // sentinel disagree by > 1.3× (the host moved mid-suite). A failed
+    // sentinel (-1) flags too: an unjudgeable run must not read clean.
+    val WriteRef = 0.043 // BASELINE.md "Store-write drift sentinel"
+    val ReadRef = 0.095 // BASELINE.md "Store read drift sentinel"
+    def outOfBand(v: Double, ref: Double): Boolean = v < 0 || v >= 1.3 * ref
+    // Disagreement compares brackets CLAMPED at the reference: the end
+    // bracket routinely reads faster than the start one on an idle host
+    // (the IO path and its codecs are fully C2-compiled by suite end),
+    // and a benign sub-reference speedup must not read as drift — only
+    // slower-than-reference movement between the brackets does.
+    def bracketsDisagree(a: Double, b: Double, ref: Double): Boolean =
+      a < 0 || b < 0 || {
+        val (ca, cb) = (math.max(a, ref), math.max(b, ref))
+        math.max(ca, cb) / math.min(ca, cb) > 1.3
+      }
+    val driftFlagged =
+      outOfBand(sentinelSec, WriteRef) || outOfBand(sentinelEndSec, WriteRef) ||
+        outOfBand(sentinelReadSec, ReadRef) ||
+        outOfBand(sentinelReadEndSec, ReadRef) ||
+        bracketsDisagree(sentinelSec, sentinelEndSec, WriteRef) ||
+        bracketsDisagree(sentinelReadSec, sentinelReadEndSec, ReadRef)
     val total = tightened.values.filter(_ >= 0).sum
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -296,7 +334,7 @@ object Bench {
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},"sentinel_store_write_end_sec":${fmt(sentinelEndSec)},"sentinel_store_read_end_sec":${fmt(sentinelReadEndSec)},"drift_flagged":$driftFlagged,$jvmDiag,"queries":$detail,"reps":$repsDetail,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val budget = 1600
     // "detail" names the committed file carrying ALL per-query rows +
@@ -304,7 +342,7 @@ object Bench {
     // the harness's ~2000-char stdout retention — an overflowed line is
     // never parsed at all, observed r04); independent per-query audits
     // read bench_detail.json, which is committed every round.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},"n":${tightened.size},"detail":"bench_detail.json","sf":"$sfDir","""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"$timing","jitter":"$jitter","spread":$spreadJson,"sentinel_store_write_sec":${fmt(sentinelSec)},"sentinel_store_read_sec":${fmt(sentinelReadSec)},"sentinel_store_write_end_sec":${fmt(sentinelEndSec)},"sentinel_store_read_end_sec":${fmt(sentinelReadEndSec)},"drift_flagged":$driftFlagged,"n":${tightened.size},"detail":"bench_detail.json","sf":"$sfDir","""
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size
