@@ -43,7 +43,15 @@ final class XbeamDataset private (
     val chunkSizes: Map[String, Int],
     val splitVars: Boolean,
     scan: Option[ScanSpec],
-    plan: Option[Dataset[(ChunkKey, ArrayChunk)]]) extends Serializable {
+    plan: Option[Dataset[(ChunkKey, ArrayChunk)]],
+    /** Non-Gregorian CF calendar tags (dim → tag) for coordinates that
+      * are RAW CF counts on a fixed-year calendar (noleap / all_leap /
+      * 360_day — CMIP time axes, which cannot map onto datetime64).
+      * Consumed by [[timeField]] and the resample family; dropped when
+      * an operation replaces the dim's coordinate with non-count
+      * values. */
+    val calendars: Map[String, Zarr.CfCalTime] = Map.empty)
+    extends Serializable {
 
   import ChunkTransforms.{Pair, pairEnc}
 
@@ -51,11 +59,16 @@ final class XbeamDataset private (
 
   private def withPlan(t: Template, c: Map[String, Int], sv: Boolean,
                        ds: Dataset[Pair]): XbeamDataset =
-    new XbeamDataset(spark, t, c, sv, None, Some(ds))
+    new XbeamDataset(spark, t, c, sv, None, Some(ds), calendars)
 
   private def withScan(t: Template, c: Map[String, Int], sv: Boolean,
                        s: ScanSpec): XbeamDataset =
-    new XbeamDataset(spark, t, c, sv, Some(s), None)
+    new XbeamDataset(spark, t, c, sv, Some(s), None, calendars)
+
+  /** Copy with a replaced calendar-tag map (drop/install tags around
+    * coordinate rewrites). */
+  private def withCalendars(c: Map[String, Zarr.CfCalTime]): XbeamDataset =
+    new XbeamDataset(spark, template, chunkSizes, splitVars, scan, plan, c)
 
   /** The distributed chunk collection. For a scan: `spark.range` over
     * the chunk count → executor-side key math + region reads — the
@@ -1132,6 +1145,9 @@ final class XbeamDataset private (
       case Some(c) => template.coords + (dim -> c)
       case None => template.coords - dim
     }), chunkSizes, splitVars, chunkDataset)
+      // a user-assigned coordinate replaces whatever count encoding the
+      // calendar tag described
+      .withCalendars(calendars - dim)
   }
 
   def assignCoords(dim: String, coord: NdArray): XbeamDataset =
@@ -3729,6 +3745,20 @@ final class XbeamDataset private (
     val coord = template.coords.getOrElse(dim,
       throw new IllegalArgumentException(
         s"resample needs a coordinate on $dim"))
+    calendars.get(dim).foreach { tag =>
+      // calendar axis: period starts computed on the calendar's own
+      // timeline, written back as raw counts — same encoding, so the
+      // tag survives assignCoords' drop
+      val starts = XbeamDataset.calCoordInstants(coord, tag)
+        .map(graft.sources.CfCalendar.periodStart(tag.calendar, period, _))
+        .map(XbeamDataset.calInstantToCount(_, tag))
+      val out =
+        if (coord.dtype == DType.F64 || coord.dtype == DType.F32)
+          NdArray.fromDoubles(DType.F64, Array(starts.length),
+            starts.map(_.toDouble))
+        else NdArray.fromLongs(DType.I64, Array(starts.length), starts)
+      return assignCoords(dim, out).withCalendars(calendars)
+    }
     require(coord.dtype == DType.TimeNs,
       s"resample needs a datetime64 coord on $dim, got ${coord.dtype.zarr}")
     val starts = coord.toLongs.map(XbeamDataset.periodStartNs(period, _))
@@ -3796,6 +3826,36 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"resample needs a coordinate on $dim"))
+    // a calendar-tagged axis buckets on its own fixed-year timeline;
+    // the output coordinate stays RAW COUNTS in the same encoding (the
+    // tag survives, so a further timeField/resample keeps working)
+    calendars.get(dim).foreach { tag =>
+      import graft.sources.CfCalendar
+      val insts = XbeamDataset.calCoordInstants(coord, tag)
+      val bucketOf = new Array[Int](insts.length)
+      val bucketStarts =
+        scala.collection.mutable.ArrayBuffer.empty[CfCalendar.CalInstant]
+      var prev: CfCalendar.CalInstant = null
+      var i = 0
+      while (i < insts.length) {
+        require(prev == null || CfCalendar.nsBetween(insts(i), prev) >= 0,
+          s"resample requires a non-decreasing coord on $dim")
+        prev = insts(i)
+        val st = CfCalendar.periodStart(tag.calendar, period, insts(i))
+        if (bucketStarts.isEmpty || st != bucketStarts.last) bucketStarts += st
+        bucketOf(i) = bucketStarts.length - 1
+        i += 1
+      }
+      val counts =
+        bucketStarts.toArray.map(XbeamDataset.calInstantToCount(_, tag))
+      val outCoord =
+        if (coord.dtype == DType.F64 || coord.dtype == DType.F32)
+          NdArray.fromDoubles(DType.F64, Array(counts.length),
+            counts.map(_.toDouble))
+        else NdArray.fromLongs(DType.I64, Array(counts.length), counts)
+      return bucketReduceCore[A](dim, bucketOf, outCoord,
+        accOf, mergeA, extractA, emptyA)
+    }
     require(coord.dtype == DType.TimeNs,
       s"resample needs a datetime64 coord on $dim, got ${coord.dtype.zarr}")
     val ns = coord.toLongs
@@ -3983,6 +4043,18 @@ final class XbeamDataset private (
     require(template.dimSizes.contains(dim), s"unknown dim $dim")
     val coord = template.coords.getOrElse(dim, throw new IllegalArgumentException(
       s"timeField needs a coordinate on $dim"))
+    // non-Gregorian calendar axis: derive the field from raw CF counts
+    // with closed-form fixed-year arithmetic (CfCalendar); the derived
+    // ints replace the coord, so the calendar tag drops with it
+    calendars.get(dim).foreach { tag =>
+      val derived = XbeamDataset.calCoordInstants(coord, tag).map(t =>
+        graft.sources.CfCalendar.fieldOf(tag.calendar, t, field))
+      return withPlan(
+        template.copy(coords = template.coords +
+          (dim -> NdArray.fromLongs(DType.I64, Array(derived.length), derived))),
+        chunkSizes, splitVars, chunkDataset)
+        .withCalendars(calendars - dim)
+    }
     require(coord.dtype == DType.TimeNs,
       s"timeField needs a datetime64 coordinate on $dim, got ${coord.dtype.zarr}")
     val derived = coord.toLongs.map { t =>
@@ -6214,6 +6286,56 @@ object XbeamDataset {
   /** Epoch-ns start of the calendar period containing `t` (UTC) — the
     * bucket-label arithmetic shared by the resample family. ISO weeks
     * start Monday (DuckDB/pandas 'W-MON'). */
+  /** Raw CF counts → calendar instants per a [[Zarr.CfCalTime]] tag.
+    * Integer counts decompose into whole-day and sub-day parts so a
+    * "days since"/"hours since" axis spanning millennia stays exact
+    * (a single ns product would overflow); float counts round
+    * half-even in ns. NaN has no NaT representation in count space —
+    * loud. */
+  private[api] def calCoordInstants(
+      coord: NdArray,
+      tag: Zarr.CfCalTime): Array[graft.sources.CfCalendar.CalInstant] = {
+    import graft.sources.CfCalendar
+    val isFloat = coord.dtype == DType.F64 || coord.dtype == DType.F32
+    val unitDays = tag.unitNs / CfCalendar.DayNs
+    val unitRemNs = tag.unitNs % CfCalendar.DayNs
+    Array.tabulate(coord.shape(0)) { i =>
+      if (isFloat) {
+        val v = coord.getDouble(i)
+        require(!v.isNaN, "NaN in calendar time coordinate — drop or " +
+          "fill missing times first")
+        val whole = math.floor(v)
+        CfCalendar.addNs(
+          CfCalendar.CalInstant(
+            math.addExact(tag.epoch.days,
+              math.multiplyExact(whole.toLong, unitDays)),
+            tag.epoch.nsOfDay),
+          math.addExact(
+            math.multiplyExact(whole.toLong, unitRemNs),
+            math.rint((v - whole) * tag.unitNs).toLong))
+      } else {
+        val c = coord.getLong(i)
+        CfCalendar.addNs(
+          CfCalendar.CalInstant(
+            math.addExact(tag.epoch.days, math.multiplyExact(c, unitDays)),
+            tag.epoch.nsOfDay),
+          math.multiplyExact(c, unitRemNs))
+      }
+    }
+  }
+
+  /** Calendar instant back to a raw count — exact in the coordinate's
+    * own unit, or loud (a period start that falls between counts is
+    * genuinely unrepresentable without changing encoding). */
+  private[api] def calInstantToCount(
+      t: graft.sources.CfCalendar.CalInstant, tag: Zarr.CfCalTime): Long = {
+    val delta = graft.sources.CfCalendar.nsBetween(t, tag.epoch)
+    require(delta % tag.unitNs == 0,
+      s"period start is not representable in the coordinate's unit " +
+        s"(${tag.unitNs} ns per count)")
+    delta / tag.unitNs
+  }
+
   private[api] def periodStartNs(period: String, t: Long): Long = {
     // NaT (possible since CF-time stores decode missing slots to NaT)
     // would otherwise bucket silently as the year-1677 pandas epoch
@@ -6360,8 +6482,14 @@ object XbeamDataset {
     val template = template0.copy(coords = coords)
     val normalized = ChunkGrid.normalizeChunks(
       if (chunks.isEmpty) store.inferChunks else chunks, template.dimSizes)
+    // non-Gregorian CF time axes ride as raw counts + a calendar tag
+    // (timeField/resample consume it; see CfCalendar)
+    val calTags = store.coordVars.collect {
+      case (d, m) if m.cfCalTime.isDefined => d -> m.cfCalTime.get
+    }
     new XbeamDataset(spark, template, normalized, splitVars,
-      Some(ScanSpec(ZarrSource(path, store.arrays), Map.empty)), None)
+      Some(ScanSpec(ZarrSource(path, store.arrays), Map.empty)), None,
+      calTags)
   }
 
   /** In-memory entry for tests (from_xarray, dataset.py:624-660). */

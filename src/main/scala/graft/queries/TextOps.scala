@@ -1622,6 +1622,107 @@ object TextOps {
                CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
                (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- d12
+    // The PRODUCTION dedup job, composed end-to-end in ONE lineage:
+    // d04's MinHash-LSH candidates (bands ship (doc_id, band) only,
+    // dedup before any payload moves) → exact-Jaccard verification at
+    // t=0.5 through the codegen'd sorted-hash merge → d07's
+    // pointer-doubling connected components over the verified edges →
+    // d08's quality-based survivor selection, one row per component.
+    // Each stage's scale posture is inherited from its gated original;
+    // what this gate pins is the COMPOSITION — label propagation over
+    // LSH-derived (not all-pairs) edges, and survivor aggregation over
+    // component labels. The oracle replays the same candidates, a
+    // recursive reachability CTE, and the same lexicographic survivor
+    // rule.
+    QueryDef(
+      "d12_minhash_dedup_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val sh = shingled(s, dir).select($"doc_id", $"shingles")
+        val bands = minhashBands(sh)
+        val cand = bands.as("a")
+          .join(bands.as("b"), Seq("band_idx", "band"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
+        val hsets = sh.selectExpr("doc_id",
+          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
+          "size(shingles) AS sz")
+        val edges = cand
+          .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
+          .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
+          .withColumn("inter", expr("sorted_intersect_count(h_a, h_b)"))
+          .filter($"inter".cast("double") /
+            ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
+          .select($"id_a".as("u"), $"id_b".as("v"))
+        val (labels, _) = connectedComponents(s, edges)
+        val quality = t(s, dir, "documents")
+          .withColumn("ws", expr("split(text, ' ')"))
+          .withColumn("nw", expr("cast(size(ws) AS bigint)"))
+          .withColumn("quality",
+            (expr("cast(size(filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS bigint)")
+              .cast("double") / $"nw") * 0.5 +
+            (expr("cast(size(array_distinct(ws)) AS bigint)").cast("double") / $"nw") * 0.5 -
+            expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)")
+              .cast("double") / expr("length(text)"))
+          .select($"doc_id", $"quality")
+        labels.join(quality, "doc_id")
+          .groupBy($"label")
+          .agg(max(struct($"quality", (-$"doc_id").as("negid"))).as("m"),
+               count(lit(1)).as("n_members"))
+          .select($"label".as("component_id"),
+            (-$"m.negid").cast("long").as("survivor_id"),
+            $"m.quality".as("quality"), $"n_members")
+          .orderBy($"component_id")
+      },
+      Some(s"""
+        ${DUCK_SHINGLE_CTE.replace("WITH w", "WITH RECURSIVE w")},
+        sig AS (SELECT doc_id, shingles,
+                       list_transform(range(0, 8),
+                         k -> list_aggregate(list_transform(
+                                list_transform(shingles,
+                                  s -> md5((k // 4)::VARCHAR || '|' || s)),
+                                d -> substr(d, (k % 4) * 8 + 1, 8)), 'min')) AS sigs
+                FROM sh),
+        bands AS (SELECT doc_id, b AS band_idx,
+                         sigs[2*b+1] || sigs[2*b+2] AS band
+                  FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id),
+        pairs AS (SELECT id_a, id_b FROM (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                 (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+          FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+          WHERE jaccard >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT DISTINCT u AS doc_id FROM edges),
+        reach AS (
+          SELECT doc_id, doc_id AS r FROM verts
+          UNION
+          SELECT reach.doc_id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r),
+        lbl AS (SELECT doc_id, min(r) AS component_id FROM reach GROUP BY doc_id),
+        q AS (SELECT doc_id,
+                     (CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(ws)) * 0.5
+                   + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+                   - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS quality
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+        j AS (SELECT lbl.component_id, lbl.doc_id, q.quality
+              FROM lbl JOIN q USING (doc_id)),
+        g AS (SELECT component_id, max(quality) AS mq, count(*) AS n_members
+              FROM j GROUP BY 1)
+        SELECT g.component_id, min(j.doc_id) AS survivor_id,
+               any_value(g.mq) AS quality,
+               any_value(g.n_members) AS n_members
+        FROM j JOIN g ON j.component_id = g.component_id
+                     AND j.quality = g.mq
+        GROUP BY g.component_id ORDER BY g.component_id"""))
   )
 }

@@ -3091,7 +3091,6 @@ object XbeamQueries {
       "s08_stream_from_zarr",
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, lit, sum}
-        import org.apache.spark.sql.streaming.Trigger
         val store = zarrPath("s08", dir)
         val xds = gridXds(s, dir)
         xds.toZarr(store)
@@ -3103,25 +3102,18 @@ object XbeamQueries {
         // rate-limited multi-batch admission path is what's exercised
         val nChunks = ((xds.template.dimSizes("t") + 15) / 16) * ((W + 15) / 16)
         val perTrigger = math.max(4L, (nChunks + 2) / 3)
-        val stream = s.readStream.format("zarr")
-          .option("maxChunksPerTrigger", perTrigger).load(store)
-        val agg = stream.groupBy(col("x"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("uid").cast("decimal(38,0)")).cast("double").as("sum_uid"),
-            sum(col("vf")).as("sum_vf"))
-        val name = "s08_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val ckpt = (if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/" else
-            System.getProperty("java.io.tmpdir") + "/") + name + "_ckpt"
-        val q = agg.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally {
-          try graft.core.Fs.deleteRecursively(ckpt)
-          catch { case _: Throwable => () }
-        }
-        s.table(name).orderBy("x")
+        // complete-mode aggregate through the shared foreachBatch
+        // parquet sink (each epoch overwrites `latest`; last wins) —
+        // the same production sink shape as s01–s06/s11, retiring the
+        // demo-only memory sink this gate last used
+        graft.streaming.StreamOps.runToFileSink(s, "s08", "complete") {
+          val stream = s.readStream.format("zarr")
+            .option("maxChunksPerTrigger", perTrigger).load(store)
+          stream.groupBy(col("x"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("uid").cast("decimal(38,0)")).cast("double").as("sum_uid"),
+              sum(col("vf")).as("sum_vf"))
+        }.orderBy("x")
       },
       Some(s"""
         WITH $GRID_DUCK
@@ -4775,6 +4767,134 @@ object XbeamQueries {
                printf('t%03d', tt.i) AS tag, sta.i * 1000 + tt.i AS v
         FROM sta, unnest(range((SELECT text FROM n))) tt(i)
         WHERE sta.label IN ('S03', 'S17', 'S29')
-        ORDER BY station, t"""))
+        ORDER BY station, t""")),
+
+    // --------------------------------------------------------------- x152
+    // Non-Gregorian CF calendar interop, driver-gated: a CMIP-shaped
+    // noleap store (int64 "days since 2000-01-01", calendar attr) that
+    // xarray reads via cftime and our writer refuses to produce. The
+    // time axis decodes to RAW COUNTS + a calendar tag; timeField
+    // derives 'time.month' with fixed-year arithmetic (day 59 is
+    // MARCH 1 — no Feb 29) and the monthly climatology groups across
+    // years. The oracle restates noleap month boundaries as a CASE
+    // over day-of-year — pure SQL, calendar-sensitive (a Gregorian
+    // decode would shift every month after February in year 0).
+    QueryDef(
+      "x152_noleap_climatology",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = math.min(730L, n / W).toInt
+        require(tExt >= 1, s"x152 needs events rows >= $W")
+        val store = noleapStore("x152", dir, tExt)
+        val ds = XbeamDataset.fromZarr(s, store)
+        // toDataFrame emits dim INDICES; groupbyCoordMean's output dim
+        // is the distinct sorted months, which always start at 1 (day 0
+        // is Jan 1) and are contiguous — index + 1 IS the month
+        TabularBridge.toDataFrame(
+          ds.timeField("t", "month").groupbyCoordMean("t"))
+          .selectExpr("t + 1 AS month", "v AS mean_v").orderBy("month")
+      },
+      Some(s"""
+        WITH n AS (SELECT LEAST(730, (SELECT count(*) FROM events) // $W) AS text),
+        days AS (SELECT i % 365 AS doy, CAST(i AS DOUBLE) AS v
+                 FROM unnest(range((SELECT text FROM n))) tt(i)),
+        mapped AS (SELECT CASE
+            WHEN doy < 31 THEN 1 WHEN doy < 59 THEN 2 WHEN doy < 90 THEN 3
+            WHEN doy < 120 THEN 4 WHEN doy < 151 THEN 5 WHEN doy < 181 THEN 6
+            WHEN doy < 212 THEN 7 WHEN doy < 243 THEN 8 WHEN doy < 273 THEN 9
+            WHEN doy < 304 THEN 10 WHEN doy < 334 THEN 11 ELSE 12 END AS month,
+            v FROM days)
+        SELECT CAST(month AS BIGINT) AS month,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+        FROM mapped GROUP BY month ORDER BY month""")),
+
+    // --------------------------------------------------------------- x153
+    // Calendar-aware resample, same noleap store: monthly resampleMean
+    // buckets by the calendar's VARYING month lengths (31, 28, 31, ...)
+    // and the output coordinate is the month starts back in RAW COUNT
+    // space — the encoding round-trips, so a further timeField on the
+    // result keeps working. The oracle maps each day to its noleap
+    // month-start count (year*365 + cumulative month days).
+    QueryDef(
+      "x153_noleap_resample",
+      (s, dir) => {
+        val n: Long = nRows.computeIfAbsent(dir, d => t(s, d, "events").count())
+        val tExt = math.min(730L, n / W).toInt
+        require(tExt >= 1, s"x153 needs events rows >= $W")
+        val store = noleapStore("x153", dir, tExt)
+        val ds = XbeamDataset.fromZarr(s, store)
+        val res = ds.resampleMean("t", "month")
+        // surface the output coordinate (month-start counts): the dim
+        // column is an index — join the plan-scale index→count map,
+        // broadcast (two dozen rows)
+        import s.implicits._
+        val starts = res.template.coords("t").toLongs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("t", "month_start")
+        TabularBridge.toDataFrame(res)
+          .join(org.apache.spark.sql.functions.broadcast(starts), "t")
+          .selectExpr("month_start", "v AS mean_v")
+          .orderBy("month_start")
+      },
+      Some(s"""
+        WITH n AS (SELECT LEAST(730, (SELECT count(*) FROM events) // $W) AS text),
+        days AS (SELECT i // 365 AS yr, i % 365 AS doy, CAST(i AS DOUBLE) AS v
+                 FROM unnest(range((SELECT text FROM n))) tt(i)),
+        mapped AS (SELECT yr * 365 + CASE
+            WHEN doy < 31 THEN 0 WHEN doy < 59 THEN 31 WHEN doy < 90 THEN 59
+            WHEN doy < 120 THEN 90 WHEN doy < 151 THEN 120
+            WHEN doy < 181 THEN 151 WHEN doy < 212 THEN 181
+            WHEN doy < 243 THEN 212 WHEN doy < 273 THEN 243
+            WHEN doy < 304 THEN 273 WHEN doy < 334 THEN 304
+            ELSE 334 END AS mstart, v FROM days)
+        SELECT CAST(mstart AS BIGINT) AS month_start,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+        FROM mapped GROUP BY mstart ORDER BY month_start"""))
   )
+
+  /** Hand-built CMIP-shaped noleap store for x152/x153: int64 t counts
+    * "days since 2000-01-01" (calendar noleap, chunked 128) and a
+    * float64 v(t) = t (chunked 64) — literal metadata/chunk bytes, the
+    * layout our writer refuses (x150's method). */
+  private def noleapStore(name: String, dir: String, tExt: Int): String = {
+    val store = zarrPath(name, dir)
+    graft.core.Fs.deleteRecursively(store)
+    val root = java.nio.file.Paths.get(store)
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.write(root.resolve(".zgroup"),
+      """{"zarr_format":2}""".getBytes("UTF-8"))
+    val tdir = root.resolve("t")
+    java.nio.file.Files.createDirectories(tdir)
+    val tChunk = 128
+    java.nio.file.Files.write(tdir.resolve(".zarray"),
+      (s"""{"chunks":[$tChunk],"compressor":null,"dtype":"<i8",""" +
+        s""""fill_value":null,"filters":null,"order":"C",""" +
+        s""""shape":[$tExt],"zarr_format":2}""").getBytes("UTF-8"))
+    java.nio.file.Files.write(tdir.resolve(".zattrs"),
+      ("""{"_ARRAY_DIMENSIONS":["t"],""" +
+        """"units":"days since 2000-01-01","calendar":"noleap"}""")
+        .getBytes("UTF-8"))
+    (0 until (tExt + tChunk - 1) / tChunk).foreach { c =>
+      val bb = java.nio.ByteBuffer.allocate(tChunk * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until tChunk).foreach(j => bb.putLong((c * tChunk + j).toLong))
+      java.nio.file.Files.write(tdir.resolve(s"$c"), bb.array())
+    }
+    val vdir = root.resolve("v")
+    java.nio.file.Files.createDirectories(vdir)
+    val vChunk = 64
+    java.nio.file.Files.write(vdir.resolve(".zarray"),
+      (s"""{"chunks":[$vChunk],"compressor":null,"dtype":"<f8",""" +
+        s""""fill_value":"NaN","filters":null,"order":"C",""" +
+        s""""shape":[$tExt],"zarr_format":2}""").getBytes("UTF-8"))
+    java.nio.file.Files.write(vdir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+    (0 until (tExt + vChunk - 1) / vChunk).foreach { c =>
+      val bb = java.nio.ByteBuffer.allocate(vChunk * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until vChunk).foreach(j => bb.putDouble((c * vChunk + j).toDouble))
+      java.nio.file.Files.write(vdir.resolve(s"$c"), bb.array())
+    }
+    store
+  }
 }

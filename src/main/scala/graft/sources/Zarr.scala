@@ -75,7 +75,8 @@ object Zarr {
                              cfTime: Option[CfTime] = None,
                              timeUnitNs: Long = 1L,
                              widenFrom: Option[String] = None,
-                             stringDType: Option[StringDType] = None)
+                             stringDType: Option[StringDType] = None,
+                             cfCalTime: Option[CfCalTime] = None)
 
   /** String array encodings (read-only, 1-D coordinate arrays only):
     * stock xarray stores routinely carry station names / labels /
@@ -102,6 +103,16 @@ object Zarr {
   /** CF time encoding: stored number `v` is `epochNs + v * unitNs`
     * nanoseconds since the Unix epoch (proleptic-Gregorian UTC). */
   final case class CfTime(epochNs: Long, unitNs: Long)
+
+  /** CF time encoding on a NON-GREGORIAN fixed-year calendar
+    * (noleap / all_leap / 360_day — the CMIP time axes): values stay
+    * RAW counts (they cannot map onto datetime64); `epoch` is the
+    * reference instant on the calendar's own timeline
+    * ([[CfCalendar.CalInstant]]) and `unitNs` the count unit. Calendar
+    * kernels (timeField / resample) consume the tag; the array itself
+    * reads as its plain numeric dtype. */
+  final case class CfCalTime(calendar: String,
+                             epoch: CfCalendar.CalInstant, unitNs: Long)
 
   /** Bytes-per-element as stored on disk — differs from
     * `dtype.itemsize` only for widened dtypes (`widenFrom`), where the
@@ -448,12 +459,30 @@ object Zarr {
       (shape.length == 1 && resolvedDims == Seq(name)),
       s"array $name: string dtype $dtypeStr is only supported for 1-D " +
         "coordinate arrays (read-only)")
-    val cfTime = zattrs.flatMap(a => cfTimeOf(a, name))
-      .filter(_ => dtype != DType.TimeNs) // M8 already IS datetime; units attr is then just metadata
-      .filter(_ => stringDType.isEmpty) // a units attr on a string label array is plain metadata
+    val (cfTime0, cfCalTime0) = zattrs.map(a => cfTimeTagsOf(a, name))
+      .getOrElse((None, None))
+    // M8 already IS datetime (units attr is then just metadata), and a
+    // units attr on a string label array is plain metadata too
+    val timeTagsApply = dtype != DType.TimeNs && stringDType.isEmpty
+    val cfTime = cfTime0.filter(_ => timeTagsApply)
+    val cfCalTime = cfCalTime0.filter(_ => stringDType.isEmpty)
+    // a non-Gregorian calendar on a raw datetime64 dtype is malformed:
+    // datetime64 IS Gregorian epoch time
+    require(cfCalTime0.isEmpty || dtype != DType.TimeNs,
+      s"array $name: non-Gregorian CF calendar on datetime64 dtype " +
+        s"$dtypeStr is contradictory")
     require(cfTime.isEmpty || cfScale.isEmpty,
       s"array $name carries both CF time units and scale_factor/" +
         "add_offset — ambiguous encoding")
+    require(cfCalTime.isEmpty || cfScale.isEmpty,
+      s"array $name carries both CF calendar time units and " +
+        "scale_factor/add_offset — ambiguous encoding")
+    // a _FillValue on a calendar-tagged raw-count axis has no NaT
+    // representation in count space; masking to NaN would float-detour
+    // exact counts — reject loudly (CMIP time axes never carry fills)
+    require(cfCalTime.isEmpty || zattrs.flatMap(cfFillOf).isEmpty,
+      s"array $name: _FillValue on a non-Gregorian CF time axis is " +
+        "not supported")
     // mirror of the cfTime+cfScale rejection: scale/offset on a raw
     // datetime64 dtype is the same ambiguity (decodeCf's generic CF
     // branch would float-detour epoch values that decodedDType reports
@@ -468,7 +497,7 @@ object Zarr {
       bigEndian = bigEndian, transposeOrder = fOrder,
       deltaFilter = deltaFilter, fsoFilter = fsoFilter,
       cfTime = cfTime, timeUnitNs = timeUnitNs, widenFrom = widenFrom,
-      stringDType = stringDType)
+      stringDType = stringDType, cfCalTime = cfCalTime)
   }
 
   /** CF packing attrs, when both or either are present (missing one
@@ -526,73 +555,104 @@ object Zarr {
       """(?:[T ]\s*(\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?)?""" +
       """\s*(Z|UTC|[+-]\d{1,2}:?(?:\d{2})?)?$""").r
 
+  /** Parsed udunits reference timestamp components — calendar-agnostic
+    * (the DATE is only validated against a calendar at conversion). */
+  private final case class CfRefTs(y: Int, mo: Int, d: Int, h: Int,
+                                   mi: Int, sec: Int, fracNs: Long,
+                                   offSec: Long)
+
+  private def parseCfRefTs(ts: String): CfRefTs = ts.trim match {
+    case cfRefTsRe(y, mo, d, h, mi, s, frac, off) =>
+      val fracNs = Option(frac)
+        .map(f => math.rint(f.toDouble * 1e9).toLong).getOrElse(0L)
+      val offSec = Option(off) match {
+        case None | Some("Z") | Some("UTC") => 0L
+        case Some(o) =>
+          val sign = if (o.startsWith("-")) -1L else 1L
+          val body = o.substring(1).replace(":", "")
+          val (hh, mm) =
+            if (body.length <= 2) (body.toInt, 0)
+            else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+          require(hh <= 23 && mm <= 59,
+            s"bad UTC offset '$o' in CF reference timestamp '$ts'")
+          sign * (hh * 3600L + mm * 60L)
+      }
+      CfRefTs(y.toInt, mo.toInt, d.toInt,
+        Option(h).map(_.toInt).getOrElse(0),
+        Option(mi).map(_.toInt).getOrElse(0),
+        Option(s).map(_.toInt).getOrElse(0), fracNs, offSec)
+    case _ => throw new IllegalArgumentException(
+      s"cannot parse CF reference timestamp '$ts'")
+  }
+
   /** Epoch-ns of a CF reference timestamp ("1979-01-01",
     * "2000-1-1", "2000-01-01 06:00:00", T-separated, optional
     * fractional seconds, optional Z/UTC or explicit ±hh[:mm] offset
     * applied per OffsetDateTime semantics). Proleptic Gregorian. */
   private def cfEpochNs(ts: String): Long = {
-    ts.trim match {
-      case cfRefTsRe(y, mo, d, h, mi, s, frac, off) =>
-        val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
-          Option(h).map(_.toInt).getOrElse(0),
-          Option(mi).map(_.toInt).getOrElse(0),
-          Option(s).map(_.toInt).getOrElse(0))
-        val fracNs = Option(frac)
-          .map(f => math.rint(f.toDouble * 1e9).toLong).getOrElse(0L)
-        val offSec = Option(off) match {
-          case None | Some("Z") | Some("UTC") => 0L
-          case Some(o) =>
-            val sign = if (o.startsWith("-")) -1L else 1L
-            val body = o.substring(1).replace(":", "")
-            val (hh, mm) =
-              if (body.length <= 2) (body.toInt, 0)
-              else (body.dropRight(2).toInt, body.takeRight(2).toInt)
-            require(hh <= 23 && mm <= 59,
-              s"bad UTC offset '$o' in CF reference timestamp '$ts'")
-            sign * (hh * 3600L + mm * 60L)
-        }
-        val epochSec = math.subtractExact(
-          ldt.toEpochSecond(java.time.ZoneOffset.UTC), offSec)
-        math.addExact(math.multiplyExact(epochSec, 1000000000L), fracNs)
-      case _ => throw new IllegalArgumentException(
-        s"cannot parse CF reference timestamp '$ts'")
-    }
+    val r = parseCfRefTs(ts)
+    val ldt = java.time.LocalDateTime.of(r.y, r.mo, r.d, r.h, r.mi, r.sec)
+    val epochSec = math.subtractExact(
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC), r.offSec)
+    math.addExact(math.multiplyExact(epochSec, 1000000000L), r.fracNs)
   }
 
   /** CF time encoding, when `units` reads "<time-unit> since <ts>" on a
     * numeric array — the layout every stock xarray `to_zarr` emits for
     * datetime coordinates (zarr.py:72-96 opens stores through xarray's
-    * decode_cf, which is where the reference gets this for free). A
-    * recognized unit with an unparseable timestamp or a non-Gregorian
-    * calendar fails loudly: silently surfacing raw offsets would be a
-    * wrong read. Unknown unit words ("metres since launch") are NOT
-    * time encodings and decode as plain numbers. */
-  private def cfTimeOf(attrs: JsonNode, name: String): Option[CfTime] =
-    Option(attrs.get("units")).filter(_.isTextual).map(_.asText).flatMap {
-      case cfTimeUnitsRe(unitWord, ts) =>
-        // months/years since: udunits-legal but calendar-varying — a
-        // count of them has no fixed ns equivalent. Silently surfacing
-        // raw counts would be a wrong read; reject loudly.
+    * decode_cf, which is where the reference gets this for free).
+    * Gregorian calendars (or no calendar attr) yield a [[CfTime]]
+    * (decode to datetime64[ns]); the fixed-year non-Gregorian
+    * calendars (noleap / all_leap / 360_day — CMIP time axes) yield a
+    * [[CfCalTime]] tag: values stay raw counts and calendar kernels
+    * consume the tag. A recognized unit with an unparseable timestamp
+    * or a variable-year calendar (julian, ...) fails loudly: silently
+    * surfacing raw offsets would be a wrong read. Unknown unit words
+    * ("metres since launch") are NOT time encodings and decode as
+    * plain numbers. */
+  private def cfTimeTagsOf(attrs: JsonNode,
+                           name: String): (Option[CfTime], Option[CfCalTime]) =
+    Option(attrs.get("units")).filter(_.isTextual).map(_.asText) match {
+      case Some(cfTimeUnitsRe(unitWord, ts)) =>
+        // months/years since: udunits-legal but month-length-varying
+        // even inside the fixed calendars (noleap Feb=28 vs Jan=31) —
+        // a count of them has no fixed ns equivalent. Reject loudly.
         require(!Set("month", "months", "year", "years")
           .contains(unitWord.toLowerCase),
           s"array $name: CF time unit '$unitWord' varies by calendar " +
             "and cannot map onto datetime64[ns]")
-        cfUnitNs(unitWord).map { unitNs =>
-          Option(attrs.get("calendar")).filter(_.isTextual).map(_.asText)
-            .foreach { cal =>
-              require(Set("standard", "gregorian", "proleptic_gregorian")
-                .contains(cal.toLowerCase),
-                s"array $name: unsupported CF calendar '$cal' (only " +
-                  "Gregorian calendars map onto datetime64)")
+        cfUnitNs(unitWord) match {
+          case None => (None, None) // not a time encoding
+          case Some(unitNs) =>
+            def wrap[A](body: => A): A = try body catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"array $name: cannot parse CF time reference '$ts' in " +
+                  s"units '$unitWord since $ts'", e)
             }
-          val epoch = try cfEpochNs(ts) catch {
-            case e: Exception => throw new IllegalArgumentException(
-              s"array $name: cannot parse CF time reference '$ts' in " +
-                s"units '$unitWord since $ts'", e)
-          }
-          CfTime(epoch, unitNs)
+            Option(attrs.get("calendar")).filter(_.isTextual)
+              .map(_.asText) match {
+              case Some(cal) if CfCalendar.isSupported(cal) =>
+                val norm = CfCalendar.normalize(cal)
+                val epoch = wrap {
+                  val r = parseCfRefTs(ts)
+                  CfCalendar.addNs(
+                    CfCalendar.instant(norm, r.y.toLong, r.mo, r.d, r.h,
+                      r.mi, r.sec, r.fracNs),
+                    math.multiplyExact(-r.offSec, 1000000000L))
+                }
+                (None, Some(CfCalTime(norm, epoch, unitNs)))
+              case Some(cal) =>
+                require(Set("standard", "gregorian", "proleptic_gregorian")
+                  .contains(cal.toLowerCase),
+                  s"array $name: unsupported CF calendar '$cal' (Gregorian " +
+                    "maps onto datetime64; noleap/365_day, all_leap/366_day " +
+                    "and 360_day decode as raw counts with a calendar tag)")
+                (Some(CfTime(wrap(cfEpochNs(ts)), unitNs)), None)
+              case None =>
+                (Some(CfTime(wrap(cfEpochNs(ts)), unitNs)), None)
+            }
         }
-      case _ => None
+      case _ => (None, None)
     }
 
   /** Apply CF decoding to a freshly-read block: raw values equal to the
@@ -767,16 +827,23 @@ object Zarr {
     val v3CfScale = v3Attrs.flatMap(cfScaleOf)
     // v3 has no datetime data_type; stock xarray stores time on v3 the
     // same CF way it does on v2 — numbers + a "units: ... since ..." attr
-    val v3CfTime = v3Attrs.flatMap(a => cfTimeOf(a, name))
+    val (v3CfTime, v3CfCalTime) = v3Attrs.map(a => cfTimeTagsOf(a, name))
+      .getOrElse((None, None))
     require(v3CfTime.isEmpty || v3CfScale.isEmpty,
       s"array $name carries both CF time units and scale_factor/" +
         "add_offset — ambiguous encoding")
+    require(v3CfCalTime.isEmpty || v3CfScale.isEmpty,
+      s"array $name carries both CF calendar time units and " +
+        "scale_factor/add_offset — ambiguous encoding")
+    require(v3CfCalTime.isEmpty || v3Attrs.flatMap(cfFillOf).isEmpty,
+      s"array $name: _FillValue on a non-Gregorian CF time axis is " +
+        "not supported")
     val (v3Dtype, v3Widen) = dtypeFromV3Full(za.get("data_type").asText)
     ArrayMeta(shape, chunks, v3Dtype, dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
       cfScale = v3CfScale, cfFill = v3Attrs.flatMap(cfFillOf),
       transposeOrder = transposeOrder, cfTime = v3CfTime,
-      widenFrom = v3Widen)
+      widenFrom = v3Widen, cfCalTime = v3CfCalTime)
   }
 
   // ------------------------------------------------------- v3 sharding

@@ -82,8 +82,14 @@ object StreamOps {
     * try). Checkpoints go to tmpfs when available (the bounded run
     * has no recovery story to preserve; a production job points this
     * at durable storage) and are removed afterwards. */
-  private def runToFileSink(s: SparkSession, prefix: String)
-                           (build: => DataFrame): DataFrame = {
+  /** `mode = "complete"` (the s08 shape — a complete-mode aggregate
+    * finalizes the FULL result every micro-batch) writes each epoch
+    * over the single `latest` directory so the last epoch wins —
+    * idempotent under replay exactly like the append variant's
+    * per-batch dirs. This is what retires the demo-only memory sink. */
+  private[graft] def runToFileSink(s: SparkSession, prefix: String,
+                                   mode: String = "append")
+                                  (build: => DataFrame): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val name = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = (if (java.nio.file.Files.isDirectory(
@@ -116,10 +122,11 @@ object StreamOps {
       // file-sink manifest gave (foreachBatch alone is at-least-once)
       val q = df.writeStream
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          bdf.write.mode("overwrite").parquet(s"$out/b$batchId")
+          val dst = if (mode == "complete") s"$out/latest" else s"$out/b$batchId"
+          bdf.write.mode("overwrite").parquet(dst)
         }
         .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -2842,6 +2842,104 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(m.getDouble(0) == (1.0 + 2 + 4) / 3 && m.getDouble(1) == 3.0)
   }
 
+  test("non-Gregorian CF calendars: raw-count coords + calendar kernels") {
+    import java.nio.file.Files
+    // Hand-built stock-CMIP-shaped stores: int64 "days since
+    // 2000-01-01" with calendar noleap / 360_day (our writer never
+    // produces these; xarray reads them via cftime).
+    def mkStore(cal: String, n: Int): String = {
+      val p = Files.createTempDirectory(s"zarr_cal_$cal").toString + "/store"
+      val root = java.nio.file.Paths.get(p)
+      Files.createDirectories(root)
+      Files.write(root.resolve(".zgroup"),
+        """{"zarr_format":2}""".getBytes("UTF-8"))
+      val tdir = root.resolve("t")
+      Files.createDirectories(tdir)
+      Files.write(tdir.resolve(".zarray"),
+        (s"""{"chunks":[$n],"compressor":null,"dtype":"<i8",""" +
+          s""""fill_value":null,"filters":null,"order":"C",""" +
+          s""""shape":[$n],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(tdir.resolve(".zattrs"),
+        (s"""{"_ARRAY_DIMENSIONS":["t"],""" +
+          s""""units":"days since 2000-01-01","calendar":"$cal"}""")
+          .getBytes("UTF-8"))
+      val tb = java.nio.ByteBuffer.allocate(n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => tb.putLong(i.toLong))
+      Files.write(tdir.resolve("0"), tb.array())
+      val vdir = root.resolve("v")
+      Files.createDirectories(vdir)
+      Files.write(vdir.resolve(".zarray"),
+        (s"""{"chunks":[64],"compressor":null,"dtype":"<f8",""" +
+          s""""fill_value":"NaN","filters":null,"order":"C",""" +
+          s""""shape":[$n],"zarr_format":2}""").getBytes("UTF-8"))
+      Files.write(vdir.resolve(".zattrs"),
+        """{"_ARRAY_DIMENSIONS":["t"]}""".getBytes("UTF-8"))
+      (0 until (n + 63) / 64).foreach { c =>
+        val bb = java.nio.ByteBuffer.allocate(64 * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 64).foreach(j => bb.putDouble((c * 64 + j).toDouble))
+        Files.write(vdir.resolve(s"$c"), bb.array())
+      }
+      p
+    }
+    // noleap: 2 years of daily data; day index 59 is MARCH 1 (no Feb 29
+    // — in real-2000 Gregorian it would be Feb 29), day 365 restarts
+    // year 2001
+    val pn = mkStore("noleap", 730)
+    val dsn = XbeamDataset.fromZarr(spark, pn)
+    val mn = graft.sources.Zarr.openStore(pn).coordVars("t")
+    assert(mn.cfCalTime.exists(_.calendar == "noleap"))
+    assert(dsn.template.coords("t").dtype == DType.I64) // raw counts
+    def fld(ds: XbeamDataset, field: String): Seq[Long] =
+      ds.timeField("t", field).template.coords("t").toLongs.toSeq
+    val monthsN = fld(dsn, "month")
+    assert(monthsN(58) == 2 && monthsN(59) == 3, "noleap has no Feb 29")
+    assert(fld(dsn, "year").take(365).forall(_ == 2000L) &&
+      fld(dsn, "year")(365) == 2001L)
+    assert(fld(dsn, "dayofyear")(365) == 1L)
+    assert(fld(dsn, "day")(58) == 28L && fld(dsn, "hour").forall(_ == 0L))
+    assert(fld(dsn, "season")(59) == 1L) // Mar -> MAM
+    // 360_day: day index 59 is FEBRUARY 30 (a legal 360_day date);
+    // every month is exactly 30 days and the year is 360
+    val p3 = mkStore("360_day", 720)
+    val ds3 = XbeamDataset.fromZarr(spark, p3)
+    val months3 = fld(ds3, "month")
+    assert(months3(59) == 2 && fld(ds3, "day")(59) == 30L,
+      "360_day Feb has 30 days")
+    assert(months3(60) == 3)
+    assert(fld(ds3, "year")(360) == 2001L)
+    // monthly resampleMean on 360_day: exact 30-day buckets; the output
+    // coordinate is the month starts in RAW COUNT space and the
+    // calendar tag survives for further derivation
+    val rmM = ds3.resampleMean("t", "month")
+    assert(rmM.template.dimSizes("t") == 24L)
+    assert(rmM.template.coords("t").toLongs.take(3).toSeq == Seq(0L, 30L, 60L))
+    val (_, rc) = rmM.collectConsolidated()
+    // mean of v over days [30k, 30k+29] = 30k + 14.5
+    assert(rc.vars("v").arr.getDouble(1) == 44.5)
+    assert(rc.vars("v").arr.getDouble(23) == 23 * 30 + 14.5)
+    assert(fld(rmM, "month") == (1L to 12L) ++ (1L to 12L))
+    // timeField composition: noleap monthly climatology groups Feb with
+    // 28-day months
+    val clim = dsn.timeField("t", "month").groupbyCoordMean("t")
+    assert(clim.template.dimSizes("t") == 12L)
+    // group means: month 1 = mean(days 0..30 and 365..395)
+    val cm = clim.collectConsolidated()._2.vars("v").arr
+    val jan = ((0 to 30) ++ (365 to 395)).map(_.toDouble)
+    assert(cm.getDouble(0) == jan.sum / jan.size)
+    // dayofweek / week have no honest answer on fixed-year calendars
+    val ew = intercept[IllegalArgumentException](dsn.timeField("t", "dayofweek"))
+    assert(ew.getMessage.contains("not defined"))
+    val er = intercept[IllegalArgumentException](dsn.resampleMean("t", "week"))
+    assert(er.getMessage.contains("not defined"))
+    // a calendar-tagged coord refuses the Gregorian datetime path loudly
+    // rather than silently misreading counts as epoch-ns
+    val eg = intercept[IllegalArgumentException](
+      dsn.assignCoords("t", dsn.template.coords("t")).timeField("t", "month"))
+    assert(eg.getMessage.contains("datetime64"))
+  }
+
   test("groupbyCoordAnomaly subtracts each position's group mean") {
     val groups = Array(0L, 1, 0, 2, 1, 0, 2, 1, 0, 1)
     val vals = NdArray.fromDoubles(DType.F64, Array(10, 2),

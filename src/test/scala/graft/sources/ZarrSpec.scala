@@ -1099,8 +1099,11 @@ class ZarrSpec extends AnyFunSuite {
     assert(m4.dtype == DType.TimeNs && m4.timeUnitNs == G)
     val a4 = Zarr.decodeCf(m4, Zarr.readRegion(p4, "time", m4, Array(0L), Array(3)))
     assert(a4.toLongs.toSeq == Seq(epoch00, Long.MinValue, epoch00 + 86400L * G))
-    // non-Gregorian calendars cannot map onto datetime64 -> loud reject
-    val p5 = v2("<i8", """"units":"days since 2000-01-01","calendar":"360_day"""",
+    // variable-year calendars (julian) cannot map onto datetime64 and
+    // have no closed-form fixed-year arithmetic -> loud reject; the
+    // FIXED-year calendars (noleap/360_day) decode as raw counts with a
+    // calendar tag instead (see the dedicated calendar test)
+    val p5 = v2("<i8", """"units":"days since 2000-01-01","calendar":"julian"""",
       le(bb => bb.putLong(0L), 8), 1)
     val e5 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p5, "time"))
     assert(e5.getMessage.contains("calendar"))
