@@ -759,9 +759,13 @@ object Zarr {
     var shardChunks: Option[Seq[Int]] = None
     var transposeOrder: Option[Seq[Int]] = None
     var outerTranspose = false
+    var vlenUtf8 = false
     def scanCodecs(codecs: JsonNode, inShard: Boolean = false): Unit =
       (0 until codecs.size).foreach { i =>
         codecs.get(i).get("name").asText match {
+          // zarr-python 3's array→bytes codec for the "string" data
+          // type: same numcodecs VLenUTF8 byte layout as the v2 filter
+          case "vlen-utf8" => vlenUtf8 = true
           case "bytes" =>
             val cfg = codecs.get(i).get("configuration")
             val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
@@ -819,7 +823,12 @@ object Zarr {
         case "NaN" => Double.NaN
         case "Infinity" => Double.PositiveInfinity
         case "-Infinity" => Double.NegativeInfinity
-        case other => other.toDouble
+        case other =>
+          // string arrays carry string fills ("" is typical); the
+          // numeric fill is meaningless there — readStringCoord fills
+          // absent chunks with "" itself
+          if (za.get("data_type").asText == "string") 0.0
+          else other.toDouble
       }
       case n => n.asDouble
     }
@@ -838,12 +847,37 @@ object Zarr {
     require(v3CfCalTime.isEmpty || v3Attrs.flatMap(cfFillOf).isEmpty,
       s"array $name: _FillValue on a non-Gregorian CF time axis is " +
         "not supported")
-    val (v3Dtype, v3Widen) = dtypeFromV3Full(za.get("data_type").asText)
+    // v3 "string" data type (zarr-python 3's str arrays): read-only
+    // 1-D coordinates via the vlen-utf8 array→bytes codec — the same
+    // byte layout as the v2 numcodecs filter
+    val v3StringDType: Option[StringDType] =
+      if (za.get("data_type").asText != "string") {
+        require(!vlenUtf8, s"array $name: vlen-utf8 codec on non-string " +
+          s"data_type ${za.get("data_type").asText} is not supported")
+        None
+      } else {
+        require(vlenUtf8,
+          s"array $name: v3 string data_type without a vlen-utf8 codec")
+        require(shape.length == 1 && dimNames == Seq(name),
+          s"array $name: string data_type is only supported for 1-D " +
+            "coordinate arrays (read-only)")
+        require(shardChunks.isEmpty,
+          s"array $name: sharded string arrays are not supported")
+        Some(StringDType.VlenUtf8)
+      }
+    val (v3Dtype, v3Widen) =
+      if (v3StringDType.isDefined) (DType.U8, None) // placeholder; every
+      // numeric path guards on stringDType and rejects loudly
+      else dtypeFromV3Full(za.get("data_type").asText)
     ArrayMeta(shape, chunks, v3Dtype, dimNames,
       compressor, fill, format = 3, keySep = keySep, shardChunks = shardChunks,
-      cfScale = v3CfScale, cfFill = v3Attrs.flatMap(cfFillOf),
-      transposeOrder = transposeOrder, cfTime = v3CfTime,
-      widenFrom = v3Widen, cfCalTime = v3CfCalTime)
+      cfScale = if (v3StringDType.isDefined) None else v3CfScale,
+      cfFill = if (v3StringDType.isDefined) None else v3Attrs.flatMap(cfFillOf),
+      transposeOrder = transposeOrder,
+      cfTime = v3CfTime.filter(_ => v3StringDType.isEmpty),
+      widenFrom = v3Widen,
+      cfCalTime = v3CfCalTime.filter(_ => v3StringDType.isEmpty),
+      stringDType = v3StringDType)
   }
 
   // ------------------------------------------------------- v3 sharding

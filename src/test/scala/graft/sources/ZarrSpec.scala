@@ -1329,6 +1329,38 @@ class ZarrSpec extends AnyFunSuite {
       Map.empty)
     val eb = intercept[IllegalArgumentException](Zarr.readArrayMeta(pb, "be"))
     assert(eb.getMessage.contains("big-endian"))
+    // zarr v3 "string" data_type via the vlen-utf8 array→bytes codec
+    // (zarr-python 3's str arrays), chunked 2 with a partial tail
+    val p4 = tmpStore()
+    val d4 = java.nio.file.Paths.get(p4, "member")
+    Files.createDirectories(d4)
+    Files.write(d4.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[3],""" +
+        """"data_type":"string","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[2]}},"chunk_key_encoding":""" +
+        """{"name":"default","configuration":{"separator":"/"}},""" +
+        """"fill_value":"","codecs":[{"name":"vlen-utf8"}],""" +
+        """"dimension_names":["member"]}""").getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(d4.resolve("c"))
+    Files.write(d4.resolve("c/0"), vlen(Seq("r1i1p1", "r2i1p1")))
+    Files.write(d4.resolve("c/1"), vlen(Seq("r3i1p1", "pad")))
+    val m4 = Zarr.readArrayMeta(p4, "member")
+    assert(m4.format == 3 &&
+      m4.stringDType.contains(Zarr.StringDType.VlenUtf8))
+    assert(Zarr.readStringCoord(p4, "member", m4).toSeq ==
+      Seq("r1i1p1", "r2i1p1", "r3i1p1"))
+    // a v3 vlen-utf8 codec on a NUMERIC data_type rejects loudly
+    val p5 = tmpStore()
+    val d5 = java.nio.file.Paths.get(p5, "bad")
+    Files.createDirectories(d5)
+    Files.write(d5.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[1],""" +
+        """"data_type":"int64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1]}},"fill_value":0,""" +
+        """"codecs":[{"name":"vlen-utf8"}],""" +
+        """"dimension_names":["bad"]}""").getBytes("UTF-8"))
+    val e5 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p5, "bad"))
+    assert(e5.getMessage.contains("non-string"))
   }
 
   test("uint16/uint32/float16 stores widen losslessly on read") {
