@@ -191,8 +191,12 @@ final class XbeamDataset private (
     val off = spec.offset.getOrElse(dim, 0L)
     val size = template.dimSizes(dim)
     val pos = (0L until size).filter(i => want.contains(values((off + i).toInt)))
-    require(pos.nonEmpty, s"selLabels($dim): no coordinate values match " +
-      s"${labels.mkString(", ")}")
+    // xarray's list-sel raises KeyError for ANY missing label — a
+    // silently-narrower result would hide a typo'd station id
+    val found = pos.iterator.map(i => values((off + i).toInt)).toSet
+    val missing = want -- found
+    require(missing.isEmpty, s"selLabels($dim): no coordinate values " +
+      s"match ${missing.toSeq.sorted.mkString(", ")}")
     val contiguous = pos.zipWithIndex.forall { case (p, j) => p == pos.head + j }
     if (contiguous) slice(dim, pos.head, pos.length.toLong)
     else isel(dim, pos.toArray)
@@ -4049,11 +4053,10 @@ final class XbeamDataset private (
     calendars.get(dim).foreach { tag =>
       val derived = XbeamDataset.calCoordInstants(coord, tag).map(t =>
         graft.sources.CfCalendar.fieldOf(tag.calendar, t, field))
-      return withPlan(
-        template.copy(coords = template.coords +
-          (dim -> NdArray.fromLongs(DType.I64, Array(derived.length), derived))),
-        chunkSizes, splitVars, chunkDataset)
-        .withCalendars(calendars - dim)
+      // assignCoords validates the length and drops the calendar tag
+      // (the derived ints are no longer counts in the tag's encoding)
+      return assignCoords(dim,
+        NdArray.fromLongs(DType.I64, Array(derived.length), derived))
     }
     require(coord.dtype == DType.TimeNs,
       s"timeField needs a datetime64 coordinate on $dim, got ${coord.dtype.zarr}")
@@ -6297,43 +6300,72 @@ object XbeamDataset {
       tag: Zarr.CfCalTime): Array[graft.sources.CfCalendar.CalInstant] = {
     import graft.sources.CfCalendar
     val isFloat = coord.dtype == DType.F64 || coord.dtype == DType.F32
+    // Every CF unit is a whole multiple of a day (day/week) or divides
+    // the day exactly (ns..hours), so a count decomposes into whole
+    // days + a bounded sub-day remainder — no single ns product over
+    // the full span ('hours since 0001-01-01' with year-2000 data
+    // would overflow a Long ns counter; the instant itself is fine).
     val unitDays = tag.unitNs / CfCalendar.DayNs
-    val unitRemNs = tag.unitNs % CfCalendar.DayNs
+    val perDay = // counts per day, for sub-day units
+      if (unitDays > 0) 0L else CfCalendar.DayNs / tag.unitNs
+    require(unitDays > 0 || CfCalendar.DayNs % tag.unitNs == 0,
+      s"CF unit of ${tag.unitNs} ns neither divides nor multiplies a day")
+    def ofCount(c: Long, fracNs: Long): CfCalendar.CalInstant =
+      if (unitDays > 0)
+        CfCalendar.addNs(
+          CfCalendar.CalInstant(
+            math.addExact(tag.epoch.days, math.multiplyExact(c, unitDays)),
+            tag.epoch.nsOfDay),
+          fracNs)
+      else
+        CfCalendar.addNs(
+          CfCalendar.CalInstant(
+            math.addExact(tag.epoch.days, Math.floorDiv(c, perDay)),
+            tag.epoch.nsOfDay),
+          math.addExact(Math.floorMod(c, perDay) * tag.unitNs, fracNs))
     Array.tabulate(coord.shape(0)) { i =>
       if (isFloat) {
         val v = coord.getDouble(i)
         require(!v.isNaN, "NaN in calendar time coordinate — drop or " +
           "fill missing times first")
         val whole = math.floor(v)
-        CfCalendar.addNs(
-          CfCalendar.CalInstant(
-            math.addExact(tag.epoch.days,
-              math.multiplyExact(whole.toLong, unitDays)),
-            tag.epoch.nsOfDay),
-          math.addExact(
-            math.multiplyExact(whole.toLong, unitRemNs),
-            math.rint((v - whole) * tag.unitNs).toLong))
+        ofCount(whole.toLong, math.rint((v - whole) * tag.unitNs).toLong)
       } else {
         val c = coord.getLong(i)
-        CfCalendar.addNs(
-          CfCalendar.CalInstant(
-            math.addExact(tag.epoch.days, math.multiplyExact(c, unitDays)),
-            tag.epoch.nsOfDay),
-          math.multiplyExact(c, unitRemNs))
+        // a stored iNaT sentinel has no NaT representation in count
+        // space — loud, never a silent garbage date
+        require(c != Long.MinValue,
+          "iNaT (Long.MinValue) in calendar time coordinate — drop or " +
+            "fill missing times first")
+        ofCount(c, 0L)
       }
     }
   }
 
   /** Calendar instant back to a raw count — exact in the coordinate's
     * own unit, or loud (a period start that falls between counts is
-    * genuinely unrepresentable without changing encoding). */
+    * genuinely unrepresentable without changing encoding). Decomposed
+    * like [[calCoordInstants]] so distant epochs don't overflow. */
   private[api] def calInstantToCount(
       t: graft.sources.CfCalendar.CalInstant, tag: Zarr.CfCalTime): Long = {
-    val delta = graft.sources.CfCalendar.nsBetween(t, tag.epoch)
-    require(delta % tag.unitNs == 0,
-      s"period start is not representable in the coordinate's unit " +
-        s"(${tag.unitNs} ns per count)")
-    delta / tag.unitNs
+    import graft.sources.CfCalendar
+    val dDays = math.subtractExact(t.days, tag.epoch.days)
+    val dNs = t.nsOfDay - tag.epoch.nsOfDay // in (-DayNs, DayNs)
+    val unitDays = tag.unitNs / CfCalendar.DayNs
+    if (unitDays > 0) {
+      // day-multiple unit: any sub-day offset from the epoch is
+      // unrepresentable (|dNs| < a day <= the unit)
+      require(dNs == 0 && dDays % unitDays == 0,
+        s"period start is not representable in the coordinate's unit " +
+          s"(${tag.unitNs} ns per count)")
+      dDays / unitDays
+    } else {
+      val perDay = CfCalendar.DayNs / tag.unitNs
+      require(dNs % tag.unitNs == 0,
+        s"period start is not representable in the coordinate's unit " +
+          s"(${tag.unitNs} ns per count)")
+      math.addExact(math.multiplyExact(dDays, perDay), dNs / tag.unitNs)
+    }
   }
 
   private[api] def periodStartNs(period: String, t: Long): Long = {

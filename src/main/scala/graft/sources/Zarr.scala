@@ -319,12 +319,16 @@ object Zarr {
         case "Infinity" => Double.PositiveInfinity
         case "-Infinity" => Double.NegativeInfinity
         case other =>
-          // string dtypes carry string/base64 fills ("" is typical);
-          // the numeric fill is meaningless there — readStringCoord
-          // fills absent chunks with "" itself
-          if ("""^[|<>][SUO]""".r.findFirstIn(za.get("dtype").asText).isDefined)
+          // string dtypes carry string/base64 fills; readStringCoord
+          // fills absent chunks with "" — a NON-empty declared fill
+          // cannot be honored and must reject loudly (mapping it to ""
+          // would be a silent wrong read on a missing chunk)
+          if ("""^[|<>][SUO]""".r.findFirstIn(za.get("dtype").asText).isDefined) {
+            require(other.isEmpty,
+              s"array $name declares non-empty string fill_value " +
+                s"'$other' — absent chunks would silently read as \"\"")
             0.0
-          else other.toDouble
+          } else other.toDouble
       }
       case n => n.asDouble
     }
@@ -371,6 +375,14 @@ object Zarr {
     val filters = za.get("filters")
     var deltaFilter = false
     var fsoFilter: Option[FsoFilter] = None
+    // fixed-width string dtypes never take numeric filters:
+    // readStringCoord's pipeline is decompress-only, so a delta/fso
+    // filter here would decode silently wrong labels — reject at parse
+    require(stringDType.isEmpty ||
+      stringDType.contains(StringDType.VlenUtf8) ||
+      filters == null || filters.isNull,
+      s"array $name: numcodecs filters on string dtype $dtypeStr are " +
+        "not supported")
     if (filters != null && !filters.isNull &&
         !stringDType.contains(StringDType.VlenUtf8)) {
       require(filters.isArray && filters.size == 1,
@@ -824,11 +836,14 @@ object Zarr {
         case "Infinity" => Double.PositiveInfinity
         case "-Infinity" => Double.NegativeInfinity
         case other =>
-          // string arrays carry string fills ("" is typical); the
-          // numeric fill is meaningless there — readStringCoord fills
-          // absent chunks with "" itself
-          if (za.get("data_type").asText == "string") 0.0
-          else other.toDouble
+          // string arrays: readStringCoord fills absent chunks with ""
+          // — a NON-empty declared fill cannot be honored, reject
+          if (za.get("data_type").asText == "string") {
+            require(other.isEmpty,
+              s"array $name declares non-empty string fill_value " +
+                s"'$other' — absent chunks would silently read as \"\"")
+            0.0
+          } else other.toDouble
       }
       case n => n.asDouble
     }
@@ -1695,9 +1710,19 @@ object Zarr {
       case Some("gzip") => gunzip(payload)
       case Some("zstd") =>
         // stored chunks are always full chunk shape (padded), so the
-        // decoded size is known exactly — decode straight into it
-        val destLen = meta.shardChunks.getOrElse(meta.chunks)
-          .map(_.toLong).product * storedItemsize(meta)
+        // decoded size is known exactly — decode straight into it.
+        // vlen-utf8 strings have no fixed itemsize; their decoded size
+        // comes from the zstd frame header instead (zarr-python 3's
+        // DEFAULT codec chain for string arrays is [vlen-utf8, zstd])
+        val destLen =
+          if (meta.stringDType.contains(StringDType.VlenUtf8)) {
+            val sz = com.github.luben.zstd.Zstd.decompressedSize(payload)
+            require(sz > 0,
+              "zstd frame for a vlen-utf8 chunk does not declare its " +
+                "content size — unsupported (streaming-written frame?)")
+            sz
+          } else meta.shardChunks.getOrElse(meta.chunks)
+            .map(_.toLong).product * storedItemsize(meta)
         require(destLen <= Int.MaxValue, s"zstd chunk over 2 GiB")
         val dst = new Array[Byte](destLen.toInt)
         val n = com.github.luben.zstd.Zstd.decompressByteArray(

@@ -2938,6 +2938,30 @@ class XbeamDatasetSpec extends AnyFunSuite {
     val eg = intercept[IllegalArgumentException](
       dsn.assignCoords("t", dsn.template.coords("t")).timeField("t", "month"))
     assert(eg.getMessage.contains("datetime64"))
+    // a stored iNaT sentinel in the counts has no NaT in count space ->
+    // loud, never a silent garbage date
+    val tagN = graft.sources.Zarr.openStore(pn).coordVars("t").cfCalTime.get
+    val en = intercept[IllegalArgumentException](
+      XbeamDataset.calCoordInstants(
+        NdArray.fromLongs(DType.I64, Array(2), Array(0L, Long.MinValue)),
+        tagN))
+    assert(en.getMessage.contains("iNaT"))
+    // sub-day units with a DISTANT reference epoch must not overflow:
+    // 'hours since 0001-01-01' with year-2000-era counts is a real CMIP
+    // spelling (~1.75e7 hours; a single ns product would overflow)
+    val tagH = tagN.copy(
+      epoch = graft.sources.CfCalendar.CalInstant(365L, 0L), // year 1
+      unitNs = 3600L * 1000000000L)
+    val insts = XbeamDataset.calCoordInstants(
+      NdArray.fromLongs(DType.I64, Array(2),
+        Array(1999L * 365 * 24, 1999L * 365 * 24 + 30)), tagH)
+    assert(graft.sources.CfCalendar.ymd("noleap", insts(0)) == ((2000L, 1, 1)))
+    assert(graft.sources.CfCalendar.fieldOf("noleap", insts(1), "hour") == 6L)
+    // ...and the count round-trips exactly through the period start
+    // (insts(1) is 30 h past Jan 1 -> its day start is Jan 2, +24 h)
+    assert(XbeamDataset.calInstantToCount(
+      graft.sources.CfCalendar.periodStart("noleap", "day", insts(1)),
+      tagH) == 1999L * 365 * 24 + 24)
   }
 
   test("groupbyCoordAnomaly subtracts each position's group mean") {

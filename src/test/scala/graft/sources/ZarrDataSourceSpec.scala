@@ -321,10 +321,15 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       .orderBy("station", "t").collect()
     assert(gathered.map(_.getLong(gathered.head.fieldIndex("v"))).toSeq ==
       (for (s <- Seq(1, 6); t <- 0 until nT) yield s * 100L + t))
-    // an unknown label fails loudly
+    // an unknown label fails loudly — INCLUDING a partial miss (xarray
+    // list-sel raises KeyError for any missing label; silently-narrower
+    // data would hide a typo'd station id)
     val e = intercept[IllegalArgumentException](
       ds.selLabels("station", Seq("NOPE")))
     assert(e.getMessage.contains("no coordinate values match"))
+    val ep = intercept[IllegalArgumentException](
+      ds.selLabels("station", Seq("S02", "S93")))
+    assert(ep.getMessage.contains("S93") && !ep.getMessage.contains("S02"))
   }
 
   test("column pruning reaches the store read") {

@@ -1361,6 +1361,43 @@ class ZarrSpec extends AnyFunSuite {
         """"dimension_names":["bad"]}""").getBytes("UTF-8"))
     val e5 = intercept[IllegalArgumentException](Zarr.readArrayMeta(p5, "bad"))
     assert(e5.getMessage.contains("non-string"))
+    // v3 string + ZSTD — zarr-python 3's DEFAULT codec chain for str
+    // arrays; the decoded size comes from the zstd frame header
+    val p6 = tmpStore()
+    val d6 = java.nio.file.Paths.get(p6, "tag")
+    Files.createDirectories(d6)
+    Files.write(d6.resolve("zarr.json"),
+      ("""{"zarr_format":3,"node_type":"array","shape":[2],""" +
+        """"data_type":"string","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[2]}},"fill_value":"",""" +
+        """"codecs":[{"name":"vlen-utf8"},{"name":"zstd",""" +
+        """"configuration":{"level":0}}],""" +
+        """"dimension_names":["tag"]}""").getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(d6.resolve("c"))
+    Files.write(d6.resolve("c/0"),
+      com.github.luben.zstd.Zstd.compress(vlen(Seq("historical", "ssp126")), 1))
+    val m6s = Zarr.readArrayMeta(p6, "tag")
+    assert(Zarr.readStringCoord(p6, "tag", m6s).toSeq ==
+      Seq("historical", "ssp126"))
+    // a NON-EMPTY declared string fill cannot be honored (absent
+    // chunks read "") -> loud reject, v2 and v3
+    val pf = mk("filled",
+      """{"chunks":[1],"compressor":null,"dtype":"|S4","fill_value":"Tk8=",""" +
+        """"filters":null,"order":"C","shape":[1],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["filled"]}""",
+      Map.empty)
+    val ef = intercept[IllegalArgumentException](Zarr.readArrayMeta(pf, "filled"))
+    assert(ef.getMessage.contains("non-empty string fill_value"))
+    // numeric filters on a fixed-width string dtype would decode
+    // silently wrong labels -> loud reject at parse
+    val pd = mk("deltas",
+      """{"chunks":[2],"compressor":null,"dtype":"|S4","fill_value":"",""" +
+        """"filters":[{"id":"delta","dtype":"|S4"}],"order":"C",""" +
+        """"shape":[2],"zarr_format":2}""",
+      """{"_ARRAY_DIMENSIONS":["deltas"]}""",
+      Map.empty)
+    val ed = intercept[IllegalArgumentException](Zarr.readArrayMeta(pd, "deltas"))
+    assert(ed.getMessage.contains("filters on string dtype"))
   }
 
   test("uint16/uint32/float16 stores widen losslessly on read") {
