@@ -626,13 +626,35 @@ object Zarr {
                            name: String): (Option[CfTime], Option[CfCalTime]) =
     Option(attrs.get("units")).filter(_.isTextual).map(_.asText) match {
       case Some(cfTimeUnitsRe(unitWord, ts)) =>
-        // months/years since: udunits-legal but month-length-varying
-        // even inside the fixed calendars (noleap Feb=28 vs Jan=31) —
-        // a count of them has no fixed ns equivalent. Reject loudly.
-        require(!Set("month", "months", "year", "years")
-          .contains(unitWord.toLowerCase),
-          s"array $name: CF time unit '$unitWord' varies by calendar " +
-            "and cannot map onto datetime64[ns]")
+        val calAttr = Option(attrs.get("calendar")).filter(_.isTextual)
+          .map(_.asText.toLowerCase)
+        // months/years since: month-length-varying everywhere EXCEPT
+        // the 360_day calendar (every month is exactly 30 days), which
+        // is the one calendar cftime itself allows these units on —
+        // there they are fixed 30/360-day counts and decode like any
+        // other calendar-tagged unit. Anywhere else: reject loudly.
+        val monthly = Set("month", "months").contains(unitWord.toLowerCase)
+        val yearly = Set("year", "years").contains(unitWord.toLowerCase)
+        if (monthly || yearly) {
+          require(calAttr.contains("360_day"),
+            s"array $name: CF time unit '$unitWord' varies by calendar " +
+              "and cannot map onto datetime64[ns] (cftime allows it only " +
+              "on the 360_day calendar)")
+          val unitNs = (if (monthly) 30L else 360L) * CfCalendar.DayNs
+          def wrap[A](body: => A): A = try body catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"array $name: cannot parse CF time reference '$ts' in " +
+                s"units '$unitWord since $ts'", e)
+          }
+          val epoch = wrap {
+            val r = parseCfRefTs(ts)
+            CfCalendar.addNs(
+              CfCalendar.instant("360_day", r.y.toLong, r.mo, r.d, r.h,
+                r.mi, r.sec, r.fracNs),
+              math.multiplyExact(-r.offSec, 1000000000L))
+          }
+          return (None, Some(CfCalTime("360_day", epoch, unitNs)))
+        }
         cfUnitNs(unitWord) match {
           case None => (None, None) // not a time encoding
           case Some(unitNs) =>

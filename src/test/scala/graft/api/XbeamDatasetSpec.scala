@@ -2962,6 +2962,17 @@ class XbeamDatasetSpec extends AnyFunSuite {
     assert(XbeamDataset.calInstantToCount(
       graft.sources.CfCalendar.periodStart("noleap", "day", insts(1)),
       tagH) == 1999L * 365 * 24 + 24)
+    // 'months since' on 360_day (the one calendar cftime allows it on):
+    // 30-day units, month 13 = Feb of the next year
+    val tagM = graft.sources.Zarr.CfCalTime("360_day",
+      graft.sources.CfCalendar.CalInstant(2000L * 360, 0L),
+      30L * 86400L * 1000000000L)
+    val instsM = XbeamDataset.calCoordInstants(
+      NdArray.fromLongs(DType.I64, Array(3), Array(0L, 1L, 13L)), tagM)
+    assert(instsM.map(t =>
+      graft.sources.CfCalendar.ymd("360_day", t)).toSeq ==
+      Seq((2000L, 1, 1), (2000L, 2, 1), (2001L, 2, 1)))
+    assert(XbeamDataset.calInstantToCount(instsM(2), tagM) == 13L)
   }
 
   test("groupbyCoordAnomaly subtracts each position's group mean") {

@@ -1131,10 +1131,29 @@ class ZarrSpec extends AnyFunSuite {
     val aw = Zarr.decodeCf(mw, Zarr.readRegion(pw, "time", mw, Array(0L), Array(1)))
     assert(aw.toLongs.head == epoch00 + 14L * 86400L * G)
     // 'months since' / 'years since' vary by calendar -> loud reject
+    // (without the one calendar cftime allows them on, 360_day)
     val pmo = v2("<i8", """"units":"months since 2000-01-01"""",
       le(bb => bb.putLong(1L), 8), 1)
     val emo = intercept[IllegalArgumentException](Zarr.readArrayMeta(pmo, "time"))
     assert(emo.getMessage.contains("calendar"))
+    val pmoN = v2("<i8",
+      """"units":"months since 2000-01-01","calendar":"noleap"""",
+      le(bb => bb.putLong(1L), 8), 1)
+    val emoN = intercept[IllegalArgumentException](Zarr.readArrayMeta(pmoN, "time"))
+    assert(emoN.getMessage.contains("360_day"))
+    // ...but ON 360_day they are exact 30/360-day counts (cftime
+    // parity): a calendar tag, not a datetime64 detour
+    val pmo3 = v2("<i8",
+      """"units":"months since 2000-01-01","calendar":"360_day"""",
+      le(bb => Seq(0L, 1L, 13L).foreach(bb.putLong), 24), 3)
+    val mmo3 = Zarr.readArrayMeta(pmo3, "time")
+    assert(mmo3.cfCalTime.exists(t => t.calendar == "360_day" &&
+      t.unitNs == 30L * 86400L * 1000000000L))
+    val pyr3 = v2("<i8",
+      """"units":"years since 2000-01-01","calendar":"360_day"""",
+      le(bb => bb.putLong(2L), 8), 1)
+    assert(Zarr.readArrayMeta(pyr3, "time").cfCalTime
+      .exists(_.unitNs == 360L * 86400L * 1000000000L))
     // a 'since' phrase with a NON-time unit is not a time encoding
     val p6 = v2("<i8", """"units":"metres since launch"""",
       le(bb => bb.putLong(42L), 8), 1)
