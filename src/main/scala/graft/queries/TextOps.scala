@@ -42,6 +42,23 @@ object TextOps {
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
       .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
+  /** The shared shingle WORKING SET of every shingle-based dedup gate
+    * (d03/d04/d07/d11/d12): one pass over `documents` computes the
+    * shingle arrays PLUS their sorted 64-bit hash form, persisted
+    * MEMORY_AND_DISK (the d02 idiom, promoted to a first-class building
+    * block). Before this, d04/d11/d12 re-ran the shingle pass up to 4x
+    * per query — once per band self-join side and once per verify-join
+    * side (plan evidence: plans/r21/d04_minhash_lsh_candidates_before.txt
+    * shows 4 parquet scans each redoing split+transform+md5/xxhash).
+    * In production the same table is the materialized intermediate all
+    * dedup stages share; composition amortizes it by construction. */
+  private[graft] def shingleBase(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars", "shingles",
+        "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
+        "size(shingles) AS sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private val SHINGLES_DUCK =
     """list_distinct(list_transform(range(1, len(words) - 1),
       |  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))""".stripMargin
@@ -67,27 +84,32 @@ object TextOps {
     * D^2 collision pairs. ceil(t*sz) is integer math — (num*sz+den-1)
     * div den — so float rounding can never shorten a prefix and drop a
     * true pair. */
+  /** dev probe alias (Scratch) */
+  private[graft] def shingleJaccardPairsProbe(s: SparkSession, dir: String,
+                                              num: Int, den: Int): DataFrame =
+    shingleJaccardPairs(s, dir, num, den)
+
   private def shingleJaccardPairs(s: SparkSession, dir: String,
                                   num: Int, den: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // the hashed shingle sets are the working set of BOTH the prefix
-    // branch and the verify branch; persist them once (8 bytes/shingle
-    // — the compact representation, not the raw text) so shingling and
-    // hashing don't run twice per query
-    val sh = shingled(s, dir)
-      .selectExpr("doc_id", "lang", "n_chars",
-        "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
-        "size(shingles) AS sz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // branch and the verify branch; the shared [[shingleBase]] persist
+    // means shingling and hashing run once per query (and its plan is
+    // identical across the shingle gates, so the suite materializes it
+    // once rather than once per gate)
+    val sh = shingleBase(s, dir)
     val tok = sh.select($"doc_id", $"lang", $"n_chars", $"sz",
       explode($"hsh").as("h"))
     val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    // persisted: the prefix feeds BOTH sides of the candidate self-join;
+    // without it the df-count + window pass runs twice per query
     val prefix = tok.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc))
       .filter($"rn" <= $"sz" - expr(s"($num * sz + ${den - 1}) div $den") + 1)
       .select($"doc_id", $"lang", $"n_chars", $"h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
         $"a.doc_id" < $"b.doc_id" &&
@@ -173,6 +195,27 @@ object TextOps {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
   }
 
+  /** 32-bit SimHash majority vote in ONE aggregation (d05/d06/d08):
+    * from rows of (groupCols..., h) — one row per distinct word, h its
+    * 32-bit md5 prefix — compute per group a row count and 32
+    * conditional bit-sums, then assemble the fingerprint as a sum of
+    * disjoint powers of two. Bit-for-bit identical to the previous
+    * explode(sequence(0,31)) + two-level aggregation (pos = count of
+    * rows with bit b set = sum of that bit; the majority test `2*pos>n`
+    * is unchanged), but the shuffle carries 33 longs per group instead
+    * of 32 ROWS per (group, bit) — and the map side no longer feeds
+    * 32x the input rows through an aggregation hash map. */
+  private def simhashFp(wd: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sums = (0 until 32).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"p$b"))
+    val fp = (0 until 32).map(b =>
+      expr(s"CASE WHEN p$b * 2 > n THEN ${1L << b}L ELSE 0L END"))
+      .reduce(_ + _)
+    wd.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(groupCols.map(col) :+ fp.as("simhash"): _*)
+  }
+
   /** Connected components over an undirected edge list (`u`, `v`
     * columns) by min-label propagation with a pointer-doubling
     * shortcut: each round every vertex takes the least of its own
@@ -195,9 +238,18 @@ object TextOps {
         $"u".cast("long").as("v")))
       .filter($"u" =!= $"v").distinct()
       .localCheckpoint()
-    var labels = edges.select($"u".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id").localCheckpoint()
-    var rounds = 0
+    // Seed = round 1 computed in closed form: from identity labels the
+    // round's update least(label, min-neighbor-label, label(label))
+    // collapses to least(u, min(v)) — a plain aggregation over edges, no
+    // joins, no pointer deref (label(label(u)) = u). This replaces BOTH
+    // the old identity-label checkpoint action and the old round-1
+    // 3-join action with one cheap agg action; later rounds are
+    // unchanged, so the final labels are identical.
+    var labels = edges.groupBy($"u".as("doc_id"))
+      .agg(min($"v").as("mn"))
+      .select($"doc_id", least($"doc_id", $"mn").as("label"))
+      .localCheckpoint()
+    var rounds = 1
     var converged = false
     while (!converged && rounds < maxRounds) {
       val acc = s.sparkContext.longAccumulator(s"graft.cc.changed.r$rounds")
@@ -265,18 +317,25 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
+        // persisted word working set (the shingleBase idiom for the
+        // word-token path): the split+distinct+hash pass feeds the
+        // token explode AND the verify sets from one materialization
         val d = t(s, dir, "documents").selectExpr(
           "doc_id", "lang", "n_chars",
           "array_distinct(split(text, ' ')) AS ws")
           .withColumn("sz", expr("size(ws)"))
+          .withColumn("wsh", expr("array_sort(transform(ws, w -> xxhash64(w)))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tok = d.select($"doc_id", $"lang", $"n_chars", $"sz",
           explode($"ws").as("w"))
         val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"w")
+        // persisted: the prefix feeds BOTH candidate self-join sides
         val prefix = tok.join(dfreq, "w")
           .withColumn("rn", row_number().over(wDoc))
           .filter($"rn" <= $"sz" - expr("(9 * sz + 9) div 10") + 1)
           .select($"doc_id", $"lang", $"n_chars", $"w")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.w" === $"b.w" && $"a.lang" === $"b.lang" &&
             $"a.doc_id" < $"b.doc_id" &&
@@ -289,8 +348,7 @@ object TextOps {
         // join ships 8-byte hashes instead of strings and the per-pair
         // count is a codegen'd primitive loop, not an interpreted
         // hash-set build.
-        val sets = d.selectExpr("doc_id",
-          "array_sort(transform(ws, w -> xxhash64(w))) AS wsh", "sz")
+        val sets = d.select($"doc_id", $"wsh", $"sz")
         cand
           .join(sets.select($"doc_id".as("id_a"), $"wsh".as("h_a"), $"sz".as("sz_a")), "id_a")
           .join(sets.select($"doc_id".as("id_b"), $"wsh".as("h_b"), $"sz".as("sz_b")), "id_b")
@@ -346,11 +404,17 @@ object TextOps {
       "d04_minhash_lsh_candidates",
       (s, dir) => {
         import s.implicits._
-        val sh = shingled(s, dir).select($"doc_id", $"shingles")
+        // shared persisted working set: the shingle pass runs ONCE and
+        // feeds both band self-join sides and both verify-join sides
+        // (was 4 full passes — see shingleBase)
+        val sh = shingleBase(s, dir)
         // bands carry only (doc_id, band): candidate ids are deduped
         // BEFORE any array payload is shuffled, then verified against
         // the shingle sets — the band join never moves document content.
-        val bands = minhashBands(sh)
+        // Persisted: both self-join sides read the one materialized band
+        // table, so the md5 signature pass runs once, not twice.
+        val bands = minhashBands(sh.select($"doc_id", $"shingles"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -363,9 +427,7 @@ object TextOps {
         // per-pair count is a primitive loop, not an interpreted
         // hash-set build.
         graft.functions.GraftFunctions.register(s)
-        val hsets = sh.selectExpr("doc_id",
-          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
-          "size(shingles) AS sz")
+        val hsets = sh.select($"doc_id", $"hsh", $"sz")
         cand
           .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
           .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
@@ -408,13 +470,9 @@ object TextOps {
         val wd = t(s, dir, "documents")
           .select($"doc_id", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
-        val bits = wd
-          .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
-          .groupBy($"doc_id", $"b")
-          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
-               count(lit(1)).as("n"))
-        bits.groupBy($"doc_id")
-          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+        // single-aggregation majority vote (see simhashFp): same result
+        // as the explode(0..31) two-level shape, 1/32nd the agg input
+        simhashFp(wd, Seq("doc_id"))
           .orderBy($"doc_id")
       },
       Some("""
@@ -447,13 +505,12 @@ object TextOps {
         val wd = t(s, dir, "documents")
           .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
-        val bits = wd
-          .select($"doc_id", $"lang", $"h", explode(expr("sequence(0, 31)")).as("b"))
-          .groupBy($"doc_id", $"lang", $"b")
-          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
-               count(lit(1)).as("n"))
-        val fp = bits.groupBy($"doc_id", $"lang")
-          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+        // single-aggregation majority vote (see simhashFp): same result
+        // as the explode(0..31) two-level shape, 1/32nd the agg input.
+        // Persisted: the fingerprint pass (word explode + md5 + agg)
+        // feeds both block self-join sides from one materialization.
+        val fp = simhashFp(wd, Seq("doc_id", "lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // blocks 0-3: 5 bits at 0,5,10,15; blocks 4-6: 4 bits at 20,24,28
         val bands = fp
           .withColumn("blk", explode(expr("sequence(0, 6)")))
@@ -514,13 +571,9 @@ object TextOps {
         val wd = t(s, dir, "documents")
           .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
-        val bits = wd
-          .select($"doc_id", $"lang", $"h", explode(expr("sequence(0, 31)")).as("b"))
-          .groupBy($"doc_id", $"lang", $"b")
-          .agg(count(when(expr("(shiftright(h, b) & 1) = 1"), lit(1))).as("pos"),
-               count(lit(1)).as("n"))
-        val fp = bits.groupBy($"doc_id", $"lang")
-          .agg(sum(expr("CASE WHEN pos * 2 > n THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END")).as("simhash"))
+        // single-aggregation majority vote (see simhashFp): same result
+        // as the explode(0..31) two-level shape, 1/32nd the agg input
+        val fp = simhashFp(wd, Seq("doc_id", "lang"))
         val quality = t(s, dir, "documents")
           .withColumn("ws", expr("split(text, ' ')"))
           .withColumn("nw", expr("cast(size(ws) AS bigint)"))
@@ -1569,7 +1622,11 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val (b, r) = autoMinhashBands(16, 0.7)
-        val sh = shingled(s, dir).select($"doc_id", $"shingles")
+        // shared persisted working set (see shingleBase): one shingle
+        // pass feeds the 16-lane signature branch AND the verify joins
+        val sh = shingleBase(s, dir)
+        // persisted: the 16-lane signature pass (4 md5/shingle) feeds
+        // both self-join sides from one materialization
         val bands = sh
           .selectExpr("doc_id", s"$MINHASH16_SIGS_EXPR AS sigs")
           .select(col("doc_id"), posexplode(expr(
@@ -1578,15 +1635,14 @@ object TextOps {
                |    i -> concat_ws('', slice(sg, i * $r + 1, $r)))), 1)"""
               .stripMargin)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
         graft.functions.GraftFunctions.register(s)
-        val hsets = sh.selectExpr("doc_id",
-          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
-          "size(shingles) AS sz")
+        val hsets = sh.select($"doc_id", $"hsh", $"sz")
         cand
           .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
           .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
@@ -1642,16 +1698,20 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        val sh = shingled(s, dir).select($"doc_id", $"shingles")
-        val bands = minhashBands(sh)
+        // shared persisted working set (see shingleBase): the candidate,
+        // verify, and component stages all read the one materialization —
+        // the composition amortizes the shingle pass by construction
+        val sh = shingleBase(s, dir)
+        // persisted band table (same plan as d04's — the suite
+        // materializes it once): one signature pass, two join sides
+        val bands = minhashBands(sh.select($"doc_id", $"shingles"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
-        val hsets = sh.selectExpr("doc_id",
-          "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
-          "size(shingles) AS sz")
+        val hsets = sh.select($"doc_id", $"hsh", $"sz")
         val edges = cand
           .join(hsets.select($"doc_id".as("id_a"), $"hsh".as("h_a"), $"sz".as("sz_a")), "id_a")
           .join(hsets.select($"doc_id".as("id_b"), $"hsh".as("h_b"), $"sz".as("sz_b")), "id_b")
