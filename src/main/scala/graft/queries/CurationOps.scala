@@ -37,7 +37,9 @@ object CurationOps {
       "c01_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val sh = TextOps.shingled(s, dir)
+        // shared persisted shingle working set (TextOps.shingleBase):
+        // one shingle pass feeds the bench and corpus branches
+        val sh = TextOps.shingleBase(s, dir)
         val bench = sh.filter($"doc_id" % 20 === 7)
           .select($"doc_id".as("bench_id"), explode($"shingles").as("sg"))
         val corpus = sh.filter($"doc_id" % 20 =!= 7)
@@ -441,6 +443,10 @@ object CurationOps {
             expr("cast(length(regexp_replace(text, '[^0-9]', '')) AS bigint)")
               .cast("double") / expr("length(text)"))
           .select($"doc_id", $"lang", $"quality")
+          // persisted: the quality pass (split + distinct + regexp over
+          // every document) feeds the bounds agg, the histogram pass,
+          // and the final filter — one materialization instead of three
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val p = q.groupBy($"lang")
           .agg(min($"quality").as("lo"), max($"quality").as("hi"),
             count(lit(1)).as("n"))

@@ -50,6 +50,10 @@ object StreamOps {
     * nanos and 4 of 5 stream gates returned wrong rows) — the batch
     * loadEvents call also runs the once-per-path epoch sanity check so
     * drift fails loudly before any stream starts. */
+  /** dev probe alias (Scratch) */
+  private[graft] def eventsStreamProbe(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val rawType = graft.queries.Tables.eventsTsType(s, path)
