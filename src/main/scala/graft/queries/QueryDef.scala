@@ -105,7 +105,10 @@ object Tables {
     * corrupting) if the converted timestamps land outside a plausible
     * epoch window — the r11 builder drift produced confidently wrong
     * answers, the worst failure mode a data engine has. */
-  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+  def loadEvents(spark: SparkSession, path: String): DataFrame =
+    cached(spark, path)(loadEventsUncached(spark, path))
+
+  private def loadEventsUncached(spark: SparkSession, path: String): DataFrame = {
     val raw = eventsTsType(spark, path)
     val df = normalizeTs(spark, spark.read.parquet(path), raw, path)
     val ck = tsKey(path)
@@ -123,9 +126,37 @@ object Tables {
     df
   }
 
+  /** Loaded-table PLAN cache: `spark.read.parquet` costs ~80 ms of
+    * driver work per call (file listing + footer schema inference),
+    * and the suite loads the same ten immutable files thousands of
+    * times. Cache the resolved DataFrame — a logical plan, no data —
+    * per (session, file vintage); the tsKey component (size + mtime)
+    * invalidates on regenerated files exactly like the ts-type probe
+    * cache above, and the WeakHashMap keying lets a closed session's
+    * entries be collected. */
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def cached(spark: SparkSession, path: String)
+                    (load: => DataFrame): DataFrame = {
+    val perSession = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(tsKey(path), _ => load)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, s"$dir/events.parquet")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val path = s"$dir/$name.parquet"
+      cached(spark, path)(spark.read.parquet(path))
+    }
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerViews(spark: SparkSession, dir: String): Unit =

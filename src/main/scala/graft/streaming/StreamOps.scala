@@ -846,13 +846,19 @@ object StreamOps {
         // a leaked cache block would skew every later gate's memory.
         val corpus = TextOps.shingled(s, dir).filter("doc_id % 3 != 0")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the DERIVED index frames persist too: a stream-static join
+        // re-evaluates its static side every micro-batch, and without
+        // these the md5 signature pass re-runs per batch even with the
+        // shingle arrays cached
+        val idxBands = TextOps.minhashBands(
+            corpus.select(col("doc_id"), col("shingles")))
+          .withColumnRenamed("doc_id", "id_old")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idxSets = corpus.selectExpr("doc_id AS id_old",
+          "array_sort(transform(shingles, x -> xxhash64(x))) AS h_old",
+          "size(shingles) AS sz_old")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try runToFileSink(s, "s11_sink") {
-          val idxBands = TextOps.minhashBands(
-              corpus.select(col("doc_id"), col("shingles")))
-            .withColumnRenamed("doc_id", "id_old")
-          val idxSets = corpus.selectExpr("doc_id AS id_old",
-            "array_sort(transform(shingles, x -> xxhash64(x))) AS h_old",
-            "size(shingles) AS sz_old")
           // stream side: new documents, shingled + banded per micro-batch
           val schema = StructType(Seq(
             StructField("doc_id", LongType), StructField("text", StringType),
@@ -878,7 +884,9 @@ object StreamOps {
                 (col("sz_new") + col("sz_old") - col("inter"))).as("jaccard"))
           verified
         }.orderBy("id_new", "id_old")
-        finally { corpus.unpersist(); () }
+        finally {
+          idxBands.unpersist(); idxSets.unpersist(); corpus.unpersist(); ()
+        }
       },
       Some(s"""
         ${graft.queries.TextOps.DUCK_SHINGLE_CTE},
