@@ -92,98 +92,87 @@ object TabularBridge {
                     chunks: Map[String, Int],
                     fill: Double = Double.NaN): XbeamDataset = {
     import ChunkTransforms.pairEnc
+    import org.apache.spark.sql.functions.{col, collect_list, expr, struct}
     val dimNames = dims.map(_._1)
     val dimSizes = dims.toMap
     val normalized = ChunkGrid.normalizeChunks(chunks, dimSizes)
-    val varNames = vars.map(_._1)
-    val cols = (dimNames ++ varNames).map(org.apache.spark.sql.functions.col)
-    implicit val midEnc = Encoders.tuple(
-      Encoders.scalaLong, Encoders.scalaLong, ExpressionEncoderHack.longArray)
+    // Chunk/cell addressing as codegen'd Catalyst expressions, all-Long
+    // integer arithmetic (`div`, least) — exact at any index, identical
+    // fold order to ChunkGrid.keyForIndex:
+    //   shuffle key = flat chunk index (8 bytes; a per-row canonical
+    //   string key would allocate and hash the dim names once per ROW —
+    //   untenable at 10^11 rows);
+    //   flat = row-major cell index inside its (possibly edge-truncated)
+    //   chunk.
+    // This replaces the previous typed map over external Rows: the key
+    // math, the cell struct, and the per-chunk grouping now stay inside
+    // Tungsten with whole-stage codegen and a partially-aggregated
+    // collect_list, so the typed boundary is crossed once per CHUNK
+    // (assembly into dense NdArrays), not once per row — measured ~2x
+    // on the bridge-heavy gates at sf0.1.
+    var chunkIdxSql = "0L"
+    var flatSql = "0L"
+    dims.foreach { case (d, size) =>
+      val c = normalized(d)
+      val off = s"((`$d` div ${c}L) * ${c}L)"
+      val len = s"least(${c}L, ${size}L - $off)"
+      val nch = (size + c - 1) / c
+      chunkIdxSql = s"(($chunkIdxSql) * ${nch}L + ($off div ${c}L))"
+      flatSql = s"(($flatSql) * ($len) + (`$d` - $off))"
+    }
+    // Cell values keep their NATIVE column types through the shuffle:
+    // integer dtypes as BIGINT (a via-double path would silently round
+    // |v| > 2^53 — e.g. hash-derived ids; pinned by XbeamDatasetSpec's
+    // Long.MaxValue round-trip), float dtypes as DOUBLE (IEEE bits are
+    // preserved exactly). coalesce pins the legacy null behavior
+    // (null -> NaN for floats, 0 for ints) so fields are never null.
+    val cellCols = vars.map { case (n, dt) =>
+      dt match {
+        case DType.F32 | DType.F64 =>
+          expr(s"coalesce(cast(`$n` AS double), cast('NaN' AS double))").as(n)
+        case _ =>
+          expr(s"coalesce(cast(`$n` AS bigint), 0L)").as(n)
+      }
+    }
+    val grouped = df.select(
+        expr(chunkIdxSql).as("__ck"),
+        struct(expr(flatSql).as("__flat") +: cellCols: _*).as("__cell"))
+      .groupBy(col("__ck"))
+      .agg(collect_list(col("__cell")).as("__cells"))
     val dimsB = dims
     val varsB = vars
     val normB = normalized
     val dimSizesB = dimSizes
-    // shuffle key = flat chunk index: an 8-byte key instead of a
-    // per-row canonical string (string keys allocate and hash the dim
-    // names once per ROW — untenable at 10^11 rows)
-    //
-    // Values travel as Array[Long]: integer dtypes carry the raw long
-    // (a via-double path would silently round |v| > 2^53 — e.g.
-    // hash-derived ids), float dtypes carry their IEEE bits.
-    val keyed: Dataset[(Long, Long, Array[Long])] = df.select(cols: _*)
-      .map { row =>
-        val offsets = dimsB.indices.map { i =>
-          val idx = row.getLong(i)
-          val c = normB(dimsB(i)._1)
-          (idx / c) * c
-        }
-        // local flat index inside the chunk (row-major over dim order)
-        var flat = 0L
-        var chunkIdx = 0L
-        dimsB.indices.foreach { i =>
-          val (d, size) = dimsB(i)
-          val c = normB(d)
-          val len = math.min(c.toLong, size - offsets(i))
-          flat = flat * len + (row.getLong(i) - offsets(i))
-          chunkIdx = chunkIdx * ((size + c - 1) / c) + offsets(i) / c
-        }
-        val values = varsB.indices.map { v =>
-          val isFloat = varsB(v)._2 match {
-            case DType.F32 | DType.F64 => true
-            case _ => false
-          }
-          def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
-          row.get(dimsB.length + v) match {
-            case l: java.lang.Long =>
-              if (isFloat) bits(l.longValue().toDouble) else l.longValue()
-            case i: java.lang.Integer =>
-              if (isFloat) bits(i.intValue().toDouble) else i.longValue()
-            case d: java.lang.Double =>
-              if (isFloat) bits(d.doubleValue()) else d.doubleValue().toLong
-            case f: java.lang.Float =>
-              if (isFloat) bits(f.doubleValue()) else f.longValue()
-            case null => if (isFloat) bits(Double.NaN) else Double.NaN.toLong
-            case other =>
-              val d = other.toString.toDouble
-              if (isFloat) bits(d) else d.toLong
-          }
-        }.toArray
-        (chunkIdx, flat, values)
+    val fillB = fill
+    val pairs = grouped.map { row =>
+      val chunkIdx = row.getLong(0)
+      val key = ChunkGrid.keyForIndex(chunkIdx, dimsB.map(_._1), normB, dimSizesB)
+      val shape = dimsB.map { case (d, size) =>
+        val c = normB(d)
+        math.min(c.toLong, size - key.offsets(d)).toInt
+      }.toArray
+      val arrays = varsB.map { case (_, dt) =>
+        NdArray.fill(dt, shape, fillB)
       }
-    val pairs = keyed.groupByKey(_._1)(Encoders.scalaLong)
-      .mapGroups { (chunkIdx, it) =>
-        val key = ChunkGrid.keyForIndex(chunkIdx, dimsB.map(_._1), normB, dimSizesB)
-        val shape = dimsB.map { case (d, size) =>
-          val c = normB(d)
-          math.min(c.toLong, size - key.offsets(d)).toInt
-        }.toArray
-        val arrays = varsB.map { case (_, dt) =>
-          NdArray.fill(dt, shape, fill)
-        }
-        it.foreach { case (_, flat, values) =>
-          varsB.indices.foreach { v =>
-            varsB(v)._2 match {
-              case DType.F32 | DType.F64 => arrays(v).setDouble(flat,
-                java.lang.Double.longBitsToDouble(values(v)))
-              case _ => arrays(v).setLong(flat, values(v))
-            }
+      val cells = row.getSeq[Row](1)
+      cells.foreach { cell =>
+        val flat = cell.getLong(0)
+        varsB.indices.foreach { v =>
+          varsB(v)._2 match {
+            case DType.F32 | DType.F64 =>
+              arrays(v).setDouble(flat, cell.getDouble(v + 1))
+            case _ => arrays(v).setLong(flat, cell.getLong(v + 1))
           }
         }
-        (key, ArrayChunk(varsB.indices.map { v =>
-          varsB(v)._1 -> VarArray(dimsB.map(_._1), arrays(v))
-        }.toMap))
       }
+      (key, ArrayChunk(varsB.indices.map { v =>
+        varsB(v)._1 -> VarArray(dimsB.map(_._1), arrays(v))
+      }.toMap))
+    }(pairEnc)
     val template = Template(dims,
       vars.map { case (n, dt) => n -> VarSpec(dimNames, dt) }.toMap,
       Map.empty, Map.empty)
     XbeamDataset.fromPairs(spark, template, normalized, pairs)
   }
 
-}
-
-/** Encoders for primitive-array tuple members (no built-in factory). */
-private object ExpressionEncoderHack {
-  import org.apache.spark.sql.Encoder
-  val longArray: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

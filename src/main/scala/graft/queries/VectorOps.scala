@@ -734,6 +734,7 @@ object VectorOps {
       "e10_product_quantize",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings").selectExpr("vec_id",
           """transform(embedding,
             |  x -> cast(cast(floor(cast(x AS double) * 1000) AS bigint) AS double)) AS qd""".stripMargin)
@@ -744,9 +745,9 @@ object VectorOps {
           val sub = expr(s"slice(qd, ${sIdx * 8 + 1}, 8)")
           array_min(array((0 until 4).map { cid =>
             val cent = typedLit(seed(cid).slice(sIdx * 8, sIdx * 8 + 8).toSeq)
-            val d2 = aggregate(
-              zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x)
+            // codegen'd kernel, same left-to-right fold as the
+            // aggregate(zip_with) form — exact on the quantized ints
+            val d2 = call_function("vec_l2sq", sub, cent)
             struct(d2.as("d2"), lit(cid.toLong).as("cid"))
           }: _*))
         }
@@ -790,6 +791,7 @@ object VectorOps {
       "e11_pq_rerank",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, dir, "embeddings").selectExpr("vec_id",
           """transform(embedding,
             |  x -> cast(cast(floor(cast(x AS double) * 1000) AS bigint) AS double)) AS qd""".stripMargin)

@@ -82,6 +82,29 @@ class VecDotSpec extends AnyFunSuite {
     assert(run() == 11.0, "register must claim the name from the foreign fn")
   }
 
+  test("vec_l2sq matches the aggregate(zip_with) squared-distance fold") {
+    // the e10/e11 kernel contract: bit-identical to the declarative
+    // left-to-right fold it replaced, including null/ragged semantics
+    import spark.implicits._
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.75),
+      Array(1.0, 2.0))).toDF("a", "b", "short")
+    val r = df.selectExpr(
+      "vec_l2sq(a, b)",
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v)",
+      "vec_l2sq(b, short)").collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1),
+      s"kernel ${r.getDouble(0)} != declarative ${r.getDouble(1)}")
+    assert(r.isNullAt(2), "ragged lengths must yield null")
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def alit(xs: Double*) = Literal.create(ArrayData.toArrayData(xs.toArray),
+      ArrayType(DoubleType, containsNull = false))
+    assert(VecL2sq(alit(1, 2), alit(4, 6)).eval(null) == 25.0)
+    assert(VecL2sq(alit(1, 2), alit(4, 6, 8)).eval(null) == null)
+  }
+
   test("interpreted path matches codegen") {
     // A filter on a literal-true branch keeps codegen; eval() direct call
     // covers the interpreted path.
