@@ -28,7 +28,27 @@ object Bench {
       // (Tables.normalizeTs) is host-independent, same as Verify
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Size post-shuffle partitions from DATA (AQE advisory size, 64 MB
+      // default), not from the core count: with the default
+      // parallelismFirst=true, AQE refuses to coalesce below the session
+      // parallelism, so at local[32] every tiny sf0.1 exchange ran 32
+      // near-empty reduce tasks of pure fixed cost — measured 32 cores
+      // SLOWER than 8 (BENCH_r21 139.4 s vs BENCH_r21_c8 114.5 s; the
+      // r22 subset A/B reads 13.33 -> 12.43 s from this one flag). This
+      // is the Spark-documented production recommendation and is
+      // scale-correct at 100 TB: partitions come out ~advisory-sized
+      // whatever the cluster width. Override via SPARK_GRAFT_EXTRA_CONF.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.kryo.classesToRegister", GraftKryo.classes)
+    // Ad-hoc conf overrides ("k=v;k2=v2") for A/B experiments and for
+    // cluster-scale parameterization without editing this file; the
+    // driver's canonical bench leaves it unset.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder0.config(k.trim, v.trim)
+      }
+    }
     if (master.startsWith("local-cluster"))
       builder0.config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
@@ -346,7 +366,19 @@ object Bench {
     var used = head.length + 40 // room for closing braces + elided field
     val kept = allEntries.takeWhile { e => used += e.length + 1; used <= budget }
     val elided = allEntries.size - kept.size
-    println(head + s""""elided":$elided,"queries":${kept.mkString("{", ",", "}")}}""")
+    val summaryLine =
+      head + s""""elided":$elided,"queries":${kept.mkString("{", ",", "}")}}"""
+    // The driver-readable half of the contract: 21 rounds of BENCH_r*.json
+    // show `parsed: null` because the stdout line arrives wrapped in the
+    // build tool's "[info] " prefix with a trailing "[success]" line the
+    // driver-side parser chokes on. Write the IDENTICAL one-line summary
+    // to a fixed file at the repo root (robust to any stdout decoration)
+    // AND still print it as the last line (stdout behavior unchanged).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summaryLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(summaryLine)
     spark.stop()
   }
 }

@@ -6,11 +6,14 @@ import java.nio.file.{Files, Paths}
   * <outDir>/<name>_<suffix>.txt — the plan evidence committed under
   * plans/rNN/ each optimization round. Usage:
   *   runMain graft.PlanDump <outDir> <suffix> <name1,name2,...>
-  * Reads SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench. Plans are
-  * captured AFTER one untimed execution so AQE-dependent shapes (final
-  * plans) exist; the dump itself uses the pre-execution formatted plan,
-  * which is what the plan-shape claims reference (Exchange count, join
-  * strategy, PushedFilters/ReadSchema).
+  * Reads SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench. The dump is
+  * the PRE-execution formatted plan (no action runs first), which is
+  * what the plan-shape claims reference — Exchange count, join
+  * strategy, PushedFilters/ReadSchema; AQE's runtime re-optimizations
+  * (partition coalescing, join downgrades) are NOT visible here.
+  * `spark.graft.queryScope=lazy` keeps the scoped-cache gates' full
+  * plans dumpable (eager mode would checkpoint the result and dump a
+  * bare checkpoint scan).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,6 +24,7 @@ object PlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.queryScope", "lazy")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -15,6 +15,8 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same data-sized AQE partition coalescing as Bench (see there)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import CacheScope.Scoped
 
 /** Corpus-curation operators for a training-data pipeline: benchmark
   * decontamination, deterministic stratified sampling, BM25 retrieval
@@ -35,7 +36,7 @@ object CurationOps {
     // exactly the intersection size.
     QueryDef(
       "c01_decontaminate",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         // shared persisted shingle working set (TextOps.shingleBase):
         // one shingle pass feeds the bench and corpus branches
@@ -428,7 +429,7 @@ object CurationOps {
     // engines).
     QueryDef(
       "c09_quality_percentile_filter",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val bins = 32
@@ -446,7 +447,7 @@ object CurationOps {
           // persisted: the quality pass (split + distinct + regexp over
           // every document) feeds the bounds agg, the histogram pass,
           // and the final filter — one materialization instead of three
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val p = q.groupBy($"lang")
           .agg(min($"quality").as("lo"), max($"quality").as("hi"),
             count(lit(1)).as("n"))

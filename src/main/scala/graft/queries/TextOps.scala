@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import CacheScope.Scoped
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data text pipeline operators over the `documents` table:
@@ -57,7 +58,7 @@ object TextOps {
       .selectExpr("doc_id", "lang", "n_chars", "shingles",
         "array_sort(transform(shingles, x -> xxhash64(x))) AS hsh",
         "size(shingles) AS sz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
 
   private val SHINGLES_DUCK =
     """list_distinct(list_transform(range(1, len(words) - 1),
@@ -84,11 +85,6 @@ object TextOps {
     * D^2 collision pairs. ceil(t*sz) is integer math — (num*sz+den-1)
     * div den — so float rounding can never shorten a prefix and drop a
     * true pair. */
-  /** dev probe alias (Scratch) */
-  private[graft] def shingleJaccardPairsProbe(s: SparkSession, dir: String,
-                                              num: Int, den: Int): DataFrame =
-    shingleJaccardPairs(s, dir, num, den)
-
   private def shingleJaccardPairs(s: SparkSession, dir: String,
                                   num: Int, den: Int): DataFrame = {
     import s.implicits._
@@ -109,7 +105,7 @@ object TextOps {
       .withColumn("rn", row_number().over(wDoc))
       .filter($"rn" <= $"sz" - expr(s"($num * sz + ${den - 1}) div $den") + 1)
       .select($"doc_id", $"lang", $"n_chars", $"h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
         $"a.doc_id" < $"b.doc_id" &&
@@ -231,6 +227,12 @@ object TextOps {
     * worst delays termination one round — never a wrong result. */
   def connectedComponents(s: SparkSession, edges0: DataFrame,
                           maxRounds: Int = 16): (DataFrame, Int) = {
+    // the closed-form seed IS round 1, and convergence is only ever
+    // detected by a verification round inside the loop — so at least
+    // one loop round must be allowed to run
+    require(maxRounds >= 2,
+      s"connectedComponents needs maxRounds >= 2 (got $maxRounds): " +
+        "the seed round cannot observe its own convergence")
     import s.implicits._
     // symmetrize once and cut lineage: every round re-reads the edges
     val edges = edges0.select($"u".cast("long"), $"v".cast("long"))
@@ -314,7 +316,7 @@ object TextOps {
     // and drop a true pair.
     QueryDef(
       "d02_dedup_word_jaccard",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         // persisted word working set (the shingleBase idiom for the
@@ -325,7 +327,7 @@ object TextOps {
           "array_distinct(split(text, ' ')) AS ws")
           .withColumn("sz", expr("size(ws)"))
           .withColumn("wsh", expr("array_sort(transform(ws, w -> xxhash64(w)))"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val tok = d.select($"doc_id", $"lang", $"n_chars", $"sz",
           explode($"ws").as("w"))
         val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
@@ -335,7 +337,7 @@ object TextOps {
           .withColumn("rn", row_number().over(wDoc))
           .filter($"rn" <= $"sz" - expr("(9 * sz + 9) div 10") + 1)
           .select($"doc_id", $"lang", $"n_chars", $"w")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.w" === $"b.w" && $"a.lang" === $"b.lang" &&
             $"a.doc_id" < $"b.doc_id" &&
@@ -381,7 +383,7 @@ object TextOps {
     // join key — the round-14 hardening item for the 100 TB posture.
     QueryDef(
       "d03_dedup_shingle_jaccard",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         shingleJaccardPairs(s, dir, 1, 2).orderBy($"id_a", $"id_b")
       },
@@ -402,7 +404,7 @@ object TextOps {
     // collisions (one shuffle on band value), not by the pair space.
     QueryDef(
       "d04_minhash_lsh_candidates",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         // shared persisted working set: the shingle pass runs ONCE and
         // feeds both band self-join sides and both verify-join sides
@@ -414,7 +416,7 @@ object TextOps {
         // Persisted: both self-join sides read the one materialized band
         // table, so the md5 signature pass runs once, not twice.
         val bands = minhashBands(sh.select($"doc_id", $"shingles"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -500,7 +502,7 @@ object TextOps {
     // all-pairs formulation the oracle uses.
     QueryDef(
       "d06_simhash_neardup_pairs",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         val wd = t(s, dir, "documents")
           .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
@@ -510,7 +512,7 @@ object TextOps {
         // Persisted: the fingerprint pass (word explode + md5 + agg)
         // feeds both block self-join sides from one materialization.
         val fp = simhashFp(wd, Seq("doc_id", "lang"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         // blocks 0-3: 5 bits at 0,5,10,15; blocks 4-6: 4 bits at 20,24,28
         val bands = fp
           .withColumn("blk", explode(expr("sequence(0, 6)")))
@@ -926,7 +928,7 @@ object TextOps {
     // computes the same components via a recursive reachability CTE.
     QueryDef(
       "d07_dedup_components",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         // prefix-filtered exact pair join (the d03 path — same hot-key
@@ -1619,7 +1621,7 @@ object TextOps {
     // over the divisor pairs of 16), so nothing is hardcoded twice.
     QueryDef(
       "d11_minhash_auto_bands",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         val (b, r) = autoMinhashBands(16, 0.7)
         // shared persisted working set (see shingleBase): one shingle
@@ -1635,7 +1637,7 @@ object TextOps {
                |    i -> concat_ws('', slice(sg, i * $r + 1, $r)))), 1)"""
               .stripMargin)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -1695,7 +1697,7 @@ object TextOps {
     // rule.
     QueryDef(
       "d12_minhash_dedup_pipeline",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         // shared persisted working set (see shingleBase): the candidate,
@@ -1705,7 +1707,7 @@ object TextOps {
         // persisted band table (same plan as d04's — the suite
         // materializes it once): one signature pass, two join sides
         val bands = minhashBands(sh.select($"doc_id", $"shingles"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val cand = bands.as("a")
           .join(bands.as("b"), Seq("band_idx", "band"))
           .filter($"a.doc_id" < $"b.doc_id")

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import CacheScope.Scoped
 import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -166,7 +167,7 @@ object VectorOps {
         val assign = e.join(
           kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
           "vec_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         // Hot-cell skew gate: a degenerate centroid can swallow far
         // more than the ~64-member average, and the within-cell
         // pairwise join would then compute that cell's P^2 pairs in
@@ -226,7 +227,7 @@ object VectorOps {
       "transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)) AS q")
       .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
       .withColumn("qq", expr("vec_dot(qd, qd)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedPersist()
     (ed, ed)
   }
 
@@ -648,7 +649,9 @@ object VectorOps {
     // assignment folds floats in a fixed dim order: bit-exact.
     QueryDef(
       "e09_semdedup",
-      (s, dir) => semdedupCells(s, dir).orderBy(col("vec_id")),
+      (s, dir) => CacheScope.scoped(s) {
+        semdedupCells(s, dir).orderBy(col("vec_id"))
+      },
       Some(s"""
         WITH $SEMDEDUP_DUCK
         SELECT m.vec_id, m.cell_id, d.dup_of
@@ -668,7 +671,7 @@ object VectorOps {
     // k-means shape.
     QueryDef(
       "e08_kmeans",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val (e, ed) = kmeansQuantized(s, dir)
@@ -927,7 +930,7 @@ object VectorOps {
     // bit-deterministic across engines and partitionings.
     QueryDef(
       "e13_prototype_prune",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val (_, ed) = kmeansQuantized(s, dir)
@@ -1333,17 +1336,17 @@ object VectorOps {
     // persisted across its two uses (count + join), metadata-small.
     QueryDef(
       "e19_dedup_then_index",
-      (s, dir) => {
+      (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val surv = semdedupCells(s, dir).filter($"dup_of".isNull)
-          .select($"vec_id").persist()
+          .select($"vec_id").scopedPersist()
         val bits = autoLshBits(surv.count(), maxBits = 8) // 8 = oracle code length
         // persisted: the norm+bucket pass feeds both self-join sides
         val e = t(s, dir, "embeddings").join(surv, "vec_id")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
                       s"${bucketSpark(bits)} AS bucket")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .scopedPersist()
         val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
         val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
                          $"nrm".as("nrm_b"), $"bucket")

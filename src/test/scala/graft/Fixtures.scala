@@ -32,6 +32,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan-shape specs inspect the gates' full optimizable plans;
+      // eager query scoping would checkpoint results and hide them
+      .config("spark.graft.queryScope", "lazy")
     if (master.startsWith("local-cluster")) {
       // executor JVMs are forked fresh: they need this test JVM's full
       // classpath (graft classes + test classes + scalatest and spark
