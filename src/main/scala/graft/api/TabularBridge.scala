@@ -134,6 +134,25 @@ object TabularBridge {
           expr(s"coalesce(cast(`$n` AS bigint), 0L)").as(n)
       }
     }
+    // collect_list buffers ONE CHUNK's cells in a single aggregation
+    // buffer (a single UnsafeArrayData row per chunk, bounded by the
+    // ~2 GB BufferHolder limit). That is safe — and cheap relative to a
+    // sort-based assembly — exactly because chunks are bounded: the
+    // reference's own contract caps a chunk at 2 GB of payload, and our
+    // cell struct is <= 8 bytes flat index + 8 bytes per variable, so a
+    // conforming chunk's buffer stays well under the row limit. Guard it
+    // explicitly so an oversized chunk spec fails at PLAN time with a
+    // real message instead of a mid-shuffle buffer-growth error.
+    locally {
+      val cells = dims.map { case (d, size) =>
+        math.min(normalized(d).toLong, size) }.product
+      val bytesPerCell = 8L * (1 + vars.length)
+      require(cells * bytesPerCell <= (1L << 31) - 16,
+        s"fromDataFrame chunk ${normalized} holds $cells cells x " +
+          s"$bytesPerCell B = ${cells * bytesPerCell} B per assembly " +
+          "buffer — beyond the 2 GB single-row aggregation limit (and the " +
+          "2 GB chunk contract); use smaller chunks")
+    }
     val grouped = df.select(
         expr(chunkIdxSql).as("__ck"),
         struct(expr(flatSql).as("__flat") +: cellCols: _*).as("__cell"))

@@ -65,6 +65,29 @@ final class XbeamDataset private (
                        s: ScanSpec): XbeamDataset =
     new XbeamDataset(spark, t, c, sv, Some(s), None, calendars)
 
+  /** This dataset with its chunk stream persisted as a disk-spillable
+    * RDD (the ffill/prefix-scan idiom: MEMORY_AND_DISK, released by the
+    * ContextCleaner once the RDD is unreferenced — no session-lifetime
+    * cache residency). For the two-pass sketch reductions (exact bounds
+    * collect + histogram fill; bucket bounds + bucket reduce) the
+    * source is traversed once per pass, and without this every pass
+    * re-runs the full upstream — a row→chunk assembly shuffle or a
+    * whole-store scan. Each source byte is consumed twice either way;
+    * the cache trades the second upstream replay for one spillable
+    * write + local read. `spark.graft.multipass.cache=false` disables
+    * it for deployments where re-scanning the store is cheaper than
+    * materializing it (e.g. a cold-cache object store holding far more
+    * than local disk). */
+  private def withCachedChunks: XbeamDataset =
+    if (spark.conf.get("spark.graft.multipass.cache", "true") != "true") this
+    else {
+      import ChunkTransforms.pairEnc
+      val r = chunkDataset.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      withPlan(template, chunkSizes, splitVars,
+        spark.createDataset(r)(pairEnc))
+    }
+
   /** Copy with a replaced calendar-tag map (drop/install tags around
     * coordinate rewrites). */
   private def withCalendars(c: Map[String, Zarr.CfCalTime]): XbeamDataset =
@@ -1843,11 +1866,14 @@ final class XbeamDataset private (
           s"${n}__hi" -> VarSpec(kd, DType.F64))
       } ++ template.vars.filterNot(kv => touched.contains(kv._1)),
       template.coords -- dims, template.attrs)
+    // two passes over the source — cache the chunk stream (see
+    // withCachedChunks) so the upstream runs once
+    val src = withCachedChunks
     val bounds = withPlan(boundsTemplate, chunkSizes -- dims, splitVars,
-      ChunkTransforms.boundsReduce(chunkDataset, dims, skipna))
+      ChunkTransforms.boundsReduce(src.chunkDataset, dims, skipna))
     val mergedTemplate = template.copy(
       vars = template.vars ++ boundsTemplate.vars)
-    val withBounds = zipReduced(bounds)(
+    val withBounds = src.zipReduced(bounds)(
       (c, r) => ArrayChunk(c.vars ++ r.vars), mergedTemplate)
     val outTemplate = Template(
       keptDims,
@@ -1888,11 +1914,14 @@ final class XbeamDataset private (
           s"${n}__hi" -> VarSpec(kd, DType.F64))
       } ++ template.vars.filterNot(kv => touched.contains(kv._1)),
       template.coords -- dims, template.attrs)
+    // two passes over the source (exact bounds, then histogram fill) —
+    // cache the chunk stream so the upstream runs once (withCachedChunks)
+    val src = withCachedChunks
     val bounds = withPlan(boundsTemplate, chunkSizes -- dims, splitVars,
-      ChunkTransforms.boundsReduce(chunkDataset, dims, skipna))
+      ChunkTransforms.boundsReduce(src.chunkDataset, dims, skipna))
     val mergedTemplate = template.copy(
       vars = template.vars ++ boundsTemplate.vars)
-    val withBounds = zipReduced(bounds)(
+    val withBounds = src.zipReduced(bounds)(
       (c, r) => ArrayChunk(c.vars ++ r.vars), mergedTemplate)
     val outTemplate = Template(
       keptDims,
@@ -3961,16 +3990,20 @@ final class XbeamDataset private (
       s"bins must be in [1, 2^20], got $bins")
     import ChunkTransforms.HistAcc
     val (bucketOf, outCoord) = coordGroups(dim)
+    // two passes over the source (bucket-bounds collect, then the keyed
+    // histogram reduce) — cache the chunk stream (see withCachedChunks)
+    // so the upstream runs once
+    val src = withCachedChunks
     // exact per-group bounds in ONE extra traversal (min and max ride
     // the same partials), consolidated and broadcast
     val (loVars, hiVars) =
-      bucketBoundsCollect(dim, bucketOf, outCoord.shape(0), skipna)
+      src.bucketBoundsCollect(dim, bucketOf, outCoord.shape(0), skipna)
     val bcLo = spark.sparkContext.broadcast(loVars)
     val bcHi = spark.sparkContext.broadcast(hiVars)
     implicit val accEnc = Encoders.kryo[(ChunkKey, HistAcc, ArrayChunk)]
     val d = dim
     val b = bins
-    bucketReduceCoreKeyed[HistAcc](dim, bucketOf, outCoord,
+    src.bucketReduceCoreKeyed[HistAcc](dim, bucketOf, outCoord,
       (key, sliced) => HistAcc.ofSlice(sliced, Set(d), b, { n =>
         // cut this (bucket, kept-window) slab out of the broadcast
         // per-group bounds: index the group axis at the bucket id (the

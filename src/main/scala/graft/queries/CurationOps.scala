@@ -38,9 +38,13 @@ object CurationOps {
       "c01_decontaminate",
       (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
-        // shared persisted shingle working set (TextOps.shingleBase):
-        // one shingle pass feeds the bench and corpus branches
-        val sh = TextOps.shingleBase(s, dir)
+        // persisted shingle working set feeding the bench and corpus
+        // branches — the raw shingle arrays only: c01's overlap count
+        // never touches the sorted xxhash64 form, so materializing
+        // shingleBase's hsh/sz columns here would be pure waste (r22;
+        // the hash form stays the d-gates' working set)
+        val sh = CacheScope.persist(
+          TextOps.shingled(s, dir).select($"doc_id", $"shingles"))
         val bench = sh.filter($"doc_id" % 20 === 7)
           .select($"doc_id".as("bench_id"), explode($"shingles").as("sg"))
         val corpus = sh.filter($"doc_id" % 20 =!= 7)
@@ -434,7 +438,7 @@ object CurationOps {
         import org.apache.spark.sql.expressions.Window
         val bins = 32
         // t02's composite quality score, plus lang for the grouping
-        val q = t(s, dir, "documents")
+        val q = Tables.tPar(s, dir, "documents")
           .withColumn("ws", expr("split(text, ' ')"))
           .withColumn("n_words", expr("cast(size(ws) AS bigint)"))
           .withColumn("quality",

@@ -211,7 +211,11 @@ object Tables {
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private def cached(spark: SparkSession, path: String)
-                    (load: => DataFrame): DataFrame = {
+                    (load: => DataFrame): DataFrame =
+    cachedKey(spark, tsKey(path))(load)
+
+  private def cachedKey(spark: SparkSession, key: String)
+                       (load: => DataFrame): DataFrame = {
     val perSession = dfCache.synchronized {
       if (dfCache.size > MaxSessions) dfCache.clear()
       var m = dfCache.get(spark)
@@ -221,7 +225,7 @@ object Tables {
       }
       m
     }
-    perSession.computeIfAbsent(tsKey(path), _ => load)
+    perSession.computeIfAbsent(key, _ => load)
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -230,6 +234,37 @@ object Tables {
       val path = s"$dir/$name.parquet"
       cached(spark, path)(spark.read.parquet(path))
     }
+
+  /** [[t]] with the scan spread to the session parallelism when the
+    * file layout under-parallelizes it: a sub-128 MB single-file table
+    * scans as ONE task, which serializes every downstream CPU-dense
+    * projection chained onto the scan (the md5/xxhash shingle and
+    * signature passes measured 1.3 s single-task vs ~0.1 s spread at
+    * sf0.1 — compute density per byte is what the byte-based split
+    * rules cannot see). The keyless round-robin repartition shuffles
+    * only the raw input rows (deterministic under retry:
+    * sortBeforeRepartition is on). At scale the scan already has >=
+    * cores splits and this is a no-op branch. Use for CPU-dense passes
+    * (hashing, regex, per-element array math), NOT for scans whose
+    * cost is the bytes themselves. */
+  def tPar(spark: SparkSession, dir: String, name: String): DataFrame =
+    cachedKey(spark, tsKey(s"$dir/$name.parquet") + "#par") {
+      val df = t(spark, dir, name)
+      val p = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    }
+
+  /** Row count of an immutable input table, memoized per file vintage —
+    * plan-time metadata (the XbeamQueries.nRows idiom, centralized):
+    * sizing rules (k-means k, LSH bits) need the corpus size, and a
+    * count() job per query construction is pure fixed cost against a
+    * file that cannot change under the memo key. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(tsKey(s"$dir/$name.parquet") + "#n",
+      _ => t(spark, dir, name).count())
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -391,18 +391,31 @@ object Relational {
         ) ORDER BY yr, priority""")),
 
     // ---------------------------------------------------------------- q15
-    // Correlated subquery (decorrelated by Catalyst into a join):
-    // orders priced above their customer's average.
+    // Orders priced above their customer's average. The oracle keeps the
+    // correlated-subquery formulation; the Spark side runs the one-scan
+    // window equivalent (r22, guide §6/§2.4): Catalyst decorrelates the
+    // subquery into a self-join — TWO scans of `orders` plus an
+    // aggregate exchange and a join exchange — while a window over
+    // PARTITION BY o_custkey reads `orders` ONCE with a single hash
+    // exchange. Row-for-row identical: the window frame is the same
+    // "all orders of this customer, current row included" set the
+    // correlated average ranges over, the DECIMAL-sum/count arithmetic
+    // is unchanged, and a NULL custkey passes neither (the correlated
+    // probe matches nothing; here the explicit IS NOT NULL pins it —
+    // the window would otherwise group NULLs together).
     QueryDef(
       "q15_above_avg_orders",
       (s, dir) => {
         Tables.registerViews(s, dir)
         s.sql("""
-          SELECT o_orderkey, o_custkey, o_totalprice
-          FROM orders o
-          WHERE o_totalprice > 1.5 * (
-            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-            FROM orders i WHERE i.o_custkey = o.o_custkey)
+          SELECT o_orderkey, o_custkey, o_totalprice FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS cust_avg
+            FROM orders o
+            WHERE o_custkey IS NOT NULL
+            WINDOW w AS (PARTITION BY o_custkey))
+          WHERE o_totalprice > 1.5 * cust_avg
           ORDER BY o_orderkey""")
       },
       Some("""

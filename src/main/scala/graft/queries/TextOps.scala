@@ -41,7 +41,9 @@ object TextOps {
 
   /** doc_id, lang, n_chars, shingles for docs with >= 3 words. */
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
+    // tPar: the shingle+hash pass is CPU-dense; a single-file scan would
+    // run it as ONE task (Tables.tPar spreads the scan when needed)
+    Tables.tPar(s, dir, "documents").filter(expr("size(split(text, ' ')) >= 3"))
       .selectExpr("doc_id", "lang", "n_chars", s"$SHINGLES_SPARK AS shingles")
   /** The shared shingle WORKING SET of every shingle-based dedup gate
     * (d03/d04/d07/d11/d12): one pass over `documents` computes the
@@ -100,11 +102,16 @@ object TextOps {
     val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
     // persisted: the prefix feeds BOTH sides of the candidate self-join;
-    // without it the df-count + window pass runs twice per query
+    // without it the df-count + window pass runs twice per query.
+    // Repartitioned before the persist: AQE coalesces the tiny window
+    // output to one partition, and the prefix SELF-JOIN expands pairs
+    // quadratically — a 1-partition cache would serialize it (the d06
+    // fp lesson); the spread parallelizes both join sides for free.
     val prefix = tok.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc))
       .filter($"rn" <= $"sz" - expr(s"($num * sz + ${den - 1}) div $den") + 1)
       .select($"doc_id", $"lang", $"n_chars", $"h")
+      .repartition(s.sparkContext.defaultParallelism)
       .scopedPersist()
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.lang" === $"b.lang" &&
@@ -322,7 +329,7 @@ object TextOps {
         // persisted word working set (the shingleBase idiom for the
         // word-token path): the split+distinct+hash pass feeds the
         // token explode AND the verify sets from one materialization
-        val d = t(s, dir, "documents").selectExpr(
+        val d = Tables.tPar(s, dir, "documents").selectExpr(
           "doc_id", "lang", "n_chars",
           "array_distinct(split(text, ' ')) AS ws")
           .withColumn("sz", expr("size(ws)"))
@@ -333,10 +340,13 @@ object TextOps {
         val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"w")
         // persisted: the prefix feeds BOTH candidate self-join sides
+        // (repartitioned before the persist — the d06 fp lesson: a
+        // 1-partition cache serializes the pair-expanding self-join)
         val prefix = tok.join(dfreq, "w")
           .withColumn("rn", row_number().over(wDoc))
           .filter($"rn" <= $"sz" - expr("(9 * sz + 9) div 10") + 1)
           .select($"doc_id", $"lang", $"n_chars", $"w")
+          .repartition(s.sparkContext.defaultParallelism)
           .scopedPersist()
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.w" === $"b.w" && $"a.lang" === $"b.lang" &&
@@ -469,7 +479,7 @@ object TextOps {
       "d05_simhash_fingerprint",
       (s, dir) => {
         import s.implicits._
-        val wd = t(s, dir, "documents")
+        val wd = Tables.tPar(s, dir, "documents")
           .select($"doc_id", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
         // single-aggregation majority vote (see simhashFp): same result
@@ -504,14 +514,22 @@ object TextOps {
       "d06_simhash_neardup_pairs",
       (s, dir) => CacheScope.scoped(s) {
         import s.implicits._
-        val wd = t(s, dir, "documents")
+        val wd = Tables.tPar(s, dir, "documents")
           .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
         // single-aggregation majority vote (see simhashFp): same result
         // as the explode(0..31) two-level shape, 1/32nd the agg input.
         // Persisted: the fingerprint pass (word explode + md5 + agg)
         // feeds both block self-join sides from one materialization.
+        // Repartitioned BEFORE the persist: AQE coalesces the tiny agg
+        // output to one partition, and a 1-partition cache serializes
+        // the downstream band self-join — a stage that EXPANDS pairs
+        // quadratically while reading almost no bytes (measured ~1.0 s
+        // single-task at sf0.1, ~0.1 s spread). The round-robin spread
+        // of the cached rows parallelizes every cache consumer without
+        // adding a per-consumer exchange.
         val fp = simhashFp(wd, Seq("doc_id", "lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .scopedPersist()
         // blocks 0-3: 5 bits at 0,5,10,15; blocks 4-6: 4 bits at 20,24,28
         val bands = fp
@@ -570,13 +588,13 @@ object TextOps {
       "d08_dedup_survivor_quality",
       (s, dir) => {
         import s.implicits._
-        val wd = t(s, dir, "documents")
+        val wd = Tables.tPar(s, dir, "documents")
           .select($"doc_id", $"lang", explode(expr("array_distinct(split(text, ' '))")).as("w"))
           .withColumn("h", expr("cast(conv(substr(md5(w), 1, 8), 16, 10) AS bigint)"))
         // single-aggregation majority vote (see simhashFp): same result
         // as the explode(0..31) two-level shape, 1/32nd the agg input
         val fp = simhashFp(wd, Seq("doc_id", "lang"))
-        val quality = t(s, dir, "documents")
+        val quality = Tables.tPar(s, dir, "documents")
           .withColumn("ws", expr("split(text, ' ')"))
           .withColumn("nw", expr("cast(size(ws) AS bigint)"))
           .withColumn("quality",
@@ -1722,7 +1740,7 @@ object TextOps {
             ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
           .select($"id_a".as("u"), $"id_b".as("v"))
         val (labels, _) = connectedComponents(s, edges)
-        val quality = t(s, dir, "documents")
+        val quality = Tables.tPar(s, dir, "documents")
           .withColumn("ws", expr("split(text, ' ')"))
           .withColumn("nw", expr("cast(size(ws) AS bigint)"))
           .withColumn("quality",

