@@ -24,13 +24,13 @@ object DProbe {
           val acc = si.accumulables.values.flatMap { a =>
             val n = a.name.getOrElse("")
             if (n == "internal.metrics.shuffle.read.recordsRead" ||
+                n == "internal.metrics.shuffle.write.recordsWritten" ||
                 n == "internal.metrics.executorRunTime" ||
-                n == "internal.metrics.executorDeserializeTime" ||
-                n == "internal.metrics.resultSerializationTime")
+                n == "number of output rows")
               Some(s"${n.stripPrefix("internal.metrics.")}=${a.value.getOrElse("?")}")
             else None
           }.mkString(" ")
-          println(f"[dstage] ${wall}%5d ms tasks=${si.numTasks}%3d $acc")
+          println(f"[dstage] id=${si.stageId} ${wall}%5d ms tasks=${si.numTasks}%3d $acc :: ${si.name.take(50)}")
         }
       }
     })

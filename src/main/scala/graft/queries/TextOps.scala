@@ -542,6 +542,12 @@ object TextOps {
         // only the copy from the FIRST matching block (the xor of the
         // fingerprints tells us which one that is). Dedup is then a
         // codegen'd filter in the join stage — no distinct shuffle.
+        // (r22 note: do NOT rewrite these post-join filters into the
+        // join condition with expr("a.simhash ^ b.simhash") — in a
+        // self-join the string-resolved a./b. references are ambiguous
+        // and silently resolve to one side; measured 1.35M wrong rows.
+        // The optimizer folds the filters into the BHJ condition anyway,
+        // with correctly disambiguated expression ids.)
         bands.as("a").join(bands.as("b"),
             $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
               $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
